@@ -1,0 +1,41 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Median-based outlier marking (SURVEY.md §2.5 A2; reference `mark_outliers`
+  * `data_processing_program_20240520.py:287-316`).
+  *
+  * Shape: per-group EXACT median (Catalyst `percentile` — linear
+  * interpolation, same as pandas and DuckDB `quantile_cont`) computed with a
+  * partial-aggregating groupBy, then joined back. The medians table has one
+  * row per group key, so at scale AQE turns the join-back into a broadcast
+  * join — the fact side is never shuffled twice. A window-median would
+  * instead sort every fact partition by key; groupBy+join is the 100TB plan.
+  */
+object Outliers {
+
+  /** Add `outCol` ∈ {yes, no, unknown}: unknown when `unknownCond`; yes when
+    * value ≥ hi×median or ≤ lo×median of its `keys` group; else no. */
+  def markOutliers(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String],
+      unknownCond: Column,
+      outCol: String = "outliers",
+      lo: Double = 0.8,
+      hi: Double = 1.2): DataFrame = {
+    val med = df
+      .filter(!unknownCond && col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("__median"))
+    val joined = df.join(med, keys, "left")
+    joined
+      .withColumn(outCol,
+        when(unknownCond || col("__median").isNull, "unknown")
+          .when(col(valueCol) >= col("__median") * hi ||
+            col(valueCol) <= col("__median") * lo, "yes")
+          .otherwise("no"))
+      .drop("__median")
+  }
+}

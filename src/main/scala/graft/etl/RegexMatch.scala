@@ -1,0 +1,94 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regex-knowledge-base matching (SURVEY.md §2.4 J3/J4, §2.3 F6).
+  *
+  * The reference loops every unmatched row over every pattern with
+  * `re.findall` and keeps the longest match across all patterns
+  * (`data_processing_program_20240520.py:167-236`). Spark shape: broadcast
+  * theta-join on a column-side `rlike` (Spark's RLike accepts non-foldable
+  * patterns; it recompiles only when the pattern value changes, and the
+  * pattern table is sorted so equal patterns are adjacent), then a window
+  * tie-break on the longest extracted match.
+  */
+object RegexMatch {
+
+  /** All matches of (column-side) `pattern` in `text`, longest first.
+    * Python `re.findall` + `max(key=len)` semantics — NOT first-match. */
+  def longestMatch(text: Column, pattern: Column): Column = {
+    val all = regexp_extract_all(text, pattern, lit(0))
+    // sort by (length desc, value asc) and take the head
+    val sorted = array_sort(all,
+      (l, r) => when(length(l) > length(r), -1)
+        .when(length(l) < length(r), 1)
+        .when(l < r, -1).when(l > r, 1).otherwise(0))
+    get(sorted, lit(0)) // null-safe head (ANSI mode errors on element_at OOB)
+  }
+
+  /** Join `fact` rows against a broadcast pattern table; keep the single
+    * best (longest-match) pattern row per fact row. `patCol` is the regex
+    * column in `dim`; `scope` is an extra equi/theta conjunct (e.g.
+    * brand === ref_brand, or lit(true) for the global pass). Adds
+    * `extractedAs` = the longest matched substring.
+    *
+    * Tie-break order mirrors the reference: longest extracted match first
+    * (py:189), then the dim-provided `priorityCol` (the reference sorts its
+    * regex table longest-pattern-first, py:445), then pattern text for
+    * determinism.
+    */
+  def regexJoin(
+      fact: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      dim: DataFrame,
+      patCol: String,
+      scope: Column,
+      priorityCol: Option[String],
+      keep: Map[String, String],
+      extractedAs: String = "matched",
+      findallLongest: Boolean = true): DataFrame = {
+    val matched = col("__m")
+    val extractExpr =
+      if (findallLongest) longestMatch(col(textCol), col(patCol))
+      // first-match semantics: null-safe head of the findall list
+      else get(regexp_extract_all(col(textCol), col(patCol), lit(0)), lit(0))
+    val joined = fact
+      .join(broadcast(dim), scope && rlike(col(textCol), col(patCol)), "left")
+      .withColumn("__m", extractExpr)
+    val tie: Seq[Column] =
+      Seq(length(matched).desc_nulls_last) ++
+        priorityCol.map(c => col(c).asc_nulls_last).toSeq ++
+        Seq(col(patCol).asc_nulls_last)
+    val w = Window.partitionBy(idCols.map(col): _*).orderBy(tie: _*)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(fact.columns.map(col) ++
+        (keep.map { case (from, to) => col(from).as(to) }.toSeq :+ matched.as(extractedAs)): _*)
+  }
+
+  /** Capacity decode from a regex capture + per-pattern `starting_point` code
+    * (reference F6, py:207-234 — implements the DOCUMENTED intent of cell 28;
+    * the reference's own code has assignment/typo bugs for codes 1, 2, −2,
+    * see SURVEY.md §2.12).
+    *
+    * codes: 0 → n/10; 1 → drop 1st digit then /10; 2 → unknown (null, 'TBD'
+    * provenance handled by caller); 3 → n; −1 → drop 1st digit; −2 → drop
+    * first two digits.
+    */
+  def decodeCapacity(numText: Column, startingPoint: Column): Column = {
+    val n = numText.cast("double")
+    val drop1 = substring(numText, 2, 1000).cast("double")
+    val drop2 = substring(numText, 3, 1000).cast("double")
+    when(startingPoint === 0, n / 10)
+      .when(startingPoint === 1, drop1 / 10)
+      .when(startingPoint === 2, lit(null).cast("double"))
+      .when(startingPoint === 3, n)
+      .when(startingPoint === -1, drop1)
+      .when(startingPoint === -2, drop2)
+      .otherwise(lit(null).cast("double"))
+  }
+}
