@@ -2,12 +2,12 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.EtlQueries
+import graft.queries.{EtlQueries, OpsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def registry: Seq[(String, EtlQueries.Q)] = EtlQueries.all
+  private def registry: Seq[(String, EtlQueries.Q)] = EtlQueries.all ++ OpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators.
+  *
+  * All hashing is md5-derived (engine-portable, seedable, deterministic) so
+  * results reproduce across engines and cluster runs — no JVM-specific
+  * hashCode in any output. Shapes are chosen for 100 TB:
+  *   - exact dedup: one shuffle (groupBy hash);
+  *   - MinHash LSH: per-row signature (no shuffle) → explode bands →
+  *     band-bucket self-join (shuffle on band key, NOT all-pairs) →
+  *     exact-Jaccard verify on the candidates only.
+  */
+object Dedup {
+
+  /** 60-bit stable hash of a string with a seed: first 15 hex digits of
+    * md5("<seed>|<s>"). Portable to any engine with md5. */
+  def seededHash(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(seed + "|"), s)), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace word shingles of size `k` (distinct set) from a text col. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(lower(text), " ")
+    val n = size(toks)
+    array_distinct(filter(
+      transform(toks, (_, i) =>
+        when(i <= n - k,
+          concat_ws(" ", (0 until k).map(o => get(toks, i + o)): _*))),
+      s => s.isNotNull))
+  }
+
+  /** Normalized-text exact-duplicate groups: md5 over lower/trimmed/
+    * whitespace-collapsed text → (hash, n_docs, canonical doc). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__h", md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+      .groupBy(col("__h").as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+
+  /** MinHash signature: `numHashes` seeded min-hashes over the shingle set.
+    * Empty shingle sets hash to 0. Pure per-row expression — scales with
+    * no shuffle and stays in codegen. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      coalesce(array_min(transform(sh, s => seededHash(i, s))), lit(0L))): _*)
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * `numHashes/bands` rows; key = md5 of the comma-joined band slice. */
+  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    array((0 until bands).map { b =>
+      val slice = (0 until r).map(j => get(sig, lit(b * r + j)).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("key"))
+    }: _*)
+  }
+
+  /** Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    *
+    * At scale: the only shuffles are the band-bucket join (keys are
+    * md5-uniform → no skew) and the two shingle-set lookups for the
+    * candidate pairs (a tiny fraction of all pairs). Never computes the
+    * quadratic all-pairs product.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
+    val withBands = withSh
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .select(col("__id"), col("__sh"),
+        explode(bandKeys(col("__sig"), numHashes, bands)).as("__b"))
+      .select(col("__id"), col("__sh"), col("__b.band").as("__band"), col("__b.key").as("__key"))
+    val a = withBands.select(col("__id").as("id_a"), col("__band"), col("__key"))
+    val b = withBands.select(col("__id").as("id_b"), col("__band"), col("__key"))
+    val cand = a.join(b, Seq("__band", "__key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shA = withSh.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val shB = withSh.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    cand.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))) /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 48-bit SimHash over the token multiset (48 ≤ the 60 bits of
+    * `seededHash`, and keeps the result positive in any engine's bigint).
+    * Bit k is set when the majority of token-hashes have bit k set.
+    * Per-row expression — no shuffle. */
+  def simhash(text: Column, bits: Int = 48): Column = {
+    val toks = split(lower(text), " ")
+    val hashes = transform(toks, t => seededHash(777, t))
+    (0 until bits).map { k =>
+      val ones = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, k).bitwiseAND(1L))
+      when(ones * 2 > size(toks).cast("long"), shiftleft(lit(1L), k)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact n-gram Jaccard over ALL pairs of a (bounded) document set —
+    * the correctness baseline the LSH path approximates. Quadratic: callers
+    * must bound the input (e.g. one LSH bucket, or a sampled audit set). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
+    val a = withSh.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val b = withSh.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))) /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

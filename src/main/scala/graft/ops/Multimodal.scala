@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, batch-decoded per partition.
+  *
+  * The decode itself is STUBBED (no image/audio libraries in this
+  * container) behind `FakeDecoder` — a deterministic byte-derived fake —
+  * but the Spark-side shape is real: binary column + metadata struct,
+  * `mapPartitions` batching (one decoder instance per partition, the same
+  * shape a JNI/FFmpeg/JPEG decoder needs), and an explicit output schema.
+  */
+object Multimodal {
+
+  /** Media metadata carried alongside every binary payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("content_md5", StringType, nullable = false),
+    StructField("media_type", StringType, nullable = false)))
+
+  /** Wrap a text column as a binary payload column + metadata struct —
+    * the ingest shape for opaque media. Pure expressions. */
+  def ingestAsBinary(df: DataFrame, srcCol: String, mediaType: String): DataFrame =
+    df.withColumn("content", encode(col(srcCol), "UTF-8"))
+      .withColumn("meta", struct(
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_md5"),
+        lit(mediaType).as("media_type")))
+
+  /** The decoded-frame schema a real decoder would produce. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
+    * A real implementation decodes here (libjpeg/ffmpeg per partition);
+    * the partition-batched shape, schema, and driver code don't change. */
+  object FakeDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+      val n = bytes.length
+      var checksum = 0L
+      var i = 0
+      while (i < n) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+      val width = 16 + (math.abs(checksum % 64)).toInt
+      val height = 16 + (math.abs((checksum >> 8) % 64)).toInt
+      val frames = 1 + (n % 4)
+      (width, height, frames, checksum)
+    }
+  }
+
+  /** Partition-batched decode: one decoder per partition, rows streamed
+    * through it. `mapPartitions` (not a per-row UDF) so a real decoder can
+    * amortize init (model load / codec ctx) across the partition — the
+    * standard Spark shape for heavy native decode at scale. */
+  def decodeBatch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
+    val input = df.select(col(idCol).cast("long"), col("content"))
+    input.mapPartitions { rows =>
+      // decoder init happens HERE once per partition in the real version
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, f, c) = FakeDecoder.decode(bytes)
+        Row(id, w, h, f, c)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Dedup.seededHash
+
+/** Embedding similarity search over an `Array[Float]` column.
+  *
+  * Brute-force cosine top-k is the correctness baseline (a single
+  * map + TakeOrdered — no shuffle, no global sort); the sign-random-
+  * projection LSH bucketing is the scale path: candidates come from one
+  * hash bucket, so the per-query cost drops from O(N·d) to
+  * O(N/2^planes·d) at the cost of recall.
+  *
+  * All arithmetic is elementwise double (float widened exactly) with
+  * left-to-right folds, so results are bit-identical across engines.
+  */
+object Similarity {
+
+  /** Σ a[i]·b[i] as a sequential left-to-right double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  /** cosine = dot / (sqrt(|a|²) * sqrt(|b|²)) — formula order fixed. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Brute-force top-k by cosine against one query vector (as a 1-row
+    * DataFrame with column `qvec`). Deterministic: sim desc, then id. */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, k: Int): DataFrame =
+    emb.crossJoin(broadcast(query))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("sim"))
+
+  /** Deterministic pseudo-random hyperplane weight for (plane j, dim i):
+    * integer in [-500, 500] derived from md5 — reproducible in any engine. */
+  def planeWeight(j: Int, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j,$i".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16) % 1001 - 500
+  }
+
+  /** Sign-LSH bucket id from `planes` fixed hyperplanes over a `dim`-dim
+    * vector: bit j = (Σ_i v[i]·w[j][i] > 0). Pure per-row expression. */
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column =
+    (0 until planes).map { j =>
+      val proj = (0 until dim).map { i =>
+        get(vec, lit(i)).cast("double") * lit(planeWeight(j, i).toDouble)
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1), j)).otherwise(0)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed cosine top-k: score only vectors sharing the query's
+    * bucket. Recall < 1 by design; the oracle checks the deterministic
+    * result, the bucket narrowing is the 100TB scale story. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, dim: Int, planes: Int, k: Int): DataFrame = {
+    val bucketed = emb.withColumn("__bucket", lshBucket(col(vecCol), dim, planes))
+    val q = query.withColumn("__qbucket", lshBucket(col("qvec"), dim, planes))
+    bucketed.crossJoin(broadcast(q))
+      .filter(col("__bucket") === col("__qbucket"))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("sim"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID heuristic, content fingerprinting.
+  * All pure Column expressions (codegen'd, shuffle-free).
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, or single other chars. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality metrics: chars, tokens, mean token length, stopword ratio,
+    * digit ratio, punctuation ratio. */
+  def nChars(text: Column): Column = length(text)
+
+  def meanTokenLen(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks)
+  }
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = split(lower(text), "\\s+")
+    size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(toks)
+  }
+
+  def digitRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Stopword-overlap language-ID heuristic: argmax of per-language marker
+    * hits; ties → lexicographically smallest language; zero hits → "und". */
+  def langGuess(text: Column, markers: Map[String, Seq[String]]): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (size(filter(toks, t => t.isin(words.map(lit): _*))), lang)
+    }
+    val bestScore = scored.map(_._1).reduce((a, b) => greatest(a, b))
+    val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (score, lang)) =>
+      when(score === bestScore && score > 0, lang).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Content fingerprint: md5 of the sorted distinct token set (order- and
+    * repetition-insensitive), plus a 60-bit integer bucket of it. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(lower(text), "\\s+"))), " "))
+
+  def fingerprintBucket(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+}

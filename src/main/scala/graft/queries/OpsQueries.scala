@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops._
+import EtlQueries.Q
+
+/** Training-data-pipeline operators (dedup, similarity search, text
+  * analysis, multimodal plumbing) over `documents`/`embeddings`, each with
+  * a DuckDB oracle wherever the computation is portable (md5-derived
+  * hashing makes even MinHash/SimHash/LSH oracle-checkable). */
+object OpsQueries {
+
+  /** DuckDB fragment: 60-bit seeded md5 hash of expression `e`. */
+  private def sqlHash(seed: Int, e: String): String =
+    s"('0x'||substr(md5('$seed|'||$e),1,15))::BIGINT"
+
+  private val sqlShingles =
+    """base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_filter(
+      |         list_transform(range(1, greatest(len(toks)-1, 1)),
+      |           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]),
+      |         x -> x IS NOT NULL)) AS sh FROM base)""".stripMargin
+
+  private val minhashSql: String = {
+    val sigItems = (0 until 16)
+      .map(i => s"coalesce(list_min(list_transform(sh, s -> ${sqlHash(i, "s")})), 0)")
+      .mkString("[", ",\n    ", "]")
+    s"""WITH $sqlShingles,
+       |sig AS (SELECT doc_id, sh, $sigItems AS sig FROM sh),
+       |bands AS (SELECT doc_id, j, md5(sig[2*j+1]::VARCHAR || ',' || sig[2*j+2]::VARCHAR) AS key
+       |          FROM sig CROSS JOIN generate_series(0, 7) t(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b,
+       |            len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+       |          FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val terms = (0 until 48).map(k =>
+      s"(CASE WHEN 2*list_sum(list_transform(hs, h -> (h >> $k) & 1)) > len(toks) THEN (1::BIGINT << $k) ELSE 0 END)")
+      .mkString(" +\n  ")
+    s"""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id, toks, list_transform(toks, t -> ${sqlHash(777, "t")}) AS hs FROM base)
+       |SELECT doc_id, $terms AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  private val cosineSql =
+    """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT vec_id,
+      |  list_reduce(list_transform(list_zip(embedding, qvec), x -> x[1]::DOUBLE * x[2]::DOUBLE), (a,b) -> a+b) /
+      |  (sqrt(list_reduce(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE), (a,b) -> a+b)) *
+      |   sqrt(list_reduce(list_transform(qvec, v -> v::DOUBLE * v::DOUBLE), (a,b) -> a+b))) AS sim
+      |FROM embeddings CROSS JOIN q)
+      |SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  private val lshPlanes = 6
+  private val lshDim = 64
+
+  private val lshSql: String = {
+    def bucketExpr(vecCol: String): String = (0 until lshPlanes).map { j =>
+      val weights = (0 until lshDim).map(i => Similarity.planeWeight(j, i)).mkString("[", ",", "]")
+      s"(CASE WHEN list_reduce(list_transform(list_zip($vecCol, $weights::DOUBLE[]), x -> x[1]::DOUBLE * x[2]), (a,b) -> a+b) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " +\n   ", ")")
+    s"""WITH q AS (SELECT embedding AS qvec, ${bucketExpr("embedding")} AS qb
+       |           FROM embeddings WHERE vec_id = 0),
+       |b AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bkt FROM embeddings),
+       |s AS (SELECT vec_id,
+       |  list_reduce(list_transform(list_zip(embedding, qvec), x -> x[1]::DOUBLE * x[2]::DOUBLE), (a,b) -> a+b) /
+       |  (sqrt(list_reduce(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE), (a,b) -> a+b)) *
+       |   sqrt(list_reduce(list_transform(qvec, v -> v::DOUBLE * v::DOUBLE), (a,b) -> a+b))) AS sim
+       |FROM b CROSS JOIN q WHERE b.bkt = q.qb)
+       |SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ─── exact dedup: normalized-hash duplicate groups ──────────────────
+    "q24_dedup_exact" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.exactDupGroups(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy($"content_hash")
+      },
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+             |       count(*) AS n_docs, min(doc_id) AS canonical_id
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    // ─── MinHash LSH near-dup pairs + exact-Jaccard verify ──────────────
+    "q25_minhash_pairs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+            numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(minhashSql)),
+
+    // ─── SimHash fingerprints ───────────────────────────────────────────
+    "q26_simhash" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", Dedup.simhash($"text").as("simhash"))
+          .orderBy($"doc_id")
+      },
+      Some(simhashSql)),
+
+    // ─── exact n-gram Jaccard all-pairs (bounded audit set) ─────────────
+    "q27_jaccard_pairs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.jaccardPairs(
+            Tables.documents(s, dir).filter($"doc_id" < 200), "doc_id", "text",
+            shingleK = 3, threshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH $sqlShingles,
+              |b AS (SELECT * FROM sh WHERE doc_id < 200),
+              |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+              |        len(list_intersect(a.sh, b2.sh)) / len(list_distinct(list_concat(a.sh, b2.sh))) AS jaccard
+              |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+              |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ─── brute-force cosine top-k (ANN baseline) ────────────────────────
+    "q28_ann_cosine" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val query = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+        Similarity.cosineTopK(emb, "vec_id", "embedding", query, 10)
+      },
+      Some(cosineSql)),
+
+    // ─── sign-LSH bucketed cosine top-k (ANN scale path) ────────────────
+    "q29_ann_lsh" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val query = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+        Similarity.lshTopK(emb, "vec_id", "embedding", query, lshDim, lshPlanes, 10)
+      },
+      Some(lshSql)),
+
+    // ─── text quality metrics ───────────────────────────────────────────
+    "q30_text_quality" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select($"doc_id",
+          TextStats.nChars($"text").as("n_chars"),
+          TextStats.wsTokenCount($"text").as("n_tokens"),
+          TextStats.meanTokenLen($"text").as("mean_token_len"),
+          TextStats.stopwordRatio($"text", Seq("the", "a")).as("stopword_ratio"),
+          TextStats.digitRatio($"text").as("digit_ratio"),
+          TextStats.punctRatio($"text").as("punct_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS INTEGER) AS n_chars,
+             |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_tokens,
+             |  list_sum(list_transform(regexp_split_to_array(text, '\s+'), t -> length(t)))::DOUBLE
+             |    / len(regexp_split_to_array(text, '\s+')) AS mean_token_len,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['the','a'], t)))::DOUBLE
+             |    / len(regexp_split_to_array(lower(text), '\s+')) AS stopword_ratio,
+             |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / greatest(length(text), 1) AS digit_ratio,
+             |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / greatest(length(text), 1) AS punct_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ─── token counting (whitespace + BPE-ish) ──────────────────────────
+    "q31_token_count" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select($"doc_id",
+          TextStats.wsTokenCount($"text").as("ws_tokens"),
+          TextStats.bpeTokenCount($"text").as("bpe_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ─── language-ID heuristic vs labeled lang ──────────────────────────
+    "q32_lang_id" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val markers = Map(
+          "de" -> Seq("der", "und"), "en" -> Seq("the", "a"),
+          "es" -> Seq("el", "y"), "fr" -> Seq("le", "et"))
+        Tables.documents(s, dir).select($"doc_id", $"lang",
+          TextStats.langGuess($"text", markers).as("lang_guess"))
+          .withColumn("is_match", $"lang" === $"lang_guess")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sc AS (SELECT doc_id, lang,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['der','und'], t))) AS s_de,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['the','a'], t))) AS s_en,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['el','y'], t))) AS s_es,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['le','et'], t))) AS s_fr
+             |FROM documents),
+             |g AS (SELECT doc_id, lang,
+             |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |       ELSE 'fr' END AS lang_guess
+             |FROM sc)
+             |SELECT doc_id, lang, lang_guess, lang = lang_guess AS is_match
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ─── content fingerprint (rolling set-hash + integer bucket) ────────
+    "q33_fingerprint" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select($"doc_id",
+          TextStats.fingerprint($"text").as("fingerprint"),
+          TextStats.fingerprintBucket($"text").as("fp_bucket"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fingerprint,
+             |  ('0x'||substr(md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')), 1, 15))::BIGINT AS fp_bucket
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ─── multimodal ingest: binary payload + typed metadata ─────────────
+    "q34_multimodal_meta" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.ingestAsBinary(Tables.documents(s, dir), "text", "text/plain")
+          .select($"doc_id", $"meta.n_bytes".as("n_bytes"),
+            $"meta.content_md5".as("content_md5"), $"meta.media_type".as("media_type"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  md5(text) AS content_md5, 'text/plain' AS media_type
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ─── multimodal decode (partition-batched stub decoder; rows-only) ──
+    "q35_multimodal_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.decodeBatch(
+            Multimodal.ingestAsBinary(Tables.documents(s, dir), "text", "text/plain"),
+            "doc_id")
+          .orderBy($"doc_id")
+      },
+      None)) // JVM-side stub decode — no SQL equivalent; driver rows-only check
+}
