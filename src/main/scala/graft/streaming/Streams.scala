@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface.
+  *
+  * The reference is batch-only; its closest streaming analogue is the
+  * monthly history append (SURVEY.md §2.11). Here the same transforms run
+  * in both modes: each op is a `DataFrame => DataFrame` applied to a batch
+  * read OR a `readStream`, which is exactly how a 100TB pipeline promotes
+  * a batch job to incremental without rewriting logic.
+  */
+object Streams {
+
+  /** Tumbling event-time window aggregate (the streaming twin of
+    * q23_window_agg): count + sum(value) per (1h window, event_type).
+    * With `withWatermark` upstream this runs incrementally in append mode. */
+  def windowedEventAgg(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("ts_hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Same aggregate prepared for an actual stream: watermarked so state is
+    * bounded (late events beyond 2h dropped, window state evicted). */
+  def windowedEventAggStream(events: DataFrame): DataFrame =
+    windowedEventAgg(events.withWatermark("ts", "2 hours"))
+
+  /** The incremental history append (reference cell 81) as a streaming
+    * job: new files appearing under `incomingDir` are appended to the
+    * history table — at scale, a file-source → partitioned-sink job. */
+  def historyAppendStream(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      incomingDir: String, sinkDir: String, checkpointDir: String) =
+    spark.readStream.schema(schema).parquet(incomingDir)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet").option("path", sinkDir)
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionSummary(user_id: Long, n_events: Long, n_purchases: Long)
+
+  /** Custom stateful op: per-user running session summary via
+    * `flatMapGroupsWithState` (the KeyValueGroupedDataset path the
+    * reference has no analogue for — included for streaming completeness). */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[SessionEvent], state: GroupState[SessionSummary]) =>
+          val prev = state.getOption.getOrElse(SessionSummary(uid, 0L, 0L))
+          var n = prev.n_events
+          var p = prev.n_purchases
+          evs.foreach { e =>
+            n += 1
+            if (e.event_type == "purchase") p += 1
+          }
+          val next = SessionSummary(uid, n, p)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -1,0 +1,33 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RegexMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("longestMatch = findall + max-by-length (not first match)") {
+    // first match is "PC20", the longest anywhere is "PC2000"
+    val got = Seq(("PC20 AND PC2000"))
+      .toDF("s")
+      .select(RegexMatch.longestMatch($"s", lit("PC\\d+")))
+      .as[String].head()
+    assert(got == "PC2000")
+  }
+
+  test("regexJoin picks pattern with longest extracted match") {
+    val fact = Seq((1L, "SANY SY215C MACHINE")).toDF("id", "text")
+    val pats = Seq(("SY\\d+", "short", 1), ("SY\\d+[A-Z]", "long", 2)).toDF("pat", "cls", "prio")
+    val got = RegexMatch.regexJoin(fact, Seq("id"), "text", pats, "pat",
+      lit(true), Some("prio"), Map("cls" -> "cls"))
+      .select("cls", "matched").as[(String, String)].head()
+    assert(got == ("long", "SY215C"))
+  }
+
+  test("decodeCapacity: documented starting_point intent (SURVEY §2.3 F6)") {
+    val df = Seq(("215", 0), ("1215", 1), ("215", 2), ("21.5", 3), ("9215", -1), ("88215", -2))
+      .toDF("num", "sp")
+    val got = df.select(RegexMatch.decodeCapacity($"num", $"sp")).as[Option[Double]].collect()
+    assert(got.toSeq == Seq(Some(21.5), Some(21.5), None, Some(21.5), Some(215.0), Some(215.0)))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfTiny)
+
+  test("minhash candidate pairs are a superset of high-jaccard truth pairs") {
+    // LSH with 8 bands × 2 rows catches jaccard≥0.9 pairs w.p. ~1-1e-7;
+    // the planted sf0.001 near-dups must all be found.
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    assert(truth.subsetOf(lsh), s"missed: ${truth -- lsh}")
+  }
+
+  test("minhash pairs report exact jaccard (verified, not estimated)") {
+    val viaLsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    viaLsh.foreach { case (pair, j) => assert(exact(pair) == j) }
+  }
+
+  test("identical texts give identical simhash; disjoint vocab differs") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "zz yy xx qq"))
+      .toDF("id", "text")
+    val hs = df.select(Dedup.simhash($"text")).as[Long].collect()
+    assert(hs(0) == hs(1) && hs(0) != hs(2))
+    assert(hs.forall(_ >= 0), "48-bit simhash stays positive")
+  }
+
+  test("exact dedup groups duplicates under whitespace/case noise") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "other")).toDF("doc_id", "text")
+    val g = Dedup.exactDupGroups(df, "doc_id", "text")
+      .select("n_docs", "canonical_id").as[(Long, Long)].collect().toSet
+    assert(g == Set((2L, 1L), (1L, 3L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine(v, v) == 1 and top-1 of self-query is the query vector") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val q = emb.filter($"vec_id" === 7).select($"embedding".as("qvec"))
+    val top = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 3)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 7L)
+    assert(math.abs(top.head._2 - 1.0) < 1e-12)
+    assert(top.map(_._2).sameElements(top.map(_._2).sorted(Ordering[Double].reverse)))
+  }
+
+  test("lsh bucket is deterministic and self-query is always in its bucket") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val q = emb.filter($"vec_id" === 7).select($"embedding".as("qvec"))
+    val top = Similarity.lshTopK(emb, "vec_id", "embedding", q, 64, 6, 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 7L) // query shares its own bucket
+  }
+
+  test("planeWeight is stable across calls (pure function of (j,i))") {
+    assert(Similarity.planeWeight(3, 17) == Similarity.planeWeight(3, 17))
+    assert((0 until 64).exists(i => Similarity.planeWeight(0, i) != Similarity.planeWeight(1, i)))
+  }
+}
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = Seq("hello world 123 a,b").toDF("s").select(
+      TextStats.wsTokenCount($"s"), TextStats.bpeTokenCount($"s"))
+      .as[(Int, Int)].head()
+    assert(r._1 == 4)      // hello | world | 123 | a,b
+    assert(r._2 == 6)      // hello world 123 a , b
+  }
+
+  test("langGuess: argmax, tie→lexicographic, none→und") {
+    val markers = Map("de" -> Seq("der"), "en" -> Seq("the"), "fr" -> Seq("le"))
+    val got = Seq("the cat the dog le", "xyz", "le der")
+      .toDF("s").select(TextStats.langGuess($"s", markers)).as[String].collect()
+    assert(got.toSeq == Seq("en", "und", "de"))
+  }
+
+  test("fingerprint is order- and repetition-insensitive") {
+    val fp = Seq("b a a b", "a b").toDF("s")
+      .select(TextStats.fingerprint($"s")).as[String].collect()
+    assert(fp(0) == fp(1))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ingest + partition-batched decode round-trips deterministically") {
+    val docs = Seq((1L, "some payload"), (2L, "other bytes")).toDF("doc_id", "text")
+    val decoded = Multimodal.decodeBatch(
+      Multimodal.ingestAsBinary(docs, "text", "image/fake"), "doc_id")
+    val rows = decoded.orderBy("doc_id").collect()
+    assert(decoded.schema == Multimodal.decodedSchema)
+    assert(rows.length == 2)
+    val again = Multimodal.decodeBatch(
+      Multimodal.ingestAsBinary(docs, "text", "image/fake"), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(rows.sameElements(again))
+  }
+
+  test("metadata matches payload bytes") {
+    val m = Multimodal.ingestAsBinary(Seq((1L, "abc")).toDF("doc_id", "text"), "text", "t")
+      .select($"meta.n_bytes", $"meta.content_md5").as[(Long, String)].head()
+    assert(m._1 == 3L)
+    assert(m._2 == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed agg over a memory stream matches the batch twin") {
+    val batchEvents = Tables.events(spark, sfTiny)
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = stream.toDF().toDF("ts", "event_type", "value")
+
+    val q = Streams.windowedEventAgg(streamDf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg").start()
+    try {
+      stream.addData(batchEvents
+        .select($"ts", $"event_type", $"value")
+        .as[(java.sql.Timestamp, String, Double)].collect().toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("win_agg")
+        .select($"ts_hour", $"event_type", $"n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val batch = Streams.windowedEventAgg(batchEvents)
+        .select($"ts_hour", $"event_type", $"n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize accumulates per-user counts across batches") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Streams.SessionEvent]
+    val out = Streams.sessionize(stream.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      stream.addData(
+        Streams.SessionEvent(1, t, "view"), Streams.SessionEvent(1, t, "purchase"))
+      out.processAllAvailable()
+      stream.addData(Streams.SessionEvent(1, t, "purchase"))
+      out.processAllAvailable()
+      val last = spark.table("sess")
+        .as[Streams.SessionSummary].collect().maxBy(_.n_events)
+      assert(last == Streams.SessionSummary(1, 3, 2))
+    } finally out.stop()
+  }
+}
