@@ -1,0 +1,247 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The customs-analytics pipeline (SURVEY.md §3 E1): the reference's
+  * notebook cells 4→83 re-expressed as one lazy DataFrame lineage.
+  *
+  * Input: the 27-column customs fact table (FIXTURES.md A1 schema, column
+  * names as in the reference input sheet). Output adds the enrichment
+  * columns of §1.3: description2, brand, model, type, capacity (nullable
+  * double — sentinels only at export), remark (provenance), new/used,
+  * unit weight in ton, capacity/type intervals, outliers, cny amounts.
+  *
+  * Every stage is a pure `DataFrame => DataFrame`; Catalyst sees the whole
+  * tree, so filters push to the scan and all dimension joins broadcast.
+  * Shuffles: only the outlier median groupBy+join — everything else is
+  * map-side.
+  */
+object Pipeline {
+
+  private val UNK = "UNKNOWN"
+
+  /** Remark provenance vocabulary (reference py:102-275). */
+  object Remark {
+    val fully = "Fully match"
+    val brandNoModel = "Brands existed but without models"
+    val noMatch = "No match"
+    val parts = "Parts"
+    val uniqueRegex = "Unique model match with regex"
+    val longestRegex = "Keep the longest from the multiple matched"
+    val noBrandUniqueRegex = "No brand in description, and unique model match with regex"
+    val noBrandLongestRegex = "No brand in description, and keep the longest from the multiple matched"
+    val capacityInDesc = "Description contains working capacity"
+    val inferredModel =
+      "Description contains working capacity, and the model is inferenced with existed infomation"
+    val qtyKeywords = "Description contains quantity keywords"
+  }
+
+  private def c(name: String): Column = col(s"`$name`")
+
+  /** Stage 1 (cells 5-13): stable row id, normalized text columns, numeric
+    * coercions, low-amount filter, derived unit metrics. */
+  def prepare(df: DataFrame): DataFrame =
+    df.withColumn("__row_id", monotonically_increasing_id())
+      // lenient like pd.to_datetime: accept ISO or slash dates, null otherwise
+      .withColumn("date", coalesce(
+        try_to_timestamp(c("date")),
+        try_to_timestamp(c("date"), lit("yyyy/MM/dd")),
+        try_to_timestamp(c("date"), lit("MM/dd/yyyy"))))
+      .withColumn("qty", expr("try_cast(qty AS DOUBLE)"))
+      .withColumn("amount in usd", expr("try_cast(`amount in usd` AS DOUBLE)"))
+      .withColumn("weight in kg", expr("try_cast(`weight in kg` AS DOUBLE)"))
+      .filter(c("amount in usd") >= 10000)
+      .withColumn("price in usd", c("amount in usd") / c("qty"))
+      .filter(c("price in usd") >= 10000)
+      .withColumn("unit weight in ton", c("weight in kg") / c("qty") / 1000)
+      .withColumn("description2",
+        Normalize.collapseWs(Normalize.preProcess(
+          Normalize.applyAliases(upper(c("product description")), Normalize.customsAliases))))
+      .withColumn("supplier_norm",
+        Normalize.collapseWs(Normalize.preProcess(
+          Normalize.applyAliases(upper(coalesce(c("supplier"), lit(""))), Normalize.customsAliases))))
+
+  /** Stage 2 (J1+J2, py:61-115): brand containment join (first in KB
+    * order), then model containment join (longest), remark provenance. */
+  def matchKnowledgeBase(df: DataFrame, modelKbRaw: DataFrame): DataFrame = {
+    val kb = KnowledgeBase.prepareModelKb(modelKbRaw)
+    val brands = kb.select(col("brand").as("kb_brand"), col("ref_order"))
+      .groupBy("kb_brand").agg(min("ref_order").as("brand_order"))
+    val withBrand = Matching.firstMatchJoin(df, Seq("__row_id"), brands,
+      c("description2").contains(col("kb_brand")) ||
+        col("supplier_norm").contains(col("kb_brand")),
+      "brand_order", Map("kb_brand" -> "brand"))
+    val models = kb.select(col("brand").as("kb_brand"), col("model"),
+      col("model_ref"), col("capacity").as("kb_capacity"),
+      col("type").as("kb_type"), col("hp").as("kb_hp"))
+    val withModel = Matching.longestMatchJoin(withBrand, Seq("__row_id"), models,
+      col("brand") === col("kb_brand") && c("description2").contains(col("model_ref")),
+      "model_ref",
+      Map("model" -> "model", "kb_capacity" -> "capacity",
+        "kb_type" -> "type", "kb_hp" -> "hp"))
+    withModel
+      .withColumn("remark",
+        when(col("brand").isNull, Remark.noMatch)
+          .when(col("model").isNull, Remark.brandNoModel)
+          .otherwise(Remark.fully))
+      .withColumn("brand", coalesce(col("brand"), lit(UNK)))
+      .withColumn("model", coalesce(col("model"), lit(UNK)))
+      .withColumn("type", coalesce(col("type"), lit(UNK)))
+  }
+
+  /** Irrelevant-keyword vocabulary (P3, py:119-125 — excerpt of the 32). */
+  val irrelevantKeywords: Seq[String] = Seq(
+    "CARRIER", "LOADER", "ROLLER", "TELESCOPLADER", "FORKLIFT", "BULLDOZER",
+    "TRACTOR", "HARVESTER", "DRILLING", "PILING", "GRADER", "PAVER")
+
+  /** Stage 3 (P3): anti-filter rows whose description matches any
+    * irrelevant keyword (case-insensitive substring). */
+  def dropIrrelevant(df: DataFrame): DataFrame =
+    df.filter(!c("description2").rlike(irrelevantKeywords.mkString("|")))
+
+  /** Stage 4 (P5, py:127-144): keyword type overrides. */
+  def applyTypeRules(df: DataFrame): DataFrame =
+    df.withColumn("type",
+      when(c("description2").contains("WHEEL EXCAVATOR"), "WHEEL EXCAVATOR")
+        .when(c("description2").contains("WHEELED CRANE"), "WHEELED CRANE")
+        .when(c("description2").contains("ROUGH TERRAIN CRANE"), "ROUGH-TERRAIN CRANE")
+        .when(c("description2").contains("CRAWLER CRANE"), "CRAWLER CRANE")
+        .otherwise(col("type")))
+
+  /** Stage 5 (B3, py:146-158): used/new with NEW/UNUSED override. */
+  def markUsedNew(df: DataFrame): DataFrame =
+    df.withColumn("new/used",
+      Enrich.usedNew(c("description2"),
+        Seq("USED", "SECONDHAND", "OLD", "REFURBISH", "SECOND", "2ND"),
+        Seq("NEW", "UNUSED")))
+
+  /** Stage 6 (py:161-162 + A7): parts marking. */
+  def markParts(df: DataFrame): DataFrame =
+    df.withColumn("remark",
+      when(c("description2").rlike("PARTIAL|PARTY|\\bPARTS?\\b|ASSEMBLE|\\bSKD\\b|\\bCKD\\b"),
+        Remark.parts).otherwise(col("remark")))
+
+  /** Stage 7 (J3/J4 + F6, py:167-236): regex KB pass over still-unmatched
+    * rows; brand-scoped when the brand is known, global otherwise; longest
+    * findall match wins; capacity decoded per starting_point. */
+  def regexPass(df: DataFrame, regexKb: DataFrame): DataFrame = {
+    val todo = df.filter(col("remark").isin(Remark.brandNoModel, Remark.noMatch))
+    val done = df.filter(!col("remark").isin(Remark.brandNoModel, Remark.noMatch))
+    val dim = regexKb.select(col("brand").as("rx_brand"), col("model_regex"),
+      col("capacity_regex"), col("category"), col("starting_point"),
+      (-length(col("model_regex"))).as("rx_priority"))
+    val scope = col("brand") === lit(UNK) || col("brand") === col("rx_brand")
+    val matched = RegexMatch.regexJoin(todo, Seq("__row_id"), "description2",
+      dim, "model_regex", scope, Some("rx_priority"),
+      Map("rx_brand" -> "rx_brand", "category" -> "rx_category",
+        "capacity_regex" -> "rx_capreg", "starting_point" -> "rx_sp"))
+    val decoded = matched
+      .withColumn("rx_capnum",
+        when(col("matched").isNotNull,
+          get(regexp_extract_all(c("description2"), col("rx_capreg"), lit(1)), lit(0))))
+      .withColumn("rx_capacity",
+        RegexMatch.decodeCapacity(col("rx_capnum"), col("rx_sp")))
+    val applied = decoded
+      .withColumn("remark",
+        when(col("matched").isNull, col("remark"))
+          .when(col("brand") === UNK, Remark.noBrandLongestRegex)
+          .otherwise(Remark.longestRegex))
+      .withColumn("model",
+        when(col("matched").isNotNull, Normalize.stripSpaces(col("matched")))
+          .otherwise(col("model")))
+      .withColumn("brand",
+        when(col("matched").isNotNull && col("brand") === UNK, col("rx_brand"))
+          .otherwise(col("brand")))
+      .withColumn("type",
+        when(col("matched").isNotNull && col("type") === UNK, col("rx_category"))
+          .otherwise(col("type")))
+      .withColumn("capacity",
+        when(col("matched").isNotNull && col("capacity").isNull, col("rx_capacity"))
+          .otherwise(col("capacity")))
+      .drop("matched", "rx_brand", "rx_category", "rx_capreg", "rx_sp",
+        "rx_capnum", "rx_capacity")
+    done.unionByName(applied)
+  }
+
+  /** Stage 8 (B4, py:239-252): capacity from "N TONS" in the description
+    * for rows still lacking one. */
+  def searchCapacity(df: DataFrame): DataFrame = {
+    val cap = Enrich.extractDouble(c("description2"),
+      "\\b(\\d+(?:\\.\\d+)?)\\s*(?:METRIC\\s*)?TONS?\\b")
+    df.withColumn("remark",
+        when(col("capacity").isNull && cap.isNotNull, Remark.capacityInDesc)
+          .otherwise(col("remark")))
+      .withColumn("capacity",
+        when(col("capacity").isNull, cap).otherwise(col("capacity")))
+  }
+
+  /** Stage 9 (J6, py:255-276): backward tagging — rows with known
+    * (brand, type, capacity) but UNKNOWN model borrow the model of a
+    * labeled row of the same brand+type with capacity within ±5%. */
+  def backwardTag(df: DataFrame): DataFrame = {
+    val known = df
+      .filter(col("model") =!= UNK && col("capacity").isNotNull)
+      .select(col("brand").as("bt_brand"), col("type").as("bt_type"),
+        col("capacity").as("bt_capacity"), col("model").as("bt_model"))
+      .distinct()
+    val todo = df.filter(
+      col("model") === UNK && col("brand") =!= UNK && col("capacity").isNotNull)
+    val done = df.filter(
+      !(col("model") === UNK && col("brand") =!= UNK && col("capacity").isNotNull))
+    val tagged = Matching.bestMatchJoin(todo, Seq("__row_id"), known,
+      col("brand") === col("bt_brand") && col("type") === col("bt_type") &&
+        col("bt_capacity").between(col("capacity") * 0.95, col("capacity") * 1.05),
+      Seq(col("bt_model").asc_nulls_last), Map("bt_model" -> "bt_model"))
+      .withColumn("remark",
+        when(col("bt_model").isNotNull, Remark.inferredModel).otherwise(col("remark")))
+      .withColumn("model", coalesce(col("bt_model"), col("model")))
+      .drop("bt_model")
+    done.unionByName(tagged)
+  }
+
+  /** Stage 10 (A2, py:287-316): ±20% of same-(brand, model) median price;
+    * used or unlabeled rows are 'unknown'. */
+  def markOutliers(df: DataFrame): DataFrame =
+    Outliers.markOutliers(df, "price in usd", Seq("brand", "model"),
+      col("model") === UNK || col("capacity").isNull || col("new/used") === "used")
+
+  /** Stage 11 (B1/B2, py:343-431): intervals from capacity, falling back
+    * to unit weight. */
+  def markIntervals(df: DataFrame, loadInterval: Int = 10): DataFrame = {
+    val basis = when(col("capacity").isNotNull && col("capacity") > 0, col("capacity"))
+      .otherwise(c("unit weight in ton"))
+    df.withColumn("capacity interval", Enrich.dynamicBuckets(basis, loadInterval))
+      .withColumn("type interval", Enrich.fixedBuckets(basis))
+  }
+
+  /** Stage 12 (J5, py:320-340): USD→CNY per (year, month) of `date`. */
+  def convertCurrency(df: DataFrame, rates: DataFrame): DataFrame =
+    Rates.convert(df, "date", rates,
+      Seq("price in usd" -> "price in cny", "amount in usd" -> "amount in cny"))
+
+  /** Stage 13 (F5 + P6, cells 57/60): model whitespace cleanup + sentinel
+    * rendering for export (capacity stays a nullable double internally). */
+  def finalize(df: DataFrame): DataFrame =
+    df.withColumn("model", Normalize.stripSpaces(col("model")))
+      .withColumn("datasource", coalesce(c("datasource"), lit("pipeline")))
+      .drop("supplier_norm", "__row_id")
+
+  /** The whole E1 composition. */
+  def run(fact: DataFrame, modelKb: DataFrame, regexKb: DataFrame,
+      rates: DataFrame): DataFrame =
+    fact.transform(prepare)
+      .withColumn("datasource", lit("pipeline"))
+      .transform(matchKnowledgeBase(_, modelKb))
+      .transform(dropIrrelevant)
+      .transform(applyTypeRules)
+      .transform(markUsedNew)
+      .transform(markParts)
+      .transform(regexPass(_, regexKb))
+      .transform(searchCapacity)
+      .transform(backwardTag)
+      .transform(markOutliers)
+      .transform(markIntervals(_))
+      .transform(convertCurrency(_, rates))
+      .transform(finalize)
+}
