@@ -65,4 +65,38 @@ object Matching {
       keep: Map[String, String]): DataFrame =
     bestMatchJoin(fact, idCols, dim, cond,
       Seq(length(col(matchCol)).desc_nulls_last, col(matchCol).asc_nulls_last), keep)
+
+  // ─── Shuffle-free literal-expression path ─────────────────────────────
+  //
+  // A broadcast join already assumes the dimension fits in memory on every
+  // executor. When it additionally fits on the driver at plan time (every
+  // KB in the reference: hundreds of rows), the best-match lookup can be
+  // compiled into a literal array expression instead: no join, no window,
+  // NO EXCHANGE — the fact table is never shuffled, the whole match stays
+  // inside one WholeStageCodegen span. At 100 TB this removes the only
+  // full-fact shuffle of the matching phase.
+
+  /** First entry (in the given order) contained in ANY of `texts`.
+    * Null when none match. */
+  def literalFirstMatch(texts: Seq[Column], entries: Seq[String]): Column = {
+    val arr = array(entries.map(lit): _*)
+    get(filter(arr, e => texts.map(_.contains(e)).reduce(_ || _)), lit(0))
+  }
+
+  /** Longest entry contained in `text` (ties → lexicographically first).
+    * Null when none match. */
+  def literalLongestMatch(text: Column, entries: Seq[String]): Column = {
+    val sorted = entries.distinct.sortBy(e => (-e.length, e))
+    get(filter(array(sorted.map(lit): _*), e => text.contains(e)), lit(0))
+  }
+
+  /** Longest match from a per-key candidate list (e.g. models of the
+    * already-matched brand): `byKey` maps key → candidates. Null on
+    * missing key or no match. */
+  def literalKeyedLongestMatch(key: Column, text: Column,
+      byKey: Map[String, Seq[String]]): Column = {
+    val sortedMap = byKey.map { case (k, vs) => k -> vs.distinct.sortBy(e => (-e.length, e)) }
+    get(filter(coalesce(try_element_at(typedLit(sortedMap), key),
+      array().cast("array<string>")), e => text.contains(e)), lit(0))
+  }
 }

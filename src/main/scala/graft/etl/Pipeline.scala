@@ -62,9 +62,50 @@ object Pipeline {
         Normalize.collapseWs(Normalize.preProcess(
           Normalize.applyAliases(upper(coalesce(c("supplier"), lit(""))), Normalize.customsAliases))))
 
-  /** Stage 2 (J1+J2, py:61-115): brand containment join (first in KB
-    * order), then model containment join (longest), remark provenance. */
+  /** Stage 2 (J1+J2, py:61-115): brand containment match (first in KB
+    * order), then model containment match (longest), remark provenance.
+    *
+    * Uses the shuffle-free literal-expression path (Matching §expr): the
+    * model KB is driver-small (hundreds of rows — the same assumption a
+    * broadcast join makes), so the whole match compiles to codegen'd
+    * array expressions and the fact table is NEVER shuffled. For a KB too
+    * big to collect, `matchKnowledgeBaseRelational` is the join+window
+    * fallback with identical semantics. */
   def matchKnowledgeBase(df: DataFrame, modelKbRaw: DataFrame): DataFrame = {
+    val kb = KnowledgeBase.prepareModelKb(modelKbRaw)
+      .select("brand", "model", "model_ref", "capacity", "type", "hp").collect()
+    val brandOrder: Seq[String] = kb.map(_.getString(0)).toSeq.distinct
+    val modelsByBrand: Map[String, Seq[String]] =
+      kb.groupBy(_.getString(0)).map { case (b, rows) => b -> rows.map(_.getString(2)).toSeq }
+    val infoByKey: Map[String, (String, Option[Double], String, Option[Double])] =
+      kb.map { r =>
+        s"${r.getString(0)}|${r.getString(2)}" ->
+          ((r.getString(1), Option(r.get(3)).map(_.toString.toDouble),
+            r.getString(4), Option(r.get(5)).map(_.toString.toDouble)))
+      }.toMap
+    df.withColumn("brand",
+        Matching.literalFirstMatch(Seq(c("description2"), col("supplier_norm")), brandOrder))
+      .withColumn("__model_ref",
+        Matching.literalKeyedLongestMatch(col("brand"), c("description2"), modelsByBrand))
+      .withColumn("__info",
+        try_element_at(typedLit(infoByKey), concat_ws("|", col("brand"), col("__model_ref"))))
+      .withColumn("remark",
+        when(col("brand").isNull, Remark.noMatch)
+          .when(col("__model_ref").isNull, Remark.brandNoModel)
+          .otherwise(Remark.fully))
+      .withColumn("model", col("__info._1"))
+      .withColumn("capacity", col("__info._2"))
+      .withColumn("type", col("__info._3"))
+      .withColumn("hp", col("__info._4"))
+      .withColumn("brand", coalesce(col("brand"), lit(UNK)))
+      .withColumn("model", coalesce(col("model"), lit(UNK)))
+      .withColumn("type", coalesce(col("type"), lit(UNK)))
+      .drop("__model_ref", "__info")
+  }
+
+  /** Relational variant of stage 2 for KBs too large to collect: broadcast
+    * theta-joins + window tie-breaks (one fact shuffle per tie-break). */
+  def matchKnowledgeBaseRelational(df: DataFrame, modelKbRaw: DataFrame): DataFrame = {
     val kb = KnowledgeBase.prepareModelKb(modelKbRaw)
     val brands = kb.select(col("brand").as("kb_brand"), col("ref_order"))
       .groupBy("kb_brand").agg(min("ref_order").as("brand_order"))

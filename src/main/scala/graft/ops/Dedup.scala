@@ -20,15 +20,48 @@ object Dedup {
   def seededHash(seed: Int, s: Column): Column =
     conv(substring(md5(concat(lit(seed + "|"), s)), 1, 15), 16, 10).cast("long")
 
-  /** Whitespace word shingles of size `k` (distinct set) from a text col. */
+  /** Unseeded 60-bit md5 hash — the single expensive hash per shingle;
+    * seed variants derive from it via `mixHash` (16× fewer md5 calls). */
+  def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  private val Mask60 = (1L << 60) - 1
+
+  /** Per-seed rotation amount and xor constant (pure function of the seed,
+    * computed driver-side; also embedded into the DuckDB oracle SQL). */
+  def mixRot(seed: Int): Int = seed * 7 % 59 + 1
+  def mixConst(seed: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"mix:$seed".getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.substring(0, 15), 16)
+  }
+
+  /** Bijective 60-bit mix: rotate-left by `mixRot(seed)` then xor
+    * `mixConst(seed)`. No multiplication → no bigint overflow in any
+    * engine (DuckDB errors on int64 overflow; Java wraps — this avoids
+    * the divergence entirely). */
+  def mixHash(h: Column, seed: Int): Column = {
+    val r = mixRot(seed)
+    // keep the to-be-shifted bits below 2^60 BEFORE shifting: stays in
+    // int64 range in every engine (DuckDB errors on shift overflow)
+    val low = h.bitwiseAND(lit((1L << (60 - r)) - 1))
+    val rotated = shiftleft(low, r).bitwiseOR(shiftright(h, 60 - r))
+    rotated.bitwiseXOR(lit(mixConst(seed)))
+  }
+
+  /** Whitespace word shingles of size `k` (distinct set) from a text col.
+    *
+    * Built from k shifted `slice`s zipped together — NOT an index lambda
+    * doing `toks[i+o]`: expressions inside lambda bodies are exempt from
+    * Catalyst subexpression elimination, so a `get(toks, i+o)` form would
+    * re-split the whole text per token (O(n²) in the text length). All
+    * repeated subtrees here sit outside the lambdas, where CSE merges
+    * them. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(lower(text), " ")
-    val n = size(toks)
-    array_distinct(filter(
-      transform(toks, (_, i) =>
-        when(i <= n - k,
-          concat_ws(" ", (0 until k).map(o => get(toks, i + o)): _*))),
-      s => s.isNotNull))
+    val len = greatest(size(toks) - (k - 1), lit(0))
+    val parts = (1 to k).map(o => slice(toks, lit(o), len))
+    array_distinct(parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y))))
   }
 
   /** Normalized-text exact-duplicate groups: md5 over lower/trimmed/
@@ -38,12 +71,20 @@ object Dedup {
       .groupBy(col("__h").as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
 
-  /** MinHash signature: `numHashes` seeded min-hashes over the shingle set.
-    * Empty shingle sets hash to 0. Pure per-row expression — scales with
-    * no shuffle and stays in codegen. */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
+  /** MinHash signature from an ALREADY-MATERIALIZED base-hash array.
+    * Each of the `numHashes` variants is rotate-xor integer mixing only.
+    * Callers must materialize the md5 base hashes into a real column first
+    * (see `minhashPairs`): lambda bodies are exempt from Catalyst
+    * subexpression elimination, so embedding the md5 subtree here would
+    * re-hash every shingle once per seed — a silent 16× md5 blowup. */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
-      coalesce(array_min(transform(sh, s => seededHash(i, s))), lit(0L))): _*)
+      coalesce(array_min(transform(hashes, h => mixHash(h, i))), lit(0L))): _*)
+
+  /** MinHash signature straight from the shingle set (convenience; for the
+    * hot path use the FromHashes variant on a materialized hash column). */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    minhashSignatureFromHashes(transform(sh, s => baseHash(s)), numHashes)
 
   /** LSH band keys: split the signature into `bands` bands of
     * `numHashes/bands` rows; key = md5 of the comma-joined band slice. */
@@ -71,9 +112,13 @@ object Dedup {
       bands: Int = 8,
       shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // shared by the band explode AND both sides of the verify join —
+    // persist so the shingle + md5 base-hash expressions evaluate once
     val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
+      .withColumn("__hs", transform(col("__sh"), s => baseHash(s)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBands = withSh
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .withColumn("__sig", minhashSignatureFromHashes(col("__hs"), numHashes))
       .select(col("__id"), col("__sh"),
         explode(bandKeys(col("__sig"), numHashes, bands)).as("__b"))
       .select(col("__id"), col("__sh"), col("__b.band").as("__band"), col("__b.key").as("__key"))

@@ -108,12 +108,13 @@ object EtlQueries {
     "q05_contains_first" -> Q(
       (s, dir) => {
         import s.implicits._
-        val kws = Seq(("widget", 1), ("anvil", 2), ("rod", 3), ("gear", 4), ("bolt", 5))
-          .toDF("kw", "ref_order")
-        Matching.firstMatchJoin(
-            Tables.part(s, dir), Seq("p_partkey"), kws,
-            col("p_name").contains(col("kw")), "ref_order", Map("kw" -> "matched_kw"))
-          .select($"p_partkey", $"p_name", coalesce($"matched_kw", lit("NONE")).as("matched_kw"))
+        // literal-expression path: dim is plan-time small → zero shuffle
+        // (Matching.firstMatchJoin is the relational fallback, same result)
+        val kws = Seq("widget", "anvil", "rod", "gear", "bolt")
+        Tables.part(s, dir)
+          .select($"p_partkey", $"p_name",
+            coalesce(Matching.literalFirstMatch(Seq($"p_name"), kws), lit("NONE"))
+              .as("matched_kw"))
           .orderBy($"p_partkey")
       },
       Some("""WITH kws(kw, ref_order) AS (VALUES ('widget',1),('anvil',2),('rod',3),('gear',4),('bolt',5)),
@@ -127,12 +128,11 @@ object EtlQueries {
     "q06_contains_longest" -> Q(
       (s, dir) => {
         import s.implicits._
-        val kws = Seq(("widget", 1), ("anvil", 2), ("rod", 3), ("gear", 4), ("bolt", 5))
-          .toDF("kw", "ref_order")
-        Matching.longestMatchJoin(
-            Tables.part(s, dir), Seq("p_partkey"), kws,
-            col("p_name").contains(col("kw")), "kw", Map("kw" -> "matched_kw"))
-          .select($"p_partkey", coalesce($"matched_kw", lit("NONE")).as("matched_kw"))
+        val kws = Seq("widget", "anvil", "rod", "gear", "bolt")
+        Tables.part(s, dir)
+          .select($"p_partkey",
+            coalesce(Matching.literalLongestMatch($"p_name", kws), lit("NONE"))
+              .as("matched_kw"))
           .orderBy($"p_partkey")
       },
       Some("""WITH kws(kw, ref_order) AS (VALUES ('widget',1),('anvil',2),('rod',3),('gear',4),('bolt',5)),

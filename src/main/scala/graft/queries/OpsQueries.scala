@@ -24,11 +24,15 @@ object OpsQueries {
       |         x -> x IS NOT NULL)) AS sh FROM base)""".stripMargin
 
   private val minhashSql: String = {
-    val sigItems = (0 until 16)
-      .map(i => s"coalesce(list_min(list_transform(sh, s -> ${sqlHash(i, "s")})), 0)")
-      .mkString("[", ",\n    ", "]")
+    val sigItems = (0 until 16).map { i =>
+      val r = Dedup.mixRot(i)
+      val c = Dedup.mixConst(i)
+      val lowMask = (1L << (60 - r)) - 1
+      s"coalesce(list_min(list_transform(hs, h -> xor(((h & $lowMask) << $r) | (h >> ${60 - r}), $c))), 0)"
+    }.mkString("[", ",\n    ", "]")
     s"""WITH $sqlShingles,
-       |sig AS (SELECT doc_id, sh, $sigItems AS sig FROM sh),
+       |hsh AS (SELECT doc_id, sh, list_transform(sh, s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS hs FROM sh),
+       |sig AS (SELECT doc_id, sh, $sigItems AS sig FROM hsh),
        |bands AS (SELECT doc_id, j, md5(sig[2*j+1]::VARCHAR || ',' || sig[2*j+2]::VARCHAR) AS key
        |          FROM sig CROSS JOIN generate_series(0, 7) t(j)),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
