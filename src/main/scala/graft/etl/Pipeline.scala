@@ -280,6 +280,7 @@ object Pipeline {
       .transform(markParts)
       .transform(regexPass(_, regexKb))
       .transform(searchCapacity)
+      .transform(Lookups.refineCraneType) // B5: >300T crawler → lattice boom
       .transform(backwardTag)
       .transform(markOutliers)
       .transform(markIntervals(_))

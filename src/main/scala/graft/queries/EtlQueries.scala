@@ -455,5 +455,52 @@ object EtlQueries {
       },
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_hour, event_type, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-             |FROM events GROUP BY 1, 2 ORDER BY ts_hour, event_type""".stripMargin)))
+             |FROM events GROUP BY 1, 2 ORDER BY ts_hour, event_type""".stripMargin)),
+
+    // ─── E3: full key-players report (A3+A4+A5+O4 + $M formatting) ──────
+    "q36_key_players" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val joined = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        val g = joined.groupBy($"p_brand").agg(
+          Analytics.exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          sum($"l_quantity").as("units"))
+        val total = g.agg(sum($"revenue").as("__grand"))
+        val sh = g.crossJoin(broadcast(total))
+          .withColumn("share", $"revenue".cast("double") / $"__grand".cast("double") * 100)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"share".asc, $"p_brand".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val re = sh.withColumn("__cum", sum($"share").over(w))
+          .withColumn("p_brand", when($"__cum" < 20.0, "OTHERS").otherwise($"p_brand"))
+          .groupBy($"p_brand")
+          .agg(sum($"revenue").as("revenue"), sum($"units").as("units"),
+            first($"__grand").as("__grand"))
+          .withColumn("share", $"revenue".cast("double") / $"__grand".cast("double") * 100)
+        re.select($"p_brand",
+            concat(lit("$"), round($"revenue".cast("double") / 1e6, 1).cast("string"),
+              lit("M")).as("revenue_fmt"),
+            $"units", $"share")
+          .orderBy(Analytics.bottomLabelsKey("p_brand", Seq("OTHERS")),
+            $"share".desc, $"p_brand")
+      },
+      Some("""WITH rev AS (SELECT p_brand,
+             |    sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS revenue,
+             |    sum(l_quantity) AS units
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand),
+             |tot AS (SELECT sum(revenue) AS grand FROM rev),
+             |sh AS (SELECT p_brand, revenue, units,
+             |    CAST(revenue AS DOUBLE)/CAST(grand AS DOUBLE)*100 AS share, grand
+             |  FROM rev CROSS JOIN tot),
+             |cum AS (SELECT *, sum(share) OVER (ORDER BY share ASC, p_brand ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM sh),
+             |re AS (SELECT CASE WHEN c < 20.0 THEN 'OTHERS' ELSE p_brand END AS p_brand,
+             |    sum(revenue) AS revenue, sum(units) AS units, any_value(grand) AS grand
+             |  FROM cum GROUP BY 1)
+             |SELECT p_brand,
+             |  '$' || CAST(round(CAST(revenue AS DOUBLE)/1e6, 1) AS VARCHAR) || 'M' AS revenue_fmt,
+             |  units, CAST(revenue AS DOUBLE)/CAST(grand AS DOUBLE)*100 AS share
+             |FROM re
+             |ORDER BY CASE WHEN p_brand = 'OTHERS' THEN 1 ELSE 0 END, share DESC, p_brand""".stripMargin)))
 }
