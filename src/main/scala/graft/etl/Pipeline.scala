@@ -84,7 +84,7 @@ object Pipeline {
             r.getString(4), Option(r.get(5)).map(_.toString.toDouble)))
       }.toMap
     df.withColumn("brand",
-        Matching.literalFirstMatch(Seq(c("description2"), col("supplier_norm")), brandOrder))
+        Matching.firstMatchAuto(Seq(c("description2"), col("supplier_norm")), brandOrder))
       .withColumn("__model_ref",
         Matching.literalKeyedLongestMatch(col("brand"), c("description2"), modelsByBrand))
       .withColumn("__info",

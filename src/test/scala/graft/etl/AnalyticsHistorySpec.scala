@@ -48,3 +48,30 @@ class AnalyticsHistorySpec extends SparkSpec {
     assert(u.count() == 2 && u.columns.toSet == Set("id", "x", "extra"))
   }
 }
+
+class KnowledgeBaseOutliersSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("K1 updateRegexKb: union, dedup on (brand, pattern), longest-first priority") {
+    val kb = Seq(("A", "a\\d+", "x", "T", 0)).toDF("brand", "model_regex", "capacity_regex", "category", "starting_point")
+    val fresh = Seq(("A", "a\\d+", "y", "T", 1), ("B", "bbbb\\d+", "z", "T", 0))
+      .toDF("brand", "model_regex", "capacity_regex", "category", "starting_point")
+    val got = KnowledgeBase.updateRegexKb(kb, fresh)
+    assert(got.count() == 2) // (A, a\d+) deduped, first wins
+    val pri = got.orderBy("priority").select("brand").as[String].collect()
+    assert(pri.head == "B") // longer pattern → more negative priority → first
+    assert(got.filter($"brand" === "A").select("capacity_regex").as[String].head() == "x")
+  }
+
+  test("approx outlier marking agrees with exact on well-separated data") {
+    val df = (1 to 200).map(i => ("g", 100.0 + (i % 5))).toDF("k", "v")
+      .union(Seq(("g", 200.0), ("g", 10.0)).toDF("k", "v"))
+    val exact = Outliers.markOutliers(df, "v", Seq("k"), lit(false))
+      .groupBy("outliers").count().as[(String, Long)].collect().toMap
+    val approx = Outliers.markOutliersApprox(df, "v", Seq("k"), lit(false))
+      .groupBy("outliers").count().as[(String, Long)].collect().toMap
+    assert(exact == approx)
+    assert(exact("yes") == 2)
+  }
+}

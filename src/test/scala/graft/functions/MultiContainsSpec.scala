@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.etl.Matching
+
+class MultiContainsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val keywords = Seq("PC200-8", "PC2", "SANY", "CAT", "ANY", "XCMG", "PC200",
+    "A", "ZAXIS", "KOMATSU", "K", "OMA", "ATSU")
+
+  val texts = Seq(
+    "KOMATSU PC200-8 UNIT", "SANY MACHINE", "NOTHING HERE IS MATCHED???",
+    "PC2 ONLY", "CATALOG", "", "XCMG AND SANY AND KOMATSU")
+
+  test("automaton first-by-order equals chained-contains semantics") {
+    val df = texts.toDF("t")
+    val viaAc = df.select(MultiContains.multiContainsFirst($"t", keywords)).as[Option[String]].collect()
+    val viaLit = df.select(Matching.literalFirstMatch(Seq($"t"), keywords)).as[Option[String]].collect()
+    assert(viaAc.toSeq == viaLit.toSeq)
+  }
+
+  test("automaton longest equals literal longest semantics") {
+    val df = texts.toDF("t")
+    val viaAc = df.select(MultiContains.multiContainsLongest($"t", keywords)).as[Option[String]].collect()
+    val viaLit = df.select(Matching.literalLongestMatch($"t", keywords)).as[Option[String]].collect()
+    assert(viaAc.toSeq == viaLit.toSeq)
+  }
+
+  test("overlapping + prefix keywords resolve by list order") {
+    // "CATALOG" contains CAT (idx 3) and A (idx 7) and also "ATALOG"? no —
+    // first by order is CAT; automaton must not early-stop at A
+    val got = Seq("CATALOG").toDF("t")
+      .select(MultiContains.multiContainsFirst($"t", keywords)).as[String].head()
+    assert(got == "PC200-8" == false && got == "CAT")
+  }
+
+  test("null text → null, no keyword → null") {
+    val got = Seq(Option.empty[String], Some("zzz")).toDF("t")
+      .select(MultiContains.multiContainsFirst($"t", Seq("A", "B"))).as[Option[String]].collect()
+    assert(got.toSeq == Seq(None, None))
+  }
+
+  test("multi-text NUL join cannot match across boundaries") {
+    val df = Seq(("AB", "CD")).toDF("x", "y")
+    val got = df.select(Matching.firstMatchAuto(Seq($"x", $"y"),
+      (1 to 20).map(i => s"K$i") :+ "BC", automatonThreshold = 1)).as[Option[String]].head()
+    assert(got.isEmpty) // "BC" spans the boundary → must NOT match
+  }
+
+  test("firstMatchAuto picks identical results on both sides of the threshold") {
+    val df = texts.toDF("t")
+    val small = df.select(Matching.firstMatchAuto(Seq($"t"), keywords, automatonThreshold = 99))
+      .as[Option[String]].collect()
+    val auto = df.select(Matching.firstMatchAuto(Seq($"t"), keywords, automatonThreshold = 1))
+      .as[Option[String]].collect()
+    assert(small.toSeq == auto.toSeq)
+  }
+}
