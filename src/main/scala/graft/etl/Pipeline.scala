@@ -165,8 +165,55 @@ object Pipeline {
 
   /** Stage 7 (J3/J4 + F6, py:167-236): regex KB pass over still-unmatched
     * rows; brand-scoped when the brand is known, global otherwise; longest
-    * findall match wins; capacity decoded per starting_point. */
+    * findall match wins; capacity decoded per starting_point.
+    *
+    * Literal fast path: the regex KB is plan-time small, so every pattern
+    * becomes a LITERAL regex (compiled once in codegen) and the winner is
+    * picked with a `greatest` struct fold — zero joins, zero shuffles.
+    * Only the winning pattern's capacity_regex is evaluated (lazy `when`
+    * chain). `regexPassRelational` is the big-KB fallback. */
   def regexPass(df: DataFrame, regexKb: DataFrame): DataFrame = {
+    val rows = regexKb.select("brand", "model_regex", "capacity_regex", "category", "starting_point")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getInt(4)))
+      .sortBy { case (_, pat, _, _, _) => (-pat.length, pat) } // longer patterns first (O2)
+    val todoCond = col("remark").isin(Remark.brandNoModel, Remark.noMatch)
+    val patterns = rows.map { case (b, pat, _, _, _) =>
+      (pat, -pat.length, col("brand") === lit(UNK) || col("brand") === lit(b))
+    }.toSeq
+    val best = RegexMatch.literalRegexBest(c("description2"), patterns, findallLongest = true)
+    val ord = col("__rx.ord")
+    val matched = col("__rx.matched")
+    def byOrd(vals: Seq[Column]): Column = get(array(vals: _*), ord)
+    val rxBrand = byOrd(rows.map(r => lit(r._1)).toSeq)
+    val rxCategory = byOrd(rows.map(r => lit(r._4)).toSeq)
+    val rxSp = byOrd(rows.map(r => lit(r._5)).toSeq)
+    // lazy per-winner capacity extraction: only the winning branch runs
+    val rxCapNum = rows.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((_, _, capReg, _, _), i)) =>
+        when(ord === i, get(regexp_extract_all(c("description2"), lit(capReg), lit(1)), lit(0)))
+          .otherwise(acc)
+    }
+    df.withColumn("__rx", when(todoCond, best))
+      .withColumn("remark",
+        when(col("__rx").isNull, col("remark"))
+          .when(col("brand") === UNK, Remark.noBrandLongestRegex)
+          .otherwise(Remark.longestRegex))
+      .withColumn("model",
+        when(col("__rx").isNotNull, Normalize.stripSpaces(matched)).otherwise(col("model")))
+      .withColumn("capacity",
+        when(col("__rx").isNotNull && col("capacity").isNull,
+          RegexMatch.decodeCapacity(rxCapNum, rxSp)).otherwise(col("capacity")))
+      .withColumn("type",
+        when(col("__rx").isNotNull && col("type") === UNK, rxCategory).otherwise(col("type")))
+      .withColumn("brand",
+        when(col("__rx").isNotNull && col("brand") === UNK, rxBrand).otherwise(col("brand")))
+      .drop("__rx")
+  }
+
+  /** Relational variant of stage 7 for pattern tables too large to
+    * collect: broadcast rlike theta-join + window tie-break. */
+  def regexPassRelational(df: DataFrame, regexKb: DataFrame): DataFrame = {
     val todo = df.filter(col("remark").isin(Remark.brandNoModel, Remark.noMatch))
     val done = df.filter(!col("remark").isin(Remark.brandNoModel, Remark.noMatch))
     val dim = regexKb.select(col("brand").as("rx_brand"), col("model_regex"),

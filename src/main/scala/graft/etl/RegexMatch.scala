@@ -70,6 +70,31 @@ object RegexMatch {
         (keep.map { case (from, to) => col(from).as(to) }.toSeq :+ matched.as(extractedAs)): _*)
   }
 
+  /** Shuffle-free literal path (same idea as Matching §expr): when the
+    * pattern table is plan-time small, evaluate every pattern as a LITERAL
+    * regex (each compiled once by codegen — a column-side pattern
+    * recompiles whenever the value changes) and pick the winner with
+    * `greatest` over (matchLen, -priority, …) structs. Zero joins, zero
+    * exchanges; returns the ordinal of the winning pattern (null = none).
+    *
+    * Tie-break mirrors `regexJoin`: longest extracted match, then the
+    * given priority (ascending), then pattern ordinal. */
+  def literalRegexBest(text: Column, patterns: Seq[(String, Int, Column)],
+      findallLongest: Boolean = false): Column = {
+    val cands = patterns.zipWithIndex.map { case ((pat, prio, gate), i) =>
+      val extracted =
+        if (findallLongest) longestMatch(text, lit(pat))
+        else get(regexp_extract_all(text, lit(pat), lit(0)), lit(0))
+      val m = coalesce(extracted, lit(""))
+      struct(when(gate, length(m)).otherwise(0).as("len"), lit(-prio).as("negprio"),
+        lit(-i).as("negord"), lit(i).as("ord"), m.as("matched"))
+    }
+    val best = greatest(cands: _*)
+    when(best.getField("len") > 0,
+      struct(best.getField("ord").as("ord"), best.getField("matched").as("matched")))
+      .otherwise(lit(null))
+  }
+
   /** Capacity decode from a regex capture + per-pattern `starting_point` code
     * (reference F6, py:207-234 — implements the DOCUMENTED intent of cell 28;
     * the reference's own code has assignment/typo bugs for codes 1, 2, −2,

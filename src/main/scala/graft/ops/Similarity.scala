@@ -59,6 +59,27 @@ object Similarity {
       when(proj > 0, shiftleft(lit(1), j)).otherwise(0)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Per-vector nearest neighbor within its LSH bucket (the all-pairs ANN
+    * / embedding-near-dup building block): instead of the quadratic
+    * all-pairs product, vectors are compared only to their bucket-mates —
+    * the self-join shuffles on the bucket id, so the pair count drops to
+    * Σ bucket² ≈ N²/2^planes. Returns (id, nn_id, sim), sim desc ties by
+    * nn_id. */
+  def nearestInBucket(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = emb.withColumn("__bucket", lshBucket(col(vecCol), dim, planes))
+    val l = b.select(col(idCol).as("__id"), col(vecCol).as("__va"), col("__bucket"))
+    val r = b.select(col(idCol).as("__nn"), col(vecCol).as("__vb"), col("__bucket"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("sim").desc, col("__nn").asc)
+    l.join(r, Seq("__bucket")).filter(col("__id") =!= col("__nn"))
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("__nn").as("nn_id"), col("sim"))
+  }
+
   /** LSH-bucketed cosine top-k: score only vectors sharing the query's
     * bucket. Recall < 1 by design; the oracle checks the deterministic
     * result, the bucket narrowing is the 100TB scale story. */

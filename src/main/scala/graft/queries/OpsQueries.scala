@@ -150,6 +150,29 @@ object OpsQueries {
       },
       Some(lshSql)),
 
+    // ─── per-vector in-bucket nearest neighbor (embedding near-dup) ─────
+    "q37_embed_nn" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.nearestInBucket(Tables.embeddings(s, dir), "vec_id", "embedding",
+            lshDim, lshPlanes)
+          .orderBy($"vec_id")
+      },
+      Some {
+        val bucket = (0 until lshPlanes).map { j =>
+          val weights = (0 until lshDim).map(i => Similarity.planeWeight(j, i)).mkString("[", ",", "]")
+          s"(CASE WHEN list_reduce(list_transform(list_zip(embedding, $weights::DOUBLE[]), x -> x[1]::DOUBLE * x[2]), (a,b) -> a+b) > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString("(", " +\n   ", ")")
+        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bkt FROM embeddings),
+           |p AS (SELECT l.vec_id AS vec_id, r.vec_id AS nn_id,
+           |  list_reduce(list_transform(list_zip(l.embedding, r.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE), (a,b) -> a+b) /
+           |  (sqrt(list_reduce(list_transform(l.embedding, v -> v::DOUBLE * v::DOUBLE), (a,b) -> a+b)) *
+           |   sqrt(list_reduce(list_transform(r.embedding, v -> v::DOUBLE * v::DOUBLE), (a,b) -> a+b))) AS sim
+           |  FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id <> r.vec_id),
+           |rn AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id ASC) AS rk FROM p)
+           |SELECT vec_id, nn_id, sim FROM rn WHERE rk = 1 ORDER BY vec_id""".stripMargin
+      }),
+
     // ─── text quality metrics ───────────────────────────────────────────
     "q30_text_quality" -> Q(
       (s, dir) => {

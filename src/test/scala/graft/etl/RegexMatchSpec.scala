@@ -30,4 +30,23 @@ class RegexMatchSpec extends SparkSpec {
     val got = df.select(RegexMatch.decodeCapacity($"num", $"sp")).as[Option[Double]].collect()
     assert(got.toSeq == Seq(Some(21.5), Some(21.5), None, Some(21.5), Some(215.0), Some(215.0)))
   }
+
+  test("literalRegexBest equals relational regexJoin tie-breaks") {
+    import org.apache.spark.sql.types._
+    val texts = Seq("SY215C AND PC2000", "PC20 ONLY", "NOTHING", "XE99Z SY55")
+    val pats = Seq(("SY ?\\d{2,3}[A-Z]?", 1), ("PC ?\\d{2,4}", 2), ("XE ?\\d{2}[A-Z]", 3))
+    // literal path
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sorted = pats.sortBy { case (p, _) => (-p.length, p) }
+    val best = RegexMatch.literalRegexBest($"text",
+      sorted.map { case (p, _) => (p, -p.length, lit(true)) }, findallLongest = true)
+    val lit_ = df.select($"id", best.getField("matched").as("m")).orderBy("id")
+      .as[(Long, Option[String])].collect().toSeq
+    // relational path
+    val dim = sorted.map { case (p, _) => (p, -p.length) }.toDF("pat", "prio")
+    val rel = RegexMatch.regexJoin(df, Seq("id"), "text", dim, "pat",
+      lit(true), Some("prio"), Map.empty, findallLongest = true)
+      .select($"id", $"matched").orderBy("id").as[(Long, Option[String])].collect().toSeq
+    assert(lit_ == rel)
+  }
 }
