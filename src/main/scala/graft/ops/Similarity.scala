@@ -80,6 +80,36 @@ object Similarity {
       .select(col("__id").as(idCol), col("__nn").as("nn_id"), col("sim"))
   }
 
+  /** IVF-style ANN: assign every vector to its nearest of `centroids`
+    * (collected driver-side, e.g. a fixed sample — a k-means fit would
+    * slot in unchanged), search only the query's cell. The assignment is a
+    * literal `greatest()` struct fold over per-centroid cosines — zero
+    * shuffle; the cell filter then cuts the scored set to ~N/K.
+    * `centroids`: (cid, vector) pairs. */
+  def ivfCell(vec: Column, centroids: Seq[(Int, Array[Float])]): Column = {
+    val cands = centroids.map { case (cid, cv) =>
+      val dotQ = (0 until cv.length).map { i =>
+        get(vec, lit(i)).cast("double") * lit(cv(i).toDouble)
+      }.reduce(_ + _)
+      val nq = math.sqrt(cv.map(v => v.toDouble * v.toDouble).sum)
+      struct((dotQ / (sqrt(norm2(vec)) * lit(nq))).as("sim"), lit(-cid).as("negcid"))
+    }
+    (lit(0) - greatest(cands: _*).getField("negcid")).as("cid")
+  }
+
+  /** IVF top-k: nearest-cell search for one query vector. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, query: DataFrame,
+      centroids: Seq[(Int, Array[Float])], k: Int): DataFrame = {
+    val assigned = emb.withColumn("__cell", ivfCell(col(vecCol), centroids))
+    val q = query.withColumn("__qcell", ivfCell(col("qvec"), centroids))
+    assigned.crossJoin(broadcast(q))
+      .filter(col("__cell") === col("__qcell"))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("sim"))
+  }
+
   /** LSH-bucketed cosine top-k: score only vectors sharing the query's
     * bucket. Recall < 1 by design; the oracle checks the deterministic
     * result, the bucket narrowing is the 100TB scale story. */

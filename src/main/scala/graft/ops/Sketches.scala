@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregators (SURVEY §7.3 "north-star" custom UDAF surface).
+  *
+  * `MinHashSigAgg` folds a stream of 60-bit shingle hashes into a
+  * numHashes-wide MinHash signature. It is associative + commutative, so
+  * Spark runs it with map-side partial aggregation and merges tiny
+  * fixed-size buffers at the exchange — constant state per group
+  * regardless of input size (the property that makes sketching the right
+  * tool at 100 TB, vs exact distinct structures that grow with the data).
+  *
+  * The per-seed mixing is the same rotate-xor family as the Column-level
+  * `Dedup.mixHash`, so signatures from this aggregator, the expression
+  * path, and the DuckDB oracle are all bit-identical.
+  */
+object Sketches {
+
+  /** JVM twin of `Dedup.mixHash` (same constants, same result). */
+  def mixLong(h: Long, seed: Int): Long = {
+    val r = Dedup.mixRot(seed)
+    val low = h & ((1L << (60 - r)) - 1)
+    ((low << r) | (h >>> (60 - r))) ^ Dedup.mixConst(seed)
+  }
+
+  final class MinHashSigAgg(numHashes: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    // cache the per-seed constants once per executor instance
+    private val rots = (0 until numHashes).map(Dedup.mixRot).toArray
+    private val consts = (0 until numHashes).map(Dedup.mixConst).toArray
+
+    override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < numHashes) {
+        val r = rots(i)
+        val m = (((h & ((1L << (60 - r)) - 1)) << r) | (h >>> (60 - r))) ^ consts(i)
+        if (m < buf(i)) buf(i) = m
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    // Long.MaxValue sentinel (empty group) → 0, matching the expression path
+    override def finish(buf: Array[Long]): Array[Long] =
+      buf.map(v => if (v == Long.MaxValue) 0L else v)
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The aggregator as a Column over a LongType hash column. */
+  def minhashSig(hashCol: Column, numHashes: Int = 16): Column =
+    udaf(new MinHashSigAgg(numHashes)).apply(hashCol)
+
+  /** Estimated Jaccard between two equal-length signatures: fraction of
+    * agreeing positions. */
+  def sigJaccard(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), (v: Column) => v))
+      .cast("double") / size(a)
+}

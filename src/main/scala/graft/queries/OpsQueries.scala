@@ -150,6 +150,35 @@ object OpsQueries {
       },
       Some(lshSql)),
 
+    // ─── IVF-cell ANN top-k (centroids = fixed sample; k-means slots in) ─
+    "q39_ann_ivf" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter($"vec_id" < 16)
+          .select($"vec_id", $"embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        val query = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+        Similarity.ivfTopK(emb, "vec_id", "embedding", query, centroids, 10)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (p,q) -> p+q) /
+             |  (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)) *
+             |   sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)))""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |scored AS (SELECT e.vec_id, e.embedding, c.cid, ${cos("e.embedding", "c.cv")} AS csim
+           |           FROM embeddings e CROSS JOIN c),
+           |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+           |           FROM scored),
+           |cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+           |q AS (SELECT embedding AS qvec, cid AS qcid FROM cells WHERE vec_id = 0),
+           |st AS (SELECT cells.vec_id, ${cos("cells.embedding", "q.qvec")} AS sim
+           |       FROM cells, q WHERE cells.cid = q.qcid)
+           |SELECT vec_id, sim FROM st ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
     // ─── per-vector in-bucket nearest neighbor (embedding near-dup) ─────
     "q37_embed_nn" -> Q(
       (s, dir) => {
@@ -252,6 +281,35 @@ object OpsQueries {
              |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fingerprint,
              |  ('0x'||substr(md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')), 1, 15))::BIGINT AS fp_bucket
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ─── per-source corpus MinHash signature (custom Aggregator UDAF) ───
+    "q38_corpus_signature" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val hashed = Tables.documents(s, dir)
+          .select($"source", explode(Dedup.shingles($"text", 3)).as("sh"))
+          .select($"source", Dedup.baseHash($"sh").as("h"))
+        hashed.groupBy($"source")
+          .agg(Sketches.minhashSig($"h", 16).as("signature"))
+          .orderBy($"source")
+      },
+      Some {
+        val mins = (0 until 16).map { i =>
+          val r = Dedup.mixRot(i)
+          val c = Dedup.mixConst(i)
+          val lowMask = (1L << (60 - r)) - 1
+          s"coalesce(min(xor(((h & $lowMask) << $r) | (h >> ${60 - r}), $c)), 0)"
+        }.mkString("[", ",\n  ", "]")
+        s"""WITH baseS AS (SELECT source, string_split(lower(text), ' ') AS toks FROM documents),
+           |shs AS (SELECT source, list_distinct(list_filter(
+           |          list_transform(range(1, greatest(len(toks)-1, 1)),
+           |            i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]),
+           |          x -> x IS NOT NULL)) AS sh FROM baseS),
+           |ex AS (SELECT source, unnest(sh) AS sh_el FROM shs),
+           |hashed AS (SELECT source, ('0x'||substr(md5(sh_el),1,15))::BIGINT AS h FROM ex)
+           |SELECT source, $mins AS signature
+           |FROM hashed GROUP BY source ORDER BY source""".stripMargin
+      }),
 
     // ─── multimodal ingest: binary payload + typed metadata ─────────────
     "q34_multimodal_meta" -> Q(

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aggregator signature == expression-path signature on one group") {
+    val docs = graft.Tables.documents(spark, sfTiny)
+    // expression path: distinct shingles of the whole corpus → signature
+    val allSh = docs.select(explode(Dedup.shingles($"text", 3)).as("sh"))
+    val viaAgg = allSh.select(Dedup.baseHash($"sh").as("h"))
+      .agg(Sketches.minhashSig($"h", 16)).as[Seq[Long]].head()
+    val viaExpr = allSh.agg(collect_set($"sh").as("s"))
+      .select(Dedup.minhashSignature($"s", 16)).as[Seq[Long]].head()
+    assert(viaAgg == viaExpr)
+  }
+
+  test("mixLong is the JVM twin of the Column mixHash") {
+    val hs = Seq(0L, 1L, (1L << 59) + 12345L, 987654321L)
+    val viaCol = hs.toDF("h")
+      .select(array((0 until 4).map(i => Dedup.mixHash($"h", i)): _*))
+      .as[Seq[Long]].collect()
+    hs.zip(viaCol).foreach { case (h, row) =>
+      (0 until 4).foreach(i => assert(row(i) == Sketches.mixLong(h, i)))
+    }
+  }
+
+  test("sigJaccard: identical=1, disjoint≈0, partial in between") {
+    val df = Seq((Seq(1L,2L,3L,4L), Seq(1L,2L,3L,4L)),
+                 (Seq(1L,2L,3L,4L), Seq(9L,8L,7L,6L)),
+                 (Seq(1L,2L,3L,4L), Seq(1L,2L,9L,9L))).toDF("a", "b")
+    val got = df.select(Sketches.sigJaccard($"a", $"b")).as[Double].collect()
+    assert(got.toSeq == Seq(1.0, 0.0, 0.5))
+  }
+}

@@ -18,6 +18,10 @@ def norm(df):
     for c in df.columns:  # unify datetime resolution (ns vs us is a pandas artifact)
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[ns]")
+        elif df[c].dtype == object:
+            # array columns come back as ndarray/list — make them hashable
+            df[c] = df[c].map(lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                              else tuple(v) if isinstance(v, list) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
