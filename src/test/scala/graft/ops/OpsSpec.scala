@@ -118,3 +118,20 @@ class MultimodalSpec extends SparkSpec {
     assert(m._2 == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
   }
 }
+
+class VectorOpsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("primitive cosine expression is bit-identical to the lambda path") {
+    val emb = graft.Tables.embeddings(spark, sfTiny)
+    val q = emb.filter($"vec_id" === 3).select($"embedding".as("qvec"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      Similarity.cosine($"embedding", $"qvec").as("fast"),
+      Similarity.cosineLambda($"embedding", $"qvec").as("slow"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (f, sl) =>
+      assert(java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(sl))
+    }
+  }
+}
