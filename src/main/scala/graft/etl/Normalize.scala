@@ -18,9 +18,11 @@ object Normalize {
 
   /** Replace the punctuation class `,()[]:;` with spaces, delete `/` and `*`,
     * trim, uppercase — the reference's `pre_processing` (py:22-37).
-    * `translate` + `regexp_replace` are codegen'd; no UDF. */
+    * One `translate` does both the space-mapping AND the deletions (chars
+    * in `from` beyond `to`'s length are removed — in Spark and DuckDB
+    * alike), so the only regex pass left is the whitespace collapse. */
   def preProcess(c: Column): Column =
-    upper(trim(collapseWs(regexp_replace(translate(c, ",()[]:;", "       "), "[/*]", ""))))
+    upper(trim(collapseWs(translate(c, ",()[]:;/*", "       "))))
 
   /** Remove every space (reference model-key cleanup, notebook cells 60/82). */
   def stripSpaces(c: Column): Column = regexp_replace(c, " ", "")

@@ -315,12 +315,26 @@ object Pipeline {
       .withColumn("datasource", coalesce(c("datasource"), lit("pipeline")))
       .drop("supplier_norm", "__row_id")
 
+  /** Cut the lineage before a stage that BRANCHES on its input
+    * (backward tagging reads the df three ways, the outlier pass twice)
+    * or that would push a filter back through the expensive normalize
+    * projections. Without a cut every branch re-executes the whole
+    * upstream plan, growing multiplicatively per branching stage.
+    *
+    * `localCheckpoint` stores raw rows in the block manager — for this
+    * wide stringy schema ~10× cheaper than `persist`'s columnar
+    * re-encoding. On a cluster this becomes `checkpoint` into durable
+    * storage (reliable under executor loss; localCheckpoint is not). */
+  private def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
+
   /** The whole E1 composition. */
   def run(fact: DataFrame, modelKb: DataFrame, regexKb: DataFrame,
       rates: DataFrame): DataFrame =
     fact.transform(prepare)
       .withColumn("datasource", lit("pipeline"))
       .transform(matchKnowledgeBase(_, modelKb))
+      .transform(materialize)             // codegen cut: match block
       .transform(dropIrrelevant)
       .transform(applyTypeRules)
       .transform(markUsedNew)
@@ -328,7 +342,9 @@ object Pipeline {
       .transform(regexPass(_, regexKb))
       .transform(searchCapacity)
       .transform(Lookups.refineCraneType) // B5: >300T crawler → lattice boom
+      .transform(materialize)             // branch point: backwardTag
       .transform(backwardTag)
+      .transform(materialize)             // branch point: outlier median
       .transform(markOutliers)
       .transform(markIntervals(_))
       .transform(convertCurrency(_, rates))

@@ -81,7 +81,7 @@ object EtlQueries {
           .orderBy($"p_partkey")
       },
       Some("""SELECT p_partkey,
-             |  upper(trim(regexp_replace(regexp_replace(translate(p_name, ',()[]:;', '       '), '[/*]', '', 'g'), '\s+', ' ', 'g'))) AS name_norm,
+             |  upper(trim(regexp_replace(translate(p_name, ',()[]:;/*', '       '), '\s+', ' ', 'g'))) AS name_norm,
              |  replace(upper(p_name), ' ', '') AS name_key
              |FROM part ORDER BY p_partkey""".stripMargin)),
 

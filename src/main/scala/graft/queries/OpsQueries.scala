@@ -333,5 +333,50 @@ object OpsQueries {
             "doc_id")
           .orderBy($"doc_id")
       },
-      None)) // JVM-side stub decode — no SQL equivalent; driver rows-only check
+      None), // JVM-side stub decode — no SQL equivalent; driver rows-only check
+
+    // ─── E1 flagship: the full 13-stage customs pipeline at corpus scale ─
+    // A customs-shaped fact table is synthesized deterministically from
+    // lineitem×part (brand/model tokens injected by key arithmetic) and
+    // run through Pipeline.run with the sample KBs; output is the remark ×
+    // outliers × interval distribution. The full plan is too large for a
+    // SQL oracle — driver records the rows-only check; correctness of each
+    // stage is oracle- and spec-gated individually.
+    "q40_customs_pipeline" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.etl.{KnowledgeBase, Pipeline, Rates}
+        val brands = array(Seq("KOMATSU", "SANY", "HITACHI", "CATERPILLAR", "XCMG",
+          "NOBRAND", "MYSTERY").map(lit): _*)
+        val models = array(Seq("PC200-8", "SY215C", "ZX330", "320D", "XE215C",
+          "PC2000", "SY365H", "ZX85", "NOMODEL", "25 TONS UNIT", "USED RIG 2015",
+          "SPARE PARTS SKD").map(lit): _*)
+        // 1-in-7 sample keeps the full 13-stage pipeline in the bench at a
+        // sane per-query cost; every stage still sees O(100k) rows at sf0.1
+        val li = Tables.lineitem(s, dir).filter(pmod($"l_orderkey", lit(7)) === 0)
+        val part = Tables.part(s, dir)
+        val fact = li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+          .select(
+            concat($"l_orderkey", lit("-"), $"l_linenumber").as("declaration number"),
+            upper(concat_ws(" ",
+              get(brands, pmod($"l_partkey", lit(7)).cast("int")),
+              get(models, pmod($"l_orderkey" + $"l_linenumber", lit(12)).cast("int")),
+              $"p_name")).as("product description"),
+            concat(lit("SUPPLIER "), $"l_suppkey").as("supplier"),
+            ($"l_extendedprice" * 10).as("amount in usd"),
+            $"l_quantity".as("qty"),
+            ($"l_quantity" * lit(20000.0)).as("weight in kg"),
+            date_format($"l_shipdate", "yyyy-MM-dd").as("date"),
+            lit("84295200").as("hs code"),
+            date_format($"l_shipdate", "yyyyMM").as("month"))
+        val out = Pipeline.run(fact,
+          KnowledgeBase.sampleModelKb(s), KnowledgeBase.sampleRegexKb(s),
+          Rates.rateTable(s,
+            for { y <- 1995 to 2002; m <- 1 to 12 }
+              yield (y, m, 6.5 + (y % 3) * 0.1 + m * 0.01)))
+        out.groupBy($"remark", $"outliers", $"type interval")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"remark", $"outliers", $"type interval")
+      },
+      None)) // full-pipeline plan: rows-only check (stages gated individually)
 }
