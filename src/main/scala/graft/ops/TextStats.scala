@@ -52,6 +52,20 @@ object TextStats {
     pick
   }
 
+  /** Deterministic uniform [0,1) draw from a key column: md5-derived, so
+    * the same row keeps the same draw across engines, runs, and cluster
+    * layouts — unlike `df.sample`/TABLESAMPLE whose RNG is engine-private.
+    * This is how a training-data pipeline takes reproducible stratified
+    * splits at 100TB (per-stratum fraction filter, no shuffle). */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double") /
+      lit((1L << 60).toDouble)
+
+  /** Per-stratum reproducible sample: keep a row iff its uniform draw is
+    * below its stratum's fraction (missing stratum → 0.0 → dropped). */
+  def stratifiedKeep(key: Column, stratum: Column, fractions: Map[String, Double]): Column =
+    hashUniform(key) < coalesce(try_element_at(typedLit(fractions), stratum), lit(0.0))
+
   /** Content fingerprint: md5 of the sorted distinct token set (order- and
     * repetition-insensitive), plus a 60-bit integer bucket of it. */
   def fingerprint(text: Column): Column =

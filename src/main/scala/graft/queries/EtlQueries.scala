@@ -444,13 +444,12 @@ object EtlQueries {
              |    ORDER BY s_acctbal DESC, s_suppkey) AS INTEGER) AS rk FROM supplier)
              |WHERE rk <= 2 ORDER BY s_nationkey, rk""".stripMargin)),
 
-    // ─── event-time tumbling-window aggregate (batch twin of streaming) ─
+    // ─── event-time tumbling-window aggregate — the SAME transform the
+    //     streaming job runs (graft.streaming.Streams.windowedEventAgg) ──
     "q23_window_agg" -> Q(
       (s, dir) => {
         import s.implicits._
-        Tables.events(s, dir)
-          .groupBy(date_trunc("hour", $"ts").as("ts_hour"), $"event_type")
-          .agg(count(lit(1)).as("n"), exactSumD($"value").as("total_value"))
+        graft.streaming.Streams.windowedEventAgg(Tables.events(s, dir))
           .orderBy($"ts_hour", $"event_type")
       },
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_hour, event_type, count(*) AS n,

@@ -335,6 +335,22 @@ object OpsQueries {
       },
       None), // JVM-side stub decode — no SQL equivalent; driver rows-only check
 
+    // ─── reproducible stratified sampling (hash-based, engine-portable) ─
+    "q41_stratified_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.1, "zh" -> 0.1)
+        Tables.documents(s, dir)
+          .filter(TextStats.stratifiedKeep($"doc_id", $"lang", fractions))
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE / 1152921504606846976.0
+             |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
+             |                  WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.1 ELSE 0.0 END
+             |ORDER BY doc_id""".stripMargin)),
+
     // ─── E1 flagship: the full 13-stage customs pipeline at corpus scale ─
     // A customs-shaped fact table is synthesized deterministically from
     // lineitem×part (brand/model tokens injected by key arithmetic) and

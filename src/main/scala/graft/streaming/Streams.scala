@@ -14,13 +14,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** Tumbling event-time window aggregate (the streaming twin of
-    * q23_window_agg): count + sum(value) per (1h window, event_type).
-    * With `withWatermark` upstream this runs incrementally in append mode. */
+  /** Tumbling event-time window aggregate (shared by q23_window_agg and
+    * the streaming twin): count + exact decimal sum(value) per (1h window,
+    * event_type). With `withWatermark` upstream this runs incrementally in
+    * append mode. */
   def windowedEventAgg(events: DataFrame, window_ : String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
       .select(col("w.start").as("ts_hour"), col("event_type"), col("n"), col("total_value"))
 
   /** Same aggregate prepared for an actual stream: watermarked so state is
