@@ -197,7 +197,9 @@ object Pipeline {
     df.withColumn("__rx", when(todoCond, best))
       .withColumn("remark",
         when(col("__rx").isNull, col("remark"))
+          .when(col("brand") === UNK && col("__rx.n_matched") === 1, Remark.noBrandUniqueRegex)
           .when(col("brand") === UNK, Remark.noBrandLongestRegex)
+          .when(col("__rx.n_matched") === 1, Remark.uniqueRegex)
           .otherwise(Remark.longestRegex))
       .withColumn("model",
         when(col("__rx").isNotNull, Normalize.stripSpaces(matched)).otherwise(col("model")))

@@ -90,8 +90,14 @@ object RegexMatch {
         lit(-i).as("negord"), lit(i).as("ord"), m.as("matched"))
     }
     val best = greatest(cands: _*)
+    // how many applicable patterns matched at all (reference distinguishes
+    // "unique match" from "keep the longest of multiple", py:198-205);
+    // repeated cand subtrees are CSE'd (they sit outside any lambda)
+    val nMatched = cands.map(c => when(c.getField("len") > 0, 1).otherwise(0))
+      .reduce(_ + _)
     when(best.getField("len") > 0,
-      struct(best.getField("ord").as("ord"), best.getField("matched").as("matched")))
+      struct(best.getField("ord").as("ord"), best.getField("matched").as("matched"),
+        nMatched.as("n_matched")))
       .otherwise(lit(null))
   }
 

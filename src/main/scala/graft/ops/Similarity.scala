@@ -74,17 +74,17 @@ object Similarity {
     * nn_id. */
   def nearestInBucket(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val b = emb.withColumn("__bucket", lshBucket(col(vecCol), dim, planes))
     val l = b.select(col(idCol).as("__id"), col(vecCol).as("__va"), col("__bucket"))
     val r = b.select(col(idCol).as("__nn"), col(vecCol).as("__vb"), col("__bucket"))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("sim").desc, col("__nn").asc)
+    // arg-max aggregation, not a window: partial (map-side) max per group
+    // means the shuffle carries ONE candidate per (id, partition) instead
+    // of sorting every pair group — the scalable per-group top-1 shape
     l.join(r, Seq("__bucket")).filter(col("__id") =!= col("__nn"))
       .withColumn("sim", cosine(col("__va"), col("__vb")))
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id").as(idCol), col("__nn").as("nn_id"), col("sim"))
+      .groupBy(col("__id").as(idCol))
+      .agg(max(struct(col("sim"), (-col("__nn")).as("negnn"), col("__nn").as("nn"))).as("__best"))
+      .select(col(idCol), col("__best.nn").as("nn_id"), col("__best.sim").as("sim"))
   }
 
   /** IVF-style ANN: assign every vector to its nearest of `centroids`

@@ -68,14 +68,14 @@ class PipelineSpec extends SparkSpec {
   test("brand-scoped regex pass with capacity decode") {
     val r = row("r3").get
     assert(r("brand") == "SANY" && r("model") == "SY365H")
-    assert(r("remark") == Pipeline.Remark.longestRegex)
+    assert(r("remark") == Pipeline.Remark.uniqueRegex)
     assert(r("capacity") == 36.5)
   }
 
   test("global regex pass labels brand from the pattern table") {
     val r = row("r4").get
     assert(r("brand") == "KOMATSU" && r("model") == "PC2000")
-    assert(r("remark") == Pipeline.Remark.noBrandLongestRegex)
+    assert(r("remark") == Pipeline.Remark.noBrandUniqueRegex)
   }
 
   test("no-match rows keep UNKNOWNs") {

@@ -49,4 +49,20 @@ class StreamsSpec extends SparkSpec {
       assert(last == Streams.SessionSummary(1, 3, 2))
     } finally out.stop()
   }
+
+  test("file-source history append stream lands monthly batches in the sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val incoming = s"$dir/in"; val sink = s"$dir/out"; val ck = s"$dir/ck"
+    new java.io.File(incoming).mkdirs()
+    val batch = graft.Tables.events(spark, sfTiny).select($"event_id", $"ts", $"value")
+    batch.limit(100).write.mode("append").parquet(incoming)
+    val q = Streams.historyAppendStream(spark, batch.schema, incoming, sink, ck).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(sink).count() == 100)
+      batch.limit(150).write.mode("append").parquet(incoming)
+      q.processAllAvailable()
+      assert(spark.read.parquet(sink).count() == 250) // incremental append
+    } finally q.stop()
+  }
 }
