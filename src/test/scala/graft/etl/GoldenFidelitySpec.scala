@@ -1,0 +1,94 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Xlsx
+
+/** End-to-end fidelity against the reference's REAL data (SURVEY §5.2):
+  * run the pipeline on the actual customs input sheet
+  * (`Input data/Indonesia_842952_May_July.xlsx`, 1294 rows) and compare
+  * labels with the golden output
+  * (`Output/Indonesia_excavator_2022_2024.07.xlsx`, 7627 rows).
+  *
+  * The author's model/regex knowledge bases are NOT in the repo (they load
+  * from local paths, notebook cells 14/24), so the model KB is
+  * reconstructed from the golden output's own labeled rows and the regex
+  * KB is empty. Residual disagreement is exactly the rows the author
+  * labeled through those private sources (e.g. HYUNDAI via supplier
+  * mapping, DOOXAN-typo regexes) — measured ≈4% of brands, ≈8% of models.
+  */
+class GoldenFidelitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val inputXlsx = "/root/reference/Input data/Indonesia_842952_May_July.xlsx"
+  private val goldenXlsx = "/root/reference/Output/Indonesia_excavator_2022_2024.07.xlsx"
+
+  lazy val golden = Xlsx.read(spark, goldenXlsx).cache()
+
+  lazy val joined = {
+    val in = Xlsx.read(spark, inputXlsx)
+    val kb = golden.filter($"model" =!= "UNKNOWN" && $"brand" =!= "UNKNOWN")
+      .select($"brand", $"model",
+        expr("try_cast(capacity AS DOUBLE)").as("capacity"), $"type",
+        expr("try_cast(hp AS DOUBLE)").as("hp"))
+      .groupBy("brand", "model")
+      .agg(first($"capacity").as("capacity"), first($"type").as("type"), first($"hp").as("hp"))
+      .orderBy("brand", "model")
+    val emptyRegexKb = Seq.empty[(String, String, String, String, Int)]
+      .toDF("brand", "model_regex", "capacity_regex", "category", "starting_point")
+    val rates = Rates.rateTable(spark,
+      for { y <- 2022 to 2024; m <- 1 to 12 } yield (y, m, 7.0))
+    val mine = Pipeline.run(in, kb, emptyRegexKb, rates)
+      .select($"description2".as("d2"), $"`amount in usd`".as("amt"),
+        $"brand", $"model", $"`new/used`".as("usednew"), $"remark")
+      .dropDuplicates("d2", "amt")
+    val gsub = golden.filter($"month".isin("202405", "202406", "202407"))
+      .select(
+        Normalize.collapseWs(Normalize.preProcess(
+          Normalize.applyAliases(upper($"`product description`"), Normalize.customsAliases))).as("d2"),
+        expr("try_cast(`amount in usd` AS DOUBLE)").as("amt"),
+        $"brand".as("g_brand"), $"model".as("g_model"),
+        $"`new/used`".as("g_usednew"), $"remark".as("g_remark"))
+      .dropDuplicates("d2", "amt")
+    mine.join(gsub, Seq("d2", "amt")).cache()
+  }
+
+  test("real input parses to the documented 27×1294 sheet; golden to 43×7627") {
+    val in = Xlsx.read(spark, inputXlsx)
+    assert(in.columns.length == 27 && in.count() == 1294)
+    assert(golden.columns.length == 43 && golden.count() == 7627)
+  }
+
+  test("≥600 of the ~832 golden May–Jul rows align on (description2, amount)") {
+    assert(joined.count() >= 600)
+  }
+
+  test("brand agreement ≥ 93% with only repo-recoverable knowledge") {
+    val n = joined.count().toDouble
+    val agree = joined.filter($"brand" === $"g_brand").count()
+    assert(agree / n >= 0.93, s"brand agreement ${agree / n}")
+  }
+
+  test("model agreement ≥ 88%") {
+    val n = joined.count().toDouble
+    val agree = joined.filter($"model" === $"g_model").count()
+    assert(agree / n >= 0.88, s"model agreement ${agree / n}")
+  }
+
+  test("used/new classifier matches the golden labels ≥ 99%") {
+    val n = joined.count().toDouble
+    val agree = joined.filter($"usednew" === $"g_usednew").count()
+    assert(agree / n >= 0.99, s"used/new agreement ${agree / n}")
+  }
+
+  test("disagreements trace to the missing private KBs, not our matcher") {
+    // where golden found a brand we missed, our label is (almost always)
+    // UNKNOWN rather than a different brand. The one known exception is a
+    // supplier-containment hit ("WORLD" in the supplier name) that the
+    // author's private regex KB overrode to XCMG — a KB difference, not a
+    // matcher difference.
+    val invented = joined
+      .filter($"brand" =!= $"g_brand" && $"brand" =!= "UNKNOWN" && $"g_brand" =!= "UNKNOWN")
+    assert(invented.count() <= 2)
+  }
+}
