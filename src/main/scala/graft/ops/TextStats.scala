@@ -66,6 +66,29 @@ object TextStats {
   def stratifiedKeep(key: Column, stratum: Column, fractions: Map[String, Double]): Column =
     hashUniform(key) < coalesce(try_element_at(typedLit(fractions), stratum), lit(0.0))
 
+  /** Per-document top term by TF-IDF over a corpus. Shape: one explode +
+    * two aggregations (term frequency per doc, document frequency per
+    * term) + a broadcast of the tiny (term → df) table back — the fact
+    * side shuffles once on (doc, term). Deterministic: smoothed idf
+    * ln((N+1)/(df+1)), ties by term asc. */
+  def topTfidfTerm(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    val toks = df.select(col(idCol).as("__id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("__id"), col("term")).agg(fcount(lit(1)).as("tf"))
+    val dfreq = toks.select(col("__id"), col("term")).distinct()
+      .groupBy(col("term")).agg(fcount(lit(1)).as("df"))
+    val n = df.count() // corpus size: one driver scalar, not a per-row agg
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf", col("tf") * log((lit(n) + 1.0) / (col("df") + lit(1.0))))
+    // arg-max via MIN(struct(-score, term)): highest score, ties → term asc
+    scored.groupBy(col("__id").as(idCol))
+      .agg(min(struct((lit(0.0) - col("tfidf")).as("neg"), col("term"))).as("__b"))
+      .select(col(idCol), col("__b.term").as("top_term"),
+        (lit(0.0) - col("__b.neg")).as("tfidf"))
+  }
+
   /** Content fingerprint: md5 of the sorted distinct token set (order- and
     * repetition-insensitive), plus a 60-bit integer bucket of it. */
   def fingerprint(text: Column): Column =

@@ -335,6 +335,25 @@ object OpsQueries {
       },
       None), // JVM-side stub decode — no SQL equivalent; driver rows-only check
 
+    // ─── per-doc top TF-IDF term ────────────────────────────────────────
+    "q42_tfidf_top_term" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.topTfidfTerm(Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("tfidf", round($"tfidf", 9)) // ln() may differ 1 ulp across libm impls
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (SELECT doc_id, term, tf * ln((n + 1.0)/(df + 1.0)) AS tfidf
+             |           FROM tf JOIN dfq USING(term) CROSS JOIN n),
+             |rn AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+             |       FROM scored)
+             |SELECT doc_id, term AS top_term, round(tfidf, 9) AS tfidf
+             |FROM rn WHERE rk = 1 ORDER BY doc_id""".stripMargin)),
+
     // ─── reproducible stratified sampling (hash-based, engine-portable) ─
     "q41_stratified_sample" -> Q(
       (s, dir) => {
