@@ -71,6 +71,19 @@ class AnalyticsGoldenSpec extends SparkSpec {
     assert(d == Map("no" -> 6155L, "unknown" -> 1352L, "yes" -> 120L))
   }
 
+  test("batch-local outlier recompute matches the golden May–Jul batch ≥ 98.5%") {
+    // the reference marks outliers per ingest batch BEFORE the history
+    // union (cell 50 runs on the new batch alone) — recomputing within
+    // the same window reproduces 823/832; the 9 leftovers are rows whose
+    // capacity was relabeled to UNKNOWN after the outlier pass ran
+    val mj = golden.filter($"month".isin("202405", "202406", "202407"))
+    val unknownCond = $"model" === "UNKNOWN" || $"capacity" === "UNKNOWN" ||
+      $"`new/used`" === "used"
+    val mine = Outliers.markOutliers(mj, "price", Seq("brand", "model"), unknownCond, "my_out")
+    val n = mine.count().toDouble
+    assert(mine.filter($"my_out" === $"outliers").count() / n >= 0.985)
+  }
+
   test("recomputed outlier flags agree ≥ 94% with the incremental golden labels") {
     // golden was produced batch-by-batch against history-at-the-time
     // medians; recomputing from the final table shifts some medians, so
