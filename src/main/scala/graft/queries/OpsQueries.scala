@@ -335,6 +335,38 @@ object OpsQueries {
       },
       None), // JVM-side stub decode — no SQL equivalent; driver rows-only check
 
+    // ─── typed Dataset path: per-user session summary via mapGroups ─────
+    // (the batch twin of streaming.Streams.sessionize — demonstrates the
+    // KeyValueGroupedDataset API; aggregation itself is imperative Scala)
+    "q43_user_sessions" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"user_id", $"event_type", $"value")
+          .as[(Long, String, Double)]
+        ev.groupByKey(_._1)
+          .mapGroups { (uid, rows) =>
+            var n = 0L
+            var purchases = 0L
+            var v = BigDecimal(0) // exact sum, engine-portable
+            rows.foreach { case (_, t, value) =>
+              n += 1
+              if (t == "purchase") purchases += 1
+              // mirror the oracle's CAST(double AS DECIMAL(28,12)): round
+              // each term to scale 12 (the .5e-13 boundary is unreachable
+              // for binary fractions, so rounding modes can't diverge)
+              v += BigDecimal(value).setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            }
+            (uid, n, purchases, v.toDouble)
+          }
+          .toDF("user_id", "n_events", "n_purchases", "total_value")
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+             |  CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ─── per-doc top TF-IDF term ────────────────────────────────────────
     "q42_tfidf_top_term" -> Q(
       (s, dir) => {
