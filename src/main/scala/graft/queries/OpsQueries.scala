@@ -335,6 +335,24 @@ object OpsQueries {
       },
       None), // JVM-side stub decode — no SQL equivalent; driver rows-only check
 
+    // ─── distinct counting (exact; the HLL sketch path is spec-bounded
+    //     in SketchesSpec since HLL++ internals are engine-private) ──────
+    "q44_distinct_counts" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_suppkey").as("n_suppliers"),
+            countDistinct($"l_orderkey").as("n_orders"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_suppliers,
+             |  count(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ─── typed Dataset path: per-user session summary via mapGroups ─────
     // (the batch twin of streaming.Streams.sessionize — demonstrates the
     // KeyValueGroupedDataset API; aggregation itself is imperative Scala)

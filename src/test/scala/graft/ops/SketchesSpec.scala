@@ -34,4 +34,15 @@ class SketchesSpec extends SparkSpec {
     val got = df.select(Sketches.sigJaccard($"a", $"b")).as[Double].collect()
     assert(got.toSeq == Seq(1.0, 0.0, 0.5))
   }
+
+  test("HLL sketch (approx_count_distinct) lands within 5% of exact at corpus scale") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sfTiny)
+    val both = li.agg(
+      countDistinct($"l_orderkey").cast("double").as("exact"),
+      approx_count_distinct($"l_orderkey", 0.02).cast("double").as("approx"))
+      .as[(Double, Double)].head()
+    assert(math.abs(both._2 - both._1) / both._1 < 0.05,
+      s"exact=${both._1} approx=${both._2}")
+  }
 }
