@@ -289,8 +289,13 @@ object OpsQueries {
         val hashed = Tables.documents(s, dir)
           .select($"source", explode(Dedup.shingles($"text", 3)).as("sh"))
           .select($"source", Dedup.baseHash($"sh").as("h"))
+        // Signature is emitted as a comma-joined string, not array<bigint>:
+        // the driver's pandas-based compare sorts result columns and cannot
+        // hash/sort ndarray cells (round-1 q38 failed exactly there).
         hashed.groupBy($"source")
-          .agg(Sketches.minhashSig($"h", 16).as("signature"))
+          .agg(Sketches.minhashSig($"h", 16).as("sig"))
+          .select($"source",
+            concat_ws(",", transform($"sig", x => x.cast("string"))).as("signature"))
           .orderBy($"source")
       },
       Some {
@@ -299,7 +304,7 @@ object OpsQueries {
           val c = Dedup.mixConst(i)
           val lowMask = (1L << (60 - r)) - 1
           s"coalesce(min(xor(((h & $lowMask) << $r) | (h >> ${60 - r}), $c)), 0)"
-        }.mkString("[", ",\n  ", "]")
+        }.mkString("concat_ws(',',\n  ", ",\n  ", ")")
         s"""WITH baseS AS (SELECT source, string_split(lower(text), ' ') AS toks FROM documents),
            |shs AS (SELECT source, list_distinct(list_filter(
            |          list_transform(range(1, greatest(len(toks)-1, 1)),
