@@ -29,34 +29,40 @@ object KnowledgeBase {
       .dropDuplicates("brand", "model_regex")
       .withColumn("priority", -length(col("model_regex")))
 
+  /** Raw rows of the sample model KB — shared by `sampleModelKb` and the
+    * q40 full-pipeline DuckDB oracle (queries.Q40Oracle), which re-derives
+    * the same VALUES table so both engines see one source of truth. */
+  val sampleModelKbRows: Seq[(String, String, Double, String, Double)] = Seq(
+    ("KOMATSU", "PC200-8", 20.0, "EXCAVATOR", 148.0),
+    ("KOMATSU", "PC78US-6N0", 7.8, "EXCAVATOR", 68.0),
+    ("KOMATSU", "PC2000", 200.0, "EXCAVATOR", 976.0),
+    ("SANY", "SY215C", 21.5, "EXCAVATOR", 158.0),
+    ("SANY", "SY55C", 5.5, "EXCAVATOR", 58.0),
+    ("HITACHI", "ZX200", 20.0, "EXCAVATOR", 150.0),
+    ("HITACHI", "ZX330", 33.0, "EXCAVATOR", 250.0),
+    ("CATERPILLAR", "320D", 20.0, "EXCAVATOR", 146.0),
+    ("XCMG", "XE215C", 21.5, "EXCAVATOR", 160.0),
+    ("GROVE", "RT765E", 60.0, "ROUGH-TERRAIN CRANE", 0.0))
+
   /** Small synthetic model KB (same shape as notebook cell 16). */
   def sampleModelKb(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      ("KOMATSU", "PC200-8", 20.0, "EXCAVATOR", 148.0),
-      ("KOMATSU", "PC78US-6N0", 7.8, "EXCAVATOR", 68.0),
-      ("KOMATSU", "PC2000", 200.0, "EXCAVATOR", 976.0),
-      ("SANY", "SY215C", 21.5, "EXCAVATOR", 158.0),
-      ("SANY", "SY55C", 5.5, "EXCAVATOR", 58.0),
-      ("HITACHI", "ZX200", 20.0, "EXCAVATOR", 150.0),
-      ("HITACHI", "ZX330", 33.0, "EXCAVATOR", 250.0),
-      ("CATERPILLAR", "320D", 20.0, "EXCAVATOR", 146.0),
-      ("XCMG", "XE215C", 21.5, "EXCAVATOR", 160.0),
-      ("GROVE", "RT765E", 60.0, "ROUGH-TERRAIN CRANE", 0.0))
-      .toDF("brand", "model", "capacity", "type", "hp")
+    sampleModelKbRows.toDF("brand", "model", "capacity", "type", "hp")
   }
+
+  /** Raw rows of the sample regex KB (see `sampleModelKbRows`). */
+  val sampleRegexKbRows: Seq[(String, String, String, String, Int)] = Seq(
+    ("KOMATSU", "PC ?\\d{2,4}(-\\d)?", "PC ?(\\d{2,4})", "EXCAVATOR", 0),
+    ("SANY", "SY ?\\d{2,3}[A-Z]?", "SY ?(\\d{2,3})", "EXCAVATOR", 0),
+    ("HITACHI", "ZX ?\\d{2,3}", "ZX ?(\\d{2,3})", "EXCAVATOR", 3),
+    ("XCMG", "XE ?\\d{2,3}[A-Z]?", "XE ?(\\d{2,3})", "EXCAVATOR", 0),
+    ("CATERPILLAR", "3\\d{2}[A-Z]{0,2}", "(3\\d{2})", "EXCAVATOR", 2))
 
   /** Small synthetic regex KB (same shape as notebook cell 27; the
     * starting_point codes follow cell 28's documented semantics). */
   def sampleRegexKb(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      ("KOMATSU", "PC ?\\d{2,4}(-\\d)?", "PC ?(\\d{2,4})", "EXCAVATOR", 0),
-      ("SANY", "SY ?\\d{2,3}[A-Z]?", "SY ?(\\d{2,3})", "EXCAVATOR", 0),
-      ("HITACHI", "ZX ?\\d{2,3}", "ZX ?(\\d{2,3})", "EXCAVATOR", 3),
-      ("XCMG", "XE ?\\d{2,3}[A-Z]?", "XE ?(\\d{2,3})", "EXCAVATOR", 0),
-      ("CATERPILLAR", "3\\d{2}[A-Z]{0,2}", "(3\\d{2})", "EXCAVATOR", 2))
-      .toDF("brand", "model_regex", "capacity_regex", "category", "starting_point")
+    sampleRegexKbRows.toDF("brand", "model_regex", "capacity_regex", "category", "starting_point")
   }
 
   /** Monthly USD→CNY rates shaped like the reference's dict (py:322-323). */

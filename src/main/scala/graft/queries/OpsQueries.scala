@@ -429,18 +429,14 @@ object OpsQueries {
     // A customs-shaped fact table is synthesized deterministically from
     // lineitem×part (brand/model tokens injected by key arithmetic) and
     // run through Pipeline.run with the sample KBs; output is the remark ×
-    // outliers × interval distribution. The full plan is too large for a
-    // SQL oracle — driver records the rows-only check; correctness of each
-    // stage is oracle- and spec-gated individually.
+    // outliers × interval distribution. The oracle SQL is GENERATED from
+    // the same KB data (Q40Oracle) — the whole 13-stage plan is hash-gated.
     "q40_customs_pipeline" -> Q(
       (s, dir) => {
         import s.implicits._
         import graft.etl.{KnowledgeBase, Pipeline, Rates}
-        val brands = array(Seq("KOMATSU", "SANY", "HITACHI", "CATERPILLAR", "XCMG",
-          "NOBRAND", "MYSTERY").map(lit): _*)
-        val models = array(Seq("PC200-8", "SY215C", "ZX330", "320D", "XE215C",
-          "PC2000", "SY365H", "ZX85", "NOMODEL", "25 TONS UNIT", "USED RIG 2015",
-          "SPARE PARTS SKD").map(lit): _*)
+        val brands = array(Q40Oracle.factBrands.map(lit): _*)
+        val models = array(Q40Oracle.factModels.map(lit): _*)
         // 1-in-7 sample keeps the full 13-stage pipeline in the bench at a
         // sane per-query cost; every stage still sees O(100k) rows at sf0.1
         val li = Tables.lineitem(s, dir).filter(pmod($"l_orderkey", lit(7)) === 0)
@@ -468,5 +464,5 @@ object OpsQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy($"remark", $"outliers", $"type interval")
       },
-      None)) // full-pipeline plan: rows-only check (stages gated individually)
+      Some(Q40Oracle.sql)))
 }
