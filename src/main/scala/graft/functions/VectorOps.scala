@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -37,7 +37,54 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Σ_i vec[i]·w[i] against a LITERAL weight vector, left-to-right double
+  * accumulation — the compact twin of the unrolled
+  * `(0 until d).map(get(vec, i)·w(i)).reduce(+)` tree. The unrolled form
+  * is O(d) plan NODES (384 for a 6-plane LSH bucket): Catalyst re-analyzes
+  * and re-optimizes it on every execution, which at 64+ dims costs more
+  * than the actual data pass. One loop expression keeps the plan O(1).
+  * Null when the array is shorter than the weights (same as get() OOB →
+  * null propagating through the sum). */
+case class DotLiteralExpr(child: Expression, weights: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_literal"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    if (x.length < weights.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < weights.length) { acc += x(i).toDouble * weights(i); i += 1 }
+    acc
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Σ_i vec[i]², identical fold order to
+  * `aggregate(v, 0.0, (acc, x) => acc + x·x)` without boxed lambdas. */
+case class Norm2Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm2"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    var acc = 0.0
+    var i = 0
+    while (i < x.length) { acc += x(i).toDouble * x(i).toDouble; i += 1 }
+    acc
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorOps {
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def dotLiteral(a: Column, w: Array[Double]): Column =
+    GraftBridge.column(DotLiteralExpr(GraftBridge.expression(a), w))
+
+  def norm2Fast(a: Column): Column =
+    GraftBridge.column(Norm2Expr(GraftBridge.expression(a)))
 }

@@ -57,12 +57,14 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id from `planes` fixed hyperplanes over a `dim`-dim
-    * vector: bit j = (Σ_i v[i]·w[j][i] > 0). Pure per-row expression. */
+    * vector: bit j = (Σ_i v[i]·w[j][i] > 0). Pure per-row expression.
+    * Each projection is ONE loop expression (VectorOps.dotLiteral), not an
+    * unrolled O(dim) node tree — the unrolled form made Catalyst re-analyze
+    * a 384-node plan on every execution, costing more than the data pass. */
   def lshBucket(vec: Column, dim: Int, planes: Int): Column =
     (0 until planes).map { j =>
-      val proj = (0 until dim).map { i =>
-        get(vec, lit(i)).cast("double") * lit(planeWeight(j, i).toDouble)
-      }.reduce(_ + _)
+      val w = Array.tabulate(dim)(i => planeWeight(j, i).toDouble)
+      val proj = graft.functions.VectorOps.dotLiteral(vec, w)
       when(proj > 0, shiftleft(lit(1), j)).otherwise(0)
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -94,12 +96,12 @@ object Similarity {
     * shuffle; the cell filter then cuts the scored set to ~N/K.
     * `centroids`: (cid, vector) pairs. */
   def ivfCell(vec: Column, centroids: Seq[(Int, Array[Float])]): Column = {
+    import graft.functions.VectorOps
     val cands = centroids.map { case (cid, cv) =>
-      val dotQ = (0 until cv.length).map { i =>
-        get(vec, lit(i)).cast("double") * lit(cv(i).toDouble)
-      }.reduce(_ + _)
+      val dotQ = VectorOps.dotLiteral(vec, cv.map(_.toDouble))
       val nq = math.sqrt(cv.map(v => v.toDouble * v.toDouble).sum)
-      struct((dotQ / (sqrt(norm2(vec)) * lit(nq))).as("sim"), lit(-cid).as("negcid"))
+      struct((dotQ / (sqrt(VectorOps.norm2Fast(vec)) * lit(nq))).as("sim"),
+        lit(-cid).as("negcid"))
     }
     (lit(0) - greatest(cands: _*).getField("negcid")).as("cid")
   }
