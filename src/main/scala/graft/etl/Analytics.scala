@@ -18,22 +18,22 @@ object Analytics {
 
   /** Group sums + share-of-total percent. `valueExpr` is summed exactly
     * (decimal); `sumCol` stays decimal for downstream exactness, `shareCol`
-    * is a double percentage. The grand total is a 1-row aggregate
-    * cross-joined back (broadcast) — at 100TB a windowless `sum().over()`
-    * would funnel every row through one partition; this shape keeps the
-    * heavy aggregation partial/map-side combined. */
+    * is a double percentage. The grand total is an unpartitioned window
+    * over the ALREADY-AGGREGATED table (≤ #groups rows) — single-partition
+    * is fine at that altitude and, unlike a 1-row-aggregate crossJoin, it
+    * doesn't re-execute the fact scan + join a second time (exchange reuse
+    * only shares the shuffle, not the post-shuffle agg). The heavy
+    * fact-side aggregation stays partial/map-side combined. */
   def sharesTable(
       df: DataFrame,
       groupCol: String,
       valueExpr: Column,
       shareCol: String = "share",
-      sumCol: String = "total_value"): DataFrame = {
-    val grouped = df.groupBy(col(groupCol)).agg(exactSum(valueExpr).as(sumCol))
-    val total = grouped.agg(sum(col(sumCol)).as("__grand"))
-    grouped.crossJoin(broadcast(total))
+      sumCol: String = "total_value"): DataFrame =
+    df.groupBy(col(groupCol)).agg(exactSum(valueExpr).as(sumCol))
+      .withColumn("__grand", sum(col(sumCol)).over(Window.partitionBy()))
       .withColumn(shareCol,
         col(sumCol).cast("double") / col("__grand").cast("double") * 100)
-  }
 
   /** Cumulative-share long-tail regroup (A5, py:622-630): ascending-share
     * cumsum; groups whose cumulative share stays under `cutPct` are

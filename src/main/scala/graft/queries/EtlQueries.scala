@@ -465,8 +465,9 @@ object EtlQueries {
         val g = joined.groupBy($"p_brand").agg(
           Analytics.exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
           sum($"l_quantity").as("units"))
-        val total = g.agg(sum($"revenue").as("__grand"))
-        val sh = g.crossJoin(broadcast(total))
+        // grand total as a window over the 25-row aggregate: one fact pass
+        val sh = g
+          .withColumn("__grand", sum($"revenue").over(Window.partitionBy()))
           .withColumn("share", $"revenue".cast("double") / $"__grand".cast("double") * 100)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy($"share".asc, $"p_brand".asc)
