@@ -150,6 +150,23 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates from a sign-LSH
+    * bucket self-join (Σ bucket² ≈ N²/2^planes pairs, never the full
+    * quadratic product), verified with exact cosine ≥ `threshold`.
+    * Returns (id_a, id_b, sim) with id_a < id_b — dedup convention: keep
+    * the smaller id, drop the larger. Recall < 1 by design (bucket-local
+    * candidates); more planes = cheaper + lower recall. */
+  def embedDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, threshold: Double): DataFrame = {
+    val b = emb.withColumn("__bucket", Similarity.lshBucket(col(vecCol), dim, planes))
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__bucket"))
+    l.join(r, Seq("__bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Exact n-gram Jaccard over ALL pairs of a (bounded) document set —
     * the correctness baseline the LSH path approximates. Quadratic: callers
     * must bound the input (e.g. one LSH bucket, or a sampled audit set). */

@@ -65,11 +65,15 @@ object OpsQueries {
   private val lshPlanes = 6
   private val lshDim = 64
 
-  private val lshSql: String = {
-    def bucketExpr(vecCol: String): String = (0 until lshPlanes).map { j =>
+  /** DuckDB fragment: sign-LSH bucket id over `planes` hyperplanes. */
+  private def sqlBucket(vecCol: String, planes: Int): String =
+    (0 until planes).map { j =>
       val weights = (0 until lshDim).map(i => Similarity.planeWeight(j, i)).mkString("[", ",", "]")
       s"(CASE WHEN list_reduce(list_transform(list_zip($vecCol, $weights::DOUBLE[]), x -> x[1]::DOUBLE * x[2]), (a,b) -> a+b) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " +\n   ", ")")
+
+  private val lshSql: String = {
+    def bucketExpr(vecCol: String): String = sqlBucket(vecCol, lshPlanes)
     s"""WITH q AS (SELECT embedding AS qvec, ${bucketExpr("embedding")} AS qb
        |           FROM embeddings WHERE vec_id = 0),
        |b AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bkt FROM embeddings),
@@ -424,6 +428,54 @@ object OpsQueries {
              |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
              |                  WHEN 'es' THEN 0.1 WHEN 'zh' THEN 0.1 ELSE 0.0 END
              |ORDER BY doc_id""".stripMargin)),
+
+    // ─── embedding-cosine near-dup dedup (LSH candidates + exact verify) ─
+    // Threshold 0.45 is calibrated to the synthetic corpus (max in-corpus
+    // cosine ≈ 0.48-0.60 by SF); the operator takes it as a parameter.
+    "q45_embed_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.embedDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+            dim = lshDim, planes = 4, threshold = 0.45)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val cos =
+          """list_reduce(list_transform(list_zip(a.embedding, c.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE), (s,t) -> s+t) /
+            |  (sqrt(list_reduce(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE), (s,t) -> s+t)) *
+            |   sqrt(list_reduce(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE), (s,t) -> s+t)))""".stripMargin
+        s"""WITH b AS (SELECT vec_id, embedding, ${sqlBucket("embedding", 4)} AS bkt FROM embeddings),
+           |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, $cos AS sim
+           |      FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id)
+           |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ─── backward as-of join (latest purchase at-or-before each event) ──
+    "q46_asof_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", $"value")
+        val nonPurchase = ev.filter($"event_type" =!= "purchase")
+        AsOf.asofBackward(nonPurchase, "user_id", "ts", purchases, "user_id", "ts",
+            carry = Seq("event_id", "value"), outPrefix = "lp_")
+          .select($"event_id", $"user_id", $"event_type",
+            $"lp_event_id".as("last_purchase_id"),
+            $"lp_value".as("last_purchase_value"),
+            $"lp_ts".as("last_purchase_ts"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, e.event_type,
+             |  p.event_id AS last_purchase_id, p.value AS last_purchase_value,
+             |  CAST(p.ts AS TIMESTAMP) AS last_purchase_ts
+             |FROM events e LEFT JOIN events p
+             |  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+             | AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+             |WHERE e.event_type <> 'purchase'
+             |QUALIFY row_number() OVER (PARTITION BY e.event_id
+             |  ORDER BY CAST(p.ts AS TIMESTAMP) DESC NULLS LAST, p.event_id DESC NULLS LAST) = 1
+             |ORDER BY e.event_id""".stripMargin)),
 
     // ─── E1 flagship: the full 13-stage customs pipeline at corpus scale ─
     // A customs-shaped fact table is synthesized deterministically from

@@ -1,0 +1,85 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of picks the latest right row at-or-before each left ts") {
+    val trades = Seq(
+      (1L, "K", ts("2024-01-01 10:00:00")),
+      (2L, "K", ts("2024-01-01 10:05:00")),
+      (3L, "K", ts("2024-01-01 09:00:00")), // before any quote
+      (4L, "M", ts("2024-01-01 10:00:00"))) // other key
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (10L, "K", ts("2024-01-01 09:59:00"), 1.0),
+      (11L, "K", ts("2024-01-01 10:00:00"), 2.0), // ties trade 1 → inclusive
+      (12L, "K", ts("2024-01-01 10:04:00"), 3.0),
+      (13L, "M", ts("2024-01-01 09:00:00"), 9.0))
+      .toDF("quote_id", "sym", "t", "px")
+    val got = AsOf.asofBackward(trades, "sym", "t", quotes, "sym", "t",
+        carry = Seq("quote_id", "px"), outPrefix = "q_")
+      .select($"trade_id", $"q_quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) == Some(11L)) // equal ts is visible (inclusive)
+    assert(got(2L) == Some(12L))
+    assert(got(3L) == None)      // nothing precedes → nulls
+    assert(got(4L) == Some(13L))
+  }
+
+  test("ties on right timestamp resolve to the largest carry payload") {
+    val l = Seq((1L, "K", ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
+    val r = Seq(
+      (7L, "K", ts("2024-01-01 11:00:00"), 1.0),
+      (9L, "K", ts("2024-01-01 11:00:00"), 2.0),
+      (8L, "K", ts("2024-01-01 11:00:00"), 3.0))
+      .toDF("rid", "k", "t", "v")
+    val got = AsOf.asofBackward(l, "k", "t", r, "k", "t", Seq("rid", "v"))
+      .select($"asof_rid").as[Long].head()
+    assert(got == 9L) // max rid wins on equal ts — deterministic
+  }
+
+  test("matches the brute-force window formulation on real events") {
+    val ev = Tables.events(spark, sfTiny)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val nonP = ev.filter($"event_type" =!= "purchase")
+    val fast = AsOf.asofBackward(nonP, "user_id", "ts", purchases, "user_id", "ts",
+        Seq("event_id"), "lp_")
+      .select($"event_id", $"lp_event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    // brute force: theta join + argmax
+    val brute = nonP.as("e").join(purchases.as("p"),
+        col("p.user_id") === col("e.user_id") && col("p.ts") <= col("e.ts"), "left")
+      .groupBy(col("e.event_id").as("eid"))
+      .agg(max(struct(col("p.ts"), col("p.event_id"))).as("b"))
+      .select($"eid", $"b.event_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fast == brute)
+  }
+}
+
+class EmbedDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed near-dup pairs = bucket-filtered subset of all-pairs truth") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val got = Dedup.embedDupPairs(emb, "vec_id", "embedding", 64, 4, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // truth: all pairs ≥ threshold, then keep those sharing a bucket
+    val b = emb.withColumn("bkt", Similarity.lshBucket($"embedding", 64, 4))
+      .select($"vec_id", $"embedding", $"bkt")
+    val truth = b.as("a").join(b.as("c"), col("a.vec_id") < col("c.vec_id"))
+      .withColumn("sim", Similarity.cosine(col("a.embedding"), col("c.embedding")))
+      .filter($"sim" >= 0.45 && col("a.bkt") === col("c.bkt"))
+      .select(col("a.vec_id"), col("c.vec_id")).as[(Long, Long)].collect().toSet
+    assert(got == truth)
+    assert(got.nonEmpty, "sf0.001 corpus should yield at least one near-dup pair")
+  }
+}
