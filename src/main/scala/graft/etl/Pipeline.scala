@@ -347,10 +347,7 @@ object Pipeline {
       .transform(Lookups.refineCraneType) // B5: >300T crawler → lattice boom
       .transform(materialize)             // branch point: backwardTag
       .transform(backwardTag)
-      // no cut before the outlier median: its two consumers (median agg +
-      // join-back) re-derive backwardTag from the cut above — two cheap
-      // broadcast-join passes over materialized rows beat a third full
-      // wide-row materialization
+      .transform(materialize)             // branch point: outlier median
       .transform(markOutliers)
       .transform(markIntervals(_))
       .transform(convertCurrency(_, rates))
