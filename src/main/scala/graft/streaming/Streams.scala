@@ -41,6 +41,20 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .format("parquet").option("path", sinkDir)
 
+  /** Streaming exact dedup: normalized-content-hash
+    * `dropDuplicatesWithinWatermark` — the streaming twin of
+    * `ops.Dedup.exactDupGroups` (first occurrence wins; state for a hash
+    * is evicted once the watermark passes `delay`, so state stays bounded
+    * on an unbounded corpus — the property that makes this the 100TB-
+    * ingest shape). `textCol` is hashed exactly like the batch op. */
+  def dedupeStream(docs: DataFrame, tsCol: String, textCol: String,
+      delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionSummary(user_id: Long, n_events: Long, n_purchases: Long)
 

@@ -50,6 +50,26 @@ class StreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("streaming dedup keeps one row per normalized content hash") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.dedupeStream(df, "ts", "text")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      stream.addData(Seq(
+        (t, 1L, "Hello  World"), (t, 2L, "hello world "), (t, 3L, "other")))
+      q.processAllAvailable()
+      // same batch: normalized dup of doc 1 dropped, first wins
+      val ids = spark.table("dedup").select($"doc_id").as[Long].collect().toSet
+      assert(ids.size == 2 && ids.contains(3L))
+      stream.addData(Seq((t, 4L, "HELLO WORLD"))) // dup arriving in-watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2) // still deduped across batches
+    } finally q.stop()
+  }
+
   test("file-source history append stream lands monthly batches in the sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val incoming = s"$dir/in"; val sink = s"$dir/out"; val ck = s"$dir/ck"
