@@ -72,4 +72,29 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Frame sampling as a lateral explode (the UDTF shape): every decoded
+    * row fans out to ceil(n_frames / `stride`) frame rows with a
+    * deterministic per-frame checksum (a real sampler would emit the
+    * decoded frame tensor here). Pure generator expression — distributes
+    * with the row, no shuffle. */
+  def sampleFrames(decoded: DataFrame, stride: Int = 1): DataFrame =
+    decoded.select(col("doc_id"), col("width"), col("height"),
+        posexplode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as(Seq("k", "frame_idx")))
+      .select(col("doc_id"), col("width"), col("height"), col("frame_idx"),
+        // stand-in for the frame payload: id-and-index-derived checksum
+        (col("doc_id") * 1000003L + col("frame_idx")).as("frame_checksum"))
+
+  /** Resize plan: fit (width, height) into a `maxSide` box preserving
+    * aspect ratio, computed as pure integer expressions (the real pixel
+    * work belongs in the partition-batched decoder; the PLANNED output
+    * dims are what downstream batching/packing needs). */
+  def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scale = when(longest <= maxSide, lit(1.0))
+      .otherwise(lit(maxSide.toDouble) / longest.cast("double"))
+    decoded
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
 }

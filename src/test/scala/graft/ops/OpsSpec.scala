@@ -117,6 +117,27 @@ class MultimodalSpec extends SparkSpec {
     assert(m._1 == 3L)
     assert(m._2 == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
   }
+
+  test("frame sampling fans out per stride; resize plan preserves aspect") {
+    val docs = Seq((1L, "some payload"), (2L, "other bytes")).toDF("doc_id", "text")
+    val decoded = Multimodal.decodeBatch(
+      Multimodal.ingestAsBinary(docs, "text", "image/fake"), "doc_id")
+    val frames = Multimodal.sampleFrames(decoded, stride = 1)
+    val perDoc = frames.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val nFrames = decoded.select($"doc_id", $"n_frames").as[(Long, Int)].collect().toMap
+    assert(perDoc == nFrames.map { case (k, v) => k -> v.toLong })
+    val strided = Multimodal.sampleFrames(decoded, stride = 2)
+    assert(strided.count() == nFrames.values.map(n => (n + 1) / 2).sum)
+
+    val resized = Multimodal.resizePlan(decoded, maxSide = 20)
+      .select($"width", $"height", $"out_width", $"out_height")
+      .as[(Int, Int, Int, Int)].collect()
+    resized.foreach { case (w, h, ow, oh) =>
+      assert(ow <= 20 || oh <= 20)
+      assert(math.max(ow, oh) <= 20)
+      if (w > h) assert(ow >= oh) else if (h > w) assert(oh >= ow)
+    }
+  }
 }
 
 class VectorOpsSpec extends graft.SparkSpec {
