@@ -14,12 +14,63 @@ import org.apache.spark.sql.functions._
   */
 object KnowledgeBase {
 
-  /** Normalize a model KB: derive `model_ref` (normalized model string) and
-    * `ref_order` (row precedence for J1's first-match tie-break), mirroring
+  /** Normalize a model KB: derive `model_ref` (normalized model string)
+    * WHEN the KB doesn't already carry one — the reference's df_ref has an
+    * explicit model_ref column (SURVEY §1.1: brand, model, capacity, type,
+    * model_ref, hp) so the author can map spaced/aliased description forms
+    * ("330 GC") to one canonical model ("330GC"). Also adds `ref_order`
+    * (row precedence for J1's first-match tie-break), mirroring
     * `data_preperation`'s KB half (py:46-58). */
-  def prepareModelKb(kb: DataFrame): DataFrame =
-    kb.withColumn("model_ref", Normalize.collapseWs(Normalize.preProcess(col("model"))))
-      .withColumn("ref_order", monotonically_increasing_id())
+  def prepareModelKb(kb: DataFrame): DataFrame = {
+    val withRef =
+      if (kb.columns.contains("model_ref"))
+        kb.withColumn("model_ref",
+          Normalize.collapseWs(Normalize.preProcess(col("model_ref"))))
+      else
+        kb.withColumn("model_ref", Normalize.collapseWs(Normalize.preProcess(col("model"))))
+    withRef.withColumn("ref_order", monotonically_increasing_id())
+  }
+
+  /** Insert a space at every letter↔digit boundary ("330GC" → "330 GC",
+    * "TE20HD" → "TE 20 HD") — the description-side form the reference's
+    * hand-maintained model_ref column encodes. */
+  def spacedVariant(model: String): String =
+    model.replaceAll("(?<=[A-Za-z])(?=\\d)|(?<=\\d)(?=[A-Za-z])", " ")
+
+  /** KB-maintenance op: expand each model row with its spaced model_ref
+    * variant, so containment matching also catches "MODEL 330 GC" style
+    * descriptions. Original rows keep their (possibly explicit) refs. */
+  def expandModelRefVariants(kb: DataFrame): DataFrame = {
+    val base =
+      if (kb.columns.contains("model_ref")) kb
+      else kb.withColumn("model_ref", col("model"))
+    val spaceAt = udf(spacedVariant _)
+    val variants = base
+      .withColumn("model_ref", spaceAt(col("model")))
+      .filter(col("model_ref") =!= col("model"))
+    base.unionByName(variants)
+  }
+
+  /** KB-maintenance op: generate a literal regex KB from labeled
+    * (brand, model[, category]) rows — pattern = regex-escaped model with
+    * optional spaces at letter↔digit boundaries, so "R215" also matches
+    * inside "FR215F 800 TRACK..." the way the reference's accumulated
+    * regex sheet (K1, update_regex_df) does. capacity_regex captures
+    * nothing usable → starting_point 2 (capacity stays unknown). */
+  def regexKbFromModels(kb: DataFrame): DataFrame = {
+    val toPattern = udf { (model: String) =>
+      model.replaceAll("([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
+        .replaceAll("(?<=[A-Za-z])(?=\\d)|(?<=\\d)(?=[A-Za-z])", " ?")
+    }
+    val cat = if (kb.columns.contains("type")) col("type") else lit("UNKNOWN")
+    kb.select(col("brand"), col("model"), cat.as("category"))
+      .groupBy("brand", "model")
+      .agg(first(col("category")).as("category"))
+      .select(col("brand"), toPattern(col("model")).as("model_regex"),
+        lit("(\\d+)").as("capacity_regex"), col("category"),
+        lit(2).as("starting_point"))
+      .filter(length(col("model_regex")) >= 4) // 1-3 char patterns over-match
+  }
 
   /** K1 `update_regex_df` (py:435-447): append new patterns, dedup on
     * (brand, model_regex), longer patterns first (priority column — in

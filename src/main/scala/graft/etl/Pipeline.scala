@@ -178,6 +178,10 @@ object Pipeline {
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getInt(4)))
       .sortBy { case (_, pat, _, _, _) => (-pat.length, pat) } // longer patterns first (O2)
     if (rows.isEmpty) return df // no regex KB → stage is a no-op
+    // big pattern tables would explode the literal plan (O(patterns) nodes
+    // re-analyzed per execution — see PERF.md round 2); the relational
+    // broadcast-rlike join is the right shape past this size
+    if (rows.length > 64) return regexPassRelational(df, regexKb)
     val todoCond = col("remark").isin(Remark.brandNoModel, Remark.noMatch)
     val patterns = rows.map { case (b, pat, _, _, _) =>
       (pat, -pat.length, col("brand") === lit(UNK) || col("brand") === lit(b))
