@@ -22,7 +22,7 @@ import scala.collection.mutable
   */
 object Xlsx {
 
-  private def parseSharedStrings(zip: ZipFile): Vector[String] = {
+  private[sources] def parseSharedStrings(zip: ZipFile): Vector[String] = {
     val entry = zip.getEntry("xl/sharedStrings.xml")
     if (entry == null) return Vector.empty
     val in = zip.getInputStream(entry)
@@ -66,7 +66,7 @@ object Xlsx {
   }
 
   /** Parse one worksheet into rows of (colIdx → cell string). */
-  private def parseSheet(zip: ZipFile, sheetPath: String,
+  private[sources] def parseSheet(zip: ZipFile, sheetPath: String,
       shared: Vector[String]): Vector[mutable.Map[Int, String]] = {
     val entry = zip.getEntry(sheetPath)
     require(entry != null, s"no $sheetPath in xlsx")
@@ -115,6 +115,30 @@ object Xlsx {
     rows.result()
   }
 
+  /** Dedupe header names with an ordinal suffix (pandas-style). */
+  private[sources] def dedupeHeader(headerMap: collection.Map[Int, String]): IndexedSeq[String] = {
+    val width = headerMap.keys.max + 1
+    val seen = mutable.Map.empty[String, Int]
+    (0 until width).map { i =>
+      val base = headerMap.getOrElse(i, s"_c$i").trim
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      if (n == 0) base else s"${base}_$n"
+    }
+  }
+
+  /** Header row of a sheet as an all-string schema (used by both the
+    * driver-side reader and the DSv2 source's schema inference). */
+  private[sources] def headerSchema(path: String, sheetPath: String): StructType = {
+    val zip = new ZipFile(path)
+    try {
+      val shared = parseSharedStrings(zip)
+      val rows = parseSheet(zip, sheetPath, shared)
+      require(rows.nonEmpty, s"empty sheet in $path")
+      StructType(dedupeHeader(rows.head).map(StructField(_, StringType)))
+    } finally zip.close()
+  }
+
   /** Read a worksheet as an all-string DataFrame, first row = header.
     * Trailing unnamed columns are dropped; duplicate headers deduped with
     * an ordinal suffix. */
@@ -125,15 +149,8 @@ object Xlsx {
       val shared = parseSharedStrings(zip)
       val rows = parseSheet(zip, sheetPath, shared)
       require(rows.nonEmpty, s"empty sheet in $path")
-      val headerMap = rows.head
-      val width = headerMap.keys.max + 1
-      val seen = mutable.Map.empty[String, Int]
-      val header = (0 until width).map { i =>
-        val base = headerMap.getOrElse(i, s"_c$i").trim
-        val n = seen.getOrElse(base, 0)
-        seen(base) = n + 1
-        if (n == 0) base else s"${base}_$n"
-      }
+      val header = dedupeHeader(rows.head)
+      val width = header.length
       val data = rows.tail.map { m =>
         Row.fromSeq((0 until width).map(i => m.get(i).orNull))
       }
