@@ -1,0 +1,101 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Dedup
+
+/** Primitive-loop hashing kernels for the MinHash hot path.
+  *
+  * The declarative forms — `transform(sh, s => conv(substring(md5(s),1,15),
+  * 16,10))` and per-seed `transform(hs, h => rotate-xor)` — run interpreted
+  * inside lambda bodies with per-element boxing and (for conv) BigInteger
+  * parsing. These expressions compute the SAME values (md5 of the UTF-8
+  * bytes, first 60 bits; rotate-left-then-xor per seed) with one loop per
+  * row: bit-identical results, spec-asserted, oracle-portable.
+  */
+object HashOps {
+
+  /** First 60 bits of an md5 digest == parsing its first 15 hex digits. */
+  private[functions] def prefix60(d: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def md5Prefix60Array(a: Column): Column =
+    GraftBridge.column(Md5Prefix60ArrayExpr(GraftBridge.expression(a)))
+
+  def minhashSigFast(hashes: Column, numHashes: Int): Column =
+    GraftBridge.column(MinhashSigExpr(GraftBridge.expression(hashes), numHashes))
+
+  /** array<string> → array<long>: 60-bit md5 prefix of each element
+    * (== Dedup.baseHash element-wise). */
+  case class Md5Prefix60ArrayExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "md5_prefix60_array"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      val md = mdLocal.get()
+      var i = 0
+      while (i < n) {
+        md.reset()
+        out(i) = prefix60(md.digest(arr.getUTF8String(i).getBytes))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** array<long> → array<long>(numHashes): per-seed min of the rotate-xor
+    * mixed hashes (== Dedup.minhashSignatureFromHashes; empty input → 0s). */
+  case class MinhashSigExpr(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    @transient private lazy val rots = Array.tabulate(numHashes)(Dedup.mixRot)
+    @transient private lazy val consts = Array.tabulate(numHashes)(Dedup.mixConst)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](numHashes)
+      var s = 0
+      while (s < numHashes) {
+        val r = rots(s)
+        val lowMask = (1L << (60 - r)) - 1
+        val c = consts(s)
+        var min = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val h = arr.getLong(i)
+          val mixed = (((h & lowMask) << r) | (h >>> (60 - r))) ^ c
+          if (mixed < min) min = mixed
+          i += 1
+        }
+        out(s) = if (n == 0) 0L else min
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+}

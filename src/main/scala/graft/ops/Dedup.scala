@@ -113,12 +113,14 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     // shared by the band explode AND both sides of the verify join —
-    // persist so the shingle + md5 base-hash expressions evaluate once
+    // persist so the shingle + md5 base-hash expressions evaluate once.
+    // Hashing runs through the primitive-loop kernels (HashOps) — same
+    // values as the transform-lambda forms, no per-element boxing.
     val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
-      .withColumn("__hs", transform(col("__sh"), s => baseHash(s)))
+      .withColumn("__hs", graft.functions.HashOps.md5Prefix60Array(col("__sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBands = withSh
-      .withColumn("__sig", minhashSignatureFromHashes(col("__hs"), numHashes))
+      .withColumn("__sig", graft.functions.HashOps.minhashSigFast(col("__hs"), numHashes))
       .select(col("__id"), col("__sh"),
         explode(bandKeys(col("__sig"), numHashes, bands)).as("__b"))
       .select(col("__id"), col("__sh"), col("__b.band").as("__band"), col("__b.key").as("__key"))

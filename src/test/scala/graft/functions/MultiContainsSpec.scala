@@ -58,3 +58,26 @@ class MultiContainsSpec extends SparkSpec {
     assert(small.toSeq == auto.toSeq)
   }
 }
+
+class HashOpsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.HashOps
+  import graft.ops.Dedup
+
+  test("md5Prefix60Array and minhashSigFast are bit-identical to the lambda forms") {
+    val docs = graft.Tables.documents(spark, sfTiny)
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val both = docs
+      .withColumn("hs_fast", HashOps.md5Prefix60Array($"sh"))
+      .withColumn("hs_ref", transform($"sh", s => Dedup.baseHash(s)))
+      .withColumn("sig_fast", HashOps.minhashSigFast($"hs_fast", 16))
+      .withColumn("sig_ref", Dedup.minhashSignatureFromHashes($"hs_ref", 16))
+    assert(both.filter(not($"hs_fast" <=> $"hs_ref")).count() == 0)
+    assert(both.filter(not($"sig_fast" <=> $"sig_ref")).count() == 0)
+    // empty shingle set → all-zero signature, both paths
+    val empty = Seq(Array.empty[Long]).toDF("hs")
+    val z = empty.select(HashOps.minhashSigFast($"hs", 4)).as[Seq[Long]].head()
+    assert(z == Seq(0L, 0L, 0L, 0L))
+  }
+}
