@@ -55,12 +55,14 @@ object Pipeline {
       .withColumn("price in usd", c("amount in usd") / c("qty"))
       .filter(c("price in usd") >= 10000)
       .withColumn("unit weight in ton", c("weight in kg") / c("qty") / 1000)
+      // preProcess already collapses+trims whitespace; a second collapseWs
+      // would be a no-op regex pass over every row (measured on q40)
       .withColumn("description2",
-        Normalize.collapseWs(Normalize.preProcess(
-          Normalize.applyAliases(upper(c("product description")), Normalize.customsAliases))))
+        Normalize.preProcess(
+          Normalize.applyAliases(upper(c("product description")), Normalize.customsAliases)))
       .withColumn("supplier_norm",
-        Normalize.collapseWs(Normalize.preProcess(
-          Normalize.applyAliases(upper(coalesce(c("supplier"), lit(""))), Normalize.customsAliases))))
+        Normalize.preProcess(
+          Normalize.applyAliases(upper(coalesce(c("supplier"), lit(""))), Normalize.customsAliases)))
 
   /** Stage 2 (J1+J2, py:61-115): brand containment match (first in KB
     * order), then model containment match (longest), remark provenance.
@@ -137,9 +139,12 @@ object Pipeline {
     "TRACTOR", "HARVESTER", "DRILLING", "PILING", "GRADER", "PAVER")
 
   /** Stage 3 (P3): anti-filter rows whose description matches any
-    * irrelevant keyword (case-insensitive substring). */
+    * irrelevant keyword (case-insensitive substring). Contains-any over
+    * plain words → the Aho-Corasick expression (one O(text) automaton scan
+    * instead of a backtracking alternation regex). */
   def dropIrrelevant(df: DataFrame): DataFrame =
-    df.filter(!c("description2").rlike(irrelevantKeywords.mkString("|")))
+    df.filter(graft.functions.MultiContains
+      .multiContainsFirst(c("description2"), irrelevantKeywords).isNull)
 
   /** Stage 4 (P5, py:127-144): keyword type overrides. */
   def applyTypeRules(df: DataFrame): DataFrame =
