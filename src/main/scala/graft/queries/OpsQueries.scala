@@ -87,6 +87,79 @@ object OpsQueries {
 
   val all: Seq[(String, Q)] = Seq(
 
+    // ─── J8: label-translation broadcast merge ──────────────────────────
+    "q47_translate_labels" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val dim = Seq(
+          ("1-URGENT", "urgentissimo"), ("2-HIGH", "alto"), ("3-MEDIUM", "medio"),
+          ("5-LOW", "basso")).toDF("key", "translated")
+        graft.etl.Lookups.translateLabels(Tables.orders(s, dir),
+            "o_orderpriority", dim, "priority_translated")
+          .select($"o_orderkey",
+            coalesce($"priority_translated", lit("(none)")).as("priority_translated"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH dim(k, t) AS (VALUES ('1-URGENT','urgentissimo'),('2-HIGH','alto'),
+             |  ('3-MEDIUM','medio'),('5-LOW','basso'))
+             |SELECT o_orderkey, coalesce(t, '(none)') AS priority_translated
+             |FROM orders LEFT JOIN dim ON o_orderpriority = k
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ─── K1: regex-KB maintenance (append + dedup + priority) ───────────
+    "q48_kb_update" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val fresh = Seq(
+          ("KOMATSU", "PC ?\\d{2,4}(-\\d)?", "PC ?(\\d{2,4})", "EXCAVATOR", 0), // dup of kb row
+          ("DOOSAN", "DX ?\\d{3}[A-Z]{0,2}", "DX ?(\\d{3})", "EXCAVATOR", 0))
+          .toDF("brand", "model_regex", "capacity_regex", "category", "starting_point")
+        graft.etl.KnowledgeBase
+          .updateRegexKb(graft.etl.KnowledgeBase.sampleRegexKb(s), fresh)
+          .select($"brand", $"model_regex", $"priority")
+          .orderBy($"brand", $"model_regex")
+      },
+      Some {
+        val kbVals = (graft.etl.KnowledgeBase.sampleRegexKbRows.map(r => (r._1, r._2)) ++ Seq(
+          ("KOMATSU", "PC ?\\d{2,4}(-\\d)?"), ("DOOSAN", "DX ?\\d{3}[A-Z]{0,2}")))
+          .map { case (b, p) => s"('$b', '$p')" }.mkString(", ")
+        s"""SELECT DISTINCT brand, model_regex,
+           |  CAST(-length(model_regex) AS INTEGER) AS priority
+           |FROM (VALUES $kbVals) t(brand, model_regex)
+           |ORDER BY brand, model_regex""".stripMargin
+      }),
+
+    // ─── J9: weight-band inference against a literal spec table ─────────
+    "q49_weight_inference" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val specs = Seq(
+          ("MODEL-A", 1200.0, 12.0, "EXCAVATOR"),
+          ("MODEL-B", 1500.0, 15.0, "EXCAVATOR"),
+          ("MODEL-C", 1800.0, 18.0, "CRANE"))
+          .toDF("model", "weight", "capacity", "type")
+        graft.etl.Lookups.inferFromWeight(
+            Tables.part(s, dir).withColumn("__row_id", $"p_partkey"),
+            "p_retailprice", specs)
+          .select($"p_partkey",
+            coalesce($"inferred_model", lit("NONE")).as("inferred_model"),
+            coalesce($"inferred_capacity", lit(-1.0)).as("inferred_capacity"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH specs(m, w, cap, ty) AS (VALUES
+             |  ('MODEL-A', 1200.0::DOUBLE, 12.0::DOUBLE, 'EXCAVATOR'),
+             |  ('MODEL-B', 1500.0::DOUBLE, 15.0::DOUBLE, 'EXCAVATOR'),
+             |  ('MODEL-C', 1800.0::DOUBLE, 18.0::DOUBLE, 'CRANE')),
+             |j AS (SELECT p.p_partkey, s.m, s.cap,
+             |        row_number() OVER (PARTITION BY p.p_partkey
+             |          ORDER BY abs(p.p_retailprice - s.w) ASC NULLS LAST, s.m ASC NULLS LAST) AS rn
+             |      FROM part p LEFT JOIN specs s
+             |        ON p.p_retailprice IS NOT NULL
+             |       AND p.p_retailprice BETWEEN s.w * 0.95 AND s.w * 1.05)
+             |SELECT p_partkey, coalesce(m, 'NONE') AS inferred_model,
+             |       coalesce(cap, -1.0) AS inferred_capacity
+             |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
+
     // ─── exact dedup: normalized-hash duplicate groups ──────────────────
     "q24_dedup_exact" -> Q(
       (s, dir) => {
