@@ -346,6 +346,9 @@ object Pipeline {
     fact.transform(prepare)
       .withColumn("datasource", lit("pipeline"))
       .transform(matchKnowledgeBase(_, modelKb))
+      // supplier_norm exists only for brand matching — drop it BEFORE the
+      // first cut so it isn't materialized (and re-read) three times
+      .transform(_.drop("supplier_norm"))
       .transform(materialize)             // codegen cut: match block
       .transform(dropIrrelevant)
       .transform(applyTypeRules)
