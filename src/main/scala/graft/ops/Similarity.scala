@@ -119,6 +119,50 @@ object Similarity {
       .select(col(idCol), col("sim"))
   }
 
+  /** Deterministic Lloyd's k-means over an embedding column, for IVF
+    * centroids (`ivfTopK` takes the result unchanged).
+    *
+    * Determinism guarantees (same result on any partitioning / retry):
+    *  - init = the k lowest-id vectors;
+    *  - assignment = the same literal-expression cosine argmax `ivfCell`
+    *    uses at query time (zero shuffle);
+    *  - update = per-dimension mean with DECIMAL(28,12) sums (double sums
+    *    are shuffle-order dependent), cast to float at the edge;
+    *  - empty cells keep their previous centroid.
+    *
+    * Each iteration is one job: explode to (cell, dim, value), partial-
+    * aggregating groupBy, collect k×dim rows (driver-small). */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[(Int, Array[Float])] = {
+    var centroids: Seq[(Int, Array[Float])] = emb
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = emb.withColumn("__cell", ivfCell(col(vecCol), centroids))
+      val sums = assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__d", "__v")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(sum(col("__v").cast("decimal(28,12)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, prev) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val next = prev.clone()
+            rows.foreach { r =>
+              next(r.getInt(1)) =
+                (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+            }
+            cid -> next
+          case None => cid -> prev // empty cell: keep previous centroid
+        }
+      }
+    }
+    centroids
+  }
+
   /** LSH-bucketed cosine top-k: score only vectors sharing the query's
     * bucket. Recall < 1 by design; the oracle checks the deterministic
     * result, the bucket narrowing is the 100TB scale story. */

@@ -83,3 +83,40 @@ class EmbedDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "sf0.001 corpus should yield at least one near-dup pair")
   }
 }
+
+class KmeansSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  lazy val emb = graft.Tables.embeddings(spark, sfTiny)
+
+  test("k-means centroids are deterministic across partitionings") {
+    val a = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, 2)
+    val b = Similarity.kmeansCentroids(emb.repartition(13), "vec_id", "embedding", 4, 2)
+    assert(a.map(_._1) == b.map(_._1))
+    a.zip(b).foreach { case ((_, va), (_, vb)) => assert(va.sameElements(vb)) }
+  }
+
+  test("fitting improves the clustering objective over the init assignment") {
+    def objective(cs: Seq[(Int, Array[Float])]): Double = {
+      val cands = cs.map { case (_, cv) =>
+        graft.functions.VectorOps.dotLiteral($"embedding", cv.map(_.toDouble)) /
+          (sqrt(graft.functions.VectorOps.norm2Fast($"embedding")) *
+            lit(math.sqrt(cv.map(v => v.toDouble * v.toDouble).sum)))
+      }
+      emb.select(greatest(cands: _*).as("best"))
+        .agg(avg($"best")).as[Double].head()
+    }
+    val init = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 0)
+    val fit = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 3)
+    assert(objective(fit) >= objective(init))
+  }
+
+  test("fitted centroids slot into ivfTopK; self-query returns itself first") {
+    val cs = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, 2)
+    val q = emb.filter($"vec_id" === 7).select($"embedding".as("qvec"))
+    val top = Similarity.ivfTopK(emb, "vec_id", "embedding", q, cs, 5)
+      .select("vec_id").as[Long].collect()
+    assert(top.head == 7L)
+  }
+}
