@@ -55,6 +55,28 @@ object Streams {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Watermarked stream-stream inner join: each purchase pairs with the
+    * same user's clicks from the preceding `lookback`. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH ends, so
+    * Spark can evict join state — the requirement for an unbounded
+    * stream-stream join to run with bounded memory. Works identically on
+    * batch DataFrames (the batch twin the spec cross-checks). */
+  def purchaseClickJoin(clicks: DataFrame, purchases: DataFrame,
+      lookback: String = "1 hour", delay: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"))
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+      col("event_id").as("purchase_id"), col("value"))
+    val cw = if (c.isStreaming) c.withWatermark("click_ts", delay) else c
+    val pw = if (p.isStreaming) p.withWatermark("purchase_ts", delay) else p
+    pw.join(cw,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionSummary(user_id: Long, n_events: Long, n_purchases: Long)
 

@@ -70,6 +70,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join matches its batch twin") {
+    implicit val sq = spark.sqlContext
+    val ev = Tables.events(spark, sfTiny)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+    val clicksB = ev.filter($"event_type" === "click")
+    val purchB = ev.filter($"event_type" === "purchase")
+    val batch = Streams.purchaseClickJoin(clicksB, purchB)
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val cs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ps = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val out = Streams.purchaseClickJoin(
+        cs.toDF().toDF("user_id", "ts", "event_id"),
+        ps.toDF().toDF("user_id", "ts", "event_id", "value"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      cs.addData(clicksB.select($"user_id", $"ts", $"event_id")
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSeq)
+      ps.addData(purchB.select($"user_id", $"ts", $"event_id", $"value")
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSeq)
+      out.processAllAvailable()
+      val streamed = spark.table("ssj")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally out.stop()
+  }
+
   test("file-source history append stream lands monthly batches in the sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val incoming = s"$dir/in"; val sink = s"$dir/out"; val ck = s"$dir/ck"
