@@ -24,14 +24,14 @@ import graft.ops.Dedup
 object HashOps {
 
   /** First 60 bits of an md5 digest == parsing its first 15 hex digits. */
-  private[functions] def prefix60(d: Array[Byte]): Long = {
+  private[graft] def prefix60(d: Array[Byte]): Long = {
     var acc = 0L
     var i = 0
     while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
     (acc << 4) | ((d(7) >> 4) & 0xfL)
   }
 
-  private val mdLocal = new ThreadLocal[MessageDigest] {
+  private[graft] val mdLocal = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 

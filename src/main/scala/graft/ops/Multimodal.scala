@@ -40,16 +40,18 @@ object Multimodal {
 
   /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
     * A real implementation decodes here (libjpeg/ffmpeg per partition);
-    * the partition-batched shape, schema, and driver code don't change. */
+    * the partition-batched shape, schema, and driver code don't change.
+    * The fake outputs are md5-derived (60-bit prefix), so even the stub
+    * path is DuckDB-oracle-checkable — a Java-overflow polynomial hash
+    * would not port. */
   object FakeDecoder {
     def decode(bytes: Array[Byte]): (Int, Int, Int, Long) = {
-      val n = bytes.length
-      var checksum = 0L
-      var i = 0
-      while (i < n) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
-      val width = 16 + (math.abs(checksum % 64)).toInt
-      val height = 16 + (math.abs((checksum >> 8) % 64)).toInt
-      val frames = 1 + (n % 4)
+      val md = graft.functions.HashOps.mdLocal.get()
+      md.reset()
+      val checksum = graft.functions.HashOps.prefix60(md.digest(bytes))
+      val width = 16 + (checksum % 64).toInt
+      val height = 16 + ((checksum >> 8) % 64).toInt
+      val frames = 1 + (bytes.length % 4)
       (width, height, frames, checksum)
     }
   }

@@ -406,7 +406,10 @@ object OpsQueries {
              |  md5(text) AS content_md5, 'text/plain' AS media_type
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ─── multimodal decode (partition-batched stub decoder; rows-only) ──
+    // ─── multimodal decode (partition-batched stub decoder) ─────────────
+    // The mapPartitions decode itself is JVM-side, but the stub's outputs
+    // are md5-derived, so the oracle recomputes them in SQL — every query
+    // in the registry is hash-gated.
     "q35_multimodal_decode" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -415,7 +418,14 @@ object OpsQueries {
             "doc_id")
           .orderBy($"doc_id")
       },
-      None), // JVM-side stub decode — no SQL equivalent; driver rows-only check
+      Some("""WITH d AS (SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS checksum,
+             |               octet_length(encode(text)) AS n FROM documents)
+             |SELECT doc_id,
+             |  CAST(16 + checksum % 64 AS INTEGER) AS width,
+             |  CAST(16 + (checksum >> 8) % 64 AS INTEGER) AS height,
+             |  CAST(1 + n % 4 AS INTEGER) AS n_frames,
+             |  checksum
+             |FROM d ORDER BY doc_id""".stripMargin)),
 
     // ─── distinct counting (exact; the HLL sketch path is spec-bounded
     //     in SketchesSpec since HLL++ internals are engine-private) ──────
