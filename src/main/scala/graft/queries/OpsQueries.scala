@@ -160,6 +160,49 @@ object OpsQueries {
              |       coalesce(cap, -1.0) AS inferred_capacity
              |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
 
+    // ─── general window-function surface: lag/lead/first/ntile ─────────
+    "q50_window_lag_lead" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, dir)
+          .select($"event_id", $"user_id",
+            lag($"event_id", 1).over(w).as("prev_event"),
+            lead($"event_id", 1).over(w).as("next_event"),
+            first($"event_id").over(w).as("first_event"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  lag(event_id, 1) OVER w AS prev_event,
+             |  lead(event_id, 1) OVER w AS next_event,
+             |  first_value(event_id) OVER w AS first_event,
+             |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ─── hierarchical totals: ROLLUP with exact decimal sums ────────────
+    "q51_rollup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_extendedprice".cast("decimal(18,6)")).cast("double").as("total"))
+          .select(coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+            coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+            $"n", $"total")
+          .orderBy($"returnflag", $"linestatus")
+      },
+      Some("""SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+             |  coalesce(l_linestatus, '(all)') AS linestatus,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin)),
+
     // ─── exact dedup: normalized-hash duplicate groups ──────────────────
     "q24_dedup_exact" -> Q(
       (s, dir) => {

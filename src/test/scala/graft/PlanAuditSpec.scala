@@ -1,0 +1,42 @@
+package graft
+
+/** Locks in the physical-plan properties PERF.md claims, so a regression
+  * (a lost pushdown, a broadcast that degrades to sort-merge) fails CI
+  * rather than silently costing a shuffle at scale. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfTiny).queryExecution.executedPlan.toString
+
+  test("scans push filters and prune columns") {
+    val p = plan("q02_filter_derive")
+    assert(p.contains("PushedFilters: [IsNotNull(l_extendedprice)") ||
+      p.contains("PushedFilters: [IsNotNull("), "filter not pushed to scan:\n" + p.take(800))
+    // projection prunes: the scan must not read l_shipdate for q02
+    assert(!p.contains("l_shipdate"), "unpruned column in scan")
+  }
+
+  test("dimension joins broadcast — no sort-merge join anywhere in the registry's hot joins") {
+    Seq("q08_fx_join", "q36_key_players", "q19_topk", "q45_embed_dedup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q degraded to SortMergeJoin")
+    }
+    assert(plan("q08_fx_join").contains("BroadcastHashJoin"))
+  }
+
+  test("the as-of join is one exchange + one window, no join node") {
+    val p = plan("q46_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of should be union+window, not a join:\n" + p.take(800))
+  }
+
+  test("literal-expression KB matching keeps the fact side exchange-free") {
+    // q05's whole match is codegen'd expressions: the only exchange allowed
+    // is the final ORDER BY sort
+    val p = plan("q05_contains_first")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected exchanges in literal-match plan:\n$p")
+    assert(!p.contains("Join"), "literal path must not join")
+  }
+}
