@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -12,15 +12,34 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * element boxing — ~10× slower on 64-dim float arrays. These expressions
   * keep EXACTLY the same arithmetic (elementwise float→double widening,
   * left-to-right double accumulation, dot/(√na·√nb)) so results stay
-  * bit-identical to the lambda path and the DuckDB oracle. */
+  * bit-identical to the lambda path and the DuckDB oracle.
+  *
+  * All three implement `doGenCode` (not CodegenFallback): a fallback
+  * expression anywhere in a projection knocks that operator out of
+  * whole-stage codegen, which is exactly the span the ANN scans live in. */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
+    CosineSimExpr.cosine(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CosineSimExpr.cosine(" +
+        s"$a.toFloatArray(), $b.toFloatArray());")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object CosineSimExpr {
+  /** Shared by interpreted eval and generated code — one arithmetic. */
+  def cosine(x: Array[Float], y: Array[Float]): Double = {
     val n = math.min(x.length, y.length)
     var dot = 0.0
     var i = 0
@@ -33,8 +52,6 @@ case class CosineSimExpr(left: Expression, right: Expression)
     while (i < y.length) { nb += y(i).toDouble * y(i).toDouble; i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 /** Σ_i vec[i]·w[i] against a LITERAL weight vector, left-to-right double
@@ -46,36 +63,66 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * Null when the array is shorter than the weights (same as get() OOB →
   * null propagating through the sum). */
 case class DotLiteralExpr(child: Expression, weights: Array[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_literal"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
-    if (x.length < weights.length) return null
+    if (x.length < weights.length) null
+    else DotLiteralExpr.dot(x, weights)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val x = ctx.freshName("x")
+      s"""float[] $x = $a.toFloatArray();
+         |if ($x.length < $w.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.DotLiteralExpr.dot($x, $w);
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object DotLiteralExpr {
+  def dot(x: Array[Float], w: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
-    while (i < weights.length) { acc += x(i).toDouble * weights(i); i += 1 }
+    while (i < w.length) { acc += x(i).toDouble * w(i); i += 1 }
     acc
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Σ_i vec[i]², identical fold order to
   * `aggregate(v, 0.0, (acc, x) => acc + x·x)` without boxed lambdas. */
 case class Norm2Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "norm2"
 
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
+  override def nullSafeEval(a: Any): Any =
+    Norm2Expr.norm2(a.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Norm2Expr.norm2($a.toFloatArray());")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Norm2Expr {
+  def norm2(x: Array[Float]): Double = {
     var acc = 0.0
     var i = 0
     while (i < x.length) { acc += x(i).toDouble * x(i).toDouble; i += 1 }
     acc
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object VectorOps {

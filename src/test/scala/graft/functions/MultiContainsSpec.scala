@@ -81,3 +81,32 @@ class HashOpsSpec extends graft.SparkSpec {
     assert(z == Seq(0L, 0L, 0L, 0L))
   }
 }
+
+class VectorCodegenSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.functions.VectorOps
+
+  test("vector kernels generate compilable code (no silent interpreted fallback)") {
+    val emb = graft.Tables.embeddings(spark, sfTiny)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = emb.select($"vec_id",
+        VectorOps.cosineSim($"embedding", $"embedding").as("c"),
+        VectorOps.dotLiteral($"embedding", Array.fill(64)(0.5)).as("d"),
+        VectorOps.norm2Fast($"embedding").as("n"))
+      val rows = df.collect()
+      assert(rows.length == emb.count())
+      // the projection stays inside a WholeStageCodegen span (starred stage)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1)"), "projection fell out of whole-stage codegen:\n" + plan)
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(1) - 1.0) < 1e-12) // cos(v, v) == 1
+        assert(!r.isNullAt(2) && !r.isNullAt(3))
+      }
+      // short-array → null path in generated code
+      val short = Seq(Tuple1(Array(1.0f))).toDF("v")
+        .select(VectorOps.dotLiteral($"v", Array(1.0, 2.0)).as("d"))
+      assert(short.collect().head.isNullAt(0))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+}
