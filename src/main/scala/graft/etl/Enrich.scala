@@ -31,6 +31,16 @@ object Enrich {
       .otherwise(concat(lo.cast("string"), lit("-"), (lo + w).cast("string"), lit("T")))
   }
 
+  /** Crane-mode buckets (reference `define_load_interval` crane branch,
+    * py:381-402): only known capacities are labeled — no unit-weight
+    * fallback, no fixed 5/10T low end; `<w` → "<wT", then w-wide bands. */
+  def craneBuckets(v: Column, w: Int): Column = {
+    val lo = (floor(v / w) * w).cast("int")
+    when(v.isNull || v <= 0, "UNKNOWN")
+      .when(v < w, s"<${w}T")
+      .otherwise(concat(lo.cast("string"), lit("-"), (lo + w).cast("string"), lit("T")))
+  }
+
   /** Used/new classifier (reference py:146-158, `new_or_used` py:533-546):
     * token-EQUALITY (not substring) against used markers ∪ year tokens
     * 1950-2018, then an override to "new" when NEW/UNUSED appears. */

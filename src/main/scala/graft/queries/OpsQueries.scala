@@ -160,6 +160,22 @@ object OpsQueries {
              |       coalesce(cap, -1.0) AS inferred_capacity
              |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
 
+    // ─── B1 crane branch: known-capacity-only w-wide buckets ────────────
+    "q52_crane_buckets" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy(graft.etl.Enrich.craneBuckets($"l_quantity", 25).as("crane_interval"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"crane_interval")
+      },
+      Some("""SELECT CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 'UNKNOWN'
+             |  WHEN l_quantity < 25 THEN '<25T'
+             |  ELSE CAST(CAST(floor(l_quantity/25)*25 AS INTEGER) AS VARCHAR) || '-' ||
+             |       CAST(CAST(floor(l_quantity/25)*25 AS INTEGER)+25 AS VARCHAR) || 'T' END AS crane_interval,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY crane_interval""".stripMargin)),
+
     // ─── general window-function surface: lag/lead/first/ntile ─────────
     "q50_window_lag_lead" -> Q(
       (s, dir) => {

@@ -120,3 +120,32 @@ class KmeansSpec extends graft.SparkSpec {
     assert(top.head == 7L)
   }
 }
+
+class AsOfPropertySpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def samples[A](g: org.scalacheck.Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: as-of equals brute-force argmax on random keyed timelines") {
+    val row = for {
+      k <- Gen.chooseNum(0, 5)
+      t <- Gen.chooseNum(0L, 50L)
+    } yield (k, new java.sql.Timestamp(t * 1000))
+    val left = samples(row, 150).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "t")
+    val right = samples(row, 150).zipWithIndex
+      .map { case ((k, t), i) => (1000L + i, k, t) }.toDF("rid", "k", "t")
+    val fast = AsOf.asofBackward(left, "k", "t", right, "k", "t", Seq("rid"))
+      .select($"lid", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    val brute = left.as("l").join(right.as("r"),
+        col("r.k") === col("l.k") && col("r.t") <= col("l.t"), "left")
+      .groupBy(col("l.lid").as("lid"))
+      .agg(max(struct(col("r.t"), col("r.rid"))).as("b"))
+      .select($"lid", $"b.rid").as[(Long, Option[Long])].collect().toMap
+    assert(fast == brute)
+  }
+}
