@@ -55,6 +55,30 @@ object Streams {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** The WHOLE customs pipeline as an incremental streaming job: monthly
+    * batch files appearing under `incomingDir` run through
+    * `etl.Pipeline.run` and append to the history sink — the reference's
+    * manual monthly re-run (cells 4→83) promoted to a continuously-running
+    * job.
+    *
+    * Shape: `foreachBatch`. Stages 1-8 are stateless maps and could stream
+    * directly, but backward tagging and the outlier medians aggregate over
+    * the batch (the reference's semantics are per-batch-with-history, not
+    * per-row), so each micro-batch runs the full batch pipeline — the
+    * standard pattern for promoting a complex batch flow without rewriting
+    * it. Checkpointing makes file ingestion exactly-once into the sink. */
+  def pipelineStream(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      incomingDir: String, sinkDir: String, checkpointDir: String,
+      modelKb: DataFrame, regexKb: DataFrame, rates: DataFrame) =
+    spark.readStream.schema(schema).parquet(incomingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Pipeline.run(batch, modelKb, regexKb, rates)
+          .write.mode("append").parquet(sinkDir)
+      }
+
   /** Watermarked stream-stream inner join: each purchase pairs with the
     * same user's clicks from the preceding `lookback`. Both sides carry
     * watermarks and the join condition bounds event time on BOTH ends, so

@@ -98,6 +98,38 @@ class StreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("the full customs pipeline runs incrementally via foreachBatch") {
+    import graft.etl.KnowledgeBase
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe_stream").toString
+    val incoming = s"$dir/in"; val sink = s"$dir/out"; val ck = s"$dir/ck"
+    new java.io.File(incoming).mkdirs()
+    def factRow(id: String, desc: String) =
+      (id, desc, "MOKAC CO", 120000.0, 1.0, 20000.0, "2024/05/01", "84295200", "202405")
+    val cols = Seq("declaration number", "product description", "supplier",
+      "amount in usd", "qty", "weight in kg", "date", "hs code", "month")
+    val b1 = Seq(factRow("s1", "KOMATSU PC200-8 EXCAVATOR"),
+      factRow("s2", "MYSTERY DEVICE")).toDF(cols: _*)
+    val b2 = Seq(factRow("s3", "SANY EXCAVATOR SY365H GOOD")).toDF(cols: _*)
+    b1.write.mode("append").parquet(incoming)
+    val q = Streams.pipelineStream(spark, b1.schema, incoming, sink, ck,
+      KnowledgeBase.sampleModelKb(spark), KnowledgeBase.sampleRegexKb(spark),
+      KnowledgeBase.sampleRates(spark)).start()
+    try {
+      q.processAllAvailable()
+      val first = spark.read.parquet(sink)
+      assert(first.count() == 2)
+      b2.write.mode("append").parquet(incoming)
+      q.processAllAvailable()
+      val all = spark.read.parquet(sink)
+      assert(all.count() == 3) // incremental: only the new batch appended
+      val byId = all.select($"`declaration number`", $"brand", $"model", $"remark")
+        .as[(String, String, String, String)].collect().map(r => r._1 -> r).toMap
+      assert(byId("s1")._2 == "KOMATSU" && byId("s1")._3 == "PC200-8")
+      assert(byId("s2")._2 == "UNKNOWN")
+      assert(byId("s3")._2 == "SANY" && byId("s3")._3 == "SY365H")
+    } finally q.stop()
+  }
+
   test("file-source history append stream lands monthly batches in the sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val incoming = s"$dir/in"; val sink = s"$dir/out"; val ck = s"$dir/ck"
