@@ -177,7 +177,8 @@ object Pipeline {
     * picked with a `greatest` struct fold — zero joins, zero shuffles.
     * Only the winning pattern's capacity_regex is evaluated (lazy `when`
     * chain). `regexPassRelational` is the big-KB fallback. */
-  def regexPass(df: DataFrame, regexKb: DataFrame): DataFrame = {
+  def regexPass(df: DataFrame, regexKb: DataFrame,
+      compat: CompatFlags = CompatFlags.intent): DataFrame = {
     val rows = regexKb.select("brand", "model_regex", "capacity_regex", "category", "starting_point")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getInt(4)))
@@ -186,7 +187,7 @@ object Pipeline {
     // big pattern tables would explode the literal plan (O(patterns) nodes
     // re-analyzed per execution — see PERF.md round 2); the relational
     // broadcast-rlike join is the right shape past this size
-    if (rows.length > 64) return regexPassRelational(df, regexKb)
+    if (rows.length > 64) return regexPassRelational(df, regexKb, compat)
     val todoCond = col("remark").isin(Remark.brandNoModel, Remark.noMatch)
     val patterns = rows.map { case (b, pat, _, _, _) =>
       (pat, -pat.length, col("brand") === lit(UNK) || col("brand") === lit(b))
@@ -215,7 +216,7 @@ object Pipeline {
         when(col("__rx").isNotNull, Normalize.stripSpaces(matched)).otherwise(col("model")))
       .withColumn("capacity",
         when(col("__rx").isNotNull && col("capacity").isNull,
-          RegexMatch.decodeCapacity(rxCapNum, rxSp)).otherwise(col("capacity")))
+          RegexMatch.decodeCapacity(rxCapNum, rxSp, compat)).otherwise(col("capacity")))
       .withColumn("type",
         when(col("__rx").isNotNull && col("type") === UNK, rxCategory).otherwise(col("type")))
       .withColumn("brand",
@@ -225,7 +226,8 @@ object Pipeline {
 
   /** Relational variant of stage 7 for pattern tables too large to
     * collect: broadcast rlike theta-join + window tie-break. */
-  def regexPassRelational(df: DataFrame, regexKb: DataFrame): DataFrame = {
+  def regexPassRelational(df: DataFrame, regexKb: DataFrame,
+      compat: CompatFlags = CompatFlags.intent): DataFrame = {
     val todo = df.filter(col("remark").isin(Remark.brandNoModel, Remark.noMatch))
     val done = df.filter(!col("remark").isin(Remark.brandNoModel, Remark.noMatch))
     val dim = regexKb.select(col("brand").as("rx_brand"), col("model_regex"),
@@ -241,7 +243,7 @@ object Pipeline {
         when(col("matched").isNotNull,
           get(regexp_extract_all(c("description2"), col("rx_capreg"), lit(1)), lit(0))))
       .withColumn("rx_capacity",
-        RegexMatch.decodeCapacity(col("rx_capnum"), col("rx_sp")))
+        RegexMatch.decodeCapacity(col("rx_capnum"), col("rx_sp"), compat))
     val applied = decoded
       .withColumn("remark",
         when(col("matched").isNull, col("remark"))
@@ -342,7 +344,7 @@ object Pipeline {
 
   /** The whole E1 composition. */
   def run(fact: DataFrame, modelKb: DataFrame, regexKb: DataFrame,
-      rates: DataFrame): DataFrame =
+      rates: DataFrame, compat: CompatFlags = CompatFlags.intent): DataFrame =
     fact.transform(prepare)
       .withColumn("datasource", lit("pipeline"))
       .transform(matchKnowledgeBase(_, modelKb))
@@ -354,7 +356,7 @@ object Pipeline {
       .transform(applyTypeRules)
       .transform(markUsedNew)
       .transform(markParts)
-      .transform(regexPass(_, regexKb))
+      .transform(regexPass(_, regexKb, compat))
       .transform(searchCapacity)
       .transform(Lookups.refineCraneType) // B5: >300T crawler → lattice boom
       .transform(materialize)             // branch point: backwardTag

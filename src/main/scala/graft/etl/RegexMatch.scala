@@ -14,6 +14,26 @@ import org.apache.spark.sql.functions._
   * pattern table is sorted so equal patterns are adjacent), then a window
   * tie-break on the longest extracted match.
   */
+/** Bit-level compatibility switches for the reference's BUGGY behaviors
+  * (SURVEY §2.12 — this library implements the documented INTENT by
+  * default; flip a flag only to reproduce the reference's buggy output
+  * byte-for-byte, e.g. when diffing against a historical export). */
+final case class CompatFlags(
+    /** §2.12-1: `search_regex` computes capacities for starting_point 1
+      * (and 2) but never assigns them (missing `df.at`). */
+    regexCapacityAssignBug: Boolean = false,
+    /** §2.12-2: the `capcacity` typo makes starting_point −2 crash; rows
+      * that would hit it end with no capacity. */
+    regexCapacityTypoBug: Boolean = false)
+
+object CompatFlags {
+  /** Documented intent (cells 19/28/43/49) — the default everywhere. */
+  val intent: CompatFlags = CompatFlags()
+  /** Reproduce the reference's actual buggy assignments. */
+  val bugCompatible: CompatFlags =
+    CompatFlags(regexCapacityAssignBug = true, regexCapacityTypoBug = true)
+}
+
 object RegexMatch {
 
   /** All matches of (column-side) `pattern` in `text`, longest first.
@@ -110,16 +130,22 @@ object RegexMatch {
     * provenance handled by caller); 3 → n; −1 → drop 1st digit; −2 → drop
     * first two digits.
     */
-  def decodeCapacity(numText: Column, startingPoint: Column): Column = {
+  def decodeCapacity(numText: Column, startingPoint: Column,
+      compat: CompatFlags = CompatFlags.intent): Column = {
     val n = numText.cast("double")
     val drop1 = substring(numText, 2, 1000).cast("double")
     val drop2 = substring(numText, 3, 1000).cast("double")
+    // §2.12-1/-2: the reference computes but never assigns for codes 1/2,
+    // and code -2 raises (the `capcacity` typo) — under the bug flags those
+    // codes contribute nothing, exactly like the buggy original
+    val c1 = if (compat.regexCapacityAssignBug) lit(null).cast("double") else drop1 / 10
+    val cm2 = if (compat.regexCapacityTypoBug) lit(null).cast("double") else drop2
     when(startingPoint === 0, n / 10)
-      .when(startingPoint === 1, drop1 / 10)
+      .when(startingPoint === 1, c1)
       .when(startingPoint === 2, lit(null).cast("double"))
       .when(startingPoint === 3, n)
       .when(startingPoint === -1, drop1)
-      .when(startingPoint === -2, drop2)
+      .when(startingPoint === -2, cm2)
       .otherwise(lit(null).cast("double"))
   }
 }

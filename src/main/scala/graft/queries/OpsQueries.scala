@@ -160,6 +160,35 @@ object OpsQueries {
              |       coalesce(cap, -1.0) AS inferred_capacity
              |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
 
+    // ─── A3/A4/O4 by interval: the reference's key_capacity_interval ────
+    // (py:664-689): sums + share per capacity bucket, UNKNOWN forced to
+    // the bottom of the report.
+    "q53_interval_share" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.etl.{Analytics, Enrich}
+        val bucketed = Tables.lineitem(s, dir)
+          .withColumn("interval", Enrich.fixedBuckets($"l_quantity"))
+        val sh = Analytics.sharesTable(bucketed, "interval",
+          $"l_extendedprice" * (lit(1.0) - $"l_discount"), "share", "revenue")
+        sh.select($"interval", $"revenue".cast("double").as("revenue"), $"share")
+          .orderBy(Analytics.bottomLabelsKey("interval", Seq("UNKNOWN")),
+            $"share".desc, $"interval")
+      },
+      Some("""WITH b AS (SELECT CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 'UNKNOWN'
+             |    WHEN l_quantity < 5 THEN '<5T' WHEN l_quantity < 10 THEN '5-10T'
+             |    WHEN l_quantity < 30 THEN '10-30T' WHEN l_quantity < 70 THEN '30-70T'
+             |    WHEN l_quantity < 90 THEN '70-90T' ELSE '≥90T' END AS interval,
+             |    l_extendedprice, l_discount FROM lineitem),
+             |rev AS (SELECT interval, sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS revenue
+             |        FROM b GROUP BY interval),
+             |tot AS (SELECT sum(revenue) AS grand FROM rev)
+             |SELECT interval, CAST(revenue AS DOUBLE) AS revenue,
+             |       CAST(revenue AS DOUBLE)/CAST(grand AS DOUBLE)*100 AS share
+             |FROM rev CROSS JOIN tot
+             |ORDER BY CASE WHEN interval = 'UNKNOWN' THEN 1 ELSE 0 END,
+             |         share DESC, interval""".stripMargin)),
+
     // ─── B1 crane branch: known-capacity-only w-wide buckets ────────────
     "q52_crane_buckets" -> Q(
       (s, dir) => {

@@ -50,3 +50,21 @@ class RegexMatchSpec extends SparkSpec {
     assert(lit_ == rel)
   }
 }
+
+class CompatFlagsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("bug-compatible decode drops the codes the reference never assigns") {
+    val df = Seq(("215", 1), ("99", 2), ("330", 3), ("1234", -2)).toDF("num", "sp")
+    val intent = df.select(
+      RegexMatch.decodeCapacity($"num", $"sp").as("c")).as[Option[Double]].collect()
+    val buggy = df.select(
+      RegexMatch.decodeCapacity($"num", $"sp", CompatFlags.bugCompatible).as("c"))
+      .as[Option[Double]].collect()
+    // documented intent: 1 → drop-first/10, 2 → null, 3 → n, −2 → drop two
+    assert(intent.toSeq == Seq(Some(1.5), None, Some(330.0), Some(34.0)))
+    // reference's actual behavior: 1/2 never assigned, −2 crashes (→ none)
+    assert(buggy.toSeq == Seq(None, None, Some(330.0), None))
+  }
+}
