@@ -17,11 +17,18 @@ object Normalize {
   def collapseWs(c: Column): Column = regexp_replace(c, "\\s+", " ")
 
   /** Replace the punctuation class `,()[]:;` with spaces, delete `/` and `*`,
-    * trim, uppercase — the reference's `pre_processing` (py:22-37).
-    * One `translate` does both the space-mapping AND the deletions (chars
-    * in `from` beyond `to`'s length are removed — in Spark and DuckDB
-    * alike), so the only regex pass left is the whitespace collapse. */
-  def preProcess(c: Column): Column =
+    * collapse whitespace, trim, uppercase — the reference's
+    * `pre_processing` (py:22-37). Runs as ONE fused character-pass
+    * expression (graft.functions.PreProcessExpr); `preProcessDeclarative`
+    * is the 4-pass translate/regex chain it is property-tested
+    * bit-identical to (and the form the DuckDB oracles mirror). */
+  def preProcess(c: Column): Column = graft.functions.PreProcess.fused(c)
+
+  /** The declarative chain (kept for the equivalence property test and as
+    * oracle documentation). One `translate` does both the space-mapping AND
+    * the deletions (chars in `from` beyond `to`'s length are removed — in
+    * Spark and DuckDB alike). */
+  def preProcessDeclarative(c: Column): Column =
     upper(trim(collapseWs(translate(c, ",()[]:;/*", "       "))))
 
   /** Remove every space (reference model-key cleanup, notebook cells 60/82). */

@@ -16,7 +16,15 @@ class PropertySpec extends SparkSpec {
 
   private val dirtyText: Gen[String] =
     Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.oneOf(",", "(", ")", "[", "]",
-      ":", ";", "/", "*", " ", "  ", "\t"))).map(_.mkString)
+      ":", ";", "/", "*", " ", "  ", "\t", "\n", "\r", "\f", "\u000b",
+      "\u00e9", "\u4e2d", " \t ", "**//"))).map(_.mkString)
+
+  test("property: fused preProcess is bit-identical to the declarative chain") {
+    val df = samples(dirtyText, 400).toDF("s")
+    val violations = df.filter(
+      Normalize.preProcess($"s") =!= Normalize.preProcessDeclarative($"s"))
+    assert(violations.count() == 0)
+  }
 
   test("property: preProcess is idempotent on arbitrary dirty text") {
     val df = samples(dirtyText).toDF("s")
