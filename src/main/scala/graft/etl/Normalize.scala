@@ -31,8 +31,9 @@ object Normalize {
   def preProcessDeclarative(c: Column): Column =
     upper(trim(collapseWs(translate(c, ",()[]:;/*", "       "))))
 
-  /** Remove every space (reference model-key cleanup, notebook cells 60/82). */
-  def stripSpaces(c: Column): Column = regexp_replace(c, " ", "")
+  /** Remove every space (reference model-key cleanup, notebook cells 60/82).
+    * `translate` with an empty to-string deletes — no regex engine. */
+  def stripSpaces(c: Column): Column = translate(c, " ", "")
 
   /** One alias rule: if `matchToken` is true match on whole tokens of the text
     * (reference: `'CAT' in text.split(' ')`), else substring containment. */

@@ -160,6 +160,20 @@ object OpsQueries {
              |       coalesce(cap, -1.0) AS inferred_capacity
              |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
 
+    // ─── skew-safe two-phase aggregation (Scale.saltedSum) ──────────────
+    // The salt is internal plumbing: the oracle is the PLAIN group sum the
+    // salted two-phase must reproduce exactly (decimal partials).
+    "q54_salted_sum" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.etl.Scale.saltedSum(Tables.lineitem(s, dir),
+            "l_returnflag", "l_orderkey", $"l_extendedprice", salts = 8, out = "total")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ─── A3/A4/O4 by interval: the reference's key_capacity_interval ────
     // (py:664-689): sums + share per capacity bucket, UNKNOWN forced to
     // the bottom of the report.
