@@ -49,6 +49,18 @@ object Enrich {
       usedMarkers: Seq[String],
       newMarkers: Seq[String],
       yearLo: Int = 1950,
+      yearHi: Int = 2018): Column =
+    // fused single token-scan expression; `usedNewDeclarative` is the
+    // spec-equivalent 3-pass form the oracles mirror
+    graft.functions.UsedNew.fused(text, usedMarkers, newMarkers, yearLo, yearHi)
+
+  /** Declarative form (split + overlaps + per-token year regex), kept for
+    * the equivalence property test and oracle documentation. */
+  def usedNewDeclarative(
+      text: Column,
+      usedMarkers: Seq[String],
+      newMarkers: Seq[String],
+      yearLo: Int = 1950,
       yearHi: Int = 2018): Column = {
     val toks = split(text, " ")
     // year test via string compare (lexicographic == numeric for 4-digit

@@ -26,6 +26,19 @@ class PropertySpec extends SparkSpec {
     assert(violations.count() == 0)
   }
 
+  test("property: fused usedNew is bit-identical to the declarative chain") {
+    val tokeny: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.oneOf("USED", "NEW", "OLD", "UNUSED", "2ND"),
+      Gen.chooseNum(1000, 2100).map(_.toString),
+      Gen.oneOf(" ", "  ", ""))).map(_.mkString(" "))
+    val df = samples(tokeny, 400).toDF("s")
+    val used = Seq("USED", "SECONDHAND", "OLD", "REFURBISH", "SECOND", "2ND")
+    val neu = Seq("NEW", "UNUSED")
+    val violations = df.filter(
+      Enrich.usedNew($"s", used, neu) =!= Enrich.usedNewDeclarative($"s", used, neu))
+    assert(violations.count() == 0)
+  }
+
   test("property: preProcess is idempotent on arbitrary dirty text") {
     val df = samples(dirtyText).toDF("s")
     val violations = df.filter(
