@@ -342,9 +342,11 @@ object Pipeline {
   private def materialize(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
 
-  /** The whole E1 composition. */
-  def run(fact: DataFrame, modelKb: DataFrame, regexKb: DataFrame,
-      rates: DataFrame, compat: CompatFlags = CompatFlags.intent): DataFrame =
+  /** Shared 13-stage chain; `intervals` is the only stage that differs
+    * between the excavator (E1) and crane (E2) entry points. */
+  private def runStages(fact: DataFrame, modelKb: DataFrame, regexKb: DataFrame,
+      rates: DataFrame, intervals: DataFrame => DataFrame,
+      compat: CompatFlags): DataFrame =
     fact.transform(prepare)
       .withColumn("datasource", lit("pipeline"))
       .transform(matchKnowledgeBase(_, modelKb))
@@ -363,7 +365,32 @@ object Pipeline {
       .transform(backwardTag)
       .transform(materialize)             // branch point: outlier median
       .transform(markOutliers)
-      .transform(markIntervals(_))
+      .transform(intervals)
       .transform(convertCurrency(_, rates))
       .transform(finalize)
+
+  /** The whole E1 (excavator) composition. */
+  def run(fact: DataFrame, modelKb: DataFrame, regexKb: DataFrame,
+      rates: DataFrame, compat: CompatFlags = CompatFlags.intent): DataFrame =
+    runStages(fact, modelKb, regexKb, rates, markIntervals(_), compat)
+
+  /** Crane-mode intervals (B1 crane branch): capacity ONLY — no unit-
+    * weight fallback — with `<wT` + w-wide bands; the fixed working-
+    * scenario buckets also read capacity alone. */
+  def markIntervalsCrane(df: DataFrame, loadInterval: Int = 50): DataFrame =
+    df.withColumn("capacity interval", Enrich.craneBuckets(col("capacity"), loadInterval))
+      .withColumn("type interval", Enrich.fixedBuckets(col("capacity")))
+
+  /** E2 (crane) entry point (SURVEY §3; reference cells 37/51-52/73):
+    * the same 13 stages with crane interval rules and an optional EN↔CN
+    * type-label translation merge (J8). `translations`: (key, translated). */
+  def runCrane(fact: DataFrame, modelKb: DataFrame, regexKb: DataFrame,
+      rates: DataFrame, translations: Option[DataFrame] = None,
+      loadInterval: Int = 50,
+      compat: CompatFlags = CompatFlags.intent): DataFrame = {
+    val out = runStages(fact, modelKb, regexKb, rates,
+      markIntervalsCrane(_, loadInterval), compat)
+    translations.map(t => Lookups.translateLabels(out, "type", t, "type_translated"))
+      .getOrElse(out)
+  }
 }

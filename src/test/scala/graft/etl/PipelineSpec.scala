@@ -119,3 +119,47 @@ class PipelineSpec extends SparkSpec {
     assert(need.forall(out.columns.contains))
   }
 }
+
+class CranePipelineSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("crane mode: capacity-only intervals + type translation merge") {
+    def factRow(id: String, desc: String, kg: Double) =
+      (id, desc, "MOKAC CO", 900000.0, 1.0, kg, "2024/05/01", "84261100", "202405")
+    val fact = Seq(
+      factRow("c1", "GROVE RT765E ROUGH TERRAIN CRANE", 60000.0),
+      factRow("c2", "KOMATSU MYSTERY RIG", 50000.0)) // no capacity → UNKNOWN, no weight fallback
+      .toDF("declaration number", "product description", "supplier", "amount in usd",
+        "qty", "weight in kg", "date", "hs code", "month")
+    val translations = Seq(("ROUGH-TERRAIN CRANE", "越野轮胎起重机")).toDF("key", "translated")
+    val out = Pipeline.runCrane(fact,
+      KnowledgeBase.sampleModelKb(spark), KnowledgeBase.sampleRegexKb(spark),
+      KnowledgeBase.sampleRates(spark), Some(translations), loadInterval = 50)
+    val r1 = out.filter($"`declaration number`" === "c1").collect().head
+    val m1 = out.columns.zip(r1.toSeq).toMap
+    assert(m1("capacity interval") == "50-100T") // 60T in a 50-wide band
+    assert(m1("type_translated") == "越野轮胎起重机")
+    val m2 = out.columns.zip(
+      out.filter($"`declaration number`" === "c2").collect().head.toSeq).toMap
+    assert(m2("capacity interval") == "UNKNOWN") // crane: NO weight fallback
+    assert(m2("type interval") == "UNKNOWN")
+  }
+
+  test("K2: scoped re-match only touches the targeted rows") {
+    val df = Seq(
+      ("r1", "KOMATSU PC200-8 UNIT", "S", "No match"),
+      ("r2", "SANY SY215C UNIT", "S", "Fully match"))
+      .toDF("declaration number", "description2", "supplier_norm", "remark")
+      .withColumn("brand", lit("STALE")).withColumn("model", lit("STALE"))
+      .withColumn("capacity", lit(null).cast("double"))
+      .withColumn("type", lit("STALE")).withColumn("hp", lit(null).cast("double"))
+    val out = Matching.rematchIndividual(df, col("remark") === "No match",
+      KnowledgeBase.sampleModelKb(spark))
+    val byId = out.select($"`declaration number`", $"brand", $"model", $"remark")
+      .as[(String, String, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(byId("r1")._2 == "KOMATSU" && byId("r1")._3 == "PC200-8"
+      && byId("r1")._4 == Pipeline.Remark.fully)
+    assert(byId("r2")._2 == "STALE") // untouched
+  }
+}
