@@ -465,9 +465,12 @@ object OpsQueries {
     "q38_corpus_signature" -> Q(
       (s, dir) => {
         import s.implicits._
+        // hash the whole shingle array per doc (one loop-kernel call),
+        // THEN explode longs — cheaper rows than hashing post-explode
         val hashed = Tables.documents(s, dir)
-          .select($"source", explode(Dedup.shingles($"text", 3)).as("sh"))
-          .select($"source", Dedup.baseHash($"sh").as("h"))
+          .select($"source",
+            explode(graft.functions.HashOps.md5Prefix60Array(
+              Dedup.shingles($"text", 3))).as("h"))
         // Signature is emitted as a comma-joined string, not array<bigint>:
         // the driver's pandas-based compare sorts result columns and cannot
         // hash/sort ndarray cells (round-1 q38 failed exactly there).
