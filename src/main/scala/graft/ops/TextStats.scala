@@ -77,8 +77,9 @@ object TextStats {
     val toks = df.select(col(idCol).as("__id"),
       explode(split(lower(col(textCol)), "\\s+")).as("term"))
     val tf = toks.groupBy(col("__id"), col("term")).agg(fcount(lit(1)).as("tf"))
-    val dfreq = toks.select(col("__id"), col("term")).distinct()
-      .groupBy(col("term")).agg(fcount(lit(1)).as("df"))
+    // document frequency from tf's one-row-per-(doc, term) output — no
+    // second explode over the corpus; the tf exchange is reused
+    val dfreq = tf.groupBy(col("term")).agg(fcount(lit(1)).as("df"))
     val n = df.count() // corpus size: one driver scalar, not a per-row agg
     val scored = tf.join(broadcast(dfreq), "term")
       .withColumn("tfidf", col("tf") * log((lit(n) + 1.0) / (col("df") + lit(1.0))))
