@@ -1,0 +1,66 @@
+package graft
+
+import java.io.FileOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import graft.etl._
+
+/** The README "Using the library" story, executed verbatim: monthly xlsx
+  * batches → DSv2 read → Pipeline.run → partitioned history append →
+  * re-read → key-players analytics. Keeps the documentation honest. */
+class UserJourneySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeXlsx(path: String, rows: Seq[Seq[String]]): Unit = {
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val sb = new StringBuilder(
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      sb.append(s"""<row r="${i + 1}">""")
+      r.zipWithIndex.foreach { case (v, j) =>
+        sb.append(s"""<c r="${('A' + j).toChar}${i + 1}" t="inlineStr"><is><t>$v</t></is></c>""")
+      }
+      sb.append("</row>")
+    }
+    sb.append("</sheetData></worksheet>")
+    put("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/worksheets/sheet1.xml", sb.toString)
+    zos.close()
+  }
+
+  test("xlsx batches → pipeline → history sink → key-players report") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_journey").toString
+    val header = Seq("declaration number", "product description", "supplier",
+      "amount in usd", "qty", "weight in kg", "date", "hs code", "month")
+    writeXlsx(s"$dir/may.xlsx", Seq(header,
+      Seq("m1", "KOMATSU PC200-8 EXCAVATOR", "MOKAC CO", "120000", "1", "20000", "2024/05/01", "84295200", "202405"),
+      Seq("m2", "SANY SY215C EXCAVATOR", "SOMECO", "200000", "2", "43000", "2024/05/02", "84295200", "202405")))
+    writeXlsx(s"$dir/jun.xlsx", Seq(header,
+      Seq("j1", "XCMG XE215C EXCAVATOR", "XUZHOU CONSTRUCTION MACHINERY", "110000", "1", "21500", "2024/06/01", "84295200", "202406")))
+
+    // distributed ingest of the whole directory (one partition per file)
+    val fact = spark.read.format("graft-xlsx").load(dir)
+    assert(fact.count() == 3)
+
+    val enriched = Pipeline.run(fact,
+      KnowledgeBase.sampleModelKb(spark), KnowledgeBase.sampleRegexKb(spark),
+      KnowledgeBase.sampleRates(spark))
+
+    val sink = s"$dir/history"
+    graft.sources.CustomsSource.appendToHistory(enriched, sink)
+    val history = graft.sources.CustomsSource.readHistory(spark, sink)
+    assert(history.count() == 3)
+    assert(history.filter($"brand" === "XCMG").count() == 1) // supplier alias hit
+
+    // FY analytics over the history (A3/A4 composition)
+    val shares = Analytics.sharesTable(history, "brand",
+      col("`amount in usd`"), "share", "revenue")
+    val got = shares.select($"brand", $"share").as[(String, Double)].collect().toMap
+    assert(math.abs(got.values.sum - 100.0) < 1e-9)
+    assert(got("SANY") > got("KOMATSU")) // 200k vs 120k
+  }
+}
