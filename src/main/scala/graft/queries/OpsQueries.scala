@@ -675,27 +675,7 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         import graft.etl.{KnowledgeBase, Pipeline, Rates}
-        val brands = array(Q40Oracle.factBrands.map(lit): _*)
-        val models = array(Q40Oracle.factModels.map(lit): _*)
-        // 1-in-7 sample keeps the full 13-stage pipeline in the bench at a
-        // sane per-query cost; every stage still sees O(100k) rows at sf0.1
-        val li = Tables.lineitem(s, dir).filter(pmod($"l_orderkey", lit(7)) === 0)
-        val part = Tables.part(s, dir)
-        val fact = li.join(broadcast(part), $"l_partkey" === $"p_partkey")
-          .select(
-            concat($"l_orderkey", lit("-"), $"l_linenumber").as("declaration number"),
-            upper(concat_ws(" ",
-              get(brands, pmod($"l_partkey", lit(7)).cast("int")),
-              get(models, pmod($"l_orderkey" + $"l_linenumber", lit(12)).cast("int")),
-              $"p_name")).as("product description"),
-            concat(lit("SUPPLIER "), $"l_suppkey").as("supplier"),
-            ($"l_extendedprice" * 10).as("amount in usd"),
-            $"l_quantity".as("qty"),
-            ($"l_quantity" * lit(20000.0)).as("weight in kg"),
-            date_format($"l_shipdate", "yyyy-MM-dd").as("date"),
-            lit("84295200").as("hs code"),
-            date_format($"l_shipdate", "yyyyMM").as("month"))
-        val out = Pipeline.run(fact,
+        val out = Pipeline.run(synthCustomsFact(s, dir),
           KnowledgeBase.sampleModelKb(s), KnowledgeBase.sampleRegexKb(s),
           Rates.rateTable(s,
             for { y <- 1995 to 2002; m <- 1 to 12 }
@@ -704,5 +684,50 @@ object OpsQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy($"remark", $"outliers", $"type interval")
       },
-      Some(Q40Oracle.sql)))
+      Some(Q40Oracle.sql)),
+
+    // ─── the RELATIONAL KB-match path (big-KB fallback) oracle-gated ────
+    // Same semantics as the literal-expression path q40 uses; the output
+    // is a (brand, model, remark) distribution so no row identity is
+    // needed. Proves literal ≡ relational under the oracle, not just specs.
+    "q55_match_relational" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.etl.{KnowledgeBase, Pipeline}
+        val matched = Pipeline.matchKnowledgeBaseRelational(
+          Pipeline.prepare(synthCustomsFact(s, dir)),
+          KnowledgeBase.sampleModelKb(s))
+        matched.groupBy($"brand", $"model", $"remark")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"brand", $"model", $"remark")
+      },
+      Some(Q40Oracle.matchOnlySql)))
+
+  /** The customs-shaped synthetic fact table shared by q40/q55 — built
+    * deterministically from lineitem×part with brand/model tokens injected
+    * by key arithmetic (mirrored in Q40Oracle's fact0 CTE). */
+  private def synthCustomsFact(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val brands = array(Q40Oracle.factBrands.map(lit): _*)
+    val models = array(Q40Oracle.factModels.map(lit): _*)
+    // 1-in-7 sample keeps the full 13-stage pipeline in the bench at a
+    // sane per-query cost; every stage still sees O(100k) rows at sf0.1
+    val li = Tables.lineitem(s, dir).filter(pmod($"l_orderkey", lit(7)) === 0)
+    val part = Tables.part(s, dir)
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .select(
+        concat($"l_orderkey", lit("-"), $"l_linenumber").as("declaration number"),
+        upper(concat_ws(" ",
+          get(brands, pmod($"l_partkey", lit(7)).cast("int")),
+          get(models, pmod($"l_orderkey" + $"l_linenumber", lit(12)).cast("int")),
+          $"p_name")).as("product description"),
+        concat(lit("SUPPLIER "), $"l_suppkey").as("supplier"),
+        ($"l_extendedprice" * 10).as("amount in usd"),
+        $"l_quantity".as("qty"),
+        ($"l_quantity" * lit(20000.0)).as("weight in kg"),
+        date_format($"l_shipdate", "yyyy-MM-dd").as("date"),
+        lit("84295200").as("hs code"),
+        date_format($"l_shipdate", "yyyyMM").as("month"))
+  }
 }

@@ -65,7 +65,16 @@ object Q40Oracle {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
-  def sql: String = {
+  /** The shared CTE prefix: synthetic fact → prepare → brand/model match
+    * (fact0..s2). Reused by the full-pipeline oracle (`sql`) and the
+    * match-only oracle (`matchOnlySql`).
+    *
+    * rid must uniquely identify a PHYSICAL lineitem row: the synthetic
+    * corpus has duplicate (l_orderkey, l_linenumber) pairs, so a global
+    * row_number over every column that feeds the pipeline is used. Rows
+    * tying on ALL of those columns are interchangeable downstream, so the
+    * arbitrary id assignment among ties cannot change the result. */
+  private def matchPrefix: String = {
     val R = Pipeline.Remark
     val kbRows = KnowledgeBase.sampleModelKbRows
     val brandVals = kbRows.map(_._1).distinct.zipWithIndex
@@ -73,15 +82,6 @@ object Q40Oracle {
     val kbVals = kbRows.map { case (b, m, cap, ty, _) =>
       s"('$b', '$m', '${normRef(m)}', $cap::DOUBLE, '$ty')"
     }.mkString(",\n      ")
-    val rxVals = KnowledgeBase.sampleRegexKbRows.map { case (b, pat, capreg, cat, sp) =>
-      s"('$b', '$pat', '$capreg', '$cat', $sp, ${pat.length})"
-    }.mkString(",\n      ")
-
-    // rid must uniquely identify a PHYSICAL lineitem row: the synthetic
-    // corpus has duplicate (l_orderkey, l_linenumber) pairs, so a global
-    // row_number over every column that feeds the pipeline is used. Rows
-    // tying on ALL of those columns are interchangeable downstream, so the
-    // arbitrary id assignment among ties cannot change the result.
     s"""WITH fact0 AS (
        |  SELECT row_number() OVER (ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey,
        |           l.l_suppkey, l.l_quantity, l.l_extendedprice) AS rid,
@@ -121,7 +121,23 @@ object Q40Oracle {
        |         CASE WHEN brand0 IS NULL THEN '${R.noMatch}'
        |              WHEN model0 IS NULL THEN '${R.brandNoModel}'
        |              ELSE '${R.fully}' END AS remark
-       |  FROM m),
+       |  FROM m)""".stripMargin
+  }
+
+  /** Oracle for q55: the match stage alone as a (brand, model, remark)
+    * distribution — row-identity-free, so it also gates the RELATIONAL
+    * match path, whose Spark output has no stable row ids. */
+  def matchOnlySql: String =
+    matchPrefix + """
+      |SELECT brand, model, remark, count(*) AS n
+      |FROM s2 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  def sql: String = {
+    val R = Pipeline.Remark
+    val rxVals = KnowledgeBase.sampleRegexKbRows.map { case (b, pat, capreg, cat, sp) =>
+      s"('$b', '$pat', '$capreg', '$cat', $sp, ${pat.length})"
+    }.mkString(",\n      ")
+    matchPrefix + s""",
        |s6 AS (
        |  SELECT rid, price, unit_wt, d2, brand, model, capacity,
        |         CASE WHEN contains(d2, 'WHEEL EXCAVATOR') THEN 'WHEEL EXCAVATOR'
