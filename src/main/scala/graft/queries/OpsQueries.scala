@@ -701,7 +701,26 @@ object OpsQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy($"brand", $"model", $"remark")
       },
-      Some(Q40Oracle.matchOnlySql)))
+      Some(Q40Oracle.matchOnlySql)),
+
+    // ─── the RELATIONAL regex-pass fallback oracle-gated (as q55) ───────
+    // Its remark vocabulary is the longest-only variant (no n_matched), so
+    // the oracle uses the same CASE via Q40Oracle.regexOnlySql.
+    "q56_regex_relational" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.etl.{KnowledgeBase, Pipeline}
+        Pipeline.prepare(synthCustomsFact(s, dir))
+          .transform(Pipeline.matchKnowledgeBase(_, KnowledgeBase.sampleModelKb(s)))
+          .transform(Pipeline.dropIrrelevant)
+          .transform(Pipeline.applyTypeRules)
+          .transform(Pipeline.markUsedNew)
+          .transform(Pipeline.markParts)
+          .transform(Pipeline.regexPassRelational(_, KnowledgeBase.sampleRegexKb(s)))
+          .groupBy($"brand", $"model", $"remark").agg(count(lit(1)).as("n"))
+          .orderBy($"brand", $"model", $"remark")
+      },
+      Some(Q40Oracle.regexOnlySql)))
 
   /** The customs-shaped synthetic fact table shared by q40/q55 — built
     * deterministically from lineitem×part with brand/model tokens injected

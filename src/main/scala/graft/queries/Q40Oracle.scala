@@ -132,11 +132,25 @@ object Q40Oracle {
       |SELECT brand, model, remark, count(*) AS n
       |FROM s2 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
-  def sql: String = {
+  /** Prefix through the regex pass (fact0..s7). `uniqueRemarks` selects
+    * the literal path's remark vocabulary (distinguishes unique-vs-longest
+    * via n_matched) or the relational fallback's (longest-only). */
+  private def throughS7(uniqueRemarks: Boolean): String = {
     val R = Pipeline.Remark
     val rxVals = KnowledgeBase.sampleRegexKbRows.map { case (b, pat, capreg, cat, sp) =>
       s"('$b', '$pat', '$capreg', '$cat', $sp, ${pat.length})"
     }.mkString(",\n      ")
+    val remarkCase =
+      if (uniqueRemarks)
+        s"""CASE WHEN m IS NULL THEN remark
+           |              WHEN brand = 'UNKNOWN' AND nm = 1 THEN '${R.noBrandUniqueRegex}'
+           |              WHEN brand = 'UNKNOWN' THEN '${R.noBrandLongestRegex}'
+           |              WHEN nm = 1 THEN '${R.uniqueRegex}'
+           |              ELSE '${R.longestRegex}' END""".stripMargin
+      else
+        s"""CASE WHEN m IS NULL THEN remark
+           |              WHEN brand = 'UNKNOWN' THEN '${R.noBrandLongestRegex}'
+           |              ELSE '${R.longestRegex}' END""".stripMargin
     matchPrefix + s""",
        |s6 AS (
        |  SELECT rid, price, unit_wt, d2, brand, model, capacity,
@@ -170,11 +184,7 @@ object Q40Oracle {
        |     ORDER BY length(m) DESC NULLS LAST, rx.patlen DESC NULLS LAST, rx.pat ASC NULLS LAST) = 1),
        |s7 AS (
        |  SELECT rid, price, unit_wt, d2, newused,
-       |         CASE WHEN m IS NULL THEN remark
-       |              WHEN brand = 'UNKNOWN' AND nm = 1 THEN '${R.noBrandUniqueRegex}'
-       |              WHEN brand = 'UNKNOWN' THEN '${R.noBrandLongestRegex}'
-       |              WHEN nm = 1 THEN '${R.uniqueRegex}'
-       |              ELSE '${R.longestRegex}' END AS remark,
+       |         $remarkCase AS remark,
        |         CASE WHEN m IS NOT NULL THEN replace(m, ' ', '') ELSE model END AS model,
        |         CASE WHEN m IS NOT NULL AND capacity IS NULL THEN
        |              CASE WHEN sp = 0 THEN try_cast(capnum AS DOUBLE) / 10
@@ -186,7 +196,19 @@ object Q40Oracle {
        |              ELSE capacity END AS capacity,
        |         CASE WHEN m IS NOT NULL AND typ = 'UNKNOWN' THEN cat ELSE typ END AS typ,
        |         CASE WHEN m IS NOT NULL AND brand = 'UNKNOWN' THEN rx_brand ELSE brand END AS brand
-       |  FROM (SELECT s7j.*, nullif(regexp_extract(d2, capreg, 1), '') AS capnum FROM s7j)),
+       |  FROM (SELECT s7j.*, nullif(regexp_extract(d2, capreg, 1), '') AS capnum FROM s7j))""".stripMargin
+  }
+
+  /** Oracle for q56: the regex pass via the RELATIONAL fallback's remark
+    * vocabulary, as a row-identity-free distribution. */
+  def regexOnlySql: String =
+    throughS7(uniqueRemarks = false) + """
+      |SELECT brand, model, remark, count(*) AS n
+      |FROM s7 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  def sql: String = {
+    val R = Pipeline.Remark
+    throughS7(uniqueRemarks = true) + s""",
        |s8 AS (
        |  SELECT rid, price, unit_wt, brand, model, newused,
        |         CASE WHEN capacity IS NULL AND cap8 IS NOT NULL THEN '${R.capacityInDesc}'
