@@ -72,11 +72,16 @@ object RegexMatch {
       findallLongest: Boolean = true): DataFrame = {
     val matched = col("__m")
     val extractExpr =
-      if (findallLongest) longestMatch(col(textCol), col(patCol))
+      if (findallLongest)
+        // cached-pattern kernel: the builtin recompiles when the pattern
+        // column's value changes, i.e. on EVERY candidate of the theta-join
+        graft.functions.RegexCached.longestFindall(col(textCol), col(patCol))
       // first-match semantics: null-safe head of the findall list
       else get(regexp_extract_all(col(textCol), col(patCol), lit(0)), lit(0))
     val joined = fact
-      .join(broadcast(dim), scope && rlike(col(textCol), col(patCol)), "left")
+      .join(broadcast(dim),
+        scope && graft.functions.RegexCached.rlikeCached(col(textCol), col(patCol)),
+        "left")
       .withColumn("__m", extractExpr)
     val tie: Seq[Column] =
       Seq(length(matched).desc_nulls_last) ++

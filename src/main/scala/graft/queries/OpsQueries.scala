@@ -695,13 +695,13 @@ object OpsQueries {
         import s.implicits._
         import graft.etl.{KnowledgeBase, Pipeline}
         val matched = Pipeline.matchKnowledgeBaseRelational(
-          Pipeline.prepare(synthCustomsFact(s, dir)),
+          Pipeline.prepare(synthCustomsFact(s, dir, every = 70)),
           KnowledgeBase.sampleModelKb(s))
         matched.groupBy($"brand", $"model", $"remark")
           .agg(count(lit(1)).as("n"))
           .orderBy($"brand", $"model", $"remark")
       },
-      Some(Q40Oracle.matchOnlySql)),
+      Some(Q40Oracle.matchOnlySql(70))),
 
     // ─── the RELATIONAL regex-pass fallback oracle-gated (as q55) ───────
     // Its remark vocabulary is the longest-only variant (no n_matched), so
@@ -710,29 +710,32 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         import graft.etl.{KnowledgeBase, Pipeline}
-        Pipeline.prepare(synthCustomsFact(s, dir))
+        Pipeline.prepare(synthCustomsFact(s, dir, every = 70))
           .transform(Pipeline.matchKnowledgeBase(_, KnowledgeBase.sampleModelKb(s)))
           .transform(Pipeline.dropIrrelevant)
           .transform(Pipeline.applyTypeRules)
           .transform(Pipeline.markUsedNew)
           .transform(Pipeline.markParts)
+          // the relational pass branches its input (todo/done split): cut
+          // the lineage so the match block isn't recomputed per branch
+          .transform(_.localCheckpoint(eager = false))
           .transform(Pipeline.regexPassRelational(_, KnowledgeBase.sampleRegexKb(s)))
           .groupBy($"brand", $"model", $"remark").agg(count(lit(1)).as("n"))
           .orderBy($"brand", $"model", $"remark")
       },
-      Some(Q40Oracle.regexOnlySql)))
+      Some(Q40Oracle.regexOnlySql(70))))
 
   /** The customs-shaped synthetic fact table shared by q40/q55 — built
     * deterministically from lineitem×part with brand/model tokens injected
     * by key arithmetic (mirrored in Q40Oracle's fact0 CTE). */
   private def synthCustomsFact(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String, every: Int = 7): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val brands = array(Q40Oracle.factBrands.map(lit): _*)
     val models = array(Q40Oracle.factModels.map(lit): _*)
     // 1-in-7 sample keeps the full 13-stage pipeline in the bench at a
     // sane per-query cost; every stage still sees O(100k) rows at sf0.1
-    val li = Tables.lineitem(s, dir).filter(pmod($"l_orderkey", lit(7)) === 0)
+    val li = Tables.lineitem(s, dir).filter(pmod($"l_orderkey", lit(every)) === 0)
     val part = Tables.part(s, dir)
     li.join(broadcast(part), $"l_partkey" === $"p_partkey")
       .select(

@@ -74,7 +74,7 @@ object Q40Oracle {
     * row_number over every column that feeds the pipeline is used. Rows
     * tying on ALL of those columns are interchangeable downstream, so the
     * arbitrary id assignment among ties cannot change the result. */
-  private def matchPrefix: String = {
+  private def matchPrefix(every: Int): String = {
     val R = Pipeline.Remark
     val kbRows = KnowledgeBase.sampleModelKbRows
     val brandVals = kbRows.map(_._1).distinct.zipWithIndex
@@ -94,7 +94,7 @@ object Q40Oracle {
        |         l.l_quantity AS qty,
        |         l.l_quantity * 20000.0 AS wkg
        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-       |  WHERE l.l_orderkey % 7 = 0),
+       |  WHERE l.l_orderkey % $every = 0),
        |prep AS (
        |  SELECT rid, amount / qty AS price, wkg / qty / 1000 AS unit_wt,
        |         ${normSql(aliasSql("descr"))} AS d2,
@@ -127,15 +127,15 @@ object Q40Oracle {
   /** Oracle for q55: the match stage alone as a (brand, model, remark)
     * distribution — row-identity-free, so it also gates the RELATIONAL
     * match path, whose Spark output has no stable row ids. */
-  def matchOnlySql: String =
-    matchPrefix + """
+  def matchOnlySql(every: Int): String =
+    matchPrefix(every) + """
       |SELECT brand, model, remark, count(*) AS n
       |FROM s2 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** Prefix through the regex pass (fact0..s7). `uniqueRemarks` selects
     * the literal path's remark vocabulary (distinguishes unique-vs-longest
     * via n_matched) or the relational fallback's (longest-only). */
-  private def throughS7(uniqueRemarks: Boolean): String = {
+  private def throughS7(uniqueRemarks: Boolean, every: Int = 7): String = {
     val R = Pipeline.Remark
     val rxVals = KnowledgeBase.sampleRegexKbRows.map { case (b, pat, capreg, cat, sp) =>
       s"('$b', '$pat', '$capreg', '$cat', $sp, ${pat.length})"
@@ -151,7 +151,7 @@ object Q40Oracle {
         s"""CASE WHEN m IS NULL THEN remark
            |              WHEN brand = 'UNKNOWN' THEN '${R.noBrandLongestRegex}'
            |              ELSE '${R.longestRegex}' END""".stripMargin
-    matchPrefix + s""",
+    matchPrefix(every) + s""",
        |s6 AS (
        |  SELECT rid, price, unit_wt, d2, brand, model, capacity,
        |         CASE WHEN contains(d2, 'WHEEL EXCAVATOR') THEN 'WHEEL EXCAVATOR'
@@ -201,8 +201,8 @@ object Q40Oracle {
 
   /** Oracle for q56: the regex pass via the RELATIONAL fallback's remark
     * vocabulary, as a row-identity-free distribution. */
-  def regexOnlySql: String =
-    throughS7(uniqueRemarks = false) + """
+  def regexOnlySql(every: Int): String =
+    throughS7(uniqueRemarks = false, every) + """
       |SELECT brand, model, remark, count(*) AS n
       |FROM s7 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
