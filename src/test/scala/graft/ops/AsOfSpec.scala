@@ -149,3 +149,30 @@ class AsOfPropertySpec extends graft.SparkSpec {
     assert(fast == brute)
   }
 }
+
+class AnnRecallSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  lazy val emb = graft.Tables.embeddings(spark, sfTiny)
+  private def ids(df: org.apache.spark.sql.DataFrame) =
+    df.select("vec_id").as[Long].collect().toSet
+  lazy val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+  lazy val exact = ids(Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10))
+
+  test("IVF with fitted k-means centroids reaches recall@10 >= 0.7") {
+    val cs = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val ivf = ids(Similarity.ivfTopK(emb, "vec_id", "embedding", q, cs, 10))
+    assert(ivf.intersect(exact).size >= 7, s"ivf recall ${ivf.intersect(exact).size}/10")
+  }
+
+  test("LSH recall floor holds and rises as planes decrease (bigger buckets)") {
+    def lshRecall(planes: Int) =
+      ids(Similarity.lshTopK(emb, "vec_id", "embedding", q, 64, planes, 10))
+        .intersect(exact).size
+    // 6 planes = 64 buckets: cheap, low recall BY DESIGN; 2 planes = 4
+    // buckets: ~16x more candidates, recall must not be worse
+    assert(lshRecall(6) >= 1)
+    assert(lshRecall(2) >= lshRecall(6)) // 4 buckets vs 64: more candidates
+  }
+}
