@@ -61,12 +61,14 @@ object Similarity {
     * Each projection is ONE loop expression (VectorOps.dotLiteral), not an
     * unrolled O(dim) node tree — the unrolled form made Catalyst re-analyze
     * a 384-node plan on every execution, costing more than the data pass. */
-  def lshBucket(vec: Column, dim: Int, planes: Int): Column =
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
+    require(planes >= 1, s"lshBucket needs >= 1 plane, got $planes")
     (0 until planes).map { j =>
       val w = Array.tabulate(dim)(i => planeWeight(j, i).toDouble)
       val proj = graft.functions.VectorOps.dotLiteral(vec, w)
       when(proj > 0, shiftleft(lit(1), j)).otherwise(0)
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
   /** Per-vector nearest neighbor within its LSH bucket (the all-pairs ANN
     * / embedding-near-dup building block): instead of the quadratic
