@@ -61,7 +61,6 @@ object Multimodal {
     * amortize init (model load / codec ctx) across the partition — the
     * standard Spark shape for heavy native decode at scale. */
   def decodeBatch(df: DataFrame, idCol: String): DataFrame = {
-    val spark = df.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
     val input = df.select(col(idCol).cast("long"), col("content"))
     input.mapPartitions { rows =>
