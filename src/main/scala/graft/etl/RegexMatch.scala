@@ -97,14 +97,21 @@ object RegexMatch {
 
   /** Shuffle-free literal path (same idea as Matching §expr): when the
     * pattern table is plan-time small, evaluate every pattern as a LITERAL
-    * regex (each compiled once by codegen — a column-side pattern
-    * recompiles whenever the value changes) and pick the winner with
-    * `greatest` over (matchLen, -priority, …) structs. Zero joins, zero
-    * exchanges; returns the ordinal of the winning pattern (null = none).
+    * regex and pick the winner in ONE fused expression
+    * (functions.LiteralRegexBestExpr — per-instance compiled patterns, one
+    * pass). Zero joins, zero exchanges; returns struct(ord, matched,
+    * n_matched), null when no gated pattern matches.
     *
     * Tie-break mirrors `regexJoin`: longest extracted match, then the
-    * given priority (ascending), then pattern ordinal. */
+    * given priority (ascending), then pattern ordinal — proven bit-equal
+    * to `literalRegexBestDeclarative` in RegexMatchSpec. */
   def literalRegexBest(text: Column, patterns: Seq[(String, Int, Column)],
+      findallLongest: Boolean = false): Column =
+    graft.functions.LiteralRegexBest(text, patterns, findallLongest)
+
+  /** The original greatest-struct-fold formulation (kept for the
+    * equivalence spec; ~6 plan nodes per pattern). */
+  def literalRegexBestDeclarative(text: Column, patterns: Seq[(String, Int, Column)],
       findallLongest: Boolean = false): Column = {
     val cands = patterns.zipWithIndex.map { case ((pat, prio, gate), i) =>
       val extracted =

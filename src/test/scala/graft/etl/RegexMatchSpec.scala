@@ -68,3 +68,34 @@ class CompatFlagsSpec extends graft.SparkSpec {
     assert(buggy.toSeq == Seq(None, None, Some(330.0), None))
   }
 }
+
+class LiteralRegexBestEquivalenceSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("fused literal-regex pick is bit-identical to the greatest-struct fold") {
+    val texts = Seq(
+      "KOMATSU PC200-8 AND PC2000 UNITS", "SY365H ONLY", "ZX85 AND XE215C",
+      "NOTHING HERE", "PC 300 SPACED", "320D 330GC 345", "", "PC20",
+      "MULTI PC200 SY215 ZX330 XE215 320") ++
+      (0 until 50).map(i => s"ROW $i PC${100 + i * 7} SY${200 + i} FILLER")
+    val df = texts.toDF("t").withColumn("brand",
+      when(length($"t") % 3 === 0, "KOMATSU")
+        .when(length($"t") % 3 === 1, "UNKNOWN").otherwise("SANY"))
+    val pats = graft.etl.KnowledgeBase.sampleRegexKbRows
+      .sortBy { case (_, pat, _, _, _) => (-pat.length, pat) }
+      .map { case (b, pat, _, _, _) =>
+        (pat, -pat.length, $"brand" === "UNKNOWN" || $"brand" === b)
+      }
+    for (fl <- Seq(true, false)) {
+      val both = df.select(
+        RegexMatch.literalRegexBest($"t", pats, fl).as("f"),
+        RegexMatch.literalRegexBestDeclarative($"t", pats, fl).as("d"))
+      val diff = both.filter(
+        not($"f.ord" <=> $"d.ord") || not($"f.matched" <=> $"d.matched") ||
+          not($"f.n_matched" <=> $"d.n_matched") ||
+          ($"f".isNull =!= $"d".isNull))
+      assert(diff.count() == 0, s"findallLongest=$fl mismatch")
+    }
+  }
+}
