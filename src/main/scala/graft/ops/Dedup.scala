@@ -49,7 +49,13 @@ object Dedup {
     rotated.bitwiseXOR(lit(mixConst(seed)))
   }
 
-  /** Whitespace word shingles of size `k` (distinct set) from a text col.
+  /** Whitespace word shingles of size `k` (distinct set) from a text col —
+    * fused single-pass expression (functions.ShinglesExpr); bit-identity
+    * with the declarative form is spec-proven. */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.Shingles.wordShingles(text, k)
+
+  /** The declarative formulation (kept for the equivalence spec).
     *
     * Built from k shifted `slice`s zipped together — NOT an index lambda
     * doing `toks[i+o]`: expressions inside lambda bodies are exempt from
@@ -57,7 +63,7 @@ object Dedup {
     * re-split the whole text per token (O(n²) in the text length). All
     * repeated subtrees here sit outside the lambdas, where CSE merges
     * them. */
-  def shingles(text: Column, k: Int = 3): Column = {
+  def shinglesDeclarative(text: Column, k: Int = 3): Column = {
     val toks = split(lower(text), " ")
     val len = greatest(size(toks) - (k - 1), lit(0))
     val parts = (1 to k).map(o => slice(toks, lit(o), len))

@@ -176,3 +176,19 @@ class AnnRecallSpec extends graft.SparkSpec {
     assert(lshRecall(2) >= lshRecall(6)) // 4 buckets vs 64: more candidates
   }
 }
+
+class ShinglesEquivalenceSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("fused shingler is bit-identical to the declarative slice/zip form") {
+    val docs = graft.Tables.documents(spark, sfTiny).select($"text")
+      .union(Seq("", "one", "one two", "one two three",
+        "a  b   c d", "UPPER Case MiX", " lead", "trail ", "x x x x").toDF("text"))
+    for (k <- Seq(2, 3, 4)) {
+      val diff = docs.filter(
+        not(Dedup.shingles($"text", k) <=> Dedup.shinglesDeclarative($"text", k)))
+      assert(diff.count() == 0, s"k=$k mismatch")
+    }
+  }
+}
