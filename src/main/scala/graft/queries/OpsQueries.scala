@@ -160,6 +160,44 @@ object OpsQueries {
              |       coalesce(cap, -1.0) AS inferred_capacity
              |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
 
+    // ─── gap-based sessionization (lag + cumulative session ids) ────────
+    // The batch formulation of event sessionizing: a new session starts
+    // after a >30-minute silence; ids are per-user cumulative counts. One
+    // shuffle on user_id; both windows share the same sort.
+    "q57_sessionize_gaps" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        // exact microsecond arithmetic on both engines (a truncated-seconds
+        // diff would disagree with DuckDB's fractional epoch() on
+        // sub-second boundaries)
+        val newSession = when(
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 1800L * 1000000, 1)
+          .otherwise(0)
+        Tables.events(s, dir)
+          .withColumn("__new", newSession)
+          .withColumn("session_id",
+            sum($"__new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min($"ts").as("session_start"), max($"ts").as("session_end"),
+            sum($"value".cast("decimal(18,6)")).cast("double").as("total_value"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH t AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+             |g AS (SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+             |                     THEN 1 ELSE 0 END AS new_s
+             |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |      FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |       min(ts) AS session_start, max(ts) AS session_end,
+             |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
     // ─── skew-safe two-phase aggregation (Scale.saltedSum) ──────────────
     // The salt is internal plumbing: the oracle is the PLAIN group sum the
     // salted two-phase must reproduce exactly (decimal partials).
