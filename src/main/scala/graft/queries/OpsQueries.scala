@@ -160,6 +160,61 @@ object OpsQueries {
              |       coalesce(cap, -1.0) AS inferred_capacity
              |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
 
+    // ─── left-semi join: customers with at least one urgent order ───────
+    "q58_semi_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey")
+        Tables.customer(s, dir)
+          .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ─── left-anti join: parts never shipped in bulk (qty ≥ 48) ─────────
+    "q59_anti_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .join(Tables.lineitem(s, dir).filter($"l_quantity" >= 48).select($"l_partkey"),
+            $"p_partkey" === $"l_partkey", "left_anti")
+          .select($"p_partkey", $"p_name")
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name FROM part p
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+             |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ─── set operations: INTERSECT / EXCEPT over key slices ─────────────
+    "q60_set_ops" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val urgentCust = Tables.orders(s, dir)
+          .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+        val bigCust = Tables.orders(s, dir)
+          .filter($"o_totalprice" > 200000).select($"o_custkey")
+        val both = urgentCust.intersect(bigCust).withColumn("set_op", lit("both"))
+        val urgentOnly = urgentCust.except(bigCust).withColumn("set_op", lit("urgent_only"))
+        both.unionByName(urgentOnly)
+          .orderBy($"set_op", $"o_custkey")
+      },
+      Some("""SELECT o_custkey, 'both' AS set_op FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+             |UNION ALL
+             |SELECT o_custkey, 'urgent_only' AS set_op FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+             |ORDER BY set_op, o_custkey""".stripMargin)),
+
     // ─── gap-based sessionization (lag + cumulative session ids) ────────
     // The batch formulation of event sessionizing: a new session starts
     // after a >30-minute silence; ids are per-user cumulative counts. One
