@@ -160,6 +160,41 @@ object OpsQueries {
              |       coalesce(cap, -1.0) AS inferred_capacity
              |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
 
+    // ─── exact multi-quantile summary (pandas-interpolation parity) ─────
+    "q61_percentiles" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            percentile($"l_extendedprice", lit(0.25)).as("p25"),
+            percentile($"l_extendedprice", lit(0.5)).as("p50"),
+            percentile($"l_extendedprice", lit(0.75)).as("p75"),
+            percentile($"l_extendedprice", lit(0.9)).as("p90"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_extendedprice, 0.25) AS p25,
+             |  quantile_cont(l_extendedprice, 0.50) AS p50,
+             |  quantile_cont(l_extendedprice, 0.75) AS p75,
+             |  quantile_cont(l_extendedprice, 0.90) AS p90
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ─── deterministic string aggregation (sorted distinct listagg) ─────
+    "q62_string_agg" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy($"o_orderpriority")
+          .agg(array_join(array_sort(collect_set($"o_orderstatus")), ",").as("statuses"),
+            countDistinct($"o_orderstatus").as("n_statuses"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+             |  count(DISTINCT o_orderstatus) AS n_statuses
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // ─── left-semi join: customers with at least one urgent order ───────
     "q58_semi_join" -> Q(
       (s, dir) => {
