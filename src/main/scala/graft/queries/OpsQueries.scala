@@ -160,6 +160,21 @@ object OpsQueries {
              |       coalesce(cap, -1.0) AS inferred_capacity
              |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
 
+    // ─── JSON property extraction + typed aggregation ───────────────────
+    "q63_json_extract" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), avg($"k").as("avg_k"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+             |  avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ─── exact multi-quantile summary (pandas-interpolation parity) ─────
     "q61_percentiles" -> Q(
       (s, dir) => {
