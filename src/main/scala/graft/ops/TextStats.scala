@@ -90,6 +90,14 @@ object TextStats {
         (lit(0.0) - col("__b.neg")).as("tfidf"))
   }
 
+  /** Corpus-cleaning redaction: masks email-shaped tokens then digit runs
+    * with typed placeholders (emails first — they contain digits). Pure
+    * regexp_replace chain; order of passes is part of the contract. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "[0-9]+", "<NUM>")
+
   /** Content fingerprint: md5 of the sorted distinct token set (order- and
     * repetition-insensitive), plus a 60-bit integer bucket of it. */
   def fingerprint(text: Column): Column =

@@ -160,6 +160,20 @@ object OpsQueries {
              |       coalesce(cap, -1.0) AS inferred_capacity
              |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
 
+    // ─── corpus-cleaning redaction (email/number masking) ───────────────
+    "q64_redact" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select($"event_id", TextStats.redactPii($"props").as("props_redacted"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+             |  regexp_replace(regexp_replace(props,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+             |    '[0-9]+', '<NUM>', 'g') AS props_redacted
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ─── JSON property extraction + typed aggregation ───────────────────
     "q63_json_extract" -> Q(
       (s, dir) => {
