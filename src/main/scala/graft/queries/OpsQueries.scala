@@ -160,6 +160,26 @@ object OpsQueries {
              |       coalesce(cap, -1.0) AS inferred_capacity
              |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin)),
 
+    // ─── CUBE: all grouping combinations with exact sums ────────────────
+    "q65_cube" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,6)")).cast("double").as("total"))
+          .select(coalesce($"o_orderstatus", lit("(all)")).as("status"),
+            coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+            $"n", $"total")
+          .orderBy($"status", $"priority")
+      },
+      Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+             |  coalesce(o_orderpriority, '(all)') AS priority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
     // ─── corpus-cleaning redaction (email/number masking) ───────────────
     "q64_redact" -> Q(
       (s, dir) => {
