@@ -49,6 +49,16 @@ class MultiContainsSpec extends SparkSpec {
     assert(got.isEmpty) // "BC" spans the boundary → must NOT match
   }
 
+  test("a multi-word brand spanning the description/supplier boundary does not match") {
+    // A space separator would concatenate to "CRANE JOHN DEERE 200" and
+    // falsely match; the NUL separator must not.
+    val kws = (1 to 20).map(i => s"K$i") :+ "JOHN DEERE"
+    val df = Seq(("CRANE JOHN", "DEERE 200"), ("JOHN DEERE 850", "OTHER")).toDF("x", "y")
+    val got = df.select(Matching.firstMatchAuto(Seq($"x", $"y"), kws,
+      automatonThreshold = 1)).as[Option[String]].collect()
+    assert(got.toSeq == Seq(None, Some("JOHN DEERE")))
+  }
+
   test("firstMatchAuto picks identical results on both sides of the threshold") {
     val df = texts.toDF("t")
     val small = df.select(Matching.firstMatchAuto(Seq($"t"), keywords, automatonThreshold = 99))
