@@ -57,9 +57,13 @@ object Pipeline {
       .withColumn("unit weight in ton", c("weight in kg") / c("qty") / 1000)
       // preProcess already collapses+trims whitespace; a second collapseWs
       // would be a no-op regex pass over every row (measured on q40)
+      // explicit null semantics: a null description becomes '' (like
+      // supplier below), so downstream stages are total — the row survives
+      // dropIrrelevant, matches nothing, and lands in remark = "No match"
       .withColumn("description2",
         Normalize.preProcess(
-          Normalize.applyAliases(upper(c("product description")), Normalize.customsAliases)))
+          Normalize.applyAliases(upper(coalesce(c("product description"), lit(""))),
+            Normalize.customsAliases)))
       .withColumn("supplier_norm",
         Normalize.preProcess(
           Normalize.applyAliases(upper(coalesce(c("supplier"), lit(""))), Normalize.customsAliases)))

@@ -70,6 +70,16 @@ object HashOps {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_sig"
+    // Total like the declarative twin: minhashSignatureFromHashes wraps each
+    // per-seed array_min in coalesce(_, 0L), so a null hash array yields the
+    // all-zero signature, same as an empty one.
+    override def nullable: Boolean = false
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) new GenericArrayData(new Array[Long](numHashes))
+      else nullSafeEval(v)
+    }
 
     @transient private lazy val rots = Array.tabulate(numHashes)(Dedup.mixRot)
     @transient private lazy val consts = Array.tabulate(numHashes)(Dedup.mixConst)

@@ -2,8 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,6 +23,9 @@ case class UsedNewExpr(child: Expression, usedMarkers: Seq[String],
     extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "used_new"
+  // Total like the declarative chain: null text classifies as "new"
+  // (when(null,..).when(null,..).otherwise("new") in usedNewDeclarative).
+  override def nullable: Boolean = false
 
   @transient private lazy val usedSet = usedMarkers.toSet
   @transient private lazy val newSet = newMarkers.toSet
@@ -49,9 +54,20 @@ case class UsedNewExpr(child: Expression, usedMarkers: Seq[String],
     if (usedHit) UsedNewExpr.USED else UsedNewExpr.NEW
   }
 
+  /** Null-tolerant entry point shared by eval and codegen. */
+  def evalNullable(input: Any): Any =
+    if (input == null) UsedNewExpr.NEW else nullSafeEval(input)
+
+  override def eval(input: InternalRow): Any = evalNullable(child.eval(input))
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("usedNewExpr", this, classOf[UsedNewExpr].getName)
-    defineCodeGen(ctx, ev, c => s"(UTF8String) $self.nullSafeEval($c)")
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      UTF8String ${ev.value} = (UTF8String) $self.evalNullable(
+        ${childGen.isNull} ? null : ${childGen.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

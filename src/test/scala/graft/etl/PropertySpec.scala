@@ -20,9 +20,9 @@ class PropertySpec extends SparkSpec {
       "\u00e9", "\u4e2d", " \t ", "**//"))).map(_.mkString)
 
   test("property: fused preProcess is bit-identical to the declarative chain") {
-    val df = samples(dirtyText, 400).toDF("s")
-    val violations = df.filter(
-      Normalize.preProcess($"s") =!= Normalize.preProcessDeclarative($"s"))
+    val df = (samples(dirtyText, 400).map(Option(_)) ++ Seq(None)).toDF("s")
+    val violations = df.filter(not(
+      Normalize.preProcess($"s") <=> Normalize.preProcessDeclarative($"s")))
     assert(violations.count() == 0)
   }
 
@@ -31,12 +31,22 @@ class PropertySpec extends SparkSpec {
       Gen.alphaNumStr, Gen.oneOf("USED", "NEW", "OLD", "UNUSED", "2ND"),
       Gen.chooseNum(1000, 2100).map(_.toString),
       Gen.oneOf(" ", "  ", ""))).map(_.mkString(" "))
-    val df = samples(tokeny, 400).toDF("s")
+    // null and empty inputs included: `=!=` would null out on a one-sided
+    // null, so the comparison is null-safe (<=>)
+    val df = (samples(tokeny, 400).map(Option(_)) ++ Seq(None, Some(""), Some(" ")))
+      .toDF("s")
     val used = Seq("USED", "SECONDHAND", "OLD", "REFURBISH", "SECOND", "2ND")
     val neu = Seq("NEW", "UNUSED")
-    val violations = df.filter(
-      Enrich.usedNew($"s", used, neu) =!= Enrich.usedNewDeclarative($"s", used, neu))
-    assert(violations.count() == 0)
+    spark.conf.set("spark.sql.codegen.fallback", "false") // codegen path must compile
+    try {
+      val violations = df.filter(not(
+        Enrich.usedNew($"s", used, neu) <=> Enrich.usedNewDeclarative($"s", used, neu)))
+      assert(violations.count() == 0)
+      // the agreed-on semantics, pinned: null text classifies as "new"
+      val onNull = df.filter($"s".isNull)
+        .select(Enrich.usedNew($"s", used, neu)).as[String].head()
+      assert(onNull == "new")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("property: preProcess is idempotent on arbitrary dirty text") {

@@ -89,6 +89,16 @@ class HashOpsSpec extends graft.SparkSpec {
     val empty = Seq(Array.empty[Long]).toDF("hs")
     val z = empty.select(HashOps.minhashSigFast($"hs", 4)).as[Seq[Long]].head()
     assert(z == Seq(0L, 0L, 0L, 0L))
+    // null hash array → all-zero too, matching the declarative coalesce(_, 0L)
+    val nullIn = Seq(Option.empty[Array[Long]]).toDF("hs")
+    val zFused = nullIn.select(HashOps.minhashSigFast($"hs", 4)).as[Seq[Long]].head()
+    val zDecl = nullIn.select(Dedup.minhashSignatureFromHashes($"hs", 4)).as[Seq[Long]].head()
+    assert(zFused == Seq(0L, 0L, 0L, 0L) && zDecl == zFused)
+    // null TEXT: fused and declarative shingles agree (both null)
+    val nullTxt = Seq(Option.empty[String]).toDF("t")
+    val sh = nullTxt.select(Dedup.shingles($"t").isNull, Dedup.shinglesDeclarative($"t").isNull)
+      .as[(Boolean, Boolean)].head()
+    assert(sh == ((true, true)))
   }
 }
 
