@@ -116,6 +116,18 @@ object KnowledgeBase {
     sampleRegexKbRows.toDF("brand", "model_regex", "capacity_regex", "category", "starting_point")
   }
 
+  /** EN→CN type-label translations for the J8 merge (reference cell 73's
+    * translation sheet) — UNKNOWN is deliberately absent so the left-join
+    * miss path (null type_translated) stays exercised. Shared with the q68
+    * crane-pipeline oracle (Q40Oracle.craneSql). */
+  val sampleTypeTranslationRows: Seq[(String, String)] = Seq(
+    "EXCAVATOR" -> "挖掘机",
+    "WHEEL EXCAVATOR" -> "轮式挖掘机",
+    "CRAWLER CRANE" -> "履带起重机",
+    "CRAWLER CRANE (LATTICE_BOOM)" -> "桁架臂履带起重机",
+    "ROUGH-TERRAIN CRANE" -> "越野轮胎起重机",
+    "WHEELED CRANE" -> "轮式起重机")
+
   /** Monthly USD→CNY rates shaped like the reference's dict (py:322-323). */
   def sampleRates(spark: SparkSession): DataFrame =
     Rates.rateTable(spark,

@@ -127,14 +127,24 @@ object Matching {
   /** K2 `matching_program_individual` (py:494-530): re-run the KB match
     * for only the rows satisfying `cond` (e.g. a remark class or brand the
     * KB just learned about), leaving every other row untouched. Columns
-    * already present are overwritten on the re-matched rows only. */
+    * already present are overwritten on the re-matched rows only.
+    *
+    * The match scans description2 AND supplier_norm; pipeline output drops
+    * supplier_norm at the first lineage cut (runStages), so when the column
+    * is missing it is re-derived here from the raw supplier column —
+    * deterministic, identical to Pipeline.prepare's derivation. */
   def rematchIndividual(df: DataFrame, cond: Column,
       modelKb: DataFrame): DataFrame = {
-    val todo = df.filter(cond)
-    val done = df.filter(!coalesce(cond, lit(false)))
-    done.unionByName(
+    val hadSupplierNorm = df.columns.contains("supplier_norm")
+    val base =
+      if (hadSupplierNorm) df
+      else df.withColumn("supplier_norm", Pipeline.supplierNorm(col("supplier")))
+    val todo = base.filter(cond)
+    val done = base.filter(!coalesce(cond, lit(false)))
+    val out = done.unionByName(
       Pipeline.matchKnowledgeBase(todo.drop("brand", "model", "capacity",
         "type", "hp", "remark"), modelKb),
       allowMissingColumns = true)
+    if (hadSupplierNorm) out else out.drop("supplier_norm")
   }
 }

@@ -64,9 +64,14 @@ object Pipeline {
         Normalize.preProcess(
           Normalize.applyAliases(upper(coalesce(c("product description"), lit(""))),
             Normalize.customsAliases)))
-      .withColumn("supplier_norm",
-        Normalize.preProcess(
-          Normalize.applyAliases(upper(coalesce(c("supplier"), lit(""))), Normalize.customsAliases)))
+      .withColumn("supplier_norm", supplierNorm(c("supplier")))
+
+  /** Normalized supplier text for brand matching — shared by `prepare` and
+    * Matching.rematchIndividual (which re-derives the column when a
+    * pipeline-output row no longer carries it). */
+  def supplierNorm(supplier: Column): Column =
+    Normalize.preProcess(
+      Normalize.applyAliases(upper(coalesce(supplier, lit(""))), Normalize.customsAliases))
 
   /** Stage 2 (J1+J2, py:61-115): brand containment match (first in KB
     * order), then model containment match (longest), remark provenance.

@@ -900,7 +900,78 @@ object OpsQueries {
           .groupBy($"brand", $"model", $"remark").agg(count(lit(1)).as("n"))
           .orderBy($"brand", $"model", $"remark")
       },
-      Some(Q40Oracle.regexOnlySql(70))))
+      Some(Q40Oracle.regexOnlySql(70))),
+
+    // ─── K2 rematchIndividual oracle-gated ──────────────────────────────
+    // Match with a KB missing SANY, then re-match ONLY the 'No match' rows
+    // against the full KB. supplier_norm is dropped before the rematch
+    // (exactly what runStages does to pipeline output), so this also gates
+    // rematchIndividual's supplier_norm re-derivation path.
+    "q66_rematch_individual" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.etl.{KnowledgeBase, Matching, Pipeline}
+        val fullKb = KnowledgeBase.sampleModelKb(s)
+        val reducedKb = fullKb.filter($"brand" =!= "SANY")
+        val matched = Pipeline.prepare(synthCustomsFact(s, dir, every = 70))
+          .transform(Pipeline.matchKnowledgeBase(_, reducedKb))
+          .drop("supplier_norm")
+        Matching.rematchIndividual(matched,
+          $"remark" === Pipeline.Remark.noMatch, fullKb)
+          .groupBy($"brand", $"model", $"remark").agg(count(lit(1)).as("n"))
+          .orderBy($"brand", $"model", $"remark")
+      },
+      Some(Q40Oracle.rematchSql(70, "SANY"))),
+
+    // ─── F10 reverse dict lookup oracle-gated ───────────────────────────
+    // First key (ascending) of the model→capacity dict whose value equals
+    // the row's quantity — the reference's get_key_from_value (py:471-491).
+    "q67_reverse_lookup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.etl.{KnowledgeBase, Lookups}
+        val capByModel = KnowledgeBase.sampleModelKbRows.map(r => r._2 -> r._3).toMap
+        Tables.lineitem(s, dir)
+          .select($"l_quantity".cast("double").as("qty"))
+          .withColumn("model_key", Lookups.reverseLookup($"qty", capByModel))
+          .groupBy($"qty", $"model_key").agg(count(lit(1)).as("n"))
+          .orderBy($"qty", $"model_key")
+      },
+      Some(reverseLookupSql)),
+
+    // ─── E2 crane-mode pipeline oracle-gated ────────────────────────────
+    // The full 13 stages with crane interval rules (capacity only, 50T
+    // bands) plus the EN→CN type translation merge; distribution over
+    // remark × outliers × capacity interval × translated type.
+    "q68_crane_pipeline" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.etl.{KnowledgeBase, Pipeline, Rates}
+        val tr = KnowledgeBase.sampleTypeTranslationRows.toDF("key", "translated")
+        val out = Pipeline.runCrane(synthCustomsFact(s, dir, every = 21),
+          KnowledgeBase.sampleModelKb(s), KnowledgeBase.sampleRegexKb(s),
+          Rates.rateTable(s,
+            for { y <- 1995 to 2002; m <- 1 to 12 }
+              yield (y, m, 6.5 + (y % 3) * 0.1 + m * 0.01)),
+          translations = Some(tr))
+        out.groupBy($"remark", $"outliers", $"capacity interval", $"type_translated")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"remark", $"outliers", $"capacity interval", $"type_translated")
+      },
+      Some(Q40Oracle.craneSql(21, 50, graft.etl.KnowledgeBase.sampleTypeTranslationRows))))
+
+  /** DuckDB twin of q67: CASE arms in ascending key order — for duplicate
+    * capacities the smallest model key wins, exactly reverseLookup's fold
+    * priority. */
+  private def reverseLookupSql: String = {
+    val arms = graft.etl.KnowledgeBase.sampleModelKbRows
+      .map(r => r._2 -> r._3).toMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN qty = $v::DOUBLE THEN '$k'" }
+      .mkString("\n         ")
+    s"""SELECT qty, CASE $arms ELSE NULL END AS model_key, count(*) AS n
+       |FROM (SELECT CAST(l_quantity AS DOUBLE) AS qty FROM lineitem)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** The customs-shaped synthetic fact table shared by q40/q55 — built
     * deterministically from lineitem×part with brand/model tokens injected

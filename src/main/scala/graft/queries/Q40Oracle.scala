@@ -74,14 +74,8 @@ object Q40Oracle {
     * row_number over every column that feeds the pipeline is used. Rows
     * tying on ALL of those columns are interchangeable downstream, so the
     * arbitrary id assignment among ties cannot change the result. */
-  private def matchPrefix(every: Int): String = {
-    val R = Pipeline.Remark
-    val kbRows = KnowledgeBase.sampleModelKbRows
-    val brandVals = kbRows.map(_._1).distinct.zipWithIndex
-      .map { case (b, i) => s"('$b', ${i + 1})" }.mkString(", ")
-    val kbVals = kbRows.map { case (b, m, cap, ty, _) =>
-      s"('$b', '$m', '${normRef(m)}', $cap::DOUBLE, '$ty')"
-    }.mkString(",\n      ")
+  /** fact0+prep CTEs (synthetic fact → stage-1 prepare). */
+  private def factPrepCtes(every: Int): String =
     s"""WITH fact0 AS (
        |  SELECT row_number() OVER (ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey,
        |           l.l_suppkey, l.l_quantity, l.l_extendedprice) AS rid,
@@ -99,20 +93,33 @@ object Q40Oracle {
        |  SELECT rid, amount / qty AS price, wkg / qty / 1000 AS unit_wt,
        |         ${normSql(aliasSql("descr"))} AS d2,
        |         ${normSql(aliasSql("supp"))} AS supp_n
-       |  FROM fact0 WHERE amount >= 10000 AND amount / qty >= 10000),
-       |b AS (
+       |  FROM fact0 WHERE amount >= 10000 AND amount / qty >= 10000)""".stripMargin
+
+  /** Stage-2 brand/model match CTEs (b/m/s2, suffixed) over `prep`, for an
+    * arbitrary KB row set — lets one oracle match against two KB versions
+    * (the K2 rematch oracle). */
+  private def matchCtes(
+      kbRows: Seq[(String, String, Double, String, Double)], sfx: String): String = {
+    val R = Pipeline.Remark
+    val brandVals = kbRows.map(_._1).distinct.zipWithIndex
+      .map { case (b, i) => s"('$b', ${i + 1})" }.mkString(", ")
+    val kbVals = kbRows.map { case (b, m, cap, ty, _) =>
+      s"('$b', '$m', '${normRef(m)}', $cap::DOUBLE, '$ty')"
+    }.mkString(",\n      ")
+    s""",
+       |b$sfx AS (
        |  SELECT prep.*, br.b AS brand0
        |  FROM prep LEFT JOIN (VALUES $brandVals) br(b, ord)
        |    ON contains(prep.d2, br.b) OR contains(prep.supp_n, br.b)
        |  QUALIFY row_number() OVER (PARTITION BY prep.rid ORDER BY br.ord ASC NULLS LAST) = 1),
-       |m AS (
-       |  SELECT b.*, kb.model AS model0, kb.capacity AS cap0, kb.typ AS type0
-       |  FROM b LEFT JOIN (VALUES
+       |m$sfx AS (
+       |  SELECT b$sfx.*, kb.model AS model0, kb.capacity AS cap0, kb.typ AS type0
+       |  FROM b$sfx LEFT JOIN (VALUES
        |      $kbVals) kb(kb_brand, model, model_ref, capacity, typ)
-       |    ON b.brand0 = kb.kb_brand AND contains(b.d2, kb.model_ref)
-       |  QUALIFY row_number() OVER (PARTITION BY b.rid
+       |    ON b$sfx.brand0 = kb.kb_brand AND contains(b$sfx.d2, kb.model_ref)
+       |  QUALIFY row_number() OVER (PARTITION BY b$sfx.rid
        |    ORDER BY length(kb.model_ref) DESC NULLS LAST, kb.model_ref ASC NULLS LAST) = 1),
-       |s2 AS (
+       |s2$sfx AS (
        |  SELECT rid, price, unit_wt, d2,
        |         coalesce(brand0, 'UNKNOWN') AS brand,
        |         coalesce(model0, 'UNKNOWN') AS model,
@@ -121,7 +128,28 @@ object Q40Oracle {
        |         CASE WHEN brand0 IS NULL THEN '${R.noMatch}'
        |              WHEN model0 IS NULL THEN '${R.brandNoModel}'
        |              ELSE '${R.fully}' END AS remark
-       |  FROM m)""".stripMargin
+       |  FROM m$sfx)""".stripMargin
+  }
+
+  private def matchPrefix(every: Int): String =
+    factPrepCtes(every) + matchCtes(KnowledgeBase.sampleModelKbRows, "")
+
+  /** Oracle for q66 (K2 rematchIndividual): match with a KB missing
+    * `dropBrand`, then re-match only the 'No match' rows against the full
+    * KB; rows the first pass matched keep their first-pass result. */
+  def rematchSql(every: Int, dropBrand: String): String = {
+    val R = Pipeline.Remark
+    val reduced = KnowledgeBase.sampleModelKbRows.filterNot(_._1 == dropBrand)
+    factPrepCtes(every) +
+      matchCtes(reduced, "_r") +
+      matchCtes(KnowledgeBase.sampleModelKbRows, "_f") +
+      s"""
+         |SELECT CASE WHEN a.remark = '${R.noMatch}' THEN f.brand ELSE a.brand END AS brand,
+         |       CASE WHEN a.remark = '${R.noMatch}' THEN f.model ELSE a.model END AS model,
+         |       CASE WHEN a.remark = '${R.noMatch}' THEN f.remark ELSE a.remark END AS remark,
+         |       count(*) AS n
+         |FROM s2_r a JOIN s2_f f USING (rid)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
   /** Oracle for q55: the match stage alone as a (brand, model, remark)
@@ -206,9 +234,12 @@ object Q40Oracle {
       |SELECT brand, model, remark, count(*) AS n
       |FROM s7 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
-  def sql: String = {
+  /** Prefix through outlier marking (fact0..s10) — shared by the E1
+    * (excavator) and E2 (crane) full-pipeline oracles; only the interval
+    * tail differs between the two entry points. */
+  private def throughS10(every: Int = 7): String = {
     val R = Pipeline.Remark
-    throughS7(uniqueRemarks = true) + s""",
+    throughS7(uniqueRemarks = true, every) + s""",
        |s8 AS (
        |  SELECT rid, price, unit_wt, brand, model, newused,
        |         CASE WHEN capacity IS NULL AND cap8 IS NOT NULL THEN '${R.capacityInDesc}'
@@ -248,7 +279,11 @@ object Q40Oracle {
        |                   OR med.md IS NULL THEN 'unknown'
        |              WHEN s9.price >= med.md * 1.2 OR s9.price <= med.md * 0.8 THEN 'yes'
        |              ELSE 'no' END AS outliers
-       |  FROM s9 LEFT JOIN med ON s9.brand = med.brand AND s9.model = med.model)
+       |  FROM s9 LEFT JOIN med ON s9.brand = med.brand AND s9.model = med.model)""".stripMargin
+  }
+
+  def sql: String =
+    throughS10() + s"""
        |SELECT remark, outliers,
        |  CASE WHEN basis IS NULL OR basis <= 0 THEN 'UNKNOWN'
        |       WHEN basis < 5 THEN '<5T' WHEN basis < 10 THEN '5-10T'
@@ -260,5 +295,26 @@ object Q40Oracle {
        |             ELSE unit_wt END AS basis
        |      FROM s10)
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Oracle for q68 (E2 runCrane): same 13 stages, crane interval rules
+    * (capacity only, no unit-weight fallback, `<wT` + w-wide bands) and
+    * the EN→CN type-label translation merge (J8). `translations` must be
+    * the exact rows the Spark side passes. */
+  def craneSql(every: Int, loadInterval: Int,
+      translations: Seq[(String, String)]): String = {
+    val w = loadInterval
+    val trVals = translations.map { case (k, v) => s"('$k', '$v')" }.mkString(", ")
+    throughS10(every) + s"""
+       |SELECT remark, outliers,
+       |  CASE WHEN capacity IS NULL OR capacity <= 0 THEN 'UNKNOWN'
+       |       WHEN capacity < $w THEN '<${w}T'
+       |       ELSE CAST(CAST(floor(capacity / $w) * $w AS INTEGER) AS VARCHAR)
+       |            || '-' ||
+       |            CAST(CAST(floor(capacity / $w) * $w + $w AS INTEGER) AS VARCHAR)
+       |            || 'T' END AS "capacity interval",
+       |  tr.translated AS type_translated,
+       |  count(*) AS n
+       |FROM s10 LEFT JOIN (VALUES $trVals) tr(k, translated) ON s10.typ = tr.k
+       |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
   }
 }

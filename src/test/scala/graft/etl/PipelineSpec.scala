@@ -112,6 +112,23 @@ class PipelineSpec extends SparkSpec {
     assert(row("r5").get("outliers") == "unknown")
   }
 
+  test("K2 over actual pipeline output: supplier_norm is re-derived, not required") {
+    // `out` comes from Pipeline.run, whose runStages drops supplier_norm —
+    // the documented K2 flow (re-match pipeline output by remark class).
+    assert(!out.columns.contains("supplier_norm"))
+    val rematched = Matching.rematchIndividual(out,
+      col("remark") === Pipeline.Remark.noMatch, KnowledgeBase.sampleModelKb(spark))
+    assert(!rematched.columns.contains("supplier_norm")) // not leaked into output
+    assert(rematched.count() == out.count())
+    // r2's brand came from the supplier alias (XUZHOU → XCMG); force it
+    // through the rematch path and prove the supplier-derived brand survives
+    val viaSupplier = Matching.rematchIndividual(out,
+      $"`declaration number`" === "r2", KnowledgeBase.sampleModelKb(spark))
+      .filter($"`declaration number`" === "r2")
+      .select($"brand").as[String].head()
+    assert(viaSupplier == "XCMG")
+  }
+
   test("output schema carries the §1.3 enrichment columns") {
     val need = Seq("description2", "brand", "model", "type", "capacity",
       "capacity interval", "type interval", "new/used", "unit weight in ton",
