@@ -727,9 +727,11 @@ object OpsQueries {
              |  count(DISTINCT l_orderkey) AS n_orders
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // ─── typed Dataset path: per-user session summary via mapGroups ─────
-    // (the batch twin of streaming.Streams.sessionize — demonstrates the
-    // KeyValueGroupedDataset API; aggregation itself is imperative Scala)
+    // ─── typed Dataset path: per-user session summary via a typed
+    //     Aggregator (the batch twin of streaming.Streams.sessionize —
+    //     keeps the KeyValueGroupedDataset API but compiles to a real
+    //     aggregate WITH partial aggregation; a mapGroups formulation
+    //     would shuffle every raw event row to its group owner) ──────────
     "q43_user_sessions" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -737,21 +739,10 @@ object OpsQueries {
           .select($"user_id", $"event_type", $"value")
           .as[(Long, String, Double)]
         ev.groupByKey(_._1)
-          .mapGroups { (uid, rows) =>
-            var n = 0L
-            var purchases = 0L
-            var v = BigDecimal(0) // exact sum, engine-portable
-            rows.foreach { case (_, t, value) =>
-              n += 1
-              if (t == "purchase") purchases += 1
-              // mirror the oracle's CAST(double AS DECIMAL(28,12)): round
-              // each term to scale 12 (the .5e-13 boundary is unreachable
-              // for binary fractions, so rounding modes can't diverge)
-              v += BigDecimal(value).setScale(12, scala.math.BigDecimal.RoundingMode.HALF_UP)
-            }
-            (uid, n, purchases, v.toDouble)
-          }
-          .toDF("user_id", "n_events", "n_purchases", "total_value")
+          .agg(graft.ops.SessionSummaryAgg.toColumn.name("s"))
+          .toDF("user_id", "s")
+          .select($"user_id", $"s._1".as("n_events"),
+            $"s._2".as("n_purchases"), $"s._3".as("total_value"))
           .orderBy($"user_id")
       },
       Some("""SELECT user_id, count(*) AS n_events,

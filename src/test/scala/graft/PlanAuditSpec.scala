@@ -31,6 +31,16 @@ class PlanAuditSpec extends SparkSpec {
       "as-of should be union+window, not a join:\n" + p.take(800))
   }
 
+  test("typed session summary aggregates with map-side partial combine") {
+    // q43 must NOT be a mapGroups-style object operator (which shuffles
+    // every raw event row); the typed Aggregator compiles to an aggregate
+    // with a partial phase before the exchange.
+    val p = plan("q43_user_sessions")
+    assert(!p.contains("MapGroups"), "q43 degraded to MapGroups:\n" + p.take(800))
+    assert(p.contains("partial_sessionsummaryagg") || p.contains("partial_"),
+      "no partial aggregation phase in q43 plan:\n" + p.take(1500))
+  }
+
   test("literal-expression KB matching keeps the fact side exchange-free") {
     // q05's whole match is codegen'd expressions: the only exchange allowed
     // is the final ORDER BY sort
