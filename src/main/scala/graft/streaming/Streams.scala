@@ -66,7 +66,15 @@ object Streams {
     * the batch (the reference's semantics are per-batch-with-history, not
     * per-row), so each micro-batch runs the full batch pipeline — the
     * standard pattern for promoting a complex batch flow without rewriting
-    * it. Checkpointing makes file ingestion exactly-once into the sink. */
+    * it.
+    *
+    * foreachBatch alone is only at-least-once (a micro-batch that fails
+    * after a partial write is replayed), so the write is made IDEMPOTENT:
+    * the sink is partitioned by batch id and each batch dynamically
+    * overwrites exactly its own partition — a replay rewrites the same
+    * partition instead of appending duplicates, giving effectively-once
+    * sink contents. (The built-in file sink, historyAppendStream, is
+    * exactly-once by manifest instead.) */
   def pipelineStream(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       incomingDir: String, sinkDir: String, checkpointDir: String,
@@ -74,9 +82,13 @@ object Streams {
     spark.readStream.schema(schema).parquet(incomingDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.etl.Pipeline.run(batch, modelKb, regexKb, rates)
-          .write.mode("append").parquet(sinkDir)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(sinkDir)
       }
 
   /** Watermarked stream-stream inner join: each purchase pairs with the
@@ -106,23 +118,46 @@ object Streams {
 
   /** Custom stateful op: per-user running session summary via
     * `flatMapGroupsWithState` (the KeyValueGroupedDataset path the
-    * reference has no analogue for — included for streaming completeness). */
-  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionSummary] = {
+    * reference has no analogue for — included for streaming completeness).
+    *
+    * State is BOUNDED on an unbounded stream: the source is watermarked
+    * (`delay`) and every update arms an event-time timeout `idleGap` past
+    * the user's latest event. When the watermark passes that point the
+    * user's summary is re-emitted once as a terminal record and the state
+    * is REMOVED — idle keys cannot accumulate forever. A user seen again
+    * after eviction starts a fresh summary (the gap defines the session).
+    * In batch mode timeouts don't exist; the same code runs with
+    * NoTimeout and a single pass per key. */
+  def sessionize(events: Dataset[SessionEvent], delay: String = "2 hours",
+      idleGap: String = "30 minutes"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", delay) else events
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionSummary, SessionSummary](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (uid: Long, evs: Iterator[SessionEvent], state: GroupState[SessionSummary]) =>
-          val prev = state.getOption.getOrElse(SessionSummary(uid, 0L, 0L))
-          var n = prev.n_events
-          var p = prev.n_purchases
-          evs.foreach { e =>
-            n += 1
-            if (e.event_type == "purchase") p += 1
+          if (state.hasTimedOut) {
+            val terminal = state.getOption.iterator
+            state.remove() // evict idle-key state; next sighting starts fresh
+            terminal
+          } else {
+            val prev = state.getOption.getOrElse(SessionSummary(uid, 0L, 0L))
+            var n = prev.n_events
+            var p = prev.n_purchases
+            var maxTs = Long.MinValue
+            evs.foreach { e =>
+              n += 1
+              if (e.event_type == "purchase") p += 1
+              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+            }
+            val next = SessionSummary(uid, n, p)
+            state.update(next)
+            if (streaming) state.setTimeoutTimestamp(maxTs, idleGap)
+            Iterator(next)
           }
-          val next = SessionSummary(uid, n, p)
-          state.update(next)
-          Iterator(next)
       }
   }
 }

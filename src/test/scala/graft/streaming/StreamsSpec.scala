@@ -50,6 +50,35 @@ class StreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("sessionize evicts idle-key state on event-time timeout") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Streams.SessionEvent]
+    val out = Streams.sessionize(stream.toDS(), delay = "2 hours", idleGap = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_evict").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t4h = java.sql.Timestamp.valueOf("2024-01-01 04:00:00")
+      stream.addData(
+        Streams.SessionEvent(1, t0, "view"), Streams.SessionEvent(1, t0, "purchase"))
+      out.processAllAvailable() // batch 1: user 1 → (1, 2, 1); timeout armed at t0+30m
+      stream.addData(Streams.SessionEvent(2, t4h, "view"))
+      out.processAllAvailable() // batch 2: watermark advances to t4h-2h > t0+30m
+      stream.addData(Streams.SessionEvent(2, t4h, "view"))
+      out.processAllAvailable() // batch 3: user 1's timeout FIRES → terminal re-emit + remove
+      val user1Rows = spark.table("sess_evict")
+        .as[Streams.SessionSummary].collect().filter(_.user_id == 1)
+      assert(user1Rows.count(_ == Streams.SessionSummary(1, 2, 1)) == 2,
+        s"expected the (1,2,1) summary twice (live + terminal), got ${user1Rows.toSeq}")
+      // state was removed: the user's next event starts a FRESH summary
+      stream.addData(Streams.SessionEvent(1, t4h, "view"))
+      out.processAllAvailable()
+      val fresh = spark.table("sess_evict")
+        .as[Streams.SessionSummary].collect().filter(_.user_id == 1)
+      assert(fresh.contains(Streams.SessionSummary(1, 1, 0)),
+        s"state not evicted — expected a fresh (1,1,0) summary, got ${fresh.toSeq}")
+    } finally out.stop()
+  }
+
   test("streaming dedup keeps one row per normalized content hash") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
