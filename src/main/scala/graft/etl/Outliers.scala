@@ -39,6 +39,47 @@ object Outliers {
       .drop("__median")
   }
 
+  /** Term-scoped outlier marking (reference py:287-316 with term=True):
+    * medians are computed per (`keys` + `termCol`) group — e.g. per
+    * (brand, model, month) instead of all-time.
+    *
+    * Under documented INTENT this is exactly `markOutliers` with the term
+    * appended to the keys. With `compat.termOutlierLowerBoundBug` the
+    * reference's §2.12-4 behavior is reproduced: the upper bound compares
+    * against the term-scoped median but the lower bound against the
+    * all-terms `keys` median (py:304,312 omit the term filter). The bug
+    * path joins back two one-row-per-group median tables — both broadcast
+    * under AQE, so the fact side still shuffles zero times. */
+  def markOutliersTerm(
+      df: DataFrame,
+      valueCol: String,
+      keys: Seq[String],
+      termCol: String,
+      unknownCond: Column,
+      outCol: String = "outliers",
+      lo: Double = 0.8,
+      hi: Double = 1.2,
+      compat: CompatFlags = CompatFlags.intent): DataFrame =
+    if (!compat.termOutlierLowerBoundBug)
+      markOutliers(df, valueCol, keys :+ termCol, unknownCond, outCol, lo, hi)
+    else {
+      val clean = df.filter(!unknownCond && col(valueCol).isNotNull)
+      val termMed = clean
+        .groupBy((keys :+ termCol).map(col): _*)
+        .agg(percentile(col(valueCol), lit(0.5)).as("__tmed"))
+      val baseMed = clean
+        .groupBy(keys.map(col): _*)
+        .agg(percentile(col(valueCol), lit(0.5)).as("__bmed"))
+      df.join(termMed, keys :+ termCol, "left")
+        .join(baseMed, keys, "left")
+        .withColumn(outCol,
+          when(unknownCond || col("__tmed").isNull, "unknown")
+            .when(col(valueCol) >= col("__tmed") * hi ||
+              col(valueCol) <= col("__bmed") * lo, "yes")
+            .otherwise("no"))
+        .drop("__tmed", "__bmed")
+    }
+
   /** Scale variant: approximate median via `percentile_approx` (a
     * TypedImperativeAggregate with map-side partial merge — unlike exact
     * `percentile` it never collects a full value list per group). At 100TB

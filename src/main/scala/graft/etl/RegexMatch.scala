@@ -24,14 +24,20 @@ final case class CompatFlags(
     regexCapacityAssignBug: Boolean = false,
     /** §2.12-2: the `capcacity` typo makes starting_point −2 crash; rows
       * that would hit it end with no capacity. */
-    regexCapacityTypoBug: Boolean = false)
+    regexCapacityTypoBug: Boolean = false,
+    /** §2.12-4: in term-scoped outlier marking (py:287-316, term=True) the
+      * LOWER-bound test omits the term filter (py:304,312): the upper bound
+      * compares against the term-scoped median, the lower against the
+      * all-terms (brand, model) median. */
+    termOutlierLowerBoundBug: Boolean = false)
 
 object CompatFlags {
   /** Documented intent (cells 19/28/43/49) — the default everywhere. */
   val intent: CompatFlags = CompatFlags()
   /** Reproduce the reference's actual buggy assignments. */
   val bugCompatible: CompatFlags =
-    CompatFlags(regexCapacityAssignBug = true, regexCapacityTypoBug = true)
+    CompatFlags(regexCapacityAssignBug = true, regexCapacityTypoBug = true,
+      termOutlierLowerBoundBug = true)
 }
 
 object RegexMatch {

@@ -239,6 +239,40 @@ object EtlQueries {
              |FROM lineitem l LEFT JOIN med m ON l.l_partkey = m.l_partkey
              |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
 
+    // ─── A2 term mode: term-scoped medians at BOTH CompatFlags settings ─
+    // (§2.12-4: the reference's term=True lower bound omits the term
+    // filter; intent and bug-compatible outputs side by side)
+    "q69_term_outliers" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.etl.CompatFlags
+        val li = Tables.lineitem(s, dir).withColumn("l_year", year($"l_shipdate"))
+        val intent = Outliers.markOutliersTerm(li, "l_extendedprice",
+          Seq("l_partkey"), "l_year", $"l_returnflag" === "R",
+          outCol = "outliers_intent")
+        Outliers.markOutliersTerm(intent, "l_extendedprice",
+            Seq("l_partkey"), "l_year", $"l_returnflag" === "R",
+            outCol = "outliers_bug", compat = CompatFlags.bugCompatible)
+          .select($"l_orderkey", $"l_linenumber", $"outliers_intent", $"outliers_bug")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+             |              l_returnflag, year(l_shipdate) AS l_year FROM lineitem),
+             |tmed AS (SELECT l_partkey, l_year, quantile_cont(l_extendedprice, 0.5) AS m
+             |         FROM li WHERE NOT (l_returnflag = 'R') GROUP BY l_partkey, l_year),
+             |bmed AS (SELECT l_partkey, quantile_cont(l_extendedprice, 0.5) AS m
+             |         FROM li WHERE NOT (l_returnflag = 'R') GROUP BY l_partkey)
+             |SELECT li.l_orderkey, li.l_linenumber,
+             |  CASE WHEN li.l_returnflag = 'R' OR t.m IS NULL THEN 'unknown'
+             |       WHEN li.l_extendedprice >= t.m * 1.2 OR li.l_extendedprice <= t.m * 0.8
+             |       THEN 'yes' ELSE 'no' END AS outliers_intent,
+             |  CASE WHEN li.l_returnflag = 'R' OR t.m IS NULL THEN 'unknown'
+             |       WHEN li.l_extendedprice >= t.m * 1.2 OR li.l_extendedprice <= b.m * 0.8
+             |       THEN 'yes' ELSE 'no' END AS outliers_bug
+             |FROM li LEFT JOIN tmed t ON li.l_partkey = t.l_partkey AND li.l_year = t.l_year
+             |        LEFT JOIN bmed b ON li.l_partkey = b.l_partkey
+             |ORDER BY li.l_orderkey, li.l_linenumber""".stripMargin)),
+
     // ─── A5: cumulative share + OTHERS long-tail regroup ────────────────
     "q11_cumshare_others" -> Q(
       (s, dir) => {

@@ -43,6 +43,22 @@ class EnrichOutliersSpec extends SparkSpec {
     assert(got.contains((55.0, "unknown")))
   }
 
+  test("markOutliersTerm: §2.12-4 bug flag switches only the lower bound's scope") {
+    // partkey g: 2020 → [100,100,100] (term med 100); 2021 → [200,300,400]
+    // (term med 300); all-terms med 150. Row (2021, 200):
+    //   intent: 200 ≤ 0.8·300 = 240 → yes (term-scoped lower bound)
+    //   bug:    lower bound vs 0.8·150 = 120 → 200 is not below → no
+    val df = Seq(("g", 2020, 100.0), ("g", 2020, 100.0), ("g", 2020, 100.0),
+      ("g", 2021, 200.0), ("g", 2021, 300.0), ("g", 2021, 400.0))
+      .toDF("k", "term", "v")
+    def run(compat: CompatFlags) =
+      Outliers.markOutliersTerm(df, "v", Seq("k"), "term", lit(false), compat = compat)
+        .filter($"term" === 2021 && $"v" === 200.0)
+        .select($"outliers").as[String].head()
+    assert(run(CompatFlags.intent) == "yes")
+    assert(run(CompatFlags.bugCompatible) == "no")
+  }
+
   test("markOutliers matches pandas-style interpolated median") {
     // even count: median of (10, 20) = 15 → 19 is 'yes' (19 ≥ 1.2·15 = 18)
     val df = Seq(("g", 10.0), ("g", 20.0)).toDF("k", "v")
