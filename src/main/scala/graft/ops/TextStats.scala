@@ -80,9 +80,14 @@ object TextStats {
     // document frequency from tf's one-row-per-(doc, term) output — no
     // second explode over the corpus; the tf exchange is reused
     val dfreq = tf.groupBy(col("term")).agg(fcount(lit(1)).as("df"))
-    val n = df.count() // corpus size: one driver scalar, not a per-row agg
+    // corpus size folded into the plan as a broadcast 1-row aggregate — a
+    // driver-side df.count() here would run an EXTRA job at plan time
+    // (a full scan whenever the input isn't bare parquet metadata)
+    val corpusN = df.select(fcount(lit(1)).cast("double").as("__n"))
     val scored = tf.join(broadcast(dfreq), "term")
-      .withColumn("tfidf", col("tf") * log((lit(n) + 1.0) / (col("df") + lit(1.0))))
+      .crossJoin(broadcast(corpusN))
+      .withColumn("tfidf", col("tf") * log((col("__n") + 1.0) / (col("df") + lit(1.0))))
+      .drop("__n")
     // arg-max via MIN(struct(-score, term)): highest score, ties → term asc
     scored.groupBy(col("__id").as(idCol))
       .agg(min(struct((lit(0.0) - col("tfidf")).as("neg"), col("term"))).as("__b"))
