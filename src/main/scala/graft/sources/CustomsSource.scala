@@ -51,4 +51,11 @@ object CustomsSource {
 
   def readHistory(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__ym")
+
+  /** S2 golden-export parity: the reference's `to_excel` (cells 75/83).
+    * Driver-side single-sheet xlsx via the pure-JDK writer — for the
+    * golden report/KB sheets a human opens, NOT a data sink (history
+    * stays partitioned Parquet). Round-trip proven in XlsxSourceSpec. */
+  def writeGoldenXlsx(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit =
+    Xlsx.write(df, path, sheetName)
 }

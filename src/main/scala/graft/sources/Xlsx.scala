@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.util.zip.ZipFile
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -158,5 +158,98 @@ object Xlsx {
       spark.createDataFrame(
         spark.sparkContext.parallelize(data.toSeq, 4), schema)
     } finally zip.close()
+  }
+
+  // ─── Writer (S2: the reference exports its golden output as xlsx,
+  //     notebook cells 75/83) ──────────────────────────────────────────
+
+  private def xmlEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '"' => sb.append("&quot;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** 0-based column index → "A"/"BC" ref letters (inverse of colIndex). */
+  private[sources] def colLetters(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) {
+      val r = (n - 1) % 26
+      sb.insert(0, ('A' + r).toChar)
+      n = (n - 1) / 26
+    }
+    sb.toString
+  }
+
+  /** Write a DataFrame as a single-sheet xlsx, first row = header, every
+    * cell an inline string (the reader's widest-supported cell form; no
+    * sharedStrings table to build). Null cells are omitted, which round-
+    * trips as null through `read`. Driver-side collect, symmetric with the
+    * reader's driver-side parse: xlsx is a DRIVER-SMALL format for golden
+    * exports and KB sheets — big data belongs in the parquet/CSV sinks. */
+  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
+    val header = df.columns
+    val rows = df.collect()
+    val out = new ZipOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path)))
+    def entry(name: String, content: String): Unit = {
+      out.putNextEntry(new ZipEntry(name))
+      out.write(content.getBytes("UTF-8"))
+      out.closeEntry()
+    }
+    try {
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin)
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      entry("xl/workbook.xml",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+           |<sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets>
+           |</workbook>""".stripMargin)
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+
+      out.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+      val w = new java.io.OutputStreamWriter(out, "UTF-8")
+      w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      w.write("\n<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>")
+      def writeRow(rowIdx: Int, cells: Seq[Any]): Unit = {
+        w.write(s"""<row r="$rowIdx">""")
+        cells.zipWithIndex.foreach { case (cell, i) =>
+          if (cell != null) {
+            val s = cell.toString
+            // xml:space keeps leading/trailing whitespace through StAX
+            val preserve = s.nonEmpty && (s.head.isWhitespace || s.last.isWhitespace)
+            val attr = if (preserve) " xml:space=\"preserve\"" else ""
+            w.write(s"""<c r="${colLetters(i)}$rowIdx" t="inlineStr"><is><t$attr>${xmlEscape(s)}</t></is></c>""")
+          }
+        }
+        w.write("</row>")
+      }
+      writeRow(1, header.toSeq)
+      rows.zipWithIndex.foreach { case (r, i) => writeRow(i + 2, r.toSeq) }
+      w.write("</sheetData></worksheet>")
+      w.flush()
+      out.closeEntry()
+    } finally out.close()
   }
 }

@@ -34,6 +34,42 @@ class XlsxSourceSpec extends SparkSpec {
     zos.close()
   }
 
+  test("xlsx sink round-trips: write → read is value-identical (escapes, ws, nulls)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_w").toString
+    val path = s"$dir/out.xlsx"
+    val df = Seq(
+      ("KOMATSU PC200-8", "a & b <c> \"d\"", Some("20.5")),
+      (" leading and trailing ", "中文/ünïcode", None),
+      ("plain", "AB", Some("-3")))
+      .toDF("model desc", "tricky", "num")
+    Xlsx.write(df, path)
+    val back = Xlsx.read(spark, path)
+    assert(back.columns.toSeq == df.columns.toSeq)
+    val got = back.as[(String, String, Option[String])].collect().toSeq
+    val want = df.as[(String, String, Option[String])].collect().toSeq
+    assert(got.sortBy(_._1) == want.sortBy(_._1))
+  }
+
+  test("xlsx sink round-trips the reference's golden output colDiff-clean") {
+    val goldenPath = "/root/reference/Output/Indonesia_excavator_2022_2024.07.xlsx"
+    assume(new java.io.File(goldenPath).exists())
+    val golden = Xlsx.read(spark, goldenPath)
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_g").toString
+    val rewritten = s"$dir/golden_rt.xlsx"
+    Xlsx.write(golden, rewritten)
+    val back = Xlsx.read(spark, rewritten)
+    assert(back.columns.toSeq == golden.columns.toSeq)
+    assert(back.count() == golden.count())
+    // cell-by-cell: zero differing values in any column (null-safe; row
+    // order is stable — parallelize preserves input order through collect)
+    val gRows = golden.collect().map(_.toSeq)
+    val bRows = back.collect().map(_.toSeq)
+    val diffs = gRows.zip(bRows).zipWithIndex.collect {
+      case ((g, b), i) if g != b => (i, g, b)
+    }
+    assert(diffs.isEmpty, s"first diff: ${diffs.headOption}")
+  }
+
   test("DSv2 source reads a directory, one partition per file, pruned columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx").toString
     writeXlsx(s"$dir/a.xlsx", Seq(
