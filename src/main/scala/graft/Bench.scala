@@ -21,11 +21,24 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Median of n timed passes per query: a single pass is hostage to host
+    // load (round-2's driver capture read 46.6s for a 26s suite); medians
+    // over 3 passes keep the artifact within ~15% of steady state.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples: Seq[Map[String, Double]] = (1 to runs).map { _ =>
+      spark.catalog.clearCache()
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map { case (name, _) => name -> median(samples.map(_(name))) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

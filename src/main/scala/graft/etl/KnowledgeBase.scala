@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Knowledge-base (dimension) tables for the customs pipeline and their
@@ -31,11 +31,14 @@ object KnowledgeBase {
     withRef.withColumn("ref_order", monotonically_increasing_id())
   }
 
+  /** Letter↔digit boundary regex ("330GC" → boundary between 0 and G). */
+  private val letterDigitBoundary = "(?<=[A-Za-z])(?=\\d)|(?<=\\d)(?=[A-Za-z])"
+
   /** Insert a space at every letter↔digit boundary ("330GC" → "330 GC",
     * "TE20HD" → "TE 20 HD") — the description-side form the reference's
     * hand-maintained model_ref column encodes. */
   def spacedVariant(model: String): String =
-    model.replaceAll("(?<=[A-Za-z])(?=\\d)|(?<=\\d)(?=[A-Za-z])", " ")
+    model.replaceAll(letterDigitBoundary, " ")
 
   /** KB-maintenance op: expand each model row with its spaced model_ref
     * variant, so containment matching also catches "MODEL 330 GC" style
@@ -44,9 +47,10 @@ object KnowledgeBase {
     val base =
       if (kb.columns.contains("model_ref")) kb
       else kb.withColumn("model_ref", col("model"))
-    val spaceAt = udf(spacedVariant _)
+    // codegen'd regexp_replace, not a UDF — same java.util.regex semantics
+    // as spacedVariant (the scalar twin used by driver-side callers)
     val variants = base
-      .withColumn("model_ref", spaceAt(col("model")))
+      .withColumn("model_ref", regexp_replace(col("model"), letterDigitBoundary, " "))
       .filter(col("model_ref") =!= col("model"))
     base.unionByName(variants)
   }
@@ -58,10 +62,13 @@ object KnowledgeBase {
     * regex sheet (K1, update_regex_df) does. capacity_regex captures
     * nothing usable → starting_point 2 (capacity stays unknown). */
   def regexKbFromModels(kb: DataFrame): DataFrame = {
-    val toPattern = udf { (model: String) =>
-      model.replaceAll("([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
-        .replaceAll("(?<=[A-Za-z])(?=\\d)|(?<=\\d)(?=[A-Za-z])", " ?")
-    }
+    // regexp_replace chain, not a UDF: escape regex metachars, then allow
+    // an optional space at letter↔digit boundaries (same replacement
+    // semantics as Java replaceAll — both are Matcher.appendReplacement)
+    def toPattern(model: Column): Column =
+      regexp_replace(
+        regexp_replace(model, "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1"),
+        letterDigitBoundary, " ?")
     val cat = if (kb.columns.contains("type")) col("type") else lit("UNKNOWN")
     kb.select(col("brand"), col("model"), cat.as("category"))
       .groupBy("brand", "model")

@@ -49,19 +49,38 @@ object XlsxSource {
     options.getOrDefault("sheet", "xl/worksheets/sheet1.xml")
 
   /** Resolve the `path`/`paths` option to concrete .xlsx files: a file is
-    * itself; a directory contributes every *.xlsx inside (sorted). */
+    * itself; a directory contributes every *.xlsx inside (sorted).
+    *
+    * Spark encodes multi-path load() as a JSON array of strings — parsed
+    * with a real JSON parser (Jackson, on Spark's classpath), so paths
+    * containing commas or quotes survive.
+    *
+    * Filesystem contract: paths must be on a LOCAL or shared-mounted
+    * filesystem (the reader needs ZipFile random access) — the same
+    * driver-small positioning as Xlsx.read. A `file:` scheme is accepted
+    * and stripped; any other scheme fails fast with a clear error instead
+    * of silently listing nothing. */
   def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
-    val raw = Option(options.get("paths"))
-      // Spark encodes multi-path load() as a JSON array of strings
-      .map(_.stripPrefix("[").stripSuffix("]").split(",").toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+    val raw: Seq[String] = Option(options.get("paths"))
+      .map { js =>
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        m.readValue(js, classOf[Array[String]]).toSeq
+      }
       .getOrElse(Option(options.get("path")).toSeq)
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*):.*".r
     raw.filter(_.nonEmpty).flatMap { p =>
-      val f = new java.io.File(p)
+      val local = p match {
+        case scheme("file") => p.stripPrefix("file:")
+        case scheme(other) => throw new IllegalArgumentException(
+          s"graft-xlsx reads local/shared filesystems only, got scheme '$other' in $p " +
+            "(xlsx is a driver-small format; land big data as parquet/CSV)")
+        case _ => p
+      }
+      val f = new java.io.File(local)
       if (f.isDirectory)
         f.listFiles((_, name) => name.toLowerCase.endsWith(".xlsx"))
           .toSeq.map(_.getPath).sorted
-      else Seq(p)
+      else Seq(local)
     }
   }
 }
