@@ -907,6 +907,9 @@ object OpsQueries {
         val matched = Pipeline.prepare(synthCustomsFact(s, dir, every = 70))
           .transform(Pipeline.matchKnowledgeBase(_, reducedKb))
           .drop("supplier_norm")
+          // rematchIndividual branches its input (todo/done split): cut the
+          // lineage so the first match isn't recomputed per branch
+          .transform(_.localCheckpoint(eager = false))
         Matching.rematchIndividual(matched,
           $"remark" === Pipeline.Remark.noMatch, fullKb)
           .groupBy($"brand", $"model", $"remark").agg(count(lit(1)).as("n"))
