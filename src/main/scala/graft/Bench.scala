@@ -24,7 +24,9 @@ object Bench {
     // Median of n timed passes per query: a single pass is hostage to host
     // load (round-2's driver capture read 46.6s for a 26s suite); medians
     // over 3 passes keep the artifact within ~15% of steady state.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(3).max(1)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples: Seq[Map[String, Double]] = (1 to runs).map { _ =>
       spark.catalog.clearCache()

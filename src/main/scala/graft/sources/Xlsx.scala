@@ -170,6 +170,10 @@ object Xlsx {
       case '<' => sb.append("&lt;")
       case '>' => sb.append("&gt;")
       case '"' => sb.append("&quot;")
+      // XML 1.0 allows only #x9 #xA #xD below #x20: other control chars
+      // would corrupt the sheet (openpyxl raises IllegalCharacterError
+      // here; we strip, which keeps the export total on dirty text)
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ()
       case c => sb.append(c)
     }
     sb.toString
@@ -187,12 +191,34 @@ object Xlsx {
     sb.toString
   }
 
-  /** Write a DataFrame as a single-sheet xlsx, first row = header, every
-    * cell an inline string (the reader's widest-supported cell form; no
-    * sharedStrings table to build). Null cells are omitted, which round-
-    * trips as null through `read`. Driver-side collect, symmetric with the
-    * reader's driver-side parse: xlsx is a DRIVER-SMALL format for golden
-    * exports and KB sheets — big data belongs in the parquet/CSV sinks. */
+  /** Plain-decimal lexical form for a numeric cell: no scientific
+    * notation (Excel shows `<v>` verbatim for General format), minimal
+    * digits (via Double.toString's shortest round-trip rendering). */
+  private def numericLexical(n: java.lang.Number): String = n match {
+    case d: java.lang.Double =>
+      if (d.doubleValue == d.longValue && math.abs(d.doubleValue) < 1e15) d.longValue.toString
+      else new java.math.BigDecimal(d.toString).toPlainString
+    case f: java.lang.Float => numericLexical(java.lang.Double.valueOf(f.doubleValue))
+    case bd: java.math.BigDecimal => bd.toPlainString
+    case bd: scala.math.BigDecimal => bd.bigDecimal.toPlainString
+    case other => other.toString // integral types
+  }
+
+  private def isFinite(n: java.lang.Number): Boolean = n match {
+    case d: java.lang.Double => !d.isNaN && !d.isInfinite
+    case f: java.lang.Float => !f.isNaN && !f.isInfinite
+    case _ => true
+  }
+
+  /** Write a DataFrame as a single-sheet xlsx, first row = header.
+    * Numeric columns become real NUMERIC cells (plain-decimal `<v>`, the
+    * form `to_excel` writes — so Excel sorts/formats them as numbers);
+    * everything else is an inline string (the reader's widest-supported
+    * cell form; no sharedStrings table to build). Null cells are omitted,
+    * which round-trips as null through `read`. Driver-side collect,
+    * symmetric with the reader's driver-side parse: xlsx is a DRIVER-SMALL
+    * format for golden exports and KB sheets — big data belongs in the
+    * parquet/CSV sinks. */
   def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
     val header = df.columns
     val rows = df.collect()
@@ -235,12 +261,16 @@ object Xlsx {
       def writeRow(rowIdx: Int, cells: Seq[Any]): Unit = {
         w.write(s"""<row r="$rowIdx">""")
         cells.zipWithIndex.foreach { case (cell, i) =>
-          if (cell != null) {
-            val s = cell.toString
-            // xml:space keeps leading/trailing whitespace through StAX
-            val preserve = s.nonEmpty && (s.head.isWhitespace || s.last.isWhitespace)
-            val attr = if (preserve) " xml:space=\"preserve\"" else ""
-            w.write(s"""<c r="${colLetters(i)}$rowIdx" t="inlineStr"><is><t$attr>${xmlEscape(s)}</t></is></c>""")
+          cell match {
+            case null => ()
+            case n: java.lang.Number if isFinite(n) =>
+              w.write(s"""<c r="${colLetters(i)}$rowIdx"><v>${numericLexical(n)}</v></c>""")
+            case other =>
+              val s = other.toString
+              // xml:space keeps leading/trailing whitespace through StAX
+              val preserve = s.nonEmpty && (s.head.isWhitespace || s.last.isWhitespace)
+              val attr = if (preserve) " xml:space=\"preserve\"" else ""
+              w.write(s"""<c r="${colLetters(i)}$rowIdx" t="inlineStr"><is><t$attr>${xmlEscape(s)}</t></is></c>""")
           }
         }
         w.write("</row>")

@@ -67,10 +67,12 @@ object XlsxSource {
         m.readValue(js, classOf[Array[String]]).toSeq
       }
       .getOrElse(Option(options.get("path")).toSeq)
-    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*):.*".r
+    // ≥2-char scheme: a single letter before ':' is a Windows drive, not
+    // a URI scheme
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]+):.*".r
     raw.filter(_.nonEmpty).flatMap { p =>
       val local = p match {
-        case scheme("file") => p.stripPrefix("file:")
+        case scheme(s) if s.equalsIgnoreCase("file") => p.substring(s.length + 1)
         case scheme(other) => throw new IllegalArgumentException(
           s"graft-xlsx reads local/shared filesystems only, got scheme '$other' in $p " +
             "(xlsx is a driver-small format; land big data as parquet/CSV)")

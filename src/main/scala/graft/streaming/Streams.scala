@@ -151,11 +151,14 @@ object Streams {
             evs.foreach { e =>
               n += 1
               if (e.event_type == "purchase") p += 1
-              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+              // null-safe: batch inputs (or nullable parquet) may carry
+              // null ts rows that no late-event filter removed
+              if (e.ts != null && e.ts.getTime > maxTs) maxTs = e.ts.getTime
             }
             val next = SessionSummary(uid, n, p)
             state.update(next)
-            if (streaming) state.setTimeoutTimestamp(maxTs, idleGap)
+            if (streaming && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, idleGap)
             Iterator(next)
           }
       }

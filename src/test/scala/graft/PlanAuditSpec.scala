@@ -37,8 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     // with a partial phase before the exchange.
     val p = plan("q43_user_sessions")
     assert(!p.contains("MapGroups"), "q43 degraded to MapGroups:\n" + p.take(800))
-    assert(p.contains("partial_sessionsummaryagg") || p.contains("partial_"),
-      "no partial aggregation phase in q43 plan:\n" + p.take(1500))
+    assert(p.toLowerCase.contains("partial_sessionsummaryagg"),
+      "no partial SessionSummaryAgg phase in q43 plan:\n" + p.take(1500))
   }
 
   test("literal-expression KB matching keeps the fact side exchange-free") {

@@ -50,6 +50,28 @@ class XlsxSourceSpec extends SparkSpec {
     assert(got.sortBy(_._1) == want.sortBy(_._1))
   }
 
+  test("xlsx sink writes numeric cells plain-decimal and strips illegal control chars") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_n").toString
+    val path = s"$dir/num.xlsx"
+    val df = Seq(
+      ("big", 12345678.0, 3L),
+      ("frac", 0.1, -4L),
+      ("ctl" + 1.toChar + "char", 2.5, 0L)) // U+0001 is illegal in XML 1.0 → stripped
+      .toDF("k", "d", "n")
+    Xlsx.write(df, path)
+    // numeric cells: <v> holds plain decimals, never scientific notation
+    val zip = new java.util.zip.ZipFile(path)
+    val sheet = scala.io.Source.fromInputStream(
+      zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml")), "UTF-8").mkString
+    zip.close()
+    assert(sheet.contains("<v>12345678</v>") && sheet.contains("<v>0.1</v>"))
+    assert(!sheet.toLowerCase.contains("e7"), "scientific notation leaked into a cell")
+    assert(!sheet.contains(1.toChar.toString))
+    val back = Xlsx.read(spark, path).as[(String, String, String)].collect().toSet
+    assert(back == Set(("big", "12345678", "3"), ("frac", "0.1", "-4"),
+      ("ctlchar", "2.5", "0")))
+  }
+
   test("xlsx sink round-trips the reference's golden output colDiff-clean") {
     val goldenPath = "/root/reference/Output/Indonesia_excavator_2022_2024.07.xlsx"
     assume(new java.io.File(goldenPath).exists())
