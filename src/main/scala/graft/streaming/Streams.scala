@@ -113,6 +113,20 @@ object Streams {
         col("click_id"), col("click_ts"), col("value"))
   }
 
+  /** Streaming twin of q43: the SAME mergeable typed Aggregator
+    * (ops.SessionSummaryAgg) applied incrementally — partial aggregation
+    * per micro-batch, one state buffer per user (bounded by user count,
+    * not event count). Works identically on a batch Dataset, which is how
+    * the spec cross-checks it. */
+  def sessionSummaryStream(events: Dataset[(Long, String, Double)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .agg(graft.ops.SessionSummaryAgg.toColumn.name("s"))
+      .toDF("user_id", "s")
+      .selectExpr("user_id", "s._1 AS n_events", "s._2 AS n_purchases",
+        "s._3 AS total_value")
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionSummary(user_id: Long, n_events: Long, n_purchases: Long)
 

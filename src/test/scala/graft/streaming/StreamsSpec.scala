@@ -50,6 +50,29 @@ class StreamsSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("typed session Aggregator runs incrementally and matches its batch twin") {
+    implicit val sq = spark.sqlContext
+    val batchEv = Tables.events(spark, sfTiny)
+      .select($"user_id", $"event_type", $"value").as[(Long, String, Double)]
+    val batch = Streams.sessionSummaryStream(batchEv)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    val stream = MemoryStream[(Long, String, Double)]
+    val rows = batchEv.collect().toSeq
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val q = Streams.sessionSummaryStream(stream.toDS())
+      .writeStream.outputMode("complete").format("memory").queryName("sess_agg").start()
+    try {
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second) // second micro-batch merges into existing buffers
+      q.processAllAvailable()
+      val streamed = spark.table("sess_agg")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionize evicts idle-key state on event-time timeout") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[Streams.SessionEvent]
