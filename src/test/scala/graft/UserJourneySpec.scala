@@ -62,5 +62,20 @@ class UserJourneySpec extends SparkSpec {
     val got = shares.select($"brand", $"share").as[(String, Double)].collect().toMap
     assert(math.abs(got.values.sum - 100.0) < 1e-9)
     assert(got("SANY") > got("KOMATSU")) // 200k vs 120k
+
+    // K2: the KB later learns a brand → re-match ONLY the affected rows of
+    // the (supplier_norm-less) history, in place
+    val rematched = Matching.rematchIndividual(history,
+      col("remark") === Pipeline.Remark.noMatch, KnowledgeBase.sampleModelKb(spark))
+    assert(rematched.count() == history.count())
+
+    // golden export: the report a human opens, written back as xlsx and
+    // re-readable (S2 closes the read-write loop)
+    val golden = s"$dir/report.xlsx"
+    graft.sources.CustomsSource.writeGoldenXlsx(
+      shares.select($"brand", $"revenue".cast("double").as("revenue"), $"share"), golden)
+    val reread = graft.sources.Xlsx.read(spark, golden)
+    assert(reread.columns.toSeq == Seq("brand", "revenue", "share"))
+    assert(reread.count() == shares.count())
   }
 }
