@@ -144,6 +144,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by
+    * iterative min-label propagation — each vertex repeatedly takes the
+    * smallest label among itself and its neighbors until fixpoint, so
+    * `label` = min doc id of the component (the canonical doc).
+    *
+    * Scale shape: per iteration one join + one partial-aggregating groupBy
+    * over the LABEL table (O(docs) rows, not O(pairs²)); lineage is cut
+    * per iteration (eager localCheckpoint → `checkpoint` on a cluster).
+    * Converges in ≤ component-diameter iterations — near-dup components
+    * are shallow (dups of a common source), so a handful in practice; for
+    * adversarially long chains swap in the large-star/small-star variant.
+    * Deterministic: min is order-independent. */
+  def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val bySrc = labels.select(col("id").as("src"), col("label").as("slabel"))
+      val neighborMin = sym.join(bySrc, "src")
+        .groupBy(col("dst").as("id")).agg(min("slabel").as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      // labels only ever decrease → fixpoint when none decreased
+      converged = next.join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") < col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** 48-bit SimHash over the token multiset (48 ≤ the 60 bits of
     * `seededHash`, and keeps the result positive in any engine's bigint).
     * Bit k is set when the majority of token-hashes have bit k set.

@@ -23,14 +23,16 @@ object OpsQueries {
       |           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]),
       |         x -> x IS NOT NULL)) AS sh FROM base)""".stripMargin
 
-  private val minhashSql: String = {
+  /** The MinHash-LSH pair CTE chain (sans WITH keyword) — shared by the
+    * q25 pairs oracle and the q70 clusters oracle. */
+  private val minhashCtes: String = {
     val sigItems = (0 until 16).map { i =>
       val r = Dedup.mixRot(i)
       val c = Dedup.mixConst(i)
       val lowMask = (1L << (60 - r)) - 1
       s"coalesce(list_min(list_transform(hs, h -> xor(((h & $lowMask) << $r) | (h >> ${60 - r}), $c))), 0)"
     }.mkString("[", ",\n    ", "]")
-    s"""WITH $sqlShingles,
+    s"""$sqlShingles,
        |hsh AS (SELECT doc_id, sh, list_transform(sh, s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS hs FROM sh),
        |sig AS (SELECT doc_id, sh, $sigItems AS sig FROM hsh),
        |bands AS (SELECT doc_id, j, md5(sig[2*j+1]::VARCHAR || ',' || sig[2*j+2]::VARCHAR) AS key
@@ -39,9 +41,26 @@ object OpsQueries {
        |         FROM bands a JOIN bands b ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
        |pairs AS (SELECT id_a, id_b,
        |            len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-       |          FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id)
-       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+       |          FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id)""".stripMargin
   }
+
+  private val minhashSql: String =
+    s"""WITH $minhashCtes
+       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** q70 oracle: connected components of the thresholded pair graph by a
+    * recursive reachability walk; cluster id = min reachable doc id. */
+  private val dupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+       |SELECT a AS doc_id, min(b) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   private val simhashSql: String = {
     val terms = (0 until 48).map(k =>
@@ -459,6 +478,22 @@ object OpsQueries {
           .orderBy($"id_a", $"id_b")
       },
       Some(minhashSql)),
+
+    // ─── near-dup CLUSTERS: connected components over the pair graph ────
+    // (min-label propagation; cluster id = canonical = min doc id — the
+    // step after q25 that dedup at corpus scale actually keys on)
+    "q70_dup_clusters" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+        Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
+            pairs.select($"id_a", $"id_b"))
+          .select($"id".as("doc_id"), $"label".as("cluster_id"))
+          .orderBy($"doc_id")
+      },
+      Some(dupClustersSql)),
 
     // ─── SimHash fingerprints ───────────────────────────────────────────
     "q26_simhash" -> Q(

@@ -27,6 +27,16 @@ class DedupSpec extends SparkSpec {
     viaLsh.foreach { case (pair, j) => assert(exact(pair) == j) }
   }
 
+  test("connected components: chain, separate component, singleton") {
+    // 1-2-3-4 chain (via pairwise edges), {10, 11}, and isolated 20
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (11L, 10L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(verts, "doc_id", edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("identical texts give identical simhash; disjoint vocab differs") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "zz yy xx qq"))
       .toDF("id", "text")
