@@ -121,6 +121,39 @@ object Similarity {
       .select(col(idCol), col("sim"))
   }
 
+  /** The query's `nprobe` nearest cells (cosine desc, cid asc on ties) as
+    * an array column — multi-probe IVF's recall lever: searching p cells
+    * multiplies the candidate set to ~p·N/K while recovering neighbors
+    * that fell just across a cell boundary. Same literal-expression
+    * arithmetic as `ivfCell`, so cell assignment and probing can't drift. */
+  def ivfCellsTop(vec: Column, centroids: Seq[(Int, Array[Float])],
+      nprobe: Int): Column = {
+    import graft.functions.VectorOps
+    val cands = array(centroids.map { case (cid, cv) =>
+      val dotQ = VectorOps.dotLiteral(vec, cv.map(_.toDouble))
+      val nq = math.sqrt(cv.map(v => v.toDouble * v.toDouble).sum)
+      struct((dotQ / (sqrt(VectorOps.norm2Fast(vec)) * lit(nq))).as("sim"),
+        lit(-cid).as("negcid"))
+    }: _*)
+    // ascending struct sort + reverse = sim desc, then negcid desc = cid asc
+    transform(slice(reverse(array_sort(cands)), 1, nprobe),
+      s => lit(0) - s.getField("negcid"))
+  }
+
+  /** Multi-probe IVF top-k: search the query's `nprobe` nearest cells. */
+  def ivfTopKProbed(emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, centroids: Seq[(Int, Array[Float])], k: Int,
+      nprobe: Int): DataFrame = {
+    val assigned = emb.withColumn("__cell", ivfCell(col(vecCol), centroids))
+    val q = query.withColumn("__qcells", ivfCellsTop(col("qvec"), centroids, nprobe))
+    assigned.crossJoin(broadcast(q))
+      .filter(array_contains(col("__qcells"), col("__cell")))
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("sim"))
+  }
+
   /** Deterministic Lloyd's k-means over an embedding column, for IVF
     * centroids (`ivfTopK` takes the result unchanged).
     *

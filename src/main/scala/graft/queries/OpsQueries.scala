@@ -570,6 +570,37 @@ object OpsQueries {
            |SELECT vec_id, sim FROM st ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
       }),
 
+    // ─── multi-probe IVF: nprobe nearest cells (the recall lever) ───────
+    "q71_ann_ivf_probed" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter($"vec_id" < 16)
+          .select($"vec_id", $"embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        val query = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+        Similarity.ivfTopKProbed(emb, "vec_id", "embedding", query, centroids,
+          k = 10, nprobe = 4)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (p,q) -> p+q) /
+             |  (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)) *
+             |   sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)))""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |scored AS (SELECT e.vec_id, e.embedding, c.cid, ${cos("e.embedding", "c.cv")} AS csim
+           |           FROM embeddings e CROSS JOIN c),
+           |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+           |           FROM scored),
+           |cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+           |qcells AS (SELECT cid FROM assign WHERE vec_id = 0 AND rn <= 4),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |st AS (SELECT cells.vec_id, ${cos("cells.embedding", "q.qvec")} AS sim
+           |       FROM cells, q WHERE cells.cid IN (SELECT cid FROM qcells))
+           |SELECT vec_id, sim FROM st ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
     // ─── per-vector in-bucket nearest neighbor (embedding near-dup) ─────
     "q37_embed_nn" -> Q(
       (s, dir) => {

@@ -166,6 +166,19 @@ class AnnRecallSpec extends graft.SparkSpec {
     assert(ivf.intersect(exact).size >= 7, s"ivf recall ${ivf.intersect(exact).size}/10")
   }
 
+  test("multi-probe IVF recall is monotone in nprobe and hits 1.0 at nprobe=K") {
+    val cs = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    def recall(nprobe: Int) =
+      ids(Similarity.ivfTopKProbed(emb, "vec_id", "embedding", q, cs, 10, nprobe))
+        .intersect(exact).size
+    val r1 = recall(1); val r4 = recall(4); val r8 = recall(8)
+    assert(r4 >= r1, s"nprobe=4 recall $r4 < nprobe=1 recall $r1")
+    assert(r8 == 10, s"nprobe=K must equal brute force, got $r8/10")
+    // nprobe=1 must agree with the single-cell path exactly
+    assert(ids(Similarity.ivfTopKProbed(emb, "vec_id", "embedding", q, cs, 10, 1))
+      == ids(Similarity.ivfTopK(emb, "vec_id", "embedding", q, cs, 10)))
+  }
+
   test("LSH recall floor holds and rises as planes decrease (bigger buckets)") {
     def lshRecall(planes: Int) =
       ids(Similarity.lshTopK(emb, "vec_id", "embedding", q, 64, planes, 10))
