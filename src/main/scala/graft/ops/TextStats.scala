@@ -38,6 +38,29 @@ object TextStats {
     size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
       greatest(length(text), lit(1))
 
+  /** Within-document word repetition (Gopher/C4-style quality signal):
+    * 1 − distinct_tokens/tokens. 0 for empty/whitespace-only text. Tokens
+    * are single-space splits — the same tokenization the dedup shinglers
+    * use, so the two signal families can't disagree on word boundaries. */
+  def wordRepetition(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    val total = size(toks)
+    when(total > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
+  /** Within-document k-gram repetition: 1 − distinct_shingles/shingles —
+    * high values flag boilerplate/looped generations that per-corpus dedup
+    * never sees. Distinct count via the fused shingle kernel (bit-identical
+    * to the declarative slice/zip_with form). */
+  def shingleRepetition(text: Column, k: Int = 3): Column = {
+    val total = greatest(size(split(lower(text), " ")) - (k - 1), lit(0))
+    when(total > 0,
+      lit(1.0) - size(Dedup.shingles(text, k)).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
   /** Stopword-overlap language-ID heuristic: argmax of per-language marker
     * hits; ties → lexicographically smallest language; zero hits → "und". */
   def langGuess(text: Column, markers: Map[String, Seq[String]]): Column = {

@@ -625,6 +625,30 @@ object OpsQueries {
       }),
 
     // ─── text quality metrics ───────────────────────────────────────────
+    // ─── within-document repetition (Gopher/C4-style quality signals) ───
+    "q72_repetition" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            TextStats.wordRepetition($"text").as("word_rep"),
+            TextStats.shingleRepetition($"text", 3).as("shingle_rep"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_filter(
+             |         list_transform(range(1, greatest(len(toks)-1, 1)),
+             |           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]),
+             |         x -> x IS NOT NULL)) AS sh FROM base)
+             |SELECT b.doc_id,
+             |  CASE WHEN len(toks) > 0
+             |       THEN 1.0::DOUBLE - len(list_distinct(toks))::DOUBLE / len(toks)
+             |       ELSE 0.0::DOUBLE END AS word_rep,
+             |  CASE WHEN len(toks) - 2 > 0
+             |       THEN 1.0::DOUBLE - len(sh)::DOUBLE / (len(toks) - 2)
+             |       ELSE 0.0::DOUBLE END AS shingle_rep
+             |FROM base b JOIN sh USING (doc_id) ORDER BY b.doc_id""".stripMargin)),
+
     "q30_text_quality" -> Q(
       (s, dir) => {
         import s.implicits._
