@@ -61,6 +61,22 @@ object TextStats {
       .otherwise(lit(0.0))
   }
 
+  /** Overlapping token windows for sequence packing (training-data
+    * chunking): window w covers tokens [w·stride, w·stride + chunk); the
+    * last window clamps short so every token is covered. Returns an array
+    * of (chunk_idx, chunk_text) structs — explode downstream. Pure per-row
+    * expression: chunking 100 TB is a map-only stage, no shuffle. */
+  def chunkTokens(text: Column, chunk: Int, stride: Int): Column = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk)
+    val toks = split(text, " ")
+    val n = size(toks)
+    val nChunks = when(n <= chunk, lit(1))
+      .otherwise(ceil((n - chunk).cast("double") / stride).cast("int") + 1)
+    transform(sequence(lit(0), nChunks - 1), w =>
+      struct(w.as("chunk_idx"),
+        array_join(slice(toks, w * stride + 1, lit(chunk)), " ").as("chunk_text")))
+  }
+
   /** Stopword-overlap language-ID heuristic: argmax of per-language marker
     * hits; ties → lexicographically smallest language; zero hits → "und". */
   def langGuess(text: Column, markers: Map[String, Seq[String]]): Column = {

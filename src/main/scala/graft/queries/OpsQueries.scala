@@ -625,6 +625,26 @@ object OpsQueries {
       }),
 
     // ─── text quality metrics ───────────────────────────────────────────
+    // ─── token-window chunking (sequence packing for training prep) ─────
+    "q73_chunking" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            explode(TextStats.chunkTokens($"text", chunk = 32, stride = 24)).as("c"))
+          .select($"doc_id", $"c.chunk_idx", $"c.chunk_text")
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks) AS nt,
+             |        CASE WHEN len(toks) <= 32 THEN 1
+             |             ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INTEGER) END AS nc
+             |      FROM base),
+             |ex AS (SELECT doc_id, toks, CAST(unnest(range(nc)) AS INTEGER) AS w FROM n)
+             |SELECT doc_id, w AS chunk_idx,
+             |  array_to_string(list_slice(toks, w*24 + 1, w*24 + 32), ' ') AS chunk_text
+             |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ─── within-document repetition (Gopher/C4-style quality signals) ───
     "q72_repetition" -> Q(
       (s, dir) => {

@@ -98,6 +98,27 @@ class TextStatsSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "und", "de"))
   }
 
+  test("chunkTokens: windows cover every token with the right overlap") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val chunks = Seq(text, "short one", "").toDF("s")
+      .select($"s", explode(TextStats.chunkTokens($"s", chunk = 4, stride = 3)).as("c"))
+      .select($"s", $"c.chunk_idx", $"c.chunk_text")
+      .as[(String, Int, String)].collect()
+    val ten = chunks.filter(_._1 == text).sortBy(_._2).map(_._3)
+    // windows at 0,3,6 — ceil((10-4)/3)+1 = 3 windows cover all 10 tokens
+    assert(ten.toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(chunks.filter(_._1 == "short one").map(_._3).toSeq == Seq("short one"))
+    assert(chunks.filter(_._1 == "").map(_._3).toSeq == Seq("")) // 1 empty chunk
+  }
+
+  test("repetition signals: 0 on all-distinct, high on looped text") {
+    val r = Seq("a b c d", "a a a a").toDF("s")
+      .select(TextStats.wordRepetition($"s"), TextStats.shingleRepetition($"s", 2))
+      .as[(Double, Double)].collect()
+    assert(r(0) == ((0.0, 0.0)))
+    assert(r(1)._1 == 0.75 && r(1)._2 > 0.6) // 1 distinct of 4; 1 distinct 2-gram of 3
+  }
+
   test("fingerprint is order- and repetition-insensitive") {
     val fp = Seq("b a a b", "a b").toDF("s")
       .select(TextStats.fingerprint($"s")).as[String].collect()
