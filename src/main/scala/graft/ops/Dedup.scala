@@ -184,6 +184,16 @@ object Dedup {
     labels
   }
 
+  /** Apply near-dup clusters: keep only each component's canonical
+    * document (id == label, i.e. the component's min id). Inner join on
+    * the O(docs) label table — AQE broadcasts it when the cluster table is
+    * small relative to the corpus; otherwise it's one co-partitioned
+    * shuffle on the id. */
+  def keepCanonical(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(
+      clusters.filter(col("id") === col("label")).select(col("id").as(idCol)),
+      idCol)
+
   /** 48-bit SimHash over the token multiset (48 ≤ the 60 bits of
     * `seededHash`, and keeps the result positive in any engine's bigint).
     * Bit k is set when the majority of token-hashes have bit k set.

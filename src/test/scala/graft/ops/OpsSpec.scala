@@ -37,6 +37,17 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("keepCanonical retains exactly one doc per component") {
+    val verts = Seq(1L, 2L, 3L, 10L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(verts, "doc_id", edges)
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (20L, "e"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.keepCanonical(corpus, "doc_id", clusters)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L)) // min id of {1,2,3}, plus singletons
+  }
+
   test("identical texts give identical simhash; disjoint vocab differs") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "zz yy xx qq"))
       .toDF("id", "text")
