@@ -170,14 +170,15 @@ object Dedup {
       val bySrc = labels.select(col("id").as("src"), col("label").as("slabel"))
       val neighborMin = sym.join(bySrc, "src")
         .groupBy(col("dst").as("id")).agg(min("slabel").as("nlabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // ONE materialized pass per iteration: both the fixpoint test and the
+      // next label table read the same checkpointed join output
+      val joined = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          coalesce(col("nlabel"), col("label")).as("cand"))
         .localCheckpoint(eager = true)
-      // labels only ever decrease → fixpoint when none decreased
-      converged = next.join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") < col("prev")).isEmpty
-      labels = next
+      // labels only ever decrease → fixpoint when no candidate is smaller
+      converged = joined.filter(col("cand") < col("label")).isEmpty
+      labels = joined.select(col("id"), least(col("label"), col("cand")).as("label"))
       i += 1
     }
     sym.unpersist()
