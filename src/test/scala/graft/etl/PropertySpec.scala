@@ -49,6 +49,28 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("property: chunk windows tile the token stream for any (chunk, stride)") {
+    val gen = org.scalacheck.Gen.chooseNum(0, 40)
+      .map(n => (1 to n).map(i => s"w$i").mkString(" "))
+    val texts = samples(gen, 150)
+    for ((chunk, stride) <- Seq((5, 3), (4, 4), (3, 1), (1, 1))) {
+      val rows = texts.toDF("s")
+        .select($"s", graft.ops.TextStats.chunkTokens($"s", chunk, stride).as("cs"))
+        .collect()
+      rows.foreach { r =>
+        val toks = r.getString(0).split(" ", -1).toSeq
+        val cs = r.getSeq[org.apache.spark.sql.Row](1)
+          .sortBy(_.getInt(0)).map(_.getString(1))
+        // window w is exactly tokens[w·stride, w·stride+chunk)
+        cs.zipWithIndex.foreach { case (c, w) =>
+          assert(c == toks.slice(w * stride, w * stride + chunk).mkString(" ")) }
+        // windows cover every token, with no superfluous trailing window
+        assert((cs.size - 1) * stride + chunk >= toks.size)
+        if (cs.size > 1) assert((cs.size - 2) * stride + chunk < toks.size)
+      }
+    }
+  }
+
   test("property: preProcess is idempotent on arbitrary dirty text") {
     val df = samples(dirtyText).toDF("s")
     val violations = df.filter(
