@@ -178,12 +178,29 @@ object Dedup {
         .localCheckpoint(eager = true)
       // labels only ever decrease → fixpoint when no candidate is smaller
       converged = joined.filter(col("cand") < col("label")).isEmpty
+      // previous iteration's checkpoint blocks are dead now — release them
+      // so ≤2 label snapshots (not maxIter) sit in the block manager
+      unpersistCheckpoint(labels)
       labels = joined.select(col("id"), least(col("label"), col("cand")).as("label"))
       i += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — a " +
+          "component's diameter exceeds maxIter; raise it (labels would be " +
+          "silently inconsistent otherwise)")
     labels
   }
+
+  /** Release the block-manager storage behind a localCheckpoint'ed frame
+    * (Dataset.unpersist only covers cache-manager entries). No-op when the
+    * plan isn't a checkpoint scan. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Apply near-dup clusters: keep only each component's canonical
     * document (id == label, i.e. the component's min id). Inner join on

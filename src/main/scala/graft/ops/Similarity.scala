@@ -97,16 +97,21 @@ object Similarity {
     * literal `greatest()` struct fold over per-centroid cosines — zero
     * shuffle; the cell filter then cuts the scored set to ~N/K.
     * `centroids`: (cid, vector) pairs. */
-  def ivfCell(vec: Column, centroids: Seq[(Int, Array[Float])]): Column = {
+  /** Per-centroid (sim, negcid) structs — the ONE place the cell-scoring
+    * arithmetic lives, shared by assignment (ivfCell) and probing
+    * (ivfCellsTop) so the two can't drift. */
+  private def cellStructs(vec: Column, centroids: Seq[(Int, Array[Float])]): Seq[Column] = {
     import graft.functions.VectorOps
-    val cands = centroids.map { case (cid, cv) =>
+    centroids.map { case (cid, cv) =>
       val dotQ = VectorOps.dotLiteral(vec, cv.map(_.toDouble))
       val nq = math.sqrt(cv.map(v => v.toDouble * v.toDouble).sum)
       struct((dotQ / (sqrt(VectorOps.norm2Fast(vec)) * lit(nq))).as("sim"),
         lit(-cid).as("negcid"))
     }
-    (lit(0) - greatest(cands: _*).getField("negcid")).as("cid")
   }
+
+  def ivfCell(vec: Column, centroids: Seq[(Int, Array[Float])]): Column =
+    (lit(0) - greatest(cellStructs(vec, centroids): _*).getField("negcid")).as("cid")
 
   /** IVF top-k: nearest-cell search for one query vector. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, query: DataFrame,
@@ -128,13 +133,8 @@ object Similarity {
     * arithmetic as `ivfCell`, so cell assignment and probing can't drift. */
   def ivfCellsTop(vec: Column, centroids: Seq[(Int, Array[Float])],
       nprobe: Int): Column = {
-    import graft.functions.VectorOps
-    val cands = array(centroids.map { case (cid, cv) =>
-      val dotQ = VectorOps.dotLiteral(vec, cv.map(_.toDouble))
-      val nq = math.sqrt(cv.map(v => v.toDouble * v.toDouble).sum)
-      struct((dotQ / (sqrt(VectorOps.norm2Fast(vec)) * lit(nq))).as("sim"),
-        lit(-cid).as("negcid"))
-    }: _*)
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cands = array(cellStructs(vec, centroids): _*)
     // ascending struct sort + reverse = sim desc, then negcid desc = cid asc
     transform(slice(reverse(array_sort(cands)), 1, nprobe),
       s => lit(0) - s.getField("negcid"))

@@ -39,9 +39,12 @@ object TextStats {
       greatest(length(text), lit(1))
 
   /** Within-document word repetition (Gopher/C4-style quality signal):
-    * 1 − distinct_tokens/tokens. 0 for empty/whitespace-only text. Tokens
-    * are single-space splits — the same tokenization the dedup shinglers
-    * use, so the two signal families can't disagree on word boundaries. */
+    * 1 − distinct_tokens/tokens. Tokens are single-space splits — the
+    * same tokenization the dedup shinglers use, so the two signal
+    * families can't disagree on word boundaries. Consequence: empty text
+    * is one empty token (repetition 0), and whitespace runs produce
+    * repeated empty tokens that COUNT as repetition — a whitespace-padded
+    * doc is flagged, by design. */
   def wordRepetition(text: Column): Column = {
     val toks = split(lower(text), " ")
     val total = size(toks)

@@ -198,16 +198,26 @@ object Xlsx {
     case d: java.lang.Double =>
       if (d.doubleValue == d.longValue && math.abs(d.doubleValue) < 1e15) d.longValue.toString
       else new java.math.BigDecimal(d.toString).toPlainString
-    case f: java.lang.Float => numericLexical(java.lang.Double.valueOf(f.doubleValue))
+    // Float.toString is the SHORTEST float round-trip form — widening to
+    // double first would render 0.1f as 0.10000000149011612
+    case f: java.lang.Float => new java.math.BigDecimal(f.toString).toPlainString
     case bd: java.math.BigDecimal => bd.toPlainString
     case bd: scala.math.BigDecimal => bd.bigDecimal.toPlainString
     case other => other.toString // integral types
   }
 
-  private def isFinite(n: java.lang.Number): Boolean = n match {
+  /** A value Excel can hold losslessly in a numeric cell (doubles always —
+    * Excel stores IEEE doubles; integrals/decimals only up to 15
+    * significant digits, Excel's display-and-save precision). Everything
+    * else falls back to an inline string so a human opening and re-saving
+    * the report can't corrupt it. */
+  private def numericCellSafe(n: java.lang.Number): Boolean = n match {
     case d: java.lang.Double => !d.isNaN && !d.isInfinite
     case f: java.lang.Float => !f.isNaN && !f.isInfinite
-    case _ => true
+    case l: java.lang.Long => math.abs(l.longValue) < 1000000000000000L // 10^15
+    case bd: java.math.BigDecimal => bd.stripTrailingZeros.precision <= 15
+    case bd: scala.math.BigDecimal => bd.bigDecimal.stripTrailingZeros.precision <= 15
+    case _ => true // int/short/byte always fit
   }
 
   /** Write a DataFrame as a single-sheet xlsx, first row = header.
@@ -263,7 +273,7 @@ object Xlsx {
         cells.zipWithIndex.foreach { case (cell, i) =>
           cell match {
             case null => ()
-            case n: java.lang.Number if isFinite(n) =>
+            case n: java.lang.Number if numericCellSafe(n) =>
               w.write(s"""<c r="${colLetters(i)}$rowIdx"><v>${numericLexical(n)}</v></c>""")
             case other =>
               val s = other.toString

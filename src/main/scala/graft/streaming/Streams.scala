@@ -171,8 +171,15 @@ object Streams {
             }
             val next = SessionSummary(uid, n, p)
             state.update(next)
-            if (streaming && maxTs != Long.MinValue)
-              state.setTimeoutTimestamp(maxTs, idleGap)
+            if (streaming) {
+              // timeouts are NOT carried over between invocations for a
+              // key, so one must be armed on every call — a batch of only
+              // null-ts events falls back to the current watermark, else
+              // the key's state would never evict
+              if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs, idleGap)
+              else state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs(), 0L) + 1L, idleGap)
+            }
             Iterator(next)
           }
       }

@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents refuses to return inconsistent labels on non-convergence") {
+    // a 6-doc chain needs 5 propagation rounds; maxIter = 2 must THROW
+    // rather than silently emit labels that aren't any row's canonical id
+    val verts = (1L to 6L).toDF("doc_id")
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(verts, "doc_id", edges, maxIter = 2).collect()
+    }
+    // and with enough iterations the same chain resolves to one component
+    val ok = Dedup.connectedComponents(verts, "doc_id", edges, maxIter = 10)
+      .select($"label").as[Long].collect().toSet
+    assert(ok == Set(1L))
+  }
+
   test("keepCanonical retains exactly one doc per component") {
     val verts = Seq(1L, 2L, 3L, 10L, 20L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

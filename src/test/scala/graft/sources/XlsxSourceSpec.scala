@@ -56,6 +56,9 @@ class XlsxSourceSpec extends SparkSpec {
     val df = Seq(
       ("big", 12345678.0, 3L),
       ("frac", 0.1, -4L),
+      // 16 significant digits: Excel would corrupt a numeric cell → must
+      // fall back to an inline string
+      ("bigid", 2.0, 9007199254740993L),
       ("ctl" + 1.toChar + "char", 2.5, 0L)) // U+0001 is illegal in XML 1.0 → stripped
       .toDF("k", "d", "n")
     Xlsx.write(df, path)
@@ -67,9 +70,22 @@ class XlsxSourceSpec extends SparkSpec {
     assert(sheet.contains("<v>12345678</v>") && sheet.contains("<v>0.1</v>"))
     assert(!sheet.toLowerCase.contains("e7"), "scientific notation leaked into a cell")
     assert(!sheet.contains(1.toChar.toString))
+    // >15-digit long is an inline STRING cell (Excel-lossless), not numeric
+    assert(sheet.contains("<is><t>9007199254740993</t></is>"))
     val back = Xlsx.read(spark, path).as[(String, String, String)].collect().toSet
     assert(back == Set(("big", "12345678", "3"), ("frac", "0.1", "-4"),
-      ("ctlchar", "2.5", "0")))
+      ("bigid", "2", "9007199254740993"), ("ctlchar", "2.5", "0")))
+  }
+
+  test("xlsx sink renders floats at their own shortest precision") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_f").toString
+    val path = s"$dir/f.xlsx"
+    Xlsx.write(Seq((1L, 0.1f)).toDF("id", "f"), path)
+    val zip = new java.util.zip.ZipFile(path)
+    val sheet = scala.io.Source.fromInputStream(
+      zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml")), "UTF-8").mkString
+    zip.close()
+    assert(sheet.contains("<v>0.1</v>"), "float widened to double noise:\n" + sheet)
   }
 
   test("xlsx sink round-trips the reference's golden output colDiff-clean") {
