@@ -41,13 +41,18 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = names.map { case (name, _) => name -> median(samples.map(_(name))) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal fixed-point values: the driver stores only the TAIL of stdout,
+    // and 73 queries at full double precision overflowed its capture window in
+    // round 3 (BENCH_r03.json parsed:null — the line began mid-number).
+    // Locale.ROOT pins '.' as the decimal separator regardless of host locale.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     spark.stop()
     // Print the JSON line LAST, after spark.stop(), so no executor/shutdown
     // log noise can interleave after it — the driver parses this line.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
