@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative Bloom-filter semi-join pruning: build a bitmask over the
+  * SMALL side's keys, broadcast it, and pre-filter the 100 TB fact side
+  * with pure codegen'd bit tests before the exact join.
+  *
+  * Why not `DataFrameStatFunctions.bloomFilter`: that collects the sketch
+  * to the driver as an opaque JVM object with no Column-side probe. Here
+  * BOTH build and probe are Catalyst expressions, so the whole thing stays
+  * in whole-stage codegen and the build is a map-side-combinable `bit_or`
+  * aggregation (a mergeable sketch by construction — partial bitmasks OR
+  * together on the combiners, exactly how a 1000-executor build must work).
+  *
+  * Hash family: double hashing pos_i = (h1 + i·h2) mod m with
+  * h1 = xxhash64(0, key), h2 = xxhash64(1, key) — the classic
+  * Kirsch-Mitzenmacher construction; build and probe share it by calling
+  * the same function, so false NEGATIVES are impossible by construction.
+  *
+  * The filter is a PRUNE, not the answer: callers follow with the exact
+  * semi-join on the survivors (see `semiJoinPruned`), so false positives
+  * only cost work, never correctness — the oracle for this operator is the
+  * plain semi-join.
+  */
+object Bloom {
+
+  /** Bit positions for `key` (non-negative, < m). `pmod` keeps the result
+    * positive for negative hashes. */
+  private def positions(key: Column, m: Int, k: Int): Seq[Column] = {
+    // reduce mod m BEFORE combining: (h1 + i·h2) mod m ≡ ((h1 mod m) +
+    // i·(h2 mod m)) mod m, and the reduced form can't overflow int64
+    // (ANSI mode makes a raw h1 + i·h2 on full-range hashes an error)
+    val h1 = pmod(xxhash64(lit(0), key), lit(m.toLong))
+    val h2 = pmod(xxhash64(lit(1), key), lit(m.toLong))
+    (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m.toLong)))
+  }
+
+  /** Aggregate `df`'s `key` column into a 1-row DataFrame holding the
+    * bitmask as `array<long>` (column `bloom_bits`, m/64 words).
+    *
+    * Shape: explode k positions per key → groupBy word index with
+    * `bit_or` partial aggregation → assemble the (m/64)-row result into
+    * one array via a map lookup over a dense index sequence. Everything
+    * after the explode runs over ≤ m/64 rows. */
+  def buildBits(df: DataFrame, key: Column, m: Int = 1 << 16, k: Int = 3): DataFrame = {
+    require(m % 64 == 0, s"m must be a multiple of 64, got $m")
+    val words = m / 64
+    val pos = df.select(explode(array(positions(key, m, k): _*)).as("__pos"))
+    val wordRows = pos
+      .groupBy((col("__pos") / 64).cast("int").as("__w"))
+      .agg(bit_or(shiftBit(col("__pos"))).as("__bits"))
+    wordRows
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits")))).as("__m"))
+      .select(transform(sequence(lit(0), lit(words - 1)),
+        w => coalesce(element_at(col("__m"), w), lit(0L))).as("bloom_bits"))
+  }
+
+  /** Probe: true iff every one of `key`'s k bit positions is set in
+    * `bits` (an `array<long>` column, normally from a broadcast of
+    * `buildBits`). Pure expressions — stays inside whole-stage codegen. */
+  def mightContain(bits: Column, key: Column, m: Int = 1 << 16, k: Int = 3): Column =
+    positions(key, m, k).map { p =>
+      get(bits, (p / 64).cast("int")).bitwiseAND(shiftBit(p)) =!= 0L
+    }.reduce(_ && _)
+
+  /** 1L << (pos % 64) with a COLUMN shift amount — `functions.shiftleft`
+    * only accepts a literal Int, so this goes through the SQL function. */
+  private def shiftBit(pos: Column): Column =
+    call_function("shiftleft", lit(1L), (pos % 64).cast("int"))
+
+  /** The full pattern: bloom-prune `fact` on `factKey` against `dim`'s
+    * `dimKey`, then exact LEFT SEMI join to drop the false positives.
+    * The fact side sees one broadcast + codegen'd filter before the join;
+    * at high selectivity most fact partitions never reach the join at all. */
+  def semiJoinPruned(fact: DataFrame, factKey: Column, dim: DataFrame,
+      dimKey: Column, m: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val bits = buildBits(dim, dimKey, m, k)
+    fact.crossJoin(broadcast(bits))
+      .filter(mightContain(col("bloom_bits"), factKey, m, k))
+      .drop("bloom_bits")
+      .join(broadcast(dim.select(dimKey.as("__dk")).distinct()),
+        factKey === col("__dk"), "left_semi")
+  }
+}

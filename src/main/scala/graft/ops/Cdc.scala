@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture merge: apply an upsert/delete change feed onto a
+  * snapshot table (the "keep the training corpus current" operator — a
+  * corpus at 100 TB is never rebuilt from scratch; deltas are merged in).
+  *
+  * Semantics (latest-wins):
+  *   - per key, the change with the highest (ts, seq) wins; `seq` breaks
+  *     same-timestamp ties deterministically (a CDC feed always carries a
+  *     log sequence number);
+  *   - a winning `delete` removes the key entirely;
+  *   - keys with no change keep their snapshot row.
+  *
+  * Scale shape: one shuffle of snapshot ∪ changes on the key, then a
+  * per-key window. No driver-side state, no join back — the window's
+  * partition IS the merge. Skewed keys can't arise: a CDC feed has one
+  * partition per key by construction (row_number over few versions).
+  */
+object Cdc {
+
+  /** `snapshot` and `changes` must share the key + payload columns;
+    * `changes` additionally carries `tsCol: long`, `seqCol: long` and
+    * `opCol: string` ∈ {"upsert", "delete"}. Snapshot rows rank below
+    * every change (priority 0 vs 1), so any change supersedes them. */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, keyCol: String,
+      tsCol: String = "ts", seqCol: String = "seq",
+      opCol: String = "op"): DataFrame = {
+    val snapAligned = snapshot
+      .withColumn(opCol, lit("upsert"))
+      .withColumn(tsCol, lit(Long.MinValue))
+      .withColumn(seqCol, lit(Long.MinValue))
+      .withColumn("__pri", lit(0))
+    val all = snapAligned.unionByName(changes.withColumn("__pri", lit(1)))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__pri").desc, col(tsCol).desc, col(seqCol).desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "delete")
+      .drop("__rn", "__pri", opCol, tsCol, seqCol)
+  }
+}

@@ -258,4 +258,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Incremental dedup: which BATCH docs are genuinely new against an
+    * existing CORPUS? An incremental corpus is never re-deduped whole —
+    * each incoming batch is checked against what's already in. Two stages,
+    * both batch-vs-corpus only (dedup the batch against ITSELF separately
+    * with `exactDupGroups`/`minhashPairs` first):
+    *   1. exact: normalized-content md5 anti-join;
+    *   2. near: MinHash band keys on both sides, band-bucket join
+    *      batch→corpus, exact-Jaccard verify ≥ `threshold` on the
+    *      candidates, anti-join the flagged batch ids.
+    *
+    * Scale shape: the corpus is never pairwise-compared — it contributes
+    * one hash row plus `bands` band rows per doc, and both stages are
+    * bucketed joins on md5-uniform keys (no skew). In production the
+    * corpus's hash/band tables are written once as an index and reused
+    * per batch instead of recomputed (they're pure per-row derivations,
+    * so the index is a plain projection of the corpus). */
+  def newAgainstCorpus(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 16, bands: Int = 8,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def prep(df: DataFrame): DataFrame = df
+      .withColumn("__h", md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+      .withColumn("__sh", shingles(col(textCol), shingleK))
+      .withColumn("__hs", graft.functions.HashOps.md5Prefix60Array(col("__sh")))
+      .withColumn("__sig", graft.functions.HashOps.minhashSigFast(col("__hs"), numHashes))
+    def bandRows(df: DataFrame): DataFrame = df
+      .select(col(idCol), col("__sh"),
+        explode(bandKeys(col("__sig"), numHashes, bands)).as("__b"))
+      .select(col(idCol), col("__sh"), col("__b.band").as("__band"), col("__b.key").as("__key"))
+    val b = prep(batch).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = prep(corpus)
+    // stage 1: exact content match anywhere in the corpus
+    val afterExact = b.join(c.select(col("__h")), Seq("__h"), "left_anti")
+    // stage 2: near-dup candidates via shared band keys, verified exactly
+    val candIds = bandRows(afterExact)
+      .join(bandRows(c).select(col("__band"), col("__key"), col("__sh").as("__sh_c")),
+        Seq("__band", "__key"))
+      .withColumn("__j",
+        size(array_intersect(col("__sh"), col("__sh_c"))) /
+          size(array_union(col("__sh"), col("__sh_c"))))
+      .filter(col("__j") >= threshold)
+      .select(col(idCol)).distinct()
+    afterExact.join(candIds, Seq(idCol), "left_anti")
+      .drop("__h", "__sh", "__hs", "__sig")
+  }
 }

@@ -80,6 +80,28 @@ object TextStats {
         array_join(slice(toks, w * stride + 1, lit(chunk)), " ").as("chunk_text")))
   }
 
+  /** Gopher-style composite quality gate: a document survives iff every
+    * rule passes. Rules (each a published pre-training heuristic):
+    *   - token count within [minTokens, maxTokens];
+    *   - mean token length within [minMeanLen, maxMeanLen] (gibberish and
+    *     char-soup documents fall outside);
+    *   - stopword ratio ≥ minStopRatio (natural prose contains function
+    *     words; tables/logs/code mostly don't);
+    *   - word repetition ≤ maxWordRep (looped generations, boilerplate).
+    * Pure per-row expression — the 100 TB quality pass is map-only. The
+    * individual signals are the named functions above; this is the
+    * decision combinator, so thresholds live in ONE place per pipeline. */
+  def qualityKeep(text: Column, stopwords: Seq[String],
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopRatio: Double = 0.01, maxWordRep: Double = 0.6): Column = {
+    val nt = wsTokenCount(text)
+    nt.between(minTokens, maxTokens) &&
+      meanTokenLen(text).between(minMeanLen, maxMeanLen) &&
+      (stopwordRatio(text, stopwords) >= minStopRatio) &&
+      (wordRepetition(text) <= maxWordRep)
+  }
+
   /** Stopword-overlap language-ID heuristic: argmax of per-language marker
     * hits; ties → lexicographically smallest language; zero hits → "und". */
   def langGuess(text: Column, markers: Map[String, Seq[String]]): Column = {

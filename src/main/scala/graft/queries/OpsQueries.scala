@@ -1062,7 +1062,174 @@ object OpsQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy($"remark", $"outliers", $"capacity interval", $"type_translated")
       },
-      Some(Q40Oracle.craneSql(21, 50, graft.etl.KnowledgeBase.sampleTypeTranslationRows))))
+      Some(Q40Oracle.craneSql(21, 50, graft.etl.KnowledgeBase.sampleTypeTranslationRows))),
+
+    // ─── CDC upsert/delete merge (corpus maintenance) ───────────────────
+    // Deterministic synthetic feed over orders: v1 upserts every 5th key,
+    // v2 supersedes every 10th, deletes win on every 7th; snapshot rows
+    // survive only where no change touched the key.
+    "q74_cdc_upsert" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+        val snap = o.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val v1 = o.filter($"o_orderkey" % 5 === 0).select($"o_orderkey",
+          lit("U1").as("o_orderstatus"), ($"o_totalprice" * 1.1).as("o_totalprice"),
+          lit(1L).as("ts"), $"o_orderkey".as("seq"), lit("upsert").as("op"))
+        val v2 = o.filter($"o_orderkey" % 10 === 0).select($"o_orderkey",
+          lit("U2").as("o_orderstatus"), ($"o_totalprice" * 1.21).as("o_totalprice"),
+          lit(2L).as("ts"), $"o_orderkey".as("seq"), lit("upsert").as("op"))
+        val del = o.filter($"o_orderkey" % 7 === 0).select($"o_orderkey",
+          $"o_orderstatus", $"o_totalprice",
+          lit(3L).as("ts"), $"o_orderkey".as("seq"), lit("delete").as("op"))
+        Cdc.applyChanges(snap, v1.unionByName(v2).unionByName(del), "o_orderkey")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH ch AS (
+             |  SELECT o_orderkey, 'U1' AS o_orderstatus, o_totalprice * 1.1::DOUBLE AS o_totalprice,
+             |         1::BIGINT AS ts, o_orderkey AS seq, 'upsert' AS op, 1 AS pri
+             |  FROM orders WHERE o_orderkey % 5 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, 'U2', o_totalprice * 1.21::DOUBLE, 2::BIGINT, o_orderkey, 'upsert', 1
+             |  FROM orders WHERE o_orderkey % 10 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice, 3::BIGINT, o_orderkey, 'delete', 1
+             |  FROM orders WHERE o_orderkey % 7 = 0),
+             |allr AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |         (-9223372036854775807 - 1)::BIGINT AS ts,
+             |         (-9223372036854775807 - 1)::BIGINT AS seq, 'upsert' AS op, 0 AS pri
+             |  FROM orders
+             |  UNION ALL SELECT * FROM ch),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             |        ORDER BY pri DESC, ts DESC, seq DESC) AS rn FROM allr)
+             |SELECT o_orderkey, o_orderstatus, o_totalprice FROM r
+             |WHERE rn = 1 AND op <> 'delete' ORDER BY o_orderkey""".stripMargin)),
+
+    // ─── Gopher-style composite quality gate ────────────────────────────
+    "q75_quality_filter" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sw = Seq("the", "a")
+        Tables.documents(s, dir).select($"doc_id",
+          TextStats.wsTokenCount($"text").as("n_tokens"),
+          TextStats.meanTokenLen($"text").as("mean_token_len"),
+          TextStats.stopwordRatio($"text", sw).as("stopword_ratio"),
+          TextStats.wordRepetition($"text").as("word_rep"),
+          TextStats.qualityKeep($"text", sw).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_tokens,
+             |  list_sum(list_transform(regexp_split_to_array(text, '\s+'), t -> length(t)))::DOUBLE
+             |    / len(regexp_split_to_array(text, '\s+')) AS mean_token_len,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['the','a'], t)))::DOUBLE
+             |    / len(regexp_split_to_array(lower(text), '\s+')) AS stopword_ratio,
+             |  CASE WHEN len(string_split(lower(text), ' ')) > 0
+             |       THEN 1.0::DOUBLE - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+             |            / len(string_split(lower(text), ' '))
+             |       ELSE 0.0::DOUBLE END AS word_rep
+             |FROM documents)
+             |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, word_rep,
+             |  (n_tokens BETWEEN 20 AND 100000) AND (mean_token_len BETWEEN 3.0 AND 10.0)
+             |    AND stopword_ratio >= 0.01 AND word_rep <= 0.6 AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ─── per-language heavy hitters (two-phase top-k terms) ─────────────
+    // Shape: one explode → partial-agg count on (lang, term) → window over
+    // the AGGREGATED term table (tiny vs the corpus) → top 5. The exact
+    // version of what a Misra-Gries/count-min pass approximates.
+    "q76_heavy_hitters" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.documents(s, dir)
+          .select($"lang", explode(split(lower($"text"), " ")).as("term"))
+          .groupBy($"lang", $"term").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"lang").orderBy($"n".desc, $"term".asc)
+        counts.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .orderBy($"lang", $"rank")
+      },
+      Some("""WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+             |c AS (SELECT lang, term, count(*) AS n FROM t GROUP BY 1, 2),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+             |        ORDER BY n DESC, term ASC) AS INTEGER) AS rank FROM c)
+             |SELECT lang, term, n, rank FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
+
+    // ─── Bloom-filter semi-join pruning ─────────────────────────────────
+    // The bloom prune is exact-by-construction at the RESULT level (false
+    // positives die in the follow-up semi-join), so the oracle is the
+    // plain semi-join; the bloom mechanics are property-spec'd.
+    "q77_bloom_prune" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val dim = Tables.orders(s, dir).filter($"o_totalprice" > 450000.0)
+        Bloom.semiJoinPruned(Tables.lineitem(s, dir), $"l_orderkey",
+            dim.select($"o_orderkey"), $"o_orderkey")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            graft.etl.Analytics.exactSum($"l_quantity").cast("double").as("sum_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0::DOUBLE)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ─── incremental dedup: new batch vs existing corpus ────────────────
+    // Batch = every 5th doc; stays iff no exact content match and no
+    // verified MinHash near-dup (jaccard ≥ 0.5) anywhere in the corpus.
+    "q78_incremental_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        Dedup.newAgainstCorpus(
+            docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
+            "doc_id", "text")
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $minhashCtes,
+              |norm AS (SELECT doc_id,
+              |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h FROM documents),
+              |bat AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+              |corp AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+              |ax AS (SELECT b.doc_id FROM bat b JOIN norm nb USING (doc_id)
+              |       WHERE nb.h NOT IN (SELECT nc.h FROM corp c JOIN norm nc USING (doc_id))),
+              |near AS (
+              |  SELECT id_a AS doc_id FROM pairs WHERE jaccard >= 0.5
+              |    AND id_a IN (SELECT doc_id FROM ax) AND id_b IN (SELECT doc_id FROM corp)
+              |  UNION
+              |  SELECT id_b FROM pairs WHERE jaccard >= 0.5
+              |    AND id_b IN (SELECT doc_id FROM ax) AND id_a IN (SELECT doc_id FROM corp))
+              |SELECT d.doc_id, d.lang FROM documents d JOIN ax USING (doc_id)
+              |WHERE d.doc_id NOT IN (SELECT doc_id FROM near) ORDER BY d.doc_id""".stripMargin)),
+
+    // ─── next-fit sequence packing into context windows ─────────────────
+    "q79_pack_bins" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir).select($"doc_id", $"lang",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+        Packing.packNextFit(d, "doc_id", "lang", "n_tokens", capacity = 256L)
+          .orderBy($"lang", $"doc_id")
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |rec AS (
+             |  SELECT lang, rn, doc_id, n_tokens, n_tokens AS fill, 1::BIGINT AS bin
+             |  FROM d WHERE rn = 1
+             |  UNION ALL
+             |  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+             |         CASE WHEN rec.fill + d.n_tokens <= 256 THEN rec.fill + d.n_tokens
+             |              ELSE d.n_tokens END,
+             |         CASE WHEN rec.fill + d.n_tokens <= 256 THEN rec.bin ELSE rec.bin + 1 END
+             |  FROM rec JOIN d ON d.lang = rec.lang AND d.rn = rec.rn + 1)
+             |SELECT lang, doc_id, n_tokens, bin FROM rec ORDER BY lang, doc_id""".stripMargin)))
 
   /** DuckDB twin of q67: CASE arms in ascending key order — for duplicate
     * capacities the smallest model key wins, exactly reverseLookup's fold

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val snap = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+  ).toDF("k", "status", "price")
+
+  test("latest change per key wins; deletes remove; untouched keys keep snapshot") {
+    val changes = Seq(
+      (1L, "u1", 11.0, 1L, 1L, "upsert"),  // superseded by ts=2
+      (1L, "u2", 12.0, 2L, 2L, "upsert"),  // winner for key 1
+      (2L, "x", 0.0, 5L, 1L, "delete"),    // key 2 gone
+      (3L, "u3", 33.0, 1L, 1L, "upsert")   // winner for key 3
+    ).toDF("k", "status", "price", "ts", "seq", "op")
+    val got = Cdc.applyChanges(snap, changes, "k")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "u2", 12.0), (3L, "u3", 33.0), (4L, "d", 40.0)))
+  }
+
+  test("same-timestamp ties break by seq; a change always beats the snapshot") {
+    val changes = Seq(
+      (1L, "lo", 1.0, 7L, 1L, "upsert"),
+      (1L, "hi", 2.0, 7L, 9L, "upsert"),   // same ts, higher seq → wins
+      (4L, "re", 44.0, 0L, 0L, "upsert")   // ts 0 still beats snapshot
+    ).toDF("k", "status", "price", "ts", "seq", "op")
+    val got = Cdc.applyChanges(snap, changes, "k")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "hi", 2.0), (2L, "b", 20.0),
+      (3L, "c", 30.0), (4L, "re", 44.0)))
+  }
+
+  test("a delete then a later re-upsert resurrects the key") {
+    val changes = Seq(
+      (2L, "x", 0.0, 1L, 1L, "delete"),
+      (2L, "back", 21.0, 2L, 1L, "upsert")
+    ).toDF("k", "status", "price", "ts", "seq", "op")
+    val got = Cdc.applyChanges(snap, changes, "k")
+      .filter($"k" === 2L).as[(Long, String, Double)].collect()
+    assert(got.toSeq == Seq((2L, "back", 21.0)))
+  }
+}
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: every inserted key probes true") {
+    val keys = (1L to 2000L).map(_ * 17).toDF("k")
+    val bits = Bloom.buildBits(keys, $"k")
+    val misses = keys.crossJoin(broadcast(bits))
+      .filter(!Bloom.mightContain($"bloom_bits", $"k")).count()
+    assert(misses == 0L)
+  }
+
+  test("false-positive rate is bounded (m=65536, k=3, n=2000 → fpr ≈ 0.2%)") {
+    val keys = (1L to 2000L).toDF("k")
+    val bits = Bloom.buildBits(keys, $"k")
+    val probes = (1000001L to 1020000L).toDF("k")  // disjoint from inserted
+    val fp = probes.crossJoin(broadcast(bits))
+      .filter(Bloom.mightContain($"bloom_bits", $"k")).count()
+    // theoretical fpr (1-e^{-kn/m})^k ≈ 0.0006; allow generous slack
+    assert(fp < 200, s"fpr ${fp / 20000.0} suspiciously high")
+  }
+
+  test("semiJoinPruned result equals the exact semi-join") {
+    val fact = Tables.lineitem(spark, sfTiny)
+    val dim = Tables.orders(spark, sfTiny)
+      .filter($"o_totalprice" > 300000.0).select($"o_orderkey")
+    val pruned = Bloom.semiJoinPruned(fact, $"l_orderkey", dim, $"o_orderkey")
+    val exact = fact.join(dim, $"l_orderkey" === $"o_orderkey", "left_semi")
+    assert(pruned.count() == exact.count())
+    assert(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty)
+  }
+}
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference next-fit fold, driver-side. */
+  private def refPack(sizes: Seq[(Long, Long)], cap: Long): Seq[(Long, Long)] = {
+    var fill = 0L; var bin = 0L
+    sizes.sortBy(_._1).map { case (id, sz) =>
+      if (bin >= 1 && fill + sz <= cap) { fill += sz } else { bin += 1; fill = sz }
+      id -> bin
+    }
+  }
+
+  test("matches the sequential reference fold per stratum") {
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 60L),  // 100+100 | 60...
+      ("a", 4L, 50L), ("a", 5L, 300L),                   // oversized → own bin
+      ("b", 10L, 256L), ("b", 11L, 1L)
+    ).map { case (s, i, n) => (i, s, n) }.toDF("id", "stratum", "sz")
+    val got = Packing.packNextFit(rows, "id", "stratum", "sz", 256L)
+      .select($"stratum", $"id", $"bin").as[(String, Long, Long)]
+      .collect().groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(x => x._2 -> x._3).sortBy(_._1).toSeq }
+    val wantA = refPack(Seq(1L -> 100L, 2L -> 100L, 3L -> 60L, 4L -> 50L, 5L -> 300L), 256L)
+    val wantB = refPack(Seq(10L -> 256L, 11L -> 1L), 256L)
+    assert(got("a") == wantA && got("b") == wantB)
+    // spot-check the interesting decisions: 3 opens bin 2 (260 > 256),
+    // 4 rides with it (110), the 300-token doc gets its own bin
+    assert(got("a") == Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+    // exactly-full bin then next doc opens a new one
+    assert(got("b") == Seq(10L -> 1L, 11L -> 2L))
+  }
+
+  test("no bin exceeds capacity except oversized singletons") {
+    val d = Tables.documents(spark, sfTiny).select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("nt"))
+    val packed = Packing.packNextFit(d, "doc_id", "lang", "nt", 256L)
+    val over = packed.groupBy($"lang", $"bin")
+      .agg(sum($"nt").as("tot"), count(lit(1)).as("n"))
+      .filter($"tot" > 256L && $"n" > 1L)
+    assert(over.isEmpty, "a multi-doc bin exceeded capacity")
+  }
+
+  test("bins are dense per stratum: 1..max with no gaps") {
+    val d = Tables.documents(spark, sfTiny).select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("nt"))
+    val stats = Packing.packNextFit(d, "doc_id", "lang", "nt", 256L)
+      .groupBy($"lang").agg(min($"bin").as("lo"), max($"bin").as("hi"),
+        countDistinct($"bin").as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    stats.foreach { case (lang, lo, hi, n) =>
+      assert(lo == 1L && n == hi, s"$lang bins not dense: lo=$lo hi=$hi n=$n")
+    }
+  }
+}
+
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dups, near dups drop; novel docs survive; batch-internal dups are kept") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of corpus doc 1 (modulo case/whitespace normalization)
+      (10L, "  Alpha beta gamma   delta epsilon zeta eta theta "),
+      // near-dup of corpus doc 2 (one word changed → high jaccard)
+      (11L, "one two three four five six seven eight nine zzz"),
+      // novel
+      (12L, "totally different content with no overlap whatsoever at all"),
+      // exact dup of ANOTHER BATCH doc — contract: kept (batch-internal
+      // dedup is a separate pass)
+      (13L, "totally different content with no overlap whatsoever at all")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.newAgainstCorpus(corpus, batch, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L))
+  }
+
+  test("agrees with minhashPairs verdicts on the shared corpus") {
+    // any batch doc the pairwise operator links to a corpus doc at the
+    // same threshold must be dropped here, and vice versa
+    val docs = Tables.documents(spark, sfTiny)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val kept = Dedup.newAgainstCorpus(corpus, batch, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    val crossPairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, _) =>
+        if (a % 5 == 0 && b % 5 != 0) Some(a)
+        else if (b % 5 == 0 && a % 5 != 0) Some(b) else None
+      }.toSet
+    val exactHash = docs
+      .withColumn("__h", md5(regexp_replace(trim(lower($"text")), "\\s+", " ")))
+      .select($"doc_id", $"__h").as[(Long, String)].collect()
+    val corpusHashes = exactHash.filter(_._1 % 5 != 0).map(_._2).toSet
+    val exactDups = exactHash.filter { case (id, h) =>
+      id % 5 == 0 && corpusHashes.contains(h) }.map(_._1).toSet
+    val batchIds = batch.select($"doc_id").as[Long].collect().toSet
+    assert(kept == batchIds -- crossPairs -- exactDups)
+  }
+}
+
+class QualityKeepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keep is the conjunction of its named component signals") {
+    val sw = Seq("the", "a")
+    val d = Tables.documents(spark, sfTiny).select($"doc_id",
+      TextStats.wsTokenCount($"text").as("nt"),
+      TextStats.meanTokenLen($"text").as("ml"),
+      TextStats.stopwordRatio($"text", sw).as("sr"),
+      TextStats.wordRepetition($"text").as("wr"),
+      TextStats.qualityKeep($"text", sw).as("keep"))
+    val bad = d.filter($"keep" =!=
+      ($"nt".between(20, 100000) && $"ml".between(3.0, 10.0) &&
+        $"sr" >= 0.01 && $"wr" <= 0.6))
+    assert(bad.isEmpty)
+    // the gate must actually separate the corpus, not rubber-stamp it
+    val counts = d.groupBy($"keep").count().as[(Boolean, Long)].collect().toMap
+    assert(counts.getOrElse(true, 0L) > 0 && counts.getOrElse(false, 0L) > 0)
+  }
+}
