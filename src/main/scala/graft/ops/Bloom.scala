@@ -70,17 +70,32 @@ object Bloom {
   private def shiftBit(pos: Column): Column =
     call_function("shiftleft", lit(1L), (pos % 64).cast("int"))
 
+  /** `buildBits` evaluated: the build aggregation runs distributed
+    * (partial bit_or on the combiners), then the finished m/64-word mask —
+    * a few KB — comes back to the driver, exactly like
+    * `DataFrameStatFunctions.bloomFilter`. Eager by design: the mask must
+    * be a LITERAL in the probe (see `semiJoinPruned`). */
+  def buildBitsLocal(df: DataFrame, key: Column, m: Int = 1 << 16, k: Int = 3): Array[Long] =
+    buildBits(df, key, m, k).collect()(0).getSeq[Long](0).toArray
+
   /** The full pattern: bloom-prune `fact` on `factKey` against `dim`'s
     * `dimKey`, then exact LEFT SEMI join to drop the false positives.
-    * The fact side sees one broadcast + codegen'd filter before the join;
-    * at high selectivity most fact partitions never reach the join at all. */
+    *
+    * The mask is embedded as a LITERAL, not cross-joined as a broadcast
+    * column: a probe that references a joined-in column makes Catalyst's
+    * PushDownLeftSemiAntiJoin slide the exact semi-join BELOW the bloom
+    * filter (join conditions only reference the fact side), and the fact
+    * rows would reach the join — and at scale, its shuffle — unpruned.
+    * With a literal predicate the optimized plan keeps Filter(bloom)
+    * directly on the fact scan with the join above it, so a shuffle semi
+    * join exchanges only the surviving rows. The exact join carries no
+    * broadcast hint — AQE broadcasts small dims on its own, and a huge dim
+    * side legitimately shuffle-joins (what the prune is FOR). */
   def semiJoinPruned(fact: DataFrame, factKey: Column, dim: DataFrame,
       dimKey: Column, m: Int = 1 << 16, k: Int = 3): DataFrame = {
-    val bits = buildBits(dim, dimKey, m, k)
-    fact.crossJoin(broadcast(bits))
-      .filter(mightContain(col("bloom_bits"), factKey, m, k))
-      .drop("bloom_bits")
-      .join(broadcast(dim.select(dimKey.as("__dk")).distinct()),
+    val bits = lit(buildBitsLocal(dim, dimKey, m, k))
+    fact.filter(mightContain(bits, factKey, m, k))
+      .join(dim.select(dimKey.as("__dk")).distinct(),
         factKey === col("__dk"), "left_semi")
   }
 }

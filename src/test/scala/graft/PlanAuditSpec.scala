@@ -45,6 +45,19 @@ class PlanAuditSpec extends SparkSpec {
       "no partial SessionSummaryAgg phase in q43 plan:\n" + p.take(1500))
   }
 
+  test("bloom prune filters the fact scan BELOW the exact semi-join") {
+    // the probe must be a literal predicate on the scan (PushDownLeftSemi-
+    // AntiJoin would slide the join under a cross-joined-bits probe, and
+    // fact rows would reach the join — at scale, its shuffle — unpruned)
+    val p = plan("q77_bloom_prune")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "bloom bits cross-joined instead of embedded as a literal:\n" + p.take(900))
+    val joinAt = p.indexOf("Join")
+    val probeAt = p.indexOf("xxhash64")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "bloom probe is not below the exact join in the plan:\n" + p.take(900))
+  }
+
   test("literal-expression KB matching keeps the fact side exchange-free") {
     // q05's whole match is codegen'd expressions: the only exchange allowed
     // is the final ORDER BY sort
