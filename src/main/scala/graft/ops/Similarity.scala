@@ -212,4 +212,38 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("sim"))
   }
+
+  /** Per-group centroid + each vector's cosine to its OWN group centroid
+    * (column `centroid_sim`) — the embedding-space outlier / label-noise
+    * signal: low similarity to your cluster's center means you probably
+    * don't belong to it.
+    *
+    * Determinism: per-dimension sums run in 2^40 FIXED-POINT — v·2^40 is
+    * an EXACT double operation (pure exponent shift), `round` breaks the
+    * rare residual tie half-away-from-zero in Spark and DuckDB alike, and
+    * integer sums are order-independent. (A DECIMAL(p, s) cast instead
+    * hits engine-divergent rounding: a float that is a dyadic rational
+    * with exactly s+1 decimal digits — e.g. 0.1983642578125 at s=12 — is
+    * a tie that Spark rounds HALF_UP and DuckDB half-even.) The sum runs
+    * as decimal so ~10^18-row groups can't overflow int64 on the way to
+    * the double mean. Scale shape: the explode is
+    * map-only and the (group, dim) aggregation partial-combines, so the
+    * shuffle carries ~groups × dims × partitions partial sums — never the
+    * exploded corpus; the centroid table (groups × dims values) broadcasts
+    * back. The cosine here is the lambda form, not `CosineSimExpr`: the
+    * centroid is array<double> and the loop kernel is float-specialized. */
+  def centroidSim(emb: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val fix = (1L << 40).toDouble
+    val x = emb.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+    val perDim = x.groupBy(col(groupCol), col("__pos"))
+      .agg((sum(round(col("__v").cast("double") * fix).cast("decimal(20,0)"))
+        .cast("double") / fix / count(lit(1))).as("__cd"))
+    val cent = perDim.groupBy(col(groupCol))
+      .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__cd")))),
+        s => s.getField("__cd")).as("__cvec"))
+    emb.join(broadcast(cent), Seq(groupCol))
+      .withColumn("centroid_sim", cosineLambda(col(vecCol), col("__cvec")))
+      .drop("__cvec")
+  }
 }

@@ -70,4 +70,54 @@ object Sketches {
   def sigJaccard(a: Column, b: Column): Column =
     size(filter(zip_with(a, b, (x, y) => x === y), (v: Column) => v))
       .cast("double") / size(a)
+
+  /** Misra-Gries heavy-hitter summary: at most `k` (item, weight)
+    * counters. Guarantee (the textbook one): any item with true frequency
+    * > n/(k+1) is PRESENT in the summary, and each reported weight
+    * undercounts its true frequency by at most n/(k+1). The merge is the
+    * Agarwal-Cormode-Huang-Phillips-Wei-Yi mergeable-summaries
+    * construction (add counters, then subtract the (k+1)-th largest and
+    * drop ≤ 0), so the same guarantee holds under Spark's map-side
+    * partial aggregation — constant O(k) state per group at any scale.
+    * This is the APPROXIMATE twin of the exact two-phase top-k
+    * (q76_heavy_hitters); it exists for cardinalities where even the
+    * (group, term) aggregate is too big to shuffle. */
+  final class MisraGriesAgg(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 1)
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
+      buf.get(item) match {
+        case Some(c) => buf.updated(item, c + 1)
+        case None if buf.size < k => buf.updated(item, 1L)
+        case None =>
+          // decrement-all step; deterministic regardless of map order
+          buf.flatMap { case (i, c) => if (c > 1) Some(i -> (c - 1)) else None }
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (acc, (i, c)) =>
+        acc.updated(i, acc.getOrElse(i, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest weight from everything, drop ≤ 0
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.flatMap { case (i, c) => if (c > cut) Some(i -> (c - cut)) else None }
+      }
+    }
+
+    override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** The aggregator as a Column over a string item column. */
+  def misraGries(itemCol: Column, k: Int): Column =
+    udaf(new MisraGriesAgg(k)).apply(itemCol)
 }

@@ -1229,7 +1229,30 @@ object OpsQueries {
              |              ELSE d.n_tokens END,
              |         CASE WHEN rec.fill + d.n_tokens <= 256 THEN rec.bin ELSE rec.bin + 1 END
              |  FROM rec JOIN d ON d.lang = rec.lang AND d.rn = rec.rn + 1)
-             |SELECT lang, doc_id, n_tokens, bin FROM rec ORDER BY lang, doc_id""".stripMargin)))
+             |SELECT lang, doc_id, n_tokens, bin FROM rec ORDER BY lang, doc_id""".stripMargin)),
+
+    // ─── per-label centroids + cosine-to-own-centroid (label noise) ─────
+    "q80_centroid_sim" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.centroidSim(Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+          .select($"vec_id", $"label", $"centroid_sim")
+          .orderBy($"vec_id")
+      },
+      Some("""WITH x AS (SELECT label, CAST(i AS INTEGER) AS pos,
+             |         embedding[i+1]::DOUBLE AS v
+             |       FROM embeddings CROSS JOIN range(64) t(i)),
+             |c AS (SELECT label, pos,
+             |        CAST(sum(CAST(round(v * (1099511627776::DOUBLE)) AS BIGINT)) AS DOUBLE)
+             |          / (1099511627776::DOUBLE) / count(*) AS cd
+             |      FROM x GROUP BY 1, 2),
+             |cent AS (SELECT label, list(cd ORDER BY pos) AS cvec FROM c GROUP BY label)
+             |SELECT vec_id, label,
+             |  list_reduce(list_transform(list_zip(embedding, cvec),
+             |      p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b) /
+             |  (sqrt(list_reduce(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE), (a,b) -> a+b)) *
+             |   sqrt(list_reduce(list_transform(cvec, v -> v * v), (a,b) -> a+b))) AS centroid_sim
+             |FROM embeddings JOIN cent USING (label) ORDER BY vec_id""".stripMargin)))
 
   /** DuckDB twin of q67: CASE arms in ascending key order — for duplicate
     * capacities the smallest model key wins, exactly reverseLookup's fold

@@ -181,6 +181,79 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 }
 
+class MisraGriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containment: every item above n/(k+1) survives; weights never overcount") {
+    val rnd = new scala.util.Random(42)
+    // 3 planted heavy hitters in a long tail of 200 rare items
+    val stream = Seq.fill(400)("hh1") ++ Seq.fill(250)("hh2") ++ Seq.fill(120)("hh3") ++
+      (1 to 600).map(_ => s"tail${rnd.nextInt(200)}")
+    val shuffled = rnd.shuffle(stream)
+    val n = shuffled.size
+    val k = 10
+    val truth = shuffled.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+    // run THROUGH Spark with many partitions so map-side partials merge
+    val got = shuffled.toDF("item").repartition(8)
+      .agg(Sketches.misraGries($"item", k).as("mg"))
+      .as[Map[String, Long]].collect()(0)
+    assert(got.size <= k)
+    val bound = n.toDouble / (k + 1)
+    truth.filter(_._2 > bound).keys.foreach { hh =>
+      assert(got.contains(hh), s"heavy hitter $hh (freq=${truth(hh)}) missing")
+    }
+    got.foreach { case (i, w) =>
+      assert(w <= truth(i), s"$i overcounted: $w > ${truth(i)}")
+      assert(truth(i) - w <= bound + 1, s"$i undercounted past the bound")
+    }
+  }
+
+  test("per-group sketch agrees with exact top terms on the documents corpus") {
+    val exact = Tables.documents(spark, sfTiny)
+      .select($"lang", explode(split(lower($"text"), " ")).as("term"))
+      .groupBy($"lang", $"term").count()
+    val n = exact.groupBy($"lang").agg(sum($"count").as("n"))
+      .as[(String, Long)].collect().toMap
+    val sketch = Tables.documents(spark, sfTiny)
+      .select($"lang", explode(split(lower($"text"), " ")).as("term"))
+      .groupBy($"lang").agg(Sketches.misraGries($"term", 20).as("mg"))
+      .as[(String, Map[String, Long])].collect().toMap
+    exact.as[(String, String, Long)].collect().foreach { case (lang, term, c) =>
+      if (c > n(lang) / 21.0)
+        assert(sketch(lang).contains(term), s"$lang/$term freq=$c missing from sketch")
+    }
+  }
+}
+
+class CentroidSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical vectors in a group have centroid_sim exactly 1-ish; own centroid beats foreign") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.0f, 0.9f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidSim(emb, "vec_id", "embedding", "label")
+      .select($"vec_id", $"centroid_sim").as[(Long, Double)].collect().toMap
+    // group 0's centroid IS the shared vector → cosine 1 (within fp eps)
+    assert(math.abs(got(1L) - 1.0) < 1e-12 && math.abs(got(2L) - 1.0) < 1e-12)
+    // group 1 members are close to but not on the centroid
+    assert(got(3L) > 0.9 && got(3L) < 1.0 && got(4L) > 0.9)
+  }
+
+  test("centroid matches the plain float average within fp tolerance") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val sims = Similarity.centroidSim(emb, "vec_id", "embedding", "label")
+      .select($"centroid_sim").as[Double].collect()
+    assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    // within a synthetic clustered corpus, most vectors should sit near
+    // their own centroid — sanity that the join keyed the right group
+    assert(sims.count(_ > 0.0) > sims.length / 2)
+  }
+}
+
 class QualityKeepSpec extends SparkSpec {
   import spark.implicits._
 
