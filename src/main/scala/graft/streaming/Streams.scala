@@ -91,6 +91,62 @@ object Streams {
           .parquet(sinkDir)
       }
 
+  /** Latest materialized snapshot version STRICTLY BELOW `beforeBatch`
+    * under `snapshotDir` (partition dirs `__v=N`), or None before the
+    * first batch. Strictly below matters for replay correctness: a
+    * replayed micro-batch must read the version PRECEDING it, never its
+    * own (possibly partial) previous output. */
+  private def latestSnapshotVersion(spark: org.apache.spark.sql.SparkSession,
+      snapshotDir: String, beforeBatch: Long): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap { n =>
+        if (n.startsWith("__v=")) scala.util.Try(n.stripPrefix("__v=").toLong).toOption
+        else None
+      }
+      .filter(_ < beforeBatch)
+      .sorted.lastOption
+  }
+
+  /** Streaming twin of `ops.Cdc.applyChanges`: a CDC change feed arriving
+    * under `changesDir` continuously materializes a keyed snapshot. Each
+    * micro-batch merges its changes onto the previous snapshot VERSION and
+    * writes the result as a new version partition (`__v=<batchId>`);
+    * readers take the highest version.
+    *
+    * Idempotent replay: a re-run micro-batch reads the version strictly
+    * before its own id and dynamically overwrites exactly its own
+    * partition, so a failure-replay converges to the same bytes instead
+    * of double-applying changes. Old versions are retained for readers /
+    * time travel; pruning them is a janitor concern, not the stream's.
+    *
+    * Scale: each merge shuffles snapshot ∪ batch once on the key (the
+    * `applyChanges` shape); nothing here is per-row driver state. */
+  def cdcStream(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      changesDir: String, snapshotDir: String, checkpointDir: String,
+      init: DataFrame, keyCol: String) =
+    spark.readStream.schema(schema).parquet(changesDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = latestSnapshotVersion(spark, snapshotDir, batchId) match {
+          case Some(v) =>
+            spark.read.parquet(snapshotDir).filter(col("__v") === v).drop("__v")
+          case None => init
+        }
+        graft.ops.Cdc.applyChanges(cur, batch, keyCol)
+          .withColumn("__v", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__v")
+          .parquet(snapshotDir)
+      }
+
   /** Watermarked stream-stream inner join: each purchase pairs with the
     * same user's clicks from the preceding `lookback`. Both sides carry
     * watermarks and the join condition bounds event time on BOTH ends, so

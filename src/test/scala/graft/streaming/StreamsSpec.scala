@@ -182,6 +182,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdc stream materializes versioned snapshots; latest version reflects all merges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val changes = s"$dir/changes"; val snap = s"$dir/snap"; val ck = s"$dir/ck"
+    new java.io.File(changes).mkdirs()
+    val init = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "status", "price")
+    val b0 = Seq((1L, "u1", 11.0, 1L, 1L, "upsert"),
+      (3L, "c", 30.0, 1L, 2L, "upsert"))
+      .toDF("k", "status", "price", "ts", "seq", "op")
+    b0.coalesce(1).write.mode("append").parquet(changes)
+    val q = Streams.cdcStream(spark, b0.schema, changes, snap, ck, init, "k").start()
+    try {
+      q.processAllAvailable()
+      val v0 = spark.read.parquet(snap).filter($"__v" === 0)
+        .select($"k", $"status", $"price").as[(Long, String, Double)].collect().sortBy(_._1)
+      assert(v0.toSeq == Seq((1L, "u1", 11.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+      // second micro-batch: delete key 2, supersede key 3
+      Seq((2L, "x", 0.0, 2L, 1L, "delete"), (3L, "c2", 33.0, 2L, 2L, "upsert"))
+        .toDF("k", "status", "price", "ts", "seq", "op")
+        .coalesce(1).write.mode("append").parquet(changes)
+      q.processAllAvailable()
+      val versions = spark.read.parquet(snap).select($"__v").distinct()
+        .as[Long].collect().sorted
+      assert(versions.length == 2, s"expected 2 snapshot versions, got ${versions.toSeq}")
+      val latest = spark.read.parquet(snap).filter($"__v" === versions.max)
+        .select($"k", $"status", $"price").as[(Long, String, Double)].collect().sortBy(_._1)
+      // version 1 builds on version 0: key 1 keeps batch-0's upsert,
+      // key 2 is deleted, key 3 carries batch-1's supersede
+      assert(latest.toSeq == Seq((1L, "u1", 11.0), (3L, "c2", 33.0)))
+    } finally q.stop()
+  }
+
   test("file-source history append stream lands monthly batches in the sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val incoming = s"$dir/in"; val sink = s"$dir/out"; val ck = s"$dir/ck"
