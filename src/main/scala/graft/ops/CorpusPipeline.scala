@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end LLM training-data preparation pipeline — the
+  * corpus-side counterpart of the customs ETL's 13-stage `etl.Pipeline`:
+  *
+  *   1. quality gate (`TextStats.qualityKeep`) — map-only;
+  *   2. exact dedup, canonical = MIN id per normalized content hash
+  *      (deterministic, unlike dropDuplicates' arbitrary row) — one
+  *      shuffle on the hash;
+  *   3. near-dup clusters on the survivors (MinHash LSH pairs →
+  *      connected components) and keep each cluster's canonical doc;
+  *   4. token-window chunking (`TextStats.chunkTokens`) — map-only;
+  *   5. next-fit packing of the chunks into fixed-capacity context
+  *      windows per stratum (`Packing.packNextFit`).
+  *
+  * Returns one row per packed chunk:
+  * (stratum, id, chunk_idx, n_tokens, bin).
+  *
+  * Every stage is the registry-proven operator — this object only
+  * composes them, so the oracle for the whole chain (q81) is assembled
+  * from the same CTE pieces that gate each stage individually.
+  */
+object CorpusPipeline {
+
+  def run(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      stratumCol: String = "lang", stopwords: Seq[String] = Seq("the", "a"),
+      chunk: Int = 32, stride: Int = 24, capacity: Long = 256L,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    // 1. quality gate
+    val q = docs.filter(TextStats.qualityKeep(col(textCol), stopwords))
+    // 2. exact dedup, min-id canonical
+    val exd = q
+      .withColumn("__h", md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__h")).orderBy(col(idCol).asc)))
+      .filter(col("__rn") === 1).drop("__h", "__rn")
+    // 3. near-dup clusters → canonical only
+    val pairs = Dedup.minhashPairs(exd, idCol, textCol, threshold = jaccardThreshold)
+    val clusters = Dedup.connectedComponents(exd.select(col(idCol)), idCol, pairs)
+    val kept = Dedup.keepCanonical(exd, idCol, clusters)
+    // 4. chunk; per-chunk token count via the same single-space convention
+    val chunks = kept.select(col(stratumCol), col(idCol),
+        explode(TextStats.chunkTokens(col(textCol), chunk, stride)).as("__c"))
+      .select(col(stratumCol), col(idCol),
+        col("__c.chunk_idx").as("chunk_idx"),
+        size(split(col("__c.chunk_text"), " ")).cast("long").as("n_tokens"))
+    // 5. pack chunks in (doc, chunk) order per stratum; the packing item
+    // id encodes that order in one sortable long
+    val items = chunks.withColumn("__item",
+      col(idCol).cast("long") * 1000000L + col("chunk_idx"))
+    Packing.packNextFit(items, "__item", stratumCol, "n_tokens", capacity)
+      .select(col(stratumCol),
+        expr("__item DIV 1000000").as(idCol),
+        (col("__item") % 1000000L).cast("int").as("chunk_idx"),
+        col("n_tokens"), col("bin"))
+  }
+}

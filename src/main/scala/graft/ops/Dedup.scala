@@ -162,7 +162,16 @@ object Dedup {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+    // Iterate over edge-TOUCHED vertices only: an isolated vertex is its
+    // own component by definition and can never change label, so it has
+    // no business in the propagation joins. For a near-dup graph over a
+    // large corpus touched ≪ vertices (most docs have no dup), which
+    // shrinks every per-iteration join/agg input from O(corpus) to
+    // O(touched); the untouched rest union back in at the end as id→id.
+    val touched = sym.select(col("src").as("id")).distinct()
+    var labels = vertices.select(col(idCol).as("id"))
+      .join(touched, Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint(eager = true)
     var converged = false
     var i = 0
@@ -190,7 +199,12 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter iterations — a " +
           "component's diameter exceeds maxIter; raise it (labels would be " +
           "silently inconsistent otherwise)")
-    labels
+    // untouched vertices are their own singletons — one anti-join, no
+    // participation in any iteration
+    vertices.select(col(idCol).as("id"))
+      .join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+      .unionByName(labels)
   }
 
   /** Release the block-manager storage behind a localCheckpoint'ed frame

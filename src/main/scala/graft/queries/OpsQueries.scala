@@ -16,23 +16,27 @@ object OpsQueries {
   private def sqlHash(seed: Int, e: String): String =
     s"('0x'||substr(md5('$seed|'||$e),1,15))::BIGINT"
 
-  private val sqlShingles =
-    """base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_filter(
-      |         list_transform(range(1, greatest(len(toks)-1, 1)),
-      |           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]),
-      |         x -> x IS NOT NULL)) AS sh FROM base)""".stripMargin
+  private def sqlShinglesFrom(src: String) =
+    s"""base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM $src),
+       |sh AS (SELECT doc_id, list_distinct(list_filter(
+       |         list_transform(range(1, greatest(len(toks)-1, 1)),
+       |           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]),
+       |         x -> x IS NOT NULL)) AS sh FROM base)""".stripMargin
 
-  /** The MinHash-LSH pair CTE chain (sans WITH keyword) — shared by the
-    * q25 pairs oracle and the q70 clusters oracle. */
-  private val minhashCtes: String = {
+  private val sqlShingles = sqlShinglesFrom("documents")
+
+  /** The MinHash-LSH pair CTE chain (sans WITH keyword) over any source
+    * CTE/table with (doc_id, text) — shared by the q25 pairs oracle, the
+    * q70 clusters oracle, q78's incremental check and q81's full corpus
+    * pipeline. */
+  private def minhashCtesFrom(src: String): String = {
     val sigItems = (0 until 16).map { i =>
       val r = Dedup.mixRot(i)
       val c = Dedup.mixConst(i)
       val lowMask = (1L << (60 - r)) - 1
       s"coalesce(list_min(list_transform(hs, h -> xor(((h & $lowMask) << $r) | (h >> ${60 - r}), $c))), 0)"
     }.mkString("[", ",\n    ", "]")
-    s"""$sqlShingles,
+    s"""${sqlShinglesFrom(src)},
        |hsh AS (SELECT doc_id, sh, list_transform(sh, s -> ('0x'||substr(md5(s),1,15))::BIGINT) AS hs FROM sh),
        |sig AS (SELECT doc_id, sh, $sigItems AS sig FROM hsh),
        |bands AS (SELECT doc_id, j, md5(sig[2*j+1]::VARCHAR || ',' || sig[2*j+2]::VARCHAR) AS key
@@ -43,6 +47,8 @@ object OpsQueries {
        |            len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
        |          FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id)""".stripMargin
   }
+
+  private val minhashCtes: String = minhashCtesFrom("documents")
 
   private val minhashSql: String =
     s"""WITH $minhashCtes
@@ -1252,7 +1258,77 @@ object OpsQueries {
              |      p -> p[1]::DOUBLE * p[2]::DOUBLE), (a,b) -> a+b) /
              |  (sqrt(list_reduce(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE), (a,b) -> a+b)) *
              |   sqrt(list_reduce(list_transform(cvec, v -> v * v), (a,b) -> a+b))) AS centroid_sim
-             |FROM embeddings JOIN cent USING (label) ORDER BY vec_id""".stripMargin)))
+             |FROM embeddings JOIN cent USING (label) ORDER BY vec_id""".stripMargin)),
+
+    // ─── E2E corpus pipeline: quality → dedup → clusters → chunk → pack ─
+    // The LLM-data counterpart of q40: five registry-proven stages
+    // composed end to end, oracle assembled from the same CTE pieces that
+    // gate each stage on its own.
+    "q81_corpus_pipeline" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        CorpusPipeline.run(Tables.documents(s, dir))
+          .orderBy($"lang", $"doc_id", $"chunk_idx")
+      },
+      Some(corpusPipelineSql)))
+
+  /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
+    * CTEs over the survivors (q25 chain) → recursive-CC canonical keep
+    * (q70 shape) → chunk windows (q73 shape) → recursive next-fit packing
+    * (q79 shape). */
+  private def corpusPipelineSql: String =
+    s"""WITH RECURSIVE
+       |m AS (SELECT doc_id, lang, text,
+       |  CAST(len(regexp_split_to_array(text, '\\s+')) AS INTEGER) AS n_tokens,
+       |  list_sum(list_transform(regexp_split_to_array(text, '\\s+'), t -> length(t)))::DOUBLE
+       |    / len(regexp_split_to_array(text, '\\s+')) AS mean_token_len,
+       |  len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> list_contains(['the','a'], t)))::DOUBLE
+       |    / len(regexp_split_to_array(lower(text), '\\s+')) AS stopword_ratio,
+       |  CASE WHEN len(string_split(lower(text), ' ')) > 0
+       |       THEN 1.0::DOUBLE - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+       |            / len(string_split(lower(text), ' '))
+       |       ELSE 0.0::DOUBLE END AS word_rep
+       |FROM documents),
+       |qd AS (SELECT doc_id, lang, text FROM m
+       |       WHERE (n_tokens BETWEEN 20 AND 100000) AND (mean_token_len BETWEEN 3.0 AND 10.0)
+       |         AND stopword_ratio >= 0.01 AND word_rep <= 0.6),
+       |hx AS (SELECT doc_id, lang, text,
+       |         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h FROM qd),
+       |exd AS (SELECT doc_id, lang, text FROM
+       |          (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS xrn FROM hx)
+       |        WHERE xrn = 1),
+       |${minhashCtesFrom("exd")},
+       |edges AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM exd
+       |  UNION
+       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+       |cl AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a),
+       |kept AS (SELECT e.doc_id, e.lang, e.text FROM exd e
+       |         JOIN cl ON e.doc_id = cl.doc_id AND e.doc_id = cl.label),
+       |tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM kept),
+       |nct AS (SELECT doc_id, lang, toks,
+       |          CASE WHEN len(toks) <= 32 THEN 1
+       |               ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INTEGER) END AS nc
+       |        FROM tok),
+       |chw AS (SELECT doc_id, lang, toks, CAST(unnest(range(nc)) AS INTEGER) AS w FROM nct),
+       |d AS (SELECT lang, doc_id, w AS chunk_idx,
+       |        CAST(len(list_slice(toks, w*24 + 1, w*24 + 32)) AS BIGINT) AS n_tokens,
+       |        row_number() OVER (PARTITION BY lang ORDER BY doc_id, w) AS rn
+       |      FROM chw),
+       |rec AS (
+       |  SELECT lang, rn, doc_id, chunk_idx, n_tokens, n_tokens AS fill, 1::BIGINT AS bin
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.lang, d.rn, d.doc_id, d.chunk_idx, d.n_tokens,
+       |         CASE WHEN rec.fill + d.n_tokens <= 256 THEN rec.fill + d.n_tokens
+       |              ELSE d.n_tokens END,
+       |         CASE WHEN rec.fill + d.n_tokens <= 256 THEN rec.bin ELSE rec.bin + 1 END
+       |  FROM rec JOIN d ON d.lang = rec.lang AND d.rn = rec.rn + 1)
+       |SELECT lang, doc_id, chunk_idx, n_tokens, bin FROM rec
+       |ORDER BY lang, doc_id, chunk_idx""".stripMargin
 
   /** DuckDB twin of q67: CASE arms in ascending key order — for duplicate
     * capacities the smallest model key wins, exactly reverseLookup's fold

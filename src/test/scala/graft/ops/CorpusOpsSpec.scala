@@ -181,6 +181,46 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 }
 
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sfTiny)
+  lazy val out = CorpusPipeline.run(docs).persist()
+
+  test("surviving docs pass the quality gate and carry no mutual near-dups") {
+    val keptIds = out.select($"doc_id").distinct().as[Long].collect().toSet
+    assert(keptIds.nonEmpty)
+    val keptDocs = docs.filter($"doc_id".isin(keptIds.toSeq: _*))
+    // every survivor passes quality
+    val failing = keptDocs.filter(!TextStats.qualityKeep($"text", Seq("the", "a")))
+    assert(failing.isEmpty)
+    // deterministic self-consistency: re-running the SAME LSH pass over
+    // the survivors finds no pair — any such pair would have been found
+    // in the pipeline's own pass (same md5 bands) and collapsed by CC
+    val residualPairs = Dedup.minhashPairs(keptDocs, "doc_id", "text", threshold = 0.5)
+    assert(residualPairs.isEmpty, "near-dup pair survived cluster canonicalization")
+    // and something was actually dropped at each stage on this corpus
+    assert(keptIds.size < docs.count())
+  }
+
+  test("chunks tile each kept doc and bins are dense per stratum") {
+    // chunk_idx runs 0..nc-1 per doc with the q73 window arithmetic
+    val perDoc = out.groupBy($"doc_id").agg(max($"chunk_idx").as("maxi"),
+      count(lit(1)).as("n")).as[(Long, Int, Long)].collect()
+    perDoc.foreach { case (id, maxi, n) => assert(n == maxi + 1, s"doc $id chunk gap") }
+    val stats = out.groupBy($"lang").agg(min($"bin").as("lo"),
+      max($"bin").as("hi"), countDistinct($"bin").as("nb"))
+      .as[(String, Long, Long, Long)].collect()
+    stats.foreach { case (lang, lo, hi, nb) =>
+      assert(lo == 1L && nb == hi, s"$lang bins not dense") }
+    // capacity respected for multi-chunk bins
+    val over = out.groupBy($"lang", $"bin")
+      .agg(sum($"n_tokens").as("tot"), count(lit(1)).as("n"))
+      .filter($"tot" > 256L && $"n" > 1L)
+    assert(over.isEmpty)
+  }
+}
+
 class MisraGriesSpec extends SparkSpec {
   import spark.implicits._
 
