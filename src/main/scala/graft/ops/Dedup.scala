@@ -273,6 +273,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT over all pairs: |A∩B| / min(|A|,|B|) —
+    * the asymmetric near-dup signal. A short document quoted wholesale
+    * inside a long one has high containment but LOW Jaccard (the union is
+    * dominated by the long side), so Jaccard-threshold dedup never sees
+    * it; containment is how quote-inclusion and boilerplate-wrapping get
+    * caught. Quadratic like `jaccardPairs` and under the same contract:
+    * callers bound the input (an LSH bucket, an audit sample). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
+    val a = withSh.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val b = withSh.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))) /
+          least(size(col("__sh_a")), size(col("__sh_b"))))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Incremental dedup: which BATCH docs are genuinely new against an
     * existing CORPUS? An incremental corpus is never re-deduped whole —
     * each incoming batch is checked against what's already in. Two stages,

@@ -130,6 +130,27 @@ object TextStats {
   def stratifiedKeep(key: Column, stratum: Column, fractions: Map[String, Double]): Column =
     hashUniform(key) < coalesce(try_element_at(typedLit(fractions), stratum), lit(0.0))
 
+  /** Deterministic train/val/test split assignment from the same
+    * md5-uniform draw: `splits` are (label, fraction) in order, fractions
+    * summing to 1 (the last label absorbs any rounding residue). Because
+    * the draw is a pure function of the key, the split is stable across
+    * runs, engines, cluster layouts AND corpus growth — adding documents
+    * never moves an existing document between splits, which is what keeps
+    * a held-out set actually held out over the life of a corpus. */
+  def assignSplit(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val u = hashUniform(key)
+    // cumulative bounds via BigDecimal: 0.8 + 0.1 in binary doubles is
+    // 0.9000000000000001, which would disagree with the decimal literal
+    // 0.9 any caller (or the oracle SQL) writes for the same boundary
+    val cum = splits.scanLeft(BigDecimal(0))((acc, s) => acc + BigDecimal(s._2))
+      .tail.map(_.toDouble)
+    splits.init.zip(cum.init).reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, ((label, _), c)) => when(u < c, label).otherwise(acc)
+    }
+  }
+
   /** Per-document top term by TF-IDF over a corpus. Shape: one explode +
     * two aggregations (term frequency per doc, document frequency per
     * term) + a broadcast of the tiny (term → df) table back — the fact

@@ -527,6 +527,40 @@ object OpsQueries {
               |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
               |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // ─── asymmetric containment pairs (quote-inclusion dedup signal) ────
+    // Same bounded-audit contract as q27; threshold 0.3 exercises varied
+    // values on the synthetic corpus (which has no planted supersets).
+    "q82_containment_pairs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.containmentPairs(
+            Tables.documents(s, dir).filter($"doc_id" < 200), "doc_id", "text",
+            shingleK = 3, threshold = 0.3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH $sqlShingles,
+              |b AS (SELECT * FROM sh WHERE doc_id < 200),
+              |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+              |        len(list_intersect(a.sh, b2.sh)) / least(len(a.sh), len(b2.sh)) AS containment
+              |      FROM b a JOIN b b2 ON a.doc_id < b2.doc_id)
+              |SELECT id_a, id_b, containment FROM p WHERE containment >= 0.3
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ─── deterministic train/val/test split assignment ──────────────────
+    "q83_split_assign" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select($"doc_id", $"lang",
+          TextStats.assignSplit($"doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE / 1152921504606846976.0 < 0.8 THEN 'train'
+             |       WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE / 1152921504606846976.0 < 0.9 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ─── brute-force cosine top-k (ANN baseline) ────────────────────────
     "q28_ann_cosine" -> Q(
       (s, dir) => {

@@ -58,6 +58,16 @@ class PlanAuditSpec extends SparkSpec {
       "bloom probe is not below the exact join in the plan:\n" + p.take(900))
   }
 
+  test("cdc merge prunes to top-1 per key BEFORE the exchange") {
+    // row_number()=1 compiles to WindowGroupLimit with a Partial phase
+    // below the shuffle: each map task forwards at most one candidate row
+    // per (key, sort-prefix) instead of every version
+    val p = plan("q74_cdc_upsert")
+    assert(p.contains("WindowGroupLimit"),
+      "q74 lost the group-limit pushdown:\n" + p.take(900))
+    assert(p.contains("Partial"), "no partial WindowGroupLimit phase")
+  }
+
   test("literal-expression KB matching keeps the fact side exchange-free") {
     // q05's whole match is codegen'd expressions: the only exchange allowed
     // is the final ORDER BY sort

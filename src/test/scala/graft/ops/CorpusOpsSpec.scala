@@ -294,6 +294,54 @@ class CentroidSimSpec extends SparkSpec {
   }
 }
 
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full quote-inclusion scores containment 1.0 where jaccard stays low") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = s"intro words before the quote $short and many many trailing words " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.length == 1 && cont(0)._3 == 1.0, s"containment missed: ${cont.toSeq}")
+    // the same pair is INVISIBLE to jaccard at the usual 0.5 threshold
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5).collect()
+    assert(jac.isEmpty, "jaccard unexpectedly caught the asymmetric pair")
+  }
+}
+
+class SplitAssignSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("splits are exhaustive, disjoint, and roughly honor the fractions") {
+    val d = Tables.documents(spark, sfTiny)
+      .select($"doc_id", TextStats.assignSplit($"doc_id", splits).as("split"))
+    val counts = d.groupBy($"split").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train").toDouble / n > 0.7 && counts("train").toDouble / n < 0.9)
+  }
+
+  test("corpus growth never moves an existing document between splits") {
+    val all = Tables.documents(spark, sfTiny)
+    val subset = all.filter($"doc_id" % 3 === 0)
+    val aAll = all.select($"doc_id", TextStats.assignSplit($"doc_id", splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    val aSub = subset.select($"doc_id", TextStats.assignSplit($"doc_id", splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    aSub.foreach { case (id, s) => assert(aAll(id) == s) }
+  }
+
+  test("rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      TextStats.assignSplit(lit(1L), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+}
+
 class QualityKeepSpec extends SparkSpec {
   import spark.implicits._
 
