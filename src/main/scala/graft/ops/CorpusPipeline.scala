@@ -33,11 +33,17 @@ object CorpusPipeline {
     // 1. quality gate
     val q = docs.filter(TextStats.qualityKeep(col(textCol), stopwords))
     // 2. exact dedup, min-id canonical
+    // branch point: exd feeds the pair generation, the cluster vertex
+    // set, the canonical keep AND (via kept) the chunker — cut the
+    // lineage once so the quality expressions + dedup window don't
+    // re-execute per branch (same rationale as etl.Pipeline's cuts;
+    // `checkpoint` on a real cluster)
     val exd = q
       .withColumn("__h", md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__h")).orderBy(col(idCol).asc)))
       .filter(col("__rn") === 1).drop("__h", "__rn")
+      .localCheckpoint(eager = false)
     // 3. near-dup clusters → canonical only
     val pairs = Dedup.minhashPairs(exd, idCol, textCol, threshold = jaccardThreshold)
     val clusters = Dedup.connectedComponents(exd.select(col(idCol)), idCol, pairs)

@@ -168,7 +168,12 @@ object Dedup {
     // large corpus touched ≪ vertices (most docs have no dup), which
     // shrinks every per-iteration join/agg input from O(corpus) to
     // O(touched); the untouched rest union back in at the end as id→id.
+    // Eagerly materialized: the RETURNED plan references touched in its
+    // final anti-join, which runs after sym.unpersist() — an un-cut
+    // lineage would silently recompute the whole edge derivation (for
+    // minhash pairs, the full shingle/band chain) on every caller action.
     val touched = sym.select(col("src").as("id")).distinct()
+      .localCheckpoint(eager = true)
     var labels = vertices.select(col(idCol).as("id"))
       .join(touched, Seq("id"), "left_semi")
       .select(col("id"), col("id").as("label"))
