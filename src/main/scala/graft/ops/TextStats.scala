@@ -180,6 +180,58 @@ object TextStats {
         (lit(0.0) - col("__b.neg")).as("tfidf"))
   }
 
+  /** Corpus-level bigram language-model quality score (the CCNet-style
+    * signal): train add-α-smoothed bigram transition probabilities on the
+    * corpus itself, then score each document by its mean P(wᵢ | wᵢ₋₁).
+    * Low scores flag documents whose word transitions look nothing like
+    * the corpus — gibberish, shuffled text, wrong-language fragments.
+    *
+    * Returns (id, n_bigrams, mean_p); documents with fewer than two
+    * tokens have no bigram and are absent from the output.
+    *
+    * The score is the PROBABILITY-space mean, not log-perplexity, by
+    * deliberate contract: every quantity here is rational arithmetic on
+    * corpus counts (exact, identical in any engine), where a ln() makes
+    * the result hostage to the host's libm — JVM Math.log and glibc log
+    * disagree by 1 ulp on real inputs (observed on this corpus), which is
+    * enough to fail a bit-exact cross-engine gate. A single-engine
+    * production caller who wants log-perplexity applies ln at the
+    * presentation edge. Per-bigram probabilities fold through 2^40
+    * fixed-point (exact multiply, half-away rounding in every engine,
+    * order-independent integer sum — same construction as
+    * `Similarity.centroidSim`).
+    *
+    * Scale shape: one explode + two count aggregations build the model
+    * (vocab- and vocab²-bounded tables, in practice pruned to top-K);
+    * they join back by pair key (broadcast when small) and the per-doc
+    * mean is a plain partial-combining sum — no per-doc ordering state. */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    val fix = (1L << 40).toDouble
+    val toks = split(lower(col(textCol)), " ")
+    val n = size(toks)
+    // all bigram INSTANCES (not the distinct shingle set)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (x, y) => struct(x.as("w1"), concat_ws(" ", x, y).as("pair")))
+    val bg = df.select(col(idCol).as("__id"), explode(bigrams).as("b"))
+      .select(col("__id"), col("b.w1").as("w1"), col("b.pair").as("pair"))
+    val tokRows = df.select(explode(toks).as("w"))
+    val uc = tokRows.groupBy(col("w")).agg(fcount(lit(1)).as("c1"))
+    val bc = bg.groupBy(col("pair")).agg(fcount(lit(1)).as("c12"))
+    val vocab = tokRows.agg(countDistinct(col("w")).as("__v"))
+    val scored = bg
+      .join(broadcast(bc), "pair")
+      .join(broadcast(uc), col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__pfix",
+        round(((col("c12") + alpha) / (col("c1") + lit(alpha) * col("__v"))) * fix)
+          .cast("decimal(20,0)"))
+    scored.groupBy(col("__id").as(idCol))
+      .agg(fcount(lit(1)).as("n_bigrams"),
+        (sum(col("__pfix")).cast("double") / fix / fcount(lit(1))).as("mean_p"))
+  }
+
   /** Corpus-cleaning redaction: masks email-shaped tokens then digit runs
     * with typed placeholders (emails first — they contain digits). Pure
     * regexp_replace chain; order of passes is part of the contract. */

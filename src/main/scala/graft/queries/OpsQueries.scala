@@ -546,6 +546,33 @@ object OpsQueries {
               |SELECT id_a, id_b, containment FROM p WHERE containment >= 0.3
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ─── corpus-trained bigram LM quality score (CCNet-style) ───────────
+    // Probability-space mean in 2^40 fixed-point — rational arithmetic
+    // only; a ln() here diverges between JVM Math.log and glibc by 1 ulp
+    // on real inputs (see TextStats.lmScore scaladoc).
+    "q84_lm_score" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.lmScore(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+             |uni AS (SELECT unnest(tk) AS w FROM toks),
+             |uc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+             |v AS (SELECT count(DISTINCT w) AS vs FROM uni),
+             |bgx AS (SELECT doc_id, tk, CAST(unnest(range(len(tk) - 1)) AS INTEGER) AS pos
+             |        FROM toks WHERE len(tk) >= 2),
+             |bg AS (SELECT doc_id, pos, tk[pos+1] AS w1, tk[pos+1] || ' ' || tk[pos+2] AS pair
+             |       FROM bgx),
+             |bc AS (SELECT pair, count(*) AS c12 FROM bg GROUP BY pair),
+             |sc AS (SELECT doc_id,
+             |         CAST(round(((c12 + 0.5::DOUBLE) / (c1 + 0.5::DOUBLE * vs))
+             |                    * (1099511627776::DOUBLE)) AS BIGINT) AS pfix
+             |       FROM bg JOIN bc USING (pair) JOIN uc ON bg.w1 = uc.w CROSS JOIN v)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(pfix) AS DOUBLE) / (1099511627776::DOUBLE) / count(*) AS mean_p
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ─── deterministic train/val/test split assignment ──────────────────
     "q83_split_assign" -> Q(
       (s, dir) => {

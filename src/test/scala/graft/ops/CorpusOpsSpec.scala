@@ -294,6 +294,34 @@ class CentroidSimSpec extends SparkSpec {
   }
 }
 
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("common transitions score above unique ones; bigram counts and absences are right") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the mat"),   // reinforces doc 1's transitions
+      (4L, "zqx wvu tsr qpo nml kji"),  // every transition unique
+      (5L, "single")                    // no bigram → absent
+    ).toDF("doc_id", "text")
+    val got = TextStats.lmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(5L))
+    assert(got(1L)._1 == 5L && got(4L)._1 == 5L) // 6 tokens → 5 bigrams
+    assert(got(1L)._2 > got(4L)._2,
+      s"corpus-typical doc must outscore gibberish: ${got(1L)._2} vs ${got(4L)._2}")
+    assert(got(1L)._2 == got(3L)._2) // identical docs, identical score
+  }
+
+  test("scores are valid probabilities and vary across the corpus") {
+    val s = TextStats.lmScore(Tables.documents(spark, sfTiny), "doc_id", "text")
+      .select($"mean_p").as[Double].collect()
+    assert(s.forall(p => p >= 0.0 && p <= 1.0))
+    assert(s.distinct.length > 10)
+  }
+}
+
 class ContainmentSpec extends SparkSpec {
   import spark.implicits._
 
