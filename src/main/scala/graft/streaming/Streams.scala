@@ -147,6 +147,62 @@ object Streams {
           .parquet(snapshotDir)
       }
 
+  /** Continuous corpus ingest: document files arriving under
+    * `incomingDir` pass the quality gate, dedupe against THEMSELVES
+    * (exact, min-id canonical) and then against everything already in the
+    * corpus (`ops.Dedup.newAgainstCorpus`: exact + verified near-dup),
+    * and the genuinely novel survivors append as a new
+    * `__batch_id=<batchId>` partition — the round-4 corpus operators
+    * composed into the actual "keep the training corpus growing without
+    * rot" job.
+    *
+    * Idempotent replay: the against-corpus check reads only partitions
+    * with `__batch_id < batchId`, so a replayed batch never sees its own
+    * (possibly partial) previous output — it would otherwise flag its own
+    * docs as dups and drop them; the write then dynamically overwrites
+    * exactly its own partition. */
+  def corpusIngestStream(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      incomingDir: String, corpusDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      stopwords: Seq[String] = Seq("the", "a")) =
+    spark.readStream.schema(schema).parquet(incomingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val quality = batch.filter(graft.ops.TextStats.qualityKeep(col(textCol), stopwords))
+        val selfDeduped = quality
+          .withColumn("__h", md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+          .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__h")).orderBy(col(idCol).asc)))
+          .filter(col("__rn") === 1).drop("__h", "__rn")
+        val hasPrior = {
+          val p = new org.apache.hadoop.fs.Path(corpusDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.exists(p) && fs.listStatus(p).exists { st =>
+            st.isDirectory && {
+              val n = st.getPath.getName
+              n.startsWith("__batch_id=") &&
+                scala.util.Try(n.stripPrefix("__batch_id=").toLong).toOption
+                  .exists(_ < batchId)
+            }
+          }
+        }
+        val novel =
+          if (hasPrior)
+            graft.ops.Dedup.newAgainstCorpus(
+              spark.read.parquet(corpusDir)
+                .filter(col("__batch_id") < batchId).drop("__batch_id"),
+              selfDeduped, idCol, textCol)
+          else selfDeduped
+        novel.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(corpusDir)
+      }
+
   /** Watermarked stream-stream inner join: each purchase pairs with the
     * same user's clicks from the preceding `lookback`. Both sides carry
     * watermarks and the join condition bounds event time on BOTH ends, so

@@ -213,6 +213,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus ingest stream: quality-gates, self-dedupes, and drops cross-batch dups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val in = s"$dir/in"; val corpus = s"$dir/corpus"; val ck = s"$dir/ck"
+    new java.io.File(in).mkdirs()
+    val good = "the quick brown fox jumps over the lazy dog again and " +
+      "again while the farmer watches from a quiet distant hill today"
+    val good2 = "a completely different long document about machinery and " +
+      "markets where the cranes and the excavators move heavy loads around " +
+      "every single day" // 22 tokens — clears the 20-token quality floor
+    val b0 = Seq((1L, good), (2L, "short"), (3L, good))
+      .toDF("doc_id", "text") // 2 fails quality (< 20 tokens); 3 = exact dup of 1
+    b0.coalesce(1).write.mode("append").parquet(in)
+    val q = Streams.corpusIngestStream(spark, b0.schema, in, corpus, ck).start()
+    try {
+      q.processAllAvailable()
+      val after0 = spark.read.parquet(corpus).select($"doc_id").as[Long].collect().toSet
+      assert(after0 == Set(1L), s"batch 0 kept $after0")
+      // batch 1: exact dup of corpus doc 1, novel good2
+      Seq((10L, good), (11L, good2)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).select($"doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L, 11L), s"batch 1 kept $after1")
+    } finally q.stop()
+  }
+
   test("file-source history append stream lands monthly batches in the sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val incoming = s"$dir/in"; val sink = s"$dir/out"; val ck = s"$dir/ck"
