@@ -78,4 +78,38 @@ class UserJourneySpec extends SparkSpec {
     assert(reread.columns.toSeq == Seq("brand", "revenue", "share"))
     assert(reread.count() == shares.count())
   }
+
+  test("corpus journey: raw docs → quality/dedup/pack → splits → LM + centroid signals") {
+    import graft.ops._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfTiny)
+
+    // the five-stage prep pipeline, one call (q81's operator)
+    val packed = CorpusPipeline.run(docs).persist()
+    val keptIds = packed.select($"doc_id").distinct().as[Long].collect().toSet
+    assert(keptIds.nonEmpty && keptIds.size < docs.count())
+
+    // training splits over the SURVIVORS — stable under corpus growth
+    val splits = docs.filter($"doc_id".isin(keptIds.toSeq: _*))
+      .select($"doc_id", TextStats.assignSplit($"doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    val bySplit = splits.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+
+    // per-doc quality signals a curator would join in: corpus-LM score +
+    // embedding distance to the doc's label centroid
+    val lm = TextStats.lmScore(docs, "doc_id", "text")
+    assert(lm.filter($"mean_p" < 0.0 || $"mean_p" > 1.0).isEmpty)
+    val centroids = Similarity.centroidSim(
+      Tables.embeddings(spark, sfTiny), "vec_id", "embedding", "label")
+    assert(centroids.count() == Tables.embeddings(spark, sfTiny).count())
+
+    // and the heavy-hitter vocabulary view over the kept corpus
+    val hh = docs.filter($"doc_id".isin(keptIds.toSeq: _*))
+      .select($"lang", explode(split(lower($"text"), " ")).as("term"))
+      .groupBy($"lang").agg(Sketches.misraGries($"term", 10).as("mg"))
+    assert(hh.count() > 0)
+    packed.unpersist()
+  }
 }
