@@ -278,6 +278,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION: which training docs share at least one
+    * `k`-gram with the held-out/eval set? The standard guard against
+    * benchmark leakage into a training corpus — any shared shingle flags
+    * the training doc for exclusion or audit. Returns
+    * (idCol, n_shared) for CONTAMINATED docs only, where n_shared counts
+    * the distinct shingles the doc shares with the entire eval set.
+    *
+    * Scale shape: both sides explode to (shingleHash, id) rows and meet
+    * in ONE bucketed join on the 60-bit md5 hash (uniform keys, no skew);
+    * the eval side is typically tiny and broadcasts. Never a doc×doc
+    * comparison. */
+  def contaminatedDocs(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3): DataFrame = {
+    def grams(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out), explode(shingles(col(textCol), shingleK)).as("__s"))
+      .withColumn("__hs", baseHash(col("__s"))).drop("__s")
+    grams(train, "__tid")
+      .join(grams(eval_, "__eid").select(col("__hs")).distinct(), Seq("__hs"))
+      .groupBy(col("__tid").as(idCol))
+      .agg(countDistinct(col("__hs")).as("n_shared"))
+  }
+
   /** Exact n-gram CONTAINMENT over all pairs: |A∩B| / min(|A|,|B|) —
     * the asymmetric near-dup signal. A short document quoted wholesale
     * inside a long one has high containment but LOW Jaccard (the union is

@@ -573,6 +573,49 @@ object OpsQueries {
              |  CAST(sum(pfix) AS DOUBLE) / (1099511627776::DOUBLE) / count(*) AS mean_p
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ─── benchmark decontamination (shared-shingle leak detection) ──────
+    // Eval set = every doc_id ≡ 7 (mod 10); a training doc sharing ANY
+    // 3-gram with it is flagged with its distinct shared-shingle count.
+    "q85_decontaminate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        Dedup.contaminatedDocs(
+            docs.filter($"doc_id" % 10 =!= 7), docs.filter($"doc_id" % 10 === 7),
+            "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $sqlShingles,
+              |g AS (SELECT doc_id,
+              |        unnest(list_transform(sh, s -> ('0x'||substr(md5(s),1,15))::BIGINT)) AS hs
+              |      FROM sh),
+              |ev AS (SELECT DISTINCT hs FROM g WHERE doc_id % 10 = 7),
+              |tr AS (SELECT doc_id, hs FROM g WHERE doc_id % 10 <> 7)
+              |SELECT doc_id, count(DISTINCT hs) AS n_shared
+              |FROM tr JOIN ev USING (hs) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ─── weighted source mixing (epoch-style up/down-sampling) ──────────
+    "q86_source_mix" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.epochWeightedRepeat(Tables.documents(s, dir), "doc_id", "source",
+            Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0))
+          .select($"doc_id", $"source", $"copy")
+          .orderBy($"doc_id", $"copy")
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+             |  (CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+             |               WHEN 'src2' THEN 0.0 ELSE 1.0 END)::DOUBLE AS wt,
+             |  ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE
+             |    / 1152921504606846976.0 AS u
+             |  FROM documents),
+             |r AS (SELECT doc_id, source,
+             |        CAST(floor(wt) AS INTEGER)
+             |          + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS reps
+             |      FROM w)
+             |SELECT doc_id, source, CAST(unnest(range(1, reps + 1)) AS INTEGER) AS copy
+             |FROM r WHERE reps >= 1 ORDER BY doc_id, copy""".stripMargin)),
+
     // ─── deterministic train/val/test split assignment ──────────────────
     "q83_split_assign" -> Q(
       (s, dir) => {

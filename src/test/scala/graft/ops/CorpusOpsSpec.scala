@@ -294,6 +294,54 @@ class CentroidSimSpec extends SparkSpec {
   }
 }
 
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a planted benchmark phrase flags the training doc; clean docs stay silent") {
+    val benchPhrase = "what is the capital of france answer paris obviously"
+    val eval_ = Seq((100L, benchPhrase)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"some scraped page containing $benchPhrase verbatim and more text"),
+      (2L, "an entirely unrelated document about excavators and mobile cranes")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminatedDocs(train, eval_, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got.contains(1L) && got(1L) >= 5, s"leak not flagged: $got")
+    assert(!got.contains(2L))
+  }
+}
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("epoch weights replicate deterministically: floor copies + stable fractional subset") {
+    val docs = Tables.documents(spark, sfTiny)
+    val weights = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0)
+    val mixed = Mixing.epochWeightedRepeat(docs, "doc_id", "source", weights)
+      .select($"doc_id", $"source", $"copy").persist()
+    val perDoc = mixed.groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n"), max($"copy").as("mx"))
+      .as[(Long, String, Long, Int)].collect()
+    perDoc.foreach { case (id, src, n, mx) =>
+      assert(n == mx, s"doc $id copies not dense 1..$mx")
+      src match {
+        case "src0" => assert(n == 2 || n == 3)
+        case "src1" => assert(n == 1) // only the u < 0.25 subset appears at all
+        case "src2" => fail(s"weight-0 source emitted doc $id")
+        case _      => assert(n == 1)
+      }
+    }
+    val src0Counts = perDoc.filter(_._2 == "src0").map(_._3)
+    assert(src0Counts.contains(2L) && src0Counts.contains(3L),
+      "fractional 0.5 should split src0 docs between 2 and 3 copies")
+    // reproducibility: a second evaluation is row-identical
+    val again = Mixing.epochWeightedRepeat(docs, "doc_id", "source", weights)
+      .select($"doc_id", $"source", $"copy")
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+    mixed.unpersist()
+  }
+}
+
 class LmScoreSpec extends SparkSpec {
   import spark.implicits._
 
