@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Int8 scalar quantization of an embedding column — the compression
+  * step a vector store applies before ANN at scale (4× smaller than
+  * float32, SIMD-friendly dot products). Per-vector symmetric scheme:
+  * scale = 127 / max|vᵢ|, qᵢ = clamp(round(vᵢ·scale), ±127).
+  *
+  * Everything is rational double arithmetic + half-away rounding —
+  * deterministic in any engine; the reconstruction MSE folds through the
+  * repo's 2^40 fixed-point so its sum is order-independent. A zero
+  * vector quantizes to all-zero with zero error (guarded — its scale
+  * would otherwise divide by zero).
+  *
+  * Map-only: no shuffle, stays in whole-stage codegen. Returns the
+  * quantized array plus audit stats; `quantizeStats` projects the
+  * scalar-only view (array outputs can't go through the driver's
+  * hash-compare).
+  */
+object Quantize {
+
+  private val Fix = (1L << 40).toDouble
+
+  def maxAbs(vec: Column): Column =
+    array_max(transform(vec, v => abs(v.cast("double"))))
+
+  /** array<int> of clamped round(vᵢ·scale); all zeros for a zero vector. */
+  def int8(vec: Column): Column = {
+    val m = maxAbs(vec)
+    val scale = lit(127.0) / m
+    transform(vec, v =>
+      when(m === 0.0, lit(0))
+        .otherwise(greatest(lit(-127),
+          least(lit(127), round(v.cast("double") * scale).cast("int")))))
+  }
+
+  /** (qmin, qmax, qsum, mse): quantized range, exact integer sum, and
+    * fixed-point mean squared reconstruction error. */
+  def quantizeStats(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vec = col(vecCol)
+    val m = maxAbs(vec)
+    val scale = lit(127.0) / m
+    val q = int8(vec)
+    val errFix = zip_with(vec, q, (v, qi) =>
+      when(m === 0.0, lit(0L)).otherwise {
+        val e = v.cast("double") - qi.cast("double") / scale
+        round(e * e * Fix).cast("long")
+      })
+    emb.select(col(idCol),
+      array_min(q).as("qmin"),
+      array_max(q).as("qmax"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("qsum"),
+      (aggregate(errFix, lit(0L), (acc, x) => acc + x).cast("double") / Fix /
+        size(vec)).as("mse"))
+  }
+}

@@ -573,6 +573,36 @@ object OpsQueries {
              |  CAST(sum(pfix) AS DOUBLE) / (1099511627776::DOUBLE) / count(*) AS mean_p
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ─── int8 embedding quantization audit stats ────────────────────────
+    "q87_quantize" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Quantize.quantizeStats(Tables.embeddings(s, dir), "vec_id", "embedding")
+          .orderBy($"vec_id")
+      },
+      Some("""WITH b AS (SELECT vec_id, embedding,
+             |  list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS m
+             |  FROM embeddings),
+             |qz AS (SELECT vec_id, embedding, m, 127.0::DOUBLE / m AS scale,
+             |  list_transform(embedding, v ->
+             |    CASE WHEN m = 0 THEN 0
+             |         ELSE greatest(-127, least(127, CAST(round(v::DOUBLE * (127.0::DOUBLE / m)) AS INTEGER))) END) AS q
+             |  FROM b),
+             |e AS (SELECT vec_id, q,
+             |  list_transform(list_zip(embedding, q), p ->
+             |    CASE WHEN m = 0 THEN 0::BIGINT
+             |         ELSE CAST(round((p[1]::DOUBLE - p[2]::DOUBLE / scale)
+             |                         * (p[1]::DOUBLE - p[2]::DOUBLE / scale)
+             |                         * 1099511627776::DOUBLE) AS BIGINT) END) AS efix,
+             |  len(embedding) AS d
+             |  FROM qz)
+             |SELECT vec_id,
+             |  CAST(list_min(q) AS INTEGER) AS qmin,
+             |  CAST(list_max(q) AS INTEGER) AS qmax,
+             |  CAST(list_sum(q) AS BIGINT) AS qsum,
+             |  CAST(list_sum(efix) AS DOUBLE) / 1099511627776::DOUBLE / d AS mse
+             |FROM e ORDER BY vec_id""".stripMargin)),
+
     // ─── benchmark decontamination (shared-shingle leak detection) ──────
     // Eval set = every doc_id ≡ 7 (mod 10); a training doc sharing ANY
     // 3-gram with it is flagged with its distinct shared-shingle count.

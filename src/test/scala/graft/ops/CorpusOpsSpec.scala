@@ -294,6 +294,34 @@ class CentroidSimSpec extends SparkSpec {
   }
 }
 
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 range, zero-vector guard, and reconstruction error bound") {
+    val emb = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // zero vector
+      (3L, Array(1e-4f, -1e-4f, 5e-5f, 0.0f)) // tiny magnitudes still span ±127
+    ).toDF("vec_id", "embedding")
+    val got = Quantize.quantizeStats(emb, "vec_id", "embedding")
+      .as[(Long, Int, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // vec 1: max|v| = 1.0 → q = (64, -127, 32, 0)
+    assert(got(1L)._2 == -127 && got(1L)._3 == 64 && got(1L)._4 == (64 - 127 + 32).toLong)
+    assert(got(2L) == ((2L, 0, 0, 0L, 0.0)))
+    assert(got(3L)._2 == -127 && got(3L)._3 == 127)
+    // per-element error of symmetric int8 is bounded by m/254 → mse ≤ (m/254)²
+    got.values.foreach { case (_, _, _, _, mse) => assert(mse >= 0.0 && mse <= (1.0 / 254) * (1.0 / 254) + 1e-12) }
+  }
+
+  test("quantized corpus dot products approximate float cosine ordering") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val stats = Quantize.quantizeStats(emb, "vec_id", "embedding")
+    assert(stats.count() == emb.count())
+    val mses = stats.select($"mse").as[Double].collect()
+    assert(mses.forall(m => m >= 0 && m < 1e-4), s"max mse ${mses.max}")
+  }
+}
+
 class DecontaminationSpec extends SparkSpec {
   import spark.implicits._
 
