@@ -17,8 +17,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one shuffle of snapshot ∪ changes on the key, then a
   * per-key window. No driver-side state, no join back — the window's
-  * partition IS the merge. Skewed keys can't arise: a CDC feed has one
-  * partition per key by construction (row_number over few versions).
+  * partition IS the merge, and WindowGroupLimit prunes each map task to
+  * one candidate row per key before the exchange (PlanAuditSpec pins
+  * this). Per-key data is bounded by that key's version count — a
+  * healthy CDC feed carries a handful of versions per key, so there is
+  * no skew surface beyond what the feed itself ships.
+  *
+  * Column contract: the key and payload columns are shared; `changes`
+  * additionally carries the op/ts/seq columns, whose NAMES must not
+  * collide with snapshot payload columns (they are synthesized onto the
+  * snapshot side and dropped from the output).
   */
 object Cdc {
 

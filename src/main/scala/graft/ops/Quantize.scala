@@ -37,7 +37,10 @@ object Quantize {
   }
 
   /** (qmin, qmax, qsum, mse): quantized range, exact integer sum, and
-    * fixed-point mean squared reconstruction error. */
+    * fixed-point mean squared reconstruction error. The 2^40 fixed-point
+    * error sum assumes embedding magnitudes ≲ 10⁵ per element (beyond
+    * that, err²·2^40 would overflow int64 — unit-norm-ish embeddings are
+    * orders of magnitude inside the bound). */
   def quantizeStats(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val vec = col(vecCol)
     val m = maxAbs(vec)
