@@ -92,7 +92,7 @@ object Streams {
       }
 
   /** Latest materialized snapshot version STRICTLY BELOW `beforeBatch`
-    * under `snapshotDir` (partition dirs `__v=N`), or None before the
+    * under `snapshotDir` (version dirs `__v=N`), or None before the
     * first batch. Strictly below matters for replay correctness: a
     * replayed micro-batch must read the version PRECEDING it, never its
     * own (possibly partial) previous output. */
@@ -115,37 +115,46 @@ object Streams {
   /** Streaming twin of `ops.Cdc.applyChanges`: a CDC change feed arriving
     * under `changesDir` continuously materializes a keyed snapshot. Each
     * micro-batch merges its changes onto the previous snapshot VERSION and
-    * writes the result as a new version partition (`__v=<batchId>`);
+    * writes the result as a new version directory (`__v=<batchId>`);
     * readers take the highest version.
     *
     * Idempotent replay: a re-run micro-batch reads the version strictly
-    * before its own id and dynamically overwrites exactly its own
-    * partition, so a failure-replay converges to the same bytes instead
-    * of double-applying changes. Old versions are retained for readers /
-    * time travel; pruning them is a janitor concern, not the stream's.
+    * before its own id and overwrites exactly its own directory, so a
+    * failure-replay converges to the same bytes instead of double-applying
+    * changes. Old versions are retained for readers / time travel; pruning
+    * them is a janitor concern, not the stream's.
+    *
+    * Each version is a CONCRETE directory written with plain overwrite —
+    * NOT a `partitionBy` partition: dynamic partition overwrite of an
+    * EMPTY result materializes nothing, so a batch that deletes every key
+    * would leave no version and the next batch would merge against the
+    * pre-deletion state, silently resurrecting deleted keys. A plain
+    * directory write always exists (possibly with zero part files), and
+    * the read side passes the snapshot schema explicitly so an empty
+    * version round-trips as an empty DataFrame instead of failing schema
+    * inference.
     *
     * Scale: each merge shuffles snapshot ∪ batch once on the key (the
     * `applyChanges` shape); nothing here is per-row driver state. */
   def cdcStream(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       changesDir: String, snapshotDir: String, checkpointDir: String,
-      init: DataFrame, keyCol: String) =
+      init: DataFrame, keyCol: String) = {
+    val snapshotSchema = init.schema
     spark.readStream.schema(schema).parquet(changesDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cur = latestSnapshotVersion(spark, snapshotDir, batchId) match {
           case Some(v) =>
-            spark.read.parquet(snapshotDir).filter(col("__v") === v).drop("__v")
+            spark.read.schema(snapshotSchema).parquet(s"$snapshotDir/__v=$v")
           case None => init
         }
         graft.ops.Cdc.applyChanges(cur, batch, keyCol)
-          .withColumn("__v", lit(batchId))
           .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__v")
-          .parquet(snapshotDir)
+          .parquet(s"$snapshotDir/__v=$batchId")
       }
+  }
 
   /** Continuous corpus ingest: document files arriving under
     * `incomingDir` pass the quality gate, dedupe against THEMSELVES

@@ -192,24 +192,33 @@ class StreamsSpec extends SparkSpec {
       .toDF("k", "status", "price", "ts", "seq", "op")
     b0.coalesce(1).write.mode("append").parquet(changes)
     val q = Streams.cdcStream(spark, b0.schema, changes, snap, ck, init, "k").start()
+    def version(v: Long) = spark.read.schema(init.schema).parquet(s"$snap/__v=$v")
+      .select($"k", $"status", $"price").as[(Long, String, Double)].collect().sortBy(_._1)
     try {
       q.processAllAvailable()
-      val v0 = spark.read.parquet(snap).filter($"__v" === 0)
-        .select($"k", $"status", $"price").as[(Long, String, Double)].collect().sortBy(_._1)
-      assert(v0.toSeq == Seq((1L, "u1", 11.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+      assert(version(0).toSeq == Seq((1L, "u1", 11.0), (2L, "b", 20.0), (3L, "c", 30.0)))
       // second micro-batch: delete key 2, supersede key 3
       Seq((2L, "x", 0.0, 2L, 1L, "delete"), (3L, "c2", 33.0, 2L, 2L, "upsert"))
         .toDF("k", "status", "price", "ts", "seq", "op")
         .coalesce(1).write.mode("append").parquet(changes)
       q.processAllAvailable()
-      val versions = spark.read.parquet(snap).select($"__v").distinct()
-        .as[Long].collect().sorted
-      assert(versions.length == 2, s"expected 2 snapshot versions, got ${versions.toSeq}")
-      val latest = spark.read.parquet(snap).filter($"__v" === versions.max)
-        .select($"k", $"status", $"price").as[(Long, String, Double)].collect().sortBy(_._1)
       // version 1 builds on version 0: key 1 keeps batch-0's upsert,
       // key 2 is deleted, key 3 carries batch-1's supersede
-      assert(latest.toSeq == Seq((1L, "u1", 11.0), (3L, "c2", 33.0)))
+      assert(version(1).toSeq == Seq((1L, "u1", 11.0), (3L, "c2", 33.0)))
+      // third micro-batch deletes EVERY remaining key: the empty version
+      // must still materialize (a vanished version would make batch 3
+      // merge against version 1 and resurrect the deleted keys)
+      Seq((1L, "x", 0.0, 3L, 1L, "delete"), (3L, "x", 0.0, 3L, 2L, "delete"))
+        .toDF("k", "status", "price", "ts", "seq", "op")
+        .coalesce(1).write.mode("append").parquet(changes)
+      q.processAllAvailable()
+      assert(version(2).isEmpty, "all-deleted batch should yield an empty snapshot")
+      // and a later upsert builds on the EMPTY state, not a stale one
+      Seq((9L, "new", 99.0, 4L, 1L, "upsert"))
+        .toDF("k", "status", "price", "ts", "seq", "op")
+        .coalesce(1).write.mode("append").parquet(changes)
+      q.processAllAvailable()
+      assert(version(3).toSeq == Seq((9L, "new", 99.0)))
     } finally q.stop()
   }
 
