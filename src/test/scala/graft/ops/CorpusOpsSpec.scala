@@ -294,6 +294,62 @@ class CentroidSimSpec extends SparkSpec {
   }
 }
 
+class PackingPropertySpec extends SparkSpec {
+  import spark.implicits._
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  /** Driver-side reference: the definition from the scaladoc, verbatim. */
+  private def refPack(sorted: Seq[(Long, Long)], cap: Long): Map[Long, Long] = {
+    var fill = 0L; var bin = 0L
+    sorted.map { case (id, sz) =>
+      if (bin >= 1 && fill + sz <= cap) fill += sz else { bin += 1; fill = sz }
+      id -> bin
+    }.toMap
+  }
+
+  test("property: packNextFit equals the sequential fold for arbitrary sizes and capacities") {
+    val stratum: Gen[(String, Long, List[Long])] = for {
+      name <- Gen.identifier.map(_.take(6))
+      cap <- Gen.chooseNum(1L, 300L)
+      sizes <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 400L)) // some exceed cap
+    } yield (name, cap, sizes.take(40))
+    samples(stratum, 60).zipWithIndex.foreach { case ((name, cap, sizes), i) =>
+      val rows = sizes.zipWithIndex.map { case (sz, j) => (j.toLong, s"$name$i", sz) }
+      val got = Packing.packNextFit(rows.toDF("id", "stratum", "sz"),
+          "id", "stratum", "sz", cap)
+        .select($"id", $"bin").as[(Long, Long)].collect().toMap
+      val want = refPack(rows.map(r => (r._1, r._3)).sortBy(_._1), cap)
+      assert(got == want, s"stratum $name$i cap=$cap sizes=$sizes")
+    }
+  }
+}
+
+class BloomPropertySpec extends SparkSpec {
+  import spark.implicits._
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  test("property: never a false negative across m/k settings and key distributions") {
+    val cfgs = for {
+      mExp <- Seq(10, 13, 16)
+      k <- Seq(1, 3, 5)
+    } yield (1 << mExp, k)
+    val keyGen = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    val keys = (0 until 500)
+      .flatMap(i => keyGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = keys.toDF("k")
+    cfgs.foreach { case (m, k) =>
+      val bits = lit(Bloom.buildBitsLocal(df, $"k", m, k))
+      val missed = df.filter(!Bloom.mightContain(bits, $"k", m, k)).count()
+      assert(missed == 0L, s"false negative at m=$m k=$k")
+    }
+  }
+}
+
 class QuantizeSpec extends SparkSpec {
   import spark.implicits._
 
