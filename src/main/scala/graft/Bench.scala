@@ -41,18 +41,28 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = names.map { case (name, _) => name -> median(samples.map(_(name))) }
-    // 3-decimal fixed-point values: the driver stores only the TAIL of stdout,
-    // and 73 queries at full double precision overflowed its capture window in
-    // round 3 (BENCH_r03.json parsed:null — the line began mid-number).
+    // The driver stores only the TAIL of stdout and its capture window is
+    // ~2 KB: round 3 (73 queries, full double precision) AND round 4 (87
+    // queries, 3-decimal, full names) both overflowed it → parsed:null.
+    // So the single stdout line uses the qNN prefix as the key (unique by
+    // construction, ~12 bytes/query — ~1.2 KB at 95 queries) with the
+    // summary keys FIRST; the full-name map goes to bench_detail.json.
     // Locale.ROOT pins '.' as the decimal separator regardless of host locale.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json", "UTF-8")
+      try w.println(s"""{"total":${fmt(total)},"n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => () } // detail file is best-effort
     spark.stop()
     // Print the JSON line LAST, after spark.stop(), so no executor/shutdown
     // log noise can interleave after it — the driver parses this line.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

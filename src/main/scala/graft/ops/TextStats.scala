@@ -153,7 +153,7 @@ object TextStats {
 
   /** Per-document top term by TF-IDF over a corpus. Shape: one explode +
     * two aggregations (term frequency per doc, document frequency per
-    * term) + a broadcast of the tiny (term → df) table back — the fact
+    * term) + an unhinted join of the (term → df) model back — the fact
     * side shuffles once on (doc, term). Deterministic: smoothed idf
     * ln((N+1)/(df+1)), ties by term asc. */
   def topTfidfTerm(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -169,7 +169,11 @@ object TextStats {
     // driver-side df.count() here would run an EXTRA job at plan time
     // (a full scan whenever the input isn't bare parquet metadata)
     val corpusN = df.select(fcount(lit(1)).cast("double").as("__n"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    // NO broadcast hint on dfreq: the term→df table is vocab-sized, and a
+    // web-scale vocab (URLs, typos) exceeds any broadcast threshold — AQE
+    // broadcasts it when it measures small, and the shuffled hash join on
+    // the uniform term key is the correct fallback when it doesn't
+    val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(corpusN))
       .withColumn("tfidf", col("tf") * log((col("__n") + 1.0) / (col("df") + lit(1.0))))
       .drop("__n")
@@ -202,12 +206,25 @@ object TextStats {
     * `Similarity.centroidSim`).
     *
     * Scale shape: one explode + two count aggregations build the model
-    * (vocab- and vocab²-bounded tables, in practice pruned to top-K);
-    * they join back by pair key (broadcast when small) and the per-doc
-    * mean is a plain partial-combining sum — no per-doc ordering state. */
+    * (vocab- and vocab²-bounded tables); they join back by pair/unigram
+    * key and the per-doc mean is a plain partial-combining sum — no
+    * per-doc ordering state. The model joins carry NO broadcast hint: on
+    * a 100 TB web corpus distinct bigrams run to billions of rows, so a
+    * mandatory broadcast is a driver OOM — AQE broadcasts a genuinely
+    * small model on its own, and the shuffled hash join on the uniform
+    * pair key is the correct fallback.
+    *
+    * `topK` prunes the bigram model to the K most frequent successors per
+    * w1 (ties: pair asc); a pruned-away bigram scores as UNSEEN —
+    * P = α / (c1 + α·V) — i.e. its mass folds into the smoothing floor.
+    * The prune is a window over the AGGREGATED bigram table (model-sized,
+    * never the corpus), which is what bounds the model at scale. The
+    * default keeps every bigram. */
   def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+      textCol: String, alpha: Double = 0.5,
+      topK: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    require(topK >= 1, s"topK must be >= 1, got $topK")
     val fix = (1L << 40).toDouble
     val toks = split(lower(col(textCol)), " ")
     val n = size(toks)
@@ -218,14 +235,24 @@ object TextStats {
       .select(col("__id"), col("b.w1").as("w1"), col("b.pair").as("pair"))
     val tokRows = df.select(explode(toks).as("w"))
     val uc = tokRows.groupBy(col("w")).agg(fcount(lit(1)).as("c1"))
-    val bc = bg.groupBy(col("pair")).agg(fcount(lit(1)).as("c12"))
+    val bcAll = bg.groupBy(col("w1").as("__bw1"), col("pair"))
+      .agg(fcount(lit(1)).as("c12"))
+    val bc =
+      if (topK == Int.MaxValue) bcAll.select(col("pair"), col("c12"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__bw1")).orderBy(col("c12").desc, col("pair").asc)
+        bcAll.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= topK).select(col("pair"), col("c12"))
+      }
     val vocab = tokRows.agg(countDistinct(col("w")).as("__v"))
     val scored = bg
-      .join(broadcast(bc), "pair")
-      .join(broadcast(uc), col("w1") === col("w"))
-      .crossJoin(broadcast(vocab))
+      .join(bc, Seq("pair"), "left") // pruned-away bigram → c12 null → unseen
+      .join(uc, col("w1") === col("w"))
+      .crossJoin(broadcast(vocab)) // 1-row aggregate: the one legitimate hint
       .withColumn("__pfix",
-        round(((col("c12") + alpha) / (col("c1") + lit(alpha) * col("__v"))) * fix)
+        round(((coalesce(col("c12"), lit(0L)) + alpha) /
+            (col("c1") + lit(alpha) * col("__v"))) * fix)
           .cast("decimal(20,0)"))
     scored.groupBy(col("__id").as(idCol))
       .agg(fcount(lit(1)).as("n_bigrams"),

@@ -573,6 +573,36 @@ object OpsQueries {
              |  CAST(sum(pfix) AS DOUBLE) / (1099511627776::DOUBLE) / count(*) AS mean_p
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ─── bigram LM score with a top-K-pruned model ──────────────────────
+    // The 100 TB model-size lever: keep only the 2 most frequent
+    // successors per w1 (ties pair asc); a pruned-away bigram scores as
+    // UNSEEN (α / (c1 + α·V)) — its mass folds into the smoothing floor.
+    "q90_lm_score_pruned" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.lmScore(Tables.documents(s, dir), "doc_id", "text", topK = 2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+             |uni AS (SELECT unnest(tk) AS w FROM toks),
+             |uc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+             |v AS (SELECT count(DISTINCT w) AS vs FROM uni),
+             |bgx AS (SELECT doc_id, tk, CAST(unnest(range(len(tk) - 1)) AS INTEGER) AS pos
+             |        FROM toks WHERE len(tk) >= 2),
+             |bg AS (SELECT doc_id, pos, tk[pos+1] AS w1, tk[pos+1] || ' ' || tk[pos+2] AS pair
+             |       FROM bgx),
+             |bc AS (SELECT w1, pair, count(*) AS c12 FROM bg GROUP BY w1, pair),
+             |bcp AS (SELECT pair, c12 FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY w1
+             |            ORDER BY c12 DESC, pair ASC) AS rk FROM bc) WHERE rk <= 2),
+             |sc AS (SELECT doc_id,
+             |         CAST(round(((coalesce(c12, 0) + 0.5::DOUBLE) / (c1 + 0.5::DOUBLE * vs))
+             |                    * (1099511627776::DOUBLE)) AS BIGINT) AS pfix
+             |       FROM bg LEFT JOIN bcp USING (pair) JOIN uc ON bg.w1 = uc.w CROSS JOIN v)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(pfix) AS DOUBLE) / (1099511627776::DOUBLE) / count(*) AS mean_p
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ─── int8 embedding quantization audit stats ────────────────────────
     "q87_quantize" -> Q(
       (s, dir) => {

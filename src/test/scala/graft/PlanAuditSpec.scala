@@ -68,6 +68,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Partial"), "no partial WindowGroupLimit phase")
   }
 
+  test("lm/tf-idf model tables carry no mandatory broadcast hint") {
+    // the bigram-count (vocab²-bounded) and term→df (vocab-bounded) model
+    // tables must NOT be force-broadcast: at 100 TB they exceed any
+    // broadcast threshold and a mandatory hint is a driver OOM. The only
+    // hinted joins allowed are the condition-free crossJoins of 1-row
+    // aggregates (corpus size, vocab size).
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq("q84_lm_score", "q90_lm_score_pruned", "q42_tfidf_top_term").foreach { q =>
+      val lp = SparkEntry.queries(q)(spark, sfTiny).queryExecution.optimizedPlan
+      lp.collect { case j: Join => j }.foreach { j =>
+        val hinted = j.hint.leftHint.orElse(j.hint.rightHint).exists(_.strategy.isDefined)
+        assert(!hinted || j.condition.isEmpty,
+          s"$q: mandatory join hint on a keyed model join:\n$j")
+      }
+    }
+  }
+
   test("literal-expression KB matching keeps the fact side exchange-free") {
     // q05's whole match is codegen'd expressions: the only exchange allowed
     // is the final ORDER BY sort
