@@ -92,9 +92,22 @@ object Bloom {
     * broadcast hint — AQE broadcasts small dims on its own, and a huge dim
     * side legitimately shuffle-joins (what the prune is FOR). */
   def semiJoinPruned(fact: DataFrame, factKey: Column, dim: DataFrame,
-      dimKey: Column, m: Int = 1 << 16, k: Int = 3): DataFrame = {
-    val bits = lit(buildBitsLocal(dim, dimKey, m, k))
-    fact.filter(mightContain(bits, factKey, m, k))
+      dimKey: Column, m: Int = 1 << 16, k: Int = 3): DataFrame =
+    semiJoinPruned(fact, factKey, dim, dimKey, buildBitsLocal(dim, dimKey, m, k), m, k)
+
+  /** Prebuilt-mask form — the production path: the build aggregation runs
+    * ONCE per dim-table version (`buildBitsLocal`), the mask is stored
+    * with the dim snapshot, and every prune against that version reuses
+    * it. The convenience overload above re-runs the build per invocation,
+    * which is fine for one-shot queries and wasteful in a loop. `bits`
+    * must come from `buildBitsLocal` with the SAME (m, k) — the require
+    * catches the m mismatch; a k mismatch can't be detected from the mask
+    * shape and is on the caller. */
+  def semiJoinPruned(fact: DataFrame, factKey: Column, dim: DataFrame,
+      dimKey: Column, bits: Array[Long], m: Int, k: Int): DataFrame = {
+    require(bits.length == m / 64,
+      s"mask has ${bits.length} words, expected ${m / 64} for m=$m")
+    fact.filter(mightContain(lit(bits), factKey, m, k))
       .join(dim.select(dimKey.as("__dk")).distinct(),
         factKey === col("__dk"), "left_semi")
   }
