@@ -49,6 +49,10 @@ object Bench {
     // summary keys FIRST; the full-name map goes to bench_detail.json.
     // Locale.ROOT pins '.' as the decimal separator regardless of host locale.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == results.size,
+      s"duplicate qNN prefixes would collide as JSON keys: " +
+        prefixes.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.mkString(","))
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

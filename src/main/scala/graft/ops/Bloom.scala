@@ -105,6 +105,9 @@ object Bloom {
     * shape and is on the caller. */
   def semiJoinPruned(fact: DataFrame, factKey: Column, dim: DataFrame,
       dimKey: Column, bits: Array[Long], m: Int, k: Int): DataFrame = {
+    require(m % 64 == 0, s"m=$m must be a multiple of 64 (whole words); " +
+      "a ragged final word would let probe positions index past the mask " +
+      "and silently null the predicate (false negatives)")
     require(bits.length == m / 64,
       s"mask has ${bits.length} words, expected ${m / 64} for m=$m")
     fact.filter(mightContain(lit(bits), factKey, m, k))

@@ -55,9 +55,26 @@ object CorpusPipeline {
         col("__c.chunk_idx").as("chunk_idx"),
         size(split(col("__c.chunk_text"), " ")).cast("long").as("n_tokens"))
     // 5. pack chunks in (doc, chunk) order per stratum; the packing item
-    // id encodes that order in one sortable long
-    val items = chunks.withColumn("__item",
-      col(idCol).cast("long") * 1000000L + col("chunk_idx"))
+    // id encodes that order in one sortable long.
+    // ENCODING CONTRACT: 0 <= doc_id <= Long.MaxValue/10^6 (~9.22×10^12)
+    // and 0 <= chunk_idx < 10^6 — outside that, id·10^6 + chunk overflows
+    // or the DIV/% decode truncates toward zero and mis-orders (negative
+    // ids). 10^6 chunks at stride 24 is a ~24M-token document, and 9×10^12
+    // ids is 90 docs per human alive — roomy, but data-dependent, so the
+    // guard is a distributed assert_true (a codegen'd comparison per row,
+    // not a driver-side sample) that fails the job rather than silently
+    // corrupting the packing order. Tested at both boundary edges in
+    // CorpusPipelineContractSpec.
+    val items = chunks
+      .withColumn("__guard", assert_true(
+        col(idCol).cast("long").between(0L, Long.MaxValue / 1000000L) &&
+          col("chunk_idx") >= 0 && col("chunk_idx") < 1000000,
+        concat(lit(s"CorpusPipeline item encoding needs 0 <= $idCol <= " +
+            s"${Long.MaxValue / 1000000L} and 0 <= chunk_idx < 1000000; got " +
+            s"$idCol="), col(idCol), lit(" chunk_idx="), col("chunk_idx"))))
+      .filter(col("__guard").isNull).drop("__guard")
+      .withColumn("__item",
+        col(idCol).cast("long") * 1000000L + col("chunk_idx"))
     Packing.packNextFit(items, "__item", stratumCol, "n_tokens", capacity)
       .select(col(stratumCol),
         expr("__item DIV 1000000").as(idCol),

@@ -364,4 +364,44 @@ object Dedup {
     afterExact.join(candIds, Seq(idCol), "left_anti")
       .drop("__h", "__sh", "__hs", "__sig")
   }
+
+  /** Sub-document (CCNet-style paragraph/line) dedup: split every
+    * document into consecutive `segTokens`-token segments, count each
+    * distinct segment's occurrences across the WHOLE corpus, drop
+    * segments occurring more than `maxOccurrences` times (boilerplate:
+    * headers, footers, licence blocks, injected duplicates), and
+    * reassemble each document from its surviving segments in original
+    * order. Documents whose every segment is boilerplate drop out
+    * entirely. (CCNet dedups on real paragraph breaks; this corpus is
+    * flat space-separated text, so the fixed token window plays the role
+    * of the paragraph — the operator shape is identical.)
+    *
+    * Scale shape: the segment explode is map-only; the occurrence count
+    * is ONE partial-combining shuffle on the md5 segment hash (uniform
+    * keys — no skew even when the raw segment texts skew); the keep-join
+    * co-partitions on the same hash (the counts table is corpus-sized —
+    * it must NOT broadcast and is not hinted); the reassembly is one
+    * shuffle back on the doc id with collect_list + array_sort on the
+    * (seg_idx, seg) struct — deterministic regardless of arrival order.
+    * Nothing in the chain is quadratic and no state outlives a stage. */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 8, maxOccurrences: Long = 1L): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val toks = split(col(textCol), " ")
+    val nSegs = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+    val segs = df.select(col(idCol), nSegs.as("n_segs"),
+        posexplode(transform(sequence(lit(0), nSegs - 1),
+          i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+          .as(Seq("seg_idx", "seg")))
+    val counts = segs.groupBy(md5(col("seg")).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+    segs.withColumn("__h", md5(col("seg")))
+      .join(counts.filter(col("__n") <= maxOccurrences).select(col("__h")), "__h")
+      .groupBy(col(idCol))
+      .agg(first(col("n_segs")).as("n_segs"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("clean_text"))
+  }
 }

@@ -29,4 +29,32 @@ object Mixing {
       .withColumn("copy", explode(col("__copies")))
       .drop("__copies")
   }
+
+  /** Balance strata (languages, sources) to EXACTLY equal size: every
+    * stratum is downsampled to the size of the smallest one, keeping the
+    * `n_min` rows with the lowest md5-uniform draw (ties by id) — the same
+    * deterministic draw the split/sampling operators use, so the kept
+    * subset is stable across runs and engines, and growing one stratum
+    * never reshuffles which rows of another survive (their draws don't
+    * change; only the target can shrink).
+    *
+    * Scale shape: the stratum sizes are one partial-combining aggregation
+    * (tiny result — a window over the AGGREGATED table computes the
+    * global min for free); the rank is ONE shuffle+sort per stratum key.
+    * A stratum so large its sort spills is exactly the stratum about to
+    * be cut hardest — for that regime, pre-filter with
+    * `TextStats.stratifiedKeep(key, stratum, n_min/n_s + ε)` to shed the
+    * bulk map-side, then rank only the ~n_min survivors. */
+  def balancePerStratum(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__target", min(col("__n")).over(Window.partitionBy()))
+      .select(col(stratumCol), col("__target"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(TextStats.hashUniform(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .join(target, Seq(stratumCol))
+      .filter(col("__rk") <= col("__target"))
+      .drop("__rk", "__target")
+  }
 }

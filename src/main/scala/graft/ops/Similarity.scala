@@ -161,8 +161,11 @@ object Similarity {
     *  - init = the k lowest-id vectors;
     *  - assignment = the same literal-expression cosine argmax `ivfCell`
     *    uses at query time (zero shuffle);
-    *  - update = per-dimension mean with DECIMAL(28,12) sums (double sums
-    *    are shuffle-order dependent), cast to float at the edge;
+    *  - update = per-dimension mean over 2^40 FIXED-POINT sums (double
+    *    sums are shuffle-order dependent; v·2^40 is an exact exponent
+    *    shift and integer sums commute — the same construction
+    *    `centroidSim` gates through q80), carried as decimal so ~10^18-row
+    *    cells can't overflow, cast to float at the edge;
     *  - empty cells keep their previous centroid.
     *
     * Each iteration is one job: explode to (cell, dim, value), partial-
@@ -178,7 +181,8 @@ object Similarity {
       val sums = assigned
         .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__d", "__v")))
         .groupBy(col("__cell"), col("__d"))
-        .agg(sum(col("__v").cast("decimal(28,12)")).as("__s"),
+        .agg(sum(round(col("__v").cast("double") * lit(1099511627776.0))
+            .cast("decimal(28,0)")).as("__s"),
           count(lit(1)).as("__n"))
         .collect()
       val byCell = sums.groupBy(_.getInt(0))
@@ -188,7 +192,7 @@ object Similarity {
             val next = prev.clone()
             rows.foreach { r =>
               next(r.getInt(1)) =
-                (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+                (r.getDecimal(2).doubleValue() / 1099511627776.0 / r.getLong(3)).toFloat
             }
             cid -> next
           case None => cid -> prev // empty cell: keep previous centroid

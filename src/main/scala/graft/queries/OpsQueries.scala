@@ -68,6 +68,27 @@ object OpsQueries {
        |SELECT a AS doc_id, min(b) AS cluster_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** q93: the q70 cluster CTEs + the q83 split draw, keyed on the CLUSTER
+    * label so near-duplicates can never straddle train/test. */
+  private val clusterSplitSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+       |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |u AS (SELECT doc_id, cluster_id,
+       |        ('0x'||substr(md5(CAST(cluster_id AS VARCHAR)),1,15))::BIGINT::DOUBLE
+       |          / 1152921504606846976.0 AS draw
+       |      FROM cl)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN draw < 0.8 THEN 'train' WHEN draw < 0.9 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM u ORDER BY doc_id""".stripMargin
+
   private val simhashSql: String = {
     val terms = (0 until 48).map(k =>
       s"(CASE WHEN 2*list_sum(list_transform(hs, h -> (h >> $k) & 1)) > len(toks) THEN (1::BIGINT << $k) ELSE 0 END)")
@@ -421,6 +442,31 @@ object OpsQueries {
              |  count(*) AS n
              |FROM lineitem GROUP BY 1 ORDER BY crane_interval""".stripMargin)),
 
+    // ─── crane buckets across a dense boundary grid (non-default w) ─────
+    // q52 pins the crane labels at w=25 (3 rows); this pins the label
+    // ARITHMETIC: w=7 over fractional capacities (1.3–65.0) crosses the
+    // '<7T' low bucket and nine [i·7, (i+1)·7) boundaries, including
+    // capacities landing exactly ON a boundary (v=9.1·k hits 36.4, 63.7 …
+    // and integer l_quantity·1.3 reproduces the float-edge cases the
+    // reference's crane branch (py:381-402) meets on real tonnages).
+    "q91_crane_grid" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy(graft.etl.Enrich.craneBuckets($"l_quantity" * 1.3, 7)
+            .as("crane_interval"))
+          .agg(count(lit(1)).as("n"),
+            graft.etl.Analytics.exactSum($"l_quantity").cast("double").as("sum_qty"))
+          .orderBy($"crane_interval")
+      },
+      Some("""WITH g AS (SELECT l_quantity * 1.3::DOUBLE AS v, l_quantity FROM lineitem)
+             |SELECT CASE WHEN v IS NULL OR v <= 0 THEN 'UNKNOWN'
+             |  WHEN v < 7 THEN '<7T'
+             |  ELSE CAST(CAST(floor(v/7)*7 AS INTEGER) AS VARCHAR) || '-' ||
+             |       CAST(CAST(floor(v/7)*7 AS INTEGER)+7 AS VARCHAR) || 'T' END AS crane_interval,
+             |  count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+             |FROM g GROUP BY 1 ORDER BY crane_interval""".stripMargin)),
+
     // ─── general window-function surface: lag/lead/first/ntile ─────────
     "q50_window_lag_lead" -> Q(
       (s, dir) => {
@@ -501,6 +547,69 @@ object OpsQueries {
       },
       Some(dupClustersSql)),
 
+    // ─── sub-document (paragraph-window) boilerplate dedup ──────────────
+    // CCNet-style: segments occurring >1× anywhere in the corpus are
+    // removed from every document; docs reassemble from the survivors in
+    // original order (docs that were pure boilerplate vanish).
+    "q92_segment_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.dedupSegments(Tables.documents(s, dir), "doc_id", "text",
+            segTokens = 8, maxOccurrences = 1L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |s AS (SELECT doc_id, CAST(t.i AS INTEGER) AS seg_idx,
+             |        array_to_string(list_slice(tk, t.i*8 + 1, t.i*8 + 8), ' ') AS seg,
+             |        CAST(ceil(len(tk)/8.0) AS INTEGER) AS n_segs
+             |      FROM d CROSS JOIN range(4096) t(i) WHERE t.i < ceil(len(tk)/8.0)),
+             |c AS (SELECT md5(seg) AS h, count(*) AS n FROM s GROUP BY 1)
+             |SELECT doc_id, any_value(n_segs) AS n_segs, count(*) AS n_kept,
+             |  string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+             |FROM s JOIN c ON md5(s.seg) = c.h
+             |WHERE c.n <= 1
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ─── leakage-safe splits: assign by CLUSTER, not by document ────────
+    // A plain per-doc split (q83) can put two near-duplicates on opposite
+    // sides of train/test — silent eval contamination. Keying the SAME
+    // deterministic draw on the connected-component label moves whole
+    // dup-clusters together.
+    "q93_cluster_split" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+        val clusters = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
+          pairs.select($"id_a", $"id_b"))
+        docs.select($"doc_id")
+          .join(clusters.select($"id".as("doc_id"), $"label".as("cluster_id")), "doc_id")
+          .select($"doc_id", $"cluster_id",
+            TextStats.assignSplit($"cluster_id",
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+          .orderBy($"doc_id")
+      },
+      Some(clusterSplitSql)),
+
+    // ─── equal-size language balancing (deterministic downsample) ───────
+    "q94_lang_balance" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.balancePerStratum(
+            Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id", "lang")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH n AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
+             |t AS (SELECT lang, min(ns) OVER () AS target FROM n),
+             |r AS (SELECT doc_id, lang,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE
+             |                     / 1152921504606846976.0 ASC, doc_id ASC) AS rk
+             |      FROM documents)
+             |SELECT doc_id, lang FROM r JOIN t USING (lang)
+             |WHERE rk <= target ORDER BY doc_id""".stripMargin)),
+
     // ─── SimHash fingerprints ───────────────────────────────────────────
     "q26_simhash" -> Q(
       (s, dir) => {
@@ -572,6 +681,72 @@ object OpsQueries {
              |SELECT doc_id, count(*) AS n_bigrams,
              |  CAST(sum(pfix) AS DOUBLE) / (1099511627776::DOUBLE) / count(*) AS mean_p
              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ─── Misra-Gries guarantee audit (oracle-gated) ─────────────────────
+    // The MG weights depend on fold order (partial-aggregation splits),
+    // so the gate is the GUARANTEE, not the weights: every term with true
+    // frequency > n/(k+1) must be present in the summary with a weight in
+    // [freq − n/(k+1), freq]. The Spark side evaluates those booleans from
+    // the live sketch; the oracle derives the same heavy-hitter set from
+    // exact counts and asserts the literals — a hash match iff the
+    // mergeable-summaries bound holds on this corpus. k=49 → a 2 % share
+    // threshold, which the synthetic hot terms (~3.5 % each) clear at
+    // every SF.
+    "q88_mg_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val k = 49
+        val terms = Tables.documents(s, dir)
+          .select($"lang", explode(split(lower($"text"), " ")).as("term"))
+        val mg = terms.groupBy($"lang")
+          .agg(Sketches.misraGries($"term", k).as("mg"), count(lit(1)).as("n"))
+        val exact = terms.groupBy($"lang", $"term").agg(count(lit(1)).as("freq"))
+        exact.join(mg, "lang")
+          .filter($"freq".cast("double") > $"n".cast("double") / (k + 1))
+          .withColumn("w", coalesce(element_at($"mg", $"term"), lit(0L)))
+          .select($"lang", $"term", $"freq",
+            ($"w" > 0L).as("present"),
+            ($"w" <= $"freq").as("no_overcount"),
+            ($"w".cast("double") >=
+              $"freq".cast("double") - $"n".cast("double") / (k + 1)).as("within_bound"))
+          .orderBy($"lang", $"term")
+      },
+      Some("""WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+             |c AS (SELECT lang, term, count(*) AS freq FROM t GROUP BY 1, 2),
+             |n AS (SELECT lang, count(*) AS n FROM t GROUP BY 1)
+             |SELECT lang, term, freq,
+             |  TRUE AS present, TRUE AS no_overcount, TRUE AS within_bound
+             |FROM c JOIN n USING (lang)
+             |WHERE freq::DOUBLE > n::DOUBLE / 50
+             |ORDER BY lang, term""".stripMargin)),
+
+    // ─── deterministic k-means fit audit (oracle-gated) ─────────────────
+    // Gates the IVF *fit* end to end: init = 8 lowest-id vectors, 2 Lloyd
+    // iterations, assignment by the SAME literal cosine argmax ivfCell
+    // uses at query time (gated by q39/q71), update means over 2^40
+    // fixed-point sums (the q80 construction), centroids cast to float at
+    // each edge. Emits every centroid dimension re-quantized to 2^40
+    // fixed-point plus the final cell occupancy — the oracle replays both
+    // iterations as generated CTEs (the Q40Oracle pattern).
+    "q89_kmeans_fit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          k = 8, iters = 2)
+        val centDf = s.createDataFrame(cents.flatMap { case (cid, arr) =>
+            arr.zipWithIndex.map { case (v, i) => (cid, i, v.toDouble) }
+          }).toDF("cell", "pos", "cv")
+          .select($"cell", $"pos",
+            round($"cv" * lit(1099511627776.0)).cast("long").as("cq"))
+        val sizes = emb
+          .withColumn("cell", Similarity.ivfCell($"embedding", cents))
+          .groupBy($"cell").agg(count(lit(1)).as("n_assigned"))
+        centDf.join(sizes, Seq("cell"), "left")
+          .na.fill(0L, Seq("n_assigned"))
+          .orderBy($"cell", $"pos")
+      },
+      Some(KmeansOracle.sql(k = 8, iters = 2, dim = 64))),
 
     // ─── bigram LM score with a top-K-pruned model ──────────────────────
     // The 100 TB model-size lever: keep only the 2 most frequent

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+
+import graft.ops.CorpusPipeline
+
+/** The packing-item encoding contract (doc_id·10^6 + chunk_idx in one
+  * sortable long) at both boundary edges: the largest encodable doc_id
+  * round-trips exactly; one past it fails the job loudly instead of
+  * silently overflowing into a wrong packing order. */
+class CorpusPipelineContractSpec extends SparkSpec {
+
+  private val MaxDoc = Long.MaxValue / 1000000L
+
+  // 24 distinct medium-length tokens incl. stopwords — passes every
+  // qualityKeep rule (>=20 tokens, mean len 3-10, stopword ratio >= 1%,
+  // low repetition) so the doc reaches the packing stage.
+  private val okText = ("the quick brown foxes jumped over lazy sleeping dogs " +
+    "while a gentle breeze carried autumn leaves across quiet village " +
+    "streets toward distant mountain peaks tonight").trim
+
+  private def docs(id: Long) = {
+    import spark.implicits._
+    Seq((id, okText, "en")).toDF("doc_id", "text", "lang")
+  }
+
+  test("largest encodable doc_id round-trips through the packed output") {
+    val out = CorpusPipeline.run(docs(MaxDoc)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") == MaxDoc)
+      assert(r.getAs[Int]("chunk_idx") >= 0)
+    }
+  }
+
+  test("doc_id one past the encodable bound fails the job, not the data") {
+    val e = intercept[Exception] {
+      CorpusPipeline.run(docs(MaxDoc + 1)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[SparkException] ||
+        Option(c.getMessage).exists(_.contains("CorpusPipeline item encoding"))),
+      s"unexpected failure shape: $e")
+  }
+
+  test("negative doc_id is rejected (DIV/% decode would mis-order it)") {
+    intercept[Exception] {
+      CorpusPipeline.run(docs(-1L)).collect()
+    }
+  }
+}

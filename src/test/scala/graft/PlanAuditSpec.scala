@@ -78,7 +78,7 @@ class PlanAuditSpec extends SparkSpec {
     Seq("q84_lm_score", "q90_lm_score_pruned", "q42_tfidf_top_term").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, sfTiny).queryExecution.optimizedPlan
       lp.collect { case j: Join => j }.foreach { j =>
-        val hinted = j.hint.leftHint.orElse(j.hint.rightHint).exists(_.strategy.isDefined)
+        val hinted = Seq(j.hint.leftHint, j.hint.rightHint).flatten.exists(_.strategy.isDefined)
         assert(!hinted || j.condition.isEmpty,
           s"$q: mandatory join hint on a keyed model join:\n$j")
       }

@@ -13,6 +13,12 @@ class RegistrySmokeSpec extends SparkSpec {
     assert(oracles.keySet == queries.keySet,
       s"queries without oracle: ${queries.keySet -- oracles.keySet}")
     oracles.values.foreach(sql => assert(sql.trim.nonEmpty))
+    // Bench keys the stdout JSON by the qNN prefix; a shared prefix would
+    // silently drop one timing on parse. Enforce here so `sbt test` catches
+    // a colliding name before the driver's bench run does.
+    val prefixes = queries.keySet.toSeq.map(_.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size == prefixes.size,
+      s"duplicate qNN prefixes: ${prefixes.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.mkString(",")}")
     val failures = queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sfTiny).count(); None }
       catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
