@@ -120,4 +120,54 @@ object Sketches {
   /** The aggregator as a Column over a string item column. */
   def misraGries(itemCol: Column, k: Int): Column =
     udaf(new MisraGriesAgg(k)).apply(itemCol)
+
+  /** Deterministic bottom-k sample: keep the k rows with the smallest
+    * (draw, id) per group, where `draw` is the md5-uniform double the
+    * split/sampling operators share (`TextStats.hashUniform`). The
+    * mergeable-summary counterpart of `q94`'s exact window rank: a
+    * row_number() sample sorts the WHOLE stratum (one shuffle + full
+    * sort), while this aggregator carries ≤ k pairs per partition and the
+    * exchange moves ≤ k·partitions rows — the classic distributed top-k
+    * shape, O(k) state at any corpus size. Same result as the window
+    * formulation because (draw, id) is a total order. */
+  final class BottomKAgg(k: Int)
+      extends Aggregator[(Double, Long), Array[(Double, Long)], Array[Long]] {
+    require(k >= 1)
+    private val ord = Ordering.Tuple2[Double, Long]
+
+    override def zero: Array[(Double, Long)] = Array.empty
+
+    override def reduce(buf: Array[(Double, Long)], x: (Double, Long)): Array[(Double, Long)] =
+      if (buf.length == k && ord.gteq(x, buf(k - 1))) buf
+      else {
+        // binary-search insert into the sorted buffer, drop the overflow
+        var lo = 0; var hi = buf.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ord.lt(buf(mid), x)) lo = mid + 1 else hi = mid
+        }
+        val out = new Array[(Double, Long)](math.min(buf.length + 1, k))
+        System.arraycopy(buf, 0, out, 0, lo)
+        if (lo < out.length) {
+          out(lo) = x
+          System.arraycopy(buf, lo, out, lo + 1, out.length - lo - 1)
+        }
+        out
+      }
+
+    override def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] =
+      b.foldLeft(a)(reduce) // ≤ k elements each — O(k²) worst case, constant
+
+    override def finish(buf: Array[(Double, Long)]): Array[Long] = buf.map(_._2)
+
+    override def bufferEncoder: Encoder[Array[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The aggregator as a Column: ids of the k smallest (draw, id) pairs,
+    * in ascending draw order. */
+  def bottomK(drawCol: Column, idCol: Column, k: Int): Column =
+    udaf(new BottomKAgg(k)).apply(drawCol, idCol)
 }

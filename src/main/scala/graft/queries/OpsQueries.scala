@@ -583,10 +583,9 @@ object OpsQueries {
           numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
         val clusters = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
           pairs.select($"id_a", $"id_b"))
-        docs.select($"doc_id")
-          .join(clusters.select($"id".as("doc_id"), $"label".as("cluster_id")), "doc_id")
-          .select($"doc_id", $"cluster_id",
-            TextStats.assignSplit($"cluster_id",
+        // clusters already carries every vertex — no join back to docs
+        clusters.select($"id".as("doc_id"), $"label".as("cluster_id"),
+            TextStats.assignSplit($"label",
               Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
           .orderBy($"doc_id")
       },
@@ -609,6 +608,76 @@ object OpsQueries {
              |      FROM documents)
              |SELECT doc_id, lang FROM r JOIN t USING (lang)
              |WHERE rk <= target ORDER BY doc_id""".stripMargin)),
+
+    // ─── mergeable bottom-k sample (O(k) state vs q94's full sort) ──────
+    "q95_bottomk_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"lang", TextStats.hashUniform($"doc_id").as("draw"), $"doc_id")
+          .groupBy($"lang")
+          .agg(Sketches.bottomK($"draw", $"doc_id", 10).as("__ids"))
+          .select($"lang", posexplode($"__ids").as(Seq("pos", "doc_id")))
+          .select($"lang", ($"pos" + 1).as("rk"), $"doc_id")
+          .orderBy($"lang", $"rk")
+      },
+      Some("""WITH r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             |    ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE
+             |               / 1152921504606846976.0 ASC, doc_id ASC) AS rk
+             |  FROM documents)
+             |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id FROM r
+             |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin)),
+
+    // ─── HLL++ distinct-count audit ─────────────────────────────────────
+    // approx_count_distinct is order-independent (register-max merges)
+    // and hash-deterministic, so its error on a fixed dataset is a fixed
+    // number; the gate pins |approx − exact| within 3× the requested rsd —
+    // the q88 audit pattern: the oracle derives the bound from exact
+    // counts and asserts the literal.
+    "q96_hll_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(approx_count_distinct($"l_partkey", 0.05).as("appx"),
+            countDistinct($"l_partkey").as("exact"))
+          .select($"l_returnflag", $"exact",
+            (abs($"appx" - $"exact").cast("double") <=
+              $"exact".cast("double") * 0.15).as("within_3rsd"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact,
+             |  TRUE AS within_3rsd
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ─── Greenwald-Khanna quantile-sketch rank audit ────────────────────
+    // percentile_approx(accuracy=100) guarantees the returned element's
+    // rank is within n/100 of the target rank; the gate re-derives the
+    // TRUE rank interval of the sketch's answer with one exact pass and
+    // asserts it at 2× the claimed bound (slack for the ±1 boundary
+    // conventions). Also pins that the answer is an actual element of the
+    // group (GK returns a sample point, never an interpolation).
+    "q97_quantile_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val m = Tables.lineitem(s, dir).groupBy($"l_returnflag")
+          .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(100)).as("m"),
+            count(lit(1)).as("n"))
+        Tables.lineitem(s, dir).join(m, "l_returnflag")
+          .groupBy($"l_returnflag")
+          .agg(first($"n").as("n"),
+            sum(when($"l_extendedprice" <= $"m", 1L).otherwise(0L)).as("rank_le"),
+            sum(when($"l_extendedprice" < $"m", 1L).otherwise(0L)).as("rank_lt"),
+            max(when($"l_extendedprice" === $"m", 1L).otherwise(0L)).as("is_elem"))
+          .select($"l_returnflag", $"n",
+            ($"rank_le".cast("double") >= $"n".cast("double") * 0.48 &&
+              $"rank_lt".cast("double") <= $"n".cast("double") * 0.52).as("rank_in_bound"),
+            ($"is_elem" === 1L).as("is_element"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  TRUE AS rank_in_bound, TRUE AS is_element
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ─── SimHash fingerprints ───────────────────────────────────────────
     "q26_simhash" -> Q(

@@ -522,3 +522,42 @@ class QualityKeepSpec extends SparkSpec {
     assert(counts.getOrElse(true, 0L) > 0 && counts.getOrElse(false, 0L) > 0)
   }
 }
+
+class BottomKSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.expressions.Window
+
+  test("aggregator equals the window-rank formulation on any partitioning") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"lang", TextStats.hashUniform($"doc_id").as("draw"), $"doc_id")
+    val viaWindow = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"draw".asc, $"doc_id".asc)))
+      .filter($"rk" <= 7)
+      .select($"lang", $"rk", $"doc_id")
+      .as[(String, Int, Long)].collect().toSet
+    // many small partitions → partial buffers must merge correctly
+    val viaAgg = docs.repartition(16)
+      .groupBy($"lang").agg(Sketches.bottomK($"draw", $"doc_id", 7).as("ids"))
+      .select($"lang", posexplode($"ids").as(Seq("pos", "doc_id")))
+      .select($"lang", ($"pos" + 1).as("rk"), $"doc_id")
+      .as[(String, Int, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("groups smaller than k return the whole group in draw order") {
+    val tiny = Seq(("g", 0.9, 1L), ("g", 0.1, 2L), ("g", 0.5, 3L))
+      .toDF("g", "draw", "id")
+    val out = tiny.groupBy($"g").agg(Sketches.bottomK($"draw", $"id", 10).as("ids"))
+      .select($"ids").as[Seq[Long]].collect()(0)
+    assert(out == Seq(2L, 3L, 1L))
+  }
+
+  test("equal draws tie-break by id") {
+    val tie = Seq(("g", 0.5, 9L), ("g", 0.5, 1L), ("g", 0.5, 4L))
+      .toDF("g", "draw", "id")
+    val out = tie.groupBy($"g").agg(Sketches.bottomK($"draw", $"id", 2).as("ids"))
+      .select($"ids").as[Seq[Long]].collect()(0)
+    assert(out == Seq(1L, 4L))
+  }
+}
