@@ -85,6 +85,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("segment-dedup counts table is never hinted to broadcast") {
+    // the per-segment occurrence table is corpus-sized — a mandatory
+    // broadcast would OOM the driver at 100 TB; the keep-join must be free
+    // to shuffle on the (md5-uniform) hash key
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = SparkEntry.queries("q92_segment_dedup")(spark, sfTiny)
+      .queryExecution.optimizedPlan
+    lp.collect { case j: Join => j }.foreach { j =>
+      val hinted = Seq(j.hint.leftHint, j.hint.rightHint).flatten.exists(_.strategy.isDefined)
+      assert(!hinted, s"q92: mandatory join hint on the segment-counts join:\n$j")
+    }
+  }
+
+  test("bottom-k sample aggregates with map-side partials — no window sort") {
+    // the whole point of q95 vs the q94 window form: per-partition O(k)
+    // buffers merge at the exchange; a Window node here would mean the
+    // full stratum is being shuffled and sorted
+    val p = plan("q95_bottomk_sample")
+    assert(!p.contains("Window"), "q95 degraded to a window sort:\n" + p.take(900))
+    assert(p.toLowerCase.contains("partial_bottomkagg"),
+      "no partial BottomKAgg phase in q95 plan:\n" + p.take(1500))
+  }
+
   test("literal-expression KB matching keeps the fact side exchange-free") {
     // q05's whole match is codegen'd expressions: the only exchange allowed
     // is the final ORDER BY sort
