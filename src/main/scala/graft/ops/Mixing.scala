@@ -57,4 +57,26 @@ object Mixing {
       .filter(col("__rk") <= col("__target"))
       .drop("__rk", "__target")
   }
+
+  /** Token-budget selection: per stratum (source, language), keep
+    * documents in quality order (score desc, id asc) until the running
+    * token total exceeds `budget` — how a mixture recipe's "N tokens of
+    * source X" clause actually materializes. Deterministic: the cumulative
+    * sum is over exact integer token counts along a total order. Returns
+    * the kept rows with their `cum_tokens` running total.
+    *
+    * Scale shape: ONE shuffle+sort per stratum key for the running-sum
+    * window. Like `balancePerStratum`, a stratum too big to sort is the
+    * one being cut hardest — pre-filter with a score threshold from a
+    * small sample (or `stratifiedKeep`) to shed the obvious tail map-side
+    * before ranking when a single stratum approaches executor-sort size. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, stratumCol: String,
+      tokensCol: String, scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -91,6 +91,46 @@ object Similarity {
       .select(col(idCol), col("__best.nn").as("nn_id"), col("__best.sim").as("sim"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: each
+    * vector's most-similar neighbor with a DIFFERENT label — the
+    * confusable example a trainer wants in the batch. Same LSH-bucketed
+    * arg-max shape as `nearestInBucket` (candidates only from the
+    * vector's own bucket, map-side max per group), with the cross-label
+    * predicate applied before scoring so same-label pairs never even
+    * compute a cosine. Vectors whose bucket holds no other-label
+    * neighbor drop out (no negative found at this recall). */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int, planes: Int): DataFrame = {
+    val b = emb.withColumn("__bucket", lshBucket(col(vecCol), dim, planes))
+    val l = b.select(col(idCol).as("__id"), col(labelCol).as("__la"),
+      col(vecCol).as("__va"), col("__bucket"))
+    val r = b.select(col(idCol).as("__nn"), col(labelCol).as("__lb"),
+      col(vecCol).as("__vb"), col("__bucket"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("__id") =!= col("__nn") && col("__la") =!= col("__lb"))
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .groupBy(col("__id").as(idCol))
+      .agg(max(struct(col("sim"), (-col("__nn")).as("negnn"),
+        col("__nn").as("nn"), col("__lb").as("nl"))).as("__best"))
+      .select(col(idCol), col("__best.nn").as("neg_id"),
+        col("__best.nl").as("neg_label"), col("__best.sim").as("sim"))
+  }
+
+  /** Matryoshka truncation: keep the first `dims` components and
+    * re-normalize to unit length (MRL-style embeddings are trained so
+    * prefixes remain usable — truncation is how a 100 TB index trades
+    * recall for 4× less storage/bandwidth). Map-only expression; a
+    * zero-norm prefix yields ±Infinity components (caller filters, as
+    * with any degenerate vector). Arithmetic: double divide, cast to
+    * float at the edge — the same widen/narrow convention the
+    * quantizer uses. */
+  def matryoshka(vec: Column, dims: Int): Column = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val t = slice(vec, 1, dims)
+    val n = sqrt(norm2(t))
+    transform(t, v => (v.cast("double") / n).cast("float"))
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of `centroids`
     * (collected driver-side, e.g. a fixed sample — a k-means fit would
     * slot in unchanged), search only the query's cell. The assignment is a

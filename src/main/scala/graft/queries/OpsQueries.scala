@@ -679,6 +679,75 @@ object OpsQueries {
              |  TRUE AS rank_in_bound, TRUE AS is_element
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ─── matryoshka truncation (prefix + renormalize) audit ─────────────
+    // 64 → 16 dims: the head component and the re-normalized norm pinned
+    // in 2^40 fixed-point; the float cast at the edge is mirrored by
+    // CAST(… AS REAL).
+    "q98_matryoshka" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val mv = Similarity.matryoshka($"embedding", 16)
+        Tables.embeddings(s, dir).select($"vec_id",
+            round(element_at(mv, 1).cast("double") * lit(1099511627776.0))
+              .cast("long").as("head_q"),
+            round(sqrt(Similarity.norm2(mv)) * lit(1099511627776.0))
+              .cast("long").as("norm_q"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH t AS (SELECT vec_id, list_slice(embedding, 1, 16) AS pre,
+             |    sqrt(list_reduce(list_transform(list_slice(embedding, 1, 16),
+             |      v -> v::DOUBLE * v::DOUBLE), (a,b) -> a+b)) AS nrm
+             |  FROM embeddings),
+             |m AS (SELECT vec_id,
+             |    list_transform(pre, v -> CAST(v::DOUBLE / nrm AS REAL)) AS mv FROM t)
+             |SELECT vec_id,
+             |  CAST(round(mv[1]::DOUBLE * 1099511627776::DOUBLE) AS BIGINT) AS head_q,
+             |  CAST(round(sqrt(list_reduce(list_transform(mv, v -> v::DOUBLE * v::DOUBLE),
+             |    (a,b) -> a+b)) * 1099511627776::DOUBLE) AS BIGINT) AS norm_q
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
+    // ─── hard-negative mining (cross-label bucketed NN) ─────────────────
+    "q99_hard_negatives" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.hardNegatives(Tables.embeddings(s, dir), "vec_id", "embedding",
+            "label", lshDim, lshPlanes)
+          .orderBy($"vec_id")
+      },
+      Some(s"""WITH b AS (SELECT vec_id, label, embedding,
+              |    ${sqlBucket("embedding", lshPlanes)} AS bkt FROM embeddings),
+              |p AS (SELECT l.vec_id AS vec_id, r.vec_id AS nn_id, r.label AS nl,
+              |  list_reduce(list_transform(list_zip(l.embedding, r.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE), (a,b) -> a+b) /
+              |  (sqrt(list_reduce(list_transform(l.embedding, v -> v::DOUBLE * v::DOUBLE), (a,b) -> a+b)) *
+              |   sqrt(list_reduce(list_transform(r.embedding, v -> v::DOUBLE * v::DOUBLE), (a,b) -> a+b))) AS sim
+              |  FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id <> r.vec_id
+              |    AND l.label <> r.label),
+              |rn AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY sim DESC, nn_id ASC) AS rk FROM p)
+              |SELECT vec_id, nn_id AS neg_id, nl AS neg_label, sim FROM rn
+              |WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
+
+    // ─── token-budget selection per source (mixture materialization) ────
+    "q100_token_budget" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir).select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("n_tokens"),
+          TextStats.meanTokenLen($"text").as("score"))
+        Mixing.tokenBudgetSelect(d, "doc_id", "source", "n_tokens", "score",
+            budget = 1000L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    list_sum(list_transform(regexp_split_to_array(text, '\s+'), t -> length(t)))::DOUBLE
+             |      / len(regexp_split_to_array(text, '\s+')) AS score
+             |  FROM documents),
+             |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+             |        ORDER BY score DESC, doc_id ASC) AS BIGINT) AS cum_tokens FROM d)
+             |SELECT doc_id, source, n_tokens, score, cum_tokens FROM c
+             |WHERE cum_tokens <= 1000 ORDER BY doc_id""".stripMargin)),
+
     // ─── SimHash fingerprints ───────────────────────────────────────────
     "q26_simhash" -> Q(
       (s, dir) => {
