@@ -112,4 +112,46 @@ class UserJourneySpec extends SparkSpec {
     assert(hh.count() > 0)
     packed.unpersist()
   }
+
+  test("curation journey: boilerplate scrub → leakage-safe splits → balanced budgeted mixture → hard negatives") {
+    import graft.ops._
+    val docs = Tables.documents(spark, sfTiny)
+
+    // 1. sub-document boilerplate scrub; the cleaned text feeds the mixture
+    val scrubbed = Dedup.dedupSegments(docs, "doc_id", "text",
+        segTokens = 8, maxOccurrences = 1L)
+      .join(docs.select($"doc_id", $"lang", $"source"), "doc_id")
+      .select($"doc_id", $"lang", $"source", $"clean_text".as("text"))
+    assert(scrubbed.count() <= docs.count())
+
+    // 2. leakage-safe splits: every near-dup cluster lands in ONE split
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+    val clusters = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id", pairs)
+    val assigned = clusters.select($"id".as("doc_id"), $"label",
+      TextStats.assignSplit($"label",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    val straddlers = assigned.groupBy($"label")
+      .agg(countDistinct($"split").as("n")).filter($"n" > 1)
+    assert(straddlers.isEmpty)
+
+    // 3. equal-size language mixture, then a per-source token budget
+    val balanced = Mixing.balancePerStratum(scrubbed, "doc_id", "lang")
+    val sizes = balanced.groupBy($"lang").count()
+      .as[(String, Long)].collect().map(_._2).toSet
+    assert(sizes.size == 1, s"languages not equal-sized: $sizes")
+    val budgeted = Mixing.tokenBudgetSelect(
+      balanced.withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+        .withColumn("score", ops.TextStats.meanTokenLen($"text")),
+      "doc_id", "source", "n_tokens", "score", budget = 500L)
+    assert(budgeted.groupBy($"source").agg(max($"cum_tokens").as("m"))
+      .filter($"m" > 500L).isEmpty)
+
+    // 4. contrastive extras: cross-label hard negatives + compressed vectors
+    val emb = Tables.embeddings(spark, sfTiny)
+    val hn = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", 64, 6)
+    assert(hn.join(emb.select($"vec_id", $"label"), "vec_id")
+      .filter($"label" === $"neg_label").isEmpty)
+    val mv = emb.select(Similarity.matryoshka($"embedding", 16).as("mv"))
+    assert(mv.filter(abs(sqrt(Similarity.norm2($"mv")) - 1.0) > 1e-3).isEmpty)
+  }
 }
