@@ -386,22 +386,37 @@ object Dedup {
     * Nothing in the chain is quadratic and no state outlives a stage. */
   def dedupSegments(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 8, maxOccurrences: Long = 1L): DataFrame = {
-    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val segs = segmentRows(df, idCol, textCol, segTokens)
+    val counts = segs.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+    reassembleSegments(
+      segs.join(counts.filter(col("__n") <= maxOccurrences).select(col("__h")), "__h"),
+      idCol)
+  }
+
+  /** The map-only half of segment dedup: one (id, n_segs, seg_idx, seg,
+    * __h=md5(seg)) row per `segTokens`-token window. Shared by the batch
+    * operator and `Streams.segmentDedupStream` so the two can't disagree
+    * on segmentation. */
+  private[graft] def segmentRows(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     val toks = split(col(textCol), " ")
     val nSegs = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
-    val segs = df.select(col(idCol), nSegs.as("n_segs"),
+    df.select(col(idCol), nSegs.as("n_segs"),
         posexplode(transform(sequence(lit(0), nSegs - 1),
           i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
           .as(Seq("seg_idx", "seg")))
-    val counts = segs.groupBy(md5(col("seg")).as("__h"))
-      .agg(count(lit(1)).as("__n"))
-    segs.withColumn("__h", md5(col("seg")))
-      .join(counts.filter(col("__n") <= maxOccurrences).select(col("__h")), "__h")
-      .groupBy(col(idCol))
+      .withColumn("__h", md5(col("seg")))
+  }
+
+  /** The reassembly half: surviving segment rows → one row per doc with
+    * the segments re-joined in original order (deterministic regardless
+    * of arrival order). */
+  private[graft] def reassembleSegments(kept: DataFrame, idCol: String): DataFrame =
+    kept.groupBy(col(idCol))
       .agg(first(col("n_segs")).as("n_segs"),
         count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg")), " ").as("clean_text"))
-  }
 }

@@ -212,6 +212,67 @@ object Streams {
           .parquet(corpusDir)
       }
 
+  /** Streaming sub-document boilerplate scrub — the incremental twin of
+    * `Dedup.dedupSegments` (q92), same pattern as `corpusIngestStream`:
+    * per micro-batch, the batch's segments are counted, combined with the
+    * ACCUMULATED per-segment counts of all prior batches (the index), the
+    * batch's docs are reassembled from segments whose corpus-so-far total
+    * stays ≤ `maxOccurrences`, and the batch's own counts append to the
+    * index as a new version. Replay-idempotent: a replayed batch reads
+    * only index versions STRICTLY below its id and overwrites its own
+    * clean/index partitions. Streaming semantics, documented: each batch
+    * is judged against the corpus SO FAR — when a later batch pushes a
+    * segment over the threshold, earlier already-emitted docs are not
+    * retro-scrubbed (re-run the batch operator over the full corpus for
+    * a retroactive pass). Segmentation/reassembly are the literal shared
+    * helpers (`Dedup.segmentRows`/`reassembleSegments`), so the stream
+    * and the batch op cannot drift. */
+  def segmentDedupStream(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      incomingDir: String, cleanDir: String, indexDir: String,
+      checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", segTokens: Int = 8,
+      maxOccurrences: Long = 1L) =
+    spark.readStream.schema(schema).parquet(incomingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val segs = graft.ops.Dedup.segmentRows(batch, idCol, textCol, segTokens)
+          .localCheckpoint(eager = false) // segs feeds counts AND the keep-join
+        val batchCounts = segs.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+        val hasPrior = {
+          val p = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.exists(p) && fs.listStatus(p).exists { st =>
+            st.isDirectory && {
+              val n = st.getPath.getName
+              n.startsWith("__batch_id=") &&
+                scala.util.Try(n.stripPrefix("__batch_id=").toLong).toOption
+                  .exists(_ < batchId)
+            }
+          }
+        }
+        val total =
+          if (hasPrior)
+            batchCounts.unionByName(
+                spark.read.parquet(indexDir)
+                  .filter(col("__batch_id") < batchId)
+                  .select(col("__h"), col("__n")))
+              .groupBy(col("__h")).agg(sum(col("__n")).as("__n"))
+          else batchCounts
+        val cleaned = graft.ops.Dedup.reassembleSegments(
+          segs.join(total.filter(col("__n") <= maxOccurrences).select(col("__h")), "__h"),
+          idCol)
+        cleaned.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(cleanDir)
+        batchCounts.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(indexDir)
+      }
+
   /** Watermarked stream-stream inner join: each purchase pairs with the
     * same user's clicks from the preceding `lookback`. Both sides carry
     * watermarks and the join condition bounds event time on BOTH ends, so

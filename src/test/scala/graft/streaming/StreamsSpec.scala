@@ -263,4 +263,36 @@ class StreamsSpec extends SparkSpec {
       assert(spark.read.parquet(sink).count() == 250) // incremental append
     } finally q.stop()
   }
+
+  test("segment dedup stream: scrubs corpus-so-far boilerplate per batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_segdedup").toString
+    val in = s"$dir/in"; val clean = s"$dir/clean"; val index = s"$dir/index"; val ck = s"$dir/ck"
+    new java.io.File(in).mkdirs()
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"          // shared 8-token segment
+    val uniq1 = "u1 u2 u3 u4 u5 u6 u7 u8"
+    val uniq2 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val fresh = "f1 f2 f3 f4 f5 f6 f7 f8"
+    // batch 0: the boilerplate segment occurs twice WITHIN the batch
+    val b0 = Seq((1L, s"$boiler $uniq1"), (2L, s"$boiler $uniq2")).toDF("doc_id", "text")
+    b0.coalesce(1).write.mode("append").parquet(in)
+    val q = Streams.segmentDedupStream(spark, b0.schema, in, clean, index, ck).start()
+    try {
+      q.processAllAvailable()
+      val after0 = spark.read.parquet(clean)
+        .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+      assert(after0 == Map(1L -> uniq1, 2L -> uniq2), s"batch 0: $after0")
+      // batch 1: uniq1 is now corpus boilerplate (1 prior + 1 here = 2);
+      // fresh survives; doc 1 is NOT retro-scrubbed
+      Seq((3L, s"$uniq1 $fresh")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(clean)
+        .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+      assert(after1 == Map(1L -> uniq1, 2L -> uniq2, 3L -> fresh), s"batch 1: $after1")
+      // the index accumulated one count row per distinct segment per batch
+      val idx = spark.read.parquet(index).groupBy($"__batch_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(idx == Map(0L -> 3L, 1L -> 2L), s"index: $idx")
+    } finally q.stop()
+  }
 }
