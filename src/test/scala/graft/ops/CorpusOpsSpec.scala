@@ -561,3 +561,47 @@ class BottomKSpec extends SparkSpec {
     assert(out == Seq(1L, 4L))
   }
 }
+
+class SegmentDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("round-trip: with an unreachable threshold every doc reassembles to its original text") {
+    val docs = Tables.documents(spark, sfTiny).select($"doc_id", $"text")
+    val out = Dedup.dedupSegments(docs, "doc_id", "text",
+        segTokens = 8, maxOccurrences = Long.MaxValue)
+      .join(docs, "doc_id")
+    assert(out.count() == docs.count())
+    val broken = out.filter($"clean_text" =!= $"text")
+    assert(broken.isEmpty, s"reassembly mangled ${broken.count()} docs")
+    assert(out.filter($"n_kept" =!= $"n_segs").isEmpty)
+  }
+
+  test("maxOccurrences=2 keeps segments occurring exactly twice") {
+    val a = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val docs = Seq((1L, a), (2L, a), (3L, a)).toDF("doc_id", "text")
+    // threshold 2: the segment occurs 3 times -> dropped everywhere
+    assert(Dedup.dedupSegments(docs, "doc_id", "text", 8, 2L).isEmpty)
+    // threshold 3: kept everywhere
+    assert(Dedup.dedupSegments(docs, "doc_id", "text", 8, 3L).count() == 3)
+  }
+}
+
+class TokenBudgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("selection is the maximal quality-ordered prefix within budget") {
+    val d = Seq(
+      (1L, "s", 40L, 3.0), (2L, "s", 40L, 2.0), (3L, "s", 40L, 1.0),
+      (4L, "t", 90L, 9.0), (5L, "t", 30L, 8.0)
+    ).toDF("doc_id", "source", "n_tokens", "score")
+    val kept = Mixing.tokenBudgetSelect(d, "doc_id", "source", "n_tokens", "score", 100L)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    // s: 40+40 fits, third 40 would make 120 > 100; t: 90 fits, +30 = 120 > 100
+    assert(kept == Map(1L -> 40L, 2L -> 80L, 4L -> 90L))
+  }
+
+  test("budget 0 keeps nothing") {
+    val d = Seq((1L, "s", 1L, 1.0)).toDF("doc_id", "source", "n_tokens", "score")
+    assert(Mixing.tokenBudgetSelect(d, "doc_id", "source", "n_tokens", "score", 0L).isEmpty)
+  }
+}
