@@ -212,6 +212,66 @@ object Dedup {
       .unionByName(labels)
   }
 
+  /** The documented escape hatch of `connectedComponents`: alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14 — public algorithm),
+    * which converges in O(log² n) rounds on ANY component shape, vs
+    * min-label propagation's O(diameter). Same output contract:
+    * (id, label) with label = component min.
+    *
+    * Edges are kept canonical (child, parent) with parent < child.
+    * Per round:
+    *  - large-star: every node u computes m = min({u} ∪ Γ(u)) over the
+    *    SYMMETRIZED neighborhood and re-parents its strictly-larger
+    *    neighbors to m;
+    *  - small-star: every node u re-parents its smaller-side neighborhood
+    *    (its parents) and itself to their collective min.
+    * Both are one groupBy + one join over the edge table — O(edges)
+    * shuffles on uniform keys, lineage cut per round, previous round's
+    * blocks released. Fixpoint = the canonical edge set stops changing;
+    * at fixpoint every non-root points DIRECTLY at its component min. */
+  def connectedComponentsStar(vertices: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String = "id_a", dstCol: String = "id_b",
+      maxIter: Int = 32): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
+      val mm = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.filter(col("v") > col("u")).join(mm, "u")
+        .select(col("v").as("u"), col("m").as("v")) // (child, parent), parent ≤ u < child
+        .distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      // ed is canonical: v < u, i.e. v = a parent of u
+      val mm = ed.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val reparented = ed.join(mm, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // sibling parents → min
+      val self = mm.select(col("u"), col("m").as("v"))
+      reparented.union(self).distinct()
+    }
+    var e = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      // canonical-set fixpoint: same size and nothing new on either side
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      unpersistCheckpoint(e)
+      e = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    vertices.select(col(idCol).as("id"))
+      .join(e.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   /** Release the block-manager storage behind a localCheckpoint'ed frame
     * (Dataset.unpersist only covers cache-manager entries). No-op when the
     * plan isn't a checkpoint scan. */

@@ -547,6 +547,24 @@ object OpsQueries {
       },
       Some(dupClustersSql)),
 
+    // ─── the CC escape hatch, gated against the SAME oracle as q70 ──────
+    // Large-star/small-star contraction: O(log² n) rounds on ANY component
+    // shape (min-label propagation needs O(diameter) — the documented
+    // failure mode for adversarially long dup-chains). Two independent
+    // implementations, one oracle.
+    "q101_dup_clusters_star" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+        Dedup.connectedComponentsStar(docs.select($"doc_id"), "doc_id",
+            pairs.select($"id_a", $"id_b"))
+          .select($"id".as("doc_id"), $"label".as("cluster_id"))
+          .orderBy($"doc_id")
+      },
+      Some(dupClustersSql)),
+
     // ─── sub-document (paragraph-window) boilerplate dedup ──────────────
     // CCNet-style: segments occurring >1× anywhere in the corpus are
     // removed from every document; docs reassemble from the survivors in

@@ -605,3 +605,33 @@ class TokenBudgetSpec extends SparkSpec {
     assert(Mixing.tokenBudgetSelect(d, "doc_id", "source", "n_tokens", "score", 0L).isEmpty)
   }
 }
+
+class StarCcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("star CC equals min-label CC on the corpus near-dup graph") {
+    val docs = Tables.documents(spark, sfTiny)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select($"id_a", $"id_b").persist()
+    val viaProp = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id", pairs)
+      .as[(Long, Long)].collect().toSet
+    val viaStar = Dedup.connectedComponentsStar(docs.select($"doc_id"), "doc_id", pairs)
+      .as[(Long, Long)].collect().toSet
+    pairs.unpersist()
+    assert(viaStar == viaProp)
+  }
+
+  test("star CC converges on a 128-node path where min-label propagation cannot") {
+    // path 0-1-2-…-127: diameter 127 > min-label's maxIter=20 default;
+    // large-star/small-star needs O(log² n) rounds
+    val verts = (0L until 128L).toDF("doc_id")
+    val edges = (0L until 127L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(verts, "doc_id", edges)
+        .count()
+    }
+    val labels = Dedup.connectedComponentsStar(verts, "doc_id", edges)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 128 && labels.forall(_._2 == 0L))
+  }
+}
