@@ -56,21 +56,25 @@ object CorpusPipeline {
         size(split(col("__c.chunk_text"), " ")).cast("long").as("n_tokens"))
     // 5. pack chunks in (doc, chunk) order per stratum; the packing item
     // id encodes that order in one sortable long.
-    // ENCODING CONTRACT: 0 <= doc_id <= Long.MaxValue/10^6 (~9.22×10^12)
-    // and 0 <= chunk_idx < 10^6 — outside that, id·10^6 + chunk overflows
-    // or the DIV/% decode truncates toward zero and mis-orders (negative
-    // ids). 10^6 chunks at stride 24 is a ~24M-token document, and 9×10^12
-    // ids is 90 docs per human alive — roomy, but data-dependent, so the
-    // guard is a distributed assert_true (a codegen'd comparison per row,
-    // not a driver-side sample) that fails the job rather than silently
-    // corrupting the packing order. Tested at both boundary edges in
+    // ENCODING CONTRACT: 0 <= doc_id <= (Long.MaxValue − 999999)/10^6
+    // (= 9 223 372 036 853 — the bound must leave room for the LARGEST
+    // admissible chunk_idx: Long.MaxValue/10^6 would overflow at
+    // chunk_idx ≥ 775 808) and 0 <= chunk_idx < 10^6 — outside that,
+    // id·10^6 + chunk overflows or the DIV/% decode truncates toward zero
+    // and mis-orders (negative ids). 10^6 chunks at stride 24 is a
+    // ~24M-token document, and 9×10^12 ids is 90 docs per human alive —
+    // roomy, but data-dependent, so the guard is a distributed
+    // assert_true (a codegen'd comparison per row, not a driver-side
+    // sample) that fails the job rather than silently corrupting the
+    // packing order. Tested at both boundary edges in
     // CorpusPipelineContractSpec.
+    val maxDoc = (Long.MaxValue - 999999L) / 1000000L
     val items = chunks
       .withColumn("__guard", assert_true(
-        col(idCol).cast("long").between(0L, Long.MaxValue / 1000000L) &&
+        col(idCol).cast("long").between(0L, maxDoc) &&
           col("chunk_idx") >= 0 && col("chunk_idx") < 1000000,
         concat(lit(s"CorpusPipeline item encoding needs 0 <= $idCol <= " +
-            s"${Long.MaxValue / 1000000L} and 0 <= chunk_idx < 1000000; got " +
+            s"$maxDoc and 0 <= chunk_idx < 1000000; got " +
             s"$idCol="), col(idCol), lit(" chunk_idx="), col("chunk_idx"))))
       .filter(col("__guard").isNull).drop("__guard")
       .withColumn("__item",

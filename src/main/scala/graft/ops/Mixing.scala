@@ -47,12 +47,16 @@ object Mixing {
     * bulk map-side, then rank only the ~n_min survivors. */
   def balancePerStratum(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val target = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    // A null stratum is excluded UP FRONT: it would otherwise count toward
+    // the global min target (distorting every real stratum's size) while
+    // its own rows silently vanish in the null-unsafe equi-join below.
+    val in = df.filter(col(stratumCol).isNotNull)
+    val target = in.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__target", min(col("__n")).over(Window.partitionBy()))
       .select(col(stratumCol), col("__target"))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(TextStats.hashUniform(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("__rk", row_number().over(w))
+    in.withColumn("__rk", row_number().over(w))
       .join(target, Seq(stratumCol))
       .filter(col("__rk") <= col("__target"))
       .drop("__rk", "__target")

@@ -77,18 +77,33 @@ object Similarity {
     * Σ bucket² ≈ N²/2^planes. Returns (id, nn_id, sim), sim desc ties by
     * nn_id. */
   def nearestInBucket(emb: DataFrame, idCol: String, vecCol: String,
-      dim: Int, planes: Int): DataFrame = {
-    val b = emb.withColumn("__bucket", lshBucket(col(vecCol), dim, planes))
-    val l = b.select(col(idCol).as("__id"), col(vecCol).as("__va"), col("__bucket"))
-    val r = b.select(col(idCol).as("__nn"), col(vecCol).as("__vb"), col("__bucket"))
-    // arg-max aggregation, not a window: partial (map-side) max per group
-    // means the shuffle carries ONE candidate per (id, partition) instead
-    // of sorting every pair group — the scalable per-group top-1 shape
-    l.join(r, Seq("__bucket")).filter(col("__id") =!= col("__nn"))
-      .withColumn("sim", cosine(col("__va"), col("__vb")))
-      .groupBy(col("__id").as(idCol))
-      .agg(max(struct(col("sim"), (-col("__nn")).as("negnn"), col("__nn").as("nn"))).as("__best"))
+      dim: Int, planes: Int): DataFrame =
+    bucketArgMax(emb, idCol, vecCol, dim, planes, labelCol = None)
       .select(col(idCol), col("__best.nn").as("nn_id"), col("__best.sim").as("sim"))
+
+  /** The ONE bucketed arg-max body behind `nearestInBucket` (q37) and
+    * `hardNegatives` (q99), so the bucketing convention and the
+    * (sim desc, id asc) tie-break can't drift between them.
+    * Arg-max aggregation, not a window: partial (map-side) max per group
+    * means the shuffle carries ONE candidate per (id, partition) instead
+    * of sorting every pair group — the scalable per-group top-1 shape.
+    * With `labelCol` set, only cross-label pairs are scored (the
+    * predicate runs BEFORE any cosine) and the struct carries the
+    * neighbor's label out. */
+  private def bucketArgMax(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, labelCol: Option[String]): DataFrame = {
+    val b = emb.withColumn("__bucket", lshBucket(col(vecCol), dim, planes))
+    val l = b.select(Seq(col(idCol).as("__id"), col(vecCol).as("__va"), col("__bucket")) ++
+      labelCol.map(c => col(c).as("__la")): _*)
+    val r = b.select(Seq(col(idCol).as("__nn"), col(vecCol).as("__vb"), col("__bucket")) ++
+      labelCol.map(c => col(c).as("__lb")): _*)
+    val pairs = l.join(r, Seq("__bucket")).filter(col("__id") =!= col("__nn"))
+    val eligible = labelCol.fold(pairs)(_ => pairs.filter(col("__la") =!= col("__lb")))
+    val best = Seq(col("sim"), (-col("__nn")).as("negnn"), col("__nn").as("nn")) ++
+      labelCol.map(_ => col("__lb").as("nl"))
+    eligible.withColumn("sim", cosine(col("__va"), col("__vb")))
+      .groupBy(col("__id").as(idCol))
+      .agg(max(struct(best: _*)).as("__best"))
   }
 
   /** Hard-negative mining for contrastive/embedding training: each
@@ -100,28 +115,19 @@ object Similarity {
     * compute a cosine. Vectors whose bucket holds no other-label
     * neighbor drop out (no negative found at this recall). */
   def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, dim: Int, planes: Int): DataFrame = {
-    val b = emb.withColumn("__bucket", lshBucket(col(vecCol), dim, planes))
-    val l = b.select(col(idCol).as("__id"), col(labelCol).as("__la"),
-      col(vecCol).as("__va"), col("__bucket"))
-    val r = b.select(col(idCol).as("__nn"), col(labelCol).as("__lb"),
-      col(vecCol).as("__vb"), col("__bucket"))
-    l.join(r, Seq("__bucket"))
-      .filter(col("__id") =!= col("__nn") && col("__la") =!= col("__lb"))
-      .withColumn("sim", cosine(col("__va"), col("__vb")))
-      .groupBy(col("__id").as(idCol))
-      .agg(max(struct(col("sim"), (-col("__nn")).as("negnn"),
-        col("__nn").as("nn"), col("__lb").as("nl"))).as("__best"))
+      labelCol: String, dim: Int, planes: Int): DataFrame =
+    bucketArgMax(emb, idCol, vecCol, dim, planes, labelCol = Some(labelCol))
       .select(col(idCol), col("__best.nn").as("neg_id"),
         col("__best.nl").as("neg_label"), col("__best.sim").as("sim"))
-  }
 
   /** Matryoshka truncation: keep the first `dims` components and
     * re-normalize to unit length (MRL-style embeddings are trained so
     * prefixes remain usable — truncation is how a 100 TB index trades
     * recall for 4× less storage/bandwidth). Map-only expression; a
-    * zero-norm prefix yields ±Infinity components (caller filters, as
-    * with any degenerate vector). Arithmetic: double divide, cast to
+    * zero-norm prefix yields NaN components (0.0/0.0 — filter with
+    * isnan; NaN sorts ABOVE every double in Spark's orderings, so an
+    * unfiltered degenerate vector becomes everyone's nearest neighbor).
+    * Arithmetic: double divide, cast to
     * float at the edge — the same widen/narrow convention the
     * quantizer uses. */
   def matryoshka(vec: Column, dims: Int): Column = {
@@ -204,8 +210,10 @@ object Similarity {
     *  - update = per-dimension mean over 2^40 FIXED-POINT sums (double
     *    sums are shuffle-order dependent; v·2^40 is an exact exponent
     *    shift and integer sums commute — the same construction
-    *    `centroidSim` gates through q80), carried as decimal so ~10^18-row
-    *    cells can't overflow, cast to float at the edge;
+    *    `centroidSim` gates through q80), carried as decimal(38,0) so
+    *    ~10^26-row cells can't overflow (per-row terms reach ~1.1×10^12;
+    *    DuckDB's HUGEINT sum has the same ~10^38 headroom), cast to float
+    *    at the edge;
     *  - empty cells keep their previous centroid.
     *
     * Each iteration is one job: explode to (cell, dim, value), partial-
@@ -222,7 +230,7 @@ object Similarity {
         .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__d", "__v")))
         .groupBy(col("__cell"), col("__d"))
         .agg(sum(round(col("__v").cast("double") * lit(1099511627776.0))
-            .cast("decimal(28,0)")).as("__s"),
+            .cast("decimal(38,0)")).as("__s"),
           count(lit(1)).as("__n"))
         .collect()
       val byCell = sums.groupBy(_.getInt(0))

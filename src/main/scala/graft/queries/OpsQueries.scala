@@ -577,10 +577,12 @@ object OpsQueries {
           .orderBy($"doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |s AS (SELECT doc_id, CAST(t.i AS INTEGER) AS seg_idx,
-             |        array_to_string(list_slice(tk, t.i*8 + 1, t.i*8 + 8), ' ') AS seg,
+             |x AS (SELECT doc_id, tk,
+             |        unnest(range(CAST(ceil(len(tk)/8.0) AS BIGINT))) AS i FROM d),
+             |s AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+             |        array_to_string(list_slice(tk, i*8 + 1, i*8 + 8), ' ') AS seg,
              |        CAST(ceil(len(tk)/8.0) AS INTEGER) AS n_segs
-             |      FROM d CROSS JOIN range(4096) t(i) WHERE t.i < ceil(len(tk)/8.0)),
+             |      FROM x),
              |c AS (SELECT md5(seg) AS h, count(*) AS n FROM s GROUP BY 1)
              |SELECT doc_id, any_value(n_segs) AS n_segs, count(*) AS n_kept,
              |  string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text

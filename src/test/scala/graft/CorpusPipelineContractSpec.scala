@@ -11,7 +11,9 @@ import graft.ops.CorpusPipeline
   * silently overflowing into a wrong packing order. */
 class CorpusPipelineContractSpec extends SparkSpec {
 
-  private val MaxDoc = Long.MaxValue / 1000000L
+  // the bound leaves room for the LARGEST admissible chunk_idx (999999):
+  // Long.MaxValue/10^6 itself would overflow at chunk_idx >= 775808
+  private val MaxDoc = (Long.MaxValue - 999999L) / 1000000L
 
   // 24 distinct medium-length tokens incl. stopwords — passes every
   // qualityKeep rule (>=20 tokens, mean len 3-10, stopword ratio >= 1%,
@@ -35,6 +37,8 @@ class CorpusPipelineContractSpec extends SparkSpec {
   }
 
   test("doc_id one past the encodable bound fails the job, not the data") {
+    // MaxDoc+1 == Long.MaxValue/10^6: admitted by the naive bound, but its
+    // encoding overflows for chunk_idx >= 775808 — must be rejected
     val e = intercept[Exception] {
       CorpusPipeline.run(docs(MaxDoc + 1)).collect()
     }
