@@ -29,7 +29,7 @@ object CorpusPipeline {
   def run(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       stratumCol: String = "lang", stopwords: Seq[String] = Seq("the", "a"),
       chunk: Int = 32, stride: Int = 24, capacity: Long = 256L,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5, starCc: Boolean = false): DataFrame = {
     // 1. quality gate
     val q = docs.filter(TextStats.qualityKeep(col(textCol), stopwords))
     // 2. exact dedup, min-id canonical
@@ -44,9 +44,16 @@ object CorpusPipeline {
         Window.partitionBy(col("__h")).orderBy(col(idCol).asc)))
       .filter(col("__rn") === 1).drop("__h", "__rn")
       .localCheckpoint(eager = false)
-    // 3. near-dup clusters → canonical only
+    // 3. near-dup clusters → canonical only. `starCc` swaps in the
+    // large-star/small-star contraction (q101) for corpora whose dup
+    // chains outrun min-label propagation's O(diameter) bound — both
+    // produce identical (id, min-label) tables, so everything downstream
+    // (and the q81 oracle) is unchanged.
     val pairs = Dedup.minhashPairs(exd, idCol, textCol, threshold = jaccardThreshold)
-    val clusters = Dedup.connectedComponents(exd.select(col(idCol)), idCol, pairs)
+    val vertices = exd.select(col(idCol))
+    val clusters =
+      if (starCc) Dedup.connectedComponentsStar(vertices, idCol, pairs)
+      else Dedup.connectedComponents(vertices, idCol, pairs)
     val kept = Dedup.keepCanonical(exd, idCol, clusters)
     // 4. chunk; per-chunk token count via the same single-space convention
     val chunks = kept.select(col(stratumCol), col(idCol),

@@ -1767,6 +1767,18 @@ object OpsQueries {
         CorpusPipeline.run(Tables.documents(s, dir))
           .orderBy($"lang", $"doc_id", $"chunk_idx")
       },
+      Some(corpusPipelineSql)),
+
+    // ─── the same pipeline with the star-CC clustering stage swapped in ─
+    // Identical oracle as q81: the two CC implementations produce the same
+    // (id, min-label) table, so the composed result must hash-match too —
+    // gating the swap, not just the operator.
+    "q102_corpus_pipeline_star" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        CorpusPipeline.run(Tables.documents(s, dir), starCc = true)
+          .orderBy($"lang", $"doc_id", $"chunk_idx")
+      },
       Some(corpusPipelineSql)))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair

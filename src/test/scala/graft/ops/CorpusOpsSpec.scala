@@ -635,3 +635,38 @@ class StarCcSpec extends SparkSpec {
     assert(labels.length == 128 && labels.forall(_._2 == 0L))
   }
 }
+
+class CcPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: plain sequential union-find. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to the component min (roots are mins by construction)
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("both CC implementations match union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 10 + rnd.nextInt(30)
+      val m = rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expect = unionFind(n, edges)
+      val verts = (0L until n.toLong).toDF("doc_id")
+      val edf = edges.toDF("id_a", "id_b")
+      val viaProp = Dedup.connectedComponents(verts, "doc_id", edf, maxIter = 64)
+        .as[(Long, Long)].collect().toMap
+      val viaStar = Dedup.connectedComponentsStar(verts, "doc_id", edf)
+        .as[(Long, Long)].collect().toMap
+      assert(viaProp == expect, s"trial $trial (n=$n m=$m): min-label != union-find")
+      assert(viaStar == expect, s"trial $trial (n=$n m=$m): star != union-find")
+    }
+  }
+}
