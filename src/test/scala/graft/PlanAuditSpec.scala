@@ -108,6 +108,16 @@ class PlanAuditSpec extends SparkSpec {
       "no partial BottomKAgg phase in q95 plan:\n" + p.take(1500))
   }
 
+  test("hard-negative mining aggregates with map-side partial max — no window sort") {
+    // q99's per-vector top-1 must stay an arg-max AGGREGATION (one
+    // candidate per (id, partition) crosses the exchange), not a
+    // row_number window over every bucket pair
+    val p = plan("q99_hard_negatives")
+    assert(!p.contains("Window"), "q99 degraded to a window sort:\n" + p.take(900))
+    assert(p.contains("partial_max") || p.toLowerCase.contains("partial"),
+      "no partial max phase in q99 plan:\n" + p.take(1500))
+  }
+
   test("literal-expression KB matching keeps the fact side exchange-free") {
     // q05's whole match is codegen'd expressions: the only exchange allowed
     // is the final ORDER BY sort
