@@ -447,6 +447,12 @@ object Dedup {
   def dedupSegments(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 8, maxOccurrences: Long = 1L): DataFrame = {
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    // segs feeds the counts agg AND the keep-join, so the explode runs
+    // twice — DELIBERATE for the batch path: at corpus scale a second
+    // map pass over compressed parquet beats materializing the exploded
+    // corpus (segments ≈ corpus-sized). The streaming twin makes the
+    // opposite call (localCheckpoint) because a micro-batch is small and
+    // recompute there re-reads the incoming files mid-commit.
     val segs = segmentRows(df, idCol, textCol, segTokens)
     val counts = segs.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
     reassembleSegments(

@@ -59,7 +59,7 @@ object Mixing {
     in.withColumn("__rk", row_number().over(w))
       .join(target, Seq(stratumCol))
       .filter(col("__rk") <= col("__target"))
-      .drop("__rk", "__target")
+      .select(df.columns.map(col): _*) // the using-join moved the key first
   }
 
   /** Token-budget selection: per stratum (source, language), keep

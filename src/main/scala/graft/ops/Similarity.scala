@@ -134,7 +134,13 @@ object Similarity {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     val t = slice(vec, 1, dims)
     val n = sqrt(norm2(t))
-    transform(t, v => (v.cast("double") / n).cast("float"))
+    // a vector SHORTER than dims would silently pass through un-truncated
+    // (slice clamps) and poison a fixed-width index — fail the row loudly
+    when(size(vec) >= dims,
+        transform(t, v => (v.cast("double") / n).cast("float")))
+      .otherwise(raise_error(concat(
+        lit(s"matryoshka: vector shorter than dims=$dims: len="),
+        size(vec).cast("string"))))
   }
 
   /** IVF-style ANN: assign every vector to its nearest of `centroids`

@@ -56,22 +56,12 @@ object OpsQueries {
 
   /** q70 oracle: connected components of the thresholded pair graph by a
     * recursive reachability walk; cluster id = min reachable doc id. */
-  private val dupClustersSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
-       |edges AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
-       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
-       |        UNION ALL SELECT id_b, id_a FROM edges),
-       |reach(a, b) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
-       |SELECT a AS doc_id, min(b) AS cluster_id
-       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
-
-  /** q93: the q70 cluster CTEs + the q83 split draw, keyed on the CLUSTER
-    * label so near-duplicates can never straddle train/test. */
-  private val clusterSplitSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  /** The ONE recursive connected-components CTE chain (minhash pairs →
+    * threshold edges → symmetrize → reach fixpoint → min-label table
+    * `cl`), shared by every oracle that consumes clusters (q70, q93,
+    * q101) so a threshold or CTE fix can't desynchronize them. */
+  private val clusterCtes: String =
+    s"""$minhashCtes,
        |edges AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
        |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
        |        UNION ALL SELECT id_b, id_a FROM edges),
@@ -79,7 +69,16 @@ object OpsQueries {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
-       |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+       |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  private val dupClustersSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
+
+  /** q93: the shared cluster CTEs + the q83 split draw, keyed on the
+    * CLUSTER label so near-duplicates can never straddle train/test. */
+  private val clusterSplitSql: String =
+    s"""WITH RECURSIVE $clusterCtes,
        |u AS (SELECT doc_id, cluster_id,
        |        ('0x'||substr(md5(CAST(cluster_id AS VARCHAR)),1,15))::BIGINT::DOUBLE
        |          / 1152921504606846976.0 AS draw
@@ -619,13 +618,14 @@ object OpsQueries {
             Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id", "lang")
           .orderBy($"doc_id")
       },
-      Some("""WITH n AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
+      Some("""WITH n AS (SELECT lang, count(*) AS ns FROM documents
+             |           WHERE lang IS NOT NULL GROUP BY 1),
              |t AS (SELECT lang, min(ns) OVER () AS target FROM n),
              |r AS (SELECT doc_id, lang,
              |        row_number() OVER (PARTITION BY lang
              |          ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE
              |                     / 1152921504606846976.0 ASC, doc_id ASC) AS rk
-             |      FROM documents)
+             |      FROM documents WHERE lang IS NOT NULL)
              |SELECT doc_id, lang FROM r JOIN t USING (lang)
              |WHERE rk <= target ORDER BY doc_id""".stripMargin)),
 

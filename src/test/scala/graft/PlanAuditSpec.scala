@@ -114,7 +114,7 @@ class PlanAuditSpec extends SparkSpec {
     // row_number window over every bucket pair
     val p = plan("q99_hard_negatives")
     assert(!p.contains("Window"), "q99 degraded to a window sort:\n" + p.take(900))
-    assert(p.contains("partial_max") || p.toLowerCase.contains("partial"),
+    assert(p.contains("partial_max"),
       "no partial max phase in q99 plan:\n" + p.take(1500))
   }
 
