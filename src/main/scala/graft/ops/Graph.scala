@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph centrality over an edge table — the remaining graph
+  * primitive next to the two connected-components variants
+  * (`Dedup.connectedComponents` / `connectedComponentsStar`): PageRank
+  * over the near-dup graph ranks each cluster's documents by how central
+  * they are to their duplication neighborhood (a far better "canonical
+  * document" pick than min-id when clusters are star-shaped around a
+  * popular source — the scraped original outranks its mirrors).
+  *
+  * Arithmetic contract — INTEGER fixed-point throughout, so the result is
+  * bit-identical on any partitioning, any retry, and any engine:
+  * ranks live in `scale` fixed-point (default 2^40); every division is
+  * integral (`DIV`); the damping 0.85 is applied as ×85 then DIV 100.
+  * Double-based PageRank sums contributions in shuffle order and is NOT
+  * reproducible across runs — the same reasoning that put the k-means
+  * update and `centroidSim` on 2^40 fixed-point (q80/q89).
+  *
+  * Per iteration (T fixed, no convergence test — the standard
+  * fixed-iteration formulation):
+  *   rank'(v) = 15·r0 DIV 100  +  85·(inMass(v) + dangling DIV n) DIV 100
+  * where r0 = scale DIV n, inMass(v) = Σ_{u→v} rank(u) DIV outdeg(u),
+  * and `dangling` is the total rank held by vertices with no out-edges
+  * (redistributed uniformly — the textbook dangling-node treatment).
+  * Total mass stays ≈ `scale` (integral truncation leaks ≤ 1 unit per
+  * division — bounded and identical in both engines).
+  *
+  * Scale shape (the 100 TB story):
+  *  - edges persist once; out-degrees materialize once (one partial-agg
+  *    pass, O(non-dangling vertices) rows);
+  *  - each iteration is ONE join (ranks ⋈ edges on src — both sides hash
+  *    on uniform ids) + ONE partial-combining aggregation on dst: the
+  *    shuffle carries per-partition partial sums, never the edge list;
+  *  - the dangling mass is a driver-side SCALAR (one partial-agg job per
+  *    iteration, 1 row collected — same driver-small contract as the
+  *    k-means fit);
+  *  - rank snapshots are `localCheckpoint`ed per iteration and the
+  *    previous iteration's blocks released, exactly like the CC loop —
+  *    lineage stays O(1) deep, ≤ 2 snapshots live at any time.
+  *
+  * No overflow at any n: every rank ≤ scale (mass conservation), so
+  * 85·(inMass + dShare) ≤ 85·scale ≈ 2^47 ≪ 2^63.
+  */
+object Graph {
+
+  /** PageRank over directed `edges` (callers symmetrize for undirected
+    * graphs). Returns (idCol, rank_fp) with rank_fp in `scale`
+    * fixed-point; Σ rank_fp ≈ scale. */
+  def pageRank(vertices: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst", iters: Int = 3,
+      scale: Long = 1L << 40): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val od = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .localCheckpoint(eager = true)
+    val n = vertices.count()
+    require(n > 0, "pageRank needs a non-empty vertex set")
+    val r0 = scale / n
+    val base = 15L * r0 / 100L
+    var ranks = vertices.select(col(idCol).as("id"), lit(r0).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val withOd = ranks.join(od, ranks("id") === od("src"), "left")
+      val dangling = withOd.filter(col("odeg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+        .first().getLong(0)
+      val dShare = dangling / n
+      val contrib = withOd.filter(col("odeg").isNotNull)
+        .select(col("src"), expr("rank DIV odeg").as("c"))
+      val inMass = e.join(contrib, Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("im"))
+      val next = vertices.select(col(idCol).as("id"))
+        .join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"(85 * (coalesce(im, 0L) + ${dShare}L)) DIV 100")).as("rank"))
+        .localCheckpoint(eager = true)
+      unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    e.unpersist()
+    ranks.select(col("id").as(idCol), col("rank").as("rank_fp"))
+  }
+
+  /** Release the block-manager storage behind a localCheckpoint'ed frame
+    * (same helper the CC loops carry — Dataset.unpersist only covers
+    * cache-manager entries). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+}

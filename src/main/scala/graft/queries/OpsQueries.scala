@@ -88,6 +88,39 @@ object OpsQueries {
        |       ELSE 'test' END AS split
        |FROM u ORDER BY doc_id""".stripMargin
 
+  /** q103 oracle: fixed-point PageRank over the symmetrized near-dup
+    * graph, iterations unrolled as generated CTEs (the KmeansOracle
+    * pattern). Every operation is BIGINT arithmetic — `//` in DuckDB and
+    * `DIV` in Spark both truncate-toward-zero on the (all-positive)
+    * operands, so the replay is bit-exact with `Graph.pageRank`. */
+  private def pageRankSql(iters: Int, scale: Long = 1L << 40): String = {
+    val head =
+      s"""WITH $minhashCtes,
+         |edges AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+         |        UNION ALL SELECT id_b, id_a FROM edges),
+         |od AS (SELECT src, count(*) AS odeg FROM sym GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |r0 AS (SELECT doc_id AS id, CAST($scale // n AS BIGINT) AS rank
+         |       FROM documents CROSS JOIN nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r$p r
+         |        LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL),
+         |c$i AS (SELECT r.id AS src, r.rank // od.odeg AS c
+         |        FROM r$p r JOIN od ON r.id = od.src),
+         |m$i AS (SELECT s.dst AS id, sum(c.c) AS im
+         |        FROM sym s JOIN c$i c USING (src) GROUP BY s.dst),
+         |r$i AS (SELECT v.id,
+         |          CAST((15 * ($scale // nn.n)) // 100 +
+         |               (85 * (coalesce(m.im, 0) + ((SELECT dm FROM d$i) // nn.n))) // 100
+         |            AS BIGINT) AS rank
+         |        FROM r0 v LEFT JOIN m$i m USING (id) CROSS JOIN nn)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT id AS doc_id, rank AS rank_fp FROM r$iters ORDER BY doc_id"
+  }
+
   private val simhashSql: String = {
     val terms = (0 until 48).map(k =>
       s"(CASE WHEN 2*list_sum(list_transform(hs, h -> (h >> $k) & 1)) > len(toks) THEN (1::BIGINT << $k) ELSE 0 END)")
@@ -1779,7 +1812,25 @@ object OpsQueries {
         CorpusPipeline.run(Tables.documents(s, dir), starCc = true)
           .orderBy($"lang", $"doc_id", $"chunk_idx")
       },
-      Some(corpusPipelineSql)))
+      Some(corpusPipelineSql)),
+
+    // ─── fixed-point PageRank over the near-dup graph ───────────────────
+    // Centrality-based canonical-document choice: within a dup cluster the
+    // most-linked document outranks its mirrors. Integer fixed-point
+    // throughout (Graph.pageRank scaladoc) — the oracle replays the three
+    // iterations as generated CTEs, bit-exact.
+    "q103_pagerank" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+        val sym = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+          .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+        Graph.pageRank(docs.select($"doc_id"), "doc_id", sym, iters = 3)
+          .orderBy($"doc_id")
+      },
+      Some(pageRankSql(iters = 3))))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep

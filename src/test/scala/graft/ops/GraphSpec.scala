@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** `Graph.pageRank` unit contract: hand-computed fixed-point values on a
+  * tiny graph (dangling redistribution included), and bit-identical
+  * results under a different partitioning (the integer-arithmetic
+  * determinism claim). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vertices = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+  // 1↔2 plus 3→1; 4 and 5 dangling
+  private val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+
+  test("pageRank matches hand-computed fixed-point values (1 iter)") {
+    // n=5, scale=10000 → r0=2000, base=300, dangling=4000 → dShare=800
+    // in(1)=c(2)+c(3)=4000, in(2)=c(1)=2000
+    val got = Graph.pageRank(vertices, "id", edges, iters = 1, scale = 10000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 4380L, 2L -> 2680L, 3L -> 980L, 4L -> 980L, 5L -> 980L))
+    assert(got.values.sum === 10000L) // mass conserved exactly here
+  }
+
+  test("pageRank is bit-identical under repartitioning (3 iters)") {
+    val a = Graph.pageRank(vertices, "id", edges, iters = 3, scale = 1L << 40)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Graph.pageRank(vertices.repartition(7), "id",
+        edges.repartition(5), iters = 3, scale = 1L << 40)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a === b)
+    // the hub (1) outranks the spokes, spokes outrank pure danglers
+    val m = a.toMap
+    assert(m(1L) > m(2L) && m(2L) > m(3L) && m(3L) === m(4L))
+  }
+}
