@@ -121,6 +121,66 @@ object Sketches {
   def misraGries(itemCol: Column, k: Int): Column =
     udaf(new MisraGriesAgg(k)).apply(itemCol)
 
+  /** Seed base for the CMS hash rows — offset from the MinHash seeds so
+    * the two sketch families never share a hash function. */
+  val CmsSeedBase = 211
+
+  /** Count-Min sketch: `d` rows × `w` counters; every item increments one
+    * counter per row (position = mixed 60-bit hash mod w); the point
+    * estimate is the MIN across rows. Overestimate-only by construction
+    * (collisions can only add), and — unlike Misra-Gries — the sketch
+    * CONTENTS are a pure function of the exact (item, count) multiset:
+    * counter[j][b] = Σ counts of items hashing to b in row j, independent
+    * of fold order. So the oracle replays the whole sketch exactly (q104),
+    * not just a guarantee bound. Mergeable by elementwise addition —
+    * Spark's map-side partial aggregation applies, O(d·w) state per group
+    * at any corpus size. */
+  final class CmsAgg(d: Int, w: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(d >= 1 && w >= 1, s"CMS needs d,w >= 1, got d=$d w=$w")
+    private val rots = (0 until d).map(j => Dedup.mixRot(CmsSeedBase + j)).toArray
+    private val consts = (0 until d).map(j => Dedup.mixConst(CmsSeedBase + j)).toArray
+
+    override def zero: Array[Long] = new Array[Long](d * w)
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var j = 0
+      while (j < d) {
+        val r = rots(j)
+        val m = (((h & ((1L << (60 - r)) - 1)) << r) | (h >>> (60 - r))) ^ consts(j)
+        buf(j * w + (m % w).toInt) += 1
+        j += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The CMS as a Column over a 60-bit hash column (`Dedup.baseHash`). */
+  def cmsSketch(hashCol: Column, d: Int, w: Int): Column =
+    udaf(new CmsAgg(d, w)).apply(hashCol)
+
+  /** Point estimate from a built sketch for the item hashed as `hashCol`:
+    * min across the d row counters. Pure expression — probe a broadcast
+    * sketch at any fan-out. */
+  def cmsEstimate(sketch: Column, hashCol: Column, d: Int, w: Int): Column =
+    (0 until d).map { j =>
+      element_at(sketch,
+        (lit(j * w + 1) + Dedup.mixHash(hashCol, CmsSeedBase + j) % w).cast("int"))
+    }.reduce(least(_, _))
+
   /** Deterministic bottom-k sample: keep the k rows with the smallest
     * (draw, id) per group, where `draw` is the md5-uniform double the
     * split/sampling operators share (`TextStats.hashUniform`). The

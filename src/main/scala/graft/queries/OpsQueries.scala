@@ -16,6 +16,16 @@ object OpsQueries {
   private def sqlHash(seed: Int, e: String): String =
     s"('0x'||substr(md5('$seed|'||$e),1,15))::BIGINT"
 
+  /** DuckDB twin of `Dedup.mixHash(e, seed)` — rotate-left within 60 bits
+    * then xor the seed constant (the same fragment the MinHash signature
+    * CTEs inline). */
+  private def sqlMix(seed: Int, e: String): String = {
+    val r = Dedup.mixRot(seed)
+    val c = Dedup.mixConst(seed)
+    val lowMask = (1L << (60 - r)) - 1
+    s"xor((($e & $lowMask) << $r) | ($e >> ${60 - r}), $c)"
+  }
+
   private def sqlShinglesFrom(src: String) =
     s"""base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM $src),
        |sh AS (SELECT doc_id, list_distinct(list_filter(
@@ -1830,7 +1840,49 @@ object OpsQueries {
         Graph.pageRank(docs.select($"doc_id"), "doc_id", sym, iters = 3)
           .orderBy($"doc_id")
       },
-      Some(pageRankSql(iters = 3))))
+      Some(pageRankSql(iters = 3))),
+
+    // ─── Count-Min sketch over the term stream, replayed EXACTLY ────────
+    // Unlike the Misra-Gries audit (q88, guarantee-only: MG weights depend
+    // on fold order), CMS counters are a pure function of the exact term
+    // counts — so the oracle rebuilds the identical sketch in SQL and the
+    // gate covers the estimates themselves. The sketch is O(d·w) constant
+    // state (4×64 here): the broadcast is a 2 KB scalar, not a data-scaled
+    // model table. Estimates for the top-25 terms (freq desc, term asc).
+    "q104_cms_sketch" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val d = 4; val w = 64
+        val terms = Tables.documents(s, dir)
+          .select(explode(split(lower($"text"), " ")).as("term"))
+          .withColumn("h", Dedup.baseHash($"term"))
+        val sk = terms.agg(Sketches.cmsSketch($"h", d, w).as("cms"))
+        val exact = terms.groupBy($"term", $"h").agg(count(lit(1)).as("freq"))
+        exact.orderBy($"freq".desc, $"term").limit(25)
+          .crossJoin(broadcast(sk))
+          .select($"term", $"freq",
+            Sketches.cmsEstimate($"cms", $"h", d, w).as("cms_est"))
+          .orderBy($"freq".desc, $"term")
+      },
+      Some {
+        val d = 4; val w = 64
+        val bCols = (0 until d)
+          .map(j => s"${sqlMix(Sketches.CmsSeedBase + j, "h")} % $w AS b$j")
+          .mkString(",\n  ")
+        val cnts = (0 until d).map(j =>
+          s"r$j AS (SELECT b$j AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM b GROUP BY 1)")
+          .mkString(",\n")
+        val joins = (0 until d).map(j => s"JOIN r$j ON b.b$j = r$j.b").mkString(" ")
+        val lst = (0 until d).map(j => s"r$j.cnt").mkString(", ")
+        s"""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+           |c AS (SELECT term, count(*) AS freq, ('0x'||substr(md5(term),1,15))::BIGINT AS h
+           |      FROM t GROUP BY term),
+           |b AS (SELECT term, freq, $bCols FROM c),
+           |$cnts
+           |SELECT term, CAST(freq AS BIGINT) AS freq, least($lst) AS cms_est
+           |FROM b $joins
+           |ORDER BY freq DESC, term LIMIT 25""".stripMargin
+      }))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep

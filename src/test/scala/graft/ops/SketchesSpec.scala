@@ -27,6 +27,26 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS: partition-invariant, overestimate-only, exact without collisions") {
+    val d = 4; val w = 64
+    // zipf-ish multiset: item i appears (50 - i) times
+    val items = (0 until 50).flatMap(i => Seq.fill(50 - i)(s"item_$i"))
+    val df = items.toDF("term").withColumn("h", Dedup.baseHash($"term"))
+    val sk1 = df.repartition(1).agg(Sketches.cmsSketch($"h", d, w)).as[Seq[Long]].head()
+    val sk13 = df.repartition(13).agg(Sketches.cmsSketch($"h", d, w)).as[Seq[Long]].head()
+    assert(sk1 == sk13) // merge order cannot matter: elementwise sums
+    assert(sk1.sum == items.size.toLong * d) // every item lands in d rows
+
+    val est = df.groupBy($"term", $"h").agg(count(lit(1)).as("freq"))
+      .crossJoin(df.agg(Sketches.cmsSketch($"h", d, w).as("cms")))
+      .select($"term", $"freq", Sketches.cmsEstimate($"cms", $"h", d, w).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    est.foreach { case (t, freq, e) => assert(e >= freq, s"underestimate on $t") }
+    // 50 items into 64 buckets × 4 rows: at least one item should dodge
+    // collisions in some row and estimate exactly
+    assert(est.exists { case (_, freq, e) => e == freq })
+  }
+
   test("sigJaccard: identical=1, disjoint≈0, partial in between") {
     val df = Seq((Seq(1L,2L,3L,4L), Seq(1L,2L,3L,4L)),
                  (Seq(1L,2L,3L,4L), Seq(9L,8L,7L,6L)),
