@@ -322,6 +322,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * method): partition the embedding space into k-means cells, then
+    * within each cell drop every vector whose cosine to a LOWER-id
+    * cell-mate exceeds `threshold` (keep = the min-id representative of
+    * each semantic near-dup group, transitively within the cell).
+    * Returns (idCol, cell, keep).
+    *
+    * Scale shape: the quadratic comparison runs per CELL, never globally —
+    * the self-join shuffles on the cell id, so pair count is Σ cell² ≈
+    * N²/k, and k grows with the corpus (N/k vectors per cell is the knob).
+    * The centroid set is a driver-side literal (k×dim floats — the same
+    * contract as the IVF family; a 100 TB run fits it from a sample once
+    * per corpus version). Cell assignment is the literal-expression
+    * `ivfCell` argmax — zero shuffle, gated by q89's fit audit. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], threshold: Double): DataFrame = {
+    val assigned = emb.select(col(idCol), col(vecCol))
+      .withColumn("cell", Similarity.ivfCell(col(vecCol), centroids))
+    val l = assigned.select(col(idCol).as("__ia"), col(vecCol).as("__va"), col("cell"))
+    val r = assigned.select(col(idCol).as("__ib"), col(vecCol).as("__vb"), col("cell"))
+    val dups = l.join(r, Seq("cell")).filter(col("__ia") < col("__ib"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__ib").as(idCol)).distinct()
+    assigned.join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("__dup").isNull.as("keep"))
+  }
+
   /** Exact n-gram Jaccard over ALL pairs of a (bounded) document set —
     * the correctness baseline the LSH path approximates. Quadratic: callers
     * must bound the input (e.g. one LSH bucket, or a sampled audit set). */

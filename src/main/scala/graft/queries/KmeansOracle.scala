@@ -28,6 +28,22 @@ object KmeansOracle {
   private val Fx = "1099511627776::DOUBLE" // 2^40
 
   def sql(k: Int, iters: Int, dim: Int): String = {
+    val fin =
+      s"""sz AS (SELECT cell, count(*) AS n FROM afin GROUP BY cell),
+         |fdim AS (SELECT c.cell, CAST(t.i AS INTEGER) AS pos,
+         |    CAST(round(c.cvec[t.i + 1] * $Fx) AS BIGINT) AS cq
+         |  FROM c$iters c CROSS JOIN range($dim) t(i))
+         |SELECT fdim.cell, fdim.pos, fdim.cq, CAST(COALESCE(sz.n, 0) AS BIGINT) AS n_assigned
+         |FROM fdim LEFT JOIN sz USING (cell)
+         |ORDER BY cell, pos""".stripMargin
+    (Seq("WITH " + ctes(k, iters, dim)) :+ fin).mkString(",\n")
+  }
+
+  /** The fit + FINAL ASSIGNMENT chain (`c0`…`c<iters>`, `sfin`, `afin`
+    * with (vec_id, cell)), comma-joined without the WITH keyword — shared
+    * by the q89 fit audit and every oracle that consumes the fitted cells
+    * (q105 semantic dedup), so the replayed fit can't drift between them. */
+  def ctes(k: Int, iters: Int, dim: Int): String = {
     val init =
       s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
          |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec
@@ -46,19 +62,12 @@ object KmeansOracle {
          |  LEFT JOIN (SELECT cell, list(CAST(CAST(cd AS REAL) AS DOUBLE) ORDER BY pos) AS cvec
          |             FROM u$i GROUP BY cell) u USING (cell))""".stripMargin
     }
-    val fin =
+    val assign =
       s"""sfin AS (SELECT e.vec_id, c.cell, ${cos("e.embedding", "c.cvec")} AS csim
          |  FROM embeddings e CROSS JOIN c$iters c),
          |afin AS (SELECT vec_id, cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
-         |    FROM sfin) WHERE rn = 1),
-         |sz AS (SELECT cell, count(*) AS n FROM afin GROUP BY cell),
-         |fdim AS (SELECT c.cell, CAST(t.i AS INTEGER) AS pos,
-         |    CAST(round(c.cvec[t.i + 1] * $Fx) AS BIGINT) AS cq
-         |  FROM c$iters c CROSS JOIN range($dim) t(i))
-         |SELECT fdim.cell, fdim.pos, fdim.cq, CAST(COALESCE(sz.n, 0) AS BIGINT) AS n_assigned
-         |FROM fdim LEFT JOIN sz USING (cell)
-         |ORDER BY cell, pos""".stripMargin
-    (Seq("WITH " + init) ++ steps :+ fin).mkString(",\n")
+         |    FROM sfin) WHERE rn = 1)""".stripMargin
+    (Seq(init) ++ steps :+ assign).mkString(",\n")
   }
 }

@@ -1882,6 +1882,36 @@ object OpsQueries {
            |SELECT term, CAST(freq AS BIGINT) AS freq, least($lst) AS cms_est
            |FROM b $joins
            |ORDER BY freq DESC, term LIMIT 25""".stripMargin
+      }),
+
+    // ─── SemDeDup: k-means cells → within-cell cosine keep-one ──────────
+    // Composes the gated fit (q89 chain replayed verbatim via
+    // KmeansOracle.ctes) with a per-cell pairwise prune: a vector is
+    // dropped iff some LOWER-id cell-mate is ≥ 0.45-cosine-similar. The
+    // oracle recomputes the identical fit, assignment, and pair set.
+    "q105_semdedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          k = 8, iters = 2)
+        Dedup.semanticDedup(emb, "vec_id", "embedding", cents, threshold = 0.45)
+          .orderBy($"vec_id")
+      },
+      Some {
+        val cos =
+          """list_reduce(list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE), (s,t) -> s+t) /
+            |  (sqrt(list_reduce(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE), (s,t) -> s+t)) *
+            |   sqrt(list_reduce(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE), (s,t) -> s+t)))""".stripMargin
+        s"""WITH ${KmeansOracle.ctes(k = 8, iters = 2, dim = 64)},
+           |emb2 AS (SELECT e.vec_id, e.embedding, a.cell
+           |         FROM embeddings e JOIN afin a USING (vec_id)),
+           |dup AS (SELECT DISTINCT b.vec_id
+           |        FROM emb2 a JOIN emb2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |        WHERE $cos >= 0.45)
+           |SELECT e.vec_id, e.cell, (d.vec_id IS NULL) AS keep
+           |FROM emb2 e LEFT JOIN dup d ON e.vec_id = d.vec_id
+           |ORDER BY e.vec_id""".stripMargin
       }))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
