@@ -365,6 +365,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT thresholded Jaccard self-join WITHOUT the quadratic product —
+    * prefix filtering (Chaudhuri/Ganti/Kaushik ICDE'06, the PPJoin family):
+    * order every set by global token frequency (rarest first, ties token
+    * asc), take each set's first |S| − ⌈τ|S|⌉ + 1 tokens as its PREFIX,
+    * and generate candidates only from pairs sharing a prefix token. The
+    * prefix-filtering lemma guarantees completeness: |A∩B| ≥ c implies the
+    * length-(|A|−c+1) and (|B|−c+1) prefixes intersect under any shared
+    * total order, and J ≥ τ forces |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉. Candidates
+    * then verify by exact intersection — so the OUTPUT is identical to
+    * `jaccardPairs` (same contract, no recall loss), which is exactly how
+    * it's gated (q108 vs the all-pairs oracle; property-spec equivalence
+    * on random corpora).
+    *
+    * The threshold is a RATIONAL tNum/tDen so the prefix length is pure
+    * integer arithmetic (c = (tNum·|S| + tDen − 1) DIV tDen) — a float
+    * ⌈τ|S|⌉ one ulp short would silently break the completeness lemma.
+    *
+    * Scale shape: the candidate join shuffles on PREFIX tokens only —
+    * rarest-first ordering makes those the lowest-frequency keys in the
+    * corpus (the hot head tokens never enter a prefix unless a set is
+    * almost all head tokens), so the join avoids the skew that kills a
+    * naive token-join; the verify step touches candidate pairs only. This
+    * is the exact-output counterpart of MinHash-LSH (`minhashPairs`):
+    * LSH when approximate recall is acceptable, prefix join when the
+    * contract is exact. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1]: $tNum/$tDen")
+    val tau = tNum.toDouble / tDen
+    val withSh = df.select(col(idCol).as("__id"),
+        shingles(col(textCol), shingleK).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = withSh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val dfreq = tok.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    val ranked = tok.join(dfreq, Seq("__s"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+          .orderBy(col("__df"), col("__s"))))
+    val prefix = ranked
+      .join(withSh.select(col("__id"), size(col("__sh")).as("__sz")), Seq("__id"))
+      .filter(col("__rn") <=
+        col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("__id"), col("__s"))
+    val cand = prefix.select(col("__id").as("id_a"), col("__s"))
+      .join(prefix.select(col("__id").as("id_b"), col("__s")), Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val out = cand
+      .join(withSh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(withSh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))) /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    out
+  }
+
   /** Benchmark DECONTAMINATION: which training docs share at least one
     * `k`-gram with the held-out/eval set? The standard guard against
     * benchmark leakage into a training corpus — any shared shingle flags

@@ -256,6 +256,46 @@ object Similarity {
     centroids
   }
 
+  /** Deterministic random projection to `outDim` dimensions: out[j] =
+    * Σ_i v[i]·w(seedBase+j, i), with the same md5-derived integer weights
+    * as the LSH hyperplanes (seed-offset so the two never share a plane).
+    * Johnson-Lindenstrauss-style distance sketching as a map-only literal
+    * expression — one codegen'd loop per output dim, no shuffle, no model
+    * table. */
+  def projectLiteral(vec: Column, dim: Int, outDim: Int,
+      seedBase: Int = 100): Column = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    array((0 until outDim).map { j =>
+      graft.functions.VectorOps.dotLiteral(vec,
+        Array.tabulate(dim)(i => planeWeight(seedBase + j, i).toDouble))
+    }: _*)
+  }
+
+  /** Two-stage ANN: rank ALL vectors by cosine in the `outDim`-projected
+    * space (cheap: outDim ≪ dim multiplies per row), keep the top
+    * `candidates`, then re-rank only those by EXACT cosine and return the
+    * top `k` — the classic retrieve-then-rerank shape. At 100 TB the
+    * stage-1 scan reads a precomputed projection column (outDim/dim of
+    * the vector bytes) and TakeOrdered carries `candidates` rows per
+    * partition; stage 2 touches `candidates` full vectors only. Recall <
+    * 1 by design (the projection can demote a true neighbor out of the
+    * candidate set); determinism: both stages tie-break (score desc, id). */
+  def twoStageTopK(emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, dim: Int, outDim: Int, candidates: Int,
+      k: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val p = emb.withColumn("__p", projectLiteral(col(vecCol), dim, outDim))
+    val q = query.withColumn("__qp", projectLiteral(col("qvec"), dim, outDim))
+    p.crossJoin(broadcast(q))
+      .withColumn("__psim", cosineLambda(col("__p"), col("__qp")))
+      .orderBy(col("__psim").desc, col(idCol))
+      .limit(candidates)
+      .withColumn("sim", cosine(col(vecCol), col("qvec")))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("sim"))
+  }
+
   /** LSH-bucketed cosine top-k: score only vectors sharing the query's
     * bucket. Recall < 1 by design; the oracle checks the deterministic
     * result, the bucket narrowing is the 100TB scale story. */

@@ -184,6 +184,70 @@ object TextStats {
         (lit(0.0) - col("__b.neg")).as("tfidf"))
   }
 
+  /** BM25-family ranked keyword retrieval: score every document against a
+    * fixed term list and return the top `topN` (score desc, id asc).
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avglen))
+    *
+    * with the RATIONAL Robertson–Sparck-Jones odds idf
+    * (N − df + 0.5)/(df + 0.5), deliberately log-free: like `lmScore`,
+    * every quantity is rational arithmetic on corpus counts, so the score
+    * is bit-identical in any engine — a ln() would tie it to the host's
+    * libm (JVM vs glibc disagree by 1 ulp on real inputs). The log is
+    * monotone, so PER-TERM ranking is unchanged; a single-engine caller
+    * who wants the textbook sum applies ln at the idf literal.
+    *
+    * Determinism of the sum: per-term contributions are pivoted into
+    * FIXED-ORDER columns (one `sum(when(term=t))` each — a single row per
+    * (doc, term) after the tf aggregation, so no order-dependent double
+    * fold) and added left-to-right in the `terms` order.
+    *
+    * Scale shape: the explode filters to the query terms IMMEDIATELY
+    * (tiny literal IN-list — rows drop from corpus-tokens to
+    * matching-term occurrences before any shuffle); doc lengths are one
+    * partial-combining aggregation; N/avglen are driver scalars (one
+    * 1-row job) and the per-term dfs collect O(|terms|) rows — there is
+    * no vocab-sized model table anywhere. */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms == terms.distinct, "bm25 query terms must be distinct")
+    val toks = df.select(col(idCol).as("__id"),
+      split(lower(col(textCol)), " ").as("__tk"))
+    val lens = toks.select(col("__id"), size(col("__tk")).cast("long").as("__len"))
+    val g = lens.agg(fcount(lit(1)).as("n"), sum(col("__len")).as("tl")).first()
+    val n = g.getLong(0)
+    val avgLen = g.getLong(1).toDouble / n.toDouble
+    val tf = toks.select(col("__id"), explode(col("__tk")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col("__id"), col("__t")).agg(fcount(lit(1)).as("__tf"))
+    val dfMap = tf.groupBy(col("__t")).agg(fcount(lit(1)).as("__df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idfCol = {
+      def idf(t: String): Double = {
+        val d = dfMap.getOrElse(t, 0L)
+        (n - d + 0.5) / (d + 0.5)
+      }
+      terms.tail.foldLeft(when(col("__t") === terms.head, lit(idf(terms.head)))) {
+        (acc, t) => acc.when(col("__t") === t, lit(idf(t)))
+      }
+    }
+    val tfD = col("__tf").cast("double")
+    val contrib = idfCol * (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast("double") / lit(avgLen)))
+    val scored = tf.join(lens, "__id").withColumn("__c", contrib)
+    val aggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("__t") === t, col("__c"))).as(s"__c$i")
+    }
+    val perDoc = scored.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduce(_ + _)
+    perDoc.select(col("__id").as(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(topN)
+  }
+
   /** Corpus-level bigram language-model quality score (the CCNet-style
     * signal): train add-α-smoothed bigram transition probabilities on the
     * corpus itself, then score each document by its mean P(wᵢ | wᵢ₋₁).

@@ -1912,7 +1912,103 @@ object OpsQueries {
            |SELECT e.vec_id, e.cell, (d.vec_id IS NULL) AS keep
            |FROM emb2 e LEFT JOIN dup d ON e.vec_id = d.vec_id
            |ORDER BY e.vec_id""".stripMargin
-      }))
+      }),
+
+    // ─── two-stage ANN: 16-dim projection prefilter → exact re-rank ─────
+    // Retrieve-then-rerank: stage 1 ranks everything by cosine in the
+    // random-projected space (16/64 of the arithmetic and bytes), stage 2
+    // re-scores only the top-50 candidates exactly. The projection weights
+    // are the same md5-derived literals the LSH planes use (seed-offset).
+    "q106_ann_two_stage" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val query = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+        Similarity.twoStageTopK(emb, "vec_id", "embedding", query,
+          dim = lshDim, outDim = 16, candidates = 50, k = 10)
+      },
+      Some {
+        def proj(vecCol: String) = (0 until 16).map { j =>
+          val w = (0 until lshDim).map(i => Similarity.planeWeight(100 + j, i))
+            .mkString("[", ",", "]")
+          s"""list_reduce(list_transform(list_zip($vecCol, $w::DOUBLE[]),
+             |      x -> x[1]::DOUBLE * x[2]), (p,q) -> p+q)""".stripMargin
+        }.mkString("[", ",\n    ", "]")
+        def cosList(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (p,q) -> p+q) /
+             |  (sqrt(list_reduce(list_transform($a, v -> v * v), (p,q) -> p+q)) *
+             |   sqrt(list_reduce(list_transform($b, v -> v * v), (p,q) -> p+q)))""".stripMargin
+        val cosExact =
+          """list_reduce(list_transform(list_zip(c.embedding, q.qvec), x -> x[1]::DOUBLE * x[2]::DOUBLE), (p,t) -> p+t) /
+            |  (sqrt(list_reduce(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE), (p,t) -> p+t)) *
+            |   sqrt(list_reduce(list_transform(q.qvec, v -> v::DOUBLE * v::DOUBLE), (p,t) -> p+t)))""".stripMargin
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |pe AS (SELECT vec_id, embedding, ${proj("embedding")} AS pv FROM embeddings),
+           |pq AS (SELECT qvec, ${proj("qvec")} AS qv FROM q),
+           |s1 AS (SELECT pe.vec_id, pe.embedding, ${cosList("pe.pv", "pq.qv")} AS psim
+           |       FROM pe CROSS JOIN pq),
+           |c AS (SELECT vec_id, embedding FROM s1 ORDER BY psim DESC, vec_id LIMIT 50),
+           |r AS (SELECT c.vec_id, $cosExact AS sim FROM c CROSS JOIN q)
+           |SELECT vec_id, sim FROM r ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
+    // ─── BM25 ranked keyword retrieval (rational, log-free idf) ─────────
+    // Top-20 documents for a fixed 3-term query. Constants (k1+1 etc.) are
+    // interpolated from the SAME Scala doubles the Spark side uses —
+    // shortest-roundtrip printing makes the DuckDB parse bit-identical.
+    "q107_bm25" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.bm25(Tables.documents(s, dir), "doc_id", "text",
+          terms = Seq("vector", "stream", "hash"), topN = 20)
+      },
+      Some {
+        val terms = Seq("vector", "stream", "hash")
+        val k1 = 1.2; val b = 0.75
+        val inList = terms.map(t => s"'$t'").mkString(", ")
+        val cCols = terms.zipWithIndex.map { case (t, i) =>
+          s"sum(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+        }.mkString(",\n        ")
+        val scoreSum = terms.indices.map(i => s"coalesce(c$i, 0.0::DOUBLE)")
+          .mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+           |l AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM toks),
+           |g AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS tl FROM l),
+           |t AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+           |       WHERE term IN ($inList) GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |c AS (SELECT tf.doc_id, tf.term,
+           |        ((CAST(g.n - dfq.df AS DOUBLE) + 0.5::DOUBLE) / (CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE)) *
+           |        (CAST(tf.tf AS DOUBLE) * ${k1 + 1.0}::DOUBLE) /
+           |        (CAST(tf.tf AS DOUBLE) + ${k1}::DOUBLE *
+           |          (${1.0 - b}::DOUBLE + ${b}::DOUBLE * CAST(l.len AS DOUBLE)
+           |             / (CAST(g.tl AS DOUBLE) / CAST(g.n AS DOUBLE)))) AS contrib
+           |      FROM tf JOIN l USING (doc_id) JOIN dfq USING (term) CROSS JOIN g),
+           |p AS (SELECT doc_id, $cCols FROM c GROUP BY doc_id)
+           |SELECT doc_id, $scoreSum AS score
+           |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      }),
+
+    // ─── prefix-filter EXACT Jaccard join over the FULL corpus ──────────
+    // The scale path for exact thresholded similarity (q27 is the bounded
+    // quadratic baseline): candidates only from shared rarest-first prefix
+    // tokens, then exact verification — output identical to all-pairs by
+    // the prefix-filtering lemma, which is how the oracle gates it (brute
+    // force over all 500 docs, no audit bound needed).
+    "q108_prefix_jaccard" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.prefixJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+            shingleK = 3, tNum = 1, tDen = 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH $sqlShingles,
+              |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+              |        len(list_intersect(a.sh, b2.sh)) / len(list_distinct(list_concat(a.sh, b2.sh))) AS jaccard
+              |      FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id)
+              |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep
