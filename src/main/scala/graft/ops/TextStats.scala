@@ -184,6 +184,31 @@ object TextStats {
         (lit(0.0) - col("__b.neg")).as("tfidf"))
   }
 
+  /** Shingle novelty: per document, the fraction of its distinct k-gram
+    * shingles that appear NOWHERE else in the corpus (document frequency
+    * 1) — the informativeness/uniqueness twin of the dedup signals: a doc
+    * that is all boilerplate scores ~0, fresh prose scores ~1. Returns
+    * (id, n_shingles, n_unique, novelty); shingle-less docs are absent.
+    *
+    * Scale shape: one explode, one partial-combining df aggregation on
+    * the md5-uniform shingle-hash key, one join back on the same key, one
+    * per-doc partial agg. The df table is corpus-vocabulary-sized so it
+    * carries NO broadcast hint (same contract as the lmScore model). */
+  def noveltyScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val tok = df.select(col(idCol).as("__id"),
+        explode(Dedup.shingles(col(textCol), shingleK)).as("__s"))
+      .withColumn("__hs", Dedup.baseHash(col("__s"))).drop("__s")
+    val dfreq = tok.groupBy(col("__hs")).agg(fcount(lit(1)).as("__df"))
+    tok.join(dfreq, Seq("__hs"))
+      .groupBy(col("__id").as(idCol))
+      .agg(fcount(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** BM25-family ranked keyword retrieval: score every document against a
     * fixed term list and return the top `topN` (score desc, id asc).
     *

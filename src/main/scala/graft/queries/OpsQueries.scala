@@ -2008,7 +2008,24 @@ object OpsQueries {
               |        len(list_intersect(a.sh, b2.sh)) / len(list_distinct(list_concat(a.sh, b2.sh))) AS jaccard
               |      FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id)
               |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
-              |ORDER BY id_a, id_b""".stripMargin)))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ─── shingle novelty (corpus-uniqueness signal) ─────────────────────
+    "q109_novelty" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.noveltyScore(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $sqlShingles,
+              |t AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+              |dfq AS (SELECT s, count(*) AS df FROM t GROUP BY s),
+              |p AS (SELECT doc_id, count(*) AS n_shingles,
+              |        CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+              |      FROM t JOIN dfq USING (s) GROUP BY doc_id)
+              |SELECT doc_id, n_shingles, n_unique,
+              |  CAST(n_unique AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+              |FROM p ORDER BY doc_id""".stripMargin)))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep

@@ -118,6 +118,35 @@ class PlanAuditSpec extends SparkSpec {
       "no partial max phase in q99 plan:\n" + p.take(1500))
   }
 
+  test("CMS sketch aggregates with map-side partials") {
+    // q104's sketch must partial-combine (O(d·w) buffers merge at the
+    // exchange), not ship raw hash rows to one reducer
+    val p = plan("q104_cms_sketch")
+    assert(p.toLowerCase.contains("partial_cmsagg"),
+      "no partial CmsAgg phase in q104 plan:\n" + p.take(1500))
+  }
+
+  test("prefix-filter Jaccard join plans NO cartesian product") {
+    // q108 exists to replace q27's quadratic product: its plan must hold
+    // only key-equi joins (prefix-token candidates + verify joins)
+    val p = plan("q108_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"),
+      "prefix join degraded to a cartesian product:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "prefix join degraded to a nested-loop join:\n" + p.take(1200))
+  }
+
+  test("two-stage ANN ranks with TakeOrdered, never a global sort") {
+    // both stages are orderBy+limit: Spark must plan TakeOrderedAndProject
+    // (per-partition top-C, candidates-sized merge) — a SortExec here
+    // would be a full shuffle-sort of the corpus per query
+    val p = plan("q106_ann_two_stage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "no TakeOrderedAndProject in q106 plan:\n" + p.take(1200))
+    assert(!p.contains("SortExec"),
+      "q106 degraded to a global sort:\n" + p.take(1200))
+  }
+
   test("literal-expression KB matching keeps the fact side exchange-free") {
     // q05's whole match is codegen'd expressions: the only exchange allowed
     // is the final ORDER BY sort
