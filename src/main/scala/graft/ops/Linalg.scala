@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed dense linear algebra over an embedding column — the
+  * feature-engineering tier: second-moment/covariance matrix (the input
+  * to PCA/whitening) and per-dimension standardization.
+  *
+  * Determinism contract (the q80/q89 construction): every data-dependent
+  * sum runs over 2^40 FIXED-POINT integers (v·2^40 is an exact exponent
+  * shift; `round` is half-away-from-zero in Spark SQL and DuckDB alike;
+  * integer sums commute), carried as decimal(38,0) so no corpus size can
+  * overflow, cast to double only at the final divide. Results are
+  * bit-identical on any partitioning and any engine.
+  */
+object Linalg {
+
+  private val Fx = 1099511627776.0 // 2^40
+
+  /** Upper-triangle covariance matrix of a `dim`-wide vector column:
+    * (i, j, cov) for 0 ≤ i ≤ j < dim, cov = E[xᵢxⱼ] − E[xᵢ]E[xⱼ].
+    *
+    * Scale shape: the pair explode (dim·(dim+1)/2 rows per vector) is
+    * built by ONE nested-transform expression and exploded map-side; the
+    * only shuffle is the partial-combining (i, j) aggregation — it
+    * carries ≤ dim²·partitions partial sums, never the exploded corpus.
+    * The output is dim²-bounded (driver-small at any corpus size): the
+    * eigendecomposition for PCA runs driver-side on this matrix, exactly
+    * like the k-means fit collects k×dim. */
+  def covariance(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val v = col(vecCol)
+    val idx = sequence(lit(0), lit(dim - 1))
+    val pairs = flatten(transform(idx, i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          round(element_at(v, i + 1).cast("double") *
+            element_at(v, j + 1).cast("double") * Fx).cast("long").as("p")))))
+    val m2 = emb.select(explode(pairs).as("__e"))
+      .select(col("__e.i").as("i"), col("__e.j").as("j"), col("__e.p").as("__p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("__p").cast("decimal(38,0)")).cast("double").as("m2fx"),
+        count(lit(1)).as("n"))
+    val m1 = emb.select(posexplode(v).as(Seq("i", "__x")))
+      .groupBy(col("i"))
+      .agg(sum(round(col("__x").cast("double") * Fx).cast("decimal(38,0)"))
+        .cast("double").as("m1fx"))
+    m2.join(m1.select(col("i"), col("m1fx").as("__m1i")), Seq("i"))
+      .join(m1.select(col("i").as("j"), col("m1fx").as("__m1j")), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("m2fx") / Fx / col("n") -
+          (col("__m1i") / Fx / col("n")) * (col("__m1j") / Fx / col("n"))).as("cov"))
+  }
+
+  /** Per-dimension z-score standardization: zᵢ = (xᵢ − μᵢ)/σᵢ with μ, σ²
+    * from the same fixed-point sums as `covariance`'s diagonal. Returns
+    * the input plus a `zvec` array<double> column.
+    *
+    * Scale shape: stats are ONE partial-combining (dim)-keyed aggregation
+    * collapsed to a single dim-wide row (constant size — broadcast by
+    * construction, not a data-scaled model); the standardization itself
+    * is a map-only zip_with. */
+  def standardize(emb: DataFrame, vecCol: String): DataFrame = {
+    val stats = emb.select(posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .groupBy(col("__i"))
+      .agg(sum(round(col("__x").cast("double") * Fx).cast("decimal(38,0)"))
+        .cast("double").as("__s1"),
+        sum(round(col("__x").cast("double") * col("__x").cast("double") * Fx)
+          .cast("decimal(38,0)")).cast("double").as("__s2"),
+        count(lit(1)).as("__n"))
+      .select(col("__i"), (col("__s1") / Fx / col("__n")).as("__mu"),
+        sqrt(col("__s2") / Fx / col("__n") -
+          (col("__s1") / Fx / col("__n")) * (col("__s1") / Fx / col("__n"))).as("__sigma"))
+    val statsRow = stats
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__mu"), col("__sigma")))),
+        s => struct(s.getField("__mu").as("mu"), s.getField("__sigma").as("sigma")))
+        .as("__st"))
+    emb.crossJoin(broadcast(statsRow))
+      .withColumn("zvec", zip_with(col(vecCol), col("__st"),
+        (x, st) => (x.cast("double") - st.getField("mu")) / st.getField("sigma")))
+      .drop("__st")
+  }
+}

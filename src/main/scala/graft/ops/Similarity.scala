@@ -311,6 +311,45 @@ object Similarity {
       .select(col(idCol), col("sim"))
   }
 
+  /** Product-quantization ENCODE (Jégou et al. 2011, public method): split
+    * the vector into `subspaces` contiguous subvectors and store, per
+    * subspace, the id of the nearest codebook entry (L2, ties lowest id) —
+    * a dim-floats vector compresses to `subspaces` small ints, the
+    * storage/bandwidth lever for a 100 TB ANN index (recon_err is the
+    * quantization distortion, Σ per-subspace squared distance).
+    *
+    * `codebook` = (cid, FULL vector) pairs; subspace s uses each entry's
+    * s-th slice. Here the static init-only codebook (e.g. the k lowest-id
+    * vectors) keeps the fit trivially deterministic; a Lloyd-refined
+    * codebook from `kmeansCentroids` run per subspace slots in unchanged.
+    *
+    * Map-only literal expressions end to end: per row, subspaces·k
+    * codegen'd folds over subDim elements — zero shuffle, no model-table
+    * join (the codebook is k×dim driver-side floats, the IVF contract). */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Int, Array[Float])], subspaces: Int): DataFrame = {
+    require(codebook.nonEmpty, "pqEncode needs a non-empty codebook")
+    val dim = codebook.head._2.length
+    require(dim % subspaces == 0,
+      s"dim $dim must divide evenly into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val perSub = (0 until subspaces).map { s =>
+      val sub = slice(col(vecCol), s * subDim + 1, subDim)
+      val best = least(codebook.map { case (cid, cvec) =>
+        val cArr = array(cvec.slice(s * subDim, (s + 1) * subDim)
+          .map(x => lit(x.toDouble)): _*)
+        val d2 = aggregate(
+          zip_with(sub, cArr, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (a, x) => a + x)
+        struct(d2.as("d"), lit(cid).as("cid"))
+      }: _*)
+      (best.getField("cid"), best.getField("d"))
+    }
+    emb.select(col(idCol),
+      array(perSub.map(_._1): _*).as("codes"),
+      perSub.map(_._2).reduce(_ + _).as("recon_err"))
+  }
+
   /** Per-group centroid + each vector's cosine to its OWN group centroid
     * (column `centroid_sim`) — the embedding-space outlier / label-noise
     * signal: low similarity to your cluster's center means you probably

@@ -2025,7 +2025,85 @@ object OpsQueries {
               |      FROM t JOIN dfq USING (s) GROUP BY doc_id)
               |SELECT doc_id, n_shingles, n_unique,
               |  CAST(n_unique AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
-              |FROM p ORDER BY doc_id""".stripMargin)))
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ─── covariance matrix in 2^40 fixed point (the PCA input) ──────────
+    // One map-side pair explode + one (i,j)-keyed partial-combining agg;
+    // output is dim²-bounded. Bit-exact across engines by the integer-sum
+    // construction (Linalg scaladoc).
+    "q110_covariance" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Linalg.covariance(Tables.embeddings(s, dir), "embedding", dim = 64)
+          .orderBy($"i", $"j")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i, embedding[t.i+1]::DOUBLE AS xi
+             |           FROM embeddings CROSS JOIN range(64) t(i)),
+             |p AS (SELECT a.i, b.i AS j, CAST(round(a.xi * b.xi * 1099511627776::DOUBLE) AS BIGINT) AS pfp
+             |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i),
+             |m2 AS (SELECT i, j, CAST(sum(pfp) AS DOUBLE) AS m2fx, count(*) AS n FROM p GROUP BY i, j),
+             |m1 AS (SELECT i, CAST(sum(CAST(round(xi * 1099511627776::DOUBLE) AS BIGINT)) AS DOUBLE) AS m1fx
+             |       FROM e GROUP BY i)
+             |SELECT m2.i AS i, m2.j AS j,
+             |  m2.m2fx / 1099511627776::DOUBLE / n -
+             |    (a.m1fx / 1099511627776::DOUBLE / n) * (b.m1fx / 1099511627776::DOUBLE / n) AS cov
+             |FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ─── per-dimension z-score standardization ──────────────────────────
+    "q111_standardize" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Linalg.standardize(Tables.embeddings(s, dir), "embedding")
+          .select($"vec_id", $"zvec")
+          .orderBy($"vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i, embedding[t.i+1]::DOUBLE AS x
+             |           FROM embeddings CROSS JOIN range(64) t(i)),
+             |st AS (SELECT i,
+             |        CAST(sum(CAST(round(x * 1099511627776::DOUBLE) AS BIGINT)) AS DOUBLE) AS s1,
+             |        CAST(sum(CAST(round(x * x * 1099511627776::DOUBLE) AS BIGINT)) AS DOUBLE) AS s2,
+             |        count(*) AS n
+             |       FROM e GROUP BY i),
+             |ms AS (SELECT i, s1 / 1099511627776::DOUBLE / n AS mu,
+             |        sqrt(s2 / 1099511627776::DOUBLE / n -
+             |          (s1 / 1099511627776::DOUBLE / n) * (s1 / 1099511627776::DOUBLE / n)) AS sigma
+             |       FROM st),
+             |z AS (SELECT e.vec_id, e.i, (e.x - ms.mu) / ms.sigma AS z FROM e JOIN ms USING (i))
+             |SELECT vec_id, list(z ORDER BY i) AS zvec FROM z GROUP BY vec_id
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ─── product-quantization encode (8 subspaces × 16 codes) ───────────
+    // Static init-only codebook = the 16 lowest-id vectors (deterministic
+    // fit; a per-subspace Lloyd refinement slots in unchanged). The oracle
+    // replays every distance, argmin tie-break, and the subspace-ordered
+    // error fold.
+    "q112_pq_encode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val cb = emb.orderBy($"vec_id").limit(16)
+          .select($"embedding").collect()
+          .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0).toArray }.toSeq
+        Similarity.pqEncode(emb, "vec_id", "embedding", cb, subspaces = 8)
+          .orderBy($"vec_id")
+      },
+      Some("""WITH cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             |              embedding AS cvec
+             |            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+             |d AS (SELECT e.vec_id, t.s, cb.cid,
+             |        list_reduce(list_transform(list_zip(
+             |            list_slice(e.embedding, t.s*8 + 1, t.s*8 + 8),
+             |            list_slice(cb.cvec, t.s*8 + 1, t.s*8 + 8)),
+             |          x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),
+             |          (a,b) -> a+b) AS d2
+             |      FROM embeddings e CROSS JOIN range(8) t(s) CROSS JOIN cb),
+             |best AS (SELECT vec_id, s, cid, d2 FROM (
+             |           SELECT *, row_number() OVER (PARTITION BY vec_id, s
+             |             ORDER BY d2 ASC, cid ASC) AS rn FROM d) WHERE rn = 1)
+             |SELECT vec_id, list(cid ORDER BY s) AS codes,
+             |  list_reduce(list(d2 ORDER BY s), (a,b) -> a+b) AS recon_err
+             |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep
