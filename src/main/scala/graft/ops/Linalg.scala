@@ -53,6 +53,48 @@ object Linalg {
           (col("__m1i") / Fx / col("n")) * (col("__m1j") / Fx / col("n"))).as("cov"))
   }
 
+  /** Top principal component by POWER ITERATION on the `covariance`
+    * matrix: the distributed pass builds the dim²-bounded matrix (one
+    * partial-combining aggregation over the corpus); the iteration itself
+    * is a driver-side loop over dim² doubles — the same driver-small
+    * contract as the k-means fit (k×dim) and the IVF codebooks. Returns
+    * (i, loading, eigenvalue) with `eigenvalue` = ‖Cv‖ after the final
+    * matvec (the Rayleigh estimate at convergence).
+    *
+    * Determinism: the matrix is bit-exact by `covariance`'s fixed-point
+    * construction; every accumulation here runs ascending (j asc for the
+    * matvec, i asc for the norm) so an engine replaying the same loop —
+    * or a SQL oracle with ORDER-BY'd list folds — reproduces it exactly.
+    * Init = the uniform unit vector (1/√dim — exact when dim is a power
+    * of 4, e.g. 0.125 at dim 64); sign is therefore stable across runs.
+    * Fixed iteration count, no convergence test (the PageRank contract). */
+  def pcaTopComponent(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val c = Array.ofDim[Double](dim, dim)
+    covariance(emb, vecCol, dim).collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val v = r.getDouble(2)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var nacc = 0.0; var i = 0
+      while (i < dim) { nacc += w(i) * w(i); i += 1 }
+      lambda = math.sqrt(nacc)
+      v = w.map(_ / lambda)
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    v.toSeq.zipWithIndex.map { case (l, i) => (i, l, lambda) }
+      .toDF("i", "loading", "eigenvalue")
+  }
+
   /** Per-dimension z-score standardization: zᵢ = (xᵢ − μᵢ)/σᵢ with μ, σ²
     * from the same fixed-point sums as `covariance`'s diagonal. Returns
     * the input plus a `zvec` array<double> column.

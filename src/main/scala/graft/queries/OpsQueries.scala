@@ -98,6 +98,43 @@ object OpsQueries {
        |       ELSE 'test' END AS split
        |FROM u ORDER BY doc_id""".stripMargin
 
+  /** The q110 covariance CTE chain ending in `cv` (i, j, cov — upper
+    * triangle), shared by the q110 gate and the q113 power-iteration
+    * oracle so the matrix arithmetic can't drift between them. */
+  private val covarianceCtes: String =
+    """e AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i, embedding[t.i+1]::DOUBLE AS xi
+      |      FROM embeddings CROSS JOIN range(64) t(i)),
+      |p AS (SELECT a.i, b.i AS j, CAST(round(a.xi * b.xi * 1099511627776::DOUBLE) AS BIGINT) AS pfp
+      |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i),
+      |m2 AS (SELECT i, j, CAST(sum(pfp) AS DOUBLE) AS m2fx, count(*) AS n FROM p GROUP BY i, j),
+      |m1 AS (SELECT i, CAST(sum(CAST(round(xi * 1099511627776::DOUBLE) AS BIGINT)) AS DOUBLE) AS m1fx
+      |       FROM e GROUP BY i),
+      |cv AS (SELECT m2.i AS i, m2.j AS j,
+      |         m2.m2fx / 1099511627776::DOUBLE / n -
+      |           (a.m1fx / 1099511627776::DOUBLE / n) * (b.m1fx / 1099511627776::DOUBLE / n) AS cov
+      |       FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i)""".stripMargin
+
+  /** q113 oracle: power iteration on the symmetrized `cv` matrix,
+    * iterations unrolled as CTEs. Every per-row sum is an ORDERED
+    * list_reduce fold (j asc / i asc) so it reproduces the driver-side
+    * ascending accumulation loop bit for bit; init = 1/sqrt(64) = 0.125
+    * exactly. */
+  private def pcaPowerSql(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""w$t AS (SELECT cf.i, list_reduce(list(cf.c * p.v ORDER BY cf.j), (a,b) -> a+b) AS w
+         |        FROM cfull cf JOIN v${t - 1} p ON cf.j = p.i GROUP BY cf.i),
+         |n$t AS (SELECT sqrt(list_reduce(list(w*w ORDER BY i), (a,b) -> a+b)) AS nn FROM w$t),
+         |v$t AS (SELECT i, w / (SELECT nn FROM n$t) AS v FROM w$t)""".stripMargin
+    }
+    (Seq(s"""WITH $covarianceCtes,
+            |cfull AS (SELECT i, j, cov AS c FROM cv
+            |          UNION ALL SELECT j, i, cov FROM cv WHERE i <> j),
+            |v0 AS (SELECT CAST(t.i AS INTEGER) AS i, 0.125::DOUBLE AS v FROM range(64) t(i))""".stripMargin)
+      ++ steps).mkString(",\n") +
+      s"""\nSELECT i, v AS loading, (SELECT nn FROM n$iters) AS eigenvalue
+         |FROM v$iters ORDER BY i""".stripMargin
+  }
+
   /** q103 oracle: fixed-point PageRank over the symmetrized near-dup
     * graph, iterations unrolled as generated CTEs (the KmeansOracle
     * pattern). Every operation is BIGINT arithmetic — `//` in DuckDB and
@@ -2037,18 +2074,8 @@ object OpsQueries {
         Linalg.covariance(Tables.embeddings(s, dir), "embedding", dim = 64)
           .orderBy($"i", $"j")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i, embedding[t.i+1]::DOUBLE AS xi
-             |           FROM embeddings CROSS JOIN range(64) t(i)),
-             |p AS (SELECT a.i, b.i AS j, CAST(round(a.xi * b.xi * 1099511627776::DOUBLE) AS BIGINT) AS pfp
-             |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i),
-             |m2 AS (SELECT i, j, CAST(sum(pfp) AS DOUBLE) AS m2fx, count(*) AS n FROM p GROUP BY i, j),
-             |m1 AS (SELECT i, CAST(sum(CAST(round(xi * 1099511627776::DOUBLE) AS BIGINT)) AS DOUBLE) AS m1fx
-             |       FROM e GROUP BY i)
-             |SELECT m2.i AS i, m2.j AS j,
-             |  m2.m2fx / 1099511627776::DOUBLE / n -
-             |    (a.m1fx / 1099511627776::DOUBLE / n) * (b.m1fx / 1099511627776::DOUBLE / n) AS cov
-             |FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i
-             |ORDER BY 1, 2""".stripMargin)),
+      Some(s"""WITH $covarianceCtes
+              |SELECT i, j, cov FROM cv ORDER BY i, j""".stripMargin)),
 
     // ─── per-dimension z-score standardization ──────────────────────────
     "q111_standardize" -> Q(
@@ -2103,7 +2130,20 @@ object OpsQueries {
              |             ORDER BY d2 ASC, cid ASC) AS rn FROM d) WHERE rn = 1)
              |SELECT vec_id, list(cid ORDER BY s) AS codes,
              |  list_reduce(list(d2 ORDER BY s), (a,b) -> a+b) AS recon_err
-             |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)))
+             |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // ─── PCA top component: power iteration on the gated covariance ─────
+    // Distributed matrix build (q110's exact chain), driver-side dim²
+    // iteration; the oracle unrolls 5 power steps with ORDER-BY'd list
+    // folds matching the driver's ascending loops bit for bit.
+    "q113_pca_power" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Linalg.pcaTopComponent(Tables.embeddings(s, dir), "embedding",
+            dim = 64, iters = 5)
+          .orderBy($"i")
+      },
+      Some(pcaPowerSql(iters = 5))))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep

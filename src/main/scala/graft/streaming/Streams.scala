@@ -309,6 +309,23 @@ object Streams {
         "s._3 AS total_value")
   }
 
+  /** Streaming twin of q104: the SAME mergeable `CmsAgg` applied
+    * incrementally per group — one O(d·w) counter buffer per key in the
+    * state store regardless of stream length (the property that makes a
+    * sketch the right answer on an unbounded term stream, where the exact
+    * per-term counts of q76 would grow without bound). Because CMS
+    * contents are a pure function of the input multiset (fold-order
+    * free), the streamed sketch is BIT-IDENTICAL to the batch sketch over
+    * the same data — which is how the spec gates it. Input: (group,
+    * 60-bit item hash) pairs. */
+  def cmsStream(terms: Dataset[(String, Long)], d: Int = 4,
+      w: Int = 64): DataFrame = {
+    import terms.sparkSession.implicits._
+    terms.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.ops.Sketches.CmsAgg(d, w).toColumn.name("cms"))
+      .toDF("grp", "cms")
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionSummary(user_id: Long, n_events: Long, n_purchases: Long)
 

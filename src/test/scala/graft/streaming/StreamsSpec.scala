@@ -73,6 +73,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS sketch is bit-identical to the batch sketch") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{explode, lower, split, col}
+    val terms = Tables.documents(spark, sfTiny)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("term"))
+      .select(col("lang"), graft.ops.Dedup.baseHash(col("term")).as("h"))
+      .as[(String, Long)]
+    val batch = Streams.cmsStream(terms)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(batch.nonEmpty && batch.values.exists(_.exists(_ > 0)))
+    val stream = MemoryStream[(String, Long)]
+    val rows = terms.collect().toSeq
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val q = Streams.cmsStream(stream.toDS())
+      .writeStream.outputMode("complete").format("memory").queryName("cms_agg").start()
+    try {
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second) // merges elementwise into the state buffers
+      q.processAllAvailable()
+      val streamed = spark.table("cms_agg").as[(String, Seq[Long])].collect().toMap
+      assert(streamed == batch) // fold-order freedom ⇒ exact equality
+    } finally q.stop()
+  }
+
   test("sessionize evicts idle-key state on event-time timeout") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[Streams.SessionEvent]
