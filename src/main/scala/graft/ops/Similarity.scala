@@ -350,6 +350,47 @@ object Similarity {
       perSub.map(_._2).reduce(_ + _).as("recon_err"))
   }
 
+  /** PQ ASYMMETRIC-DISTANCE search (the ADC of Jégou et al.): approximate
+    * each vector's squared L2 distance to one query as Σ_s T[s][code_s],
+    * where T is the query's per-subspace distance table to every codebook
+    * entry (subspaces×k doubles, computed once per query driver-side).
+    * Top-k nearest (adc asc, id asc).
+    *
+    * This is the payoff of `pqEncode`: the scan reads only the
+    * `subspaces` small-int codes per vector (not the vector) and does
+    * `subspaces` array lookups + adds per row — at 100 TB the index is
+    * ~dim·4/subspaces× smaller than the raw vectors and the query is
+    * memory-bandwidth-bound on bytes that fit in cache. Map-only +
+    * TakeOrdered; zero shuffle, zero joins. */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Int, Array[Float])], subspaces: Int,
+      query: Array[Float], k: Int): DataFrame = {
+    require(codebook.map(_._1) == codebook.indices,
+      "codebook cids must be 0..k-1 in order")
+    val dim = codebook.head._2.length
+    val subDim = dim / subspaces
+    // per-subspace distance table: T(s)(cid) with the SAME ascending fold
+    // as the encode/verify arithmetic
+    val table = (0 until subspaces).map { s =>
+      codebook.map { case (_, cvec) =>
+        var acc = 0.0; var i = 0
+        while (i < subDim) {
+          val d = query(s * subDim + i).toDouble - cvec(s * subDim + i).toDouble
+          acc += d * d; i += 1
+        }
+        acc
+      }
+    }
+    val encoded = pqEncode(emb, idCol, vecCol, codebook, subspaces)
+    val adc = (0 until subspaces).map { s =>
+      element_at(array(table(s).map(lit): _*), col("codes").getItem(s) + 1)
+    }.reduce(_ + _)
+    encoded.withColumn("adc", adc)
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("adc"))
+  }
+
   /** Per-group centroid + each vector's cosine to its OWN group centroid
     * (column `centroid_sim`) — the embedding-space outlier / label-noise
     * signal: low similarity to your cluster's center means you probably

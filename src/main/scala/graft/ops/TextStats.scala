@@ -209,6 +209,46 @@ object TextStats {
         col("n_unique").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Token co-occurrence LIFT (association mining): for token pairs
+    * appearing together in ≥ `minSupport` documents,
+    * lift = n_ab·N / (n_a·n_b) — >1 means the pair co-occurs more than
+    * independence predicts. Top `topN` by (lift desc, a, b). All-rational
+    * arithmetic: one integer product each side of a single division.
+    *
+    * Scale shape: the per-doc pair explode is ONE nested-transform
+    * expression over the doc's sorted distinct tokens (map-only; bounded
+    * by tokens²/doc, the association-mining contract — callers cap or
+    * pre-filter pathological docs); pair counts and dfs are
+    * partial-combining aggregations; the df join keys are tokens
+    * (vocab-sized, un-hinted). N folds in as a broadcast 1-row agg. */
+  def cooccurrenceLift(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minSupport: Long = 5L,
+      topN: Int = 25): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count => fcount}
+    val tk = df.select(col(idCol).as("__id"),
+      array_sort(array_distinct(split(lower(col(textCol)), " "))).as("__ts"))
+    val tok = tk.select(col("__id"), explode(col("__ts")).as("__t"))
+    val dft = tok.groupBy(col("__t")).agg(fcount(lit(1)).as("__df"))
+    val n = size(col("__ts"))
+    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, n - 1), j =>
+        struct(element_at(col("__ts"), i + 1).as("a"),
+          element_at(col("__ts"), j + 1).as("b")))))
+    val pc = tk.filter(size(col("__ts")) >= 2)
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(fcount(lit(1)).as("n_ab"))
+    val corpusN = df.select(fcount(lit(1)).as("__n"))
+    pc.join(dft.select(col("__t").as("a"), col("__df").as("__dfa")), Seq("a"))
+      .join(dft.select(col("__t").as("b"), col("__df").as("__dfb")), Seq("b"))
+      .crossJoin(broadcast(corpusN))
+      .filter(col("n_ab") >= minSupport)
+      .select(col("a"), col("b"), col("n_ab"),
+        ((col("n_ab") * col("__n")).cast("double") /
+          (col("__dfa") * col("__dfb")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b")).limit(topN)
+  }
+
   /** BM25-family ranked keyword retrieval: score every document against a
     * fixed term list and return the top `topN` (score desc, id asc).
     *

@@ -114,6 +114,25 @@ object OpsQueries {
       |           (a.m1fx / 1099511627776::DOUBLE / n) * (b.m1fx / 1099511627776::DOUBLE / n) AS cov
       |       FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i)""".stripMargin
 
+  /** The q112 product-quantization chain (codebook `cb` = 16 lowest-id
+    * vectors, per-(vector, subspace, code) distances `d`, argmin `best`),
+    * shared by the q112 encode gate and the q114 ADC oracle so the
+    * codebook and tie-break can't drift. */
+  private val pqCtes: String =
+    """cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+      |         embedding AS cvec
+      |       FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+      |d AS (SELECT e.vec_id, t.s, cb.cid,
+      |        list_reduce(list_transform(list_zip(
+      |            list_slice(e.embedding, t.s*8 + 1, t.s*8 + 8),
+      |            list_slice(cb.cvec, t.s*8 + 1, t.s*8 + 8)),
+      |          x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),
+      |          (a,b) -> a+b) AS d2
+      |      FROM embeddings e CROSS JOIN range(8) t(s) CROSS JOIN cb),
+      |best AS (SELECT vec_id, s, cid, d2 FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |             ORDER BY d2 ASC, cid ASC) AS rn FROM d) WHERE rn = 1)""".stripMargin
+
   /** q113 oracle: power iteration on the symmetrized `cv` matrix,
     * iterations unrolled as CTEs. Every per-row sum is an ORDERED
     * list_reduce fold (j asc / i asc) so it reproduces the driver-side
@@ -2115,22 +2134,40 @@ object OpsQueries {
         Similarity.pqEncode(emb, "vec_id", "embedding", cb, subspaces = 8)
           .orderBy($"vec_id")
       },
-      Some("""WITH cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-             |              embedding AS cvec
-             |            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-             |d AS (SELECT e.vec_id, t.s, cb.cid,
-             |        list_reduce(list_transform(list_zip(
-             |            list_slice(e.embedding, t.s*8 + 1, t.s*8 + 8),
-             |            list_slice(cb.cvec, t.s*8 + 1, t.s*8 + 8)),
-             |          x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),
-             |          (a,b) -> a+b) AS d2
-             |      FROM embeddings e CROSS JOIN range(8) t(s) CROSS JOIN cb),
-             |best AS (SELECT vec_id, s, cid, d2 FROM (
-             |           SELECT *, row_number() OVER (PARTITION BY vec_id, s
-             |             ORDER BY d2 ASC, cid ASC) AS rn FROM d) WHERE rn = 1)
-             |SELECT vec_id, list(cid ORDER BY s) AS codes,
-             |  list_reduce(list(d2 ORDER BY s), (a,b) -> a+b) AS recon_err
-             |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+      Some(s"""WITH $pqCtes
+              |SELECT vec_id, list(cid ORDER BY s) AS codes,
+              |  list_reduce(list(d2 ORDER BY s), (a,b) -> a+b) AS recon_err
+              |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // ─── PQ asymmetric-distance (ADC) top-k search ──────────────────────
+    // The payoff of q112: score = Σ_s T[s][code_s] over the query's
+    // per-subspace distance tables — the scan reads codes, not vectors.
+    // Same codebook chain as q112's oracle (shared pqCtes).
+    "q114_pq_adc" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val cb = emb.orderBy($"vec_id").limit(16)
+          .select($"embedding").collect()
+          .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0).toArray }.toSeq
+        val qvec = emb.filter($"vec_id" === 0)
+          .select($"embedding").head().getSeq[Float](0).toArray
+        Similarity.pqAdcTopK(emb, "vec_id", "embedding", cb, subspaces = 8,
+          query = qvec, k = 10)
+      },
+      Some(s"""WITH $pqCtes,
+              |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+              |qd AS (SELECT t.s, cb.cid,
+              |         list_reduce(list_transform(list_zip(
+              |             list_slice(q.qvec, t.s*8 + 1, t.s*8 + 8),
+              |             list_slice(cb.cvec, t.s*8 + 1, t.s*8 + 8)),
+              |           x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),
+              |           (a,b) -> a+b) AS qd2
+              |       FROM q CROSS JOIN range(8) t(s) CROSS JOIN cb),
+              |sc AS (SELECT b.vec_id, list_reduce(list(qd.qd2 ORDER BY b.s), (a,b2) -> a+b2) AS adc
+              |       FROM best b JOIN qd ON b.s = qd.s AND b.cid = qd.cid
+              |       GROUP BY b.vec_id)
+              |SELECT vec_id, adc FROM sc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin)),
 
     // ─── PCA top component: power iteration on the gated covariance ─────
     // Distributed matrix build (q110's exact chain), driver-side dim²
@@ -2143,7 +2180,52 @@ object OpsQueries {
             dim = 64, iters = 5)
           .orderBy($"i")
       },
-      Some(pcaPowerSql(iters = 5))))
+      Some(pcaPowerSql(iters = 5))),
+
+    // ─── token co-occurrence lift (association mining) ──────────────────
+    "q115_cooccur_lift" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.cooccurrenceLift(Tables.documents(s, dir), "doc_id", "text",
+          minSupport = 5L, topN = 25)
+      },
+      Some("""WITH tk AS (SELECT doc_id, list_sort(list_distinct(string_split(lower(text), ' '))) AS ts
+             |            FROM documents),
+             |t AS (SELECT doc_id, unnest(ts) AS tt FROM tk),
+             |dft AS (SELECT tt, count(*) AS df FROM t GROUP BY tt),
+             |pr AS (SELECT x.doc_id, x.tt AS a, y.tt AS b
+             |       FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.tt < y.tt),
+             |pc AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b),
+             |nn AS (SELECT count(*) AS n FROM documents)
+             |SELECT a, b, n_ab,
+             |  CAST(n_ab * n AS DOUBLE) / CAST(da.df * db.df AS DOUBLE) AS lift
+             |FROM pc JOIN dft da ON pc.a = da.tt JOIN dft db ON pc.b = db.tt CROSS JOIN nn
+             |WHERE n_ab >= 5
+             |ORDER BY lift DESC, a, b LIMIT 25""".stripMargin)),
+
+    // ─── ordered multi-stage funnel (first-touch conversions) ───────────
+    "q116_funnel" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Funnel.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+            stages = Seq("view", "click", "purchase"))
+          .orderBy($"stage_idx")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+             |s0 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id),
+             |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+             |       JOIN s0 p ON e.user_id = p.user_id AND e.ts > p.t
+             |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+             |       JOIN s1 p ON e.user_id = p.user_id AND e.ts > p.t
+             |       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+             |c AS (SELECT 0 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s0
+             |      UNION ALL SELECT 1, 'click', count(*) FROM s1
+             |      UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
+             |SELECT stage_idx, stage, n_users,
+             |  CAST(n_users AS DOUBLE) /
+             |    (SELECT CAST(n_users AS DOUBLE) FROM c WHERE stage_idx = 0) AS conversion
+             |FROM c ORDER BY stage_idx""".stripMargin)))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep
