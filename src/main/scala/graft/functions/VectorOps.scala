@@ -125,6 +125,71 @@ object Norm2Expr {
   }
 }
 
+/** Upper-triangle Gram products in 2^40 fixed point: out[k] =
+  * round(x[i]·x[j]·scale) for 0 ≤ i ≤ j < n, row-major over the triangle.
+  * The map-only kernel behind `Linalg.covariance` — the declarative
+  * nested-`transform` form is interpreted per element (HOFs never enter
+  * whole-stage codegen) and measured ~4× slower at dim 64.
+  *
+  * Rounding is half-away-from-zero on the BINARY double value, decided
+  * by exact comparison against the `floor(v) + 0.5` boundary (itself
+  * exactly representable — callers' inputs are unit-scale floats,
+  * products ≤ ~2^46 ≪ 2^51). This equals
+  * Spark SQL `round()` (BigDecimal HALF_UP on the shortest-roundtrip
+  * string — order-preserving vs the .5 boundary, and exact .5 is dyadic
+  * so both representations agree) and DuckDB/C `round()` — the same
+  * equivalence the expression-path fixed-point ops rely on, here in one
+  * JVM helper the gate (q110/q111/q113) covers end to end. */
+case class GramFixExpr(child: Expression, scale: Double)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "gram_fix"
+
+  override def nullSafeEval(a: Any): Any =
+    ArrayData.toArrayData(
+      GramFixExpr.gram(a.asInstanceOf[ArrayData].toFloatArray(), scale))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.GramFixExpr.gram($a.toFloatArray(), $scale));""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object GramFixExpr {
+  def roundHalfAway(v: Double): Long = {
+    val f = math.floor(v)
+    // compare against the EXACT boundary f + 0.5 (representable for
+    // |f| < 2^51) — a v − f subtraction is inexact near the boundary
+    // (e.g. −0.49999999999999994 − (−1) ties-to-even at exactly 0.5 and
+    // would round the wrong way)
+    val t = f + 0.5
+    if (v > t) f.toLong + 1
+    else if (v < t) f.toLong
+    else if (v >= 0) f.toLong + 1 // true tie: away from zero
+    else f.toLong
+  }
+
+  def gram(x: Array[Float], scale: Double): Array[Long] = {
+    val n = x.length
+    val out = new Array[Long](n * (n + 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val xi = x(i).toDouble
+      var j = i
+      while (j < n) {
+        out(k) = roundHalfAway(xi * x(j).toDouble * scale)
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
 object VectorOps {
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -134,4 +199,7 @@ object VectorOps {
 
   def norm2Fast(a: Column): Column =
     GraftBridge.column(Norm2Expr(GraftBridge.expression(a)))
+
+  def gramFix(a: Column, scale: Double): Column =
+    GraftBridge.column(GramFixExpr(GraftBridge.expression(a), scale))
 }

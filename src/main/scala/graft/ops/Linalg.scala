@@ -30,19 +30,25 @@ object Linalg {
     * like the k-means fit collects k×dim. */
   def covariance(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val v = col(vecCol)
-    val idx = sequence(lit(0), lit(dim - 1))
-    val pairs = flatten(transform(idx, i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          round(element_at(v, i + 1).cast("double") *
-            element_at(v, j + 1).cast("double") * Fx).cast("long").as("p")))))
-    val m2 = emb.select(explode(pairs).as("__e"))
-      .select(col("__e.i").as("i"), col("__e.j").as("j"), col("__e.p").as("__p"))
-      .groupBy(col("i"), col("j"))
+    // upper-triangle fixed-point products via the codegen'd GramFixExpr
+    // kernel (the nested-transform HOF form is interpreted per element —
+    // measured 4.4 s vs 0.9 s at sf0.1); (pos → i,j) resolves through a
+    // broadcast dim²-row literal AFTER the aggregation, so the mapping
+    // join touches 2080 rows, never the corpus
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m2 = emb
+      .select(posexplode(graft.functions.VectorOps.gramFix(col(vecCol), Fx))
+        .as(Seq("__pos", "__p")))
+      .groupBy(col("__pos"))
       .agg(sum(col("__p").cast("decimal(38,0)")).cast("double").as("m2fx"),
         count(lit(1)).as("n"))
-    val m1 = emb.select(posexplode(v).as(Seq("i", "__x")))
+      .join(broadcast(
+        (for { i <- 0 until dim; j <- i until dim } yield (i, j))
+          .zipWithIndex.map { case ((i, j), k) => (k, i, j) }
+          .toDF("__pos", "i", "j")), Seq("__pos"))
+      .drop("__pos")
+    val m1 = emb.select(posexplode(col(vecCol)).as(Seq("i", "__x")))
       .groupBy(col("i"))
       .agg(sum(round(col("__x").cast("double") * Fx).cast("decimal(38,0)"))
         .cast("double").as("m1fx"))
