@@ -291,6 +291,23 @@ object Dedup {
       clusters.filter(col("id") === col("label")).select(col("id").as(idCol)),
       idCol)
 
+  /** Apply near-dup clusters keeping each cluster's BEST document by an
+    * arbitrary score column (ties → lowest id) — the production
+    * representative choice (keep the longest / highest-quality copy),
+    * where `keepCanonical`'s min-id is the arbitrary-but-cheap default.
+    * Arg-max AGGREGATION over the scored label table (map-side partial
+    * max per cluster — one candidate per (cluster, partition) crosses
+    * the exchange), never a per-cluster window sort. */
+  def keepBest(df: DataFrame, idCol: String, clusters: DataFrame,
+      score: Column): DataFrame = {
+    val scored = df.withColumn("__score", score)
+      .join(clusters.select(col("id").as(idCol), col("label")), Seq(idCol))
+    val best = scored.groupBy(col("label"))
+      .agg(max(struct(col("__score"), (lit(0L) - col(idCol)).as("__negid"))).as("__b"))
+      .select((lit(0L) - col("__b.__negid")).as(idCol))
+    df.join(best, Seq(idCol))
+  }
+
   /** 48-bit SimHash over the token multiset (48 ≤ the 60 bits of
     * `seededHash`, and keeps the result positive in any engine's bigint).
     * Bit k is set when the majority of token-hashes have bit k set.

@@ -62,6 +62,38 @@ object Mixing {
       .select(df.columns.map(col): _*) // the using-join moved the key first
   }
 
+  /** EXACT-proportion train/val/test split per stratum: rank rows by the
+    * deterministic md5 draw (ties id asc) and cut at integer boundaries —
+    * stratum counts land within 1 row of `num_k/den · n_s` by
+    * construction, where the hash-threshold split (`TextStats
+    * .assignSplit`, q83) only hits proportions in expectation. The price
+    * is ONE shuffle+sort per stratum (the q94/q100 contract, same
+    * oversized-stratum escape hatch); the hash split stays the scale
+    * default, this is the exact-quota variant for small/critical strata
+    * (eval sets, per-language floors). Boundaries are integer arithmetic:
+    * rank ≤ (n_s·cum_num_k) DIV den → split k. Adding a document
+    * reshuffles ranks, so unlike q83/q93 this split is NOT stable under
+    * corpus growth — the documented trade for exactness. */
+  def exactSplit(df: DataFrame, idCol: String, stratumCol: String,
+      splits: Seq[(String, Int)], den: Int): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == den,
+      s"split numerators must sum to den=$den: $splits")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(TextStats.hashUniform(col(idCol)).asc, col(idCol).asc)
+    val cums = splits.scanLeft(0) { case (acc, (_, num)) => acc + num }.tail
+    val assign = splits.zip(cums).dropRight(1)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cum)) =>
+        val cond = col("__rk") <= expr(s"(__n * $cum) DIV $den")
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+      }
+      .fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+      .withColumn("split", assign)
+      .drop("__rk", "__n")
+  }
+
   /** Token-budget selection: per stratum (source, language), keep
     * documents in quality order (score desc, id asc) until the running
     * token total exceeds `budget` — how a mixture recipe's "N tokens of

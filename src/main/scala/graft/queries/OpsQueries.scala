@@ -2225,7 +2225,55 @@ object OpsQueries {
              |SELECT stage_idx, stage, n_users,
              |  CAST(n_users AS DOUBLE) /
              |    (SELECT CAST(n_users AS DOUBLE) FROM c WHERE stage_idx = 0) AS conversion
-             |FROM c ORDER BY stage_idx""".stripMargin)))
+             |FROM c ORDER BY stage_idx""".stripMargin)),
+
+    // ─── best-quality cluster representative (keep longest, ties min-id) ─
+    // The production alternative to q70's min-id canonical: within each
+    // near-dup cluster keep the highest-scoring copy. Same cluster chain
+    // as q70/q93/q101 (shared CTEs), arg-max aggregation, no window.
+    "q117_keep_best" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+        val clusters = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
+          pairs.select($"id_a", $"id_b"))
+        Dedup.keepBest(docs, "doc_id", clusters,
+            TextStats.wsTokenCount($"text"))
+          .select($"doc_id", TextStats.wsTokenCount($"text").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $clusterCtes,
+              |sc AS (SELECT d.doc_id, cl.cluster_id,
+              |         CAST(len(regexp_split_to_array(d.text, '\\s+')) AS INTEGER) AS score
+              |       FROM documents d JOIN cl ON d.doc_id = cl.doc_id),
+              |keep AS (SELECT doc_id, score FROM (
+              |           SELECT *, row_number() OVER (PARTITION BY cluster_id
+              |             ORDER BY score DESC, doc_id ASC) AS rn FROM sc) WHERE rn = 1)
+              |SELECT doc_id, score AS n_tokens FROM keep ORDER BY doc_id""".stripMargin)),
+
+    // ─── exact-proportion per-stratum split (8/1/1, rank-based) ─────────
+    // The exact-quota twin of q83's hash-threshold split: per-lang counts
+    // land within 1 row of the 80/10/10 targets by integer rank cuts.
+    "q118_exact_split" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.exactSplit(Tables.documents(s, dir), "doc_id", "lang",
+            splits = Seq("train" -> 8, "val" -> 1, "test" -> 1), den = 10)
+          .select($"doc_id", $"lang", $"split")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id, lang,
+             |            ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE
+             |              / 1152921504606846976.0 AS d
+             |          FROM documents),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY d, doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY lang) AS n FROM u)
+             |SELECT doc_id, lang,
+             |  CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+             |       WHEN rn <= (n * 9) // 10 THEN 'val' ELSE 'test' END AS split
+             |FROM r ORDER BY doc_id""".stripMargin)))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep
