@@ -486,6 +486,34 @@ object Dedup {
       .agg(countDistinct(col("__hs")).as("n_shared"))
   }
 
+  /** Contamination MATRIX: `contaminatedDocs` generalized to many eval
+    * suites at once — for each (train group, eval set), how many train
+    * docs share a shingle with that set and how many distinct shingles
+    * leak. The per-(source × suite) view is what actually drives a
+    * release decision (which source leaks which benchmark), where q85's
+    * flat list only says who leaks something.
+    *
+    * Scale shape: identical to `contaminatedDocs` — every side explodes
+    * to (hash, …) rows, ONE bucketed join on the md5-uniform key; eval
+    * suites contribute distinct hashes only (tiny; AQE broadcasts). */
+  def contaminationMatrix(train: DataFrame, evals: Seq[(String, DataFrame)],
+      idCol: String, textCol: String, groupCol: String,
+      shingleK: Int = 3): DataFrame = {
+    require(evals.nonEmpty, "contaminationMatrix needs at least one eval set")
+    val tg = train.select(col(idCol).as("__tid"), col(groupCol).as("__grp"),
+        explode(shingles(col(textCol), shingleK)).as("__s"))
+      .withColumn("__hs", baseHash(col("__s"))).drop("__s")
+    val ev = evals.map { case (name, df) =>
+      df.select(explode(shingles(col(textCol), shingleK)).as("__s"))
+        .select(baseHash(col("__s")).as("__hs")).distinct()
+        .withColumn("__set", lit(name))
+    }.reduce(_ unionByName _)
+    tg.join(ev, Seq("__hs"))
+      .groupBy(col("__grp").as(groupCol), col("__set").as("eval_set"))
+      .agg(countDistinct(col("__tid")).as("n_docs"),
+        countDistinct(col("__hs")).as("n_shingles"))
+  }
+
   /** Exact n-gram CONTAINMENT over all pairs: |A∩B| / min(|A|,|B|) —
     * the asymmetric near-dup signal. A short document quoted wholesale
     * inside a long one has high containment but LOW Jaccard (the union is

@@ -94,6 +94,31 @@ object Mixing {
       .drop("__rk", "__n")
   }
 
+  /** Per-stratum QUANTILE CALIBRATION of a quality score: map each row's
+    * score to its empirical quantile rank (rank−1)/(n−1) within its
+    * stratum — the standard fix for mixing corpora whose raw scores
+    * aren't comparable (one source's 0.7 is another's 0.3): after
+    * calibration a single global threshold cuts every source at the same
+    * quantile. Ordinal, deterministic (score asc, id asc); a singleton
+    * stratum calibrates to 0.0. Adds column `calibrated`.
+    *
+    * Scale shape: ONE rank shuffle per stratum (the q94/q100/q118
+    * contract, same oversized-stratum escape hatch — calibrate a sampled
+    * score→quantile map and broadcast-join it when a stratum outgrows
+    * its sort). */
+  def quantileCalibrate(df: DataFrame, idCol: String, stratumCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+      .withColumn("calibrated",
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double")))
+      .drop("__rk", "__n")
+  }
+
   /** Token-budget selection: per stratum (source, language), keep
     * documents in quality order (score desc, id asc) until the running
     * token total exceeds `budget` — how a mixture recipe's "N tokens of

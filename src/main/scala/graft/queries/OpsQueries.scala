@@ -2273,7 +2273,54 @@ object OpsQueries {
              |SELECT doc_id, lang,
              |  CASE WHEN rn <= (n * 8) // 10 THEN 'train'
              |       WHEN rn <= (n * 9) // 10 THEN 'val' ELSE 'test' END AS split
-             |FROM r ORDER BY doc_id""".stripMargin)))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ─── per-source quantile calibration of a quality score ─────────────
+    "q119_score_calibrate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.quantileCalibrate(
+            Tables.documents(s, dir).withColumn("sc", length($"text")),
+            "doc_id", "source", "sc")
+          .select($"doc_id", $"source", $"calibrated")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id, source,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY length(text) ASC, doc_id ASC) AS rn,
+             |        count(*) OVER (PARTITION BY source) AS n FROM documents)
+             |SELECT doc_id, source,
+             |  CASE WHEN n = 1 THEN 0.0::DOUBLE
+             |       ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS calibrated
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ─── contamination matrix: train source × eval suite ────────────────
+    "q120_contamination_matrix" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val train = docs.filter($"doc_id" % 10 =!= 7 && $"doc_id" % 10 =!= 3)
+        Dedup.contaminationMatrix(train,
+            Seq("evalA" -> docs.filter($"doc_id" % 10 === 7),
+              "evalB" -> docs.filter($"doc_id" % 10 === 3)),
+            "doc_id", "text", "source")
+          .orderBy($"source", $"eval_set")
+      },
+      Some(s"""WITH $sqlShingles,
+              |g AS (SELECT doc_id,
+              |        unnest(list_transform(sh, x -> ('0x'||substr(md5(x),1,15))::BIGINT)) AS hs
+              |      FROM sh),
+              |ev AS (SELECT DISTINCT hs, 'evalA' AS eval_set FROM g WHERE doc_id % 10 = 7
+              |       UNION ALL
+              |       SELECT DISTINCT hs, 'evalB' AS eval_set FROM g WHERE doc_id % 10 = 3),
+              |tr AS (SELECT g.doc_id, d.source, g.hs FROM g
+              |       JOIN documents d USING (doc_id)
+              |       WHERE g.doc_id % 10 <> 7 AND g.doc_id % 10 <> 3)
+              |SELECT tr.source, ev.eval_set,
+              |  count(DISTINCT tr.doc_id) AS n_docs, count(DISTINCT tr.hs) AS n_shingles
+              |FROM tr JOIN ev USING (hs)
+              |GROUP BY tr.source, ev.eval_set
+              |ORDER BY tr.source, ev.eval_set""".stripMargin)))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep

@@ -326,6 +326,45 @@ object Streams {
       .toDF("grp", "cms")
   }
 
+  final case class FunnelState(stage: Int, ts: Long)
+
+  /** Streaming twin of `ops.Funnel`: a per-user stage machine via
+    * `flatMapGroupsWithState` — state is ONE (stage, conversion-ts) pair
+    * per user, advanced by scanning each micro-batch's events in
+    * event-time order with the same strictly-after first-touch rule the
+    * batch operator uses (so on in-order batches the final stages equal
+    * the batch funnel exactly — the spec's cross-check). Emits
+    * (user_id, stage_idx) whenever a user advances; stage only ever
+    * increases, so downstream counts are max-per-user. Late events that
+    * arrive after a later stage already converted are ignored — the
+    * documented at-stream semantics (the batch op is the replayable
+    * source of truth). */
+  def funnelStream(events: Dataset[(Long, java.sql.Timestamp, String)],
+      stages: Seq[String]): Dataset[(Long, Int)] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "funnelStream needs at least one stage")
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Int)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
+          var stage = prev.stage
+          var ts = prev.ts
+          evs.toSeq.filter(_._2 != null).sortBy(_._2.getTime).foreach {
+            case (_, t, typ) =>
+              if (stage + 1 < stages.length && typ == stages(stage + 1) &&
+                  t.getTime > ts) {
+                stage += 1; ts = t.getTime
+              }
+          }
+          if (stage != prev.stage) {
+            state.update(FunnelState(stage, ts))
+            Iterator((uid, stage))
+          } else Iterator.empty
+      }
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionSummary(user_id: Long, n_events: Long, n_purchases: Long)
 
