@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality profiling over arbitrary tables — the ingest-time audit a
+  * 100 TB pipeline runs BEFORE any training-data op touches the batch
+  * (schema drift, null explosions, key duplication and broken foreign
+  * keys are cheaper to catch at the scan than to debug downstream).
+  * Deequ-style, but expressed as plain Catalyst aggregates so the whole
+  * profile stays inside whole-stage codegen.
+  *
+  * Scale shape (`profile`): ONE aggregation job over ONE scan of the
+  * table — every per-column statistic is an agg expression in the same
+  * `agg(...)`, so Spark computes them all in a single pass with map-side
+  * partials. The exact `countDistinct` per column rewrites to an Expand
+  * (one input row fans out to #distinct-aggs rows before the partial
+  * agg); that factor is the price of exactness and is the documented
+  * bound — at 100 TB pass `approxDistinct = true` and the Expand
+  * disappears (HLL++ sketches merge map-side; not oracle-gated because
+  * DuckDB's approx_distinct is a different estimator).
+  *
+  * Scale shape (`audit`): each expectation is a 1-row aggregate over its
+  * own scan (filters push down; the referential check is a key-shuffle
+  * anti join, broadcast when the parent is dim-sized) unioned into one
+  * O(#checks)-row result — no driver collect anywhere.
+  */
+object Profile {
+
+  /** One row per profiled column: (column, n, n_null, n_distinct,
+    * min_num, max_num, min_str, max_str, avg_len). Numeric and timestamp
+    * columns report min/max as DOUBLE (timestamps as epoch millis —
+    * exact for ms-precision data); string columns report lexicographic
+    * min/max and mean length. */
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+
+    def distinctAgg(c: String): Column =
+      if (approxDistinct) approx_count_distinct(col(c))
+      else countDistinct(col(c))
+
+    val aggExprs: Seq[Column] = count(lit(1)).as("__total") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        val base = Seq(count(col(c)).as(s"__n_$i"),
+          distinctAgg(c).as(s"__d_$i"))
+        val typed = df.schema(c).dataType match {
+          case _: NumericType => Seq(
+            min(col(c)).cast("double").as(s"__mn_$i"),
+            max(col(c)).cast("double").as(s"__mx_$i"))
+          case _: TimestampType | _: TimestampNTZType =>
+            // NTZ casts to LTZ under the session's UTC zone — epoch-exact
+            Seq(
+              unix_millis(min(col(c)).cast(TimestampType)).cast("double")
+                .as(s"__mn_$i"),
+              unix_millis(max(col(c)).cast(TimestampType)).cast("double")
+                .as(s"__mx_$i"))
+          case StringType => Seq(
+            min(col(c)).as(s"__ms_$i"), max(col(c)).as(s"__xs_$i"),
+            avg(length(col(c))).as(s"__al_$i"))
+          case dt => throw new IllegalArgumentException(
+            s"profile: unsupported type $dt for column $c")
+        }
+        base ++ typed
+      }
+    val row = df.agg(aggExprs.head, aggExprs.tail: _*)
+
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      val isStr = df.schema(c).dataType == StringType
+      struct(
+        lit(c).as("column"),
+        col("__total").as("n"),
+        (col("__total") - col(s"__n_$i")).as("n_null"),
+        col(s"__d_$i").as("n_distinct"),
+        (if (isStr) nullD else col(s"__mn_$i")).as("min_num"),
+        (if (isStr) nullD else col(s"__mx_$i")).as("max_num"),
+        (if (isStr) col(s"__ms_$i") else nullS).as("min_str"),
+        (if (isStr) col(s"__xs_$i") else nullS).as("max_str"),
+        (if (isStr) col(s"__al_$i") else nullD).as("avg_len"))
+    }
+    row.select(inline(array(entries: _*)))
+  }
+
+  /** Declarative expectations; each yields ONE (check_name, violations)
+    * row. `violations` counts rows that break the contract (for Unique:
+    * surplus rows beyond one per key, i.e. n − distinct-keys). */
+  sealed trait Expectation { def name: String }
+  /** Key uniqueness over `cols` (composite keys supported). */
+  final case class Unique(name: String, df: DataFrame, cols: Seq[String])
+      extends Expectation
+  /** No nulls in `col`. */
+  final case class Complete(name: String, df: DataFrame, col: String)
+      extends Expectation
+  /** Every non-null `childCol` value exists in `parent.parentCol`
+    * (referential integrity). */
+  final case class SubsetOf(name: String, child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String) extends Expectation
+  /** Every row satisfies `cond` (range / domain checks; rows where
+    * `cond` is NULL count as violations — an unknown is not a pass). */
+  final case class Satisfies(name: String, df: DataFrame, cond: Column)
+      extends Expectation
+
+  /** Run all expectations → (check_name, violations, passed), one row
+    * per check, sorted by name. */
+  def audit(checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one expectation")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "expectation names must be unique")
+    val rows = checks.map {
+      case Unique(n, df, cs) =>
+        df.agg((count(lit(1)) -
+            countDistinct(col(cs.head), cs.tail.map(col): _*)).as("violations"))
+          .select(lit(n).as("check_name"), col("violations"))
+      case Complete(n, df, c) =>
+        df.agg((count(lit(1)) - count(col(c))).as("violations"))
+          .select(lit(n).as("check_name"), col("violations"))
+      case SubsetOf(n, ch, cc, par, pc) =>
+        ch.filter(col(cc).isNotNull)
+          .join(par.select(col(pc).as("__pk")).distinct(),
+            col(cc) === col("__pk"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(n).as("check_name"), col("violations"))
+      case Satisfies(n, df, cond) =>
+        df.filter(!coalesce(cond, lit(false)))
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(n).as("check_name"), col("violations"))
+    }
+    rows.reduce(_ unionByName _)
+      .withColumn("passed", col("violations") === 0)
+      .orderBy(col("check_name"))
+  }
+}

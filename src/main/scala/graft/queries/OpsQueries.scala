@@ -2320,7 +2320,109 @@ object OpsQueries {
               |  count(DISTINCT tr.doc_id) AS n_docs, count(DISTINCT tr.hs) AS n_shingles
               |FROM tr JOIN ev USING (hs)
               |GROUP BY tr.source, ev.eval_set
-              |ORDER BY tr.source, ev.eval_set""".stripMargin)))
+              |ORDER BY tr.source, ev.eval_set""".stripMargin)),
+
+    // ─── single-pass column profiler (Deequ-style ingest audit) ─────────
+    "q121_profile" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.profile(Tables.lineitem(s, dir),
+            Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+              "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+              "l_returnflag", "l_linestatus", "l_shipdate"))
+          .orderBy($"column")
+      },
+      Some {
+        val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val strCols = Seq("l_returnflag", "l_linestatus")
+        val num = numCols.map(c =>
+          s"""SELECT '$c' AS "column", count(*)::BIGINT AS n,
+             |  (count(*) - count($c))::BIGINT AS n_null,
+             |  count(DISTINCT $c)::BIGINT AS n_distinct,
+             |  min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
+             |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str,
+             |  NULL::DOUBLE AS avg_len FROM lineitem""".stripMargin)
+        val str = strCols.map(c =>
+          s"""SELECT '$c', count(*)::BIGINT, (count(*) - count($c))::BIGINT,
+             |  count(DISTINCT $c)::BIGINT, NULL::DOUBLE, NULL::DOUBLE,
+             |  min($c), max($c), avg(length($c))::DOUBLE FROM lineitem""".stripMargin)
+        val ts =
+          s"""SELECT 'l_shipdate', count(*)::BIGINT,
+             |  (count(*) - count(l_shipdate))::BIGINT,
+             |  count(DISTINCT l_shipdate)::BIGINT,
+             |  epoch_ms(min(l_shipdate))::DOUBLE, epoch_ms(max(l_shipdate))::DOUBLE,
+             |  NULL::VARCHAR, NULL::VARCHAR, NULL::DOUBLE FROM lineitem""".stripMargin
+        (num ++ str :+ ts).mkString("", "\nUNION ALL\n",
+          "\nORDER BY \"column\"")
+      }),
+
+    // ─── declarative expectation audit (uniqueness / completeness / FK /
+    //     range / domain), one violation-count row per check ─────────────
+    "q122_expectations" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val orders = Tables.orders(s, dir)
+        val lineitem = Tables.lineitem(s, dir)
+        val customer = Tables.customer(s, dir)
+        Profile.audit(Seq(
+          Profile.Unique("orders_pk_unique", orders, Seq("o_orderkey")),
+          Profile.Unique("lineitem_line_unique", lineitem,
+            Seq("l_orderkey", "l_linenumber")),
+          Profile.Complete("orders_custkey_complete", orders, "o_custkey"),
+          Profile.SubsetOf("orders_fk_customer", orders, "o_custkey",
+            customer, "c_custkey"),
+          Profile.SubsetOf("lineitem_fk_orders", lineitem, "l_orderkey",
+            orders, "o_orderkey"),
+          Profile.Satisfies("lineitem_qty_range", lineitem,
+            col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          Profile.Satisfies("orders_status_domain", orders,
+            col("o_orderstatus").isin("O", "F", "P"))))
+      },
+      Some("""WITH c AS (
+             |  SELECT 'orders_pk_unique' AS check_name,
+             |    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS violations FROM orders
+             |  UNION ALL
+             |  SELECT 'lineitem_line_unique',
+             |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT FROM lineitem
+             |  UNION ALL
+             |  SELECT 'orders_custkey_complete',
+             |    (count(*) - count(o_custkey))::BIGINT FROM orders
+             |  UNION ALL
+             |  SELECT 'orders_fk_customer', count(*)::BIGINT FROM orders o
+             |  WHERE o.o_custkey IS NOT NULL
+             |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+             |  UNION ALL
+             |  SELECT 'lineitem_fk_orders', count(*)::BIGINT FROM lineitem l
+             |  WHERE l.l_orderkey IS NOT NULL
+             |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+             |  UNION ALL
+             |  SELECT 'lineitem_qty_range', count(*)::BIGINT FROM lineitem
+             |  WHERE NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)
+             |  UNION ALL
+             |  SELECT 'orders_status_domain', count(*)::BIGINT FROM orders
+             |  WHERE NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE))
+             |SELECT check_name, violations, violations = 0 AS passed
+             |FROM c ORDER BY check_name""".stripMargin)),
+
+    // ─── per-user trailing 1-hour window features over events ───────────
+    "q123_trailing_window" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.trailing(Tables.events(s, dir), "user_id", "ts",
+            "value", windowMicros = 3600L * 1000000L)
+          .select($"event_id", $"user_id", $"n_win", $"sum_win")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(*) OVER w::BIGINT AS n_win,
+             |  sum((value)::DECIMAL(18,6)) OVER w::DOUBLE AS sum_win
+             |FROM (SELECT event_id, user_id, value,
+             |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep

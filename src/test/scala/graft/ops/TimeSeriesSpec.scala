@@ -1,0 +1,38 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("trailing window includes exactly the last-hour events per entity") {
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(1800), 2.0), (1L, ts(3600), 4.0),
+      (1L, ts(7201), 8.0), // 3601s after the second event: only sees itself + t=3600
+      (2L, ts(0), 100.0)   // other entity, never mixed in
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.trailing(df, "user_id", "ts", "value",
+        windowMicros = 3600L * 1000000L)
+      .select($"user_id", $"value", $"n_win", $"sum_win")
+      .as[(Long, Double, Long, Double)].collect()
+      .map { case (u, v, n, s) => (u, v) -> ((n, s)) }.toMap
+    assert(out((1L, 1.0)) == ((1L, 1.0)))
+    assert(out((1L, 2.0)) == ((2L, 3.0)))
+    // t=3600 is exactly windowMicros after t=0: inclusive lower bound
+    assert(out((1L, 4.0)) == ((3L, 7.0)))
+    assert(out((1L, 8.0)) == ((1L, 8.0)))
+    assert(out((2L, 100.0)) == ((1L, 100.0)))
+  }
+
+  test("same-instant events are frame peers (both included in both rows)") {
+    val df = Seq((1L, ts(10), 1.0), (1L, ts(10), 2.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.trailing(df, "user_id", "ts", "value", 1000000L)
+      .select($"n_win", $"sum_win").as[(Long, Double)].collect()
+    assert(out.toSet == Set((2L, 3.0)))
+  }
+}
