@@ -162,8 +162,11 @@ object Similarity {
     }
   }
 
-  def ivfCell(vec: Column, centroids: Seq[(Int, Array[Float])]): Column =
-    (lit(0) - greatest(cellStructs(vec, centroids): _*).getField("negcid")).as("cid")
+  def ivfCell(vec: Column, centroids: Seq[(Int, Array[Float])]): Column = {
+    val ss = cellStructs(vec, centroids)
+    val best = if (ss.sizeIs == 1) ss.head else greatest(ss: _*)
+    (lit(0) - best.getField("negcid")).as("cid")
+  }
 
   /** IVF top-k: nearest-cell search for one query vector. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, query: DataFrame,
@@ -204,6 +207,40 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("sim"))
+  }
+
+  /** Recall@k AUDIT of the single-probe IVF path against brute-force
+    * ground truth, per query → (qid, n_hits, recall). The audit that
+    * justifies an index's nprobe/K settings before a corpus-wide ANN run:
+    * recall is measured, not assumed.
+    *
+    * Scale shape: the ground-truth side is brute force over |queries|×N
+    * BY CONTRACT — queries are a SAMPLED audit set (q27's bounded-input
+    * discipline), broadcast-small against the one big scan; both rankings
+    * reuse the SAME scored pass (one cross join, two windows on the same
+    * qid shuffle), so the audit costs one brute-force sweep, not two. */
+  def recallAtK(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      centroids: Seq[(Int, Array[Float])], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__cell", ivfCell(col("__v"), centroids))
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+      .withColumn("__qcell", ivfCell(col("__qv"), centroids))
+    val scored = e.crossJoin(q)
+      .withColumn("__sim", cosine(col("__v"), col("__qv")))
+    val wq = Window.partitionBy(col("__qid"))
+      .orderBy(col("__sim").desc, col("__id"))
+    val truth = scored.withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= k).select(col("__qid"), col("__id"))
+    val approx = scored.filter(col("__cell") === col("__qcell"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= k)
+      .select(col("__qid"), col("__id"), lit(1).as("__hit"))
+    truth.join(approx, Seq("__qid", "__id"), "left")
+      .groupBy(col("__qid").as(qidCol))
+      .agg(count(col("__hit")).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
   }
 
   /** Deterministic Lloyd's k-means over an embedding column, for IVF

@@ -1,0 +1,51 @@
+package graft.queries
+
+/** Generated DuckDB oracle for `ops.Bpe.learnMerges`: unrolls each merge
+  * iteration into CTEs. Counting is a plain GROUP BY; the GREEDY
+  * left-to-right non-overlapping merge is replayed relationally with a
+  * gaps-and-islands trick — within every maximal run of consecutive
+  * positions whose (tok, next) equals the winning pair, greedy selects
+  * exactly the even offsets (position x merges iff x−1 didn't, and a run
+  * can only stay matched when tok_a = tok_b, so parity is the whole
+  * rule). A selected position emits the fused token; the position after
+  * it is dropped; everything else passes through. */
+object BpeOracle {
+
+  /** One merge iteration: tokens CTE `t$i` → best pair `b$i` → merged
+    * tokens `t${i+1}`. */
+  private def iterCtes(i: Int): String =
+    s"""c$i AS (SELECT tk[x] AS a, tk[x+1] AS b, count(*) AS n
+       |        FROM (SELECT tk, unnest(range(1, len(tk))) AS x FROM t$i)
+       |        GROUP BY 1, 2),
+       |b$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
+       |p$i AS (SELECT doc_id, x, tk[x] AS tok, tk[x+1] AS nxt,
+       |          CASE WHEN tk[x] = a AND tk[x+1] = b
+       |               THEN 1 ELSE 0 END AS mt
+       |        FROM (SELECT t.doc_id, t.tk, b.a, b.b,
+       |                unnest(range(1, len(t.tk) + 1)) AS x
+       |              FROM t$i t CROSS JOIN b$i b)),
+       |s$i AS (SELECT *, x - row_number() OVER
+       |          (PARTITION BY doc_id, mt ORDER BY x) AS isl FROM p$i),
+       |g$i AS (SELECT *, CASE WHEN mt = 1 AND
+       |            (x - min(x) OVER (PARTITION BY doc_id, mt, isl)) % 2 = 0
+       |          THEN 1 ELSE 0 END AS sel FROM s$i),
+       |e$i AS (SELECT *, lag(sel, 1, 0) OVER
+       |          (PARTITION BY doc_id ORDER BY x) AS skp FROM g$i),
+       |t${i + 1} AS (SELECT doc_id,
+       |          list(CASE WHEN sel = 1 THEN tok || chr(1) || nxt
+       |               ELSE tok END ORDER BY x)
+       |            FILTER (WHERE skp = 0) AS tk
+       |        FROM e$i GROUP BY doc_id)""".stripMargin
+
+  def sql(iters: Int): String = {
+    val head = "t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)"
+    val body = (0 until iters).map(iterCtes).mkString(",\n")
+    val out = (0 until iters)
+      .map(i => s"SELECT $i AS iter, a AS tok_a, b AS tok_b, n::BIGINT AS n_pairs FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $head,
+       |$body
+       |$out
+       |ORDER BY iter""".stripMargin
+  }
+}

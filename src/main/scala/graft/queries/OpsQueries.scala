@@ -2422,7 +2422,63 @@ object OpsQueries {
              |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
              |WINDOW w AS (PARTITION BY user_id ORDER BY us
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_id""".stripMargin)))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ─── BPE merge learning (distributed tokenizer training) ────────────
+    // 3 learned merges over the whitespace-word corpus; the oracle
+    // replays the greedy non-overlapping fuse relationally (islands +
+    // parity), so the MERGE SEMANTICS are gated, not just the counts.
+    "q124_bpe_merges" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Bpe.learnMerges(Tables.documents(s, dir), "doc_id", "text",
+            iters = 3)
+          .orderBy($"iter")
+      },
+      Some(BpeOracle.sql(iters = 3))),
+
+    // ─── measured recall@10 of single-probe IVF vs brute-force truth ────
+    "q125_ann_recall" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter($"vec_id" < 16)
+          .select($"vec_id", $"embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        val queries = emb.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+        Similarity.recallAtK(emb, "vec_id", "embedding",
+            queries, "qid", "qvec", centroids, k = 10)
+          .orderBy($"qid")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (p,q) -> p+q) /
+             |  (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)) *
+             |   sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)))""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |cs AS (SELECT e.vec_id, e.embedding, c.cid, ${cos("e.embedding", "c.cv")} AS csim
+           |       FROM embeddings e CROSS JOIN c),
+           |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+           |           FROM cs),
+           |cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+           |tq AS (SELECT vec_id AS qid, embedding AS qv, cid AS qcid FROM cells WHERE vec_id < 20),
+           |sc AS (SELECT tq.qid, cells.vec_id AS id, cells.cid, tq.qcid,
+           |         ${cos("cells.embedding", "tq.qv")} AS sim
+           |       FROM cells CROSS JOIN tq),
+           |bt AS (SELECT qid, id FROM (SELECT qid, id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn FROM sc)
+           |       WHERE rn <= 10),
+           |ap AS (SELECT qid, id FROM (SELECT qid, id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rn
+           |         FROM sc WHERE cid = qcid)
+           |       WHERE rn <= 10)
+           |SELECT bt.qid, count(ap.id)::BIGINT AS n_hits,
+           |  count(ap.id)::DOUBLE / 10.0 AS recall
+           |FROM bt LEFT JOIN ap ON bt.qid = ap.qid AND bt.id = ap.id
+           |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin
+      }))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep

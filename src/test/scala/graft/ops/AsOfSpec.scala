@@ -179,6 +179,30 @@ class AnnRecallSpec extends graft.SparkSpec {
       == ids(Similarity.ivfTopK(emb, "vec_id", "embedding", q, cs, 10)))
   }
 
+  test("recallAtK: one row per query, self always hits, recall in (0,1]") {
+    val cs = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.recallAtK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", cs, k = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 10)
+    out.foreach { case (qid, n, r) =>
+      assert(n >= 1 && n <= 10, s"qid=$qid n_hits=$n") // self is in its own cell
+      assert(r == n.toDouble / 10.0)
+    }
+  }
+
+  test("recallAtK is exactly 1.0 with a single cell (IVF == brute force)") {
+    val one = Seq(0 -> Array.fill(64)(0.1f))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.recallAtK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", one, k = 10)
+      .select($"recall").as[Double].collect()
+    assert(out.forall(_ == 1.0))
+  }
+
   test("LSH recall floor holds and rises as planes decrease (bigger buckets)") {
     def lshRecall(planes: Int) =
       ids(Similarity.lshTopK(emb, "vec_id", "embedding", q, 64, planes, 10))
