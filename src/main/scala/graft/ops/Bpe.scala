@@ -30,8 +30,24 @@ object Bpe {
 
   val DefaultSep = "\u0001"
 
-  /** Greedy left-to-right merge of adjacent (a, b) into one token. */
+  /** Greedy left-to-right merge of adjacent (a, b) into one token.
+    *
+    * Two exact implementations, picked by the pair's shape:
+    *  - a ≠ b (the overwhelmingly common case): matches can never sit at
+    *    ADJACENT positions (position i+1 matching would need
+    *    tok[i+1] = a = b), so greedy = "fuse every match, drop every
+    *    position after a match" — two O(L) array transforms, no fold.
+    *  - a = b: runs of equal tokens make matches overlap and greedy
+    *    becomes stateful (fuse every other position in a run); the O(L²)
+    *    accumulator fold handles it. Word-level pairs with a = b are a
+    *    vanishing fraction of real corpora, so the quadratic path almost
+    *    never runs — and the cutover is semantics-equivalent either way
+    *    (BpeSpec pins both). */
   private[ops] def mergeExpr(toks: Column, a: String, b: String,
+      sep: String): Column =
+    if (a == b) mergeFold(toks, a, b, sep) else mergeLinear(toks, a, b, sep)
+
+  private def mergeFold(toks: Column, a: String, b: String,
       sep: String): Column =
     aggregate(toks, array().cast("array<string>"),
       (acc, x) =>
@@ -40,6 +56,20 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1),
             array(lit(a + sep + b))))
           .otherwise(concat(acc, array(x))))
+
+  private def mergeLinear(toks: Column, a: String, b: String,
+      sep: String): Column =
+    // Because a ≠ b, "position i−1 matched" is decidable from the RAW
+    // neighbors (tok[i−1], tok[i]) alone — no materialized match mask,
+    // every lookup O(1) via null-OOB-safe get()
+    filter(
+      transform(toks, (x, i) =>
+        when(coalesce(x === lit(a) && get(toks, i + 1) === lit(b),
+            lit(false)), lit(a + sep + b))
+          .when(coalesce(get(toks, i - 1) === lit(a) && x === lit(b),
+            lit(false)), lit(null).cast("string"))
+          .otherwise(x)),
+      x => x.isNotNull)
 
   /** Adjacent-pair counts of the current token arrays (overlaps counted,
     * as reference BPE does). */
@@ -63,12 +93,18 @@ object Bpe {
     var cur = df.select(col(idCol).as("__id"),
         split(lower(col(textCol)), " ").as("__tk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // previous generation, released only once `cur` has materialized (the
+    // arg-max collect below is the materializing action — no dedicated
+    // count() pass per iteration)
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var i = 0
     var done = false
     while (i < iters && !done) {
       val best = pairCounts(cur)
         .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = None
       if (best.isEmpty) done = true
       else {
         val r = best(0)
@@ -76,13 +112,13 @@ object Bpe {
         merges += ((i, a, b, n))
         val next = cur.withColumn("__tk", mergeExpr(col("__tk"), a, b, sep))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the parent generation
-        cur.unpersist()
+        prev = Some(cur)
         cur = next
         i += 1
       }
     }
     cur.unpersist()
+    prev.foreach(_.unpersist())
     merges.toSeq.toDF("iter", "tok_a", "tok_b", "n_pairs")
   }
 

@@ -24,16 +24,21 @@ class ProfileSpec extends SparkSpec {
       s.getDouble(8) == 1.0)
   }
 
-  test("profile is a single aggregation job (no per-column scans)") {
+  test("profile plan shape: stats scan + melt scan, never an Expand") {
     val df = graft.Tables.lineitem(spark, sfTiny)
-    val plan = Profile.profile(df,
+    val exact = Profile.profile(df,
       Seq("l_orderkey", "l_quantity", "l_returnflag"))
-      .queryExecution.optimizedPlan
-    // exactly one scan of the table feeds the whole profile
-    val scans = plan.collect {
+    // two scans (stats + narrow distinct melt), NOT per-column scans
+    val scans = exact.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
     }
-    assert(scans.size == 1)
+    assert(scans.size == 2)
+    // the multi-distinct Expand rewrite (rows × columns blowup) must not
+    // appear — the melt replaces it
+    val expands = exact.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.isEmpty, "exact profile must not use the Expand rewrite")
   }
 
   test("approxDistinct path drops the Expand and stays within HLL error") {
