@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution monitoring — the ops that watch a 100 TB corpus CHANGE:
+  * histograms for the profile dashboard, chi-square drift between two
+  * snapshots (yesterday's crawl vs today's), and join-key skew
+  * measurement (the evidence behind a salting decision, not a guess).
+  *
+  * Determinism: every ratio is computed by the same left-to-right IEEE
+  * double expression on both engines; the chi-square TOTAL is a fold
+  * over the category-sorted contribution list (the proven q28-family
+  * parity pattern) — never a shuffle-order-dependent double sum. */
+object Drift {
+
+  /** Equi-width histogram of a numeric column → (bin, lo_edge, hi_edge,
+    * n) with `nbins` rows, zero-filled. Values outside [lo, hi] clamp to
+    * the edge bins (a monitoring histogram must count outliers, not drop
+    * them). ONE partial-combining aggregation on the bin id; the
+    * zero-fill joins against an nbins-row literal range.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nbins: Int): DataFrame = {
+    require(nbins > 0 && hi > lo, "histogram needs nbins > 0 and hi > lo")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bin = least(lit(nbins - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo)
+        * lit(nbins)).cast("int")))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("__n"))
+    spark.range(nbins).select(col("id").cast("int").as("bin"))
+      .withColumn("lo_edge", lit(lo) + col("bin") * lit((hi - lo) / nbins))
+      .withColumn("hi_edge", lit(lo) + (col("bin") + 1) * lit((hi - lo) / nbins))
+      .join(counts, Seq("bin"), "left")
+      .withColumn("n", coalesce(col("__n"), lit(0L))).drop("__n")
+  }
+
+  /** Chi-square drift of a categorical column between two snapshots →
+    * one row per category (n_ref, n_cur, p_ref, p_cur, contrib) plus
+    * the ordered-fold total in every row (`chi2`). contrib =
+    * (p_cur − p_ref)² / p_ref over the REFERENCE-present categories;
+    * a category absent from the reference (p_ref = 0) would divide by
+    * zero — it's reported with NULL contrib and excluded from the
+    * total, which is itself a drift signal (new category appeared).
+    *
+    * Scale shape: two filtered single-scan aggs on the (few-valued)
+    * category key, one tiny outer join, a category-count-row window for
+    * totals — no data-sized state. The chi2 total folds the SORTED
+    * contribution list left-to-right, so it is bit-identical on any
+    * partitioning and across engines. */
+  def chiSquareDrift(ref: DataFrame, cur: DataFrame,
+      catCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = ref.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_cur"))
+    val joined = r.join(c, Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withP = joined
+      .withColumn("p_ref",
+        col("n_ref").cast("double") / sum(col("n_ref")).over(w).cast("double"))
+      .withColumn("p_cur",
+        col("n_cur").cast("double") / sum(col("n_cur")).over(w).cast("double"))
+      .withColumn("contrib",
+        when(col("n_ref") > 0,
+          (col("p_cur") - col("p_ref")) * (col("p_cur") - col("p_ref"))
+            / col("p_ref")))
+    withP.withColumn("chi2",
+      aggregate(
+        array_sort(collect_list(
+          when(col("contrib").isNotNull,
+            struct(col("category"), col("contrib")))).over(w)),
+        lit(0.0), (acc, x) => acc + x.getField("contrib")))
+  }
+
+  /** Join-key skew profile: the top-k heaviest keys of `keyCol` with
+    * each key's share of all rows and its ratio to the MEAN key load
+    * (ratio ≫ 1 ⇒ that key hot-spots a hash-partitioned join; the
+    * number says how many salt buckets it needs). One partial-combining
+    * count shuffle + a top-k (TakeOrdered, no global sort); totals ride
+    * along as 1-row-aggregate cross joins (AQE broadcasts them). */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "keySkew needs topK > 0")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__n"),
+      count(lit(1)).as("__d"))
+    counts.crossJoin(totals)
+      .withColumn("share", col("cnt").cast("double") / col("__n").cast("double"))
+      .withColumn("load_ratio",
+        col("cnt").cast("double") * col("__d").cast("double")
+          / col("__n").cast("double"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(topK)
+      .select(col("key"), col("cnt"), col("share"), col("load_ratio"))
+  }
+}

@@ -2478,7 +2478,75 @@ object OpsQueries {
            |  count(ap.id)::DOUBLE / 10.0 AS recall
            |FROM bt LEFT JOIN ap ON bt.qid = ap.qid AND bt.id = ap.id
            |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin
-      }))
+      }),
+
+    // ─── equi-width histogram with outlier-clamping edge bins ───────────
+    "q126_histogram" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Drift.histogram(Tables.lineitem(s, dir), "l_quantity",
+            lo = 1.0, hi = 50.0, nbins = 10)
+          .orderBy($"bin")
+      },
+      Some("""WITH c AS (SELECT least(9, greatest(0,
+             |          floor((l_quantity - 1.0) / 49.0::DOUBLE * 10)::INTEGER)) AS bin,
+             |          count(*) AS n
+             |        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+             |g AS (SELECT unnest(range(10))::INTEGER AS bin)
+             |SELECT g.bin, 1.0::DOUBLE + g.bin * 4.9::DOUBLE AS lo_edge,
+             |  1.0::DOUBLE + (g.bin + 1) * 4.9::DOUBLE AS hi_edge,
+             |  coalesce(c.n, 0)::BIGINT AS n
+             |FROM g LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin)),
+
+    // ─── chi-square drift between two corpus snapshots ──────────────────
+    // Per-language distribution shift between the even-id snapshot (ref)
+    // and the odd-id snapshot (cur); chi2 total = fold over the
+    // category-SORTED contribution list (order-independent by construction)
+    "q127_drift_chi2" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        Drift.chiSquareDrift(docs.filter($"doc_id" % 2 === 0),
+            docs.filter($"doc_id" % 2 === 1), "lang")
+          .orderBy($"category")
+      },
+      Some("""WITH r AS (SELECT lang AS category, count(*) AS n_ref
+             |           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |c AS (SELECT lang AS category, count(*) AS n_cur
+             |      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+             |j AS (SELECT coalesce(r.category, c.category) AS category,
+             |        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+             |      FROM r FULL OUTER JOIN c ON r.category = c.category),
+             |t AS (SELECT *,
+             |        n_ref::DOUBLE / (SELECT sum(n_ref) FROM j)::DOUBLE AS p_ref,
+             |        n_cur::DOUBLE / (SELECT sum(n_cur) FROM j)::DOUBLE AS p_cur
+             |      FROM j),
+             |x AS (SELECT *, CASE WHEN n_ref > 0 THEN
+             |          (p_cur - p_ref) * (p_cur - p_ref) / p_ref END AS contrib
+             |      FROM t),
+             |tot AS (SELECT list_reduce(
+             |          list_transform(
+             |            list_sort(list(struct_pack(category := category,
+             |                contrib := contrib)) FILTER (WHERE contrib IS NOT NULL)),
+             |            s2 -> s2.contrib),
+             |          (a, b) -> a + b) AS chi2 FROM x)
+             |SELECT x.category, x.n_ref::BIGINT AS n_ref, x.n_cur::BIGINT AS n_cur,
+             |  x.p_ref, x.p_cur, x.contrib, tot.chi2
+             |FROM x CROSS JOIN tot ORDER BY x.category""".stripMargin)),
+
+    // ─── join-key skew profile (the salting-decision evidence) ──────────
+    "q128_key_skew" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Drift.keySkew(Tables.events(s, dir), "event_type", topK = 3)
+      },
+      Some("""WITH c AS (SELECT event_type AS key, count(*) AS cnt
+             |           FROM events GROUP BY 1),
+             |t AS (SELECT sum(cnt) AS n, count(*) AS d FROM c)
+             |SELECT key, cnt::BIGINT AS cnt,
+             |  cnt::DOUBLE / n::DOUBLE AS share,
+             |  cnt::DOUBLE * d::DOUBLE / n::DOUBLE AS load_ratio
+             |FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 3""".stripMargin)))
 
   /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
     * CTEs over the survivors (q25 chain) → recursive-CC canonical keep

@@ -273,6 +273,30 @@ object Streams {
           .partitionBy("__batch_id").parquet(indexDir)
       }
 
+  /** Streaming drift monitor: per micro-batch, `ops.Drift.chiSquareDrift`
+    * of the batch's category distribution against a STATIC reference
+    * profile, appended as one versioned row-set per batch
+    * (`__batch_id=N`) — the alerting feed a 100 TB ingest runs beside the
+    * corpus stream ("today's crawl shifted; chi2 jumped"). Uses the
+    * literal batch operator, so stream and batch cannot drift
+    * (the StreamsSpec cross-check); partition-overwrite per batch id
+    * makes replays idempotent (the cdcStream discipline). The reference
+    * profile is an O(#categories) aggregate, computed once outside. */
+  def driftMonitorStream(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      incomingDir: String, alertsDir: String, checkpointDir: String,
+      reference: DataFrame, catCol: String) =
+    spark.readStream.schema(schema).parquet(incomingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Drift.chiSquareDrift(reference, batch, catCol)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(alertsDir)
+      }
+
   /** Watermarked stream-stream inner join: each purchase pairs with the
     * same user's clicks from the preceding `lookback`. Both sides carry
     * watermarks and the join condition bounds event time on BOTH ends, so

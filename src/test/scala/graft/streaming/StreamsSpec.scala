@@ -322,6 +322,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor stream: per-batch chi2 equals the batch operator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val in = s"$dir/in"; val alerts = s"$dir/alerts"; val ck = s"$dir/ck"
+    new java.io.File(in).mkdirs()
+    val ref = Seq("en", "en", "de", "fr").toDF("lang")
+    val b0 = Seq("en", "de").toDF("lang")               // mild shift
+    val b1 = Seq("de", "de", "de", "zz").toDF("lang")   // big shift + new cat
+    b0.coalesce(1).write.mode("append").parquet(in)
+    val q = Streams.driftMonitorStream(spark, b0.schema, in, alerts, ck,
+      ref, "lang").start()
+    try {
+      q.processAllAvailable()
+      b1.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val out = spark.read.parquet(alerts)
+      def chi2Of(batch: org.apache.spark.sql.DataFrame): Double =
+        graft.ops.Drift.chiSquareDrift(ref, batch, "lang")
+          .select($"chi2").as[Double].head()
+      val streamed = out.select($"__batch_id", $"chi2").distinct()
+        .as[(Long, Double)].collect().toMap
+      assert(streamed.keySet == Set(0L, 1L))
+      assert(streamed(0L) == chi2Of(b0))
+      assert(streamed(1L) == chi2Of(b1))
+      assert(streamed(1L) > streamed(0L), "bigger shift, bigger chi2")
+      // the unseen category rides along with NULL contrib
+      assert(out.filter($"__batch_id" === 1 && $"category" === "zz" &&
+        $"contrib".isNull).count() == 1)
+    } finally q.stop()
+  }
+
   test("segment dedup stream: scrubs corpus-so-far boilerplate per batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_segdedup").toString
     val in = s"$dir/in"; val clean = s"$dir/clean"; val index = s"$dir/index"; val ck = s"$dir/ck"
