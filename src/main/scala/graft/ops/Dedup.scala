@@ -514,6 +514,41 @@ object Dedup {
         countDistinct(col("__hs")).as("n_shingles"))
   }
 
+  /** Cross-SOURCE shingle-overlap matrix: for every source pair, the
+    * Jaccard of their distinct-shingle SETS → (src_a, src_b, n_a, n_b,
+    * n_common, jaccard) — the mixture-design evidence ("how much of
+    * source X is already in source Y" decides whether adding X buys new
+    * tokens or re-weights old ones). Source-level, not doc-level: q27's
+    * quadratic contract doesn't apply — the pair grid is #sources².
+    *
+    * Scale shape: one explode → per-source DISTINCT (map-side partial on
+    * the md5-uniform hash) → ONE self-join on the hash key whose fanout
+    * per hash is bounded by #sources; set sizes ride along as a
+    * sources-row aggregate. Zero-overlap pairs are zero-filled from the
+    * size grid (a #sources² literal-scale cross join). */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val ds = df.select(col(sourceCol).as("__src"),
+        explode(shingles(col(textCol), shingleK)).as("__s"))
+      .select(col("__src"), baseHash(col("__s")).as("__hs"))
+      .distinct()
+    val sizes = ds.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val inter = ds.select(col("__src").as("src_a"), col("__hs"))
+      .join(ds.select(col("__src").as("src_b"), col("__hs")), Seq("__hs"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("__common"))
+    sizes.select(col("__src").as("src_a"), col("__n").as("n_a"))
+      .join(sizes.select(col("__src").as("src_b"), col("__n").as("n_b")),
+        col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce(col("__common"), lit(0L)))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+  }
+
   /** Exact n-gram CONTAINMENT over all pairs: |A∩B| / min(|A|,|B|) —
     * the asymmetric near-dup signal. A short document quoted wholesale
     * inside a long one has high containment but LOW Jaccard (the union is

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: token counting,
@@ -100,6 +100,37 @@ object TextStats {
       meanTokenLen(text).between(minMeanLen, maxMeanLen) &&
       (stopwordRatio(text, stopwords) >= minStopRatio) &&
       (wordRepetition(text) <= maxWordRep)
+  }
+
+  /** One-row CORPUS CARD: the release-note summary a dataset ships with
+    * — (n_docs, n_tokens, n_langs, n_sources, n_unique, dup_rate,
+    * n_quality, quality_rate). Every number is exact and derived from
+    * the same expressions the per-doc queries gate (wsTokenCount,
+    * qualityKeep, the q24 normalized-md5 identity).
+    *
+    * Scale shape: ONE aggregation pass; the three exact countDistincts
+    * take Spark's Expand (×4 on the projected narrow columns only — the
+    * scan prunes to text/lang/source first). At 100 TB swap them for the
+    * Profile melt or `approx_count_distinct` (the q121 contract); the
+    * card's ratios don't need the 16th significant digit. */
+  def corpusCard(df: DataFrame, textCol: String, langCol: String,
+      sourceCol: String, stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val t = col(textCol)
+    df.select(t.as("__t"), col(langCol).as("__l"), col(sourceCol).as("__s"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(wsTokenCount(col("__t")).cast("long")).as("n_tokens"),
+        countDistinct(col("__l")).as("n_langs"),
+        countDistinct(col("__s")).as("n_sources"),
+        countDistinct(md5(regexp_replace(trim(lower(col("__t"))), "\\s+", " ")))
+          .as("n_unique"),
+        sum(when(qualityKeep(col("__t"), stopwords), 1L).otherwise(0L))
+          .as("n_quality"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_unique")).cast("double")
+          / col("n_docs").cast("double"))
+      .withColumn("quality_rate",
+        col("n_quality").cast("double") / col("n_docs").cast("double"))
   }
 
   /** Stopword-overlap language-ID heuristic: argmax of per-language marker

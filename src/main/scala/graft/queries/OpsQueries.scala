@@ -2546,15 +2546,94 @@ object OpsQueries {
              |SELECT key, cnt::BIGINT AS cnt,
              |  cnt::DOUBLE / n::DOUBLE AS share,
              |  cnt::DOUBLE * d::DOUBLE / n::DOUBLE AS load_ratio
-             |FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 3""".stripMargin)))
+             |FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 3""".stripMargin)),
 
-  /** q81 oracle: quality rules (q75) → min-id exact dedup → MinHash pair
-    * CTEs over the survivors (q25 chain) → recursive-CC canonical keep
-    * (q70 shape) → chunk windows (q73 shape) → recursive next-fit packing
-    * (q79 shape). */
-  private def corpusPipelineSql: String =
-    s"""WITH RECURSIVE
-       |m AS (SELECT doc_id, lang, text,
+    // ─── per-stage attrition accounting of the corpus pipeline ──────────
+    // Where did the corpus go: input → quality → exact dedup → near-dup
+    // canonical, each stage's survivor count/drop/rate. The oracle reuses
+    // the q81 stage CTEs verbatim, so the accounting is gated against the
+    // SAME stage definitions the pipeline itself is gated under.
+    "q129_attrition" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        CorpusPipeline.attrition(Tables.documents(s, dir))
+          .orderBy($"stage_idx")
+      },
+      Some(s"""WITH RECURSIVE
+              |$corpusStageCtes,
+              |st AS (SELECT 0 AS stage_idx, 'input' AS stage,
+              |         (SELECT count(*) FROM documents) AS n_docs
+              |       UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM qd)
+              |       UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM exd)
+              |       UNION ALL SELECT 3, 'near_dedup', (SELECT count(*) FROM kept))
+              |SELECT stage_idx, stage, n_docs::BIGINT AS n_docs,
+              |  coalesce(lag(n_docs) OVER (ORDER BY stage_idx) - n_docs, 0)::BIGINT AS n_dropped,
+              |  coalesce((lag(n_docs) OVER (ORDER BY stage_idx) - n_docs)::DOUBLE
+              |    / lag(n_docs) OVER (ORDER BY stage_idx)::DOUBLE, 0.0::DOUBLE) AS drop_rate
+              |FROM st ORDER BY stage_idx""".stripMargin)),
+
+    // ─── cross-source shingle-overlap matrix (mixture-design evidence) ──
+    "q130_source_overlap" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.sourceOverlap(Tables.documents(s, dir), "source", "text")
+          .orderBy($"src_a", $"src_b")
+      },
+      Some(s"""WITH $sqlShingles,
+              |g AS (SELECT d.source,
+              |        unnest(list_transform(sh.sh, x -> ('0x'||substr(md5(x),1,15))::BIGINT)) AS hs
+              |      FROM sh JOIN documents d USING (doc_id)),
+              |ds AS (SELECT DISTINCT source, hs FROM g),
+              |sz AS (SELECT source, count(*) AS n FROM ds GROUP BY source),
+              |iv AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+              |       FROM ds a JOIN ds b ON a.hs = b.hs AND a.source < b.source
+              |       GROUP BY 1, 2),
+              |p AS (SELECT x.source AS src_a, y.source AS src_b, x.n AS n_a, y.n AS n_b
+              |      FROM sz x JOIN sz y ON x.source < y.source)
+              |SELECT p.src_a, p.src_b, p.n_a::BIGINT AS n_a, p.n_b::BIGINT AS n_b,
+              |  coalesce(iv.n_common, 0)::BIGINT AS n_common,
+              |  coalesce(iv.n_common, 0)::DOUBLE
+              |    / (p.n_a + p.n_b - coalesce(iv.n_common, 0))::DOUBLE AS jaccard
+              |FROM p LEFT JOIN iv ON p.src_a = iv.src_a AND p.src_b = iv.src_b
+              |ORDER BY p.src_a, p.src_b""".stripMargin)),
+
+    // ─── one-row corpus card (the dataset release summary) ──────────────
+    "q131_corpus_card" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.corpusCard(Tables.documents(s, dir), "text", "lang", "source")
+      },
+      Some("""WITH m AS (SELECT text, lang, source,
+             |  len(regexp_split_to_array(text, '\s+')) AS nt,
+             |  list_sum(list_transform(regexp_split_to_array(text, '\s+'), t -> length(t)))::DOUBLE
+             |    / len(regexp_split_to_array(text, '\s+')) AS mtl,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['the','a'], t)))::DOUBLE
+             |    / len(regexp_split_to_array(lower(text), '\s+')) AS swr,
+             |  CASE WHEN len(string_split(lower(text), ' ')) > 0
+             |       THEN 1.0::DOUBLE - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+             |            / len(string_split(lower(text), ' '))
+             |       ELSE 0.0::DOUBLE END AS wr
+             |FROM documents),
+             |a AS (SELECT count(*) AS n_docs, sum(nt) AS n_tokens,
+             |        count(DISTINCT lang) AS n_langs,
+             |        count(DISTINCT source) AS n_sources,
+             |        count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique,
+             |        sum(CASE WHEN (nt BETWEEN 20 AND 100000) AND (mtl BETWEEN 3.0 AND 10.0)
+             |              AND swr >= 0.01 AND wr <= 0.6 THEN 1 ELSE 0 END) AS n_quality
+             |      FROM m)
+             |SELECT n_docs::BIGINT AS n_docs, n_tokens::BIGINT AS n_tokens,
+             |  n_langs::BIGINT AS n_langs, n_sources::BIGINT AS n_sources,
+             |  n_unique::BIGINT AS n_unique, n_quality::BIGINT AS n_quality,
+             |  (n_docs - n_unique)::DOUBLE / n_docs::DOUBLE AS dup_rate,
+             |  n_quality::DOUBLE / n_docs::DOUBLE AS quality_rate
+             |FROM a""".stripMargin)))
+
+  /** The document-level stage CTEs shared by the q81 pipeline oracle and
+    * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
+    * → MinHash pairs over survivors (q25 chain) → recursive-CC canonical
+    * keep (q70 shape). Ends at `kept`. */
+  private def corpusStageCtes: String =
+    s"""m AS (SELECT doc_id, lang, text,
        |  CAST(len(regexp_split_to_array(text, '\\s+')) AS INTEGER) AS n_tokens,
        |  list_sum(list_transform(regexp_split_to_array(text, '\\s+'), t -> length(t)))::DOUBLE
        |    / len(regexp_split_to_array(text, '\\s+')) AS mean_token_len,
@@ -2583,7 +2662,13 @@ object OpsQueries {
        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
        |cl AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a),
        |kept AS (SELECT e.doc_id, e.lang, e.text FROM exd e
-       |         JOIN cl ON e.doc_id = cl.doc_id AND e.doc_id = cl.label),
+       |         JOIN cl ON e.doc_id = cl.doc_id AND e.doc_id = cl.label)""".stripMargin
+
+  /** q81 oracle: the shared stage CTEs → chunk windows (q73 shape) →
+    * recursive next-fit packing (q79 shape). */
+  private def corpusPipelineSql: String =
+    s"""WITH RECURSIVE
+       |$corpusStageCtes,
        |tok AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM kept),
        |nct AS (SELECT doc_id, lang, toks,
        |          CASE WHEN len(toks) <= 32 THEN 1

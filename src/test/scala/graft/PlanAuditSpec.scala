@@ -155,4 +155,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"unexpected exchanges in literal-match plan:\n$p")
     assert(!p.contains("Join"), "literal path must not join")
   }
+
+  test("exact profile never takes the multi-distinct Expand rewrite") {
+    // the Expand duplicates every FULL row once per profiled column and
+    // re-groups on an all-columns key (measured 18 s vs 1.2 s at sf0.1)
+    val p = plan("q121_profile")
+    assert(!p.contains("Expand"),
+      "q121 regressed to the Expand multi-distinct rewrite:\n" + p.take(1200))
+  }
+
+  test("trailing window is one key exchange, no join, RANGE frame") {
+    val p = plan("q123_trailing_window")
+    assert(!p.contains("Join"), "q123 must not join:\n" + p.take(900))
+    // one exchange for the entity key, one for the final ORDER BY
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"q123 shuffles too much ($exchanges):\n$p")
+    assert(p.contains("RangeFrame"), "q123 lost its RANGE frame")
+  }
+
+  test("key-skew top-k plans TakeOrdered, never a global sort") {
+    val p = plan("q128_key_skew")
+    assert(p.contains("TakeOrderedAndProject"),
+      "no TakeOrderedAndProject in q128 plan:\n" + p.take(1200))
+    assert(!p.contains("SortExec"),
+      "q128 degraded to a global sort:\n" + p.take(1200))
+  }
+
+  test("BPE pair counting partial-aggregates before the exchange") {
+    import org.apache.spark.sql.functions._
+    // the per-iteration shuffle must carry (pair, partial count), not rows
+    val toks = graft.Tables.documents(spark, sfTiny)
+      .select(split(lower(col("text")), " ").as("__tk"))
+    val counts = toks.filter(size(col("__tk")) > 1)
+      .select(explode(transform(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        (x, j) => struct(x.as("a"),
+          element_at(col("__tk"), j + 2).as("b")))).as("p"))
+      .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)))
+    val p = counts.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      "pair counting lost its map-side partial phase:\n" + p.take(1200))
+  }
 }

@@ -203,6 +203,35 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(keptIds.size < docs.count())
   }
 
+  test("attrition stages are monotone and consistent with the pipeline") {
+    val att = CorpusPipeline.attrition(docs)
+      .orderBy($"stage_idx")
+      .as[(Int, String, Long, Long, Double)].collect()
+    assert(att.map(_._2).toSeq ==
+      Seq("input", "quality", "exact_dedup", "near_dedup"))
+    // survivor counts never increase; drops reconcile exactly
+    att.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._3 <= prev._3, s"stage ${cur._2} grew the corpus")
+      assert(cur._4 == prev._3 - cur._3, s"stage ${cur._2} drop mismatch")
+      assert(cur._5 == cur._4.toDouble / prev._3.toDouble)
+    }
+    assert(att.head._3 == docs.count() && att.head._4 == 0L)
+    // the final stage's survivors = the docs the pipeline actually kept
+    val keptIds = out.select($"doc_id").distinct().count()
+    assert(att.last._3 == keptIds)
+  }
+
+  test("source overlap: self-consistent sizes, symmetric-free pair grid") {
+    val ov = Dedup.sourceOverlap(docs.limit(200), "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(ov.nonEmpty)
+    ov.foreach { case (a, b, na, nb, common, j) =>
+      assert(a < b, "pair grid must be upper-triangular")
+      assert(common <= math.min(na, nb))
+      assert(j == common.toDouble / (na + nb - common).toDouble)
+    }
+  }
+
   test("chunks tile each kept doc and bins are dense per stratum") {
     // chunk_idx runs 0..nc-1 per doc with the q73 window arithmetic
     val perDoc = out.groupBy($"doc_id").agg(max($"chunk_idx").as("maxi"),
