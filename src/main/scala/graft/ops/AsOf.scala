@@ -51,4 +51,70 @@ object AsOf {
         (carry.map(c => col(s"__last.$c").as(s"$outPrefix$c")) :+
           col("__last.__ts").as(s"$outPrefix$rTs")): _*)
   }
+
+  /** Timestamp column as an orderable integer (epoch micros for
+    * timestamps, plain long otherwise) — the distance arithmetic the
+    * tolerance/nearest variants compare on. */
+  private def tsNum(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      case _ => c.cast("long")
+    }
+
+  /** NEAREST as-of join with tolerance: for each left row, the right row
+    * of the same key whose timestamp is CLOSEST to the left's (either
+    * direction), at most `toleranceMicros` away; ties between an equally
+    * distant past and future row resolve BACKWARD (the reproducible
+    * choice — the past row was knowable at event time). All-null carry
+    * when nothing lands inside the tolerance window.
+    *
+    * Shape: the same union+window formulation as `asofBackward` — ONE
+    * shuffle on the key, then TWO within-partition sorts over it (the
+    * backward pass wants right rows BEFORE left rows at equal ts, the
+    * forward pass after; Spark plans one Exchange + two Sort/Window
+    * pairs). Still no per-row range probe and no join explosion.
+    *
+    * Determinism on same-ts right rows: backward carries the LARGEST
+    * payload struct, forward the SMALLEST (each direction's window order
+    * pins it) — put a unique column first in `carry`. */
+  def asofNearest(
+      left: DataFrame, lKey: String, lTs: String,
+      right: DataFrame, rKey: String, rTs: String,
+      carry: Seq[String], toleranceMicros: Long,
+      outPrefix: String = "asof_"): DataFrame = {
+    require(toleranceMicros >= 0, "tolerance must be >= 0")
+    val payload = struct(col(rTs).as("__ts") +: carry.map(col): _*)
+    val r = right.select(col(rKey).as("__k"), col(rTs).as("__t"),
+      lit(0).as("__side"), payload.as("__p"))
+    val l = left.withColumn("__k", col(lKey)).withColumn("__t", col(lTs))
+      .withColumn("__side", lit(1))
+    // backward: right rows sort BEFORE left at equal ts (inclusive ≤)
+    val wb = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: right rows sort AFTER left at equal ts (inclusive ≥)
+    val wf = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").desc, col("__p").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tsType = right.schema(rTs).dataType
+    val unioned = r.unionByName(l, allowMissingColumns = true)
+      .withColumn("__back", last(col("__p"), ignoreNulls = true).over(wb))
+      .withColumn("__fwd", first(col("__p"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    val lNum = tsNum(col("__t"), tsType)
+    val bDist = lNum - tsNum(col("__back.__ts"), tsType)
+    val fDist = tsNum(col("__fwd.__ts"), tsType) - lNum
+    val bOk = col("__back").isNotNull && bDist <= toleranceMicros
+    val fOk = col("__fwd").isNotNull && fDist <= toleranceMicros
+    val chosen = unioned.withColumn("__pick",
+      when(bOk && (!fOk || bDist <= fDist), col("__back"))
+        .when(fOk, col("__fwd")))
+    chosen.select(
+      left.columns.map(col) ++
+        (carry.map(c => col(s"__pick.$c").as(s"$outPrefix$c")) :+
+          col("__pick.__ts").as(s"$outPrefix$rTs")): _*)
+  }
 }

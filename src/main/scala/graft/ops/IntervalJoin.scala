@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval RANGE JOIN — the join Spark's planner turns into a
+  * nested-loop scan (a `BETWEEN` theta condition has no equi key), made
+  * scalable by BUCKETING the time axis: every interval explodes into the
+  * fixed-width buckets it covers, every point maps to exactly ONE
+  * bucket, and the join becomes a plain hash equi-join on
+  * (keys…, bucket) with the exact containment re-checked after. Output
+  * is identical to the theta join — a (point, interval) pair shares at
+  * least the point's bucket — with no duplicates, because the point's
+  * single bucket meets each covering interval exactly once.
+  *
+  * Scale shape: ONE equi-shuffle on (keys…, bucket); the interval side
+  * inflates by ⌈len/bucketWidth⌉ + 1 rows per interval, so pick
+  * `bucketWidth` near the TYPICAL interval length (factor ≈ 2) — the
+  * explode factor is the contract, enforced by `maxBucketsPerInterval`
+  * (a distributed guard, failing loudly instead of silently inflating a
+  * 100 TB shuffle; a degenerate months-long interval is a data bug this
+  * operator refuses to amplify). Timestamps must be pre-converted to a
+  * numeric axis (epoch micros) by the caller — the operator is
+  * unit-agnostic. */
+object IntervalJoin {
+
+  /** Join each `points` row to every `intervals` row of the same `keys`
+    * with `startCol <= pointCol <= endCol`. Column sets must be disjoint
+    * apart from `keys`. */
+  def rangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long, keys: Seq[String] = Nil,
+      maxBucketsPerInterval: Long = 1000L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+      .diff(keys.toSet)
+    require(overlap.isEmpty,
+      s"point/interval column collision (alias first): $overlap")
+    val p = points.withColumn("__b",
+      floor(col(pointCol).cast("long") / bucketWidth))
+    val nBuckets = floor(col(endCol).cast("long") / bucketWidth) -
+      floor(col(startCol).cast("long") / bucketWidth) + 1
+    val iv = intervals
+      .withColumn("__guard", assert_true(
+        col(startCol) <= col(endCol) && nBuckets <= maxBucketsPerInterval,
+        concat(lit("rangeJoin: interval spans too many buckets or is " +
+          "inverted; got ["), col(startCol), lit(", "), col(endCol),
+          lit(s"] at bucketWidth=$bucketWidth (max $maxBucketsPerInterval)"))))
+      .filter(col("__guard").isNull).drop("__guard")
+      .withColumn("__b", explode(sequence(
+        floor(col(startCol).cast("long") / bucketWidth),
+        floor(col(endCol).cast("long") / bucketWidth))))
+    p.join(iv, keys :+ "__b")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__b")
+  }
+}

@@ -2626,7 +2626,87 @@ object OpsQueries {
              |  n_unique::BIGINT AS n_unique, n_quality::BIGINT AS n_quality,
              |  (n_docs - n_unique)::DOUBLE / n_docs::DOUBLE AS dup_rate,
              |  n_quality::DOUBLE / n_docs::DOUBLE AS quality_rate
-             |FROM a""".stripMargin)))
+             |FROM a""".stripMargin)),
+
+    // ─── NEAREST as-of join with tolerance (both directions, tie → past) ─
+    "q132_asof_nearest" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id".as("click_id"), $"user_id".as("cuid"),
+            $"ts".as("cts"))
+        AsOf.asofNearest(purchases, "user_id", "ts",
+            clicks, "cuid", "cts", carry = Seq("click_id"),
+            toleranceMicros = 3600L * 1000000L)
+          .select($"purchase_id", $"asof_click_id",
+            unix_micros($"asof_cts").as("asof_us"))
+          .orderBy($"purchase_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+             |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |p AS (SELECT e.event_id AS purchase_id, e.user_id, e.us FROM e
+             |      JOIN (SELECT event_id FROM events WHERE event_type = 'purchase') t
+             |        USING (event_id)),
+             |c AS (SELECT e.event_id AS click_id, e.user_id, e.us FROM e
+             |      JOIN (SELECT event_id FROM events WHERE event_type = 'click') t
+             |        USING (event_id)),
+             |b AS (SELECT p.purchase_id, max(c.us) AS ts FROM p
+             |      JOIN c ON p.user_id = c.user_id AND c.us <= p.us
+             |        AND p.us - c.us <= 3600000000 GROUP BY 1),
+             |f AS (SELECT p.purchase_id, min(c.us) AS ts FROM p
+             |      JOIN c ON p.user_id = c.user_id AND c.us >= p.us
+             |        AND c.us - p.us <= 3600000000 GROUP BY 1),
+             |pick AS (SELECT p.purchase_id, p.user_id, p.us,
+             |           CASE WHEN b.ts IS NOT NULL AND
+             |                  (f.ts IS NULL OR p.us - b.ts <= f.ts - p.us)
+             |                THEN b.ts ELSE f.ts END AS mts,
+             |           CASE WHEN b.ts IS NOT NULL AND
+             |                  (f.ts IS NULL OR p.us - b.ts <= f.ts - p.us)
+             |                THEN 'b' ELSE 'f' END AS dirn
+             |         FROM p LEFT JOIN b USING (purchase_id)
+             |                LEFT JOIN f USING (purchase_id))
+             |SELECT pick.purchase_id,
+             |  CASE WHEN pick.dirn = 'b' THEN max(c.click_id)
+             |       ELSE min(c.click_id) END AS asof_click_id,
+             |  pick.mts AS asof_us
+             |FROM pick LEFT JOIN c ON pick.user_id = c.user_id AND c.us = pick.mts
+             |GROUP BY pick.purchase_id, pick.dirn, pick.mts
+             |ORDER BY pick.purchase_id""".stripMargin)),
+
+    // ─── bucketed point-in-interval range join ──────────────────────────
+    // Clicks joined to each same-user purchase's trailing 1-hour window;
+    // the bucket trick turns the BETWEEN theta join into a hash equi-join
+    // (PlanAuditSpec pins no-nested-loop), output identical to the theta
+    // join the oracle runs.
+    "q133_range_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .withColumn("us", unix_micros($"ts"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id".as("click_id"), $"user_id", $"us")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id",
+            ($"us" - 3600L * 1000000L).as("lo"), $"us".as("hi"))
+        IntervalJoin.rangeJoin(clicks, "us", purchases, "lo", "hi",
+            bucketWidth = 3600L * 1000000L, keys = Seq("user_id"))
+          .select($"click_id", $"purchase_id")
+          .orderBy($"click_id", $"purchase_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |c AS (SELECT event_id AS click_id, user_id, us FROM e
+             |      WHERE event_type = 'click'),
+             |p AS (SELECT event_id AS purchase_id, user_id,
+             |        us - 3600000000 AS lo, us AS hi FROM e
+             |      WHERE event_type = 'purchase')
+             |SELECT c.click_id, p.purchase_id
+             |FROM c JOIN p ON c.user_id = p.user_id
+             |  AND c.us BETWEEN p.lo AND p.hi
+             |ORDER BY c.click_id, p.purchase_id""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

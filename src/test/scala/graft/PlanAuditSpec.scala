@@ -181,6 +181,12 @@ class PlanAuditSpec extends SparkSpec {
       "q128 degraded to a global sort:\n" + p.take(1200))
   }
 
+  test("bucketed range join plans a hash equi-join, never a nested loop") {
+    val p = plan("q133_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to a nested loop:\n" + p.take(1200))
+  }
+
   test("BPE pair counting partial-aggregates before the exchange") {
     import org.apache.spark.sql.functions._
     // the per-iteration shuffle must carry (pair, partial count), not rows

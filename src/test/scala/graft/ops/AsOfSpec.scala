@@ -65,6 +65,43 @@ class AsOfSpec extends SparkSpec {
   }
 }
 
+class AsOfNearestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+    .toDF("k", "t", "tag")
+
+  test("nearest picks the closer side; equidistant ties go backward") {
+    val right = Seq((1L, 90L, "b"), (1L, 110L, "f"), (1L, 300L, "far"))
+      .toDF("k", "t", "v")
+    val out = AsOf.asofNearest(left, "k", "t", right, "k", "t",
+        Seq("v"), toleranceMicros = 1000L)
+      .select($"tag", $"asof_v").as[(String, Option[String])].collect().toMap
+    // p1 at 100: backward 90 (d=10) vs forward 110 (d=10) -> tie -> backward
+    assert(out("p1").contains("b"))
+    // p2 at 200: backward 110 (d=90) beats forward 300 (d=100) — the
+    // carried value is the row AT t=110 (labeled "f")
+    assert(out("p2").contains("f"))
+  }
+
+  test("tolerance excludes far matches; no-match rows carry nulls") {
+    val right = Seq((1L, 90L, "b")).toDF("k", "t", "v")
+    val out = AsOf.asofNearest(left, "k", "t", right, "k", "t",
+        Seq("v"), toleranceMicros = 5L)
+      .select($"tag", $"asof_v").as[(String, Option[String])].collect().toMap
+    assert(out("p1").isEmpty, "match at distance 10 must not pass tolerance 5")
+    assert(out("p3").isEmpty, "key with no right rows must be null")
+  }
+
+  test("equal-ts right row matches in BOTH directions (inclusive)") {
+    val right = Seq((1L, 100L, "same")).toDF("k", "t", "v")
+    val out = AsOf.asofNearest(left, "k", "t", right, "k", "t",
+        Seq("v"), toleranceMicros = 0L)
+      .select($"tag", $"asof_v").as[(String, Option[String])].collect().toMap
+    assert(out("p1").contains("same"))
+  }
+}
+
 class EmbedDedupSpec extends SparkSpec {
   import spark.implicits._
 

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed range join output equals the theta join exactly") {
+    // deterministic pseudo-random fixture crossing many bucket boundaries
+    val points = (1 to 300).map(i => ((i * 7) % 5L, (i * 131L) % 1000L, i.toLong))
+      .toDF("k", "p", "pid")
+    val ivs = (1 to 60).map { i =>
+      val lo = (i * 173L) % 900L
+      ((i * 3) % 5L, lo, lo + (i * 37L) % 150L, 1000L + i)
+    }.toDF("k", "lo", "hi", "iid")
+    val bucketed = IntervalJoin.rangeJoin(points, "p", ivs, "lo", "hi",
+        bucketWidth = 64L, keys = Seq("k"))
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val theta = points.join(ivs, Seq("k"))
+      .filter($"p" >= $"lo" && $"p" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(bucketed == theta)
+    assert(theta.nonEmpty, "fixture must actually produce matches")
+  }
+
+  test("no duplicate pairs even when an interval spans many buckets") {
+    val points = Seq((1L, 500L, 1L)).toDF("k", "p", "pid")
+    val ivs = Seq((1L, 0L, 1000L, 9L)).toDF("k", "lo", "hi", "iid")
+    val out = IntervalJoin.rangeJoin(points, "p", ivs, "lo", "hi",
+      bucketWidth = 10L, keys = Seq("k"))
+    assert(out.count() == 1)
+  }
+
+  test("oversized interval trips the distributed guard") {
+    val points = Seq((1L, 5L, 1L)).toDF("k", "p", "pid")
+    val ivs = Seq((1L, 0L, 1000000L, 9L)).toDF("k", "lo", "hi", "iid")
+    val ex = intercept[Exception] {
+      IntervalJoin.rangeJoin(points, "p", ivs, "lo", "hi",
+        bucketWidth = 10L, keys = Seq("k"),
+        maxBucketsPerInterval = 100L).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("column collisions outside the keys are rejected eagerly") {
+    val points = Seq((1L, 5L, 1L)).toDF("k", "p", "x")
+    val ivs = Seq((1L, 0L, 10L, 2L)).toDF("k", "lo", "hi", "x")
+    val ex = intercept[IllegalArgumentException] {
+      IntervalJoin.rangeJoin(points, "p", ivs, "lo", "hi", 10L, Seq("k"))
+    }
+    assert(ex.getMessage.contains("collision"))
+  }
+}
