@@ -89,6 +89,29 @@ object Graph {
   /** Release the block-manager storage behind a localCheckpoint'ed frame
     * (same helper the CC loops carry — Dataset.unpersist only covers
     * cache-manager entries). */
+  /** Global triangle count of an undirected graph given as CANONICAL
+    * edges (src < dst, deduplicated — exactly what `Dedup.minhashPairs`
+    * emits). Two equi-joins: wedges a<b<c from edge pairs sharing the
+    * middle vertex, closed by the (a, c) edge — each triangle counted
+    * exactly once because every triangle has exactly one vertex-ordered
+    * traversal. Returns one row: (n_triangles).
+    *
+    * Scale shape: both joins shuffle on single vertex keys. Hot vertices
+    * quadratically inflate the wedge side — the standard fix at scale is
+    * DEGREE ordering (orient each edge from the lower-degree endpoint,
+    * Suri & Vassilvitskii WWW'11: wedge count drops to O(m^{3/2})); that
+    * reorientation is one degree-count + relabel pass, kept out of this
+    * id-ordered variant so the oracle stays a 3-line join — swap the
+    * comparator when a corpus's dup graph develops hubs. */
+  def triangleCount(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame = {
+    val ed = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val wedges = ed.join(
+      ed.select(col("a").as("b"), col("b").as("c")), "b")
+    wedges.join(ed.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)

@@ -2706,7 +2706,25 @@ object OpsQueries {
              |SELECT c.click_id, p.purchase_id
              |FROM c JOIN p ON c.user_id = p.user_id
              |  AND c.us BETWEEN p.lo AND p.hi
-             |ORDER BY c.click_id, p.purchase_id""".stripMargin)))
+             |ORDER BY c.click_id, p.purchase_id""".stripMargin)),
+
+    // ─── triangle count of the near-dup graph (cluster cohesion) ────────
+    // Triangles distinguish a tight dup clique from a star of pairwise
+    // borderline matches — the structural signal behind trusting a
+    // cluster's single canonical representative.
+    "q134_triangles" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Dedup.minhashPairs(Tables.documents(s, dir),
+          "doc_id", "text", numHashes = 16, bands = 8, shingleK = 3,
+          threshold = 0.5)
+        Graph.triangleCount(pairs.select($"id_a", $"id_b"))
+      },
+      Some(s"""WITH $minhashCtes,
+              |ed AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5),
+              |w AS (SELECT e1.a, e1.b, e2.b AS c FROM ed e1 JOIN ed e2 ON e1.b = e2.a)
+              |SELECT count(*)::BIGINT AS n_triangles
+              |FROM w JOIN ed e3 ON w.a = e3.a AND w.c = e3.b""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

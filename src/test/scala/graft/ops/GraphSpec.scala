@@ -35,4 +35,18 @@ class GraphSpec extends SparkSpec {
     val m = a.toMap
     assert(m(1L) > m(2L) && m(2L) > m(3L) && m(3L) === m(4L))
   }
+
+  test("triangleCount: K4 has 4 triangles, a star has none") {
+    def count(es: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(es.toDF("id_a", "id_b"))
+        .as[Long].head()
+    // complete graph on {1,2,3,4}, canonical a<b edges
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(count(k4) == 4L)
+    // star 1-{2,3,4}: wedges but no closing edges
+    assert(count(Seq((1L, 2L), (1L, 3L), (1L, 4L))) == 0L)
+    // two disjoint triangles count independently
+    val two = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L), (8L, 9L))
+    assert(count(two) == 2L)
+  }
 }
