@@ -49,4 +49,28 @@ object Cdc {
       .filter(col("__rn") === 1 && col(opCol) =!= "delete")
       .drop("__rn", "__pri", opCol, tsCol, seqCol)
   }
+
+  /** Corpus SNAPSHOT DIFF: classify every id across two dataset versions
+    * as added / removed / changed / unchanged by comparing a CONTENT
+    * hash (md5 of `contentCol`) — the release-to-release audit behind a
+    * dataset changelog ("v7 added 2M docs, silently rewrote 40k").
+    * Returns (id, status) for every id present in either version.
+    *
+    * Scale shape: each side reduces to (id, hash) at the scan — the
+    * shuffle carries 2 small columns, never documents — then ONE
+    * full-outer key join decides the status per id. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      md5(col(contentCol)).as("__ho"))
+    val n = newDf.select(col(idCol).as("id"),
+      md5(col(contentCol)).as("__hn"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") === col("__hn"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col("id").as(idCol), col("status"))
+  }
 }

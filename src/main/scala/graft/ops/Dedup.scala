@@ -514,6 +514,33 @@ object Dedup {
         countDistinct(col("__hs")).as("n_shingles"))
   }
 
+  /** MinHash-LSH RECALL AUDIT against exact all-pairs ground truth →
+    * one row (n_truth, n_found, n_hit, recall). LSH candidates are
+    * exact-verified, so precision is 1.0 by construction — recall is the
+    * number the (numHashes, bands) choice actually buys, and this op
+    * MEASURES it instead of trusting the S-curve estimate.
+    *
+    * Scale shape: the truth side is `jaccardPairs` — quadratic BY
+    * CONTRACT (run on a sampled audit corpus, the q27/q125 discipline);
+    * the found side is the production LSH path. One key join + a 1-row
+    * aggregate on top. */
+  def lshRecallAudit(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 8, shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val truth = jaccardPairs(df, idCol, textCol, shingleK, threshold)
+      .select(col("id_a"), col("id_b"))
+    val found = minhashPairs(df, idCol, textCol, numHashes, bands,
+        shingleK, threshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+    truth.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_truth"), sum(col("__hit")).as("__s"))
+      .withColumn("n_hit", coalesce(col("__s"), lit(0L))).drop("__s")
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_truth").cast("double"))
+      .select(col("n_truth"), col("n_found"), col("n_hit"), col("recall"))
+  }
+
   /** Cross-SOURCE shingle-overlap matrix: for every source pair, the
     * Jaccard of their distinct-shingle SETS → (src_a, src_b, n_a, n_b,
     * n_common, jaccard) — the mixture-design evidence ("how much of

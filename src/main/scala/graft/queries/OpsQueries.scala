@@ -2724,7 +2724,52 @@ object OpsQueries {
               |ed AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5),
               |w AS (SELECT e1.a, e1.b, e2.b AS c FROM ed e1 JOIN ed e2 ON e1.b = e2.a)
               |SELECT count(*)::BIGINT AS n_triangles
-              |FROM w JOIN ed e3 ON w.a = e3.a AND w.c = e3.b""".stripMargin)))
+              |FROM w JOIN ed e3 ON w.a = e3.a AND w.c = e3.b""".stripMargin)),
+
+    // ─── corpus snapshot diff (added / removed / changed / unchanged) ───
+    "q135_snapshot_diff" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val oldV = docs.filter($"doc_id" % 10 =!= 8)
+        val newV = docs.filter($"doc_id" % 10 =!= 9)
+          .withColumn("text", when($"doc_id" % 10 === 5,
+            concat($"text", lit(" v2"))).otherwise($"text"))
+        Cdc.snapshotDiff(oldV, newV, "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
+             |           WHERE doc_id % 10 <> 8),
+             |n AS (SELECT doc_id,
+             |        md5(CASE WHEN doc_id % 10 = 5 THEN text || ' v2'
+             |                 ELSE text END) AS h
+             |      FROM documents WHERE doc_id % 10 <> 9)
+             |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.h IS NULL THEN 'added'
+             |       WHEN n.h IS NULL THEN 'removed'
+             |       WHEN o.h = n.h THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ─── measured MinHash-LSH recall vs exact all-pairs ground truth ────
+    "q136_lsh_recall" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.lshRecallAudit(Tables.documents(s, dir), "doc_id", "text")
+      },
+      Some(s"""WITH $minhashCtes,
+              |truth AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+              |          FROM sh a JOIN sh b2 ON a.doc_id < b2.doc_id
+              |          WHERE len(list_intersect(a.sh, b2.sh))
+              |            / len(list_distinct(list_concat(a.sh, b2.sh))) >= 0.5),
+              |found AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+              |hit AS (SELECT count(*) AS n FROM truth JOIN found USING (id_a, id_b))
+              |SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+              |  (SELECT count(*) FROM found)::BIGINT AS n_found,
+              |  (SELECT n FROM hit)::BIGINT AS n_hit,
+              |  (SELECT n FROM hit)::DOUBLE
+              |    / (SELECT count(*) FROM truth)::DOUBLE AS recall""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -43,6 +43,26 @@ class CdcSpec extends SparkSpec {
       .filter($"k" === 2L).as[(Long, String, Double)].collect()
     assert(got.toSeq == Seq((2L, "back", 21.0)))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newV = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("id", "text")
+    val m = Cdc.snapshotDiff(oldV, newV, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("lshRecallAudit: found pairs are a verified subset of truth") {
+    val docs = graft.Tables.documents(spark, sfTiny)
+    val row = Dedup.lshRecallAudit(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].head()
+    val (nTruth, nFound, nHit, recall) = row
+    // exact verification makes precision 1.0 structurally
+    assert(nHit == nFound, "a found pair failed exact verification")
+    assert(nHit <= nTruth && recall == nHit.toDouble / nTruth.toDouble)
+    assert(nTruth > 0, "audit fixture must contain true pairs")
+  }
 }
 
 class BloomSpec extends SparkSpec {
