@@ -273,6 +273,42 @@ object Streams {
           .partitionBy("__batch_id").parquet(indexDir)
       }
 
+  final case class RateState(recent: List[Long])
+
+  /** Sliding-window RATE LIMITER: for each event, is it the (maxEvents+1)-th
+    * same-key event inside the trailing `windowMicros`? Emits
+    * (key, tsMicros, allowed) per event — the abuse/quota gate that runs
+    * BESIDE a 100 TB ingest stream.
+    *
+    * Bounded state by construction: the per-key state is the most recent
+    * ≤ maxEvents event times still inside the window — older timestamps
+    * can never flip a future decision (the decision only needs "are there
+    * ≥ maxEvents retained events in-window"), so a flooding key holds
+    * maxEvents longs, not its flood. Within a micro-batch events process
+    * in event-time order, making the decision deterministic and — on
+    * in-order delivery — EQUAL to the batch `TimeSeries.trailing`
+    * n_win > maxEvents flag (the spec cross-check). */
+  def rateLimitStream(events: Dataset[(Long, Long)], windowMicros: Long,
+      maxEvents: Int): Dataset[(Long, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    require(windowMicros > 0 && maxEvents > 0, "window and max must be positive")
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[RateState, (Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[(Long, Long)], state: GroupState[RateState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = evs.map(_._2).toSeq.sorted.map { ts =>
+            recent = recent.filter(_ >= ts - windowMicros)
+            val allowed = recent.size < maxEvents
+            recent = (ts :: recent).sorted(Ordering[Long].reverse)
+              .take(maxEvents)
+            (key, ts, allowed)
+          }
+          state.update(RateState(recent))
+          out.iterator
+      }
+  }
+
   /** Streaming drift monitor: per micro-batch, `ops.Drift.chiSquareDrift`
     * of the batch's category distribution against a STATIC reference
     * profile, appended as one versioned row-set per batch

@@ -322,6 +322,65 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate limiter flags match the batch trailing-window count") {
+    implicit val sq = spark.sqlContext
+    val win = 3600L * 1000000L
+    val max = 1
+    // exclude users with same-instant events: the batch RANGE frame counts
+    // both peers for both rows, the stream sees them sequentially — the
+    // operators agree everywhere else
+    val all = Tables.events(spark, sfTiny)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts").as("us"),
+        $"value")
+    val tied = all.groupBy($"user_id", $"us")
+      .count().filter($"count" > 1).select($"user_id").distinct()
+    val evDf = all.join(tied, Seq("user_id"), "left_anti")
+    val ev = evDf.select($"user_id", $"us").as[(Long, Long)]
+    val batchFlags = graft.ops.TimeSeries.trailing(
+        evDf.withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros($"us")), "user_id", "ts", "value", win)
+      .select($"user_id", $"us", ($"n_win" <= max).as("allowed"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    val stream = MemoryStream[(Long, Long)]
+    val q = Streams.rateLimitStream(stream.toDS(), win, max)
+      .toDF("user_id", "us", "allowed")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rate_limit").start()
+    try {
+      // deliver in event-time order so stream decisions mirror the batch op
+      stream.addData(ev.collect().toSeq.sortBy(_._2))
+      q.processAllAvailable()
+      val streamed = spark.table("rate_limit")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(streamed == batchFlags)
+      assert(streamed.exists(!_._3), "fixture should contain violations")
+    } finally q.stop()
+  }
+
+  test("rate limiter state stays bounded under a flooding key") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val q = Streams.rateLimitStream(stream.toDS(), windowMicros = 1000L,
+        maxEvents = 2)
+      .toDF("user_id", "us", "allowed")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rate_flood").start()
+    try {
+      stream.addData((1L to 100L).map(i => (7L, i)))
+      q.processAllAvailable()
+      val rows = spark.table("rate_flood")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._2)
+      // first 2 allowed, everything after is inside the window and over max
+      assert(rows.take(2).forall(_._3) && rows.drop(2).forall(!_._3))
+      // an event after the window expires is allowed again
+      stream.addData(Seq((7L, 100000L)))
+      q.processAllAvailable()
+      val late = spark.table("rate_flood").as[(Long, Long, Boolean)]
+        .collect().find(_._2 == 100000L).get
+      assert(late._3, "post-window event must be allowed (state pruned)")
+    } finally q.stop()
+  }
+
   test("drift monitor stream: per-batch chi2 equals the batch operator") {
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
     val in = s"$dir/in"; val alerts = s"$dir/alerts"; val ck = s"$dir/ck"
