@@ -59,23 +59,28 @@ object Drift {
       .agg(count(lit(1)).as("n_cur"))
     val joined = r.join(c, Seq("category"), "full_outer")
       .na.fill(0L, Seq("n_ref", "n_cur"))
-    val w = Window.partitionBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withP = joined
+    // totals and the chi2 fold are 1-row aggregates cross-joined back
+    // (AQE broadcasts them) — NOT a global single-partition window, so
+    // the category rows never funnel through one task
+    val tot = joined.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val withP = joined.crossJoin(tot)
       .withColumn("p_ref",
-        col("n_ref").cast("double") / sum(col("n_ref")).over(w).cast("double"))
+        col("n_ref").cast("double") / col("__tr").cast("double"))
       .withColumn("p_cur",
-        col("n_cur").cast("double") / sum(col("n_cur")).over(w).cast("double"))
+        col("n_cur").cast("double") / col("__tc").cast("double"))
       .withColumn("contrib",
         when(col("n_ref") > 0,
           (col("p_cur") - col("p_ref")) * (col("p_cur") - col("p_ref"))
             / col("p_ref")))
-    withP.withColumn("chi2",
+      .drop("__tr", "__tc")
+    val chi2 = withP.agg(
       aggregate(
         array_sort(collect_list(
           when(col("contrib").isNotNull,
-            struct(col("category"), col("contrib")))).over(w)),
-        lit(0.0), (acc, x) => acc + x.getField("contrib")))
+            struct(col("category"), col("contrib"))))),
+        lit(0.0), (acc, x) => acc + x.getField("contrib")).as("chi2"))
+    withP.crossJoin(chi2)
   }
 
   /** Join-key skew profile: the top-k heaviest keys of `keyCol` with
