@@ -4,8 +4,8 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -40,6 +40,39 @@ object HashOps {
 
   def minhashSigFast(hashes: Column, numHashes: Int): Column =
     GraftBridge.column(MinhashSigExpr(GraftBridge.expression(hashes), numHashes))
+
+  /** |A ∩ B| of two SORTED-DISTINCT long arrays (two-pointer merge). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCountExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Two-pointer distinct-intersection size over SORTED long arrays —
+    * replaces `size(array_intersect(a, b))` in the pair-verify hot path
+    * (array_intersect builds an OpenHashSet AND materializes the
+    * intersection array per pair; the merge touches each element once and
+    * allocates nothing). Inputs must be sorted ascending with distinct
+    * elements (the producer sorts once per document, not per pair).
+    * `doGenCode`, so verify projections stay in whole-stage codegen. */
+  case class SortedIntersectCountExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_count"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      SortedIntersect.count(
+        a.asInstanceOf[ArrayData].toLongArray(),
+        b.asInstanceOf[ArrayData].toLongArray())
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        // top-level object → static forwarder Janino can resolve (a
+        // HashOps-nested object has no static path in generated Java)
+        s"${ev.value} = graft.functions.SortedIntersect.count(" +
+          s"$a.toLongArray(), $b.toLongArray());")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
 
   /** array<string> → array<long>: 60-bit md5 prefix of each element
     * (== Dedup.baseHash element-wise). */
@@ -107,5 +140,19 @@ object HashOps {
       new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+}
+
+/** Shared by SortedIntersectCountExpr's interpreted eval and generated
+  * code — one merge. Top-level so generated Java sees a static method. */
+object SortedIntersect {
+  def count(x: Array[Long], y: Array[Long]): Long = {
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { n += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    n
   }
 }

@@ -31,6 +31,21 @@ class PrefixJoinSpec extends SparkSpec {
   }
 
   test("prefix join == brute force at tau=1/2") { runBoth(1, 2) }
+
+  test("sortedIntersectCount == size(array_intersect) on sorted-distinct arrays") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq(5L)))
+    val df = rows.toDF("a", "b")
+      .withColumn("kernel",
+        graft.functions.HashOps.sortedIntersectCount(col("a"), col("b")))
+      .withColumn("builtin", size(array_intersect(col("a"), col("b"))).cast("long"))
+    assert(df.filter(col("kernel") =!= col("builtin")).isEmpty)
+  }
   test("prefix join == brute force at tau=3/10 (non-dyadic ceiling)") {
     runBoth(3, 10)
   }
