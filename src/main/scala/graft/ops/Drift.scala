@@ -83,6 +83,95 @@ object Drift {
     withP.crossJoin(chi2)
   }
 
+  /** KL-divergence + PSI drift of a categorical column between two
+    * snapshots — the log-scaled complement of `chiSquareDrift` (chi2 is
+    * dominated by the largest categories; KL(cur‖ref) and the population
+    * stability index weight by the CURRENT mass and its log-ratio, so a
+    * small category 10×-ing registers). One row per category with both
+    * per-category contributions plus the ordered-fold totals (`kl`,
+    * `psi`) in every row.
+    *
+    *  - kl_contrib  = p_cur · ln(p_cur/p_ref)   (n_cur > 0 AND n_ref > 0)
+    *  - psi_contrib = (p_cur − p_ref) · ln(p_cur/p_ref)   (same guard;
+    *    always ≥ 0 — the factors share a sign)
+    *
+    * A category present on only one side has NULL contributions and is
+    * excluded from both totals — that asymmetry (new category appeared /
+    * category vanished) is itself the loudest drift signal and is visible
+    * in its n_ref/n_cur zeros; folding ±∞ instead would destroy the
+    * totals for every other category.
+    *
+    * Determinism: ln() differs by 1 ulp between JVM Math.log and glibc,
+    * so each contribution is rounded to 9 decimals BEFORE the fold (the
+    * proven q42 tfidf pattern) and the totals fold the category-SORTED
+    * contribution list (the q127 pattern) — never a shuffle-order double
+    * sum. Scale shape identical to `chiSquareDrift`: two filtered aggs on
+    * the few-valued category key, a tiny outer join, 1-row-aggregate
+    * cross joins (AQE broadcasts). */
+  def klDrift(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    val r = ref.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_cur"))
+    val joined = r.join(c, Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val lr = log(col("p_cur") / col("p_ref"))
+    val withP = joined.crossJoin(tot)
+      .withColumn("p_ref",
+        col("n_ref").cast("double") / col("__tr").cast("double"))
+      .withColumn("p_cur",
+        col("n_cur").cast("double") / col("__tc").cast("double"))
+      .withColumn("kl_contrib",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          round(col("p_cur") * lr, 9)))
+      .withColumn("psi_contrib",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          round((col("p_cur") - col("p_ref")) * lr, 9)))
+      .drop("__tr", "__tc")
+    def foldedTotal(contrib: String): Column =
+      aggregate(
+        array_sort(collect_list(
+          when(col(contrib).isNotNull, struct(col("category"), col(contrib))))),
+        lit(0.0), (acc, x) => acc + x.getField(contrib))
+    val totals = withP.agg(foldedTotal("kl_contrib").as("kl"),
+      foldedTotal("psi_contrib").as("psi"))
+    withP.crossJoin(totals)
+  }
+
+  /** Robust per-group standardization: median/MAD z-scores with an
+    * outlier flag — the scaling a quality-score column needs before
+    * thresholding across heterogeneous sources (mean/stddev move with
+    * the outliers they're supposed to catch; median and MAD don't).
+    * Emits m (group median), mad (median of |x − m|), robust_z =
+    * (x − m) / (1.4826·mad) and is_outlier = |robust_z| > `zCut`.
+    * A group whose MAD is 0 (over half the values identical) gets NULL
+    * z — flagging everything off-median there would be noise, and the
+    * caller sees the degenerate spread in the mad column.
+    *
+    * Scale shape: two exact-percentile aggregations on the group key
+    * (the q10 proven pattern — `percentile` ↔ DuckDB `quantile_cont`)
+    * joined back; both one-row-per-group tables broadcast under AQE, so
+    * the fact side shuffles zero times. At heavy-hitter group sizes swap
+    * `percentile` for `percentile_approx` (the q69 escape hatch). */
+  def robustZ(df: DataFrame, valueCol: String, keys: Seq[String],
+      zCut: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.filter(v.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(percentile(v, lit(0.5)).as("m"))
+    val mad = df.join(med, keys)
+      .filter(v.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(percentile(abs(v - col("m")), lit(0.5)).as("mad"))
+    df.join(med, keys, "left").join(mad, keys, "left")
+      .withColumn("robust_z",
+        when(col("mad") > 0, (v - col("m")) / (col("mad") * lit(1.4826))))
+      .withColumn("is_outlier",
+        when(col("robust_z").isNotNull, abs(col("robust_z")) > lit(zCut)))
+  }
+
   /** Join-key skew profile: the top-k heaviest keys of `keyCol` with
     * each key's share of all rows and its ratio to the MEAN key load
     * (ratio ≫ 1 ⇒ that key hot-spots a hash-partitioned join; the

@@ -140,4 +140,31 @@ object Mixing {
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-ES:
+    * each row draws u = md5-uniform(id) ∈ (0, 1) and keeps the k largest
+    * u^(1/w) — equivalently the k largest ln(u)/w, the form used here
+    * (one ln, no pow; the transform is monotone so the selected set is
+    * identical). Inclusion probability is proportional to weight in the
+    * without-replacement sense of A-ES; the draw is the library's
+    * standing md5 uniform, so the sample is reproducible across runs,
+    * engines and cluster layouts. Rows with weight ≤ 0 or NULL never
+    * sample. Returns the k rows with `es_key` (ln(u)/w rounded to 9
+    * decimals — ln() differs by 1 ulp across libm implementations, the
+    * proven q42 discipline; ordering uses the ROUNDED key with id as the
+    * tie-break so both engines cut the same boundary).
+    *
+    * Scale shape: map-only key computation + TakeOrdered top-k (per-
+    * partition heaps merged on the driver, O(k) state — never a global
+    * sort); nothing data-sized moves. */
+  def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val u = TextStats.hashUniform(col(idCol))
+    df.withColumn("weight", weightCol.cast("double"))
+      .filter(col("weight") > 0)
+      .withColumn("es_key", round(log(u) / col("weight"), 9))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

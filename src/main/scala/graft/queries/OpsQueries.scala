@@ -2769,7 +2769,102 @@ object OpsQueries {
               |  (SELECT count(*) FROM found)::BIGINT AS n_found,
               |  (SELECT n FROM hit)::BIGINT AS n_hit,
               |  (SELECT n FROM hit)::DOUBLE
-              |    / (SELECT count(*) FROM truth)::DOUBLE AS recall""".stripMargin)))
+              |    / (SELECT count(*) FROM truth)::DOUBLE AS recall""".stripMargin)),
+
+    // ─── KL / PSI drift (log-scaled complement of q127's chi2) ──────────
+    // Same snapshot split as q127 so the two metrics are directly
+    // comparable on the same drift; contributions round to 9 decimals
+    // BEFORE the fold (ln() is 1-ulp engine-dependent — q42 discipline).
+    "q137_drift_kl" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        Drift.klDrift(docs.filter($"doc_id" % 2 === 0),
+            docs.filter($"doc_id" % 2 === 1), "lang")
+          .orderBy($"category")
+      },
+      Some("""WITH r AS (SELECT lang AS category, count(*) AS n_ref
+             |           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+             |c AS (SELECT lang AS category, count(*) AS n_cur
+             |      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+             |j AS (SELECT coalesce(r.category, c.category) AS category,
+             |        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+             |      FROM r FULL OUTER JOIN c ON r.category = c.category),
+             |t AS (SELECT *,
+             |        n_ref::DOUBLE / (SELECT sum(n_ref) FROM j)::DOUBLE AS p_ref,
+             |        n_cur::DOUBLE / (SELECT sum(n_cur) FROM j)::DOUBLE AS p_cur
+             |      FROM j),
+             |x AS (SELECT *,
+             |        CASE WHEN n_ref > 0 AND n_cur > 0
+             |             THEN round(p_cur * ln(p_cur / p_ref), 9) END AS kl_contrib,
+             |        CASE WHEN n_ref > 0 AND n_cur > 0
+             |             THEN round((p_cur - p_ref) * ln(p_cur / p_ref), 9) END AS psi_contrib
+             |      FROM t),
+             |tk AS (SELECT list_reduce(
+             |          list_transform(
+             |            list_sort(list(struct_pack(category := category,
+             |                contrib := kl_contrib)) FILTER (WHERE kl_contrib IS NOT NULL)),
+             |            s2 -> s2.contrib),
+             |          (a, b) -> a + b) AS kl FROM x),
+             |tp AS (SELECT list_reduce(
+             |          list_transform(
+             |            list_sort(list(struct_pack(category := category,
+             |                contrib := psi_contrib)) FILTER (WHERE psi_contrib IS NOT NULL)),
+             |            s2 -> s2.contrib),
+             |          (a, b) -> a + b) AS psi FROM x)
+             |SELECT x.category, x.n_ref::BIGINT AS n_ref, x.n_cur::BIGINT AS n_cur,
+             |  x.p_ref, x.p_cur, x.kl_contrib, x.psi_contrib, tk.kl, tp.psi
+             |FROM x CROSS JOIN tk CROSS JOIN tp ORDER BY x.category""".stripMargin)),
+
+    // ─── Efraimidis–Spirakis weighted sample without replacement ────────
+    // Weight = document length: inclusion ∝ length in the A-ES
+    // without-replacement sense; the md5 draw makes the sample an engine-
+    // independent pure function of the corpus.
+    "q138_weighted_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.weightedSampleTopK(
+            Tables.documents(s, dir).select($"doc_id", $"text"),
+            "doc_id", length($"text"), k = 50)
+          .select($"doc_id", $"weight", $"es_key")
+          .orderBy($"es_key".desc, $"doc_id".asc)
+      },
+      Some("""WITH w AS (SELECT doc_id, length(text)::DOUBLE AS weight,
+             |    round(ln(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE
+             |             / 1152921504606846976.0) / length(text)::DOUBLE, 9) AS es_key
+             |  FROM documents WHERE length(text) > 0)
+             |SELECT doc_id, weight, es_key FROM w
+             |ORDER BY es_key DESC, doc_id ASC LIMIT 50""".stripMargin)),
+
+    // ─── robust (median/MAD) per-group standardization ──────────────────
+    "q139_robust_z" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Drift.robustZ(
+            Tables.lineitem(s, dir)
+              .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+                $"l_extendedprice".cast("double").as("price")),
+            "price", Seq("l_returnflag"))
+          .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+            round($"m", 9).as("m"), round($"mad", 9).as("mad"),
+            round($"robust_z", 9).as("robust_z"), $"is_outlier")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             |              l_extendedprice::DOUBLE AS price FROM lineitem),
+             |med AS (SELECT l_returnflag, quantile_cont(price, 0.5) AS m
+             |        FROM li GROUP BY 1),
+             |mad AS (SELECT li.l_returnflag, quantile_cont(abs(price - m), 0.5) AS mad
+             |        FROM li JOIN med USING (l_returnflag) GROUP BY 1)
+             |SELECT l_orderkey, l_linenumber, li.l_returnflag,
+             |  round(m, 9) AS m, round(mad.mad, 9) AS mad,
+             |  round(CASE WHEN mad.mad > 0
+             |        THEN (price - m) / (mad.mad * 1.4826::DOUBLE) END, 9) AS robust_z,
+             |  CASE WHEN mad.mad > 0
+             |       THEN abs((price - m) / (mad.mad * 1.4826::DOUBLE)) > 3.0::DOUBLE
+             |       END AS is_outlier
+             |FROM li JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

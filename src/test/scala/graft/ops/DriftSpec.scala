@@ -45,6 +45,58 @@ class DriftSpec extends SparkSpec {
     assert(rows.map(_._3).distinct.size == 1, "total repeated on every row")
   }
 
+  test("klDrift: identical distributions give kl = psi = 0") {
+    val a = Seq("x", "x", "y").toDF("c")
+    val out = Drift.klDrift(a, a, "c")
+      .select($"kl", $"psi").as[(Double, Double)].collect()
+    assert(out.forall(_ == ((0.0, 0.0))))
+  }
+
+  test("klDrift: one-sided categories excluded from totals, psi >= 0") {
+    val ref = Seq("x", "x", "y", "y").toDF("c")
+    val cur = Seq("x", "y", "y", "z").toDF("c") // z new, x shrank
+    val rows = Drift.klDrift(ref, cur, "c")
+      .orderBy($"category")
+      .select($"category", $"kl_contrib", $"psi_contrib", $"kl", $"psi")
+      .as[(String, Option[Double], Option[Double], Double, Double)].collect()
+    val z = rows.find(_._1 == "z").get
+    assert(z._2.isEmpty && z._3.isEmpty, "new category must have NULL contribs")
+    // manual: x p_ref=.5 p_cur=.25 kl=.25·ln(.5); y p=.5 both -> 0
+    val klX = BigDecimal(0.25 * math.log(0.25 / 0.5))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(rows.head._4 - klX) < 1e-12)
+    assert(rows.forall(_._5 >= 0.0), "psi terms share a sign; total >= 0")
+    assert(rows.map(_._4).distinct.size == 1, "total repeated on every row")
+  }
+
+  test("robustZ: median/MAD per group, zero-MAD group gets NULL z") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+      ("b", 7.0), ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val rows = Drift.robustZ(df, "v", Seq("g"))
+      .select($"g", $"v", $"m", $"mad", $"robust_z")
+      .as[(String, Double, Double, Double, Option[Double])].collect()
+    val b = rows.filter(_._1 == "b")
+    assert(b.forall(r => r._3 == 7.0 && r._4 == 0.0 && r._5.isEmpty),
+      "constant group: MAD 0, z NULL")
+    val a100 = rows.find(r => r._1 == "a" && r._2 == 100.0).get
+    // a: m = 2.5, |v-m| = {1.5, .5, .5, 97.5} -> mad = 1.0
+    assert(a100._3 == 2.5 && a100._4 == 1.0)
+    assert(math.abs(a100._5.get - 97.5 / 1.4826) < 1e-9)
+  }
+
+  test("weightedSampleTopK: deterministic, respects k, excludes w <= 0") {
+    val df = (1L to 100L).map(i => (i, if (i % 10 == 0) 0.0 else i.toDouble))
+      .toDF("id", "w")
+    val s1 = Mixing.weightedSampleTopK(df, "id", $"w", 20)
+      .select($"id").as[Long].collect().toSeq
+    val s2 = Mixing.weightedSampleTopK(df, "id", $"w", 20)
+      .select($"id").as[Long].collect().toSeq
+    assert(s1 == s2, "sample is a pure function of ids and weights")
+    assert(s1.size == 20 && s1.forall(_ % 10 != 0), "zero-weight rows never sample")
+    // heavier ids should dominate: the top-20 median id sits well above 50
+    assert(s1.map(_.toDouble).sorted.apply(10) > 50.0)
+  }
+
   test("keySkew reports share and mean-load ratio for the hot key") {
     // 6 rows of 'hot', 1 each of 'a','b' -> hot share 6/8, ratio 6*3/8
     val df = (Seq.fill(6)("hot") ++ Seq("a", "b")).toDF("k")
