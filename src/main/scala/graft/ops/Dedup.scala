@@ -122,24 +122,33 @@ object Dedup {
     // persist so the shingle + md5 base-hash expressions evaluate once.
     // Hashing runs through the primitive-loop kernels (HashOps) — same
     // values as the transform-lambda forms, no per-element boxing.
-    val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
-      .withColumn("__hs", graft.functions.HashOps.md5Prefix60Array(col("__sh")))
+    // Only the HASH array persists (8 bytes/shingle, not the ~20-char
+    // strings), sorted ONCE per document: the signature is min-over-set
+    // (order-independent) and the verify step's two-pointer merge kernel
+    // needs sorted-distinct inputs (`shingles` is distinct by
+    // construction; hash-set identity == string-set identity is the
+    // library's standing 60-bit contract, oracle-gated per corpus).
+    val withSh = df.select(col(idCol).as("__id"),
+        array_sort(graft.functions.HashOps.md5Prefix60Array(
+          shingles(col(textCol), shingleK))).as("__hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBands = withSh
       .withColumn("__sig", graft.functions.HashOps.minhashSigFast(col("__hs"), numHashes))
-      .select(col("__id"), col("__sh"),
+      .select(col("__id"),
         explode(bandKeys(col("__sig"), numHashes, bands)).as("__b"))
-      .select(col("__id"), col("__sh"), col("__b.band").as("__band"), col("__b.key").as("__key"))
+      .select(col("__id"), col("__b.band").as("__band"), col("__b.key").as("__key"))
     val a = withBands.select(col("__id").as("id_a"), col("__band"), col("__key"))
     val b = withBands.select(col("__id").as("id_b"), col("__band"), col("__key"))
     val cand = a.join(b, Seq("__band", "__key")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val shA = withSh.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val shB = withSh.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    val shA = withSh.select(col("__id").as("id_a"), col("__hs").as("__hs_a"))
+    val shB = withSh.select(col("__id").as("id_b"), col("__hs").as("__hs_b"))
     cand.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))) /
-          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .withColumn("__inter", graft.functions.HashOps.sortedIntersectCount(
+        col("__hs_a"), col("__hs_b")))
+      // |A∪B| = |A| + |B| − |A∩B| on distinct sets — no union array built
+      .withColumn("jaccard", col("__inter") /
+        (size(col("__hs_a")) + size(col("__hs_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -627,30 +636,36 @@ object Dedup {
   def newAgainstCorpus(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 16, bands: Int = 8,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // band rows carry the sorted HASH array (8 bytes/shingle), never the
+    // shingle strings — the band explode duplicates the carried column
+    // `bands`× into the bucket-join shuffle, so its width is the dominant
+    // shuffle cost; the verify is the two-pointer merge kernel over the
+    // sorted-distinct arrays (the minhashPairs/prefixJaccardPairs shape)
     def prep(df: DataFrame): DataFrame = df
       .withColumn("__h", md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
-      .withColumn("__sh", shingles(col(textCol), shingleK))
-      .withColumn("__hs", graft.functions.HashOps.md5Prefix60Array(col("__sh")))
+      .withColumn("__hs", array_sort(graft.functions.HashOps.md5Prefix60Array(
+        shingles(col(textCol), shingleK))))
       .withColumn("__sig", graft.functions.HashOps.minhashSigFast(col("__hs"), numHashes))
     def bandRows(df: DataFrame): DataFrame = df
-      .select(col(idCol), col("__sh"),
+      .select(col(idCol), col("__hs"),
         explode(bandKeys(col("__sig"), numHashes, bands)).as("__b"))
-      .select(col(idCol), col("__sh"), col("__b.band").as("__band"), col("__b.key").as("__key"))
+      .select(col(idCol), col("__hs"), col("__b.band").as("__band"), col("__b.key").as("__key"))
     val b = prep(batch).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c = prep(corpus)
     // stage 1: exact content match anywhere in the corpus
     val afterExact = b.join(c.select(col("__h")), Seq("__h"), "left_anti")
     // stage 2: near-dup candidates via shared band keys, verified exactly
     val candIds = bandRows(afterExact)
-      .join(bandRows(c).select(col("__band"), col("__key"), col("__sh").as("__sh_c")),
+      .join(bandRows(c).select(col("__band"), col("__key"), col("__hs").as("__hs_c")),
         Seq("__band", "__key"))
-      .withColumn("__j",
-        size(array_intersect(col("__sh"), col("__sh_c"))) /
-          size(array_union(col("__sh"), col("__sh_c"))))
+      .withColumn("__inter", graft.functions.HashOps.sortedIntersectCount(
+        col("__hs"), col("__hs_c")))
+      .withColumn("__j", col("__inter") /
+        (size(col("__hs")) + size(col("__hs_c")) - col("__inter")))
       .filter(col("__j") >= threshold)
       .select(col(idCol)).distinct()
     afterExact.join(candIds, Seq(idCol), "left_anti")
-      .drop("__h", "__sh", "__hs", "__sig")
+      .drop("__h", "__hs", "__sig")
   }
 
   /** Sub-document (CCNet-style paragraph/line) dedup: split every
@@ -713,4 +728,47 @@ object Dedup {
         count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg")), " ").as("clean_text"))
+
+  /** STRIDE-1 repeated-window statistics: for every document, how many of
+    * its `L`-token sliding windows occur more than once ANYWHERE in the
+    * corpus (including elsewhere in the same document) → (id, n_windows,
+    * n_repeated, repeat_frac). This is the measurement half of exact
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22): high repeat_frac docs are
+    * the memorization-risk tail that doc-level Jaccard (stride-L q92
+    * segments, LSH pairs) under-counts, because overlapping windows catch
+    * repeats at ANY alignment, not just segment-aligned ones.
+    *
+    * Scale shape: the window explode is map-only off a MATERIALIZED token
+    * array (the token split must not sit inside the window lambda —
+    * lambda bodies are exempt from subexpression elimination, so an
+    * inlined split would re-tokenize per window); windows carry 8-byte
+    * 60-bit hashes, never the window strings; ONE partial-combining count
+    * shuffle on the md5-uniform hash + one join back + a per-doc agg.
+    * Docs shorter than L tokens have zero windows and report 0/0/0.0. */
+  def repeatedWindowStats(df: DataFrame, idCol: String, textCol: String,
+      L: Int = 8): DataFrame = {
+    require(L >= 1, s"window length must be >= 1, got $L")
+    val wins = df
+      .withColumn("__tk", split(col(textCol), " "))
+      .withColumn("__nw", greatest(size(col("__tk")) - (L - 1), lit(0)))
+      .select(col(idCol),
+        explode(when(col("__nw") > 0,
+          transform(sequence(lit(0), col("__nw") - 1),
+            i => baseHash(array_join(slice(col("__tk"), i + 1, lit(L)), " "))))
+          .otherwise(array().cast("array<long>"))).as("__h"))
+    val counts = wins.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+    val perDoc = wins.join(counts, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("__n") > 1, lit(1))).as("n_repeated"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_windows", coalesce(col("n_windows"), lit(0L)))
+      .withColumn("n_repeated", coalesce(col("n_repeated"), lit(0L)))
+      .withColumn("repeat_frac",
+        when(col("n_windows") > 0,
+          col("n_repeated").cast("double") / col("n_windows").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -447,6 +447,49 @@ object Similarity {
     * exploded corpus; the centroid table (groups × dims values) broadcasts
     * back. The cosine here is the lambda form, not `CosineSimExpr`: the
     * centroid is array<double> and the loop kernel is float-specialized. */
+  /** Per-DIMENSION standardization of an embedding column: each dimension
+    * is shifted/scaled to corpus mean 0, std 1 — the preprocessing that
+    * keeps one high-variance dimension from dominating L2/cosine
+    * neighborhoods (and the whitening step before PQ/IVF training).
+    * Returns the input plus `norm_vec` (array<double>). A zero-variance
+    * dimension standardizes to 0.0 (it carries no information; ±∞ would
+    * poison every downstream distance).
+    *
+    * Determinism: the per-dimension Σv and Σv² run in 2^40 FIXED-POINT
+    * decimal (the q80 centroid discipline — exact exponent shift, integer
+    * sums order-independent); mean/std/normalized values then derive
+    * through the same left-to-right IEEE chain in any engine (sqrt is
+    * correctly rounded by the standard, so it is cross-engine exact).
+    *
+    * Scale shape: the posexplode is map-only and the per-dim aggregation
+    * partial-combines (shuffle carries dims × partitions partial sums);
+    * the dims-row stats table folds to ONE row (means/stds arrays) and
+    * broadcasts back — the vector side never shuffles. */
+  def standardizeDims(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val fix = (1L << 40).toDouble
+    val v = col("__v").cast("double")
+    val perDim = emb.select(posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("__pos"))
+      .agg(
+        (sum(round(v * fix).cast("decimal(20,0)")).cast("double") / fix
+          / count(lit(1))).as("__mean"),
+        (sum(round(v * v * fix).cast("decimal(20,0)")).cast("double") / fix
+          / count(lit(1))).as("__m2"))
+      .withColumn("__std", sqrt(col("__m2") - col("__mean") * col("__mean")))
+    val stats = perDim.agg(
+      transform(sort_array(collect_list(struct(col("__pos"), col("__mean")))),
+        s => s.getField("__mean")).as("__means"),
+      transform(sort_array(collect_list(struct(col("__pos"), col("__std")))),
+        s => s.getField("__std")).as("__stds"))
+    emb.crossJoin(broadcast(stats))
+      .withColumn("norm_vec", zip_with(col(vecCol),
+        zip_with(col("__means"), col("__stds"), (m, sd) => struct(m.as("m"), sd.as("sd"))),
+        (x, ms) => when(ms.getField("sd") > 0,
+          (x.cast("double") - ms.getField("m")) / ms.getField("sd"))
+          .otherwise(lit(0.0))))
+      .drop("__means", "__stds")
+  }
+
   def centroidSim(emb: DataFrame, idCol: String, vecCol: String,
       groupCol: String): DataFrame = {
     val fix = (1L << 40).toDouble

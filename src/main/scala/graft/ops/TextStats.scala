@@ -427,6 +427,27 @@ object TextStats {
       regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
       "[0-9]+", "<NUM>")
 
+  /** Luhn mod-10 checksum validity of a fixed-length digit string — the
+    * checksum that separates a REAL payment-card number from an arbitrary
+    * 16-digit run, which is the difference between redacting credit cards
+    * and redacting every phone number and order id in the corpus. Pure
+    * integer expression (digit at i, doubled on alternate positions from
+    * the right, 9-subtracted past 9, sum mod 10) — engine-exact, no
+    * floating point anywhere. Non-digit characters make the ANSI cast
+    * throw by design: validate shape with a regexp filter first. */
+  def luhnValid(digits: Column, len: Int): Column = {
+    require(len >= 2, s"luhn needs at least 2 digits, got $len")
+    val total = aggregate(sequence(lit(0), lit(len - 1)), lit(0), (acc, i) => {
+      val d = digits.substr(i + 1, lit(1)).cast("int")
+      // double every second digit counting from the RIGHT; for even len
+      // that is even i (0-based from the left)
+      val parity = if (len % 2 == 0) 0 else 1
+      acc + when(i % 2 === parity, when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+        .otherwise(d)
+    })
+    total % 10 === 0
+  }
+
   /** Content fingerprint: md5 of the sorted distinct token set (order- and
     * repetition-insensitive), plus a 60-bit integer bucket of it. */
   def fingerprint(text: Column): Column =

@@ -2864,7 +2864,82 @@ object OpsQueries {
              |       THEN abs((price - m) / (mad.mad * 1.4826::DOUBLE)) > 3.0::DOUBLE
              |       END AS is_outlier
              |FROM li JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)))
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ─── per-dimension embedding standardization (ANN preprocessing) ────
+    // Gated per (vec_id, dim) row — the checker's value hashing is
+    // row-scalar, so the vector op explodes its output for the gate.
+    "q140_standardize_dims" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.standardizeDims(Tables.embeddings(s, dir), "vec_id", "embedding")
+          .select($"vec_id", posexplode($"norm_vec").as(Seq("pos", "nv")))
+          .orderBy($"vec_id", $"pos")
+      },
+      Some("""WITH x AS (SELECT CAST(i AS INTEGER) AS pos, embedding[i+1]::DOUBLE AS v
+             |        FROM embeddings CROSS JOIN range(64) t(i)),
+             |st AS (SELECT pos,
+             |        CAST(sum(CAST(round(v * (1099511627776::DOUBLE)) AS BIGINT)) AS DOUBLE)
+             |          / (1099511627776::DOUBLE) / count(*) AS mean,
+             |        CAST(sum(CAST(round(v * v * (1099511627776::DOUBLE)) AS BIGINT)) AS DOUBLE)
+             |          / (1099511627776::DOUBLE) / count(*) AS m2
+             |      FROM x GROUP BY 1),
+             |s2 AS (SELECT pos, mean, sqrt(m2 - mean * mean) AS sd FROM st)
+             |SELECT vec_id, pos,
+             |  CASE WHEN sd > 0 THEN (embedding[pos+1]::DOUBLE - mean) / sd
+             |       ELSE 0.0::DOUBLE END AS nv
+             |FROM embeddings CROSS JOIN range(64) t(i)
+             |JOIN s2 ON s2.pos = CAST(i AS INTEGER)
+             |ORDER BY vec_id, pos""".stripMargin)),
+
+    // ─── stride-1 repeated-window stats (exact-substring-dedup signal) ──
+    "q141_repeated_windows" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.repeatedWindowStats(Tables.documents(s, dir), "doc_id", "text", L = 8)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |w AS (SELECT doc_id,
+             |        ('0x'||substr(md5(array_to_string(list_slice(tk, i+1, i+8), ' ')),1,15))::BIGINT AS h
+             |      FROM (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS i
+             |            FROM d WHERE len(tk) >= 8)),
+             |c AS (SELECT h, count(*) AS n FROM w GROUP BY 1),
+             |p AS (SELECT doc_id, count(*) AS n_windows,
+             |        count(*) FILTER (WHERE n > 1) AS n_repeated
+             |      FROM w JOIN c USING (h) GROUP BY 1)
+             |SELECT d.doc_id, coalesce(n_windows, 0)::BIGINT AS n_windows,
+             |  coalesce(n_repeated, 0)::BIGINT AS n_repeated,
+             |  CASE WHEN coalesce(n_windows, 0) > 0
+             |       THEN n_repeated::DOUBLE / n_windows::DOUBLE
+             |       ELSE 0.0::DOUBLE END AS repeat_frac
+             |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    // ─── Luhn mod-10 audit (PII: card-shaped vs checksum-valid) ─────────
+    // Candidates derive deterministically from doc_id so the gate
+    // exercises both outcomes of the checksum on table data.
+    "q142_luhn_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            lpad(($"doc_id" * 48271L % 10000000000L).cast("string"), 16, "0")
+              .as("cand"))
+          .withColumn("luhn_valid", TextStats.luhnValid($"cand", 16))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH cand AS (SELECT doc_id,
+             |    lpad(CAST(doc_id * 48271 % 10000000000 AS VARCHAR), 16, '0') AS cand
+             |  FROM documents)
+             |SELECT doc_id, cand,
+             |  list_sum(list_transform(range(0, 16), i ->
+             |    CASE WHEN i % 2 = 0
+             |         THEN CASE WHEN CAST(substr(cand, i+1, 1) AS INTEGER) * 2 > 9
+             |                   THEN CAST(substr(cand, i+1, 1) AS INTEGER) * 2 - 9
+             |                   ELSE CAST(substr(cand, i+1, 1) AS INTEGER) * 2 END
+             |         ELSE CAST(substr(cand, i+1, 1) AS INTEGER) END)) % 10 = 0
+             |    AS luhn_valid
+             |FROM cand ORDER BY doc_id""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -202,4 +202,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "pair counting lost its map-side partial phase:\n" + p.take(1200))
   }
+
+  test("near-dup verify runs the merge kernel, never array_intersect") {
+    // the two-pointer sorted_intersect_count kernel must be the verify
+    // expression in BOTH exact-prefix and LSH pair paths — a regression
+    // to array_intersect rebuilds a hash set + materializes the
+    // intersection array per candidate pair
+    Seq("q25_minhash_pairs", "q108_prefix_jaccard").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("sorted_intersect_count"),
+        s"$q verify lost the merge kernel:\n" + p.take(1200))
+      assert(!p.contains("array_intersect"),
+        s"$q verify fell back to array_intersect:\n" + p.take(1200))
+    }
+  }
+
+  test("weighted sample plans TakeOrdered, never a global sort") {
+    val p = plan("q138_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "no TakeOrderedAndProject in q138 plan:\n" + p.take(1200))
+  }
 }

@@ -103,6 +103,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.planeWeight(3, 17) == Similarity.planeWeight(3, 17))
     assert((0 until 64).exists(i => Similarity.planeWeight(0, i) != Similarity.planeWeight(1, i)))
   }
+
+  test("standardizeDims: unit mean/std per dimension, zero-variance dim -> 0") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 5.0f)), (2L, Seq(3.0f, 5.0f)), (3L, Seq(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.standardizeDims(emb, "vec_id", "embedding")
+      .select($"vec_id", $"norm_vec").as[(Long, Seq[Double])].collect()
+      .sortBy(_._1)
+    // dim 0: mean 3, std sqrt(8/3); dim 1 constant -> all 0.0
+    val sd = math.sqrt(8.0 / 3.0)
+    assert(out.map(_._2(1)).toSeq == Seq(0.0, 0.0, 0.0))
+    assert(math.abs(out(0)._2(0) - (-2.0 / sd)) < 1e-12)
+    assert(math.abs(out(1)._2(0)) < 1e-9)
+    assert(math.abs(out(2)._2(0) - 2.0 / sd) < 1e-12)
+  }
 }
 
 class TextStatsSpec extends SparkSpec {
@@ -148,6 +163,27 @@ class TextStatsSpec extends SparkSpec {
     val fp = Seq("b a a b", "a b").toDF("s")
       .select(TextStats.fingerprint($"s")).as[String].collect()
     assert(fp(0) == fp(1))
+  }
+
+  test("luhnValid: known-valid and known-invalid 16-digit numbers") {
+    // 4532015112830366 is a standard Luhn-valid test number; +1 breaks it
+    val got = Seq("4532015112830366", "4532015112830367", "0000000000000000")
+      .toDF("s").select(TextStats.luhnValid($"s", 16)).as[Boolean].collect()
+    assert(got.toSeq == Seq(true, false, true))
+  }
+
+  test("repeatedWindowStats: planted repeat counted at every alignment, short docs 0/0") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // windows(3): abc bcd cde def
+      (2L, "x y a b c d q"),// windows: xya yab abc bcd cdq... abc,bcd shared with doc 1
+      (3L, "p q")           // too short -> 0 windows
+    ).toDF("doc_id", "text")
+    val r = Dedup.repeatedWindowStats(docs, "doc_id", "text", L = 3)
+      .select($"doc_id", $"n_windows", $"n_repeated", $"repeat_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 4L, 2L, 0.5)))  // abc bcd repeated in doc 2
+    assert(r(1) == ((2L, 5L, 2L, 0.4)))
+    assert(r(2) == ((3L, 0L, 0L, 0.0)))
   }
 }
 
