@@ -141,6 +141,39 @@ object Mixing {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** The oversized-stratum escape hatch `quantileCalibrate` documents:
+    * instead of rank-sorting every row of a stratum, calibrate against a
+    * deterministic md5-SAMPLE of it. Each row's `calibrated` value is the
+    * empirical-CDF estimate P(X < x) over its stratum's sample: the
+    * fraction of sampled (score, id) pairs lexicographically below the
+    * row's own (ties break by id, so the estimate is exact on ties).
+    * A stratum with no sampled row calibrates to NULL — no information,
+    * and silently emitting 0.5 would bias a downstream threshold.
+    *
+    * Scale shape: the sample is a map-side filter (fraction of the
+    * corpus); per-stratum sorted sample arrays broadcast back (callers
+    * size `fraction` so strata-samples fit a broadcast — that is the
+    * contract that makes this the big-stratum path); each row then does
+    * an O(sample) in-memory count — no rank shuffle anywhere. Estimate
+    * error is the standard DKW ~1/√(sample size) bound. */
+  def quantileCalibrateSampled(df: DataFrame, idCol: String,
+      stratumCol: String, scoreCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
+    val s = col(scoreCol).cast("double")
+    val smp = df.filter(TextStats.hashUniform(col(idCol)) < fraction)
+      .groupBy(col(stratumCol))
+      .agg(sort_array(collect_list(
+        struct(s.as("s"), col(idCol).as("i")))).as("__smp"))
+    df.join(broadcast(smp), Seq(stratumCol), "left")
+      .withColumn("calibrated",
+        when(col("__smp").isNotNull,
+          size(filter(col("__smp"), e =>
+            e.getField("s") < s ||
+              (e.getField("s") === s && e.getField("i") < col(idCol))))
+            .cast("double") / size(col("__smp")).cast("double")))
+      .drop("__smp")
+  }
+
   /** Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-ES:
     * each row draws u = md5-uniform(id) ∈ (0, 1) and keeps the k largest
     * u^(1/w) — equivalently the k largest ln(u)/w, the form used here

@@ -80,6 +80,51 @@ object TextStats {
         array_join(slice(toks, w * stride + 1, lit(chunk)), " ").as("chunk_text")))
   }
 
+  /** CONTENT-DEFINED chunking: chunk boundaries fall after token p
+    * whenever the 60-bit hash of the k-gram ENDING at p is ≡ 0 (mod m) —
+    * the rolling-boundary idea behind rsync/LBFS/restic chunking, applied
+    * to token streams. Unlike fixed windows (`chunkTokens`), boundaries
+    * are a pure function of LOCAL content: inserting a paragraph shifts
+    * every fixed window after it (re-chunking the whole document and
+    * defeating downstream chunk-level dedup), while content-defined
+    * boundaries re-align within ~k tokens of the edit. Expected chunk
+    * length ≈ m tokens; a doc with no boundary hash is one chunk.
+    *
+    * Returns one row per chunk (id, chunk_idx, chunk_text, n_toks).
+    * Map-only — chunking 100 TB is an embarrassingly parallel scan; the
+    * token array is MATERIALIZED before the per-position lambdas (lambda
+    * bodies are exempt from subexpression elimination — an inlined split
+    * would re-tokenize per position). */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, m: Int = 8): DataFrame = {
+    require(k >= 1 && m >= 1, s"need k >= 1 and m >= 1, got k=$k m=$m")
+    val tk = col("__tk")
+    val n = size(tk)
+    val out = df
+      .withColumn("__tk", split(col(textCol), " "))
+      // candidate cut positions p ∈ [k, n-1] (1-based; never after the
+      // last token — the end is an implicit boundary). sequence() counts
+      // DOWN when start > stop, so the degenerate short-doc case must be
+      // an explicit empty array, not sequence(k, n-1)
+      .withColumn("__cuts",
+        when(n - 1 >= k,
+          filter(sequence(lit(k), n - 1), p =>
+            graft.ops.Dedup.baseHash(
+              array_join(slice(tk, p - (k - 1), lit(k)), " ")) % m === 0))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(col("__cuts"), c => c + 1)))
+      .withColumn("__ends", concat(col("__cuts"), array(n)))
+      .select(col(idCol),
+        posexplode(zip_with(col("__starts"), col("__ends"), (s, e) =>
+          struct(array_join(slice(tk, s, e - s + 1), " ").as("chunk_text"),
+            (e - s + 1).cast("long").as("n_toks"))))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__c.chunk_text"), col("__c.n_toks"))
+    out
+  }
+
   /** Gopher-style composite quality gate: a document survives iff every
     * rule passes. Rules (each a published pre-training heuristic):
     *   - token count within [minTokens, maxTokens];

@@ -2939,7 +2939,67 @@ object OpsQueries {
              |                   ELSE CAST(substr(cand, i+1, 1) AS INTEGER) * 2 END
              |         ELSE CAST(substr(cand, i+1, 1) AS INTEGER) END)) % 10 = 0
              |    AS luhn_valid
-             |FROM cand ORDER BY doc_id""".stripMargin)))
+             |FROM cand ORDER BY doc_id""".stripMargin)),
+
+    // ─── content-defined chunking (rolling-hash boundaries) ─────────────
+    // Boundary after token p iff hash(k-gram ending at p) % m == 0 — the
+    // rsync/LBFS chunking idea on token streams: edit-local re-alignment
+    // that keeps chunk-level dedup effective under insertions, where
+    // fixed windows (q73) re-chunk the whole suffix.
+    "q143_cdc_chunks" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.contentDefinedChunks(Tables.documents(s, dir),
+            "doc_id", "text", k = 3, m = 8)
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |c AS (SELECT doc_id, tk,
+             |        list_filter(range(3, len(tk)), p ->
+             |          ('0x'||substr(md5(array_to_string(list_slice(tk, p-2, p), ' ')),1,15))::BIGINT % 8 = 0)
+             |          AS cuts
+             |      FROM d),
+             |sx AS (SELECT doc_id, tk,
+             |         list_prepend(1, list_transform(cuts, x -> x + 1)) AS starts,
+             |         list_append(cuts, len(tk)) AS ends
+             |       FROM c),
+             |x AS (SELECT doc_id, tk, starts, ends,
+             |        unnest(range(len(starts))) AS ci FROM sx)
+             |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+             |  array_to_string(list_slice(tk, starts[ci+1], ends[ci+1]), ' ') AS chunk_text,
+             |  (ends[ci+1] - starts[ci+1] + 1)::BIGINT AS n_toks
+             |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ─── sampled quantile calibration (q119's big-stratum escape hatch) ─
+    // Same cross-source score-comparability goal as q119, but against a
+    // deterministic md5-sample instead of a full per-stratum rank sort —
+    // the path a stratum takes when it outgrows executor sort memory.
+    // Score = length(text), chosen BECAUSE it ties heavily: the gate then
+    // pins the lexicographic (score, id) tie-break exactly.
+    "q144_calibrate_sampled" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.quantileCalibrateSampled(
+            Tables.documents(s, dir)
+              .select($"doc_id", $"lang", length($"text").as("score")),
+            "doc_id", "lang", "score", fraction = 0.3)
+          .select($"doc_id", $"lang", $"score".cast("double").as("score"),
+            $"calibrated")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH smp AS (SELECT lang,
+             |    list_sort(list(struct_pack(s := length(text)::DOUBLE, i := doc_id))) AS sm
+             |  FROM documents
+             |  WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE
+             |        / 1152921504606846976.0 < 0.3
+             |  GROUP BY lang)
+             |SELECT doc_id, lang, length(text)::DOUBLE AS score,
+             |  CASE WHEN sm IS NOT NULL THEN
+             |    len(list_filter(sm, e -> e.s < length(text)::DOUBLE
+             |      OR (e.s = length(text)::DOUBLE AND e.i < doc_id)))::DOUBLE
+             |    / len(sm)::DOUBLE END AS calibrated
+             |FROM documents LEFT JOIN smp USING (lang)
+             |ORDER BY doc_id""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -473,6 +473,30 @@ class MixingSpec extends SparkSpec {
     assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
     mixed.unpersist()
   }
+
+  test("quantileCalibrateSampled tracks the exact calibration within DKW error") {
+    val docs = Tables.documents(spark, sfTiny)
+      .select($"doc_id", $"lang", length($"text").as("score"))
+    val exact = Mixing.quantileCalibrate(docs, "doc_id", "lang", "score")
+      .select($"doc_id", $"calibrated".as("ex"))
+    val sampled = Mixing.quantileCalibrateSampled(docs, "doc_id", "lang", "score", 0.5)
+      .select($"doc_id", $"calibrated".as("sm"))
+    val joined = exact.join(sampled, "doc_id")
+      .select($"ex", $"sm").as[(Double, Option[Double])].collect()
+    assert(joined.forall(_._2.isDefined), "every stratum sampled at f=0.5")
+    val maxGap = joined.map { case (e, s) => math.abs(e - s.get) }.max
+    assert(maxGap < 0.25, s"sampled calibration drifted $maxGap from exact")
+  }
+
+  test("quantileCalibrateSampled: unsampled stratum calibrates to NULL, not a guess") {
+    // stratum 'z' has one row whose draw is above the tiny fraction
+    val df = Seq((1L, "a", 5.0), (2L, "a", 7.0), (3L, "z", 1.0))
+      .toDF("id", "g", "sc")
+    val fraction = 0.000001 // nothing samples
+    val out = Mixing.quantileCalibrateSampled(df, "id", "g", "sc", fraction)
+      .select($"calibrated").as[Option[Double]].collect()
+    assert(out.forall(_.isEmpty))
+  }
 }
 
 class LmScoreSpec extends SparkSpec {

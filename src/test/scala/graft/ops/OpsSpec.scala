@@ -165,6 +165,31 @@ class TextStatsSpec extends SparkSpec {
     assert(fp(0) == fp(1))
   }
 
+  test("contentDefinedChunks: concatenation reconstructs, boundaries are edit-local") {
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    // insert two tokens at the FRONT: every suffix chunk boundary should
+    // re-align (same k-grams -> same cuts), unlike fixed windows
+    val b = "x y " + a
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val rows = TextStats.contentDefinedChunks(docs, "doc_id", "text", k = 3, m = 4)
+      .select($"doc_id", $"chunk_idx", $"chunk_text")
+      .as[(Long, Int, String)].collect()
+    val ca = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val cb = rows.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(ca.mkString(" ") == a, "chunks must concatenate back to the text")
+    assert(cb.mkString(" ") == b)
+    // all chunks of a except the first are reproduced verbatim in b's set
+    assert(ca.tail.toSet.subsetOf(cb.toSet),
+      s"suffix chunks did not re-align after a front insertion:\n a=${ca.toSeq}\n b=${cb.toSeq}")
+  }
+
+  test("contentDefinedChunks: short doc is one chunk") {
+    val rows = TextStats.contentDefinedChunks(
+        Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"chunk_text").as[(Long, String)].collect()
+    assert(rows.toSet == Set((1L, "a b"), (2L, "")))
+  }
+
   test("luhnValid: known-valid and known-invalid 16-digit numbers") {
     // 4532015112830366 is a standard Luhn-valid test number; +1 breaks it
     val got = Seq("4532015112830366", "4532015112830367", "0000000000000000")
