@@ -11,14 +11,12 @@ package graft.queries
   * it is dropped; everything else passes through. */
 object BpeOracle {
 
-  /** One merge iteration: tokens CTE `t$i` → best pair `b$i` → merged
-    * tokens `t${i+1}`. */
-  private def iterCtes(i: Int): String =
-    s"""c$i AS (SELECT tk[x] AS a, tk[x+1] AS b, count(*) AS n
-       |        FROM (SELECT tk, unnest(range(1, len(tk))) AS x FROM t$i)
-       |        GROUP BY 1, 2),
-       |b$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
-       |p$i AS (SELECT doc_id, x, tk[x] AS tok, tk[x+1] AS nxt,
+  /** The greedy-replay half of one iteration: tokens CTE `t$i` + pair CTE
+    * `b$i` (one (a, b) row, learned or fixed) → merged tokens `t${i+1}`.
+    * Shared by the learner's oracle and the fixed-list encode oracle so
+    * the two gates can't diverge on the merge semantics. */
+  private def replayCtes(i: Int): String =
+    s"""p$i AS (SELECT doc_id, x, tk[x] AS tok, tk[x+1] AS nxt,
        |          CASE WHEN tk[x] = a AND tk[x+1] = b
        |               THEN 1 ELSE 0 END AS mt
        |        FROM (SELECT t.doc_id, t.tk, b.a, b.b,
@@ -37,6 +35,15 @@ object BpeOracle {
        |            FILTER (WHERE skp = 0) AS tk
        |        FROM e$i GROUP BY doc_id)""".stripMargin
 
+  /** One merge iteration: tokens CTE `t$i` → best pair `b$i` → merged
+    * tokens `t${i+1}`. */
+  private def iterCtes(i: Int): String =
+    s"""c$i AS (SELECT tk[x] AS a, tk[x+1] AS b, count(*) AS n
+       |        FROM (SELECT tk, unnest(range(1, len(tk))) AS x FROM t$i)
+       |        GROUP BY 1, 2),
+       |b$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
+       |${replayCtes(i)}""".stripMargin
+
   def sql(iters: Int): String = {
     val head = "t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)"
     val body = (0 until iters).map(iterCtes).mkString(",\n")
@@ -47,5 +54,29 @@ object BpeOracle {
        |$body
        |$out
        |ORDER BY iter""".stripMargin
+  }
+
+  /** A token as a DuckDB string expression; fused tokens contain the
+    * chr(1) separator, which has no literal spelling — splice it in. */
+  private def tokenLit(t: String): String =
+    t.split('\u0001').map(p => "'" + p.replace("'", "''") + "'")
+      .mkString(" || chr(1) || ")
+
+  /** Oracle for `ops.Bpe.applyMerges` with a FIXED merge list: the same
+    * greedy-replay CTEs as the learner's oracle (so the two gates share
+    * one definition of the merge semantics), but each iteration's "best
+    * pair" is the given rule instead of a learned one. Output:
+    * (doc_id, pos, token) of the fully encoded corpus. */
+  def encodeSql(merges: Seq[(String, String)]): String = {
+    val head = "t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)"
+    val body = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"""b$i AS (SELECT ${tokenLit(a)} AS a, ${tokenLit(b)} AS b),
+         |${replayCtes(i)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$body
+       |SELECT doc_id, CAST(x AS INTEGER) AS pos, tk[x+1] AS token
+       |FROM (SELECT doc_id, tk, unnest(range(len(tk))) AS x FROM t${merges.size})
+       |ORDER BY doc_id, pos""".stripMargin
   }
 }

@@ -2999,7 +2999,24 @@ object OpsQueries {
              |      OR (e.s = length(text)::DOUBLE AND e.i < doc_id)))::DOUBLE
              |    / len(sm)::DOUBLE END AS calibrated
              |FROM documents LEFT JOIN smp USING (lang)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ─── BPE ENCODE: apply a fixed merge list (q124's inference half) ───
+    // The rules exercise all three replay paths: a plain pair, the a==b
+    // run-parity case, and a CHAINED rule whose left side is a previously
+    // fused token. Oracle shares the learner oracle's replay CTEs.
+    "q145_bpe_encode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Bpe.applyMerges(Tables.documents(s, dir), "doc_id", "text",
+            Seq(("order", "fast"), ("order", "order"),
+              ("order\u0001fast", "order")))
+          .select($"doc_id", posexplode($"tokens").as(Seq("pos", "token")))
+          .orderBy($"doc_id", $"pos")
+      },
+      Some(BpeOracle.encodeSql(
+        Seq(("order", "fast"), ("order", "order"),
+          ("order\u0001fast", "order"))))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
