@@ -15,12 +15,21 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark rejects; read nanos
-    * as long and truncate to microseconds (matches a DuckDB/engine-side
-    * `CAST(ts AS TIMESTAMP)`). */
+  /** events.ts normalized to session-zone TIMESTAMP regardless of how the
+    * generator wrote it: TIMESTAMP(NANOS) (Spark rejects natively — read
+    * nanos as long, truncate to micros), TIMESTAMP_NTZ (micros, no zone —
+    * cast under the UTC session zone, value-preserving), or already LTZ.
+    * All three land on the same instants as DuckDB's `CAST(ts AS
+    * TIMESTAMP)` over the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-journey aggregates over an event stream: cohort retention and
+  * Markov transition matrices — the product-analytics twins of the
+  * reference's interval/key-player reports (its monthly import cohorts,
+  * `data_analysis_program.ipynb` interval tables), re-expressed over the
+  * generic `events` table.
+  *
+  * Both operators share the same 100 TB shape: ONE shuffle on the
+  * md5-uniform user key (window functions ride it), then a re-aggregation
+  * on a LOW-cardinality derived key ((cohort, week) / (src, dst)) whose
+  * partial aggregation combines map-side; the per-key result tables are
+  * O(weeks²) / O(event_types²) rows and broadcast back under AQE. The
+  * fact table is never shuffled twice on the same key.
+  */
+object Cohort {
+
+  /** Weekly cohort retention matrix: cohort = ISO week (Monday-truncated)
+    * of the user's first event; a user is "active at offset w" when they
+    * have any event in `[first_ts + w·7d, first_ts + (w+1)·7d)` (offsets
+    * are anchored on the user's own first event, so a cohort's week-0
+    * count is exactly its size). Emits one row per (cohort, week_offset)
+    * with active count, cohort size and the retention ratio.
+    *
+    * Offsets are computed on epoch MICROseconds with integer division —
+    * exact, engine-portable, and immune to DST/zone arithmetic (the
+    * session zone only enters through the Monday truncation, pinned to
+    * UTC by the session config). */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    val weekUs = 7L * 86400L * 1000000L
+    val active = events
+      .withColumn("__first", min(col(tsCol)).over(w))
+      .select(
+        date_format(date_trunc("week", col("__first")), "yyyy-MM-dd").as("cohort"),
+        ((unix_micros(col(tsCol)) - unix_micros(col("__first"))) / weekUs)
+          .cast("long").as("week_offset"),
+        col(userCol).as("__user"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct(col("__user")).as("active"))
+    val sizes = active.filter(col("week_offset") === 0)
+      .select(col("cohort"), col("active").as("cohort_size"))
+    active.join(sizes, Seq("cohort"))
+      .withColumn("retention",
+        col("active").cast("double") / col("cohort_size").cast("double"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for each observed (src → dst) adjacent pair (ordered by ts with the
+    * event-id tie-break), the transition count and row-normalized
+    * probability. The n/total division is two exact BIGINTs cast to
+    * double — bit-identical across engines. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(typeCol).as("src"),
+        lead(col(typeCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("src").agg(sum(col("n")).as("__tot"))
+    pairs.join(totals, Seq("src"))
+      .withColumn("p", col("n").cast("double") / col("__tot").cast("double"))
+      .drop("__tot")
+  }
+}
