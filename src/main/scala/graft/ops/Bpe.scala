@@ -32,30 +32,47 @@ object Bpe {
 
   /** Greedy left-to-right merge of adjacent (a, b) into one token.
     *
-    * Two exact implementations, picked by the pair's shape:
+    * Two exact LINEAR implementations, picked by the pair's shape:
     *  - a ≠ b (the overwhelmingly common case): matches can never sit at
     *    ADJACENT positions (position i+1 matching would need
     *    tok[i+1] = a = b), so greedy = "fuse every match, drop every
     *    position after a match" — two O(L) array transforms, no fold.
     *  - a = b: runs of equal tokens make matches overlap and greedy
-    *    becomes stateful (fuse every other position in a run); the O(L²)
-    *    accumulator fold handles it. Word-level pairs with a = b are a
-    *    vanishing fraction of real corpora, so the quadratic path almost
-    *    never runs — and the cutover is semantics-equivalent either way
-    *    (BpeSpec pins both). */
+    *    becomes stateful (fuse every other pair in a run). A
+    *    left-to-right NON-OVERLAPPING regex replace over the
+    *    space-joined token string IS that statefulness: java.util.regex
+    *    resumes scanning after each consumed match, so a run `a a a a`
+    *    fuses pairs (1,2) and (3,4) and `a a a` leaves the trailing `a`
+    *    — exactly reference-BPE greedy. One codegen'd O(L) pass
+    *    (replaces a round-4 accumulator fold whose per-element array
+    *    copy was O(L²): 196 s → sub-second on the sf0.1 bench).
+    *    Tokens are space-free by construction (they come from a
+    *    space-split; fused tokens use `sep` = U+0001), so the
+    *    join/split string round-trip is lossless; BpeSpec pins both
+    *    paths against each other. */
   private[ops] def mergeExpr(toks: Column, a: String, b: String,
       sep: String): Column =
-    if (a == b) mergeFold(toks, a, b, sep) else mergeLinear(toks, a, b, sep)
+    if (a == b) mergeRunParity(toks, a, sep) else mergeLinear(toks, a, b, sep)
 
-  private def mergeFold(toks: Column, a: String, b: String,
-      sep: String): Column =
-    aggregate(toks, array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 &&
-            element_at(acc, size(acc)) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(lit(a + sep + b))))
-          .otherwise(concat(acc, array(x))))
+  private def mergeRunParity(toks: Column, a: String, sep: String): Column =
+    when(toks.isNull || size(toks) === 0, toks).otherwise(
+      split(mergeString(concat_ws(" ", toks), a, a, sep), " "))
+
+  /** One merge rule over the space-joined token string: a single
+    * non-overlapping left-to-right regex replace (= greedy BPE, see
+    * `mergeExpr`). Boundaries are the LITERAL join space, not \s — a
+    * token may contain \n/\t (split only cuts on ' '), and \s would
+    * false-match inside it. (^| ) instead of a lookbehind:
+    * variable-length lookbehind is invalid in java.util.regex once `a`
+    * is a fused multi-token (contains sep). */
+  private def mergeString(s: Column, a: String, b: String,
+      sep: String): Column = {
+    val pattern = s"(^| )${java.util.regex.Pattern.quote(a)} " +
+      s"${java.util.regex.Pattern.quote(b)}(?= |$$)"
+    val replacement =
+      "$1" + java.util.regex.Matcher.quoteReplacement(a + sep + b)
+    regexp_replace(s, pattern, replacement)
+  }
 
   private def mergeLinear(toks: Column, a: String, b: String,
       sep: String): Column =
@@ -123,12 +140,24 @@ object Bpe {
   }
 
   /** Apply an ordered merge list to a corpus → (id, tokens) — the
-    * inference half: map-only, one fold per merge rule. */
+    * inference half: map-only, ONE codegen'd regexp pass per rule over
+    * the space-joined token STRING, split once at the end.
+    *
+    * String-level on purpose: an array-level rule chain references its
+    * input array several times, and Catalyst's CollapseProject inlines
+    * the previous rule's whole expression into EVERY reference — the
+    * tree grows ~6× per rule and three rules pushed q145 out of
+    * whole-stage codegen (196 s at sf0.1; sub-second here). Each
+    * regexp_replace references its input exactly once, so nesting stays
+    * linear in the rule count no matter how Catalyst collapses it.
+    * Semantics are identical (BpeSpec pins string vs array paths):
+    * java.util.regex's non-overlapping left-to-right replace IS greedy
+    * BPE for both the a ≠ b and the a = b run-parity case. */
   def applyMerges(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], sep: String = DefaultSep): DataFrame =
-    merges.foldLeft(
-      df.select(col(idCol), split(lower(col(textCol)), " ").as("tokens"))) {
-      case (acc, (a, b)) =>
-        acc.withColumn("tokens", mergeExpr(col("tokens"), a, b, sep))
+      merges: Seq[(String, String)], sep: String = DefaultSep): DataFrame = {
+    val merged = merges.foldLeft(lower(col(textCol))) {
+      case (acc, (a, b)) => mergeString(acc, a, b, sep)
     }
+    df.select(col(idCol), split(merged, " ").as("tokens"))
+  }
 }

@@ -21,6 +21,29 @@ class BpeSpec extends SparkSpec {
     assert(toks == Seq("a+b", "a+b", "b"))
   }
 
+  test("string-level applyMerges equals the array-level mergeExpr chain") {
+    // the q145 rule set (plain pair, a==b run parity, chained fused-left
+    // rule) over texts exercising runs, adjacency and regex metachars
+    val rules = Seq("a" -> "b", "a" -> "a", "a+b" -> "a")
+    val df = Seq(
+      (1L, "a b a b b"), (2L, "a a a a"), (3L, "a a a"),
+      (4L, "x a b a a y"), (5L, "a.b a b $1 \\q a"), (6L, ""),
+      (7L, "a b a"))
+      .toDF("id", "text")
+    val viaString = Bpe.applyMerges(df, "id", "text", rules, sep = "+")
+      .select($"id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    val viaArray = rules.foldLeft(
+        df.select($"id", org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower($"text"), " ").as("tokens"))) {
+        case (acc, (a, b)) =>
+          // localCheckpoint between rules keeps Catalyst from inlining —
+          // the array path stays the independently-evaluated baseline
+          acc.withColumn("tokens", Bpe.mergeExpr($"tokens", a, b, "+"))
+            .localCheckpoint()
+      }.select($"id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    assert(viaString == viaArray)
+  }
+
   test("learnMerges picks max count with lexicographic tie-break") {
     val df = Seq(
       (1L, "x y x y"),   // (x,y) twice + (y,x) once
