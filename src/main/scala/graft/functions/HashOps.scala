@@ -38,6 +38,17 @@ object HashOps {
   def md5Prefix60Array(a: Column): Column =
     GraftBridge.column(Md5Prefix60ArrayExpr(GraftBridge.expression(a)))
 
+  /** Seeded variant: element-wise md5("<seed>|<element>") prefix60 ==
+    * `Dedup.seededHash(seed, _)` element-wise. */
+  def md5Prefix60Array(a: Column, seed: Int): Column =
+    GraftBridge.column(Md5Prefix60SeededArrayExpr(GraftBridge.expression(a), seed))
+
+  /** SimHash from per-token hashes: one loop over the array maintaining
+    * `bits` counters (== Dedup.simhash's 48 aggregate lambdas, which
+    * re-walk the array per bit in interpreted HOF eval). */
+  def simhashFast(hashes: Column, bits: Int): Column =
+    GraftBridge.column(SimhashFromHashesExpr(GraftBridge.expression(hashes), bits))
+
   def minhashSigFast(hashes: Column, numHashes: Int): Column =
     GraftBridge.column(MinhashSigExpr(GraftBridge.expression(hashes), numHashes))
 
@@ -97,6 +108,56 @@ object HashOps {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** array<string> → array<long>: 60-bit md5 prefix of
+    * "<seed>|<element>" per element (== Dedup.seededHash element-wise). */
+  case class Md5Prefix60SeededArrayExpr(child: Expression, seed: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "md5_prefix60_seeded_array"
+
+    @transient private lazy val prefixBytes =
+      (seed.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      val md = mdLocal.get()
+      var i = 0
+      while (i < n) {
+        md.reset()
+        md.update(prefixBytes)
+        out(i) = prefix60(md.digest(arr.getUTF8String(i).getBytes))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** array<long> token hashes → `bits`-bit SimHash long: bit k set when
+    * the majority of hashes have bit k set (== Dedup.simhash, which walks
+    * the array once per bit through interpreted aggregate lambdas; this
+    * is one walk total with `bits` counters). Null in → null out; callers
+    * wanting the declarative form's null→0 coalesce at the call site.
+    * `doGenCode` so signature projections stay in whole-stage codegen. */
+  case class SimhashFromHashesExpr(child: Expression, bits: Int)
+      extends UnaryExpression {
+    require(bits > 0 && bits <= 60, s"bits=$bits out of (0, 60]")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_from_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      SimhashKernel.fromHashes(input.asInstanceOf[ArrayData].toLongArray(), bits)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.SimhashKernel.fromHashes(" +
+          s"$a.toLongArray(), $bits);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** array<long> → array<long>(numHashes): per-seed min of the rotate-xor
     * mixed hashes (== Dedup.minhashSignatureFromHashes; empty input → 0s). */
   case class MinhashSigExpr(child: Expression, numHashes: Int)
@@ -140,6 +201,31 @@ object HashOps {
       new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+}
+
+/** Shared by SimhashFromHashesExpr's interpreted eval and generated code.
+  * Top-level so generated Java sees a static method. */
+object SimhashKernel {
+  def fromHashes(hs: Array[Long], bits: Int): Long = {
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var k = 0
+      while (k < bits) {
+        counts(k) += ((h >>> k) & 1L).toInt
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < bits) {
+      if (2L * counts(k) > hs.length) sig |= (1L << k)
+      k += 1
+    }
+    sig
   }
 }
 

@@ -35,10 +35,12 @@ object Cohort {
     val weekUs = 7L * 86400L * 1000000L
     val active = events
       .withColumn("__first", min(col(tsCol)).over(w))
+      .withColumn("__diff", unix_micros(col(tsCol)) - unix_micros(col("__first")))
       .select(
         date_format(date_trunc("week", col("__first")), "yyyy-MM-dd").as("cohort"),
-        ((unix_micros(col(tsCol)) - unix_micros(col("__first"))) / weekUs)
-          .cast("long").as("week_offset"),
+        // integer DIV, not double '/': a diff just under a week boundary
+        // must not round UP across it (DuckDB's // is exact integer too)
+        expr(s"__diff DIV ${weekUs}L").as("week_offset"),
         col(userCol).as("__user"))
       .groupBy("cohort", "week_offset")
       .agg(countDistinct(col("__user")).as("active"))

@@ -331,6 +331,59 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`,
+    * found by Manku/Jain/Das Sarma-style bit-block blocking (WWW 2007,
+    * the published web-dedup method): split the `bits`-bit signature
+    * into maxHamming+1 equal blocks — two signatures within distance d
+    * must agree EXACTLY on at least one block (pigeonhole), so a
+    * self-join on (block index, block bits) finds every qualifying pair
+    * with zero false negatives. Candidates verify with one codegen'd
+    * `bit_count(xor)`; a pair agreeing on several blocks dedups in the
+    * final distinct.
+    *
+    * Scale shape: map-only signatures, a (maxHamming+1)-way explode, ONE
+    * bucketed self-join. Block bits are majority votes over md5-derived
+    * token hashes — near-uniform across unrelated docs, so bucket sizes
+    * concentrate at N/2^width; only true near-dup clusters share
+    * buckets, giving the band-join fanout contract (Σ cluster², never
+    * N²). The verify predicate stays in whole-stage codegen. */
+  def simhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 48, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    require(bits % blocks == 0,
+      s"bits=$bits must split evenly into ${blocks} blocks (maxHamming+1)")
+    val width = bits / blocks
+    val mask = (1L << width) - 1
+    // Signature via the one-pass kernels (seeded md5 array + SimhashKernel
+    // — same values as the declarative `simhash`, spec-pinned), PERSISTED
+    // (16 bytes/doc) before the explode/join: without the cut, Catalyst
+    // inlines the signature expression into every block-key reference and
+    // both join sides — 10× recomputation of the md5 pass (the
+    // minhashPairs discipline, Dedup.scala:114).
+    val sig = docs.select(col(idCol).as("__id"),
+        coalesce(graft.functions.HashOps.simhashFast(
+          graft.functions.HashOps.md5Prefix60Array(
+            split(lower(col(textCol)), " "), seed = 777), bits),
+          lit(0L)).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = sig.select(col("__id"), col("__sig"),
+      explode(array((0 until blocks).map { blk =>
+        struct(lit(blk).as("blk"),
+          shiftright(col("__sig"), blk * width).bitwiseAND(mask).as("key"))
+      }: _*)).as("__bk"))
+      .select(col("__id"), col("__sig"),
+        col("__bk.blk").as("__blk"), col("__bk.key").as("__key"))
+    val l = keyed.select(col("__blk"), col("__key"),
+      col("__id").as("id_a"), col("__sig").as("__sa"))
+    val r = keyed.select(col("__blk"), col("__key"),
+      col("__id").as("id_b"), col("__sig").as("__sb"))
+    l.join(r, Seq("__blk", "__key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from a sign-LSH
     * bucket self-join (Σ bucket² ≈ N²/2^planes pairs, never the full
     * quadratic product), verified with exact cosine ≥ `threshold`.

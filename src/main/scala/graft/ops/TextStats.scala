@@ -260,6 +260,72 @@ object TextStats {
         (lit(0.0) - col("__b.neg")).as("tfidf"))
   }
 
+  /** Vocabulary coverage: learn the top-`vocabSize` tokens by corpus
+    * frequency (ties broken token-ascending, so the vocabulary is
+    * deterministic) and score every document's out-of-vocabulary token
+    * fraction — the cheap proxy for "will the tokenizer shred this doc
+    * into bytes". Returns (id, n_tokens, n_oov, oov_rate); token-less
+    * docs are absent.
+    *
+    * Scale shape: ONE partial-combining count shuffle on the token key;
+    * the vocabulary is a TakeOrdered top-K (per-partition heaps, O(K)
+    * driver state — no global sort) and is broadcast back by CONTRACT
+    * (K rows, caller-bounded — unlike the unbounded lmScore/tfidf model
+    * tables, which must not carry the hint); the per-doc aggregation
+    * partial-combines map-side. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+        explode(split(lower(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val voc = toks.groupBy(col("token")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("__in"))
+    toks.join(broadcast(voc), Seq("token"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, lit(1))).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Per-document character-level Shannon entropy (bits/char) — the
+    * classic gibberish/boilerplate screen: natural prose sits ~4 bits,
+    * single-char spam near 0, uniform random base64 near 6. Returns
+    * (id, n_chars, distinct_chars, entropy); empty/null docs are absent.
+    * Character = Spark/DuckDB string position (code point; the corpus is
+    * ASCII).
+    *
+    * Determinism: log2 differs by 1 ulp across engines, so each
+    * character's contribution is rounded to 9 decimals BEFORE the fold
+    * and the fold runs in character-sorted order (the q127/q137
+    * discipline).
+    *
+    * Scale shape: one explode + ONE partial-combining (id, char) count
+    * shuffle, one (id) collect shuffle; the per-doc char alphabet is
+    * charset-bounded, so the collected array is O(alphabet) however
+    * large the document — no join, and the fact table never shuffles a
+    * third time. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cc = df.filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("__id"),
+        explode(transform(sequence(lit(1), length(col(textCol))),
+          i => col(textCol).substr(i, lit(1)))).as("c"))
+      .groupBy(col("__id"), col("c")).agg(count(lit(1)).as("n"))
+    val perDoc = cc.groupBy(col("__id"))
+      .agg(collect_list(struct(col("c"), col("n"))).as("__cn"))
+    val total = aggregate(col("__cn"), lit(0L), (a, x) => a + x.getField("n"))
+    perDoc
+      .withColumn("n_chars", total)
+      .select(col("__id").as(idCol),
+        col("n_chars"),
+        size(col("__cn")).cast("long").as("distinct_chars"),
+        aggregate(array_sort(col("__cn")), lit(0.0), (acc, x) => {
+          val p = x.getField("n").cast("double") / col("n_chars").cast("double")
+          acc + round((lit(0.0) - p) * log2(p), 9)
+        }).as("entropy"))
+  }
+
   /** Shingle novelty: per document, the fraction of its distinct k-gram
     * shingles that appear NOWHERE else in the corpus (document frequency
     * 1) — the informativeness/uniqueness twin of the dedup signals: a doc

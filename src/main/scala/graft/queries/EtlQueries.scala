@@ -22,7 +22,7 @@ object EtlQueries {
 
   final case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
 
-  private def exactSumD(c: Column): Column =
+  private[queries] def exactSumD(c: Column): Column =
     sum(c.cast("decimal(18,6)")).cast("double")
 
   val all: Seq[(String, Q)] = Seq(

@@ -187,15 +187,21 @@ object OpsQueries {
       s"\nSELECT id AS doc_id, rank AS rank_fp FROM r$iters ORDER BY doc_id"
   }
 
-  private val simhashSql: String = {
+  /** CTE chain (sans WITH) ending in `sg` = (doc_id, sig) — the exact
+    * DuckDB replay of `Dedup.simhash`, shared by the q26 fingerprint
+    * oracle and the q148 Hamming-pairs oracle. */
+  private val simhashCtes: String = {
     val terms = (0 until 48).map(k =>
       s"(CASE WHEN 2*list_sum(list_transform(hs, h -> (h >> $k) & 1)) > len(toks) THEN (1::BIGINT << $k) ELSE 0 END)")
       .mkString(" +\n  ")
-    s"""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-       |h AS (SELECT doc_id, toks, list_transform(toks, t -> ${sqlHash(777, "t")}) AS hs FROM base)
-       |SELECT doc_id, $terms AS simhash
-       |FROM h ORDER BY doc_id""".stripMargin
+    s"""base AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id, toks, list_transform(toks, t -> ${sqlHash(777, "t")}) AS hs FROM base),
+       |sg AS (SELECT doc_id, $terms AS sig FROM h)""".stripMargin
   }
+
+  private val simhashSql: String =
+    s"""WITH $simhashCtes
+       |SELECT doc_id, sig AS simhash FROM sg ORDER BY doc_id""".stripMargin
 
   private val cosineSql =
     """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
@@ -3016,7 +3022,126 @@ object OpsQueries {
       },
       Some(BpeOracle.encodeSql(
         Seq(("order", "fast"), ("order", "order"),
-          ("order\u0001fast", "order"))))))
+          ("order\u0001fast", "order"))))),
+
+    // ─── weekly cohort retention matrix ─────────────────────────────────
+    // Cohort = ISO week of the user's first event; offsets anchored on
+    // that first event (epoch-µs integer DIV — engine-exact).
+    "q146_retention" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Cohort.retention(Tables.events(s, dir), "user_id", "ts")
+          .orderBy($"cohort", $"week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |f AS (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts FROM e),
+             |a AS (SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort,
+             |        ((epoch_us(ts) - epoch_us(first_ts)) // 604800000000) AS week_offset,
+             |        user_id
+             |      FROM f),
+             |c AS (SELECT cohort, week_offset::BIGINT AS week_offset,
+             |        count(DISTINCT user_id)::BIGINT AS active FROM a GROUP BY 1, 2),
+             |b AS (SELECT cohort, active AS cohort_size FROM c WHERE week_offset = 0)
+             |SELECT c.cohort, c.week_offset, c.active, b.cohort_size,
+             |  c.active::DOUBLE / b.cohort_size::DOUBLE AS retention
+             |FROM c JOIN b USING (cohort) ORDER BY cohort, week_offset""".stripMargin)),
+
+    // ─── first-order Markov transition matrix over event sequences ──────
+    "q147_transitions" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Cohort.transitions(Tables.events(s, dir), "user_id", "ts",
+            "event_type", "event_id")
+          .orderBy($"src", $"dst")
+      },
+      Some("""WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+             |p0 AS (SELECT event_type AS src,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+             |       FROM t),
+             |c AS (SELECT src, dst, count(*)::BIGINT AS n FROM p0 WHERE dst IS NOT NULL GROUP BY 1, 2),
+             |s AS (SELECT src, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+             |SELECT c.src, c.dst, c.n, c.n::DOUBLE / s.tot::DOUBLE AS p
+             |FROM c JOIN s USING (src) ORDER BY src, dst""".stripMargin)),
+
+    // ─── SimHash Hamming near-dup pairs (Manku bit-block blocking) ──────
+    // The oracle is the BRUTE-FORCE truth (all pairs, xor popcount), so a
+    // green row proves the pigeonhole blocking loses no pairs.
+    "q148_simhash_pairs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.simhashDupPairs(Tables.documents(s, dir), "doc_id", "text",
+            bits = 48, maxHamming = 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH $simhashCtes,
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |        bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+              |      FROM sg a JOIN sg b ON a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ─── ROLLUP report (multi-level OLAP subtotals in one pass) ─────────
+    "q149_rollup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(grouping_id().as("gid"),
+            count(lit(1)).as("n"),
+            sum($"l_quantity").as("sum_qty"), // integral doubles: exact
+            EtlQueries.exactSumD($"l_extendedprice").as("sum_price"))
+          .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+             |  count(*)::BIGINT AS n,
+             |  sum(l_quantity) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    // ─── vocabulary coverage / OOV rate against a learned top-K vocab ───
+    "q150_oov_rate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.oovRate(Tables.documents(s, dir), "doc_id", "text",
+            vocabSize = 100)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS token
+             |              FROM documents),
+             |cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+             |voc AS (SELECT token FROM cnt ORDER BY n DESC, token LIMIT 100),
+             |d AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             |        count(*) FILTER (WHERE v.token IS NULL)::BIGINT AS n_oov
+             |      FROM toks LEFT JOIN voc v USING (token) GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_oov,
+             |  n_oov::DOUBLE / n_tokens::DOUBLE AS oov_rate
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // ─── per-document character-entropy quality score ───────────────────
+    // Contributions rounded to 9 decimals then folded in character-sorted
+    // order (the q127/q137 determinism discipline for log()).
+    "q151_char_entropy" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS c
+             |            FROM documents WHERE length(text) > 0),
+             |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+             |t AS (SELECT doc_id, sum(n) AS total, count(*)::BIGINT AS distinct_chars FROM cc GROUP BY 1),
+             |x AS (SELECT cc.doc_id, cc.c,
+             |        round(-(cc.n::DOUBLE / t.total::DOUBLE) * log2(cc.n::DOUBLE / t.total::DOUBLE), 9) AS contrib,
+             |        t.total, t.distinct_chars
+             |      FROM cc JOIN t USING (doc_id))
+             |SELECT doc_id, max(total)::BIGINT AS n_chars, max(distinct_chars) AS distinct_chars,
+             |  list_reduce(list_prepend(0.0::DOUBLE,
+             |    list_transform(list_sort(list(struct_pack(c := c, contrib := contrib))), s2 -> s2.contrib)),
+             |    (a, b) -> a + b) AS entropy
+             |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -1,0 +1,66 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class CohortSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("retention anchors offsets on each user's own first event") {
+    // u1 first 2024-01-10 (Wed, ISO week of Mon 2024-01-08); active again
+    // 6d23h later (same offset-0 week-from-first) and 7d later (offset 1).
+    // u2 first the same ISO week; never returns.
+    val ev = Seq(
+      (1L, ts("2024-01-10 12:00:00")),
+      (1L, ts("2024-01-17 11:59:59")), // +6d23h59m59s → offset 0
+      (1L, ts("2024-01-17 12:00:00")), // exactly +7d → offset 1
+      (2L, ts("2024-01-12 08:00:00"))
+    ).toDF("user_id", "ts")
+    val r = Cohort.retention(ev, "user_id", "ts")
+      .orderBy($"cohort", $"week_offset")
+      .select($"cohort", $"week_offset", $"active", $"cohort_size", $"retention")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      ("2024-01-08", 0L, 2L, 2L, 1.0),
+      ("2024-01-08", 1L, 1L, 2L, 0.5)))
+  }
+
+  test("retention separates cohorts by first-event week") {
+    val ev = Seq(
+      (1L, ts("2024-01-10 12:00:00")),
+      (2L, ts("2024-01-16 12:00:00")) // next ISO week → its own cohort
+    ).toDF("user_id", "ts")
+    val r = Cohort.retention(ev, "user_id", "ts")
+      .select($"cohort").as[String].collect().toSet
+    assert(r == Set("2024-01-08", "2024-01-15"))
+  }
+
+  test("transitions count adjacent pairs per user with tie-break ordering") {
+    val ev = Seq(
+      // u1: a → b → a  (ties on ts broken by event_id: 2 before 3)
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 00:00:01"), 2L, "b"),
+      (1L, ts("2024-01-01 00:00:01"), 3L, "a"),
+      // u2: a → b
+      (2L, ts("2024-01-01 00:00:00"), 4L, "a"),
+      (2L, ts("2024-01-01 00:00:05"), 5L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Cohort.transitions(ev, "user_id", "ts", "event_type", "event_id")
+      .orderBy($"src", $"dst")
+      .select($"src", $"dst", $"n", $"p")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(r == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitions never cross users") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 00:00:01"), 2L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    assert(Cohort.transitions(ev, "user_id", "ts", "event_type", "event_id")
+      .count() == 0)
+  }
+}
