@@ -139,7 +139,7 @@ object Norm2Expr {
   * string — order-preserving vs the .5 boundary, and exact .5 is dyadic
   * so both representations agree) and DuckDB/C `round()` — the same
   * equivalence the expression-path fixed-point ops rely on, here in one
-  * JVM helper the gate (q110/q111/q113) covers end to end. */
+  * JVM helper the gate (q110/q113/q140) covers end to end. */
 case class GramFixExpr(child: Expression, scale: Double)
     extends UnaryExpression {
   override def dataType: DataType =

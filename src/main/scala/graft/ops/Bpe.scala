@@ -67,8 +67,11 @@ object Bpe {
     * is a fused multi-token (contains sep). */
   private def mergeString(s: Column, a: String, b: String,
       sep: String): Column = {
+    // \z (end-of-INPUT), not $: without MULTILINE $ also matches before a
+    // final line terminator, which would falsely merge when the last
+    // token ends in \n — \z exactly matches the space-split boundary.
     val pattern = s"(^| )${java.util.regex.Pattern.quote(a)} " +
-      s"${java.util.regex.Pattern.quote(b)}(?= |$$)"
+      s"${java.util.regex.Pattern.quote(b)}(?= |\\z)"
     val replacement =
       "$1" + java.util.regex.Matcher.quoteReplacement(a + sep + b)
     regexp_replace(s, pattern, replacement)
@@ -160,4 +163,13 @@ object Bpe {
     }
     df.select(col(idCol), split(merged, " ").as("tokens"))
   }
+
+  /** Inverse of `applyMerges`: a fused token carries the original join
+    * space as `sep` (U+0001, absent from any space-split vocabulary by
+    * construction), so decoding is join-with-space + a 1:1 `translate`
+    * of sep back to space. decode ∘ applyMerges == lower — for ANY merge
+    * list — is hash-gated corpus-wide by q152 (the tokenizer-training
+    * losslessness contract). Map-only, codegen'd. */
+  def decode(tokens: Column, sep: String = DefaultSep): Column =
+    translate(concat_ws(" ", tokens), sep, " ")
 }

@@ -79,4 +79,23 @@ object BpeOracle {
        |FROM (SELECT doc_id, tk, unnest(range(len(tk))) AS x FROM t${merges.size})
        |ORDER BY doc_id, pos""".stripMargin
   }
+
+  /** Oracle for the q152 round-trip gate. `n_tokens` REPLAYS the encode
+    * (the same CTEs as `encodeSql`, so the query can't silently skip
+    * encoding), while `decoded` is lower(text) ITSELF — a hash match
+    * therefore proves decode(encode(x)) == normalize(x) for every
+    * document, not merely that two engines decode alike. */
+  def roundtripSql(merges: Seq[(String, String)]): String = {
+    val head = "t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)"
+    val body = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"""b$i AS (SELECT ${tokenLit(a)} AS a, ${tokenLit(b)} AS b),
+         |${replayCtes(i)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$body
+       |SELECT t.doc_id, CAST(len(t.tk) AS INTEGER) AS n_tokens,
+       |  lower(d.text) AS decoded
+       |FROM t${merges.size} t JOIN documents d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -2102,34 +2102,19 @@ object OpsQueries {
       Some(s"""WITH $covarianceCtes
               |SELECT i, j, cov FROM cv ORDER BY i, j""".stripMargin)),
 
-    // ─── per-dimension z-score standardization ──────────────────────────
-    "q111_standardize" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        Linalg.standardize(Tables.embeddings(s, dir), "embedding")
-          .select($"vec_id", $"zvec")
-          .orderBy($"vec_id")
-      },
-      Some("""WITH e AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i, embedding[t.i+1]::DOUBLE AS x
-             |           FROM embeddings CROSS JOIN range(64) t(i)),
-             |st AS (SELECT i,
-             |        CAST(sum(CAST(round(x * 1099511627776::DOUBLE) AS BIGINT)) AS DOUBLE) AS s1,
-             |        CAST(sum(CAST(round(x * x * 1099511627776::DOUBLE) AS BIGINT)) AS DOUBLE) AS s2,
-             |        count(*) AS n
-             |       FROM e GROUP BY i),
-             |ms AS (SELECT i, s1 / 1099511627776::DOUBLE / n AS mu,
-             |        sqrt(s2 / 1099511627776::DOUBLE / n -
-             |          (s1 / 1099511627776::DOUBLE / n) * (s1 / 1099511627776::DOUBLE / n)) AS sigma
-             |       FROM st),
-             |z AS (SELECT e.vec_id, e.i, (e.x - ms.mu) / ms.sigma AS z FROM e JOIN ms USING (i))
-             |SELECT vec_id, list(z ORDER BY i) AS zvec FROM z GROUP BY vec_id
-             |ORDER BY vec_id""".stripMargin)),
+    // NOTE: q111_standardize (per-dimension z-score, array-shaped output)
+    // was retired in round 7: the driver's comparator cannot sort
+    // array-typed cells, and q140_standardize_dims already hash-gates the
+    // identical per-dimension z-score math in exploded scalar shape. The
+    // single standardization code path is Similarity.standardizeDims.
 
     // ─── product-quantization encode (8 subspaces × 16 codes) ───────────
     // Static init-only codebook = the 16 lowest-id vectors (deterministic
     // fit; a per-subspace Lloyd refinement slots in unchanged). The oracle
     // replays every distance, argmin tie-break, and the subspace-ordered
-    // error fold.
+    // error fold. Gated per (vec_id, subspace) row — the checker's value
+    // hashing is row-scalar, so the codes array explodes for the gate
+    // (the q140 pattern) with the per-vector recon_err repeated per row.
     "q112_pq_encode" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -2138,12 +2123,15 @@ object OpsQueries {
           .select($"embedding").collect()
           .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0).toArray }.toSeq
         Similarity.pqEncode(emb, "vec_id", "embedding", cb, subspaces = 8)
-          .orderBy($"vec_id")
+          .select($"vec_id", $"recon_err", posexplode($"codes").as(Seq("s", "cid")))
+          .select($"vec_id", $"s", $"cid", $"recon_err")
+          .orderBy($"vec_id", $"s")
       },
-      Some(s"""WITH $pqCtes
-              |SELECT vec_id, list(cid ORDER BY s) AS codes,
-              |  list_reduce(list(d2 ORDER BY s), (a,b) -> a+b) AS recon_err
-              |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+      Some(s"""WITH $pqCtes,
+              |re AS (SELECT vec_id, list_reduce(list(d2 ORDER BY s), (a,b) -> a+b) AS recon_err
+              |       FROM best GROUP BY vec_id)
+              |SELECT b.vec_id, CAST(b.s AS INTEGER) AS s, b.cid, re.recon_err
+              |FROM best b JOIN re USING (vec_id) ORDER BY vec_id, s""".stripMargin)),
 
     // ─── PQ asymmetric-distance (ADC) top-k search ──────────────────────
     // The payoff of q112: score = Σ_s T[s][code_s] over the query's
@@ -3141,7 +3129,28 @@ object OpsQueries {
              |  list_reduce(list_prepend(0.0::DOUBLE,
              |    list_transform(list_sort(list(struct_pack(c := c, contrib := contrib))), s2 -> s2.contrib)),
              |    (a, b) -> a + b) AS entropy
-             |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ─── BPE round-trip losslessness (decode ∘ encode == normalize) ─────
+    // n_tokens pins that the encode actually ran (the oracle replays it
+    // via the shared encodeSql CTEs); decoded is compared against
+    // lower(text) ITSELF, so a hash match proves the round trip loses
+    // nothing on the full corpus — the tokenizer-training contract.
+    // Rules cover a plain pair, the a==b run-parity case, and a chained
+    // fused-left-side rule (the q145 set).
+    "q152_bpe_roundtrip" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Bpe.applyMerges(Tables.documents(s, dir), "doc_id", "text",
+            Seq(("order", "fast"), ("order", "order"),
+              ("order\u0001fast", "order")))
+          .select($"doc_id", size($"tokens").as("n_tokens"),
+            Bpe.decode($"tokens").as("decoded"))
+          .orderBy($"doc_id")
+      },
+      Some(BpeOracle.roundtripSql(
+        Seq(("order", "fast"), ("order", "order"),
+          ("order\u0001fast", "order"))))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

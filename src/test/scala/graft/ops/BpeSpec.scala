@@ -68,4 +68,29 @@ class BpeSpec extends SparkSpec {
     assert(m(0)._2 == "a" && m(0)._3 == "b")
     assert(m(1) == ((1, "a+b", "c", 2L)))
   }
+
+  test("a trailing newline inside the last token blocks the merge (\\z boundary)") {
+    // split cuts only on ' ', so "b\n" is ONE token ≠ "b" — the merge
+    // boundary lookahead must use \z (end of input), because $ without
+    // MULTILINE also matches BEFORE a final \n and would falsely fuse
+    val df = Seq((1L, "a b\n"), (2L, "a b")).toDF("id", "text")
+    val out = Bpe.applyMerges(df, "id", "text", Seq("a" -> "b"), sep = "+")
+      .select($"id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a", "b\n")) // NOT merged
+    assert(out(2L) == Seq("a+b"))      // merged
+  }
+
+  test("decode inverts applyMerges back to the normalized text") {
+    val rules = Seq("a" -> "b", "a" -> "a", "a\u0001b" -> "a")
+    val df = Seq(
+      (1L, "A b a B b"), (2L, "a a a a"), (3L, "x  a b  y"),
+      (4L, "a b\n c"), (5L, ""))
+      .toDF("id", "text")
+    val out = Bpe.applyMerges(df, "id", "text", rules)
+      .select($"id", Bpe.decode($"tokens").as("d")).as[(Long, String)]
+      .collect().toMap
+    val expect = df.select($"id", org.apache.spark.sql.functions.lower($"text"))
+      .as[(Long, String)].collect().toMap
+    assert(out == expect)
+  }
 }
