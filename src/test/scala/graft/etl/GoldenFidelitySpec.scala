@@ -20,6 +20,17 @@ import graft.sources.Xlsx
   * used/new 100%. Residual disagreement traces to KB history the golden
   * table cannot reveal (patterns the author's sheet did/didn't contain in
   * May–Jul 2024, model_ref mappings like 915E ↔ CLG915E).
+  *
+  * CRANE golden: none exists to pin. The reference repo ships exactly one
+  * golden output (`Output/Indonesia_excavator_2022_2024.07.xlsx`,
+  * excavator) and one report (`Report/Indonesia Excavator Import Report
+  * 2023.pdf` — excavator-only by title, and a full decompressed-stream
+  * scan of the PDF finds no "crane"/"crawler"/"lattice"/"lifting"
+  * occurrence). The crane branch's semantics (matching_program
+  * file_type='crane', lattice-boom refinement, crane load intervals,
+  * translation merge — data_processing_program_20240520.py:140-144,
+  * 387-399) are therefore pinned only by their oracle-gated queries
+  * (q52/q68 + `LookupsSpec`), not by a published aggregate table.
   */
 class GoldenFidelitySpec extends SparkSpec {
   import spark.implicits._

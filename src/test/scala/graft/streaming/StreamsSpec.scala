@@ -442,4 +442,65 @@ class StreamsSpec extends SparkSpec {
       assert(idx == Map(0L -> 3L, 1L -> 2L), s"index: $idx")
     } finally q.stop()
   }
+
+  // ─── state-STORE growth evidence (the 100 TB claim is about state, not
+  // output): read stateOperators metrics off the progress events and pin
+  // rows == distinct keys under heavy key skew — a flooding key must not
+  // grow the store beyond its one row (whose payload rateLimitStream
+  // bounds at maxEvents timestamps by construction).
+
+  private def maxStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).max
+
+  test("rate limiter state-store rows == distinct keys under a skewed flood") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val q = Streams.rateLimitStream(stream.toDS(), windowMicros = 1000L,
+        maxEvents = 3)
+      .toDF("user_id", "us", "allowed")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rate_state_rows").start()
+    try {
+      // key 1 floods 5000 events; 49 keys send 2 each (99.0 % skew)
+      stream.addData((0 until 5000).map(i => (1L, i.toLong)) ++
+        (2L to 50L).flatMap(k => Seq((k, 0L), (k, 1L))))
+      q.processAllAvailable()
+      // second micro-batch: the flood continues — rows must not grow
+      stream.addData((0 until 2000).map(i => (1L, 10000L + i.toLong)))
+      q.processAllAvailable()
+      assert(spark.table("rate_state_rows").count() == 5000 + 49 * 2 + 2000)
+      val rows = maxStateRows(q)
+      assert(rows == 50L,
+        s"state rows must be one per distinct key (50), got $rows")
+    } finally q.stop()
+  }
+
+  test("funnel state-store rows == distinct users under a skewed flood") {
+    implicit val sq = spark.sqlContext
+    val stages = Seq("view", "cart", "purchase")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val q = Streams.funnelStream(stream.toDS(), stages)
+      .toDF("user_id", "stage_idx")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_state_rows").start()
+    try {
+      // user 1 spams 3000 view events (only the first advances state);
+      // 19 quiet users convert through all three stages
+      stream.addData((0 until 3000).map(i => (1L, ts(i), "view")) ++
+        (2L to 20L).flatMap(u => Seq(
+          (u, ts(1L), "view"), (u, ts(2L), "cart"), (u, ts(3L), "purchase"))))
+      q.processAllAvailable()
+      stream.addData((0 until 1000).map(i => (1L, ts(10000L + i), "view")))
+      q.processAllAvailable()
+      val rows = maxStateRows(q)
+      assert(rows == 20L,
+        s"state rows must be one per distinct user (20), got $rows")
+      // and the spam advanced user 1 exactly once
+      val u1 = spark.table("funnel_state_rows").filter($"user_id" === 1)
+        .as[(Long, Int)].collect()
+      assert(u1.toSeq == Seq((1L, 0)))
+    } finally q.stop()
+  }
 }
