@@ -114,6 +114,34 @@ object OpsQueries {
       |           (a.m1fx / 1099511627776::DOUBLE / n) * (b.m1fx / 1099511627776::DOUBLE / n) AS cov
       |       FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i)""".stripMargin
 
+  /** The q153/q154 DSIR chain: hashed-bigram buckets `dbg` (64 bins of
+    * the 60-bit md5 idiom), bucket model `dm`/`dlr` (add-one smoothed
+    * nano-nat log-ratios, target = lang='en'), per-doc weights
+    * `dweights`. Shared by the weight gate and the resample gate so the
+    * feature model can't drift between them. */
+  private val dsirCtes: String =
+    """dtk AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+      |dbg AS (SELECT doc_id,
+      |          (('0x'||substr(md5(t[x+1]||' '||t[x+2]),1,15))::BIGINT % 64) AS b,
+      |          lang
+      |        FROM (SELECT doc_id, lang, t, unnest(range(len(t)-1)) AS x
+      |              FROM dtk WHERE len(t) >= 2)),
+      |dm AS (SELECT b, count(*)::BIGINT AS cr,
+      |         (count(*) FILTER (WHERE lang = 'en'))::BIGINT AS ct
+      |       FROM dbg GROUP BY b),
+      |dtot AS (SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM dm),
+      |dlr AS (SELECT b, CAST(round(ln(
+      |           ((ct + 1)::DOUBLE / ((SELECT nt FROM dtot) + 64)::DOUBLE) /
+      |           ((cr + 1)::DOUBLE / ((SELECT nr FROM dtot) + 64)::DOUBLE))
+      |           * 1000000000::DOUBLE) AS BIGINT) AS lr9
+      |        FROM dm),
+      |dw AS (SELECT dbg.doc_id, count(*)::BIGINT AS n_bigrams, sum(dlr.lr9)::BIGINT AS w9
+      |       FROM dbg JOIN dlr USING (b) GROUP BY dbg.doc_id),
+      |dweights AS (SELECT d.doc_id,
+      |         coalesce(dw.n_bigrams, 0)::BIGINT AS n_bigrams,
+      |         coalesce(dw.w9, 0)::DOUBLE / 1000000000::DOUBLE AS weight
+      |       FROM documents d LEFT JOIN dw USING (doc_id))""".stripMargin
+
   /** The q112 product-quantization chain (codebook `cb` = 16 lowest-id
     * vectors, per-(vector, subspace, code) distances `d`, argmin `best`),
     * shared by the q112 encode gate and the q114 ADC oracle so the
@@ -3150,7 +3178,45 @@ object OpsQueries {
       },
       Some(BpeOracle.roundtripSql(
         Seq(("order", "fast"), ("order", "order"),
-          ("order\u0001fast", "order"))))))
+          ("order\u0001fast", "order"))))),
+
+    // ─── DSIR importance weights (Xie et al. 2023) ──────────────────────
+    // Hashed-bigram log-likelihood ratio of target (lang='en') vs raw
+    // corpus, 64 buckets, add-one smoothing. Per-doc weights are INTEGER
+    // sums of per-bucket nano-nat log-ratios (9-decimal ln discipline) —
+    // order-independent, so the hash gate is exact.
+    "q153_dsir_weights" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dsir.importanceWeights(Tables.documents(s, dir), "doc_id", "text",
+            $"lang" === "en", buckets = 64)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $dsirCtes
+              |SELECT doc_id, n_bigrams, weight FROM dweights
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ─── DSIR Gumbel-top-k resample (log-space, no exp overflow) ────────
+    // key = weight + Gumbel(0,1) from a strictly-interior md5 uniform;
+    // top-100 == sampling 100 docs without replacement with probability
+    // ∝ exp(weight). Shares the weight CTEs with q153 so the two gates
+    // can't drift.
+    "q154_dsir_resample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Dsir.importanceWeights(Tables.documents(s, dir), "doc_id",
+          "text", $"lang" === "en", buckets = 64)
+        Dsir.resampleTopK(w, "doc_id", $"weight", k = 100)
+          .select($"doc_id", $"weight", $"g_key")
+      },
+      Some(s"""WITH $dsirCtes,
+              |dg AS (SELECT doc_id, weight,
+              |         weight + round(-ln(-ln(
+              |           ((('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT)::DOUBLE + 0.5::DOUBLE)
+              |             / 1152921504606846976::DOUBLE)), 9) AS g_key
+              |       FROM dweights)
+              |SELECT doc_id, weight, g_key FROM dg
+              |ORDER BY g_key DESC, doc_id ASC LIMIT 100""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -222,4 +222,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "no TakeOrderedAndProject in q138 plan:\n" + p.take(1200))
   }
+
+  test("DSIR model join broadcasts the B-bounded bucket table — fact never sort-merges") {
+    val p = plan("q153_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "q153 bucket-model join must broadcast (64-row contract table):\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "q153 fact side degraded to SortMergeJoin:\n" + p.take(1200))
+  }
+
+  test("DSIR resample ranks with TakeOrdered, never a global sort") {
+    val p = plan("q154_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "no TakeOrderedAndProject in q154 plan:\n" + p.take(1200))
+  }
 }
