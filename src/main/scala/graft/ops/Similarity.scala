@@ -363,14 +363,18 @@ object Similarity {
     * Map-only literal expressions end to end: per row, subspaces·k
     * codegen'd folds over subDim elements — zero shuffle, no model-table
     * join (the codebook is k×dim driver-side floats, the IVF contract). */
-  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-      codebook: Seq[(Int, Array[Float])], subspaces: Int): DataFrame = {
-    require(codebook.nonEmpty, "pqEncode needs a non-empty codebook")
+  /** Per-subspace (argmin cid, min d2) expression pair — the ONE
+    * definition of the PQ assignment (L2, ties lowest id), shared by
+    * `pqEncode` and the `pqLloydCodebook` fit so encode and fit can't
+    * drift on distance or tie-break. */
+  private def pqPerSub(vecCol: String,
+      codebook: Seq[(Int, Array[Float])], subspaces: Int): Seq[(Column, Column)] = {
+    require(codebook.nonEmpty, "PQ needs a non-empty codebook")
     val dim = codebook.head._2.length
     require(dim % subspaces == 0,
       s"dim $dim must divide evenly into $subspaces subspaces")
     val subDim = dim / subspaces
-    val perSub = (0 until subspaces).map { s =>
+    (0 until subspaces).map { s =>
       val sub = slice(col(vecCol), s * subDim + 1, subDim)
       val best = least(codebook.map { case (cid, cvec) =>
         val cArr = array(cvec.slice(s * subDim, (s + 1) * subDim)
@@ -382,9 +386,69 @@ object Similarity {
       }: _*)
       (best.getField("cid"), best.getField("d"))
     }
+  }
+
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[(Int, Array[Float])], subspaces: Int): DataFrame = {
+    val perSub = pqPerSub(vecCol, codebook, subspaces)
     emb.select(col(idCol),
       array(perSub.map(_._1): _*).as("codes"),
       perSub.map(_._2).reduce(_ + _).as("recon_err"))
+  }
+
+  /** Per-subspace LLOYD refinement of a PQ codebook — the training half
+    * of Jégou et al.'s product quantizer (each subspace runs its own
+    * k-means in L2 on the subvector slices). Init = the k lowest-id
+    * vectors (the q89/q112 deterministic-init discipline); each
+    * iteration assigns every (vector, subspace) to its nearest codebook
+    * slice with the SAME argmin expression `pqEncode` uses, then
+    * re-derives every (subspace, code, local-dim) centroid coordinate as
+    * a 2^40 fixed-point mean (integer sums — order-independent, the
+    * kmeansCentroids construction), cast through Float exactly as the
+    * codebook stores them. Empty (subspace, code) cells keep their
+    * previous slice.
+    *
+    * Scale shape: ONE job per iteration — a map-only code assignment +
+    * posexplode and a single (dim, cid)-keyed partial-combining
+    * aggregation whose result is k×dim fixed-point partials (the
+    * model-sized driver collect of the k-means-fit contract). All
+    * subspaces refine in the same pass: a dimension's group key is the
+    * code its OWN subspace assigned, read from the per-row codes array. */
+  def pqLloydCodebook(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, subspaces: Int, iters: Int): Seq[(Int, Array[Float])] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    var cb: Seq[(Int, Array[Float])] = emb.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap).toSeq
+    val dim = cb.head._2.length
+    val subDim = dim / subspaces
+    for (_ <- 0 until iters) {
+      val codes = array(pqPerSub(vecCol, cb, subspaces).map(_._1): _*)
+      // two-step select: a Generator in the same projection as the
+      // codes expression breaks struct-field resolution inside least()
+      val sums = emb
+        .select(codes.as("__codes"), col(vecCol).as("__vec"))
+        .select(col("__codes"), posexplode(col("__vec")).as(Seq("__d", "__v")))
+        .withColumn("__cid", get(col("__codes"),
+          floor(col("__d") / lit(subDim)).cast("int")))
+        .groupBy(col("__d"), col("__cid"))
+        .agg(sum(round(col("__v").cast("double") * lit(1099511627776.0))
+            .cast("decimal(38,0)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val byKey = sums.map(r =>
+        (r.getInt(0), r.getInt(1)) -> ((r.getDecimal(2), r.getLong(3)))).toMap
+      cb = cb.map { case (cid, prev) =>
+        val next = prev.clone()
+        (0 until dim).foreach { d =>
+          byKey.get((d, cid)).foreach { case (sfix, n) =>
+            next(d) = (sfix.doubleValue() / 1099511627776.0 / n).toFloat
+          }
+        }
+        cid -> next
+      }
+    }
+    cb
   }
 
   /** PQ ASYMMETRIC-DISTANCE search (the ADC of Jégou et al.): approximate

@@ -3216,7 +3216,26 @@ object OpsQueries {
               |             / 1152921504606846976::DOUBLE)), 9) AS g_key
               |       FROM dweights)
               |SELECT doc_id, weight, g_key FROM dg
-              |ORDER BY g_key DESC, doc_id ASC LIMIT 100""".stripMargin)))
+              |ORDER BY g_key DESC, doc_id ASC LIMIT 100""".stripMargin)),
+
+    // ─── PQ codebook Lloyd refinement (the training half of q112) ───────
+    // Proves the q112 scaladoc claim that a Lloyd-refined codebook slots
+    // into pqEncode unchanged: 2 per-subspace k-means iterations from the
+    // same deterministic init, then encode with the refined codebook.
+    // The oracle replays every iteration (assignment argmin + fixed-point
+    // means + Float cast + empty-cell carryover) as generated CTEs.
+    "q155_pq_lloyd" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val cb = Similarity.pqLloydCodebook(emb, "vec_id", "embedding",
+          k = 16, subspaces = 8, iters = 2)
+        Similarity.pqEncode(emb, "vec_id", "embedding", cb, subspaces = 8)
+          .select($"vec_id", $"recon_err", posexplode($"codes").as(Seq("s", "cid")))
+          .select($"vec_id", $"s", $"cid", $"recon_err")
+          .orderBy($"vec_id", $"s")
+      },
+      Some(PqLloydOracle.sql(k = 16, subspaces = 8, dim = 64, iters = 2))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

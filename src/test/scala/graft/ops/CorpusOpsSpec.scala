@@ -742,4 +742,18 @@ class CcPropertySpec extends SparkSpec {
       assert(viaStar == expect, s"trial $trial (n=$n m=$m): star != union-find")
     }
   }
+
+  test("PQ Lloyd refinement reduces total quantization distortion") {
+    val emb = graft.Tables.embeddings(spark, sfTiny)
+    def totalErr(iters: Int): Double = {
+      val cb = Similarity.pqLloydCodebook(emb, "vec_id", "embedding",
+        k = 16, subspaces = 8, iters = iters)
+      Similarity.pqEncode(emb, "vec_id", "embedding", cb, subspaces = 8)
+        .agg(org.apache.spark.sql.functions.sum($"recon_err")).as[Double].head()
+    }
+    val init = totalErr(0) // iters=0 == the static q112 codebook
+    val refined = totalErr(2)
+    assert(refined < init * 0.9,
+      s"2 Lloyd iterations should cut distortion well below init: $refined vs $init")
+  }
 }
