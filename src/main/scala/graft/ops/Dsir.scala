@@ -36,21 +36,39 @@ import org.apache.spark.sql.functions._
   * the input either way. */
 object Dsir {
 
-  /** (id, is-target flag, bucket) — one row per bigram occurrence. */
+  /** (id, is-target flag, bucket) — one row per bigram occurrence.
+    * The token array is MATERIALIZED in its own projection before the
+    * generator (the q141 discipline): lambda bodies are exempt from
+    * Catalyst CSE, so a transform referencing the split() expression
+    * directly re-splits the text per element — O(tokens²) per doc. */
   private def bigramBuckets(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int): DataFrame = {
-    val tk = split(lower(col(textCol)), " ")
-    docs.select(col(idCol), targetPred.as("__t"),
-      explode(when(size(tk) >= 2,
-        transform(sequence(lit(0), size(tk) - 2),
-          i => pmod(Dedup.baseHash(concat_ws(" ", get(tk, i), get(tk, i + 1))),
-            lit(buckets.toLong))))
-        .otherwise(array().cast("array<long>"))).as("__b"))
+    val tk = col("__tk")
+    docs
+      .withColumn("__t", targetPred)
+      .withColumn("__tk", split(lower(col(textCol)), " "))
+      .select(col(idCol), col("__t"),
+        explode(when(size(tk) >= 2,
+          transform(sequence(lit(0), size(tk) - 2),
+            i => pmod(Dedup.baseHash(concat_ws(" ", get(tk, i), get(tk, i + 1))),
+              lit(buckets.toLong))))
+          .otherwise(array().cast("array<long>"))).as("__b"))
   }
 
   /** (id, n_bigrams, weight): per-document DSIR importance weight in
     * nats. Documents with < 2 tokens carry weight 0.0 (no features —
-    * the ratio estimator has nothing to say about them). */
+    * the ratio estimator has nothing to say about them).
+    *
+    * The bucket model is COLLECTED (`buckets` rows — contract-bounded,
+    * not data-scaled) and the nano-nat log-ratios fold back in as an
+    * array LITERAL (the IVF-centroid discipline): the weight pass is
+    * then a map-only explode + get() with ZERO joins — one model scan +
+    * one fact scan total, vs three scans when the model stayed
+    * relational (with the materialized token array: q153 3.6 s → 0.95 s,
+    * q154 10.6 s → 1.7 s steady-state at sf0.1). Driver arithmetic
+    * replicates the engine exactly: Math.log (what Spark's log()
+    * evaluates) and `GramFixExpr.roundHalfAway` (spec-pinned equal to
+    * SQL round). */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
@@ -58,17 +76,18 @@ object Dsir {
     val model = b.groupBy(col("__b"))
       .agg(count(lit(1)).as("__cr"),
         count(when(col("__t"), lit(1))).as("__ct"))
-    // two longs — model-sized driver collect by contract
-    val totals = model.agg(
-      coalesce(sum(col("__cr")), lit(0L)).as("nr"),
-      coalesce(sum(col("__ct")), lit(0L)).as("nt")).head()
-    val (nr, nt) = (totals.getLong(0), totals.getLong(1))
-    val lr = model.select(col("__b"),
-      round(log(
-        ((col("__ct") + 1).cast("double") / lit((nt + buckets).toDouble)) /
-          ((col("__cr") + 1).cast("double") / lit((nr + buckets).toDouble)))
-        * lit(1e9)).cast("long").as("__lr9"))
-    val perDoc = b.join(broadcast(lr), Seq("__b"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+    val nr = model.map(_._2).sum
+    val nt = model.map(_._3).sum
+    val lr9 = Array.ofDim[Long](buckets) // unseen buckets keep 0 (never referenced)
+    model.foreach { case (bk, cr, ct) =>
+      val ratio = ((ct + 1).toDouble / (nt + buckets).toDouble) /
+        ((cr + 1).toDouble / (nr + buckets).toDouble)
+      lr9(bk) = graft.functions.GramFixExpr.roundHalfAway(math.log(ratio) * 1e9)
+    }
+    val lrLit = array(lr9.map(lit(_)): _*)
+    val perDoc = b
+      .withColumn("__lr9", get(lrLit, col("__b").cast("int")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__lr9")).as("__w9"))
     docs.select(col(idCol))

@@ -223,10 +223,14 @@ class PlanAuditSpec extends SparkSpec {
       "no TakeOrderedAndProject in q138 plan:\n" + p.take(1200))
   }
 
-  test("DSIR model join broadcasts the B-bounded bucket table — fact never sort-merges") {
+  test("DSIR weight pass is join-free on the bucket key — log-ratios fold in as a literal") {
     val p = plan("q153_dsir_weights")
-    assert(p.contains("BroadcastHashJoin"),
-      "q153 bucket-model join must broadcast (64-row contract table):\n" + p.take(1200))
+    // the 64-bucket model collects and returns as an array literal: the
+    // executed plan must contain NO join keyed on __b (only the per-doc
+    // left join back to documents remains)
+    assert(!p.contains("__b#") || !p.contains("Join") ||
+      !p.split("Join").exists(_.take(120).contains("__b#")),
+      "q153 grew a bucket-key join back:\n" + p.take(1500))
     assert(!p.contains("SortMergeJoin"),
       "q153 fact side degraded to SortMergeJoin:\n" + p.take(1200))
   }
