@@ -41,7 +41,7 @@ object Dsir {
     * generator (the q141 discipline): lambda bodies are exempt from
     * Catalyst CSE, so a transform referencing the split() expression
     * directly re-splits the text per element — O(tokens²) per doc. */
-  private def bigramBuckets(docs: DataFrame, idCol: String, textCol: String,
+  private[ops] def bigramBuckets(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int): DataFrame = {
     val tk = col("__tk")
     docs

@@ -1,0 +1,72 @@
+package graft.queries
+
+/** Generated DuckDB oracle for `q156_logreg_fit` / `q157_logreg_score` —
+  * replays `Classifier.logregFit` iteration by iteration as CTEs (the
+  * KmeansOracle pattern):
+  *
+  *  - `lf` = sorted-distinct hashed-bigram features per doc (the q153
+  *    64-bucket md5 idiom) + a bias row (b = buckets) for EVERY doc;
+  *  - `w0` = zeros; per iteration i: `m$i` folds the margin in
+  *    bucket-ascending order seeded 0.0 (list_prepend + list_reduce ==
+  *    Spark's ordered aggregate() fold), `g$i` quantizes each doc's
+  *    sigmoid residual to INTEGER nano-units (the only engine-dependent
+  *    step, rounded half-away both engines), `gb$i` integer-sums per
+  *    bucket, `w${i+1}` replays the identical left-associated IEEE
+  *    update w − rate·(g/1e9)/n;
+  *  - fit output: (b, w) rows; score output: per-doc margin (exact),
+  *    9-decimal sigmoid, thresholded prediction, true label.
+  */
+object LogregOracle {
+
+  /** The shared fit chain `ltk`/`lf`/`ln_`/`w0`…`w$iters`, WITHOUT the
+    * WITH keyword — shared by the fit gate and the score gate so the
+    * replayed training can't drift between them. `label` is a SQL
+    * boolean predicate over `documents` columns. */
+  def ctes(label: String, buckets: Int, iters: Int, rate: String): String = {
+    val init =
+      s"""ltk AS (SELECT doc_id, CASE WHEN $label THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
+         |          string_split(lower(text), ' ') AS t FROM documents),
+         |lbg AS (SELECT DISTINCT doc_id,
+         |          (('0x'||substr(md5(t[x+1]||' '||t[x+2]),1,15))::BIGINT % $buckets) AS b
+         |        FROM (SELECT doc_id, t, unnest(range(len(t)-1)) AS x
+         |              FROM ltk WHERE len(t) >= 2)),
+         |lf AS (SELECT doc_id, b FROM lbg
+         |       UNION ALL SELECT doc_id, $buckets AS b FROM ltk),
+         |ln_ AS (SELECT count(*)::DOUBLE AS nd FROM ltk),
+         |w0 AS (SELECT CAST(t.b AS INTEGER) AS b, 0.0::DOUBLE AS w
+         |       FROM range(${buckets + 1}) t(b))""".stripMargin
+    val steps = (0 until iters).map { i =>
+      s"""m$i AS (SELECT f.doc_id,
+         |          list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+         |            (a, c) -> a + c) AS m
+         |        FROM lf f JOIN w$i w USING (b) GROUP BY f.doc_id),
+         |g$i AS (SELECT m.doc_id,
+         |          CAST(round((1.0::DOUBLE / (1.0::DOUBLE + exp(-m.m)) - ltk.y)
+         |            * 1000000000::DOUBLE) AS BIGINT) AS g9
+         |        FROM m$i m JOIN ltk USING (doc_id)),
+         |gb$i AS (SELECT f.b, sum(g.g9)::BIGINT AS gs
+         |         FROM lf f JOIN g$i g USING (doc_id) GROUP BY f.b),
+         |w${i + 1} AS (SELECT w.b,
+         |          w.w - $rate * (COALESCE(gb.gs, 0)::DOUBLE / 1000000000::DOUBLE)
+         |            / (SELECT nd FROM ln_) AS w
+         |        FROM w$i w LEFT JOIN gb$i gb USING (b))""".stripMargin
+    }
+    (Seq(init) ++ steps).mkString(",\n")
+  }
+
+  def fitSql(label: String, buckets: Int, iters: Int, rate: String): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)}
+       |SELECT b, w FROM w$iters ORDER BY b""".stripMargin
+
+  def scoreSql(label: String, buckets: Int, iters: Int, rate: String): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id)
+       |SELECT ltk.doc_id, fm.margin,
+       |  round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) AS p,
+       |  round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) >= 0.5::DOUBLE AS pred,
+       |  ltk.y = 1.0::DOUBLE AS is_target
+       |FROM fm JOIN ltk USING (doc_id) ORDER BY doc_id""".stripMargin
+}

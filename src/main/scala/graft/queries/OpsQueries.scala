@@ -3235,7 +3235,37 @@ object OpsQueries {
           .select($"vec_id", $"s", $"cid", $"recon_err")
           .orderBy($"vec_id", $"s")
       },
-      Some(PqLloydOracle.sql(k = 16, subspaces = 8, dim = 64, iters = 2))))
+      Some(PqLloydOracle.sql(k = 16, subspaces = 8, dim = 64, iters = 2))),
+
+    // ─── on-engine quality-classifier training (fastText/CCNet-style) ───
+    // Full-batch logistic regression on the q153 hashed-bigram feature
+    // space, label = lang='en'; 3 GD iterations replayed by the oracle
+    // (ordered margin folds, integer nano-unit gradients, identical IEEE
+    // weight updates). Output: 64 feature weights + the bias.
+    "q156_logreg_fit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Classifier.logregFit(Tables.documents(s, dir), "doc_id", "text",
+            $"lang" === "en", buckets = 64, iters = 3, rate = 0.02)
+          .toDF("b", "w").orderBy($"b")
+      },
+      Some(LogregOracle.fitSql("lang = 'en'", buckets = 64, iters = 3,
+        rate = "0.02::DOUBLE"))),
+
+    // ─── classifier scoring pass (the filter a corpus pipeline applies) ─
+    // Same replayed fit (shared CTEs), then per-doc margin (engine-exact
+    // ordered fold), 9-decimal sigmoid, thresholded prediction.
+    "q157_logreg_score" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val w = Classifier.logregFit(docs, "doc_id", "text",
+          $"lang" === "en", buckets = 64, iters = 3, rate = 0.02)
+        Classifier.logregScore(docs, "doc_id", "text", $"lang" === "en", w)
+          .orderBy($"doc_id")
+      },
+      Some(LogregOracle.scoreSql("lang = 'en'", buckets = 64, iters = 3,
+        rate = "0.02::DOUBLE"))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
