@@ -80,6 +80,27 @@ object BpeOracle {
        |ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** Oracle for the q158 tokenizer-compression gate: per language,
+    * whitespace word count (t0) vs post-merge token count (t$n), both
+    * from the same replay CTEs as `encodeSql`. The ratio is one
+    * BIGINT::DOUBLE division — engine-exact. */
+  def fertilitySql(merges: Seq[(String, String)]): String = {
+    val head = "t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)"
+    val body = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"""b$i AS (SELECT ${tokenLit(a)} AS a, ${tokenLit(b)} AS b),
+         |${replayCtes(i)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$body
+       |SELECT d.lang, count(*)::BIGINT AS n_docs,
+       |  sum(len(w.tk))::BIGINT AS n_words,
+       |  sum(len(t.tk))::BIGINT AS n_tokens,
+       |  sum(len(t.tk))::DOUBLE / sum(len(w.tk))::DOUBLE AS compression
+       |FROM documents d
+       |JOIN t0 w USING (doc_id) JOIN t${merges.size} t USING (doc_id)
+       |GROUP BY d.lang ORDER BY lang""".stripMargin
+  }
+
   /** Oracle for the q152 round-trip gate. `n_tokens` REPLAYS the encode
     * (the same CTEs as `encodeSql`, so the query can't silently skip
     * encoding), while `decoded` is lower(text) ITSELF — a hash match

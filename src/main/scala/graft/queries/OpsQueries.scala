@@ -3265,7 +3265,34 @@ object OpsQueries {
           .orderBy($"doc_id")
       },
       Some(LogregOracle.scoreSql("lang = 'en'", buckets = 64, iters = 3,
-        rate = "0.02::DOUBLE"))))
+        rate = "0.02::DOUBLE"))),
+
+    // ─── per-language tokenizer compression (fertility) after BPE ───────
+    // The tokenizer-eval stat: post-merge tokens per whitespace word by
+    // language — a merge list learned on one language compresses it more
+    // than the others. Integer sums + one final division; the oracle
+    // replays the encode via the shared BpeOracle CTEs (q145/q152's).
+    "q158_bpe_fertility" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val enc = Bpe.applyMerges(docs, "doc_id", "text",
+          Seq(("order", "fast"), ("order", "order"),
+            ("order\u0001fast", "order")))
+        docs.select($"doc_id", $"lang",
+            size(split(lower($"text"), " ")).cast("long").as("__w"))
+          .join(enc.select($"doc_id", size($"tokens").cast("long").as("__t")),
+            Seq("doc_id"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"__w").as("n_words"), sum($"__t").as("n_tokens"),
+            (sum($"__t").cast("double") / sum($"__w").cast("double"))
+              .as("compression"))
+          .orderBy($"lang")
+      },
+      Some(BpeOracle.fertilitySql(
+        Seq(("order", "fast"), ("order", "order"),
+          ("order\u0001fast", "order"))))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
