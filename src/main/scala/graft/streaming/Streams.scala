@@ -333,6 +333,30 @@ object Streams {
           .partitionBy("__batch_id").parquet(alertsDir)
       }
 
+  /** Streaming quality-classifier scoring: apply a FIXED fitted weight
+    * vector (`ops.Classifier.logregFit`, trained offline on the corpus —
+    * the CCNet deployment shape: train once, filter the crawl online) to
+    * every incoming micro-batch via the literal batch scorer, so stream
+    * and batch scores cannot drift (the driftMonitorStream discipline).
+    * Map-only per batch — the weights are 65 doubles baked into the
+    * expression, no state, no joins; partition-overwrite per batch id
+    * makes replays idempotent. */
+  def scoreStream(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      incomingDir: String, scoredDir: String, checkpointDir: String,
+      weights: Seq[(Int, Double)], labelPred: org.apache.spark.sql.Column,
+      idCol: String = "doc_id", textCol: String = "text") =
+    spark.readStream.schema(schema).parquet(incomingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ops.Classifier.logregScore(batch, idCol, textCol, labelPred, weights)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(scoredDir)
+      }
+
   /** Watermarked stream-stream inner join: each purchase pairs with the
     * same user's clicks from the preceding `lookback`. Both sides carry
     * watermarks and the join condition bounds event time on BOTH ends, so

@@ -443,6 +443,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("score stream: per-batch classifier scores equal the batch scorer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_score").toString
+    val in = s"$dir/in"; val outd = s"$dir/scored"; val ck = s"$dir/ck"
+    new java.io.File(in).mkdirs()
+    val docs = graft.Tables.documents(spark, sfTiny)
+    val w = graft.ops.Classifier.logregFit(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 64, iters = 2, rate = 0.02)
+    val b0 = docs.filter($"doc_id" < 20)
+    val b1 = docs.filter($"doc_id" >= 20 && $"doc_id" < 40)
+    b0.coalesce(1).write.mode("append").parquet(in)
+    val q = Streams.scoreStream(spark, b0.schema, in, outd, ck, w,
+      col("lang") === "en").start()
+    try {
+      q.processAllAvailable()
+      b1.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outd)
+        .select($"doc_id", $"p", $"pred").as[(Long, Double, Boolean)]
+        .collect().toSet
+      val batch = graft.ops.Classifier.logregScore(
+          docs.filter($"doc_id" < 40), "doc_id", "text",
+          col("lang") === "en", w)
+        .select($"doc_id", $"p", $"pred").as[(Long, Double, Boolean)]
+        .collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   // ─── state-STORE growth evidence (the 100 TB claim is about state, not
   // output): read stateOperators metrics off the progress events and pin
   // rows == distinct keys under heavy key skew — a flooding key must not
