@@ -824,4 +824,73 @@ object Dedup {
           col("n_repeated").cast("double") / col("n_windows").cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** WINNOWING fingerprints (Schleimer-Wilkerson-Aiken, SIGMOD 2003 —
+    * the MOSS algorithm, public literature): hash every k-token gram,
+    * slide a w-hash window, and in each window select the RIGHTMOST
+    * minimal hash; the distinct (position, hash) selections are the
+    * document's fingerprints. Guarantees every shared substring of
+    * length ≥ k + w − 1 tokens produces at least one shared fingerprint
+    * (the winnowing theorem), at ~2/(w+1) selection density — a LOCAL
+    * fingerprinting scheme: unlike MinHash (a global per-doc sketch), a
+    * plagiarized PARAGRAPH inside an otherwise-unrelated doc still
+    * collides.
+    *
+    * Output: (id, pos, fp) scalar rows, pos = the selected k-gram's
+    * 0-based token offset. Docs with < k tokens have no k-grams and emit
+    * nothing; docs with 1 ≤ grams < w winnow a single short window.
+    *
+    * Scale shape: map-only end to end — token array and k-gram hash
+    * array each MATERIALIZE in their own projection before the lambda
+    * that consumes them (the repeatedWindowStats CSE discipline); per
+    * window the argmin reads an O(w) slice of the materialized hash
+    * array (O(grams·w) per doc, w is a small constant); fingerprints are
+    * 8-byte hashes, never strings. Zero joins, zero shuffles. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val kh = col("__kh")
+    df
+      .withColumn("__tk", split(lower(col(textCol)), " "))
+      .withColumn("__kh", when(size(col("__tk")) >= k,
+        transform(sequence(lit(0), size(col("__tk")) - k),
+          i => baseHash(array_join(slice(col("__tk"), i + 1, lit(k)), " "))))
+        .otherwise(array().cast("array<long>")))
+      .withColumn("__nw", greatest(size(kh) - (w - 1), least(size(kh), lit(1))))
+      .select(col(idCol),
+        explode(when(col("__nw") > 0,
+          array_distinct(transform(sequence(lit(0), col("__nw") - 1), i => {
+            val s = slice(kh, i + 1, lit(w))
+            val m = array_min(s)
+            // rightmost occurrence of the window minimum
+            val pos = i + size(s) - array_position(reverse(s), m).cast("int")
+            struct(pos.cast("int").as("pos"), m.as("fp"))
+          })))
+          .otherwise(array().cast("array<struct<pos:int,fp:bigint>>"))).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
+
+  /** Winnowing-overlap candidate pairs: docs sharing ≥ `minShared`
+    * distinct fingerprint hashes, with the shared count. The pair
+    * semantics of `winnowFingerprints` — by the winnowing theorem a
+    * shared run of ≥ k+w−1 tokens is guaranteed represented, so this is
+    * the copied-PASSAGE detector (vs MinHash's whole-doc similarity).
+    *
+    * Scale shape: one distinct + ONE fingerprint-keyed bucket join +
+    * one pair-keyed count — the minhash-pair plan shape; fingerprint
+    * keys are md5-uniform, with the same hot-boilerplate caveat as LSH
+    * band buckets (a k-gram shared by everything makes a hot bucket —
+    * run `dedupSegments` first, same as the minhash family). */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 2): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val a = fp.toDF("id_a", "fp")
+    val b = fp.toDF("id_b", "fp")
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

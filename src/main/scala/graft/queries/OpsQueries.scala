@@ -142,6 +142,24 @@ object OpsQueries {
       |         coalesce(dw.w9, 0)::DOUBLE / 1000000000::DOUBLE AS weight
       |       FROM documents d LEFT JOIN dw USING (doc_id))""".stripMargin
 
+  /** The q159/q160 winnowing chain: k-gram 60-bit hashes `wkh`
+    * (k=4 tokens), w=4 sliding windows `ws`, rightmost-min selections
+    * `wf` (DISTINCT (doc_id, pos, fp)). Shared by the fingerprint gate
+    * and the pair gate so the selection rule can't drift. */
+  private val winnowCtes: String =
+    """wtk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |wkh AS (SELECT doc_id,
+      |          list_transform(range(len(tk) - 3),
+      |            i -> ('0x'||substr(md5(array_to_string(list_slice(tk, i+1, i+4), ' ')),1,15))::BIGINT) AS kh
+      |        FROM wtk WHERE len(tk) >= 4),
+      |ww AS (SELECT doc_id, kh, CAST(unnest(range(greatest(len(kh) - 3, least(len(kh), 1)))) AS INTEGER) AS i
+      |       FROM wkh),
+      |ws AS (SELECT doc_id, i, list_slice(kh, i+1, i+4) AS s FROM ww),
+      |wf AS (SELECT DISTINCT doc_id,
+      |         CAST(i + len(s) - list_position(list_reverse(s), list_min(s)) AS INTEGER) AS pos,
+      |         list_min(s) AS fp
+      |       FROM ws)""".stripMargin
+
   /** The q112 product-quantization chain (codebook `cb` = 16 lowest-id
     * vectors, per-(vector, subspace, code) distances `d`, argmin `best`),
     * shared by the q112 encode gate and the q114 ADC oracle so the
@@ -3292,7 +3310,36 @@ object OpsQueries {
       },
       Some(BpeOracle.fertilitySql(
         Seq(("order", "fast"), ("order", "order"),
-          ("order\u0001fast", "order"))))))
+          ("order\u0001fast", "order"))))),
+
+    // ─── winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003) ────────
+    // Rightmost-min-per-window k-gram fingerprints — the LOCAL
+    // fingerprinting scheme: any shared run of >= k+w-1 tokens is
+    // guaranteed a shared fingerprint (the winnowing theorem).
+    "q159_winnow_fingerprints" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+            k = 4, w = 4)
+          .orderBy($"doc_id", $"pos")
+      },
+      Some(s"""WITH $winnowCtes
+              |SELECT doc_id, pos, fp FROM wf ORDER BY doc_id, pos""".stripMargin)),
+
+    // ─── winnowing-overlap pairs (copied-passage detector) ──────────────
+    "q160_winnow_pairs" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+            k = 4, w = 4, minShared = 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH $winnowCtes,
+              |wd AS (SELECT DISTINCT doc_id, fp FROM wf)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+              |FROM wd a JOIN wd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 2
+              |ORDER BY id_a, id_b""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

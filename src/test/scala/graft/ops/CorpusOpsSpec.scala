@@ -743,6 +743,34 @@ class CcPropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowing theorem: a shared run of >= k+w-1 tokens shares a fingerprint") {
+    // k=4, w=4: any common substring of >= 7 tokens must collide
+    val shared = "p q r s t u v" // 7 tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"one two $shared three four five six"),
+      (3L, "totally unrelated words with nothing in common at all today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 4, w = 4,
+        minShared = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed collision missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc collided: $pairs")
+  }
+
+  test("winnowing selects the rightmost minimum per window, deduped") {
+    // hashes are md5-opaque; pin the mechanics on a tiny doc: 5 tokens,
+    // k=4 -> 2 k-grams, w=4 -> one short window of 2 -> exactly 1 selection
+    val one = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(one, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Int, Long)].collect()
+    assert(fps.length == 1 && (fps(0)._2 == 0 || fps(0)._2 == 1))
+    // and a doc below k tokens emits nothing
+    val short = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(short, "doc_id", "text", 4, 4).count() == 0)
+  }
+
   test("PQ Lloyd refinement reduces total quantization distortion") {
     val emb = graft.Tables.embeddings(spark, sfTiny)
     def totalErr(iters: Int): Double = {
