@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
 
 /** Primitive-loop vector kernels. The declarative equivalent
   * (`zip_with` + `aggregate` lambdas) is evaluated interpreted with per-
@@ -190,6 +190,74 @@ object GramFixExpr {
   }
 }
 
+/** PQ encode as ONE loop kernel: per subspace, argmin over the codebook
+  * entries' slice-L2 — ascending-dim fold, first-entry init + strict-<
+  * update (keeps the lowest cid on ties), recon_err accumulated in
+  * ascending subspace order. Bit-identical arithmetic and tie-break to
+  * the least(struct(d2, cid)) expression chain it replaces, which at
+  * k=16 × 8 subspaces unrolled to ~2,500 Catalyst nodes and made
+  * per-execution planning dominate q112/q155 (the round-2
+  * DotLiteralExpr lesson). Returns struct(codes array<int>, recon_err
+  * double). */
+case class PqEncodeExpr(child: Expression, codebook: Array[Array[Float]],
+    subspaces: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("recon_err", DoubleType, nullable = false)))
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any): Any =
+    PqEncodeExpr.encode(a.asInstanceOf[ArrayData].toFloatArray(), codebook, subspaces)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebook", codebook, "float[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PqEncodeExpr.encode($a.toFloatArray(), $cb, $subspaces);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PqEncodeExpr {
+  def encode(x: Array[Float], cb: Array[Array[Float]],
+      subspaces: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val dim = cb(0).length
+    val subDim = dim / subspaces
+    val codes = new Array[Int](subspaces)
+    var err = 0.0
+    var s = 0
+    while (s < subspaces) {
+      val off = s * subDim
+      // cid 0 first (the least() fold's leftmost element), then strict-<
+      var bestD = sliceD2(x, cb(0), off, subDim)
+      var bestC = 0
+      var c = 1
+      while (c < cb.length) {
+        val d = sliceD2(x, cb(c), off, subDim)
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC
+      err += bestD
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes),
+      err))
+  }
+
+  private def sliceD2(x: Array[Float], cv: Array[Float], off: Int, subDim: Int): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < subDim) {
+      val d = x(off + j).toDouble - cv(off + j).toDouble
+      acc += d * d
+      j += 1
+    }
+    acc
+  }
+}
+
 object VectorOps {
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
@@ -202,4 +270,7 @@ object VectorOps {
 
   def gramFix(a: Column, scale: Double): Column =
     GraftBridge.column(GramFixExpr(GraftBridge.expression(a), scale))
+
+  def pqEncodeFast(a: Column, codebook: Array[Array[Float]], subspaces: Int): Column =
+    GraftBridge.column(PqEncodeExpr(GraftBridge.expression(a), codebook, subspaces))
 }

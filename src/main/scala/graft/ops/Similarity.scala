@@ -363,11 +363,23 @@ object Similarity {
     * Map-only literal expressions end to end: per row, subspaces·k
     * codegen'd folds over subDim elements — zero shuffle, no model-table
     * join (the codebook is k×dim driver-side floats, the IVF contract). */
-  /** Per-subspace (argmin cid, min d2) expression pair — the ONE
-    * definition of the PQ assignment (L2, ties lowest id), shared by
-    * `pqEncode` and the `pqLloydCodebook` fit so encode and fit can't
-    * drift on distance or tie-break. */
-  private def pqPerSub(vecCol: String,
+  /** The codebook as a positional array — the PQ kernels index entries
+    * by cid, so the cids must be exactly 0..k-1 (both fit paths build
+    * them that way). */
+  private def cbArray(codebook: Seq[(Int, Array[Float])]): Array[Array[Float]] = {
+    require(codebook.nonEmpty, "PQ needs a non-empty codebook")
+    require(codebook.map(_._1).sorted == codebook.indices,
+      "codebook cids must be 0..k-1")
+    codebook.sortBy(_._1).map(_._2).toArray
+  }
+
+  /** Per-subspace (argmin cid, min d2) expression pair — the DECLARATIVE
+    * twin of `PqEncodeExpr` (kept as the equivalence-spec baseline: the
+    * unrolled least(struct) chain is ~2,500 Catalyst nodes at k=16×8 and
+    * per-execution planning dominated q112/q155, the round-2
+    * DotLiteralExpr lesson — but its semantics ARE the assignment
+    * definition the kernel must match). */
+  private[ops] def pqPerSub(vecCol: String,
       codebook: Seq[(Int, Array[Float])], subspaces: Int): Seq[(Column, Column)] = {
     require(codebook.nonEmpty, "PQ needs a non-empty codebook")
     val dim = codebook.head._2.length
@@ -390,10 +402,11 @@ object Similarity {
 
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
       codebook: Seq[(Int, Array[Float])], subspaces: Int): DataFrame = {
-    val perSub = pqPerSub(vecCol, codebook, subspaces)
+    val enc = graft.functions.VectorOps.pqEncodeFast(col(vecCol),
+      cbArray(codebook), subspaces)
     emb.select(col(idCol),
-      array(perSub.map(_._1): _*).as("codes"),
-      perSub.map(_._2).reduce(_ + _).as("recon_err"))
+      enc.getField("codes").as("codes"),
+      enc.getField("recon_err").as("recon_err"))
   }
 
   /** Per-subspace LLOYD refinement of a PQ codebook — the training half
@@ -423,9 +436,10 @@ object Similarity {
     val dim = cb.head._2.length
     val subDim = dim / subspaces
     for (_ <- 0 until iters) {
-      val codes = array(pqPerSub(vecCol, cb, subspaces).map(_._1): _*)
-      // two-step select: a Generator in the same projection as the
-      // codes expression breaks struct-field resolution inside least()
+      val codes = graft.functions.VectorOps.pqEncodeFast(col(vecCol),
+        cbArray(cb), subspaces).getField("codes")
+      // two-step select keeps the Generator out of the projection that
+      // computes the codes (struct-field resolution + CSE discipline)
       val sums = emb
         .select(codes.as("__codes"), col(vecCol).as("__vec"))
         .select(col("__codes"), posexplode(col("__vec")).as(Seq("__d", "__v")))

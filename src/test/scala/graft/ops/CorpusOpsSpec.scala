@@ -771,6 +771,23 @@ class CcPropertySpec extends SparkSpec {
     assert(Dedup.winnowFingerprints(short, "doc_id", "text", 4, 4).count() == 0)
   }
 
+  test("PqEncodeExpr kernel equals the declarative least(struct) chain") {
+    val emb = graft.Tables.embeddings(spark, sfTiny)
+    val cb = emb.orderBy($"vec_id").limit(16)
+      .select($"embedding").collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0).toArray }.toSeq
+    val viaKernel = Similarity.pqEncode(emb, "vec_id", "embedding", cb, 8)
+      .as[(Long, Seq[Int], Double)].collect()
+      .map { case (id, c, e) => id -> ((c, e)) }.toMap
+    val perSub = Similarity.pqPerSub("embedding", cb, 8)
+    val viaChain = emb.select($"vec_id",
+        org.apache.spark.sql.functions.array(perSub.map(_._1): _*).as("codes"),
+        perSub.map(_._2).reduce(_ + _).as("recon_err"))
+      .as[(Long, Seq[Int], Double)].collect()
+      .map { case (id, c, e) => id -> ((c, e)) }.toMap
+    assert(viaKernel == viaChain) // codes AND recon_err bit-identical
+  }
+
   test("PQ Lloyd refinement reduces total quantization distortion") {
     val emb = graft.Tables.embeddings(spark, sfTiny)
     def totalErr(iters: Int): Double = {
