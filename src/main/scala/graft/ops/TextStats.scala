@@ -530,6 +530,58 @@ object TextStats {
         (sum(col("__pfix")).cast("double") / fix / fcount(lit(1))).as("mean_p"))
   }
 
+  /** STUPID-BACKOFF bigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation", public literature): the at-scale
+    * smoothing choice — no discount mass bookkeeping, just
+    *   S(w2|w1) = c12/c1           if the bigram is in the (pruned) model
+    *            = backoff · c2/N   otherwise
+    * Paired with a topK-per-history pruned model (the q90 pruning knob),
+    * this is how a trillion-token LM actually scores: the model keeps
+    * only frequent continuations and everything else backs off to the
+    * unigram. Output: (id, n_bigrams, mean_s) with the q84 fixed-point
+    * mean discipline (round(S·2^40) integer sums — order-independent).
+    *
+    * Scale shape: identical to `lmScore` — one bigram explode, vocab- and
+    * bigram-model tables UN-hinted (corpus-vocab-sized, the r4 fix), the
+    * 1-row token-total broadcast is the one legitimate hint. */
+  def lmScoreBackoff(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, backoff: Double = 0.4,
+      topK: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val fix = (1L << 40).toDouble
+    val toks = split(lower(col(textCol)), " ")
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (x, y) => struct(x.as("w1"), y.as("w2"), concat_ws(" ", x, y).as("pair")))
+    val bg = df.select(col(idCol).as("__id"), explode(bigrams).as("b"))
+      .select(col("__id"), col("b.w1").as("w1"), col("b.w2").as("w2"),
+        col("b.pair").as("pair"))
+    val tokRows = df.select(explode(toks).as("w"))
+    val uc = tokRows.groupBy(col("w")).agg(fcount(lit(1)).as("c1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bw1")).orderBy(col("c12").desc, col("pair").asc)
+    val bc = bg.groupBy(col("w1").as("__bw1"), col("pair"))
+      .agg(fcount(lit(1)).as("c12"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK).select(col("pair"), col("c12"))
+    val tot = tokRows.agg(fcount(lit(1)).as("__n"))
+    val scored = bg
+      .join(bc, Seq("pair"), "left") // pruned away → null c12 → back off
+      .join(uc.select(col("w").as("w1"), col("c1")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c1").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__sfix",
+        round(when(col("c12").isNotNull,
+            col("c12").cast("double") / col("c1").cast("double"))
+          .otherwise(lit(backoff) * col("c2").cast("double")
+            / col("__n").cast("double")) * lit(fix))
+          .cast("decimal(20,0)"))
+    scored.groupBy(col("__id").as(idCol))
+      .agg(fcount(lit(1)).as("n_bigrams"),
+        (sum(col("__sfix")).cast("double") / fix / fcount(lit(1))).as("mean_s"))
+  }
+
   /** Corpus-cleaning redaction: masks email-shaped tokens then digit runs
     * with typed placeholders (emails first — they contain digits). Pure
     * regexp_replace chain; order of passes is part of the contract. */

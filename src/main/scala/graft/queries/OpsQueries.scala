@@ -3339,7 +3339,44 @@ object OpsQueries {
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
               |FROM wd a JOIN wd b ON a.fp = b.fp AND a.doc_id < b.doc_id
               |GROUP BY 1, 2 HAVING count(*) >= 2
-              |ORDER BY id_a, id_b""".stripMargin)))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ─── stupid-backoff LM scoring over a pruned model (Brants 2007) ────
+    // topK=2 continuations per history survive the model; every other
+    // bigram instance backs off to backoff·c2/N. Both branches exercised
+    // corpus-wide; q84's fixed-point mean discipline.
+    "q161_lm_backoff" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.lmScoreBackoff(Tables.documents(s, dir), "doc_id", "text",
+            backoff = 0.4, topK = 2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+             |uni AS (SELECT unnest(tk) AS w FROM toks),
+             |uc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+             |nt AS (SELECT count(*)::BIGINT AS n FROM uni),
+             |bgx AS (SELECT doc_id, tk, CAST(unnest(range(len(tk) - 1)) AS INTEGER) AS pos
+             |        FROM toks WHERE len(tk) >= 2),
+             |bg AS (SELECT doc_id, pos, tk[pos+1] AS w1, tk[pos+2] AS w2,
+             |         tk[pos+1] || ' ' || tk[pos+2] AS pair
+             |       FROM bgx),
+             |bc AS (SELECT w1, pair, count(*) AS c12 FROM bg GROUP BY w1, pair),
+             |bcp AS (SELECT pair, c12 FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY w1
+             |            ORDER BY c12 DESC, pair ASC) AS rk FROM bc) WHERE rk <= 2),
+             |sc AS (SELECT doc_id,
+             |         CAST(round(CASE WHEN bcp.c12 IS NOT NULL
+             |                    THEN bcp.c12::DOUBLE / u1.c1::DOUBLE
+             |                    ELSE 0.4::DOUBLE * u2.c1::DOUBLE / nt.n::DOUBLE END
+             |                    * (1099511627776::DOUBLE)) AS BIGINT) AS sfix
+             |       FROM bg LEFT JOIN bcp USING (pair)
+             |       JOIN uc u1 ON bg.w1 = u1.w
+             |       JOIN uc u2 ON bg.w2 = u2.w
+             |       CROSS JOIN nt)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(sfix) AS DOUBLE) / (1099511627776::DOUBLE) / count(*) AS mean_s
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
