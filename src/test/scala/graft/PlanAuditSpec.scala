@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     // hinted joins allowed are the condition-free crossJoins of 1-row
     // aggregates (corpus size, vocab size).
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    Seq("q84_lm_score", "q90_lm_score_pruned", "q42_tfidf_top_term").foreach { q =>
+    Seq("q84_lm_score", "q90_lm_score_pruned", "q42_tfidf_top_term",
+        "q161_lm_backoff").foreach { q =>
       val lp = SparkEntry.queries(q)(spark, sfTiny).queryExecution.optimizedPlan
       lp.collect { case j: Join => j }.foreach { j =>
         val hinted = Seq(j.hint.leftHint, j.hint.rightHint).flatten.exists(_.strategy.isDefined)
@@ -239,5 +240,29 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q154_dsir_resample")
     assert(p.contains("TakeOrderedAndProject"),
       "no TakeOrderedAndProject in q154 plan:\n" + p.take(1200))
+  }
+
+  test("winnowing fingerprints are computed without any exchange") {
+    // map-only end to end: the op's plan (before the gate's ORDER BY)
+    // must contain no shuffle — fingerprints never leave their partition
+    val p = ops.Dedup.winnowFingerprints(
+        Tables.documents(spark, sfTiny), "doc_id", "text", 4, 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "winnowFingerprints grew a shuffle:\n" + p.take(1200))
+  }
+
+  test("logreg scoring is join-free on the feature buckets") {
+    val w = ops.Classifier.logregFit(Tables.documents(spark, sfTiny),
+      "doc_id", "text", org.apache.spark.sql.functions.col("lang") === "en",
+      buckets = 64, iters = 1, rate = 0.02)
+    assert(w.length == 65 && w.exists(_._2 != 0.0))
+    // weights fold in as a literal array: no SortMergeJoin anywhere in
+    // the scoring plan (the only join left is the per-doc feature join)
+    val p = ops.Classifier.logregScore(Tables.documents(spark, sfTiny),
+        "doc_id", "text", org.apache.spark.sql.functions.col("lang") === "en", w)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "logregScore degraded to SortMergeJoin:\n" + p.take(1200))
   }
 }
