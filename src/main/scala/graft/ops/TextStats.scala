@@ -582,6 +582,20 @@ object TextStats {
         (sum(col("__sfix")).cast("double") / fix / fcount(lit(1))).as("mean_s"))
   }
 
+  /** Blocklist screening — the C4-style banned-wordlist stage: first
+    * blocklisted term (in LIST order) contained in the lowercased text,
+    * null if clean. Reuses the ETL tier's Aho-Corasick expression
+    * (`functions.MultiContains`, one automaton per executor, O(text) per
+    * row regardless of list size — the 305-keyword ETL filter measured
+    * 12.1 s → 0.33 s vs chained contains). Substring semantics on
+    * purpose (a banned term inside a longer word still flags — the
+    * conservative screening default); token-boundary variants compose by
+    * padding terms with spaces. */
+  def blocklistHit(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "blocklistHit needs at least one term")
+    graft.functions.MultiContains.multiContainsFirst(lower(text), terms)
+  }
+
   /** Corpus-cleaning redaction: masks email-shaped tokens then digit runs
     * with typed placeholders (emails first — they contain digits). Pure
     * regexp_replace chain; order of passes is part of the contract. */

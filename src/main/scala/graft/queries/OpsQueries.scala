@@ -114,6 +114,12 @@ object OpsQueries {
       |           (a.m1fx / 1099511627776::DOUBLE / n) * (b.m1fx / 1099511627776::DOUBLE / n) AS cov
       |       FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i)""".stripMargin
 
+  /** The q162 blocklist, shared between the Spark expression and the
+    * generated oracle CASE chain (first-match-in-LIST-order semantics on
+    * both sides). */
+  private val blocklistTerms: Seq[String] =
+    Seq("order fast", "scan", "merge")
+
   /** The q153/q154 DSIR chain: hashed-bigram buckets `dbg` (64 bins of
     * the 60-bit md5 idiom), bucket model `dm`/`dlr` (add-one smoothed
     * nano-nat log-ratios, target = lang='en'), per-doc weights
@@ -3376,7 +3382,30 @@ object OpsQueries {
              |       CROSS JOIN nt)
              |SELECT doc_id, count(*) AS n_bigrams,
              |  CAST(sum(sfix) AS DOUBLE) / (1099511627776::DOUBLE) / count(*) AS mean_s
-             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ─── blocklist screening (C4-style banned-wordlist filter) ──────────
+    // First blocklisted term in LIST order via the ETL tier's
+    // Aho-Corasick expression; the oracle is a generated CASE chain in
+    // the same order so the two definitions can't drift.
+    "q162_blocklist" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            TextStats.blocklistHit($"text", blocklistTerms).as("hit"))
+          .withColumn("keep", $"hit".isNull)
+          .orderBy($"doc_id")
+      },
+      Some {
+        val cases = blocklistTerms
+          .map(t => s"WHEN contains(lower(text), '$t') THEN '$t'")
+          .mkString("\n             ")
+        s"""SELECT doc_id,
+           |  CASE $cases ELSE NULL END AS hit,
+           |  CASE $cases ELSE NULL END IS NULL AS keep
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
