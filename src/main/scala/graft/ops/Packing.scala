@@ -53,4 +53,22 @@ object Packing {
       .select(col(stratumCol), col("__p.id").as(idCol),
         col("__p.sz").as(sizeCol), col("__p.bin").as("bin"))
   }
+
+  /** `packNextFit` + the token offsets a dataloader actually consumes:
+    * each doc's [off_start, off_end) within its packed training
+    * sequence (id-ascending within the bin, the fold order), so
+    * cross-document attention masks and position ids can be built
+    * without re-scanning the text. One extra window cumsum over the
+    * already-packed rows — the partition key (stratum, bin) is
+    * bin-sized, no skew by construction (bins hold ≤ capacity tokens). */
+  def packWithOffsets(df: DataFrame, idCol: String, stratumCol: String,
+      sizeCol: String, capacity: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("bin"))
+      .orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    packNextFit(df, idCol, stratumCol, sizeCol, capacity)
+      .withColumn("off_start", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("off_end", col("off_start") + col(sizeCol))
+  }
 }

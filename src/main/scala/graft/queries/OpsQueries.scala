@@ -3405,7 +3405,40 @@ object OpsQueries {
            |  CASE $cases ELSE NULL END AS hit,
            |  CASE $cases ELSE NULL END IS NULL AS keep
            |FROM documents ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // ─── packed-sequence token offsets (the dataloader contract) ────────
+    // q79's next-fit bins + each doc's [off_start, off_end) within its
+    // training sequence — what cross-document attention masks and
+    // position ids are built from. Oracle extends the q79 recursive
+    // replay with the same id-ascending running sum.
+    "q163_pack_offsets" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir).select($"doc_id", $"lang",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+        Packing.packWithOffsets(d, "doc_id", "lang", "n_tokens", capacity = 256L)
+          .orderBy($"lang", $"doc_id")
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents),
+             |rec AS (
+             |  SELECT lang, rn, doc_id, n_tokens, n_tokens AS fill, 1::BIGINT AS bin
+             |  FROM d WHERE rn = 1
+             |  UNION ALL
+             |  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+             |         CASE WHEN rec.fill + d.n_tokens <= 256 THEN rec.fill + d.n_tokens
+             |              ELSE d.n_tokens END,
+             |         CASE WHEN rec.fill + d.n_tokens <= 256 THEN rec.bin ELSE rec.bin + 1 END
+             |  FROM rec JOIN d ON d.lang = rec.lang AND d.rn = rec.rn + 1)
+             |SELECT lang, doc_id, n_tokens, bin,
+             |  COALESCE(sum(n_tokens) OVER (PARTITION BY lang, bin ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off_start,
+             |  (COALESCE(sum(n_tokens) OVER (PARTITION BY lang, bin ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_tokens)::BIGINT AS off_end
+             |FROM rec ORDER BY lang, doc_id""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

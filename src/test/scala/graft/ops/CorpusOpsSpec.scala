@@ -129,6 +129,23 @@ class PackingSpec extends SparkSpec {
     assert(got("b") == Seq(10L -> 1L, 11L -> 2L))
   }
 
+  test("pack offsets tile each bin contiguously from zero") {
+    val d = Tables.documents(spark, sfTiny).select($"doc_id", $"lang",
+      size(split($"text", " ")).cast("long").as("nt"))
+    val rows = Packing.packWithOffsets(d, "doc_id", "lang", "nt", 256L)
+      .select($"lang", $"bin", $"doc_id", $"nt", $"off_start", $"off_end")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    rows.groupBy(r => (r._1, r._2)).foreach { case (key, xs) =>
+      val sorted = xs.sortBy(_._3)
+      var expect = 0L
+      sorted.foreach { case (_, _, _, nt, s0, e0) =>
+        assert(s0 == expect && e0 == s0 + nt, s"gap in $key at offset $expect")
+        expect = e0
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("no bin exceeds capacity except oversized singletons") {
     val d = Tables.documents(spark, sfTiny).select($"doc_id", $"lang",
       size(split($"text", " ")).cast("long").as("nt"))
