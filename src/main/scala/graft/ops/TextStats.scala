@@ -192,6 +192,31 @@ object TextStats {
     pick
   }
 
+  /** `langGuess` + the CONFIDENCE MARGIN a CCNet-class pipeline
+    * thresholds on: struct(lang_guess, hits, margin) where `hits` is the
+    * winning language's marker count and `margin` = hits − the runner-up
+    * language's count. All-integer marker arithmetic — engine-exact, no
+    * rounding discipline needed. Ties (margin 0) and zero-hit docs
+    * ("und") fall below any positive threshold, the conservative
+    * keep-only-confident default. Map-only. */
+  def langGuessMargin(text: Column, markers: Map[String, Seq[String]]): Column = {
+    require(markers.size >= 2, "margin needs at least two candidate languages")
+    val toks = split(lower(text), "\\s+")
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (size(filter(toks, t => t.isin(words.map(lit): _*))), lang)
+    }
+    val best = scored.map(_._1).reduce((a, b) => greatest(a, b))
+    val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (score, lang)) =>
+      when(score === best && score > 0, lang).otherwise(acc)
+    }
+    val second = scored.map { case (score, lang) =>
+      when(lit(lang) === pick, lit(-1)).otherwise(score)
+    }.reduce((a, b) => greatest(a, b))
+    // zero-hit docs: pick = und, best = 0, margin pinned to 0
+    struct(pick.as("lang_guess"), best.as("hits"),
+      when(best > 0, best - greatest(second, lit(0))).otherwise(lit(0)).as("margin"))
+  }
+
   /** Deterministic uniform [0,1) draw from a key column: md5-derived, so
     * the same row keeps the same draw across engines, runs, and cluster
     * layouts — unlike `df.sample`/TABLESAMPLE whose RNG is engine-private.

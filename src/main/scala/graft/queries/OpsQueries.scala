@@ -3438,7 +3438,50 @@ object OpsQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off_start,
              |  (COALESCE(sum(n_tokens) OVER (PARTITION BY lang, bin ORDER BY doc_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_tokens)::BIGINT AS off_end
-             |FROM rec ORDER BY lang, doc_id""".stripMargin)))
+             |FROM rec ORDER BY lang, doc_id""".stripMargin)),
+
+    // ─── language-ID confidence margin (keep-only-confident filter) ─────
+    // q32's integer marker argmax + the runner-up gap a CCNet-class
+    // pipeline thresholds on; ties and zero-hit docs pin margin to 0.
+    "q164_langid_margin" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val markers = Map(
+          "de" -> Seq("der", "und"), "en" -> Seq("the", "a"),
+          "es" -> Seq("el", "y"), "fr" -> Seq("le", "et"))
+        Tables.documents(s, dir).select($"doc_id",
+            TextStats.langGuessMargin($"text", markers).as("g"))
+          .select($"doc_id", $"g.lang_guess".as("lang_guess"),
+            $"g.hits".as("hits"), $"g.margin".as("margin"))
+          .withColumn("confident", $"margin" >= 2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sc AS (SELECT doc_id,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['der','und'], t))) AS s_de,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['the','a'], t))) AS s_en,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['el','y'], t))) AS s_es,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['le','et'], t))) AS s_fr
+             |FROM documents),
+             |g AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+             |  greatest(s_de, s_en, s_es, s_fr) AS best,
+             |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+             |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+             |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+             |       ELSE 'fr' END AS lang_guess
+             |FROM sc),
+             |m AS (SELECT doc_id, lang_guess, best,
+             |  CASE lang_guess
+             |    WHEN 'de' THEN greatest(s_en, s_es, s_fr)
+             |    WHEN 'en' THEN greatest(s_de, s_es, s_fr)
+             |    WHEN 'es' THEN greatest(s_de, s_en, s_fr)
+             |    WHEN 'fr' THEN greatest(s_de, s_en, s_es)
+             |    ELSE best END AS second
+             |FROM g)
+             |SELECT doc_id, lang_guess, CAST(best AS INTEGER) AS hits,
+             |  CAST(CASE WHEN best > 0 THEN best - greatest(second, 0) ELSE 0 END AS INTEGER) AS margin,
+             |  CASE WHEN best > 0 THEN best - greatest(second, 0) ELSE 0 END >= 2 AS confident
+             |FROM m ORDER BY doc_id""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
