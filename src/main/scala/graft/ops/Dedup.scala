@@ -858,7 +858,12 @@ object Dedup {
         .otherwise(array().cast("array<long>")))
       .withColumn("__nw", greatest(size(kh) - (w - 1), least(size(kh), lit(1))))
       .select(col(idCol),
-        explode(when(col("__nw") > 0,
+        // explode_OUTER + null filter, NOT plain explode: non-outer
+        // Generate triggers InferFiltersFromGenerate, whose pushed
+        // condition re-derives this whole winnow transform (split inside
+        // the lambda → O(tokens²)/doc) inside a Filter — see
+        // gramOccurrences for the measured effect.
+        explode_outer(when(col("__nw") > 0,
           array_distinct(transform(sequence(lit(0), col("__nw") - 1), i => {
             val s = slice(kh, i + 1, lit(w))
             val m = array_min(s)
@@ -867,6 +872,7 @@ object Dedup {
             struct(pos.cast("int").as("pos"), m.as("fp"))
           })))
           .otherwise(array().cast("array<struct<pos:int,fp:bigint>>"))).as("__s"))
+      .filter(col("__s").isNotNull)
       .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
 
@@ -892,5 +898,113 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** k-gram occurrence frame: one row per (id, pos, h) where `h` is the
+    * 60-bit md5 base hash of the lowercased k-token gram starting at
+    * 0-based token offset `pos`. The token and gram-hash arrays each
+    * MATERIALIZE in their own projection (the repeatedWindowStats CSE
+    * discipline — lambda bodies are exempt from Catalyst subexpression
+    * elimination). Docs with < k tokens emit nothing.
+    *
+    * posexplode_OUTER on purpose: for a non-outer Generate, Catalyst's
+    * InferFiltersFromGenerate pushes `size(arr) > 0 AND isnotnull(arr)`
+    * below the materializing projections, re-deriving the WHOLE gram
+    * transform inside a Filter where the tokenizing `split` lands inside
+    * the lambda — O(tokens²) per doc, evaluated twice per condition
+    * (measured 9.4 s → 0.7 s on q165 at sf0.1). Outer generates are
+    * exempt from that rule; the cheap post-generate null filter keeps
+    * the row semantics identical. */
+  private def gramOccurrences(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    df
+      .withColumn("__tk", split(lower(col(textCol)), " "))
+      .withColumn("__kh", when(size(col("__tk")) >= k,
+        transform(sequence(lit(0), size(col("__tk")) - k),
+          i => baseHash(array_join(slice(col("__tk"), i + 1, lit(k)), " "))))
+        .otherwise(array().cast("array<long>")))
+      .select(col(idCol), posexplode_outer(col("__kh")).as(Seq("pos", "h")))
+      .filter(col("pos").isNotNull)
+  }
+
+  /** EXACT duplicated-substring extents (the detection half of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * re-expressed relationally instead of via a monolithic suffix array):
+    * a k-token gram is corpus-duplicated iff its hash occurs at ≥ 2
+    * positions anywhere in the corpus (cross-doc or intra-doc); per doc,
+    * consecutive duplicated gram positions merge into MAXIMAL spans.
+    * Returns (id, span_start, span_end, n_grams) with token-offset
+    * half-open extents [span_start, span_end) and span length ≥
+    * `minTokens` (≥ k always holds by construction).
+    *
+    * Scale shape: ONE gram-hash-keyed shuffle (md5-uniform keys) where a
+    * partition-only window counts each hash's occurrences — a window,
+    * not a groupBy+join-back, so the gram derivation runs ONCE and no
+    * second scan of the corpus exists — then one doc-keyed
+    * gaps-and-islands window/agg. Spans, not positions, travel out —
+    * output is bounded by duplicated-region count, not token count. The
+    * suffix-array formulation needs a global sort of every suffix; this
+    * shape needs no global order at all. */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minTokens: Int = 5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val occ = gramOccurrences(df, idCol, textCol, k)
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    occ.withColumn("__cnt", count(lit(1)).over(wh))
+      .filter(col("__cnt") >= 2)
+      .withColumn("__island", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .filter(col("span_end") - col("span_start") >= minTokens)
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** The REMOVAL half of exact-substring dedup, keep-first semantics: for
+    * every corpus-duplicated k-gram hash the canonical occurrence is the
+    * lexicographically smallest (id, pos); every NON-canonical duplicated
+    * occurrence marks its k covered token offsets for removal. Returns
+    * one row per doc: (id, n_tokens, n_removed, cleaned_hash) where
+    * cleaned_hash = md5 of the surviving tokens re-joined with single
+    * spaces (lowercased — the same normalization the gram keys use), so
+    * exact copies collapse to the FIRST occurrence and every later copy
+    * loses the duplicated region, exactly the Lee et al. contract.
+    *
+    * Scale shape: one gram-hash shuffle computing (count, row_number)
+    * per hash in the SAME window pass; non-canonical occurrences explode
+    * to covered positions (≤ k rows each, distinct-merged per doc); kept
+    * tokens reassemble via a doc-keyed sort-struct agg. No per-token
+    * membership scans against a removal set — coverage is a linear
+    * anti-join on (id, token offset), so a doc that is 99 % duplicated
+    * region costs O(tokens), not O(tokens²). */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val occ = gramOccurrences(df, idCol, textCol, k)
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val whOrd = wh.orderBy(col(idCol), col("pos"))
+    val nonCanon = occ
+      .withColumn("__cnt", count(lit(1)).over(wh))
+      .withColumn("__rn", row_number().over(whOrd))
+      .filter(col("__cnt") >= 2 && col("__rn") > 1)
+    val covered = nonCanon
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("__t"))
+      .distinct()
+    val toks = df
+      .withColumn("__tk", split(lower(col(textCol)), " "))
+      .select(col(idCol), posexplode(col("__tk")).as(Seq("__t", "__tok")))
+    val kept = toks.join(covered, Seq(idCol.replace("`", ""), "__t"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("__t"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("__cleaned"))
+    df.select(col(idCol), size(split(lower(col(textCol)), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol.replace("`", "")), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("__cleaned"), lit(""))).as("cleaned_hash"))
   }
 }

@@ -16,6 +16,12 @@ object OpsQueries {
   private def sqlHash(seed: Int, e: String): String =
     s"('0x'||substr(md5('$seed|'||$e),1,15))::BIGINT"
 
+  /** DuckDB twin of `Dedup.gramOccurrences`' gram key: unseeded 60-bit
+    * md5 of the space-joined k-token slice of `toks` at 0-based offset
+    * `i` (the `Dedup.baseHash` fragment). */
+  private def sqlGramHash(toks: String, i: String, k: Int): String =
+    s"('0x'||substr(md5(array_to_string(list_slice($toks, CAST($i AS INT)+1, CAST($i AS INT)+$k),' ')),1,15))::BIGINT"
+
   /** DuckDB twin of `Dedup.mixHash(e, seed)` — rotate-left within 60 bits
     * then xor the seed constant (the same fragment the MinHash signature
     * CTEs inline). */
@@ -3481,7 +3487,99 @@ object OpsQueries {
              |SELECT doc_id, lang_guess, CAST(best AS INTEGER) AS hits,
              |  CAST(CASE WHEN best > 0 THEN best - greatest(second, 0) ELSE 0 END AS INTEGER) AS margin,
              |  CASE WHEN best > 0 THEN best - greatest(second, 0) ELSE 0 END >= 2 AS confident
-             |FROM m ORDER BY doc_id""".stripMargin)))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ─── exact duplicated-substring extents (Lee et al. 2022, half 1) ───
+    // A k-gram duplicated anywhere in the corpus (≥ 2 occurrences, cross-
+    // or intra-doc) marks its position; consecutive marked positions
+    // merge into maximal spans. The relational re-expression of the
+    // suffix-array dup-range scan: one gram-count shuffle + one hash
+    // join + one doc-keyed gaps-and-islands window.
+    "q165_dup_spans" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text", k = 5, minTokens = 5)
+          .orderBy($"doc_id", $"span_start")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents),
+              |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+              |        ${sqlGramHash("toks", "i", 5)} AS h
+              |      FROM t CROSS JOIN LATERAL unnest(range(greatest(len(toks)-4, 0))) r(i)),
+              |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+              |o AS (SELECT g.doc_id, g.pos FROM g JOIN d ON g.h = d.h),
+              |isl AS (SELECT doc_id, pos,
+              |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              |        FROM o)
+              |SELECT doc_id, min(pos)::BIGINT AS span_start,
+              |  (max(pos)+5)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
+              |FROM isl GROUP BY doc_id, island
+              |HAVING max(pos)+5-min(pos) >= 5
+              |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ─── exact-substring dedup, keep-first removal (Lee et al., half 2) ─
+    // Canonical occurrence of each duplicated gram = lexicographically
+    // smallest (doc_id, pos); every other occurrence's k covered token
+    // offsets are removed. Exact copies collapse to the first doc;
+    // later copies lose the duplicated region. Gate carries the cleaned
+    // text as an md5 so the whole reconstruction is hash-checked.
+    "q166_dedup_spans" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.dedupSpans(Tables.documents(s, dir), "doc_id", "text", k = 5)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents),
+              |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+              |        ${sqlGramHash("toks", "i", 5)} AS h
+              |      FROM t CROSS JOIN LATERAL unnest(range(greatest(len(toks)-4, 0))) r(i)),
+              |r AS (SELECT doc_id, pos,
+              |        count(*) OVER (PARTITION BY h) AS cnt,
+              |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+              |      FROM g),
+              |cov AS (SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS tpos
+              |        FROM r CROSS JOIN LATERAL unnest(range(5)) u(j)
+              |        WHERE cnt >= 2 AND rn > 1),
+              |tk AS (SELECT doc_id, CAST(i AS INT) AS tpos, toks[CAST(i AS INT)+1] AS tok
+              |       FROM t CROSS JOIN LATERAL unnest(range(len(toks))) v(i)),
+              |kept AS (SELECT tk.doc_id, count(*) AS n_kept,
+              |           string_agg(tk.tok, ' ' ORDER BY tk.tpos) AS cleaned
+              |         FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+              |         WHERE cov.doc_id IS NULL
+              |         GROUP BY tk.doc_id)
+              |SELECT d.doc_id, len(string_split(lower(d.text),' '))::BIGINT AS n_tokens,
+              |  (len(string_split(lower(d.text),' ')) - COALESCE(k.n_kept,0))::BIGINT AS n_removed,
+              |  md5(COALESCE(k.cleaned,'')) AS cleaned_hash
+              |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ─── daily gap-fill + forward-fill resample (asfreq('D').ffill) ─────
+    // Per-user dense daily spine between first and last event day; days
+    // with no events carry the most recent observed daily sum forward.
+    // Day is emitted as an ISO string so both engines hash the same
+    // value (date dtypes diverge in the pandas comparator).
+    "q167_resample_ffill" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.resampleDailyFfill(Tables.events(s, dir), "user_id", "ts", "value")
+          .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+            $"v_sum", $"v_filled", $"observed")
+          .orderBy($"user_id", $"day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v_sum
+             |  FROM events GROUP BY 1, 2),
+             |spine AS (
+             |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM (SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+             |        FROM events GROUP BY 1)),
+             |j AS (SELECT s.user_id, s.day, d.v_sum
+             |      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+             |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v_sum,
+             |  last_value(v_sum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+             |  v_sum IS NOT NULL AS observed
+             |FROM j ORDER BY user_id, day""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -818,4 +818,57 @@ class CcPropertySpec extends SparkSpec {
     assert(refined < init * 0.9,
       s"2 Lloyd iterations should cut distortion well below init: $refined vs $init")
   }
+
+  test("dupSpans finds the maximal cross-doc duplicated run and nothing else") {
+    // 8-token run shared by docs 1 and 2; with k=3 positions 2..7 of doc 1
+    // (grams 2,3,4,5) are duplicated -> ONE maximal span, not four
+    val run = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val docs = Seq(
+      (1L, s"u1 u2 $run u3 u4"),
+      (2L, s"w1 $run w2 w3 w4 w5"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", k = 3, minTokens = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: run occupies token offsets [2, 10) -> 6 duplicated grams
+    // doc 2: run occupies token offsets [1, 9)
+    assert(spans == Set((1L, 2L, 10L, 6L), (2L, 1L, 9L, 6L)), spans.toString)
+  }
+
+  test("dupSpans merges intra-doc repeats and respects minTokens") {
+    // the 3-gram "r1 r2 r3" occurs twice WITHIN one doc -> both positions
+    // duplicated; minTokens=4 then filters the 3-token spans out
+    val doc = Seq((1L, "r1 r2 r3 zz r1 r2 r3")).toDF("doc_id", "text")
+    val spans3 = Dedup.dupSpans(doc, "doc_id", "text", k = 3, minTokens = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans3 == Set((1L, 0L, 3L, 1L), (1L, 4L, 7L, 1L)), spans3.toString)
+    assert(Dedup.dupSpans(doc, "doc_id", "text", k = 3, minTokens = 4).count() == 0)
+  }
+
+  test("dedupSpans keeps the first occurrence and strips later copies") {
+    val run = "c1 c2 c3 c4 c5"
+    val docs = Seq(
+      (1L, s"$run a b"),    // canonical: untouched
+      (2L, s"p q $run r"),  // later copy: loses the 5 run tokens
+      (3L, "n1 n2 n3 n4 n5 n6"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((7L, 0L, h(s"$run a b"))))
+    assert(out(2L) == ((8L, 5L, h("p q r"))))
+    assert(out(3L) == ((6L, 0L, h("n1 n2 n3 n4 n5 n6"))))
+  }
+
+  test("dedupSpans: a doc that is one whole duplicated run empties to md5('')") {
+    val docs = Seq((1L, "d1 d2 d3 d4 d5"), (2L, "d1 d2 d3 d4 d5"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._2 == 0L)
+    assert(out(2L) == ((5L, 5L, "d41d8cd98f00b204e9800998ecf8427e")))
+  }
 }

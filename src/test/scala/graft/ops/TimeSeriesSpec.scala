@@ -2,6 +2,8 @@ package graft.ops
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.date_format
+
 import graft.SparkSpec
 
 class TimeSeriesSpec extends SparkSpec {
@@ -34,5 +36,25 @@ class TimeSeriesSpec extends SparkSpec {
     val out = TimeSeries.trailing(df, "user_id", "ts", "value", 1000000L)
       .select($"n_win", $"sum_win").as[(Long, Double)].collect()
     assert(out.toSet == Set((2L, 3.0)))
+  }
+
+  test("resampleDailyFfill builds a dense per-entity spine and carries sums forward") {
+    val day = 86400L
+    val df = Seq(
+      (1L, ts(0), 2.0), (1L, ts(100), 3.0), // day 0: sum 5
+      (1L, ts(3 * day), 7.0),               // day 3; days 1-2 are gaps
+      (2L, ts(day), 1.0))                   // single-day entity: 1-row spine
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.resampleDailyFfill(df, "user_id", "ts", "value")
+      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("d"),
+        $"v_sum", $"v_filled", $"observed")
+      .as[(Long, String, Option[Double], Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.size == 5) // 4 days for entity 1, 1 day for entity 2
+    assert(out((1L, "1970-01-01")) == ((Some(5.0), 5.0, true)))
+    assert(out((1L, "1970-01-02")) == ((None, 5.0, false)))
+    assert(out((1L, "1970-01-03")) == ((None, 5.0, false)))
+    assert(out((1L, "1970-01-04")) == ((Some(7.0), 7.0, true)))
+    assert(out((2L, "1970-01-02")) == ((Some(1.0), 1.0, true)))
   }
 }
