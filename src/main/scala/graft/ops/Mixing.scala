@@ -200,4 +200,33 @@ object Mixing {
       .orderBy(col("es_key").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Deterministic training-shard assignment + the per-shard RELEASE
+    * MANIFEST a dataset ships with: shard = seeded md5 hash of the doc id
+    * mod `nShards` (uniform, reproducible across engines/runs — adding
+    * docs never moves an existing doc's shard), and per shard
+    * (n_docs, n_tokens, content_fp) where `content_fp` folds every doc's
+    * 60-bit content hash with an exact decimal SUM mod 2^60 —
+    * ORDER-INDEPENDENT, so the fingerprint is bit-identical under any
+    * partitioning or merge order, and two independently produced copies
+    * of a shard set verify shard-by-shard without sorting anything.
+    *
+    * Scale shape: map-only hashing + ONE partial-combining aggregation
+    * on the (uniform) shard key; output is nShards rows. The writer-side
+    * twin is `df.withColumn("shard", …).write.partitionBy("shard")` —
+    * this operator is the audit artifact for that layout. */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, seed: Int = 97): DataFrame = {
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    df.select(
+        pmod(Dedup.seededHash(seed, col(idCol).cast("string")), lit(nShards.toLong))
+          .as("shard"),
+        TextStats.wsTokenCount(col(textCol)).cast("long").as("__nt"),
+        Dedup.baseHash(col(textCol)).as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        (sum(col("__h").cast("decimal(38,0)")) % lit(1152921504606846976L))
+          .cast("long").as("content_fp"))
+  }
 }

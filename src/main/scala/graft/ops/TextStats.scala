@@ -147,6 +147,61 @@ object TextStats {
       (wordRepetition(text) <= maxWordRep)
   }
 
+  /** Per-doc DROP-REASON audit — the explainability twin of
+    * `qualityKeep`: evaluates the same four rules with the same
+    * thresholds and returns struct(reason, fail_mask) where `reason` is
+    * the FIRST failing rule's name in the fixed audit order
+    * (n_tokens → mean_token_len → stopword_ratio → word_repetition;
+    * "pass" if none fail) and `fail_mask` is the bitmask of ALL failing
+    * rules (bit 0 = n_tokens … bit 3 = word_repetition). A pipeline
+    * keeps `qualityKeep` in the hot path (one boolean) and runs this on
+    * the rejects — attrition accounting per rule, not just per stage.
+    * Pure per-row expression: the 100 TB audit pass is map-only. */
+  def filterReasons(text: Column, stopwords: Seq[String],
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minStopRatio: Double = 0.01, maxWordRep: Double = 0.6): Column = {
+    val fails: Seq[(String, Column)] = Seq(
+      "n_tokens" -> !wsTokenCount(text).between(minTokens, maxTokens),
+      "mean_token_len" -> !meanTokenLen(text).between(minMeanLen, maxMeanLen),
+      "stopword_ratio" -> (stopwordRatio(text, stopwords) < minStopRatio),
+      "word_repetition" -> (wordRepetition(text) > maxWordRep))
+    val reason = fails.reverse.foldLeft(lit("pass")) {
+      case (acc, (name, bad)) => when(bad, name).otherwise(acc)
+    }
+    val mask = fails.zipWithIndex
+      .map { case ((_, bad), i) => when(bad, lit(1 << i)).otherwise(lit(0)) }
+      .reduce(_ + _)
+    struct(reason.as("reason"), mask.cast("int").as("fail_mask"))
+  }
+
+  /** PII occurrence counts on the RAW text: struct(n_email, n_ip,
+    * n_num) for email addresses, dotted-quad IPv4 literals, and long
+    * (10-15 digit) number runs — the C4/Dolma-style pre-release scrub
+    * signals. Patterns are deliberately RE2-compatible (no lookaround,
+    * no backrefs) so the same regex runs in Spark (java.util.regex),
+    * DuckDB and any RE2-based scanner. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\b\\d{10,15}\\b"
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_email"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("n_ip"),
+    size(regexp_extract_all(text, lit(LongNumRe), lit(0))).as("n_num"))
+
+  /** TYPED PII redaction (the release-grade sibling of the coarse
+    * `redactPii` below): emails → `<EMAIL>`, IPv4 → `<IP>`, then
+    * remaining long digit runs → `<NUM>` — in that fixed order (an IP's
+    * octets must not be half-eaten by the number rule first; the rules
+    * are applied to the output of the previous one, exactly like a
+    * streaming scrubber). Map-only, three codegen'd regex passes. */
+  def redactPiiTyped(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
   /** One-row CORPUS CARD: the release-note summary a dataset ships with
     * — (n_docs, n_tokens, n_langs, n_sources, n_unique, dup_rate,
     * n_quality, quality_rate). Every number is exact and derived from

@@ -3493,8 +3493,8 @@ object OpsQueries {
     // A k-gram duplicated anywhere in the corpus (≥ 2 occurrences, cross-
     // or intra-doc) marks its position; consecutive marked positions
     // merge into maximal spans. The relational re-expression of the
-    // suffix-array dup-range scan: one gram-count shuffle + one hash
-    // join + one doc-keyed gaps-and-islands window.
+    // suffix-array dup-range scan: one gram-hash-keyed count window +
+    // one doc-keyed gaps-and-islands window (no join, one gram pass).
     "q165_dup_spans" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -3579,7 +3579,134 @@ object OpsQueries {
              |  last_value(v_sum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
              |  v_sum IS NOT NULL AS observed
-             |FROM j ORDER BY user_id, day""".stripMargin)))
+             |FROM j ORDER BY user_id, day""".stripMargin)),
+
+    // ─── bucketed interval-OVERLAP join (== theta output, equi plan) ────
+    // Per customer, pairs of their orders whose fulfillment windows
+    // [orderdate, orderdate + okey%14 + 1 days] overlap. The reference-
+    // bucket trick (emit only from max(start_a, start_b)'s bucket) makes
+    // the bucketed equi-join duplicate-free without a distinct.
+    "q168_overlap_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey",
+            datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long").as("s"))
+          .withColumn("e", $"s" + pmod($"o_orderkey", lit(14L)) + 1L)
+        val a = base.select($"o_custkey".as("custkey"), $"o_orderkey".as("okey_a"),
+          $"s".as("s_a"), $"e".as("e_a"))
+        val b = base.select($"o_custkey".as("custkey"), $"o_orderkey".as("okey_b"),
+          $"s".as("s_b"), $"e".as("e_b"))
+        IntervalJoin.overlapJoin(a, "s_a", "e_a", b, "s_b", "e_b",
+            bucketWidth = 7L, keys = Seq("custkey"))
+          .filter($"okey_a" < $"okey_b")
+          .select($"custkey", $"okey_a", $"okey_b",
+            greatest($"s_a", $"s_b").as("ov_start"),
+            least($"e_a", $"e_b").as("ov_end"))
+          .orderBy($"custkey", $"okey_a", $"okey_b")
+      },
+      Some("""WITH iv AS (SELECT o_orderkey, o_custkey,
+             |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s,
+             |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             |      + o_orderkey % 14 + 1 AS e
+             |  FROM orders)
+             |SELECT a.o_custkey AS custkey, a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+             |  greatest(a.s, b.s)::BIGINT AS ov_start, least(a.e, b.e)::BIGINT AS ov_end
+             |FROM iv a JOIN iv b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+             |  AND a.s <= b.e AND b.s <= a.e
+             |ORDER BY custkey, okey_a, okey_b""".stripMargin)),
+
+    // ─── deterministic shard assignment + release manifest ──────────────
+    // Order-independent per-shard content fingerprint (decimal sum of
+    // 60-bit doc hashes mod 2^60): two independently produced copies of
+    // the shard layout verify shard-by-shard with no sorting.
+    "q169_shard_manifest" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.shardManifest(Tables.documents(s, dir), "doc_id", "text", nShards = 8)
+          .orderBy($"shard")
+      },
+      Some(s"""SELECT ${sqlHash(97, "CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+              |  count(*) AS n_docs,
+              |  sum(len(regexp_split_to_array(text, '\\s+')))::BIGINT AS n_tokens,
+              |  (sum(('0x'||substr(md5(text),1,15))::BIGINT) % 1152921504606846976)::BIGINT AS content_fp
+              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── per-doc drop-reason audit (first failing rule + bitmask) ───────
+    // The explainability twin of q75's boolean gate: same rules, same
+    // thresholds, but the REJECT side becomes accountable per rule.
+    "q170_filter_reasons" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select($"doc_id",
+            TextStats.filterReasons($"text", Seq("the", "a")).as("fr"))
+          .select($"doc_id", $"fr.reason".as("reason"), $"fr.fail_mask".as("fail_mask"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS nt,
+             |  list_sum(list_transform(regexp_split_to_array(text, '\s+'), t -> length(t)))::DOUBLE
+             |    / len(regexp_split_to_array(text, '\s+')) AS mlen,
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['the','a'], t)))::DOUBLE
+             |    / len(regexp_split_to_array(lower(text), '\s+')) AS sw,
+             |  CASE WHEN len(string_split(lower(text), ' ')) > 0
+             |       THEN 1.0::DOUBLE - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+             |            / len(string_split(lower(text), ' '))
+             |       ELSE 0.0::DOUBLE END AS wr
+             |FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN NOT (nt BETWEEN 20 AND 100000) THEN 'n_tokens'
+             |       WHEN NOT (mlen BETWEEN 3.0 AND 10.0) THEN 'mean_token_len'
+             |       WHEN sw < 0.01 THEN 'stopword_ratio'
+             |       WHEN wr > 0.6 THEN 'word_repetition'
+             |       ELSE 'pass' END AS reason,
+             |  (CASE WHEN NOT (nt BETWEEN 20 AND 100000) THEN 1 ELSE 0 END
+             |   + CASE WHEN NOT (mlen BETWEEN 3.0 AND 10.0) THEN 2 ELSE 0 END
+             |   + CASE WHEN sw < 0.01 THEN 4 ELSE 0 END
+             |   + CASE WHEN wr > 0.6 THEN 8 ELSE 0 END)::INTEGER AS fail_mask
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ─── PII detect + redact (emails / IPv4 / long digit runs) ──────────
+    // The testdata is synthetic and PII-free, so the query INJECTS
+    // deterministic PII derived from doc_id (the synthCustomsFact
+    // pattern) before scanning — the oracle injects identically; the
+    // redacted text round-trips as an md5.
+    "q171_pii_redact" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val injected = Tables.documents(s, dir).withColumn("t2", concat($"text",
+          when(pmod($"doc_id", lit(5L)) === 0L,
+            concat(lit(" contact user"), $"doc_id", lit("@example.com now")))
+            .otherwise(lit("")),
+          when(pmod($"doc_id", lit(7L)) === 0L,
+            concat(lit(" from 10.0."), pmod($"doc_id", lit(256L)), lit(".25")))
+            .otherwise(lit("")),
+          when(pmod($"doc_id", lit(11L)) === 0L,
+            concat(lit(" ref 4415"), lpad(pmod($"doc_id", lit(1000000L)), 6, "0")))
+            .otherwise(lit(""))))
+        injected.select($"doc_id", TextStats.piiCounts($"t2").as("pc"),
+            md5(TextStats.redactPiiTyped($"t2")).as("redacted_hash"))
+          .select($"doc_id", $"pc.n_email".as("n_email"), $"pc.n_ip".as("n_ip"),
+            $"pc.n_num".as("n_num"), $"redacted_hash")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH inj AS (SELECT doc_id, text
+             |    || CASE WHEN doc_id % 5 = 0
+             |            THEN ' contact user'||doc_id||'@example.com now' ELSE '' END
+             |    || CASE WHEN doc_id % 7 = 0
+             |            THEN ' from 10.0.'||(doc_id % 256)||'.25' ELSE '' END
+             |    || CASE WHEN doc_id % 11 = 0
+             |            THEN ' ref 4415'||lpad((doc_id % 1000000)::VARCHAR, 6, '0') ELSE '' END
+             |    AS t2 FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INTEGER AS n_email,
+             |  len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INTEGER AS n_ip,
+             |  len(regexp_extract_all(t2, '\b\d{10,15}\b'))::INTEGER AS n_num,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{10,15}\b', '<NUM>', 'g')) AS redacted_hash
+             |FROM inj ORDER BY doc_id""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

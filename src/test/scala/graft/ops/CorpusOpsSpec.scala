@@ -514,6 +514,26 @@ class MixingSpec extends SparkSpec {
       .select($"calibrated").as[Option[Double]].collect()
     assert(out.forall(_.isEmpty))
   }
+
+  test("shardManifest: totals add up and the fingerprint is order-independent") {
+    val docs = graft.Tables.documents(spark, sfTiny).select($"doc_id", $"text")
+    val m1 = Mixing.shardManifest(docs, "doc_id", "text", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m1.map(_._1) == (0L until 4L), s"every shard present: $m1")
+    assert(m1.map(_._2).sum == docs.count())
+    // reversed input order and different partitioning → identical manifest
+    val m2 = Mixing.shardManifest(
+        docs.orderBy($"doc_id".desc).repartition(7), "doc_id", "text", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m1 == m2)
+    // changing one doc's text changes exactly that shard's fingerprint
+    val mutated = docs.withColumn("text",
+      when($"doc_id" === 3L, concat($"text", lit(" tampered"))).otherwise($"text"))
+    val m3 = Mixing.shardManifest(mutated, "doc_id", "text", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m1.zip(m3).count { case (a, b) => a._4 != b._4 } == 1)
+    assert(m1.map(x => (x._1, x._2)) == m3.map(x => (x._1, x._2)))
+  }
 }
 
 class LmScoreSpec extends SparkSpec {

@@ -50,4 +50,34 @@ class IntervalJoinSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("collision"))
   }
+
+  test("overlap join output equals the theta join, duplicate-free") {
+    // intervals spanning several buckets each so pairs share many buckets
+    val as = (1 to 80).map { i =>
+      val lo = (i * 173L) % 800L
+      ((i * 3) % 4L, lo, lo + (i * 61L) % 200L, i.toLong)
+    }.toDF("k", "s_a", "e_a", "aid")
+    val bs = (1 to 70).map { i =>
+      val lo = (i * 97L) % 850L
+      ((i * 5) % 4L, lo, lo + (i * 43L) % 180L, 1000L + i)
+    }.toDF("k", "s_b", "e_b", "bid")
+    val got = IntervalJoin.overlapJoin(as, "s_a", "e_a", bs, "s_b", "e_b",
+        bucketWidth = 50L, keys = Seq("k"))
+      .select($"aid", $"bid").as[(Long, Long)].collect()
+    val theta = as.join(bs, Seq("k"))
+      .filter($"s_a" <= $"e_b" && $"s_b" <= $"e_a")
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSet
+    assert(got.length == got.toSet.size, "reference-bucket dedup must yield each pair once")
+    assert(got.toSet == theta)
+    assert(theta.nonEmpty, "fixture must actually produce overlaps")
+  }
+
+  test("overlap join: touching endpoints count as overlap (closed intervals)") {
+    val as = Seq((1L, 0L, 10L, 1L)).toDF("k", "s_a", "e_a", "aid")
+    val bs = Seq((1L, 10L, 20L, 2L), (1L, 11L, 20L, 3L)).toDF("k", "s_b", "e_b", "bid")
+    val got = IntervalJoin.overlapJoin(as, "s_a", "e_a", bs, "s_b", "e_b",
+        bucketWidth = 4L, keys = Seq("k"))
+      .select($"bid").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
 }

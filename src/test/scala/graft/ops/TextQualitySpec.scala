@@ -101,4 +101,43 @@ class TextQualitySpec extends SparkSpec {
       .select($"doc_id", $"entropy").as[(Long, Double)].collect().toMap
     assert(r == Map(1L -> 2.0))
   }
+
+  // ─── filterReasons ───────────────────────────────────────────────────
+
+  test("filterReasons reports the first failing rule and the full bitmask") {
+    val sw = Seq("the", "a")
+    val prose = "the a alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango" // 22 distinct tokens, stopwords present: passes everything
+    val short = "the brown fox"                             // fails n_tokens only
+    val gibber = Seq.fill(25)("zxqwvutsrqp").mkString(" ")  // len ok-count, long tokens, no stopwords, repetitive
+    val docs = Seq((1L, prose), (2L, short), (3L, gibber)).toDF("doc_id", "text")
+    val byId = docs.select($"doc_id", TextStats.filterReasons($"text", sw).as("fr"))
+      .select($"doc_id", $"fr.reason", $"fr.fail_mask")
+      .as[(Long, String, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L) == (("pass", 0)))
+    assert(byId(2L) == (("n_tokens", 1)))
+    // gibberish: mean_token_len=11 (bit 1), no stopwords (bit 2),
+    // word_repetition = 1 - 1/25 (bit 3); first failing = mean_token_len
+    assert(byId(3L) == (("mean_token_len", 2 + 4 + 8)))
+    // the mask agrees with qualityKeep: keep iff mask == 0
+    val keeps = docs.select($"doc_id", TextStats.qualityKeep($"text", sw))
+      .as[(Long, Boolean)].collect().toMap
+    byId.foreach { case (id, (_, m)) => assert(keeps(id) == (m == 0)) }
+  }
+
+  // ─── piiCounts / redactPiiTyped ──────────────────────────────────────
+
+  test("typed PII redaction masks emails, IPv4 and long digit runs in order") {
+    val t = "mail bob.smith+x@corp.example.org ip 192.168.0.1 card 4415001234 short 123"
+    val df = Seq((1L, t)).toDF("id", "t")
+    val out = df.select(TextStats.piiCounts($"t").as("pc"),
+        TextStats.redactPiiTyped($"t").as("red"))
+      .select($"pc.n_email", $"pc.n_ip", $"pc.n_num", $"red")
+      .as[(Int, Int, Int, String)].head()
+    assert(out._1 == 1 && out._2 == 1 && out._3 == 1)
+    assert(out._4 == "mail <EMAIL> ip <IP> card <NUM> short 123")
+    // an IP is never half-eaten by the number rule (order contract)
+    assert(!out._4.contains("<NUM>.<NUM>"))
+  }
 }
