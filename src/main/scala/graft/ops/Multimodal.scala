@@ -98,4 +98,32 @@ object Multimodal {
       .withColumn("out_width", floor(col("width") * scale).cast("int"))
       .withColumn("out_height", floor(col("height") * scale).cast("int"))
   }
+
+  /** ASPECT-RATIO BUCKETING for image batching (the SDXL-style trainer
+    * prep: images batch with same-shaped peers so a batch crops/pads to
+    * ONE canvas): each image goes to the ladder entry minimizing
+    * |w·rh − h·rw| — integer cross-multiplication, no float ratios, so
+    * assignment is engine-exact; ties break to the EARLIER ladder entry
+    * — then images batch `batchSize` at a time within their bucket in
+    * id order. Adds (bucket, bucket_ratio, batch_idx).
+    *
+    * Scale shape: map-only assignment (a `least` over `ladder.size`
+    * structs — lexicographic (diff, index) min) + ONE bucket-keyed
+    * window for the running batch index. Ladder size is a literal
+    * constant; nothing model-sized moves. */
+  def aspectBuckets(df: DataFrame, idCol: String, wCol: String, hCol: String,
+      ladder: Seq[(Int, Int)], batchSize: Int): DataFrame = {
+    require(ladder.nonEmpty, "ladder must not be empty")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val cands = ladder.zipWithIndex.map { case ((rw, rh), i) =>
+      struct(abs(col(wCol) * rh - col(hCol) * rw).as("d"), lit(i).as("i"))
+    }
+    val names = array(ladder.map { case (rw, rh) => lit(s"$rw:$rh") }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+    df.withColumn("bucket", least(cands: _*).getField("i"))
+      .withColumn("bucket_ratio", get(names, col("bucket")))
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
 }

@@ -152,4 +152,31 @@ object Profile {
       .withColumn("passed", col("violations") === 0)
       .orderBy(col("check_name"))
   }
+
+  /** Per-stratum WINSORIZATION: clip `valueCol` into its stratum's
+    * [pLo, pHi] exact-percentile band — the standard robust-feature prep
+    * that tames outliers without dropping rows. Adds `<value>_wins`
+    * (clipped), `clipped_lo`/`clipped_hi` flags. Percentile bounds are
+    * ROUNDED to 6 decimals before clipping: linear interpolation
+    * `a + (b−a)·f` is the one step engines may disagree on in the last
+    * ulp, and a rounded bound makes the clip decision (and the emitted
+    * bound itself) engine-exact while moving the clip point ≤ 5e-7.
+    *
+    * Scale shape: ONE stratum-keyed exact-percentile aggregation (the
+    * A2/q10 shape — swap in `percentile_approx` for heavy-hitter strata
+    * at 100 TB, same contract as the median op) + one broadcast-sized
+    * join-back (bounds table = one row per stratum). */
+  def winsorize(df: DataFrame, valueCol: String, stratumCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band [$pLo, $pHi]")
+    val bounds = df.groupBy(col(stratumCol))
+      .agg(round(percentile(col(valueCol), lit(pLo)), 6).as("__lo"),
+        round(percentile(col(valueCol), lit(pHi)), 6).as("__hi"))
+    df.join(bounds, Seq(stratumCol))
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .withColumn("clipped_lo", col(valueCol) < col("__lo"))
+      .withColumn("clipped_hi", col(valueCol) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

@@ -662,6 +662,77 @@ object TextStats {
         (sum(col("__sfix")).cast("double") / fix / fcount(lit(1))).as("mean_s"))
   }
 
+  /** INTERPOLATED KNESER-NEY bigram scoring (Kneser & Ney 1995; the
+    * smoothing every serious n-gram LM toolkit defaults to — public
+    * literature), with absolute discount D fixed at 3/4 so every
+    * intermediate is rational:
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + (D · N1+(w1·)/c1) · N1+(·w2)/B
+    * where c1 = Σ_w2 c12 is w1's HISTORY count (so the full-model
+    * distribution sums to exactly 1 over the seen vocabulary — the
+    * normalization spec pins it), N1+(w1·) = distinct continuations of
+    * w1, N1+(·w2) = distinct left contexts of w2 (the CONTINUATION
+    * count — KN's insight: how many contexts a word follows, not how
+    * often), and B = distinct bigram types. With `topK` pruning the c12
+    * LOOKUP backs off to pure continuation mass (first term 0), while
+    * the KN statistics (c1, N1+, B) always come from the FULL type
+    * inventory — pruning the model must not change the smoothing
+    * distribution, only which bigrams still carry their explicit
+    * count.
+    * Output: (id, n_bigrams, mean_p) with the q84 fixed-point mean
+    * discipline (round(P·2^40) integer sums — order-independent).
+    *
+    * Scale shape: the lmScore plan family — one bigram explode; ONE
+    * (w1, w2) type-table aggregation from which history counts,
+    * continuation counts, context counts and B all derive as tiny
+    * re-aggregations; all model joins UN-hinted (corpus-vocab-sized,
+    * the r4 discipline); the 1-row B aggregate is the one legitimate
+    * broadcast. */
+  def lmScoreKneserNey(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int = Int.MaxValue): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val fix = (1L << 40).toDouble
+    val toks = split(lower(col(textCol)), " ")
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (x, y) => struct(x.as("w1"), y.as("w2"), concat_ws(" ", x, y).as("pair")))
+    val bg = df.select(col(idCol).as("__id"), explode(bigrams).as("b"))
+      .select(col("__id"), col("b.w1").as("w1"), col("b.w2").as("w2"),
+        col("b.pair").as("pair"))
+    val bcFull = bg.groupBy(col("w1").as("__bw1"), col("w2").as("__bw2"),
+        col("pair")).agg(fcount(lit(1)).as("c12"))
+    // history count AND continuation count in one pass over the type table
+    val cont = bcFull.groupBy(col("__bw1").as("__cw1"))
+      .agg(fcount(lit(1)).as("n1plus"), sum(col("c12")).as("c1"))
+    val ctx = bcFull.groupBy(col("__bw2").as("__xw2"))
+      .agg(fcount(lit(1)).as("n2plus"))
+    val btypes = bcFull.agg(fcount(lit(1)).as("__bN"))
+    val bc =
+      if (topK == Int.MaxValue) bcFull.select(col("pair"), col("c12"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__bw1")).orderBy(col("c12").desc, col("pair").asc)
+        bcFull.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= topK).select(col("pair"), col("c12"))
+      }
+    val scored = bg
+      .join(bc, Seq("pair"), "left") // pruned away → c12 null → pure continuation
+      .join(cont, col("w1") === col("__cw1"))
+      .join(ctx, col("w2") === col("__xw2"))
+      .crossJoin(broadcast(btypes)) // 1-row aggregate: the one legitimate hint
+      .withColumn("__pfix",
+        // denominators multiply as DOUBLE (IEEE-deterministic in both
+        // engines) so c1·4·B can never overflow int64 at corpus scale
+        round((greatest(coalesce(col("c12"), lit(0L)) * 4 - 3, lit(0L)).cast("double")
+            / (col("c1").cast("double") * 4.0)
+          + (col("n1plus").cast("double") * 3.0 * col("n2plus").cast("double"))
+            / (col("c1").cast("double") * 4.0 * col("__bN").cast("double"))) * fix)
+          .cast("decimal(20,0)"))
+    scored.groupBy(col("__id").as(idCol))
+      .agg(fcount(lit(1)).as("n_bigrams"),
+        (sum(col("__pfix")).cast("double") / fix / fcount(lit(1))).as("mean_p"))
+  }
+
   /** Blocklist screening — the C4-style banned-wordlist stage: first
     * blocklisted term (in LIST order) contained in the lowercased text,
     * null if clean. Reuses the ETL tier's Aho-Corasick expression

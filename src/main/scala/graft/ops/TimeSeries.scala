@@ -64,4 +64,45 @@ object TimeSeries {
       .withColumn("v_filled", last(col("v_sum"), ignoreNulls = true).over(w))
       .withColumn("observed", col("v_sum").isNotNull)
   }
+
+  /** Per-entity ordinary-least-squares TREND: slope and intercept of
+    * `valueCol` against the epoch-day of `tsCol`, from the closed-form
+    * normal equations
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * computed over EXACT sums — x is an integer day, y goes through
+    * DECIMAL(18,6), so Σx, Σy, Σxy, Σx² are all order-independent exact
+    * decimals and the one double division happens once per entity on
+    * identical inputs in any engine. Output: (entity, n, slope,
+    * intercept), both rounded to 9 decimals (the q42 double-emission
+    * discipline); entities with < 2 points or zero x-variance emit NULL
+    * slope/intercept rather than a 0/0.
+    *
+    * Scale shape: ONE entity-keyed partial-combining aggregation —
+    * map-side combine does almost all the work; nothing else moves. */
+  def trendPerKey(events: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    // x stays an exact integer day; per-row products are bounded
+    // (decimal(12,0)·decimal(18,6) and long·long) so neither engine's
+    // decimal-width inference can overflow, and every SUM is exact.
+    val xL = datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val y = col(valueCol).cast("decimal(18,6)")
+    val agg = events.groupBy(col(entityCol)).agg(
+      count(lit(1)).as("n"),
+      sum(xL).as("__sx"), sum(y).as("__sy"),
+      sum(xL.cast("decimal(12,0)") * y).as("__sxy"),
+      sum((xL * xL).cast("decimal(38,0)")).as("__sxx"))
+    val nD = col("n").cast("double")
+    val den = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val slope = (nD * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")) / den
+    agg
+      .withColumn("slope",
+        when(col("n") >= 2 && den =!= 0.0, round(slope, 9)))
+      .withColumn("intercept",
+        when(col("n") >= 2 && den =!= 0.0, round(
+          (col("__sy").cast("double") - slope * col("__sx").cast("double")) / nD, 9)))
+      .drop("__sx", "__sy", "__sxy", "__sxx")
+  }
 }

@@ -3706,7 +3706,143 @@ object OpsQueries {
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              |    '\b\d{10,15}\b', '<NUM>', 'g')) AS redacted_hash
-             |FROM inj ORDER BY doc_id""".stripMargin)))
+             |FROM inj ORDER BY doc_id""".stripMargin)),
+
+    // ─── interpolated Kneser-Ney bigram scoring (D = 3/4, topK-pruned) ──
+    // The q84 plan family with KN's continuation counts; pruning only
+    // hides c12 lookups — N1+/B always come from the full type
+    // inventory, so the smoothing distribution is pruning-invariant.
+    "q172_lm_kneser_ney" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.lmScoreKneserNey(Tables.documents(s, dir), "doc_id", "text",
+            topK = 3)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+             |bgx AS (SELECT doc_id, tk, CAST(unnest(range(len(tk) - 1)) AS INTEGER) AS pos
+             |        FROM toks WHERE len(tk) >= 2),
+             |bg AS (SELECT doc_id, pos, tk[pos+1] AS w1, tk[pos+2] AS w2,
+             |         tk[pos+1] || ' ' || tk[pos+2] AS pair FROM bgx),
+             |bcf AS (SELECT w1, w2, pair, count(*) AS c12 FROM bg GROUP BY w1, w2, pair),
+             |cont AS (SELECT w1, count(*) AS n1plus, sum(c12)::BIGINT AS c1 FROM bcf GROUP BY w1),
+             |ctx AS (SELECT w2, count(*) AS n2plus FROM bcf GROUP BY w2),
+             |bt AS (SELECT count(*) AS bn FROM bcf),
+             |bc AS (SELECT pair, c12 FROM
+             |         (SELECT pair, c12, row_number() OVER (PARTITION BY w1
+             |            ORDER BY c12 DESC, pair ASC) AS rk FROM bcf)
+             |       WHERE rk <= 3),
+             |sc AS (SELECT bg.doc_id,
+             |    CAST(round((greatest(COALESCE(bc.c12, 0)*4 - 3, 0)::DOUBLE / (cont.c1::DOUBLE * 4)
+             |      + (cont.n1plus::DOUBLE * 3 * ctx.n2plus::DOUBLE)
+             |        / (cont.c1::DOUBLE * 4 * bt.bn::DOUBLE))
+             |      * 1099511627776::DOUBLE) AS BIGINT) AS pfix
+             |  FROM bg LEFT JOIN bc USING (pair)
+             |    JOIN cont ON bg.w1 = cont.w1
+             |    JOIN ctx ON bg.w2 = ctx.w2
+             |    CROSS JOIN bt)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(pfix) AS DOUBLE) / 1099511627776::DOUBLE / count(*) AS mean_p
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ─── per-stratum winsorization (robust feature clipping) ────────────
+    // Exact-percentile [p05, p95] bounds rounded to 6 decimals (the one
+    // interpolation step engines can disagree on), then clip; gate
+    // aggregates per stratum so the check is corpus-wide.
+    "q173_winsorize" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Profile.winsorize(
+          Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice"),
+          "l_extendedprice", "l_returnflag")
+        w.groupBy($"l_returnflag").agg(
+            count(lit(1)).as("n"),
+            sum($"clipped_lo".cast("long")).as("n_lo"),
+            sum($"clipped_hi".cast("long")).as("n_hi"),
+            sum($"l_extendedprice_wins".cast("decimal(18,6)")).cast("double")
+              .as("sum_wins"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+             |    round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+             |    round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+             |  FROM lineitem GROUP BY 1),
+             |j AS (SELECT l.l_returnflag, l_extendedprice, lo, hi
+             |      FROM lineitem l JOIN b USING (l_returnflag))
+             |SELECT l_returnflag, count(*) AS n,
+             |  sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+             |  sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+             |  CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,6))) AS DOUBLE) AS sum_wins
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── per-entity OLS trend (closed-form, exact-decimal sums) ─────────
+    "q174_trend_ols" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.trendPerKey(Tables.events(s, dir), "user_id", "ts", "value")
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             |    CAST(value AS DECIMAL(18,6)) AS y
+             |  FROM events),
+             |a AS (SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |        sum(CAST(x AS DECIMAL(12,0)) * y) AS sxy,
+             |        sum(x*x) AS sxx
+             |      FROM e GROUP BY 1)
+             |SELECT user_id, n,
+             |  CASE WHEN n >= 2 AND (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <> 0
+             |       THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |                  / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 9) END AS slope,
+             |  CASE WHEN n >= 2 AND (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) <> 0
+             |       THEN round((sy::DOUBLE
+             |                   - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             |                      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+             |                  / n::DOUBLE, 9) END AS intercept
+             |FROM a ORDER BY user_id""".stripMargin)),
+
+    // ─── aspect-ratio bucket batching (multimodal trainer prep) ─────────
+    // Stub image dims derive from md5(doc_id) (the q34 discipline);
+    // bucket assignment minimizes |w·rh − h·rw| over the 5-entry ladder
+    // (integer cross-multiplication, ties → earlier entry).
+    "q175_aspect_buckets" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, dir).select($"doc_id",
+          (lit(16) + pmod(Dedup.seededHash(1, $"doc_id".cast("string")), lit(64L)))
+            .cast("int").as("width"),
+          (lit(16) + pmod(Dedup.seededHash(2, $"doc_id".cast("string")), lit(64L)))
+            .cast("int").as("height"))
+        Multimodal.aspectBuckets(imgs, "doc_id", "width", "height",
+            ladder = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16)), batchSize = 8)
+          .select($"doc_id", $"width", $"height", $"bucket", $"bucket_ratio",
+            $"batch_idx")
+          .orderBy($"doc_id")
+      },
+      Some {
+        val ladder = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+        val ds = ladder.zipWithIndex.map { case ((rw, rh), i) =>
+          s"abs(width*$rh - height*$rw) AS d$i"
+        }.mkString(", ")
+        val pick = (0 until 4).map { i =>
+          val conds = ((i + 1) until 5).map(j => s"d$i <= d$j").mkString(" AND ")
+          s"WHEN $conds THEN $i"
+        }.mkString("\n             |       ")
+        val names = ladder.zipWithIndex
+          .map { case ((rw, rh), i) => s"WHEN $i THEN '$rw:$rh'" }.mkString(" ")
+        s"""WITH img AS (SELECT doc_id,
+           |    (16 + ${sqlHash(1, "CAST(doc_id AS VARCHAR)")} % 64)::INTEGER AS width,
+           |    (16 + ${sqlHash(2, "CAST(doc_id AS VARCHAR)")} % 64)::INTEGER AS height
+           |  FROM documents),
+           |d AS (SELECT doc_id, width, height, $ds FROM img),
+           |bkt AS (SELECT doc_id, width, height,
+           |  (CASE $pick
+           |       ELSE 4 END)::INTEGER AS bucket FROM d)
+           |SELECT doc_id, width, height, bucket,
+           |  CASE bucket $names END AS bucket_ratio,
+           |  ((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8)::BIGINT AS batch_idx
+           |FROM bkt ORDER BY doc_id""".stripMargin
+      }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -562,6 +562,47 @@ class LmScoreSpec extends SparkSpec {
     assert(s.forall(p => p >= 0.0 && p <= 1.0))
     assert(s.distinct.length > 10)
   }
+
+  test("Kneser-Ney: P(·|w1) sums to 1 over the seen vocabulary (full model)") {
+    // Score a probe corpus whose bigrams enumerate {a,b,c} × continuations
+    // observed in the base corpus; per-history KN mass must total 1.
+    // Base corpus: histories a (3 continuations), b (1), c (2).
+    val base = Seq((1L, "a b a c a b b c c a")).toDF("doc_id", "text")
+    // One doc per (history, continuation) pair → each doc has exactly the
+    // one bigram, so mean_p == P(w2|w1); summing over w2 per w1 tests the
+    // normalization property Σ_w2 P(w2|w1) over the SEEN vocab = 1 − the
+    // unseen-w2 continuation mass, which for the full-vocab probe is 1.
+    val vocab = Seq("a", "b", "c")
+    val probes = for {
+      (w1, i) <- vocab.zipWithIndex; (w2, j) <- vocab.zipWithIndex
+    } yield ((i * 3 + j + 10).toLong, s"$w1 $w2")
+    val all = base.union(probes.toDF("doc_id", "text"))
+    val got = TextStats.lmScoreKneserNey(all, "doc_id", "text")
+      .filter($"doc_id" >= 10L)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // NOTE: probe docs also contribute bigram counts; the property still
+    // holds because KN is normalized for ANY count table — per history,
+    // Σ_w2 [max(c12−D,0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/B] where Σ_w2
+    // N1+(·w2) = B makes the continuation term contribute exactly
+    // D·N1+(w1·)/c1, and Σ max(c12−D,0) = c1 − D·N1+(w1·) when every
+    // observed continuation has c12 ≥ 1. All w2 are observed here.
+    vocab.zipWithIndex.foreach { case (_, i) =>
+      val mass = (0 until 3).map(j => got((i * 3 + j + 10).toLong)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"history $i mass $mass")
+    }
+  }
+
+  test("Kneser-Ney pruning hides counts but not the smoothing distribution") {
+    val docs = Tables.documents(spark, sfTiny)
+    val full = TextStats.lmScoreKneserNey(docs, "doc_id", "text")
+      .select($"doc_id", $"mean_p").as[(Long, Double)].collect().toMap
+    val pruned = TextStats.lmScoreKneserNey(docs, "doc_id", "text", topK = 2)
+      .select($"doc_id", $"mean_p").as[(Long, Double)].collect().toMap
+    // pruning can only REMOVE explicit-count mass → scores never increase
+    assert(full.keySet == pruned.keySet)
+    assert(full.forall { case (id, p) => pruned(id) <= p + 1e-12 })
+    assert(full.exists { case (id, p) => pruned(id) < p }, "pruning must bite")
+  }
 }
 
 class ContainmentSpec extends SparkSpec {

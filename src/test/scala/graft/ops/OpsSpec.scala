@@ -255,6 +255,41 @@ class MultimodalSpec extends SparkSpec {
       if (w > h) assert(ow >= oh) else if (h > w) assert(oh >= ow)
     }
   }
+
+  test("aspect bucketing: nearest ladder ratio wins, ties to the earlier entry") {
+    val ladder = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+    val imgs = Seq(
+      (1L, 100, 100),  // exactly 1:1
+      (2L, 400, 300),  // exactly 4:3
+      (3L, 90, 160),   // exactly 9:16
+      (4L, 110, 100))  // closest to 1:1 (d=10·?) vs 4:3
+      .toDF("doc_id", "width", "height")
+    val out = Multimodal.aspectBuckets(imgs, "doc_id", "width", "height",
+        ladder, batchSize = 2)
+      .select($"doc_id", $"bucket", $"bucket_ratio")
+      .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0, "1:1")))
+    assert(out(2L) == ((1, "4:3")))
+    assert(out(3L) == ((4, "9:16")))
+    assert(out(4L)._2 == "1:1") // |110·1−100·1|=10 < |110·3−100·4|=70
+    // a square image ties 4:3 against 3:4? no — 1:1 is exact; check an
+    // actual tie: w=7,h=5 → d(16:9)=|63−80|=17, d(4:3)=|21−20|=1 → 4:3
+    val tie = Multimodal.aspectBuckets(
+        Seq((9L, 7, 5)).toDF("doc_id", "width", "height"), "doc_id",
+        "width", "height", Seq((4, 3), (3, 4)), 2)
+      .select($"bucket").as[Int].head()
+    assert(tie == 0)
+  }
+
+  test("aspect bucketing: batches fill to batchSize within each bucket, id order") {
+    val imgs = (1L to 10L).map(i => (i, 50, 50)).toDF("doc_id", "width", "height")
+    val out = Multimodal.aspectBuckets(imgs, "doc_id", "width", "height",
+        Seq((1, 1), (4, 3)), batchSize = 4)
+      .select($"doc_id", $"bucket", $"batch_idx")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out.forall(_._2 == 0)) // all square → one bucket
+    assert(out.map(_._3).toSeq == Seq(0, 0, 0, 0, 1, 1, 1, 1, 2, 2))
+  }
 }
 
 class VectorOpsSpec extends graft.SparkSpec {

@@ -83,4 +83,27 @@ class ProfileSpec extends SparkSpec {
       .as[(String, Long, Boolean)].collect()
     assert(out.forall { case (_, v, p) => v == 0L && p })
   }
+
+  test("winsorize clips exactly the tails outside the per-stratum band") {
+    // stratum A: 1..100 → p05 = 5.95 (1 + 99·0.05 = index 5.95 → between
+    // 5 and 6... use the invariant properties rather than a magic number
+    val df = ((1 to 100).map(i => ("A", i.toDouble)) ++
+      Seq(("B", 1.0), ("B", 2.0), ("B", 3.0))).toDF("g", "v")
+    val out = Profile.winsorize(df, "v", "g", 0.05, 0.95)
+      .select($"g", $"v", $"v_wins", $"clipped_lo", $"clipped_hi")
+      .as[(String, Double, Double, Boolean, Boolean)].collect()
+    val a = out.filter(_._1 == "A")
+    // clipped values equal the (rounded) bound; interior survive untouched
+    assert(a.count(_._4) == 5 && a.count(_._5) == 5) // 5% of 100 each side
+    a.foreach { case (_, v, w, lo, hi) =>
+      if (!lo && !hi) assert(v == w)
+      else if (lo) assert(w > v && a.forall(x => x._3 >= w || x._4 == false))
+      else assert(w < v)
+    }
+    // tiny stratum: p05/p95 interpolate within the 3 points, nothing exotic
+    val b = out.filter(_._1 == "B")
+    assert(b.forall(x => x._3 >= 1.0 && x._3 <= 3.0))
+    // winsorized values never escape the original min/max
+    assert(out.forall(x => x._3 >= 1.0 && x._3 <= 100.0))
+  }
 }

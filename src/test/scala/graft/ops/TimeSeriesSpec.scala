@@ -57,4 +57,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out((1L, "1970-01-04")) == ((Some(7.0), 7.0, true)))
     assert(out((2L, "1970-01-02")) == ((Some(1.0), 1.0, true)))
   }
+
+  test("trendPerKey recovers an exact line and degenerates to NULL correctly") {
+    val day = 86400L
+    val df = Seq(
+      // entity 1: y = 2x + 1 over days 0..3 → slope 2, intercept 1
+      (1L, ts(0), 1.0), (1L, ts(day), 3.0), (1L, ts(2 * day), 5.0),
+      (1L, ts(3 * day), 7.0),
+      // entity 2: single point → NULL slope/intercept
+      (2L, ts(day), 9.0),
+      // entity 3: two points same day → zero x-variance → NULL
+      (3L, ts(0), 1.0), (3L, ts(1000), 2.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.trendPerKey(df, "user_id", "ts", "value")
+      .select($"user_id", $"n", $"slope", $"intercept")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, Some(2.0), Some(1.0))))
+    assert(out(2L) == ((1L, None, None)))
+    assert(out(3L) == ((2L, None, None)))
+  }
 }
