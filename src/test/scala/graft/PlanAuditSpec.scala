@@ -265,4 +265,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "logregScore degraded to SortMergeJoin:\n" + p.take(1200))
   }
+
+  test("dup-span extents: one gram pass, no join, no generate-inferred filter") {
+    // the q165 shape is two windows over ONE gram derivation — a join
+    // (or a second documents scan) would mean the groupBy+join-back
+    // regression; a Filter containing the md5 transform would mean
+    // InferFiltersFromGenerate re-derived the grams (the O(tokens²) trap)
+    val p = plan("q165_dup_spans")
+    assert(!p.contains("Join"), "dupSpans grew a join:\n" + p.take(1200))
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      "dupSpans scans documents more than once:\n" + p.take(1200))
+    val filterBlocks = p.split("\n").filter(_.trim.startsWith("+- Filter"))
+    assert(!filterBlocks.exists(_.contains("md5")),
+      "gram transform re-derived inside a Filter:\n" + p.take(1500))
+  }
+
+  test("overlap join plans a hash equi-join, never a nested loop") {
+    val p = plan("q168_overlap_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "overlap join degraded to a nested loop:\n" + p.take(1200))
+  }
+
+  test("shard manifest is one partial-combining aggregation") {
+    val p = plan("q169_shard_manifest")
+    assert(p.contains("partial"), "no map-side partial aggregate:\n" + p.take(1200))
+    // one shuffle for the agg + one for the gate's ORDER BY, nothing more
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      "shard manifest grew extra shuffles:\n" + p.take(1200))
+  }
+
+  test("Kneser-Ney model joins carry no broadcast hints (un-hinted, the r4 rule)") {
+    val lp = SparkEntry.queries("q172_lm_kneser_ney")(spark, sfTiny)
+      .queryExecution.logical.toString
+    // exactly one legitimate hint: the 1-row bigram-type total
+    val hints = lp.split("\n").count(_.contains("UnresolvedHint"))
+    assert(hints <= 1, s"KN model joins grew forced broadcasts ($hints hints):\n" +
+      lp.split("\n").filter(_.contains("UnresolvedHint")).mkString("\n"))
+  }
+
+  test("OLS trend is one partial-combining aggregation, no window, no join") {
+    val p = plan("q174_trend_ols")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "trendPerKey should be a single aggregation:\n" + p.take(1200))
+    assert(p.contains("partial"), "no map-side partials:\n" + p.take(1200))
+  }
+
+  test("aspect bucketing is map-only plus one bucket-keyed window") {
+    val p = plan("q175_aspect_buckets")
+    assert(!p.contains("Join"), "aspect bucketing grew a join:\n" + p.take(1200))
+  }
 }
