@@ -532,6 +532,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Scalable twin of `containmentPairs` (q82's documented-quadratic
+    * audit baseline): EXACT containment join |A∩B|/min(|A|,|B|) ≥ τ
+    * via the asymmetric prefix scheme for overlap joins — the required
+    * overlap o = ⌈τ·min⌉ equals ⌈τ·|small|⌉, so only the SMALLER set
+    * needs a prefix (its rarest |X|−o+1 shingle hashes, rarest-first
+    * like PPJoin) while the larger side is probed through its FULL
+    * token index; if overlap ≥ o, some common element must sit in the
+    * small side's prefix (≤ o−1 common elements fit outside it) and
+    * every element of the large side is indexed, so no qualifying pair
+    * is missed. Candidates verify with the allocation-free sorted-hash
+    * two-pointer kernel. Output == the brute join: (id_a < id_b,
+    * containment ≥ τ).
+    *
+    * Scale shape: one df-rank window + ONE token-keyed candidate join
+    * where the prefix side carries only RARE tokens (a stopword never
+    * enters any prefix, so its bucket is probe-only and produces no
+    * pairs) + the two set-lookup joins for verify. Thresholds are exact
+    * rationals (tNum/tDen), all pruning in integer arithmetic. */
+  def prefixContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1]: $tNum/$tDen")
+    val tau = tNum.toDouble / tDen
+    val withSh = df.select(col(idCol).as("__id"),
+        array_sort(array_distinct(graft.functions.HashOps.md5Prefix60Array(
+          shingles(col(textCol), shingleK)))).as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = withSh.select(col("__id"), explode(col("__hs")).as("__s"))
+    val dfreq = tok.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    val ranked = tok.join(dfreq, Seq("__s"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+          .orderBy(col("__df"), col("__s"))))
+      .join(withSh.select(col("__id"), size(col("__hs")).as("__sz")), Seq("__id"))
+    // small side: rarest-first prefix of length |X| − ⌈τ|X|⌉ + 1
+    val prefix = ranked
+      .filter(col("__rn") <=
+        col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("__id").as("id_s"), col("__s"), col("__sz").as("__szs"))
+    val full = ranked.select(col("__id").as("id_l"), col("__s"),
+      col("__sz").as("__szl"))
+    val cand = prefix.join(full, Seq("__s"))
+      // the prefix side must be the smaller set (ties break by id so each
+      // unordered pair is generated from exactly one direction)
+      .filter(col("__szs") < col("__szl") ||
+        (col("__szs") === col("__szl") && col("id_s") < col("id_l")))
+      .filter(col("id_s") =!= col("id_l"))
+      .select(least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"))
+      .distinct()
+    cand
+      .join(withSh.select(col("__id").as("id_a"), col("__hs").as("__hs_a")), Seq("id_a"))
+      .join(withSh.select(col("__id").as("id_b"), col("__hs").as("__hs_b")), Seq("id_b"))
+      .withColumn("__inter", graft.functions.HashOps.sortedIntersectCount(
+        col("__hs_a"), col("__hs_b")))
+      .withColumn("containment", col("__inter") /
+        least(size(col("__hs_a")), size(col("__hs_b"))))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Benchmark DECONTAMINATION: which training docs share at least one
     * `k`-gram with the held-out/eval set? The standard guard against
     * benchmark leakage into a training corpus — any shared shingle flags

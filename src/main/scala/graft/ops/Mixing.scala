@@ -201,6 +201,38 @@ object Mixing {
       .limit(k)
   }
 
+  /** Token-budget CURRICULUM phases: within each stratum, order docs
+    * easiest-first (by `scoreCol` DESC, id ASC — pick a score where
+    * higher = earlier) and cut the running token mass into `phases`
+    * near-equal-budget phases: phase = ⌊tokens_before · P / total⌋,
+    * clamped to P−1 — all integer arithmetic, so the cut points are
+    * engine-exact. This is the curriculum-learning data layout (easy →
+    * hard by TOKEN budget, not doc count — a phase of few long docs and
+    * a phase of many short ones cost the same training compute).
+    *
+    * Scale shape: one rank shuffle per stratum (the exactSplit
+    * contract) + the per-stratum total as a partition-only window over
+    * the same sort. A mega-stratum bounds its own sort; same escape
+    * hatch as q86/q94 (pre-shard by hash, then phase within shards).
+    * Use an INTEGER score: a float score that differs by 1 ulp across
+    * engines would reorder the cumsum. */
+  def curriculumPhases(df: DataFrame, idCol: String, stratumCol: String,
+      scoreCol: String, tokenCol: String, phases: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phases >= 1, s"phases must be >= 1, got $phases")
+    val order = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cumb",
+        coalesce(sum(col(tokenCol)).over(before), lit(0L)).cast("long"))
+      .withColumn("__tot",
+        sum(col(tokenCol)).over(Window.partitionBy(col(stratumCol))).cast("long"))
+      .withColumn("phase",
+        least(lit(phases - 1),
+          expr(s"(__cumb * $phases) DIV __tot")).cast("int"))
+      .drop("__cumb", "__tot")
+  }
+
   /** Deterministic training-shard assignment + the per-shard RELEASE
     * MANIFEST a dataset ships with: shard = seeded md5 hash of the doc id
     * mod `nShards` (uniform, reproducible across engines/runs — adding

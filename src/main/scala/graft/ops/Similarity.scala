@@ -568,6 +568,47 @@ object Similarity {
       .drop("__means", "__stds")
   }
 
+  /** BINARY (sign) quantization: pack the embedding's sign bits into
+    * ⌈dim/32⌉ 32-bit words (held in longs — bit 31 never reaches a sign
+    * bit, so the packed values are identical non-negative integers in
+    * every engine; a 64-bit pack would shift into int64's sign bit,
+    * where engines disagree about overflow). 64× smaller than float32
+    * and Hamming distance becomes a handful of xor+popcount ops — the
+    * standard binary-embedding retrieval trick. Map-only. */
+  def signPack32(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val nWords = (dim + 31) / 32
+    array((0 until nWords).map { w =>
+      val hi = math.min(31, dim - 1 - 32 * w)
+      (0 to hi).map { j =>
+        when(get(vec, lit(32 * w + j)) > 0f, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed sign arrays: Σ popcount(xor). */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, d) => acc + d)
+
+  /** Hamming top-k over the sign-packed corpus for one query vector:
+    * the brute binary-retrieval baseline — but "brute" here is xor+
+    * popcount over 8-byte words, ~64× less data than the float scan,
+    * which is the point of binary quantization. Ties break by id.
+    *
+    * Scale shape: map-only pack+distance, then TakeOrdered (per-
+    * partition top-k heaps merged on the driver, O(k) state — never a
+    * global sort). The query's packed words fold in as literals. */
+  def hammingTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryWords: Seq[Long], dim: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = array(queryWords.map(lit): _*)
+    emb.select(col(idCol),
+        hammingDist(signPack32(col(vecCol), dim), q).as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   def centroidSim(emb: DataFrame, idCol: String, vecCol: String,
       groupCol: String): DataFrame = {
     val fix = (1L << 40).toDouble

@@ -662,6 +662,82 @@ object TextStats {
         (sum(col("__sfix")).cast("double") / fix / fcount(lit(1))).as("mean_s"))
   }
 
+  /** TRIGRAM stupid backoff (the actual Brants et al. 2007 shape — the
+    * production trillion-token LM is trigram-or-longer with the chain
+    *   S(w3|w1w2) = c123/c12                if the trigram is in the model
+    *              = α · S(w3|w2)            else, where
+    *   S(w3|w2)   = c23/c2                  if the bigram is in the model
+    *              = α · c3/N                else
+    * and both model tables prune to topK continuations per history while
+    * every DENOMINATOR (c12, c2, N) stays a full-corpus count — backoff
+    * redistributes nothing, which is exactly why it scales). Output:
+    * (id, n_trigrams, mean_s), q84 fixed-point discipline; docs with
+    * < 3 tokens emit nothing.
+    *
+    * Scale shape: one trigram explode; trigram/bigram model tables and
+    * the full bigram-history table are UN-hinted joins (r4 discipline);
+    * the 1-row token total is the one legitimate broadcast. */
+  def lmScoreBackoffTrigram(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, backoff: Double = 0.4,
+      topK: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val fix = (1L << 40).toDouble
+    val toks = split(lower(col(textCol)), " ")
+    val n = size(toks)
+    val t12 = zip_with(slice(toks, lit(1), n - 2), slice(toks, lit(2), n - 2),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val tri = zip_with(t12, slice(toks, lit(3), n - 2), (p, z) => struct(
+      concat_ws(" ", p.getField("w1"), p.getField("w2")).as("bi12"),
+      concat_ws(" ", p.getField("w2"), z).as("bi23"),
+      concat_ws(" ", p.getField("w1"), p.getField("w2"), z).as("tri"),
+      p.getField("w2").as("w2"), z.as("w3")))
+    val tg = df.select(col(idCol).as("__id"), explode(tri).as("t"))
+      .select(col("__id"), col("t.bi12").as("bi12"), col("t.bi23").as("bi23"),
+        col("t.tri").as("tri"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+    val tokRows = df.select(explode(toks).as("w"))
+    val uc = tokRows.groupBy(col("w")).agg(fcount(lit(1)).as("c1"))
+    val tot = tokRows.agg(fcount(lit(1)).as("__n"))
+    // bigram INSTANCE counts over the whole corpus (not just trigram
+    // contexts): the same table serves as trigram denominator (c12) and
+    // backoff-bigram numerator (c23)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (x, y) => struct(x.as("w1"), concat_ws(" ", x, y).as("pair")))
+    val bgAll = df.select(explode(bigrams).as("b"))
+      .select(col("b.w1").as("__bw1"), col("b.pair").as("pair"))
+    val bcFull = bgAll.groupBy(col("__bw1"), col("pair"))
+      .agg(fcount(lit(1)).as("cb"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bw1")).orderBy(col("cb").desc, col("pair").asc)
+    val bcPruned = bcFull.withColumn("__rk", row_number().over(wB))
+      .filter(col("__rk") <= topK).select(col("pair").as("bi23"), col("cb").as("c23"))
+    val tcFull = tg.groupBy(col("bi12").as("__t12"), col("tri"))
+      .agg(fcount(lit(1)).as("c123"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__t12")).orderBy(col("c123").desc, col("tri").asc)
+    val tcPruned = tcFull.withColumn("__rk", row_number().over(wT))
+      .filter(col("__rk") <= topK).select(col("tri"), col("c123"))
+    val scored = tg
+      .join(tcPruned, Seq("tri"), "left")
+      .join(bcFull.select(col("pair").as("bi12"), col("cb").as("c12")), Seq("bi12"))
+      .join(bcPruned, Seq("bi23"), "left")
+      .join(uc.select(col("w").as("w2"), col("c1").as("c2")), Seq("w2"))
+      .join(uc.select(col("w").as("w3"), col("c1").as("c3")), Seq("w3"))
+      .crossJoin(broadcast(tot)) // 1-row aggregate: the one legitimate hint
+      .withColumn("__sfix", round(
+        when(col("c123").isNotNull,
+          col("c123").cast("double") / col("c12").cast("double"))
+          .otherwise(lit(backoff) *
+            when(col("c23").isNotNull,
+              col("c23").cast("double") / col("c2").cast("double"))
+              .otherwise(lit(backoff) *
+                col("c3").cast("double") / col("__n").cast("double")))
+          * fix).cast("decimal(20,0)"))
+    scored.groupBy(col("__id").as(idCol))
+      .agg(fcount(lit(1)).as("n_trigrams"),
+        (sum(col("__sfix")).cast("double") / fix / fcount(lit(1))).as("mean_s"))
+  }
+
   /** INTERPOLATED KNESER-NEY bigram scoring (Kneser & Ney 1995; the
     * smoothing every serious n-gram LM toolkit defaults to — public
     * literature), with absolute discount D fixed at 3/4 so every

@@ -3842,7 +3842,142 @@ object OpsQueries {
            |  CASE bucket $names END AS bucket_ratio,
            |  ((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8)::BIGINT AS batch_idx
            |FROM bkt ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // ─── TRIGRAM stupid backoff (the production Brants et al. shape) ────
+    // Both model tables topK-pruned; every denominator full-corpus.
+    "q176_lm_trigram_backoff" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.lmScoreBackoffTrigram(Tables.documents(s, dir), "doc_id", "text",
+            backoff = 0.4, topK = 2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+             |uni AS (SELECT unnest(tk) AS w FROM toks),
+             |uc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+             |nt AS (SELECT count(*)::BIGINT AS n FROM uni),
+             |bgx AS (SELECT doc_id, tk, CAST(unnest(range(len(tk) - 1)) AS INTEGER) AS pos
+             |        FROM toks WHERE len(tk) >= 2),
+             |bg AS (SELECT doc_id, pos, tk[pos+1] AS w1, tk[pos+1] || ' ' || tk[pos+2] AS pair
+             |       FROM bgx),
+             |bcf AS (SELECT w1, pair, count(*) AS cb FROM bg GROUP BY w1, pair),
+             |bcp AS (SELECT pair AS bi23, cb AS c23 FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY w1
+             |            ORDER BY cb DESC, pair ASC) AS rk FROM bcf) WHERE rk <= 2),
+             |tgx AS (SELECT doc_id, tk, CAST(unnest(range(len(tk) - 2)) AS INTEGER) AS pos
+             |        FROM toks WHERE len(tk) >= 3),
+             |tg AS (SELECT doc_id, pos,
+             |         tk[pos+1] || ' ' || tk[pos+2] AS bi12,
+             |         tk[pos+2] || ' ' || tk[pos+3] AS bi23,
+             |         tk[pos+1] || ' ' || tk[pos+2] || ' ' || tk[pos+3] AS tri,
+             |         tk[pos+2] AS w2, tk[pos+3] AS w3
+             |       FROM tgx),
+             |tcf AS (SELECT bi12, tri, count(*) AS c123 FROM tg GROUP BY bi12, tri),
+             |tcp AS (SELECT tri, c123 FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY bi12
+             |            ORDER BY c123 DESC, tri ASC) AS rk FROM tcf) WHERE rk <= 2),
+             |sc AS (SELECT tg.doc_id,
+             |    CAST(round(CASE WHEN tcp.c123 IS NOT NULL
+             |               THEN tcp.c123::DOUBLE / h.cb::DOUBLE
+             |               ELSE 0.4::DOUBLE * (CASE WHEN bcp.c23 IS NOT NULL
+             |                    THEN bcp.c23::DOUBLE / u2.c1::DOUBLE
+             |                    ELSE 0.4::DOUBLE * u3.c1::DOUBLE / nt.n::DOUBLE END) END
+             |               * 1099511627776::DOUBLE) AS BIGINT) AS sfix
+             |  FROM tg LEFT JOIN tcp USING (tri)
+             |    JOIN bcf h ON tg.bi12 = h.pair
+             |    LEFT JOIN bcp ON tg.bi23 = bcp.bi23
+             |    JOIN uc u2 ON tg.w2 = u2.w
+             |    JOIN uc u3 ON tg.w3 = u3.w
+             |    CROSS JOIN nt)
+             |SELECT doc_id, count(*) AS n_trigrams,
+             |  CAST(sum(sfix) AS DOUBLE) / 1099511627776::DOUBLE / count(*) AS mean_s
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ─── scalable containment join (q82's quadratic audit, de-bruted) ───
+    // Asymmetric prefix scheme: only the smaller set needs a prefix
+    // (required overlap = ⌈τ·min⌉), probed against the larger side's
+    // full token index; same output contract as the brute q82 join.
+    "q177_containment_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.prefixContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
+            shingleK = 3, tNum = 1, tDen = 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH $sqlShingles,
+              |nz AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+              |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+              |        len(list_intersect(a.sh, b2.sh)) / least(len(a.sh), len(b2.sh)) AS containment
+              |      FROM nz a JOIN nz b2 ON a.doc_id < b2.doc_id)
+              |SELECT id_a, id_b, containment FROM p WHERE containment >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ─── token-budget curriculum phases (easy→hard by token mass) ───────
+    // Integer score (n_chars) on purpose: a float score differing by
+    // 1 ulp across engines would reorder the cumulative sum.
+    "q178_curriculum_phases" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir).select($"doc_id", $"lang", $"n_chars",
+          TextStats.wsTokenCount($"text").cast("long").as("n_tokens"))
+        Mixing.curriculumPhases(d, "doc_id", "lang", "n_chars", "n_tokens",
+            phases = 4)
+          .select($"doc_id", $"lang", $"n_chars", $"n_tokens", $"phase")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, n_chars,
+             |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, lang, n_chars, n_tokens,
+             |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cumb,
+             |    sum(n_tokens) OVER (PARTITION BY lang)::BIGINT AS tot
+             |  FROM d)
+             |SELECT doc_id, lang, n_chars, n_tokens,
+             |  least(3, (cumb * 4) // tot)::INTEGER AS phase
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ─── binary (sign) quantization: packed 32-bit words, exploded ──────
+    "q179_sign_pack" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.embeddings(s, dir).select($"vec_id",
+            posexplode(Similarity.signPack32($"embedding", 64))
+              .as(Seq("word_idx", "bits")))
+          .orderBy($"vec_id", $"word_idx")
+      },
+      Some("""SELECT vec_id, CAST(w AS INTEGER) AS word_idx,
+             |  list_sum(list_transform(range(32), j ->
+             |    CASE WHEN embedding[CAST(w AS INTEGER)*32 + CAST(j AS INTEGER) + 1] > 0
+             |         THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END))::BIGINT AS bits
+             |FROM embeddings CROSS JOIN LATERAL unnest(range(2)) r(w)
+             |ORDER BY vec_id, word_idx""".stripMargin)),
+
+    // ─── Hamming top-k retrieval over the packed signs ──────────────────
+    // The query vector's packed words fold in as literals (model-sized
+    // driver collect, the IVF-centroid discipline).
+    "q180_hamming_topk" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val q0 = emb.filter($"vec_id" === 0L).select($"embedding")
+          .head().getSeq[Float](0)
+        val words = (0 until 2).map { w =>
+          (0 until 32).map(j => if (q0(32 * w + j) > 0) 1L << j else 0L).sum
+        }
+        Similarity.hammingTopK(emb, "vec_id", "embedding", words, dim = 64, k = 20)
+      },
+      Some("""WITH p AS (SELECT vec_id, CAST(w AS INTEGER) AS word_idx,
+             |    list_sum(list_transform(range(32), j ->
+             |      CASE WHEN embedding[CAST(w AS INTEGER)*32 + CAST(j AS INTEGER) + 1] > 0
+             |           THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END))::BIGINT AS bits
+             |  FROM embeddings CROSS JOIN LATERAL unnest(range(2)) r(w)),
+             |q AS (SELECT word_idx, bits AS qbits FROM p WHERE vec_id = 0),
+             |d AS (SELECT p.vec_id, sum(bit_count(xor(p.bits, q.qbits)))::INTEGER AS hamming
+             |      FROM p JOIN q USING (word_idx) GROUP BY p.vec_id)
+             |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT 20""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

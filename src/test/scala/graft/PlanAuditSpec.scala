@@ -314,4 +314,17 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q175_aspect_buckets")
     assert(!p.contains("Join"), "aspect bucketing grew a join:\n" + p.take(1200))
   }
+
+  test("containment join plans no cartesian product (the q82 brute is the only one allowed)") {
+    val p = plan("q177_containment_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prefix containment degraded to all-pairs:\n" + p.take(1200))
+  }
+
+  test("hamming top-k plans TakeOrdered over a map-only scan — no join, no global sort") {
+    val p = plan("q180_hamming_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "hamming top-k lost its TakeOrdered:\n" + p.take(1200))
+    assert(!p.contains("Join"), "query words must fold in as literals:\n" + p.take(1200))
+  }
 }

@@ -515,6 +515,32 @@ class MixingSpec extends SparkSpec {
     assert(out.forall(_.isEmpty))
   }
 
+  test("curriculumPhases cuts near-equal token budgets, easy-first") {
+    // one stratum, scores descending with id; 10 docs × 10 tokens each,
+    // 4 phases over 100 tokens → phases of 3/2/3/2 docs (integer cuts at
+    // 25/50/75)
+    val df = (1L to 10L).map(i => (i, "s", (100 - i).toInt, 10L))
+      .toDF("id", "g", "score", "toks")
+    val out = Mixing.curriculumPhases(df, "id", "g", "score", "toks", phases = 4)
+      .select($"id", $"phase").as[(Long, Int)].collect().toMap
+    // ordering is score desc = id asc here; cum_before = (id-1)*10
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1,
+      6L -> 2, 7L -> 2, 8L -> 2, 9L -> 3, 10L -> 3), out.toString)
+    // phase token masses: 30/20/30/20 — every phase within one doc of
+    // the 25-token ideal; monotone in the score order
+    val withTok = (1L to 10L).map(i => out(i))
+    assert(withTok.sorted == withTok, "phases must be monotone in score order")
+  }
+
+  test("curriculumPhases: strata phase independently") {
+    val df = Seq((1L, "a", 5, 100L), (2L, "a", 4, 100L),
+      (3L, "b", 9, 1L), (4L, "b", 8, 1L))
+      .toDF("id", "g", "score", "toks")
+    val out = Mixing.curriculumPhases(df, "id", "g", "score", "toks", phases = 2)
+      .select($"id", $"phase").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1))
+  }
+
   test("shardManifest: totals add up and the fingerprint is order-independent") {
     val docs = graft.Tables.documents(spark, sfTiny).select($"doc_id", $"text")
     val m1 = Mixing.shardManifest(docs, "doc_id", "text", nShards = 4)
@@ -592,6 +618,24 @@ class LmScoreSpec extends SparkSpec {
     }
   }
 
+  test("trigram backoff: exact on seen trigrams, chained alpha on unseen") {
+    // corpus: "a b c" ×3 and "a b d" ×1 → c(a b)=4, c(a b c)=3, c(a b d)=1
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"), (4L, "a b d"))
+      .toDF("doc_id", "text")
+    // topK=1 per history: "a b c" kept, "a b d" pruned → doc 4 backs off
+    val got = TextStats.lmScoreBackoffTrigram(docs, "doc_id", "text",
+        backoff = 0.4, topK = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val fix = (1L << 40).toDouble
+    def q(x: Double) = math.rint(x * fix) / fix
+    // docs 1-3: S = c123/c12 = 3/4
+    assert(got(1L) == ((1L, q(0.75))))
+    // doc 4: trigram pruned → 0.4 · S(d|b); bigram "b d" also pruned at
+    // topK=1 (b c wins: count 3 vs 1) → 0.4 · 0.4 · c(d)/N, N=12, c(d)=1
+    assert(got(4L) == ((1L, q(0.4 * (0.4 * 1.0 / 12.0)))))
+  }
+
   test("Kneser-Ney pruning hides counts but not the smoothing distribution") {
     val docs = Tables.documents(spark, sfTiny)
     val full = TextStats.lmScoreKneserNey(docs, "doc_id", "text")
@@ -619,6 +663,21 @@ class ContainmentSpec extends SparkSpec {
     // the same pair is INVISIBLE to jaccard at the usual 0.5 threshold
     val jac = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5).collect()
     assert(jac.isEmpty, "jaccard unexpectedly caught the asymmetric pair")
+  }
+
+  test("prefix containment join equals the brute join on the corpus") {
+    val docs = Tables.documents(spark, sfTiny)
+    def norm(rows: Array[(Long, Long, Double)]) =
+      rows.map { case (a, b, c) => (a, b, math.round(c * 1e9)) }.toSet
+    val brute = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val fast = Dedup.prefixContainmentPairs(docs, "doc_id", "text",
+        shingleK = 3, tNum = 1, tDen = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(norm(fast) == norm(brute),
+      s"prefix path diverged: ${fast.length} vs ${brute.length} pairs")
+    assert(brute.nonEmpty, "fixture must actually produce containment pairs")
   }
 }
 

@@ -307,4 +307,44 @@ class VectorOpsSpec extends graft.SparkSpec {
       assert(java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(sl))
     }
   }
+
+  test("sign packing sets exactly the positive-dim bits, 32 per word") {
+    // dims 0, 1, 33, 63 positive → word0 = b0+b1, word1 = b1+b31
+    val v = Array.fill(64)(-1.0f)
+    v(0) = 0.5f; v(1) = 2f; v(33) = 1f; v(63) = 0.25f
+    val df = Seq((1L, v.toSeq)).toDF("vec_id", "embedding")
+    val packed = df.select(Similarity.signPack32($"embedding", 64))
+      .as[Seq[Long]].head()
+    assert(packed == Seq((1L << 0) + (1L << 1), (1L << 1) + (1L << 31)))
+    // zero is NOT positive: sign bit clear
+    val z = Seq((1L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    assert(z.select(Similarity.signPack32($"embedding", 64))
+      .as[Seq[Long]].head() == Seq(0L, 0L))
+  }
+
+  test("hamming distance counts differing sign bits; self-distance is 0") {
+    val a = Array.fill(64)(1.0f)
+    val b = a.clone(); b(5) = -1f; b(40) = -1f; b(63) = -1f
+    val df = Seq((a.toSeq, b.toSeq)).toDF("va", "vb")
+    val d = df.select(
+        Similarity.hammingDist(Similarity.signPack32($"va", 64),
+          Similarity.signPack32($"vb", 64)).as("d"),
+        Similarity.hammingDist(Similarity.signPack32($"va", 64),
+          Similarity.signPack32($"va", 64)).as("self"))
+      .as[(Int, Int)].head()
+    assert(d == ((3, 0)))
+  }
+
+  test("hamming top-k ranks the query itself first with distance 0") {
+    val emb = graft.Tables.embeddings(spark, sfTiny)
+    val q0 = emb.filter($"vec_id" === 0L).select($"embedding")
+      .head().getSeq[Float](0)
+    val words = (0 until 2).map { w =>
+      (0 until 32).map(j => if (q0(32 * w + j) > 0) 1L << j else 0L).sum
+    }
+    val top = Similarity.hammingTopK(emb, "vec_id", "embedding", words, 64, 5)
+      .as[(Long, Int)].collect()
+    assert(top.head == ((0L, 0)))
+    assert(top.map(_._2).sorted.sameElements(top.map(_._2)), "ascending distances")
+  }
 }
