@@ -135,4 +135,52 @@ object CorpusPipeline {
         (col("__item") % 1000000L).cast("int").as("chunk_idx"),
         col("n_tokens"), col("bin"))
   }
+
+  /** Pipeline V2 — the round-7-continuation stages composed end to end:
+    *
+    *   1. blocklist screen (`TextStats.blocklistHit`, Aho-Corasick) —
+    *      map-only;
+    *   2. quality gate (`TextStats.qualityKeep`) — map-only;
+    *   3. exact dedup, MIN-id canonical — one hash shuffle;
+    *   4. EXACT substring dedup (`Dedup.dedupSpans`, Lee et al.
+    *      keep-first): every surviving doc loses its non-canonical
+    *      duplicated regions; docs scrubbed to nothing drop out;
+    *   5. next-fit packing WITH offsets of the CLEANED token counts per
+    *      stratum (`Packing.packWithOffsets`).
+    *
+    * Returns one row per packed doc: (stratum, id, n_clean, bin,
+    * off_start, off_end, cleaned_hash) — the md5 of the cleaned text
+    * rides along so the packed corpus is content-addressable.
+    *
+    * Every stage is the registry-proven operator (q162/q75/q24/q166/
+    * q163); this only composes them, and the q181 oracle assembles from
+    * the same CTE pieces. Scale shape = the union of the member
+    * contracts; the only additions are the lineage cut at the dedup
+    * branch point and one join to carry (stratum, cleaned_hash). */
+  def runV2(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", stratumCol: String = "lang",
+      blocklist: Seq[String], stopwords: Seq[String] = Seq("the", "a"),
+      spanK: Int = 5, capacity: Long = 256L): DataFrame = {
+    val screened = docs.filter(
+      TextStats.blocklistHit(col(textCol), blocklist).isNull)
+    val q = screened.filter(TextStats.qualityKeep(col(textCol), stopwords))
+    val exd = exactDedup(q, idCol, textCol)
+    val cleaned = Dedup.dedupSpans(
+      exd.select(col(idCol), col(textCol)), idCol, textCol, spanK)
+    // branch point: d feeds both the packing fold and the hash join-back
+    // — cut the lineage once so the span-dedup chain runs once
+    val d = exd.select(col(idCol), col(stratumCol))
+      .join(cleaned, Seq(idCol.replace("`", "")))
+      .withColumn("n_clean", col("n_tokens") - col("n_removed"))
+      .filter(col("n_clean") > 0)
+      .localCheckpoint(eager = false)
+    // packNextFit's fold keeps only (stratum, id, size, bin): join the
+    // content hash back on the unique id (hash-keyed, no skew)
+    Packing.packWithOffsets(
+        d.select(col(idCol), col(stratumCol), col("n_clean")),
+        idCol, stratumCol, "n_clean", capacity)
+      .join(d.select(col(idCol), col("cleaned_hash")), Seq(idCol.replace("`", "")))
+      .select(col(stratumCol), col(idCol), col("n_clean"), col("bin"),
+        col("off_start"), col("off_end"), col("cleaned_hash"))
+  }
 }

@@ -3977,7 +3977,84 @@ object OpsQueries {
              |q AS (SELECT word_idx, bits AS qbits FROM p WHERE vec_id = 0),
              |d AS (SELECT p.vec_id, sum(bit_count(xor(p.bits, q.qbits)))::INTEGER AS hamming
              |      FROM p JOIN q USING (word_idx) GROUP BY p.vec_id)
-             |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT 20""".stripMargin)))
+             |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT 20""".stripMargin)),
+
+    // ─── corpus pipeline V2: blocklist → quality → exact dedup → exact
+    // substring dedup → pack with offsets — the round-7-continuation
+    // stages composed end to end, every piece its own gated operator
+    // (q162/q75/q24/q166/q163); the oracle assembles from the same CTE
+    // fragments so a stage fix cannot desynchronize the composition.
+    "q181_corpus_pipeline_v2" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        // milder list than q162's: 'scan'/'merge' hit most synthetic
+        // docs and would starve stages 2-5 of coverage
+        CorpusPipeline.runV2(Tables.documents(s, dir),
+            blocklist = Seq("order fast", "slow slow"), spanK = 5, capacity = 256L)
+          .orderBy($"lang", $"doc_id")
+      },
+      Some {
+        val screen = Seq("order fast", "slow slow")
+          .map(t => s"contains(lower(text), '$t')").mkString(" OR ")
+        s"""WITH RECURSIVE scr AS (SELECT doc_id, lang, text FROM documents
+           |  WHERE NOT ($screen)),
+           |m AS (SELECT doc_id, lang, text,
+           |  CAST(len(regexp_split_to_array(text, '\\s+')) AS INTEGER) AS n_tokens,
+           |  list_sum(list_transform(regexp_split_to_array(text, '\\s+'), t -> length(t)))::DOUBLE
+           |    / len(regexp_split_to_array(text, '\\s+')) AS mean_token_len,
+           |  len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> list_contains(['the','a'], t)))::DOUBLE
+           |    / len(regexp_split_to_array(lower(text), '\\s+')) AS stopword_ratio,
+           |  CASE WHEN len(string_split(lower(text), ' ')) > 0
+           |       THEN 1.0::DOUBLE - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+           |            / len(string_split(lower(text), ' '))
+           |       ELSE 0.0::DOUBLE END AS word_rep
+           |FROM scr),
+           |qd AS (SELECT doc_id, lang, text FROM m
+           |       WHERE (n_tokens BETWEEN 20 AND 100000) AND (mean_token_len BETWEEN 3.0 AND 10.0)
+           |         AND stopword_ratio >= 0.01 AND word_rep <= 0.6),
+           |hx AS (SELECT doc_id, lang, text,
+           |         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h FROM qd),
+           |exd AS (SELECT doc_id, lang, text FROM
+           |          (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS xrn FROM hx)
+           |        WHERE xrn = 1),
+           |t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM exd),
+           |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+           |        ${sqlGramHash("toks", "i", 5)} AS h
+           |      FROM t CROSS JOIN LATERAL unnest(range(greatest(len(toks)-4, 0))) r(i)),
+           |rr AS (SELECT doc_id, pos,
+           |        count(*) OVER (PARTITION BY h) AS cnt,
+           |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           |      FROM g),
+           |cov AS (SELECT DISTINCT doc_id, pos + CAST(j AS INT) AS tpos
+           |        FROM rr CROSS JOIN LATERAL unnest(range(5)) u(j)
+           |        WHERE cnt >= 2 AND rn > 1),
+           |tk AS (SELECT doc_id, CAST(i AS INT) AS tpos, toks[CAST(i AS INT)+1] AS tok
+           |       FROM t CROSS JOIN LATERAL unnest(range(len(toks))) v(i)),
+           |kept AS (SELECT tk.doc_id, count(*)::BIGINT AS n_clean,
+           |           md5(string_agg(tk.tok, ' ' ORDER BY tk.tpos)) AS cleaned_hash
+           |         FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+           |         WHERE cov.doc_id IS NULL
+           |         GROUP BY tk.doc_id),
+           |dn AS (SELECT e.lang, e.doc_id, k.n_clean, k.cleaned_hash,
+           |         row_number() OVER (PARTITION BY e.lang ORDER BY e.doc_id) AS rn
+           |       FROM exd e JOIN kept k ON e.doc_id = k.doc_id),
+           |rec AS (
+           |  SELECT lang, rn, doc_id, n_clean, cleaned_hash, n_clean AS fill, 1::BIGINT AS bin
+           |  FROM dn WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.lang, d.rn, d.doc_id, d.n_clean, d.cleaned_hash,
+           |         CASE WHEN rec.fill + d.n_clean <= 256 THEN rec.fill + d.n_clean
+           |              ELSE d.n_clean END,
+           |         CASE WHEN rec.fill + d.n_clean <= 256 THEN rec.bin ELSE rec.bin + 1 END
+           |  FROM rec JOIN dn d ON d.lang = rec.lang AND d.rn = rec.rn + 1)
+           |SELECT lang, doc_id, n_clean, bin,
+           |  COALESCE(sum(n_clean) OVER (PARTITION BY lang, bin ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off_start,
+           |  (COALESCE(sum(n_clean) OVER (PARTITION BY lang, bin ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_clean)::BIGINT AS off_end,
+           |  cleaned_hash
+           |FROM rec ORDER BY lang, doc_id""".stripMargin
+      }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

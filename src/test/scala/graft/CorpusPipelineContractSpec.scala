@@ -54,4 +54,31 @@ class CorpusPipelineContractSpec extends SparkSpec {
       CorpusPipeline.run(docs(-1L)).collect()
     }
   }
+
+  test("pipeline v2: bins respect capacity, offsets are contiguous, hashes intact") {
+    import spark.implicits._
+    val out = CorpusPipeline.runV2(Tables.documents(spark, sfTiny),
+        blocklist = Seq("order fast", "slow slow"), capacity = 256L)
+      .as[(String, Long, Long, Long, Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    // every doc fits its offsets: off_end − off_start == n_clean
+    out.foreach { case (_, id, n, _, s, e, h) =>
+      assert(e - s == n, s"doc $id offsets disagree with token count")
+      assert(h.length == 32, s"doc $id cleaned_hash not an md5")
+    }
+    // per (stratum, bin): total ≤ capacity unless a single oversized doc;
+    // offsets tile [0, fill) without gaps in id order
+    out.groupBy(t => (t._1, t._4)).foreach { case ((g, bin), items) =>
+      val sorted = items.sortBy(_._2)
+      val fill = sorted.map(_._3).sum
+      assert(fill <= 256L || sorted.length == 1, s"($g,$bin) overfilled: $fill")
+      var cursor = 0L
+      sorted.foreach { case (_, id, n, _, s, e, _) =>
+        assert(s == cursor, s"($g,$bin) doc $id starts at $s, expected $cursor")
+        cursor = e
+      }
+    }
+    // survivors are a subset of the input and unique
+    assert(out.map(_._2).distinct.length == out.length)
+  }
 }
