@@ -568,6 +568,30 @@ object Similarity {
       .drop("__means", "__stds")
   }
 
+  /** IVF-PQ retrieval — the FAISS IVFPQ composition, built from this
+    * library's two gated halves: the query probes its `nprobe` nearest
+    * IVF cells (`ivfCellsTop`, the q71 recall lever), and within those
+    * cells ranks by PQ ASYMMETRIC distance over the CODES
+    * (`pqAdcTopK`, q114) — the float vectors are never read at search
+    * time. Candidate set ≈ nprobe·N/K rows of `subspaces` small ints:
+    * the memory-bandwidth shape that makes billion-vector search
+    * feasible, searched here with exactly the arithmetic both member
+    * gates pin.
+    *
+    * Scale shape: map-only literal cell assignment (zero shuffle — the
+    * centroid and codebook tables fold in as literals, the IVF-centroid
+    * discipline) + TakeOrdered top-k. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], codebook: Seq[(Int, Array[Float])],
+      subspaces: Int, query: Array[Float], k: Int, nprobe: Int = 1): DataFrame = {
+    val qArr = array(query.map(v => lit(v)): _*)
+    val cand = emb
+      .withColumn("__cell", ivfCell(col(vecCol), centroids))
+      .filter(array_contains(ivfCellsTop(qArr, centroids, nprobe), col("__cell")))
+      .drop("__cell")
+    pqAdcTopK(cand, idCol, vecCol, codebook, subspaces, query, k)
+  }
+
   /** BINARY (sign) quantization: pack the embedding's sign bits into
     * ⌈dim/32⌉ 32-bit words (held in longs — bit 31 never reaches a sign
     * bit, so the packed values are identical non-negative integers in

@@ -3979,6 +3979,56 @@ object OpsQueries {
              |      FROM p JOIN q USING (word_idx) GROUP BY p.vec_id)
              |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT 20""".stripMargin)),
 
+    // ─── IVF-PQ: probe nprobe cells, rank by ADC over the codes ─────────
+    // The FAISS IVFPQ composition from the gated q39/q71 cell machinery
+    // and the gated q114 ADC arithmetic; vectors are never read at
+    // search time.
+    "q182_ivf_pq" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter($"vec_id" < 16)
+          .select($"vec_id", $"embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        val cb = emb.orderBy($"vec_id").limit(16)
+          .select($"embedding").collect()
+          .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0).toArray }.toSeq
+        val qvec = emb.filter($"vec_id" === 0)
+          .select($"embedding").head().getSeq[Float](0).toArray
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding", centroids, cb,
+          subspaces = 8, query = qvec, k = 10, nprobe = 2)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (p,q) -> p+q) /
+             |  (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)) *
+             |   sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)))""".stripMargin
+        s"""WITH $pqCtes,
+           |c AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |scored AS (SELECT e.vec_id, e.embedding, c.ccid, ${cos("e.embedding", "c.cv")} AS csim
+           |           FROM embeddings e CROSS JOIN c),
+           |assign AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid ASC) AS rn
+           |           FROM scored),
+           |cells AS (SELECT vec_id, ccid FROM assign WHERE rn = 1),
+           |qcells AS (SELECT ccid FROM assign WHERE vec_id = 0 AND rn <= 2),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |qd AS (SELECT t.s, cb.cid,
+           |         list_reduce(list_transform(list_zip(
+           |             list_slice(q.qvec, t.s*8 + 1, t.s*8 + 8),
+           |             list_slice(cb.cvec, t.s*8 + 1, t.s*8 + 8)),
+           |           x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)),
+           |           (a,b) -> a+b) AS qd2
+           |       FROM q CROSS JOIN range(8) t(s) CROSS JOIN cb),
+           |sc AS (SELECT b.vec_id, list_reduce(list(qd.qd2 ORDER BY b.s), (a,b2) -> a+b2) AS adc
+           |       FROM best b
+           |         JOIN cells ON b.vec_id = cells.vec_id
+           |         JOIN qcells ON cells.ccid = qcells.ccid
+           |         JOIN qd ON b.s = qd.s AND b.cid = qd.cid
+           |       GROUP BY b.vec_id)
+           |SELECT vec_id, adc FROM sc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin
+      }),
+
     // ─── corpus pipeline V2: blocklist → quality → exact dedup → exact
     // substring dedup → pack with offsets — the round-7-continuation
     // stages composed end to end, every piece its own gated operator

@@ -308,6 +308,33 @@ class VectorOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("IVF-PQ with every cell probed equals the plain ADC scan") {
+    val emb = graft.Tables.embeddings(spark, sfTiny)
+    val centroids = emb.filter($"vec_id" < 16)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val cb = emb.orderBy($"vec_id").limit(16).select($"embedding").collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](0).toArray }.toSeq
+    val qvec = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val everyCell = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        centroids, cb, 8, qvec, k = 10, nprobe = 16)
+      .as[(Long, Double)].collect().toSeq
+    val plain = Similarity.pqAdcTopK(emb, "vec_id", "embedding", cb, 8, qvec, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(everyCell == plain, "nprobe=K must degenerate to the full ADC scan")
+    // and a 2-cell probe returns a subset of the probed cells only
+    val probed = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        centroids, cb, 8, qvec, k = 10, nprobe = 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val cellOf = emb.select($"vec_id",
+        Similarity.ivfCell($"embedding", centroids).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val qCells = probed.map(cellOf)
+    assert(qCells.size <= 2, s"candidates leaked outside the probed cells: $qCells")
+  }
+
   test("sign packing sets exactly the positive-dim bits, 32 per word") {
     // dims 0, 1, 33, 63 positive → word0 = b0+b1, word1 = b1+b31
     val v = Array.fill(64)(-1.0f)
