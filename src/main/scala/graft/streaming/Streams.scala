@@ -357,6 +357,49 @@ object Streams {
           .partitionBy("__batch_id").parquet(scoredDir)
       }
 
+  /** The crawl-INGEST scrub stage as ONE batch-or-stream transform:
+    * blocklist screen (Aho-Corasick, q162) + quality rules with the
+    * per-doc drop REASON (q170's first-fail + bitmask — an ingest
+    * stage that cannot say why it dropped a doc is undebuggable at
+    * crawl scale) + typed PII redaction (q171). Emits EVERY doc with
+    * (keep, reason, fail_mask, clean_text) — routing, not deletion, so
+    * the reject stream stays auditable. Stateless map-only. */
+  def ingestScrub(docs: DataFrame, blocklist: Seq[String],
+      stopwords: Seq[String] = Seq("the", "a"),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__hit", graft.ops.TextStats.blocklistHit(col(textCol), blocklist))
+      .withColumn("__fr", graft.ops.TextStats.filterReasons(col(textCol), stopwords))
+      .withColumn("reason",
+        when(col("__hit").isNotNull, concat(lit("blocklist:"), col("__hit")))
+          .otherwise(col("__fr.reason")))
+      .withColumn("keep", col("reason") === "pass")
+      .withColumn("fail_mask", col("__fr.fail_mask"))
+      .withColumn("clean_text", graft.ops.TextStats.redactPiiTyped(col(textCol)))
+      .select(col(idCol), col("keep"), col("reason"), col("fail_mask"),
+        col("clean_text"))
+
+  /** `ingestScrub` as the incremental crawl-ingest job: new files under
+    * `incomingDir` scrub per micro-batch through the LITERAL batch
+    * transform (stream and batch cannot drift); partition-overwrite per
+    * batch id makes replays idempotent. No state, no joins — the 100 TB
+    * ingest front door is embarrassingly parallel by construction. */
+  def ingestScrubStream(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      incomingDir: String, outDir: String, checkpointDir: String,
+      blocklist: Seq[String], stopwords: Seq[String] = Seq("the", "a"),
+      idCol: String = "doc_id", textCol: String = "text") =
+    spark.readStream.schema(schema).parquet(incomingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        ingestScrub(batch, blocklist, stopwords, idCol, textCol)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id").parquet(outDir)
+      }
+
   /** Watermarked stream-stream inner join: each purchase pairs with the
     * same user's clicks from the preceding `lookback`. Both sides carry
     * watermarks and the join condition bounds event time on BOTH ends, so

@@ -443,6 +443,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest scrub stream: per-batch output equals the batch transform") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scrub").toString
+    val in = s"$dir/in"; val outd = s"$dir/scrubbed"; val ck = s"$dir/ck"
+    new java.io.File(in).mkdirs()
+    val docs = graft.Tables.documents(spark, sfTiny)
+    val bl = Seq("order fast", "slow slow")
+    val b0 = docs.filter($"doc_id" < 20)
+    val b1 = docs.filter($"doc_id" >= 20 && $"doc_id" < 40)
+    b0.coalesce(1).write.mode("append").parquet(in)
+    val q = Streams.ingestScrubStream(spark, b0.schema, in, outd, ck, bl).start()
+    try {
+      q.processAllAvailable()
+      b1.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outd)
+        .select($"doc_id", $"keep", $"reason", $"fail_mask", $"clean_text")
+        .as[(Long, Boolean, String, Int, String)].collect().toSet
+      val batch = Streams.ingestScrub(docs.filter($"doc_id" < 40), bl)
+        .as[(Long, Boolean, String, Int, String)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.exists(!_._2), "fixture must reject something")
+      assert(batch.exists(_._2), "fixture must keep something")
+    } finally q.stop()
+  }
+
   test("score stream: per-batch classifier scores equal the batch scorer") {
     val dir = java.nio.file.Files.createTempDirectory("graft_score").toString
     val in = s"$dir/in"; val outd = s"$dir/scored"; val ck = s"$dir/ck"
