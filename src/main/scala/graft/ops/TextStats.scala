@@ -662,6 +662,67 @@ object TextStats {
         (sum(col("__sfix")).cast("double") / fix / fcount(lit(1))).as("mean_s"))
   }
 
+  /** VOCABULARY GROWTH curve (Heaps-law audit): per stratum, processing
+    * docs in id order, how many never-before-seen tokens each doc
+    * contributes and the running vocabulary size — the curve that sizes
+    * a tokenizer's vocab budget and shows when a corpus stops teaching
+    * new words. Returns (stratum, id, n_new, vocab_so_far).
+    *
+    * Scale shape: one (stratum, token) aggregation taking min-id (the
+    * first-occurrence table, partial-combining), one doc-keyed count,
+    * and one stratum-keyed window cumsum — never a global window; a
+    * mega-stratum bounds its own sort. */
+  def vocabGrowth(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, stratumCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val t = df.select(col(stratumCol), col(idCol),
+      explode(array_distinct(split(lower(col(textCol)), " "))).as("__w"))
+    val firstSeen = t.groupBy(col(stratumCol), col("__w"))
+      .agg(min(col(idCol)).as("__d0"))
+    val perDoc = firstSeen.groupBy(col(stratumCol), col("__d0").as(idCol))
+      .agg(fcount(lit(1)).as("__n_new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col(idCol))
+    df.select(col(stratumCol), col(idCol))
+      .join(perDoc, Seq(stratumCol.replace("`", ""), idCol.replace("`", "")), "left")
+      .withColumn("n_new", coalesce(col("__n_new"), lit(0L)))
+      .withColumn("vocab_so_far", sum(col("n_new")).over(w))
+      .drop("__n_new")
+  }
+
+  /** NUCLEUS (top-p) vocabulary cutoff: rank tokens by corpus frequency
+    * (desc, ties token asc) and keep the smallest head covering ≥
+    * `covNum/covDen` of total token mass — how a production tokenizer
+    * vocab or a sampling nucleus is actually sized. keep(token) ⇔
+    * cumulative count BEFORE it < covNum/covDen · total, so the first
+    * token to cross the threshold is still kept and coverage of the
+    * kept set is ≥ the target. ALL-integer arithmetic (cumb·covDen vs
+    * total·covNum) — no float share ever compared. Returns
+    * (rank, token, cnt, keep).
+    *
+    * Scale shape: one token-count aggregation; the rank/cumsum windows
+    * run over the AGGREGATED vocab table (tiny vs the corpus — the q11
+    * share-table discipline). */
+  def nucleusVocab(df: org.apache.spark.sql.DataFrame, textCol: String,
+      covNum: Int = 95, covDen: Int = 100): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    require(covNum > 0 && covDen > 0 && covNum <= covDen,
+      s"coverage must be a rational in (0, 1]: $covNum/$covDen")
+    val counts = df.select(explode(split(lower(col(textCol)), " ")).as("__w"))
+      .groupBy(col("__w")).agg(fcount(lit(1)).as("cnt"))
+    val order = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("__w").asc)
+    val before = order.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    counts
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("__cumb", coalesce(sum(col("cnt")).over(before), lit(0L)))
+      .withColumn("__tot", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("keep", col("__cumb") * covDen < col("__tot") * covNum)
+      .select(col("rank"), col("__w").as("token"), col("cnt"), col("keep"))
+  }
+
   /** TRIGRAM stupid backoff (the actual Brants et al. 2007 shape — the
     * production trillion-token LM is trigram-or-longer with the chain
     *   S(w3|w1w2) = c123/c12                if the trigram is in the model

@@ -3979,6 +3979,45 @@ object OpsQueries {
              |      FROM p JOIN q USING (word_idx) GROUP BY p.vec_id)
              |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT 20""".stripMargin)),
 
+    // ─── vocabulary growth curve (Heaps-law audit per language) ─────────
+    "q183_vocab_growth" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.vocabGrowth(Tables.documents(s, dir), "doc_id", "text", "lang")
+          .orderBy($"lang", $"doc_id")
+      },
+      Some("""WITH t AS (SELECT lang, doc_id,
+             |    unnest(list_distinct(string_split(lower(text), ' '))) AS w
+             |  FROM documents),
+             |f AS (SELECT lang, w, min(doc_id) AS d0 FROM t GROUP BY 1, 2),
+             |nd AS (SELECT lang, d0 AS doc_id, count(*) AS n_new FROM f GROUP BY 1, 2),
+             |j AS (SELECT d.lang, d.doc_id, COALESCE(nd.n_new, 0)::BIGINT AS n_new
+             |      FROM documents d LEFT JOIN nd ON d.lang = nd.lang AND d.doc_id = nd.doc_id)
+             |SELECT lang, doc_id, n_new,
+             |  sum(n_new) OVER (PARTITION BY lang ORDER BY doc_id)::BIGINT AS vocab_so_far
+             |FROM j ORDER BY lang, doc_id""".stripMargin)),
+
+    // ─── nucleus (top-p) vocabulary cutoff — all-integer coverage test ──
+    "q184_nucleus_vocab" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.nucleusVocab(Tables.documents(s, dir), "text",
+            covNum = 95, covDen = 100)
+          .orderBy($"rank")
+      },
+      Some("""WITH c AS (SELECT w, count(*) AS cnt FROM
+             |            (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+             |          GROUP BY w),
+             |r AS (SELECT w, cnt,
+             |        row_number() OVER (ORDER BY cnt DESC, w ASC) AS rank,
+             |        COALESCE(sum(cnt) OVER (ORDER BY cnt DESC, w ASC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+             |        sum(cnt) OVER () AS tot
+             |      FROM c)
+             |SELECT rank::BIGINT AS rank, w AS token, cnt,
+             |  cumb * 100 < tot * 95 AS keep
+             |FROM r ORDER BY rank""".stripMargin)),
+
     // ─── IVF-PQ: probe nprobe cells, rank by ADC over the codes ─────────
     // The FAISS IVFPQ composition from the gated q39/q71 cell machinery
     // and the gated q114 ADC arithmetic; vectors are never read at
