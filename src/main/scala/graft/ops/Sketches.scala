@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -228,6 +228,78 @@ object Sketches {
 
   /** The aggregator as a Column: ids of the k smallest (draw, id) pairs,
     * in ascending draw order. */
+  /** ROLLING HyperLogLog cardinality: per day, the HLL estimate of
+    * distinct `keyCol` values over the trailing `windowDays`-day window
+    * — the "7-day active users" sketch, with REGISTERS built from
+    * integer expressions an oracle can replay exactly (unlike the
+    * engine-internal `approx_count_distinct` state q96 audits as a
+    * bound):
+    *   - 60-bit md5 key hash; register = h mod m, payload = h div m;
+    *   - rho = leading-zero count of the 54-bit payload + 1, computed
+    *     as 55 − length(binary(payload)) — INTEGER string arithmetic,
+    *     no float log2 anywhere;
+    *   - daily register = max(rho) per (day, register); rolling merge =
+    *     max over the trailing window on a DENSE day×m frame (HLL's
+    *     union IS register-wise max — the property that makes the
+    *     sketch mergeable across days, shards, and retries);
+    *   - the harmonic sum Σ 2^(60−M_j) runs as an EXACT decimal integer
+    *     (dyadic doubles of spread exponents do NOT sum exactly —
+    *     2^0 + 2^−60 needs 61 mantissa bits), so the one double
+    *     division per day is deterministic in both engines.
+    * Returns (day ISO-string, zero_regs, est) with est = α·m²·2^60/S
+    * rounded to 6 decimals — the RAW HLL estimator; small/large-range
+    * corrections (which need ln) are the caller's post-step, and
+    * `zero_regs` is exactly what the linear-counting branch needs.
+    *
+    * Scale shape: map-only hashing, ONE (day, register) partial-
+    * combining max, a register-keyed rolling window over the tiny dense
+    * day×m frame, one day-keyed fold. m = 64 ⇒ ~1.3 % of the corpus
+    * moves nothing — the whole sketch table is days × 64 rows. */
+  def rollingHll(events: DataFrame, tsCol: String, keyCol: String,
+      windowDays: Int = 7, seed: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val m = 64
+    val alpha = 0.709 // α_64 (Flajolet et al.), fixed literal by contract
+    val h = Dedup.seededHash(seed, col(keyCol).cast("string"))
+    val daily = events
+      .select(to_date(col(tsCol)).as("__day"),
+        pmod(h, lit(m.toLong)).cast("int").as("__reg"),
+        shiftright(h, 6).as("__p"))
+      .withColumn("__rho",
+        when(col("__p") === 0L, lit(55))
+          .otherwise(lit(55) - length(conv(col("__p"), 10, 2))).cast("int"))
+      .groupBy(col("__day"), col("__reg"))
+      .agg(max(col("__rho")).as("__m"))
+    val days = events.select(to_date(col(tsCol)).as("__day")).distinct()
+    val regIds = events.sparkSession.range(m)
+      .select(col("id").cast("int").as("__reg"))
+    val dense = days.crossJoin(regIds)
+      .join(daily, Seq("__day", "__reg"), "left")
+      .withColumn("__m", coalesce(col("__m"), lit(0)))
+    // RANGE on the epoch-day number, not ROWS: a zero-event calendar day
+    // is absent from the frame, and a row-based trailing window would
+    // silently stretch past `windowDays` calendar days across the gap
+    val w = Window.partitionBy(col("__reg"))
+      .orderBy(datediff(col("__day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-(windowDays - 1), 0)
+    val rolled = dense.withColumn("__mw", max(col("__m")).over(w))
+    rolled.groupBy(col("__day"))
+      .agg(sum(when(col("__mw") === 0, 1L).otherwise(0L)).as("zero_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 60 - __mw)").cast("decimal(38,0)"))
+          .as("__s"))
+      .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("zero_regs"),
+        round(lit(rollingHllNumerator(m, alpha)) / col("__s").cast("double"), 6)
+          .as("est"))
+  }
+
+  /** The raw-estimator numerator α·m²·2^60 as ONE driver-computed double
+    * literal — the oracle embeds the SAME shortest-round-trip repr, so
+    * both engines divide the identical IEEE value. */
+  def rollingHllNumerator(m: Int, alpha: Double): Double =
+    alpha * m * m * math.pow(2.0, 60)
+
   def bottomK(drawCol: Column, idCol: Column, k: Int): Column =
     udaf(new BottomKAgg(k)).apply(drawCol, idCol)
 }

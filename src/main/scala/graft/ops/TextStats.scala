@@ -662,6 +662,25 @@ object TextStats {
         (sum(col("__sfix")).cast("double") / fix / fcount(lit(1))).as("mean_s"))
   }
 
+  /** MIXED-LANGUAGE / code-switching detector: language-ID the two
+    * HALVES of a document independently with the same marker-argmax
+    * `langGuess`; a doc whose halves disagree (both confidently non-und)
+    * is likely code-switched or concatenated cross-lingual content —
+    * the docs a document-level language label silently mistrains on.
+    * Returns struct(lang_head, lang_tail, mixed). Pure expression,
+    * map-only. */
+  def langConsistency(text: Column,
+      markers: Map[String, Seq[String]]): Column = {
+    val toks = split(lower(text), "\\s+")
+    val half = floor(size(toks) / 2).cast("int")
+    val head = array_join(slice(toks, lit(1), half), " ")
+    val tail = array_join(slice(toks, half + 1, size(toks)), " ")
+    val lh = langGuess(head, markers)
+    val lt = langGuess(tail, markers)
+    struct(lh.as("lang_head"), lt.as("lang_tail"),
+      (lh =!= lt && lh =!= "und" && lt =!= "und").as("mixed"))
+  }
+
   /** VOCABULARY GROWTH curve (Heaps-law audit): per stratum, processing
     * docs in id order, how many never-before-seen tokens each doc
     * contributes and the running vocabulary size — the curve that sizes

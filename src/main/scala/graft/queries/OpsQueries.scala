@@ -3979,6 +3979,156 @@ object OpsQueries {
              |      FROM p JOIN q USING (word_idx) GROUP BY p.vec_id)
              |SELECT vec_id, hamming FROM d ORDER BY hamming, vec_id LIMIT 20""".stripMargin)),
 
+    // ─── rolling HyperLogLog cardinality (7-day active users) ───────────
+    // Custom engine-exact HLL registers (integer rho via binary-string
+    // length, exact decimal harmonic sum); rolling union = register-wise
+    // max over a RANGE window on the epoch day.
+    "q185_rolling_hll" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Sketches.rollingHll(Tables.events(s, dir), "ts", "user_id",
+            windowDays = 7)
+          .orderBy($"day")
+      },
+      Some {
+        val numer = Sketches.rollingHllNumerator(64, 0.709)
+        s"""WITH e AS (SELECT CAST(ts AS DATE) AS day,
+           |    ${sqlHash(7, "CAST(user_id AS VARCHAR)")} AS h
+           |  FROM events),
+           |r AS (SELECT day, (h % 64)::INTEGER AS reg, (h // 64) AS p FROM e),
+           |rr AS (SELECT day, reg,
+           |         CASE WHEN p = 0 THEN 55 ELSE 55 - length(bin(p)) END AS rho
+           |       FROM r),
+           |daily AS (SELECT day, reg, max(rho) AS m FROM rr GROUP BY 1, 2),
+           |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+           |dense AS (SELECT days.day, CAST(g.r AS INTEGER) AS reg, COALESCE(daily.m, 0) AS m
+           |          FROM days CROSS JOIN range(64) g(r)
+           |          LEFT JOIN daily ON days.day = daily.day AND g.r = daily.reg),
+           |rolled AS (SELECT day, reg,
+           |             max(m) OVER (PARTITION BY reg
+           |               ORDER BY date_diff('day', DATE '1970-01-01', day)
+           |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mw
+           |           FROM dense),
+           |agg AS (SELECT day,
+           |    sum(CASE WHEN mw = 0 THEN 1 ELSE 0 END)::BIGINT AS zero_regs,
+           |    sum((1::BIGINT << (60 - mw))::HUGEINT) AS s
+           |  FROM rolled GROUP BY day)
+           |SELECT strftime(day, '%Y-%m-%d') AS day, zero_regs,
+           |  round($numer / s::DOUBLE, 6) AS est
+           |FROM agg ORDER BY day""".stripMargin
+      }),
+
+    // ─── near-dup threshold calibration curve ───────────────────────────
+    // One LSH candidate pass (the gated q25 pairs at the 0.5 floor),
+    // then pair/doc counts per calibration threshold — the table a
+    // dedup-threshold decision is actually made from. Thresholds below
+    // the candidate floor are out of the contract by construction.
+    "q186_dedup_calibration" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+        val pairs = Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text")
+          .select($"id_a", $"id_b", $"jaccard")
+          .localCheckpoint(false)
+        val byTh = pairs.select(explode(typedlit(ths)).as("threshold"),
+            $"id_a", $"id_b", $"jaccard")
+          .filter($"jaccard" >= $"threshold")
+        val nPairs = byTh.groupBy($"threshold").agg(count(lit(1)).as("n_pairs"))
+        val nDocs = byTh
+          .select($"threshold", explode(array($"id_a", $"id_b")).as("id"))
+          .groupBy($"threshold").agg(countDistinct($"id").as("n_docs"))
+        nPairs.join(nDocs, Seq("threshold"), "left")
+          .withColumn("n_docs", coalesce($"n_docs", lit(0L)))
+          .orderBy($"threshold")
+      },
+      Some(s"""WITH $minhashCtes,
+              |th(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)),
+              |p2 AS (SELECT th.threshold, p.id_a, p.id_b
+              |       FROM pairs p JOIN th ON p.jaccard >= th.threshold
+              |       WHERE p.jaccard >= 0.5),
+              |np AS (SELECT threshold, count(*) AS n_pairs FROM p2 GROUP BY 1),
+              |ndoc AS (SELECT threshold, count(DISTINCT id) AS n_docs FROM
+              |           (SELECT threshold, id_a AS id FROM p2
+              |            UNION ALL SELECT threshold, id_b FROM p2)
+              |         GROUP BY 1)
+              |SELECT np.threshold, np.n_pairs, COALESCE(ndoc.n_docs, 0) AS n_docs
+              |FROM np LEFT JOIN ndoc ON np.threshold = ndoc.threshold
+              |ORDER BY np.threshold""".stripMargin)),
+
+    // ─── mixed-language (code-switching) detector ───────────────────────
+    "q187_lang_consistency" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val markers = Map(
+          "de" -> Seq("der", "und"), "en" -> Seq("the", "a"),
+          "es" -> Seq("el", "y"), "fr" -> Seq("le", "et"))
+        Tables.documents(s, dir).select($"doc_id",
+            TextStats.langConsistency($"text", markers).as("lc"))
+          .select($"doc_id", $"lc.lang_head".as("lang_head"),
+            $"lc.lang_tail".as("lang_tail"), $"lc.mixed".as("mixed"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        def guess(sliceExpr: String) = {
+          val langs = Seq("de" -> "['der','und']", "en" -> "['the','a']",
+            "es" -> "['el','y']", "fr" -> "['le','et']")
+          val scores = langs.map { case (l, m) =>
+            s"len(list_filter($sliceExpr, t -> list_contains($m, t)))"
+          }
+          val g = scores.mkString("greatest(", ", ", ")")
+          val arms = langs.zip(scores).map { case ((l, _), sc) =>
+            s"WHEN $sc = $g THEN '$l'"
+          }.mkString(" ")
+          s"CASE WHEN $g = 0 THEN 'und' $arms END"
+        }
+        s"""WITH tkx AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+           |  FROM documents),
+           |h AS (SELECT doc_id,
+           |    ${guess("list_slice(tk, 1, len(tk)//2)")} AS lang_head,
+           |    ${guess("list_slice(tk, len(tk)//2 + 1, len(tk))")} AS lang_tail
+           |  FROM tkx)
+           |SELECT doc_id, lang_head, lang_tail,
+           |  lang_head <> lang_tail AND lang_head <> 'und' AND lang_tail <> 'und' AS mixed
+           |FROM h ORDER BY doc_id""".stripMargin
+      }),
+
+    // ─── unpivot / melt via stack (wide metrics → long rows) ────────────
+    "q188_unpivot" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir).groupBy($"l_returnflag")
+          .agg(sum($"l_quantity".cast("decimal(18,6)")).cast("double").as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,6)")).cast("double").as("sum_price"))
+          .select($"l_returnflag",
+            expr("stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (metric, value)"))
+          .orderBy($"l_returnflag", $"metric")
+      },
+      Some("""WITH a AS (SELECT l_returnflag,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+             |UNION ALL
+             |SELECT l_returnflag, 'sum_price', sum_price FROM a
+             |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // ─── daily percentile bands (ops-monitoring P50/P95) ────────────────
+    "q189_percentile_bands" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"),
+            round(percentile($"value", lit(0.5)), 6).as("p50"),
+            round(percentile($"value", lit(0.95)), 6).as("p95"))
+          .orderBy($"day")
+      },
+      Some("""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             |  count(*) AS n,
+             |  round(quantile_cont(value, 0.5), 6) AS p50,
+             |  round(quantile_cont(value, 0.95), 6) AS p95
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ─── vocabulary growth curve (Heaps-law audit per language) ─────────
     "q183_vocab_growth" -> Q(
       (s, dir) => {

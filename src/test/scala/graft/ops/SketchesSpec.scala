@@ -65,4 +65,54 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(both._2 - both._1) / both._1 < 0.05,
       s"exact=${both._1} approx=${both._2}")
   }
+
+  test("rolling HLL: window-merged registers equal the sketch of the unioned keys") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sfTiny)
+    // spanning window over ALL days → last day's rolling estimate must
+    // equal the single-day sketch of every key collapsed onto one day
+    // (HLL union is register-wise max, which is what the window takes)
+    val rolled = Sketches.rollingHll(ev, "ts", "user_id", windowDays = 3650)
+      .orderBy(desc("day")).select($"est").as[Double].head()
+    val collapsed = Sketches.rollingHll(
+        ev.withColumn("ts", lit("2024-01-01").cast("timestamp")),
+        "ts", "user_id", windowDays = 1)
+      .select($"est").as[Double].head()
+    assert(rolled == collapsed, s"$rolled vs $collapsed")
+  }
+
+  test("rolling HLL estimate (with the caller-side correction) lands near exact") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sfTiny)
+    val (zeroRegs, raw) = Sketches.rollingHll(ev, "ts", "user_id", windowDays = 3650)
+      .orderBy(desc("day")).select($"zero_regs", $"est")
+      .as[(Long, Double)].head()
+    val exact = ev.agg(countDistinct($"user_id")).as[Long].head().toDouble
+    // the op emits the RAW estimator + zero_regs by contract; apply the
+    // documented caller-side linear-counting correction here (ln is fine
+    // JVM-side — it is only banned from oracle-gated engine arithmetic)
+    val m = 64.0
+    val est = if (raw <= 2.5 * m && zeroRegs > 0) m * math.log(m / zeroRegs) else raw
+    // m=64 → rsd ≈ 1.04/sqrt(64) ≈ 13 %; allow 3·rsd
+    assert(math.abs(est - exact) / exact < 0.4, s"est=$est exact=$exact raw=$raw")
+  }
+
+  test("lang consistency flags a stitched bilingual doc, not a pure one") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextStats
+    val markers = Map("en" -> Seq("the", "a"), "fr" -> Seq("le", "et"))
+    val docs = Seq(
+      (1L, "the cat sat on the mat with a hat and the bat"),
+      (2L, "the dog saw the cat go le chien et le chat et"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq")) // no markers at all → und/und
+      .toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        TextStats.langConsistency($"text", markers).as("lc"))
+      .select($"doc_id", $"lc.lang_head", $"lc.lang_tail", $"lc.mixed")
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("en", "en", false)))
+    assert(out(2L) == (("en", "fr", true)))
+    assert(out(3L) == (("und", "und", false)))
+  }
 }
