@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-structure analytics — the quantitative half of the reference's
+  * import-market reports (key players, shares, concentration;
+  * `Report/Indonesia Excavator Import Report 2023.pdf` tables, SURVEY
+  * §2.7/§3): Herfindahl–Hirschman concentration, top-k concentration
+  * ratios, Benford first-digit audit for declared-amount anomaly
+  * screening, and a Laspeyres price index against a base period.
+  *
+  * Scale shapes: every op aggregates the fact table ONCE on its
+  * group key (partial-combining sums in DECIMAL so totals are exact
+  * and order-independent), then finishes on the aggregated rows —
+  * windows and ratio arithmetic run on (markets × firms)-sized or
+  * digit-sized tables, never on facts. No broadcast hints; AQE picks
+  * the join-back strategy from actual sizes. */
+object Market {
+
+  /** Per-market concentration: firm count, HHI (sum of squared
+    * revenue shares) and CR`k` (top-k firms' revenue share).
+    * HHI = Σ rev_i² / (Σ rev_i)² with both sums exact DECIMAL over
+    * the firm-level table, so no share-rounding or float-sum-order
+    * drift; ties in the CR ranking break on the firm key. Output:
+    * (market, n_firms, hhi, crk) — hhi/crk rounded to 6. */
+  def concentration(df: DataFrame, marketCol: String, firmCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    val firm = df.groupBy(col(marketCol).as("market"), col(firmCol).as("firm"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("rev"))
+    val ranked = firm.withColumn("rk",
+      row_number().over(Window.partitionBy(col("market"))
+        .orderBy(col("rev").desc, col("firm"))))
+    ranked.groupBy(col("market"))
+      .agg(count(lit(1)).as("n_firms"),
+        sum(col("rev") * col("rev")).as("ss"),
+        sum(col("rev")).as("tot"),
+        sum(when(col("rk") <= k, col("rev")).otherwise(lit(0).cast("decimal(18,6)"))).as("topk"))
+      .select(col("market"), col("n_firms"),
+        // divisions happen on doubles cast from EXACT decimals — decimal
+        // division itself rounds differently per engine, IEEE doesn't
+        round(col("ss").cast("double") / (col("tot") * col("tot")).cast("double"), 6).as("hhi"),
+        round(col("topk").cast("double") / col("tot").cast("double"), 6).as("crk"))
+  }
+
+  /** Benford first-significant-digit audit over a positive amount
+    * column: per digit 1–9 the observed count, observed share,
+    * Benford-expected share log10(1+1/d), and the χ² contribution
+    * (obs − exp·N)²/(exp·N). The first digit is taken from the
+    * DECIMAL(18,6) string rendering (plain notation in every engine —
+    * a raw double cast can go scientific), so amounts down to 1e-6
+    * resolve identically everywhere. Map-only + a 9-row aggregate. */
+  def benford(df: DataFrame, amountCol: String): DataFrame = {
+    val amounts = df
+      .where(col(amountCol).isNotNull && col(amountCol) > 0)
+      .select(regexp_extract(col(amountCol).cast("decimal(18,6)").cast("string"),
+        "[1-9]", 0).cast("int").as("digit"))
+      .where(col("digit").isNotNull)
+    val n = amounts.count()
+    amounts.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .withColumn("share", round(col("n_obs").cast("double") / lit(n.toDouble), 6))
+      .withColumn("expected", round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("chi2_term", round(
+        pow(col("n_obs").cast("double") - col("expected") * lit(n.toDouble), 2)
+          / (col("expected") * lit(n.toDouble)), 6))
+      .orderBy(col("digit"))
+  }
+
+  /** Laspeyres price index per period against the globally earliest
+    * period: index_t = Σ_i p_{i,t}·q_{i,0} / Σ_i p_{i,0}·q_{i,0},
+    * over the items present in BOTH the base period and period t.
+    * Unit price p = Σ value / Σ qty per (item, period), rounded to 9
+    * decimals (fixed point) so the q0-weighted sums are exact DECIMAL
+    * and order-independent. Output: (period, n_items, index).
+    *
+    * One fact-table aggregate to (item, period); the base-period
+    * slice joins back item-keyed (AQE-broadcast at dimension scale);
+    * the index aggregate runs over item×period rows. */
+  def laspeyresIndex(df: DataFrame, itemCol: String, periodCol: String,
+      qtyCol: String, valueCol: String): DataFrame = {
+    val ip0 = df.groupBy(col(itemCol).as("item"), col(periodCol).as("period"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("v"),
+        sum(col(qtyCol).cast("decimal(18,6)")).as("q"))
+      .where(col("q") > 0)
+      // DECIMAL(15,9): price ≤ 1e6 by domain, and 15+18-digit products
+      // stay under Spark's 38-precision cap (DECIMAL(34,15)) — exact
+      .select(col("item"), col("period"),
+        round(col("v").cast("double") / col("q").cast("double"), 9)
+          .cast("decimal(15,9)").as("p"),
+        col("q"))
+    // the (item, period) aggregate feeds three consumers (base-period
+    // scalar, base slice, index join) — checkpoint it so the fact-table
+    // aggregation runs once; the checkpoint is item×period-sized
+    val ip = ip0.localCheckpoint(false)
+    val basePeriod = ip.agg(min(col("period"))).head().get(0)
+    val base = ip.where(col("period") === lit(basePeriod))
+      .select(col("item"), col("p").as("p0"), col("q").as("q0"))
+    ip.join(base, "item")
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("p") * col("q0")).as("num"),
+        sum(col("p0") * col("q0")).as("den"))
+      .select(col("period"), col("n_items"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("price_index"))
+  }
+}

@@ -105,4 +105,35 @@ object TimeSeries {
           (col("__sy").cast("double") - slope * col("__sx").cast("double")) / nD, 9)))
       .drop("__sx", "__sy", "__sxy", "__sxx")
   }
+
+  /** Per-entity exponential smoothing in FIR form: a `taps`-point
+    * finite-impulse-response truncation of the EWMA recurrence,
+    *   y_t = Σ_{k<taps} α(1−α)^k · v_{t−k}  /  Σ_{k<taps, t−k≥0} α(1−α)^k,
+    * renormalized over the taps actually present so the series head is
+    * unbiased. The truncation (not the infinite recurrence) is the
+    * operator contract — at (1−α)=0.7, tap 8 carries <6 % weight, and
+    * the FIR form is what scales: `taps` lag() columns over ONE
+    * entity-keyed sort window, literal coefficients folded in ascending
+    * k on both engines, no sequential dependence across rows (the exact
+    * recurrence would need a per-entity serial scan). Row order within
+    * an entity is (ts, tiebreakCol) — total, so deterministic under any
+    * partitioning. Output adds `ewma` rounded to 6. */
+  def ewmaFir(events: DataFrame, entityCol: String, tsCol: String,
+      tiebreakCol: String, valueCol: String, alpha: Double, taps: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(taps >= 1, "taps >= 1")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val terms = (0 until taps).map { k =>
+      val coef = alpha * math.pow(1.0 - alpha, k)
+      (lag(col(valueCol), k).over(w), lit(coef))
+    }
+    // ascending-k folds on both numerator and denominator keep the
+    // double-addition order identical to the oracle's
+    val num = terms.map { case (v, c) => when(v.isNotNull, v * c).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val den = terms.map { case (v, c) => when(v.isNotNull, c).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    events.withColumn("ewma", round(num / den, 6))
+  }
 }

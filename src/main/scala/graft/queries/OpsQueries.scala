@@ -4293,7 +4293,150 @@ object OpsQueries {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_clean)::BIGINT AS off_end,
            |  cleaned_hash
            |FROM rec ORDER BY lang, doc_id""".stripMargin
-      }))
+      }),
+
+    // ─── edit-distance≤1 join via deletion-neighborhood blocking ────────
+    // FastSS/symmetric-delete: L+1 md5 keys per distinct string, ONE
+    // equi-join, exact levenshtein verify — no cross join (the oracle
+    // brute-forces with a length filter; the Spark plan must not).
+    "q190_edit_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        StringSim.editPairsD1(Tables.supplier(s, dir), "s_name")
+          .orderBy($"name_a", $"name_b")
+      },
+      Some("""WITH n AS (SELECT DISTINCT s_name AS name FROM supplier WHERE s_name IS NOT NULL)
+             |SELECT a.name AS name_a, b.name AS name_b,
+             |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+             |FROM n a JOIN n b ON a.name < b.name
+             |  AND abs(length(a.name) - length(b.name)) <= 1
+             |WHERE levenshtein(a.name, b.name) <= 1
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    // ─── TF-IDF sparse cosine pairs (df-capped vocabulary) ──────────────
+    // One token-keyed postings join; maxDf is the stopword guard that
+    // bounds the worst bucket at maxDf². Fixed-point weights make the
+    // dot product an exact DECIMAL sum — engine- and order-stable.
+    "q191_sparse_cosine" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        StringSim.tfidfCosinePairs(Tables.documents(s, dir), "doc_id", "text",
+          maxDf = 300L, minCos = 0.3, topN = 25)
+      },
+      Some("""WITH tf AS (SELECT id, w, count(*) AS tf FROM
+             |        (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+             |      WHERE w <> '' GROUP BY 1, 2),
+             |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 300),
+             |nn AS (SELECT count(*) AS n FROM documents),
+             |post AS (SELECT tf.w, tf.id,
+             |           CAST(round(tf.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 9) AS DECIMAL(14,9)) AS wt
+             |         FROM tf JOIN dfq USING (w) CROSS JOIN nn),
+             |nrm AS (SELECT id, sqrt(CAST(sum(wt*wt) AS DOUBLE)) AS nrm FROM post GROUP BY 1),
+             |dots AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.wt*b.wt) AS dot
+             |         FROM post a JOIN post b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2),
+             |sc AS (SELECT id_a, id_b,
+             |         round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cos
+             |       FROM dots JOIN nrm na ON dots.id_a = na.id JOIN nrm nb ON dots.id_b = nb.id)
+             |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.3
+             |ORDER BY cos DESC, id_a, id_b LIMIT 25""".stripMargin)),
+
+    // ─── per-entity exponential smoothing (FIR form) ────────────────────
+    // The truncated-EWMA contract: `taps` lag() columns over one
+    // entity-keyed sort window, literal coefficients, no serial scan.
+    // Oracle coefficients are the Scala doubles' shortest round-trip
+    // rendering, so both engines fold bit-identical weights in the same
+    // ascending-k order.
+    "q192_ewma" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.ewmaFir(Tables.events(s, dir), "user_id", "ts", "event_id",
+            "value", alpha = 0.3, taps = 8)
+          .select($"event_id", $"user_id", $"ewma")
+          .orderBy($"event_id")
+      },
+      Some {
+        val coefs = (0 until 8).map(k => 0.3 * math.pow(0.7, k))
+        def cases(sel: Int => String) = coefs.zipWithIndex.map { case (c, k) =>
+          s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN ${sel(k)} ELSE 0.0 END"
+        }
+        val num = cases(k => s"lag(value, $k) OVER w * ${coefs(k)}").mkString("(", " + ", ")")
+        val den = cases(k => coefs(k).toString).mkString("(", " + ", ")")
+        s"""SELECT event_id, user_id, round($num / $den, 6) AS ewma
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |ORDER BY event_id""".stripMargin
+      }),
+
+    // ─── market concentration: HHI + CR4 per segment ────────────────────
+    // The reference's key-player analysis quantified (report tables,
+    // SURVEY §2.7): one fact aggregate to (market, firm), everything
+    // else on firm-level rows; exact-decimal share arithmetic.
+    "q193_hhi" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val df = Tables.orders(s, dir).join(Tables.customer(s, dir),
+          $"o_custkey" === $"c_custkey")
+        Market.concentration(df, "c_mktsegment", "o_custkey", "o_totalprice", k = 4)
+          .orderBy($"market")
+      },
+      Some("""WITH f AS (SELECT c.c_mktsegment AS market, o.o_custkey AS firm,
+             |        sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+             |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |      GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY market ORDER BY rev DESC, firm) AS rk
+             |      FROM f),
+             |a AS (SELECT market, count(*) AS n_firms, sum(rev*rev) AS ss, sum(rev) AS tot,
+             |        sum(CASE WHEN rk <= 4 THEN rev ELSE 0 END) AS topk
+             |      FROM r GROUP BY 1)
+             |SELECT market, n_firms,
+             |  round(CAST(ss AS DOUBLE) / CAST(tot*tot AS DOUBLE), 6) AS hhi,
+             |  round(CAST(topk AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS crk
+             |FROM a ORDER BY market""".stripMargin)),
+
+    // ─── Benford first-digit audit (declared-amount screening) ──────────
+    "q194_benford" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Market.benford(Tables.orders(s, dir), "o_totalprice")
+      },
+      Some("""WITH d AS (SELECT CAST(regexp_extract(
+             |          CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR), '[1-9]') AS INTEGER) AS digit
+             |        FROM orders
+             |        WHERE o_totalprice > 0
+             |          AND regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR), '[1-9]') <> ''),
+             |nn AS (SELECT count(*) AS n FROM d),
+             |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+             |e AS (SELECT digit, n_obs, round(log10(1 + 1.0/digit), 6) AS expected FROM g)
+             |SELECT digit, n_obs,
+             |  round(n_obs / CAST(nn.n AS DOUBLE), 6) AS share, expected,
+             |  round(pow(n_obs - expected * nn.n, 2) / (expected * nn.n), 6) AS chi2_term
+             |FROM e CROSS JOIN nn ORDER BY digit""".stripMargin)),
+
+    // ─── Laspeyres price index vs the base month ────────────────────────
+    "q195_price_index" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Market.laspeyresIndex(
+            Tables.lineitem(s, dir)
+              .withColumn("period", date_format($"l_shipdate", "yyyy-MM")),
+            "l_partkey", "period", "l_quantity", "l_extendedprice")
+          .orderBy($"period")
+      },
+      Some("""WITH ip0 AS (SELECT l_partkey AS item, strftime(l_shipdate, '%Y-%m') AS period,
+             |        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v,
+             |        sum(CAST(l_quantity AS DECIMAL(18,6))) AS q
+             |      FROM lineitem GROUP BY 1, 2),
+             |ip AS (SELECT item, period,
+             |         CAST(round(CAST(v AS DOUBLE) / CAST(q AS DOUBLE), 9) AS DECIMAL(15,9)) AS p, q
+             |       FROM ip0 WHERE q > 0),
+             |b AS (SELECT item, p AS p0, q AS q0 FROM ip
+             |      WHERE period = (SELECT min(period) FROM ip)),
+             |j AS (SELECT ip.period, count(*) AS n_items,
+             |        sum(ip.p * b.q0) AS num, sum(b.p0 * b.q0) AS den
+             |      FROM ip JOIN b USING (item) GROUP BY 1)
+             |SELECT period, n_items,
+             |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS price_index
+             |FROM j ORDER BY period""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -327,4 +327,37 @@ class PlanAuditSpec extends SparkSpec {
       "hamming top-k lost its TakeOrdered:\n" + p.take(1200))
     assert(!p.contains("Join"), "query words must fold in as literals:\n" + p.take(1200))
   }
+
+  test("edit join blocks on deletion keys — equi-join only, never a cartesian") {
+    val p = plan("q190_edit_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "edit join degraded to all-pairs:\n" + p.take(1200))
+  }
+
+  test("sparse cosine ends in TakeOrdered (no global sort of the pair table)") {
+    val p = plan("q191_sparse_cosine")
+    assert(p.contains("TakeOrderedAndProject"),
+      "sparse cosine lost its TakeOrdered:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "sparse cosine degraded to all-pairs:\n" + p.take(1200))
+  }
+
+  test("EWMA is one entity-keyed window — no join, no self-reference") {
+    val p = plan("q192_ewma")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "EWMA must not self-join per tap:\n" + p.take(1200))
+  }
+
+  test("concentration and price index aggregate the fact table exactly once") {
+    Seq("q193_hhi", "q195_price_index").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a product join:\n" + p.take(1200))
+      // the fact scan appears once — a second scan would mean the firm/
+      // item aggregate was recomputed per consumer
+      val fact = if (q == "q193_hhi") "orders" else "lineitem"
+      val scans = p.sliding(s"$fact.parquet".length).count(_ == s"$fact.parquet")
+      assert(scans <= 2, s"$q re-scans $fact $scans times:\n" + p.take(1200))
+    }
+  }
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MarketSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("concentration: monopoly HHI=1, equal split HHI=1/n, CR4 caps at 1") {
+    val df = Seq(
+      ("mono", 1L, 100.0),
+      ("duo", 1L, 50.0), ("duo", 2L, 50.0),
+      ("five", 1L, 10.0), ("five", 2L, 10.0), ("five", 3L, 10.0),
+      ("five", 4L, 10.0), ("five", 5L, 10.0)
+    ).toDF("mkt", "firm", "v")
+    val out = Market.concentration(df, "mkt", "firm", "v", k = 4)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("mono") == ((1L, 1.0, 1.0)))
+    assert(out("duo") == ((2L, 0.5, 1.0)))
+    assert(out("five") == ((5L, 0.2, 0.8))) // CR4 = 4 of 5 equal firms
+  }
+
+  test("concentration CR ties break on the firm key (deterministic)") {
+    // two firms tied at rank k: only the lower-keyed one enters CR1
+    val df = Seq(("m", 2L, 10.0), ("m", 1L, 10.0), ("m", 3L, 5.0))
+      .toDF("mkt", "firm", "v")
+    val out = Market.concentration(df, "mkt", "firm", "v", k = 1)
+      .as[(String, Long, Double, Double)].head()
+    assert(out._4 == 0.4) // 10 / 25, firm 1 (not 2) at rank 1
+  }
+
+  test("benford: shares sum to 1, expected follows log10(1+1/d)") {
+    val out = Market.benford(graft.Tables.orders(spark, sfTiny), "o_totalprice")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == (1 to 9).filter(d => out.exists(_._1 == d)))
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    out.foreach { case (d, _, _, exp, _) =>
+      assert(math.abs(exp - math.log10(1.0 + 1.0 / d)) < 1e-6)
+    }
+    // a digit-9-only corpus: observed share 1 on digit 9
+    val nines = Seq(9.0, 90.1, 900.0, 0.09).toDF("amt")
+    val o9 = Market.benford(nines, "amt").as[(Int, Long, Double, Double, Double)].collect()
+    assert(o9.map(r => (r._1, r._2)).toSeq == Seq((9, 4L)))
+  }
+
+  test("laspeyres: flat prices give index 1, doubled prices give 2") {
+    val df = Seq(
+      // item, period, qty, value (price = v/q)
+      (1L, "2024-01", 10.0, 100.0), (2L, "2024-01", 5.0, 100.0),
+      (1L, "2024-02", 99.0, 990.0), (2L, "2024-02", 1.0, 20.0),  // p1 flat, p2 flat
+      (1L, "2024-03", 2.0, 40.0), (2L, "2024-03", 7.0, 280.0)    // both doubled
+    ).toDF("item", "period", "qty", "v")
+    val out = Market.laspeyresIndex(df, "item", "period", "qty", "v")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("2024-01") == ((2L, 1.0)))
+    assert(out("2024-02") == ((2L, 1.0)))
+    assert(out("2024-03") == ((2L, 2.0)))
+  }
+
+  test("laspeyres only weights items present in the base period") {
+    val df = Seq(
+      (1L, "2024-01", 1.0, 10.0),
+      (1L, "2024-02", 1.0, 30.0), (9L, "2024-02", 1.0, 999.0) // item 9 has no base
+    ).toDF("item", "period", "qty", "v")
+    val out = Market.laspeyresIndex(df, "item", "period", "qty", "v")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("2024-02") == ((1L, 3.0))) // item 9 excluded, n_items=1
+  }
+}

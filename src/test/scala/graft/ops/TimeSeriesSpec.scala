@@ -77,4 +77,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2L) == ((1L, None, None)))
     assert(out(3L) == ((2L, None, None)))
   }
+
+  test("ewmaFir: constant series is a fixpoint; head renormalizes; FIR matches hand fold") {
+    val df = Seq(
+      (1L, ts(0), 10L, 5.0), (1L, ts(1), 11L, 5.0), (1L, ts(2), 12L, 5.0),
+      (2L, ts(0), 20L, 0.0), (2L, ts(1), 21L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.ewmaFir(df, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, taps = 4)
+      .select($"event_id", $"ewma").as[(Long, Double)].collect().toMap
+    // constant series: weighted average of 5s = 5 at every position
+    assert(out(10L) == 5.0 && out(11L) == 5.0 && out(12L) == 5.0)
+    // entity 2, second row: (0.5·1 + 0.25·0) / (0.5 + 0.25) = 2/3
+    assert(out(21L) == math.round(0.5 / 0.75 * 1e6) / 1e6)
+    // first row of each entity: only tap 0 present → the raw value
+    assert(out(20L) == 0.0)
+  }
+
+  test("ewmaFir same-timestamp rows order by the tiebreak column") {
+    val df = Seq(
+      (1L, ts(5), 2L, 100.0), (1L, ts(5), 1L, 0.0)) // event 1 precedes event 2
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.ewmaFir(df, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, taps = 2)
+      .select($"event_id", $"ewma").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0)
+    // event 2 sees event 1 as its lag-1: (0.5·100 + 0.25·0)/0.75
+    assert(out(2L) == math.round(50.0 / 0.75 * 1e6) / 1e6)
+  }
 }
