@@ -44,6 +44,35 @@ object Market {
         round(col("topk").cast("double") / col("tot").cast("double"), 6).as("crk"))
   }
 
+  /** Gini coefficient of revenue inequality per market, from the exact
+    * rank formula over ascending-sorted firm revenues:
+    *   G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i),  x sorted asc, i = 1…n
+    * Both sums are exact DECIMAL (rank · DECIMAL(18,6) products stay
+    * inside precision 38), so G is bit-stable; ties sort on the firm
+    * key. Zero total revenue yields NULL. Output: (market, n_firms,
+    * gini ← round 6).
+    *
+    * Scale shape: the same ONE fact aggregate to (market, firm) as
+    * `concentration`, then a market-keyed sort window over firm rows. */
+  def gini(df: DataFrame, marketCol: String, firmCol: String,
+      valueCol: String): DataFrame = {
+    val firm = df.groupBy(col(marketCol).as("market"), col(firmCol).as("firm"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("rev"))
+    val i = row_number().over(Window.partitionBy(col("market"))
+      .orderBy(col("rev").asc, col("firm"))).cast("long")
+    firm.withColumn("__i", i)
+      .groupBy(col("market"))
+      .agg(count(lit(1)).as("n_firms"),
+        sum(col("rev")).as("__s"),
+        sum(col("__i").cast("decimal(12,0)") * col("rev")).as("__si"))
+      .withColumn("gini",
+        when(col("__s") > 0, round(
+          (lit(2.0) * col("__si").cast("double") -
+            (col("n_firms") + 1).cast("double") * col("__s").cast("double")) /
+          (col("n_firms").cast("double") * col("__s").cast("double")), 6)))
+      .drop("__s", "__si")
+  }
+
   /** Benford first-significant-digit audit over a positive amount
     * column: per digit 1–9 the observed count, observed share,
     * Benford-expected share log10(1+1/d), and the χ² contribution

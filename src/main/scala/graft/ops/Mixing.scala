@@ -261,4 +261,61 @@ object Mixing {
         (sum(col("__h").cast("decimal(38,0)")) % lit(1152921504606846976L))
           .cast("long").as("content_fp"))
   }
+
+  /** Temperature-scaled sampling shares (the multilingual-LM mixing
+    * rule, Conneau & Lample '19): a stratum with count c gets
+    * probability p ∝ c^α — α < 1 flattens the head and boosts the
+    * tail. Output per stratum: (stratum, n, share_orig, share_temp,
+    * boost = share_temp / share_orig), shares rounded to 6.
+    *
+    * Exactness: c^α is one pow() per STRATUM (identical doubles in any
+    * engine), rounded to 9 and summed as DECIMAL so the normalizer
+    * doesn't depend on stratum order. Scale shape: ONE partial-
+    * combining count; everything else on the tiny stratum table. */
+  def temperatureShares(df: DataFrame, stratumCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__w",
+        round(pow(col("n").cast("double"), alpha), 9).cast("decimal(28,9)"))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("__tn", sum(col("n")).over(all))
+      .withColumn("__tw", sum(col("__w")).over(all))
+      .select(col("stratum"), col("n"),
+        round(col("n").cast("double") / col("__tn").cast("double"), 6).as("share_orig"),
+        round(col("__w").cast("double") / col("__tw").cast("double"), 6).as("share_temp"))
+      .withColumn("boost", round(col("share_temp") / col("share_orig"), 6))
+  }
+
+  /** Exponential freshness decay per source: each row contributes
+    * weight e^(−λ · age_days) where age is measured against the
+    * corpus's newest timestamp; output per source (source, n,
+    * weight_sum, share) — the time-decayed mixing weight table.
+    * Per-row weights are rounded to 9 and summed as DECIMAL (exact,
+    * order-independent); age is an integer day difference, so the
+    * exp() inputs are identical in any engine.
+    *
+    * Scale shape: one 1-row max-ts aggregate broadcast back, then ONE
+    * partial-combining source-keyed sum; share is computed on the
+    * source table with a partition-all window (tiny). */
+  def freshnessWeights(df: DataFrame, sourceCol: String, tsCol: String,
+      lambdaPerDay: Double): DataFrame = {
+    require(lambdaPerDay > 0, "lambda must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val maxDay = df.agg(max(to_date(col(tsCol))).as("__d1"))
+    val w = df.crossJoin(broadcast(maxDay))
+      .select(col(sourceCol).as("source"),
+        round(exp(lit(-lambdaPerDay) *
+          datediff(col("__d1"), to_date(col(tsCol))).cast("double")), 9)
+          .cast("decimal(19,9)").as("__w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("__w")).as("__ws"))
+    w.withColumn("__tot", sum(col("__ws")).over(Window.partitionBy()))
+      .select(col("source"), col("n"),
+        round(col("__ws").cast("double"), 6).as("weight_sum"),
+        round(col("__ws").cast("double") / col("__tot").cast("double"), 6).as("share"))
+  }
 }

@@ -179,4 +179,37 @@ object Profile {
       .withColumn("clipped_hi", col(valueCol) > col("__hi"))
       .drop("__lo", "__hi")
   }
+
+  /** Per-key exact Pearson correlation between two INTEGER-valued
+    * metric columns (the trendPerKey discipline): Σx, Σy, Σxy, Σx²,
+    * Σy² accumulate as exact decimals (per-row products go through
+    * DECIMAL(38,0) BEFORE summing, so a hot key cannot overflow int64),
+    * and the one double expression runs once per key on identical
+    * inputs in any engine. Degenerate variance (constant column)
+    * yields NULL, not 0/0. Output: (key, n, corr ← round 6).
+    *
+    * Scale shape: ONE key-partial-combining aggregation; nothing else
+    * moves. */
+  def corrPerKey(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val agg = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast("decimal(38,0)")).as("__sx"),
+      sum(y.cast("decimal(38,0)")).as("__sy"),
+      sum((x * y).cast("decimal(38,0)")).as("__sxy"),
+      sum((x * x).cast("decimal(38,0)")).as("__sxx"),
+      sum((y * y).cast("decimal(38,0)")).as("__syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val vx = nD * d("__sxx") - d("__sx") * d("__sx")
+    val vy = nD * d("__syy") - d("__sy") * d("__sy")
+    val cov = nD * d("__sxy") - d("__sx") * d("__sy")
+    agg
+      .withColumn("corr",
+        when(col("n") >= 2 && vx > 0.0 && vy > 0.0,
+          round(cov / (sqrt(vx) * sqrt(vy)), 6)))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
 }

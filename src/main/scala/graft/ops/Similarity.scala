@@ -647,4 +647,79 @@ object Similarity {
       .withColumn("centroid_sim", cosineLambda(col(vecCol), col("__cvec")))
       .drop("__cvec")
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein '98):
+    * retrieve the top-`candK` candidates by cosine to the query
+    * DISTRIBUTED (the same scan/TakeOrdered shape as `cosineTopK`),
+    * then greedily pick `k` of them maximizing
+    *   λ·sim(c, q) − (1−λ)·max_{s∈selected} sim(c, s)
+    * (max over the empty set = 0, so pick 1 scores λ·sim(c,q)).
+    *
+    * The greedy loop runs on the DRIVER over the candK-bounded
+    * candidate set — candK is a contract bound like the PQ codebook
+    * or k-means k (hundreds, never data-scaled); the distributed part
+    * is the retrieval. Driver cosine is the same ascending-index
+    * double fold as the Column expression, so scores replay exactly
+    * in any engine. Ties break on the lower id at every step.
+    * Output: (rank, vec_id, score) — score rounded to 6, HALF_UP. */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, candK: Int, k: Int, lambda: Double): DataFrame = {
+    require(lambda > 0 && lambda <= 1, "lambda in (0,1]")
+    val cand = emb.crossJoin(broadcast(query))
+      .withColumn("simq", cosine(col(vecCol), col("qvec")))
+      .orderBy(col("simq").desc, col(idCol))
+      .limit(candK)
+      .select(col(idCol), col("simq"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cosD(a: Array[Float], b: Array[Float]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val oneMinus = 1.0 - lambda
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    while (out.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, simq, v) =>
+        val mx = if (pickedVecs.isEmpty) 0.0
+          else pickedVecs.map(pv => cosD(v, pv)).max
+        (id, lambda * simq - oneMinus * mx, v)
+      }
+      val best = scored.min(Ordering.by((t: (Long, Double, Array[Float])) => (-t._2, t._1)))
+      out += ((out.size, best._1,
+        BigDecimal(best._2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      pickedVecs += best._3
+      val bi = remaining.indexWhere(_._1 == best._1)
+      remaining.remove(bi)
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("rank", "vec_id", "score")
+  }
+
+  /** Reciprocal Rank Fusion (Cormack et al. '09) of ranked retrieval
+    * lists: score(d) = Σ_lists 1/(kConst + rank_list(d)), absent-from-
+    * list contributes 0. Each input frame carries (idCol, rank) with
+    * rank 1-based. The lists are topN-bounded retrieval outputs, so
+    * the fusion join is list-sized, never corpus-sized; contributions
+    * fold in list order so the double sum is engine-stable. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, kConst: Int = 60,
+      topN: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one list")
+    val renamed = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col("rank").as(s"__r$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = renamed.indices.map(i =>
+        coalesce(lit(1.0) / (lit(kConst) + col(s"__r$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("rrf", round(score, 6))
+      .select(col(idCol), col("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topN)
+  }
 }

@@ -939,4 +939,75 @@ object TextStats {
 
   def fingerprintBucket(text: Column): Column =
     conv(substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+
+  /** Held-out n-gram coverage per group: of the EVAL side's distinct
+    * word n-grams, what fraction also occurs on the TRAIN side of the
+    * same group? The coverage number a tokenizer/LM trained on the
+    * train split can hope for on the held-out split. `isTrain` is any
+    * boolean row expression (id parity, a split column, …).
+    * Output: (group, n_eval_grams, n_covered, coverage ← round 6).
+    *
+    * Scale shape: each side reduces to DISTINCT (group, gram-hash)
+    * rows — one partial-combining distinct each on the md5-uniform
+    * hash — then ONE left equi-join eval→train on that key and a
+    * group-sized count. Gram strings never shuffle, only 60-bit
+    * hashes. */
+  def ngramCoverage(df: DataFrame, textCol: String, groupCol: String,
+      isTrain: Column, n: Int): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val toks = split(lower(col(textCol)), " ")
+    // sequence(0, k) DESCENDS for k < 0 — short docs need the empty guard
+    val grams = when(size(toks) >= n, transform(
+      sequence(lit(0), size(toks) - n),
+      i => Dedup.baseHash(concat_ws(" ",
+        (0 until n).map(j => get(toks, i + j)): _*))))
+      .otherwise(array().cast("array<long>"))
+    val side = df.select(col(groupCol).as("grp"), isTrain.as("__train"),
+        explode(grams).as("__gh"))
+    val train = side.where(col("__train")).select(col("grp"), col("__gh")).distinct()
+    val eval_ = side.where(!col("__train")).select(col("grp"), col("__gh")).distinct()
+    eval_.join(train.withColumn("__hit", lit(1)), Seq("grp", "__gh"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_eval_grams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_eval_grams").cast("double"), 6))
+  }
+
+  /** T5-style span-corruption PLAN: deterministically mask ~1/`modulus`
+    * of each doc's token positions (seeded-md5 rule, reproducible in
+    * any engine and across epochs), merge adjacent masked positions
+    * into spans (gaps-and-islands), and report per doc: token count,
+    * masked count, span count and the realized mask ratio. This is the
+    * objective-preprocessing ledger a span-corruption dataloader
+    * consumes — the masking decision and its span structure, not the
+    * corrupted text itself.
+    *
+    * Scale shape: one position explode filtered to masked positions
+    * (~N/modulus rows), ONE doc-keyed sort window for the island key,
+    * and doc-sized aggregates; integers only until the final ratio. */
+  def spanCorruption(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 5, seed: Int = 5): DataFrame = {
+    require(modulus >= 2, "modulus >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(split(lower(col(textCol)), " ")).as(Seq("__p", "__t")))
+    val masked = toks.filter(pmod(Dedup.seededHash(seed,
+      concat(col("__id").cast("string"), lit(":"), col("__p").cast("string"))),
+      lit(modulus.toLong)) === 0)
+    val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val spans = masked
+      .withColumn("__grp", col("__p") - row_number().over(w))
+      .groupBy(col("__id"), col("__grp")).agg(count(lit(1)).as("__len"))
+    val per = spans.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("__len")).as("n_masked"))
+    df.select(col(idCol).as("__id"),
+        size(split(lower(col(textCol)), " ")).cast("long").as("n_tokens"))
+      .join(per, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+      .withColumn("mask_ratio",
+        round(col("n_masked").cast("double") / col("n_tokens").cast("double"), 6))
+  }
 }

@@ -293,6 +293,39 @@ object OpsQueries {
        |SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** BM25 oracle chain (terms vector/stream/hash, k1=1.2, b=0.75) ending
+    * at per-doc contribution columns `p` — shared by the q107 gate and
+    * the q201 RRF-fusion oracle so the scoring function cannot drift
+    * between them. */
+  private val bm25OracleTerms = Seq("vector", "stream", "hash")
+
+  private val bm25OracleScore: String =
+    bm25OracleTerms.indices.map(i => s"coalesce(c$i, 0.0::DOUBLE)").mkString(" + ")
+
+  private val bm25OracleCtes: String = {
+    val terms = bm25OracleTerms
+    val k1 = 1.2; val b = 0.75
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val cCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+    }.mkString(",\n        ")
+    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+       |l AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM toks),
+       |g AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS tl FROM l),
+       |t AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       |       WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |c AS (SELECT tf.doc_id, tf.term,
+       |        ((CAST(g.n - dfq.df AS DOUBLE) + 0.5::DOUBLE) / (CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE)) *
+       |        (CAST(tf.tf AS DOUBLE) * ${k1 + 1.0}::DOUBLE) /
+       |        (CAST(tf.tf AS DOUBLE) + ${k1}::DOUBLE *
+       |          (${1.0 - b}::DOUBLE + ${b}::DOUBLE * CAST(l.len AS DOUBLE)
+       |             / (CAST(g.tl AS DOUBLE) / CAST(g.n AS DOUBLE)))) AS contrib
+       |      FROM tf JOIN l USING (doc_id) JOIN dfq USING (term) CROSS JOIN g),
+       |p AS (SELECT doc_id, $cCols FROM c GROUP BY doc_id)""".stripMargin
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ─── J8: label-translation broadcast merge ──────────────────────────
@@ -2082,33 +2115,9 @@ object OpsQueries {
         TextStats.bm25(Tables.documents(s, dir), "doc_id", "text",
           terms = Seq("vector", "stream", "hash"), topN = 20)
       },
-      Some {
-        val terms = Seq("vector", "stream", "hash")
-        val k1 = 1.2; val b = 0.75
-        val inList = terms.map(t => s"'$t'").mkString(", ")
-        val cCols = terms.zipWithIndex.map { case (t, i) =>
-          s"sum(CASE WHEN term = '$t' THEN contrib END) AS c$i"
-        }.mkString(",\n        ")
-        val scoreSum = terms.indices.map(i => s"coalesce(c$i, 0.0::DOUBLE)")
-          .mkString(" + ")
-        s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-           |l AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM toks),
-           |g AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS tl FROM l),
-           |t AS (SELECT doc_id, unnest(tk) AS term FROM toks),
-           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
-           |       WHERE term IN ($inList) GROUP BY 1, 2),
-           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-           |c AS (SELECT tf.doc_id, tf.term,
-           |        ((CAST(g.n - dfq.df AS DOUBLE) + 0.5::DOUBLE) / (CAST(dfq.df AS DOUBLE) + 0.5::DOUBLE)) *
-           |        (CAST(tf.tf AS DOUBLE) * ${k1 + 1.0}::DOUBLE) /
-           |        (CAST(tf.tf AS DOUBLE) + ${k1}::DOUBLE *
-           |          (${1.0 - b}::DOUBLE + ${b}::DOUBLE * CAST(l.len AS DOUBLE)
-           |             / (CAST(g.tl AS DOUBLE) / CAST(g.n AS DOUBLE)))) AS contrib
-           |      FROM tf JOIN l USING (doc_id) JOIN dfq USING (term) CROSS JOIN g),
-           |p AS (SELECT doc_id, $cCols FROM c GROUP BY doc_id)
-           |SELECT doc_id, $scoreSum AS score
-           |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-      }),
+      Some(s"""WITH $bm25OracleCtes
+              |SELECT doc_id, $bm25OracleScore AS score
+              |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
     // ─── prefix-filter EXACT Jaccard join over the FULL corpus ──────────
     // The scale path for exact thresholded similarity (q27 is the bounded
@@ -4436,7 +4445,325 @@ object OpsQueries {
              |      FROM ip JOIN b USING (item) GROUP BY 1)
              |SELECT period, n_items,
              |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS price_index
-             |FROM j ORDER BY period""".stripMargin)))
+             |FROM j ORDER BY period""".stripMargin)),
+
+    // ─── MMR diversity re-rank over the retrieved candidates ────────────
+    // Distributed top-candK retrieval (the q28 scan/TakeOrdered shape),
+    // then the greedy λ·rel − (1−λ)·redundancy selection on the DRIVER
+    // over the candK-bounded set (a contract bound like k-means' k).
+    // The oracle unrolls all k selection steps; driver cosine is the
+    // same ascending-index fold as the SQL list_reduce.
+    "q196_mmr_rerank" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+        Similarity.mmrRerank(emb, "vec_id", "embedding", q,
+          candK = 20, k = 5, lambda = 0.7)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (s1,t1) -> s1+t1) /
+             | (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1)) *
+             |  sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1))))""".stripMargin
+        val lam = 0.7
+        val oneMinus = 1.0 - lam
+        val steps = (1 until 5).map { t =>
+          val prev = (0 until t).map(i => s"s$i")
+          val mx = prev.map(p => cos("c.embedding", s"$p.embedding"))
+            .mkString("greatest(", ",\n    ", ")")
+          val notIn = prev.map(p => s"SELECT vec_id FROM $p").mkString(" UNION ALL ")
+          s"""r$t AS (SELECT c.vec_id, c.embedding, c.simq, $mx AS mx
+             |  FROM cand c, ${prev.mkString(", ")}
+             |  WHERE c.vec_id NOT IN ($notIn)),
+             |s$t AS (SELECT vec_id, embedding, simq,
+             |    CAST($lam AS DOUBLE) * simq - CAST($oneMinus AS DOUBLE) * mx AS score
+             |  FROM r$t ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val sel = (0 until 5).map { t =>
+          s"SELECT CAST($t AS INTEGER) AS rank, vec_id, round(score, 6) AS score FROM s$t"
+        }.mkString("\nUNION ALL ")
+        s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |cand AS (SELECT vec_id, embedding, ${cos("embedding", "q.qvec")} AS simq
+           |         FROM embeddings CROSS JOIN q
+           |         ORDER BY simq DESC, vec_id LIMIT 20),
+           |s0 AS (SELECT vec_id, embedding, simq, CAST($lam AS DOUBLE) * simq AS score
+           |       FROM cand ORDER BY simq DESC, vec_id LIMIT 1),
+           |$steps
+           |SELECT * FROM ($sel) ORDER BY rank""".stripMargin
+      }),
+
+    // ─── temperature-scaled language mixing shares (p ∝ c^α) ───────────
+    "q197_temperature_mix" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.temperatureShares(Tables.documents(s, dir), "lang", alpha = 0.5)
+          .orderBy($"stratum")
+      },
+      Some("""WITH c AS (SELECT lang AS stratum, count(*) AS n FROM documents GROUP BY 1),
+             |w AS (SELECT stratum, n,
+             |        CAST(round(pow(CAST(n AS DOUBLE), 0.5), 9) AS DECIMAL(28,9)) AS w
+             |      FROM c),
+             |t AS (SELECT sum(n) AS tn, sum(w) AS tw FROM w),
+             |sh AS (SELECT stratum, n,
+             |         round(CAST(n AS DOUBLE) / CAST(t.tn AS DOUBLE), 6) AS share_orig,
+             |         round(CAST(w AS DOUBLE) / CAST(t.tw AS DOUBLE), 6) AS share_temp
+             |       FROM w CROSS JOIN t)
+             |SELECT stratum, n, share_orig, share_temp,
+             |  round(share_temp / share_orig, 6) AS boost
+             |FROM sh ORDER BY stratum""".stripMargin)),
+
+    // ─── held-out n-gram coverage per language (train/eval by id parity) ─
+    "q198_ngram_coverage" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.ngramCoverage(Tables.documents(s, dir), "text", "lang",
+            $"doc_id" % 2 === 0, n = 2)
+          .orderBy($"grp")
+      },
+      Some("""WITH b AS (SELECT lang AS grp, doc_id % 2 = 0 AS train,
+             |        string_split(lower(text), ' ') AS tk FROM documents),
+             |g AS (SELECT grp, train, unnest(CASE WHEN len(tk) >= 2
+             |          THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+             |          ELSE []::VARCHAR[] END) AS gram
+             |      FROM b),
+             |tr AS (SELECT DISTINCT grp, gram FROM g WHERE train),
+             |ev AS (SELECT DISTINCT grp, gram FROM g WHERE NOT train),
+             |j AS (SELECT ev.grp, count(*) AS n_eval_grams,
+             |        CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+             |      FROM ev LEFT JOIN tr ON ev.grp = tr.grp AND ev.gram = tr.gram
+             |      GROUP BY 1)
+             |SELECT grp, n_eval_grams, n_covered,
+             |  round(CAST(n_covered AS DOUBLE) / CAST(n_eval_grams AS DOUBLE), 6) AS coverage
+             |FROM j ORDER BY grp""".stripMargin)),
+
+    // ─── freshness-decay source weights (e^{−λ·age} mixing table) ───────
+    "q199_freshness_decay" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.freshnessWeights(Tables.events(s, dir), "event_type", "ts",
+            lambdaPerDay = 0.01)
+          .orderBy($"source")
+      },
+      Some("""WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+             |w AS (SELECT event_type AS source,
+             |        CAST(round(exp(-0.01 * date_diff('day', CAST(ts AS DATE), mx.d1)), 9)
+             |          AS DECIMAL(19,9)) AS w
+             |      FROM events CROSS JOIN mx),
+             |a AS (SELECT source, count(*) AS n, sum(w) AS ws FROM w GROUP BY 1),
+             |t AS (SELECT sum(ws) AS tot FROM a)
+             |SELECT source, n, round(CAST(ws AS DOUBLE), 6) AS weight_sum,
+             |  round(CAST(ws AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+             |FROM a CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    // ─── retrieval-index pipeline: quality → embed-dedup → IVF cells ────
+    // The RAG-indexing composition: gated quality rules (q75) pick the
+    // docs, their embeddings near-dedup via the gated LSH-bucket cosine
+    // pass (q45's op, greedy min-id keep), survivors assign to IVF cells
+    // around the 8 lowest surviving ids (q39/q182's literal argmax), and
+    // each cell reports size, min-id rep, and its best hit for query 0.
+    "q200_retrieval_pipeline" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val kept = docs.filter(TextStats.qualityKeep($"text", Seq("the", "a")))
+          .select($"doc_id")
+        val emb = Tables.embeddings(s, dir)
+        val e = emb.join(kept, emb("vec_id") === kept("doc_id")).select($"vec_id", $"embedding")
+          .localCheckpoint(false)
+        val pairs = Dedup.embedDupPairs(e, "vec_id", "embedding",
+          dim = lshDim, planes = 4, threshold = 0.45)
+        val dropIds = pairs.select($"id_b".as("vec_id")).distinct()
+        val surv = e.join(dropIds, Seq("vec_id"), "left_anti").localCheckpoint(false)
+        val centroids = surv.orderBy($"vec_id").limit(8)
+          .select($"vec_id", $"embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq
+        val qvec = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+        val cells = surv.withColumn("cell",
+          Similarity.ivfCell($"embedding", centroids))
+        val scored = cells.crossJoin(broadcast(qvec))
+          .withColumn("qsim", Similarity.cosine($"embedding", $"qvec"))
+        val w = Window.partitionBy($"cell").orderBy($"qsim".desc, $"vec_id")
+        scored.withColumn("__rn", row_number().over(w))
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("rep_id"),
+            max(when($"__rn" === 1, $"vec_id")).as("top_id"),
+            round(max(when($"__rn" === 1, $"qsim")), 6).as("top_sim"))
+          .orderBy($"cell")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (s1,t1) -> s1+t1) /
+             | (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1)) *
+             |  sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1))))""".stripMargin
+        s"""WITH m AS (SELECT doc_id,
+           |  CAST(len(regexp_split_to_array(text, '\\s+')) AS INTEGER) AS n_tokens,
+           |  list_sum(list_transform(regexp_split_to_array(text, '\\s+'), t -> length(t)))::DOUBLE
+           |    / len(regexp_split_to_array(text, '\\s+')) AS mean_token_len,
+           |  len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> list_contains(['the','a'], t)))::DOUBLE
+           |    / len(regexp_split_to_array(lower(text), '\\s+')) AS stopword_ratio,
+           |  CASE WHEN len(string_split(lower(text), ' ')) > 0
+           |       THEN 1.0::DOUBLE - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+           |            / len(string_split(lower(text), ' '))
+           |       ELSE 0.0::DOUBLE END AS word_rep
+           |FROM documents),
+           |qd AS (SELECT doc_id FROM m
+           |       WHERE (n_tokens BETWEEN 20 AND 100000) AND (mean_token_len BETWEEN 3.0 AND 10.0)
+           |         AND stopword_ratio >= 0.01 AND word_rep <= 0.6),
+           |e AS (SELECT emb.vec_id, emb.embedding FROM embeddings emb
+           |      JOIN qd ON emb.vec_id = qd.doc_id),
+           |b AS (SELECT vec_id, embedding, ${sqlBucket("embedding", 4)} AS bkt FROM e),
+           |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, ${cos("a.embedding", "c.embedding")} AS sim
+           |      FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id),
+           |dr AS (SELECT DISTINCT id_b FROM p WHERE sim >= 0.45),
+           |k AS (SELECT vec_id, embedding FROM e
+           |      WHERE vec_id NOT IN (SELECT id_b FROM dr)),
+           |cent AS (SELECT vec_id AS ccid, embedding AS cv FROM k ORDER BY vec_id LIMIT 8),
+           |sc AS (SELECT k.vec_id, k.embedding, cent.ccid, ${cos("k.embedding", "cent.cv")} AS cs
+           |       FROM k CROSS JOIN cent),
+           |asg AS (SELECT vec_id, embedding, ccid,
+           |          row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, ccid ASC) AS rn
+           |        FROM sc),
+           |cells AS (SELECT vec_id, embedding, ccid AS cell FROM asg WHERE rn = 1),
+           |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |qs AS (SELECT c.cell, c.vec_id, ${cos("c.embedding", "q.qvec")} AS qsim
+           |       FROM cells c CROSS JOIN q),
+           |tp AS (SELECT cell, vec_id AS top_id, qsim,
+           |         row_number() OVER (PARTITION BY cell ORDER BY qsim DESC, vec_id) AS rn
+           |       FROM qs),
+           |ag AS (SELECT cell, count(*) AS n_vecs, min(vec_id) AS rep_id FROM cells GROUP BY 1)
+           |SELECT CAST(ag.cell AS INTEGER) AS cell, ag.n_vecs, ag.rep_id,
+           |  tp.top_id, round(tp.qsim, 6) AS top_sim
+           |FROM ag JOIN tp ON ag.cell = tp.cell AND tp.rn = 1
+           |ORDER BY ag.cell""".stripMargin
+      }),
+
+    // ─── reciprocal-rank fusion of BM25 and embedding retrieval ─────────
+    // Hybrid search: the gated q107 lexical list and the gated q28-shape
+    // dense list fuse by Σ 1/(60+rank). The fusion join is list-sized
+    // (topN-bounded), never corpus-sized; the heavy work is the two
+    // already-audited retrievals.
+    "q201_rrf_fusion" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val bm = TextStats.bm25(Tables.documents(s, dir), "doc_id", "text",
+            terms = Seq("vector", "stream", "hash"), topN = 20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"score".desc, $"doc_id")))
+          .select($"doc_id", $"rank")
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+        val cs = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"sim".desc, $"vec_id")))
+          .select($"vec_id".as("doc_id"), $"rank")
+        Similarity.rrfFuse(Seq(bm, cs), "doc_id", kConst = 60, topN = 10)
+      },
+      Some {
+        val cos =
+          """(list_reduce(list_transform(list_zip(embedding, q2.qvec), x -> x[1]::DOUBLE * x[2]::DOUBLE), (s1,t1) -> s1+t1) /
+            | (sqrt(list_reduce(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1)) *
+            |  sqrt(list_reduce(list_transform(q2.qvec, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1))))""".stripMargin
+        s"""WITH $bm25OracleCtes,
+           |bm AS (SELECT doc_id, $bm25OracleScore AS score FROM p),
+           |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           |        FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+           |q2 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |cs AS (SELECT vec_id, $cos AS sim FROM embeddings CROSS JOIN q2),
+           |csr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+           |        FROM cs ORDER BY sim DESC, vec_id LIMIT 20),
+           |f AS (SELECT doc_id,
+           |        round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + bmr.r), CAST(0.0 AS DOUBLE)) +
+           |              COALESCE(CAST(1.0 AS DOUBLE) / (60 + csr.r), CAST(0.0 AS DOUBLE)), 6) AS rrf
+           |      FROM bmr FULL OUTER JOIN csr USING (doc_id))
+           |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    // ─── T5 span-corruption plan (deterministic mask spans) ─────────────
+    "q202_span_corruption" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.spanCorruption(Tables.documents(s, dir), "doc_id", "text",
+            modulus = 5, seed = 5)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+              |pos AS (SELECT doc_id, CAST(unnest(range(len(tk))) AS BIGINT) AS p FROM tk),
+              |mk AS (SELECT doc_id, p FROM pos
+              |       WHERE ${sqlHash(5, "doc_id::VARCHAR || ':' || p::VARCHAR")} % 5 = 0),
+              |il AS (SELECT doc_id, p,
+              |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+              |       FROM mk),
+              |sp AS (SELECT doc_id, grp, count(*) AS len FROM il GROUP BY 1, 2),
+              |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+              |          CAST(sum(len) AS BIGINT) AS n_masked
+              |        FROM sp GROUP BY 1),
+              |nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk)
+              |SELECT nt.doc_id, nt.n_tokens,
+              |  COALESCE(per.n_spans, 0) AS n_spans,
+              |  COALESCE(per.n_masked, 0) AS n_masked,
+              |  round(COALESCE(per.n_masked, 0) / CAST(nt.n_tokens AS DOUBLE), 6) AS mask_ratio
+              |FROM nt LEFT JOIN per USING (doc_id) ORDER BY nt.doc_id""".stripMargin)),
+
+    // ─── exact per-language Pearson correlation (length vs chars) ───────
+    "q203_length_corr" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.corrPerKey(
+            Tables.documents(s, dir)
+              .withColumn("n_tokens", size(split(lower($"text"), " "))),
+            "lang", "n_tokens", "n_chars")
+          .orderBy($"lang")
+      },
+      Some("""WITH d AS (SELECT lang,
+             |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS x,
+             |        n_chars AS y
+             |      FROM documents),
+             |a AS (SELECT lang, count(*) AS n,
+             |        sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             |        sum(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+             |        sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+             |        sum(CAST(y*y AS DECIMAL(38,0))) AS syy
+             |      FROM d GROUP BY 1)
+             |SELECT lang, n,
+             |  CASE WHEN n >= 2
+             |      AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             |      AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+             |    THEN round(
+             |      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |      (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |       sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             |  END AS corr
+             |FROM a ORDER BY lang""".stripMargin)),
+
+    // ─── Gini revenue-inequality coefficient per segment ────────────────
+    "q204_gini" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val df = Tables.orders(s, dir).join(Tables.customer(s, dir),
+          $"o_custkey" === $"c_custkey")
+        Market.gini(df, "c_mktsegment", "o_custkey", "o_totalprice")
+          .orderBy($"market")
+      },
+      Some("""WITH f AS (SELECT c.c_mktsegment AS market, o.o_custkey AS firm,
+             |        sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+             |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |      GROUP BY 1, 2),
+             |r AS (SELECT market, rev,
+             |        CAST(row_number() OVER (PARTITION BY market ORDER BY rev ASC, firm) AS BIGINT) AS i
+             |      FROM f),
+             |a AS (SELECT market, count(*) AS n_firms, sum(rev) AS s,
+             |        sum(CAST(i AS DECIMAL(12,0)) * rev) AS si
+             |      FROM r GROUP BY 1)
+             |SELECT market, n_firms,
+             |  CASE WHEN s > 0 THEN round(
+             |    (CAST(2.0 AS DOUBLE) * CAST(si AS DOUBLE) -
+             |       CAST(n_firms + 1 AS DOUBLE) * CAST(s AS DOUBLE)) /
+             |    (CAST(n_firms AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+             |  END AS gini
+             |FROM a ORDER BY market""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -1,0 +1,156 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Batch-B ops: MMR re-rank, temperature mixing, n-gram coverage,
+  * freshness decay. */
+class RerankMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("mmrRerank at lambda=1 is plain top-k; diversity kicks in below") {
+    // 1 and 2 are near-duplicates of each other (cos ≈ 0.9997) and both
+    // highly relevant; 3 is less relevant but far from both
+    val emb = Seq(
+      (1L, vec(0.91, 0.4146, 0.0)),
+      (2L, vec(0.90, 0.4359, 0.0)),
+      (3L, vec(0.70, -0.7141, 0.0))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(vec(1.0, 0.0, 0.0))).toDF("qvec")
+    val plain = Similarity.mmrRerank(emb, "vec_id", "embedding", q,
+        candK = 3, k = 3, lambda = 1.0)
+      .as[(Int, Long, Double)].collect().map(_._2).toSeq
+    assert(plain == Seq(1L, 2L, 3L)) // pure relevance order
+    val diverse = Similarity.mmrRerank(emb, "vec_id", "embedding", q,
+        candK = 3, k = 3, lambda = 0.5)
+      .as[(Int, Long, Double)].collect().map(_._2).toSeq
+    // redundancy penalty demotes the near-dup 2 below the distant 3
+    assert(diverse == Seq(1L, 3L, 2L), s"unexpected order: $diverse")
+  }
+
+  test("mmrRerank never repeats a pick and ranks are dense from 0") {
+    val emb = graft.Tables.embeddings(spark, sfTiny)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val out = Similarity.mmrRerank(emb, "vec_id", "embedding", q,
+        candK = 15, k = 6, lambda = 0.7)
+      .as[(Int, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == (0 until 6))
+    assert(out.map(_._2).distinct.length == 6)
+    // scores are non-increasing is NOT guaranteed by MMR, but pick 0 is
+    // the raw top-1 by relevance
+    val top1 = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 1)
+      .as[(Long, Double)].head()._1
+    assert(out.head._2 == top1)
+  }
+
+  test("temperatureShares: alpha=1 is identity; alpha<1 boosts the tail") {
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("lang")
+    val id = Mixing.temperatureShares(df, "lang", alpha = 1.0)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(id("big")._3 == id("big")._4) // share_temp == share_orig
+    assert(id("small")._5 == 1.0)
+    val flat = Mixing.temperatureShares(df, "lang", alpha = 0.5)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(flat("small")._4 > flat("small")._3, "tail not boosted")
+    assert(flat("big")._4 < flat("big")._3, "head not flattened")
+    // shares still sum to ~1
+    assert(math.abs(flat.values.map(_._4).sum - 1.0) < 1e-5)
+  }
+
+  test("ngramCoverage: full overlap = 1, disjoint = 0, short docs drop out") {
+    val df = Seq(
+      (0L, "en", "a b c d"),   // train (even)
+      (1L, "en", "a b c d"),   // eval: all 3 bigrams covered
+      (2L, "de", "x y z"),     // train
+      (3L, "de", "p q r"),     // eval: nothing covered
+      (4L, "fr", "only train"),
+      (5L, "fr", "w")          // eval: 0 bigrams → fr absent from output
+    ).toDF("doc_id", "lang", "text")
+    val out = TextStats.ngramCoverage(df, "text", "lang", $"doc_id" % 2 === 0, 2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("en") == (("en", 3L, 3L, 1.0)))
+    assert(out("de") == (("de", 2L, 0L, 0.0)))
+    assert(!out.contains("fr"))
+  }
+
+  test("rrfFuse: dual-list membership beats single-list, absent docs contribute 0") {
+    val la = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val lb = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(la, lb), "doc_id", kConst = 60, topN = 10)
+      .as[(Long, Double)].collect().toMap
+    def r(x: Double) = math.round(x * 1e6) / 1e6.toDouble
+    assert(out(2L) == r(1.0 / 62 + 1.0 / 61)) // in both lists
+    assert(out(1L) == r(1.0 / 61))
+    assert(out(4L) == r(1.0 / 62))
+    assert(out(2L) > out(1L), "dual membership must outrank a single top rank")
+  }
+
+  test("spanCorruption: adjacent masked positions merge, ratio ~ 1/modulus") {
+    val docs = graft.Tables.documents(spark, sfTiny)
+    val out = TextStats.spanCorruption(docs, "doc_id", "text", modulus = 5, seed = 5)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val totTok = out.map(_._2).sum.toDouble
+    val totMask = out.map(_._4).sum.toDouble
+    assert(math.abs(totMask / totTok - 0.2) < 0.02, s"mask rate ${totMask / totTok}")
+    // spans never exceed masked count; both 0 together
+    out.foreach { case (id, nt, ns, nm, ratio) =>
+      assert(ns <= nm, s"doc $id: more spans than masked tokens")
+      assert((ns == 0) == (nm == 0))
+      assert(ratio == math.round(nm.toDouble / nt * 1e6) / 1e6.toDouble)
+    }
+    // some span must be longer than 1 token at a 20% rate over this corpus
+    assert(out.exists { case (_, _, ns, nm, _) => nm > ns })
+    // partitioning-invariant (deterministic hash rule)
+    val b = TextStats.spanCorruption(docs.repartition(7), "doc_id", "text", 5, 5)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.sortBy(_._1).toSeq == b)
+  }
+
+  test("corrPerKey: exact ±1 on perfect lines, NULL on constants") {
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("down", 1L, 30L), ("down", 2L, 20L), ("down", 3L, 10L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L))
+      .toDF("k", "x", "y")
+    val out = Profile.corrPerKey(df, "k", "x", "y")
+      .as[(String, Long, Option[Double])].collect().map(r => r._1 -> r._3).toMap
+    assert(out("up").contains(1.0))
+    assert(out("down").contains(-1.0))
+    assert(out("flat").isEmpty)
+  }
+
+  test("gini: equal split = 0, winner-takes-all = (n-1)/n") {
+    val eq = Seq(("m", 1L, 10.0), ("m", 2L, 10.0), ("m", 3L, 10.0), ("m", 4L, 10.0))
+      .toDF("mkt", "firm", "v")
+    val g1 = Market.gini(eq, "mkt", "firm", "v")
+      .as[(String, Long, Option[Double])].head()
+    assert(g1 == (("m", 4L, Some(0.0))))
+    val wta = Seq(("m", 1L, 0.0), ("m", 2L, 0.0), ("m", 3L, 0.0), ("m", 4L, 100.0))
+      .toDF("mkt", "firm", "v")
+    val g2 = Market.gini(wta, "mkt", "firm", "v")
+      .as[(String, Long, Option[Double])].head()
+    assert(g2 == (("m", 4L, Some(0.75))))
+  }
+
+  test("freshnessWeights: newest rows weigh 1, decay is monotone, shares sum to 1") {
+    def ts(day: Int) = new Timestamp(day * 86400L * 1000L)
+    val df = Seq(
+      ("new", ts(100)), ("new", ts(100)),
+      ("old", ts(0)), ("old", ts(0))
+    ).toDF("source", "ts")
+    val out = Mixing.freshnessWeights(df, "source", "ts", lambdaPerDay = 0.01)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("new")._3 == 2.0) // e^0 = 1 per row
+    val expOld = BigDecimal(math.exp(-0.01 * 100))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble * 2
+    assert(math.abs(out("old")._3 - expOld) < 1e-6)
+    assert(math.abs(out("new")._4 + out("old")._4 - 1.0) < 1e-5)
+    assert(out("new")._4 > out("old")._4)
+  }
+}
