@@ -69,4 +69,34 @@ object Cohort {
       .withColumn("p", col("n").cast("double") / col("__tot").cast("double"))
       .drop("__tot")
   }
+
+  /** Monthly active/new/churned entity accounting (supplier or customer
+    * churn): per calendar month of activity,
+    *   n_active  = distinct entities active that month,
+    *   n_new     = entities whose FIRST-ever active month is this one,
+    *   n_churned = entities active the previous month but not this one.
+    * Months are reported for the months present in the data; the first
+    * month churns 0 by construction.
+    *
+    * Scale shape: ONE distinct (entity, month) reduction of the fact
+    * table, then every other step runs on entity×month rows — a min-agg
+    * for first months, one shifted anti-join for churn, month-keyed
+    * counts. Integers end to end. */
+  def activeChurn(df: DataFrame, entityCol: String, tsCol: String): DataFrame = {
+    val em = df.select(col(entityCol).as("__e"),
+        date_trunc("month", col(tsCol)).cast("date").as("__m"))
+      .distinct()
+      .localCheckpoint(false) // four consumers; the fact-table distinct runs once
+    val act = em.groupBy(col("__m")).agg(count(lit(1)).as("n_active"))
+    val nw = em.groupBy(col("__e")).agg(min(col("__m")).as("__m"))
+      .groupBy(col("__m")).agg(count(lit(1)).as("n_new"))
+    val churn = em.select(col("__e"), add_months(col("__m"), 1).as("__m"))
+      .join(em, Seq("__e", "__m"), "left_anti")
+      .groupBy(col("__m")).agg(count(lit(1)).as("n_churned"))
+    act.join(nw, Seq("__m"), "left").join(churn, Seq("__m"), "left")
+      .select(date_format(col("__m"), "yyyy-MM").as("month"),
+        col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
 }

@@ -212,4 +212,28 @@ object Profile {
           round(cov / (sqrt(vx) * sqrt(vy)), 6)))
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
+
+  /** Referential-integrity audit across a set of FK relations: for each
+    * (name, child, childKey, parent, parentKey), the child row count,
+    * the count of child rows whose key has no parent (LEFT ANTI join),
+    * and the orphan rate. The cross-table expectations check a warehouse
+    * runs before publishing a snapshot.
+    *
+    * Scale shape: per relation ONE anti-join on the key (dimension
+    * parents broadcast under AQE; fact-fact keys shuffle once) + 1-row
+    * aggregates; the audit output is relations-sized. */
+  def refIntegrity(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "need at least one relation")
+    relations.map { case (name, child, ck, parent, pk) =>
+      val orphans = child
+        .join(parent.select(col(pk).as("__pk")).distinct(),
+          col(ck) === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"))
+        .withColumn("orphan_rate",
+          round(col("n_orphans").cast("double") / col("n_child").cast("double"), 6))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -136,4 +136,30 @@ object TimeSeries {
       .reduce(_ + _)
     events.withColumn("ewma", round(num / den, 6))
   }
+
+  /** Monthly trend/residual decomposition by centered 3-month moving
+    * average: value_m (exact DECIMAL month sum), trend = MA(3) over
+    * [m−1, m+1] (NULL at the series edges where the window is
+    * incomplete), resid = value − trend. The seasonal-adjustment
+    * primitive for the reference's monthly import-volume reporting.
+    *
+    * Scale shape: ONE fact aggregate to calendar months; the window
+    * runs over the AGGREGATED month series (tiny, one partition by
+    * design — a decade is 120 rows). Sums are DECIMAL-exact; trend
+    * divides the exact 3-month sum once, in double. */
+  def monthlyMaDecompose(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val monthly = df
+      .groupBy(date_format(date_trunc("month", col(tsCol)), "yyyy-MM").as("month"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__v"))
+    val w = Window.orderBy(col("month")).rowsBetween(-1, 1)
+    monthly
+      .withColumn("__n3", count(lit(1)).over(w))
+      .withColumn("__t", when(col("__n3") === 3,
+        sum(col("__v")).over(w).cast("double") / 3.0))
+      .select(col("month"),
+        round(col("__v").cast("double"), 6).as("value"),
+        round(col("__t"), 6).as("trend"),
+        round(col("__v").cast("double") - col("__t"), 6).as("resid"))
+  }
 }

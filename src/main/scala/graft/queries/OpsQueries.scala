@@ -326,6 +326,27 @@ object OpsQueries {
        |p AS (SELECT doc_id, $cCols FROM c GROUP BY doc_id)""".stripMargin
   }
 
+  /** Add-0.5-smoothed bigram LM per-doc score chain ending at
+    * `lmd(doc_id, n_bigrams, mean_p)` — shared by the q84 gate and the
+    * q209 perplexity-bucket oracle. */
+  private val lmScoreOracleCtes: String =
+    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |uni AS (SELECT unnest(tk) AS w FROM toks),
+      |uc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+      |v AS (SELECT count(DISTINCT w) AS vs FROM uni),
+      |bgx AS (SELECT doc_id, tk, CAST(unnest(range(len(tk) - 1)) AS INTEGER) AS pos
+      |        FROM toks WHERE len(tk) >= 2),
+      |bg AS (SELECT doc_id, pos, tk[pos+1] AS w1, tk[pos+1] || ' ' || tk[pos+2] AS pair
+      |       FROM bgx),
+      |bc AS (SELECT pair, count(*) AS c12 FROM bg GROUP BY pair),
+      |sc AS (SELECT doc_id,
+      |         CAST(round(((c12 + 0.5::DOUBLE) / (c1 + 0.5::DOUBLE * vs))
+      |                    * (1099511627776::DOUBLE)) AS BIGINT) AS pfix
+      |       FROM bg JOIN bc USING (pair) JOIN uc ON bg.w1 = uc.w CROSS JOIN v),
+      |lmd AS (SELECT doc_id, count(*) AS n_bigrams,
+      |          CAST(sum(pfix) AS DOUBLE) / (1099511627776::DOUBLE) / count(*) AS mean_p
+      |        FROM sc GROUP BY doc_id)""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     // ─── J8: label-translation broadcast merge ──────────────────────────
@@ -1019,22 +1040,8 @@ object OpsQueries {
         TextStats.lmScore(Tables.documents(s, dir), "doc_id", "text")
           .orderBy($"doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-             |uni AS (SELECT unnest(tk) AS w FROM toks),
-             |uc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
-             |v AS (SELECT count(DISTINCT w) AS vs FROM uni),
-             |bgx AS (SELECT doc_id, tk, CAST(unnest(range(len(tk) - 1)) AS INTEGER) AS pos
-             |        FROM toks WHERE len(tk) >= 2),
-             |bg AS (SELECT doc_id, pos, tk[pos+1] AS w1, tk[pos+1] || ' ' || tk[pos+2] AS pair
-             |       FROM bgx),
-             |bc AS (SELECT pair, count(*) AS c12 FROM bg GROUP BY pair),
-             |sc AS (SELECT doc_id,
-             |         CAST(round(((c12 + 0.5::DOUBLE) / (c1 + 0.5::DOUBLE * vs))
-             |                    * (1099511627776::DOUBLE)) AS BIGINT) AS pfix
-             |       FROM bg JOIN bc USING (pair) JOIN uc ON bg.w1 = uc.w CROSS JOIN v)
-             |SELECT doc_id, count(*) AS n_bigrams,
-             |  CAST(sum(pfix) AS DOUBLE) / (1099511627776::DOUBLE) / count(*) AS mean_p
-             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $lmScoreOracleCtes
+              |SELECT doc_id, n_bigrams, mean_p FROM lmd ORDER BY doc_id""".stripMargin)),
 
     // ─── Misra-Gries guarantee audit (oracle-gated) ─────────────────────
     // The MG weights depend on fold order (partial-aggregation splits),
@@ -4763,7 +4770,145 @@ object OpsQueries {
              |       CAST(n_firms + 1 AS DOUBLE) * CAST(s AS DOUBLE)) /
              |    (CAST(n_firms AS DOUBLE) * CAST(s AS DOUBLE)), 6)
              |  END AS gini
-             |FROM a ORDER BY market""".stripMargin)))
+             |FROM a ORDER BY market""".stripMargin)),
+
+    // ─── monthly supplier churn (active / new / churned accounting) ─────
+    "q205_supplier_churn" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Cohort.activeChurn(Tables.lineitem(s, dir), "l_suppkey", "l_shipdate")
+          .orderBy($"month")
+      },
+      Some("""WITH em AS (SELECT DISTINCT l_suppkey AS e,
+             |        date_trunc('month', l_shipdate)::DATE AS m
+             |      FROM lineitem),
+             |act AS (SELECT m, count(*) AS n_active FROM em GROUP BY 1),
+             |nw AS (SELECT m, count(*) AS n_new FROM
+             |         (SELECT e, min(m) AS m FROM em GROUP BY 1)
+             |       GROUP BY 1),
+             |pv AS (SELECT e, (m + INTERVAL 1 MONTH)::DATE AS m FROM em),
+             |ch AS (SELECT m, count(*) AS n_churned FROM pv
+             |       ANTI JOIN em USING (e, m) GROUP BY 1)
+             |SELECT strftime(act.m, '%Y-%m') AS month, act.n_active,
+             |  COALESCE(nw.n_new, 0) AS n_new,
+             |  COALESCE(ch.n_churned, 0) AS n_churned
+             |FROM act LEFT JOIN nw USING (m) LEFT JOIN ch USING (m)
+             |ORDER BY month""".stripMargin)),
+
+    // ─── monthly revenue trend via centered MA(3) + residual ────────────
+    "q206_seasonal_ma" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.monthlyMaDecompose(Tables.lineitem(s, dir), "l_shipdate",
+            "l_extendedprice")
+          .orderBy($"month")
+      },
+      Some("""WITH mth AS (SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+             |        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+             |      FROM lineitem GROUP BY 1),
+             |w AS (SELECT month, v,
+             |        count(*) OVER win AS n3,
+             |        sum(v) OVER win AS s3
+             |      FROM mth
+             |      WINDOW win AS (ORDER BY month ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING))
+             |SELECT month, round(CAST(v AS DOUBLE), 6) AS value,
+             |  round(CASE WHEN n3 = 3 THEN CAST(s3 AS DOUBLE) / 3.0 END, 6) AS trend,
+             |  round(CAST(v AS DOUBLE) - CASE WHEN n3 = 3 THEN CAST(s3 AS DOUBLE) / 3.0 END, 6) AS resid
+             |FROM w ORDER BY month""".stripMargin)),
+
+    // ─── referential-integrity audit across the star schema ─────────────
+    "q207_ri_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.refIntegrity(Seq(
+            ("customer.nation", Tables.customer(s, dir), "c_nationkey",
+              Tables.nation(s, dir), "n_nationkey"),
+            ("lineitem.order", Tables.lineitem(s, dir), "l_orderkey",
+              Tables.orders(s, dir), "o_orderkey"),
+            ("lineitem.part", Tables.lineitem(s, dir), "l_partkey",
+              Tables.part(s, dir), "p_partkey"),
+            ("lineitem.supplier", Tables.lineitem(s, dir), "l_suppkey",
+              Tables.supplier(s, dir), "s_suppkey"),
+            ("nation.region", Tables.nation(s, dir), "n_regionkey",
+              Tables.region(s, dir), "r_regionkey"),
+            ("orders.customer", Tables.orders(s, dir), "o_custkey",
+              Tables.customer(s, dir), "c_custkey")))
+          .orderBy($"relation")
+      },
+      Some {
+        val rels = Seq(
+          ("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          ("lineitem.order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          ("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+          ("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          ("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+          ("orders.customer", "orders", "o_custkey", "customer", "c_custkey"))
+        rels.map { case (name, c, ck, p, pk) =>
+          s"""SELECT '$name' AS relation,
+             |  (SELECT count(*) FROM $c) AS n_child,
+             |  (SELECT count(*) FROM $c ANTI JOIN $p ON $c.$ck = $p.$pk) AS n_orphans,
+             |  round((SELECT count(*) FROM $c ANTI JOIN $p ON $c.$ck = $p.$pk)
+             |    / CAST((SELECT count(*) FROM $c) AS DOUBLE), 6) AS orphan_rate""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+      }),
+
+    // ─── per-vector outlier energy Σ z² over the gated standardization ──
+    // Diagonal-Mahalanobis: the q140 per-dim z-scores folded per vector
+    // in ascending-dimension order (an ARRAY fold — no shuffle-order
+    // float sum), top-20 energies. The embedding-space outlier screen.
+    "q208_outlier_energy" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.standardizeDims(Tables.embeddings(s, dir), "vec_id", "embedding")
+          .withColumn("energy", round(
+            aggregate($"norm_vec", lit(0.0), (acc, z) => acc + z * z), 6))
+          .select($"vec_id", $"energy")
+          .orderBy($"energy".desc, $"vec_id")
+          .limit(20)
+      },
+      Some("""WITH x AS (SELECT CAST(i AS INTEGER) AS pos, embedding[i+1]::DOUBLE AS v
+             |        FROM embeddings CROSS JOIN range(64) t(i)),
+             |st AS (SELECT pos,
+             |        CAST(sum(CAST(round(v * (1099511627776::DOUBLE)) AS BIGINT)) AS DOUBLE)
+             |          / (1099511627776::DOUBLE) / count(*) AS mean,
+             |        CAST(sum(CAST(round(v * v * (1099511627776::DOUBLE)) AS BIGINT)) AS DOUBLE)
+             |          / (1099511627776::DOUBLE) / count(*) AS m2
+             |      FROM x GROUP BY 1),
+             |s2 AS (SELECT pos, mean, sqrt(m2 - mean * mean) AS sd FROM st),
+             |z AS (SELECT vec_id, CAST(i AS INTEGER) AS pos,
+             |        CASE WHEN sd > 0 THEN (embedding[i+1]::DOUBLE - mean) / sd
+             |             ELSE 0.0::DOUBLE END AS nv
+             |      FROM embeddings CROSS JOIN range(64) t(i)
+             |      JOIN s2 ON s2.pos = CAST(i AS INTEGER)),
+             |e AS (SELECT vec_id,
+             |        round(list_reduce(list(nv * nv ORDER BY pos), (a, b) -> a + b), 6) AS energy
+             |      FROM z GROUP BY vec_id)
+             |SELECT vec_id, energy FROM e ORDER BY energy DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // ─── perplexity-ladder buckets over the gated LM score ──────────────
+    // The perplexity-filtering decision table: ntile(10) over the q84
+    // doc scores (deterministic (score, id) total order), per-bucket
+    // count and score range. The one global sort runs on DOC-level rows.
+    "q209_perplexity_buckets" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sc = TextStats.lmScore(Tables.documents(s, dir), "doc_id", "text")
+        sc.withColumn("bucket",
+            ntile(10).over(Window.orderBy($"mean_p", $"doc_id")))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            round(min($"mean_p"), 6).as("min_p"),
+            round(max($"mean_p"), 6).as("max_p"))
+          .orderBy($"bucket")
+      },
+      Some(s"""WITH $lmScoreOracleCtes,
+              |b AS (SELECT doc_id, mean_p,
+              |        CAST(ntile(10) OVER (ORDER BY mean_p, doc_id) AS INTEGER) AS bucket
+              |      FROM lmd)
+              |SELECT bucket, count(*) AS n_docs,
+              |  round(min(mean_p), 6) AS min_p, round(max(mean_p), 6) AS max_p
+              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

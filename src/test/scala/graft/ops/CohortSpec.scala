@@ -63,4 +63,19 @@ class CohortSpec extends SparkSpec {
     assert(Cohort.transitions(ev, "user_id", "ts", "event_type", "event_id")
       .count() == 0)
   }
+
+  test("activeChurn: new counts first months, churn counts month-over-month exits") {
+    val ev = Seq(
+      (1L, ts("2024-01-05 00:00:00")), (1L, ts("2024-02-10 00:00:00")), // stays Jan→Feb, gone Mar
+      (2L, ts("2024-01-20 00:00:00")),                                  // churns after Jan
+      (3L, ts("2024-02-01 00:00:00")), (3L, ts("2024-03-01 00:00:00")), // new in Feb, stays
+      (1L, ts("2024-01-09 00:00:00"))                                   // dup month row: distinct
+    ).toDF("e", "ts")
+    val out = Cohort.activeChurn(ev, "e", "ts")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("2024-01") == ((2L, 2L, 0L)))
+    assert(out("2024-02") == ((2L, 1L, 1L))) // entity 2 churned, 3 is new
+    assert(out("2024-03") == ((1L, 0L, 1L))) // entity 1 churned
+    assert(out.size == 3) // no phantom month for entity 3's future churn
+  }
 }

@@ -106,4 +106,17 @@ class ProfileSpec extends SparkSpec {
     // winsorized values never escape the original min/max
     assert(out.forall(x => x._3 >= 1.0 && x._3 <= 100.0))
   }
+
+  test("refIntegrity counts orphans exactly and rates them") {
+    import org.apache.spark.sql.functions._
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 98L)).toDF("id", "fk")
+    val parent = Seq(Tuple1(10L)).toDF("pk")
+    val clean = Seq((1L, 10L)).toDF("id", "fk")
+    val out = Profile.refIntegrity(Seq(
+        ("dirty", child, "fk", parent, "pk"),
+        ("clean", clean, "fk", parent, "pk")))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("dirty") == (("dirty", 4L, 2L, 0.5)))
+    assert(out("clean") == (("clean", 1L, 0L, 0.0)))
+  }
 }

@@ -105,4 +105,17 @@ class TimeSeriesSpec extends SparkSpec {
     // event 2 sees event 1 as its lag-1: (0.5·100 + 0.25·0)/0.75
     assert(out(2L) == math.round(50.0 / 0.75 * 1e6) / 1e6)
   }
+
+  test("monthlyMaDecompose: edges have NULL trend, interior trend is the MA(3)") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-$m%02d-15 00:00:00")
+    val df = Seq(
+      (t(1), 30.0), (t(2), 60.0), (t(2), 0.0), (t(3), 90.0), (t(4), 120.0))
+      .toDF("ts", "v")
+    val out = TimeSeries.monthlyMaDecompose(df, "ts", "v")
+      .as[(String, Double, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("2024-01")._3.isEmpty && out("2024-04")._3.isEmpty)
+    assert(out("2024-02") == (("2024-02", 60.0, Some(60.0), Some(0.0))))
+    assert(out("2024-03") == (("2024-03", 90.0, Some(90.0), Some(0.0))))
+  }
 }
