@@ -44,6 +44,80 @@ object Market {
         round(col("topk").cast("double") / col("tot").cast("double"), 6).as("crk"))
   }
 
+  /** Per-item price volatility: coefficient of variation of the monthly
+    * unit price, population formula from exact fixed-point sums —
+    *   cv = sqrt(n·Σp² − (Σp)²) / Σp
+    * with p the 9-dp monthly unit price (DECIMAL), so Σp and Σp² are
+    * exact and cv is bit-stable. Items with fewer than `minPeriods`
+    * priced months are excluded (a 1-month item has no volatility).
+    * Output: top-`topN` (item, n_periods, mean_price, cv), cv desc.
+    *
+    * Scale shape: ONE fact aggregate to (item, period), ONE item-keyed
+    * partial-combining aggregate over the period rows, TakeOrdered. */
+  def priceVolatility(df: DataFrame, itemCol: String, periodCol: String,
+      qtyCol: String, valueCol: String, minPeriods: Int, topN: Int): DataFrame = {
+    val ip = df.groupBy(col(itemCol).as("item"), col(periodCol).as("period"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("v"),
+        sum(col(qtyCol).cast("decimal(18,6)")).as("q"))
+      .where(col("q") > 0)
+      .select(col("item"),
+        round(col("v").cast("double") / col("q").cast("double"), 9)
+          .cast("decimal(15,9)").as("p"))
+    val agg = ip.groupBy(col("item")).agg(
+      count(lit(1)).as("n_periods"),
+      sum(col("p")).as("__sp"),
+      sum(col("p") * col("p")).as("__spp"))
+    val nD = col("n_periods").cast("double")
+    agg.where(col("n_periods") >= minPeriods && col("__sp") > 0)
+      .select(col("item"), col("n_periods"),
+        round(col("__sp").cast("double") / nD, 6).as("mean_price"),
+        // greatest(·, 0): the true variance is ≥ 0 but the double
+        // rendering of the exact sums can land at −1e-18 → sqrt NaN
+        round(sqrt(greatest(nD * col("__spp").cast("double") -
+          col("__sp").cast("double") * col("__sp").cast("double"), lit(0.0))) /
+          col("__sp").cast("double"), 6).as("cv"))
+      .orderBy(col("cv").desc, col("item"))
+      .limit(topN)
+  }
+
+  /** Per-group market-share trend: monthly revenue share of each group
+    * (exact decimal revenue / exact month total, 9-dp fixed point),
+    * then the OLS slope of share against the month INDEX (0-based rank
+    * of the calendar month — exact integer x, exact decimal y, the
+    * trendPerKey normal equations). The "who is gaining share"
+    * table behind the reference's year-over-year key-player narrative.
+    * Output: (group, n_months, mean_share, slope ← round 9).
+    *
+    * Scale shape: ONE fact aggregate to (group, month); the month-index
+    * table derives from the aggregated months (tiny window); the slope
+    * aggregate runs over group×month rows. */
+  def shareTrend(df: DataFrame, groupCol: String, periodCol: String,
+      valueCol: String): DataFrame = {
+    val gm = df.groupBy(col(groupCol).as("grp"), col(periodCol).as("period"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("rev"))
+      .localCheckpoint(false)
+    val tot = gm.groupBy(col("period")).agg(sum(col("rev")).as("__tot"))
+      .withColumn("__idx",
+        (row_number().over(Window.orderBy(col("period"))) - 1).cast("long"))
+    val sh = gm.join(tot, Seq("period"))
+      .select(col("grp"), col("__idx"),
+        round(col("rev").cast("double") / col("__tot").cast("double"), 9)
+          .cast("decimal(12,9)").as("share"))
+    val agg = sh.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_months"),
+      sum(col("__idx")).as("__sx"),
+      sum(col("share")).as("__sy"),
+      sum(col("__idx").cast("decimal(12,0)") * col("share")).as("__sxy"),
+      sum((col("__idx") * col("__idx")).cast("decimal(38,0)")).as("__sxx"))
+    val nD = col("n_months").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val den = nD * d("__sxx") - d("__sx") * d("__sx")
+    agg.select(col("grp"), col("n_months"),
+      round(d("__sy") / nD, 6).as("mean_share"),
+      when(col("n_months") >= 2 && den =!= 0.0,
+        round((nD * d("__sxy") - d("__sx") * d("__sy")) / den, 9)).as("slope"))
+  }
+
   /** Gini coefficient of revenue inequality per market, from the exact
     * rank formula over ascending-sorted firm revenues:
     *   G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i),  x sorted asc, i = 1…n

@@ -701,6 +701,53 @@ object Similarity {
     out.toSeq.toDF("rank", "vec_id", "score")
   }
 
+  /** cos(vec, literal center) in the cellStructs shape: codegen'd dot +
+    * norm against a driver-held vector; the center's norm is a Scala
+    * ascending fold, matching the SQL list_reduce. */
+  private def cosLiteral(vec: Column, c: Array[Float]): Column = {
+    import graft.functions.VectorOps
+    val nq = math.sqrt(c.map(v => v.toDouble * v.toDouble).sum)
+    VectorOps.dotLiteral(vec, c.map(_.toDouble)) /
+      (sqrt(VectorOps.norm2Fast(vec)) * lit(nq))
+  }
+
+  /** Greedy k-center (Gonzalez '85) coreset over cosine distance
+    * 1 − cos: start from `seedId`, then `k−1` times pick the vector
+    * farthest from its nearest already-picked center (ties → lowest
+    * id). The 2-approximation data-selection / coverage primitive for
+    * training-data curation.
+    *
+    * Scale shape: k map-only passes — each round folds the selected
+    * centers in as LITERALS (`least` over codegen'd cosines, no join,
+    * no growing lineage) and takes one distributed argmax
+    * (TakeOrdered). k is a contract bound like k-means' k. Output:
+    * (rank, vec_id, dist) where dist is the covering radius at
+    * selection time (round 6; 0 for the seed). */
+  def kcenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, seedId: Long): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val seedVec = emb.filter(col(idCol) === seedId)
+      .select(col(vecCol)).head().getSeq[Float](0).toArray
+    var centers = Vector((seedId, seedVec))
+    val out = scala.collection.mutable.ArrayBuffer((0, seedId, 0.0))
+    while (centers.size < k) {
+      val mind = centers.map { case (_, cv) => lit(1.0) - cosLiteral(col(vecCol), cv) }
+      val mindCol = if (mind.size == 1) mind.head else least(mind: _*)
+      val next = emb.filter(!col(idCol).isin(centers.map(_._1): _*))
+        .select(col(idCol), col(vecCol), mindCol.as("__mind"))
+        .orderBy(col("__mind").desc, col(idCol))
+        .limit(1).head()
+      val id = next.getLong(0)
+      val cv = next.getSeq[Float](1).toArray
+      out += ((centers.size,
+        id, BigDecimal(next.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      centers = centers :+ ((id, cv))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("rank", "vec_id", "dist")
+  }
+
   /** Reciprocal Rank Fusion (Cormack et al. '09) of ranked retrieval
     * lists: score(d) = Σ_lists 1/(kConst + rank_list(d)), absent-from-
     * list contributes 0. Each input frame carries (idCol, rank) with

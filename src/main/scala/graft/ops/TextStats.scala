@@ -974,6 +974,62 @@ object TextStats {
         round(col("n_covered").cast("double") / col("n_eval_grams").cast("double"), 6))
   }
 
+  /** EM-fitted interpolation weight λ for the two-component LM
+    * p(w2|w1) = λ·p2(w2|w1) + (1−λ)·p1(w2): unigram/bigram MLE models
+    * fit on the TRAIN side, λ fit on the HELD-OUT side by `iters` EM
+    * steps — λ' = mean posterior λp2/(λp2+(1−λ)p1) over held-out bigram
+    * instances (Jelinek-Mercer deleted interpolation). The on-engine
+    * hyperparameter fit: the scored held-out frame (p1, p2 per bigram
+    * instance) is built ONCE (two model joins, then a lineage cut), and
+    * each EM step is one cheap aggregate with λ folded in as a literal.
+    * Posteriors are 9-dp fixed point summed as DECIMAL, so every λ_t is
+    * bit-identical in any engine and under any partitioning. Held-out
+    * bigrams with p1 = p2 = 0 (both words unseen in train) carry no
+    * gradient and are excluded by contract. Output: (iter, lambda ←
+    * round 9; the chain itself iterates on the unrounded value). */
+  def lmInterpEm(df: DataFrame, idCol: String, textCol: String,
+      isTrain: Column, iters: Int = 3, lambda0: Double = 0.5): DataFrame = {
+    require(iters >= 1 && lambda0 > 0 && lambda0 < 1, "need iters>=1, lambda0 in (0,1)")
+    val toks = split(lower(col(textCol)), " ")
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val side = df.select(isTrain.as("__train"), explode(bigrams).as("b"))
+      .select(col("__train"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val trainToks = df.filter(isTrain).select(explode(toks).as("w"))
+    val uc = trainToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val total = trainToks.count()
+    val bc = side.filter(col("__train"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val held = side.filter(!col("__train")).select(col("w1"), col("w2"))
+    val scored = held
+      .join(uc.select(col("w").as("w2"), col("c1").as("__c1w2")), Seq("w2"), "left")
+      .join(uc.select(col("w").as("w1"), col("c1").as("__c1w1")), Seq("w1"), "left")
+      .join(bc, Seq("w1", "w2"), "left")
+      .select(
+        (coalesce(col("__c1w2"), lit(0L)).cast("double") / lit(total.toDouble)).as("p1"),
+        when(col("__c1w1").isNotNull && col("c12").isNotNull,
+          col("c12").cast("double") / col("__c1w1").cast("double"))
+          .otherwise(lit(0.0)).as("p2"))
+      .filter(col("p1") + col("p2") > 0.0)
+      .localCheckpoint(false)
+    var lam = lambda0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    (1 to iters).foreach { i =>
+      val post = lit(lam) * col("p2") /
+        (lit(lam) * col("p2") + lit(1.0 - lam) * col("p1"))
+      val r = scored.agg(
+        sum(round(post, 9).cast("decimal(10,9)")).cast("double").as("s"),
+        count(lit(1)).as("n")).head()
+      lam = r.getDouble(0) / r.getLong(1).toDouble
+      out += ((i, lam))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("iter", "lambda")
+      .withColumn("lambda", round(col("lambda"), 9))
+  }
+
   /** T5-style span-corruption PLAN: deterministically mask ~1/`modulus`
     * of each doc's token positions (seeded-md5 rule, reproducible in
     * any engine and across epochs), merge adjacent masked positions

@@ -4908,7 +4908,233 @@ object OpsQueries {
               |      FROM lmd)
               |SELECT bucket, count(*) AS n_docs,
               |  round(min(mean_p), 6) AS min_p, round(max(mean_p), 6) AS max_p
-              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)))
+              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── EM-fitted Jelinek-Mercer interpolation weight (on-engine fit) ──
+    // Unigram/bigram MLEs on the even-doc train half, λ fit on the odd
+    // half by 3 EM steps; every λ_t is bit-exact (9-dp fixed-point
+    // posterior sums). The oracle chains the three steps as scalar CTEs.
+    "q210_lm_interp_em" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.lmInterpEm(Tables.documents(s, dir), "doc_id", "text",
+            $"doc_id" % 2 === 0, iters = 3, lambda0 = 0.5)
+          .orderBy($"iter")
+      },
+      Some("""WITH tk AS (SELECT doc_id, doc_id % 2 = 0 AS train,
+             |        string_split(lower(text), ' ') AS tk FROM documents),
+             |trt AS (SELECT unnest(tk) AS w FROM tk WHERE train),
+             |uc AS (SELECT w, count(*) AS c1 FROM trt GROUP BY 1),
+             |tt AS (SELECT count(*) AS t FROM trt),
+             |bgx AS (SELECT doc_id, train, tk, CAST(unnest(range(len(tk) - 1)) AS INTEGER) AS pos
+             |        FROM tk WHERE len(tk) >= 2),
+             |bg AS (SELECT doc_id, train, tk[pos+1] AS w1, tk[pos+2] AS w2 FROM bgx),
+             |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE train GROUP BY 1, 2),
+             |hb AS (SELECT w1, w2 FROM bg WHERE NOT train),
+             |sc AS (SELECT
+             |         COALESCE(u2.c1, 0) / CAST(tt.t AS DOUBLE) AS p1,
+             |         CASE WHEN u1.c1 IS NOT NULL AND bc.c12 IS NOT NULL
+             |              THEN CAST(bc.c12 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+             |              ELSE 0.0::DOUBLE END AS p2
+             |       FROM hb LEFT JOIN uc u2 ON hb.w2 = u2.w
+             |               LEFT JOIN uc u1 ON hb.w1 = u1.w
+             |               LEFT JOIN bc ON hb.w1 = bc.w1 AND hb.w2 = bc.w2
+             |               CROSS JOIN tt),
+             |scf AS (SELECT p1, p2 FROM sc WHERE p1 + p2 > 0.0),
+             |l1 AS (SELECT CAST(sum(CAST(round(0.5 * p2 / (0.5 * p2 + 0.5 * p1), 9)
+             |          AS DECIMAL(10,9))) AS DOUBLE) / count(*) AS lam FROM scf),
+             |l2 AS (SELECT CAST(sum(CAST(round(l1.lam * p2 / (l1.lam * p2 + (1.0 - l1.lam) * p1), 9)
+             |          AS DECIMAL(10,9))) AS DOUBLE) / count(*) AS lam FROM scf CROSS JOIN l1),
+             |l3 AS (SELECT CAST(sum(CAST(round(l2.lam * p2 / (l2.lam * p2 + (1.0 - l2.lam) * p1), 9)
+             |          AS DECIMAL(10,9))) AS DOUBLE) / count(*) AS lam FROM scf CROSS JOIN l2)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS INTEGER) AS iter, round(lam, 9) AS lambda FROM l1
+             |  UNION ALL SELECT 2, round(lam, 9) FROM l2
+             |  UNION ALL SELECT 3, round(lam, 9) FROM l3)
+             |ORDER BY iter""".stripMargin)),
+
+    // ─── train/val/test near-dup leakage audit ──────────────────────────
+    // The gated q25 LSH pairs × the gated q83 split rule: counts of
+    // near-dup pairs within and ACROSS splits — cross-split rows are
+    // eval-contamination leaks the split design must answer for.
+    "q211_split_leakage" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+          .filter($"jaccard" >= 0.5)
+        val sp = docs.select($"doc_id", TextStats.assignSplit($"doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        pairs
+          .join(sp.select($"doc_id".as("id_a"), $"split".as("__sa")), "id_a")
+          .join(sp.select($"doc_id".as("id_b"), $"split".as("__sb")), "id_b")
+          .groupBy(least($"__sa", $"__sb").as("split_lo"),
+            greatest($"__sa", $"__sb").as("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("cross_split", $"split_lo" =!= $"split_hi")
+          .orderBy($"split_lo", $"split_hi")
+      },
+      Some(s"""WITH $minhashCtes,
+              |sp AS (SELECT doc_id,
+              |  CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE / 1152921504606846976.0 < 0.8 THEN 'train'
+              |       WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT::DOUBLE / 1152921504606846976.0 < 0.9 THEN 'val'
+              |       ELSE 'test' END AS split
+              |  FROM documents),
+              |pe AS (SELECT least(sa.split, sb.split) AS split_lo,
+              |         greatest(sa.split, sb.split) AS split_hi
+              |       FROM pairs p
+              |       JOIN sp sa ON p.id_a = sa.doc_id
+              |       JOIN sp sb ON p.id_b = sb.doc_id
+              |       WHERE p.jaccard >= 0.5)
+              |SELECT split_lo, split_hi, count(*) AS n_pairs,
+              |  split_lo <> split_hi AS cross_split
+              |FROM pe GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ─── label balance χ² across IVF cells ──────────────────────────────
+    // Does the cell partitioning skew the label distribution? Exact
+    // integer contingency table + χ² terms from the literal-assignment
+    // cells (q39/q182 machinery, zero shuffle for the assignment).
+    "q212_label_balance_chi2" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter($"vec_id" < 8)
+          .select($"vec_id", $"embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        val n = emb.count()
+        val cells = emb.withColumn("cell",
+          Similarity.ivfCell($"embedding", centroids))
+        val ct = cells.groupBy($"cell", $"label").agg(count(lit(1)).as("n_obs"))
+          .localCheckpoint(false)
+        val rt = ct.groupBy($"cell").agg(sum($"n_obs").as("__rt"))
+        val lt = ct.groupBy($"label").agg(sum($"n_obs").as("__lt"))
+        ct.join(rt, "cell").join(lt, "label")
+          .withColumn("__e",
+            $"__rt".cast("double") * $"__lt".cast("double") / lit(n.toDouble))
+          .select($"cell", $"label", $"n_obs",
+            round($"__e", 6).as("expected"),
+            round(pow($"n_obs".cast("double") - $"__e", 2) / $"__e", 6).as("chi2_term"))
+          .orderBy($"cell", $"label")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (s1,t1) -> s1+t1) /
+             | (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1)) *
+             |  sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1))))""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |scored AS (SELECT e.vec_id, e.label, c.ccid, ${cos("e.embedding", "c.cv")} AS csim
+           |           FROM embeddings e CROSS JOIN c),
+           |asg AS (SELECT vec_id, label, ccid,
+           |          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid ASC) AS rn
+           |        FROM scored),
+           |cells AS (SELECT vec_id, label, CAST(ccid AS INTEGER) AS cell FROM asg WHERE rn = 1),
+           |nn AS (SELECT count(*) AS n FROM embeddings),
+           |ct AS (SELECT cell, label, count(*) AS n_obs FROM cells GROUP BY 1, 2),
+           |rt AS (SELECT cell, sum(n_obs) AS rt FROM ct GROUP BY 1),
+           |lt AS (SELECT label, sum(n_obs) AS lt FROM ct GROUP BY 1),
+           |ex AS (SELECT ct.cell, ct.label, ct.n_obs,
+           |         CAST(rt.rt AS DOUBLE) * CAST(lt.lt AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+           |       FROM ct JOIN rt USING (cell) JOIN lt USING (label) CROSS JOIN nn)
+           |SELECT cell, label, n_obs, round(e, 6) AS expected,
+           |  round(pow(n_obs - e, 2) / e, 6) AS chi2_term
+           |FROM ex ORDER BY cell, label""".stripMargin
+      }),
+
+    // ─── greedy k-center coreset (Gonzalez) over cosine distance ────────
+    "q213_kcenter_coreset" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.kcenterCoreset(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 8, seedId = 0L)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (s1,t1) -> s1+t1) /
+             | (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1)) *
+             |  sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1))))""".stripMargin
+        val steps = (1 until 8).map { t =>
+          val cs = Seq("c0.cv") ++ (1 until t).map(i => s"s$i.embedding")
+          val dists = cs.map(c => s"(1.0 - ${cos("e.embedding", c)})")
+          val mind = if (dists.size == 1) dists.head
+            else dists.mkString("least(", ",\n    ", ")")
+          val froms = Seq("embeddings e", "c0") ++ (1 until t).map(i => s"s$i")
+          val notIn = if (t == 1) ""
+            else s"AND e.vec_id NOT IN (${(1 until t).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")})"
+          s"""m$t AS (SELECT e.vec_id, e.embedding, $mind AS mind
+             |  FROM ${froms.mkString(", ")}
+             |  WHERE e.vec_id <> 0 $notIn),
+             |s$t AS (SELECT vec_id, embedding, mind FROM m$t
+             |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val sel = Seq(
+          "SELECT CAST(0 AS INTEGER) AS rank, CAST(0 AS BIGINT) AS vec_id, CAST(0.0 AS DOUBLE) AS dist") ++
+          (1 until 8).map(t => s"SELECT CAST($t AS INTEGER), vec_id, round(mind, 6) FROM s$t")
+        s"""WITH c0 AS (SELECT embedding AS cv FROM embeddings WHERE vec_id = 0),
+           |$steps
+           |SELECT * FROM (${sel.mkString("\nUNION ALL ")}) ORDER BY rank""".stripMargin
+      }),
+
+    // ─── per-part price volatility (coefficient of variation) ───────────
+    "q214_price_volatility" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Market.priceVolatility(
+          Tables.lineitem(s, dir)
+            .withColumn("period", date_format($"l_shipdate", "yyyy-MM")),
+          "l_partkey", "period", "l_quantity", "l_extendedprice",
+          minPeriods = 6, topN = 20)
+      },
+      Some("""WITH ip0 AS (SELECT l_partkey AS item, strftime(l_shipdate, '%Y-%m') AS period,
+             |        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v,
+             |        sum(CAST(l_quantity AS DECIMAL(18,6))) AS q
+             |      FROM lineitem GROUP BY 1, 2),
+             |ip AS (SELECT item,
+             |         CAST(round(CAST(v AS DOUBLE) / CAST(q AS DOUBLE), 9) AS DECIMAL(15,9)) AS p
+             |       FROM ip0 WHERE q > 0),
+             |a AS (SELECT item, count(*) AS n_periods, sum(p) AS sp, sum(p*p) AS spp
+             |      FROM ip GROUP BY 1)
+             |SELECT item, n_periods,
+             |  round(CAST(sp AS DOUBLE) / n_periods, 6) AS mean_price,
+             |  round(sqrt(greatest(n_periods * CAST(spp AS DOUBLE)
+             |      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE), CAST(0.0 AS DOUBLE)))
+             |    / CAST(sp AS DOUBLE), 6) AS cv
+             |FROM a WHERE n_periods >= 6 AND sp > 0
+             |ORDER BY cv DESC, item LIMIT 20""".stripMargin)),
+
+    // ─── market-share trend per brand (who is gaining share) ────────────
+    "q215_share_trend" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val df = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
+          .withColumn("period", date_format($"l_shipdate", "yyyy-MM"))
+        Market.shareTrend(df, "p_brand", "period", "l_extendedprice")
+          .orderBy($"grp")
+      },
+      Some("""WITH gm AS (SELECT p.p_brand AS grp,
+             |        strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS period,
+             |        sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS rev
+             |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |      GROUP BY 1, 2),
+             |tot AS (SELECT period, sum(rev) AS tot,
+             |          CAST(row_number() OVER (ORDER BY period) - 1 AS BIGINT) AS idx
+             |        FROM gm GROUP BY period),
+             |sh AS (SELECT grp, idx,
+             |         CAST(round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS DECIMAL(12,9)) AS share
+             |       FROM gm JOIN tot USING (period)),
+             |a AS (SELECT grp, count(*) AS n_months, sum(idx) AS sx, sum(share) AS sy,
+             |        sum(CAST(idx AS DECIMAL(12,0)) * share) AS sxy,
+             |        sum(CAST(idx*idx AS DECIMAL(38,0))) AS sxx
+             |      FROM sh GROUP BY 1)
+             |SELECT grp, n_months,
+             |  round(CAST(sy AS DOUBLE) / n_months, 6) AS mean_share,
+             |  CASE WHEN n_months >= 2
+             |      AND (n_months * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
+             |    THEN round((n_months * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (n_months * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+             |  END AS slope
+             |FROM a ORDER BY grp""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -58,6 +58,42 @@ class MarketSpec extends SparkSpec {
     assert(out("2024-03") == ((2L, 2.0)))
   }
 
+  test("priceVolatility: constant price is cv 0; larger swings rank higher") {
+    val df = Seq(
+      // item 1: constant price 10 across 6 months
+      (1L, "01", 1.0, 10.0), (1L, "02", 1.0, 10.0), (1L, "03", 1.0, 10.0),
+      (1L, "04", 1.0, 10.0), (1L, "05", 1.0, 10.0), (1L, "06", 1.0, 10.0),
+      // item 2: alternates 5/15
+      (2L, "01", 1.0, 5.0), (2L, "02", 1.0, 15.0), (2L, "03", 1.0, 5.0),
+      (2L, "04", 1.0, 15.0), (2L, "05", 1.0, 5.0), (2L, "06", 1.0, 15.0),
+      // item 3: too few months → excluded
+      (3L, "01", 1.0, 1.0), (3L, "02", 1.0, 100.0)
+    ).toDF("item", "period", "qty", "v")
+    val out = Market.priceVolatility(df, "item", "period", "qty", "v",
+        minPeriods = 6, topN = 10)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(2L, 1L)) // cv desc
+    assert(out.find(_._1 == 1L).get._4 == 0.0)
+    assert(out.find(_._1 == 2L).get._3 == 10.0) // mean of 5/15
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("shareTrend: linear share gain has positive slope, constant split has zero") {
+    val df = Seq(
+      // months 0..2: A's revenue grows 10→20→30 while B shrinks 30→20→10
+      ("A", "2024-01", 10.0), ("B", "2024-01", 30.0),
+      ("A", "2024-02", 20.0), ("B", "2024-02", 20.0),
+      ("A", "2024-03", 30.0), ("B", "2024-03", 10.0)
+    ).toDF("g", "period", "v")
+    val out = Market.shareTrend(df, "g", "period", "v")
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A")._3 == 0.5 && out("B")._3 == 0.5) // mean share both 0.5
+    assert(out("A")._4.exists(_ > 0.2) && out("B")._4.exists(_ < -0.2))
+    // shares move 0.25→0.5→0.75: slope exactly 0.25/month
+    assert(math.abs(out("A")._4.get - 0.25) < 1e-8)
+  }
+
   test("laspeyres only weights items present in the base period") {
     val df = Seq(
       (1L, "2024-01", 1.0, 10.0),

@@ -138,6 +138,32 @@ class RerankMixSpec extends SparkSpec {
     assert(g2 == (("m", 4L, Some(0.75))))
   }
 
+  test("lmInterpEm: hand-checkable single-bigram EM step, λ stays in (0,1)") {
+    // train (even ids): "a b a b" → p2(b|a) = 1, p1(b) = 0.5
+    // held-out (odd id): "a b" → one bigram; posterior at λ=0.5 is
+    // 0.5·1 / (0.5·1 + 0.5·0.5) = 2/3, and the fixpoint is λ → 1
+    val df = Seq((0L, "a b a b"), (1L, "a b")).toDF("doc_id", "text")
+    val out = TextStats.lmInterpEm(df, "doc_id", "text", $"doc_id" % 2 === 0,
+        iters = 3, lambda0 = 0.5)
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(out(1) - 2.0 / 3.0) < 1e-8)
+    assert(out(2) > out(1) && out(3) > out(2), "EM must climb toward the 1.0 fixpoint")
+    assert(out.values.forall(l => l > 0 && l < 1))
+  }
+
+  test("kcenterCoreset: seed first, no repeats, covering radius non-increasing") {
+    val emb = graft.Tables.embeddings(spark, sfTiny)
+    val out = Similarity.kcenterCoreset(emb, "vec_id", "embedding", k = 6, seedId = 0L)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(out.head == ((0, 0L, 0.0)))
+    assert(out.map(_._2).distinct.length == 6)
+    // Gonzalez invariant: each selection's distance is <= the previous
+    out.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 1e-9, s"radius grew: $a -> $b")
+    }
+    assert(out(1)._3 > 0.0)
+  }
+
   test("freshnessWeights: newest rows weigh 1, decay is monotone, shares sum to 1") {
     def ts(day: Int) = new Timestamp(day * 86400L * 1000L)
     val df = Seq(
