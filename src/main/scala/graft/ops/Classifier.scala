@@ -95,4 +95,54 @@ object Classifier {
       .select(col(idCol), col("margin"), col("p"),
         (col("p") >= 0.5).as("pred"), (col("__y") === 1.0).as("is_target"))
   }
+
+  /** Reliability diagram over a scored frame with 9-dp probability `p`
+    * and boolean `is_target`: ten fixed-width bins (the fixed-point p
+    * makes the floor(p·10) boundary arithmetic engine-exact), per bin
+    * the count, exact mean predicted probability (DECIMAL sum) and the
+    * observed positive rate. One bin-keyed aggregate. */
+  def calibrationCurve(scored: DataFrame, pCol: String,
+      targetCol: String): DataFrame = {
+    scored
+      .withColumn("bin", least(floor(col(pCol) * 10).cast("int"), lit(9)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(pCol).cast("decimal(10,9)")).cast("double") /
+          count(lit(1)), 6).as("mean_p"),
+        sum(when(col(targetCol), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("frac_pos",
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+  }
+
+  /** Confusion-matrix counts for a (truth, prediction) pair of label
+    * columns: one partial-combining aggregate. */
+  def confusion(df: DataFrame, truthCol: String, predCol: String): DataFrame =
+    df.groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Cohen's kappa between two label columns: κ = (p_o − p_e)/(1 − p_e)
+    * with p_o the observed agreement and p_e the chance agreement from
+    * the marginals. All counts integer; marginal products go through
+    * DECIMAL(38,0) so a billion-row class cannot overflow int64; the
+    * three ratio divisions run once on the driver-sized 1-row frame.
+    * Output: (n, po, pe, kappa), each rounded to 6. */
+  def cohenKappa(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val ct = confusion(df, truthCol, predCol).localCheckpoint(false)
+    val rt = ct.groupBy(col("truth").as("c")).agg(sum(col("n")).as("__rt"))
+    val cmt = ct.groupBy(col("pred").as("c")).agg(sum(col("n")).as("__ct"))
+    val pe = rt.join(cmt, Seq("c"))
+      .agg(coalesce(sum((col("__rt") * col("__ct")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("__spe"))
+    val tr = ct.filter(col("truth") === col("pred"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("__tr"))
+    val tot = ct.agg(sum(col("n")).as("__n"))
+    val nD = col("__n").cast("double")
+    val poRaw = col("__tr").cast("double") / nD
+    val peRaw = col("__spe").cast("double") / (nD * nD)
+    tot.crossJoin(tr).crossJoin(pe)
+      .select(col("__n").as("n"),
+        round(poRaw, 6).as("po"),
+        round(peRaw, 6).as("pe"),
+        round((poRaw - peRaw) / (lit(1.0) - peRaw), 6).as("kappa"))
+  }
 }

@@ -41,4 +41,34 @@ object Funnel {
       .map { case (idx, st, n) => (idx, st, n, n.toDouble / first.toDouble) }
       .toDF("stage_idx", "stage", "n_users", "conversion")
   }
+
+  /** Time-to-convert percentiles per signup cohort: each user's FIRST
+    * `fromType` event anchors them; the latency is to their first
+    * `toType` event at-or-after that anchor (NULL if never). Output per
+    * anchor month: signups, conversions, exact P50/P90 latency in
+    * MICROseconds (integer subtraction — no timestamp-truncation edge).
+    *
+    * Scale shape: one user-keyed anchor aggregate, one user-keyed join
+    * + conditional-min aggregate, then a cohort-keyed exact-percentile
+    * agg over USER rows (the q189 percentile shape; approx swap
+    * documented there). */
+  def timeToConvert(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, fromType: String, toType: String): DataFrame = {
+    val s = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol).as("__u")).agg(min(col(tsCol)).as("__s_ts"))
+    val p = events.filter(col(typeCol) === toType)
+      .select(col(userCol).as("__u"), col(tsCol).as("__p_ts"))
+    val conv = s.join(p, Seq("__u"), "left")
+      .groupBy(col("__u"), col("__s_ts"))
+      .agg(min(when(col("__p_ts") >= col("__s_ts"),
+        unix_micros(col("__p_ts")))).as("__p_us"))
+    conv
+      .select(date_format(col("__s_ts"), "yyyy-MM").as("cohort"),
+        (col("__p_us") - unix_micros(col("__s_ts"))).as("__lat_us"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_signups"),
+        count(col("__lat_us")).as("n_converted"),
+        round(percentile(col("__lat_us"), lit(0.5)), 6).as("p50_us"),
+        round(percentile(col("__lat_us"), lit(0.9)), 6).as("p90_us"))
+  }
 }

@@ -44,6 +44,35 @@ object Market {
         round(col("topk").cast("double") / col("tot").cast("double"), 6).as("crk"))
   }
 
+  /** Pareto ABC classification: items sorted by revenue desc (ties on
+    * the item key), class A while the inclusive cumulative share is
+    * ≤ 80 %, B while ≤ 95 %, C after. The share boundaries compare as
+    * exact decimals (cum·5 ≤ tot·4, cum·20 ≤ tot·19 — no float share),
+    * so the class cut is engine-exact. Output per class: item count and
+    * revenue share (round 6).
+    *
+    * Scale shape: ONE fact aggregate to items, one revenue-ordered
+    * window over the ITEM table (the q11/q36 cumulative-share shape),
+    * class-sized output. */
+  def paretoAbc(df: DataFrame, itemCol: String, valueCol: String): DataFrame = {
+    val item = df.groupBy(col(itemCol).as("item"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("item"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(col("rev")).over(w).cast("decimal(28,6)")
+    val tot = sum(col("rev")).over(Window.partitionBy()).cast("decimal(28,6)")
+    item
+      .withColumn("clazz",
+        when(cum * 5 <= tot * 4, "A")
+          .when(cum * 20 <= tot * 19, "B")
+          .otherwise("C"))
+      .withColumn("__tot", tot)
+      .groupBy(col("clazz"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("rev")).cast("double") / max(col("__tot")).cast("double"), 6)
+          .as("rev_share"))
+  }
+
   /** Per-item price volatility: coefficient of variation of the monthly
     * unit price, population formula from exact fixed-point sums —
     *   cv = sqrt(n·Σp² − (Σp)²) / Σp

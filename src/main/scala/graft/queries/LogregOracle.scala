@@ -69,4 +69,25 @@ object LogregOracle {
        |  round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) >= 0.5::DOUBLE AS pred,
        |  ltk.y = 1.0::DOUBLE AS is_target
        |FROM fm JOIN ltk USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Reliability-diagram oracle: the scored docs binned into ten
+    * fixed-width probability bins (p is 9-dp fixed point, so the
+    * binning boundary arithmetic is engine-exact). */
+  def calibrationSql(label: String, buckets: Int, iters: Int, rate: String): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+       |sp AS (SELECT ltk.doc_id,
+       |         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) AS p,
+       |         ltk.y = 1.0::DOUBLE AS is_target
+       |       FROM fm JOIN ltk USING (doc_id)),
+       |bk AS (SELECT CAST(least(CAST(floor(p * 10) AS INTEGER), 9) AS INTEGER) AS bin,
+       |         p, is_target FROM sp)
+       |SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n,
+       |  round(CAST(sum(CAST(p AS DECIMAL(10,9))) AS DOUBLE) / count(*), 6) AS mean_p,
+       |  CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  round(sum(CASE WHEN is_target THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+       |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -347,6 +347,24 @@ object OpsQueries {
       |          CAST(sum(pfix) AS DOUBLE) / (1099511627776::DOUBLE) / count(*) AS mean_p
       |        FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** The q32 marker-vote language-ID chain ending at
+    * `g(doc_id, lang, lang_guess)` — shared by q32, the q217 confusion
+    * matrix and the q218 kappa oracle. */
+  private val langIdOracleCtes: String =
+    """sc AS (SELECT doc_id, lang,
+      |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['der','und'], t))) AS s_de,
+      |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['the','a'], t))) AS s_en,
+      |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['el','y'], t))) AS s_es,
+      |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['le','et'], t))) AS s_fr
+      |FROM documents),
+      |g AS (SELECT doc_id, lang,
+      |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+      |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+      |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+      |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+      |       ELSE 'fr' END AS lang_guess
+      |FROM sc)""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     // ─── J8: label-translation broadcast merge ──────────────────────────
@@ -1424,21 +1442,9 @@ object OpsQueries {
           .withColumn("is_match", $"lang" === $"lang_guess")
           .orderBy($"doc_id")
       },
-      Some("""WITH sc AS (SELECT doc_id, lang,
-             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['der','und'], t))) AS s_de,
-             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['the','a'], t))) AS s_en,
-             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['el','y'], t))) AS s_es,
-             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['le','et'], t))) AS s_fr
-             |FROM documents),
-             |g AS (SELECT doc_id, lang,
-             |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-             |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-             |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-             |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-             |       ELSE 'fr' END AS lang_guess
-             |FROM sc)
-             |SELECT doc_id, lang, lang_guess, lang = lang_guess AS is_match
-             |FROM g ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $langIdOracleCtes
+              |SELECT doc_id, lang, lang_guess, lang = lang_guess AS is_match
+              |FROM g ORDER BY doc_id""".stripMargin)),
 
     // ─── content fingerprint (rolling set-hash + integer bucket) ────────
     "q33_fingerprint" -> Q(
@@ -5134,7 +5140,115 @@ object OpsQueries {
              |    THEN round((n_months * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              |      / (n_months * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
              |  END AS slope
-             |FROM a ORDER BY grp""".stripMargin)))
+             |FROM a ORDER BY grp""".stripMargin)),
+
+    // ─── classifier reliability diagram (calibration curve) ─────────────
+    // The gated q156/q157 logreg scores binned into ten fixed-width
+    // probability bins: is the quality filter over- or under-confident?
+    "q216_calibration_curve" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val w = Classifier.logregFit(docs, "doc_id", "text",
+          $"lang" === "en", buckets = 64, iters = 3, rate = 0.02)
+        val scored = Classifier.logregScore(docs, "doc_id", "text",
+          $"lang" === "en", w)
+        Classifier.calibrationCurve(scored, "p", "is_target")
+          .orderBy($"bin")
+      },
+      Some(LogregOracle.calibrationSql("lang = 'en'", buckets = 64, iters = 3,
+        rate = "0.02::DOUBLE"))),
+
+    // ─── language-ID confusion matrix (truth column vs q32 guess) ───────
+    "q217_langid_confusion" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val markers = Map(
+          "de" -> Seq("der", "und"), "en" -> Seq("the", "a"),
+          "es" -> Seq("el", "y"), "fr" -> Seq("le", "et"))
+        val pred = Tables.documents(s, dir).select($"lang",
+          TextStats.langGuess($"text", markers).as("lang_guess"))
+        Classifier.confusion(pred, "lang", "lang_guess")
+          .orderBy($"truth", $"pred")
+      },
+      Some(s"""WITH $langIdOracleCtes
+              |SELECT lang AS truth, lang_guess AS pred, count(*) AS n
+              |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ─── Cohen's kappa for the language-ID guess ────────────────────────
+    "q218_langid_kappa" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val markers = Map(
+          "de" -> Seq("der", "und"), "en" -> Seq("the", "a"),
+          "es" -> Seq("el", "y"), "fr" -> Seq("le", "et"))
+        val pred = Tables.documents(s, dir).select($"lang",
+          TextStats.langGuess($"text", markers).as("lang_guess"))
+        Classifier.cohenKappa(pred, "lang", "lang_guess")
+      },
+      Some(s"""WITH $langIdOracleCtes,
+              |ct AS (SELECT lang AS truth, lang_guess AS pred, count(*) AS n
+              |       FROM g GROUP BY 1, 2),
+              |rt AS (SELECT truth AS c, sum(n) AS rt FROM ct GROUP BY 1),
+              |cmt AS (SELECT pred AS c, sum(n) AS ct2 FROM ct GROUP BY 1),
+              |pe AS (SELECT COALESCE(sum(CAST(rt * ct2 AS DECIMAL(38,0))),
+              |                 CAST(0 AS DECIMAL(38,0))) AS spe
+              |       FROM rt JOIN cmt USING (c)),
+              |tr AS (SELECT COALESCE(sum(n), 0)::BIGINT AS tr FROM ct WHERE truth = pred),
+              |tot AS (SELECT sum(n)::BIGINT AS n FROM ct)
+              |SELECT tot.n,
+              |  round(CAST(tr.tr AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS po,
+              |  round(CAST(pe.spe AS DOUBLE) / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)), 6) AS pe,
+              |  round((CAST(tr.tr AS DOUBLE) / CAST(tot.n AS DOUBLE)
+              |      - CAST(pe.spe AS DOUBLE) / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)))
+              |    / (1.0 - CAST(pe.spe AS DOUBLE) / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE))), 6) AS kappa
+              |FROM tot CROSS JOIN tr CROSS JOIN pe""".stripMargin)),
+
+    // ─── Pareto ABC revenue classes (exact-decimal share cuts) ──────────
+    "q219_pareto_abc" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Market.paretoAbc(Tables.lineitem(s, dir), "l_partkey", "l_extendedprice")
+          .orderBy($"clazz")
+      },
+      Some("""WITH item AS (SELECT l_partkey AS item,
+             |        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+             |      FROM lineitem GROUP BY 1),
+             |c AS (SELECT item, rev,
+             |        CAST(sum(rev) OVER (ORDER BY rev DESC, item
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,6)) AS cum,
+             |        CAST(sum(rev) OVER () AS DECIMAL(28,6)) AS tot
+             |      FROM item),
+             |k AS (SELECT item, rev, tot,
+             |        CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+             |             WHEN cum * 20 <= tot * 19 THEN 'B'
+             |             ELSE 'C' END AS clazz
+             |      FROM c)
+             |SELECT clazz, count(*) AS n_items,
+             |  round(CAST(sum(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) AS rev_share
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── signup→purchase time-to-convert percentiles per cohort ─────────
+    "q220_time_to_convert" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Funnel.timeToConvert(Tables.events(s, dir), "user_id", "ts",
+            "event_type", fromType = "signup", toType = "purchase")
+          .orderBy($"cohort")
+      },
+      Some("""WITH s AS (SELECT user_id AS u, min(CAST(ts AS TIMESTAMP)) AS s_ts
+             |      FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |p AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS p_ts
+             |      FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT s.u, s.s_ts,
+             |        min(CASE WHEN p.p_ts >= s.s_ts THEN epoch_us(p.p_ts) END) AS p_us
+             |      FROM s LEFT JOIN p USING (u) GROUP BY 1, 2),
+             |l AS (SELECT strftime(s_ts, '%Y-%m') AS cohort,
+             |        p_us - epoch_us(s_ts) AS lat_us FROM c)
+             |SELECT cohort, count(*) AS n_signups, count(lat_us) AS n_converted,
+             |  round(quantile_cont(lat_us, 0.5), 6) AS p50_us,
+             |  round(quantile_cont(lat_us, 0.9), 6) AS p90_us
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

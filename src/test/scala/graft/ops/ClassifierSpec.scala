@@ -49,4 +49,42 @@ class ClassifierSpec extends SparkSpec {
     // identical bias-only features must yield the identical score
     assert(scored(1L) == scored(2L))
   }
+
+  test("cohenKappa: perfect agreement 1, constant prediction 0") {
+    import spark.implicits._
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"), ("a", "a"))
+      .toDF("t", "p")
+    val k1 = Classifier.cohenKappa(perfect, "t", "p")
+      .as[(Long, Double, Double, Double)].head()
+    assert(k1._2 == 1.0 && k1._4 == 1.0)
+    // constant prediction: po == pe exactly → kappa 0
+    val const = Seq(("a", "a"), ("b", "a"), ("a", "a"), ("b", "a"))
+      .toDF("t", "p")
+    val k2 = Classifier.cohenKappa(const, "t", "p")
+      .as[(Long, Double, Double, Double)].head()
+    assert(k2._2 == 0.5 && k2._3 == 0.5 && k2._4 == 0.0)
+  }
+
+  test("calibrationCurve: bins partition the docs, frac_pos consistent") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.05, false), (0.08, false), (0.12, true), (0.55, true),
+      (0.58, false), (0.95, true), (1.0, true))
+      .toDF("p", "is_target")
+    val out = Classifier.calibrationCurve(scored, "p", "is_target")
+      .as[(Int, Long, Double, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.values.map(_._2).sum == 7)
+    assert(out(9)._2 == 2) // 0.95 and the clamped 1.0
+    assert(out(0) == ((0, 2L, 0.065, 0L, 0.0)))
+    assert(out(5)._5 == 0.5) // one of two in bin 5 is positive
+  }
+
+  test("confusion counts are a partition of the rows") {
+    import spark.implicits._
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")).toDF("t", "p")
+    val m = Classifier.confusion(df, "t", "p")
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(m == Map(("a", "a") -> 1L, ("a", "b") -> 1L, ("b", "b") -> 2L))
+  }
 }

@@ -78,4 +78,20 @@ class CohortSpec extends SparkSpec {
     assert(out("2024-03") == ((1L, 0L, 1L))) // entity 1 churned
     assert(out.size == 3) // no phantom month for entity 3's future churn
   }
+
+  test("timeToConvert: anchors on first signup, ignores purchases before it") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-01 00:00:10"), "purchase"),   // 10 s
+      (2L, ts("2024-01-02 00:00:00"), "purchase"),   // BEFORE signup: ignored
+      (2L, ts("2024-01-03 00:00:00"), "signup"),
+      (2L, ts("2024-01-03 00:00:30"), "purchase"),   // 30 s
+      (3L, ts("2024-01-04 00:00:00"), "signup")      // never converts
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.timeToConvert(ev, "user_id", "ts", "event_type",
+        "signup", "purchase")
+      .as[(String, Long, Long, Option[Double], Option[Double])].head()
+    assert(out._1 == "2024-01" && out._2 == 3L && out._3 == 2L)
+    assert(out._4.contains(20e6)) // median of 10 s / 30 s in micros
+  }
 }

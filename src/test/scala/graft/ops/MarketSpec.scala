@@ -94,6 +94,16 @@ class MarketSpec extends SparkSpec {
     assert(math.abs(out("A")._4.get - 0.25) < 1e-8)
   }
 
+  test("paretoAbc: classes partition, boundary item belongs to A inclusively") {
+    // revenues 80, 15, 5: cum shares 0.80 (A, inclusive), 0.95 (B), 1.0 (C)
+    val df = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0)).toDF("item", "v")
+    val out = Market.paretoAbc(df, "item", "v")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 1L, 0.8)))
+    assert(out("B") == (("B", 1L, 0.15)))
+    assert(out("C") == (("C", 1L, 0.05)))
+  }
+
   test("laspeyres only weights items present in the base period") {
     val df = Seq(
       (1L, "2024-01", 1.0, 10.0),
