@@ -213,6 +213,34 @@ object Profile {
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** Hill tail-index estimator over the top-(k+1) order statistics of a
+    * positive integer metric: α̂ = k / Σ_{i<k} ln(x_(i) / x_(k)) — the
+    * heavy-tail exponent of e.g. the document-length distribution (how
+    * aggressively a max-length cut truncates mass). The top-(k+1)
+    * values come from ONE distributed TakeOrdered (k is a contract
+    * bound, like candK); the log fold runs in (value desc, id) order on
+    * the driver, mirroring the oracle's ordered list_reduce. Output:
+    * (k, x_k, alpha ← round 6); NULL alpha if the top values are all
+    * equal (zero denominator). */
+  def hillTail(df: DataFrame, idCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k >= 2")
+    val top = df.where(col(valueCol) > 0)
+      .select(col(idCol).cast("long").as("__id"), col(valueCol).cast("long").as("__v"))
+      .orderBy(col("__v").desc, col("__id"))
+      .limit(k + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(top.length == k + 1, s"need at least ${k + 1} positive rows")
+    val xk = top.last._2
+    var s = 0.0
+    top.dropRight(1).foreach { case (_, x) => s += math.log(x.toDouble / xk.toDouble) }
+    val alpha = if (s > 0) Some(BigDecimal(k.toDouble / s)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((k, xk, alpha)).toDF("k", "x_k", "alpha")
+  }
+
   /** Referential-integrity audit across a set of FK relations: for each
     * (name, child, childKey, parent, parentKey), the child row count,
     * the count of child rows whose key has no parent (LEFT ANTI join),

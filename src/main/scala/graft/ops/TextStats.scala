@@ -1030,6 +1030,108 @@ object TextStats {
       .withColumn("lambda", round(col("lambda"), 9))
   }
 
+  /** Entropy rate of the corpus bigram model: H = −Σ_{w1,w2} p(w1,w2)·
+    * ln p(w2|w1) with MLE probabilities (c12/T2 and c12/c1 from integer
+    * counts). Per-pair terms are 9-dp fixed point summed as DECIMAL, so
+    * H is bit-stable under any combine order. ONE bigram-count shuffle,
+    * one unigram join, one aggregate. Output: (n_bigrams, n_pairs,
+    * entropy_rate ← round 6). */
+  def lmEntropyRate(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val bg = df.select(explode(bigrams).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uc = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val t2 = bc.agg(sum(col("c12")).as("__t2"))
+    bc.join(uc.select(col("w").as("w1"), col("c1")), Seq("w1"))
+      .crossJoin(broadcast(t2))
+      .select(col("c12"), col("__t2"),
+        round((col("c12").cast("double") / col("__t2").cast("double")) *
+          log(col("c12").cast("double") / col("c1").cast("double")), 9)
+          .cast("decimal(18,9)").as("__term"))
+      .agg(max(col("__t2")).as("n_bigrams"),
+        count(lit(1)).as("n_pairs"),
+        round(-sum(col("__term")).cast("double"), 6).as("entropy_rate"))
+  }
+
+  /** Zipf's-law fit: OLS of ln(count) against ln(rank) over the top
+    * `topN` vocabulary terms (rank by count desc, term asc). Log
+    * coordinates are 9-dp fixed point so the normal-equation sums are
+    * exact; a Zipfian corpus reads slope ≈ −1. ONE token-count
+    * shuffle + a window over the VOCAB table. Output: (n_terms,
+    * slope, intercept ← round 6). */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("__r", row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+      .where(col("__r") <= topN)
+      .select(round(log(col("__r").cast("double")), 9).cast("decimal(12,9)").as("x"),
+        round(log(col("cnt").cast("double")), 9).cast("decimal(12,9)").as("y"))
+    val agg = ranked.agg(count(lit(1)).as("n_terms"),
+      sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+      sum(col("x") * col("y")).as("__sxy"), sum(col("x") * col("x")).as("__sxx"))
+    val nD = col("n_terms").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val den = nD * d("__sxx") - d("__sx") * d("__sx")
+    val slope = (nD * d("__sxy") - d("__sx") * d("__sy")) / den
+    agg.select(col("n_terms"),
+      round(slope, 6).as("slope"),
+      round((d("__sy") - slope * d("__sx")) / nD, 6).as("intercept"))
+  }
+
+  /** Term burstiness: variance-to-mean ratio of the per-document count
+    * of each of the top-`topN` corpus terms (zeros included via the
+    * corpus doc count — a bursty term clumps into few docs, VMR ≫ 1;
+    * a uniformly sprinkled one reads ≈ 1). Integer Σc and Σc² per term,
+    * one (doc, term) count + one term aggregate + a top-N window over
+    * the TERM table. Output: (term, total, vmr ← round 6), count desc. */
+  def burstiness(df: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count()
+    val dt = df.select(col(idCol).as("__id"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("__id"), col("w")).agg(count(lit(1)).as("c"))
+    val term = dt.groupBy(col("w").as("term"))
+      .agg(sum(col("c")).as("total"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("__ss"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("total").desc, col("term"))))
+      .where(col("__r") <= topN)
+    val nD = lit(nDocs.toDouble)
+    val mean = col("total").cast("double") / nD
+    val ex2 = col("__ss").cast("double") / nD
+    term.select(col("term"), col("total"),
+        round((ex2 - mean * mean) / mean, 6).as("vmr"))
+      .orderBy(col("total").desc, col("term"))
+  }
+
+  /** Template (boilerplate) detection by SHAPE fingerprint: every token
+    * maps to a length class (s ≤ 2, m ≤ 5, l otherwise) and the joined
+    * class string hashes to a 60-bit bucket — docs sharing a shape are
+    * template instances even when their words differ. Output: shapes
+    * with ≥ `minDocs` members as (shape_fp, n_docs, min_doc_id),
+    * n desc. Map-only classing + ONE fingerprint-keyed count. */
+  def templateFingerprints(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    val shape = array_join(transform(split(lower(col(textCol)), " "),
+      t => when(length(t) <= 2, lit("s"))
+        .when(length(t) <= 5, lit("m")).otherwise(lit("l"))), "")
+    df.select(col(idCol).as("__id"), Dedup.baseHash(shape).as("shape_fp"))
+      .groupBy(col("shape_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("__id")).as("min_doc_id"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("shape_fp"))
+  }
+
   /** T5-style span-corruption PLAN: deterministically mask ~1/`modulus`
     * of each doc's token positions (seeded-md5 rule, reproducible in
     * any engine and across epochs), merge adjacent masked positions

@@ -5248,7 +5248,109 @@ object OpsQueries {
              |SELECT cohort, count(*) AS n_signups, count(lat_us) AS n_converted,
              |  round(quantile_cont(lat_us, 0.5), 6) AS p50_us,
              |  round(quantile_cont(lat_us, 0.9), 6) AS p90_us
-             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── Hill tail-index of the document-length distribution ────────────
+    "q221_hill_tail" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.hillTail(Tables.documents(s, dir), "doc_id", "n_chars", k = 100)
+      },
+      Some("""WITH t AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0
+             |        ORDER BY n_chars DESC, doc_id LIMIT 101),
+             |r AS (SELECT doc_id, n_chars,
+             |        row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn FROM t),
+             |xk AS (SELECT n_chars AS xk FROM r WHERE rn = 101),
+             |sm AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+             |          list(ln(CAST(r.n_chars AS DOUBLE) / CAST(xk.xk AS DOUBLE)) ORDER BY r.rn)),
+             |          (a, b) -> a + b) AS sm
+             |       FROM r CROSS JOIN xk WHERE rn <= 100)
+             |SELECT CAST(100 AS INTEGER) AS k, xk.xk AS x_k,
+             |  CASE WHEN sm.sm > 0 THEN round(100 / sm.sm, 6) END AS alpha
+             |FROM sm CROSS JOIN xk""".stripMargin)),
+
+    // ─── entropy rate of the corpus bigram model ────────────────────────
+    "q222_lm_entropy_rate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.lmEntropyRate(Tables.documents(s, dir), "text")
+      },
+      Some("""WITH tk AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+             |uni AS (SELECT unnest(tk) AS w FROM tk),
+             |uc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+             |bgx AS (SELECT tk, CAST(unnest(range(len(tk) - 1)) AS INTEGER) AS pos
+             |        FROM tk WHERE len(tk) >= 2),
+             |bg AS (SELECT tk[pos+1] AS w1, tk[pos+2] AS w2 FROM bgx),
+             |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+             |t2 AS (SELECT sum(c12)::BIGINT AS t2 FROM bc),
+             |tm AS (SELECT CAST(round((CAST(c12 AS DOUBLE) / CAST(t2.t2 AS DOUBLE))
+             |          * ln(CAST(c12 AS DOUBLE) / CAST(uc.c1 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS term,
+             |         t2.t2
+             |       FROM bc JOIN uc ON bc.w1 = uc.w CROSS JOIN t2)
+             |SELECT max(t2)::BIGINT AS n_bigrams, count(*) AS n_pairs,
+             |  round(-CAST(sum(term) AS DOUBLE), 6) AS entropy_rate
+             |FROM tm""".stripMargin)),
+
+    // ─── Zipf's-law fit over the vocabulary (log-log OLS) ───────────────
+    "q223_zipf_fit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.zipfFit(Tables.documents(s, dir), "text", topN = 1000)
+      },
+      Some("""WITH c AS (SELECT w, count(*) AS cnt FROM
+             |        (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+             |      WHERE w <> '' GROUP BY 1),
+             |r AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM c),
+             |p AS (SELECT CAST(round(ln(CAST(rn AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+             |        CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+             |      FROM r WHERE rn <= 1000),
+             |a AS (SELECT count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+             |        sum(x*y) AS sxy, sum(x*x) AS sxx FROM p)
+             |SELECT n_terms,
+             |  round((n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+             |  round((CAST(sy AS DOUBLE)
+             |      - (n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |        / (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |        * CAST(sx AS DOUBLE)) / n_terms, 6) AS intercept
+             |FROM a""".stripMargin)),
+
+    // ─── term burstiness (variance-to-mean dispersion) ──────────────────
+    "q224_burstiness" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.burstiness(Tables.documents(s, dir), "doc_id", "text", topN = 20)
+      },
+      Some("""WITH nd AS (SELECT count(*) AS n FROM documents),
+             |dt AS (SELECT doc_id, w, count(*) AS c FROM
+             |        (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+             |      WHERE w <> '' GROUP BY 1, 2),
+             |tm AS (SELECT w AS term, sum(c)::BIGINT AS total,
+             |         sum(CAST(c*c AS DECIMAL(38,0))) AS ss
+             |       FROM dt GROUP BY 1),
+             |r AS (SELECT *, row_number() OVER (ORDER BY total DESC, term) AS rn FROM tm)
+             |SELECT term, total,
+             |  round((CAST(ss AS DOUBLE) / CAST(nd.n AS DOUBLE)
+             |      - (CAST(total AS DOUBLE) / CAST(nd.n AS DOUBLE))
+             |        * (CAST(total AS DOUBLE) / CAST(nd.n AS DOUBLE)))
+             |    / (CAST(total AS DOUBLE) / CAST(nd.n AS DOUBLE)), 6) AS vmr
+             |FROM r CROSS JOIN nd WHERE rn <= 20 ORDER BY total DESC, term""".stripMargin)),
+
+    // ─── template/boilerplate detection by shape fingerprint ────────────
+    "q225_template_shapes" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.templateFingerprints(Tables.documents(s, dir), "doc_id", "text",
+          minDocs = 2L)
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |  ('0x'||substr(md5(array_to_string(list_transform(string_split(lower(text), ' '),
+             |      t -> CASE WHEN length(t) <= 2 THEN 's'
+             |                WHEN length(t) <= 5 THEN 'm' ELSE 'l' END), '')),1,15))::BIGINT AS shape_fp
+             |  FROM documents)
+             |SELECT shape_fp, count(*) AS n_docs, min(doc_id) AS min_doc_id
+             |FROM s GROUP BY 1 HAVING count(*) >= 2
+             |ORDER BY n_docs DESC, shape_fp""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -348,6 +348,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "EWMA must not self-join per tap:\n" + p.take(1200))
   }
 
+  test("span corruption is one doc-keyed window, no join") {
+    val p = plan("q202_span_corruption")
+    assert(p.contains("Window"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "span plan must not join beyond the doc-count join-back:\n" + p.take(1200))
+  }
+
+  test("churn, seasonal MA, ABC and burstiness plan no product joins") {
+    Seq("q205_supplier_churn", "q206_seasonal_ma", "q219_pareto_abc",
+      "q224_burstiness").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n" + p.take(1200))
+    }
+  }
+
+  test("template fingerprints are map + one count — no join at all") {
+    val p = plan("q225_template_shapes")
+    assert(!p.contains("Join"), "template shapes must not join:\n" + p.take(1200))
+  }
+
   test("concentration and price index aggregate the fact table exactly once") {
     Seq("q193_hhi", "q195_price_index").foreach { q =>
       val p = plan(q)

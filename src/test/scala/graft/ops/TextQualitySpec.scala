@@ -140,4 +140,60 @@ class TextQualitySpec extends SparkSpec {
     // an IP is never half-eaten by the number rule (order contract)
     assert(!out._4.contains("<NUM>.<NUM>"))
   }
+
+  test("lmEntropyRate: hand-checkable two-token corpus") {
+    // "a b a b": bigrams (a,b)×2, (b,a)×1; c1(a)=c1(b)=2; T2=3
+    // H = −[2/3·ln(2/2)·... ] = −(round9(2/3·ln 1) + round9(1/3·ln(1/2)))
+    val df = Seq(Tuple1("a b a b")).toDF("text")
+    val out = TextStats.lmEntropyRate(df, "text")
+      .as[(Long, Long, Double)].head()
+    assert(out._1 == 3L && out._2 == 2L)
+    val expected = -(BigDecimal((1.0 / 3.0) * math.log(0.5))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(out._3 - math.round(expected * 1e6) / 1e6.toDouble) < 1e-9)
+  }
+
+  test("zipfFit: geometric counts give a negative slope; n_terms respects topN") {
+    // counts 16/8/4/2: strictly decreasing → negative log-log slope
+    val words = Seq.fill(16)("w1") ++ Seq.fill(8)("w2") ++
+      Seq.fill(4)("w3") ++ Seq.fill(2)("w4")
+    val df = Seq(Tuple1(words.mkString(" "))).toDF("text")
+    val out = TextStats.zipfFit(df, "text", topN = 3)
+      .as[(Long, Double, Double)].head()
+    assert(out._1 == 3L)
+    assert(out._2 < -0.5, s"slope ${out._2} not steeply negative")
+  }
+
+  test("burstiness: clumped term VMR 9, sprinkled term VMR 0") {
+    val docs = (1L to 9L).map(i => (i, "base")) :+ (10L, "base " + Seq.fill(10)("hot").mkString(" "))
+    val df = docs.toDF("doc_id", "text")
+    val out = TextStats.burstiness(df, "doc_id", "text", topN = 5)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // 'hot': 10 occurrences in 1 of 10 docs → mean 1, E[x²] 10 → VMR 9
+    assert(out("hot") == (("hot", 10L, 9.0)))
+    // 'base': once in each doc → variance 0
+    assert(out("base") == (("base", 10L, 0.0)))
+  }
+
+  test("templateFingerprints groups same-shape docs regardless of words") {
+    val df = Seq(
+      (1L, "the quick brown fox"),   // shapes: s m m s... lengths 3,5,5,3 → m m m m
+      (2L, "his rapid green cat"),   // lengths 3,5,5,3 → same shape
+      (3L, "completely different"),  // l l
+      (4L, "a b")                    // s s
+    ).toDF("doc_id", "text")
+    val out = TextStats.templateFingerprints(df, "doc_id", "text", minDocs = 2L)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 1)
+    assert(out.head._2 == 2L && out.head._3 == 1L)
+  }
+
+  test("hillTail: hand-checkable alpha on a 3-point tail") {
+    val df = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L)).toDF("id", "v")
+    val out = Profile.hillTail(df, "id", "v", k = 2)
+      .as[(Int, Long, Option[Double])].head()
+    assert(out._1 == 2 && out._2 == 2L)
+    val expect = 2.0 / (math.log(8.0 / 2.0) + math.log(4.0 / 2.0))
+    assert(out._3.exists(a => math.abs(a - expect) < 1e-6))
+  }
 }
