@@ -120,6 +120,32 @@ object Classifier {
     df.groupBy(col(truthCol).as("truth"), col(predCol).as("pred"))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-class precision / recall / F1 from the confusion counts.
+    * F1 uses the algebraic identity 2PR/(P+R) = 2·tp/(n_pred+n_true),
+    * so it never composes the two already-rounded ratios. Classes that
+    * appear only in truth or only in prediction still get a row (full
+    * outer marginal join); undefined ratios are NULL, not 0/0.
+    * Output: (clazz, n_true, n_pred, tp, precision, recall, f1). */
+  def perClassF1(df: DataFrame, truthCol: String, predCol: String): DataFrame = {
+    val ct = confusion(df, truthCol, predCol).localCheckpoint(false)
+    val rt = ct.groupBy(col("truth").as("clazz")).agg(sum(col("n")).as("n_true"))
+    val pt = ct.groupBy(col("pred").as("clazz")).agg(sum(col("n")).as("n_pred"))
+    val tp = ct.filter(col("truth") === col("pred"))
+      .select(col("truth").as("clazz"), col("n").as("tp"))
+    rt.join(pt, Seq("clazz"), "full_outer").join(tp, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", when(col("n_pred") > 0,
+        round(col("tp").cast("double") / col("n_pred").cast("double"), 6)))
+      .withColumn("recall", when(col("n_true") > 0,
+        round(col("tp").cast("double") / col("n_true").cast("double"), 6)))
+      .withColumn("f1", when(col("n_pred") + col("n_true") > 0,
+        round(lit(2.0) * col("tp").cast("double") /
+          (col("n_pred") + col("n_true")).cast("double"), 6)))
+  }
+
   /** Cohen's kappa between two label columns: κ = (p_o − p_e)/(1 − p_e)
     * with p_o the observed agreement and p_e the chance agreement from
     * the marginals. All counts integer; marginal products go through

@@ -1114,6 +1114,27 @@ object TextStats {
       .orderBy(col("total").desc, col("term"))
   }
 
+  /** Feature-hashed document embedding: every token maps to one of
+    * `buckets` md5 buckets; the doc vector is the L1-normalized bucket
+    * count histogram, emitted SPARSE as (id, bucket, wt) rows — the
+    * cheap trainable-model-free doc representation (hashing trick,
+    * Weinberger et al. '09). One (doc, bucket) count + a doc-total
+    * join; integer ratios rounded to 6. */
+  def hashedDocEmbedding(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, seed: Int = 31): DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    val bc = df.select(col(idCol).as("__id"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("__id"),
+        pmod(Dedup.seededHash(seed, col("w")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("__id"), col("bucket")).agg(count(lit(1)).as("c"))
+    val totals = bc.groupBy(col("__id")).agg(sum(col("c")).as("__tot"))
+    bc.join(totals, Seq("__id"))
+      .select(col("__id").as(idCol), col("bucket"),
+        round(col("c").cast("double") / col("__tot").cast("double"), 6).as("wt"))
+  }
+
   /** Template (boilerplate) detection by SHAPE fingerprint: every token
     * maps to a length class (s ≤ 2, m ≤ 5, l otherwise) and the joined
     * class string hashes to a 60-bit bucket — docs sharing a shape are

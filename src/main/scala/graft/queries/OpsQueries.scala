@@ -5350,7 +5350,159 @@ object OpsQueries {
              |  FROM documents)
              |SELECT shape_fp, count(*) AS n_docs, min(doc_id) AS min_doc_id
              |FROM s GROUP BY 1 HAVING count(*) >= 2
-             |ORDER BY n_docs DESC, shape_fp""".stripMargin)))
+             |ORDER BY n_docs DESC, shape_fp""".stripMargin)),
+
+    // ─── PII density rollup per source (release-gating table) ───────────
+    // The q171 injection + typed counters aggregated per source: which
+    // slice of the corpus carries the PII burden before a release.
+    "q226_pii_by_source" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val injected = Tables.documents(s, dir).withColumn("t2", concat($"text",
+          when(pmod($"doc_id", lit(5L)) === 0L,
+            concat(lit(" contact user"), $"doc_id", lit("@example.com now")))
+            .otherwise(lit("")),
+          when(pmod($"doc_id", lit(7L)) === 0L,
+            concat(lit(" from 10.0."), pmod($"doc_id", lit(256L)), lit(".25")))
+            .otherwise(lit("")),
+          when(pmod($"doc_id", lit(11L)) === 0L,
+            concat(lit(" ref 4415"), lpad(pmod($"doc_id", lit(1000000L)), 6, "0")))
+            .otherwise(lit(""))))
+        injected.select($"source", TextStats.piiCounts($"t2").as("pc"))
+          .select($"source",
+            ($"pc.n_email" + $"pc.n_ip" + $"pc.n_num" > 0).as("__has"),
+            $"pc.n_email".as("__e"), $"pc.n_ip".as("__i"), $"pc.n_num".as("__n"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"__has", 1L).otherwise(0L)).as("n_pii_docs"),
+            sum($"__e").cast("long").as("emails"),
+            sum($"__i").cast("long").as("ips"),
+            sum($"__n").cast("long").as("nums"))
+          .withColumn("pii_rate",
+            round($"n_pii_docs".cast("double") / $"n_docs".cast("double"), 6))
+          .orderBy($"source")
+      },
+      Some("""WITH inj AS (SELECT source, doc_id, text
+             |    || CASE WHEN doc_id % 5 = 0
+             |            THEN ' contact user'||doc_id||'@example.com now' ELSE '' END
+             |    || CASE WHEN doc_id % 7 = 0
+             |            THEN ' from 10.0.'||(doc_id % 256)||'.25' ELSE '' END
+             |    || CASE WHEN doc_id % 11 = 0
+             |            THEN ' ref 4415'||lpad((doc_id % 1000000)::VARCHAR, 6, '0') ELSE '' END
+             |    AS t2 FROM documents),
+             |c AS (SELECT source,
+             |    len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+             |    len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS i,
+             |    len(regexp_extract_all(t2, '\b\d{10,15}\b')) AS n
+             |  FROM inj)
+             |SELECT source, count(*) AS n_docs,
+             |  sum(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pii_docs,
+             |  sum(e)::BIGINT AS emails, sum(i)::BIGINT AS ips, sum(n)::BIGINT AS nums,
+             |  round(sum(CASE WHEN e + i + n > 0 THEN 1 ELSE 0 END)
+             |    / CAST(count(*) AS DOUBLE), 6) AS pii_rate
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── per-class precision/recall/F1 for the language-ID guess ────────
+    "q227_langid_f1" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val markers = Map(
+          "de" -> Seq("der", "und"), "en" -> Seq("the", "a"),
+          "es" -> Seq("el", "y"), "fr" -> Seq("le", "et"))
+        val pred = Tables.documents(s, dir).select($"lang",
+          TextStats.langGuess($"text", markers).as("lang_guess"))
+        Classifier.perClassF1(pred, "lang", "lang_guess")
+          .orderBy($"clazz")
+      },
+      Some(s"""WITH $langIdOracleCtes,
+              |ct AS (SELECT lang AS truth, lang_guess AS pred, count(*) AS n
+              |       FROM g GROUP BY 1, 2),
+              |rt AS (SELECT truth AS clazz, sum(n)::BIGINT AS n_true FROM ct GROUP BY 1),
+              |pt AS (SELECT pred AS clazz, sum(n)::BIGINT AS n_pred FROM ct GROUP BY 1),
+              |tp AS (SELECT truth AS clazz, n::BIGINT AS tp FROM ct WHERE truth = pred),
+              |j AS (SELECT COALESCE(rt.clazz, pt.clazz) AS clazz,
+              |        COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred
+              |      FROM rt FULL OUTER JOIN pt ON rt.clazz = pt.clazz)
+              |SELECT j.clazz, j.n_true, j.n_pred, COALESCE(tp.tp, 0) AS tp,
+              |  CASE WHEN j.n_pred > 0
+              |    THEN round(COALESCE(tp.tp, 0) / CAST(j.n_pred AS DOUBLE), 6) END AS precision,
+              |  CASE WHEN j.n_true > 0
+              |    THEN round(COALESCE(tp.tp, 0) / CAST(j.n_true AS DOUBLE), 6) END AS recall,
+              |  CASE WHEN j.n_pred + j.n_true > 0
+              |    THEN round(2.0 * COALESCE(tp.tp, 0) / CAST(j.n_pred + j.n_true AS DOUBLE), 6) END AS f1
+              |FROM j LEFT JOIN tp ON j.clazz = tp.clazz ORDER BY j.clazz""".stripMargin)),
+
+    // ─── RFM customer segmentation (recency / frequency / monetary) ─────
+    "q228_rfm_segments" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val cust = Tables.orders(s, dir).groupBy($"o_custkey")
+          .agg(max(to_date($"o_orderdate")).as("__last"),
+            count(lit(1)).as("__freq"),
+            sum($"o_totalprice".cast("decimal(18,6)")).as("__mon"))
+        val mx = cust.agg(max($"__last").as("__gmax"))
+        val scored = cust.crossJoin(broadcast(mx))
+          .withColumn("__rec", datediff($"__gmax", $"__last"))
+          .withColumn("__r", ntile(5).over(Window.orderBy($"__rec".desc, $"o_custkey")))
+          .withColumn("__f", ntile(5).over(Window.orderBy($"__freq".asc, $"o_custkey")))
+          .withColumn("__m", ntile(5).over(Window.orderBy($"__mon".asc, $"o_custkey")))
+        scored
+          .withColumn("segment", $"__r" * 100 + $"__f" * 10 + $"__m")
+          .groupBy($"segment")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum($"__mon").cast("double") / count(lit(1)), 6).as("avg_monetary"))
+          .orderBy($"segment")
+      },
+      Some("""WITH cust AS (SELECT o_custkey,
+             |        max(CAST(o_orderdate AS DATE)) AS last_d,
+             |        count(*) AS freq,
+             |        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS mon
+             |      FROM orders GROUP BY 1),
+             |mx AS (SELECT max(last_d) AS gmax FROM cust),
+             |sc AS (SELECT o_custkey, mon,
+             |         CAST(ntile(5) OVER (ORDER BY date_diff('day', last_d, mx.gmax) DESC, o_custkey) AS INTEGER) AS r,
+             |         CAST(ntile(5) OVER (ORDER BY freq ASC, o_custkey) AS INTEGER) AS f,
+             |         CAST(ntile(5) OVER (ORDER BY mon ASC, o_custkey) AS INTEGER) AS m
+             |       FROM cust CROSS JOIN mx)
+             |SELECT r * 100 + f * 10 + m AS segment, count(*) AS n_customers,
+             |  round(CAST(sum(mon) AS DOUBLE) / count(*), 6) AS avg_monetary
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── near-dup cluster-size histogram ────────────────────────────────
+    "q229_cluster_sizes" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+        Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
+            pairs.select($"id_a", $"id_b"))
+          .groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+          .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy($"cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $clusterCtes,
+              |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+              |SELECT cluster_size, count(*) AS n_clusters
+              |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── feature-hashed sparse doc embedding (hashing trick) ────────────
+    "q230_hashed_embedding" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.hashedDocEmbedding(Tables.documents(s, dir), "doc_id", "text",
+            buckets = 16)
+          .orderBy($"doc_id", $"bucket")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |        (${sqlHash(31, "w")} % 16) AS bucket
+              |      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+              |      WHERE w <> ''),
+              |bc AS (SELECT doc_id, bucket, count(*) AS c FROM t GROUP BY 1, 2),
+              |tt AS (SELECT doc_id, sum(c) AS tot FROM bc GROUP BY 1)
+              |SELECT bc.doc_id, bc.bucket, round(bc.c / CAST(tt.tot AS DOUBLE), 6) AS wt
+              |FROM bc JOIN tt USING (doc_id) ORDER BY bc.doc_id, bc.bucket""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

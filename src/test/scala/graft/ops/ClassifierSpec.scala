@@ -79,6 +79,19 @@ class ClassifierSpec extends SparkSpec {
     assert(out(5)._5 == 0.5) // one of two in bin 5 is positive
   }
 
+  test("perClassF1: hand-checkable asymmetric case incl. never-predicted class") {
+    import spark.implicits._
+    // truth a,a,b,c — pred a,b,b,b: tp(a)=1, tp(b)=1, tp(c)=0; c never predicted
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("c", "b")).toDF("t", "p")
+    val out = Classifier.perClassF1(df, "t", "p")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 2L, 1L, 1L, Some(1.0), Some(0.5), Some(2.0 / 3 * 1e6).map(v => math.round(v) / 1e6))))
+    assert(out("b")._5.contains(math.round(1.0 / 3 * 1e6) / 1e6.toDouble))
+    assert(out("b")._6.contains(1.0))
+    assert(out("c") == (("c", 1L, 0L, 0L, None, Some(0.0), Some(0.0))))
+  }
+
   test("confusion counts are a partition of the rows") {
     import spark.implicits._
     val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")).toDF("t", "p")

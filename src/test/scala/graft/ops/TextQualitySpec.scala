@@ -188,6 +188,19 @@ class TextQualitySpec extends SparkSpec {
     assert(out.head._2 == 2L && out.head._3 == 1L)
   }
 
+  test("hashedDocEmbedding: weights sum to 1 per doc, partitioning-invariant") {
+    val docs = graft.Tables.documents(spark, sfTiny).limit(50)
+    val out = TextStats.hashedDocEmbedding(docs, "doc_id", "text", buckets = 16)
+      .as[(Long, Long, Double)].collect()
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, s"doc $id weights != 1")
+      assert(rows.map(_._2).forall(b => b >= 0 && b < 16))
+    }
+    val b = TextStats.hashedDocEmbedding(docs.repartition(7), "doc_id", "text", 16)
+      .as[(Long, Long, Double)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq == b.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("hillTail: hand-checkable alpha on a 3-point tail") {
     val df = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L)).toDF("id", "v")
     val out = Profile.hillTail(df, "id", "v", k = 2)
