@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -211,6 +212,80 @@ object Profile {
         when(col("n") >= 2 && vx > 0.0 && vy > 0.0,
           round(cov / (sqrt(vx) * sqrt(vy)), 6)))
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+  }
+
+  /** Wilson score lower bound per group: the ranking-safe success rate
+    * for (successes k of n trials) at confidence z —
+    *   (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).
+    * Inputs are exact integers; z and z² enter as the same Scala
+    * doubles on both engines, and the expression shape is mirrored
+    * term by term, so the bound is bit-stable. ONE group aggregate.
+    * Output: (group, n, k, p_hat, wilson_lb ← round 6). */
+  def wilsonLowerBound(df: DataFrame, groupCol: String, successCol: Column,
+      z: Double = 1.96): DataFrame = {
+    val z2 = z * z
+    val agg = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val lb = (p + lit(z2) / (lit(2.0) * nD) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / nD + lit(z2) / (lit(4.0) * nD * nD))) /
+      (lit(1.0) + lit(z2) / nD)
+    agg.select(col("grp"), col("n"), col("k"),
+      round(p, 6).as("p_hat"), round(lb, 6).as("wilson_lb"))
+  }
+
+  /** Two-proportion z-test between the two arms of `armCol` (must take
+    * exactly two values; arms ordered ascending so arm1 − arm2 is
+    * well-defined): z = (p₁ − p₂)/√(p̄(1−p̄)(1/n₁ + 1/n₂)) with the
+    * pooled p̄. Integer counts → mirrored double expression. Output:
+    * one row (arm_a, arm_b, n_a, k_a, n_b, k_b, z ← round 6). */
+  def twoProportionZ(df: DataFrame, armCol: String,
+      successCol: Column): DataFrame = {
+    val agg = df.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"), sum(when(successCol, 1L).otherwise(0L)).as("k"))
+      .orderBy(col("arm"))
+      .limit(2)
+    val rows = agg.collect()
+    require(rows.length == 2, s"need exactly two arms, got ${rows.length}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (aA, nA, kA) = (rows(0).get(0).toString, rows(0).getLong(1), rows(0).getLong(2))
+    val (aB, nB, kB) = (rows(1).get(0).toString, rows(1).getLong(1), rows(1).getLong(2))
+    val p1 = kA.toDouble / nA.toDouble
+    val p2 = kB.toDouble / nB.toDouble
+    val pp = (kA + kB).toDouble / (nA + nB).toDouble
+    val zv = (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (1.0 / nA.toDouble + 1.0 / nB.toDouble))
+    Seq((aA, aB, nA, kA, nB, kB,
+      BigDecimal(zv).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("arm_a", "arm_b", "n_a", "k_a", "n_b", "k_b", "z")
+  }
+
+  /** Weighted median (and general weighted percentile num/den) per
+    * group: rows sort by (value, tiebreak) inside each group, weights
+    * accumulate as EXACT decimals, and the answer is the first value
+    * whose doubled cumulative weight reaches the total — an all-decimal
+    * comparison, no float shares. `valueCol` is 9-dp fixed point by
+    * contract. ONE group-keyed sort window + one group aggregate.
+    * Output: (group, total_weight, w_median). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: Column,
+      weightCol: Column, tiebreak: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+      round(valueCol, 9).cast("decimal(15,9)").as("__v"),
+      weightCol.cast("decimal(18,6)").as("__w"),
+      tiebreak.as("__tb"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("__v"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("grp"))
+    base
+      // DECIMAL(28,6): the ×2 comparison must stay inside precision 38
+      .withColumn("__cum", sum(col("__w")).over(w).cast("decimal(28,6)"))
+      .withColumn("__tot", sum(col("__w")).over(tot).cast("decimal(28,6)"))
+      .groupBy(col("grp"))
+      .agg(max(col("__tot")).cast("double").as("total_weight"),
+        min(when(col("__cum") * 2 >= col("__tot"), col("__v")))
+          .cast("double").as("w_median"))
   }
 
   /** Hill tail-index estimator over the top-(k+1) order statistics of a

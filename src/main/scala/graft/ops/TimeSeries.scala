@@ -137,6 +137,71 @@ object TimeSeries {
     events.withColumn("ewma", round(num / den, 6))
   }
 
+  /** CUSUM changepoint scan over the monthly value series: cusum_i =
+    * Σ_{j≤i} v_j − i·mean, computed as (exact DECIMAL running sum) −
+    * (integer rank × the one mean double) — NO floating running sum, so
+    * the scan is bit-stable even where windowed double aggregation
+    * would re-associate. The peak |cusum| month (ties → earliest) is
+    * the level-shift candidate. ONE fact aggregate to months + windows
+    * over the month series. Output: (month, value, cusum, is_peak). */
+  def cusumChangepoint(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val monthly = df
+      .groupBy(date_format(date_trunc("month", col(tsCol)), "yyyy-MM").as("month"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__v"))
+    val ord = Window.orderBy(col("month"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val withC = monthly
+      .withColumn("__rn", row_number().over(ord).cast("long"))
+      .withColumn("__cumv", sum(col("__v")).over(run).cast("decimal(28,6)"))
+      .withColumn("__mean",
+        sum(col("__v")).over(all).cast("double") / count(lit(1)).over(all).cast("double"))
+      .withColumn("cusum", round(
+        col("__cumv").cast("double") - col("__rn").cast("double") * col("__mean"), 6))
+    withC
+      .withColumn("__mx", max(abs(col("cusum"))).over(all))
+      .withColumn("is_peak", abs(col("cusum")) === col("__mx") &&
+        col("month") === min(when(abs(col("cusum")) === col("__mx"), col("month"))).over(all))
+      .select(col("month"), round(col("__v").cast("double"), 6).as("value"),
+        col("cusum"), col("is_peak"))
+  }
+
+  /** Trend strength of the monthly series (Hyndman & Athanasopoulos,
+    * FPP: F_T = max(0, 1 − Var(remainder)/Var(value)) — with the MA(3)
+    * trend as the fit and no seasonal term). Variances accumulate as
+    * 9-dp fixed-point DECIMAL sums over the interior months (where the
+    * centered window is complete), so F is order-independent. Output:
+    * one row (n_months, var_value, var_resid, trend_strength). */
+  def trendStrength(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    // The series is normalized by its own mean FIRST (F_T is
+    // scale-invariant), so every squared term is O(1) — where 9-dp
+    // rounding is engine-exact at any data scale. Rounding raw
+    // revenue-scale squares is NOT (DuckDB's double round overflows
+    // its ×10^d trick above ~2^53).
+    val dec = monthlyMaDecompose(df, tsCol, valueCol)
+      .where(col("trend").isNotNull)
+      .localCheckpoint(false)
+    val mean = dec.agg(
+        (sum(col("value").cast("decimal(24,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("__mean"))
+    val norm = dec.crossJoin(broadcast(mean))
+      .select(round(col("value") / col("__mean"), 9).as("nv"),
+        round(col("resid") / col("__mean"), 9).as("nr"))
+    val agg = norm.agg(count(lit(1)).as("n_months"),
+      sum(col("nv").cast("decimal(18,9)")).as("__sv"),
+      sum(round(col("nv") * col("nv"), 9).cast("decimal(18,9)")).as("__svv"),
+      sum(col("nr").cast("decimal(18,9)")).as("__sr"),
+      sum(round(col("nr") * col("nr"), 9).cast("decimal(18,9)")).as("__srr"))
+    val nD = col("n_months").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val varV = d("__svv") / nD - (d("__sv") / nD) * (d("__sv") / nD)
+    val varR = d("__srr") / nD - (d("__sr") / nD) * (d("__sr") / nD)
+    agg.select(col("n_months"),
+      round(varV, 9).as("var_value_norm"), round(varR, 9).as("var_resid_norm"),
+      round(greatest(lit(0.0), lit(1.0) - varR / varV), 6).as("trend_strength"))
+  }
+
   /** Monthly trend/residual decomposition by centered 3-month moving
     * average: value_m (exact DECIMAL month sum), trend = MA(3) over
     * [m−1, m+1] (NULL at the series edges where the window is

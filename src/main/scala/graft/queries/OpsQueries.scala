@@ -5502,7 +5502,150 @@ object OpsQueries {
               |bc AS (SELECT doc_id, bucket, count(*) AS c FROM t GROUP BY 1, 2),
               |tt AS (SELECT doc_id, sum(c) AS tot FROM bc GROUP BY 1)
               |SELECT bc.doc_id, bc.bucket, round(bc.c / CAST(tt.tot AS DOUBLE), 6) AS wt
-              |FROM bc JOIN tt USING (doc_id) ORDER BY bc.doc_id, bc.bucket""".stripMargin)))
+              |FROM bc JOIN tt USING (doc_id) ORDER BY bc.doc_id, bc.bucket""".stripMargin)),
+
+    // ─── Wilson score lower bound per event type (ranking-safe rates) ───
+    "q231_wilson_bound" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.wilsonLowerBound(Tables.events(s, dir), "event_type",
+            $"value" >= 100.0, z = 1.96)
+          .orderBy($"grp")
+      },
+      Some {
+        val z = 1.96; val z2 = z * z
+        s"""WITH a AS (SELECT event_type AS grp, count(*) AS n,
+           |        sum(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)::BIGINT AS k
+           |      FROM events GROUP BY 1),
+           |e AS (SELECT grp, n, k, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM a)
+           |SELECT grp, n, k, round(p, 6) AS p_hat,
+           |  round((p + CAST($z2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))
+           |      - CAST($z AS DOUBLE) * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+           |          + CAST($z2 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           |    / (1.0 + CAST($z2 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS wilson_lb
+           |FROM e ORDER BY grp""".stripMargin
+      }),
+
+    // ─── two-proportion z-test between user-parity arms ─────────────────
+    "q232_ab_ztest" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.twoProportionZ(
+          Tables.events(s, dir).withColumn("arm",
+            when(pmod($"user_id", lit(2L)) === 0L, "A").otherwise("B")),
+          "arm", $"event_type" === "purchase")
+      },
+      Some("""WITH a AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             |        count(*) AS n,
+             |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS k
+             |      FROM events GROUP BY 1),
+             |w AS (SELECT
+             |        max(CASE WHEN arm = 'A' THEN arm END) AS arm_a,
+             |        max(CASE WHEN arm = 'B' THEN arm END) AS arm_b,
+             |        max(CASE WHEN arm = 'A' THEN n END)::BIGINT AS n_a,
+             |        max(CASE WHEN arm = 'A' THEN k END)::BIGINT AS k_a,
+             |        max(CASE WHEN arm = 'B' THEN n END)::BIGINT AS n_b,
+             |        max(CASE WHEN arm = 'B' THEN k END)::BIGINT AS k_b
+             |      FROM a)
+             |SELECT arm_a, arm_b, n_a, k_a, n_b, k_b,
+             |  round((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |      - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             |    / sqrt((CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             |        * (1.0 - CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z
+             |FROM w""".stripMargin)),
+
+    // ─── CUSUM level-shift scan over monthly revenue ────────────────────
+    "q233_cusum_changepoint" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.cusumChangepoint(Tables.lineitem(s, dir), "l_shipdate",
+            "l_extendedprice")
+          .orderBy($"month")
+      },
+      Some("""WITH mth AS (SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+             |        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+             |      FROM lineitem GROUP BY 1),
+             |c AS (SELECT month, v,
+             |        CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS rn,
+             |        CAST(sum(v) OVER (ORDER BY month
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,6)) AS cumv,
+             |        CAST(sum(v) OVER () AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE) AS mean
+             |      FROM mth),
+             |d AS (SELECT month, v,
+             |        round(CAST(cumv AS DOUBLE) - CAST(rn AS DOUBLE) * mean, 6) AS cusum
+             |      FROM c),
+             |e AS (SELECT *, max(abs(cusum)) OVER () AS mx FROM d),
+             |f AS (SELECT *, min(CASE WHEN abs(cusum) = mx THEN month END) OVER () AS pk FROM e)
+             |SELECT month, round(CAST(v AS DOUBLE), 6) AS value, cusum,
+             |  abs(cusum) = mx AND month = pk AS is_peak
+             |FROM f ORDER BY month""".stripMargin)),
+
+    // ─── weighted median unit price per return flag ─────────────────────
+    "q234_weighted_median" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.weightedMedian(
+          Tables.lineitem(s, dir).where($"l_quantity" > 0),
+          "l_returnflag",
+          $"l_extendedprice" / $"l_quantity",
+          $"l_quantity",
+          concat($"l_orderkey", lit("-"), $"l_linenumber"))
+          .orderBy($"grp")
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS grp,
+             |        CAST(round(l_extendedprice / l_quantity, 9) AS DECIMAL(15,9)) AS v,
+             |        CAST(l_quantity AS DECIMAL(18,6)) AS w,
+             |        l_orderkey || '-' || l_linenumber AS tb
+             |      FROM lineitem WHERE l_quantity > 0),
+             |c AS (SELECT grp, v, w,
+             |        CAST(sum(w) OVER (PARTITION BY grp ORDER BY v, tb
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,6)) AS cum,
+             |        CAST(sum(w) OVER (PARTITION BY grp) AS DECIMAL(28,6)) AS tot
+             |      FROM b)
+             |SELECT grp, CAST(max(tot) AS DOUBLE) AS total_weight,
+             |  CAST(min(CASE WHEN cum * 2 >= tot THEN v END) AS DOUBLE) AS w_median
+             |FROM c GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // ─── trend strength of monthly revenue (FPP F_T) ────────────────────
+    "q235_trend_strength" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.trendStrength(Tables.lineitem(s, dir), "l_shipdate",
+          "l_extendedprice")
+      },
+      Some("""WITH mth AS (SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+             |        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+             |      FROM lineitem GROUP BY 1),
+             |w AS (SELECT month, v,
+             |        count(*) OVER win AS n3, sum(v) OVER win AS s3
+             |      FROM mth
+             |      WINDOW win AS (ORDER BY month ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)),
+             |d AS (SELECT round(CAST(v AS DOUBLE), 6) AS value,
+             |        round(CAST(s3 AS DOUBLE) / 3.0, 6) AS trend,
+             |        round(CAST(v AS DOUBLE) - CAST(s3 AS DOUBLE) / 3.0, 6) AS resid
+             |      FROM w WHERE n3 = 3),
+             |mn AS (SELECT CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+             |          / CAST(count(*) AS DOUBLE) AS mean FROM d),
+             |p AS (SELECT round(value / mn.mean, 9) AS nv, round(resid / mn.mean, 9) AS nr
+             |      FROM d CROSS JOIN mn),
+             |a AS (SELECT count(*) AS n_months,
+             |        sum(CAST(nv AS DECIMAL(18,9))) AS sv,
+             |        sum(CAST(round(nv*nv, 9) AS DECIMAL(18,9))) AS svv,
+             |        sum(CAST(nr AS DECIMAL(18,9))) AS sr,
+             |        sum(CAST(round(nr*nr, 9) AS DECIMAL(18,9))) AS srr
+             |      FROM p)
+             |SELECT n_months,
+             |  round(CAST(svv AS DOUBLE) / n_months
+             |    - (CAST(sv AS DOUBLE) / n_months) * (CAST(sv AS DOUBLE) / n_months), 9) AS var_value_norm,
+             |  round(CAST(srr AS DOUBLE) / n_months
+             |    - (CAST(sr AS DOUBLE) / n_months) * (CAST(sr AS DOUBLE) / n_months), 9) AS var_resid_norm,
+             |  round(greatest(0.0,
+             |    1.0 - (CAST(srr AS DOUBLE) / n_months
+             |        - (CAST(sr AS DOUBLE) / n_months) * (CAST(sr AS DOUBLE) / n_months))
+             |      / (CAST(svv AS DOUBLE) / n_months
+             |        - (CAST(sv AS DOUBLE) / n_months) * (CAST(sv AS DOUBLE) / n_months))), 6) AS trend_strength
+             |FROM a""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -107,6 +107,47 @@ class ProfileSpec extends SparkSpec {
     assert(out.forall(x => x._3 >= 1.0 && x._3 <= 100.0))
   }
 
+  test("wilsonLowerBound: hand-checked 50/100 at z=1.96, bounds in (0, p)") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 100).map(i => ("g", i <= 50)).toDF("g", "s")
+    val out = Profile.wilsonLowerBound(df, "g", col("s"), z = 1.96)
+      .as[(String, Long, Long, Double, Double)].head()
+    assert(out._2 == 100L && out._3 == 50L && out._4 == 0.5)
+    // Wilson lower bound for 50/100 @95%: (0.519208 − 1.96·0.0509514…)/1.038416 ≈ 0.40383
+    assert(math.abs(out._5 - 0.40383) < 1e-4)
+    assert(out._5 < out._4 && out._5 > 0)
+  }
+
+  test("twoProportionZ: identical arms give z = 0, better arm positive") {
+    import org.apache.spark.sql.functions._
+    val same = (Seq.fill(10)(("A", true)) ++ Seq.fill(10)(("A", false)) ++
+      Seq.fill(10)(("B", true)) ++ Seq.fill(10)(("B", false)))
+      .toDF("arm", "s")
+    val z0 = Profile.twoProportionZ(same, "arm", col("s"))
+      .as[(String, String, Long, Long, Long, Long, Double)].head()
+    assert(z0._7 == 0.0)
+    val better = ((1 to 20).map(_ => ("A", true)) ++ (1 to 20).map(i => ("B", i <= 5)))
+      .toDF("arm", "s")
+    val z1 = Profile.twoProportionZ(better, "arm", col("s"))
+      .as[(String, String, Long, Long, Long, Long, Double)].head()
+    assert(z1._7 > 3.0, s"z=${z1._7}")
+  }
+
+  test("weightedMedian: weights shift the cut; equal weights match plain median") {
+    import org.apache.spark.sql.functions._
+    // values 1..4, weight 10 on value 4: median pulled to 4
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 10.0))
+      .toDF("g", "v", "w")
+    val out = Profile.weightedMedian(df, "g", col("v"), col("w"), col("v"))
+      .as[(String, Double, Double)].head()
+    assert(out._2 == 13.0 && out._3 == 4.0)
+    val eq = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0))
+      .toDF("g", "v", "w")
+    val out2 = Profile.weightedMedian(eq, "g", col("v"), col("w"), col("v"))
+      .as[(String, Double, Double)].head()
+    assert(out2._3 == 2.0)
+  }
+
   test("refIntegrity counts orphans exactly and rates them") {
     import org.apache.spark.sql.functions._
     val child = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 98L)).toDF("id", "fk")

@@ -106,6 +106,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(2L) == math.round(50.0 / 0.75 * 1e6) / 1e6)
   }
 
+  test("cusumChangepoint flags the level-shift month") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-$m%02d-15 00:00:00")
+    // level 10 for 4 months then 50 for 4 months: |CUSUM| peaks at the
+    // last low month (month 4)
+    val df = ((1 to 4).map(m => (t(m), 10.0)) ++ (5 to 8).map(m => (t(m), 50.0)))
+      .toDF("ts", "v")
+    val out = TimeSeries.cusumChangepoint(df, "ts", "v")
+      .as[(String, Double, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out("2024-04")._4, "peak not at the shift point")
+    assert(out.values.count(_._4) == 1)
+    // mean 30: cusum at month 4 = 40 - 4·30... = -80
+    assert(out("2024-04")._3 == -80.0)
+  }
+
+  test("trendStrength: noiseless linear trend scores 1") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-$m%02d-15 00:00:00")
+    val df = (1 to 6).map(m => (t(m), m * 100.0)).toDF("ts", "v")
+    val out = TimeSeries.trendStrength(df, "ts", "v")
+      .as[(Long, Double, Double, Double)].head()
+    assert(out._1 == 4L)         // 6 months, 4 interior
+    assert(out._3 == 0.0)        // MA(3) of a line is the line: resid 0
+    assert(out._4 == 1.0)
+  }
+
   test("monthlyMaDecompose: edges have NULL trend, interior trend is the MA(3)") {
     def t(m: Int) = Timestamp.valueOf(f"2024-$m%02d-15 00:00:00")
     val df = Seq(
