@@ -549,4 +549,42 @@ object Streams {
           }
       }
   }
+
+  /** Per-key EWMA state: the last `taps` values, newest first — a FIXED
+    * `taps`-long ring regardless of how many events a key floods in. */
+  final case class EwmaState(recent: List[Double])
+
+  /** Streaming twin of `ops.TimeSeries.ewmaFir`: per-key FIR exponential
+    * smoothing with `taps` lag taps. State is the last `taps` values
+    * (bounded — a flooding key holds `taps` doubles, not its flood);
+    * events process in (ts, tiebreak) order within a micro-batch, and on
+    * in-order delivery the emitted series EQUALS the batch op row for
+    * row (the StreamsSpec cross-check). Input: (key, tsMicros, eventId,
+    * value); output: (key, eventId, ewma). */
+  def ewmaStream(events: Dataset[(Long, Long, Long, Double)], alpha: Double,
+      taps: Int): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha < 1 && taps >= 1, "alpha in (0,1), taps >= 1")
+    val coefs = (0 until taps).map(k => alpha * math.pow(1.0 - alpha, k))
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[(Long, Long, Long, Double)],
+            state: GroupState[EwmaState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = evs.toSeq.sortBy(e => (e._2, e._3)).map { case (_, _, eid, v) =>
+            recent = (v :: recent).take(taps)
+            // ascending-k fold over (current :: lags), matching ewmaFir
+            var num = 0.0; var den = 0.0
+            recent.zipWithIndex.foreach { case (x, k) =>
+              num += x * coefs(k); den += coefs(k)
+            }
+            val e = BigDecimal(num / den)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (key, eid, e)
+          }
+          state.update(EwmaState(recent))
+          out.iterator
+      }
+  }
 }

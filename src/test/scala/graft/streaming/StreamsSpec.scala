@@ -557,4 +557,54 @@ class StreamsSpec extends SparkSpec {
       assert(u1.toSeq == Seq((1L, 0)))
     } finally q.stop()
   }
+
+  test("EWMA stream equals the batch ewmaFir row for row (in-order delivery)") {
+    implicit val sq = spark.sqlContext
+    val evDf = Tables.events(spark, sfTiny).limit(300)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts").as("us"),
+        $"event_id", $"value")
+    val batch = graft.ops.TimeSeries.ewmaFir(
+        evDf.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros($"us")),
+        "user_id", "ts", "event_id", "value", alpha = 0.3, taps = 8)
+      .select($"user_id", $"event_id", $"ewma")
+      .as[(Long, Long, Double)].collect().toSet
+    val stream = MemoryStream[(Long, Long, Long, Double)]
+    val q = Streams.ewmaStream(stream.toDS(), alpha = 0.3, taps = 8)
+      .toDF("user_id", "event_id", "ewma")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_stream").start()
+    try {
+      val evs = evDf.as[(Long, Long, Long, Double)].collect().sortBy(e => (e._2, e._3))
+      // split across two micro-batches: state must carry the lags over
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("ewma_stream")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("EWMA stream state stays bounded at taps values under a flooding key") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, Double)]
+    val q = Streams.ewmaStream(stream.toDS(), alpha = 0.5, taps = 4)
+      .toDF("user_id", "event_id", "ewma")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_flood").start()
+    try {
+      stream.addData((1L to 500L).map(i => (9L, i, i, i.toDouble)))
+      q.processAllAvailable()
+      val rows = maxStateRows(q)
+      assert(rows == 1L, s"one key must hold ONE state row, got $rows")
+      // and the emitted tail only reflects the last 4 taps
+      val last = spark.table("ewma_flood").orderBy($"event_id".desc)
+        .as[(Long, Long, Double)].head()
+      val c = (0 until 4).map(k => 0.5 * math.pow(0.5, k))
+      val expect = BigDecimal((500 to 497 by -1).zip(c)
+          .map { case (v, w) => v * w }.sum / c.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(last == ((9L, 500L, expect)))
+    } finally q.stop()
+  }
 }
