@@ -748,6 +748,73 @@ object Similarity {
     out.toSeq.toDF("rank", "vec_id", "dist")
   }
 
+  /** Label-relevance retrieval eval: for each query vector (the
+    * `nQueries` lowest ids), rank ALL other vectors by cosine (sim
+    * desc, id) and report the rank of the first SAME-LABEL neighbor
+    * (first-relevant rank), its reciprocal, and NDCG@`k` with binary
+    * label-match gains — DCG terms are 9-dp fixed point summed as
+    * DECIMAL, and the ideal DCG normalizer folds the same literal way.
+    *
+    * Scale shape: ONE scored pass of (nQueries × N) rows (nQueries a
+    * contract bound), one query-keyed window for the ranks, query-sized
+    * output. Output: (query_id, first_rel_rank, rr, ndcg). */
+  def labelRetrievalEval(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qv"),
+        col(labelCol).as("__ql"))
+    val scored = emb.as("e").join(broadcast(q), col(idCol) =!= col("__qid"))
+      .select(col("__qid"), col("__ql"), col(idCol).as("__id"),
+        col(labelCol).as("__l"), cosine(col(vecCol), col("__qv")).as("__sim"))
+    val w = Window.partitionBy(col("__qid")).orderBy(col("__sim").desc, col("__id"))
+    val ranked = scored
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__rel", (col("__l") === col("__ql")).cast("int"))
+    val idealDen = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    ranked.groupBy(col("__qid").as("query_id"))
+      .agg(
+        min(when(col("__rel") === 1, col("__rk"))).as("first_rel_rank"),
+        sum(col("__rel")).cast("long").as("n_rel"),
+        sum(when(col("__rk") <= k, col("__rel")).otherwise(lit(0)))
+          .cast("long").as("n_rel_topk"),
+        sum(when(col("__rk") <= k && col("__rel") === 1,
+          round(lit(1.0) / (log(col("__rk") + 1.0) / lit(math.log(2.0))), 9))
+          .otherwise(lit(0.0)).cast("decimal(12,9)")).as("__dcg"))
+      .select(col("query_id"), col("first_rel_rank"), col("n_rel"), col("n_rel_topk"),
+        round(lit(1.0) / col("first_rel_rank"), 6).as("rr"),
+        round(col("__dcg").cast("double") / lit(idealDen), 6).as("ndcg"),
+        when(col("n_rel") > 0, round(col("n_rel_topk").cast("double") /
+          least(lit(k.toLong), col("n_rel")).cast("double"), 6)).as("recall_at_k"))
+  }
+
+  /** Mean pairwise cosine of the L2-normalized corpus — the isotropy
+    * audit — WITHOUT forming pairs, via ‖Σu‖² = Σᵢⱼ uᵢ·uⱼ:
+    *   mean = (‖Σu‖² − N) / (N(N−1))   (u unit vectors, so Σ‖u‖² = N).
+    * Per-dimension sums of the normalized components go through the
+    * 2^40 fixed-point trick (the centroid machinery), so Σu is exact
+    * and the final norm/ratio is one mirrored double expression. Near
+    * 0 ⇒ isotropic directions; near 1 ⇒ collapsed (anisotropic)
+    * embedding space. Map + ONE dim-keyed aggregate. Output:
+    * (n_vectors, mean_pair_cos). */
+  def isotropyAudit(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val fix = (1L << 40).toDouble
+    val unit = emb.select(col(idCol),
+      transform(col(vecCol), v => v.cast("double") / sqrt(norm2(col(vecCol))))
+        .as("__u"))
+    val perDim = unit.select(posexplode(col("__u")).as(Seq("__pos", "__v")))
+      .groupBy(col("__pos"))
+      .agg((sum(round(col("__v") * fix).cast("decimal(20,0)")).cast("double") / fix)
+        .as("__s"))
+    val n = emb.count()
+    val nD = n.toDouble
+    perDim.agg(sum(round(col("__s") * col("__s"), 9).cast("decimal(28,9)"))
+        .as("__norm2"))
+      .select(lit(n).as("n_vectors"),
+        round((col("__norm2").cast("double") - lit(nD)) / lit(nD * (nD - 1.0)), 6)
+          .as("mean_pair_cos"))
+  }
+
   /** Reciprocal Rank Fusion (Cormack et al. '09) of ranked retrieval
     * lists: score(d) = Σ_lists 1/(kConst + rank_list(d)), absent-from-
     * list contributes 0. Each input frame carries (idCol, rank) with

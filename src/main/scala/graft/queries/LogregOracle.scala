@@ -70,6 +70,24 @@ object LogregOracle {
        |  ltk.y = 1.0::DOUBLE AS is_target
        |FROM fm JOIN ltk USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Per-language Brier score oracle: mean 9-dp-fixed (p − y)² over the
+    * scored docs, language from the documents table. */
+  def brierSql(label: String, buckets: Int, iters: Int, rate: String): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+       |sp AS (SELECT ltk.doc_id,
+       |         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) AS p,
+       |         ltk.y AS y
+       |       FROM fm JOIN ltk USING (doc_id))
+       |SELECT d.lang, count(*) AS n,
+       |  round(CAST(sum(CAST(round((sp.p - sp.y) * (sp.p - sp.y), 9) AS DECIMAL(12,9))) AS DOUBLE)
+       |    / count(*), 6) AS brier
+       |FROM sp JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Reliability-diagram oracle: the scored docs binned into ten
     * fixed-width probability bins (p is 9-dp fixed point, so the
     * binning boundary arithmetic is engine-exact). */

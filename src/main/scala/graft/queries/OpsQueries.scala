@@ -5645,7 +5645,170 @@ object OpsQueries {
              |        - (CAST(sr AS DOUBLE) / n_months) * (CAST(sr AS DOUBLE) / n_months))
              |      / (CAST(svv AS DOUBLE) / n_months
              |        - (CAST(sv AS DOUBLE) / n_months) * (CAST(sv AS DOUBLE) / n_months))), 6) AS trend_strength
-             |FROM a""".stripMargin)))
+             |FROM a""".stripMargin)),
+
+    // ─── per-language Brier score of the quality classifier ─────────────
+    "q236_brier_score" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val w = Classifier.logregFit(docs, "doc_id", "text",
+          $"lang" === "en", buckets = 64, iters = 3, rate = 0.02)
+        val scored = Classifier.logregScore(docs, "doc_id", "text",
+          $"lang" === "en", w)
+        scored.join(docs.select($"doc_id", $"lang"), "doc_id")
+          .select($"lang", $"p", $"is_target".cast("double").as("y"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(($"p" - $"y") * ($"p" - $"y"), 9)
+              .cast("decimal(12,9)")).cast("double") / count(lit(1)), 6).as("brier"))
+          .orderBy($"lang")
+      },
+      Some(LogregOracle.brierSql("lang = 'en'", buckets = 64, iters = 3,
+        rate = "0.02::DOUBLE"))),
+
+    // ─── lexical-vs-dense retrieval agreement (overlap@k) ───────────────
+    "q237_rank_overlap" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val bm = TextStats.bm25(Tables.documents(s, dir), "doc_id", "text",
+            terms = Seq("vector", "stream", "hash"), topN = 20)
+          .withColumn("r_bm", row_number().over(
+            Window.orderBy($"score".desc, $"doc_id")))
+          .select($"doc_id", $"r_bm")
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+        val cs = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 20)
+          .withColumn("r_cs", row_number().over(
+            Window.orderBy($"sim".desc, $"vec_id")))
+          .select($"vec_id".as("doc_id"), $"r_cs")
+        val joined = bm.join(cs, Seq("doc_id")).localCheckpoint(false)
+        val ks = Seq(5, 10, 20)
+        ks.map { k =>
+          joined.agg(
+            lit(k).as("k"),
+            coalesce(sum(when($"r_bm" <= k && $"r_cs" <= k, 1L).otherwise(0L)),
+              lit(0L)).as("n_overlap"))
+        }.reduce(_ unionByName _)
+          .withColumn("overlap_at_k",
+            round($"n_overlap".cast("double") / $"k".cast("double"), 6))
+          .orderBy($"k")
+      },
+      Some {
+        val cos =
+          """(list_reduce(list_transform(list_zip(embedding, q2.qvec), x -> x[1]::DOUBLE * x[2]::DOUBLE), (s1,t1) -> s1+t1) /
+            | (sqrt(list_reduce(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1)) *
+            |  sqrt(list_reduce(list_transform(q2.qvec, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1))))""".stripMargin
+        s"""WITH $bm25OracleCtes,
+           |bm AS (SELECT doc_id, $bm25OracleScore AS score FROM p),
+           |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm
+           |        FROM bm ORDER BY score DESC, doc_id LIMIT 20),
+           |q2 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |cs AS (SELECT vec_id, $cos AS sim FROM embeddings CROSS JOIN q2),
+           |csr AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r_cs
+           |        FROM cs ORDER BY sim DESC, vec_id LIMIT 20),
+           |j AS (SELECT bmr.doc_id, r_bm, r_cs FROM bmr JOIN csr USING (doc_id)),
+           |ks(k) AS (VALUES (5), (10), (20))
+           |SELECT CAST(ks.k AS INTEGER) AS k,
+           |  sum(CASE WHEN r_bm <= ks.k AND r_cs <= ks.k THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+           |  round(sum(CASE WHEN r_bm <= ks.k AND r_cs <= ks.k THEN 1 ELSE 0 END)
+           |    / CAST(ks.k AS DOUBLE), 6) AS overlap_at_k
+           |FROM ks LEFT JOIN j ON true
+           |GROUP BY ks.k ORDER BY ks.k""".stripMargin
+      }),
+
+    // ─── label-relevance retrieval eval: first-rel rank, RR, NDCG@10 ────
+    "q238_retrieval_eval" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.labelRetrievalEval(Tables.embeddings(s, dir), "vec_id",
+            "embedding", "label", nQueries = 5, k = 10)
+          .select($"query_id", $"first_rel_rank", $"rr", $"ndcg")
+          .orderBy($"query_id")
+      },
+      Some {
+        val ln2 = math.log(2.0)
+        val idealDen = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / ln2)).sum
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (s1,t1) -> s1+t1) /
+             | (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1)) *
+             |  sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1))))""".stripMargin
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+           |           FROM embeddings WHERE vec_id < 5),
+           |sc AS (SELECT q.qid, q.ql, e.vec_id AS id, e.label AS l,
+           |         ${cos("e.embedding", "q.qv")} AS sim
+           |       FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+           |r AS (SELECT qid, ql, id, l,
+           |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
+           |      FROM sc),
+           |a AS (SELECT qid AS query_id,
+           |        CAST(min(CASE WHEN l = ql THEN rk END) AS INTEGER) AS first_rel_rank,
+           |        sum(CASE WHEN rk <= 10 AND l = ql
+           |            THEN CAST(round(1.0 / (ln(rk + 1) / CAST($ln2 AS DOUBLE)), 9) AS DECIMAL(12,9))
+           |            ELSE CAST(0.0 AS DECIMAL(12,9)) END) AS dcg
+           |      FROM r GROUP BY 1)
+           |SELECT query_id, first_rel_rank,
+           |  round(CAST(1.0 AS DOUBLE) / first_rel_rank, 6) AS rr,
+           |  round(CAST(dcg AS DOUBLE) / CAST($idealDen AS DOUBLE), 6) AS ndcg
+           |FROM a ORDER BY query_id""".stripMargin
+      }),
+
+    // ─── label-relevance recall@10 (the retrieval-eval completeness leg) ─
+    "q239_recall_at_k" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.labelRetrievalEval(Tables.embeddings(s, dir), "vec_id",
+            "embedding", "label", nQueries = 5, k = 10)
+          .select($"query_id", $"n_rel", $"n_rel_topk", $"recall_at_k")
+          .orderBy($"query_id")
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (s1,t1) -> s1+t1) /
+             | (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1)) *
+             |  sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (s1,t1) -> s1+t1))))""".stripMargin
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+           |           FROM embeddings WHERE vec_id < 5),
+           |sc AS (SELECT q.qid, q.ql, e.vec_id AS id, e.label AS l,
+           |         ${cos("e.embedding", "q.qv")} AS sim
+           |       FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+           |r AS (SELECT qid, ql, l,
+           |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk
+           |      FROM sc),
+           |a AS (SELECT qid AS query_id,
+           |        sum(CASE WHEN l = ql THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+           |        sum(CASE WHEN rk <= 10 AND l = ql THEN 1 ELSE 0 END)::BIGINT AS n_rel_topk
+           |      FROM r GROUP BY 1)
+           |SELECT query_id, n_rel, n_rel_topk,
+           |  CASE WHEN n_rel > 0 THEN
+           |    round(CAST(n_rel_topk AS DOUBLE) / CAST(least(10, n_rel) AS DOUBLE), 6)
+           |  END AS recall_at_k
+           |FROM a ORDER BY query_id""".stripMargin
+      }),
+
+    // ─── embedding-space isotropy audit (mean pairwise cosine, no pairs) ─
+    "q240_isotropy" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.isotropyAudit(Tables.embeddings(s, dir), "vec_id", "embedding")
+      },
+      Some("""WITH u AS (SELECT vec_id,
+             |        list_transform(embedding, v -> v::DOUBLE /
+             |          sqrt(list_reduce(list_transform(embedding, w -> w::DOUBLE * w::DOUBLE), (a,b) -> a+b))) AS u
+             |      FROM embeddings),
+             |x AS (SELECT CAST(i AS INTEGER) AS pos, u[i+1] AS v
+             |      FROM u CROSS JOIN range(64) t(i)),
+             |s AS (SELECT pos,
+             |        CAST(sum(CAST(round(v * (1099511627776::DOUBLE)) AS BIGINT)) AS DOUBLE)
+             |          / (1099511627776::DOUBLE) AS sv
+             |      FROM x GROUP BY 1),
+             |n2 AS (SELECT sum(CAST(round(sv * sv, 9) AS DECIMAL(28,9))) AS nn FROM s),
+             |cnt AS (SELECT count(*) AS n FROM embeddings)
+             |SELECT cnt.n AS n_vectors,
+             |  round((CAST(n2.nn AS DOUBLE) - CAST(cnt.n AS DOUBLE))
+             |    / (CAST(cnt.n AS DOUBLE) * (CAST(cnt.n AS DOUBLE) - 1.0)), 6) AS mean_pair_cos
+             |FROM n2 CROSS JOIN cnt""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

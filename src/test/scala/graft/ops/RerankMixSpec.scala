@@ -164,6 +164,44 @@ class RerankMixSpec extends SparkSpec {
     assert(out(1)._3 > 0.0)
   }
 
+  test("labelRetrievalEval: perfect neighborhood gives rr=ndcg=recall=1") {
+    // query 0 (label 1) surrounded by 3 near-identical label-1 vectors,
+    // plus distant label-2 ones
+    val emb = Seq(
+      (0L, vec(1.0, 0.0, 0.0), 1),
+      (1L, vec(0.99, 0.1, 0.0), 1),
+      (2L, vec(0.98, 0.15, 0.0), 1),
+      (3L, vec(0.97, 0.2, 0.0), 1),
+      (4L, vec(0.0, 1.0, 0.0), 2),
+      (5L, vec(0.0, 0.9, 0.1), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelRetrievalEval(emb, "vec_id", "embedding", "label",
+        nQueries = 1, k = 3)
+      .as[(Long, Int, Long, Long, Double, Double, Option[Double])].head()
+    assert(out._1 == 0L && out._2 == 1)  // first relevant at rank 1
+    assert(out._3 == 3L && out._4 == 3L) // all 3 relevants inside top-3
+    assert(out._5 == 1.0)
+    assert(out._6 == 1.0, s"ndcg ${out._6}") // top-3 all relevant = ideal
+    assert(out._7.contains(1.0))
+  }
+
+  test("isotropyAudit: identical directions 1, orthogonal set near -1/(n-1)") {
+    val same = Seq(
+      (0L, vec(1.0, 0.0, 0.0, 0.0)), (1L, vec(2.0, 0.0, 0.0, 0.0)),
+      (2L, vec(0.5, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val s1 = Similarity.isotropyAudit(same, "vec_id", "embedding")
+      .as[(Long, Double)].head()
+    assert(s1._1 == 3L && math.abs(s1._2 - 1.0) < 1e-6)
+    val ortho = Seq(
+      (0L, vec(1.0, 0.0, 0.0, 0.0)), (1L, vec(0.0, 1.0, 0.0, 0.0)),
+      (2L, vec(0.0, 0.0, 1.0, 0.0)), (3L, vec(0.0, 0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val s2 = Similarity.isotropyAudit(ortho, "vec_id", "embedding")
+      .as[(Long, Double)].head()
+    assert(math.abs(s2._2) < 1e-6, s"orthogonal mean cos ${s2._2}")
+  }
+
   test("freshnessWeights: newest rows weigh 1, decay is monotone, shares sum to 1") {
     def ts(day: Int) = new Timestamp(day * 86400L * 1000L)
     val df = Seq(
