@@ -52,6 +52,36 @@ object AsOf {
           col("__last.__ts").as(s"$outPrefix$rTs")): _*)
   }
 
+  /** Forward as-of: for each `left` row, the single EARLIEST `right`
+    * row of the same key with `right.rTs` ≥ `left.lTs` (inclusive) —
+    * the "next event after" mirror of `asofBackward`, same union+window
+    * shape (ONE key shuffle, no range explosion). Ties at the same
+    * right timestamp resolve to the largest payload struct, exactly as
+    * in the backward variant. */
+  def asofForward(
+      left: DataFrame, lKey: String, lTs: String,
+      right: DataFrame, rKey: String, rTs: String,
+      carry: Seq[String], outPrefix: String = "asof_"): DataFrame = {
+    val payload = struct(col(rTs).as("__ts") +: carry.map(col): _*)
+    val r = right.select(col(rKey).as("__k"), col(rTs).as("__t"),
+      lit(0).as("__side"), payload.as("__p"))
+    val l = left.withColumn("__k", col(lKey)).withColumn("__t", col(lTs))
+      .withColumn("__side", lit(1))
+    // walk time DESCENDING: the last right row seen before a left row is
+    // the smallest right ts ≥ left ts; side 0 < 1 keeps equal-ts rights
+    // visible to the left row (inclusive)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__side").asc, col("__p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = r.unionByName(l, allowMissingColumns = true)
+      .withColumn("__next", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    filled.select(
+      left.columns.map(col) ++
+        (carry.map(c => col(s"__next.$c").as(s"$outPrefix$c")) :+
+          col("__next.__ts").as(s"$outPrefix$rTs")): _*)
+  }
+
   /** Timestamp column as an orderable integer (epoch micros for
     * timestamps, plain long otherwise) — the distance arithmetic the
     * tolerance/nearest variants compare on. */

@@ -5808,7 +5808,131 @@ object OpsQueries {
              |SELECT cnt.n AS n_vectors,
              |  round((CAST(n2.nn AS DOUBLE) - CAST(cnt.n AS DOUBLE))
              |    / (CAST(cnt.n AS DOUBLE) * (CAST(cnt.n AS DOUBLE) - 1.0)), 6) AS mean_pair_cos
-             |FROM n2 CROSS JOIN cnt""".stripMargin)))
+             |FROM n2 CROSS JOIN cnt""".stripMargin)),
+
+    // ─── per-term blocklist incidence (which rules actually fire) ───────
+    "q241_blocklist_hits" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val n = Tables.documents(s, dir).count()
+        Tables.documents(s, dir)
+          .select(explode(array(blocklistTerms.map(t =>
+            struct(lit(t).as("term"),
+              lower($"text").contains(t).cast("int").as("hit"))): _*)).as("x"))
+          .groupBy($"x.term".as("term"))
+          .agg(sum($"x.hit").cast("long").as("n_docs"))
+          .withColumn("rate", round($"n_docs".cast("double") / lit(n.toDouble), 6))
+          .orderBy($"term")
+      },
+      Some {
+        val arms = blocklistTerms.map(t =>
+          s"SELECT '$t' AS term, sum(CASE WHEN contains(lower(text), '$t') THEN 1 ELSE 0 END)::BIGINT AS n_docs FROM documents")
+          .mkString("\nUNION ALL ")
+        s"""WITH a AS ($arms), nn AS (SELECT count(*) AS n FROM documents)
+           |SELECT term, n_docs,
+           |  round(n_docs / CAST(nn.n AS DOUBLE), 6) AS rate
+           |FROM a CROSS JOIN nn ORDER BY term""".stripMargin
+      }),
+
+    // ─── day-of-week activity profile (engine-portable integer dow) ─────
+    "q242_dow_profile" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val n = Tables.events(s, dir).count()
+        // (epoch-days + 4) % 7: 0=Sunday — pure integer arithmetic, no
+        // engine dow-numbering convention in sight
+        Tables.events(s, dir)
+          .select(pmod(datediff(to_date($"ts"),
+            lit("1970-01-01").cast("date")) + 4, lit(7)).as("dow"))
+          .groupBy($"dow").agg(count(lit(1)).as("n_events"))
+          .withColumn("share", round($"n_events".cast("double") / lit(n.toDouble), 6))
+          .orderBy($"dow")
+      },
+      Some("""WITH d AS (SELECT (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow
+             |      FROM events),
+             |nn AS (SELECT count(*) AS n FROM events)
+             |SELECT CAST(dow AS INTEGER) AS dow, count(*) AS n_events,
+             |  round(count(*) / CAST(nn.n AS DOUBLE), 6) AS share
+             |FROM d CROSS JOIN nn GROUP BY dow, nn.n ORDER BY dow""".stripMargin)),
+
+    // ─── forward as-of join: next purchase at-or-after each event ───────
+    "q243_asof_forward" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", $"value")
+        val nonPurchase = ev.filter($"event_type" =!= "purchase")
+        AsOf.asofForward(nonPurchase, "user_id", "ts", purchases, "user_id", "ts",
+            carry = Seq("event_id", "value"), outPrefix = "np_")
+          .select($"event_id", $"user_id", $"event_type",
+            $"np_event_id".as("next_purchase_id"),
+            $"np_value".as("next_purchase_value"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH np AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+             |      FROM events WHERE event_type <> 'purchase'),
+             |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+             |      FROM events WHERE event_type = 'purchase'),
+             |m AS (SELECT np.event_id AS eid, p.event_id AS pid, p.value AS pv,
+             |        row_number() OVER (PARTITION BY np.event_id
+             |          ORDER BY p.ts ASC, p.event_id DESC, p.value DESC) AS rn
+             |      FROM np JOIN p ON np.user_id = p.user_id AND p.ts >= np.ts),
+             |best AS (SELECT eid, pid, pv FROM m WHERE rn = 1)
+             |SELECT np.event_id, np.user_id, np.event_type,
+             |  best.pid AS next_purchase_id, best.pv AS next_purchase_value
+             |FROM np LEFT JOIN best ON np.event_id = best.eid
+             |ORDER BY np.event_id""".stripMargin)),
+
+    // ─── burstiest users: min 5-event window duration ───────────────────
+    "q244_burst_window" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, dir)
+          .withColumn("__win",
+            lead(unix_micros($"ts"), 4).over(w) - unix_micros($"ts"))
+          .groupBy($"user_id")
+          .agg(min($"__win").as("min_window_us"))
+          .where($"min_window_us".isNotNull)
+          .orderBy($"min_window_us".asc, $"user_id")
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT user_id,
+             |        lead(epoch_us(CAST(ts AS TIMESTAMP)), 4) OVER
+             |          (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |          - epoch_us(CAST(ts AS TIMESTAMP)) AS win
+             |      FROM events),
+             |a AS (SELECT user_id, min(win) AS min_window_us FROM d GROUP BY 1)
+             |SELECT user_id, min_window_us FROM a WHERE min_window_us IS NOT NULL
+             |ORDER BY min_window_us ASC, user_id LIMIT 20""".stripMargin)),
+
+    // ─── 2-D decile histogram: doc length × mean token length ───────────
+    "q245_hist2d" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, dir)
+          .select($"doc_id", $"n_chars",
+            TextStats.meanTokenLen($"text").as("__mtl"))
+          .withColumn("len_decile",
+            ntile(10).over(Window.orderBy($"n_chars", $"doc_id")))
+          .withColumn("mtl_decile",
+            ntile(10).over(Window.orderBy($"__mtl", $"doc_id")))
+          .groupBy($"len_decile", $"mtl_decile")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"len_decile", $"mtl_decile")
+      },
+      Some("""WITH m AS (SELECT doc_id, n_chars,
+             |        list_sum(list_transform(regexp_split_to_array(text, '\s+'), t -> length(t)))::DOUBLE
+             |          / len(regexp_split_to_array(text, '\s+')) AS mtl
+             |      FROM documents),
+             |d AS (SELECT CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS len_decile,
+             |        CAST(ntile(10) OVER (ORDER BY mtl, doc_id) AS INTEGER) AS mtl_decile
+             |      FROM m)
+             |SELECT len_decile, mtl_decile, count(*) AS n_docs
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

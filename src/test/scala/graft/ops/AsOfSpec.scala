@@ -63,6 +63,38 @@ class AsOfSpec extends SparkSpec {
       .as[(Long, Option[Long])].collect().toMap
     assert(fast == brute)
   }
+  test("forward as-of picks the earliest right row at-or-after each left ts") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"), // equal-ts right is INCLUSIVE
+      (1L, ts("2024-01-01 23:00:00"), "c"), // nothing after → nulls
+      (2L, ts("2024-01-01 10:00:00"), "d")  // other key never crosses
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 200L),
+      (1L, ts("2024-01-01 13:00:00"), 300L),
+      (2L, ts("2024-01-01 10:30:00"), 900L)
+    ).toDF("k", "t", "v")
+    val out = AsOf.asofForward(left, "k", "t", right, "k", "t",
+        carry = Seq("v"), outPrefix = "nx_")
+      .select($"tag", $"nx_v").as[(String, Option[Long])].collect().toMap
+    assert(out("a").contains(100L))
+    assert(out("b").contains(200L)) // inclusive: the equal-ts right wins
+    assert(out("c").isEmpty)
+    assert(out("d").contains(900L))
+  }
+
+  test("forward as-of equal-ts right rows resolve to the largest payload") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 5L),
+      (1L, ts("2024-01-01 11:00:00"), 9L) // same ts: larger payload wins
+    ).toDF("k", "t", "v")
+    val out = AsOf.asofForward(left, "k", "t", right, "k", "t", Seq("v"), "nx_")
+      .select($"nx_v").as[Option[Long]].head()
+    assert(out.contains(9L))
+  }
 }
 
 class AsOfNearestSpec extends SparkSpec {
@@ -265,4 +297,5 @@ class ShinglesEquivalenceSpec extends graft.SparkSpec {
       assert(diff.count() == 0, s"k=$k mismatch")
     }
   }
+
 }
