@@ -214,6 +214,84 @@ object Profile {
       .drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
 
+  /** 2-D skyline (Pareto frontier): rows not dominated under (minimize
+    * `xCol`, maximize `yCol`) — dominated ⟺ ∃ other with (x' < x ∧
+    * y' ≥ y) ∨ (x' ≤ x ∧ y' > y). Computed WITHOUT a self-join: x
+    * scales to integer `xScale`-ths (exact RANGE offsets), and two
+    * running maxima over the x-ordered rows — max y among strictly
+    * smaller x (RANGE … −1) and among ≤ x (RANGE … 0) — decide
+    * dominance in one sorted pass. ONE global sort of the (already
+    * aggregated/dimension) input; the classic skyline needs no
+    * quadratic pass in 2-D. Output: the frontier rows. */
+  def skyline2d(df: DataFrame, idCol: String, xCol: Column, yCol: Column,
+      xScale: Long): DataFrame = {
+    val base = df.select(col(idCol),
+      round(xCol * xScale).cast("long").as("__x"),
+      yCol.cast("long").as("__y"))
+    val lt = Window.orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val le = Window.orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__mlt", max(col("__y")).over(lt))
+      .withColumn("__mle", max(col("__y")).over(le))
+      .where(!(coalesce(col("__mlt"), lit(Long.MinValue)) >= col("__y")) &&
+        !(col("__mle") > col("__y")))
+      .drop("__mlt", "__mle")
+  }
+
+  /** One-way ANOVA F-statistic of an integer metric across groups, from
+    * exact per-group sums (n, Σx, Σx² as DECIMAL(38,0)):
+    *   F = (SSB/(k−1)) / (SSW/(N−k)).
+    * The group table is tiny; the double expression runs once, mirrored.
+    * Output: (k_groups, n_total, f_stat ← round 6; NULL on degenerate
+    * denominators). */
+  def anovaF(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val g = df.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(38,0)")).as("sx"),
+        sum((x * x).cast("decimal(38,0)")).as("sxx"))
+      .localCheckpoint(false)
+    val tot = g.agg(sum(col("n")).as("__tN"),
+      sum(col("sx")).as("__ttsx"), sum(col("sxx")).as("__ttsxx"))
+    // F is scale-invariant: normalize by the grand mean so the one
+    // fixed-point-rounded per-group term is O(n_g) — never a raw-scale
+    // square (whose 9-dp round overflows DuckDB's ×10^d double trick)
+    val cross = g.crossJoin(broadcast(tot))
+    val m = col("__ttsx").cast("double") / col("__tN").cast("double")
+    val agg = cross.agg(
+      count(lit(1)).as("k_groups"),
+      max(col("__tN")).as("n_total"),
+      max(col("__ttsx").cast("double")).as("__tsxD"),
+      max(col("__ttsxx").cast("double")).as("__tsxxD"),
+      sum(round((col("sx").cast("double") / m) * (col("sx").cast("double") / m) /
+        col("n").cast("double"), 9).cast("decimal(28,9)")).as("__ssq"))
+    val nD = col("n_total").cast("double")
+    val kD = col("k_groups").cast("double")
+    val m2 = col("__tsxD") / nD
+    val su = col("__tsxD") / m2
+    val ssb = col("__ssq").cast("double") - su * su / nD
+    val ssw = col("__tsxxD") / (m2 * m2) - col("__ssq").cast("double")
+    agg.select(col("k_groups"), col("n_total"),
+      when(col("k_groups") >= 2 && col("n_total") > col("k_groups") && ssw > 0.0,
+        round((ssb / (kD - lit(1.0))) / (ssw / (nD - kD)), 6)).as("f_stat"))
+  }
+
+  /** k-anonymity audit over a quasi-identifier tuple: group sizes of
+    * the QI projection, how many groups (and rows) fall below `k` —
+    * the re-identification risk table a release gate reads. ONE
+    * QI-keyed count + a group-sized aggregate. Output: one row
+    * (n_groups, n_below_k, n_rows_below_k, min_group_size). */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+    val g = df.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("__n"))
+    g.agg(count(lit(1)).as("n_groups"),
+      sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_below_k"),
+      sum(when(col("__n") < k, col("__n")).otherwise(lit(0L))).cast("long")
+        .as("n_rows_below_k"),
+      min(col("__n")).as("min_group_size"))
+  }
+
   /** Wilson score lower bound per group: the ranking-safe success rate
     * for (successes k of n trials) at confidence z —
     *   (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).

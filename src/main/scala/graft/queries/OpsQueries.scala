@@ -5932,7 +5932,214 @@ object OpsQueries {
              |        CAST(ntile(10) OVER (ORDER BY mtl, doc_id) AS INTEGER) AS mtl_decile
              |      FROM m)
              |SELECT len_decile, mtl_decile, count(*) AS n_docs
-             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ─── 2-D skyline: cheapest-per-size Pareto frontier of parts ────────
+    // The classic skyline operator in one sorted pass (running maxima
+    // over integer-scaled price RANGE frames) — no self-join, no
+    // quadratic dominance check.
+    "q246_skyline" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.skyline2d(Tables.part(s, dir), "p_partkey",
+            $"p_retailprice", $"p_size", xScale = 100L)
+          .select($"p_partkey", $"__x".as("price_cents"), $"__y".as("size"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH b AS (SELECT p_partkey,
+             |        CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             |        CAST(p_size AS BIGINT) AS size
+             |      FROM part),
+             |w AS (SELECT p_partkey, price_cents, size,
+             |        max(size) OVER (ORDER BY price_cents
+             |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mlt,
+             |        max(size) OVER (ORDER BY price_cents
+             |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mle
+             |      FROM b)
+             |SELECT p_partkey, price_cents, size FROM w
+             |WHERE NOT (COALESCE(mlt, -9223372036854775808) >= size)
+             |  AND NOT (mle > size)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ─── one-way ANOVA F: does document length differ by language? ──────
+    "q247_anova_f" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.anovaF(Tables.documents(s, dir), "lang", "n_chars")
+      },
+      Some("""WITH g AS (SELECT lang, count(*) AS n,
+             |        sum(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+             |        sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sxx
+             |      FROM documents GROUP BY 1),
+             |t AS (SELECT sum(n)::BIGINT AS N, sum(sx) AS tsx, sum(sxx) AS tsxx FROM g),
+             |a AS (SELECT count(*) AS k_groups, max(t.N) AS n_total,
+             |        max(CAST(t.tsx AS DOUBLE)) AS tsxD,
+             |        max(CAST(t.tsxx AS DOUBLE)) AS tsxxD,
+             |        sum(CAST(round(
+             |          (CAST(g.sx AS DOUBLE) / (CAST(t.tsx AS DOUBLE) / CAST(t.N AS DOUBLE)))
+             |          * (CAST(g.sx AS DOUBLE) / (CAST(t.tsx AS DOUBLE) / CAST(t.N AS DOUBLE)))
+             |          / CAST(g.n AS DOUBLE), 9) AS DECIMAL(28,9))) AS ssq
+             |      FROM g CROSS JOIN t)
+             |SELECT k_groups, n_total,
+             |  CASE WHEN k_groups >= 2 AND n_total > k_groups
+             |      AND (tsxxD / ((tsxD / CAST(n_total AS DOUBLE)) * (tsxD / CAST(n_total AS DOUBLE)))
+             |           - CAST(ssq AS DOUBLE)) > 0.0
+             |    THEN round(
+             |      ((CAST(ssq AS DOUBLE)
+             |          - (tsxD / (tsxD / CAST(n_total AS DOUBLE)))
+             |            * (tsxD / (tsxD / CAST(n_total AS DOUBLE))) / CAST(n_total AS DOUBLE))
+             |        / (CAST(k_groups AS DOUBLE) - 1.0))
+             |      / ((tsxxD / ((tsxD / CAST(n_total AS DOUBLE)) * (tsxD / CAST(n_total AS DOUBLE)))
+             |          - CAST(ssq AS DOUBLE))
+             |        / (CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6)
+             |  END AS f_stat
+             |FROM a""".stripMargin)),
+
+    // ─── k-anonymity audit over (lang, length-decile) quasi-identifiers ─
+    "q248_kanonymity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val qi = Tables.documents(s, dir)
+          .withColumn("len_decile",
+            ntile(10).over(Window.orderBy($"n_chars", $"doc_id")))
+        Profile.kAnonymity(qi, Seq("lang", "len_decile"), k = 5L)
+      },
+      Some("""WITH qi AS (SELECT lang,
+             |        CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS len_decile
+             |      FROM documents),
+             |g AS (SELECT lang, len_decile, count(*) AS n FROM qi GROUP BY 1, 2)
+             |SELECT count(*) AS n_groups,
+             |  sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS n_below_k,
+             |  sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS n_rows_below_k,
+             |  min(n) AS min_group_size
+             |FROM g""".stripMargin)),
+
+    // ─── join-fanout profile (join-explosion risk audit) ────────────────
+    "q249_fanout_profile" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        def prof(name: String, df: org.apache.spark.sql.DataFrame, key: String) =
+          df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+            .agg(lit(name).as("relation"),
+              count(lit(1)).as("n_keys"), max($"__n").as("max_fanout"),
+              round(sum($"__n").cast("double") / count(lit(1)).cast("double"), 6)
+                .as("avg_fanout"))
+        prof("lineitem.orderkey", Tables.lineitem(s, dir), "l_orderkey")
+          .unionByName(prof("lineitem.partkey", Tables.lineitem(s, dir), "l_partkey"))
+          .unionByName(prof("lineitem.suppkey", Tables.lineitem(s, dir), "l_suppkey"))
+          .unionByName(prof("orders.custkey", Tables.orders(s, dir), "o_custkey"))
+          .orderBy($"relation")
+      },
+      Some {
+        val rels = Seq(("lineitem.orderkey", "lineitem", "l_orderkey"),
+          ("lineitem.partkey", "lineitem", "l_partkey"),
+          ("lineitem.suppkey", "lineitem", "l_suppkey"),
+          ("orders.custkey", "orders", "o_custkey"))
+        rels.map { case (name, t, k) =>
+          s"""SELECT '$name' AS relation, count(*) AS n_keys,
+             |  max(n) AS max_fanout,
+             |  round(sum(n) / CAST(count(*) AS DOUBLE), 6) AS avg_fanout
+             |FROM (SELECT $k, count(*) AS n FROM $t GROUP BY 1)""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+      }),
+
+    // ─── corpus release gate: five gated metrics, one pass/fail table ───
+    // The report a 100 TB release reads before shipping: each metric is
+    // the literal expression of its own gated query (q24 dup rule, q171
+    // PII counters, lang entropy, q75 quality rules, q225 shapes) with
+    // a literal threshold.
+    "q250_release_gate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).localCheckpoint(false)
+        val n = docs.count()
+        val nD = lit(n.toDouble)
+        val dup = docs.agg((lit(1.0) -
+          countDistinct(md5(regexp_replace(trim(lower($"text")), "\\s+", " ")))
+            .cast("double") / nD).as("value"))
+          .select(lit("exact_dup_rate").as("check"), round($"value", 6).as("value"))
+          .withColumn("pass", $"value" <= 0.05)
+        val pii = docs.select(TextStats.piiCounts($"text").as("pc"))
+          .agg((sum(when($"pc.n_email" + $"pc.n_ip" + $"pc.n_num" > 0, 1L)
+            .otherwise(0L)).cast("double") / nD).as("value"))
+          .select(lit("pii_doc_rate").as("check"), round($"value", 6).as("value"))
+          .withColumn("pass", $"value" <= 0.01)
+        val ent = docs.groupBy($"lang").agg(count(lit(1)).as("__c"))
+          .agg(sum(round(($"__c".cast("double") / nD) *
+            log($"__c".cast("double") / nD), 9).cast("decimal(12,9)")).as("__s"))
+          .select(lit("lang_entropy").as("check"),
+            round(-$"__s".cast("double"), 6).as("value"))
+          .withColumn("pass", $"value" >= 1.0)
+        val qual = docs.agg((sum(when(
+            TextStats.qualityKeep($"text", Seq("the", "a")), 1L).otherwise(0L))
+            .cast("double") / nD).as("value"))
+          .select(lit("quality_keep_rate").as("check"), round($"value", 6).as("value"))
+          .withColumn("pass", $"value" >= 0.5)
+        val shape = array_join(transform(split(lower($"text"), " "),
+          t => when(length(t) <= 2, lit("s"))
+            .when(length(t) <= 5, lit("m")).otherwise(lit("l"))), "")
+        val tmpl = docs.select(Dedup.baseHash(shape).as("__fp"))
+          .groupBy($"__fp").agg(count(lit(1)).as("__n"))
+          .agg((sum(when($"__n" >= 2, $"__n").otherwise(lit(0L))).cast("double") / nD)
+            .as("value"))
+          .select(lit("template_rate").as("check"), round($"value", 6).as("value"))
+          .withColumn("pass", $"value" <= 0.05)
+        dup.unionByName(pii).unionByName(ent).unionByName(qual).unionByName(tmpl)
+          .orderBy($"check")
+      },
+      Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+             |dup AS (SELECT 'exact_dup_rate' AS check,
+             |    round(1.0 - count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+             |      / CAST(nn.n AS DOUBLE), 6) AS value
+             |  FROM documents CROSS JOIN nn GROUP BY nn.n),
+             |pii AS (SELECT 'pii_doc_rate' AS check,
+             |    round(sum(CASE WHEN
+             |        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |        + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             |        + len(regexp_extract_all(text, '\b\d{10,15}\b')) > 0
+             |      THEN 1 ELSE 0 END) / CAST(nn.n AS DOUBLE), 6) AS value
+             |  FROM documents CROSS JOIN nn GROUP BY nn.n),
+             |ent AS (SELECT 'lang_entropy' AS check,
+             |    round(-CAST(sum(CAST(round((c / CAST(nn.n AS DOUBLE))
+             |        * ln(c / CAST(nn.n AS DOUBLE)), 9) AS DECIMAL(12,9))) AS DOUBLE), 6) AS value
+             |  FROM (SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1)
+             |  CROSS JOIN nn GROUP BY nn.n),
+             |m AS (SELECT
+             |    CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_tokens,
+             |    list_sum(list_transform(regexp_split_to_array(text, '\s+'), t -> length(t)))::DOUBLE
+             |      / len(regexp_split_to_array(text, '\s+')) AS mean_token_len,
+             |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> list_contains(['the','a'], t)))::DOUBLE
+             |      / len(regexp_split_to_array(lower(text), '\s+')) AS stopword_ratio,
+             |    CASE WHEN len(string_split(lower(text), ' ')) > 0
+             |         THEN 1.0::DOUBLE - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+             |              / len(string_split(lower(text), ' '))
+             |         ELSE 0.0::DOUBLE END AS word_rep
+             |  FROM documents),
+             |qual AS (SELECT 'quality_keep_rate' AS check,
+             |    round(sum(CASE WHEN (n_tokens BETWEEN 20 AND 100000)
+             |        AND (mean_token_len BETWEEN 3.0 AND 10.0)
+             |        AND stopword_ratio >= 0.01 AND word_rep <= 0.6
+             |      THEN 1 ELSE 0 END) / CAST(nn.n AS DOUBLE), 6) AS value
+             |  FROM m CROSS JOIN nn GROUP BY nn.n),
+             |tm AS (SELECT ('0x'||substr(md5(array_to_string(list_transform(string_split(lower(text), ' '),
+             |      t -> CASE WHEN length(t) <= 2 THEN 's'
+             |                WHEN length(t) <= 5 THEN 'm' ELSE 'l' END), '')),1,15))::BIGINT AS fp
+             |  FROM documents),
+             |tmpl AS (SELECT 'template_rate' AS check,
+             |    round(sum(CASE WHEN gn >= 2 THEN gn ELSE 0 END) / CAST(nn.n AS DOUBLE), 6) AS value
+             |  FROM (SELECT fp, count(*) AS gn FROM tm GROUP BY 1) CROSS JOIN nn GROUP BY nn.n),
+             |u AS (SELECT * FROM dup UNION ALL SELECT * FROM pii UNION ALL SELECT * FROM ent
+             |      UNION ALL SELECT * FROM qual UNION ALL SELECT * FROM tmpl)
+             |SELECT u.check, u.value,
+             |  CASE u.check
+             |    WHEN 'exact_dup_rate' THEN u.value <= 0.05
+             |    WHEN 'pii_doc_rate' THEN u.value <= 0.01
+             |    WHEN 'lang_entropy' THEN u.value >= 1.0
+             |    WHEN 'quality_keep_rate' THEN u.value >= 0.5
+             |    ELSE u.value <= 0.05
+             |  END AS pass
+             |FROM u ORDER BY u.check""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

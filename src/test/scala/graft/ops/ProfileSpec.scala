@@ -107,6 +107,52 @@ class ProfileSpec extends SparkSpec {
     assert(out.forall(x => x._3 >= 1.0 && x._3 <= 100.0))
   }
 
+  test("skyline2d keeps exactly the non-dominated points") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 1.00, 5), // frontier: cheapest
+      (2L, 2.00, 9), // frontier: bigger for more money
+      (3L, 2.00, 7), // dominated by 2 (same price, smaller)
+      (4L, 3.00, 9), // dominated by 2 (pricier, same size)
+      (5L, 1.50, 5), // dominated by 1 (pricier, same size)
+      (6L, 4.00, 12) // frontier
+    ).toDF("id", "price", "size")
+    val got = Profile.skyline2d(df, "id", col("price"), col("size"), 100L)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 6L))
+    // brute-force dominance check agrees
+    val rows = Seq((1L, 100L, 5L), (2L, 200L, 9L), (3L, 200L, 7L),
+      (4L, 300L, 9L), (5L, 150L, 5L), (6L, 400L, 12L))
+    val brute = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, x2, y2) =>
+        (x2 < x && y2 >= y) || (x2 <= x && y2 > y) }
+    }.map(_._1).toSet
+    assert(got == brute)
+  }
+
+  test("anovaF: identical groups score ~0, separated groups score large") {
+    import org.apache.spark.sql.functions._
+    val sep = (Seq.fill(30)(("a", 10L)) ++ Seq.fill(30)(("b", 1000L)) ++
+      (1 to 30).map(i => ("a", 10L + i % 3)) ++ (1 to 30).map(i => ("b", 1000L + i % 3)))
+      .toDF("g", "x")
+    val f1 = Profile.anovaF(sep, "g", "x")
+      .as[(Long, Long, Option[Double])].head()
+    assert(f1._1 == 2L && f1._2 == 120L)
+    assert(f1._3.exists(_ > 1000.0), s"separated groups F=${f1._3}")
+    val same = (1 to 40).map(i => (if (i % 2 == 0) "a" else "b", (i % 5).toLong))
+      .toDF("g", "x")
+    val f2 = Profile.anovaF(same, "g", "x").as[(Long, Long, Option[Double])].head()
+    assert(f2._3.exists(_ < 1.0), s"identical-distribution F=${f2._3}")
+  }
+
+  test("kAnonymity counts small quasi-identifier groups") {
+    val df = (Seq.fill(10)(("en", 1)) ++ Seq.fill(3)(("de", 1)) ++
+      Seq(("fr", 1))).toDF("lang", "d")
+    val out = Profile.kAnonymity(df, Seq("lang", "d"), k = 5L)
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((3L, 2L, 4L, 1L))) // 3 groups; de(3)+fr(1) below k
+  }
+
   test("wilsonLowerBound: hand-checked 50/100 at z=1.96, bounds in (0, p)") {
     import org.apache.spark.sql.functions._
     val df = (1 to 100).map(i => ("g", i <= 50)).toDF("g", "s")
