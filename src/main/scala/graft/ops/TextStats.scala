@@ -1153,6 +1153,59 @@ object TextStats {
       .orderBy(col("n_docs").desc, col("shape_fp"))
   }
 
+  /** Held-out comparison of two bigram smoothing schemes — add-0.5 vs
+    * Jelinek-Mercer interpolation at a fixed λ — as mean held-out log
+    * probability over the SAME evaluation set (bigrams where at least
+    * one JM component is nonzero, the q210 support contract; add-0.5
+    * is defined everywhere but is evaluated on the same set so the
+    * comparison is apples to apples). Per-bigram log terms are 9-dp
+    * fixed point summed as DECIMAL. One bigram pass, two model joins,
+    * a 2-row output: (model, n_bigrams, mean_logprob). */
+  def lmCompareHoldout(df: DataFrame, idCol: String, textCol: String,
+      isTrain: Column, lambda: Double): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda in (0,1)")
+    val toks = split(lower(col(textCol)), " ")
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val side = df.select(isTrain.as("__train"), explode(bigrams).as("b"))
+      .select(col("__train"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val trainToks = df.filter(isTrain).select(explode(toks).as("w"))
+    val uc = trainToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val total = trainToks.count()
+    val vocab = uc.count()
+    val bc = side.filter(col("__train"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val held = side.filter(!col("__train")).select(col("w1"), col("w2"))
+    val scored = held
+      .join(uc.select(col("w").as("w2"), col("c1").as("__c1w2")), Seq("w2"), "left")
+      .join(uc.select(col("w").as("w1"), col("c1").as("__c1w1")), Seq("w1"), "left")
+      .join(bc, Seq("w1", "w2"), "left")
+      .select(
+        (coalesce(col("__c1w2"), lit(0L)).cast("double") / lit(total.toDouble)).as("p1"),
+        when(col("__c1w1").isNotNull && col("c12").isNotNull,
+          col("c12").cast("double") / col("__c1w1").cast("double"))
+          .otherwise(lit(0.0)).as("p2"),
+        coalesce(col("c12"), lit(0L)).cast("double").as("__c12d"),
+        coalesce(col("__c1w1"), lit(0L)).cast("double").as("__c1d"))
+      .filter(col("p1") + col("p2") > 0.0)
+    val lpAdd = log((col("__c12d") + lit(0.5)) /
+      (col("__c1d") + lit(0.5) * lit(vocab.toDouble)))
+    val lpJm = log(lit(lambda) * col("p2") + lit(1.0 - lambda) * col("p1"))
+    val agg = scored.agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(round(lpAdd, 9).cast("decimal(18,9)")).as("__sa"),
+        sum(round(lpJm, 9).cast("decimal(18,9)")).as("__sj"))
+      .localCheckpoint(false) // 1 row; consumed once per output model row
+    val a = agg.select(lit("add_0.5").as("model"), col("n_bigrams"),
+      round(col("__sa").cast("double") / col("n_bigrams").cast("double"), 6)
+        .as("mean_logprob"))
+    val j = agg.select(lit("jm_interp").as("model"), col("n_bigrams"),
+      round(col("__sj").cast("double") / col("n_bigrams").cast("double"), 6)
+        .as("mean_logprob"))
+    a.unionByName(j)
+  }
+
   /** T5-style span-corruption PLAN: deterministically mask ~1/`modulus`
     * of each doc's token positions (seeded-md5 rule, reproducible in
     * any engine and across epochs), merge adjacent masked positions

@@ -6139,7 +6139,110 @@ object OpsQueries {
              |    WHEN 'quality_keep_rate' THEN u.value >= 0.5
              |    ELSE u.value <= 0.05
              |  END AS pass
-             |FROM u ORDER BY u.check""".stripMargin)))
+             |FROM u ORDER BY u.check""".stripMargin)),
+
+    // ─── held-out smoothing shoot-out: add-0.5 vs Jelinek-Mercer ────────
+    "q251_smoothing_compare" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.lmCompareHoldout(Tables.documents(s, dir), "doc_id", "text",
+            $"doc_id" % 2 === 0, lambda = 0.7)
+          .orderBy($"model")
+      },
+      Some("""WITH tk AS (SELECT doc_id, doc_id % 2 = 0 AS train,
+             |        string_split(lower(text), ' ') AS tk FROM documents),
+             |trt AS (SELECT unnest(tk) AS w FROM tk WHERE train),
+             |uc AS (SELECT w, count(*) AS c1 FROM trt GROUP BY 1),
+             |tt AS (SELECT count(*) AS t FROM trt),
+             |vv AS (SELECT count(*) AS v FROM uc),
+             |bgx AS (SELECT doc_id, train, tk, CAST(unnest(range(len(tk) - 1)) AS INTEGER) AS pos
+             |        FROM tk WHERE len(tk) >= 2),
+             |bg AS (SELECT doc_id, train, tk[pos+1] AS w1, tk[pos+2] AS w2 FROM bgx),
+             |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE train GROUP BY 1, 2),
+             |hb AS (SELECT w1, w2 FROM bg WHERE NOT train),
+             |sc AS (SELECT
+             |         COALESCE(u2.c1, 0) / CAST(tt.t AS DOUBLE) AS p1,
+             |         CASE WHEN u1.c1 IS NOT NULL AND bc.c12 IS NOT NULL
+             |              THEN CAST(bc.c12 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+             |              ELSE 0.0::DOUBLE END AS p2,
+             |         CAST(COALESCE(bc.c12, 0) AS DOUBLE) AS c12d,
+             |         CAST(COALESCE(u1.c1, 0) AS DOUBLE) AS c1d,
+             |         vv.v
+             |       FROM hb LEFT JOIN uc u2 ON hb.w2 = u2.w
+             |               LEFT JOIN uc u1 ON hb.w1 = u1.w
+             |               LEFT JOIN bc ON hb.w1 = bc.w1 AND hb.w2 = bc.w2
+             |               CROSS JOIN tt CROSS JOIN vv),
+             |scf AS (SELECT * FROM sc WHERE p1 + p2 > 0.0),
+             |a AS (SELECT count(*) AS n_bigrams,
+             |        sum(CAST(round(ln((c12d + 0.5) / (c1d + 0.5 * CAST(v AS DOUBLE))), 9)
+             |          AS DECIMAL(18,9))) AS sa,
+             |        sum(CAST(round(ln(CAST(0.7 AS DOUBLE) * p2 + CAST(0.3 AS DOUBLE) * p1), 9)
+             |          AS DECIMAL(18,9))) AS sj
+             |      FROM scf)
+             |SELECT * FROM (
+             |  SELECT 'add_0.5' AS model, n_bigrams,
+             |    round(CAST(sa AS DOUBLE) / n_bigrams, 6) AS mean_logprob FROM a
+             |  UNION ALL
+             |  SELECT 'jm_interp', n_bigrams,
+             |    round(CAST(sj AS DOUBLE) / n_bigrams, 6) FROM a)
+             |ORDER BY model""".stripMargin)),
+
+    // ─── near-dup graph degree histogram ────────────────────────────────
+    "q252_degree_histogram" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+          .filter($"jaccard" >= 0.5)
+          .localCheckpoint(false)
+        val deg = pairs.select(explode(array($"id_a", $"id_b")).as("doc_id"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+        val hist = deg.groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+        val nWith = deg.count()
+        hist.unionByName(
+            Seq((0L, n - nWith)).toDF("degree", "n_docs"))
+          .where($"n_docs" > 0)
+          .orderBy($"degree")
+      },
+      Some(s"""WITH $minhashCtes,
+              |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+              |deg AS (SELECT doc_id, count(*) AS degree FROM
+              |          (SELECT id_a AS doc_id FROM e UNION ALL SELECT id_b FROM e)
+              |        GROUP BY 1),
+              |h AS (SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1
+              |      UNION ALL
+              |      SELECT 0, (SELECT count(*) FROM documents) - (SELECT count(*) FROM deg))
+              |SELECT degree, n_docs FROM h WHERE n_docs > 0 ORDER BY degree""".stripMargin)),
+
+    // ─── per-user event-type entropy (behavioral diversity) ─────────────
+    "q253_session_entropy" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ut = Tables.events(s, dir)
+          .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("__c"))
+        val tot = ut.groupBy($"user_id").agg(sum($"__c").as("__n"))
+        ut.join(tot, Seq("user_id"))
+          .select($"user_id",
+            round(($"__c".cast("double") / $"__n".cast("double")) *
+              log($"__c".cast("double") / $"__n".cast("double")), 9)
+              .cast("decimal(12,9)").as("__t"))
+          .groupBy($"user_id")
+          .agg(round(-sum($"__t").cast("double"), 6).as("entropy"))
+          .orderBy($"entropy".desc, $"user_id")
+          .limit(25)
+      },
+      Some("""WITH ut AS (SELECT user_id, event_type, count(*) AS c
+             |      FROM events GROUP BY 1, 2),
+             |tot AS (SELECT user_id, sum(c)::BIGINT AS n FROM ut GROUP BY 1),
+             |t AS (SELECT ut.user_id,
+             |        CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             |          * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(12,9)) AS term
+             |      FROM ut JOIN tot USING (user_id)),
+             |a AS (SELECT user_id, round(-CAST(sum(term) AS DOUBLE), 6) AS entropy
+             |      FROM t GROUP BY 1)
+             |SELECT user_id, entropy FROM a
+             |ORDER BY entropy DESC, user_id LIMIT 25""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
