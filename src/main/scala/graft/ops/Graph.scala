@@ -112,6 +112,49 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Degree assortativity of an undirected edge list — the Pearson
+    * correlation of endpoint degrees over the SYMMETRIZED edge set
+    * (each edge contributes (d_a, d_b) and (d_b, d_a), the standard
+    * Newman 2002 formulation). r > 0: hubs attach to hubs (mirror
+    * farms); r < 0: star-shaped dup neighborhoods around canonical
+    * originals — a one-number structural read on the near-dup graph
+    * next to the degree histogram.
+    *
+    * Exact-sum discipline (the `Profile.corrPerKey` contract): Σx, Σxy,
+    * Σx² accumulate as DECIMAL(38,0) from integer degrees; the one
+    * double expression runs once on identical sums in any engine.
+    *
+    * Scale shape: one explode + degree count (edge-keyed,
+    * partial-combining), two id-keyed joins decorating the edge list,
+    * ONE 1-row aggregate. Output: (n_edges, assortativity — NULL when
+    * degenerate, e.g. a regular graph). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame = {
+    val ed = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint(false) // 3 consumers: degree count + both union legs
+    val deg = ed.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val sym = ed.unionByName(ed.select(col("b").as("a"), col("a").as("b")))
+    val x = col("__da"); val y = col("__db")
+    val agg = sym
+      .join(deg.select(col("v").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("__db")), "b")
+      .agg(count(lit(1)).as("__m"),
+        sum(x.cast("decimal(38,0)")).as("__sx"),
+        sum(y.cast("decimal(38,0)")).as("__sy"),
+        sum((x * y).cast("decimal(38,0)")).as("__sxy"),
+        sum((x * x).cast("decimal(38,0)")).as("__sxx"),
+        sum((y * y).cast("decimal(38,0)")).as("__syy"))
+    def d(c: String) = col(c).cast("double")
+    val m = d("__m")
+    val vx = m * d("__sxx") - d("__sx") * d("__sx")
+    val vy = m * d("__syy") - d("__sy") * d("__sy")
+    val cov = m * d("__sxy") - d("__sx") * d("__sy")
+    agg.select((col("__m") / 2).cast("long").as("n_edges"),
+      when(col("__m") >= 2 && vx > 0.0 && vy > 0.0,
+        round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("assortativity"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)

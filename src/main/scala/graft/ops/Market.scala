@@ -236,4 +236,41 @@ object Market {
       .select(col("period"), col("n_items"),
         round(col("num").cast("double") / col("den").cast("double"), 6).as("price_index"))
   }
+
+  /** Basket co-occurrence lift over (basket, item) pairs — the
+    * market-basket association mining staple:
+    *   lift(a,b) = N · n_ab / (n_a · n_b)
+    * over DISTINCT item incidence per basket (a basket counts an item
+    * once however many lines carry it). Count products go through
+    * DOUBLE before dividing (hot items can't overflow int64); pairs
+    * below `minPairs` support are dropped (the standard spurious-lift
+    * guard).
+    *
+    * Scale shape: ONE distinct shuffle to (basket, item); the pair
+    * self-join is keyed on the basket id with fanout ≤ items-per-basket²
+    * — bounded by the ITEM-DOMAIN cardinality (a contract bound: brands
+    * ≤ 25 here), never by basket count; pair/marginal counts are
+    * partial-combining; output is item-pair-sized. */
+  def copurchaseLift(baskets: DataFrame, basketCol: String, itemCol: String,
+      minPairs: Long): DataFrame = {
+    val bi = baskets.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+      .localCheckpoint(false) // 3 consumers: item counts, total, pair join
+    val nBaskets = bi.agg(countDistinct(col("__bk")).as("__n"))
+    val ic = bi.groupBy(col("__it")).agg(count(lit(1)).as("__ci"))
+    val pairs = bi.join(
+        bi.select(col("__bk"), col("__it").as("__it2")),
+        Seq("__bk"))
+      .where(col("__it") < col("__it2"))
+      .groupBy(col("__it").as("item_a"), col("__it2").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairs)
+    def d(c: String) = col(c).cast("double")
+    pairs
+      .join(ic.select(col("__it").as("item_a"), col("__ci").as("__ca")), "item_a")
+      .join(ic.select(col("__it").as("item_b"), col("__ci").as("__cb")), "item_b")
+      .crossJoin(nBaskets)
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(d("__n") * d("n_ab") / (d("__ca") * d("__cb")), 6).as("lift"))
+  }
 }

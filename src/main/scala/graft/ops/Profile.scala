@@ -417,4 +417,35 @@ object Profile {
           round(col("n_orphans").cast("double") / col("n_child").cast("double"), 6))
     }.reduce(_ unionByName _)
   }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * dependence audit behind "is `lang` informative about `source`?"
+    * that a mixing plan wants before stratifying on both:
+    *   MI = Σ_{a,b} p(a,b) · ln( p(a,b) / (p(a)·p(b)) ).
+    * Per-cell terms are 9-dp fixed point summed as DECIMAL (the q151
+    * contribution discipline), count products go through DOUBLE before
+    * dividing so a hot cell can't overflow int64.
+    *
+    * Scale shape: ONE (a,b) partial-combining count over the fact;
+    * marginals, the total, and the term table all derive from the
+    * checkpointed CELL table (|A|·|B| rows — a contract bound, not
+    * data-scaled). Output: 1 row (n, n_cells, mi_nats). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__cab"))
+      .localCheckpoint(false) // 4 consumers: marginals ×2, total, terms
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__cab")).as("__ca"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__cab")).as("__cb"))
+    val tot = cells.agg(sum(col("__cab")).as("__n"))
+    def d(c: String) = col(c).cast("double")
+    val terms = cells.join(ma, "__a").join(mb, "__b").crossJoin(tot)
+      .select(col("__n"),
+        round((d("__cab") / d("__n")) *
+            log(d("__cab") * d("__n") / (d("__ca") * d("__cb"))), 9)
+          .cast("decimal(18,9)").as("__t"))
+    terms.groupBy(col("__n").as("n"))
+      .agg(count(lit(1)).as("n_cells"),
+        round(sum(col("__t")).cast("double"), 6).as("mi_nats"))
+      .select(col("n"), col("n_cells"), col("mi_nats"))
+  }
 }

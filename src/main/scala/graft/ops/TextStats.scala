@@ -1242,4 +1242,36 @@ object TextStats {
       .withColumn("mask_ratio",
         round(col("n_masked").cast("double") / col("n_tokens").cast("double"), 6))
   }
+
+  /** Pairwise vocabulary Jaccard between corpus slices (per `groupCol`):
+    * |V_a ∩ V_b| / |V_a ∪ V_b| over each slice's DISTINCT token set —
+    * the "how much do these sources share a vocabulary" audit a mixing
+    * plan reads next to per-slice OOV (q150) and lang entropy.
+    *
+    * Scale shape: ONE distinct shuffle to (group, token); the
+    * intersection self-join is keyed on the TOKEN with per-token fanout
+    * ≤ |groups|² — bounded by the slice-domain cardinality (a contract
+    * bound, 20 sources here), never by corpus size; sizes and
+    * intersections are partial-combining counts; output is
+    * group-pair-sized. Output: (group_a, group_b, n_inter, jaccard) —
+    * pairs with EMPTY intersection are absent (inner token join), not
+    * emitted as 0-rows. */
+  def vocabJaccard(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val vt = df.select(col(groupCol).as("__g"),
+        explode(split(lower(col(textCol)), " ")).as("__t"))
+      .where(col("__t") =!= "")
+      .distinct()
+      .localCheckpoint(false) // 3 consumers: sizes + both pair-join sides
+    val sizes = vt.groupBy(col("__g")).agg(count(lit(1)).as("__vs"))
+    vt.join(vt.select(col("__g").as("__g2"), col("__t")), Seq("__t"))
+      .where(col("__g") < col("__g2"))
+      .groupBy(col("__g").as("group_a"), col("__g2").as("group_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("__g").as("group_a"), col("__vs").as("__sa")), "group_a")
+      .join(sizes.select(col("__g").as("group_b"), col("__vs").as("__sb")), "group_b")
+      .select(col("group_a"), col("group_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("__sa") + col("__sb") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

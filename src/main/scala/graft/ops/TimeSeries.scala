@@ -227,4 +227,45 @@ object TimeSeries {
         round(col("__t"), 6).as("trend"),
         round(col("__v").cast("double") - col("__t"), 6).as("resid"))
   }
+
+  /** Sample autocorrelation function of the DAILY value series at lags
+    * 1..`maxLag` — the seasonality probe read before picking a drift
+    * window or a forecasting period:
+    *   acf(k) = Σ_{t>k} e_t·e_{t−k} / Σ_t e_t²,  e_t = x_t − x̄.
+    * Deviations are 6-dp fixed point (DECIMAL), so every lag product is
+    * EXACT decimal arithmetic — the one double division per lag runs on
+    * identical sums in any engine; x̄ itself divides the exact decimal
+    * day-sum total once.
+    *
+    * Scale shape: ONE date-keyed partial-combining aggregate over the
+    * fact; everything after (global sort, maxLag lag windows in one
+    * pass, melt, per-lag sums) runs on the DAY-level series — the
+    * aggregated-table-sized global-window class (q209 hatch note).
+    * Output: (lag, n_terms, acf) for k = 1..maxLag. */
+  def acf(df: DataFrame, tsCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, "maxLag in [1, 366]")
+    val daily = df.groupBy(col(tsCol).cast("date").as("__d"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__v"))
+    val stats = daily.agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+    val dev = daily.crossJoin(stats)
+      .select(col("__d"),
+        round(col("__v").cast("double") -
+            col("__s").cast("double") / col("__n").cast("double"), 6)
+          .cast("decimal(18,6)").as("__e"))
+    val w = Window.orderBy(col("__d"))
+    val wide = dev.select(
+      (0 to maxLag).map(k => (col("__e") * lag(col("__e"), k).over(w)).as(s"__p$k")): _*)
+    val melted = wide
+      .select(posexplode(array((0 to maxLag).map(k => col(s"__p$k")): _*))
+        .as(Seq("lag", "__t")))
+      .where(col("__t").isNotNull)
+    val agg = melted.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__t")).as("__sk"))
+      .localCheckpoint(false) // 2 consumers: the k=0 denominator + the k≥1 rows
+    val denom = agg.where(col("lag") === 0).select(col("__sk").as("__s0"))
+    agg.where(col("lag") >= 1).crossJoin(denom)
+      .select(col("lag"), col("n_terms"),
+        round(col("__sk").cast("double") / col("__s0").cast("double"), 6).as("acf"))
+  }
 }

@@ -6242,7 +6242,140 @@ object OpsQueries {
              |a AS (SELECT user_id, round(-CAST(sum(term) AS DOUBLE), 6) AS entropy
              |      FROM t GROUP BY 1)
              |SELECT user_id, entropy FROM a
-             |ORDER BY entropy DESC, user_id LIMIT 25""".stripMargin)))
+             |ORDER BY entropy DESC, user_id LIMIT 25""".stripMargin)),
+
+    // ─── mutual information lang × source ───────────────────────────────
+    "q254_mutual_info" -> Q(
+      (s, dir) => Profile.mutualInformation(
+        Tables.documents(s, dir), "lang", "source"),
+      Some("""WITH cells AS (SELECT lang AS a, source AS b, count(*) AS cab
+             |      FROM documents GROUP BY 1, 2),
+             |ma AS (SELECT a, sum(cab) AS ca FROM cells GROUP BY 1),
+             |mb AS (SELECT b, sum(cab) AS cb FROM cells GROUP BY 1),
+             |tot AS (SELECT sum(cab) AS n FROM cells),
+             |t AS (SELECT n, CAST(round(
+             |        (CAST(cab AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |        ln(CAST(cab AS DOUBLE) * CAST(n AS DOUBLE) /
+             |           (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 9)
+             |        AS DECIMAL(18,9)) AS term
+             |      FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot)
+             |SELECT CAST(n AS BIGINT) AS n, count(*) AS n_cells,
+             |  round(CAST(sum(term) AS DOUBLE), 6) AS mi_nats
+             |FROM t GROUP BY 1""".stripMargin)),
+
+    // ─── brand co-purchase lift within orders ───────────────────────────
+    "q255_copurchase_lift" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val baskets = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
+        Market.copurchaseLift(baskets, "l_orderkey", "p_brand", minPairs = 50L)
+          .orderBy($"lift".desc, $"item_a", $"item_b")
+          .limit(15)
+      },
+      Some("""WITH bi AS (SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+             |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |nb AS (SELECT count(DISTINCT bk) AS n FROM bi),
+             |ic AS (SELECT it, count(*) AS ci FROM bi GROUP BY 1),
+             |pr AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_ab
+             |       FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+             |       GROUP BY 1, 2 HAVING count(*) >= 50),
+             |j AS (SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+             |        round(CAST(n AS DOUBLE) * CAST(n_ab AS DOUBLE) /
+             |              (CAST(ca.ci AS DOUBLE) * CAST(cb.ci AS DOUBLE)), 6) AS lift
+             |      FROM pr JOIN ic ca ON pr.item_a = ca.it
+             |              JOIN ic cb ON pr.item_b = cb.it CROSS JOIN nb)
+             |SELECT item_a, item_b, n_ab, lift FROM j
+             |ORDER BY lift DESC, item_a, item_b LIMIT 15""".stripMargin)),
+
+    // ─── daily-revenue autocorrelation, lags 1..7 ───────────────────────
+    "q256_acf" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.acf(Tables.orders(s, dir), "o_orderdate", "o_totalprice",
+            maxLag = 7)
+          .orderBy($"lag")
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+             |        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS v
+             |      FROM orders GROUP BY 1),
+             |st AS (SELECT sum(v) AS s, count(*) AS n FROM daily),
+             |dev AS (SELECT d, CAST(round(CAST(v AS DOUBLE) -
+             |          CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             |          AS DECIMAL(19,6)) AS e
+             |        FROM daily CROSS JOIN st),
+             |r AS (SELECT e, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+             |      FROM dev),
+             |ks AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS lag),
+             |p AS (SELECT ks.lag, a.e * b.e AS t
+             |      FROM r a CROSS JOIN ks JOIN r b ON b.i = a.i - ks.lag),
+             |ag AS (SELECT lag, count(*) AS n_terms, sum(t) AS sk FROM p GROUP BY 1),
+             |d0 AS (SELECT sk AS s0 FROM ag WHERE lag = 0)
+             |SELECT lag, n_terms, round(CAST(sk AS DOUBLE) / CAST(s0 AS DOUBLE), 6) AS acf
+             |FROM ag CROSS JOIN d0 WHERE lag >= 1 ORDER BY lag""".stripMargin)),
+
+    // ─── degree assortativity of the near-dup graph ─────────────────────
+    "q257_assortativity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Graph.degreeAssortativity(
+          Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text")
+            .filter($"jaccard" >= 0.5))
+      },
+      Some(s"""WITH $minhashCtes,
+              |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+              |deg AS (SELECT v, count(*) AS d FROM
+              |          (SELECT id_a AS v FROM e UNION ALL SELECT id_b FROM e)
+              |        GROUP BY 1),
+              |sym AS (SELECT id_a AS a, id_b AS b FROM e
+              |        UNION ALL SELECT id_b, id_a FROM e),
+              |jj AS (SELECT da.d AS x, db.d AS y
+              |       FROM sym JOIN deg da ON sym.a = da.v JOIN deg db ON sym.b = db.v),
+              |ag AS (SELECT count(*) AS m,
+              |         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+              |         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+              |         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+              |         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+              |         sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+              |       FROM jj)
+              |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+              |  CASE WHEN m >= 2
+              |      AND (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              |           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+              |      AND (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) -
+              |           CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+              |    THEN round(
+              |      (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              |      (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              |            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              |       sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) -
+              |            CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+              |  END AS assortativity
+              |FROM ag""".stripMargin)),
+
+    // ─── cross-source vocabulary Jaccard ────────────────────────────────
+    "q258_vocab_jaccard" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.vocabJaccard(Tables.documents(s, dir), "source", "text")
+          .orderBy($"jaccard".desc, $"group_a", $"group_b")
+          .limit(15)
+      },
+      Some("""WITH tok AS (SELECT source AS g,
+             |        unnest(string_split(lower(text), ' ')) AS t FROM documents),
+             |vt AS (SELECT DISTINCT g, t FROM tok WHERE t <> ''),
+             |sz AS (SELECT g, count(*) AS vs FROM vt GROUP BY 1),
+             |inter AS (SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_inter
+             |          FROM vt a JOIN vt b ON a.t = b.t AND a.g < b.g
+             |          GROUP BY 1, 2),
+             |j AS (SELECT group_a, group_b, n_inter,
+             |        round(CAST(n_inter AS DOUBLE) /
+             |              CAST(sa.vs + sb.vs - n_inter AS DOUBLE), 6) AS jaccard
+             |      FROM inter JOIN sz sa ON inter.group_a = sa.g
+             |                 JOIN sz sb ON inter.group_b = sb.g)
+             |SELECT group_a, group_b, n_inter, jaccard FROM j
+             |ORDER BY jaccard DESC, group_a, group_b LIMIT 15""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

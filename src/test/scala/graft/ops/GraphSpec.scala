@@ -49,4 +49,15 @@ class GraphSpec extends SparkSpec {
     val two = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L), (8L, 9L))
     assert(count(two) == 2L)
   }
+
+  test("degreeAssortativity: star = -1, regular graph degenerate NULL") {
+    def r(es: Seq[(Long, Long)]) =
+      Graph.degreeAssortativity(es.toDF("id_a", "id_b"))
+        .as[(Long, Option[Double])].head()
+    // star 1-{2,3,4}: every edge joins degree 3 to degree 1 → perfectly
+    // disassortative
+    assert(r(Seq((1L, 2L), (1L, 3L), (1L, 4L))) == ((3L, Some(-1.0))))
+    // triangle: all degrees equal → zero variance → NULL, not 0/0
+    assert(r(Seq((1L, 2L), (1L, 3L), (2L, 3L))) == ((3L, None)))
+  }
 }

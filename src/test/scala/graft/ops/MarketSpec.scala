@@ -113,4 +113,23 @@ class MarketSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out("2024-02") == ((1L, 3.0))) // item 9 excluded, n_items=1
   }
+
+  test("copurchaseLift: lift from distinct basket incidence, support-filtered") {
+    val df = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"), // duplicate line: A counts once in b1
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B")).toDF("bk", "it")
+    val out = Market.copurchaseLift(df, "bk", "it", minPairs = 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // N=4, n_A=3, n_B=3, n_C=1; AB in 2 baskets, AC in 1
+    assert(out(("A", "B")) == ((2L, 0.888889)))
+    assert(out(("A", "C")) == ((1L, 1.333333)))
+    assert(!out.contains(("B", "C")))
+    // support filter drops singleton pairs
+    val filtered = Market.copurchaseLift(df, "bk", "it", minPairs = 2L)
+      .as[(String, String, Long, Double)].collect()
+    assert(filtered.map(r => (r._1, r._2)).toSet == Set(("A", "B")))
+  }
 }

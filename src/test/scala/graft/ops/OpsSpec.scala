@@ -210,6 +210,19 @@ class TextStatsSpec extends SparkSpec {
     assert(r(1) == ((2L, 5L, 2L, 0.4)))
     assert(r(2) == ((3L, 0L, 0L, 0.0)))
   }
+
+  test("vocabJaccard: distinct-token sets, disjoint pairs absent") {
+    val docs = Seq(
+      (1L, "g1", "a b c a"),    // V1 = {a,b,c} — repeat doesn't inflate
+      (2L, "g2", "b c d"),
+      (3L, "g3", "x")).toDF("doc_id", "g", "text")
+    val out = TextStats.vocabJaccard(docs, "g", "text")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("g1", "g2")) == ((2L, 0.5))) // |{b,c}| / |{a,b,c,d}|
+    // zero-intersection pairs are ABSENT (inner token join), not 0-rows
+    assert(out.size == 1)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -194,6 +194,18 @@ class ProfileSpec extends SparkSpec {
     assert(out2._3 == 2.0)
   }
 
+  test("mutualInformation: ln 2 when fully dependent, 0 when independent") {
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")).toDF("a", "b")
+    val d = Profile.mutualInformation(dep, "a", "b")
+      .as[(Long, Long, Double)].head()
+    assert(d._1 == 4L && d._2 == 2L)
+    assert(math.abs(d._3 - math.log(2.0)) < 1e-6)
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val i = Profile.mutualInformation(ind, "a", "b")
+      .as[(Long, Long, Double)].head()
+    assert(i._1 == 4L && i._2 == 4L && i._3 == 0.0)
+  }
+
   test("refIntegrity counts orphans exactly and rates them") {
     import org.apache.spark.sql.functions._
     val child = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 98L)).toDF("id", "fk")

@@ -2,7 +2,7 @@ package graft.ops
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.functions.date_format
+import org.apache.spark.sql.functions.{date_format, to_date}
 
 import graft.SparkSpec
 
@@ -141,5 +141,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out("2024-01")._3.isEmpty && out("2024-04")._3.isEmpty)
     assert(out("2024-02") == (("2024-02", 60.0, Some(60.0), Some(0.0))))
     assert(out("2024-03") == (("2024-03", 90.0, Some(90.0), Some(0.0))))
+  }
+
+  test("acf: alternating daily series has acf(1) = -0.75, acf(2) = 0.5") {
+    // days 1..4 with values 1,2,1,2 (one split across two rows: the
+    // daily aggregate must sum before deviating): x̄=1.5,
+    // e=(-.5,.5,-.5,.5), Σe²=1; lag1 terms -.25·3 → -0.75; lag2 .25·2 → 0.5
+    val df = Seq(
+      ("2024-01-01", 1.0), ("2024-01-02", 1.5), ("2024-01-02", 0.5),
+      ("2024-01-03", 1.0), ("2024-01-04", 2.0)).toDF("d", "v")
+      .select(to_date($"d").as("d"), $"v")
+    val out = TimeSeries.acf(df, "d", "v", maxLag = 2)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1) == ((3L, -0.75)))
+    assert(out(2) == ((2L, 0.5)))
   }
 }
