@@ -171,4 +171,42 @@ object Classifier {
         round(peRaw, 6).as("pe"),
         round((poRaw - peRaw) / (lit(1.0) - peRaw), 6).as("kappa"))
   }
+
+  /** Empirical-Bayes shrinkage of per-key success rates toward a
+    * beta-binomial prior fit by method of moments on the observed
+    * per-key rates (m = mean, v = population variance):
+    *   s = m(1−m)/v − 1,  α = m·s,  shrunk_k = (x_k + α) / (n_k + s)
+    * — the standard small-sample CTR/quality-rate stabilizer: keys with
+    * few trials pull hard toward the global mean, high-volume keys keep
+    * their own rate. Moment terms are 9-dp fixed point summed as
+    * DECIMAL; the prior solves once on the 1-row moment aggregate, and
+    * the one double shrink expression is mirrored per key. Degenerate
+    * prior (v = 0 or s ≤ 0) falls back to the raw rate.
+    *
+    * Scale shape: ONE key-partial-combining (n, x) aggregate over the
+    * fact; moments are a second aggregate over the KEY table; the prior
+    * broadcasts as a 1-row crossJoin. Output per key:
+    * (key, n, x, rate, shrunk). */
+  def ebShrinkRates(df: DataFrame, keyCol: String, successCol: Column): DataFrame = {
+    val perKey = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(successCol.cast("long")).as("x"))
+      .localCheckpoint(false) // 2 consumers: the moment fit + the shrink pass
+    val r = col("x").cast("double") / col("n").cast("double")
+    val moments = perKey
+      .select(round(r, 9).cast("decimal(18,9)").as("__t1"),
+        round(r * r, 9).cast("decimal(18,9)").as("__t2"))
+      .agg(count(lit(1)).as("__k"),
+        sum(col("__t1")).as("__s1"), sum(col("__t2")).as("__s2"))
+    def d(c: String) = col(c).cast("double")
+    val m = d("__s1") / d("__k")
+    val v = d("__s2") / d("__k") - m * m
+    val s = m * (lit(1.0) - m) / v - lit(1.0)
+    perKey.crossJoin(moments)
+      .select(col("key"), col("n"), col("x"),
+        round(r, 6).as("rate"),
+        round(when(col("__k") >= 2 && v > 0.0 && s > 0.0,
+            (col("x").cast("double") + m * s) / (col("n").cast("double") + s))
+          .otherwise(r), 6).as("shrunk"))
+  }
 }

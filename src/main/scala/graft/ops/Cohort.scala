@@ -99,4 +99,55 @@ object Cohort {
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
+
+  /** Stationary distribution of the observed event-type Markov chain
+    * (the q147 transition matrix) by `iters` fixed power iterations —
+    * "where does user attention settle?" — in INTEGER fixed point (the
+    * PageRank discipline): transition probabilities floor to
+    * `scale`-ths, every iteration term is (π_s · p_sd) DIV scale, so
+    * the result is bit-identical on any engine / partitioning. Mass
+    * entering a state with no OUT-transitions drains on the next
+    * iteration (the chain is over observed transitions only —
+    * documented, and with event data every type has successors).
+    *
+    * Scale shape: the transition matrix is type²-sized (a CONTRACT
+    * bound, ~tens of rows), so after the ONE user-keyed sort window +
+    * (src, dst) count, the iteration runs on the DRIVER over a
+    * model-sized collect — the `kmeansCentroids` precedent, never
+    * data-scaled. Output: (state, pi ← round 6) for states reachable at
+    * the final iteration. */
+  def markovStationary(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, iters: Int = 25,
+      scale: Long = 1000000000000L): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .select(col(typeCol).as("src"), lead(col(typeCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("src").agg(sum(col("n")).as("tot"))
+    val tr = counts.join(totals, "src")
+      .select(col("src"), col("dst"), col("n"), col("tot"))
+      .collect() // type²-sized by contract
+      .map(r => (r.getString(0), r.getString(1),
+        BigInt(r.getLong(2)) * scale / BigInt(r.getLong(3))))
+    val states = tr.map(_._1).distinct.sorted
+    var pi: Map[String, BigInt] =
+      if (states.isEmpty) Map.empty
+      else states.map(_ -> BigInt(scale) / states.length).toMap
+    (1 to iters).foreach { _ =>
+      val next = scala.collection.mutable.Map.empty[String, BigInt]
+        .withDefaultValue(BigInt(0))
+      tr.foreach { case (s, d2, pfp) =>
+        next(d2) += pi.getOrElse(s, BigInt(0)) * pfp / scale
+      }
+      pi = next.toMap
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    pi.toSeq.sortBy(_._1)
+      .map { case (st, fp) => (st,
+        BigDecimal(fp.toDouble / scale.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("state", "pi")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -272,5 +272,44 @@ object Market {
       .crossJoin(nBaskets)
       .select(col("item_a"), col("item_b"), col("n_ab"),
         round(d("__n") * d("n_ab") / (d("__ca") * d("__cb")), 6).as("lift"))
+  }
+
+  /** Mix-shift decomposition of the overall-mean change between two
+    * periods: with w_g = group row share and m_g = group mean,
+    *   M_B − M_A = Σ_g (w_gB − w_gA)·m_gA  +  Σ_g w_gB·(m_gB − m_gA)
+    *               └── mix (composition) ──┘  └── within (rate) ──┘
+    * — the "did revenue/quality move because the MIX changed or because
+    * groups themselves changed?" ledger an analyst reads before blaming
+    * a segment. Group sums are exact DECIMAL; the double share/mean
+    * expressions run once per group on identical sums. Groups absent
+    * from either period are dropped (inner join) — their contribution
+    * belongs to an entry/exit line, not mix/within.
+    *
+    * Scale shape: ONE (period, group) aggregate over the fact filtered
+    * to the two periods; everything after is group-table-sized. Output:
+    * (group, w_a, w_b, m_a, m_b, mix_contrib, within_contrib). */
+  def mixShift(df: DataFrame, groupCol: String, periodCol: Column,
+      valueCol: String, periodA: String, periodB: String): DataFrame = {
+    val pg = df.select(col(groupCol).as("grp"), periodCol.as("__p"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .where(col("__p").isin(periodA, periodB))
+      .groupBy(col("__p"), col("grp"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+      .localCheckpoint(false) // consumers: period totals + both slices
+    val tot = pg.groupBy(col("__p")).agg(sum(col("__n")).as("__tot"))
+    val dec = pg.join(tot, "__p")
+      .select(col("__p"), col("grp"),
+        (col("__n").cast("double") / col("__tot").cast("double")).as("__w"),
+        (col("__s").cast("double") / col("__n").cast("double")).as("__m"))
+    val a = dec.where(col("__p") === periodA)
+      .select(col("grp"), col("__w").as("__wa"), col("__m").as("__ma"))
+    val b = dec.where(col("__p") === periodB)
+      .select(col("grp"), col("__w").as("__wb"), col("__m").as("__mb"))
+    a.join(b, "grp")
+      .select(col("grp"),
+        round(col("__wa"), 6).as("w_a"), round(col("__wb"), 6).as("w_b"),
+        round(col("__ma"), 6).as("m_a"), round(col("__mb"), 6).as("m_b"),
+        round((col("__wb") - col("__wa")) * col("__ma"), 6).as("mix_contrib"),
+        round(col("__wb") * (col("__mb") - col("__ma")), 6).as("within_contrib"))
   }
 }

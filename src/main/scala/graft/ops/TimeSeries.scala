@@ -268,4 +268,90 @@ object TimeSeries {
       .select(col("lag"), col("n_terms"),
         round(col("__sk").cast("double") / col("__s0").cast("double"), 6).as("acf"))
   }
+
+  /** Normalized cross-correlation between two DAILY series at lags
+    * −maxLag..maxLag — "does X lead Y?" (positive lag k: X shifted k
+    * days EARLIER against Y):
+    *   xcorr(k) = Σ_d ex(d−k)·ey(d) / √(Σex² · Σey²),
+    * deviations taken from each series' own full-series mean. The acf
+    * fixed-point discipline applies: 6-dp DECIMAL deviations, exact
+    * decimal lag products, one double division per lag on identical
+    * sums.
+    *
+    * Scale shape: ONE date-keyed aggregate per input; the lag explode ×
+    * date join runs on DAY-level series (aggregated-table-sized).
+    * Output: (lag, n_days, xcorr) — n_days = overlapping days at that
+    * alignment. */
+  def crossCorrelation(dfX: DataFrame, tsX: String, valX: String,
+      dfY: DataFrame, tsY: String, valY: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, "maxLag in [1, 366]")
+    def devSeries(df: DataFrame, ts: String, v: String): DataFrame = {
+      val daily = df.groupBy(col(ts).cast("date").as("__d"))
+        .agg(sum(col(v).cast("decimal(18,6)")).as("__v"))
+      val stats = daily.agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      daily.crossJoin(stats)
+        .select(col("__d"),
+          round(col("__v").cast("double") -
+              col("__s").cast("double") / col("__n").cast("double"), 6)
+            .cast("decimal(19,6)").as("__e"))
+    }
+    val ex = devSeries(dfX, tsX, valX).localCheckpoint(false) // join + denom
+    val ey = devSeries(dfY, tsY, valY).localCheckpoint(false)
+    val denom = ex.agg(sum(col("__e") * col("__e")).as("__dx"))
+      .crossJoin(ey.agg(sum(col("__e") * col("__e")).as("__dy")))
+    val lags = (-maxLag to maxLag).map(k => lit(k))
+    val terms = ey.select(col("__d"), col("__e").as("__ey"))
+      .crossJoin(ex.sparkSession.range(1).select(
+        explode(array(lags: _*)).as("lag")))
+      .join(ex.select(col("__d").as("__dx2"), col("__e").as("__ex")),
+        col("__dx2") === date_sub(col("__d"), col("lag")))
+    terms.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__ex") * col("__ey")).as("__sk"))
+      .crossJoin(denom)
+      .select(col("lag"), col("n_days"),
+        round(col("__sk").cast("double") /
+          sqrt(col("__dx").cast("double") * col("__dy").cast("double")), 6)
+          .as("xcorr"))
+  }
+
+  /** Kolmogorov–Smirnov distance between each event type's observed
+    * inter-arrival gaps and the exponential fit at the MLE rate
+    * λ = n/Σgaps — the "is this a Poisson process?" audit behind rate
+    * limiting and burst detection. The ECDF is evaluated per DISTINCT
+    * gap value on BOTH sides of the step (sup over |F̂(g)−F(g)| and
+    * |F̂(g⁻)−F(g)|), so tie handling is order-free; gaps are exact
+    * integer microseconds, λ derives from exact integer sums, and the
+    * final max of doubles is order-independent.
+    *
+    * Scale shape: ONE type-keyed sort window for gaps (the q57
+    * sessionize class), ONE (type, gap) partial-combining count, a
+    * type-partitioned cumulative window over the AGGREGATED gap table,
+    * one max per type. Output: (event_type, n_gaps, lambda_per_hour,
+    * ks_d). */
+  def interArrivalKs(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__ty")).orderBy(col("__us"))
+    val gaps = df
+      .select(col(typeCol).as("__ty"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+      .withColumn("__g", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__g").isNotNull)
+    val stats = gaps.groupBy(col("__ty"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g").cast("decimal(38,0)")).as("__sum"))
+    val gc = gaps.groupBy(col("__ty"), col("__g")).agg(count(lit(1)).as("__c"))
+    val wc = Window.partitionBy(col("__ty")).orderBy(col("__g"))
+    val ec = gc.withColumn("__cle", sum(col("__c")).over(wc))
+    val nD = col("n_gaps").cast("double")
+    val lam = nD / (col("__sum").cast("double") / lit(1e6)) // per second
+    val fexp = lit(1.0) - exp(-lam * (col("__g").cast("double") / lit(1e6)))
+    val fle = col("__cle").cast("double") / nD
+    val flt = (col("__cle") - col("__c")).cast("double") / nD
+    ec.join(stats, "__ty")
+      .groupBy(col("__ty").as("event_type"))
+      .agg(max(col("n_gaps")).as("n_gaps"), // constant within the group
+        round(max(lit(3600.0) * nD / (col("__sum").cast("double") / lit(1e6))), 6)
+          .as("lambda_per_hour"),
+        round(max(greatest(abs(fle - fexp), abs(flt - fexp))), 6).as("ks_d"))
+  }
 }

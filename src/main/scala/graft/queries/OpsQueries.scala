@@ -6375,7 +6375,180 @@ object OpsQueries {
              |      FROM inter JOIN sz sa ON inter.group_a = sa.g
              |                 JOIN sz sb ON inter.group_b = sb.g)
              |SELECT group_a, group_b, n_inter, jaccard FROM j
-             |ORDER BY jaccard DESC, group_a, group_b LIMIT 15""".stripMargin)))
+             |ORDER BY jaccard DESC, group_a, group_b LIMIT 15""".stripMargin)),
+
+    // ─── click→purchase daily cross-correlation, lags −5..5 ─────────────
+    "q259_xcorr" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        TimeSeries.crossCorrelation(
+            ev.filter($"event_type" === "click"), "ts", "value",
+            ev.filter($"event_type" === "purchase"), "ts", "value",
+            maxLag = 5)
+          .orderBy($"lag")
+      },
+      Some("""WITH ex AS (SELECT d, CAST(round(CAST(v AS DOUBLE) -
+             |          (SELECT CAST(sum(v2.v) AS DOUBLE) / count(*) FROM
+             |            (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             |               sum(CAST(value AS DECIMAL(18,6))) AS v
+             |             FROM events WHERE event_type = 'click' GROUP BY 1) v2), 6)
+             |          AS DECIMAL(19,6)) AS e
+             |        FROM (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             |                sum(CAST(value AS DECIMAL(18,6))) AS v
+             |              FROM events WHERE event_type = 'click' GROUP BY 1)),
+             |ey AS (SELECT d, CAST(round(CAST(v AS DOUBLE) -
+             |          (SELECT CAST(sum(v2.v) AS DOUBLE) / count(*) FROM
+             |            (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             |               sum(CAST(value AS DECIMAL(18,6))) AS v
+             |             FROM events WHERE event_type = 'purchase' GROUP BY 1) v2), 6)
+             |          AS DECIMAL(19,6)) AS e
+             |        FROM (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             |                sum(CAST(value AS DECIMAL(18,6))) AS v
+             |              FROM events WHERE event_type = 'purchase' GROUP BY 1)),
+             |den AS (SELECT (SELECT sum(e * e) FROM ex) AS dx,
+             |               (SELECT sum(e * e) FROM ey) AS dy),
+             |ks AS (SELECT CAST(unnest(range(-5, 6)) AS INTEGER) AS lag),
+             |t AS (SELECT ks.lag, ex.e * ey.e AS p
+             |      FROM ey CROSS JOIN ks JOIN ex ON ex.d = ey.d - ks.lag),
+             |ag AS (SELECT lag, count(*) AS n_days, sum(p) AS sk FROM t GROUP BY 1)
+             |SELECT lag, n_days,
+             |  round(CAST(sk AS DOUBLE) /
+             |        sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) AS xcorr
+             |FROM ag CROSS JOIN den ORDER BY lag""".stripMargin)),
+
+    // ─── exponential-fit KS distance of inter-arrival gaps per type ─────
+    "q260_interarrival_ks" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.interArrivalKs(Tables.events(s, dir), "event_type", "ts")
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (SELECT event_type AS ty,
+             |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |g AS (SELECT ty, us - lag(us) OVER (PARTITION BY ty ORDER BY us) AS g
+             |      FROM e),
+             |gg AS (SELECT ty, g FROM g WHERE g IS NOT NULL),
+             |st AS (SELECT ty, count(*) AS n, sum(CAST(g AS DECIMAL(38,0))) AS s
+             |       FROM gg GROUP BY 1),
+             |gc AS (SELECT ty, g, count(*) AS c FROM gg GROUP BY 1, 2),
+             |ec AS (SELECT ty, g, c,
+             |         sum(c) OVER (PARTITION BY ty ORDER BY g) AS cle FROM gc),
+             |d AS (SELECT ec.ty, st.n, st.s,
+             |        greatest(
+             |          abs(CAST(cle AS DOUBLE) / CAST(n AS DOUBLE) -
+             |            (1.0 - exp(-(CAST(n AS DOUBLE) / (CAST(s AS DOUBLE) / 1e6))
+             |                       * (CAST(g AS DOUBLE) / 1e6)))),
+             |          abs(CAST(cle - c AS DOUBLE) / CAST(n AS DOUBLE) -
+             |            (1.0 - exp(-(CAST(n AS DOUBLE) / (CAST(s AS DOUBLE) / 1e6))
+             |                       * (CAST(g AS DOUBLE) / 1e6))))) AS dev
+             |      FROM ec JOIN st USING (ty))
+             |SELECT ty AS event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+             |  round(max(3600.0 * CAST(n AS DOUBLE) / (CAST(s AS DOUBLE) / 1e6)), 6)
+             |    AS lambda_per_hour,
+             |  round(max(dev), 6) AS ks_d
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── empirical-Bayes shrunk per-user purchase rates ─────────────────
+    "q261_eb_shrink" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Classifier.ebShrinkRates(Tables.events(s, dir), "user_id",
+            ($"event_type" === "purchase").cast("int"))
+          .orderBy($"n", $"key")
+          .limit(25)
+      },
+      Some("""WITH pk AS (SELECT user_id AS key, count(*) AS n,
+             |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS x
+             |      FROM events GROUP BY 1),
+             |mo AS (SELECT count(*) AS k,
+             |        sum(CAST(round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 9)
+             |          AS DECIMAL(18,9))) AS s1,
+             |        sum(CAST(round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |          (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             |          AS DECIMAL(18,9))) AS s2
+             |      FROM pk),
+             |pr AS (SELECT k,
+             |        CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS m,
+             |        CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE) -
+             |          (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) *
+             |          (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) AS v
+             |      FROM mo),
+             |sh AS (SELECT key, n, x,
+             |        round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+             |        round(CASE WHEN k >= 2 AND v > 0.0
+             |            AND (m * (1.0 - m) / v - 1.0) > 0.0
+             |          THEN (CAST(x AS DOUBLE) + m * (m * (1.0 - m) / v - 1.0)) /
+             |               (CAST(n AS DOUBLE) + (m * (1.0 - m) / v - 1.0))
+             |          ELSE CAST(x AS DOUBLE) / CAST(n AS DOUBLE) END, 6) AS shrunk
+             |      FROM pk CROSS JOIN pr)
+             |SELECT key, n, x, rate, shrunk FROM sh
+             |ORDER BY n, key LIMIT 25""".stripMargin)),
+
+    // ─── mix-shift decomposition: 1995 → 2000 mean order value ──────────
+    "q262_mix_shift" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val df = Tables.orders(s, dir).join(Tables.customer(s, dir),
+          $"o_custkey" === $"c_custkey")
+        Market.mixShift(df, "c_mktsegment",
+            year($"o_orderdate").cast("string"), "o_totalprice",
+            "1995", "2000")
+          .orderBy($"grp")
+      },
+      Some("""WITH f AS (SELECT c.c_mktsegment AS grp,
+             |        CAST(year(o.o_orderdate) AS VARCHAR) AS p,
+             |        CAST(o.o_totalprice AS DECIMAL(18,6)) AS v
+             |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |      WHERE year(o.o_orderdate) IN (1995, 2000)),
+             |pg AS (SELECT p, grp, count(*) AS n, sum(v) AS s FROM f GROUP BY 1, 2),
+             |tt AS (SELECT p, sum(n)::BIGINT AS tot FROM pg GROUP BY 1),
+             |dec AS (SELECT pg.p, grp,
+             |          CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS w,
+             |          CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m
+             |        FROM pg JOIN tt USING (p)),
+             |a AS (SELECT grp, w AS wa, m AS ma FROM dec WHERE p = '1995'),
+             |b AS (SELECT grp, w AS wb, m AS mb FROM dec WHERE p = '2000')
+             |SELECT a.grp, round(wa, 6) AS w_a, round(wb, 6) AS w_b,
+             |  round(ma, 6) AS m_a, round(mb, 6) AS m_b,
+             |  round((wb - wa) * ma, 6) AS mix_contrib,
+             |  round(wb * (mb - ma), 6) AS within_contrib
+             |FROM a JOIN b USING (grp) ORDER BY grp""".stripMargin)),
+
+    // ─── event-type Markov stationary distribution (25 fixed-point iters)
+    "q263_markov_stationary" -> Q(
+      (s, dir) => Cohort.markovStationary(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id"),
+      Some {
+        val S = "1000000000000"
+        // MATERIALIZED on tr + every iteration: without it DuckDB's
+        // optimizer re-inlines the single-reference CTE chain and plan
+        // construction goes exponential past ~12 iterations (measured:
+        // 25 inlined iters never finish; materialized, 0.06 s).
+        val iters = (1 to 25).map { k =>
+          s"""it$k AS MATERIALIZED (SELECT t.dst AS state,
+             |  sum(it${k - 1}.p * t.pfp // $S) AS p
+             |  FROM it${k - 1} JOIN tr t ON it${k - 1}.state = t.src GROUP BY 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           |        event_type FROM events),
+           |p0 AS (SELECT event_type AS src,
+           |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+           |       FROM t),
+           |c AS (SELECT src, dst, count(*)::BIGINT AS n FROM p0
+           |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+           |tt AS (SELECT src, sum(n)::BIGINT AS tot FROM c GROUP BY 1),
+           |tr AS MATERIALIZED (SELECT c.src, c.dst,
+           |       CAST(c.n AS HUGEINT) * $S // tt.tot AS pfp
+           |       FROM c JOIN tt USING (src)),
+           |st AS (SELECT DISTINCT src FROM tr),
+           |it0 AS (SELECT src AS state,
+           |          CAST($S AS HUGEINT) // (SELECT count(*) FROM st) AS p FROM st),
+           |$iters
+           |SELECT state, round(CAST(p AS DOUBLE) / $S, 6) AS pi
+           |FROM it25 ORDER BY state""".stripMargin
+      }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -100,4 +100,23 @@ class ClassifierSpec extends SparkSpec {
       .map { case (a, b, n) => (a, b) -> n }.toMap
     assert(m == Map(("a", "a") -> 1L, ("a", "b") -> 1L, ("b", "b") -> 2L))
   }
+
+  test("ebShrinkRates: rates pull toward the moment-matched beta prior") {
+    // rates .5, 0, .5 → m=1/3, v=1/18 → s=3, α=1:
+    // shrunk_A = (1+1)/(2+3) = .4, shrunk_B = (0+1)/(2+3) = .2
+    val df = Seq(
+      ("A", 1), ("A", 0), ("B", 0), ("B", 0), ("C", 1), ("C", 0))
+      .toDF("k", "s")
+    val out = Classifier.ebShrinkRates(df, "k", col("s"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 2L, 1L, 0.5, 0.4)))
+    assert(out("B") == (("B", 2L, 0L, 0.0, 0.2)))
+    assert(out("C") == (("C", 2L, 1L, 0.5, 0.4)))
+    // degenerate prior (all rates equal → v=0) falls back to raw rates
+    val flat = Seq(("A", 1), ("A", 0), ("B", 1), ("B", 0)).toDF("k", "s")
+    val f = Classifier.ebShrinkRates(flat, "k", col("s"))
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(f.forall(r => r._4 == r._5))
+  }
 }

@@ -94,4 +94,26 @@ class CohortSpec extends SparkSpec {
     assert(out._1 == "2024-01" && out._2 == 3L && out._3 == 2L)
     assert(out._4.contains(20e6)) // median of 10 s / 30 s in micros
   }
+
+  test("markovStationary: 2-cycle stays uniform; self-loop absorbs to 1") {
+    def ev(rows: (Long, String, String, Long)*) =
+      rows.map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+        .toDF("u", "ts", "ty", "id")
+    // a→b→a→b→a: doubly stochastic swap chain → π = (1/2, 1/2) exactly
+    val cyc = ev((1L, "2024-01-01 00:00:01", "a", 1L),
+      (1L, "2024-01-01 00:00:02", "b", 2L),
+      (1L, "2024-01-01 00:00:03", "a", 3L),
+      (1L, "2024-01-01 00:00:04", "b", 4L),
+      (1L, "2024-01-01 00:00:05", "a", 5L))
+    val pi = Cohort.markovStationary(cyc, "u", "ts", "ty", "id")
+      .as[(String, Double)].collect().toMap
+    assert(pi == Map("a" -> 0.5, "b" -> 0.5))
+    // single self-looping state keeps all mass
+    val loop = ev((1L, "2024-01-01 00:00:01", "a", 1L),
+      (1L, "2024-01-01 00:00:02", "a", 2L),
+      (1L, "2024-01-01 00:00:03", "a", 3L))
+    val p2 = Cohort.markovStationary(loop, "u", "ts", "ty", "id")
+      .as[(String, Double)].collect().toMap
+    assert(p2 == Map("a" -> 1.0))
+  }
 }

@@ -132,4 +132,21 @@ class MarketSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect()
     assert(filtered.map(r => (r._1, r._2)).toSet == Set(("A", "B")))
   }
+
+  test("mixShift: mix + within contributions reconstruct the mean change") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("G", "A", 10.0), ("G", "A", 10.0), ("H", "A", 20.0), ("H", "A", 20.0),
+      ("G", "B", 30.0), ("H", "B", 20.0), ("H", "B", 20.0))
+      .toDF("g", "p", "v")
+    val out = Market.mixShift(df, "g", col("p"), "v", "A", "B")
+      .as[(String, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // G: w .5→1/3, m 10→30 → mix (1/3−.5)·10 = −1.666667, within 1/3·20
+    assert(out("G") == (("G", 0.5, 0.333333, 10.0, 30.0, -1.666667, 6.666667)))
+    assert(out("H") == (("H", 0.5, 0.666667, 20.0, 20.0, 3.333333, 0.0)))
+    // ledger closes: M_B − M_A = 70/3 − 15 = Σ(mix + within) ≈ 8.333333
+    val total = out.values.map(r => r._6 + r._7).sum
+    assert(math.abs(total - (70.0 / 3 - 15.0)) < 1e-5)
+  }
 }

@@ -156,4 +156,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(1) == ((3L, -0.75)))
     assert(out(2) == ((2L, 0.5)))
   }
+
+  test("crossCorrelation: Y = X shifted one day later peaks at lag 1") {
+    def series(days: Seq[Int], vals: Seq[Double]) =
+      days.zip(vals).map { case (d, v) => (f"2024-01-$d%02d", v) }
+        .toDF("d", "v").select(to_date($"d").as("d"), $"v")
+    val x = series(Seq(1, 2, 3, 4), Seq(1.0, 2.0, 1.0, 2.0))
+    val y = series(Seq(2, 3, 4, 5), Seq(1.0, 2.0, 1.0, 2.0)) // X delayed 1d
+    val out = TimeSeries.crossCorrelation(x, "d", "v", y, "d", "v", maxLag = 1)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1) == ((4L, 1.0)))    // perfect alignment: X leads by 1
+    assert(out(0) == ((3L, -0.75)))  // same-day overlap anti-phase
+    assert(out(-1) == ((2L, 0.5)))
+  }
+
+  test("interArrivalKs: gaps 1,2,3 s vs exponential MLE fit") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(0L, 1L, 3L, 6L).map(sec =>
+      ("a", new Timestamp(base.getTime + sec * 1000)))
+    val out = TimeSeries.interArrivalKs(rows.toDF("ty", "ts"), "ty", "ts")
+      .as[(String, Long, Double, Double)].head()
+    // n=3, Σ=6 s → λ = 0.5/s = 1800/h; sup dev at g=1's lower step:
+    // |0 − (1−e^{−0.5})| = 0.393469
+    assert(out == (("a", 3L, 1800.0, 0.393469)))
+  }
 }
