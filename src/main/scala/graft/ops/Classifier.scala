@@ -187,6 +187,38 @@ object Classifier {
     * fact; moments are a second aggregate over the KEY table; the prior
     * broadcasts as a 1-row crossJoin. Output per key:
     * (key, n, x, rate, shrunk). */
+  /** Exact ROC-AUC of a score against a binary label via the
+    * Mann–Whitney rank statistic with midrank tie handling:
+    *   AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N⁻)
+    * computed entirely in INTEGERS until one final double division:
+    * per distinct score value, 2·avgrank = 2·cnt_lt + n_v + 1, and
+    * S2 = Σ_v np_v·(2·avgrank) accumulates as DECIMAL(38,0) —
+    * bit-identical on any engine, no per-row rank join.
+    *
+    * Scale shape: ONE (score) partial-combining aggregate over the
+    * fact, a cumulative window over the SCORE-VALUE table (value-domain
+    * sized — bounded for discrete scores; bucket continuous scores
+    * first), one 1-row aggregate. Output: (n_pos, n_neg, auc — NULL if
+    * a class is empty). */
+  def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val sv = df.select(scoreCol.as("__s"), labelCol.cast("int").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+    val cum = sv.withColumn("__cle", sum(col("__n")).over(w))
+    val s2term = col("__np") *
+      (lit(2L) * (col("__cle") - col("__n")) + col("__n") + lit(1L))
+    val agg = cum.agg(
+      sum(col("__np")).as("__P"), sum(col("__n")).as("__T"),
+      sum(s2term.cast("decimal(38,0)")).as("__S2"))
+    def d(c: String) = col(c).cast("double")
+    val nNeg = col("__T") - col("__P")
+    agg.select(col("__P").as("n_pos"), nNeg.as("n_neg"),
+      when(col("__P") > 0 && nNeg > 0,
+        round((d("__S2") - d("__P") * (d("__P") + lit(1.0))) /
+          (lit(2.0) * d("__P") * nNeg.cast("double")), 6)).as("auc"))
+  }
+
   def ebShrinkRates(df: DataFrame, keyCol: String, successCol: Column): DataFrame = {
     val perKey = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"),

@@ -418,6 +418,77 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Spearman rank correlation between two INTEGER-valued columns:
+    * exact Pearson on midrank-tied ranks. Ranks come from per-VALUE
+    * cumulative counts (2·avgrank = 2·cnt_lt + n_v + 1 — integers, no
+    * per-row rank window), decorate the fact by two value-keyed joins,
+    * and the Pearson sums follow the corrPerKey exact-DECIMAL contract
+    * (ranks cast to DECIMAL(18,0) BEFORE multiplying — a rank is
+    * data-scaled, so a long×long product could overflow where a degree
+    * product cannot). The constant factor 2 cancels in Pearson.
+    *
+    * Scale shape: two (value) partial-combining aggregates + cumulative
+    * windows over VALUE-DOMAIN tables, two value-keyed decorating
+    * joins, ONE 1-row aggregate. Output: (n, spearman — NULL when a
+    * column is constant). */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def ranks2(c: String) = {
+      val v = df.select(col(c).cast("long").as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+      val w = Window.orderBy(col("__v"))
+      v.withColumn("__cle", sum(col("__n")).over(w))
+        .select(col("__v"),
+          (lit(2L) * (col("__cle") - col("__n")) + col("__n") + lit(1L))
+            .as("__r2"))
+    }
+    val j = df.select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .join(ranks2(xCol).select(col("__v").as("__x"), col("__r2").as("__rx")), "__x")
+      .join(ranks2(yCol).select(col("__v").as("__y"), col("__r2").as("__ry")), "__y")
+    val x = col("__rx").cast("decimal(18,0)")
+    val y = col("__ry").cast("decimal(18,0)")
+    val agg = j.agg(count(lit(1)).as("n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val vx = nD * d("__sxx") - d("__sx") * d("__sx")
+    val vy = nD * d("__syy") - d("__sy") * d("__sy")
+    val cov = nD * d("__sxy") - d("__sx") * d("__sy")
+    agg.select(col("n"),
+      when(col("n") >= 2 && vx > 0.0 && vy > 0.0,
+        round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("spearman"))
+  }
+
+  /** Per-key trimmed mean: drop the ⌊n·trimFrac⌋ smallest and largest
+    * values, average the rest — the robust central-tendency metric
+    * between mean (trim 0) and median (trim →0.5). The kept MULTISET is
+    * deterministic under any tie order (trimming is by count off each
+    * end of the value order), and the sum is exact DECIMAL. Output:
+    * (key, n, n_kept, trimmed_mean).
+    *
+    * Scale shape: ONE key shuffle + per-key sort window (the q234
+    * weighted-median class); the aggregate is partial-combining. */
+  def trimmedMean(df: DataFrame, keyCol: String, valueCol: String,
+      trimFrac: Double): DataFrame = {
+    require(trimFrac >= 0.0 && trimFrac < 0.5, "trimFrac in [0, 0.5)")
+    val base = df.select(col(keyCol).as("key"),
+      col(valueCol).cast("decimal(18,6)").as("__v"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__v"))
+    val wn = Window.partitionBy(col("key"))
+    val t = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wn))
+      .withColumn("__trim",
+        floor(col("__cnt").cast("double") * lit(trimFrac)).cast("long"))
+    t.where(col("__rn") > col("__trim") &&
+        col("__rn") <= col("__cnt") - col("__trim"))
+      .groupBy(col("key"))
+      .agg(max(col("__cnt")).as("n"), count(lit(1)).as("n_kept"),
+        round(sum(col("__v")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("trimmed_mean"))
+  }
+
   /** Mutual information (nats) between two categorical columns — the
     * dependence audit behind "is `lang` informative about `source`?"
     * that a mixing plan wants before stratifying on both:

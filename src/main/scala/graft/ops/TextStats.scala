@@ -1256,6 +1256,40 @@ object TextStats {
     * group-pair-sized. Output: (group_a, group_b, n_inter, jaccard) —
     * pairs with EMPTY intersection are absent (inner token join), not
     * emitted as 0-rows. */
+  /** Sketch-path twin of [[vocabJaccard]] + its own accuracy audit:
+    * per-slice token MinHash signatures (k mergeable mins — the q38
+    * corpus-signature aggregate), pairwise signature-agreement Jaccard
+    * estimates, joined against the EXACT pair table. At 100 TB the
+    * sketch column replaces the exact token self-join outright: the
+    * estimate needs ONE map-side-combining aggregate to k longs per
+    * slice and a |groups|²-row comparison — no token-keyed shuffle at
+    * all; the exact side here is the AUDIT baseline (the q136/q125
+    * sampled-audit discipline). Sketch hashes every raw split token
+    * (no empty-token filter — the estimate's unit need not match the
+    * exact op's, only its own oracle). Output: (group_a, group_b,
+    * jaccard [exact, 6-dp], jac_est [multiples of 1/k — binary-exact],
+    * abs_err). */
+  def vocabJaccardSketch(df: DataFrame, groupCol: String, textCol: String,
+      numHashes: Int = 64): DataFrame = {
+    val hashed = df.select(col(groupCol).as("__g"),
+      explode(graft.functions.HashOps.md5Prefix60Array(
+        split(lower(col(textCol)), " "))).as("__h"))
+    val sigs = hashed.groupBy(col("__g"))
+      .agg(Sketches.minhashSig(col("__h"), numHashes).as("__sig"))
+      .localCheckpoint(false) // both sides of the pair comparison
+    val est = sigs.join(
+        sigs.select(col("__g").as("__g2"), col("__sig").as("__sig2")),
+        col("__g") < col("__g2"))
+      .select(col("__g").as("group_a"), col("__g2").as("group_b"),
+        Sketches.sigJaccard(col("__sig"), col("__sig2")).as("__est"))
+    vocabJaccard(df, groupCol, textCol)
+      .select(col("group_a"), col("group_b"), col("jaccard"))
+      .join(est, Seq("group_a", "group_b"))
+      .select(col("group_a"), col("group_b"), col("jaccard"),
+        col("__est").as("jac_est"),
+        round(abs(col("__est") - col("jaccard")), 6).as("abs_err"))
+  }
+
   def vocabJaccard(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val vt = df.select(col(groupCol).as("__g"),
         explode(split(lower(col(textCol)), " ")).as("__t"))

@@ -6548,7 +6548,148 @@ object OpsQueries {
            |$iters
            |SELECT state, round(CAST(p AS DOUBLE) / $S, 6) AS pi
            |FROM it25 ORDER BY state""".stripMargin
-      }))
+      }),
+
+    // ─── sketch-path vocab overlap + accuracy audit vs exact (q258) ─────
+    "q264_vocab_sketch" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.vocabJaccardSketch(Tables.documents(s, dir), "source",
+            "text", numHashes = 64)
+          .orderBy($"group_a", $"group_b")
+      },
+      Some {
+        val seeds = (0 until 64).map { j =>
+          val r = Dedup.mixRot(j); val c = Dedup.mixConst(j)
+          val lm = (1L << (60 - r)) - 1
+          s"($j, $r, CAST($lm AS BIGINT), CAST($c AS BIGINT))"
+        }.mkString(",\n    ")
+        s"""WITH tok AS (SELECT source AS g,
+           |        unnest(string_split(lower(text), ' ')) AS t FROM documents),
+           |hx AS (SELECT g, ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM tok),
+           |sd AS (SELECT * FROM (VALUES
+           |    $seeds) v(j, rt, lm, ct)),
+           |mins AS (SELECT g, j,
+           |           min(xor(((h & lm) << rt) | (h >> (60 - rt)), ct)) AS mn
+           |         FROM hx CROSS JOIN sd GROUP BY 1, 2),
+           |est AS (SELECT a.g AS group_a, b.g AS group_b,
+           |          sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) / 64.0 AS je
+           |        FROM mins a JOIN mins b ON a.j = b.j AND a.g < b.g
+           |        GROUP BY 1, 2),
+           |vt AS (SELECT DISTINCT g, t FROM tok WHERE t <> ''),
+           |sz AS (SELECT g, count(*) AS vs FROM vt GROUP BY 1),
+           |inter AS (SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_inter
+           |          FROM vt a JOIN vt b ON a.t = b.t AND a.g < b.g
+           |          GROUP BY 1, 2),
+           |ex AS (SELECT group_a, group_b,
+           |        round(CAST(n_inter AS DOUBLE) /
+           |              CAST(sa.vs + sb.vs - n_inter AS DOUBLE), 6) AS jaccard
+           |      FROM inter JOIN sz sa ON inter.group_a = sa.g
+           |                 JOIN sz sb ON inter.group_b = sb.g)
+           |SELECT ex.group_a, ex.group_b, jaccard, je AS jac_est,
+           |  round(abs(je - jaccard), 6) AS abs_err
+           |FROM ex JOIN est USING (group_a, group_b)
+           |ORDER BY group_a, group_b""".stripMargin
+      }),
+
+    // ─── exact midrank ROC-AUC: does length predict English? ────────────
+    "q265_roc_auc" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Classifier.rocAuc(Tables.documents(s, dir), $"n_chars",
+          ($"lang" === "en").cast("int"))
+      },
+      Some("""WITH sv AS (SELECT n_chars AS s,
+             |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+             |g AS (SELECT s, count(*) AS n, sum(y)::BIGINT AS np FROM sv GROUP BY 1),
+             |c AS (SELECT s, n, np, sum(n) OVER (ORDER BY s) AS cle FROM g),
+             |a AS (SELECT sum(np)::BIGINT AS p, sum(n)::BIGINT AS t,
+             |        sum(CAST(np * (2 * (cle - n) + n + 1) AS DECIMAL(38,0))) AS s2
+             |      FROM c)
+             |SELECT p AS n_pos, t - p AS n_neg,
+             |  CASE WHEN p > 0 AND t - p > 0 THEN
+             |    round((CAST(s2 AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0)) /
+             |          (2.0 * CAST(p AS DOUBLE) * CAST(t - p AS DOUBLE)), 6)
+             |  END AS auc
+             |FROM a""".stripMargin)),
+
+    // ─── Spearman rank correlation: tokens vs chars ─────────────────────
+    "q266_spearman" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.spearman(
+          Tables.documents(s, dir).withColumn("n_tokens",
+            size(split(lower($"text"), " ")).cast("long")),
+          "n_tokens", "n_chars")
+      },
+      Some("""WITH d AS (SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS x,
+             |        n_chars AS y FROM documents),
+             |vx AS (SELECT x AS v, count(*) AS n FROM d GROUP BY 1),
+             |rx AS (SELECT v, 2 * (sum(n) OVER (ORDER BY v) - n) + n + 1 AS r2 FROM vx),
+             |vy AS (SELECT y AS v, count(*) AS n FROM d GROUP BY 1),
+             |ry AS (SELECT v, 2 * (sum(n) OVER (ORDER BY v) - n) + n + 1 AS r2 FROM vy),
+             |j AS (SELECT CAST(rx.r2 AS DECIMAL(18,0)) AS a,
+             |        CAST(ry.r2 AS DECIMAL(18,0)) AS b
+             |      FROM d JOIN rx ON d.x = rx.v JOIN ry ON d.y = ry.v),
+             |ag AS (SELECT count(*) AS n, sum(a) AS sx, sum(b) AS sy,
+             |         sum(a * b) AS sxy, sum(a * a) AS sxx, sum(b * b) AS syy
+             |       FROM j)
+             |SELECT n,
+             |  CASE WHEN n >= 2
+             |      AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             |      AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+             |           CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+             |    THEN round(
+             |      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |      (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |       sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+             |            CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             |  END AS spearman
+             |FROM ag""".stripMargin)),
+
+    // ─── 10 %-trimmed mean price per return flag ────────────────────────
+    "q267_trimmed_mean" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.trimmedMean(Tables.lineitem(s, dir), "l_returnflag",
+            "l_extendedprice", trimFrac = 0.1)
+          .orderBy($"key")
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS key,
+             |        CAST(l_extendedprice AS DECIMAL(18,6)) AS v FROM lineitem),
+             |t AS (SELECT key, v,
+             |        CAST(row_number() OVER (PARTITION BY key ORDER BY v) AS BIGINT) AS rn,
+             |        count(*) OVER (PARTITION BY key) AS cnt FROM b),
+             |f AS (SELECT key, v, cnt FROM t
+             |      WHERE rn > CAST(floor(CAST(cnt AS DOUBLE) * 0.1) AS BIGINT)
+             |        AND rn <= cnt - CAST(floor(CAST(cnt AS DOUBLE) * 0.1) AS BIGINT))
+             |SELECT key, CAST(max(cnt) AS BIGINT) AS n, count(*) AS n_kept,
+             |  round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS trimmed_mean
+             |FROM f GROUP BY key ORDER BY key""".stripMargin)),
+
+    // ─── percentile normalization: global vs within-source rank ─────────
+    "q268_percentile_norm" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, dir)
+          .select($"doc_id", $"source", $"n_chars")
+          .withColumn("pct_global",
+            round(percent_rank().over(Window.orderBy($"n_chars")), 6))
+          .withColumn("pct_source",
+            round(percent_rank().over(
+              Window.partitionBy($"source").orderBy($"n_chars")), 6))
+          .select($"doc_id", $"pct_global", $"pct_source")
+          .orderBy($"doc_id").limit(25)
+      },
+      Some("""SELECT doc_id,
+             |  round(percent_rank() OVER (ORDER BY n_chars), 6) AS pct_global,
+             |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+             |    AS pct_source
+             |FROM documents ORDER BY doc_id LIMIT 25""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -101,6 +101,17 @@ class ClassifierSpec extends SparkSpec {
     assert(m == Map(("a", "a") -> 1L, ("a", "b") -> 1L, ("b", "b") -> 2L))
   }
 
+  test("rocAuc: separation, reversal, midrank ties, degenerate classes") {
+    def auc(rows: Seq[(Int, Int)]) =
+      Classifier.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .as[(Long, Long, Option[Double])].head()
+    assert(auc(Seq((1, 0), (2, 0), (3, 1), (4, 1))) == ((2L, 2L, Some(1.0))))
+    assert(auc(Seq((1, 1), (2, 0))) == ((1L, 1L, Some(0.0))))
+    // tie at score 1: pos-vs-neg pair counts 0.5 → AUC (0.5 + 1)/2
+    assert(auc(Seq((1, 0), (1, 1), (2, 1))) == ((2L, 1L, Some(0.75))))
+    assert(auc(Seq((1, 1), (2, 1)))._3.isEmpty) // no negatives → NULL
+  }
+
   test("ebShrinkRates: rates pull toward the moment-matched beta prior") {
     // rates .5, 0, .5 → m=1/3, v=1/18 → s=3, α=1:
     // shrunk_A = (1+1)/(2+3) = .4, shrunk_B = (0+1)/(2+3) = .2

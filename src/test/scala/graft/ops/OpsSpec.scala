@@ -223,6 +223,20 @@ class TextStatsSpec extends SparkSpec {
     // zero-intersection pairs are ABSENT (inner token join), not 0-rows
     assert(out.size == 1)
   }
+
+  test("vocabJaccardSketch: identical vocabularies estimate exactly 1") {
+    val docs = Seq(
+      (1L, "g1", "a b c d e f g h"),
+      (2L, "g2", "h g f e d c b a"), // same set, different order
+      (3L, "g3", "x y z")).toDF("doc_id", "g", "text")
+    val out = TextStats.vocabJaccardSketch(docs, "g", "text", numHashes = 32)
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val id = out(("g1", "g2"))
+    assert(id._3 == 1.0 && id._4 == 1.0 && id._5 == 0.0)
+    // disjoint pair: absent from the exact side → absent entirely
+    assert(!out.contains(("g1", "g3")))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -194,6 +194,26 @@ class ProfileSpec extends SparkSpec {
     assert(out2._3 == 2.0)
   }
 
+  test("spearman: rank-invariant to monotone transforms, midrank ties") {
+    def rho(rows: Seq[(Long, Long)]) =
+      Profile.spearman(rows.toDF("x", "y"), "x", "y")
+        .as[(Long, Option[Double])].head()
+    // nonlinear but monotone → exactly 1 (Pearson would be < 1)
+    assert(rho(Seq((1L, 1L), (2L, 4L), (3L, 9L))) == ((3L, Some(1.0))))
+    assert(rho(Seq((1L, 9L), (2L, 4L), (3L, 1L))) == ((3L, Some(-1.0))))
+    // tie in x: 2·ranks (3,3,6) vs (2,4,6) → 6/√48
+    assert(rho(Seq((1L, 1L), (1L, 2L), (2L, 3L))) == ((3L, Some(0.866025))))
+    assert(rho(Seq((1L, 1L), (1L, 2L)))._2.isEmpty) // constant x → NULL
+  }
+
+  test("trimmedMean: drops floor(n·f) off each end, exact kept multiset") {
+    val df = (1 to 10).map(v => ("a", v.toDouble)) :+ (("b", 7.0))
+    val out = Profile.trimmedMean(df.toDF("k", "v"), "k", "v", 0.2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 10L, 6L, 5.5))) // keeps 3..8
+    assert(out("b") == (("b", 1L, 1L, 7.0)))  // floor(1·0.2)=0: keeps all
+  }
+
   test("mutualInformation: ln 2 when fully dependent, 0 when independent") {
     val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")).toDF("a", "b")
     val d = Profile.mutualInformation(dep, "a", "b")
