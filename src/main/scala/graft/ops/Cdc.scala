@@ -73,4 +73,33 @@ object Cdc {
           .otherwise(lit("changed")))
       .select(col("id").as(idCol), col("status"))
   }
+
+  /** Build a slowly-changing-dimension TYPE-2 table from a change log
+    * (key, ts, value): collapse consecutive duplicate values (a re-emit
+    * of the same value is NOT a new version), then each surviving
+    * change opens an effective interval
+    *   [valid_from = its ts, valid_to = next change's ts)   (NULL = open)
+    * — the effective-dated dimension a warehouse point-in-time join
+    * (the q46 as-of shape) probes. Ties on ts break on `tieCol`, so
+    * versioning is total-order deterministic.
+    *
+    * Scale shape: ONE key shuffle + per-key sort window; two window
+    * passes (lag for the collapse, lead for the close) run on the SAME
+    * sort — no second shuffle. Output: (key, valid_from, valid_to,
+    * value, version, is_current). */
+  def scd2Build(changes: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val collapsed = changes
+      .select(col(keyCol), col(tsCol), col(tieCol), col(valueCol))
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col(valueCol))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    collapsed
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .select(col(keyCol), col(tsCol).as("valid_from"), col("valid_to"),
+        col(valueCol), col("version"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

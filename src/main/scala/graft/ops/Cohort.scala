@@ -116,6 +116,40 @@ object Cohort {
     * model-sized collect — the `kmeansCentroids` precedent, never
     * data-scaled. Output: (state, pi ← round 6) for states reachable at
     * the final iteration. */
+  /** First-touch vs last-touch revenue attribution: every `convType`
+    * event's value is credited (a) to the user's FIRST event type ever
+    * (first-touch) and (b) to the LAST non-conversion event type
+    * strictly before it (last-touch; 'none' when the conversion is the
+    * user's opening act). Two window reads over ONE user-keyed sort
+    * (ts + tie total order); revenue sums are exact DECIMAL.
+    *
+    * Scale shape: ONE key shuffle + per-key sort window, then a
+    * model×type-sized aggregate. Output:
+    * (model, touch_type, n_conversions, revenue). */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, valueCol: String, tieCol: String,
+      convType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val decorated = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol).as("__ty"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .withColumn("__first", first(col("__ty")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__last", last(when(col("__ty") =!= convType, col("__ty")),
+          ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .where(col("__ty") === convType)
+      .localCheckpoint(false) // conversions-sized; both models read it
+    def side(model: String, touch: Column) = decorated
+      .groupBy(coalesce(touch, lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("__v")).cast("double"), 6).as("revenue"))
+      .select(lit(model).as("model"), col("touch_type"),
+        col("n_conversions"), col("revenue"))
+    side("first_touch", col("__first"))
+      .unionByName(side("last_touch", col("__last")))
+  }
+
   def markovStationary(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String, iters: Int = 25,
       scale: Long = 1000000000000L): DataFrame = {

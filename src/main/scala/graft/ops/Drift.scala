@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution monitoring — the ops that watch a 100 TB corpus CHANGE:
@@ -178,6 +179,47 @@ object Drift {
     * number says how many salt buckets it needs). One partial-combining
     * count shuffle + a top-k (TakeOrdered, no global sort); totals ride
     * along as 1-row-aggregate cross joins (AQE broadcasts them). */
+  /** Two-sample distribution distance between the `isA`/else-B slices
+    * of a numeric column: the Kolmogorov–Smirnov sup-distance AND the
+    * 1-Wasserstein (earth-mover) distance, both computed EXACTLY from
+    * the merged value-level ECDFs:
+    *   KS = max_v |F_A(v) − F_B(v)|,
+    *   W1 = Σ_v |F_A(v) − F_B(v)| · (v⁺ − v)  (v⁺ = next distinct value).
+    * KS says "do they differ", W1 says "by how much value-mass" — the
+    * pair a drift monitor wants before alerting. ECDF steps are exact
+    * integer cumulative counts; W1 terms are 9-dp fixed point summed as
+    * DECIMAL; the max of doubles is order-independent.
+    *
+    * Scale shape: ONE (value) partial-combining aggregate with
+    * conditional counts, a cumulative + lead window over the
+    * VALUE-DOMAIN table (for continuous values this is the q209
+    * global-sort hatch class — range-partitioned sort at scale, or
+    * bucket first), two 1-row aggregates fused. Output:
+    * (n_a, n_b, ks_d, emd). */
+  def twoSampleDist(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    val v = df.select(col(valueCol).cast("decimal(18,6)").as("__v"),
+        isA.as("__a"))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("__nb"))
+    val w = Window.orderBy(col("__v"))
+    val cum = v
+      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__cb", sum(col("__nb")).over(w))
+      .withColumn("__vn", lead(col("__v"), 1).over(w))
+      .localCheckpoint(false) // totals + the decorated pass share the sort
+    val tot = cum.agg(max(col("__ca")).as("__ta"), max(col("__cb")).as("__tb"))
+    val dec = cum.crossJoin(tot)
+    val diff = abs(col("__ca").cast("double") / col("__ta").cast("double") -
+      col("__cb").cast("double") / col("__tb").cast("double"))
+    dec.agg(
+      max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"),
+      round(max(diff), 6).as("ks_d"),
+      round(sum(when(col("__vn").isNotNull,
+          round(diff * (col("__vn") - col("__v")).cast("double"), 9)
+            .cast("decimal(28,9)"))).cast("double"), 6).as("emd"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
     require(topK > 0, "keySkew needs topK > 0")
     val counts = df.groupBy(col(keyCol).as("key"))

@@ -315,6 +315,75 @@ object TimeSeries {
           .as("xcorr"))
   }
 
+  /** The MONTHLY series shared by the robust-trend ops: month index
+    * i = calendar months since the series' first month (integer),
+    * value = exact decimal month sum. Aggregated-table-sized. */
+  private def monthlySeries(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val m = df.groupBy(
+        (year(col(tsCol)) * 12 + month(col(tsCol))).cast("long").as("__mi"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__v"))
+    val base = m.agg(min(col("__mi")).as("__m0"))
+    m.crossJoin(base)
+      .select((col("__mi") - col("__m0")).as("__i"), col("__v"))
+  }
+
+  /** Theil–Sen robust slope of the monthly value series: the MEDIAN of
+    * all pairwise slopes (v_j − v_i)/(j − i), i < j — the
+    * outlier-immune twin of the OLS trend (q174): one wild month moves
+    * OLS arbitrarily, but not the slope median. Slopes are doubles from
+    * exact decimal differences over integer month gaps; the median is
+    * the average of the two middle order statistics (tie-order-free —
+    * it depends only on the slope MULTISET).
+    *
+    * Scale shape: ONE month aggregate over the fact; the O(n²) pair
+    * join and the median sort run on the MONTH table (aggregated-table
+    * sized by contract — never on fact rows). Output:
+    * (n_months, n_pairs, slope_per_month). */
+  def theilSen(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val s = monthlySeries(df, tsCol, valueCol).localCheckpoint(false)
+    val pairs = s.join(
+        s.select(col("__i").as("__j"), col("__v").as("__w")),
+        col("__i") < col("__j"))
+      .select(((col("__w") - col("__v")).cast("double") /
+        (col("__j") - col("__i")).cast("double")).as("__sl"))
+    val w = Window.orderBy(col("__sl"))
+    val ranked = pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+    // integer medians: Spark's `/` on longs is DOUBLE division — cast
+    // back to long (truncation == integer div for positives)
+    val mid = ranked.where(
+      col("__rn") === ((col("__n") + 1) / 2).cast("long") ||
+        col("__rn") === (col("__n") / 2).cast("long") + 1)
+    mid.agg(max(col("__n")).as("n_pairs"),
+        round(avg(col("__sl")), 6).as("slope_per_month"))
+      .crossJoin(s.agg(count(lit(1)).as("n_months")))
+      .select(col("n_months"), col("n_pairs"), col("slope_per_month"))
+  }
+
+  /** Mann–Kendall trend statistic over the monthly series:
+    *   S = Σ_{i<j} sign(v_j − v_i),  tau_a = S / (n(n−1)/2)
+    * — the nonparametric "is there a monotone trend?" test that pairs
+    * with the Theil–Sen slope. Pure INTEGER arithmetic on exact decimal
+    * month sums; ties contribute 0 to S (the standard convention).
+    *
+    * Scale shape: same as [[theilSen]] — the pair join runs on the
+    * MONTH table only. Output: (n_months, s_stat, tau). */
+  def mannKendall(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val s = monthlySeries(df, tsCol, valueCol).localCheckpoint(false)
+    val pairs = s.join(
+        s.select(col("__i").as("__j"), col("__v").as("__w")),
+        col("__i") < col("__j"))
+      .select(signum((col("__w") - col("__v")).cast("double"))
+        .cast("long").as("__sg"))
+    pairs.agg(sum(col("__sg")).as("s_stat"), count(lit(1)).as("__np"))
+      .crossJoin(s.agg(count(lit(1)).as("n_months")))
+      .select(col("n_months"), col("s_stat"),
+        round(col("s_stat").cast("double") / col("__np").cast("double"), 6)
+          .as("tau"))
+  }
+
   /** Kolmogorov–Smirnov distance between each event type's observed
     * inter-arrival gaps and the exponential fit at the MLE rate
     * λ = n/Σgaps — the "is this a Poisson process?" audit behind rate

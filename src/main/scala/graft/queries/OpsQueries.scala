@@ -6689,7 +6689,124 @@ object OpsQueries {
              |  round(percent_rank() OVER (ORDER BY n_chars), 6) AS pct_global,
              |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
              |    AS pct_source
-             |FROM documents ORDER BY doc_id LIMIT 25""".stripMargin)))
+             |FROM documents ORDER BY doc_id LIMIT 25""".stripMargin)),
+
+    // ─── Theil–Sen robust slope of monthly revenue ──────────────────────
+    "q269_theil_sen" -> Q(
+      (s, dir) => TimeSeries.theilSen(Tables.orders(s, dir),
+        "o_orderdate", "o_totalprice"),
+      Some("""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+             |        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS v
+             |      FROM orders GROUP BY 1),
+             |s AS (SELECT mi - (SELECT min(mi) FROM m) AS i, v FROM m),
+             |p AS (SELECT CAST((b.v - a.v) AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS sl
+             |      FROM s a JOIN s b ON a.i < b.i),
+             |r AS (SELECT sl, CAST(row_number() OVER (ORDER BY sl) AS BIGINT) AS rn,
+             |        count(*) OVER () AS n FROM p),
+             |mid AS (SELECT sl, n FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1)
+             |SELECT (SELECT count(*) FROM s) AS n_months,
+             |  CAST(max(n) AS BIGINT) AS n_pairs,
+             |  round(avg(sl), 6) AS slope_per_month
+             |FROM mid""".stripMargin)),
+
+    // ─── Mann–Kendall monotone-trend statistic ──────────────────────────
+    "q270_mann_kendall" -> Q(
+      (s, dir) => TimeSeries.mannKendall(Tables.orders(s, dir),
+        "o_orderdate", "o_totalprice"),
+      Some("""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+             |        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS v
+             |      FROM orders GROUP BY 1),
+             |s AS (SELECT mi - (SELECT min(mi) FROM m) AS i, v FROM m),
+             |p AS (SELECT CASE WHEN b.v > a.v THEN 1
+             |             WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+             |      FROM s a JOIN s b ON a.i < b.i)
+             |SELECT (SELECT count(*) FROM s) AS n_months,
+             |  sum(sg)::BIGINT AS s_stat,
+             |  round(CAST(sum(sg) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS tau
+             |FROM p""".stripMargin)),
+
+    // ─── two-sample KS + earth-mover distance: 1995 vs 2000 prices ──────
+    "q271_two_sample_dist" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Drift.twoSampleDist(
+          Tables.orders(s, dir).filter(year($"o_orderdate").isin(1995, 2000)),
+          "o_totalprice", year($"o_orderdate") === 1995)
+      },
+      Some("""WITH b0 AS (SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS v,
+             |        year(o_orderdate) = 1995 AS a
+             |      FROM orders WHERE year(o_orderdate) IN (1995, 2000)),
+             |v AS (SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na,
+             |        sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS nb
+             |      FROM b0 GROUP BY 1),
+             |c AS (SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+             |        sum(nb) OVER (ORDER BY v) AS cb,
+             |        lead(v) OVER (ORDER BY v) AS vn FROM v),
+             |t AS (SELECT max(ca) AS na2, max(cb) AS nb2 FROM c),
+             |d AS (SELECT c.v, c.vn, t.na2, t.nb2,
+             |        abs(CAST(ca AS DOUBLE) / CAST(na2 AS DOUBLE) -
+             |            CAST(cb AS DOUBLE) / CAST(nb2 AS DOUBLE)) AS df
+             |      FROM c CROSS JOIN t)
+             |SELECT CAST(max(na2) AS BIGINT) AS n_a, CAST(max(nb2) AS BIGINT) AS n_b,
+             |  round(max(df), 6) AS ks_d,
+             |  round(CAST(sum(CASE WHEN vn IS NOT NULL THEN
+             |      CAST(round(df * CAST((vn - v) AS DOUBLE), 9) AS DECIMAL(28,9))
+             |    END) AS DOUBLE), 6) AS emd
+             |FROM d""".stripMargin)),
+
+    // ─── SCD type-2 dimension build from the event change log ───────────
+    "q272_scd2_build" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Cdc.scd2Build(Tables.events(s, dir), "user_id", "ts", "event_type",
+            "event_id")
+          .orderBy($"user_id", $"version")
+          .limit(50)
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |        event_type FROM events),
+             |c AS (SELECT *, lag(event_type) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+             |k AS (SELECT user_id, ts, event_id, event_type FROM c
+             |      WHERE prev IS NULL OR prev <> event_type),
+             |s AS (SELECT user_id, ts AS valid_from,
+             |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |        event_type,
+             |        CAST(row_number() OVER
+             |          (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+             |      FROM k)
+             |SELECT user_id, valid_from, valid_to, event_type, version,
+             |  valid_to IS NULL AS is_current
+             |FROM s ORDER BY user_id, version LIMIT 50""".stripMargin)),
+
+    // ─── first-touch vs last-touch purchase attribution ─────────────────
+    "q273_attribution" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Cohort.touchAttribution(Tables.events(s, dir), "user_id", "ts",
+            "event_type", "value", "event_id", convType = "purchase")
+          .orderBy($"model", $"touch_type")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |        event_type AS ty, CAST(value AS DECIMAL(18,6)) AS v FROM events),
+             |d AS (SELECT *,
+             |        first_value(ty) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f,
+             |        last_value(CASE WHEN ty <> 'purchase' THEN ty END IGNORE NULLS)
+             |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l
+             |      FROM e),
+             |p AS (SELECT * FROM d WHERE ty = 'purchase'),
+             |ft AS (SELECT 'first_touch' AS model, COALESCE(f, 'none') AS touch_type,
+             |         count(*) AS n_conversions,
+             |         round(CAST(sum(v) AS DOUBLE), 6) AS revenue
+             |       FROM p GROUP BY 2),
+             |lt AS (SELECT 'last_touch' AS model, COALESCE(l, 'none') AS touch_type,
+             |         count(*) AS n_conversions,
+             |         round(CAST(sum(v) AS DOUBLE), 6) AS revenue
+             |       FROM p GROUP BY 2)
+             |SELECT * FROM ft UNION ALL SELECT * FROM lt
+             |ORDER BY model, touch_type""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

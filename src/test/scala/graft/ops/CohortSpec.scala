@@ -95,6 +95,24 @@ class CohortSpec extends SparkSpec {
     assert(out._4.contains(20e6)) // median of 10 s / 30 s in micros
   }
 
+  test("touchAttribution: first vs last-touch credit, 'none' fallback") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "view", 0.0, 1L),
+      (1L, ts("2024-01-01 00:00:02"), "click", 0.0, 2L),
+      (1L, ts("2024-01-01 00:00:03"), "purchase", 10.0, 3L),
+      (1L, ts("2024-01-01 00:00:04"), "purchase", 5.0, 4L),
+      (2L, ts("2024-01-01 00:00:05"), "purchase", 7.0, 5L))
+      .toDF("u", "ts", "ty", "v", "id")
+    val out = Cohort.touchAttribution(ev, "u", "ts", "ty", "v", "id", "purchase")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("first_touch", "view")) == ((2L, 15.0)))
+    assert(out(("first_touch", "purchase")) == ((1L, 7.0))) // opening act
+    assert(out(("last_touch", "click")) == ((2L, 15.0)))
+    assert(out(("last_touch", "none")) == ((1L, 7.0)))
+    assert(out.size == 4)
+  }
+
   test("markovStationary: 2-cycle stays uniform; self-loop absorbs to 1") {
     def ev(rows: (Long, String, String, Long)*) =
       rows.map { case (u, t, ty, id) => (u, ts(t), ty, id) }

@@ -53,6 +53,24 @@ class CdcSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("scd2Build: collapses re-emits, versions intervals, flags current") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "a"),
+      (1L, ts("2024-01-01 00:00:02"), 2L, "a"), // re-emit: NOT a version
+      (1L, ts("2024-01-01 00:00:03"), 3L, "b"),
+      (1L, ts("2024-01-01 00:00:04"), 4L, "a")).toDF("k", "ts", "id", "v")
+    val out = Cdc.scd2Build(log, "k", "ts", "v", "id")
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp], String, Long, Boolean)]
+      .collect().sortBy(_._5)
+    assert(out.length == 3)
+    assert(out(0)._4 == "a" && out(0)._3.contains(ts("2024-01-01 00:00:03")))
+    assert(out(1)._4 == "b" && out(1)._3.contains(ts("2024-01-01 00:00:04")))
+    assert(out(2)._4 == "a" && out(2)._3.isEmpty && out(2)._6)
+    // intervals tile: each valid_to == next valid_from
+    assert(out(0)._3.contains(out(1)._2) && out(1)._3.contains(out(2)._2))
+  }
+
   test("lshRecallAudit: found pairs are a verified subset of truth") {
     val docs = graft.Tables.documents(spark, sfTiny)
     val row = Dedup.lshRecallAudit(docs, "doc_id", "text")

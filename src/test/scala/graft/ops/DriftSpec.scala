@@ -104,4 +104,20 @@ class DriftSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].head()
     assert(top == (("hot", 6L, 6.0 / 8.0, 6.0 * 3.0 / 8.0)))
   }
+
+  test("twoSampleDist: exact KS and earth-mover from merged ECDFs") {
+    import org.apache.spark.sql.functions.col
+    // A = {1, 2}, B = {1, 3}: F diverge only on [2, 3) by 0.5
+    val df = Seq((1.0, true), (2.0, true), (1.0, false), (3.0, false))
+      .toDF("v", "a")
+    val out = Drift.twoSampleDist(df, "v", col("a"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(out == ((2L, 2L, 0.5, 0.5)))
+    // identical samples: both distances exactly 0
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "a")
+    val z = Drift.twoSampleDist(same, "v", col("a"))
+      .as[(Long, Long, Double, Double)].head()
+    assert(z == ((2L, 2L, 0.0, 0.0)))
+  }
 }

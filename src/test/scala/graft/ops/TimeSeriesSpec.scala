@@ -170,6 +170,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(-1) == ((2L, 0.5)))
   }
 
+  test("theilSen + mannKendall on a hand-computed 4-month series") {
+    def d(m: Int) = java.sql.Date.valueOf(f"2024-$m%02d-15")
+    val df = Seq((d(1), 1.0), (d(2), 2.0), (d(3), 4.0), (d(4), 8.0))
+      .toDF("d", "v")
+    // slopes {1, 1.5, 7/3, 2, 3, 4} → median (2 + 7/3)/2 = 13/6
+    val ts2 = TimeSeries.theilSen(df, "d", "v")
+      .as[(Long, Long, Double)].head()
+    assert(ts2 == ((4L, 6L, 2.166667)))
+    // strictly increasing → S = 6, tau = 1
+    val mk = TimeSeries.mannKendall(df, "d", "v")
+      .as[(Long, Long, Double)].head()
+    assert(mk == ((4L, 6L, 1.0)))
+    // one inversion: 1,3,2 → S = 1, tau = 1/3
+    val df2 = Seq((d(1), 1.0), (d(2), 3.0), (d(3), 2.0)).toDF("d", "v")
+    assert(TimeSeries.mannKendall(df2, "d", "v")
+      .as[(Long, Long, Double)].head() == ((3L, 1L, 0.333333)))
+  }
+
   test("interArrivalKs: gaps 1,2,3 s vs exponential MLE fit") {
     val base = Timestamp.valueOf("2024-01-01 00:00:00")
     val rows = Seq(0L, 1L, 3L, 6L).map(sec =>
