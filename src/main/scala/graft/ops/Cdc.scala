@@ -87,6 +87,28 @@ object Cdc {
     * passes (lag for the collapse, lead for the close) run on the SAME
     * sort — no second shuffle. Output: (key, valid_from, valid_to,
     * value, version, is_current). */
+  /** Per-state dwell-time profile over the [[scd2Build]] intervals: how
+    * long entities SIT in each state — interval counts, open-interval
+    * count, and the mean closed-interval dwell in seconds (exact
+    * integer-microsecond sums; one double division per state).
+    *
+    * Scale shape: the scd2Build window (ONE key shuffle) + ONE
+    * state-keyed partial-combining aggregate. Output:
+    * (state, n_intervals, n_open, mean_dwell_sec). */
+  def dwellProfile(changes: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val scd = scd2Build(changes, keyCol, tsCol, valueCol, tieCol)
+    val dwell = unix_micros(col("valid_to").cast("timestamp")) -
+      unix_micros(col("valid_from").cast("timestamp"))
+    scd.groupBy(col(valueCol).as("state"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"),
+        round((sum(when(col("valid_to").isNotNull, dwell)
+            .cast("decimal(38,0)")).cast("double") / lit(1e6)) /
+          sum(when(col("valid_to").isNotNull, 1L).otherwise(0L)).cast("double"),
+          6).as("mean_dwell_sec"))
+  }
+
   def scd2Build(changes: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))

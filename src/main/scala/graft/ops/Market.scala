@@ -274,6 +274,49 @@ object Market {
         round(d("__n") * d("n_ab") / (d("__ca") * d("__cb")), 6).as("lift"))
   }
 
+  /** Log-log price elasticity per group: the OLS slope of ln(quantity)
+    * on ln(unit price) across periods, where each period's unit price
+    * is the value-weighted Σvalue/Σqty. The ln terms are 9-dp fixed
+    * point (engine-exact transcendentals — the q42/q127 discipline), so
+    * the OLS sums are EXACT decimals and the one slope division runs on
+    * identical inputs. Degenerate price variance → NULL.
+    *
+    * Scale shape: ONE (group, period) aggregate over the fact; the
+    * regression runs on the group×period table. Output:
+    * (group, n_periods, elasticity). */
+  def priceElasticity(df: DataFrame, groupCol: String, periodCol: Column,
+      qtyCol: String, valueCol: String): DataFrame = {
+    val gp = df.groupBy(col(groupCol).as("grp"), periodCol.as("__p"))
+      .agg(sum(col(qtyCol).cast("decimal(18,6)")).as("__q"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("__r"))
+      .where(col("__q") > 0 && col("__r") > 0)
+      .select(col("grp"),
+        round(log(col("__r").cast("double") / col("__q").cast("double")), 9)
+          .cast("decimal(12,9)").as("__x"),
+        round(log(col("__q").cast("double")), 9)
+          .cast("decimal(12,9)").as("__y"))
+      // the 9-dp value as an INTEGER (×10⁹): the degeneracy guard needs
+      // variance == 0 decided EXACTLY — a double-arithmetic vx turns a
+      // constant price column into ±1e-16 noise and a garbage slope
+      .withColumn("__x9", (col("__x") * lit(1000000000L)).cast("long"))
+    val agg = gp.groupBy(col("grp")).agg(count(lit(1)).as("n_periods"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x9").cast("decimal(38,0)")).as("__sx9"),
+      sum((col("__x9").cast("decimal(19,0)") *
+        col("__x9").cast("decimal(19,0)"))).as("__sxx9"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n_periods").cast("double")
+    val vx = nD * d("__sxx") - d("__sx") * d("__sx")
+    val vxExact = col("n_periods").cast("decimal(38,0)") * col("__sxx9") -
+      col("__sx9") * col("__sx9")
+    agg.select(col("grp"), col("n_periods"),
+      when(col("n_periods") >= 2 && vxExact > 0,
+        round((nD * d("__sxy") - d("__sx") * d("__sy")) / vx, 6))
+        .as("elasticity"))
+  }
+
   /** Mix-shift decomposition of the overall-mean change between two
     * periods: with w_g = group row share and m_g = group mean,
     *   M_B − M_A = Σ_g (w_gB − w_gA)·m_gA  +  Σ_g w_gB·(m_gB − m_gA)

@@ -418,6 +418,93 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic Poisson bootstrap CI for the mean of a value column:
+    * each row's multiplicity in resample b is Poisson(1), drawn by
+    * inverse-CDF on a seeded-md5 uniform of (id, b) — the classic
+    * streaming bootstrap (each resample needs no global n), made
+    * REPRODUCIBLE (same rows → same CI, any engine, any partitioning).
+    * The CDF thresholds are fixed 12-dp literals, so the k decision is
+    * bit-portable; resample sums are exact DECIMAL; the interval is the
+    * 2nd-smallest / 2nd-largest of the B resample means (≈ the 95 % CI
+    * at B = 40 — an order statistic, not an interpolated quantile, so
+    * no engine-specific quantile convention).
+    *
+    * Scale shape: the fact fans out B× (the honest bootstrap cost), but
+    * the aggregate is keyed on B values with map-side combine — the
+    * shuffle moves B partials per task, not B× the data. The B-row mean
+    * table sorts on the driver-scale. Output: 1 row
+    * (n, b, mean_full, ci_lo, ci_hi). */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 40, seed: Int = 77): DataFrame = {
+    require(b >= 8, "need at least 8 resamples")
+    // cumulative Poisson(1) CDF, fixed literals (12 dp)
+    val cdf = Seq(0.367879441171, 0.735758882343, 0.919698602929,
+      0.980981203313, 0.996302853448, 0.999359183497, 0.999868571922,
+      0.999941340150)
+    // ONE md5 per row; the B per-resample uniforms derive via the cheap
+    // rotate-xor mix family (the q38/minhash discipline — hashing
+    // md5("seed|id:b") per (row, b) costs B× the md5 budget for nothing)
+    val base = df.select(
+      Dedup.seededHash(seed, col(idCol).cast("string")).as("__h0"),
+      col(valueCol).cast("decimal(18,6)").as("__v"))
+    val drawn = base
+      .select(col("__v"),
+        posexplode(array((0 until b).map(j =>
+          Dedup.mixHash(col("__h0"), j)): _*)).as(Seq("__b", "__h")))
+      .withColumn("__u",
+        col("__h").cast("double") / lit(1152921504606846976.0)) // 2^60
+      .withColumn("__k",
+        // fold DESCENDING so the smallest matching threshold is the
+        // OUTERMOST when() — k = min{k : u < cdf(k)}
+        cdf.zipWithIndex.reverse.foldLeft(lit(cdf.length)) {
+          case (acc, (t, k)) => when(col("__u") < t, k).otherwise(acc) })
+    val means = drawn.groupBy(col("__b"))
+      .agg(sum(col("__v") * col("__k")).as("__s"),
+        sum(col("__k").cast("long")).as("__n"))
+      .where(col("__n") > 0)
+      .select((col("__s").cast("double") / col("__n").cast("double")).as("__m"))
+    val w = Window.orderBy(col("__m"))
+    val ranked = means
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nb", count(lit(1)).over(Window.partitionBy()))
+    val full = df.agg(count(lit(1)).as("n"),
+      round(sum(col(valueCol).cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean_full"))
+    ranked
+      .agg(max(when(col("__rn") === 2, col("__m"))).as("__lo"),
+        max(when(col("__rn") === col("__nb") - 1, col("__m"))).as("__hi"),
+        max(col("__nb")).as("b"))
+      .crossJoin(full)
+      .select(col("n"), col("b"), col("mean_full"),
+        round(col("__lo"), 6).as("ci_lo"), round(col("__hi"), 6).as("ci_hi"))
+  }
+
+  /** Cross-table money reconciliation: for each parent order, recompute
+    * the total from its lines — Σ round(ext·(1−disc)·(1+tax), 9-dp
+    * fixed point) — and classify |parent − recomputed| against
+    * `tolerance`. The warehouse conformance audit that runs before any
+    * revenue number ships; a mismatch COUNT is the product, whichever
+    * way the data leans.
+    *
+    * Scale shape: ONE key aggregate over the child + ONE key join to
+    * the parent, 1-row summary. Output:
+    * (n_orders, n_ok, n_mismatch, max_abs_diff). */
+  def reconcileTotals(parent: DataFrame, parentKey: String, totalCol: String,
+      child: DataFrame, childKey: String, lineAmount: Column,
+      tolerance: Double): DataFrame = {
+    val per = child.groupBy(col(childKey).as("__k"))
+      .agg(sum(round(lineAmount, 9).cast("decimal(28,9)")).as("__recon"))
+    val j = parent.select(col(parentKey).as("__k"),
+        col(totalCol).cast("decimal(18,6)").as("__tot"))
+      .join(per, Seq("__k"), "left")
+    val diff = abs(col("__tot").cast("double") -
+      coalesce(col("__recon").cast("double"), lit(0.0)))
+    j.agg(count(lit(1)).as("n_orders"),
+      sum(when(diff <= tolerance, 1L).otherwise(0L)).as("n_ok"),
+      sum(when(diff > tolerance, 1L).otherwise(0L)).as("n_mismatch"),
+      round(max(diff), 6).as("max_abs_diff"))
+  }
+
   /** Spearman rank correlation between two INTEGER-valued columns:
     * exact Pearson on midrank-tied ranks. Ranks come from per-VALUE
     * cumulative counts (2·avgrank = 2·cnt_lt + n_v + 1 — integers, no

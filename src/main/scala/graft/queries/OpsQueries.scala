@@ -6806,7 +6806,173 @@ object OpsQueries {
              |         round(CAST(sum(v) AS DOUBLE), 6) AS revenue
              |       FROM p GROUP BY 2)
              |SELECT * FROM ft UNION ALL SELECT * FROM lt
-             |ORDER BY model, touch_type""".stripMargin)))
+             |ORDER BY model, touch_type""".stripMargin)),
+
+    // ─── deterministic Poisson-bootstrap CI for the mean order value ────
+    "q274_bootstrap_ci" -> Q(
+      (s, dir) => Profile.bootstrapMeanCI(Tables.orders(s, dir),
+        "o_orderkey", "o_totalprice", b = 40, seed = 77),
+      Some {
+        val seeds = (0 until 40).map { j =>
+          val r = Dedup.mixRot(j); val c = Dedup.mixConst(j)
+          val lm = (1L << (60 - r)) - 1
+          s"($j, $r, CAST($lm AS BIGINT), CAST($c AS BIGINT))"
+        }.mkString(",\n    ")
+        s"""WITH base AS (SELECT
+           |    ('0x'||substr(md5('77|'||CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT AS h0,
+           |    CAST(o_totalprice AS DECIMAL(18,6)) AS v FROM orders),
+           |sd AS (SELECT * FROM (VALUES
+           |    $seeds) v(b, rt, lm, ct)),
+           |drawn AS (SELECT v, b,
+           |    xor(((h0 & lm) << rt) | (h0 >> (60 - rt)), ct)
+           |      / 1152921504606846976.0 AS u
+           |  FROM base CROSS JOIN sd),""".stripMargin + """
+             |kk AS (SELECT v, b, CASE
+             |    WHEN u < 0.367879441171 THEN 0 WHEN u < 0.735758882343 THEN 1
+             |    WHEN u < 0.919698602929 THEN 2 WHEN u < 0.980981203313 THEN 3
+             |    WHEN u < 0.996302853448 THEN 4 WHEN u < 0.999359183497 THEN 5
+             |    WHEN u < 0.999868571922 THEN 6 WHEN u < 0.999941340150 THEN 7
+             |    ELSE 8 END AS k FROM drawn),
+             |means AS (SELECT b, sum(v * k) AS s, sum(k)::BIGINT AS n
+             |          FROM kk GROUP BY 1),
+             |mm AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m
+             |       FROM means WHERE n > 0),
+             |r AS (SELECT m, CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS rn,
+             |        count(*) OVER () AS nb FROM mm),
+             |fl AS (SELECT count(*) AS n,
+             |        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) /
+             |          CAST(count(*) AS DOUBLE), 6) AS mean_full FROM orders)
+             |SELECT n, CAST(max(nb) AS BIGINT) AS b, mean_full,
+             |  round(max(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
+             |  round(max(CASE WHEN rn = nb - 1 THEN m END), 6) AS ci_hi
+             |FROM r CROSS JOIN fl GROUP BY n, mean_full""".stripMargin
+      }),
+
+    // ─── orders ↔ lineitem money reconciliation audit ───────────────────
+    "q275_reconcile" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.reconcileTotals(Tables.orders(s, dir), "o_orderkey",
+          "o_totalprice", Tables.lineitem(s, dir), "l_orderkey",
+          $"l_extendedprice".cast("double") *
+            (lit(1.0) - $"l_discount".cast("double")) *
+            (lit(1.0) + $"l_tax".cast("double")),
+          tolerance = 0.01)
+      },
+      Some("""WITH per AS (SELECT l_orderkey AS k,
+             |    sum(CAST(round(CAST(l_extendedprice AS DOUBLE) *
+             |        (1.0 - CAST(l_discount AS DOUBLE)) *
+             |        (1.0 + CAST(l_tax AS DOUBLE)), 9) AS DECIMAL(28,9))) AS recon
+             |  FROM lineitem GROUP BY 1),
+             |j AS (SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS tot, per.recon
+             |      FROM orders LEFT JOIN per ON o_orderkey = per.k),
+             |d AS (SELECT abs(CAST(tot AS DOUBLE) -
+             |        COALESCE(CAST(recon AS DOUBLE), 0.0)) AS df FROM j)
+             |SELECT count(*) AS n_orders,
+             |  sum(CASE WHEN df <= 0.01 THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+             |  sum(CASE WHEN df > 0.01 THEN 1 ELSE 0 END)::BIGINT AS n_mismatch,
+             |  round(max(df), 6) AS max_abs_diff
+             |FROM d""".stripMargin)),
+
+    // ─── state dwell-time profile over the SCD2 intervals ───────────────
+    "q276_dwell_profile" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Cdc.dwellProfile(Tables.events(s, dir), "user_id", "ts",
+            "event_type", "event_id")
+          .orderBy($"state")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |        event_type FROM events),
+             |c AS (SELECT *, lag(event_type) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+             |k AS (SELECT user_id, ts, event_id, event_type FROM c
+             |      WHERE prev IS NULL OR prev <> event_type),
+             |s AS (SELECT user_id, ts AS valid_from,
+             |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             |        event_type FROM k)
+             |SELECT event_type AS state, count(*) AS n_intervals,
+             |  sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_open,
+             |  round((CAST(sum(CASE WHEN valid_to IS NOT NULL THEN
+             |      CAST(epoch_us(valid_to) - epoch_us(valid_from) AS DECIMAL(38,0))
+             |    END) AS DOUBLE) / 1e6) /
+             |    CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE), 6) AS mean_dwell_sec
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── point-in-time state join (SCD2 + as-of), the feature-store shape
+    "q277_pit_state_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val scd = Cdc.scd2Build(ev.filter($"event_type" =!= "purchase"),
+            "user_id", "ts", "event_type", "event_id")
+          .select($"user_id".as("u2"), $"valid_from",
+            $"event_type".as("state"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"value")
+        AsOf.asofBackward(purchases, "user_id", "ts",
+            scd, "u2", "valid_from", Seq("state"), "pit_")
+          .groupBy(coalesce($"pit_state", lit("none")).as("touch_type"))
+          .agg(count(lit(1)).as("n_conversions"),
+            round(sum($"value".cast("decimal(18,6)")).cast("double"), 6)
+              .as("revenue"))
+          .orderBy($"touch_type")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |        event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events),
+             |np AS (SELECT user_id, ts, event_id, event_type FROM e
+             |       WHERE event_type <> 'purchase'),
+             |p AS (SELECT user_id, ts, v FROM e WHERE event_type = 'purchase'),
+             |j AS (SELECT p.user_id, p.ts, p.v,
+             |        (SELECT np.event_type FROM np
+             |         WHERE np.user_id = p.user_id AND np.ts <= p.ts
+             |         ORDER BY np.ts DESC, np.event_id DESC LIMIT 1) AS state
+             |      FROM p)
+             |SELECT COALESCE(state, 'none') AS touch_type,
+             |  count(*) AS n_conversions,
+             |  round(CAST(sum(v) AS DOUBLE), 6) AS revenue
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── log-log price elasticity per brand ─────────────────────────────
+    "q278_price_elasticity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val df = Tables.lineitem(s, dir).join(Tables.part(s, dir),
+          $"l_partkey" === $"p_partkey")
+        Market.priceElasticity(df, "p_brand",
+            date_format(date_trunc("month", $"l_shipdate"), "yyyy-MM"),
+            "l_quantity", "l_extendedprice")
+          .orderBy($"grp")
+      },
+      Some("""WITH gp AS (SELECT p.p_brand AS grp,
+             |        strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS pd,
+             |        sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS q,
+             |        sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS r
+             |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |      GROUP BY 1, 2),
+             |t AS (SELECT grp,
+             |        CAST(round(ln(CAST(r AS DOUBLE) / CAST(q AS DOUBLE)), 9)
+             |          AS DECIMAL(12,9)) AS x,
+             |        CAST(round(ln(CAST(q AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+             |      FROM gp WHERE q > 0 AND r > 0),
+             |t2 AS (SELECT *, CAST(CAST(x AS DECIMAL(19,9)) * 1000000000
+             |         AS BIGINT) AS x9 FROM t),
+             |a AS (SELECT grp, count(*) AS n_periods, sum(x) AS sx, sum(y) AS sy,
+             |        sum(x * y) AS sxy, sum(x * x) AS sxx,
+             |        sum(CAST(x9 AS HUGEINT)) AS sx9,
+             |        sum(CAST(x9 AS HUGEINT) * CAST(x9 AS HUGEINT)) AS sxx9
+             |      FROM t2 GROUP BY 1)
+             |SELECT grp, n_periods,
+             |  CASE WHEN n_periods >= 2 AND
+             |      (CAST(n_periods AS HUGEINT) * sxx9 - sx9 * sx9) > 0
+             |    THEN round(
+             |      (CAST(n_periods AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |       CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |      (CAST(n_periods AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             |  END AS elasticity
+             |FROM a ORDER BY grp""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

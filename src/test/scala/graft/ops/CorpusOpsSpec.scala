@@ -71,6 +71,18 @@ class CdcSpec extends SparkSpec {
     assert(out(0)._3.contains(out(1)._2) && out(1)._3.contains(out(2)._2))
   }
 
+  test("dwellProfile: closed-interval dwell means per state") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "a"),
+      (1L, ts("2024-01-01 00:00:03"), 2L, "b"),
+      (1L, ts("2024-01-01 00:00:04"), 3L, "a")).toDF("k", "ts", "id", "v")
+    val out = Cdc.dwellProfile(log, "k", "ts", "v", "id")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 2L, 1L, 2.0))) // one 2 s interval + one open
+    assert(out("b") == (("b", 1L, 0L, 1.0)))
+  }
+
   test("lshRecallAudit: found pairs are a verified subset of truth") {
     val docs = graft.Tables.documents(spark, sfTiny)
     val row = Dedup.lshRecallAudit(docs, "doc_id", "text")

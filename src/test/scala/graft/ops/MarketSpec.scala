@@ -133,6 +133,19 @@ class MarketSpec extends SparkSpec {
     assert(filtered.map(r => (r._1, r._2)).toSet == Set(("A", "B")))
   }
 
+  test("priceElasticity: two-point log-log slope, degenerate price NULL") {
+    import org.apache.spark.sql.functions.col
+    // price 2→1 while qty 2→4: elasticity −1 (halve price, double demand)
+    val df = Seq(
+      ("B", "m1", 2.0, 4.0), ("B", "m2", 4.0, 4.0),
+      ("C", "m1", 2.0, 4.0), ("C", "m2", 3.0, 6.0)) // constant price 2
+      .toDF("g", "pd", "q", "r")
+    val out = Market.priceElasticity(df, "g", col("pd"), "q", "r")
+      .as[(String, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(out("B") == (("B", 2L, Some(-1.0))))
+    assert(out("C") == (("C", 2L, None))) // zero price variance
+  }
+
   test("mixShift: mix + within contributions reconstruct the mean change") {
     import org.apache.spark.sql.functions.col
     val df = Seq(

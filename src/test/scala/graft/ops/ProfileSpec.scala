@@ -194,6 +194,29 @@ class ProfileSpec extends SparkSpec {
     assert(out2._3 == 2.0)
   }
 
+  test("bootstrapMeanCI: deterministic interval bracketing the mean") {
+    val df = (1 to 200).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val a = Profile.bootstrapMeanCI(df, "id", "v")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(a._1 == 200L && a._2 == 40L && a._3 == 100.5)
+    assert(a._4 < a._5 && a._4 <= a._3 && a._3 <= a._5)
+    // same input → bit-identical interval (the reproducibility contract)
+    val b = Profile.bootstrapMeanCI(df, "id", "v")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(a == b)
+  }
+
+  test("reconcileTotals: tolerance classification + parent without lines") {
+    import org.apache.spark.sql.functions.col
+    val parent = Seq((1L, 10.0), (2L, 5.0), (3L, 7.0)).toDF("k", "tot")
+    val child = Seq((1L, 6.0), (1L, 4.0), (2L, 4.0)).toDF("k", "amt")
+    val out = Profile.reconcileTotals(parent, "k", "tot", child, "k",
+        col("amt"), tolerance = 0.01)
+      .as[(Long, Long, Long, Double)].head()
+    // order 1 exact; order 2 off by 1.0; order 3 has no lines (diff 7.0)
+    assert(out == ((3L, 1L, 2L, 7.0)))
+  }
+
   test("spearman: rank-invariant to monotone transforms, midrank ties") {
     def rho(rows: Seq[(Long, Long)]) =
       Profile.spearman(rows.toDF("x", "y"), "x", "y")
