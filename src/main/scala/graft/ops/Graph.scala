@@ -112,6 +112,53 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core of an undirected edge list by `rounds` peeling iterations:
+    * repeatedly delete vertices with degree < k (and their edges) — the
+    * classic dense-substructure extractor (a near-dup cluster's k-core
+    * is its "everybody-matches-everybody" heart; the peeled fringe is
+    * incidental one-off collisions). FIXED iteration count, not a
+    * convergence test: the result equals the true k-core for any graph
+    * whose peel depth ≤ `rounds` (documented contract — raise it for
+    * adversarial chain graphs), and a fixed count keeps the op
+    * bit-reproducible and oracle-replayable.
+    *
+    * Scale shape: per round ONE degree count (edge-keyed,
+    * partial-combining) + two vertex-keyed semi-joins; the edge set
+    * only shrinks. Checkpoint-per-round with eager unpersist of the
+    * previous round (the connected-components discipline). Output:
+    * (node, core_degree) for surviving vertices. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 15): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k >= 1, rounds >= 1")
+    var ed = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint(false)
+    var edCount = ed.count()
+    var i = 0
+    // early exit at the fixpoint: once a round removes nothing, the
+    // remaining rounds are no-ops — the result still EQUALS the full
+    // `rounds`-round (oracle-replayed) computation
+    var stable = false
+    while (i < rounds && !stable) {
+      val deg = ed.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("v"))
+        .localCheckpoint(false) // both semi-joins read it
+      val next = ed
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(false)
+      val nextCount = next.count()
+      unpersistCheckpoint(ed)
+      unpersistCheckpoint(keep)
+      stable = nextCount == edCount
+      ed = next
+      edCount = nextCount
+      i += 1
+    }
+    ed.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Degree assortativity of an undirected edge list — the Pearson
     * correlation of endpoint degrees over the SYMMETRIZED edge set
     * (each edge contributes (d_a, d_b) and (d_b, d_a), the standard

@@ -418,6 +418,54 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Functional-dependency audit: does `lhs` determine `rhs`? Reports,
+    * per named dependency, the lhs-key count, how many keys map to MORE
+    * than one rhs value (violations), the violation rate, and the worst
+    * fan-out — the schema-discovery profiling staple behind "can I use
+    * this as a dimension key?".
+    *
+    * Scale shape: per dependency TWO key-partial aggregates —
+    * (lhs, rhs) distinct reduction, then lhs — never a row-level
+    * distinct; output is dependencies-sized. */
+  def functionalDependency(
+      deps: Seq[(String, DataFrame, Seq[String], String)]): DataFrame = {
+    require(deps.nonEmpty, "need at least one dependency to test")
+    deps.map { case (name, df, lhs, rhs) =>
+      val perKey = df
+        .select((lhs.map(col) :+ col(rhs).as("__rhs")): _*)
+        .distinct()
+        .groupBy(lhs.map(col): _*)
+        .agg(count(lit(1)).as("__nd"))
+      perKey.agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("__nd")).as("max_fanout"))
+        .select(lit(name).as("dependency"), col("n_lhs"), col("n_violating"),
+          round(col("n_violating").cast("double") / col("n_lhs").cast("double"), 6)
+            .as("violation_rate"),
+          col("max_fanout"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Candidate-key uniqueness audit: for each named (relation, columns)
+    * candidate, the row count, distinct-key count, and duplicate-row
+    * count — the "is this actually a primary key?" pre-flight a load
+    * job runs before declaring merge semantics.
+    *
+    * Scale shape: per candidate ONE key-partial count aggregate +
+    * 1-row summary; output is candidates-sized. */
+  def keyUniqueness(
+      candidates: Seq[(String, DataFrame, Seq[String])]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate key")
+    candidates.map { case (name, df, cols) =>
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c")).as("n_rows"), count(lit(1)).as("n_keys"))
+        .select(lit(name).as("candidate"),
+          col("n_rows").cast("long").as("n_rows"), col("n_keys"),
+          (col("n_rows").cast("long") - col("n_keys")).as("n_dup_rows"),
+          (col("n_rows") === col("n_keys")).as("is_unique"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic Poisson bootstrap CI for the mean of a value column:
     * each row's multiplicity in resample b is Poisson(1), drawn by
     * inverse-CDF on a seeded-md5 uniform of (id, b) — the classic

@@ -1256,6 +1256,34 @@ object TextStats {
     * group-pair-sized. Output: (group_a, group_b, n_inter, jaccard) —
     * pairs with EMPTY intersection are absent (inner token join), not
     * emitted as 0-rows. */
+  /** Per-slice vocabulary health: vocab size, hapax/dis legomena counts
+    * (terms occurring exactly once/twice IN THE SLICE), hapax fraction,
+    * and type-token ratio — the lexical-diversity panel a corpus card
+    * reads next to Zipf fit (q223) and OOV rate (q150): a
+    * template-generated slice shows an abnormally LOW hapax fraction,
+    * scraped spam an abnormally high one.
+    *
+    * Scale shape: ONE (slice, token) partial-combining count, then a
+    * slice-keyed aggregate over the VOCAB table. Output per slice:
+    * (group, n_tokens, vocab_size, n_hapax, n_dis, hapax_frac, ttr). */
+  def vocabHealth(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tc = df.select(col(groupCol).as("group"),
+        explode(split(lower(col(textCol)), " ")).as("__t"))
+      .where(col("__t") =!= "")
+      .groupBy(col("group"), col("__t")).agg(count(lit(1)).as("__c"))
+    tc.groupBy(col("group"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("group"), col("n_tokens").cast("long").as("n_tokens"),
+        col("vocab_size"), col("n_hapax"), col("n_dis"),
+        round(col("n_hapax").cast("double") / col("vocab_size").cast("double"), 6)
+          .as("hapax_frac"),
+        round(col("vocab_size").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"))
+  }
+
   /** Sketch-path twin of [[vocabJaccard]] + its own accuracy audit:
     * per-slice token MinHash signatures (k mergeable mins — the q38
     * corpus-signature aggregate), pairwise signature-agreement Jaccard

@@ -6972,7 +6972,139 @@ object OpsQueries {
              |      (CAST(n_periods AS DOUBLE) * CAST(sxx AS DOUBLE) -
              |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
              |  END AS elasticity
-             |FROM a ORDER BY grp""".stripMargin)))
+             |FROM a ORDER BY grp""".stripMargin)),
+
+    // ─── 2-core of the near-dup graph (15 peeling rounds) ───────────────
+    "q279_kcore" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Graph.kCore(
+            Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text")
+              .filter($"jaccard" >= 0.5), k = 2)
+          .orderBy($"node")
+      },
+      Some {
+        val rounds = (1 to 15).map { r =>
+          s"""d$r AS MATERIALIZED (SELECT v, count(*) AS d FROM
+             |  (SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+             |  GROUP BY 1),
+             |k$r AS MATERIALIZED (SELECT v FROM d$r WHERE d >= 2),
+             |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+             |  WHERE a IN (SELECT v FROM k$r) AND b IN (SELECT v FROM k$r))"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $minhashCtes,
+           |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
+           |  WHERE jaccard >= 0.5),
+           |$rounds
+           |SELECT node, count(*) AS core_degree FROM
+           |  (SELECT a AS node FROM e15 UNION ALL SELECT b FROM e15)
+           |GROUP BY 1 ORDER BY node""".stripMargin
+      }),
+
+    // ─── functional-dependency audit across candidate dimensions ────────
+    "q280_fd_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.functionalDependency(Seq(
+            ("cust_to_nation", Tables.customer(s, dir),
+              Seq("c_custkey"), "c_nationkey"),
+            ("part_brand_to_type", Tables.part(s, dir),
+              Seq("p_brand"), "p_type"),
+            ("part_type_to_brand", Tables.part(s, dir),
+              Seq("p_type"), "p_brand"),
+            ("supplier_to_nation", Tables.supplier(s, dir),
+              Seq("s_suppkey"), "s_nationkey")))
+          .orderBy($"dependency")
+      },
+      Some {
+        def dep(name: String, table: String, l: String, r: String) =
+          s"""SELECT '$name' AS dependency, count(*) AS n_lhs,
+             |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+             |  round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+             |        CAST(count(*) AS DOUBLE), 6) AS violation_rate,
+             |  max(nd) AS max_fanout
+             |FROM (SELECT l, count(*) AS nd FROM
+             |        (SELECT $l AS l, $r AS r FROM $table GROUP BY 1, 2)
+             |      GROUP BY 1)""".stripMargin
+        Seq(dep("cust_to_nation", "customer", "c_custkey", "c_nationkey"),
+          dep("part_brand_to_type", "part", "p_brand", "p_type"),
+          dep("part_type_to_brand", "part", "p_type", "p_brand"),
+          dep("supplier_to_nation", "supplier", "s_suppkey", "s_nationkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY dependency")
+      }),
+
+    // ─── candidate-key uniqueness audit ─────────────────────────────────
+    "q281_key_uniqueness" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.keyUniqueness(Seq(
+            ("documents.doc_id", Tables.documents(s, dir), Seq("doc_id")),
+            ("events.event_id", Tables.events(s, dir), Seq("event_id")),
+            ("lineitem.l_orderkey", Tables.lineitem(s, dir), Seq("l_orderkey")),
+            ("lineitem.pk", Tables.lineitem(s, dir),
+              Seq("l_orderkey", "l_linenumber")),
+            ("orders.o_orderkey", Tables.orders(s, dir), Seq("o_orderkey"))))
+          .orderBy($"candidate")
+      },
+      Some {
+        def cand(name: String, table: String, cols: String) =
+          s"""SELECT '$name' AS candidate, sum(c)::BIGINT AS n_rows,
+             |  count(*) AS n_keys, (sum(c) - count(*))::BIGINT AS n_dup_rows,
+             |  sum(c) = count(*) AS is_unique
+             |FROM (SELECT count(*) AS c FROM $table GROUP BY $cols)""".stripMargin
+        Seq(cand("documents.doc_id", "documents", "doc_id"),
+          cand("events.event_id", "events", "event_id"),
+          cand("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+          cand("lineitem.pk", "lineitem", "l_orderkey, l_linenumber"),
+          cand("orders.o_orderkey", "orders", "o_orderkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+      }),
+
+    // ─── top event-type path trigrams ───────────────────────────────────
+    "q282_path_trigrams" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, dir)
+          .select($"user_id", $"event_type".as("t1"),
+            lead($"event_type", 1).over(w).as("t2"),
+            lead($"event_type", 2).over(w).as("t3"))
+          .where($"t2".isNotNull && $"t3".isNotNull)
+          .groupBy($"t1", $"t2", $"t3").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"t1", $"t2", $"t3")
+          .limit(15)
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |        event_type FROM events),
+             |t AS (SELECT event_type AS t1,
+             |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+             |        lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+             |      FROM e)
+             |SELECT t1, t2, t3, count(*) AS n FROM t
+             |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+             |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 15""".stripMargin)),
+
+    // ─── per-source vocabulary health (hapax, TTR) ──────────────────────
+    "q283_vocab_health" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.vocabHealth(Tables.documents(s, dir), "source", "text")
+          .orderBy($"group")
+      },
+      Some("""WITH tok AS (SELECT source AS g,
+             |        unnest(string_split(lower(text), ' ')) AS t FROM documents),
+             |tc AS (SELECT g, t, count(*) AS c FROM tok WHERE t <> ''
+             |       GROUP BY 1, 2)
+             |SELECT g AS "group", sum(c)::BIGINT AS n_tokens,
+             |  count(*) AS vocab_size,
+             |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+             |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis,
+             |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+             |        CAST(count(*) AS DOUBLE), 6) AS hapax_frac,
+             |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr
+             |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -50,6 +50,18 @@ class GraphSpec extends SparkSpec {
     assert(count(two) == 2L)
   }
 
+  test("kCore: triangle survives, pendant peeled, chain needs 2 rounds") {
+    def core(es: Seq[(Long, Long)]) =
+      Graph.kCore(es.toDF("id_a", "id_b"), k = 2)
+        .as[(Long, Long)].collect().toMap
+    // triangle + pendant 4: the 2-core is exactly the triangle
+    assert(core(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // path graph: peeling cascades — first round strips the ends, the
+    // second kills the middle edge; 2-core is empty
+    assert(core(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+  }
+
   test("degreeAssortativity: star = -1, regular graph degenerate NULL") {
     def r(es: Seq[(Long, Long)]) =
       Graph.degreeAssortativity(es.toDF("id_a", "id_b"))

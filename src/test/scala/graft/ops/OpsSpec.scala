@@ -224,6 +224,16 @@ class TextStatsSpec extends SparkSpec {
     assert(out.size == 1)
   }
 
+  test("vocabHealth: hapax/dis counts and type-token ratio per slice") {
+    val docs = Seq(
+      (1L, "g1", "a a b"), (2L, "g2", "c c c")).toDF("doc_id", "g", "text")
+    val out = TextStats.vocabHealth(docs, "g", "text")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("g1") == (("g1", 3L, 2L, 1L, 1L, 0.5, 0.666667)))
+    assert(out("g2") == (("g2", 3L, 1L, 0L, 0L, 0.0, 0.333333)))
+  }
+
   test("vocabJaccardSketch: identical vocabularies estimate exactly 1") {
     val docs = Seq(
       (1L, "g1", "a b c d e f g h"),

@@ -194,6 +194,19 @@ class ProfileSpec extends SparkSpec {
     assert(out2._3 == 2.0)
   }
 
+  test("functionalDependency + keyUniqueness: violations counted exactly") {
+    val df = Seq(("A", "x"), ("A", "y"), ("A", "y"), ("B", "z")).toDF("l", "r")
+    val fd = Profile.functionalDependency(Seq(("t", df, Seq("l"), "r")))
+      .as[(String, Long, Long, Double, Long)].head()
+    assert(fd == (("t", 2L, 1L, 0.5, 2L))) // A fans out to {x, y}
+    val ku = Profile.keyUniqueness(Seq(
+        ("dup", df, Seq("l")), ("ok", df, Seq("l", "r"))))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(ku("dup") == (("dup", 4L, 2L, 2L, false)))
+    assert(ku("ok") == (("ok", 4L, 3L, 1L, false))) // (A,y) repeats
+  }
+
   test("bootstrapMeanCI: deterministic interval bracketing the mean") {
     val df = (1 to 200).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val a = Profile.bootstrapMeanCI(df, "id", "v")
