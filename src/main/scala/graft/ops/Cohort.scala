@@ -116,6 +116,57 @@ object Cohort {
     * model-sized collect — the `kmeansCentroids` precedent, never
     * data-scaled. Output: (state, pi ← round 6) for states reachable at
     * the final iteration. */
+  /** Kaplan–Meier survival curve of entity lifetimes (first event →
+    * last event, in whole days), right-censoring entities whose last
+    * activity falls within `censorDays` of the observation edge (they
+    * are "still alive", not churned):
+    *   S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)
+    * computed as exp of the cumulative 9-dp fixed-point Σln(1 − d/n)
+    * (the q42 transcendental discipline — a windowed double product
+    * would be engine-ordered). A step where everyone at risk dies pins
+    * S = 0 exactly instead of folding ln 0.
+    *
+    * Scale shape: ONE entity aggregate over the fact, then everything
+    * runs on the LIFETIME-DAYS table (≤ observation-window days —
+    * aggregated-table-sized). Output per death time:
+    * (t_days, n_risk, n_deaths, survival). */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      censorDays: Int = 3): DataFrame = {
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val per = events.groupBy(col(userCol).as("__u"))
+      .agg(min(us).as("__f"), max(us).as("__l"))
+    val horizon = events.agg(max(us).as("__h"))
+    val day = 86400000000L
+    val lab = per.crossJoin(horizon)
+      .select(((col("__l") - col("__f")) / lit(day)).cast("long").as("__t"),
+        (col("__l") > col("__h") - lit(censorDays.toLong * day)).as("__cens"))
+      .localCheckpoint(false) // by-time table + the total
+    val byT = lab.groupBy(col("__t")).agg(count(lit(1)).as("__n_at"),
+      sum(when(!col("__cens"), 1L).otherwise(0L)).as("__d"))
+    val wLt = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLe = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("__cum_lt",
+        coalesce(sum(col("__n_at")).over(wLt), lit(0L)))
+      .crossJoin(lab.agg(count(lit(1)).as("__N")))
+      .withColumn("n_risk", col("__N") - col("__cum_lt"))
+      .where(col("__d") > 0)
+      .withColumn("__lnterm", when(col("__d") < col("n_risk"),
+        round(log(lit(1.0) -
+          col("__d").cast("double") / col("n_risk").cast("double")), 9)
+          .cast("decimal(18,9)")))
+      .withColumn("__dead_all",
+        max(when(col("__d") === col("n_risk"), 1).otherwise(0)).over(wLe))
+      .withColumn("__ln_s", sum(col("__lnterm")).over(wLe))
+      .select(col("__t").as("t_days"), col("n_risk"),
+        col("__d").as("n_deaths"),
+        when(col("__dead_all") === 1, lit(0.0))
+          .otherwise(round(exp(col("__ln_s").cast("double")), 6))
+          .as("survival"))
+  }
+
   /** First-touch vs last-touch revenue attribution: every `convType`
     * event's value is credited (a) to the user's FIRST event type ever
     * (first-touch) and (b) to the LAST non-conversion event type

@@ -274,6 +274,37 @@ object Market {
         round(d("__n") * d("n_ab") / (d("__ca") * d("__cb")), 6).as("lift"))
   }
 
+  /** Difference-in-differences estimate over a 2×2 (treated × post)
+    * design: DiD = (T̄post − T̄pre) − (C̄post − C̄pre) — the standard
+    * "did the treatment move the metric beyond the secular trend"
+    * read. Cell sums are exact DECIMAL; the four means and the
+    * difference compute once on the 1-row aggregate; an EMPTY cell
+    * yields NULL DiD (no silent zero).
+    *
+    * Scale shape: ONE conditional-sum aggregate over the fact — no
+    * groupBy, no join. Output: 1 row (n, the 4 cell means, did). */
+  def diffInDiff(df: DataFrame, treatedCol: Column, postCol: Column,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,6)")
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      sum(when(treatedCol === t && postCol === p, v)).as(s"__s$suffix"),
+      sum(when(treatedCol === t && postCol === p, 1L).otherwise(0L))
+        .as(s"__n$suffix"))
+    val cells = cell(true, false, "tp0") ++ cell(true, true, "tp1") ++
+      cell(false, false, "cp0") ++ cell(false, true, "cp1")
+    val agg = df.agg(count(lit(1)).as("n"), cells: _*)
+    def m(s: String) = col(s"__s$s").cast("double") / col(s"__n$s").cast("double")
+    val allCells = col("__ntp0") > 0 && col("__ntp1") > 0 &&
+      col("__ncp0") > 0 && col("__ncp1") > 0
+    agg.select(col("n"),
+      round(m("tp0"), 6).as("mean_treat_pre"),
+      round(m("tp1"), 6).as("mean_treat_post"),
+      round(m("cp0"), 6).as("mean_ctrl_pre"),
+      round(m("cp1"), 6).as("mean_ctrl_post"),
+      when(allCells,
+        round((m("tp1") - m("tp0")) - (m("cp1") - m("cp0")), 6)).as("did"))
+  }
+
   /** Log-log price elasticity per group: the OLS slope of ln(quantity)
     * on ln(unit price) across periods, where each period's unit price
     * is the value-weighted Σvalue/Σqty. The ln terms are 9-dp fixed

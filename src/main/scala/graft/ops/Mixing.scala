@@ -318,4 +318,31 @@ object Mixing {
         round(col("__ws").cast("double"), 6).as("weight_sum"),
         round(col("__ws").cast("double") / col("__tot").cast("double"), 6).as("share"))
   }
+
+  /** Deterministic uniform negative sampling for contrastive training:
+    * for every anchor document, k pseudo-random corpus ids drawn
+    * join-free as mixⱼ(md5(id)) mod N — the complement of the
+    * hard-negative miner (q99): contrastive batches need mostly EASY
+    * negatives, and at 100 TB a join-free draw (no shuffle at all —
+    * one map pass) is the only shape that survives. REQUIRES the dense
+    * 0..N−1 id contract (TESTDATA documents hold it; for sparse id
+    * spaces, zip with a manifest row_number first — the q169 shard
+    * discipline). Accidental self-draws are FLAGGED, not resampled
+    * (resampling would make the draw count data-dependent); the
+    * trainer drops them.
+    *
+    * Scale shape: ONE map-only pass (1 md5 + k rotate-xor mixes per
+    * row), zero shuffles. Output: (doc_id, j, neg_id, is_self). */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+      seed: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "k in [1, 64]")
+    val n = df.count() // metadata-scale driver scalar (the kCore count class)
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      Dedup.seededHash(seed, col(idCol).cast("string")).as("__h0"))
+    base.select(col("doc_id"),
+        posexplode(array((0 until k).map(j =>
+          pmod(Dedup.mixHash(col("__h0"), j), lit(n))): _*))
+          .as(Seq("j", "neg_id")))
+      .withColumn("is_self", col("neg_id") === col("doc_id"))
+  }
 }

@@ -7104,7 +7104,187 @@ object OpsQueries {
              |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
              |        CAST(count(*) AS DOUBLE), 6) AS hapax_frac,
              |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr
-             |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── Kaplan–Meier survival of customer order-lifetimes ──────────────
+    // (365-day censor edge: a customer whose LAST order is within a year
+    // of the observation boundary is still-active, not churned — the
+    // events table is the wrong domain here: every user is active at the
+    // 30-day window edge, so everyone censors and the curve is empty)
+    "q284_kaplan_meier" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Cohort.kaplanMeier(Tables.orders(s, dir), "o_custkey", "o_orderdate",
+            censorDays = 365)
+          .orderBy($"t_days")
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+             |        min(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS f,
+             |        max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS l
+             |      FROM orders GROUP BY 1),
+             |hz AS (SELECT max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS h
+             |       FROM orders),
+             |lab AS (SELECT (l - f) // 86400000000 AS t,
+             |        l > h - 31536000000000 AS cens FROM per CROSS JOIN hz),
+             |byt AS (SELECT t, count(*) AS n_at,
+             |        sum(CASE WHEN NOT cens THEN 1 ELSE 0 END)::BIGINT AS d
+             |      FROM lab GROUP BY 1),
+             |tt AS (SELECT count(*) AS nn FROM lab),
+             |c AS (SELECT t, n_at, d,
+             |        COALESCE(sum(n_at) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+             |      FROM byt),
+             |r AS (SELECT t, d, nn - cum_lt AS n_risk FROM c CROSS JOIN tt
+             |      WHERE d > 0),
+             |sres AS (SELECT t, n_risk, d,
+             |        CASE WHEN d < n_risk THEN
+             |          CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)
+             |            AS DECIMAL(18,9)) END AS lnt
+             |      FROM r),
+             |s2 AS (SELECT t, n_risk, d, lnt,
+             |        max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+             |        sum(lnt) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns
+             |      FROM sres)
+             |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d AS n_deaths,
+             |  CASE WHEN dead = 1 THEN 0.0
+             |    ELSE round(exp(CAST(lns AS DOUBLE)), 6) END AS survival
+             |FROM s2 ORDER BY t_days""".stripMargin)),
+
+    // ─── diff-in-diff: signup users' purchases, first vs second half ────
+    "q285_diff_in_diff" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val signups = ev.filter($"event_type" === "signup")
+          .select($"user_id").distinct().withColumn("__tr", lit(true))
+        val df = ev.filter($"event_type" === "purchase")
+          .join(signups, Seq("user_id"), "left")
+          .select(coalesce($"__tr", lit(false)).as("treated"),
+            (dayofmonth($"ts".cast("timestamp")) > 15).as("post"), $"value")
+        Market.diffInDiff(df, $"treated", $"post", "value")
+      },
+      Some("""WITH su AS (SELECT DISTINCT user_id FROM events
+             |      WHERE event_type = 'signup'),
+             |p AS (SELECT su.user_id IS NOT NULL AS tr,
+             |        day(CAST(e.ts AS TIMESTAMP)) > 15 AS po,
+             |        CAST(e.value AS DECIMAL(18,6)) AS v
+             |      FROM events e LEFT JOIN su ON e.user_id = su.user_id
+             |      WHERE e.event_type = 'purchase'),
+             |a AS (SELECT count(*) AS n,
+             |        sum(CASE WHEN tr AND NOT po THEN v END) AS stp0,
+             |        sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END)::BIGINT AS ntp0,
+             |        sum(CASE WHEN tr AND po THEN v END) AS stp1,
+             |        sum(CASE WHEN tr AND po THEN 1 ELSE 0 END)::BIGINT AS ntp1,
+             |        sum(CASE WHEN NOT tr AND NOT po THEN v END) AS scp0,
+             |        sum(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END)::BIGINT AS ncp0,
+             |        sum(CASE WHEN NOT tr AND po THEN v END) AS scp1,
+             |        sum(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END)::BIGINT AS ncp1
+             |      FROM p)
+             |SELECT n,
+             |  round(CAST(stp0 AS DOUBLE) / CAST(ntp0 AS DOUBLE), 6) AS mean_treat_pre,
+             |  round(CAST(stp1 AS DOUBLE) / CAST(ntp1 AS DOUBLE), 6) AS mean_treat_post,
+             |  round(CAST(scp0 AS DOUBLE) / CAST(ncp0 AS DOUBLE), 6) AS mean_ctrl_pre,
+             |  round(CAST(scp1 AS DOUBLE) / CAST(ncp1 AS DOUBLE), 6) AS mean_ctrl_post,
+             |  CASE WHEN ntp0 > 0 AND ntp1 > 0 AND ncp0 > 0 AND ncp1 > 0 THEN
+             |    round((CAST(stp1 AS DOUBLE) / CAST(ntp1 AS DOUBLE) -
+             |           CAST(stp0 AS DOUBLE) / CAST(ntp0 AS DOUBLE)) -
+             |          (CAST(scp1 AS DOUBLE) / CAST(ncp1 AS DOUBLE) -
+             |           CAST(scp0 AS DOUBLE) / CAST(ncp0 AS DOUBLE)), 6) END AS did
+             |FROM a""".stripMargin)),
+
+    // ─── join-free deterministic negative sampling ──────────────────────
+    "q286_negative_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.negativeSample(Tables.documents(s, dir), "doc_id",
+            k = 4, seed = 11)
+          .where($"doc_id" < 40)
+          .orderBy($"doc_id", $"j")
+      },
+      Some {
+        val seeds = (0 until 4).map { j =>
+          val r = Dedup.mixRot(j); val c = Dedup.mixConst(j)
+          val lm = (1L << (60 - r)) - 1
+          s"($j, $r, CAST($lm AS BIGINT), CAST($c AS BIGINT))"
+        }.mkString(",\n    ")
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |base AS (SELECT doc_id,
+           |    ('0x'||substr(md5('11|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h0
+           |  FROM documents WHERE doc_id < 40),
+           |sd AS (SELECT * FROM (VALUES
+           |    $seeds) v(j, rt, lm, ct)),
+           |s AS (SELECT doc_id, j,
+           |    xor(((h0 & lm) << rt) | (h0 >> (60 - rt)), ct) % n AS neg_id
+           |  FROM base CROSS JOIN sd CROSS JOIN nn)
+           |SELECT doc_id, j, neg_id, neg_id = doc_id AS is_self
+           |FROM s ORDER BY doc_id, j""".stripMargin
+      }),
+
+    // ─── exact rolling 7-day active users (the sketch-free q185 twin) ───
+    "q287_rolling_dau_exact" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val du = Tables.events(s, dir)
+          .select(to_date($"ts".cast("timestamp")).as("d"), $"user_id")
+          .distinct()
+          .localCheckpoint(false) // dau + coverage explode share it
+        val dau = du.groupBy($"d").agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(explode(sequence($"d", date_add($"d", 6))).as("cd"),
+            $"user_id")
+          .distinct()
+          .groupBy($"cd").agg(count(lit(1)).as("wau"))
+        dau.join(wau, $"d" === $"cd")
+          .select(date_format($"d", "yyyy-MM-dd").as("day"), $"dau", $"wau")
+          .orderBy($"day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             |        user_id FROM events),
+             |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
+             |cov0 AS (SELECT d + CAST(unnest(range(0, 7)) AS INTEGER) AS cd,
+             |        user_id FROM du),
+             |wau AS (SELECT cd, count(*) AS wau FROM
+             |          (SELECT DISTINCT cd, user_id FROM cov0) GROUP BY 1)
+             |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau
+             |FROM dau JOIN wau ON dau.d = wau.cd ORDER BY day""".stripMargin)),
+
+    // ─── Lorenz curve: cumulative revenue share by customer decile ──────
+    "q288_lorenz_curve" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val cr = Tables.orders(s, dir).groupBy($"o_custkey")
+          .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("__rev"))
+        val dec = cr
+          .withColumn("decile",
+            ntile(10).over(Window.orderBy($"__rev", $"o_custkey")))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_customers"), sum($"__rev").as("__s"))
+        dec
+          .withColumn("__cum", sum($"__s").over(Window.orderBy($"decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("__tot", sum($"__s").over(Window.partitionBy()))
+          .select($"decile".cast("long").as("decile"), $"n_customers",
+            round($"__cum".cast("double") / $"__tot".cast("double"), 6)
+              .as("cum_share"))
+          .orderBy($"decile")
+      },
+      Some("""WITH cr AS (SELECT o_custkey,
+             |        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+             |      FROM orders GROUP BY 1),
+             |d AS (SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+             |      FROM cr),
+             |g AS (SELECT decile, count(*) AS n_customers, sum(rev) AS s
+             |      FROM d GROUP BY 1),
+             |c AS (SELECT decile, n_customers,
+             |        sum(s) OVER (ORDER BY decile
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |        sum(s) OVER () AS tot FROM g)
+             |SELECT decile, n_customers,
+             |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+             |FROM c ORDER BY decile""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

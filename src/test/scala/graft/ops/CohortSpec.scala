@@ -95,6 +95,23 @@ class CohortSpec extends SparkSpec {
     assert(out._4.contains(20e6)) // median of 10 s / 30 s in micros
   }
 
+  test("kaplanMeier: product-limit steps, S=0 when the last cohort dies") {
+    // lifetimes 1,1,2,3 days, censorDays=0 → nobody censors:
+    // S(1)=1·(1−2/4)=0.5, S(2)=0.5·(1−1/2)=0.25, S(3): d=n_risk → 0
+    def e(u: Long, day: Int) = (u, ts(f"2024-01-${day + 1}%02d 00:00:00"))
+    val ev = Seq(e(1, 0), e(1, 1), e(2, 0), e(2, 1), e(3, 0), e(3, 2),
+      e(4, 0), e(4, 3)).toDF("u", "ts")
+    val out = Cohort.kaplanMeier(ev, "u", "ts", censorDays = 0)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 2L, 0.5)))
+    assert(out(2L) == ((2L, 2L, 1L, 0.25)))
+    assert(out(3L) == ((3L, 1L, 1L, 0.0)))
+    // censoring: the t=3 user still active → at-risk but no death row
+    val c = Cohort.kaplanMeier(ev, "u", "ts", censorDays = 1)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!c.contains(3L) && c(1L) == ((1L, 4L, 2L, 0.5)))
+  }
+
   test("touchAttribution: first vs last-touch credit, 'none' fallback") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:01"), "view", 0.0, 1L),

@@ -133,6 +133,21 @@ class MarketSpec extends SparkSpec {
     assert(filtered.map(r => (r._1, r._2)).toSet == Set(("A", "B")))
   }
 
+  test("diffInDiff: 2×2 cell means and the difference; empty cell → NULL") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (true, false, 1.0), (true, true, 4.0),
+      (false, false, 2.0), (false, true, 3.0)).toDF("tr", "po", "v")
+    val out = Market.diffInDiff(df, col("tr"), col("po"), "v")
+      .as[(Long, Double, Double, Double, Double, Option[Double])].head()
+    assert(out == ((4L, 1.0, 4.0, 2.0, 3.0, Some(2.0))))
+    val missing = Seq((true, true, 4.0), (false, false, 2.0), (false, true, 3.0))
+      .toDF("tr", "po", "v")
+    assert(Market.diffInDiff(missing, col("tr"), col("po"), "v")
+      .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double], Option[Double])]
+      .head()._6.isEmpty)
+  }
+
   test("priceElasticity: two-point log-log slope, degenerate price NULL") {
     import org.apache.spark.sql.functions.col
     // price 2→1 while qty 2→4: elasticity −1 (halve price, double demand)

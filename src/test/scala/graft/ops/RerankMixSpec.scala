@@ -217,4 +217,19 @@ class RerankMixSpec extends SparkSpec {
     assert(math.abs(out("new")._4 + out("old")._4 - 1.0) < 1e-5)
     assert(out("new")._4 > out("old")._4)
   }
+
+  test("negativeSample: k draws per anchor, in-range, self-flagged, stable") {
+    val docs = (0L until 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Mixing.negativeSample(docs, "doc_id", k = 3, seed = 5)
+      .as[(Long, Int, Long, Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(a.length == 60)
+    assert(a.forall(r => r._3 >= 0 && r._3 < 20))
+    assert(a.forall(r => r._4 == (r._1 == r._3)))
+    // deterministic: same input → identical draws
+    val b = Mixing.negativeSample(docs, "doc_id", k = 3, seed = 5)
+      .as[(Long, Int, Long, Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(a.toSeq == b.toSeq)
+    // draws are not degenerate (some spread across the id space)
+    assert(a.map(_._3).distinct.length > 5)
+  }
 }
