@@ -220,6 +220,57 @@ object Drift {
             .cast("decimal(28,9)"))).cast("double"), 6).as("emd"))
   }
 
+  /** Freedman–Diaconis auto-binned histogram: bin width
+    * h = 2·IQR/∛n (the robust bin rule — Sturges under-bins heavy
+    * tails, fixed-width guesses), quartiles as TYPE-1 order statistics
+    * read off the value-level cumulative table (no row-level sort),
+    * bin count capped at `maxBins`. Degenerate spread (IQR = 0) falls
+    * back to a single bin.
+    *
+    * Scale shape: ONE (value) partial-combining count + a cumulative
+    * window over the VALUE-DOMAIN table (q209 hatch class for
+    * continuous values) + one map pass binning against the broadcast
+    * 1-row parameter row. Output: (bin, lo, hi, n). */
+  def fdHistogram(df: DataFrame, valueCol: String, maxBins: Int = 50): DataFrame = {
+    require(maxBins >= 1, "maxBins >= 1")
+    val v = df.select(col(valueCol).cast("decimal(18,6)").as("__v"))
+    val vc = v.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__v"))
+    val cum = vc.withColumn("__cum", sum(col("__c")).over(w))
+      .localCheckpoint(false) // stats + quartile scans share the sort
+    val stats = cum.agg(max(col("__cum")).as("__n"),
+      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val dec = cum.crossJoin(stats)
+    def rank(q: Double) =
+      floor((col("__n") - 1).cast("double") * lit(q)).cast("long") + 1
+    val qs = dec.agg(
+      min(when(col("__cum") >= rank(0.25), col("__v"))).as("__q1"),
+      min(when(col("__cum") >= rank(0.75), col("__v"))).as("__q3"))
+    val par = stats.crossJoin(qs)
+      .withColumn("__h", lit(2.0) *
+        (col("__q3") - col("__q1")).cast("double") /
+        cbrt(col("__n").cast("double")))
+      .withColumn("__nb", when(col("__h") > 0.0,
+          least(lit(maxBins.toLong), greatest(lit(1L),
+            ceil((col("__mx") - col("__mn")).cast("double") / col("__h"))
+              .cast("long"))))
+        .otherwise(lit(1L)))
+      .localCheckpoint(false) // binning pass + edge decoration
+    val binned = v.crossJoin(par)
+      .select(when(col("__nb") === 1, lit(0L))
+        .otherwise(least(col("__nb") - 1,
+          floor((col("__v") - col("__mn")).cast("double") / col("__h"))
+            .cast("long"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    binned.crossJoin(par)
+      .select(col("bin"),
+        round(col("__mn").cast("double") +
+          col("bin").cast("double") * col("__h"), 6).as("lo"),
+        round(col("__mn").cast("double") +
+          (col("bin") + 1).cast("double") * col("__h"), 6).as("hi"),
+        col("n"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
     require(topK > 0, "keySkew needs topK > 0")
     val counts = df.groupBy(col(keyCol).as("key"))

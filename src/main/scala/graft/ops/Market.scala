@@ -274,6 +274,46 @@ object Market {
         round(d("__n") * d("n_ab") / (d("__ca") * d("__cb")), 6).as("lift"))
   }
 
+  /** Stratified (blocked) treatment-effect estimate: within each
+    * stratum the treated−control mean difference, combined into an ATE
+    * weighted by the stratum's population share — the standard
+    * confounder-adjustment when treatment correlates with an observable
+    * (the raw mean difference would mix effect with composition; the
+    * q262 mix/within lesson applied to causal reads). Strata missing
+    * either arm are reported with NULL effect and excluded from the
+    * ATE, whose weights renormalize over the usable strata.
+    *
+    * Scale shape: ONE (stratum, treated) aggregate over the fact;
+    * everything else is strata-sized (the 1-row ATE cross-joins back).
+    * Output per stratum: (stratum, n_treat, n_ctrl, effect, ate). */
+  def stratifiedEffect(df: DataFrame, strataCol: Column, treatedCol: Column,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,6)")
+    val cells = df.groupBy(strataCol.as("stratum"))
+      .agg(sum(when(treatedCol, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(treatedCol, v)).as("__st"),
+        sum(when(!treatedCol, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(!treatedCol, v)).as("__sc"))
+      .localCheckpoint(false) // per-stratum rows + the ATE aggregate
+    val usable = col("n_treat") > 0 && col("n_ctrl") > 0
+    val effect = col("__st").cast("double") / col("n_treat").cast("double") -
+      col("__sc").cast("double") / col("n_ctrl").cast("double")
+    // exact weighted sum: w as DECIMAL(13,0) (stratum sizes < 10^13 by
+    // contract) × 9-dp effect → DECIMAL(32,9), order-free — a double
+    // Σw·e over strata would be fold-order-dependent
+    val wEff = cells.select(
+      when(usable, (col("n_treat") + col("n_ctrl")).cast("decimal(13,0)"))
+        .as("__w"),
+      when(usable, round(effect, 9).cast("decimal(18,9)")).as("__e"))
+    val ate = wEff.agg(
+      (sum(col("__w") * col("__e")).cast("double") /
+        sum(col("__w")).cast("double")).as("__ate"))
+    cells.crossJoin(ate)
+      .select(col("stratum"), col("n_treat"), col("n_ctrl"),
+        when(usable, round(effect, 6)).as("effect"),
+        round(col("__ate"), 6).as("ate"))
+  }
+
   /** Difference-in-differences estimate over a 2×2 (treated × post)
     * design: DiD = (T̄post − T̄pre) − (C̄post − C̄pre) — the standard
     * "did the treatment move the metric beyond the secular trend"

@@ -333,6 +333,42 @@ object Mixing {
     *
     * Scale shape: ONE map-only pass (1 md5 + k rotate-xor mixes per
     * row), zero shuffles. Output: (doc_id, j, neg_id, is_self). */
+  /** Reshard-movement plan: when the shard count changes kOld → kNew,
+    * how many keys MOVE under (a) mod-hashing — nearly everything —
+    * versus (b) rendezvous / highest-random-weight hashing — only
+    * ≈ (kNew−kOld)/kNew, the minimum possible — the one-number argument
+    * for HRW placement before a 100 TB re-layout. HRW shard =
+    * argmax_j mixⱼ(md5(id)) over the shard seeds (ties are measure-zero
+    * on 60-bit values); adding shards only ever STEALS keys whose new
+    * seed wins.
+    *
+    * Scale shape: ONE map-only pass (1 md5 + kNew mixes per key) + a
+    * 1-row aggregate. Output: (strategy, n_docs, n_moved, moved_frac)
+    * × {mod, rendezvous}. */
+  def reshardPlan(df: DataFrame, idCol: String, kOld: Int,
+      kNew: Int): DataFrame = {
+    require(kOld >= 1 && kNew > kOld && kNew <= 64, "1 <= kOld < kNew <= 64")
+    def rendezvous(k: Int) = {
+      val vals = array((0 until k).map(j => Dedup.mixHash(col("__h"), j)): _*)
+      (array_position(vals, array_max(vals)) - 1).cast("int")
+    }
+    val lab = df
+      .select(Dedup.seededHash(0, col(idCol).cast("string")).as("__h"))
+      .select(
+        (pmod(col("__h"), lit(kOld.toLong)) =!=
+          pmod(col("__h"), lit(kNew.toLong))).as("__mvMod"),
+        (rendezvous(kOld) =!= rendezvous(kNew)).as("__mvHrw"))
+    val agg = lab.agg(count(lit(1)).as("__n"),
+        sum(when(col("__mvMod"), 1L).otherwise(0L)).as("__m1"),
+        sum(when(col("__mvHrw"), 1L).otherwise(0L)).as("__m2"))
+      .localCheckpoint(false) // both strategy rows read it
+    def row(name: String, m: String) = agg.select(lit(name).as("strategy"),
+      col("__n").as("n_docs"), col(m).as("n_moved"),
+      round(col(m).cast("double") / col("__n").cast("double"), 6)
+        .as("moved_frac"))
+    row("mod", "__m1").unionByName(row("rendezvous", "__m2"))
+  }
+
   def negativeSample(df: DataFrame, idCol: String, k: Int,
       seed: Int): DataFrame = {
     require(k >= 1 && k <= 64, "k in [1, 64]")

@@ -7284,7 +7284,236 @@ object OpsQueries {
              |        sum(s) OVER () AS tot FROM g)
              |SELECT decile, n_customers,
              |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
-             |FROM c ORDER BY decile""".stripMargin)))
+             |FROM c ORDER BY decile""".stripMargin)),
+
+    // ─── activity-stratified treatment effect (blocked ATE) ─────────────
+    "q289_stratified_effect" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val strat = ev.groupBy($"user_id").agg(count(lit(1)).as("__na"))
+          .withColumn("stratum",
+            ntile(5).over(Window.orderBy($"__na", $"user_id")).cast("long"))
+          .select($"user_id", $"stratum")
+        val signups = ev.filter($"event_type" === "signup")
+          .select($"user_id").distinct().withColumn("__tr", lit(true))
+        val df = ev.filter($"event_type" === "purchase")
+          .join(strat, Seq("user_id"))
+          .join(signups, Seq("user_id"), "left")
+          .select($"stratum", coalesce($"__tr", lit(false)).as("treated"),
+            $"value")
+        Market.stratifiedEffect(df, $"stratum", $"treated", "value")
+          .orderBy($"stratum")
+      },
+      Some("""WITH act AS (SELECT user_id, count(*) AS na FROM events GROUP BY 1),
+             |st AS (SELECT user_id,
+             |        CAST(ntile(5) OVER (ORDER BY na, user_id) AS BIGINT) AS stratum
+             |      FROM act),
+             |su AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT st.stratum, su.user_id IS NOT NULL AS tr,
+             |        CAST(e.value AS DECIMAL(18,6)) AS v
+             |      FROM events e JOIN st ON e.user_id = st.user_id
+             |      LEFT JOIN su ON e.user_id = su.user_id
+             |      WHERE e.event_type = 'purchase'),
+             |cells AS (SELECT stratum,
+             |    sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+             |    sum(CASE WHEN tr THEN v END) AS s_t,
+             |    sum(CASE WHEN NOT tr THEN 1 ELSE 0 END)::BIGINT AS n_ctrl,
+             |    sum(CASE WHEN NOT tr THEN v END) AS s_c
+             |  FROM p GROUP BY 1),
+             |we AS (SELECT
+             |    CASE WHEN n_treat > 0 AND n_ctrl > 0
+             |      THEN CAST(n_treat + n_ctrl AS DECIMAL(13,0)) END AS w,
+             |    CASE WHEN n_treat > 0 AND n_ctrl > 0
+             |      THEN CAST(round(CAST(s_t AS DOUBLE) / CAST(n_treat AS DOUBLE) -
+             |                CAST(s_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE), 9)
+             |           AS DECIMAL(18,9)) END AS e
+             |  FROM cells),
+             |ate AS (SELECT CAST(sum(w * e) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS a
+             |        FROM we)
+             |SELECT stratum, n_treat, n_ctrl,
+             |  CASE WHEN n_treat > 0 AND n_ctrl > 0
+             |    THEN round(CAST(s_t AS DOUBLE) / CAST(n_treat AS DOUBLE) -
+             |               CAST(s_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE), 6)
+             |  END AS effect,
+             |  round(a, 6) AS ate
+             |FROM cells CROSS JOIN ate ORDER BY stratum""".stripMargin)),
+
+    // ─── external clustering validation: dup clusters vs source ─────────
+    "q290_cluster_purity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+        val cl = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
+            pairs.select($"id_a", $"id_b"))
+          .select($"id".as("doc_id"), $"label".as("cluster_id"))
+        val cells = cl.join(docs.select($"doc_id", $"source"), "doc_id")
+          .groupBy($"cluster_id", $"source").agg(count(lit(1)).as("__n"))
+          .localCheckpoint(false) // purity, marginals, MI terms share it
+        val n = cells.agg(sum($"__n").as("__nt"))
+        val purity = cells.groupBy($"cluster_id").agg(max($"__n").as("__mx"))
+          .agg(sum($"__mx").as("__pu"), count(lit(1)).as("n_clusters"))
+        val mc = cells.groupBy($"cluster_id").agg(sum($"__n").as("__nc"))
+        val ms = cells.groupBy($"source").agg(sum($"__n").as("__ns"))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        def entTerms(m: org.apache.spark.sql.DataFrame, cnt: String) =
+          m.crossJoin(n).select(
+            round((d(col(cnt)) / d($"__nt")) * log(d(col(cnt)) / d($"__nt")), 9)
+              .cast("decimal(18,9)").as("__t"))
+            .agg((-sum($"__t").cast("double")).as("__h"))
+        val hc = entTerms(mc, "__nc").select($"__h".as("__hc"))
+        val hs = entTerms(ms, "__ns").select($"__h".as("__hs"))
+        val mi = cells.join(mc, "cluster_id").join(ms, "source").crossJoin(n)
+          .select(round((d($"__n") / d($"__nt")) *
+              log(d($"__n") * d($"__nt") / (d($"__nc") * d($"__ns"))), 9)
+            .cast("decimal(18,9)").as("__t"))
+          .agg(sum($"__t").cast("double").as("__mi"))
+        n.crossJoin(purity).crossJoin(hc).crossJoin(hs).crossJoin(mi)
+          .select($"__nt".cast("long").as("n_docs"), $"n_clusters",
+            round(d($"__pu") / d($"__nt"), 6).as("purity"),
+            round($"__mi" / sqrt($"__hc" * $"__hs"), 6).as("nmi"))
+      },
+      Some(s"""WITH RECURSIVE $clusterCtes,
+              |cells AS (SELECT cl.cluster_id, d.source, count(*) AS n
+              |          FROM cl JOIN documents d USING (doc_id) GROUP BY 1, 2),
+              |nn AS (SELECT sum(n)::BIGINT AS nt FROM cells),
+              |pu AS (SELECT sum(mx)::BIGINT AS pu, count(*) AS n_clusters FROM
+              |         (SELECT cluster_id, max(n) AS mx FROM cells GROUP BY 1)),
+              |mc AS (SELECT cluster_id, sum(n)::BIGINT AS nc FROM cells GROUP BY 1),
+              |ms AS (SELECT source, sum(n)::BIGINT AS ns FROM cells GROUP BY 1),
+              |hc AS (SELECT -CAST(sum(CAST(round(
+              |         (CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)) *
+              |         ln(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+              |         AS DECIMAL(18,9))) AS DOUBLE) AS h
+              |       FROM mc CROSS JOIN nn),
+              |hs AS (SELECT -CAST(sum(CAST(round(
+              |         (CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE)) *
+              |         ln(CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+              |         AS DECIMAL(18,9))) AS DOUBLE) AS h
+              |       FROM ms CROSS JOIN nn),
+              |mi AS (SELECT CAST(sum(CAST(round(
+              |         (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) *
+              |         ln(CAST(n AS DOUBLE) * CAST(nt AS DOUBLE) /
+              |            (CAST(nc AS DOUBLE) * CAST(ns AS DOUBLE))), 9)
+              |         AS DECIMAL(18,9))) AS DOUBLE) AS m
+              |       FROM cells JOIN mc USING (cluster_id) JOIN ms USING (source)
+              |            CROSS JOIN nn)
+              |SELECT nt AS n_docs, n_clusters,
+              |  round(CAST(pu AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS purity,
+              |  round(m / sqrt(hc.h * hs.h), 6) AS nmi
+              |FROM nn CROSS JOIN pu CROSS JOIN hc CROSS JOIN hs CROSS JOIN mi"""
+        .stripMargin)),
+
+    // ─── Freedman–Diaconis auto-binned price histogram ──────────────────
+    "q291_fd_histogram" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Drift.fdHistogram(Tables.orders(s, dir), "o_totalprice", maxBins = 50)
+          .orderBy($"bin")
+      },
+      Some("""WITH v AS (SELECT CAST(o_totalprice AS DECIMAL(18,6)) AS v FROM orders),
+             |vc AS (SELECT v, count(*) AS c FROM v GROUP BY 1),
+             |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM vc),
+             |st AS (SELECT max(cum) AS n, min(v) AS mn, max(v) AS mx FROM cum),
+             |qs AS (SELECT
+             |    min(CASE WHEN cum >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.25) AS BIGINT) + 1
+             |        THEN v END) AS q1,
+             |    min(CASE WHEN cum >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.75) AS BIGINT) + 1
+             |        THEN v END) AS q3
+             |  FROM cum CROSS JOIN st),
+             |par AS (SELECT n, mn, mx,
+             |    2.0 * CAST(q3 - q1 AS DOUBLE) / cbrt(CAST(n AS DOUBLE)) AS h,
+             |    CASE WHEN 2.0 * CAST(q3 - q1 AS DOUBLE) / cbrt(CAST(n AS DOUBLE)) > 0.0
+             |      THEN least(50, greatest(1, CAST(ceil(CAST(mx - mn AS DOUBLE) /
+             |        (2.0 * CAST(q3 - q1 AS DOUBLE) / cbrt(CAST(n AS DOUBLE)))) AS BIGINT)))
+             |      ELSE 1 END AS nb
+             |  FROM st CROSS JOIN qs),
+             |b AS (SELECT CASE WHEN nb = 1 THEN 0
+             |        ELSE least(nb - 1, CAST(floor(CAST(v.v - mn AS DOUBLE) / h) AS BIGINT))
+             |      END AS bin
+             |      FROM v CROSS JOIN par),
+             |g AS (SELECT bin, count(*) AS n FROM b GROUP BY 1)
+             |SELECT bin, round(CAST(mn AS DOUBLE) + CAST(bin AS DOUBLE) * h, 6) AS lo,
+             |  round(CAST(mn AS DOUBLE) + CAST(bin + 1 AS DOUBLE) * h, 6) AS hi, g.n
+             |FROM g CROSS JOIN par ORDER BY bin""".stripMargin)),
+
+    // ─── reshard movement: mod vs rendezvous hashing, 8 → 10 shards ─────
+    "q292_reshard_plan" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.reshardPlan(Tables.documents(s, dir), "doc_id",
+            kOld = 8, kNew = 10)
+          .orderBy($"strategy")
+      },
+      Some {
+        val seeds = (0 until 10).map { j =>
+          val r = Dedup.mixRot(j); val c = Dedup.mixConst(j)
+          val lm = (1L << (60 - r)) - 1
+          s"($j, $r, CAST($lm AS BIGINT), CAST($c AS BIGINT))"
+        }.mkString(",\n    ")
+        s"""WITH hx AS (SELECT
+           |    ('0x'||substr(md5('0|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+           |  FROM documents),
+           |sd AS (SELECT * FROM (VALUES
+           |    $seeds) v(j, rt, lm, ct)),
+           |mv AS (SELECT h, j, xor(((h & lm) << rt) | (h >> (60 - rt)), ct) AS m
+           |       FROM hx CROSS JOIN sd),
+           |oo AS (SELECT h, arg_max(j, m) AS so FROM mv WHERE j < 8 GROUP BY 1),
+           |nn2 AS (SELECT h, arg_max(j, m) AS sn FROM mv GROUP BY 1),
+           |lab AS (SELECT oo.h, oo.so <> nn2.sn AS mv_hrw,
+           |          oo.h % 8 <> oo.h % 10 AS mv_mod
+           |        FROM oo JOIN nn2 ON oo.h = nn2.h),
+           |a AS (SELECT count(*) AS n,
+           |        sum(CASE WHEN mv_mod THEN 1 ELSE 0 END)::BIGINT AS m1,
+           |        sum(CASE WHEN mv_hrw THEN 1 ELSE 0 END)::BIGINT AS m2
+           |      FROM lab)
+           |SELECT 'mod' AS strategy, n AS n_docs, m1 AS n_moved,
+           |  round(CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS moved_frac FROM a
+           |UNION ALL
+           |SELECT 'rendezvous', n, m2,
+           |  round(CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM a
+           |ORDER BY strategy""".stripMargin
+      }),
+
+    // ─── persistent heavy hitters: brands in the daily top-5 ────────────
+    "q293_persistent_hitters" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
+          .groupBy($"l_shipdate".as("d"), $"p_brand")
+          .agg(sum($"l_extendedprice".cast("decimal(18,6)")).as("__rev"))
+          .localCheckpoint(false) // rank pass + day-count share it
+        val top = daily
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy($"d").orderBy($"__rev".desc, $"p_brand")))
+          .where($"__rk" <= 5)
+        val nDays = daily.select($"d").distinct()
+          .agg(count(lit(1)).as("__nd"))
+        top.groupBy($"p_brand").agg(count(lit(1)).as("n_days_top"))
+          .crossJoin(nDays)
+          .select($"p_brand", $"n_days_top",
+            round($"n_days_top".cast("double") / $"__nd".cast("double"), 6)
+              .as("top_frac"))
+          .orderBy($"top_frac".desc, $"p_brand")
+          .limit(15)
+      },
+      Some("""WITH daily AS (SELECT l.l_shipdate AS d, p.p_brand,
+             |        sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS rev
+             |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |      GROUP BY 1, 2),
+             |top AS (SELECT p_brand FROM (SELECT p_brand,
+             |          row_number() OVER (PARTITION BY d ORDER BY rev DESC, p_brand) AS rk
+             |        FROM daily) WHERE rk <= 5),
+             |nd AS (SELECT count(DISTINCT d) AS ndays FROM daily)
+             |SELECT p_brand, count(*) AS n_days_top,
+             |  round(CAST(count(*) AS DOUBLE) / CAST(ndays AS DOUBLE), 6) AS top_frac
+             |FROM top CROSS JOIN nd GROUP BY p_brand, ndays
+             |ORDER BY top_frac DESC, p_brand LIMIT 15""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -105,6 +105,18 @@ class DriftSpec extends SparkSpec {
     assert(top == (("hot", 6L, 6.0 / 8.0, 6.0 * 3.0 / 8.0)))
   }
 
+  test("fdHistogram: Freedman–Diaconis width from type-1 quartiles") {
+    // 1..8: q1=2, q3=6 → h = 2·4/∛8 = 4 → 2 bins of 4 values each
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val out = Drift.fdHistogram(df, "v")
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 1.0, 5.0, 4L), (1L, 5.0, 9.0, 4L)))
+    // degenerate spread: single bin holding everything
+    val flat = Seq.fill(5)(7.0).toDF("v")
+    val f = Drift.fdHistogram(flat, "v").as[(Long, Double, Double, Long)].collect()
+    assert(f.length == 1 && f.head._1 == 0L && f.head._4 == 5L)
+  }
+
   test("twoSampleDist: exact KS and earth-mover from merged ECDFs") {
     import org.apache.spark.sql.functions.col
     // A = {1, 2}, B = {1, 3}: F diverge only on [2, 3) by 0.5

@@ -133,6 +133,21 @@ class MarketSpec extends SparkSpec {
     assert(filtered.map(r => (r._1, r._2)).toSet == Set(("A", "B")))
   }
 
+  test("stratifiedEffect: blocked ATE weights usable strata only") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("A", true, 3.0), ("A", true, 5.0), ("A", false, 1.0), ("A", false, 3.0),
+      ("B", true, 10.0), ("B", false, 4.0),
+      ("C", true, 99.0)) // no control arm → excluded from the ATE
+      .toDF("st", "tr", "v")
+    val out = Market.stratifiedEffect(df, col("st"), col("tr"), "v")
+      .as[(String, Long, Long, Option[Double], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 2L, 2L, Some(2.0), 3.333333)))
+    assert(out("B") == (("B", 1L, 1L, Some(6.0), 3.333333)))
+    assert(out("C")._4.isEmpty && out("C")._5 == 3.333333)
+  }
+
   test("diffInDiff: 2×2 cell means and the difference; empty cell → NULL") {
     import org.apache.spark.sql.functions.col
     val df = Seq(

@@ -218,6 +218,17 @@ class RerankMixSpec extends SparkSpec {
     assert(out("new")._4 > out("old")._4)
   }
 
+  test("reshardPlan: rendezvous moves a fraction, mod moves almost all") {
+    val docs = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Mixing.reshardPlan(docs, "doc_id", kOld = 8, kNew = 10)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("mod")._2 == 500L && out("rendezvous")._2 == 500L)
+    // HRW theoretical movement = 2/10; mod ≈ 1 − 1/lcm-ish (most keys)
+    assert(out("rendezvous")._4 < 0.35)
+    assert(out("mod")._4 > 0.6)
+    assert(out("rendezvous")._3 < out("mod")._3)
+  }
+
   test("negativeSample: k draws per anchor, in-range, self-flagged, stable") {
     val docs = (0L until 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = Mixing.negativeSample(docs, "doc_id", k = 3, seed = 5)
