@@ -554,6 +554,41 @@ object Streams {
     * `taps`-long ring regardless of how many events a key floods in. */
   final case class EwmaState(recent: List[Double])
 
+  final case class Scd2State(last: String, version: Long)
+
+  /** Streaming twin of `Cdc.scd2Build`'s version-OPEN events: each
+    * incoming (key, usMicros, eventId, value) change emits a new
+    * version row (key, us, value, version) IFF the value differs from
+    * the key's current state (re-emits collapse, exactly as the batch
+    * op). The batch SCD2 table is this stream's output decorated with
+    * lead() closes — `StreamsSpec` pins row-for-row equality on the
+    * open halves across micro-batch boundaries.
+    *
+    * State bound: ONE row per key holding (last value, version counter)
+    * — a flooding key updates in place, never grows (spec-pinned via
+    * stateOperators metrics). */
+  def scd2CurrentStream(changes: Dataset[(Long, Long, Long, String)])
+      : Dataset[(Long, Long, String, Long)] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, (Long, Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[(Long, Long, Long, String)],
+            state: GroupState[Scd2State]) =>
+          var last = state.getOption.map(_.last).orNull
+          var ver = state.getOption.map(_.version).getOrElse(0L)
+          val out = evs.toSeq.sortBy(e => (e._2, e._3)).flatMap {
+            case (_, us, _, v) =>
+              if (last == null || last != v) {
+                ver += 1; last = v
+                Some((key, us, v, ver))
+              } else None
+          }
+          state.update(Scd2State(last, ver))
+          out.iterator
+      }
+  }
+
   /** Streaming twin of `ops.TimeSeries.ewmaFir`: per-key FIR exponential
     * smoothing with `taps` lag taps. State is the last `taps` values
     * (bounded — a flooding key holds `taps` doubles, not its flood);

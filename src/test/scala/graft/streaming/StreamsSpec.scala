@@ -585,6 +585,57 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SCD2 stream equals the batch build's open events across batches") {
+    implicit val sq = spark.sqlContext
+    val evDf = Tables.events(spark, sfTiny).limit(300)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts").as("us"),
+        $"event_id", $"event_type")
+    val batch = graft.ops.Cdc.scd2Build(
+        evDf.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros($"us")),
+        "user_id", "ts", "event_type", "event_id")
+      .select($"user_id",
+        org.apache.spark.sql.functions.unix_micros($"valid_from").as("us"),
+        $"event_type", $"version")
+      .as[(Long, Long, String, Long)].collect().toSet
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.scd2CurrentStream(stream.toDS())
+      .toDF("user_id", "us", "event_type", "version")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_stream").start()
+    try {
+      val evs = evDf.as[(Long, Long, Long, String)].collect().sortBy(e => (e._2, e._3))
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("scd2_stream")
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("SCD2 stream state is one row per key under a re-emitting flood") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.scd2CurrentStream(stream.toDS())
+      .toDF("user_id", "us", "event_type", "version")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scd2_flood").start()
+    try {
+      // 500 re-emits of the same value → ONE state row, ONE version row
+      stream.addData((1L to 500L).map(i => (9L, i, i, "same")))
+      q.processAllAvailable()
+      assert(maxStateRows(q) == 1L)
+      val rows = spark.table("scd2_flood")
+        .as[(Long, Long, String, Long)].collect().toSeq
+      assert(rows == Seq((9L, 1L, "same", 1L)))
+      // a real change still bumps the version
+      stream.addData(Seq((9L, 600L, 600L, "new")))
+      q.processAllAvailable()
+      assert(spark.table("scd2_flood").count() == 2)
+    } finally q.stop()
+  }
+
   test("EWMA stream state stays bounded at taps values under a flooding key") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, Long, Long, Double)]
