@@ -220,6 +220,45 @@ object Drift {
             .cast("decimal(28,9)"))).cast("double"), 6).as("emd"))
   }
 
+  /** Jensen–Shannon divergence between two snapshots' categorical
+    * distributions: JSD = ½KL(p‖m) + ½KL(q‖m) with m = (p+q)/2 — the
+    * SYMMETRIC, always-finite drift metric (unlike KL, a category
+    * present on one side only contributes a finite ½p·ln2-ish term, so
+    * JSD works on open vocabularies where klDrift must drop
+    * asymmetric categories). Per-category terms are 9-dp fixed point
+    * summed as DECIMAL — order-free, so this op scales to VOCAB-sized
+    * category spaces where klDrift's driver-side sorted fold (built for
+    * few-valued categories) would not. Also reports jsd_norm = JSD/ln 2
+    * ∈ [0, 1].
+    *
+    * Scale shape: two category-keyed partial-combining counts, one
+    * category-keyed outer join, ONE 1-row decimal aggregate. */
+  def jsDivergence(ref: DataFrame, cur: DataFrame, catCol: String): DataFrame = {
+    val r = ref.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_cur"))
+    val joined = r.join(c, Seq("category"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .localCheckpoint(false) // totals + the term pass
+    val tot = joined.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val p = col("n_ref").cast("double") / col("__tr").cast("double")
+    val q = col("n_cur").cast("double") / col("__tc").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term =
+      coalesce(when(col("n_ref") > 0, p * log(p / m) / lit(2.0)), lit(0.0)) +
+        coalesce(when(col("n_cur") > 0, q * log(q / m) / lit(2.0)), lit(0.0))
+    joined.crossJoin(tot)
+      .select(col("__tr"), col("__tc"),
+        round(term, 9).cast("decimal(18,9)").as("__t"))
+      .groupBy(col("__tr").as("n_ref"), col("__tc").as("n_cur"))
+      .agg(count(lit(1)).as("n_cats"),
+        round(sum(col("__t")).cast("double"), 6).as("jsd_nats"),
+        round(sum(col("__t")).cast("double") / lit(math.log(2.0)), 6)
+          .as("jsd_norm"))
+  }
+
   /** Freedman–Diaconis auto-binned histogram: bin width
     * h = 2·IQR/∛n (the robust bin rule — Sturges under-bins heavy
     * tails, fixed-width guesses), quartiles as TYPE-1 order statistics

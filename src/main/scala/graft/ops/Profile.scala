@@ -418,6 +418,76 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Dispersion index (variance-to-mean ratio) of per-unit event
+    * counts, per class: D = 1 for a Poisson process, D ≫ 1 for bursty /
+    * clumped behavior — the overdispersion read that decides between a
+    * Poisson and a negative-binomial model of per-user activity. Count
+    * sums are exact integers through DECIMAL(38,0); population
+    * variance; one double division per class.
+    *
+    * Scale shape: ONE (class, unit) partial-combining count, ONE class
+    * aggregate. Output: (class, n_units, mean_count, dispersion,
+    * overdispersed = D > threshold). */
+  def dispersionIndex(df: DataFrame, classCol: String, unitCol: String,
+      threshold: Double = 1.5): DataFrame = {
+    val cu = df.groupBy(col(classCol).as("class"), col(unitCol).as("__u"))
+      .agg(count(lit(1)).as("__c"))
+    val agg = cu.groupBy(col("class")).agg(count(lit(1)).as("n_units"),
+      sum(col("__c").cast("decimal(38,0)")).as("__s"),
+      sum((col("__c") * col("__c")).cast("decimal(38,0)")).as("__s2"))
+    def d(c: String) = col(c).cast("double")
+    val m = d("__s") / d("n_units")
+    val v = d("__s2") / d("n_units") - m * m
+    agg.select(col("class"), col("n_units"),
+      round(m, 6).as("mean_count"),
+      when(col("__s") > 0, round(v / m, 6)).as("dispersion"),
+      when(col("__s") > 0, v / m > threshold).as("overdispersed"))
+  }
+
+  /** Cramér's V association strength between two categorical columns —
+    * the bounded-[0,1] complement of [[mutualInformation]] (V is
+    * comparable ACROSS tables with different category counts; MI is
+    * not): V = √(χ²/(n·(min(r,c)−1))) with the contingency χ² from
+    * marginal-expected cells. χ² terms are 9-dp fixed point summed as
+    * DECIMAL; expected counts come from count products through DOUBLE.
+    *
+    * Scale shape: ONE (a,b) count over the fact; marginals and terms on
+    * the checkpointed CELL table (|A|·|B| a contract bound). Output:
+    * 1 row (n, r_levels, c_levels, chi2, cramers_v). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__cab"))
+      .localCheckpoint(false) // marginals ×2, total, levels, terms
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__cab")).as("__ca"))
+      .localCheckpoint(false)
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__cab")).as("__cb"))
+      .localCheckpoint(false)
+    val tot = cells.agg(sum(col("__cab")).as("__n"))
+    val lv = ma.agg(count(lit(1)).as("__r"))
+      .crossJoin(mb.agg(count(lit(1)).as("__c")))
+    def d(c: String) = col(c).cast("double")
+    val e = d("__ca") * d("__cb") / d("__n")
+    // χ² sums over the FULL r×c grid — an absent cell (o = 0) still
+    // contributes its expected mass e; summing observed cells only
+    // under-counts exactly the association being measured
+    val terms = ma.crossJoin(mb)
+      .join(cells, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("__cab"))
+      .crossJoin(tot)
+      .select(col("__n"),
+        round((d("__cab") - e) * (d("__cab") - e) / e, 9)
+          .cast("decimal(18,9)").as("__t"))
+    terms.groupBy(col("__n").as("n"))
+      .agg(sum(col("__t")).as("__chi2"))
+      .crossJoin(lv)
+      .select(col("n"), col("__r").as("r_levels"), col("__c").as("c_levels"),
+        round(col("__chi2").cast("double"), 6).as("chi2"),
+        round(sqrt(col("__chi2").cast("double") /
+          (col("n").cast("double") *
+            (least(col("__r"), col("__c")) - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   /** Functional-dependency audit: does `lhs` determine `rhs`? Reports,
     * per named dependency, the lhs-key count, how many keys map to MORE
     * than one rhs value (violations), the violation rate, and the worst

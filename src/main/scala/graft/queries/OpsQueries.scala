@@ -7513,7 +7513,203 @@ object OpsQueries {
              |SELECT p_brand, count(*) AS n_days_top,
              |  round(CAST(count(*) AS DOUBLE) / CAST(ndays AS DOUBLE), 6) AS top_frac
              |FROM top CROSS JOIN nd GROUP BY p_brand, ndays
-             |ORDER BY top_frac DESC, p_brand LIMIT 15""".stripMargin)))
+             |ORDER BY top_frac DESC, p_brand LIMIT 15""".stripMargin)),
+
+    // ─── Jensen–Shannon divergence: en vs non-en token distributions ────
+    "q294_js_divergence" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        def tok(f: org.apache.spark.sql.Column) = docs.filter(f)
+          .select(explode(split(lower($"text"), " ")).as("t"))
+          .where($"t" =!= "")
+        Drift.jsDivergence(tok($"lang" === "en"), tok($"lang" =!= "en"), "t")
+      },
+      Some("""WITH rt AS (SELECT unnest(string_split(lower(text), ' ')) AS t
+             |      FROM documents WHERE lang = 'en'),
+             |r AS (SELECT t AS category, count(*) AS n_ref FROM rt
+             |      WHERE t <> '' GROUP BY 1),
+             |ct AS (SELECT unnest(string_split(lower(text), ' ')) AS t
+             |      FROM documents WHERE lang <> 'en'),
+             |c AS (SELECT t AS category, count(*) AS n_cur FROM ct
+             |      WHERE t <> '' GROUP BY 1),
+             |j AS (SELECT COALESCE(n_ref, 0)::BIGINT AS n_ref,
+             |        COALESCE(n_cur, 0)::BIGINT AS n_cur
+             |      FROM r FULL OUTER JOIN c ON r.category = c.category),
+             |tt AS (SELECT sum(n_ref)::BIGINT AS tr, sum(n_cur)::BIGINT AS tc
+             |       FROM j),
+             |t AS (SELECT tr, tc, CAST(round(
+             |    COALESCE(CASE WHEN n_ref > 0 THEN
+             |      (CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)) *
+             |      ln((CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)) /
+             |         ((CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) +
+             |           CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)) / 2.0)) / 2.0
+             |      END, 0.0) +
+             |    COALESCE(CASE WHEN n_cur > 0 THEN
+             |      (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)) *
+             |      ln((CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)) /
+             |         ((CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) +
+             |           CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)) / 2.0)) / 2.0
+             |      END, 0.0), 9) AS DECIMAL(18,9)) AS term
+             |  FROM j CROSS JOIN tt)
+             |SELECT tr AS n_ref, tc AS n_cur, count(*) AS n_cats,
+             |  round(CAST(sum(term) AS DOUBLE), 6) AS jsd_nats,
+             |  round(CAST(sum(term) AS DOUBLE) / 0.6931471805599453, 6) AS jsd_norm
+             |FROM t GROUP BY 1, 2""".stripMargin)),
+
+    // ─── Simpson's-paradox check: naive vs stratified effect signs ──────
+    "q295_simpson_check" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val strat = ev.groupBy($"user_id").agg(count(lit(1)).as("__na"))
+          .withColumn("stratum",
+            ntile(5).over(Window.orderBy($"__na", $"user_id")).cast("long"))
+          .select($"user_id", $"stratum")
+        val signups = ev.filter($"event_type" === "signup")
+          .select($"user_id").distinct().withColumn("__tr", lit(true))
+        val df = ev.filter($"event_type" === "purchase")
+          .join(strat, Seq("user_id"))
+          .join(signups, Seq("user_id"), "left")
+          .select($"stratum", coalesce($"__tr", lit(false)).as("treated"),
+            $"value")
+          .localCheckpoint(false) // stratified rows + the naive 1-row
+        val rows = Market.stratifiedEffect(df, $"stratum", $"treated", "value")
+        val v = $"value".cast("decimal(18,6)")
+        val naive = df.agg(round(
+          sum(when($"treated", v)).cast("double") /
+            sum(when($"treated", 1L).otherwise(0L)).cast("double") -
+            sum(when(!$"treated", v)).cast("double") /
+              sum(when(!$"treated", 1L).otherwise(0L)).cast("double"), 6)
+          .as("naive_effect"))
+        rows.crossJoin(naive)
+          .select($"stratum", $"effect", $"naive_effect",
+            ($"effect".isNotNull &&
+              (($"effect" > 0) =!= ($"naive_effect" > 0))).as("reversed"))
+          .orderBy($"stratum")
+      },
+      Some("""WITH act AS (SELECT user_id, count(*) AS na FROM events GROUP BY 1),
+             |st AS (SELECT user_id,
+             |        CAST(ntile(5) OVER (ORDER BY na, user_id) AS BIGINT) AS stratum
+             |      FROM act),
+             |su AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT st.stratum, su.user_id IS NOT NULL AS tr,
+             |        CAST(e.value AS DECIMAL(18,6)) AS v
+             |      FROM events e JOIN st ON e.user_id = st.user_id
+             |      LEFT JOIN su ON e.user_id = su.user_id
+             |      WHERE e.event_type = 'purchase'),
+             |cells AS (SELECT stratum,
+             |    sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+             |    sum(CASE WHEN tr THEN v END) AS s_t,
+             |    sum(CASE WHEN NOT tr THEN 1 ELSE 0 END)::BIGINT AS n_ctrl,
+             |    sum(CASE WHEN NOT tr THEN v END) AS s_c
+             |  FROM p GROUP BY 1),
+             |nv AS (SELECT round(
+             |    CAST(sum(CASE WHEN tr THEN v END) AS DOUBLE) /
+             |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS DOUBLE) -
+             |    CAST(sum(CASE WHEN NOT tr THEN v END) AS DOUBLE) /
+             |    CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             |    AS naive_effect FROM p)
+             |SELECT stratum,
+             |  CASE WHEN n_treat > 0 AND n_ctrl > 0
+             |    THEN round(CAST(s_t AS DOUBLE) / CAST(n_treat AS DOUBLE) -
+             |               CAST(s_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE), 6)
+             |  END AS effect,
+             |  naive_effect,
+             |  (CASE WHEN n_treat > 0 AND n_ctrl > 0
+             |    THEN round(CAST(s_t AS DOUBLE) / CAST(n_treat AS DOUBLE) -
+             |               CAST(s_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE), 6)
+             |  END IS NOT NULL) AND
+             |  ((CASE WHEN n_treat > 0 AND n_ctrl > 0
+             |    THEN round(CAST(s_t AS DOUBLE) / CAST(n_treat AS DOUBLE) -
+             |               CAST(s_c AS DOUBLE) / CAST(n_ctrl AS DOUBLE), 6)
+             |  END > 0) <> (naive_effect > 0)) AS reversed
+             |FROM cells CROSS JOIN nv ORDER BY stratum""".stripMargin)),
+
+    // ─── overdispersion: variance-to-mean of per-user activity ──────────
+    "q296_dispersion" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.dispersionIndex(Tables.events(s, dir), "event_type", "user_id")
+          .orderBy($"class")
+      },
+      Some("""WITH cu AS (SELECT event_type AS class, user_id, count(*) AS c
+             |      FROM events GROUP BY 1, 2),
+             |a AS (SELECT class, count(*) AS n_units,
+             |        sum(CAST(c AS DECIMAL(38,0))) AS s,
+             |        sum(CAST(c * c AS DECIMAL(38,0))) AS s2
+             |      FROM cu GROUP BY 1)
+             |SELECT class, n_units,
+             |  round(CAST(s AS DOUBLE) / CAST(n_units AS DOUBLE), 6) AS mean_count,
+             |  CASE WHEN s > 0 THEN round(
+             |    (CAST(s2 AS DOUBLE) / CAST(n_units AS DOUBLE) -
+             |     (CAST(s AS DOUBLE) / CAST(n_units AS DOUBLE)) *
+             |     (CAST(s AS DOUBLE) / CAST(n_units AS DOUBLE))) /
+             |    (CAST(s AS DOUBLE) / CAST(n_units AS DOUBLE)), 6) END AS dispersion,
+             |  CASE WHEN s > 0 THEN
+             |    (CAST(s2 AS DOUBLE) / CAST(n_units AS DOUBLE) -
+             |     (CAST(s AS DOUBLE) / CAST(n_units AS DOUBLE)) *
+             |     (CAST(s AS DOUBLE) / CAST(n_units AS DOUBLE))) /
+             |    (CAST(s AS DOUBLE) / CAST(n_units AS DOUBLE)) > 1.5
+             |  END AS overdispersed
+             |FROM a ORDER BY class""".stripMargin)),
+
+    // ─── Cramér's V association: lang × source ──────────────────────────
+    "q297_cramers_v" -> Q(
+      (s, dir) => Profile.cramersV(Tables.documents(s, dir), "lang", "source"),
+      Some("""WITH cells AS (SELECT lang AS a, source AS b, count(*) AS cab
+             |      FROM documents GROUP BY 1, 2),
+             |ma AS (SELECT a, sum(cab)::BIGINT AS ca FROM cells GROUP BY 1),
+             |mb AS (SELECT b, sum(cab)::BIGINT AS cb FROM cells GROUP BY 1),
+             |tot AS (SELECT sum(cab)::BIGINT AS n FROM cells),
+             |lv AS (SELECT (SELECT count(*) FROM ma) AS r,
+             |              (SELECT count(*) FROM mb) AS c),
+             |grid AS (SELECT ma.a, mb.b, ma.ca, mb.cb,
+             |           COALESCE(cells.cab, 0)::BIGINT AS cab
+             |         FROM ma CROSS JOIN mb
+             |         LEFT JOIN cells ON ma.a = cells.a AND mb.b = cells.b),
+             |t AS (SELECT n, CAST(round(
+             |        (CAST(cab AS DOUBLE) -
+             |         CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |        (CAST(cab AS DOUBLE) -
+             |         CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |        (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)),
+             |        9) AS DECIMAL(18,9)) AS term
+             |      FROM grid CROSS JOIN tot)
+             |SELECT n, r AS r_levels, c AS c_levels,
+             |  round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+             |  round(sqrt(CAST(sum(term) AS DOUBLE) /
+             |    (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE))), 6)
+             |    AS cramers_v
+             |FROM t CROSS JOIN lv GROUP BY n, r, c""".stripMargin)),
+
+    // ─── data-freshness audit per event type ────────────────────────────
+    "q298_freshness_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"event_type", unix_micros($"ts".cast("timestamp")).as("__us"))
+          .localCheckpoint(false) // global max + per-type aggregate
+        val mx = ev.agg(max($"__us").as("__gmax"))
+        ev.groupBy($"event_type")
+          .agg(max($"__us").as("__smax"), count(lit(1)).as("n_events"))
+          .crossJoin(mx)
+          .select($"event_type", $"n_events",
+            round(($"__gmax" - $"__smax").cast("double") / lit(6e7), 6)
+              .as("staleness_min"),
+            (($"__gmax" - $"__smax") > lit(3600000000L)).as("stale_over_1h"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |mx AS (SELECT max(us) AS gmax FROM ev),
+             |a AS (SELECT event_type, max(us) AS smax, count(*) AS n_events
+             |      FROM ev GROUP BY 1)
+             |SELECT event_type, n_events,
+             |  round(CAST(gmax - smax AS DOUBLE) / 6e7, 6) AS staleness_min,
+             |  gmax - smax > 3600000000 AS stale_over_1h
+             |FROM a CROSS JOIN mx ORDER BY event_type""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

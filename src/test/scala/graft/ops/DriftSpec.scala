@@ -105,6 +105,16 @@ class DriftSpec extends SparkSpec {
     assert(top == (("hot", 6L, 6.0 / 8.0, 6.0 * 3.0 / 8.0)))
   }
 
+  test("jsDivergence: 0 on identical, ln 2 on disjoint distributions") {
+    val ab = Seq("a", "b").toDF("t")
+    val same = Drift.jsDivergence(ab, ab, "t")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(same == ((2L, 2L, 2L, 0.0, 0.0)))
+    val dis = Drift.jsDivergence(Seq("a").toDF("t"), Seq("b").toDF("t"), "t")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(dis._4 == 0.693147 && dis._5 == 1.0)
+  }
+
   test("fdHistogram: Freedman–Diaconis width from type-1 quartiles") {
     // 1..8: q1=2, q3=6 → h = 2·4/∛8 = 4 → 2 bins of 4 values each
     val df = (1 to 8).map(_.toDouble).toDF("v")

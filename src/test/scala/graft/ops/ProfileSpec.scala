@@ -194,6 +194,31 @@ class ProfileSpec extends SparkSpec {
     assert(out2._3 == 2.0)
   }
 
+  test("dispersionIndex: Poisson-like vs bursty per-unit counts") {
+    val rows = Seq.fill(2)(("X", "u1")) ++ Seq.fill(2)(("X", "u2")) ++
+      Seq(("Z", "u1")) ++ Seq(("Z", "u2")) ++ Seq.fill(7)(("Z", "u3"))
+    val out = Profile.dispersionIndex(rows.toDF("cl", "u"), "cl", "u")
+      .as[(String, Long, Double, Option[Double], Option[Boolean])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("X") == (("X", 2L, 2.0, Some(0.0), Some(false))))
+    // counts 1,1,7 → mean 3, var 8 → D = 8/3
+    assert(out("Z") == (("Z", 3L, 3.0, Some(2.666667), Some(true))))
+  }
+
+  test("cramersV: perfect association = 1; zero cells carry their mass") {
+    val perfect = Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v"))
+      .toDF("a", "b")
+    val p = Profile.cramersV(perfect, "a", "b")
+      .as[(Long, Long, Long, Double, Double)].head()
+    // χ² over the FULL 2×2 grid (zero cells contribute e) = n = 4
+    assert(p == ((4L, 2L, 2L, 4.0, 1.0)))
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val i = Profile.cramersV(indep, "a", "b")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(i._4 == 0.0 && i._5 == 0.0)
+  }
+
   test("functionalDependency + keyUniqueness: violations counted exactly") {
     val df = Seq(("A", "x"), ("A", "y"), ("A", "y"), ("B", "z")).toDF("l", "r")
     val fd = Profile.functionalDependency(Seq(("t", df, Seq("l"), "r")))
