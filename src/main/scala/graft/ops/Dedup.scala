@@ -1069,4 +1069,39 @@ object Dedup {
         (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
         md5(coalesce(col("__cleaned"), lit(""))).as("cleaned_hash"))
   }
+
+  /** Decorate candidate pairs with the EXACT tf-weighted Jaccard
+    *   wJ(a,b) = Σ_t min(tf_a(t), tf_b(t)) / Σ_t max(tf_a(t), tf_b(t))
+    * — the multiset refinement of set Jaccard (a doc that repeats a
+    * template paragraph 10× looks very different under weights), used
+    * to re-score the (already bucketed) minhash candidates before a
+    * keep/drop call.
+    *
+    * Scale shape: the tf table is ONE (doc, token) count; each pair
+    * side joins it on the DOC id, the union-of-tokens merge is ONE
+    * (pair, token)-keyed outer join; per-pair cost is bounded by doc
+    * lengths and pair count is bounded by the upstream LSH threshold —
+    * never corpus-quadratic. Output: (id_a, id_b, w_jaccard). */
+  def weightedJaccardDecorate(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val tf = df.select(col(idCol).as("__doc"),
+        explode(split(lower(col(textCol)), " ")).as("__t"))
+      .where(col("__t") =!= "")
+      .groupBy(col("__doc"), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(false) // both pair sides read it
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val aSide = p.join(tf.select(col("__doc").as("id_a"), col("__t"),
+      col("__tf").as("__tfa")), Seq("id_a"))
+    val bSide = p.join(tf.select(col("__doc").as("id_b"), col("__t"),
+      col("__tf").as("__tfb")), Seq("id_b"))
+    aSide.join(bSide, Seq("id_a", "id_b", "__t"), "full_outer")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(coalesce(col("__tfa"), lit(0L)),
+          coalesce(col("__tfb"), lit(0L)))).as("__wmin"),
+        sum(greatest(coalesce(col("__tfa"), lit(0L)),
+          coalesce(col("__tfb"), lit(0L)))).as("__wmax"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__wmin").cast("double") / col("__wmax").cast("double"), 6)
+          .as("w_jaccard"))
+  }
 }

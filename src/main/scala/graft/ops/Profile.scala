@@ -418,6 +418,45 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-key central-moment profile — mean, standard deviation,
+    * skewness, excess kurtosis — the distribution-shape panel behind
+    * "is this metric bimodal / heavy-tailed?". TWO passes: pass 1 takes
+    * the exact-decimal mean; pass 2 accumulates 9-dp fixed-point
+    * centered powers (x−μ)² ³ ⁴ — the one-pass raw-power formulation
+    * needs Σx⁴, which overflows DECIMAL(38) for any real money column,
+    * and double power sums are shuffle-order-dependent. Degenerate
+    * spread → NULL shape stats.
+    *
+    * Scale shape: two key-partial aggregates with a key-join between
+    * them (the mean broadcast is key-table-sized under AQE). Output:
+    * (key, n, mean, std, skewness, kurtosis). */
+  def momentsProfile(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,6)")
+    val m1 = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"), sum(v).as("__s"))
+      .select(col("key"), col("n"),
+        (col("__s").cast("double") / col("n").cast("double")).as("__mean"))
+    val dev = df.select(col(keyCol).as("key"), v.as("__v"))
+      .join(m1, "key")
+      .withColumn("__d", col("__v").cast("double") - col("__mean"))
+    val terms = dev.groupBy(col("key"))
+      .agg(max(col("n")).as("n"), max(col("__mean")).as("__mean"),
+        sum(round(col("__d") * col("__d"), 9).cast("decimal(28,9)")).as("__s2"),
+        sum(round(col("__d") * col("__d") * col("__d"), 9)
+          .cast("decimal(38,9)")).as("__s3"),
+        sum(round(col("__d") * col("__d") * col("__d") * col("__d"), 9)
+          .cast("decimal(38,9)")).as("__s4"))
+    def d(c: String) = col(c).cast("double")
+    val m2 = d("__s2") / d("n")
+    val m3 = d("__s3") / d("n")
+    val m4 = d("__s4") / d("n")
+    terms.select(col("key"), col("n"),
+      round(col("__mean"), 6).as("mean"),
+      when(m2 > 0.0, round(sqrt(m2), 6)).as("std"),
+      when(m2 > 0.0, round(m3 / pow(m2, 1.5), 6)).as("skewness"),
+      when(m2 > 0.0, round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis"))
+  }
+
   /** Dispersion index (variance-to-mean ratio) of per-unit event
     * counts, per class: D = 1 for a Poisson process, D ≫ 1 for bursty /
     * clumped behavior — the overdispersion read that decides between a

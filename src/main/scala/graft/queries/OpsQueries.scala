@@ -7709,7 +7709,217 @@ object OpsQueries {
              |SELECT event_type, n_events,
              |  round(CAST(gmax - smax AS DOUBLE) / 6e7, 6) AS staleness_min,
              |  gmax - smax > 3600000000 AS stale_over_1h
-             |FROM a CROSS JOIN mx ORDER BY event_type""".stripMargin)))
+             |FROM a CROSS JOIN mx ORDER BY event_type""".stripMargin)),
+
+    // ─── tf-weighted Jaccard re-score of the minhash candidates ─────────
+    "q299_weighted_jaccard" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+          .filter($"jaccard" >= 0.5)
+        Dedup.weightedJaccardDecorate(docs, "doc_id", "text", pairs)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH $minhashCtes,
+              |e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+              |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+              |        FROM documents),
+              |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+              |       WHERE t <> '' GROUP BY 1, 2),
+              |asd AS (SELECT e.id_a, e.id_b, tf.t, tf.tf AS tfa
+              |        FROM e JOIN tf ON e.id_a = tf.doc_id),
+              |bsd AS (SELECT e.id_a, e.id_b, tf.t, tf.tf AS tfb
+              |        FROM e JOIN tf ON e.id_b = tf.doc_id),
+              |u AS (SELECT COALESCE(asd.id_a, bsd.id_a) AS id_a,
+              |        COALESCE(asd.id_b, bsd.id_b) AS id_b,
+              |        COALESCE(tfa, 0) AS tfa, COALESCE(tfb, 0) AS tfb
+              |      FROM asd FULL OUTER JOIN bsd
+              |        ON asd.id_a = bsd.id_a AND asd.id_b = bsd.id_b
+              |       AND asd.t = bsd.t)
+              |SELECT id_a, id_b,
+              |  round(CAST(sum(least(tfa, tfb)) AS DOUBLE) /
+              |        CAST(sum(greatest(tfa, tfb)) AS DOUBLE), 6) AS w_jaccard
+              |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ─── distribution-shape moments per market segment ──────────────────
+    "q300_moments" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.momentsProfile(
+            Tables.orders(s, dir).join(Tables.customer(s, dir),
+              $"o_custkey" === $"c_custkey"),
+            "c_mktsegment", "o_totalprice")
+          .orderBy($"key")
+      },
+      Some("""WITH f AS (SELECT c.c_mktsegment AS key,
+             |        CAST(o.o_totalprice AS DECIMAL(18,6)) AS v
+             |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |m1 AS (SELECT key, count(*) AS n,
+             |        CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+             |      FROM f GROUP BY 1),
+             |dv AS (SELECT f.key, CAST(v AS DOUBLE) - mean AS dd, n, mean
+             |       FROM f JOIN m1 USING (key)),
+             |t AS (SELECT key, max(n) AS n, max(mean) AS mean,
+             |        sum(CAST(round(dd * dd, 9) AS DECIMAL(28,9))) AS s2,
+             |        sum(CAST(round(dd * dd * dd, 9) AS DECIMAL(38,9))) AS s3,
+             |        sum(CAST(round(dd * dd * dd * dd, 9) AS DECIMAL(38,9))) AS s4
+             |      FROM dv GROUP BY key)
+             |SELECT key, n, round(mean, 6) AS mean,
+             |  CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) > 0.0 THEN
+             |    round(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS std,
+             |  CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) > 0.0 THEN
+             |    round((CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |          pow(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 1.5), 6)
+             |  END AS skewness,
+             |  CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) > 0.0 THEN
+             |    round((CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |          ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |           (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0, 6)
+             |  END AS kurtosis
+             |FROM t ORDER BY key""".stripMargin)),
+
+    // ─── longest consecutive-day activity streaks (gaps & islands) ──────
+    "q301_activity_streaks" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val du = Tables.events(s, dir)
+          .select($"user_id", to_date($"ts".cast("timestamp")).as("d"))
+          .distinct()
+        val w = Window.partitionBy($"user_id").orderBy($"d")
+        val isl = du
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__g",
+            datediff($"d", lit("1970-01-01").cast("date")) - $"__rn")
+        isl.groupBy($"user_id", $"__g").agg(count(lit(1)).as("__len"))
+          .groupBy($"user_id")
+          .agg(max($"__len").as("longest_streak"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy($"longest_streak".desc, $"user_id")
+          .limit(20)
+      },
+      Some("""WITH du AS (SELECT DISTINCT user_id,
+             |        CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+             |i AS (SELECT user_id,
+             |        CAST(d - DATE '1970-01-01' AS BIGINT) -
+             |          row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+             |      FROM du),
+             |st AS (SELECT user_id, g, count(*) AS len FROM i GROUP BY 1, 2)
+             |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks
+             |FROM st GROUP BY 1
+             |ORDER BY longest_streak DESC, user_id LIMIT 20""".stripMargin)),
+
+    // ─── ABC (revenue share) × XYZ (demand variability) matrix ──────────
+    "q302_abc_xyz" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, dir)
+        val rev = li.groupBy($"l_partkey")
+          .agg(sum($"l_extendedprice".cast("decimal(18,6)")).as("__rev"))
+        val abc = rev
+          .withColumn("__cum", sum($"__rev").over(
+            Window.orderBy($"__rev".desc, $"l_partkey")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("__tot", sum($"__rev").over(Window.partitionBy()))
+          .withColumn("abc",
+            when($"__cum".cast("double") / $"__tot".cast("double") <= 0.8, "A")
+              .when($"__cum".cast("double") / $"__tot".cast("double") <= 0.95, "B")
+              .otherwise("C"))
+          .select($"l_partkey", $"abc")
+        val pm = li.groupBy($"l_partkey",
+            date_format(date_trunc("month", $"l_shipdate"), "yyyy-MM").as("__m"))
+          .agg(sum($"l_quantity".cast("decimal(18,6)")).as("__q"))
+        val cv = $"__sq2".cast("double") / $"__nm".cast("double") -
+          ($"__sq".cast("double") / $"__nm".cast("double")) *
+            ($"__sq".cast("double") / $"__nm".cast("double"))
+        val xyz = pm.groupBy($"l_partkey")
+          .agg(count(lit(1)).as("__nm"), sum($"__q").as("__sq"),
+            sum($"__q" * $"__q").as("__sq2"))
+          .withColumn("xyz", when(
+              sqrt(cv) / ($"__sq".cast("double") / $"__nm".cast("double")) <= 0.5,
+              "X")
+            .when(
+              sqrt(cv) / ($"__sq".cast("double") / $"__nm".cast("double")) <= 1.0,
+              "Y")
+            .otherwise("Z"))
+          .select($"l_partkey", $"xyz")
+        abc.join(xyz, "l_partkey")
+          .groupBy($"abc", $"xyz").agg(count(lit(1)).as("n_parts"))
+          .orderBy($"abc", $"xyz")
+      },
+      Some("""WITH rev AS (SELECT l_partkey,
+             |        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS r
+             |      FROM lineitem GROUP BY 1),
+             |abc AS (SELECT l_partkey, CASE
+             |    WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 THEN 'A'
+             |    WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+             |    ELSE 'C' END AS abc
+             |  FROM (SELECT l_partkey,
+             |          sum(r) OVER (ORDER BY r DESC, l_partkey
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |          sum(r) OVER () AS tot FROM rev)),
+             |pm AS (SELECT l_partkey,
+             |        strftime(date_trunc('month', l_shipdate), '%Y-%m') AS m,
+             |        sum(CAST(l_quantity AS DECIMAL(18,6))) AS q
+             |      FROM lineitem GROUP BY 1, 2),
+             |xy AS (SELECT l_partkey, count(*) AS nm, sum(q) AS sq,
+             |        sum(q * q) AS sq2 FROM pm GROUP BY 1),
+             |xyz AS (SELECT l_partkey, CASE
+             |    WHEN sqrt(CAST(sq2 AS DOUBLE) / CAST(nm AS DOUBLE) -
+             |         (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE)) *
+             |         (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE))) /
+             |         (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE)) <= 0.5 THEN 'X'
+             |    WHEN sqrt(CAST(sq2 AS DOUBLE) / CAST(nm AS DOUBLE) -
+             |         (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE)) *
+             |         (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE))) /
+             |         (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE)) <= 1.0 THEN 'Y'
+             |    ELSE 'Z' END AS xyz
+             |  FROM xy)
+             |SELECT abc.abc, xyz.xyz, count(*) AS n_parts
+             |FROM abc JOIN xyz USING (l_partkey)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ─── gains chart: cumulative positive capture by score decile ───────
+    "q303_gains_chart" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"n_chars", ($"lang" === "en").cast("int").as("__y"))
+        val dec = docs.withColumn("decile",
+          ntile(10).over(Window.orderBy($"n_chars".desc, $"doc_id"))
+            .cast("long"))
+        val g = dec.groupBy($"decile")
+          .agg(count(lit(1)).as("n"), sum($"__y").as("n_pos"))
+        g.withColumn("__cum", sum($"n_pos").over(Window.orderBy($"decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("__p", sum($"n_pos").over(Window.partitionBy()))
+          .withColumn("__t", sum($"n").over(Window.partitionBy()))
+          .select($"decile", $"n", $"n_pos",
+            round($"__cum".cast("double") / $"__p".cast("double"), 6)
+              .as("cum_capture"),
+            round(($"n_pos".cast("double") / $"n".cast("double")) /
+              ($"__p".cast("double") / $"__t".cast("double")), 6).as("lift"))
+          .orderBy($"decile")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+             |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |        CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+             |          AS decile
+             |      FROM documents),
+             |g AS (SELECT decile, count(*) AS n, sum(y)::BIGINT AS n_pos
+             |      FROM d GROUP BY 1),
+             |c AS (SELECT decile, n, n_pos,
+             |        sum(n_pos) OVER (ORDER BY decile
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |        sum(n_pos) OVER () AS p, sum(n) OVER () AS t FROM g)
+             |SELECT decile, n, n_pos,
+             |  round(CAST(cum AS DOUBLE) / CAST(p AS DOUBLE), 6) AS cum_capture,
+             |  round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) /
+             |        (CAST(p AS DOUBLE) / CAST(t AS DOUBLE)), 6) AS lift
+             |FROM c ORDER BY decile""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

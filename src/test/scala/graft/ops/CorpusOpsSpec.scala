@@ -71,6 +71,15 @@ class CdcSpec extends SparkSpec {
     assert(out(0)._3.contains(out(1)._2) && out(1)._3.contains(out(2)._2))
   }
 
+  test("weightedJaccardDecorate: multiset min/max over the token union") {
+    val docs = Seq((1L, "a a b"), (2L, "a b b"), (3L, "c")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.weightedJaccardDecorate(docs, "doc_id", "text", pairs)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 0.5) // min 1+1 / max 2+2
+    assert(out((1L, 3L)) == 0.0) // disjoint: min mass 0
+  }
+
   test("dwellProfile: closed-interval dwell means per state") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val log = Seq(

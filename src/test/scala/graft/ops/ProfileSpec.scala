@@ -194,6 +194,19 @@ class ProfileSpec extends SparkSpec {
     assert(out2._3 == 2.0)
   }
 
+  test("momentsProfile: symmetric series has skew 0 and kurtosis −1.5") {
+    val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("c", 5.0), ("c", 5.0))
+      .toDF("g", "v")
+    val out = Profile.momentsProfile(df, "g", "v")
+      .as[(String, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // m2 = 2/3, m3 = 0, m4 = 2/3 → skew 0, kurt = 1.5 − 3
+    assert(out("k") == (("k", 3L, 2.0,
+      Some(0.816497), Some(0.0), Some(-1.5))))
+    // constant column → NULL shape stats, mean kept
+    assert(out("c") == (("c", 2L, 5.0, None, None, None)))
+  }
+
   test("dispersionIndex: Poisson-like vs bursty per-unit counts") {
     val rows = Seq.fill(2)(("X", "u1")) ++ Seq.fill(2)(("X", "u2")) ++
       Seq(("Z", "u1")) ++ Seq(("Z", "u2")) ++ Seq.fill(7)(("Z", "u3"))
