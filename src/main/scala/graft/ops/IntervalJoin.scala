@@ -94,4 +94,34 @@ object IntervalJoin {
         col("__b") === floor(greatest(col(startA), col(startB)).cast("long") / bucketWidth))
       .drop("__b")
   }
+
+  /** Per-key interval-union coverage: merge overlapping/touching
+    * half-open [start, end) intervals and report the total covered
+    * length and merged-island count — the "how much of the timeline is
+    * actually serviced" read (summing raw interval lengths double-counts
+    * overlap). Island detection is the classic sorted running-max-end
+    * pass: a new island starts where `start` exceeds every previous
+    * end.
+    *
+    * Scale shape: ONE key shuffle + per-key sort window, then key-level
+    * aggregates. Output: (key, n_intervals, n_islands, covered). */
+  def unionCoverage(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("__s"), col("__e"))
+    val prevMax = max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val base = df.select(col(keyCol).as("key"),
+        col(startCol).cast("long").as("__s"), col(endCol).cast("long").as("__e"))
+      .withColumn("__new",
+        when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    base.groupBy(col("key"), col("__isl"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__s")).as("__is"),
+        max(col("__e")).as("__ie"))
+      .groupBy(col("key"))
+      .agg(sum(col("__cnt")).as("n_intervals"), count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered"))
+  }
 }

@@ -1256,6 +1256,44 @@ object TextStats {
     * group-pair-sized. Output: (group_a, group_b, n_inter, jaccard) —
     * pairs with EMPTY intersection are absent (inner token join), not
     * emitted as 0-rows. */
+  /** Distinctive terms per slice by log-odds ratio with an informative
+    * Dirichlet prior (Monroe, Colaresi & Quinn 2008 "Fightin' Words"):
+    *   δ_st = ln((y_st+α)/(n_s+α₀−y_st−α)) − ln((y_t+α)/(n+α₀−y_t−α)),
+    *   z_st = δ_st / √(1/(y_st+α) + 1/(y_t+α))
+    * — the statistically-sound "what words characterize this source"
+    * read (raw tf-ratio top-terms just surface rare noise; the prior
+    * shrinks them). Top `topK` per slice by z.
+    *
+    * Scale shape: ONE (slice, term) count; corpus totals derive from
+    * it; the decorating joins are term-keyed and UN-HINTED (the q84
+    * model-join discipline); top-k is a slice-partitioned window over
+    * the slice×vocab table. Output: (group, term, z_score). */
+  def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 3, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = df.select(col(groupCol).as("group"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("group"), col("term")).agg(count(lit(1)).as("__y"))
+      .localCheckpoint(false) // slice totals + corpus totals + the z pass
+    val ns = st.groupBy(col("group")).agg(sum(col("__y")).as("__ns"))
+    val ct = st.groupBy(col("term")).agg(sum(col("__y")).as("__yt"))
+    val vocab = ct.agg(count(lit(1)).as("__v"), sum(col("__yt")).as("__n"))
+    def d(c: String) = col(c).cast("double")
+    val a0 = lit(alpha) * d("__v")
+    val dlt = log((d("__y") + alpha) / (d("__ns") + a0 - d("__y") - alpha)) -
+      log((d("__yt") + alpha) / (d("__n") + a0 - d("__yt") - alpha))
+    val z = dlt / sqrt(lit(1.0) / (d("__y") + alpha) +
+      lit(1.0) / (d("__yt") + alpha))
+    val scored = st.join(ns, "group").join(ct, "term").crossJoin(vocab)
+      .select(col("group"), col("term"), round(z, 6).as("z_score"))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("z_score").desc, col("term"))
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= topK)
+      .drop("__rk")
+  }
+
   /** Per-slice vocabulary health: vocab size, hapax/dis legomena counts
     * (terms occurring exactly once/twice IN THE SLICE), hapax fraction,
     * and type-token ratio — the lexical-diversity panel a corpus card

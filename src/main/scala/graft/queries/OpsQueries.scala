@@ -7919,7 +7919,200 @@ object OpsQueries {
              |  round(CAST(cum AS DOUBLE) / CAST(p AS DOUBLE), 6) AS cum_capture,
              |  round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) /
              |        (CAST(p AS DOUBLE) / CAST(t AS DOUBLE)), 6) AS lift
-             |FROM c ORDER BY decile""".stripMargin)))
+             |FROM c ORDER BY decile""".stripMargin)),
+
+    // ─── Fightin'-Words distinctive terms per source ────────────────────
+    "q304_distinctive_terms" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.distinctiveTerms(Tables.documents(s, dir), "source",
+            "text", topK = 3)
+          .orderBy($"group", $"z_score".desc, $"term")
+      },
+      Some("""WITH st AS (SELECT g, t AS term, count(*) AS y FROM
+             |      (SELECT source AS g,
+             |         unnest(string_split(lower(text), ' ')) AS t FROM documents)
+             |    WHERE t <> '' GROUP BY 1, 2),
+             |ns AS (SELECT g, sum(y)::BIGINT AS ns FROM st GROUP BY 1),
+             |ctt AS (SELECT term, sum(y)::BIGINT AS yt FROM st GROUP BY 1),
+             |vv AS (SELECT count(*) AS v, sum(yt)::BIGINT AS n FROM ctt),
+             |sc AS (SELECT g, term, round(
+             |    (ln((CAST(y AS DOUBLE) + 0.5) /
+             |        (CAST(ns AS DOUBLE) + 0.5 * CAST(v AS DOUBLE) -
+             |         CAST(y AS DOUBLE) - 0.5)) -
+             |     ln((CAST(yt AS DOUBLE) + 0.5) /
+             |        (CAST(n AS DOUBLE) + 0.5 * CAST(v AS DOUBLE) -
+             |         CAST(yt AS DOUBLE) - 0.5))) /
+             |    sqrt(1.0 / (CAST(y AS DOUBLE) + 0.5) +
+             |         1.0 / (CAST(yt AS DOUBLE) + 0.5)), 6) AS z_score
+             |  FROM st JOIN ns USING (g) JOIN ctt USING (term) CROSS JOIN vv),
+             |r AS (SELECT g, term, z_score,
+             |        row_number() OVER (PARTITION BY g
+             |          ORDER BY z_score DESC, term) AS rk FROM sc)
+             |SELECT g AS "group", term, z_score FROM r WHERE rk <= 3
+             |ORDER BY "group", z_score DESC, term""".stripMargin)),
+
+    // ─── forecast backtest: naive vs seasonal-naive on monthly revenue ──
+    "q305_forecast_backtest" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val m = Tables.orders(s, dir)
+          .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate"))
+            .cast("long").as("mi"))
+          .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("v"))
+          .localCheckpoint(false) // current + two lag joins
+        val j = m
+          .join(m.select(($"mi" + 1).as("mi"), $"v".as("v1")), "mi")
+          .join(m.select(($"mi" + 12).as("mi"), $"v".as("v12")), "mi")
+          .localCheckpoint(false) // both model rows read it
+        def side(model: String, pred: org.apache.spark.sql.Column) = j
+          .select(abs($"v" - pred).as("__ae"),
+            round(abs($"v" - pred).cast("double") / $"v".cast("double"), 9)
+              .cast("decimal(18,9)").as("__ape"))
+          .agg(count(lit(1)).as("n_months"),
+            round(sum($"__ae").cast("double") / count(lit(1)).cast("double"), 6)
+              .as("mae"),
+            round(sum($"__ape").cast("double") / count(lit(1)).cast("double"), 6)
+              .as("mape"))
+          .select(lit(model).as("model"), $"n_months", $"mae", $"mape")
+        side("naive", $"v1").unionByName(side("seasonal_naive", $"v12"))
+          .orderBy($"model")
+      },
+      Some("""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+             |        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS v
+             |      FROM orders GROUP BY 1),
+             |j AS (SELECT m.mi, m.v, a.v AS v1, b.v AS v12
+             |      FROM m JOIN m a ON m.mi = a.mi + 1
+             |             JOIN m b ON m.mi = b.mi + 12),
+             |n AS (SELECT 'naive' AS model, count(*) AS n_months,
+             |        round(CAST(sum(abs(v - v1)) AS DOUBLE) /
+             |          CAST(count(*) AS DOUBLE), 6) AS mae,
+             |        round(CAST(sum(CAST(round(CAST(abs(v - v1) AS DOUBLE) /
+             |            CAST(v AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE) /
+             |          CAST(count(*) AS DOUBLE), 6) AS mape
+             |      FROM j),
+             |sn AS (SELECT 'seasonal_naive' AS model, count(*) AS n_months,
+             |        round(CAST(sum(abs(v - v12)) AS DOUBLE) /
+             |          CAST(count(*) AS DOUBLE), 6) AS mae,
+             |        round(CAST(sum(CAST(round(CAST(abs(v - v12) AS DOUBLE) /
+             |            CAST(v AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE) /
+             |          CAST(count(*) AS DOUBLE), 6) AS mape
+             |      FROM j)
+             |SELECT * FROM n UNION ALL SELECT * FROM sn ORDER BY model"""
+        .stripMargin)),
+
+    // ─── supplier service coverage: union of 7-day ship intervals ───────
+    "q306_interval_union" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.lineitem(s, dir).select($"l_suppkey",
+            datediff($"l_shipdate", lit("1970-01-01").cast("date"))
+              .cast("long").as("s"))
+          .withColumn("e", $"s" + 7)
+        IntervalJoin.unionCoverage(base, "l_suppkey", "s", "e")
+          .orderBy($"covered".desc, $"key")
+          .limit(20)
+      },
+      Some("""WITH b AS (SELECT l_suppkey AS key,
+             |        CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+             |        CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 7 AS e
+             |      FROM lineitem),
+             |w1 AS (SELECT key, s, e,
+             |        max(e) OVER (PARTITION BY key ORDER BY s, e
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |      FROM b),
+             |w2 AS (SELECT key, s, e,
+             |        CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM w1),
+             |w3 AS (SELECT key, s, e, sum(nw) OVER (PARTITION BY key ORDER BY s, e
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             |       FROM w2),
+             |g1 AS (SELECT key, isl, count(*) AS cnt, min(s) AS is_, max(e) AS ie
+             |       FROM w3 GROUP BY 1, 2)
+             |SELECT key, sum(cnt)::BIGINT AS n_intervals, count(*) AS n_islands,
+             |  sum(ie - is_)::BIGINT AS covered
+             |FROM g1 GROUP BY 1 ORDER BY covered DESC, key LIMIT 20"""
+        .stripMargin)),
+
+    // ─── revenue-decile mobility matrix: 1995 → 2000 ────────────────────
+    "q307_rank_mobility" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        def decile(yr: Int, alias: String) = Tables.orders(s, dir)
+          .filter(year($"o_orderdate") === yr)
+          .groupBy($"o_custkey")
+          .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("__r"))
+          .withColumn(alias,
+            ntile(10).over(Window.orderBy($"__r", $"o_custkey")).cast("long"))
+          .select($"o_custkey", col(alias))
+        decile(1995, "d_from").join(decile(2000, "d_to"), "o_custkey")
+          .groupBy($"d_from", $"d_to").agg(count(lit(1)).as("n_customers"))
+          .orderBy($"d_from", $"d_to")
+      },
+      Some("""WITH a AS (SELECT o_custkey,
+             |        CAST(ntile(10) OVER (ORDER BY r, o_custkey) AS BIGINT) AS d_from
+             |      FROM (SELECT o_custkey,
+             |              sum(CAST(o_totalprice AS DECIMAL(18,6))) AS r
+             |            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1)),
+             |b AS (SELECT o_custkey,
+             |        CAST(ntile(10) OVER (ORDER BY r, o_custkey) AS BIGINT) AS d_to
+             |      FROM (SELECT o_custkey,
+             |              sum(CAST(o_totalprice AS DECIMAL(18,6))) AS r
+             |            FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1))
+             |SELECT d_from, d_to, count(*) AS n_customers
+             |FROM a JOIN b USING (o_custkey)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ─── Dirichlet-smoothed query-likelihood retrieval ──────────────────
+    "q308_ql_retrieval" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val qterms = Seq("spark", "join", "scan")
+        val tok = docs
+          .select($"doc_id", explode(split(lower($"text"), " ")).as("t"))
+          .where($"t" =!= "")
+          .localCheckpoint(false) // corpus stats + the tf slice
+        val cf = tok.groupBy($"t").agg(count(lit(1)).as("cf"))
+        val qt = cf.filter($"t".isin(qterms: _*))
+          .crossJoin(cf.agg(sum($"cf").as("__T")))
+          .select($"t", ($"cf".cast("double") / $"__T".cast("double")).as("p"))
+        val tf = tok.filter($"t".isin(qterms: _*))
+          .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+        docs.select($"doc_id",
+            size(split(lower($"text"), " ")).cast("long").as("__len"))
+          .crossJoin(qt)
+          .join(tf, Seq("doc_id", "t"), "left")
+          .select($"doc_id",
+            round(log((coalesce($"tf", lit(0L)).cast("double") +
+                lit(2000.0) * $"p") / ($"__len".cast("double") + lit(2000.0))),
+              9).cast("decimal(18,9)").as("__c"))
+          .groupBy($"doc_id")
+          .agg(round(sum($"__c").cast("double"), 6).as("ql_score"))
+          .orderBy($"ql_score".desc, $"doc_id")
+          .limit(10)
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |        unnest(string_split(lower(text), ' ')) AS t FROM documents),
+             |tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+             |cf AS (SELECT t, count(*) AS cf FROM tk GROUP BY 1),
+             |tt AS (SELECT sum(cf)::BIGINT AS tot_cf FROM cf),
+             |qt AS (SELECT t, CAST(cf AS DOUBLE) / CAST(tot_cf AS DOUBLE) AS p
+             |       FROM cf CROSS JOIN tt WHERE t IN ('spark', 'join', 'scan')),
+             |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk
+             |       WHERE t IN ('spark', 'join', 'scan') GROUP BY 1, 2),
+             |lens AS (SELECT doc_id,
+             |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS len
+             |      FROM documents),
+             |sc AS (SELECT lens.doc_id, CAST(round(ln(
+             |        (CAST(COALESCE(tf.tf, 0) AS DOUBLE) + 2000.0 * qt.p) /
+             |        (CAST(lens.len AS DOUBLE) + 2000.0)), 9)
+             |        AS DECIMAL(18,9)) AS c
+             |      FROM lens CROSS JOIN qt
+             |      LEFT JOIN tf ON lens.doc_id = tf.doc_id AND qt.t = tf.t)
+             |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS ql_score
+             |FROM sc GROUP BY 1 ORDER BY ql_score DESC, doc_id LIMIT 10"""
+        .stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -80,4 +80,15 @@ class IntervalJoinSpec extends SparkSpec {
       .select($"bid").as[Long].collect().toSet
     assert(got == Set(2L))
   }
+
+  test("unionCoverage: overlapping and touching intervals merge, gaps split") {
+    val df = Seq(
+      (1L, 0L, 5L), (1L, 3L, 8L), (1L, 10L, 12L), // [0,8) ∪ [10,12)
+      (2L, 0L, 5L), (2L, 5L, 7L))                 // touching → one island
+      .toDF("k", "s", "e")
+    val out = IntervalJoin.unionCoverage(df, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 2L, 10L)))
+    assert(out(2L) == ((2L, 2L, 1L, 7L)))
+  }
 }

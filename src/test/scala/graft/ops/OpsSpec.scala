@@ -224,6 +224,14 @@ class TextStatsSpec extends SparkSpec {
     assert(out.size == 1)
   }
 
+  test("distinctiveTerms: log-odds z surfaces each slice's signature term") {
+    val docs = Seq((1L, "g1", "a a a b"), (2L, "g2", "b b c c"))
+      .toDF("doc_id", "g", "text")
+    val out = TextStats.distinctiveTerms(docs, "g", "text", topK = 1)
+      .as[(String, String, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == Map("g1" -> "a", "g2" -> "c"))
+  }
+
   test("vocabHealth: hapax/dis counts and type-token ratio per slice") {
     val docs = Seq(
       (1L, "g1", "a a b"), (2L, "g2", "c c c")).toDF("doc_id", "g", "text")
