@@ -8112,7 +8112,210 @@ object OpsQueries {
              |      LEFT JOIN tf ON lens.doc_id = tf.doc_id AND qt.t = tf.t)
              |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS ql_score
              |FROM sc GROUP BY 1 ORDER BY ql_score DESC, doc_id LIMIT 10"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // ─── sequence-length bucketing: padded waste vs bucket count ────────
+    "q309_length_bucketing" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val lens = Tables.documents(s, dir)
+          .select($"doc_id",
+            size(split(lower($"text"), " ")).cast("long").as("len"))
+          .localCheckpoint(false) // three bucketing passes share it
+        Seq(1, 4, 8).map { nb =>
+          val b = lens.withColumn("__b",
+            ntile(nb).over(Window.orderBy($"len", $"doc_id")))
+          val per = b.groupBy($"__b")
+            .agg(max($"len").as("__mx"), count(lit(1)).as("__n"),
+              sum($"len").as("__sl"))
+          per.agg(sum($"__mx" * $"__n").as("__padded"),
+              sum($"__sl").as("__tok"))
+            .select(lit(nb.toLong).as("n_buckets"),
+              $"__padded".cast("long").as("padded_total"),
+              ($"__padded" - $"__tok").cast("long").as("waste"),
+              round(($"__padded" - $"__tok").cast("double") /
+                $"__padded".cast("double"), 6).as("waste_frac"))
+        }.reduce(_ unionByName _).orderBy($"n_buckets")
+      },
+      Some {
+        def scheme(nb: Int) =
+          s"""SELECT CAST($nb AS BIGINT) AS n_buckets,
+             |  CAST(sum(mx * n) AS BIGINT) AS padded_total,
+             |  CAST(sum(mx * n) - sum(sl) AS BIGINT) AS waste,
+             |  round(CAST(sum(mx * n) - sum(sl) AS DOUBLE) /
+             |        CAST(sum(mx * n) AS DOUBLE), 6) AS waste_frac
+             |FROM (SELECT max(len) AS mx, count(*) AS n, sum(len) AS sl
+             |      FROM (SELECT doc_id,
+             |              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS len,
+             |              ntile($nb) OVER (ORDER BY
+             |                CAST(len(string_split(lower(text), ' ')) AS BIGINT),
+             |                doc_id) AS b
+             |            FROM documents)
+             |      GROUP BY b)""".stripMargin
+        Seq(1, 4, 8).map(scheme)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY n_buckets")
+      }),
+
+    // ─── dup-cluster density audit (chain-merge detector) ───────────────
+    "q310_cluster_density" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+            numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+          .localCheckpoint(false) // CC + the per-cluster edge count
+        val cl = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
+            pairs.select($"id_a", $"id_b"))
+          .select($"id".as("doc_id"), $"label".as("cluster_id"))
+          .localCheckpoint(false) // node counts + edge decoration
+        val nodes = cl.groupBy($"cluster_id").agg(count(lit(1)).as("n_nodes"))
+        val edges = pairs
+          .join(cl.select($"doc_id".as("id_a"), $"cluster_id"), "id_a")
+          .groupBy($"cluster_id").agg(count(lit(1)).as("n_edges"))
+        nodes.join(edges, "cluster_id")
+          .where($"n_nodes" >= 3)
+          .select($"cluster_id", $"n_nodes", $"n_edges",
+            round(lit(2.0) * $"n_edges".cast("double") /
+              ($"n_nodes".cast("double") * ($"n_nodes" - 1).cast("double")), 6)
+              .as("density"))
+          .orderBy($"density", $"cluster_id")
+          .limit(15)
+      },
+      Some(s"""WITH RECURSIVE $clusterCtes,
+              |nodes AS (SELECT cluster_id, count(*) AS n_nodes FROM cl GROUP BY 1),
+              |ed AS (SELECT cl.cluster_id, count(*) AS n_edges
+              |       FROM edges JOIN cl ON edges.id_a = cl.doc_id GROUP BY 1)
+              |SELECT nodes.cluster_id, n_nodes, n_edges,
+              |  round(2.0 * CAST(n_edges AS DOUBLE) /
+              |    (CAST(n_nodes AS DOUBLE) * CAST(n_nodes - 1 AS DOUBLE)), 6)
+              |    AS density
+              |FROM nodes JOIN ed USING (cluster_id)
+              |WHERE n_nodes >= 3
+              |ORDER BY density, cluster_id LIMIT 15""".stripMargin)),
+
+    // ─── windowed collocations: top token pairs by PMI ──────────────────
+    "q311_collocations" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir)
+          .select($"doc_id", posexplode(split(lower($"text"), " "))
+            .as(Seq("pos", "t")))
+          .localCheckpoint(false) // marginals + both pair sides
+        val n1 = tok.groupBy($"t").agg(count(lit(1)).as("c1"))
+        val ntok = n1.agg(sum($"c1").as("__nt"))
+        val pairs = tok.as("a").join(tok.as("b"),
+            $"a.doc_id" === $"b.doc_id" &&
+              ($"b.pos" - $"a.pos").isin(1, 2))
+          .select(least($"a.t", $"b.t").as("t1"),
+            greatest($"a.t", $"b.t").as("t2"))
+        val pc = pairs.groupBy($"t1", $"t2").agg(count(lit(1)).as("n12"))
+          .localCheckpoint(false) // total + the scored pass
+        val np = pc.agg(sum($"n12").as("__np"))
+        pc.where($"n12" >= 50)
+          .join(n1.select($"t".as("t1"), $"c1".as("__ca")), "t1")
+          .join(n1.select($"t".as("t2"), $"c1".as("__cb")), "t2")
+          .crossJoin(np).crossJoin(ntok)
+          .select($"t1", $"t2", $"n12",
+            round(log(($"n12".cast("double") / $"__np".cast("double")) /
+              (($"__ca".cast("double") / $"__nt".cast("double")) *
+                ($"__cb".cast("double") / $"__nt".cast("double")))), 6)
+              .as("pmi"))
+          .orderBy($"pmi".desc, $"t1", $"t2")
+          .limit(15)
+      },
+      Some("""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+             |      FROM documents),
+             |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |        tk[CAST(i AS INT) + 1] AS t
+             |      FROM (SELECT doc_id, tk, unnest(range(len(tk))) AS i FROM base)),
+             |n1 AS (SELECT t, count(*) AS c1 FROM tok GROUP BY 1),
+             |nt AS (SELECT sum(c1)::BIGINT AS ntok FROM n1),
+             |pr AS (SELECT least(a.t, b.t) AS t1, greatest(a.t, b.t) AS t2
+             |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+             |        AND b.pos - a.pos IN (1, 2)),
+             |pc AS (SELECT t1, t2, count(*) AS n12 FROM pr GROUP BY 1, 2),
+             |np AS (SELECT sum(n12)::BIGINT AS npair FROM pc)
+             |SELECT t1, t2, n12,
+             |  round(ln((CAST(n12 AS DOUBLE) / CAST(npair AS DOUBLE)) /
+             |    ((CAST(ca.c1 AS DOUBLE) / CAST(ntok AS DOUBLE)) *
+             |     (CAST(cb.c1 AS DOUBLE) / CAST(ntok AS DOUBLE)))), 6) AS pmi
+             |FROM pc JOIN n1 ca ON pc.t1 = ca.t JOIN n1 cb ON pc.t2 = cb.t
+             |     CROSS JOIN np CROSS JOIN nt
+             |WHERE n12 >= 50
+             |ORDER BY pmi DESC, t1, t2 LIMIT 15""".stripMargin)),
+
+    // ─── shard balance / straggler audit over the manifest ──────────────
+    "q312_shard_balance" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val m = Mixing.shardManifest(Tables.documents(s, dir), "doc_id",
+          "text", nShards = 16)
+        m.agg(count(lit(1)).as("n_shards"),
+            sum($"n_tokens").as("__tot"),
+            max($"n_tokens").as("__mx"), min($"n_tokens").as("__mn"))
+          .select($"n_shards", $"__tot".cast("long").as("total_tokens"),
+            $"__mx".as("max_shard"), $"__mn".as("min_shard"),
+            round($"__mx".cast("double") /
+              ($"__tot".cast("double") / $"n_shards".cast("double")), 6)
+              .as("balance_ratio"))
+      },
+      Some("""WITH m AS (SELECT
+             |    ('0x'||substr(md5('97|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 16
+             |      AS shard,
+             |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS nt
+             |  FROM documents),
+             |g AS (SELECT shard, sum(nt)::BIGINT AS n_tokens FROM m GROUP BY 1)
+             |SELECT count(*) AS n_shards, sum(n_tokens)::BIGINT AS total_tokens,
+             |  max(n_tokens) AS max_shard, min(n_tokens) AS min_shard,
+             |  round(CAST(max(n_tokens) AS DOUBLE) /
+             |    (CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6)
+             |    AS balance_ratio
+             |FROM g""".stripMargin)),
+
+    // ─── join-cardinality audit: actual vs independence estimate ────────
+    "q313_join_card_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        def audit(name: String, df: org.apache.spark.sql.DataFrame,
+            key: String) = {
+          val kc = df.groupBy(col(key).as("__k")).agg(count(lit(1)).as("__c"))
+          kc.agg(sum($"__c").as("__n"), count(lit(1)).as("__d"),
+              sum(($"__c".cast("decimal(19,0)") * $"__c".cast("decimal(19,0)")))
+                .as("__actual"))
+            .select(lit(name).as("relation"), $"__n".cast("long").as("n_rows"),
+              $"__d".as("d_keys"), $"__actual".cast("long").as("actual_pairs"),
+              // estimate stays in DOUBLE: Spark's decimal→long cast
+              // truncates while DuckDB's rounds — a BIGINT estimate
+              // column could differ by 1 between engines
+              round($"__n".cast("double") * $"__n".cast("double") /
+                $"__d".cast("double"), 6).as("independence_est"))
+            .withColumn("ratio", round($"actual_pairs".cast("double") /
+              ($"n_rows".cast("double") * $"n_rows".cast("double") /
+                $"d_keys".cast("double")), 6))
+        }
+        audit("events_by_user", Tables.events(s, dir), "user_id")
+          .unionByName(audit("lineitem_by_part", Tables.lineitem(s, dir),
+            "l_partkey"))
+          .orderBy($"relation")
+      },
+      Some {
+        def audit(name: String, table: String, key: String) =
+          s"""SELECT '$name' AS relation, sum(c)::BIGINT AS n_rows,
+             |  count(*) AS d_keys,
+             |  CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+             |    AS BIGINT) AS actual_pairs,
+             |  round(CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 6) AS independence_est,
+             |  round(CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+             |      AS DOUBLE) /
+             |    (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE) /
+             |     CAST(count(*) AS DOUBLE)), 6) AS ratio
+             |FROM (SELECT count(*) AS c FROM $table GROUP BY $key)""".stripMargin
+        Seq(audit("events_by_user", "events", "user_id"),
+          audit("lineitem_by_part", "lineitem", "l_partkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+      }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
