@@ -648,6 +648,33 @@ object Similarity {
       .drop("__cvec")
   }
 
+  /** Pairwise cosine between GROUP centroids — the inter-class
+    * separation matrix an embedding-space eval reads next to the
+    * intra-class view (q80's doc-to-own-centroid similarity): high
+    * off-diagonal cosine = two labels the encoder cannot distinguish.
+    * Centroids use the same 2^40 fixed-point mean as `centroidSim`
+    * (bit-stable under any partitioning); the pair join runs on the
+    * GROUP-count-sized centroid table.
+    * Output: (label_a, label_b, cosine) for a < b. */
+  def centroidDistanceMatrix(emb: DataFrame, vecCol: String,
+      groupCol: String): DataFrame = {
+    val fix = (1L << 40).toDouble
+    val x = emb.select(col(groupCol).as("__g"),
+      posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+    val perDim = x.groupBy(col("__g"), col("__pos"))
+      .agg((sum(round(col("__v").cast("double") * fix).cast("decimal(20,0)"))
+        .cast("double") / fix / count(lit(1))).as("__cd"))
+    val cent = perDim.groupBy(col("__g"))
+      .agg(transform(sort_array(collect_list(struct(col("__pos"), col("__cd")))),
+        s => s.getField("__cd")).as("__cvec"))
+      .localCheckpoint(false) // both sides of the pair join
+    cent.select(col("__g").as("label_a"), col("__cvec").as("__va"))
+      .join(cent.select(col("__g").as("label_b"), col("__cvec").as("__vb")),
+        col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(cosineLambda(col("__va"), col("__vb")), 6).as("cosine"))
+  }
+
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein '98):
     * retrieve the top-`candK` candidates by cosine to the query
     * DISTRIBUTED (the same scan/TakeOrdered shape as `cosineTopK`),

@@ -8315,7 +8315,233 @@ object OpsQueries {
         Seq(audit("events_by_user", "events", "user_id"),
           audit("lineitem_by_part", "lineitem", "l_partkey"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
-      }))
+      }),
+
+    // ─── Haar detail energy of the daily revenue series, levels 1..3 ────
+    "q314_wavelet_energy" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val idx = Tables.orders(s, dir)
+          .groupBy($"o_orderdate".cast("date").as("d"))
+          .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("v"))
+          .withColumn("i",
+            (row_number().over(Window.orderBy($"d")) - 1).cast("long"))
+          .localCheckpoint(false) // three level passes share the sort
+        Seq(1, 2, 3).map { l =>
+          val size = 1L << l; val half = 1L << (l - 1)
+          idx.select(($"i" / size).cast("long").as("b"),
+              (($"i" / half).cast("long") % 2).as("h"), $"v")
+            .groupBy($"b")
+            .agg(count(lit(1)).as("n"),
+              sum(when($"h" === 0, $"v")).as("s0"),
+              sum(when($"h" === 1, $"v")).as("s1"))
+            .where($"n" === size)
+            // detail in MILLIONS: raw money-scale details square to ~1e14,
+            // where round(x, 9) sits far below the double ulp and engine
+            // round implementations diverge (the q235 scale lesson);
+            // d*d, NOT pow(d, 2): pow differs by an ulp between libms
+            .withColumn("__d",
+              ($"s0" - $"s1").cast("double") / lit(size.toDouble) / lit(1e6))
+            .select(round($"__d" * $"__d", 9).cast("decimal(28,9)").as("__e2"))
+            .agg(count(lit(1)).as("n_blocks"),
+              round(sum($"__e2").cast("double"), 6).as("energy"))
+            .select(lit(l.toLong).as("level"), $"n_blocks", $"energy")
+        }.reduce(_ unionByName _).orderBy($"level")
+      },
+      Some {
+        def level(l: Int) = {
+          val size = 1 << l; val half = 1 << (l - 1)
+          s"""SELECT CAST($l AS BIGINT) AS level, count(*) AS n_blocks,
+             |  round(CAST(sum(e2) AS DOUBLE), 6) AS energy
+             |FROM (SELECT CAST(round(
+             |        (CAST(s0 - s1 AS DOUBLE) / CAST($size AS DOUBLE) / 1e6) *
+             |        (CAST(s0 - s1 AS DOUBLE) / CAST($size AS DOUBLE) / 1e6), 9)
+             |        AS DECIMAL(28,9)) AS e2
+             |      FROM (SELECT i // $size AS b, count(*) AS n,
+             |              sum(CASE WHEN (i // $half) % 2 = 0 THEN v END) AS s0,
+             |              sum(CASE WHEN (i // $half) % 2 = 1 THEN v END) AS s1
+             |            FROM (SELECT CAST(row_number() OVER (ORDER BY d) - 1
+             |                    AS BIGINT) AS i, v
+             |                  FROM (SELECT CAST(o_orderdate AS DATE) AS d,
+             |                          sum(CAST(o_totalprice AS DECIMAL(18,6))) AS v
+             |                        FROM orders GROUP BY 1))
+             |            GROUP BY 1)
+             |      WHERE n = $size)""".stripMargin
+        }
+        Seq(1, 2, 3).map(level)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY level")
+      }),
+
+    // ─── n-gram repetitiveness spectrum per source, n = 1..4 ────────────
+    "q315_ngram_spectrum" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        Seq(1, 2, 3, 4).map { n =>
+          docs.select($"source", explode(Dedup.shingles($"text", n)).as("g"))
+            .groupBy($"source")
+            .agg(count(lit(1)).as("total_grams"),
+              countDistinct($"g").as("distinct_grams"))
+            .select($"source", lit(n.toLong).as("n"), $"total_grams",
+              $"distinct_grams",
+              round($"distinct_grams".cast("double") /
+                $"total_grams".cast("double"), 6).as("distinct_frac"))
+        }.reduce(_ unionByName _).orderBy($"source", $"n")
+      },
+      Some {
+        def level(k: Int) = {
+          val parts = (0 until k)
+            .map(o => if (o == 0) "tk[i]" else s"tk[i+$o]").mkString("||' '||")
+          s"""SELECT source, CAST($k AS BIGINT) AS n, count(g) AS total_grams,
+             |  count(DISTINCT g) AS distinct_grams,
+             |  round(CAST(count(DISTINCT g) AS DOUBLE) /
+             |        CAST(count(g) AS DOUBLE), 6) AS distinct_frac
+             |FROM (SELECT source, unnest(list_distinct(list_filter(
+             |        list_transform(range(1, greatest(len(tk) - ${k - 2}, 1)),
+             |          i -> $parts), x -> x IS NOT NULL))) AS g
+             |      FROM (SELECT source, string_split(lower(text), ' ') AS tk
+             |            FROM documents))
+             |GROUP BY 1""".stripMargin
+        }
+        Seq(1, 2, 3, 4).map(level)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY source, n")
+      }),
+
+    // ─── inter-label centroid cosine matrix (class separation) ──────────
+    "q316_centroid_matrix" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.centroidDistanceMatrix(Tables.embeddings(s, dir),
+            "embedding", "label")
+          .orderBy($"label_a", $"label_b")
+      },
+      Some("""WITH x AS (SELECT label, CAST(i AS INTEGER) AS pos,
+             |         embedding[i+1]::DOUBLE AS v
+             |       FROM embeddings CROSS JOIN range(64) t(i)),
+             |c AS (SELECT label, pos,
+             |        CAST(sum(CAST(round(v * (1099511627776::DOUBLE)) AS BIGINT)) AS DOUBLE)
+             |          / (1099511627776::DOUBLE) / count(*) AS cd
+             |      FROM x GROUP BY 1, 2),
+             |cent AS (SELECT label, list(cd ORDER BY pos) AS cvec FROM c GROUP BY label)
+             |SELECT a.label AS label_a, b.label AS label_b,
+             |  round(list_reduce(list_transform(list_zip(a.cvec, b.cvec),
+             |      p -> p[1] * p[2]), (x, y) -> x + y) /
+             |    (sqrt(list_reduce(list_transform(a.cvec, v -> v * v), (x, y) -> x + y)) *
+             |     sqrt(list_reduce(list_transform(b.cvec, v -> v * v), (x, y) -> x + y))),
+             |    6) AS cosine
+             |FROM cent a JOIN cent b ON a.label < b.label
+             |ORDER BY label_a, label_b""".stripMargin)),
+
+    // ─── order-to-first-ship SLA percentiles by priority ────────────────
+    "q317_lead_time_sla" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val fs = Tables.lineitem(s, dir).groupBy($"l_orderkey")
+          .agg(min($"l_shipdate").as("__fs"))
+        val lead = Tables.orders(s, dir)
+          .join(fs, $"o_orderkey" === $"l_orderkey")
+          .select($"o_orderpriority".as("priority"),
+            datediff($"__fs", $"o_orderdate").cast("long").as("__lead"))
+        val vc = lead.groupBy($"priority", $"__lead")
+          .agg(count(lit(1)).as("__c"))
+        val cum = vc.withColumn("__cum", sum($"__c").over(
+          Window.partitionBy($"priority").orderBy($"__lead")))
+        val st = lead.groupBy($"priority").agg(count(lit(1)).as("__n"))
+        def rank(q: Double) =
+          floor(($"__n" - 1).cast("double") * lit(q)).cast("long") + 1
+        cum.join(st, "priority")
+          .groupBy($"priority", $"__n")
+          .agg(min(when($"__cum" >= rank(0.5), $"__lead")).as("p50"),
+            min(when($"__cum" >= rank(0.9), $"__lead")).as("p90"),
+            min(when($"__cum" >= rank(0.99), $"__lead")).as("p99"))
+          .select($"priority", $"__n".as("n_orders"), $"p50", $"p90", $"p99")
+          .orderBy($"priority")
+      },
+      Some("""WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS f
+             |      FROM lineitem GROUP BY 1),
+             |lead AS (SELECT o_orderpriority AS priority,
+             |        datediff('day', CAST(o_orderdate AS DATE), CAST(f AS DATE))
+             |          AS ld
+             |      FROM orders JOIN fs ON o_orderkey = l_orderkey),
+             |vc AS (SELECT priority, ld, count(*) AS c FROM lead GROUP BY 1, 2),
+             |cum AS (SELECT priority, ld, c,
+             |        sum(c) OVER (PARTITION BY priority ORDER BY ld) AS cm FROM vc),
+             |st AS (SELECT priority, count(*) AS n FROM lead GROUP BY 1)
+             |SELECT cum.priority, CAST(max(n) AS BIGINT) AS n_orders,
+             |  min(CASE WHEN cm >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+             |      THEN ld END) AS p50,
+             |  min(CASE WHEN cm >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1
+             |      THEN ld END) AS p90,
+             |  min(CASE WHEN cm >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1
+             |      THEN ld END) AS p99
+             |FROM cum JOIN st USING (priority)
+             |GROUP BY cum.priority ORDER BY priority""".stripMargin)),
+
+    // ─── position-based (U-shaped) multi-touch attribution ──────────────
+    "q318_position_attribution" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dec = Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+          .withColumn("__tcum",
+            sum(when($"event_type" =!= "purchase", 1L).otherwise(0L)).over(w))
+          .localCheckpoint(false) // touches + purchases split it
+        val touches = dec.filter($"event_type" =!= "purchase")
+          .select($"user_id", $"__tcum".as("touch_rn"),
+            $"event_type".as("touch"))
+        val purchases = dec.filter($"event_type" === "purchase")
+          .select($"user_id", $"__tcum".as("__last"),
+            $"value".cast("decimal(18,6)").as("__v"))
+        val j = purchases.as("p").join(touches.as("t"),
+          $"p.user_id" === $"t.user_id" &&
+            $"t.touch_rn" > $"p.__last" - 5 &&
+            $"t.touch_rn" <= $"p.__last", "left")
+        val sN = least($"__last", lit(5L))
+        val pos = $"touch_rn" - ($"__last" - sN)
+        val weight = when($"touch_rn".isNull, 1.0)
+          .when(sN === 1, 1.0).when(sN === 2, 0.5)
+          .when(pos === 1, 0.4).when(pos === sN, 0.4)
+          .otherwise(lit(0.2) / (sN - 2).cast("double"))
+        j.select(coalesce($"touch", lit("none")).as("touch_type"),
+            round($"__v".cast("double") * weight, 9)
+              .cast("decimal(18,9)").as("__credit"))
+          .groupBy($"touch_type")
+          .agg(count(lit(1)).as("n_credits"),
+            round(sum($"__credit").cast("double"), 6).as("revenue"))
+          .orderBy($"touch_type")
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |        event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events),
+             |d AS (SELECT *, sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+             |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tcum
+             |      FROM e),
+             |t AS (SELECT user_id, tcum AS touch_rn, event_type AS touch FROM d
+             |      WHERE event_type <> 'purchase'),
+             |p AS (SELECT user_id, tcum AS lastrn, v FROM d
+             |      WHERE event_type = 'purchase'),
+             |j AS (SELECT p.v, t.touch_rn, t.touch, p.lastrn,
+             |        least(p.lastrn, 5) AS s
+             |      FROM p LEFT JOIN t ON p.user_id = t.user_id
+             |        AND t.touch_rn > p.lastrn - 5 AND t.touch_rn <= p.lastrn),
+             |c AS (SELECT COALESCE(touch, 'none') AS touch_type,
+             |        CAST(round(CAST(v AS DOUBLE) * (CASE
+             |          WHEN touch_rn IS NULL THEN 1.0
+             |          WHEN s = 1 THEN 1.0
+             |          WHEN s = 2 THEN 0.5
+             |          WHEN touch_rn - (lastrn - s) = 1 THEN 0.4
+             |          WHEN touch_rn - (lastrn - s) = s THEN 0.4
+             |          ELSE 0.2 / CAST(s - 2 AS DOUBLE) END), 9)
+             |          AS DECIMAL(18,9)) AS credit
+             |      FROM j)
+             |SELECT touch_type, count(*) AS n_credits,
+             |  round(CAST(sum(credit) AS DOUBLE), 6) AS revenue
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

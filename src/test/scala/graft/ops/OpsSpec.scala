@@ -91,6 +91,20 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_._2).sameElements(top.map(_._2).sorted(Ordering[Double].reverse)))
   }
 
+  test("centroidDistanceMatrix: identical groups cosine 1, orthogonal 0") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(1.0f, 0.0f), "a"),
+      (3L, Array(1.0f, 0.0f), "b"),                // b centroid == a's
+      (4L, Array(0.0f, 2.0f), "c"))                // orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDistanceMatrix(emb, "embedding", "label")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("a", "b")) == 1.0)
+    assert(out(("a", "c")) == 0.0 && out(("b", "c")) == 0.0)
+    assert(out.size == 3)
+  }
+
   test("lsh bucket is deterministic and self-query is always in its bucket") {
     val emb = Tables.embeddings(spark, sfTiny)
     val q = emb.filter($"vec_id" === 7).select($"embedding".as("qvec"))
