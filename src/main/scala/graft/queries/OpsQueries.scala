@@ -8541,7 +8541,242 @@ object OpsQueries {
              |      FROM j)
              |SELECT touch_type, count(*) AS n_credits,
              |  round(CAST(sum(credit) AS DOUBLE), 6) AS revenue
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── session depth distribution + bounce rate (30-min gap rule) ─────
+    "q319_session_depth" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"__us", $"event_id")
+        val sess = Tables.events(s, dir)
+          .select($"user_id", $"event_id",
+            unix_micros($"ts".cast("timestamp")).as("__us"))
+          .withColumn("__new",
+            when(($"__us" - lag($"__us", 1).over(w)) > 1800000000L ||
+              lag($"__us", 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("__sid", sum($"__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val depth = sess.groupBy($"user_id", $"__sid")
+          .agg(count(lit(1)).as("__depth"))
+        val g = depth
+          .groupBy(least($"__depth", lit(10L)).as("depth_bucket"))
+          .agg(count(lit(1)).as("n_sessions"))
+        g.withColumn("__tot", sum($"n_sessions").over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select($"depth_bucket", $"n_sessions",
+            round($"n_sessions".cast("double") / $"__tot".cast("double"), 6)
+              .as("share"))
+          .orderBy($"depth_bucket")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |m AS (SELECT user_id, us,
+             |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             |            IS NULL OR us - lag(us) OVER (PARTITION BY user_id
+             |              ORDER BY us, event_id) > 1800000000
+             |          THEN 1 ELSE 0 END AS nw,
+             |        event_id
+             |      FROM e),
+             |sid AS (SELECT user_id, sum(nw) OVER (PARTITION BY user_id
+             |          ORDER BY us, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |        FROM m),
+             |dep AS (SELECT user_id, sid, count(*) AS depth FROM sid GROUP BY 1, 2),
+             |g AS (SELECT least(depth, 10) AS depth_bucket, count(*) AS n_sessions
+             |      FROM dep GROUP BY 1),
+             |t AS (SELECT sum(n_sessions) AS tot FROM g)
+             |SELECT depth_bucket, n_sessions,
+             |  round(CAST(n_sessions AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+             |FROM g CROSS JOIN t ORDER BY depth_bucket""".stripMargin)),
+
+    // ─── range-partition split audit: key CDF vs uniform ────────────────
+    "q320_range_split_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        def audit(name: String, c: org.apache.spark.sql.Column) = {
+          val v = Tables.orders(s, dir).select(c.cast("double").as("__v"))
+          val vc = v.groupBy($"__v").agg(count(lit(1)).as("__c"))
+          val cum = vc.withColumn("__cum",
+              sum($"__c").over(Window.orderBy($"__v")))
+            .localCheckpoint(false) // stats + both deviation passes
+          val st = cum.agg(max($"__cum").as("__n"), min($"__v").as("__mn"),
+            max($"__v").as("__mx"))
+          val dec = cum.crossJoin(st)
+          val u = ($"__v" - $"__mn") / ($"__mx" - $"__mn")
+          val ks = dec.agg(max(col("__n")).as("__n2"),
+            round(max(abs($"__cum".cast("double") / $"__n".cast("double") - u)),
+              6).as("ks_uniform"))
+          val skew = dec
+            .select(least(lit(15L), floor(u * 16).cast("long")).as("__b"),
+              $"__c", $"__n")
+            .groupBy($"__b").agg(sum($"__c").as("__bc"), max($"__n").as("__n3"))
+            .agg(round(max($"__bc").cast("double") /
+              (max($"__n3").cast("double") / 16.0), 6).as("max_skew_16"))
+          ks.crossJoin(skew)
+            .select(lit(name).as("column"), $"__n2".as("n"), $"ks_uniform",
+              $"max_skew_16")
+        }
+        audit("o_custkey", $"o_custkey")
+          .unionByName(audit("o_totalprice", $"o_totalprice"))
+          .orderBy($"column")
+      },
+      Some {
+        def audit(name: String, expr: String) =
+          s"""SELECT '$name' AS "column", n2 AS n, ks_uniform, max_skew_16 FROM
+             |(SELECT max(n) AS n2, round(max(abs(CAST(cum AS DOUBLE) /
+             |    CAST(n AS DOUBLE) - (v - mn) / (mx - mn))), 6) AS ks_uniform
+             |  FROM (SELECT v, c, cum, n, mn, mx FROM
+             |    (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM
+             |      (SELECT CAST($expr AS DOUBLE) AS v, count(*) AS c
+             |       FROM orders GROUP BY 1))
+             |    CROSS JOIN (SELECT count(*) AS n, min(CAST($expr AS DOUBLE)) AS mn,
+             |                  max(CAST($expr AS DOUBLE)) AS mx FROM orders))) k
+             |CROSS JOIN
+             |(SELECT round(CAST(max(bc) AS DOUBLE) /
+             |    (CAST(max(n3) AS DOUBLE) / 16.0), 6) AS max_skew_16 FROM
+             |  (SELECT least(15, CAST(floor((v - mn) / (mx - mn) * 16) AS BIGINT)) AS b,
+             |     sum(c) AS bc, max(n) AS n3 FROM
+             |    (SELECT v, c, n, mn, mx FROM
+             |      (SELECT CAST($expr AS DOUBLE) AS v, count(*) AS c
+             |       FROM orders GROUP BY 1)
+             |      CROSS JOIN (SELECT count(*) AS n, min(CAST($expr AS DOUBLE)) AS mn,
+             |                    max(CAST($expr AS DOUBLE)) AS mx FROM orders))
+             |   GROUP BY 1)) s2""".stripMargin
+        Seq(audit("o_custkey", "o_custkey"),
+          audit("o_totalprice", "o_totalprice"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }),
+
+    // ─── join-key selectivity / coverage audit ──────────────────────────
+    "q321_join_selectivity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        def audit(name: String, a: org.apache.spark.sql.DataFrame, ka: String,
+            b: org.apache.spark.sql.DataFrame, kb: String) = {
+          val da = a.select(col(ka).as("__k")).distinct().localCheckpoint(false)
+          val db = b.select(col(kb).as("__k")).distinct().localCheckpoint(false)
+          val inter = da.join(db, "__k").agg(count(lit(1)).as("__i"))
+          da.agg(count(lit(1)).as("__na"))
+            .crossJoin(db.agg(count(lit(1)).as("__nb")))
+            .crossJoin(inter)
+            .select(lit(name).as("relation"), $"__na".as("keys_left"),
+              $"__nb".as("keys_right"), $"__i".as("keys_both"),
+              round($"__i".cast("double") /
+                ($"__na" + $"__nb" - $"__i").cast("double"), 6)
+                .as("key_jaccard"),
+              round($"__i".cast("double") / $"__na".cast("double"), 6)
+                .as("left_containment"))
+        }
+        audit("orders_customer", Tables.orders(s, dir), "o_custkey",
+            Tables.customer(s, dir), "c_custkey")
+          .unionByName(audit("lineitem_part", Tables.lineitem(s, dir),
+            "l_partkey", Tables.part(s, dir), "p_partkey"))
+          .orderBy($"relation")
+      },
+      Some {
+        def audit(name: String, ta: String, ka: String, tb: String, kb: String) =
+          s"""SELECT '$name' AS relation, na AS keys_left, nb AS keys_right,
+             |  i AS keys_both,
+             |  round(CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE), 6)
+             |    AS key_jaccard,
+             |  round(CAST(i AS DOUBLE) / CAST(na AS DOUBLE), 6) AS left_containment
+             |FROM (SELECT count(*) AS na FROM (SELECT DISTINCT $ka FROM $ta))
+             |CROSS JOIN (SELECT count(*) AS nb FROM (SELECT DISTINCT $kb FROM $tb))
+             |CROSS JOIN (SELECT count(*) AS i FROM
+             |  (SELECT DISTINCT $ka FROM $ta) ja
+             |  JOIN (SELECT DISTINCT $kb FROM $tb) jb ON ja.$ka = jb.$kb)"""
+            .stripMargin
+        Seq(audit("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+          audit("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+      }),
+
+    // ─── behavioral predictability: conditional transition entropy ──────
+    "q322_transition_entropy" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val pairs = Tables.events(s, dir)
+          .select($"event_type".as("src"),
+            lead($"event_type", 1).over(w).as("dst"))
+          .where($"dst".isNotNull)
+          .groupBy($"src", $"dst").agg(count(lit(1)).as("__c"))
+          .localCheckpoint(false) // marginals + both entropy passes
+        val tot = pairs.agg(sum($"__c").as("__n"))
+        val ms = pairs.groupBy($"src").agg(sum($"__c").as("__cs"))
+        val md = pairs.groupBy($"dst").agg(sum($"__c").as("__cd"))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val hCond = pairs.join(ms, "src").crossJoin(tot)
+          .select(round((d($"__c") / d($"__n")) *
+              log(d($"__c") / d($"__cs")), 9).cast("decimal(18,9)").as("__t"))
+          .agg((-sum($"__t").cast("double")).as("__hc"))
+        val hDst = md.crossJoin(tot)
+          .select(round((d($"__cd") / d($"__n")) *
+              log(d($"__cd") / d($"__n")), 9).cast("decimal(18,9)").as("__t"))
+          .agg((-sum($"__t").cast("double")).as("__hd"))
+        tot.crossJoin(hCond).crossJoin(hDst)
+          .select($"__n".cast("long").as("n_transitions"),
+            round($"__hc", 6).as("h_cond_nats"),
+            round($"__hd", 6).as("h_marginal_nats"),
+            round($"__hd" - $"__hc", 6).as("predictability_gain"))
+      },
+      Some("""WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             |        event_type FROM events),
+             |p0 AS (SELECT event_type AS src,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+             |       FROM t),
+             |c AS (SELECT src, dst, count(*) AS c FROM p0
+             |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+             |tt AS (SELECT sum(c)::BIGINT AS n FROM c),
+             |ms AS (SELECT src, sum(c)::BIGINT AS cs FROM c GROUP BY 1),
+             |md AS (SELECT dst, sum(c)::BIGINT AS cd FROM c GROUP BY 1),
+             |hc AS (SELECT -CAST(sum(CAST(round(
+             |         (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |         ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE)), 9)
+             |         AS DECIMAL(18,9))) AS DOUBLE) AS hc
+             |       FROM c JOIN ms USING (src) CROSS JOIN tt),
+             |hd AS (SELECT -CAST(sum(CAST(round(
+             |         (CAST(cd AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |         ln(CAST(cd AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             |         AS DECIMAL(18,9))) AS DOUBLE) AS hd
+             |       FROM md CROSS JOIN tt)
+             |SELECT n AS n_transitions, round(hc, 6) AS h_cond_nats,
+             |  round(hd, 6) AS h_marginal_nats,
+             |  round(hd - hc, 6) AS predictability_gain
+             |FROM tt CROSS JOIN hc CROSS JOIN hd""".stripMargin)),
+
+    // ─── key-account risk: supplier revenue share of its top customer ───
+    "q323_supplier_dependency" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sc = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_suppkey", $"o_custkey")
+          .agg(sum($"l_extendedprice".cast("decimal(18,6)")).as("__rev"))
+        val w = Window.partitionBy($"l_suppkey")
+        sc.withColumn("__tot", sum($"__rev").over(w))
+          .withColumn("__mx", max($"__rev").over(w))
+          .groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("n_customers"),
+            round(max($"__mx").cast("double") / max($"__tot").cast("double"), 6)
+              .as("top1_share"))
+          .orderBy($"top1_share".desc, $"l_suppkey")
+          .limit(15)
+      },
+      Some("""WITH sc AS (SELECT l_suppkey, o_custkey,
+             |        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+             |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |      GROUP BY 1, 2),
+             |g AS (SELECT l_suppkey, count(*) AS n_customers,
+             |        round(CAST(max(rev) AS DOUBLE) /
+             |              CAST(sum(rev) AS DOUBLE), 6) AS top1_share
+             |      FROM sc GROUP BY 1)
+             |SELECT l_suppkey, n_customers, top1_share FROM g
+             |ORDER BY top1_share DESC, l_suppkey LIMIT 15""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -556,6 +556,42 @@ object Streams {
 
   final case class Scd2State(last: String, version: Long)
 
+  final case class MgState(counters: Map[String, Long], processed: Long)
+
+  /** Streaming Misra–Gries heavy hitters: a GLOBAL k-bounded counter
+    * summary maintained in ONE state row (at most k counters + the
+    * processed count — never data-scaled), emitting the summary
+    * snapshot after each micro-batch. The textbook guarantee carries
+    * over: any term with true frequency > n/k survives, and every
+    * reported count is within n/k of exact — `StreamsSpec` pins BOTH
+    * against exact counts across a batch split, plus the 1-row state
+    * bound. Production shards by term hash and merges (MG summaries
+    * are mergeable — the batch `Sketches.misraGries` aggregator's
+    * merge); the single-key layout here keeps the audit honest.
+    * Input: (term, seq) — seq gives in-order delivery within a batch.
+    * Output: (term, count_lower_bound, n_processed) snapshot rows. */
+  def mgStream(terms: Dataset[(String, Long)], k: Int)
+      : Dataset[(String, Long, Long)] = {
+    import terms.sparkSession.implicits._
+    require(k >= 1, "k >= 1")
+    terms.groupByKey(_ => 0)
+      .flatMapGroupsWithState[MgState, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, evs: Iterator[(String, Long)], state: GroupState[MgState]) =>
+          var m = state.getOption.map(_.counters).getOrElse(Map.empty[String, Long])
+          var n = state.getOption.map(_.processed).getOrElse(0L)
+          evs.toSeq.sortBy(_._2).foreach { case (t, _) =>
+            n += 1
+            if (m.contains(t)) m += t -> (m(t) + 1)
+            else if (m.size < k) m += t -> 1L
+            else m = m.map { case (kk, v) => kk -> (v - 1) }.filter(_._2 > 0)
+          }
+          state.update(MgState(m, n))
+          m.toSeq.sortBy(x => (-x._2, x._1))
+            .map { case (t, c) => (t, c, n) }.iterator
+      }
+  }
+
   /** Streaming twin of `Cdc.scd2Build`'s version-OPEN events: each
     * incoming (key, usMicros, eventId, value) change emits a new
     * version row (key, us, value, version) IFF the value differs from

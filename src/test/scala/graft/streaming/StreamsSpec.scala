@@ -585,6 +585,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MG stream: k-bounded single state row, textbook guarantee holds") {
+    implicit val sq = spark.sqlContext
+    // 300 'hot' + 60 spread across 12 cold terms, split over two batches
+    val feed = ((1 to 300).map(i => ("hot", i.toLong)) ++
+      (1 to 60).map(i => (s"cold${i % 12}", 300L + i))).sortBy(_._2)
+    val exact = feed.groupBy(_._1).map { case (t, xs) => t -> xs.size.toLong }
+    val stream = MemoryStream[(String, Long)]
+    val q = Streams.mgStream(stream.toDS(), k = 4)
+      .toDF("term", "cnt", "n")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mg_stream").start()
+    try {
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      assert(maxStateRows(q) == 1L)
+      val fin = spark.table("mg_stream").where($"n" === feed.length)
+        .as[(String, Long, Long)].collect()
+      assert(fin.length <= 4)
+      val m = fin.map(r => r._1 -> r._2).toMap
+      val bound = feed.length / 4 // n/k
+      // survival: true frequency > n/k must be reported
+      assert(m.contains("hot"))
+      // count error within n/k of exact, and never an overcount
+      m.foreach { case (t, c) =>
+        assert(c <= exact(t) && exact(t) - c <= bound, s"$t: $c vs ${exact(t)}")
+      }
+    } finally q.stop()
+  }
+
   test("SCD2 stream equals the batch build's open events across batches") {
     implicit val sq = spark.sqlContext
     val evDf = Tables.events(spark, sfTiny).limit(300)
