@@ -217,13 +217,13 @@ object OpsQueries {
     * pattern). Every operation is BIGINT arithmetic — `//` in DuckDB and
     * `DIV` in Spark both truncate-toward-zero on the (all-positive)
     * operands, so the replay is bit-exact with `Graph.pageRank`. */
-  private def pageRankSql(iters: Int, scale: Long = 1L << 40): String = {
+  /** The PageRank iteration CTE chain (od … r<iters>) over an already-
+    * defined `sym(src, dst)` CTE — shared by the q103 gate and the q327
+    * canonical-pick composition (whose WITH RECURSIVE cluster chain
+    * defines the same `sym`). */
+  private def pageRankStepCtes(iters: Int, scale: Long = 1L << 40): String = {
     val head =
-      s"""WITH $minhashCtes,
-         |edges AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
-         |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
-         |        UNION ALL SELECT id_b, id_a FROM edges),
-         |od AS (SELECT src, count(*) AS odeg FROM sym GROUP BY src),
+      s"""od AS (SELECT src, count(*) AS odeg FROM sym GROUP BY src),
          |nn AS (SELECT count(*) AS n FROM documents),
          |r0 AS (SELECT doc_id AS id, CAST($scale // n AS BIGINT) AS rank
          |       FROM documents CROSS JOIN nn)""".stripMargin
@@ -241,9 +241,17 @@ object OpsQueries {
          |            AS BIGINT) AS rank
          |        FROM r0 v LEFT JOIN m$i m USING (id) CROSS JOIN nn)""".stripMargin
     }
-    (head +: steps).mkString(",\n") +
-      s"\nSELECT id AS doc_id, rank AS rank_fp FROM r$iters ORDER BY doc_id"
+    (head +: steps).mkString(",\n")
   }
+
+  private def pageRankSql(iters: Int, scale: Long = 1L << 40): String =
+    s"""WITH $minhashCtes,
+       |edges AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |${pageRankStepCtes(iters, scale)}
+       |SELECT id AS doc_id, rank AS rank_fp FROM r$iters ORDER BY doc_id"""
+      .stripMargin
 
   /** CTE chain (sans WITH) ending in `sg` = (doc_id, sig) — the exact
     * DuckDB replay of `Dedup.simhash`, shared by the q26 fingerprint
@@ -8776,7 +8784,254 @@ object OpsQueries {
              |              CAST(sum(rev) AS DOUBLE), 6) AS top1_share
              |      FROM sc GROUP BY 1)
              |SELECT l_suppkey, n_customers, top1_share FROM g
-             |ORDER BY top1_share DESC, l_suppkey LIMIT 15""".stripMargin)))
+             |ORDER BY top1_share DESC, l_suppkey LIMIT 15""".stripMargin)),
+
+    // ─── mean local clustering coefficient of the dup graph ─────────────
+    "q324_clustering_coeff" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ed = Dedup.minhashPairs(Tables.documents(s, dir), "doc_id",
+            "text", numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+          .select($"id_a".as("a"), $"id_b".as("b"))
+          .localCheckpoint(false) // wedges, closing join, degrees
+        val tris = ed
+          .join(ed.select($"a".as("b"), $"b".as("c")), "b")
+          .join(ed.select($"a", $"b".as("c")), Seq("a", "c"))
+        val triN = tris
+          .select(explode(array($"a", $"b", $"c")).as("v"))
+          .groupBy($"v").agg(count(lit(1)).as("__t"))
+        val deg = ed.select(explode(array($"a", $"b")).as("v"))
+          .groupBy($"v").agg(count(lit(1)).as("__d"))
+        deg.where($"__d" >= 2)
+          .join(triN, Seq("v"), "left")
+          .na.fill(0L, Seq("__t"))
+          .select(round(lit(2.0) * $"__t".cast("double") /
+            ($"__d".cast("double") * ($"__d" - 1).cast("double")), 9)
+            .cast("decimal(18,9)").as("__cc"))
+          .agg(count(lit(1)).as("n_nodes_deg2"),
+            round(sum($"__cc").cast("double") / count(lit(1)).cast("double"), 6)
+              .as("mean_cc"))
+      },
+      Some(s"""WITH $minhashCtes,
+              |e AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5),
+              |tris AS (SELECT w.a, w.b, w.c FROM
+              |    (SELECT e1.a, e1.b, e2.b AS c FROM e e1
+              |     JOIN e e2 ON e1.b = e2.a) w
+              |  JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
+              |tn AS (SELECT v, count(*) AS t FROM
+              |         (SELECT a AS v FROM tris UNION ALL SELECT b FROM tris
+              |          UNION ALL SELECT c FROM tris) GROUP BY 1),
+              |deg AS (SELECT v, count(*) AS d FROM
+              |          (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+              |        GROUP BY 1),
+              |cc AS (SELECT CAST(round(2.0 * CAST(COALESCE(t, 0) AS DOUBLE) /
+              |        (CAST(d AS DOUBLE) * CAST(d - 1 AS DOUBLE)), 9)
+              |        AS DECIMAL(18,9)) AS c
+              |       FROM deg LEFT JOIN tn USING (v) WHERE d >= 2)
+              |SELECT count(*) AS n_nodes_deg2,
+              |  round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+              |    AS mean_cc
+              |FROM cc""".stripMargin)),
+
+    // ─── return-rate Wilson lower bounds per brand ──────────────────────
+    "q325_return_rates" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.wilsonLowerBound(
+            Tables.lineitem(s, dir).join(Tables.part(s, dir),
+              $"l_partkey" === $"p_partkey"),
+            "p_brand", $"l_returnflag" === "R", z = 1.96)
+          .orderBy($"wilson_lb".desc, $"grp")
+          .limit(10)
+      },
+      Some {
+        val z = 1.96; val z2 = z * z
+        s"""WITH a AS (SELECT p.p_brand AS grp, count(*) AS n,
+           |        sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS k
+           |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           |      GROUP BY 1),
+           |e AS (SELECT grp, n, k, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM a)
+           |SELECT grp, n, k, round(p, 6) AS p_hat,
+           |  round((p + CAST($z2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))
+           |      - CAST($z AS DOUBLE) * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+           |          + CAST($z2 AS DOUBLE) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           |    / (1.0 + CAST($z2 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS wilson_lb
+           |FROM e ORDER BY wilson_lb DESC, grp LIMIT 10""".stripMargin
+      }),
+
+    // ─── demand intermittency: Syntetos–Boylan ADI × CV² quadrants ──────
+    "q326_demand_classes" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val pm = Tables.lineitem(s, dir)
+          .groupBy($"l_partkey",
+            date_format(date_trunc("month", $"l_shipdate"), "yyyy-MM").as("__m"))
+          .agg(sum($"l_quantity".cast("decimal(18,6)")).as("__q"))
+          .localCheckpoint(false) // per-part stats + the global month count
+        val months = pm.select($"__m").distinct().agg(count(lit(1)).as("__P"))
+        val pp = pm.groupBy($"l_partkey")
+          .agg(count(lit(1)).as("__nd"), sum($"__q").as("__s"),
+            sum($"__q" * $"__q").as("__s2"))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val adi = d($"__P") / d($"__nd")
+        val mean = d($"__s") / d($"__nd")
+        val cv2 = (d($"__s2") / d($"__nd") - mean * mean) / (mean * mean)
+        pp.crossJoin(months)
+          .select(when(adi < 1.32 && cv2 < 0.49, "smooth")
+            .when(adi >= 1.32 && cv2 < 0.49, "intermittent")
+            .when(adi < 1.32, "erratic").otherwise("lumpy")
+            .as("demand_class"))
+          .groupBy($"demand_class").agg(count(lit(1)).as("n_parts"))
+          .orderBy($"demand_class")
+      },
+      Some("""WITH pm AS (SELECT l_partkey,
+             |        strftime(date_trunc('month', l_shipdate), '%Y-%m') AS m,
+             |        sum(CAST(l_quantity AS DECIMAL(18,6))) AS q
+             |      FROM lineitem GROUP BY 1, 2),
+             |mo AS (SELECT count(DISTINCT m) AS P FROM pm),
+             |pp AS (SELECT l_partkey, count(*) AS nd, sum(q) AS s,
+             |        sum(q * q) AS s2 FROM pm GROUP BY 1),
+             |cl AS (SELECT CASE
+             |    WHEN CAST(P AS DOUBLE) / CAST(nd AS DOUBLE) < 1.32 AND
+             |      (CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE) -
+             |       (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) *
+             |       (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))) /
+             |      ((CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) *
+             |       (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))) < 0.49
+             |      THEN 'smooth'
+             |    WHEN CAST(P AS DOUBLE) / CAST(nd AS DOUBLE) >= 1.32 AND
+             |      (CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE) -
+             |       (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) *
+             |       (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))) /
+             |      ((CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)) *
+             |       (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))) < 0.49
+             |      THEN 'intermittent'
+             |    WHEN CAST(P AS DOUBLE) / CAST(nd AS DOUBLE) < 1.32 THEN 'erratic'
+             |    ELSE 'lumpy' END AS demand_class
+             |  FROM pp CROSS JOIN mo)
+             |SELECT demand_class, count(*) AS n_parts FROM cl
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── canonical-pick agreement: min-id vs PageRank winner ────────────
+    "q327_canonical_agreement" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+            numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+          .localCheckpoint(false) // CC + PageRank share it
+        val cl = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
+            pairs.select($"id_a", $"id_b"))
+          .select($"id".as("doc_id"), $"label".as("cluster_id"))
+        val sym = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+          .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+        val pr = Graph.pageRank(docs.select($"doc_id"), "doc_id", sym, iters = 3)
+        val cs = cl.groupBy($"cluster_id").agg(count(lit(1)).as("__sz"))
+        val multi = cl.join(cs.where($"__sz" >= 2), "cluster_id")
+        val rk = multi.join(pr, "doc_id")
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy($"cluster_id")
+              .orderBy($"rank_fp".desc, $"doc_id")))
+        val prPick = rk.where($"__rk" === 1)
+          .select($"cluster_id", $"doc_id".as("__pr_pick"))
+        val minPick = multi.groupBy($"cluster_id")
+          .agg(min($"doc_id").as("__min_pick"))
+        prPick.join(minPick, "cluster_id")
+          .agg(count(lit(1)).as("n_clusters_multi"),
+            sum(when($"__pr_pick" === $"__min_pick", 1L).otherwise(0L))
+              .as("n_agree"))
+          .select($"n_clusters_multi", $"n_agree",
+            round($"n_agree".cast("double") /
+              $"n_clusters_multi".cast("double"), 6).as("agree_rate"))
+      },
+      Some(s"""WITH RECURSIVE $clusterCtes,
+              |${pageRankStepCtes(iters = 3)},
+              |pr AS (SELECT id AS doc_id, rank AS rank_fp FROM r3),
+              |cs AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1),
+              |mm AS (SELECT cl.doc_id, cl.cluster_id FROM cl
+              |       JOIN cs USING (cluster_id) WHERE sz >= 2),
+              |rk AS (SELECT mm.cluster_id, mm.doc_id,
+              |         row_number() OVER (PARTITION BY cluster_id
+              |           ORDER BY rank_fp DESC, doc_id) AS rk
+              |       FROM mm JOIN pr USING (doc_id)),
+              |prp AS (SELECT cluster_id, doc_id AS pr_pick FROM rk WHERE rk = 1),
+              |mp AS (SELECT cluster_id, min(doc_id) AS min_pick FROM mm GROUP BY 1)
+              |SELECT count(*) AS n_clusters_multi,
+              |  sum(CASE WHEN pr_pick = min_pick THEN 1 ELSE 0 END)::BIGINT
+              |    AS n_agree,
+              |  round(CAST(sum(CASE WHEN pr_pick = min_pick THEN 1 ELSE 0 END)
+              |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS agree_rate
+              |FROM prp JOIN mp USING (cluster_id)""".stripMargin)),
+
+    // ─── background similarity: seeded random-pair Jaccard baseline ─────
+    "q328_background_similarity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val ids = s.range(200).select(
+            pmod(Dedup.mixHash(Dedup.seededHash(31,
+              concat(lit("pair:"), $"id".cast("string"))), 0), lit(n)).as("id_a"),
+            pmod(Dedup.mixHash(Dedup.seededHash(31,
+              concat(lit("pair:"), $"id".cast("string"))), 1), lit(n)).as("id_b"))
+          .where($"id_a" =!= $"id_b")
+        val vt = docs.select($"doc_id",
+            explode(split(lower($"text"), " ")).as("t"))
+          .where($"t" =!= "").distinct()
+          .localCheckpoint(false) // both pair sides
+        val aSide = ids.join(vt.select($"doc_id".as("id_a"), $"t"), Seq("id_a"))
+          .withColumn("__ma", lit(1L))
+        val bSide = ids.join(vt.select($"doc_id".as("id_b"), $"t"), Seq("id_b"))
+          .withColumn("__mb", lit(1L))
+        aSide.join(bSide, Seq("id_a", "id_b", "t"), "full_outer")
+          .groupBy($"id_a", $"id_b")
+          .agg(count(lit(1)).as("__u"),
+            sum(when($"__ma".isNotNull && $"__mb".isNotNull, 1L).otherwise(0L))
+              .as("__x"))
+          .select(round($"__x".cast("double") / $"__u".cast("double"), 9)
+            .cast("decimal(18,9)").as("__j"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum($"__j").cast("double") / count(lit(1)).cast("double"), 6)
+              .as("mean_jaccard"),
+            round(max($"__j").cast("double"), 6).as("max_jaccard"))
+      },
+      Some {
+        val r0 = Dedup.mixRot(0); val c0 = Dedup.mixConst(0)
+        val lm0 = (1L << (60 - r0)) - 1
+        val r1 = Dedup.mixRot(1); val c1 = Dedup.mixConst(1)
+        val lm1 = (1L << (60 - r1)) - 1
+        s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |h AS (SELECT ('0x'||substr(md5('31|pair:'||CAST(i AS VARCHAR)),1,15))::BIGINT AS h0
+           |      FROM (SELECT CAST(unnest(range(200)) AS BIGINT) AS i)),
+           |ids AS (SELECT
+           |    xor(((h0 & $lm0) << $r0) | (h0 >> ${60 - r0}), CAST($c0 AS BIGINT)) % n AS id_a,
+           |    xor(((h0 & $lm1) << $r1) | (h0 >> ${60 - r1}), CAST($c1 AS BIGINT)) % n AS id_b
+           |  FROM h CROSS JOIN nn),
+           |p AS (SELECT id_a, id_b FROM ids WHERE id_a <> id_b),
+           |vt AS (SELECT DISTINCT doc_id, t FROM
+           |    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+           |     FROM documents) WHERE t <> ''),
+           |asd AS (SELECT p.id_a, p.id_b, vt.t FROM p JOIN vt ON p.id_a = vt.doc_id),
+           |bsd AS (SELECT p.id_a, p.id_b, vt.t FROM p JOIN vt ON p.id_b = vt.doc_id),
+           |uni AS (SELECT COALESCE(asd.id_a, bsd.id_a) AS id_a,
+           |          COALESCE(asd.id_b, bsd.id_b) AS id_b, count(*) AS u
+           |        FROM asd FULL OUTER JOIN bsd
+           |          ON asd.id_a = bsd.id_a AND asd.id_b = bsd.id_b AND asd.t = bsd.t
+           |        GROUP BY 1, 2),
+           |itr AS (SELECT asd.id_a, asd.id_b, count(*) AS x
+           |        FROM asd JOIN bsd
+           |          ON asd.id_a = bsd.id_a AND asd.id_b = bsd.id_b AND asd.t = bsd.t
+           |        GROUP BY 1, 2),
+           |jj AS (SELECT CAST(round(CAST(COALESCE(x, 0) AS DOUBLE) /
+           |          CAST(u AS DOUBLE), 9) AS DECIMAL(18,9)) AS j
+           |       FROM uni LEFT JOIN itr USING (id_a, id_b))
+           |SELECT count(*) AS n_pairs,
+           |  round(CAST(sum(j) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           |    AS mean_jaccard,
+           |  round(CAST(max(j) AS DOUBLE), 6) AS max_jaccard
+           |FROM jj""".stripMargin
+      }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
