@@ -86,6 +86,29 @@ object Multimodal {
         // stand-in for the frame payload: id-and-index-derived checksum
         (col("doc_id") * 1000003L + col("frame_idx")).as("frame_checksum"))
 
+  /** Ranged-read fetch plan: for each blob, the k byte ranges a remote
+    * reader should GET to sample frames WITHOUT pulling the whole blob
+    * — at 100 TB the ranged-GET plan IS the frame sampler (full-blob
+    * reads for a 1 % frame sample waste 99 % of the egress). Offsets
+    * spread evenly over [0, n_bytes − frameBytes] in pure integer
+    * arithmetic (engine-exact); blobs smaller than one frame emit a
+    * single whole-blob range. Output: (id, frame_idx, offset, length).
+    */
+  def byteRangePlan(meta: DataFrame, idCol: String, nBytesCol: String,
+      frameBytes: Long, k: Int): DataFrame = {
+    require(frameBytes > 0 && k >= 2, "frameBytes > 0, k >= 2")
+    val n = col(nBytesCol).cast("long")
+    meta.select(col(idCol), n.as("__nb"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0), lit(k.toLong - 1))).as(Seq("__p", "frame_idx")),
+        col("__nb"))
+      .select(col(idCol), col("frame_idx"),
+        when(col("__nb") <= frameBytes, lit(0L))
+          .otherwise((col("frame_idx") * (col("__nb") - frameBytes)) / (k - 1))
+          .cast("long").as("offset"),
+        least(lit(frameBytes), col("__nb")).as("length"))
+  }
+
   /** Resize plan: fit (width, height) into a `maxSide` box preserving
     * aspect ratio, computed as pure integer expressions (the real pixel
     * work belongs in the partition-batched decoder; the PLANNED output

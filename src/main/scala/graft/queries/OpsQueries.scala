@@ -7164,22 +7164,17 @@ object OpsQueries {
     "q285_diff_in_diff" -> Q(
       (s, dir) => {
         import s.implicits._
-        val ev = Tables.events(s, dir)
-        val signups = ev.filter($"event_type" === "signup")
-          .select($"user_id").distinct().withColumn("__tr", lit(true))
-        val df = ev.filter($"event_type" === "purchase")
-          .join(signups, Seq("user_id"), "left")
-          .select(coalesce($"__tr", lit(false)).as("treated"),
+        // user-PARITY arms (the q232 precedent — the signup flag covers
+        // virtually every user, leaving an empty control cell)
+        val df = Tables.events(s, dir).filter($"event_type" === "purchase")
+          .select(($"user_id" % 2 === 0).as("treated"),
             (dayofmonth($"ts".cast("timestamp")) > 15).as("post"), $"value")
         Market.diffInDiff(df, $"treated", $"post", "value")
       },
-      Some("""WITH su AS (SELECT DISTINCT user_id FROM events
-             |      WHERE event_type = 'signup'),
-             |p AS (SELECT su.user_id IS NOT NULL AS tr,
-             |        day(CAST(e.ts AS TIMESTAMP)) > 15 AS po,
-             |        CAST(e.value AS DECIMAL(18,6)) AS v
-             |      FROM events e LEFT JOIN su ON e.user_id = su.user_id
-             |      WHERE e.event_type = 'purchase'),
+      Some("""WITH p AS (SELECT user_id % 2 = 0 AS tr,
+             |        day(CAST(ts AS TIMESTAMP)) > 15 AS po,
+             |        CAST(value AS DECIMAL(18,6)) AS v
+             |      FROM events WHERE event_type = 'purchase'),
              |a AS (SELECT count(*) AS n,
              |        sum(CASE WHEN tr AND NOT po THEN v END) AS stp0,
              |        sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END)::BIGINT AS ntp0,
@@ -7304,12 +7299,10 @@ object OpsQueries {
           .withColumn("stratum",
             ntile(5).over(Window.orderBy($"__na", $"user_id")).cast("long"))
           .select($"user_id", $"stratum")
-        val signups = ev.filter($"event_type" === "signup")
-          .select($"user_id").distinct().withColumn("__tr", lit(true))
+        // user-PARITY arms (see q285): signup covers ~every user
         val df = ev.filter($"event_type" === "purchase")
           .join(strat, Seq("user_id"))
-          .join(signups, Seq("user_id"), "left")
-          .select($"stratum", coalesce($"__tr", lit(false)).as("treated"),
+          .select($"stratum", ($"user_id" % 2 === 0).as("treated"),
             $"value")
         Market.stratifiedEffect(df, $"stratum", $"treated", "value")
           .orderBy($"stratum")
@@ -7318,11 +7311,9 @@ object OpsQueries {
              |st AS (SELECT user_id,
              |        CAST(ntile(5) OVER (ORDER BY na, user_id) AS BIGINT) AS stratum
              |      FROM act),
-             |su AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
-             |p AS (SELECT st.stratum, su.user_id IS NOT NULL AS tr,
+             |p AS (SELECT st.stratum, e.user_id % 2 = 0 AS tr,
              |        CAST(e.value AS DECIMAL(18,6)) AS v
              |      FROM events e JOIN st ON e.user_id = st.user_id
-             |      LEFT JOIN su ON e.user_id = su.user_id
              |      WHERE e.event_type = 'purchase'),
              |cells AS (SELECT stratum,
              |    sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS n_treat,
@@ -7575,12 +7566,10 @@ object OpsQueries {
           .withColumn("stratum",
             ntile(5).over(Window.orderBy($"__na", $"user_id")).cast("long"))
           .select($"user_id", $"stratum")
-        val signups = ev.filter($"event_type" === "signup")
-          .select($"user_id").distinct().withColumn("__tr", lit(true))
+        // user-PARITY arms (see q285): signup covers ~every user
         val df = ev.filter($"event_type" === "purchase")
           .join(strat, Seq("user_id"))
-          .join(signups, Seq("user_id"), "left")
-          .select($"stratum", coalesce($"__tr", lit(false)).as("treated"),
+          .select($"stratum", ($"user_id" % 2 === 0).as("treated"),
             $"value")
           .localCheckpoint(false) // stratified rows + the naive 1-row
         val rows = Market.stratifiedEffect(df, $"stratum", $"treated", "value")
@@ -7601,11 +7590,9 @@ object OpsQueries {
              |st AS (SELECT user_id,
              |        CAST(ntile(5) OVER (ORDER BY na, user_id) AS BIGINT) AS stratum
              |      FROM act),
-             |su AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
-             |p AS (SELECT st.stratum, su.user_id IS NOT NULL AS tr,
+             |p AS (SELECT st.stratum, e.user_id % 2 = 0 AS tr,
              |        CAST(e.value AS DECIMAL(18,6)) AS v
              |      FROM events e JOIN st ON e.user_id = st.user_id
-             |      LEFT JOIN su ON e.user_id = su.user_id
              |      WHERE e.event_type = 'purchase'),
              |cells AS (SELECT stratum,
              |    sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS n_treat,
@@ -9031,6 +9018,263 @@ object OpsQueries {
            |    AS mean_jaccard,
            |  round(CAST(max(j) AS DOUBLE), 6) AS max_jaccard
            |FROM jj""".stripMargin
+      }),
+
+    // ─── ranged-GET frame-sampling fetch plan over blob metadata ────────
+    "q329_byte_range_plan" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val meta = Multimodal.ingestAsBinary(Tables.documents(s, dir),
+            "text", "text/plain")
+          .select($"doc_id", $"meta.n_bytes".as("n_bytes"))
+        Multimodal.byteRangePlan(meta, "doc_id", "n_bytes",
+            frameBytes = 40L, k = 4)
+          .where($"doc_id" < 30)
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |        CAST(octet_length(encode(text)) AS BIGINT) AS nb
+             |      FROM documents WHERE doc_id < 30),
+             |f AS (SELECT doc_id, nb, CAST(unnest(range(4)) AS BIGINT) AS frame_idx
+             |      FROM m)
+             |SELECT doc_id, frame_idx,
+             |  CASE WHEN nb <= 40 THEN 0
+             |    ELSE (frame_idx * (nb - 40)) // 3 END AS "offset",
+             |  least(40, nb) AS length
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ─── quantile treatment effects: signup vs control purchase values ──
+    "q330_quantile_effects" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        // user-PARITY arms (the q232 precedent): the signup flag is
+        // degenerate here — virtually every user has one
+        val p = ev.filter($"event_type" === "purchase")
+          .select(($"user_id" % 2 === 0).as("__arm"),
+            $"value".cast("decimal(18,6)").as("__v"))
+        val vc = p.groupBy($"__arm", $"__v").agg(count(lit(1)).as("__c"))
+        val cum = vc.withColumn("__cum", sum($"__c").over(
+          Window.partitionBy($"__arm").orderBy($"__v")))
+        val st = p.groupBy($"__arm").agg(count(lit(1)).as("__n"))
+        def rank(q: Double) =
+          floor(($"__n" - 1).cast("double") * lit(q)).cast("long") + 1
+        val qs = cum.join(st, "__arm")
+          .groupBy($"__arm")
+          .agg(min(when($"__cum" >= rank(0.25), $"__v")).as("q25"),
+            min(when($"__cum" >= rank(0.5), $"__v")).as("q50"),
+            min(when($"__cum" >= rank(0.75), $"__v")).as("q75"))
+          .localCheckpoint(false) // both arm slices
+        val t = qs.where($"__arm").select($"q25".as("t25"), $"q50".as("t50"),
+          $"q75".as("t75"))
+        val c = qs.where(!$"__arm").select($"q25".as("c25"), $"q50".as("c50"),
+          $"q75".as("c75"))
+        t.crossJoin(c).select(
+            explode(array(
+              struct(lit(0.25).as("quantile"),
+                $"t25".cast("double").as("treated_q"),
+                $"c25".cast("double").as("control_q")),
+              struct(lit(0.5).as("quantile"),
+                $"t50".cast("double").as("treated_q"),
+                $"c50".cast("double").as("control_q")),
+              struct(lit(0.75).as("quantile"),
+                $"t75".cast("double").as("treated_q"),
+                $"c75".cast("double").as("control_q")))).as("r"))
+          .select($"r.quantile", round($"r.treated_q", 6).as("treated_q"),
+            round($"r.control_q", 6).as("control_q"),
+            round($"r.treated_q" - $"r.control_q", 6).as("qte"))
+          .orderBy($"quantile")
+      },
+      Some("""WITH p AS (SELECT user_id % 2 = 0 AS arm,
+             |        CAST(value AS DECIMAL(18,6)) AS v
+             |      FROM events WHERE event_type = 'purchase'),
+             |vc AS (SELECT arm, v, count(*) AS c FROM p GROUP BY 1, 2),
+             |cum AS (SELECT arm, v, c,
+             |        sum(c) OVER (PARTITION BY arm ORDER BY v) AS cm FROM vc),
+             |st AS (SELECT arm, count(*) AS n FROM p GROUP BY 1),
+             |qs AS (SELECT cum.arm,
+             |    min(CASE WHEN cm >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.25) AS BIGINT) + 1
+             |        THEN v END) AS q25,
+             |    min(CASE WHEN cm >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+             |        THEN v END) AS q50,
+             |    min(CASE WHEN cm >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.75) AS BIGINT) + 1
+             |        THEN v END) AS q75
+             |  FROM cum JOIN st USING (arm) GROUP BY 1),
+             |t AS (SELECT q25 AS t25, q50 AS t50, q75 AS t75 FROM qs WHERE arm),
+             |c AS (SELECT q25 AS c25, q50 AS c50, q75 AS c75 FROM qs WHERE NOT arm),
+             |u AS (SELECT 0.25 AS quantile, CAST(t25 AS DOUBLE) AS tq,
+             |        CAST(c25 AS DOUBLE) AS cq FROM t CROSS JOIN c
+             |      UNION ALL SELECT 0.5, CAST(t50 AS DOUBLE), CAST(c50 AS DOUBLE)
+             |        FROM t CROSS JOIN c
+             |      UNION ALL SELECT 0.75, CAST(t75 AS DOUBLE), CAST(c75 AS DOUBLE)
+             |        FROM t CROSS JOIN c)
+             |SELECT quantile, round(tq, 6) AS treated_q, round(cq, 6) AS control_q,
+             |  round(tq - cq, 6) AS qte
+             |FROM u ORDER BY quantile""".stripMargin)),
+
+    // ─── competitive gap: monthly top-1 vs top-2 brand share ────────────
+    "q331_competitive_gap" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val mb = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
+          .groupBy(date_format(date_trunc("month", $"l_shipdate"), "yyyy-MM")
+            .as("month"), $"p_brand")
+          .agg(sum($"l_extendedprice".cast("decimal(18,6)")).as("__rev"))
+        val w = Window.partitionBy($"month")
+        val rk = mb
+          .withColumn("__rk", row_number().over(
+            w.orderBy($"__rev".desc, $"p_brand")))
+          .withColumn("__tot", sum($"__rev").over(w))
+        rk.where($"__rk" <= 2)
+          .groupBy($"month")
+          .agg(max(when($"__rk" === 1, $"p_brand")).as("top_brand"),
+            round((max(when($"__rk" === 1, $"__rev")) -
+              max(when($"__rk" === 2, $"__rev"))).cast("double") /
+              max($"__tot").cast("double"), 6).as("share_gap"))
+          .orderBy($"month")
+          .limit(24)
+      },
+      Some("""WITH mb AS (SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+             |        p_brand, sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+             |      FROM lineitem JOIN part ON l_partkey = p_partkey
+             |      GROUP BY 1, 2),
+             |rk AS (SELECT month, p_brand, rev,
+             |        row_number() OVER (PARTITION BY month ORDER BY rev DESC, p_brand) AS rk,
+             |        sum(rev) OVER (PARTITION BY month) AS tot FROM mb)
+             |SELECT month, max(CASE WHEN rk = 1 THEN p_brand END) AS top_brand,
+             |  round(CAST(max(CASE WHEN rk = 1 THEN rev END) -
+             |        max(CASE WHEN rk = 2 THEN rev END) AS DOUBLE) /
+             |    CAST(max(tot) AS DOUBLE), 6) AS share_gap
+             |FROM rk WHERE rk <= 2
+             |GROUP BY month ORDER BY month LIMIT 24""".stripMargin)),
+
+    // ─── session event-type signatures (behavioral basket mining) ───────
+    "q332_session_signatures" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"__us", $"event_id")
+        val sess = Tables.events(s, dir)
+          .select($"user_id", $"event_id", $"event_type",
+            unix_micros($"ts".cast("timestamp")).as("__us"))
+          .withColumn("__new",
+            when(($"__us" - lag($"__us", 1).over(w)) > 1800000000L ||
+              lag($"__us", 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("__sid", sum($"__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sess.groupBy($"user_id", $"__sid")
+          .agg(array_join(array_sort(collect_set($"event_type")), "+")
+            .as("signature"))
+          .groupBy($"signature").agg(count(lit(1)).as("n_sessions"))
+          .orderBy($"n_sessions".desc, $"signature")
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+             |m AS (SELECT user_id, us, event_id, event_type,
+             |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             |            IS NULL OR us - lag(us) OVER (PARTITION BY user_id
+             |              ORDER BY us, event_id) > 1800000000
+             |          THEN 1 ELSE 0 END AS nw
+             |      FROM e),
+             |sid AS (SELECT user_id, event_type,
+             |          sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |        FROM m),
+             |sig AS (SELECT user_id, sid,
+             |          array_to_string(list_sort(list_distinct(list(event_type))), '+')
+             |            AS signature
+             |        FROM sid GROUP BY 1, 2)
+             |SELECT signature, count(*) AS n_sessions FROM sig
+             |GROUP BY 1 ORDER BY n_sessions DESC, signature LIMIT 10"""
+        .stripMargin)),
+
+    // ─── covariate balance (SMD) between signup and control users ───────
+    "q333_covariate_balance" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        // user-PARITY arms (see q330): the signup flag covers ~every user
+        val cov = ev.groupBy($"user_id")
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            sum($"value".cast("decimal(18,6)")).as("__sv"))
+          .select(($"user_id" % 2 === 0).as("__arm"),
+            $"n_events".cast("decimal(18,6)").as("activity"),
+            $"__sv".as("total_value"))
+          .localCheckpoint(false) // both covariate passes
+        def smd(name: String, c: String) = {
+          val agg = cov.groupBy($"__arm").agg(count(lit(1)).as("__n"),
+            sum(col(c)).as("__s"),
+            sum(col(c) * col(c)).as("__s2"))
+          def d(x: org.apache.spark.sql.Column) = x.cast("double")
+          val m = d($"__s") / d($"__n")
+          val v = d($"__s2") / d($"__n") - m * m
+          val t = agg.where($"__arm")
+            .select(m.as("__mt"), v.as("__vt"))
+          val ct = agg.where(!$"__arm")
+            .select(m.as("__mc"), v.as("__vc"))
+          t.crossJoin(ct).select(lit(name).as("covariate"),
+            round($"__mt", 6).as("mean_treated"),
+            round($"__mc", 6).as("mean_control"),
+            round(($"__mt" - $"__mc") /
+              sqrt(($"__vt" + $"__vc") / lit(2.0)), 6).as("smd"))
+        }
+        smd("activity", "activity")
+          .unionByName(smd("total_value", "total_value"))
+          .orderBy($"covariate")
+      },
+      Some {
+        s"""WITH cov0 AS (SELECT e.user_id, count(*) AS n_events,
+           |        sum(CAST(e.value AS DECIMAL(18,6))) AS sv
+           |      FROM events e GROUP BY 1),
+           |cov AS (SELECT user_id % 2 = 0 AS arm,
+           |        CAST(n_events AS DECIMAL(19,6)) AS activity,
+           |        CAST(sv AS DECIMAL(19,6)) AS total_value
+           |      FROM cov0)
+           |SELECT covariate, mean_treated, mean_control, smd FROM (
+           |  SELECT 'activity' AS covariate,
+           |    round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS mean_treated,
+           |    round(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS mean_control,
+           |    round((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) -
+           |           CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) /
+           |      sqrt(((CAST(st2 AS DOUBLE) / CAST(nt AS DOUBLE) -
+           |             (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) *
+           |             (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))) +
+           |            (CAST(sc2 AS DOUBLE) / CAST(nc AS DOUBLE) -
+           |             (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) *
+           |             (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)))) / 2.0), 6) AS smd
+           |  FROM (SELECT
+           |      sum(CASE WHEN arm THEN 1 ELSE 0 END)::BIGINT AS nt,
+           |      sum(CASE WHEN arm THEN activity END) AS st,
+           |      sum(CASE WHEN arm THEN activity * activity END) AS st2,
+           |      sum(CASE WHEN NOT arm THEN 1 ELSE 0 END)::BIGINT AS nc,
+           |      sum(CASE WHEN NOT arm THEN activity END) AS sc,
+           |      sum(CASE WHEN NOT arm THEN activity * activity END) AS sc2
+           |    FROM cov)
+           |  UNION ALL
+           |  SELECT 'total_value',
+           |    round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6),
+           |    round(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE), 6),
+           |    round((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) -
+           |           CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) /
+           |      sqrt(((CAST(st2 AS DOUBLE) / CAST(nt AS DOUBLE) -
+           |             (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) *
+           |             (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))) +
+           |            (CAST(sc2 AS DOUBLE) / CAST(nc AS DOUBLE) -
+           |             (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) *
+           |             (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)))) / 2.0), 6)
+           |  FROM (SELECT
+           |      sum(CASE WHEN arm THEN 1 ELSE 0 END)::BIGINT AS nt,
+           |      sum(CASE WHEN arm THEN total_value END) AS st,
+           |      sum(CASE WHEN arm THEN total_value * total_value END) AS st2,
+           |      sum(CASE WHEN NOT arm THEN 1 ELSE 0 END)::BIGINT AS nc,
+           |      sum(CASE WHEN NOT arm THEN total_value END) AS sc,
+           |      sum(CASE WHEN NOT arm THEN total_value * total_value END) AS sc2
+           |    FROM cov))
+           |ORDER BY covariate""".stripMargin
       }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
