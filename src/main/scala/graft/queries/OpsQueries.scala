@@ -9275,7 +9275,253 @@ object OpsQueries {
            |      sum(CASE WHEN NOT arm THEN total_value * total_value END) AS sc2
            |    FROM cov))
            |ORDER BY covariate""".stripMargin
-      }))
+      }),
+
+    // ─── IVF index balance: cell-size health of the literal codebook ────
+    "q334_ivf_balance" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter($"vec_id" < 16)
+          .select($"vec_id", $"embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        val cells = emb
+          .select(Similarity.ivfCell($"embedding", centroids).as("__cell"))
+          .groupBy($"__cell").agg(count(lit(1)).as("__n"))
+        cells.agg(sum($"__n").as("__tot"), count(lit(1)).as("n_cells_used"),
+            max($"__n").as("max_cell"))
+          .select($"__tot".cast("long").as("n_vectors"), $"n_cells_used",
+            $"max_cell",
+            (lit(16L) - $"n_cells_used").as("n_empty"),
+            round($"max_cell".cast("double") /
+              ($"__tot".cast("double") / 16.0), 6).as("balance_ratio"))
+      },
+      Some {
+        val cos =
+          s"""list_reduce(list_transform(list_zip(e.embedding, c.cv), x -> x[1]::DOUBLE * x[2]::DOUBLE), (p,q) -> p+q) /
+             |  (sqrt(list_reduce(list_transform(e.embedding, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)) *
+             |   sqrt(list_reduce(list_transform(c.cv, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)))""".stripMargin
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           |           WHERE vec_id < 16),
+           |cs AS (SELECT e.vec_id, c.cid, $cos AS csim
+           |       FROM embeddings e CROSS JOIN c),
+           |assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+           |  FROM cs) WHERE rn = 1),
+           |g AS (SELECT cid, count(*) AS n FROM assign GROUP BY 1)
+           |SELECT sum(n)::BIGINT AS n_vectors, count(*) AS n_cells_used,
+           |  max(n) AS max_cell, (16 - count(*))::BIGINT AS n_empty,
+           |  round(CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / 16.0), 6)
+           |    AS balance_ratio
+           |FROM g""".stripMargin
+      }),
+
+    // ─── Heaps-law vocabulary-growth exponent (log-log OLS) ─────────────
+    "q335_heaps_fit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val perDoc = docs.select($"doc_id",
+          size(split(lower($"text"), " ")).cast("long").as("__nt"))
+        val firstOcc = docs
+          .select($"doc_id", explode(array_distinct(
+            split(lower($"text"), " "))).as("__w"))
+          .where($"__w" =!= "")
+          .groupBy($"__w").agg(min($"doc_id").as("__d0"))
+          .groupBy($"__d0".as("doc_id")).agg(count(lit(1)).as("__new"))
+        val w = Window.orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pts = perDoc.join(firstOcc, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("__new"))
+          .withColumn("__N", sum($"__nt").over(w))
+          .withColumn("__V", sum($"__new").over(w))
+          .where($"__N" > 0 && $"__V" > 0)
+          .select(round(log($"__N".cast("double")), 9)
+            .cast("decimal(12,9)").as("__x"),
+            round(log($"__V".cast("double")), 9)
+              .cast("decimal(12,9)").as("__y"))
+        val agg = pts.agg(count(lit(1)).as("n_points"),
+          sum($"__x").as("__sx"), sum($"__y").as("__sy"),
+          sum($"__x" * $"__y").as("__sxy"), sum($"__x" * $"__x").as("__sxx"))
+        def d(c: String) = col(c).cast("double")
+        val nD = $"n_points".cast("double")
+        val beta = (nD * d("__sxy") - d("__sx") * d("__sy")) /
+          (nD * d("__sxx") - d("__sx") * d("__sx"))
+        agg.select($"n_points", round(beta, 6).as("beta"),
+          round(exp((d("__sy") - beta * d("__sx")) / nD), 6).as("k_coef"))
+      },
+      Some("""WITH pd AS (SELECT doc_id,
+             |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+             |      FROM documents),
+             |fo AS (SELECT d0 AS doc_id, count(*) AS nw FROM
+             |         (SELECT w, min(doc_id) AS d0 FROM
+             |            (SELECT doc_id, unnest(list_distinct(
+             |               string_split(lower(text), ' '))) AS w FROM documents)
+             |          WHERE w <> '' GROUP BY 1)
+             |       GROUP BY 1),
+             |pts AS (SELECT
+             |    CAST(round(ln(CAST(sum(nt) OVER (ORDER BY pd.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 9)
+             |      AS DECIMAL(12,9)) AS x,
+             |    CAST(round(ln(CAST(sum(COALESCE(nw, 0)) OVER (ORDER BY pd.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 9)
+             |      AS DECIMAL(12,9)) AS y,
+             |    sum(nt) OVER (ORDER BY pd.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+             |    sum(COALESCE(nw, 0)) OVER (ORDER BY pd.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv
+             |  FROM pd LEFT JOIN fo USING (doc_id)),
+             |f AS (SELECT x, y FROM pts WHERE nn > 0 AND vv > 0),
+             |a AS (SELECT count(*) AS n_points, sum(x) AS sx, sum(y) AS sy,
+             |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM f)
+             |SELECT n_points,
+             |  round((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |        (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
+             |  round(exp((CAST(sy AS DOUBLE) -
+             |    ((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |     (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+             |    / CAST(n_points AS DOUBLE)), 6) AS k_coef
+             |FROM a""".stripMargin)),
+
+    // ─── bootstrap rank stability of the brand top-5 ────────────────────
+    "q336_rank_stability" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
+          .select($"p_brand",
+            $"l_extendedprice".cast("decimal(18,6)").as("__v"),
+            Dedup.seededHash(55, concat($"l_orderkey".cast("string"),
+              lit("_"), $"l_linenumber".cast("string"))).as("__h0"))
+        val drawn = li.select($"p_brand", $"__v",
+            posexplode(array((0 until 8).map(j =>
+              Dedup.mixHash($"__h0", j)): _*)).as(Seq("__b", "__h")))
+          .withColumn("__u",
+            $"__h".cast("double") / lit(1152921504606846976.0))
+          .withColumn("__k",
+            when($"__u" < 0.367879441171, 0).when($"__u" < 0.735758882343, 1)
+              .when($"__u" < 0.919698602929, 2).otherwise(3))
+        val ranked = drawn.groupBy($"__b", $"p_brand")
+          .agg(sum($"__v" * $"__k").as("__rev"))
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy($"__b").orderBy($"__rev".desc, $"p_brand")))
+        ranked.where($"__rk" <= 5)
+          .groupBy($"p_brand").agg(count(lit(1)).as("n_in_top5"))
+          .select($"p_brand", $"n_in_top5",
+            round($"n_in_top5".cast("double") / 8.0, 6).as("stability"))
+          .orderBy($"stability".desc, $"p_brand")
+          .limit(10)
+      },
+      Some {
+        val seeds = (0 until 8).map { j =>
+          val r = Dedup.mixRot(j); val c = Dedup.mixConst(j)
+          val lm = (1L << (60 - r)) - 1
+          s"($j, $r, CAST($lm AS BIGINT), CAST($c AS BIGINT))"
+        }.mkString(",\n    ")
+        s"""WITH li AS (SELECT p.p_brand,
+           |    CAST(l.l_extendedprice AS DECIMAL(18,6)) AS v,
+           |    ('0x'||substr(md5('55|'||CAST(l.l_orderkey AS VARCHAR)||'_'||
+           |      CAST(l.l_linenumber AS VARCHAR)),1,15))::BIGINT AS h0
+           |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+           |sd AS (SELECT * FROM (VALUES
+           |    $seeds) vv(b, rt, lm, ct)),
+           |drawn AS (SELECT p_brand, v, b,
+           |    xor(((h0 & lm) << rt) | (h0 >> (60 - rt)), ct)
+           |      / 1152921504606846976.0 AS u
+           |  FROM li CROSS JOIN sd),
+           |kk AS (SELECT p_brand, v, b, CASE
+           |    WHEN u < 0.367879441171 THEN 0 WHEN u < 0.735758882343 THEN 1
+           |    WHEN u < 0.919698602929 THEN 2 ELSE 3 END AS k FROM drawn),
+           |rev AS (SELECT b, p_brand, sum(v * k) AS rev FROM kk GROUP BY 1, 2),
+           |rk AS (SELECT b, p_brand,
+           |         row_number() OVER (PARTITION BY b ORDER BY rev DESC, p_brand) AS rk
+           |       FROM rev)
+           |SELECT p_brand, count(*) AS n_in_top5,
+           |  round(CAST(count(*) AS DOUBLE) / 8.0, 6) AS stability
+           |FROM rk WHERE rk <= 5 GROUP BY 1
+           |ORDER BY stability DESC, p_brand LIMIT 10""".stripMargin
+      }),
+
+    // ─── storage encoding advisor: NDV-ratio-based suggestions ──────────
+    "q337_encoding_advisor" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        def advise(c: String) = Tables.lineitem(s, dir)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(c)).as("ndv"))
+          .select(lit(c).as("column"), $"n_rows", $"ndv",
+            round($"ndv".cast("double") / $"n_rows".cast("double"), 6)
+              .as("ndv_ratio"),
+            when($"ndv" < 100, "rle+dictionary")
+              .when($"ndv".cast("double") / $"n_rows".cast("double") < 0.05,
+                "dictionary")
+              .otherwise("plain").as("suggestion"))
+        Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+            "l_partkey", "l_extendedprice")
+          .map(advise).reduce(_ unionByName _)
+          .orderBy($"column")
+      },
+      Some {
+        def advise(c: String) =
+          s"""SELECT '$c' AS "column", count(*) AS n_rows,
+             |  count(DISTINCT $c) AS ndv,
+             |  round(CAST(count(DISTINCT $c) AS DOUBLE) /
+             |        CAST(count(*) AS DOUBLE), 6) AS ndv_ratio,
+             |  CASE WHEN count(DISTINCT $c) < 100 THEN 'rle+dictionary'
+             |    WHEN CAST(count(DISTINCT $c) AS DOUBLE) /
+             |         CAST(count(*) AS DOUBLE) < 0.05 THEN 'dictionary'
+             |    ELSE 'plain' END AS suggestion
+             |FROM lineitem""".stripMargin
+        Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+          "l_partkey", "l_extendedprice")
+          .map(advise).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      }),
+
+    // ─── regression to the mean: 1995 deciles' mean revenue in 2000 ─────
+    "q338_mean_reversion" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        def yearRev(yr: Int) = Tables.orders(s, dir)
+          .filter(year($"o_orderdate") === yr)
+          .groupBy($"o_custkey")
+          .agg(sum($"o_totalprice".cast("decimal(18,6)")).as(s"__r$yr"))
+        val d95 = yearRev(1995)
+          .withColumn("d_from",
+            ntile(10).over(Window.orderBy($"__r1995", $"o_custkey"))
+              .cast("long"))
+        d95.join(yearRev(2000), "o_custkey")
+          .groupBy($"d_from")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum($"__r1995").cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_rev_1995"),
+            round(sum($"__r2000").cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_rev_2000"))
+          .orderBy($"d_from")
+      },
+      Some("""WITH a AS (SELECT o_custkey,
+             |        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS r95
+             |      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+             |b AS (SELECT o_custkey,
+             |        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS r00
+             |      FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1),
+             |d AS (SELECT o_custkey, r95,
+             |        CAST(ntile(10) OVER (ORDER BY r95, o_custkey) AS BIGINT) AS d_from
+             |      FROM a)
+             |SELECT d_from, count(*) AS n_customers,
+             |  round(CAST(sum(r95) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS mean_rev_1995,
+             |  round(CAST(sum(r00) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS mean_rev_2000
+             |FROM d JOIN b USING (o_custkey)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
