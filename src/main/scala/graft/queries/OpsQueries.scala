@@ -9521,7 +9521,161 @@ object OpsQueries {
              |  round(CAST(sum(r00) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
              |    AS mean_rev_2000
              |FROM d JOIN b USING (o_custkey)
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── lines-per-order distribution (fact fan-out profile) ────────────
+    "q339_order_size_dist" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val per = Tables.lineitem(s, dir).groupBy($"l_orderkey")
+          .agg(count(lit(1)).as("__n"))
+        val g = per.groupBy($"__n".as("n_lines"))
+          .agg(count(lit(1)).as("n_orders"))
+        g.withColumn("__tot", sum($"n_orders").over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select($"n_lines", $"n_orders",
+            round($"n_orders".cast("double") / $"__tot".cast("double"), 6)
+              .as("share"))
+          .orderBy($"n_lines")
+      },
+      Some("""WITH per AS (SELECT l_orderkey, count(*) AS n FROM lineitem
+             |      GROUP BY 1),
+             |g AS (SELECT n AS n_lines, count(*) AS n_orders FROM per GROUP BY 1),
+             |t AS (SELECT sum(n_orders) AS tot FROM g)
+             |SELECT n_lines, n_orders,
+             |  round(CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+             |FROM g CROSS JOIN t ORDER BY n_lines""".stripMargin)),
+
+    // ─── region → nation revenue rollup with share-of-region ────────────
+    "q340_region_rollup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+          .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+          .join(Tables.region(s, dir), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("__rev"))
+        rev.withColumn("__rtot",
+            sum($"__rev").over(Window.partitionBy($"r_name")))
+          .select($"r_name", $"n_name",
+            round($"__rev".cast("double"), 6).as("revenue"),
+            round($"__rev".cast("double") / $"__rtot".cast("double"), 6)
+              .as("share_of_region"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""WITH rev AS (SELECT r.r_name, n.n_name,
+             |        sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+             |      FROM orders o
+             |      JOIN customer c ON o.o_custkey = c.c_custkey
+             |      JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |      JOIN region r ON n.n_regionkey = r.r_regionkey
+             |      GROUP BY 1, 2),
+             |w AS (SELECT r_name, n_name, rev,
+             |        sum(rev) OVER (PARTITION BY r_name) AS rtot FROM rev)
+             |SELECT r_name, n_name, round(CAST(rev AS DOUBLE), 6) AS revenue,
+             |  round(CAST(rev AS DOUBLE) / CAST(rtot AS DOUBLE), 6)
+             |    AS share_of_region
+             |FROM w ORDER BY r_name, n_name""".stripMargin)),
+
+    // ─── bipartite sourcing degrees: parts/supplier and suppliers/part ──
+    "q341_sourcing_degrees" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        def side(name: String, key: String, other: String) = {
+          val d = Tables.lineitem(s, dir)
+            .select(col(key), col(other)).distinct()
+            .groupBy(col(key)).agg(count(lit(1)).as("__d"))
+          d.agg(count(lit(1)).as("n_entities"),
+              round(sum($"__d").cast("double") / count(lit(1)).cast("double"), 6)
+                .as("mean_degree"),
+              max($"__d").as("max_degree"))
+            .select(lit(name).as("side"), $"n_entities", $"mean_degree",
+              $"max_degree")
+        }
+        side("parts_per_supplier", "l_suppkey", "l_partkey")
+          .unionByName(side("suppliers_per_part", "l_partkey", "l_suppkey"))
+          .orderBy($"side")
+      },
+      Some {
+        def side(name: String, key: String, other: String) =
+          s"""SELECT '$name' AS side, count(*) AS n_entities,
+             |  round(CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS mean_degree,
+             |  max(d) AS max_degree
+             |FROM (SELECT $key, count(*) AS d FROM
+             |        (SELECT DISTINCT $key, $other FROM lineitem)
+             |      GROUP BY 1)""".stripMargin
+        Seq(side("parts_per_supplier", "l_suppkey", "l_partkey"),
+          side("suppliers_per_part", "l_partkey", "l_suppkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY side")
+      }),
+
+    // ─── first-touch-weekday cohorts: size + purchase conversion ────────
+    "q342_dow_cohorts" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val first = ev.groupBy($"user_id")
+          .agg(min(unix_micros($"ts".cast("timestamp"))).as("__f"))
+          .select($"user_id",
+            pmod(($"__f" / lit(86400000000L)).cast("long") + 4, lit(7L))
+              .as("dow"))
+        val buyers = ev.filter($"event_type" === "purchase")
+          .select($"user_id").distinct().withColumn("__b", lit(true))
+        first.join(buyers, Seq("user_id"), "left")
+          .groupBy($"dow")
+          .agg(count(lit(1)).as("n_users"),
+            sum(when($"__b", 1L).otherwise(0L)).as("n_buyers"))
+          .select($"dow", $"n_users", $"n_buyers",
+            round($"n_buyers".cast("double") / $"n_users".cast("double"), 6)
+              .as("purchase_rate"))
+          .orderBy($"dow")
+      },
+      Some("""WITH f AS (SELECT user_id,
+             |        min(epoch_us(CAST(ts AS TIMESTAMP))) AS fus
+             |      FROM events GROUP BY 1),
+             |d AS (SELECT user_id, (fus // 86400000000 + 4) % 7 AS dow FROM f),
+             |b AS (SELECT DISTINCT user_id FROM events
+             |      WHERE event_type = 'purchase')
+             |SELECT dow, count(*) AS n_users,
+             |  sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_buyers,
+             |  round(CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS purchase_rate
+             |FROM d LEFT JOIN b USING (user_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── discount-band revenue analysis ─────────────────────────────────
+    "q343_discount_bands" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.lineitem(s, dir)
+          .groupBy((floor($"l_discount".cast("double") * 100 / 2) * 2)
+            .cast("long").as("discount_band_pct"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum($"l_extendedprice".cast("decimal(18,6)")).as("__rev"))
+        g.withColumn("__tot", sum($"__rev").over(Window.partitionBy()))
+          .select($"discount_band_pct", $"n_lines",
+            round($"__rev".cast("double"), 6).as("revenue"),
+            round($"__rev".cast("double") / $"__tot".cast("double"), 6)
+              .as("revenue_share"))
+          .orderBy($"discount_band_pct")
+      },
+      Some("""WITH g AS (SELECT
+             |    CAST(floor(CAST(l_discount AS DOUBLE) * 100 / 2) * 2 AS BIGINT)
+             |      AS discount_band_pct,
+             |    count(*) AS n_lines,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT sum(rev) AS tot FROM g)
+             |SELECT discount_band_pct, n_lines,
+             |  round(CAST(rev AS DOUBLE), 6) AS revenue,
+             |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             |    AS revenue_share
+             |FROM g CROSS JOIN t ORDER BY discount_band_pct""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
