@@ -9675,7 +9675,93 @@ object OpsQueries {
              |  round(CAST(rev AS DOUBLE), 6) AS revenue,
              |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
              |    AS revenue_share
-             |FROM g CROSS JOIN t ORDER BY discount_band_pct""".stripMargin)))
+             |FROM g CROSS JOIN t ORDER BY discount_band_pct""".stripMargin)),
+
+    // ─── quality-filter length bias: keep-rate by length decile ─────────
+    "q344_keep_by_length" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars",
+          TextStats.qualityKeep($"text", Seq("the", "a")).as("__keep"))
+        docs.withColumn("decile",
+            ntile(10).over(Window.orderBy($"n_chars", $"doc_id")).cast("long"))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"__keep", 1L).otherwise(0L)).as("n_keep"))
+          .select($"decile", $"n_docs", $"n_keep",
+            round($"n_keep".cast("double") / $"n_docs".cast("double"), 6)
+              .as("keep_rate"))
+          .orderBy($"decile")
+      },
+      Some("""WITH m AS (SELECT doc_id, n_chars,
+             |  (CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER)
+             |     BETWEEN 20 AND 100000) AND
+             |  (list_sum(list_transform(regexp_split_to_array(text, '\s+'),
+             |     t -> length(t)))::DOUBLE
+             |   / len(regexp_split_to_array(text, '\s+')) BETWEEN 3.0 AND 10.0) AND
+             |  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |     t -> list_contains(['the','a'], t)))::DOUBLE
+             |   / len(regexp_split_to_array(lower(text), '\s+')) >= 0.01 AND
+             |  (CASE WHEN len(string_split(lower(text), ' ')) > 0
+             |     THEN 1.0::DOUBLE - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+             |          / len(string_split(lower(text), ' '))
+             |     ELSE 0.0::DOUBLE END) <= 0.6 AS keep
+             |FROM documents),
+             |d AS (SELECT keep,
+             |        CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             |          AS decile
+             |      FROM m)
+             |SELECT decile, count(*) AS n_docs,
+             |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+             |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) /
+             |        CAST(count(*) AS DOUBLE), 6) AS keep_rate
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── repurchase cycle: median inter-order gap per market segment ────
+    "q345_repurchase_cycle" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        val gaps = Tables.orders(s, dir)
+          .withColumn("__g",
+            datediff($"o_orderdate", lag($"o_orderdate", 1).over(w))
+              .cast("long"))
+          .where($"__g".isNotNull)
+          .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+          .select($"c_mktsegment".as("segment"), $"__g")
+        val vc = gaps.groupBy($"segment", $"__g").agg(count(lit(1)).as("__c"))
+        val cum = vc.withColumn("__cum", sum($"__c").over(
+          Window.partitionBy($"segment").orderBy($"__g")))
+        val st = gaps.groupBy($"segment").agg(count(lit(1)).as("__n"))
+        cum.join(st, "segment")
+          .groupBy($"segment", $"__n")
+          .agg(min(when($"__cum" >=
+            floor(($"__n" - 1).cast("double") * 0.5).cast("long") + 1, $"__g"))
+            .as("median_gap_days"))
+          .select($"segment", $"__n".as("n_gaps"), $"median_gap_days")
+          .orderBy($"segment")
+      },
+      Some("""WITH g0 AS (SELECT o_custkey, o_orderdate, o_orderkey,
+             |        lag(o_orderdate) OVER (PARTITION BY o_custkey
+             |          ORDER BY o_orderdate, o_orderkey) AS prev
+             |      FROM orders),
+             |gaps AS (SELECT c.c_mktsegment AS segment,
+             |        datediff('day', CAST(prev AS DATE),
+             |          CAST(o_orderdate AS DATE)) AS g
+             |      FROM g0 JOIN customer c ON g0.o_custkey = c.c_custkey
+             |      WHERE prev IS NOT NULL),
+             |vc AS (SELECT segment, g, count(*) AS c FROM gaps GROUP BY 1, 2),
+             |cum AS (SELECT segment, g, c,
+             |        sum(c) OVER (PARTITION BY segment ORDER BY g) AS cm FROM vc),
+             |st AS (SELECT segment, count(*) AS n FROM gaps GROUP BY 1)
+             |SELECT cum.segment, max(n) AS n_gaps,
+             |  min(CASE WHEN cm >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
+             |      THEN g END) AS median_gap_days
+             |FROM cum JOIN st USING (segment)
+             |GROUP BY cum.segment ORDER BY segment""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
