@@ -9761,7 +9761,64 @@ object OpsQueries {
              |  min(CASE WHEN cm >= CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1
              |      THEN g END) AS median_gap_days
              |FROM cum JOIN st USING (segment)
-             |GROUP BY cum.segment ORDER BY segment""".stripMargin)))
+             |GROUP BY cum.segment ORDER BY segment""".stripMargin)),
+
+    // ─── hourly activity profile with peak-hour flag ────────────────────
+    "q346_hourly_profile" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.events(s, dir)
+          .groupBy(pmod((unix_micros($"ts".cast("timestamp")) /
+            lit(3600000000L)).cast("long"), lit(24L)).as("hour_utc"))
+          .agg(count(lit(1)).as("n_events"))
+        g.withColumn("__tot", sum($"n_events").over(Window.partitionBy()))
+          .withColumn("__mx", max($"n_events").over(Window.partitionBy()))
+          .select($"hour_utc", $"n_events",
+            round($"n_events".cast("double") / $"__tot".cast("double"), 6)
+              .as("share"),
+            ($"n_events" === $"__mx").as("is_peak"))
+          .orderBy($"hour_utc")
+      },
+      Some("""WITH g AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+             |        AS hour_utc, count(*) AS n_events
+             |      FROM events GROUP BY 1),
+             |t AS (SELECT sum(n_events) AS tot, max(n_events) AS mx FROM g)
+             |SELECT hour_utc, n_events,
+             |  round(CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+             |  n_events = mx AS is_peak
+             |FROM g CROSS JOIN t ORDER BY hour_utc""".stripMargin)),
+
+    // ─── supplier-side nation revenue shares (q340's supply mirror) ─────
+    "q347_supplier_nations" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.lineitem(s, dir)
+          .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
+          .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n_lines"),
+            sum($"l_extendedprice".cast("decimal(18,6)")).as("__rev"))
+        rev.withColumn("__tot", sum($"__rev").over(Window.partitionBy()))
+          .select($"n_name", $"n_lines",
+            round($"__rev".cast("double"), 6).as("revenue"),
+            round($"__rev".cast("double") / $"__tot".cast("double"), 6)
+              .as("share"))
+          .orderBy($"share".desc, $"n_name")
+          .limit(15)
+      },
+      Some("""WITH rev AS (SELECT n.n_name, count(*) AS n_lines,
+             |        sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS rev
+             |      FROM lineitem l
+             |      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |      JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |      GROUP BY 1),
+             |t AS (SELECT sum(rev) AS tot FROM rev)
+             |SELECT n_name, n_lines, round(CAST(rev AS DOUBLE), 6) AS revenue,
+             |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+             |FROM rev CROSS JOIN t
+             |ORDER BY share DESC, n_name LIMIT 15""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
