@@ -426,4 +426,56 @@ object Market {
         round((col("__wb") - col("__wa")) * col("__ma"), 6).as("mix_contrib"),
         round(col("__wb") * (col("__mb") - col("__ma")), 6).as("within_contrib"))
   }
+
+  /** Theil T inequality index with exact within/between-group
+    * decomposition (Theil 1967) — the additive counterpart of [[gini]]:
+    * T = Σᵢ (xᵢ/S)·ln(xᵢ/μ) splits as
+    * T = Σ_g s_g·T_g  +  Σ_g s_g·ln(μ_g/μ)   (within + between),
+    * with s_g the group's value share. Requires strictly positive
+    * values (enforced by filter).
+    *
+    * Float discipline (the q151/mutualInformation contribution
+    * pattern): per-row and per-group ln terms are rounded to 9 dp and
+    * summed as DECIMAL, so both totals are partition-order-independent
+    * and engine-exact; divisions run on doubles cast from exact
+    * DECIMAL sums.
+    *
+    * Scale shape: ONE group aggregate for (n_g, S_g), one map-only
+    * per-row term pass joined to the group table (AQE broadcast — the
+    * group table is group-sized), ONE decimal term aggregate. Output:
+    * 1 row (n, n_groups, theil_total, theil_within, theil_between). */
+  def theilDecompose(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("decimal(18,6)").as("__x"))
+      .where(col("__x") > 0)
+    val grp = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__x")).as("__sg"))
+      .localCheckpoint(false) // consumers: totals, between terms, row join
+    val tot = grp.agg(sum(col("__ng")).as("__n"), sum(col("__sg")).as("__s"))
+    def d(c: Column) = c.cast("double")
+    // Σ_g s_g·T_g = Σ_g s_g · Σ_{i∈g} (x/S_g)·ln(x·n_g/S_g)
+    //             = Σ rows (x/S)·ln(x·n_g/S_g) — s_g folds into the row,
+    // so the within AND total terms come out of ONE row-level pass.
+    val rowSums = rows.join(grp, "__g").crossJoin(tot)
+      .select(
+        round((d(col("__x")) / d(col("__s"))) *
+            log(d(col("__x")) * d(col("__ng")) / d(col("__sg"))), 9)
+          .cast("decimal(18,9)").as("__tw"),
+        round((d(col("__x")) / d(col("__s"))) *
+            log(d(col("__x")) * d(col("__n")) / d(col("__s"))), 9)
+          .cast("decimal(18,9)").as("__tt"))
+      .agg(sum(col("__tw")).as("__w"), sum(col("__tt")).as("__t"))
+    val between = grp.crossJoin(tot)
+      .select(round((d(col("__sg")) / d(col("__s"))) *
+          log((d(col("__sg")) / d(col("__ng"))) /
+            (d(col("__s")) / d(col("__n")))), 9)
+        .cast("decimal(18,9)").as("__t"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("__t")).as("__b"))
+    tot.crossJoin(rowSums).crossJoin(between)
+      .select(col("__n").as("n"), col("n_groups"),
+        round(col("__t").cast("double"), 6).as("theil_total"),
+        round(col("__w").cast("double"), 6).as("theil_within"),
+        round(col("__b").cast("double"), 6).as("theil_between"))
+  }
 }

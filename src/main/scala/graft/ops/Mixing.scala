@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset mixing: replicate each document per its source's epoch weight
@@ -380,5 +381,49 @@ object Mixing {
           pmod(Dedup.mixHash(col("__h0"), j), lit(n))): _*))
           .as(Seq("j", "neg_id")))
       .withColumn("is_self", col("neg_id") === col("doc_id"))
+  }
+
+  /** Neyman-optimal stratified sample allocation (Neyman 1934; the
+    * survey-sampling counterpart of proportional `stratifiedKeep`):
+    * given a total budget `nTotal`, stratum h gets
+    * n_h ∝ N_h·S_h (population size × population std dev), which
+    * minimises the variance of the stratified mean estimator. Integer
+    * totals are made exact by largest-remainder apportionment (floor
+    * everything, then hand out the leftover units by fractional
+    * remainder, ties on the stratum key) so Σ n_h == nTotal always.
+    *
+    * Scale shape: ONE partial-combining aggregate over the fact table
+    * carrying exact DECIMAL (Σx, Σx²) per stratum — std dev is computed
+    * from those on the stratum-sized table, as is the apportionment
+    * window. Output: (stratum, n_pop, sd, n_alloc), sd rounded 6. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      nTotal: Int): DataFrame = {
+    val st = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("__s1"),
+        sum((col(valueCol).cast("decimal(18,6)") *
+          col(valueCol).cast("decimal(18,6)")).cast("decimal(38,12)"))
+          .as("__s2"))
+      .select(col("stratum"), col("n_pop"),
+        sqrt(greatest(lit(0.0),
+          col("__s2").cast("double") / col("n_pop").cast("double") -
+          (col("__s1").cast("double") / col("n_pop").cast("double")) *
+          (col("__s1").cast("double") / col("n_pop").cast("double"))))
+          .as("__sd"))
+    val weighted = st.withColumn("__w",
+        col("n_pop").cast("double") * col("__sd"))
+      .withColumn("__wtot",
+        sum(round(col("__w"), 6).cast("decimal(28,6)"))
+          .over(Window.partitionBy()).cast("double"))
+      .withColumn("__raw", lit(nTotal.toDouble) * col("__w") / col("__wtot"))
+      .withColumn("__base", floor(col("__raw")).cast("long"))
+      .withColumn("__left",
+        lit(nTotal.toLong) - sum(col("__base")).over(Window.partitionBy()))
+      .withColumn("__rk", row_number().over(Window.orderBy(
+        (col("__raw") - col("__base").cast("double")).desc, col("stratum"))))
+    weighted.select(col("stratum"), col("n_pop"),
+      round(col("__sd"), 6).as("sd"),
+      (col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+        .as("n_alloc"))
   }
 }

@@ -763,4 +763,54 @@ object Profile {
         round(sum(col("__t")).cast("double"), 6).as("mi_nats"))
       .select(col("n"), col("n_cells"), col("mi_nats"))
   }
+
+  /** Range predicate spec for [[zonemapAudit]]: keep rows where
+    * `field` (cast to double) lies in [lo, hi]; `None` = unbounded.
+    * A zone is PRUNABLE when its [min,max] envelope provably misses
+    * the interval — exactly the parquet row-group / ORC stripe /
+    * Delta-file-stats skipping decision. */
+  final case class ZonePred(label: String, field: String,
+    lo: Option[Double], hi: Option[Double])
+
+  /** Zone-map (data-skipping) effectiveness audit: bucket the fact table
+    * into storage-unit proxies by `zoneKey` (e.g. orderkey ⫽ rowsPerGroup
+    * — the write order a sorted/clustered table would have), collect each
+    * zone's min/max envelope per referenced column, then score every
+    * candidate predicate by how many zones (and rows) its envelope test
+    * skips. This is the audit that decides Z-ORDER / sort-key choices
+    * before rewriting 100 TB of files.
+    *
+    * Scale shape: ONE zone-keyed partial-combining aggregate over the
+    * fact (min/max/count — algebraic, map-side combined); the per-
+    * predicate scoring explodes a LITERAL predicate array over the
+    * zone-sized stats table. Nothing after the first aggregate is
+    * data-scaled. Output per predicate:
+    * (pred, n_zones, zones_pruned, rows_skipped, skip_ratio). */
+  def zonemapAudit(df: DataFrame, zoneKey: Column,
+      preds: Seq[ZonePred]): DataFrame = {
+    require(preds.nonEmpty && preds.forall(p => p.lo.nonEmpty || p.hi.nonEmpty),
+      "each ZonePred needs at least one bound")
+    val cols = preds.map(_.field).distinct
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    val zones = df.groupBy(zoneKey.as("__zone"))
+      .agg(aggs.head, aggs.tail: _*)
+    val predRows = preds.map { p =>
+      val pruned = p.lo.map(v => col(s"__mx_${p.field}") < lit(v))
+        .toSeq ++ p.hi.map(v => col(s"__mn_${p.field}") > lit(v)).toSeq
+      struct(lit(p.label).as("pred"),
+        pruned.reduce(_ || _).as("__pruned"))
+    }
+    zones.select(col("__n"), explode(array(predRows: _*)).as("__p"))
+      .groupBy(col("__p.pred").as("pred"))
+      .agg(count(lit(1)).as("n_zones"),
+        sum(when(col("__p.__pruned"), 1L).otherwise(0L)).as("zones_pruned"),
+        sum(when(col("__p.__pruned"), col("__n")).otherwise(0L))
+          .as("rows_skipped"),
+        round(sum(when(col("__p.__pruned"), col("__n")).otherwise(0L))
+            .cast("double") / sum(col("__n")).cast("double"), 6)
+          .as("skip_ratio"))
+  }
 }

@@ -1374,4 +1374,114 @@ object TextStats {
           (col("__sa") + col("__sb") - col("n_inter")).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** Chao1 species-richness estimate of the vocabulary (Chao 1984,
+    * public literature) with Good–Turing coverage: per group,
+    *   chao1 = D + f1·(f1−1) / (2·(f2+1))   (bias-corrected form)
+    *   coverage = 1 − f1/N                   (Good–Turing)
+    * where D = observed distinct tokens, f1/f2 = singleton/doubleton
+    * counts, N = token instances. The "how much vocabulary have we NOT
+    * seen yet" gauge that tells a crawl whether more data still buys
+    * new tokens — the forward-looking sibling of the Heaps-law fit
+    * (q335) and vocab-health ledger (q283).
+    *
+    * Scale shape: ONE (group, token) partial-combining count, then a
+    * group-sized counts-of-counts aggregate; integers until the final
+    * two ratios. Output: (group, n_tokens, d_obs, f1, f2, chao1,
+    * coverage) — chao1/coverage rounded 6. */
+  def chao1Richness(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tc = df.select(col(groupCol).as("group"),
+        explode(split(lower(col(textCol)), " ")).as("__t"))
+      .where(col("__t") =!= "")
+      .groupBy(col("group"), col("__t")).agg(count(lit(1)).as("__c"))
+    tc.groupBy(col("group"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("d_obs"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("group"), col("n_tokens"), col("d_obs"), col("f1"), col("f2"),
+        round(col("d_obs").cast("double") +
+          col("f1").cast("double") * (col("f1") - 1).cast("double") /
+            (lit(2.0) * (col("f2") + 1).cast("double")), 6).as("chao1"),
+        round(lit(1.0) -
+          col("f1").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("coverage"))
+  }
+
+  /** Excess-loss (RHO-loss-style; Mindermann et al. 2022, public
+    * literature) data prioritisation: train TWO add-α bigram LMs on
+    * disjoint splits — a proxy model on `trainPred` rows and a reference
+    * model on `refPred` rows — then score every POOL doc (neither
+    * predicate) under both. ρ = mean_p_ref − mean_p_proxy: high means
+    * the reference (clean holdout) model finds the doc likely while the
+    * proxy does not — i.e. LEARNABLE, not noise — which is the
+    * selection signal. Output: pool docs bucketed into `nBuckets`
+    * ρ-deciles (ntile over ρ desc, ties on doc id):
+    * (bucket, n_docs, mean_rho, min_rho, max_rho).
+    *
+    * Float discipline: per-bigram probabilities go through the q84
+    * fixed-point mean (round(P·2^40) integer-decimal sums), ρ deciles
+    * order on the resulting exact-quotient doubles, and mean_rho sums
+    * 9-dp decimal contributions — all partition-order-free. Unseen
+    * bigrams score the smoothing floor α/(c1+α·V) via coalesce(0).
+    *
+    * Scale shape: identical to `lmScore` twice over — one bigram
+    * explode per model + one for the pool, model tables UN-hinted
+    * (corpus-vocab-sized), the two 1-row vocab aggregates are the only
+    * broadcast hints; the decile window runs on the pool-DOC table
+    * keyed by a single ntile (one shuffle of doc-level rows). */
+  def excessLossDeciles(df: DataFrame, idCol: String, textCol: String,
+      trainPred: Column, refPred: Column, alpha: Double = 0.5,
+      nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fix = (1L << 40).toDouble
+    val toks = split(lower(col(textCol)), " ")
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (x, y) => struct(x.as("w1"), concat_ws(" ", x, y).as("pair")))
+    def model(pred: Column) = {
+      val sub = df.filter(pred)
+      val tokRows = sub.select(explode(toks).as("w"))
+      val uc = tokRows.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val bc = sub.select(explode(bigrams).as("b"))
+        .groupBy(col("b.pair").as("pair")).agg(count(lit(1)).as("c12"))
+      val v = tokRows.agg(countDistinct(col("w")).as("v"))
+      (uc, bc, v)
+    }
+    val (ucT, bcT, vT) = model(trainPred)
+    val (ucR, bcR, vR) = model(refPred)
+    val pool = df.filter(!(trainPred || refPred))
+      .select(col(idCol).as("__id"), explode(bigrams).as("b"))
+      .select(col("__id"), col("b.w1").as("w1"), col("b.pair").as("pair"))
+    def pfix(c12: Column, c1: Column, v: Column) =
+      round(((coalesce(c12, lit(0L)) + lit(alpha)) /
+        (coalesce(c1, lit(0L)) + lit(alpha) * v)) * lit(fix))
+        .cast("decimal(20,0)")
+    val scored = pool
+      .join(bcT.select(col("pair"), col("c12").as("__cT")), Seq("pair"), "left")
+      .join(bcR.select(col("pair"), col("c12").as("__cR")), Seq("pair"), "left")
+      .join(ucT.select(col("w").as("w1"), col("c1").as("__uT")), Seq("w1"), "left")
+      .join(ucR.select(col("w").as("w1"), col("c1").as("__uR")), Seq("w1"), "left")
+      .crossJoin(broadcast(vT.select(col("v").as("__vT"))))
+      .crossJoin(broadcast(vR.select(col("v").as("__vR"))))
+      .select(col("__id"),
+        pfix(col("__cT"), col("__uT"), col("__vT")).as("__pT"),
+        pfix(col("__cR"), col("__uR"), col("__vR")).as("__pR"))
+    val perDoc = scored.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__pT")).as("__sT"), sum(col("__pR")).as("__sR"))
+      .select(col("__id"),
+        ((col("__sR").cast("double") - col("__sT").cast("double")) / lit(fix) /
+          col("__nb").cast("double")).as("__rho"))
+    val bucketed = perDoc.withColumn("bucket",
+      ntile(nBuckets).over(Window.orderBy(col("__rho").desc, col("__id")))
+        .cast("long"))
+    bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(round(col("__rho"), 9).cast("decimal(18,9)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_rho"),
+        round(min(col("__rho")), 6).as("min_rho"),
+        round(max(col("__rho")), 6).as("max_rho"))
+  }
 }

@@ -423,4 +423,55 @@ object TimeSeries {
           .as("lambda_per_hour"),
         round(max(greatest(abs(fle - fexp), abs(flt - fexp))), 6).as("ks_d"))
   }
+
+  /** Holt double-exponential smoothing (level + linear trend; Holt 1957)
+    * per key over the monthly value series — the forecast step the MA
+    * decomposition (q206) and OLS trend (q174) stop short of:
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    * initialised l₂ = y₂, b₂ = y₂ − y₁ (recursion from t = 3). The
+    * linear recurrence is folded with the `aggregate` higher-order
+    * function over the month-sorted array — sequential by definition,
+    * so the float op order is FIXED and engine-reproducible (monthly
+    * y values are doubles cast from exact DECIMAL sums; α/β inline as
+    * driver-computed literals).
+    *
+    * Scale shape: ONE (key, month) partial-combining aggregate over the
+    * fact, then one key-level collect into a calendar-bounded array
+    * (months per key ≤ series span — a contract bound, not data-scaled);
+    * the fold is a map-only expression on that table. Output per key:
+    * (key, n_months, level_last, trend_last, forecast) — forecast =
+    * level + horizon·trend, all rounded 6. */
+  def holtLinear(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alpha: Double, beta: Double,
+      horizon: Int): DataFrame = {
+    val monthly = df.groupBy(col(keyCol).as("key"),
+        (year(col(tsCol)) * 12 + month(col(tsCol))).cast("long").as("__mi"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__v"))
+    val series = monthly.groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("__mi").as("mi"),
+        col("__v").cast("double").as("y")))).as("__arr"))
+    val folded = aggregate(
+      col("__arr"),
+      struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(0).as("i")),
+      (acc, e) => {
+        val y = e.getField("y")
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val i = acc.getField("i")
+        val l2 = lit(alpha) * y + lit(1.0 - alpha) * (l + b)
+        val b2 = lit(beta) * (l2 - l) + lit(1.0 - beta) * b
+        struct(
+          when(i <= lit(1), y).otherwise(l2).as("l"),
+          when(i === lit(0), lit(0.0))
+            .when(i === lit(1), y - l).otherwise(b2).as("b"),
+          (i + lit(1)).as("i"))
+      })
+    series.select(col("key"), folded.as("__f"))
+      .select(col("key"),
+        col("__f.i").cast("long").as("n_months"),
+        round(col("__f.l"), 6).as("level_last"),
+        round(col("__f.b"), 6).as("trend_last"),
+        round(col("__f.l") + lit(horizon.toDouble) * col("__f.b"), 6)
+          .as("forecast"))
+  }
 }

@@ -12,6 +12,14 @@ import EtlQueries.Q
   * hashing makes even MinHash/SimHash/LSH oracle-checkable). */
 object OpsQueries {
 
+  /** q348's Fellegi–Sunter field model (shared by the Spark query and
+    * its oracle so both engines inline IDENTICAL weight literals):
+    * brand/type/first-name-token equality with assumed m/u rates. */
+  private val fsFields: Seq[Linkage.FieldSpec] = Seq(
+    Linkage.FieldSpec("p_brand", 0.9, 0.04),
+    Linkage.FieldSpec("p_type", 0.85, 0.02),
+    Linkage.FieldSpec("tok0", 0.8, 0.1))
+
   /** DuckDB fragment: 60-bit seeded md5 hash of expression `e`. */
   private def sqlHash(seed: Int, e: String): String =
     s"('0x'||substr(md5('$seed|'||$e),1,15))::BIGINT"
@@ -9818,7 +9826,293 @@ object OpsQueries {
              |SELECT n_name, n_lines, round(CAST(rev AS DOUBLE), 6) AS revenue,
              |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
              |FROM rev CROSS JOIN t
-             |ORDER BY share DESC, n_name LIMIT 15""".stripMargin)))
+             |ORDER BY share DESC, n_name LIMIT 15""".stripMargin)),
+
+    // ─── Fellegi–Sunter record-linkage scoring over blocked pairs ───────
+    "q348_fs_linkage" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val parts = Tables.part(s, dir).select($"p_partkey", $"p_brand",
+          $"p_type", $"p_size",
+          element_at(split($"p_name", " "), 1).as("tok0"))
+        val pairs = Linkage.fellegiSunterPairs(parts, "p_partkey",
+          $"p_size", fsFields)
+        Linkage.fellegiSunterBands(pairs, reviewLo = 0.0, matchHi = 6.0)
+          .orderBy($"band", $"decision")
+      },
+      Some {
+        val (fB, fT, fK) = (fsFields(0), fsFields(1), fsFields(2))
+        s"""WITH p AS (SELECT p_partkey, p_brand, p_type, p_size,
+           |        string_split(p_name, ' ')[1] AS tok0 FROM part),
+           |sc AS (SELECT round(
+           |    (CASE WHEN a.p_brand = b.p_brand THEN ${fB.agreeW} ELSE ${fB.disagreeW} END) +
+           |    (CASE WHEN a.p_type = b.p_type THEN ${fT.agreeW} ELSE ${fT.disagreeW} END) +
+           |    (CASE WHEN a.tok0 = b.tok0 THEN ${fK.agreeW} ELSE ${fK.disagreeW} END), 6) AS score
+           |  FROM p a JOIN p b
+           |    ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey)
+           |SELECT CAST(floor(score) AS BIGINT) AS band,
+           |  CASE WHEN score > 6.0 THEN 'match'
+           |       WHEN score <= 0.0 THEN 'nonmatch'
+           |       ELSE 'review' END AS decision,
+           |  count(*) AS n_pairs
+           |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // ─── Neyman-optimal stratified allocation (survey sampling) ─────────
+    "q349_neyman_allocation" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.neymanAllocation(Tables.orders(s, dir), "o_orderpriority",
+            "o_totalprice", nTotal = 10000)
+          .withColumnRenamed("stratum", "priority")
+          .orderBy($"priority")
+      },
+      Some("""WITH st AS (SELECT o_orderpriority AS priority, count(*) AS n_pop,
+             |        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s1,
+             |        sum(CAST(CAST(o_totalprice AS DECIMAL(19,6)) *
+             |                 CAST(o_totalprice AS DECIMAL(19,6))
+             |                 AS DECIMAL(38,12))) AS s2
+             |      FROM orders GROUP BY 1),
+             |sd AS (SELECT priority, n_pop,
+             |        sqrt(greatest(0.0,
+             |          CAST(s2 AS DOUBLE) / CAST(n_pop AS DOUBLE) -
+             |          (CAST(s1 AS DOUBLE) / CAST(n_pop AS DOUBLE)) *
+             |          (CAST(s1 AS DOUBLE) / CAST(n_pop AS DOUBLE)))) AS sdv
+             |      FROM st),
+             |w AS (SELECT priority, n_pop, sdv,
+             |        CAST(n_pop AS DOUBLE) * sdv AS wv FROM sd),
+             |t AS (SELECT CAST(sum(CAST(round(wv, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             |        AS wtot FROM w),
+             |r AS (SELECT priority, n_pop, sdv, 10000.0 * wv / wtot AS raw
+             |      FROM w CROSS JOIN t),
+             |f AS (SELECT priority, n_pop, sdv, raw,
+             |        CAST(floor(raw) AS BIGINT) AS base FROM r),
+             |l AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS leftn FROM f),
+             |rk AS (SELECT *, row_number() OVER
+             |        (ORDER BY raw - base DESC, priority) AS rkn FROM f)
+             |SELECT priority, n_pop, round(sdv, 6) AS sd,
+             |  base + CASE WHEN rkn <= leftn THEN 1 ELSE 0 END AS n_alloc
+             |FROM rk CROSS JOIN l ORDER BY priority""".stripMargin)),
+
+    // ─── zone-map (data-skipping) effectiveness audit ───────────────────
+    "q350_zonemap_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val preds = Seq(
+          Profile.ZonePred("disc_ge_009", "l_discount", Some(0.09), None),
+          Profile.ZonePred("price_le_2000", "l_extendedprice", None, Some(2000.0)),
+          Profile.ZonePred("qty_20_25", "l_quantity", Some(20.0), Some(25.0)),
+          Profile.ZonePred("qty_ge_45", "l_quantity", Some(45.0), None))
+        Profile.zonemapAudit(Tables.lineitem(s, dir),
+            floor($"l_orderkey" / lit(4096)).cast("long"), preds)
+          .orderBy($"pred")
+      },
+      Some("""WITH z AS (SELECT l_orderkey // 4096 AS zone, count(*) AS n,
+             |        min(CAST(l_quantity AS DOUBLE)) AS mn_q,
+             |        max(CAST(l_quantity AS DOUBLE)) AS mx_q,
+             |        min(CAST(l_discount AS DOUBLE)) AS mn_d,
+             |        max(CAST(l_discount AS DOUBLE)) AS mx_d,
+             |        min(CAST(l_extendedprice AS DOUBLE)) AS mn_p,
+             |        max(CAST(l_extendedprice AS DOUBLE)) AS mx_p
+             |      FROM lineitem GROUP BY 1),
+             |e AS (
+             |  SELECT 'disc_ge_009' AS pred, n, mx_d < 0.09 AS pruned FROM z
+             |  UNION ALL SELECT 'price_le_2000', n, mn_p > 2000.0 FROM z
+             |  UNION ALL SELECT 'qty_20_25', n, (mx_q < 20.0 OR mn_q > 25.0) FROM z
+             |  UNION ALL SELECT 'qty_ge_45', n, mx_q < 45.0 FROM z)
+             |SELECT pred, count(*) AS n_zones,
+             |  CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS zones_pruned,
+             |  CAST(sum(CASE WHEN pruned THEN n ELSE 0 END) AS BIGINT) AS rows_skipped,
+             |  round(CAST(sum(CASE WHEN pruned THEN n ELSE 0 END) AS DOUBLE) /
+             |        CAST(sum(n) AS DOUBLE), 6) AS skip_ratio
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── Theil T inequality: within/between-nation decomposition ────────
+    "q351_theil_decomp" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Market.theilDecompose(
+          Tables.orders(s, dir)
+            .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+            .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+            .select($"n_name", $"o_totalprice"),
+          "n_name", "o_totalprice")
+      },
+      Some("""WITH rows0 AS (SELECT n.n_name AS g,
+             |        CAST(o_totalprice AS DECIMAL(18,6)) AS x
+             |      FROM orders o
+             |      JOIN customer c ON o.o_custkey = c.c_custkey
+             |      JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |      WHERE CAST(o_totalprice AS DECIMAL(18,6)) > 0),
+             |grp AS (SELECT g, count(*) AS ng, sum(x) AS sg FROM rows0 GROUP BY 1),
+             |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS s FROM grp),
+             |rs AS (SELECT
+             |    sum(CAST(round((CAST(x AS DOUBLE) / CAST(s AS DOUBLE)) *
+             |      ln(CAST(x AS DOUBLE) * CAST(ng AS DOUBLE) / CAST(sg AS DOUBLE)), 9)
+             |      AS DECIMAL(18,9))) AS w,
+             |    sum(CAST(round((CAST(x AS DOUBLE) / CAST(s AS DOUBLE)) *
+             |      ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE)), 9)
+             |      AS DECIMAL(18,9))) AS t
+             |  FROM rows0 JOIN grp USING (g) CROSS JOIN tot),
+             |bt AS (SELECT count(*) AS n_groups,
+             |    sum(CAST(round((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)) *
+             |      ln((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) /
+             |         (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+             |      AS DECIMAL(18,9))) AS b
+             |  FROM grp CROSS JOIN tot)
+             |SELECT n, n_groups,
+             |  round(CAST(t AS DOUBLE), 6) AS theil_total,
+             |  round(CAST(w AS DOUBLE), 6) AS theil_within,
+             |  round(CAST(b AS DOUBLE), 6) AS theil_between
+             |FROM tot CROSS JOIN rs CROSS JOIN bt""".stripMargin)),
+
+    // ─── Holt linear-trend forecast per order priority ──────────────────
+    "q352_holt_forecast" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.holtLinear(Tables.orders(s, dir), "o_orderpriority",
+            "o_orderdate", "o_totalprice", alpha = 0.5, beta = 0.5,
+            horizon = 3)
+          .withColumnRenamed("key", "priority")
+          .orderBy($"priority")
+      },
+      Some("""WITH RECURSIVE m AS (SELECT o_orderpriority AS priority,
+             |        (year(CAST(o_orderdate AS DATE)) * 12 +
+             |         month(CAST(o_orderdate AS DATE))) AS mi,
+             |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS y
+             |      FROM orders GROUP BY 1, 2),
+             |r AS (SELECT priority, y, row_number() OVER
+             |        (PARTITION BY priority ORDER BY mi) AS rn FROM m),
+             |rec AS (
+             |  SELECT priority, rn, y, y AS l, CAST(0.0 AS DOUBLE) AS b
+             |  FROM r WHERE rn = 1
+             |  UNION ALL
+             |  SELECT r.priority, r.rn, r.y,
+             |    CASE WHEN r.rn = 2 THEN r.y
+             |         ELSE 0.5 * r.y + 0.5 * (rec.l + rec.b) END,
+             |    CASE WHEN r.rn = 2 THEN r.y - rec.l
+             |         ELSE 0.5 * ((0.5 * r.y + 0.5 * (rec.l + rec.b)) - rec.l)
+             |              + 0.5 * rec.b END
+             |  FROM rec JOIN r ON r.priority = rec.priority AND r.rn = rec.rn + 1),
+             |lst AS (SELECT priority, rn, l, b, row_number() OVER
+             |        (PARTITION BY priority ORDER BY rn DESC) AS rr FROM rec)
+             |SELECT priority, rn AS n_months, round(l, 6) AS level_last,
+             |  round(b, 6) AS trend_last, round(l + 3.0 * b, 6) AS forecast
+             |FROM lst WHERE rr = 1 ORDER BY priority""".stripMargin)),
+
+    // ─── excess-loss (RHO-style) data-selection deciles ─────────────────
+    "q353_rho_select" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.excessLossDeciles(Tables.documents(s, dir), "doc_id",
+            "text", trainPred = $"doc_id" % 3 === 0,
+            refPred = $"doc_id" % 3 === 1)
+          .orderBy($"bucket")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+             |        FROM documents),
+             |utT AS (SELECT unnest(tk) AS w FROM toks WHERE doc_id % 3 = 0),
+             |ucT AS (SELECT w, count(*) AS c1 FROM utT GROUP BY 1),
+             |vT AS (SELECT count(DISTINCT w) AS v FROM utT),
+             |bcT AS (SELECT pair, count(*) AS c12 FROM
+             |        (SELECT tk[p+1] || ' ' || tk[p+2] AS pair FROM
+             |          (SELECT tk, CAST(unnest(range(len(tk)-1)) AS INTEGER) AS p
+             |           FROM toks WHERE doc_id % 3 = 0 AND len(tk) >= 2))
+             |        GROUP BY 1),
+             |utR AS (SELECT unnest(tk) AS w FROM toks WHERE doc_id % 3 = 1),
+             |ucR AS (SELECT w, count(*) AS c1 FROM utR GROUP BY 1),
+             |vR AS (SELECT count(DISTINCT w) AS v FROM utR),
+             |bcR AS (SELECT pair, count(*) AS c12 FROM
+             |        (SELECT tk[p+1] || ' ' || tk[p+2] AS pair FROM
+             |          (SELECT tk, CAST(unnest(range(len(tk)-1)) AS INTEGER) AS p
+             |           FROM toks WHERE doc_id % 3 = 1 AND len(tk) >= 2))
+             |        GROUP BY 1),
+             |pb AS (SELECT doc_id, tk[p+1] AS w1,
+             |         tk[p+1] || ' ' || tk[p+2] AS pair FROM
+             |        (SELECT doc_id, tk, CAST(unnest(range(len(tk)-1)) AS INTEGER) AS p
+             |         FROM toks WHERE doc_id % 3 = 2 AND len(tk) >= 2)),
+             |sc AS (SELECT doc_id,
+             |    CAST(round(((coalesce(bcT.c12, 0) + 0.5::DOUBLE) /
+             |      (coalesce(ucT.c1, 0) + 0.5::DOUBLE * vT.v)) *
+             |      1099511627776::DOUBLE) AS BIGINT) AS pT,
+             |    CAST(round(((coalesce(bcR.c12, 0) + 0.5::DOUBLE) /
+             |      (coalesce(ucR.c1, 0) + 0.5::DOUBLE * vR.v)) *
+             |      1099511627776::DOUBLE) AS BIGINT) AS pR
+             |  FROM pb
+             |  LEFT JOIN bcT USING (pair) LEFT JOIN bcR USING (pair)
+             |  LEFT JOIN ucT ON pb.w1 = ucT.w LEFT JOIN ucR ON pb.w1 = ucR.w
+             |  CROSS JOIN vT CROSS JOIN vR),
+             |pd AS (SELECT doc_id, count(*) AS nb,
+             |        sum(pT) AS sT, sum(pR) AS sR FROM sc GROUP BY 1),
+             |rho AS (SELECT doc_id, (CAST(sR AS DOUBLE) - CAST(sT AS DOUBLE)) /
+             |        1099511627776::DOUBLE / CAST(nb AS DOUBLE) AS rho FROM pd),
+             |bk AS (SELECT ntile(10) OVER (ORDER BY rho DESC, doc_id) AS bucket,
+             |        rho FROM rho)
+             |SELECT bucket, count(*) AS n_docs,
+             |  round(CAST(sum(CAST(round(rho, 9) AS DECIMAL(18,9))) AS DOUBLE) /
+             |        CAST(count(*) AS DOUBLE), 6) AS mean_rho,
+             |  round(min(rho), 6) AS min_rho, round(max(rho), 6) AS max_rho
+             |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── unigram-LM Viterbi subword segmentation (SentencePiece-style) ──
+    "q354_unigram_viterbi" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Unigram.viterbiSegment(Tables.documents(s, dir), "text")
+          .orderBy($"word")
+      },
+      Some("""WITH RECURSIVE inst AS (SELECT w FROM
+             |        (SELECT unnest(string_split(lower(text), ' ')) AS w
+             |         FROM documents) WHERE w <> ''),
+             |e0 AS (SELECT w, CAST(unnest(range(len(w))) AS INTEGER) AS s FROM inst),
+             |e1 AS (SELECT w, s, CAST(unnest([1,2,3,4]) AS INTEGER) AS l FROM e0),
+             |pc AS (SELECT substr(w, s+1, l) AS piece, count(*) AS cnt
+             |       FROM e1 WHERE s + l <= len(w) GROUP BY 1),
+             |voc AS (SELECT piece, cnt FROM pc WHERE cnt >= 3 OR len(piece) = 1),
+             |tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM voc),
+             |vc AS (SELECT piece, -ln(CAST(cnt AS DOUBLE) / total) AS cost
+             |       FROM voc CROSS JOIN tt),
+             |wd AS (SELECT w AS word, count(*) AS n_occ FROM inst GROUP BY 1),
+             |c0 AS (SELECT word, CAST(unnest(range(len(word))) AS INTEGER) AS s
+             |       FROM wd),
+             |c1 AS (SELECT word, s, CAST(unnest([1,2,3,4]) AS INTEGER) AS l FROM c0),
+             |ed AS (SELECT c1.word, c1.s, c1.s + c1.l AS e, vc.cost
+             |       FROM c1 JOIN vc ON substr(c1.word, c1.s+1, c1.l) = vc.piece
+             |       WHERE c1.s + c1.l <= len(c1.word)),
+             |rec AS (
+             |  SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS cost FROM wd
+             |  UNION ALL
+             |  SELECT ed.word, ed.e, rec.cost + ed.cost
+             |  FROM rec JOIN ed ON ed.word = rec.word AND ed.s = rec.pos),
+             |best AS (SELECT word, min(cost) AS bc FROM rec
+             |         JOIN (SELECT word AS w2, len(word) AS wl FROM wd) ON word = w2
+             |         WHERE pos = wl GROUP BY word)
+             |SELECT wd.word, wd.n_occ, round(best.bc, 6) AS best_cost
+             |FROM wd JOIN best USING (word) ORDER BY word""".stripMargin)),
+
+    // ─── Chao1 vocabulary-richness estimate with Good–Turing coverage ───
+    "q355_chao1_richness" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.chao1Richness(Tables.documents(s, dir), "lang", "text")
+          .withColumnRenamed("group", "lang")
+          .orderBy($"lang")
+      },
+      Some("""WITH tc AS (SELECT lang, w, count(*) AS c FROM
+             |        (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+             |         FROM documents) WHERE w <> '' GROUP BY 1, 2),
+             |st AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |        count(*) AS d_obs,
+             |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+             |      FROM tc GROUP BY 1)
+             |SELECT lang, n_tokens, d_obs, f1, f2,
+             |  round(CAST(d_obs AS DOUBLE) +
+             |    CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE) /
+             |      (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+             |  round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             |    AS coverage
+             |FROM st ORDER BY lang""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq(
+    Linkage.FieldSpec("brand", 0.9, 0.04),
+    Linkage.FieldSpec("model", 0.8, 0.1))
+
+  test("fellegiSunterPairs: blocked pairs, weights sum in field order") {
+    val df = Seq(
+      (1L, "blk1", "CAT", "320D"),
+      (2L, "blk1", "CAT", "320D"),
+      (3L, "blk1", "KOMATSU", "320D"),
+      (4L, "blk2", "CAT", "PC200")) // different block — never paired
+      .toDF("id", "blk", "brand", "model")
+    val out = Linkage.fellegiSunterPairs(df, "id", col("blk"), fields)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val agree = fields.map(_.agreeW).sum
+    val mixed = fields(0).disagreeW + fields(1).agreeW
+    assert(math.abs(out((1L, 2L)) - agree) < 1e-6) // both fields agree
+    assert(math.abs(out((1L, 3L)) - mixed) < 1e-6) // brand differs
+    // agreement weights are positive evidence, disagreement negative
+    assert(fields.forall(f => f.agreeW > 0 && f.disagreeW < 0))
+  }
+
+  test("fellegiSunterBands: threshold triage and band counts") {
+    val pairs = Seq((1L, 2L, 7.5), (1L, 3L, 2.0), (2L, 3L, -3.2))
+      .toDF("id_a", "id_b", "score")
+    val out = Linkage.fellegiSunterBands(pairs, reviewLo = 0.0, matchHi = 6.0)
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((7L, "match", 1L), (2L, "review", 1L),
+      (-4L, "nonmatch", 1L)))
+  }
+}

@@ -192,4 +192,23 @@ class MarketSpec extends SparkSpec {
     val total = out.values.map(r => r._6 + r._7).sum
     assert(math.abs(total - (70.0 / 3 - 15.0)) < 1e-5)
   }
+
+  test("theilDecompose: equal within-group values ⇒ within 0, total = between") {
+    val df = Seq(("G1", 1.0), ("G1", 1.0), ("G2", 2.0), ("G2", 2.0))
+      .toDF("g", "x")
+    val out = Market.theilDecompose(df, "g", "x")
+      .as[(Long, Long, Double, Double, Double)].head()
+    // T = 2·(1/6)ln(2/3) + 2·(1/3)ln(4/3) = 0.056633; T_g = 0 each
+    assert(out == ((4L, 2L, 0.056633, 0.0, 0.056633)))
+  }
+
+  test("theilDecompose: decomposition ledger closes on skewed groups") {
+    val df = Seq(("A", 1.0), ("A", 3.0), ("B", 2.0), ("B", 10.0), ("B", 4.0))
+      .toDF("g", "x")
+    val r = Market.theilDecompose(df, "g", "x")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r._1 == 5L && r._2 == 2L)
+    assert(math.abs(r._3 - (r._4 + r._5)) < 1e-5) // total ≈ within + between
+    assert(r._4 > 0 && r._5 > 0)
+  }
 }

@@ -312,4 +312,17 @@ class ProfileSpec extends SparkSpec {
     assert(out("dirty") == (("dirty", 4L, 2L, 0.5)))
     assert(out("clean") == (("clean", 1L, 0L, 0.0)))
   }
+
+  test("zonemapAudit: envelope tests prune exactly the provably-miss zones") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, 1.0), (1L, 5.0), (2L, 10.0), (3L, 20.0)).toDF("id", "v")
+    val out = Profile.zonemapAudit(df, floor(col("id") / lit(2)).cast("long"),
+        Seq(Profile.ZonePred("v_ge_8", "v", Some(8.0), None),
+          Profile.ZonePred("v_le_0", "v", None, Some(0.0)),
+          Profile.ZonePred("v_2_12", "v", Some(2.0), Some(12.0))))
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("v_ge_8") == (("v_ge_8", 2L, 1L, 2L, 0.5)))  // zone0 max 5 < 8
+    assert(out("v_le_0") == (("v_le_0", 2L, 2L, 4L, 1.0)))  // both mins > 0
+    assert(out("v_2_12") == (("v_2_12", 2L, 0L, 0L, 0.0)))  // both overlap
+  }
 }

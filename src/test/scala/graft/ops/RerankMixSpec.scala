@@ -243,4 +243,17 @@ class RerankMixSpec extends SparkSpec {
     // draws are not degenerate (some spread across the id space)
     assert(a.map(_._3).distinct.length > 5)
   }
+
+  test("neymanAllocation: n_h ∝ N_h·S_h, largest-remainder exact total") {
+    val df = (Seq(("A", 0.0), ("A", 10.0), ("C", 0.0), ("C", 20.0)) ++
+      Seq.fill(4)(("B", 4.0))).toDF("g", "v")
+    val out = Mixing.neymanAllocation(df, "g", "v", nTotal = 10)
+      .as[(String, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // weights N·S: A 2·5=10, B 0, C 2·10=20 → raw 3.33/0/6.67,
+    // floor 3/0/6, leftover 1 goes to C (larger remainder)
+    assert(out("A") == (("A", 2L, 5.0, 3L)))
+    assert(out("B") == (("B", 4L, 0.0, 0L)))
+    assert(out("C") == (("C", 2L, 10.0, 7L)))
+    assert(out.values.map(_._4).sum == 10L)
+  }
 }

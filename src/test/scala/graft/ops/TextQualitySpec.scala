@@ -209,4 +209,30 @@ class TextQualitySpec extends SparkSpec {
     val expect = 2.0 / (math.log(8.0 / 2.0) + math.log(4.0 / 2.0))
     assert(out._3.exists(a => math.abs(a - expect) < 1e-6))
   }
+
+  test("chao1Richness: hand case — f1/f2 arithmetic and coverage") {
+    val df = Seq(("g", "a a b c")).toDF("lang", "t")
+    val out = TextStats.chao1Richness(df, "lang", "t")
+      .as[(String, Long, Long, Long, Long, Double, Double)].head()
+    // counts a:2 b:1 c:1 → N=4 D=3 f1=2 f2=1; chao1 = 3 + 2·1/4 = 3.5
+    assert(out == (("g", 4L, 3L, 2L, 1L, 3.5, 0.5)))
+  }
+
+  test("excessLossDeciles: learnable doc ranks above noise doc") {
+    // proxy model sees only "x y"; reference model only "x z" — the pool
+    // doc "x z" is likely under ref, unlikely under proxy → ρ > 0
+    val df = Seq(
+      (0L, "x y"), (3L, "x y"),  // train (id % 3 == 0)
+      (1L, "x z"), (4L, "x z"),  // ref   (id % 3 == 1)
+      (2L, "x z"), (5L, "x y"))  // pool
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.col
+    val out = TextStats.excessLossDeciles(df, "doc_id", "text",
+        col("doc_id") % 3 === 0, col("doc_id") % 3 === 1, nBuckets = 2)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L) // one pool doc per bucket
+    assert(out(1L)._3 > 0 && out(2L)._3 < 0)     // ref-likely doc on top
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import java.sql.Timestamp
+import java.sql.{Date, Timestamp}
 
 import org.apache.spark.sql.functions.{date_format, to_date}
 
@@ -197,5 +197,19 @@ class TimeSeriesSpec extends SparkSpec {
     // n=3, Σ=6 s → λ = 0.5/s = 1800/h; sup dev at g=1's lower step:
     // |0 − (1−e^{−0.5})| = 0.393469
     assert(out == (("a", 3L, 1800.0, 0.393469)))
+  }
+
+  test("holtLinear: hand-rolled recursion on a 3-month series") {
+    val df = Seq(
+      ("X", Date.valueOf("2020-01-15"), 4.0), ("X", Date.valueOf("2020-01-20"), 6.0),
+      ("X", Date.valueOf("2020-02-15"), 14.0),
+      ("X", Date.valueOf("2020-03-15"), 20.0))
+      .toDF("k", "d", "v")
+    val out = TimeSeries.holtLinear(df, "k", "d", "v",
+        alpha = 0.5, beta = 0.5, horizon = 2)
+      .as[(String, Long, Double, Double, Double)].head()
+    // monthly y = [10, 14, 20]; init l₂=14, b₂=4;
+    // t=3: l = .5·20 + .5·18 = 19, b = .5·5 + .5·4 = 4.5 → fc 19+2·4.5
+    assert(out == (("X", 3L, 19.0, 4.5, 28.0)))
   }
 }
