@@ -172,4 +172,37 @@ object Bpe {
     * losslessness contract). Map-only, codegen'd. */
   def decode(tokens: Column, sep: String = DefaultSep): Column =
     translate(concat_ws(" ", tokens), sep, " ")
+
+  /** Tokenizer compression curve: learn `iters` merges, then measure the
+    * corpus token count after applying each prefix in `ks` of the merge
+    * list — the vocab-size-sweep diagnostic that decides how many merges
+    * a tokenizer is worth (tokens_per_word flattens once frequent pairs
+    * are exhausted). Output per k: (n_merges, n_docs, n_tokens, n_words,
+    * tokens_per_word rounded 6).
+    *
+    * Scale shape: learning is the gated q124 loop (ONE pair-count
+    * shuffle + a 1-row argmax per iteration); each curve point is one
+    * MAP-ONLY encode pass + a 1-row count aggregate. The merge list is
+    * model-sized driver state by construction. */
+  def compressionCurve(df: DataFrame, idCol: String, textCol: String,
+      iters: Int, ks: Seq[Int], sep: String = DefaultSep): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 0 && k <= iters), "bad ks")
+    val merges = learnMerges(df, idCol, textCol, iters, sep)
+      .orderBy(col("iter")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = df.select(size(split(lower(col(textCol)), " "))
+        .cast("long").as("__w"))
+      .agg(sum(col("__w")).as("n_words"))
+      .localCheckpoint(false) // one row, read once per curve point
+    ks.map { k =>
+      applyMerges(df, idCol, textCol, merges.take(k), sep)
+        .select(size(col("tokens")).cast("long").as("__t"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+        .crossJoin(words)
+        .select(lit(k.toLong).as("n_merges"), col("n_docs"),
+          col("n_tokens"), col("n_words"),
+          round(col("n_tokens").cast("double") /
+            col("n_words").cast("double"), 6).as("tokens_per_word"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** On-engine quality-classifier training: logistic regression over
@@ -94,6 +95,93 @@ object Classifier {
       .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 9))
       .select(col(idCol), col("margin"), col("p"),
         (col("p") >= 0.5).as("pred"), (col("__y") === 1.0).as("is_target"))
+  }
+
+  /** Split-conformal prediction interval (Vovk et al. 2005; Lei et al.
+    * 2018 — distribution-free coverage): fit a per-group mean predictor
+    * on the TRAIN split, take q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * absolute residual on the CALIBRATION split, and audit the
+    * guaranteed ≥ 1−α coverage of μ̂_g ± q̂ on the TEST split. The
+    * statistical wrapper any point predictor in the engine (group mean
+    * here, logreg/trend elsewhere) needs before its predictions ship.
+    *
+    * Float discipline: μ̂_g = exact-DECIMAL train sum / count, cast to
+    * double once; residuals are value-domain aggregated and q̂ is a
+    * type-1 order statistic (min value whose cumulative count reaches
+    * the rank) — no interpolation, no float sums.
+    *
+    * Scale shape: ONE group aggregate (train), residual passes join the
+    * GROUP table back (AQE broadcast); q̂ comes from a value-domain
+    * count + one ordered window over distinct residuals; coverage is a
+    * 1-row aggregate. Output: (n_cal, n_test, qhat, coverage). */
+  def conformalInterval(df: DataFrame, groupCol: String, valueCol: String,
+      splitCol: Column, alpha: Double = 0.1): DataFrame = {
+    // splitCol: 0 = train, 1 = calibration, 2 = test
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("decimal(18,6)").as("__y"), splitCol.as("__s"))
+      .localCheckpoint(false) // consumers: train agg + cal + test passes
+    val mu = base.filter(col("__s") === 0).groupBy(col("__g"))
+      .agg((sum(col("__y")).cast("double") / count(lit(1)).cast("double"))
+        .as("__mu"))
+    def resid = abs(col("__y").cast("double") - col("__mu"))
+    val cal = base.filter(col("__s") === 1).join(mu, "__g")
+      .select(resid.as("__r"))
+    val vc = cal.groupBy(col("__r")).agg(count(lit(1)).as("__c"))
+    val cum = vc.withColumn("__cum",
+      sum(col("__c")).over(Window.orderBy(col("__r"))))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val qhat = cum.crossJoin(nCal)
+      .agg(max(col("n_cal")).as("n_cal"),
+        min(when(col("__cum") >=
+          least(ceil((col("n_cal") + 1).cast("double") * lit(1.0 - alpha))
+            .cast("long"), col("n_cal")), col("__r"))).as("__q"))
+    val test = base.filter(col("__s") === 2).join(mu, "__g")
+      .crossJoin(qhat.select(col("n_cal"), col("__q")))
+      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        round(max(col("__q")), 6).as("qhat"),
+        round(sum(when(resid <= col("__q"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("coverage"))
+    test
+  }
+
+  /** Inverse-propensity-weighted (Hájek-normalized) average treatment
+    * effect (Horvitz–Thompson/Hájek estimators; Rosenbaum & Rubin 1983
+    * propensity framework): over a frame carrying a 9-dp propensity
+    * `pCol` = P(treated | X), a treatment indicator and an outcome,
+    *   ATE = Σ(T·Y/p̂)/Σ(T/p̂) − Σ((1−T)·Y/(1−p̂))/Σ((1−T)/(1−p̂))
+    * with p̂ clipped to [clipLo, clipHi] (the standard overlap guard —
+    * an unclipped p̂ near 0/1 gives one row unbounded weight).
+    *
+    * Float discipline: p is already 9-dp fixed (logregScore), weights
+    * and weighted outcomes round to 9 dp and sum as DECIMAL, so both
+    * sides of the difference are partition-order-free; the two Hájek
+    * quotients and their difference run in doubles, rounded 6.
+    *
+    * Scale shape: map-only weight arithmetic + ONE 1-row aggregate.
+    * Output: (n, n_treat, mean_y_treat, mean_y_ctrl, ate). */
+  def ipwEffect(df: DataFrame, pCol: String, treatCol: Column,
+      outcomeCol: Column, clipLo: Double = 0.05,
+      clipHi: Double = 0.95): DataFrame = {
+    val pc = least(greatest(col(pCol), lit(clipLo)), lit(clipHi))
+    val t = treatCol.cast("double")
+    val y = outcomeCol.cast("double")
+    val w1 = t / pc
+    val w0 = (lit(1.0) - t) / (lit(1.0) - pc)
+    def dec(c: Column) = round(c, 9).cast("decimal(28,9)")
+    df.select(treatCol.as("__t"),
+        dec(w1 * y).as("__wy1"), dec(w1).as("__w1"),
+        dec(w0 * y).as("__wy0"), dec(w0).as("__w0"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_treat"),
+        sum(col("__wy1")).as("__sy1"), sum(col("__w1")).as("__sw1"),
+        sum(col("__wy0")).as("__sy0"), sum(col("__w0")).as("__sw0"))
+      .select({
+        val m1 = col("__sy1").cast("double") / col("__sw1").cast("double")
+        val m0 = col("__sy0").cast("double") / col("__sw0").cast("double")
+        Seq(col("n"), col("n_treat"),
+          round(m1, 6).as("mean_y_treat"), round(m0, 6).as("mean_y_ctrl"),
+          round(m1 - m0, 6).as("ate"))
+      }: _*)
   }
 
   /** Reliability diagram over a scored frame with 9-dp probability `p`

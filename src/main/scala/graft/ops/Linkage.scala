@@ -48,6 +48,50 @@ object Linkage {
       .select(col("id_a"), col("id_b"), round(score, 6).as("score"))
   }
 
+  /** Blocking-quality audit (the standard record-linkage evaluation
+    * pair: REDUCTION RATIO and PAIRS COMPLETENESS, Christen 2012):
+    * against an exact truth key (rows agreeing on ALL of `truthCols`
+    * are true matches),
+    *   RR = 1 − candidate_pairs / C(n,2)      (how much work blocking saves)
+    *   PC = captured_truth_pairs / truth_pairs (how many true matches survive)
+    * where candidate pairs = Σ_blocks C(n_b,2) and a truth pair is
+    * captured iff both rows share a block. The knob this audit tunes is
+    * the q348 blocking key: tighter blocks raise RR and risk PC.
+    *
+    * Scale shape: three partial-combining aggregates (block sizes,
+    * truth-group sizes, (truth, block) cell sizes) — NO pair
+    * materialisation anywhere; all C(·,2) sums run as exact DECIMAL on
+    * the aggregated tables. Output: 1 row (n, n_blocks, cand_pairs,
+    * truth_pairs, captured_pairs, reduction_ratio, pairs_completeness). */
+  def blockingQuality(df: DataFrame, idCol: String, blockCol: Column,
+      truthCols: Seq[String]): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), blockCol.as("__blk"),
+      concat_ws("", truthCols.map(col): _*).as("__truth"))
+      .localCheckpoint(false) // consumers: 3 independent aggregates
+    def pairs2(c: Column) = (c.cast("decimal(19,0)") *
+      (c - 1).cast("decimal(19,0)")).cast("decimal(38,0)")
+    val blocks = base.groupBy(col("__blk")).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__c")).as("__n"),
+        sum(pairs2(col("__c"))).as("__cand2"))
+    val truth = base.groupBy(col("__truth")).agg(count(lit(1)).as("__c"))
+      .agg(sum(pairs2(col("__c"))).as("__truth2"))
+    val captured = base.groupBy(col("__truth"), col("__blk"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(sum(pairs2(col("__c"))).as("__cap2"))
+    def d(c: Column) = c.cast("double")
+    blocks.crossJoin(truth).crossJoin(captured)
+      .select(col("__n").as("n"), col("n_blocks"),
+        // reported as DOUBLE (exact under 2^53; the RATIOS always run on
+        // the exact decimal sums) so both engines agree on the dtype
+        (d(col("__cand2")) / 2.0).as("cand_pairs"),
+        (d(col("__truth2")) / 2.0).as("truth_pairs"),
+        (d(col("__cap2")) / 2.0).as("captured_pairs"),
+        round(lit(1.0) - d(col("__cand2")) /
+          (d(col("__n")) * (d(col("__n")) - 1.0)), 6).as("reduction_ratio"),
+        round(d(col("__cap2")) / d(col("__truth2")), 6)
+          .as("pairs_completeness"))
+  }
+
   /** Score-band triage of the scored pairs: band = floor(score),
     * decision by the (reviewLo, matchHi] thresholds. Output per
     * (band, decision): pair count — the linkage-quality histogram a

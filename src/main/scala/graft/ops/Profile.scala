@@ -813,4 +813,73 @@ object Profile {
             .cast("double") / sum(col("__n")).cast("double"), 6)
           .as("skip_ratio"))
   }
+
+  /** Adjusted Rand Index between two partitions of the same rows
+    * (Hubert & Arabie 1985) — the chance-corrected agreement the
+    * purity/NMI gates (q290) stop short of: from the contingency table
+    *   ARI = (Σᵢⱼ C(nᵢⱼ,2) − E) / (½·(ΣC(aᵢ,2)+ΣC(bⱼ,2)) − E),
+    *   E = ΣC(aᵢ,2)·ΣC(bⱼ,2) / C(n,2).
+    * The pair-count sums Σ x(x−1) accumulate as exact DECIMAL (they
+    * overflow int64 once any class holds > 3B rows), and only the final
+    * ratio arithmetic runs in doubles.
+    *
+    * Scale shape: ONE (a,b) partial-combining count over the fact; the
+    * marginals and all C(·,2) sums derive from the checkpointed CELL
+    * table (|A|·|B| rows, a contract bound). Output: 1 row
+    * (n, n_cells, ari). */
+  def adjustedRand(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // consumers: both marginals + cell sum
+    def s2(g: DataFrame, key: String) = g.groupBy(col(key))
+      .agg(sum(col("__c")).as("__m"))
+      .agg(sum((col("__m").cast("decimal(19,0)") *
+        (col("__m") - 1).cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .as("__s"))
+    val sij = cells.agg(
+      sum((col("__c").cast("decimal(19,0)") *
+        (col("__c") - 1).cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .as("__sij"),
+      sum(col("__c")).as("__n"), count(lit(1)).as("n_cells"))
+    val sa = s2(cells, "__a").select(col("__s").as("__sa"))
+    val sb = s2(cells, "__b").select(col("__s").as("__sb"))
+    def d(c: Column) = c.cast("double")
+    sij.crossJoin(sa).crossJoin(sb)
+      .select(col("__n").as("n"), col("n_cells"), {
+        val index = d(col("__sij")) / 2.0
+        val ca = d(col("__sa")) / 2.0
+        val cb = d(col("__sb")) / 2.0
+        val cn = d(col("__n")) * (d(col("__n")) - 1.0) / 2.0
+        val e = ca * cb / cn
+        val m = (ca + cb) / 2.0
+        round((index - e) / (m - e), 6).as("ari")
+      })
+  }
+
+  /** Seeded-Laplace differentially-private histogram (the Laplace
+    * mechanism, Dwork et al. 2006; sensitivity 1 for disjoint count
+    * queries → noise b = 1/ε): per key, true count + count ⊕
+    * Laplace(1/ε) noise drawn from the key's seeded md5 uniform via the
+    * inverse CDF — REPRODUCIBLE across engines, runs and cluster
+    * layouts, exactly like the sampling/split operators' md5 draws
+    * (a fresh-random mechanism would not be oracle-checkable; the ε
+    * ledger and mechanism shape are what this op pins). Output:
+    * (key, n_true, n_noisy, epsilon).
+    *
+    * Scale shape: ONE key-keyed count, then map-only noise arithmetic
+    * on the key-sized table. */
+  def laplaceNoisyCounts(df: DataFrame, keyCol: String, eps: Double,
+      seed: Int = 7): DataFrame = {
+    require(eps > 0, "epsilon must be positive")
+    val cnt = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_true"))
+    val u = Dedup.seededHash(seed, col("key")).cast("double") /
+      lit((1L << 60).toDouble) // uniform [0,1)
+    val c = u - lit(0.5)
+    val noise = (lit(-1.0 / eps) * signum(c) *
+      log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(c))))
+    cnt.select(col("key"), col("n_true"),
+      round(col("n_true").cast("double") + noise, 6).as("n_noisy"),
+      lit(eps).as("epsilon"))
+  }
 }

@@ -1375,6 +1375,77 @@ object TextStats {
           .as("jaccard"))
   }
 
+  /** Data-scaling curve for the add-α bigram LM (the Kaplan/Hestness
+    * scaling-law measurement shape, public literature): train the model
+    * on NESTED corpus fractions (doc_id % d == 0 for each d in
+    * `fracDenoms` — larger d ⊂ smaller d), score each against the SAME
+    * fixed holdout (doc_id % holdoutMod == holdoutRes, disjoint from
+    * every training set), and fit the log–log OLS slope of holdout NLL
+    * vs training-set size — the "is more data still buying loss?"
+    * answer before anyone trains anything.
+    *
+    * Float discipline: per-bigram log-probs are 9-dp decimal sums
+    * (the lmCompareHoldout convention, unseen → the α-floor via
+    * coalesce); the 3-point OLS products round to 9 dp and sum as
+    * DECIMAL so the slope is partition-order-free. Output one row per
+    * fraction: (frac_denom, n_train_docs, n_bigrams, mean_nll,
+    * loglog_slope) — slope repeated on every row.
+    *
+    * Scale shape: one lmScore-shaped pass per fraction (model tables
+    * un-hinted, 1-row vocab broadcast); the OLS runs on the
+    * |fracDenoms|-row result. */
+  def scalingCurve(df: DataFrame, idCol: String, textCol: String,
+      fracDenoms: Seq[Int] = Seq(8, 4, 2), holdoutMod: Int = 8,
+      holdoutRes: Int = 7, alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fracDenoms.nonEmpty && fracDenoms.forall(_ >= 2), "bad denoms")
+    val toks = split(lower(col(textCol)), " ")
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (x, y) => struct(x.as("w1"), concat_ws(" ", x, y).as("pair")))
+    val hold = df.filter(col(idCol) % holdoutMod === holdoutRes)
+      .select(explode(bigrams).as("b"))
+      .select(col("b.w1").as("w1"), col("b.pair").as("pair"))
+      .localCheckpoint(false) // scored once per fraction
+    val points = fracDenoms.map { d =>
+      val sub = df.filter(col(idCol) % d === 0)
+      val tokRows = sub.select(explode(toks).as("w"))
+      val uc = tokRows.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val bc = sub.select(explode(bigrams).as("b"))
+        .groupBy(col("b.pair").as("pair")).agg(count(lit(1)).as("c12"))
+      val v = tokRows.agg(countDistinct(col("w")).as("v"))
+      val nTrain = sub.agg(count(lit(1)).as("n_train_docs"))
+      val lp = log((coalesce(col("c12"), lit(0L)) + lit(alpha)) /
+        (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v")))
+      hold
+        .join(bc, Seq("pair"), "left")
+        .join(uc.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(round(-lp, 9).cast("decimal(18,9)").as("__nll"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("__s"))
+        .crossJoin(broadcast(nTrain))
+        .select(lit(d.toLong).as("frac_denom"), col("n_train_docs"),
+          col("n_bigrams"),
+          (col("__s").cast("double") / col("n_bigrams").cast("double"))
+            .as("__nll"))
+    }.reduce(_.unionByName(_))
+    // 3-point log–log OLS on the fraction table (model-sized)
+    val pts = points
+      .withColumn("__x", log(col("n_train_docs").cast("double")))
+      .withColumn("__y", log(col("__nll")))
+    val w = Window.partitionBy()
+    def dsum(c: Column) = sum(round(c, 9).cast("decimal(28,9)")).over(w)
+      .cast("double")
+    val kN = count(lit(1)).over(w).cast("double")
+    val slope = (dsum(col("__x") * col("__y")) -
+        dsum(col("__x")) * dsum(col("__y")) / kN) /
+      (dsum(col("__x") * col("__x")) -
+        dsum(col("__x")) * dsum(col("__x")) / kN)
+    pts.select(col("frac_denom"), col("n_train_docs"), col("n_bigrams"),
+      round(col("__nll"), 6).as("mean_nll"),
+      round(slope, 6).as("loglog_slope"))
+  }
+
   /** Chao1 species-richness estimate of the vocabulary (Chao 1984,
     * public literature) with Good–Turing coverage: per group,
     *   chao1 = D + f1·(f1−1) / (2·(f2+1))   (bias-corrected form)

@@ -119,4 +119,25 @@ object BpeOracle {
        |FROM t${merges.size} t JOIN documents d USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Compression-curve oracle: replay `iters` LEARNED merges (the q124
+    * chain — t$k is the corpus after k merges), then read the token
+    * count at each prefix in `ks`. */
+  def compressionSql(iters: Int, ks: Seq[Int]): String = {
+    require(ks.forall(k => k >= 0 && k <= iters), "ks within iters")
+    val head = "t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)"
+    val body = (0 until iters).map(iterCtes).mkString(",\n")
+    val rows = ks.map { k =>
+      s"""SELECT $k::BIGINT AS n_merges, count(*) AS n_docs,
+         |  CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+         |  (SELECT CAST(sum(len(tk)) AS BIGINT) FROM t0) AS n_words,
+         |  round(CAST(sum(len(tk)) AS DOUBLE) /
+         |    (SELECT CAST(sum(len(tk)) AS DOUBLE) FROM t0), 6) AS tokens_per_word
+         |FROM t$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $head,
+       |$body
+       |$rows
+       |ORDER BY n_merges""".stripMargin
+  }
 }

@@ -108,4 +108,41 @@ object LogregOracle {
        |  CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        |  round(sum(CASE WHEN is_target THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
        |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** IPW ATE oracle (`Classifier.ipwEffect` over the replayed
+    * propensity): label doubles as the TREATMENT indicator; `outcome`
+    * is a SQL boolean over `documents` columns. Weight terms round to
+    * 9 dp and sum as DECIMAL exactly like the Spark op. */
+  def ipwSql(label: String, buckets: Int, iters: Int, rate: String,
+      outcome: String, clipLo: String = "0.05::DOUBLE",
+      clipHi: String = "0.95::DOUBLE"): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+       |sp AS (SELECT ltk.doc_id,
+       |         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) AS p,
+       |         ltk.y AS t
+       |       FROM fm JOIN ltk USING (doc_id)),
+       |iw AS (SELECT sp.t,
+       |         least(greatest(sp.p, $clipLo), $clipHi) AS pc,
+       |         CASE WHEN $outcome THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS yv
+       |       FROM sp JOIN documents d USING (doc_id)),
+       |ag AS (SELECT count(*) AS n,
+       |         CAST(sum(CASE WHEN t = 1.0::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_treat,
+       |         sum(CAST(round(t / pc * yv, 9) AS DECIMAL(28,9))) AS sy1,
+       |         sum(CAST(round(t / pc, 9) AS DECIMAL(28,9))) AS sw1,
+       |         sum(CAST(round((1.0::DOUBLE - t) / (1.0::DOUBLE - pc) * yv, 9)
+       |           AS DECIMAL(28,9))) AS sy0,
+       |         sum(CAST(round((1.0::DOUBLE - t) / (1.0::DOUBLE - pc), 9)
+       |           AS DECIMAL(28,9))) AS sw0
+       |       FROM iw)
+       |SELECT n, n_treat,
+       |  round(CAST(sy1 AS DOUBLE) / CAST(sw1 AS DOUBLE), 6) AS mean_y_treat,
+       |  round(CAST(sy0 AS DOUBLE) / CAST(sw0 AS DOUBLE), 6) AS mean_y_ctrl,
+       |  round(CAST(sy1 AS DOUBLE) / CAST(sw1 AS DOUBLE) -
+       |        CAST(sy0 AS DOUBLE) / CAST(sw0 AS DOUBLE), 6) AS ate
+       |FROM ag""".stripMargin
 }

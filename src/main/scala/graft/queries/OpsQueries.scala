@@ -20,6 +20,30 @@ object OpsQueries {
     Linkage.FieldSpec("p_type", 0.85, 0.02),
     Linkage.FieldSpec("tok0", 0.8, 0.1))
 
+  /** q362 oracle: one add-0.5 bigram model trained on doc_id % d == 0,
+    * scored against the shared `hb` holdout CTE (the q353 subset-model
+    * pattern, NLL flavor). */
+  private def scalingFracCtes(d: Int): String =
+    s"""ut$d AS (SELECT unnest(tk) AS w FROM toks WHERE doc_id % $d = 0),
+       |uc$d AS (SELECT w, count(*) AS c1 FROM ut$d GROUP BY 1),
+       |v$d AS (SELECT count(DISTINCT w) AS v FROM ut$d),
+       |bc$d AS (SELECT pair, count(*) AS c12 FROM
+       |        (SELECT tk[p+1] || ' ' || tk[p+2] AS pair FROM
+       |          (SELECT tk, CAST(unnest(range(len(tk)-1)) AS INTEGER) AS p
+       |           FROM toks WHERE doc_id % $d = 0 AND len(tk) >= 2))
+       |        GROUP BY 1),
+       |nt$d AS (SELECT count(*) AS nd FROM documents WHERE doc_id % $d = 0),
+       |ag$d AS (SELECT count(*) AS nb,
+       |          sum(CAST(round(-ln((coalesce(bc$d.c12, 0) + 0.5::DOUBLE) /
+       |            (coalesce(uc$d.c1, 0) + 0.5::DOUBLE * v$d.v)), 9)
+       |            AS DECIMAL(18,9))) AS s
+       |        FROM hb LEFT JOIN bc$d USING (pair)
+       |        LEFT JOIN uc$d ON hb.w1 = uc$d.w CROSS JOIN v$d),
+       |p$d AS (SELECT $d::BIGINT AS frac_denom,
+       |          CAST(nt$d.nd AS BIGINT) AS n_train_docs, ag$d.nb AS n_bigrams,
+       |          CAST(ag$d.s AS DOUBLE) / CAST(ag$d.nb AS DOUBLE) AS nll
+       |        FROM ag$d CROSS JOIN nt$d)""".stripMargin
+
   /** DuckDB fragment: 60-bit seeded md5 hash of expression `e`. */
   private def sqlHash(seed: Int, e: String): String =
     s"('0x'||substr(md5('$seed|'||$e),1,15))::BIGINT"
@@ -10112,7 +10136,192 @@ object OpsQueries {
              |      (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
              |  round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
              |    AS coverage
-             |FROM st ORDER BY lang""".stripMargin)))
+             |FROM st ORDER BY lang""".stripMargin)),
+
+    // ─── IPW average treatment effect over a logreg propensity ──────────
+    // Treatment = the source group, propensity = the REPLAYED q156/q157
+    // logreg over hashed text features, outcome = long-doc indicator.
+    "q356_ipw_ate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val treat = $"source".isin("src0", "src1", "src2", "src3", "src4")
+        val w = Classifier.logregFit(docs, "doc_id", "text", treat,
+          buckets = 64, iters = 3, rate = 0.02)
+        val scored = Classifier.logregScore(docs, "doc_id", "text", treat, w)
+          .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+        Classifier.ipwEffect(scored, "p", $"is_target", $"n_chars" >= 300)
+      },
+      Some(LogregOracle.ipwSql(
+        "source IN ('src0','src1','src2','src3','src4')",
+        buckets = 64, iters = 3, rate = "0.02::DOUBLE",
+        outcome = "d.n_chars >= 300"))),
+
+    // ─── BPE compression curve (vocab-size sweep) ───────────────────────
+    "q357_bpe_compression" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Bpe.compressionCurve(Tables.documents(s, dir), "doc_id", "text",
+            iters = 4, ks = Seq(0, 1, 2, 3, 4))
+          .orderBy($"n_merges")
+      },
+      Some(BpeOracle.compressionSql(iters = 4, ks = Seq(0, 1, 2, 3, 4)))),
+
+    // ─── adjusted Rand index between two partitions ─────────────────────
+    "q358_ari_partitions" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.adjustedRand(Tables.documents(s, dir), "lang", "source")
+      },
+      Some("""WITH cells AS (SELECT lang AS a, source AS b, count(*) AS c
+             |        FROM documents GROUP BY 1, 2),
+             |st AS (SELECT CAST(sum(CAST(c AS DECIMAL(19,0)) *
+             |          CAST(c - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sij,
+             |        CAST(sum(c) AS BIGINT) AS n, count(*) AS n_cells
+             |      FROM cells),
+             |ma AS (SELECT a, sum(c) AS m FROM cells GROUP BY 1),
+             |sa AS (SELECT CAST(sum(CAST(m AS DECIMAL(19,0)) *
+             |          CAST(m - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s
+             |       FROM ma),
+             |mb AS (SELECT b, sum(c) AS m FROM cells GROUP BY 1),
+             |sb AS (SELECT CAST(sum(CAST(m AS DECIMAL(19,0)) *
+             |          CAST(m - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s
+             |       FROM mb)
+             |SELECT n, n_cells,
+             |  round(((CAST(sij AS DOUBLE) / 2.0) -
+             |      ((CAST(sa.s AS DOUBLE) / 2.0) * (CAST(sb.s AS DOUBLE) / 2.0) /
+             |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0))) /
+             |    (((CAST(sa.s AS DOUBLE) / 2.0) + (CAST(sb.s AS DOUBLE) / 2.0)) / 2.0 -
+             |      ((CAST(sa.s AS DOUBLE) / 2.0) * (CAST(sb.s AS DOUBLE) / 2.0) /
+             |       (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0))), 6)
+             |    AS ari
+             |FROM st CROSS JOIN sa CROSS JOIN sb""".stripMargin)),
+
+    // ─── seeded-Laplace DP noisy histogram (ε ledger) ───────────────────
+    "q359_dp_noisy_hist" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.laplaceNoisyCounts(Tables.documents(s, dir), "lang",
+            eps = 1.0, seed = 7)
+          .orderBy($"key")
+      },
+      Some("""WITH c AS (SELECT CAST(lang AS VARCHAR) AS key,
+             |        count(*) AS n_true FROM documents GROUP BY 1),
+             |u AS (SELECT key, n_true,
+             |        CAST(('0x'||substr(md5('7|'||key),1,15))::BIGINT AS DOUBLE) /
+             |          1152921504606846976::DOUBLE - 0.5 AS cdev
+             |      FROM c)
+             |SELECT key, n_true,
+             |  round(CAST(n_true AS DOUBLE) +
+             |    -1.0 * sign(cdev) *
+             |    ln(greatest(1e-12, 1.0 - 2.0 * abs(cdev))), 6) AS n_noisy,
+             |  1.0::DOUBLE AS epsilon
+             |FROM u ORDER BY key""".stripMargin)),
+
+    // ─── blocking-quality audit: reduction ratio vs pairs completeness ──
+    "q360_blocking_quality" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val parts = Tables.part(s, dir).select($"p_partkey", $"p_brand",
+          $"p_type", $"p_size",
+          element_at(split($"p_name", " "), 1).as("tok0"))
+        Linkage.blockingQuality(parts, "p_partkey", $"p_size",
+          Seq("p_brand", "p_type", "tok0"))
+      },
+      Some("""WITH b0 AS (SELECT p_partkey, p_size AS blk,
+             |        p_brand || chr(1) || p_type || chr(1) ||
+             |          string_split(p_name, ' ')[1] AS truth
+             |      FROM part),
+             |bs AS (SELECT blk, count(*) AS c FROM b0 GROUP BY 1),
+             |bl AS (SELECT count(*) AS n_blocks, CAST(sum(c) AS BIGINT) AS n,
+             |        CAST(sum(CAST(c AS DECIMAL(19,0)) *
+             |          CAST(c - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS cand2
+             |      FROM bs),
+             |ts AS (SELECT truth, count(*) AS c FROM b0 GROUP BY 1),
+             |tr AS (SELECT CAST(sum(CAST(c AS DECIMAL(19,0)) *
+             |          CAST(c - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS truth2
+             |      FROM ts),
+             |cs AS (SELECT truth, blk, count(*) AS c FROM b0 GROUP BY 1, 2),
+             |cp AS (SELECT CAST(sum(CAST(c AS DECIMAL(19,0)) *
+             |          CAST(c - 1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS cap2
+             |      FROM cs)
+             |SELECT n, n_blocks,
+             |  CAST(cand2 AS DOUBLE) / 2.0 AS cand_pairs,
+             |  CAST(truth2 AS DOUBLE) / 2.0 AS truth_pairs,
+             |  CAST(cap2 AS DOUBLE) / 2.0 AS captured_pairs,
+             |  round(1.0 - CAST(cand2 AS DOUBLE) /
+             |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+             |    AS reduction_ratio,
+             |  round(CAST(cap2 AS DOUBLE) / CAST(truth2 AS DOUBLE), 6)
+             |    AS pairs_completeness
+             |FROM bl CROSS JOIN tr CROSS JOIN cp""".stripMargin)),
+
+    // ─── split-conformal prediction interval with coverage audit ────────
+    "q361_conformal_interval" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Classifier.conformalInterval(Tables.orders(s, dir),
+          "o_orderpriority", "o_totalprice",
+          when(pmod($"o_orderkey", lit(4)) < 2, 0)
+            .when(pmod($"o_orderkey", lit(4)) === 2, 1).otherwise(2),
+          alpha = 0.1)
+      },
+      Some("""WITH b AS (SELECT o_orderpriority AS g,
+             |        CAST(o_totalprice AS DECIMAL(18,6)) AS y,
+             |        CASE WHEN o_orderkey % 4 < 2 THEN 0
+             |             WHEN o_orderkey % 4 = 2 THEN 1 ELSE 2 END AS s
+             |      FROM orders),
+             |mu AS (SELECT g, CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |        AS mu FROM b WHERE s = 0 GROUP BY 1),
+             |cal AS (SELECT abs(CAST(y AS DOUBLE) - mu) AS r
+             |        FROM b JOIN mu USING (g) WHERE s = 1),
+             |nc AS (SELECT count(*) AS n_cal FROM cal),
+             |vc AS (SELECT r, count(*) AS c FROM cal GROUP BY 1),
+             |cum AS (SELECT r, sum(c) OVER (ORDER BY r) AS cm FROM vc),
+             |q AS (SELECT max(n_cal) AS n_cal,
+             |        min(CASE WHEN cm >= least(
+             |          CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9) AS BIGINT),
+             |          n_cal) THEN r END) AS qh
+             |      FROM cum CROSS JOIN nc),
+             |tst AS (SELECT abs(CAST(y AS DOUBLE) - mu) AS r, q.n_cal, q.qh
+             |        FROM b JOIN mu USING (g) CROSS JOIN q WHERE s = 2)
+             |SELECT max(n_cal) AS n_cal, count(*) AS n_test,
+             |  round(max(qh), 6) AS qhat,
+             |  round(CAST(sum(CASE WHEN r <= qh THEN 1 ELSE 0 END) AS DOUBLE) /
+             |        CAST(count(*) AS DOUBLE), 6) AS coverage
+             |FROM tst""".stripMargin)),
+
+    // ─── LM data-scaling curve: holdout NLL vs nested training size ─────
+    "q362_scaling_curve" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.scalingCurve(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy($"frac_denom")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+              |        FROM documents),
+              |hb AS (SELECT tk[p+1] AS w1, tk[p+1] || ' ' || tk[p+2] AS pair
+              |       FROM (SELECT tk, CAST(unnest(range(len(tk)-1)) AS INTEGER) AS p
+              |             FROM toks WHERE doc_id % 8 = 7 AND len(tk) >= 2)),
+              |${scalingFracCtes(8)},
+              |${scalingFracCtes(4)},
+              |${scalingFracCtes(2)},
+              |pts AS (SELECT * FROM p8 UNION ALL SELECT * FROM p4
+              |        UNION ALL SELECT * FROM p2),
+              |dd AS (SELECT frac_denom, n_train_docs, n_bigrams, nll,
+              |        ln(CAST(n_train_docs AS DOUBLE)) AS x, ln(nll) AS y
+              |       FROM pts),
+              |st AS (SELECT count(*)::DOUBLE AS k,
+              |        CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+              |        CAST(sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+              |        CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+              |        CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+              |       FROM dd)
+              |SELECT frac_denom, n_train_docs, n_bigrams,
+              |  round(nll, 6) AS mean_nll,
+              |  round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6)
+              |    AS loglog_slope
+              |FROM dd CROSS JOIN st ORDER BY frac_denom""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -93,4 +93,16 @@ class BpeSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out == expect)
   }
+
+  test("compressionCurve: k=0 equals word count, tokens non-increasing in k") {
+    val df = Seq((1L, "a b a b c"), (2L, "a b a b"), (3L, "c c a b"))
+      .toDF("id", "text")
+    val out = Bpe.compressionCurve(df, "id", "text", iters = 2,
+        ks = Seq(0, 1, 2))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.head == ((0L, 3L, 13L, 13L, 1.0))) // unmerged = words
+    assert(out.map(_._3).sliding(2).forall(p => p(1) <= p(0)))
+    // first merge is (a,b) — 5 occurrences → 13 − 5 = 8 tokens at k=1
+    assert(out(1)._3 == 8L)
+  }
 }

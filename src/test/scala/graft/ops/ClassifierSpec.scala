@@ -130,4 +130,37 @@ class ClassifierSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double)].collect()
     assert(f.forall(r => r._4 == r._5))
   }
+
+  test("ipwEffect: hand-checkable Hájek quotients") {
+    val df = Seq(
+      (true, 0.8, 1.0), (true, 0.4, 0.0),
+      (false, 0.5, 1.0), (false, 0.9, 0.0))
+      .toDF("t", "p", "y")
+    val out = Classifier.ipwEffect(df, "p", col("t"), col("y"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    // treated: w 1.25 + 2.5, wy 1.25 → 1/3; control: w 2 + 10, wy 2 → 1/6
+    assert(out == ((4L, 2L, 0.333333, 0.166667, 0.166667)))
+  }
+
+  test("conformalInterval: order-statistic q̂ and test coverage by hand") {
+    // split 0 = train {10,10} → μ=10; split 1 = cal residuals {2,3,9};
+    // rank = min(ceil(4·0.9), 3) = 3 → q̂ = 9; split 2 = test residuals
+    // {5, 15} → coverage 1/2
+    val df = Seq(
+      ("g", 10.0, 0), ("g", 10.0, 0),
+      ("g", 12.0, 1), ("g", 13.0, 1), ("g", 19.0, 1),
+      ("g", 15.0, 2), ("g", 25.0, 2))
+      .toDF("g", "y", "s")
+    val out = Classifier.conformalInterval(df, "g", "y", col("s"), alpha = 0.1)
+      .as[(Long, Long, Double, Double)].head()
+    assert(out == ((3L, 2L, 9.0, 0.5)))
+  }
+
+  test("ipwEffect: propensities clip to the overlap band") {
+    val df = Seq((true, 0.001, 1.0), (false, 0.999, 1.0)).toDF("t", "p", "y")
+    val out = Classifier.ipwEffect(df, "p", col("t"), col("y"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    // p clips to 0.05 / 0.95 → both weights 20, both means 1.0, ate 0
+    assert(out == ((2L, 1L, 1.0, 1.0, 0.0)))
+  }
 }

@@ -36,4 +36,15 @@ class LinkageSpec extends SparkSpec {
     assert(out == Set((7L, "match", 1L), (2L, "review", 1L),
       (-4L, "nonmatch", 1L)))
   }
+
+  test("blockingQuality: RR and PC from hand-counted pair sets") {
+    val df = Seq(
+      (1L, "A", "t1"), (2L, "A", "t1"), (3L, "B", "t1"), (4L, "B", "t2"))
+      .toDF("id", "blk", "truth")
+    val out = Linkage.blockingQuality(df, "id", col("blk"), Seq("truth"))
+      .as[(Long, Long, Double, Double, Double, Double, Double)].head()
+    // cand = C(2,2)+C(2,2) = 2 of 6 total → RR 2/3; truth pairs C(3,2)=3,
+    // captured only (1,2) (same block) → PC 1/3
+    assert(out == ((4L, 2L, 2.0, 3.0, 1.0, 0.666667, 0.333333)))
+  }
 }

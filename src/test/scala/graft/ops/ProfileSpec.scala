@@ -325,4 +325,34 @@ class ProfileSpec extends SparkSpec {
     assert(out("v_le_0") == (("v_le_0", 2L, 2L, 4L, 1.0)))  // both mins > 0
     assert(out("v_2_12") == (("v_2_12", 2L, 0L, 0L, 0.0)))  // both overlap
   }
+
+  test("adjustedRand: identical partitions → 1, hand case → 0") {
+    val same = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val r1 = Profile.adjustedRand(same, "a", "b")
+      .as[(Long, Long, Double)].head()
+    assert(r1 == ((4L, 2L, 1.0)))
+    // A=[1,1,2,2], B=[1,1,1,2]: index 1, E 1, max 2.5 → ARI 0
+    val mixed = Seq(("1", "1"), ("1", "1"), ("2", "1"), ("2", "2"))
+      .toDF("a", "b")
+    val r2 = Profile.adjustedRand(mixed, "a", "b")
+      .as[(Long, Long, Double)].head()
+    assert(r2 == ((4L, 3L, 0.0)))
+  }
+
+  test("laplaceNoisyCounts: seeded noise is deterministic and unbiased-shaped") {
+    val df = Seq.fill(8)("k1").union(Seq.fill(3)("k2")).toDF("k")
+    val a = Profile.laplaceNoisyCounts(df, "k", eps = 1.0, seed = 7)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    val b = Profile.laplaceNoisyCounts(df.repartition(5), "k", eps = 1.0,
+        seed = 7)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // layout-invariant draws
+    assert(a.map(_._2).toSeq == Seq(8L, 3L))
+    // a different seed moves the noise; the true counts stay put
+    val c = Profile.laplaceNoisyCounts(df, "k", eps = 1.0, seed = 8)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(c.map(_._2).toSeq == Seq(8L, 3L))
+    assert(a.map(_._3).toSeq != c.map(_._3).toSeq)
+  }
 }

@@ -218,6 +218,22 @@ class TextQualitySpec extends SparkSpec {
     assert(out == (("g", 4L, 3L, 2L, 1L, 3.5, 0.5)))
   }
 
+  test("scalingCurve: nested fractions, shared slope, sane shape") {
+    // 32 docs drawn from one distribution — more data must not HURT the
+    // holdout add-α NLL dramatically; structural contract checks
+    val docs = (0L until 32L).map(i =>
+      (i, if (i % 2 == 0) "a b a b c" else "a b c a b")).toDF("doc_id", "text")
+    val out = TextStats.scalingCurve(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 8L))
+    // nested: half ⊃ quarter ⊃ eighth
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > out(2)._2)
+    // same holdout everywhere
+    assert(out.map(_._3).distinct.length == 1)
+    // one shared slope, finite
+    assert(out.map(_._5).distinct.length == 1 && !out.head._5.isNaN)
+  }
+
   test("excessLossDeciles: learnable doc ranks above noise doc") {
     // proxy model sees only "x y"; reference model only "x z" — the pool
     // doc "x z" is likely under ref, unlikely under proxy → ρ > 0
