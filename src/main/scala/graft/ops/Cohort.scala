@@ -201,6 +201,67 @@ object Cohort {
       .unionByName(side("last_touch", col("__last")))
   }
 
+  /** The signed Shapley coalition lattice over a literal channel
+    * universe: rows (set_key, channel, ±w(|S|)) with
+    * w(s) = (s−1)!(k−s)!/k! — one +w row for every S ∋ c keyed by S,
+    * one −w row keyed by S∖{c}. Set keys are sorted comma-joins.
+    * 2^(k−1)·2·k rows — model-sized (channels is a literal contract).
+    * Public so the oracle generator shares EXACTLY these weights. */
+  def shapleyLattice(channels: Seq[String]): Seq[(String, String, Double)] = {
+    val cs = channels.sorted
+    val k = cs.length
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    def w(s: Int): Double = fact(s - 1).toDouble * fact(k - s) / fact(k)
+    def key(set: Seq[String]): String = set.sorted.mkString(",")
+    for {
+      c <- cs
+      bits <- 0 until (1 << k)
+      set = cs.zipWithIndex.collect { case (ch, i) if (bits & (1 << i)) != 0 => ch }
+      if set.contains(c)
+      row <- Seq((key(set), c, w(set.length)),
+        (key(set.filterNot(_ == c)), c, -w(set.length)))
+    } yield row
+  }
+
+  /** Exact Shapley-value channel attribution (Shapley 1953; the
+    * data-driven attribution standard — the coalition-fair split that
+    * first/last-touch (q273) and position weighting (q318) approximate):
+    * users are characterized by the SET of non-conversion channels they
+    * touched; v(S) = observed conversion rate of users with channel set
+    * EXACTLY S (unobserved subsets contribute v = 0, the data-driven
+    * convention); φ_c = Σ_{S ∋ c} w(|S|)·(v(S) − v(S∖c)).
+    *
+    * Float discipline: v(S) are doubles from exact counts; each lattice
+    * term w·v rounds to 9 dp and sums as DECIMAL per channel, so φ is
+    * partition-order-free; the factorial weights are driver-computed
+    * literals shared verbatim with the oracle.
+    *
+    * Scale shape: ONE user-keyed aggregate (set + converted flag), one
+    * subset-keyed aggregate (≤ 2^k rows by contract), then a join of
+    * the LITERAL lattice against the subset table. Output:
+    * (channel, phi). */
+  def shapleyAttribution(events: DataFrame, userCol: String,
+      typeCol: String, convType: String,
+      channels: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val users = events.groupBy(col(userCol).as("__u"))
+      .agg(sort_array(collect_set(
+          when(col(typeCol) =!= convType, col(typeCol)))).as("__set"),
+        max((col(typeCol) === convType).cast("int")).as("__conv"))
+    val vS = users.groupBy(concat_ws(",", col("__set")).as("__key"))
+      .agg(count(lit(1)).as("__n"), sum(col("__conv")).as("__k"))
+      .select(col("__key"),
+        (col("__k").cast("double") / col("__n").cast("double")).as("__v"))
+    val lattice = shapleyLattice(channels).toDF("__key", "channel", "__w")
+    lattice.join(vS, Seq("__key"), "left")
+      .select(col("channel"),
+        round(col("__w") * coalesce(col("__v"), lit(0.0)), 9)
+          .cast("decimal(18,9)").as("__t"))
+      .groupBy(col("channel"))
+      .agg(round(sum(col("__t")).cast("double"), 6).as("phi"))
+  }
+
   def markovStationary(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String, iters: Int = 25,
       scale: Long = 1000000000000L): DataFrame = {

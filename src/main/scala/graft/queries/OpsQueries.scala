@@ -20,6 +20,83 @@ object OpsQueries {
     Linkage.FieldSpec("p_type", 0.85, 0.02),
     Linkage.FieldSpec("tok0", 0.8, 0.1))
 
+  /** q363's channel universe (the literal contract the Shapley lattice
+    * is built over). */
+  private val shapleyChannels = Seq("click", "error", "signup", "view")
+
+  /** q363 oracle: the SAME signed lattice `Cohort.shapleyLattice`
+    * computes, emitted as VALUES rows so both engines share identical
+    * factorial-weight literals. */
+  private def shapleySql(convType: String): String = {
+    val lat = graft.ops.Cohort.shapleyLattice(shapleyChannels)
+      .map { case (k, c, w) => s"('$k', '$c', ${w}::DOUBLE)" }
+      .mkString(",\n        ")
+    s"""WITH us AS (SELECT user_id,
+       |        array_to_string(list_sort(list_distinct(
+       |          list(event_type) FILTER (WHERE event_type <> '$convType'))),
+       |          ',') AS key,
+       |        max(CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END)
+       |          AS conv
+       |      FROM events GROUP BY 1),
+       |vs AS (SELECT key, CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |        AS v FROM us GROUP BY 1),
+       |lat(key, channel, w) AS (VALUES
+       |        $lat)
+       |SELECT channel,
+       |  round(CAST(sum(CAST(round(lat.w * coalesce(vs.v, 0.0), 9)
+       |    AS DECIMAL(18,9))) AS DOUBLE), 6) AS phi
+       |FROM lat LEFT JOIN vs USING (key)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q364 oracle: full Sinkhorn replay — 9-dp-quantised kernel, every
+    * denominator an ASCENDING-index list_reduce fold from 0.0 (the
+    * LogregOracle margin idiom), so u/v/plan/cost match the driver's
+    * foldLeft bit-for-bit. */
+  private def sinkhornSql(epsilon: Double, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""u$t AS MATERIALIZED (SELECT kk.i, max(ma.w) / list_reduce(
+         |          list_prepend(0.0::DOUBLE, list(kk.kij * v.v ORDER BY kk.j)),
+         |          (x, y) -> x + y) AS u
+         |       FROM kk JOIN v${t - 1} v ON v.j = kk.j
+         |       JOIN ma ON ma.i = kk.i GROUP BY kk.i),
+         |v$t AS MATERIALIZED (SELECT kk.j, max(mb.w) / list_reduce(
+         |          list_prepend(0.0::DOUBLE, list(kk.kij * u.u ORDER BY kk.i)),
+         |          (x, y) -> x + y) AS v
+         |       FROM kk JOIN u$t u ON u.i = kk.i
+         |       JOIN mb ON mb.i = kk.j GROUP BY kk.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT CAST(lang AS VARCHAR) AS c, (doc_id % 2 = 0) AS a
+       |      FROM documents),
+       |cn AS (SELECT c, a, count(*) AS n FROM d GROUP BY 1, 2),
+       |cats AS (SELECT c, CAST(row_number() OVER (ORDER BY c) AS INTEGER) - 1
+       |        AS i FROM (SELECT DISTINCT c FROM cn)),
+       |ta AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cn WHERE a),
+       |tb AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cn WHERE NOT a),
+       |ma AS (SELECT cats.i, coalesce(CAST(cn.n AS DOUBLE), 0.0) / ta.t AS w
+       |       FROM cats LEFT JOIN cn ON cn.c = cats.c AND cn.a CROSS JOIN ta),
+       |mb AS (SELECT cats.i, coalesce(CAST(cn.n AS DOUBLE), 0.0) / tb.t AS w
+       |       FROM cats LEFT JOIN cn ON cn.c = cats.c AND NOT cn.a
+       |       CROSS JOIN tb),
+       |kk AS MATERIALIZED (SELECT ia.i AS i, ja.i AS j,
+       |        round(exp(-CAST(abs(ia.i - ja.i) AS DOUBLE) / $epsilon), 9)
+       |          AS kij
+       |       FROM cats ia CROSS JOIN cats ja),
+       |v0 AS MATERIALIZED (SELECT i AS j, 1.0::DOUBLE AS v FROM cats),
+       |$steps,
+       |pl AS (SELECT kk.i, kk.j, u.u * kk.kij * v.v AS mass
+       |       FROM kk JOIN u$iters u ON u.i = kk.i
+       |       JOIN v$iters v ON v.j = kk.j),
+       |ct AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+       |         list(mass * CAST(abs(i - j) AS DOUBLE) ORDER BY i, j)),
+       |         (x, y) -> x + y) AS cost FROM pl)
+       |SELECT ca.c AS cat_a, cb.c AS cat_b, round(mass, 6) AS mass,
+       |  round(cost, 6) AS ot_cost
+       |FROM pl JOIN cats ca ON ca.i = pl.i JOIN cats cb ON cb.i = pl.j
+       |CROSS JOIN ct
+       |ORDER BY cat_a, cat_b""".stripMargin
+  }
+
   /** q362 oracle: one add-0.5 bigram model trained on doc_id % d == 0,
     * scored against the shared `hb` holdout CTE (the q353 subset-model
     * pattern, NLL flavor). */
@@ -10321,7 +10398,27 @@ object OpsQueries {
               |  round(nll, 6) AS mean_nll,
               |  round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6)
               |    AS loglog_slope
-              |FROM dd CROSS JOIN st ORDER BY frac_denom""".stripMargin)))
+              |FROM dd CROSS JOIN st ORDER BY frac_denom""".stripMargin)),
+
+    // ─── exact Shapley-value channel attribution ────────────────────────
+    "q363_shapley_attribution" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Cohort.shapleyAttribution(Tables.events(s, dir), "user_id",
+            "event_type", convType = "purchase", channels = shapleyChannels)
+          .orderBy($"channel")
+      },
+      Some(shapleySql("purchase"))),
+
+    // ─── Sinkhorn entropic optimal transport between two halves ─────────
+    "q364_sinkhorn_ot" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Transport.sinkhornPlan(Tables.documents(s, dir), "lang",
+            $"doc_id" % 2 === 0, epsilon = 1.0, iters = 10)
+          .orderBy($"cat_a", $"cat_b")
+      },
+      Some(sinkhornSql(epsilon = 1.0, iters = 10))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -151,4 +151,27 @@ class CohortSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(p2 == Map("a" -> 1.0))
   }
+
+  test("shapleyLattice: factorial weights, signed-pair structure") {
+    val lat = Cohort.shapleyLattice(Seq("x", "y"))
+    // k=2 → w(1) = w(2) = 0.5; each channel: 2 subsets × 2 signed rows
+    assert(lat.length == 8)
+    assert(lat.forall(r => math.abs(r._3) == 0.5))
+    // the +S and −S∖c rows pair up
+    assert(lat.count(_._3 > 0) == 4 && lat.count(_._3 < 0) == 4)
+  }
+
+  test("shapleyAttribution: hand-computed φ over a 2-channel lattice") {
+    // v({x})=1, v({y})=0, v({x,y})=1, v(∅)=0
+    // φ_x = .5·(1−0) + .5·(1−0) = 1;  φ_y = .5·(0−0) + .5·(1−1) = 0
+    val df = Seq(
+      (1L, "x"), (1L, "purchase"),
+      (2L, "y"),
+      (3L, "x"), (3L, "y"), (3L, "purchase"))
+      .toDF("user_id", "event_type")
+    val out = Cohort.shapleyAttribution(df, "user_id", "event_type",
+        "purchase", Seq("x", "y"))
+      .as[(String, Double)].collect().toMap
+    assert(out("x") == 1.0 && out("y") == 0.0)
+  }
 }
