@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph centrality over an edge table — the remaining graph
@@ -78,6 +78,59 @@ object Graph {
         .select(col("id"),
           (lit(base) +
             expr(s"(85 * (coalesce(im, 0L) + ${dShare}L)) DIV 100")).as("rank"))
+        .localCheckpoint(eager = true)
+      unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    e.unpersist()
+    ranks.select(col("id").as(idCol), col("rank").as("rank_fp"))
+  }
+
+  /** Personalized PageRank (Page et al. 1999 §6; the seed-biased walk
+    * behind "related docs" expansion and dedup-cluster seeding): same
+    * integer fixed-point recursion as [[pageRank]], but BOTH the 15 %
+    * restart mass and the dangling mass return to the SEED set only —
+    * rank measures proximity to the seeds, not global centrality.
+    * rank_i = [seed]·(15·(scale⫽|S|))⫽100
+    *        + (85·(in_i + [seed]·(dangling⫽|S|)))⫽100.
+    * Pure integer arithmetic — engine-exact, no float discipline needed.
+    *
+    * Scale shape: identical to pageRank — one edge⋈rank join per
+    * iteration, localCheckpoint'ed frontiers, a 1-row dangling
+    * aggregate per iteration (driver scalar, not data-scaled). */
+  def personalizedPageRank(vertices: DataFrame, idCol: String,
+      seedPred: Column, edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 3,
+      scale: Long = 1L << 40): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val od = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .localCheckpoint(eager = true)
+    val verts = vertices.select(col(idCol).as("id"), seedPred.as("seed"))
+      .localCheckpoint(eager = true)
+    val nS = verts.filter(col("seed")).count()
+    require(nS > 0, "personalizedPageRank needs a non-empty seed set")
+    val r0 = scale / nS
+    var ranks = verts.select(col("id"),
+        when(col("seed"), lit(r0)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val withOd = ranks.join(od, ranks("id") === od("src"), "left")
+      val dangling = withOd.filter(col("odeg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+        .first().getLong(0)
+      val dShare = dangling / nS
+      val contrib = withOd.filter(col("odeg").isNotNull)
+        .select(col("src"), expr("rank DIV odeg").as("c"))
+      val inMass = e.join(contrib, Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("im"))
+      val next = verts
+        .join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("seed"), lit((15L * r0) / 100L)).otherwise(lit(0L)) +
+            expr(s"(85 * (coalesce(im, 0L) + " +
+              s"IF(seed, ${dShare}L, 0L))) DIV 100")).as("rank"))
         .localCheckpoint(eager = true)
       unpersistCheckpoint(ranks)
       ranks = next

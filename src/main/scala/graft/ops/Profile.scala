@@ -868,6 +868,39 @@ object Profile {
     *
     * Scale shape: ONE key-keyed count, then map-only noise arithmetic
     * on the key-sized table. */
+  /** Randomized response (Warner 1965 — the LOCAL-DP mechanism the
+    * central-DP Laplace histogram pairs with): each row reports its
+    * true boolean with probability `p`, otherwise a fair coin; the
+    * group-level rate debiases as (obs − (1−p)/2) / p. Both draws are
+    * the engine's seeded md5 uniforms, so the noisy microdata — not
+    * just the aggregate — is reproducible across engines and layouts.
+    * ε ledger: ε = ln((p + (1−p)/2) / ((1−p)/2)).
+    *
+    * Scale shape: map-only response arithmetic + ONE group aggregate.
+    * Output: (group, n, n_obs_yes, obs_rate, est_rate, true_rate). */
+  def randomizedResponse(df: DataFrame, idCol: String, groupCol: String,
+      truthCol: Column, p: Double, seed: Int = 11): DataFrame = {
+    require(p > 0 && p < 1, "p in (0,1)")
+    val denom = lit((1L << 60).toDouble)
+    val u1 = Dedup.seededHash(seed, col(idCol).cast("string"))
+      .cast("double") / denom
+    val u2 = Dedup.seededHash(seed + 1, col(idCol).cast("string"))
+      .cast("double") / denom
+    val observed = when(u1 < lit(p), truthCol).otherwise(u2 < lit(0.5))
+    df.select(col(groupCol).as("group"), truthCol.as("__y"),
+        observed.as("__obs"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__obs"), 1L).otherwise(0L)).as("n_obs_yes"),
+        round(sum(when(col("__obs"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("obs_rate"),
+        round((sum(when(col("__obs"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double") - lit((1.0 - p) / 2)) / lit(p), 6)
+          .as("est_rate"),
+        round(sum(when(col("__y"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("true_rate"))
+  }
+
   def laplaceNoisyCounts(df: DataFrame, keyCol: String, eps: Double,
       seed: Int = 7): DataFrame = {
     require(eps > 0, "epsilon must be positive")

@@ -1375,6 +1375,57 @@ object TextStats {
           .as("jaccard"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, public literature):
+    * candidate phrases are maximal stopword-free token runs; each word
+    * scores degree/freq (degree = Σ phrase-length over its occurrences
+    * — freq plus co-occurrence credit), and a phrase scores the sum of
+    * its member word scores. The content-phrase counterpart of the
+    * single-term tf-idf/BM25 rankers (q42/q107) and the PMI collocation
+    * pairs (q311): multi-word, corpus-wide, no supervision.
+    *
+    * Float discipline: word scores are doubles from exact counts,
+    * rounded to 9 dp before the per-phrase DECIMAL sum, so phrase
+    * scores are partition-order-free.
+    *
+    * Scale shape: one position explode with a doc-keyed running
+    * stopword count (gaps-and-islands, the q73/q141 shape) → phrase
+    * ids; ONE word aggregate for freq/degree; phrase scoring joins the
+    * word table back (vocab-sized, un-hinted) and aggregates per
+    * phrase text. Output: top-`topK` phrases by (score desc, phrase):
+    * (phrase, n_words, n_occ, score). */
+  def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(split(lower(col(textCol)), " ")).as(Seq("__p", "__t")))
+      .where(col("__t") =!= "")
+      .withColumn("__stop", col("__t").isin(stopwords: _*))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val grouped = toks
+      .withColumn("__grp", sum(when(col("__stop"), 1L).otherwise(0L)).over(w))
+      .where(!col("__stop"))
+      .localCheckpoint(false) // consumers: word stats + phrase scoring
+    val phrases = grouped.groupBy(col("__id"), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+    val members = grouped.join(phrases, Seq("__id", "__grp"))
+    val words = members.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__t"),
+        (col("__deg").cast("double") / col("__freq").cast("double"))
+          .as("__score"))
+    val phraseRows = members.join(words, Seq("__t"))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(concat_ws(" ", array_sort(collect_list(
+          struct(col("__p"), col("__t")))).getField("__t")).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(round(col("__score"), 9).cast("decimal(18,9)")).as("__ps"))
+    phraseRows.groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("n_occ"),
+        round(max(col("__ps")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
   /** Data-scaling curve for the add-α bigram LM (the Kaplan/Hestness
     * scaling-law measurement shape, public literature): train the model
     * on NESTED corpus fractions (doc_id % d == 0 for each d in

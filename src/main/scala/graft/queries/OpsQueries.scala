@@ -362,6 +362,49 @@ object OpsQueries {
        |SELECT id AS doc_id, rank AS rank_fp FROM r$iters ORDER BY doc_id"""
       .stripMargin
 
+  /** q365's stopword list (all four marker languages), shared by the
+    * Spark query and its oracle. */
+  private val rakeStops =
+    Seq("the", "a", "der", "und", "el", "y", "le", "et")
+
+  /** q368 oracle: `Graph.personalizedPageRank` replayed — the q103 step
+    * chain with restart AND dangling mass confined to the seed set. */
+  private def pprSql(iters: Int, scale: Long = 1L << 40): String = {
+    val head =
+      s"""od AS (SELECT src, count(*) AS odeg FROM sym GROUP BY src),
+         |ns AS (SELECT count(*) AS n FROM documents WHERE lang = 'en'),
+         |sd AS (SELECT doc_id AS id, lang = 'en' AS seed FROM documents),
+         |r0 AS (SELECT id, CASE WHEN seed THEN CAST($scale // n AS BIGINT)
+         |          ELSE 0 END AS rank
+         |       FROM sd CROSS JOIN ns)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r$p r
+         |        LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL),
+         |c$i AS (SELECT r.id AS src, r.rank // od.odeg AS c
+         |        FROM r$p r JOIN od ON r.id = od.src),
+         |m$i AS (SELECT s.dst AS id, sum(c.c) AS im
+         |        FROM sym s JOIN c$i c USING (src) GROUP BY s.dst),
+         |r$i AS (SELECT v.id,
+         |          CAST(CASE WHEN v.seed
+         |                 THEN (15 * ($scale // ns.n)) // 100 ELSE 0 END +
+         |               (85 * (coalesce(m.im, 0) +
+         |                 CASE WHEN v.seed
+         |                   THEN ((SELECT dm FROM d$i) // ns.n)
+         |                   ELSE 0 END)) // 100
+         |            AS BIGINT) AS rank
+         |        FROM sd v LEFT JOIN m$i m USING (id) CROSS JOIN ns)"""
+        .stripMargin
+    }
+    s"""WITH $minhashCtes,
+       |edges AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |${(head +: steps).mkString(",\n")}
+       |SELECT id AS doc_id, rank AS rank_fp FROM r$iters ORDER BY doc_id"""
+      .stripMargin
+  }
+
   /** CTE chain (sans WITH) ending in `sg` = (doc_id, sig) — the exact
     * DuckDB replay of `Dedup.simhash`, shared by the q26 fingerprint
     * oracle and the q148 Hamming-pairs oracle. */
@@ -10418,7 +10461,148 @@ object OpsQueries {
             $"doc_id" % 2 === 0, epsilon = 1.0, iters = 10)
           .orderBy($"cat_a", $"cat_b")
       },
-      Some(sinkhornSql(epsilon = 1.0, iters = 10))))
+      Some(sinkhornSql(epsilon = 1.0, iters = 10))),
+
+    // ─── RAKE keyphrase extraction over the document corpus ─────────────
+    "q365_rake_keyphrases" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.rakeKeyphrases(Tables.documents(s, dir), "doc_id",
+          "text", stopwords = rakeStops, topK = 20)
+      },
+      Some {
+        val stopList = rakeStops.map(t => s"'$t'").mkString(", ")
+        s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+           |        FROM documents),
+           |t0 AS (SELECT doc_id, p, tk[p+1] AS t FROM
+           |        (SELECT doc_id, tk, CAST(unnest(range(len(tk))) AS INTEGER)
+           |           AS p FROM tk)
+           |      WHERE tk[p+1] <> ''),
+           |t1 AS (SELECT doc_id, p, t,
+           |        list_contains([$stopList], t) AS stop FROM t0),
+           |g AS (SELECT doc_id, p, t, stop,
+           |        sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER
+           |          (PARTITION BY doc_id ORDER BY p) AS grp
+           |      FROM t1),
+           |m0 AS (SELECT doc_id, grp, p, t FROM g WHERE NOT stop),
+           |ph AS (SELECT doc_id, grp, count(*) AS len FROM m0 GROUP BY 1, 2),
+           |mem AS (SELECT m0.doc_id, m0.grp, m0.p, m0.t, ph.len
+           |        FROM m0 JOIN ph USING (doc_id, grp)),
+           |wrd AS (SELECT t, CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |        AS score FROM mem GROUP BY 1),
+           |pr AS (SELECT mem.doc_id, mem.grp,
+           |        array_to_string(list(mem.t ORDER BY mem.p), ' ') AS phrase,
+           |        count(*) AS n_words,
+           |        sum(CAST(round(wrd.score, 9) AS DECIMAL(18,9))) AS ps
+           |      FROM mem JOIN wrd USING (t) GROUP BY 1, 2)
+           |SELECT phrase, max(n_words) AS n_words, count(*) AS n_occ,
+           |  round(CAST(max(ps) AS DOUBLE), 6) AS score
+           |FROM pr GROUP BY 1 ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+      }),
+
+    // ─── storage-layout comparison: zone-map skipping per clustering ────
+    "q366_layout_compare" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, dir)
+        val preds = Seq(
+          Profile.ZonePred("disc_ge_009", "l_discount", Some(0.09), None),
+          Profile.ZonePred("qty_20_25", "l_quantity", Some(20.0), Some(25.0)))
+        val sorted = li.withColumn("__zone",
+          floor((row_number().over(Window.orderBy($"l_shipdate",
+            $"l_orderkey", $"l_linenumber")) - 1) / lit(4096)).cast("long"))
+        Seq(
+          ("natural_orderkey", Profile.zonemapAudit(li,
+            floor($"l_orderkey" / lit(4096)).cast("long"), preds)),
+          ("partkey_hash", Profile.zonemapAudit(li,
+            pmod($"l_partkey", lit(32)).cast("long"), preds)),
+          ("shipdate_sorted", Profile.zonemapAudit(sorted, $"__zone", preds)))
+          .map { case (name, d) => d.select(lit(name).as("layout"),
+            col("pred"), col("n_zones"), col("zones_pruned"),
+            col("rows_skipped"), col("skip_ratio")) }
+          .reduce(_.unionByName(_))
+          .orderBy($"layout", $"pred")
+      },
+      Some {
+        def zones(layout: String, zoneExpr: String, src: String) =
+          s"""SELECT '$layout' AS layout, pred, count(*) AS n_zones,
+             |  CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS zones_pruned,
+             |  CAST(sum(CASE WHEN pruned THEN n ELSE 0 END) AS BIGINT)
+             |    AS rows_skipped,
+             |  round(CAST(sum(CASE WHEN pruned THEN n ELSE 0 END) AS DOUBLE) /
+             |        CAST(sum(n) AS DOUBLE), 6) AS skip_ratio
+             |FROM (
+             |  SELECT 'disc_ge_009' AS pred, n, mx_d < 0.09 AS pruned FROM
+             |    (SELECT $zoneExpr AS zone, count(*) AS n,
+             |       max(CAST(l_discount AS DOUBLE)) AS mx_d,
+             |       min(CAST(l_quantity AS DOUBLE)) AS mn_q,
+             |       max(CAST(l_quantity AS DOUBLE)) AS mx_q
+             |     FROM $src GROUP BY 1)
+             |  UNION ALL
+             |  SELECT 'qty_20_25', n, (mx_q < 20.0 OR mn_q > 25.0) FROM
+             |    (SELECT $zoneExpr AS zone, count(*) AS n,
+             |       max(CAST(l_discount AS DOUBLE)) AS mx_d,
+             |       min(CAST(l_quantity AS DOUBLE)) AS mn_q,
+             |       max(CAST(l_quantity AS DOUBLE)) AS mx_q
+             |     FROM $src GROUP BY 1))
+             |GROUP BY 1, 2""".stripMargin
+        s"""WITH srt AS (SELECT *, (row_number() OVER (ORDER BY l_shipdate,
+           |        l_orderkey, l_linenumber) - 1) // 4096 AS zid
+           |      FROM lineitem)
+           |${zones("natural_orderkey", "l_orderkey // 4096", "lineitem")}
+           |UNION ALL
+           |${zones("partkey_hash", "l_partkey % 32", "lineitem")}
+           |UNION ALL
+           |${zones("shipdate_sorted", "zid", "srt")}
+           |ORDER BY layout, pred""".stripMargin
+      }),
+
+    // ─── randomized response (local DP) with debiased rate ──────────────
+    "q367_randomized_response" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.randomizedResponse(Tables.documents(s, dir), "doc_id",
+            "lang", $"n_chars" >= 300, p = 0.7, seed = 11)
+          .withColumnRenamed("group", "lang")
+          .orderBy($"lang")
+      },
+      Some {
+        val c1 = (1.0 - 0.7) / 2
+        s"""WITH r AS (SELECT lang AS grp, (n_chars >= 300) AS y,
+           |    CAST(('0x'||substr(md5('11|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+           |      AS DOUBLE) / 1152921504606846976::DOUBLE AS u1,
+           |    CAST(('0x'||substr(md5('12|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+           |      AS DOUBLE) / 1152921504606846976::DOUBLE AS u2
+           |  FROM documents),
+           |o AS (SELECT grp, y,
+           |        CASE WHEN u1 < 0.7 THEN y ELSE u2 < 0.5 END AS obs FROM r)
+           |SELECT grp AS lang, count(*) AS n,
+           |  CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS n_obs_yes,
+           |  round(CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE), 6) AS obs_rate,
+           |  round((CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE) - $c1) / 0.7, 6) AS est_rate,
+           |  round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) /
+           |        CAST(count(*) AS DOUBLE), 6) AS true_rate
+           |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // ─── personalized PageRank: proximity to the English seed set ───────
+    "q368_personalized_pagerank" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+        val sym = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+          .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+        Graph.personalizedPageRank(docs.select($"doc_id", $"lang"),
+            "doc_id", $"lang" === "en", sym, iters = 3)
+          .orderBy($"doc_id")
+      },
+      Some(pprSql(iters = 3))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -72,4 +72,21 @@ class GraphSpec extends SparkSpec {
     // triangle: all degrees equal → zero variance → NULL, not 0/0
     assert(r(Seq((1L, 2L), (1L, 3L), (2L, 3L))) == ((3L, None)))
   }
+
+  test("personalizedPageRank: mass stays near the seed, unreachable = 0") {
+    import org.apache.spark.sql.functions.col
+    val verts = Seq((1L, true), (2L, false), (3L, false))
+      .toDF("id", "isSeed")
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst") // 3 isolated
+    // even iteration count: the 2-cycle oscillates, mass returns home
+    val out = Graph.personalizedPageRank(verts, "id", col("isSeed"),
+        edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val scale = 1L << 40
+    assert(out(3L) == 0L)                       // never reachable, not seed
+    assert(out(1L) > 0L && out(2L) > 0L)        // walk reaches 2 via edge
+    assert(out(1L) > out(2L))                   // restart keeps seed ahead
+    val total = out.values.sum.toDouble / scale
+    assert(total > 0.9 && total <= 1.01)        // mass ≈ conserved
+  }
 }

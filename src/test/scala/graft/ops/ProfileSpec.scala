@@ -340,6 +340,22 @@ class ProfileSpec extends SparkSpec {
     assert(r2 == ((4L, 3L, 0.0)))
   }
 
+  test("randomizedResponse: layout-invariant draws, debias arithmetic") {
+    import org.apache.spark.sql.functions._
+    val df = (0L until 100L).map(i => (i, "g", i < 60)).toDF("id", "g", "y")
+    val a = Profile.randomizedResponse(df, "id", "g", col("y"), p = 0.7)
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    val b = Profile.randomizedResponse(df.repartition(7), "id", "g",
+        col("y"), p = 0.7)
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    assert(a == b)
+    assert(a._2 == 100L && a._6 == 0.6) // true rate survives exactly
+    // debias identity: est = (obs − 0.15…)/0.7 (same literals as the op)
+    val est = BigDecimal((a._4 - (1.0 - 0.7) / 2) / 0.7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(a._5 - est) < 1e-6)
+  }
+
   test("laplaceNoisyCounts: seeded noise is deterministic and unbiased-shaped") {
     val df = Seq.fill(8)("k1").union(Seq.fill(3)("k2")).toDF("k")
     val a = Profile.laplaceNoisyCounts(df, "k", eps = 1.0, seed = 7)

@@ -218,6 +218,18 @@ class TextQualitySpec extends SparkSpec {
     assert(out == (("g", 4L, 3L, 2L, 1L, 3.5, 0.5)))
   }
 
+  test("rakeKeyphrases: degree/freq scores on a hand case") {
+    val df = Seq((1L, "the big dog the big cat")).toDF("doc_id", "text")
+    val out = TextStats.rakeKeyphrases(df, "doc_id", "text",
+        stopwords = Seq("the"), topK = 10)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // phrases: "big dog", "big cat"; big: freq 2 deg 4 → 2.0; dog/cat:
+    // freq 1 deg 2 → 2.0; each phrase scores 4.0
+    assert(out.keySet == Set("big dog", "big cat"))
+    assert(out("big dog") == (("big dog", 2L, 1L, 4.0)))
+    assert(out("big cat") == (("big cat", 2L, 1L, 4.0)))
+  }
+
   test("scalingCurve: nested fractions, shared slope, sane shape") {
     // 32 docs drawn from one distribution — more data must not HURT the
     // holdout add-α NLL dramatically; structural contract checks
