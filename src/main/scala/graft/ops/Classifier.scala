@@ -97,6 +97,44 @@ object Classifier {
         (col("p") >= 0.5).as("pred"), (col("__y") === 1.0).as("is_target"))
   }
 
+  /** Group-fairness audit over a scored classifier (Hardt et al. 2016
+    * equalized odds; Feldman et al. 2015 disparate impact — the ML-
+    * governance pass a production filter ships with): per protected
+    * group, the selection rate (demographic parity), TPR and FPR, plus
+    * the max−min selection-rate gap repeated on every row so the
+    * headline number needs no second query. TPR/FPR are NULL for groups
+    * with no positives/negatives rather than 0/0.
+    *
+    * Scale shape: ONE (group)-keyed aggregate over the scored frame
+    * (confusion cells as conditional sums), then a group-table window
+    * for the gap. Output: (group, n, sel_rate, tpr, fpr, dp_gap). */
+  def fairnessAudit(df: DataFrame, groupCol: String, predCol: Column,
+      truthCol: Column): DataFrame = {
+    val g = df.select(col(groupCol).as("group"), predCol.as("__p"),
+        truthCol.as("__y"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__p") && col("__y"), 1L).otherwise(0L)).as("__tp"),
+        sum(when(col("__p") && !col("__y"), 1L).otherwise(0L)).as("__fp"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+    val sel = col("__np").cast("double") / col("n").cast("double")
+    val dec = g.select(col("group"), col("n"),
+      round(sel, 6).as("sel_rate"),
+      round(when(col("__pos") > 0,
+        col("__tp").cast("double") / col("__pos").cast("double")), 6)
+        .as("tpr"),
+      round(when(col("n") - col("__pos") > 0,
+        col("__fp").cast("double") /
+          (col("n") - col("__pos")).cast("double")), 6).as("fpr"),
+      sel.as("__sel"))
+    val w = Window.partitionBy()
+    dec.select(col("group"), col("n"), col("sel_rate"), col("tpr"),
+        col("fpr"),
+        round(max(col("__sel")).over(w) - min(col("__sel")).over(w), 6)
+          .as("dp_gap"))
+  }
+
   /** Split-conformal prediction interval (Vovk et al. 2005; Lei et al.
     * 2018 — distribution-free coverage): fit a per-group mean predictor
     * on the TRAIN split, take q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest

@@ -442,6 +442,70 @@ object TimeSeries {
     * the fold is a map-only expression on that table. Output per key:
     * (key, n_months, level_last, trend_last, forecast) — forecast =
     * level + horizon·trend, all rounded 6. */
+  /** Holt–Winters ADDITIVE triple exponential smoothing (Winters 1960)
+    * per key over the monthly series — [[holtLinear]] plus a seasonal
+    * component of period 12:
+    *   l_t = α(y_t − s_{t−12}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(y_t − l_t) + (1−γ)s_{t−12}
+    * initialised over the first period: l = mean(y₁..y₁₂) (ordered
+    * left-associated sum), b = 0, sᵢ = yᵢ − l; recursion from t = 13.
+    * Keys with ≤ `period` months are dropped (nothing to smooth).
+    *
+    * Determinism: the fold runs the same `aggregate` HOF recurrence as
+    * holtLinear (fixed float op order), with the seasonal ring buffer
+    * as an in-accumulator array updated by indexed `transform` — the
+    * oracle replays it with 12 explicit state columns. Output per key:
+    * (key, n_months, level_last, trend_last, season_next, forecast1). */
+  def holtWinters(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alpha: Double = 0.5, beta: Double = 0.5,
+      gamma: Double = 0.5, period: Int = 12): DataFrame = {
+    val monthly = df.groupBy(col(keyCol).as("key"),
+        (year(col(tsCol)) * 12 + month(col(tsCol))).cast("long").as("__mi"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__v"))
+    val series = monthly.groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("__mi").as("mi"),
+        col("__v").cast("double").as("y")))).as("__arr"))
+      .where(size(col("__arr")) > period)
+    val init = struct(lit(0.0).as("sum"), lit(0.0).as("l"),
+      lit(0.0).as("b"), array_repeat(lit(0.0), period).as("s"),
+      lit(0).as("i"))
+    val folded = aggregate(col("__arr"), init, (acc, e) => {
+      val y = e.getField("y")
+      val i = acc.getField("i")
+      val idx = pmod(i, lit(period))
+      val sum2 = acc.getField("sum") + y
+      val l = acc.getField("l"); val b = acc.getField("b")
+      val sArr = acc.getField("s")
+      val sIdx = element_at(sArr, idx + 1)
+      val lInit = sum2 / lit(period.toDouble)
+      val l2 = lit(alpha) * (y - sIdx) + lit(1.0 - alpha) * (l + b)
+      val b2 = lit(beta) * (l2 - l) + lit(1.0 - beta) * b
+      val sWarm = transform(sArr, (v, ix) =>
+        when(ix === idx, y).otherwise(v))
+      val sAtInit = transform(sWarm, v => v - lInit)
+      val sUpd = transform(sArr, (v, ix) =>
+        when(ix === idx, lit(gamma) * (y - l2) + lit(1.0 - gamma) * v)
+          .otherwise(v))
+      struct(
+        sum2.as("sum"),
+        when(i < period - 1, lit(0.0))
+          .when(i === period - 1, lInit).otherwise(l2).as("l"),
+        when(i <= period - 1, lit(0.0)).otherwise(b2).as("b"),
+        when(i < period - 1, sWarm)
+          .when(i === period - 1, sAtInit).otherwise(sUpd).as("s"),
+        (i + lit(1)).as("i"))
+    })
+    val sNext = element_at(col("__f.s"),
+      pmod(col("__f.i"), lit(period)) + 1)
+    series.select(col("key"), folded.as("__f"))
+      .select(col("key"), col("__f.i").cast("long").as("n_months"),
+        round(col("__f.l"), 6).as("level_last"),
+        round(col("__f.b"), 6).as("trend_last"),
+        round(sNext, 6).as("season_next"),
+        round(col("__f.l") + col("__f.b") + sNext, 6).as("forecast1"))
+  }
+
   def holtLinear(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, alpha: Double, beta: Double,
       horizon: Int): DataFrame = {

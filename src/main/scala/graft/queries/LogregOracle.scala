@@ -109,6 +109,41 @@ object LogregOracle {
        |  round(sum(CASE WHEN is_target THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
        |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Group-fairness oracle (`Classifier.fairnessAudit` over the
+    * replayed classifier): per `documents.lang`, selection rate, TPR,
+    * FPR (NULL on empty denominators) and the max−min selection gap. */
+  def fairnessSql(label: String, buckets: Int, iters: Int,
+      rate: String): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+       |sp AS (SELECT ltk.doc_id,
+       |         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9)
+       |           >= 0.5::DOUBLE AS p,
+       |         ltk.y = 1.0::DOUBLE AS y
+       |       FROM fm JOIN ltk USING (doc_id)),
+       |j AS (SELECT d.lang AS grp, sp.p, sp.y
+       |      FROM sp JOIN documents d USING (doc_id)),
+       |g AS (SELECT grp, count(*) AS n,
+       |        CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |        CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |        CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS fp,
+       |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |      FROM j GROUP BY 1),
+       |dec AS (SELECT grp, n, CAST(np AS DOUBLE) / CAST(n AS DOUBLE) AS sel,
+       |        tp, fp, pos FROM g),
+       |mm AS (SELECT max(sel) AS mx, min(sel) AS mn FROM dec)
+       |SELECT grp AS lang, n, round(sel, 6) AS sel_rate,
+       |  round(CASE WHEN pos > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END, 6) AS tpr,
+       |  round(CASE WHEN n - pos > 0
+       |    THEN CAST(fp AS DOUBLE) / CAST(n - pos AS DOUBLE) END, 6) AS fpr,
+       |  round(mx - mn, 6) AS dp_gap
+       |FROM dec CROSS JOIN mm ORDER BY lang""".stripMargin
+
   /** IPW ATE oracle (`Classifier.ipwEffect` over the replayed
     * propensity): label doubles as the TREATMENT indicator; `outcome`
     * is a SQL boolean over `documents` columns. Weight terms round to

@@ -367,6 +367,55 @@ object OpsQueries {
   private val rakeStops =
     Seq("the", "a", "der", "und", "el", "y", "le", "et")
 
+  /** q371 oracle: `TimeSeries.holtWinters` (α=β=γ=0.5, period 12)
+    * replayed — the seasonal ring buffer as 12 explicit recursive-CTE
+    * state columns, warmup mean as an ordered list fold. */
+  private def holtWintersSql: String = {
+    val sCols = 1 to 12
+    val sidx = "CASE (r.rn - 1) % 12 " +
+      sCols.map(j => s"WHEN ${j - 1} THEN rec.s$j").mkString(" ") + " END"
+    val l2 = s"0.5 * (r.y - ($sidx)) + 0.5 * (rec.l + rec.b)"
+    val b2 = s"0.5 * (($l2) - rec.l) + 0.5 * rec.b"
+    val sUpd = sCols.map(j =>
+      s"""CASE WHEN (r.rn - 1) % 12 = ${j - 1}
+         |      THEN 0.5 * (r.y - ($l2)) + 0.5 * rec.s$j
+         |      ELSE rec.s$j END""".stripMargin).mkString(",\n    ")
+    val pivCols = sCols.map(j =>
+      s"max(CASE WHEN rn = $j THEN y END) - ini.l AS s$j").mkString(",\n    ")
+    val sNext = "CASE rn % 12 " +
+      sCols.map(j => s"WHEN ${j - 1} THEN s$j").mkString(" ") + " END"
+    s"""WITH RECURSIVE m AS (SELECT o_orderpriority AS key,
+       |        (year(CAST(o_orderdate AS DATE)) * 12 +
+       |         month(CAST(o_orderdate AS DATE))) AS mi,
+       |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS y
+       |      FROM orders GROUP BY 1, 2),
+       |r AS (SELECT key, y, row_number() OVER
+       |        (PARTITION BY key ORDER BY mi) AS rn FROM m),
+       |k13 AS (SELECT key FROM r GROUP BY key HAVING count(*) > 12),
+       |ini AS (SELECT r.key,
+       |        list_reduce(list_prepend(0.0::DOUBLE,
+       |          list(y ORDER BY rn) FILTER (WHERE rn <= 12)),
+       |          (a, c) -> a + c) / 12.0 AS l
+       |       FROM r JOIN k13 USING (key) GROUP BY r.key),
+       |piv AS (SELECT r.key, ini.l,
+       |    $pivCols
+       |  FROM r JOIN ini ON r.key = ini.key WHERE rn <= 12
+       |  GROUP BY r.key, ini.l),
+       |rec AS (
+       |  SELECT key, CAST(12 AS BIGINT) AS rn, l, CAST(0.0 AS DOUBLE) AS b,
+       |    ${sCols.map(j => s"s$j").mkString(", ")} FROM piv
+       |  UNION ALL
+       |  SELECT r.key, r.rn, $l2, $b2,
+       |    $sUpd
+       |  FROM rec JOIN r ON r.key = rec.key AND r.rn = rec.rn + 1),
+       |lst AS (SELECT *, row_number() OVER
+       |        (PARTITION BY key ORDER BY rn DESC) AS rr FROM rec)
+       |SELECT key AS priority, rn AS n_months, round(l, 6) AS level_last,
+       |  round(b, 6) AS trend_last, round($sNext, 6) AS season_next,
+       |  round(l + b + ($sNext), 6) AS forecast1
+       |FROM lst WHERE rr = 1 ORDER BY priority""".stripMargin
+  }
+
   /** q368 oracle: `Graph.personalizedPageRank` replayed — the q103 step
     * chain with restart AND dangling mass confined to the seed set. */
   private def pprSql(iters: Int, scale: Long = 1L << 40): String = {
@@ -10602,7 +10651,56 @@ object OpsQueries {
             "doc_id", $"lang" === "en", sym, iters = 3)
           .orderBy($"doc_id")
       },
-      Some(pprSql(iters = 3))))
+      Some(pprSql(iters = 3))),
+
+    // ─── Jaro–Winkler similarity join (codegen'd native expression) ─────
+    "q369_jw_linkage" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.JaroWinkler.jaroWinkler
+        val p = Tables.part(s, dir)
+        val a = p.select($"p_partkey".as("id_a"), $"p_size".as("__sz"),
+          $"p_name".as("__na"))
+        val b = p.select($"p_partkey".as("id_b"), $"p_size".as("__sz"),
+          $"p_name".as("__nb"))
+        a.join(b, Seq("__sz")).where($"id_a" < $"id_b")
+          .select($"id_a", $"id_b",
+            round(jaroWinkler($"__na", $"__nb"), 6).as("jw"))
+          .orderBy($"jw".desc, $"id_a", $"id_b").limit(50)
+      },
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+             |FROM part a JOIN part b
+             |  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+             |ORDER BY jw DESC, id_a, id_b LIMIT 50""".stripMargin)),
+
+    // ─── group-fairness audit over the replayed quality classifier ──────
+    "q370_fairness_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val label = $"n_chars" >= 300
+        val w = Classifier.logregFit(docs, "doc_id", "text", label,
+          buckets = 64, iters = 3, rate = 0.02)
+        val scored = Classifier.logregScore(docs, "doc_id", "text", label, w)
+          .join(docs.select($"doc_id", $"lang"), "doc_id")
+        Classifier.fairnessAudit(scored, "lang", $"pred", $"is_target")
+          .withColumnRenamed("group", "lang")
+          .orderBy($"lang")
+      },
+      Some(LogregOracle.fairnessSql("n_chars >= 300", buckets = 64,
+        iters = 3, rate = "0.02::DOUBLE"))),
+
+    // ─── Holt–Winters seasonal forecast per order priority ──────────────
+    "q371_holt_winters" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TimeSeries.holtWinters(Tables.orders(s, dir), "o_orderpriority",
+            "o_orderdate", "o_totalprice")
+          .withColumnRenamed("key", "priority")
+          .orderBy($"priority")
+      },
+      Some(holtWintersSql)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -142,6 +142,23 @@ class ClassifierSpec extends SparkSpec {
     assert(out == ((4L, 2L, 0.333333, 0.166667, 0.166667)))
   }
 
+  test("fairnessAudit: confusion arithmetic and parity gap by hand") {
+    val df = Seq(
+      ("g1", true, true), ("g1", true, false), ("g1", false, true),
+      ("g1", false, false),
+      ("g2", true, true), ("g2", false, false), ("g2", false, false),
+      ("g3", false, false)) // no positives → tpr NULL
+      .toDF("g", "pred", "y")
+    val out = Classifier.fairnessAudit(df, "g", col("pred"), col("y"))
+      .as[(String, Long, Double, Option[Double], Option[Double], Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // g1: sel 0.5, tpr 1/2, fpr 1/2; g2: sel 1/3, tpr 1, fpr 0;
+    // g3: sel 0, tpr NULL, fpr 0; gap = 0.5 − 0
+    assert(out("g1") == (("g1", 4L, 0.5, Some(0.5), Some(0.5), 0.5)))
+    assert(out("g2") == (("g2", 3L, 0.333333, Some(1.0), Some(0.0), 0.5)))
+    assert(out("g3") == (("g3", 1L, 0.0, None, Some(0.0), 0.5)))
+  }
+
   test("conformalInterval: order-statistic q̂ and test coverage by hand") {
     // split 0 = train {10,10} → μ=10; split 1 = cal residuals {2,3,9};
     // rank = min(ceil(4·0.9), 3) = 3 → q̂ = 9; split 2 = test residuals

@@ -212,4 +212,25 @@ class TimeSeriesSpec extends SparkSpec {
     // t=3: l = .5·20 + .5·18 = 19, b = .5·5 + .5·4 = 4.5 → fc 19+2·4.5
     assert(out == (("X", 3L, 19.0, 4.5, 28.0)))
   }
+
+  test("holtWinters: 13-month hand recursion with seasonal init") {
+    // y₁..y₁₂ = 1..12 → l=6.5, sᵢ = i−6.5, b=0; y₁₃=20 hits slot 0:
+    // l' = .5(20−(−5.5)) + .5·6.5 = 16, b' = 4.75, next season slot 1 =
+    // −4.5 → forecast 16 + 4.75 − 4.5 = 16.25
+    val df = (1 to 13).map { m =>
+      val ym = 2020 + (m - 1) / 12
+      val mm = (m - 1) % 12 + 1
+      ("K", Date.valueOf(f"$ym%04d-$mm%02d-15"),
+        if (m <= 12) m.toDouble else 20.0)
+    }.toDF("k", "d", "v")
+    val out = TimeSeries.holtWinters(df, "k", "d", "v")
+      .as[(String, Long, Double, Double, Double, Double)].head()
+    assert(out == (("K", 13L, 16.0, 4.75, -4.5, 16.25)))
+  }
+
+  test("holtWinters: keys with ≤ 12 months are dropped") {
+    val df = (1 to 12).map(m => ("S", Date.valueOf(f"2020-$m%02d-01"), 1.0))
+      .toDF("k", "d", "v")
+    assert(TimeSeries.holtWinters(df, "k", "d", "v").count() == 0)
+  }
 }
