@@ -92,6 +92,113 @@ object Linkage {
           .as("pairs_completeness"))
   }
 
+  /** Graded comparison spec for [[fellegiSunterGradedPairs]]: equality
+    * → full agreement; round(JW, 6) ≥ `jwThreshold` → partial;
+    * otherwise disagreement. m/u split across the three levels
+    * (disagree mass = the remainders). */
+  final case class GradedField(field: String, mFull: Double, uFull: Double,
+      mPart: Double, uPart: Double, jwThreshold: Double) {
+    require(mFull + mPart < 1 && uFull + uPart < 1, "level masses < 1")
+    private def log2(x: Double) = math.log(x) / math.log(2.0)
+    val wFull: Double = log2(mFull / uFull)
+    val wPart: Double = log2(mPart / uPart)
+    val wDis: Double = log2((1.0 - mFull - mPart) / (1.0 - uFull - uPart))
+  }
+
+  /** Fellegi–Sunter with GRADED string agreement (the Splink-style
+    * comparison-level model): each field contributes the log2 weight of
+    * its level — exact match, Jaro–Winkler partial match (the q369
+    * codegen'd comparator, thresholded on the 6-dp ROUNDED similarity
+    * so both engines band identically), or disagreement. Same blocked
+    * self-join shape as [[fellegiSunterPairs]]. Output:
+    * (id_a, id_b, score rounded 6). */
+  def fellegiSunterGradedPairs(df: DataFrame, idCol: String,
+      blockCol: Column, fields: Seq[GradedField]): DataFrame = {
+    import graft.functions.JaroWinkler.jaroWinkler
+    val a = df.select(col(idCol).as("id_a"), blockCol.as("__blk"),
+      struct(fields.map(f => col(f.field)): _*).as("__fa"))
+    val b = df.select(col(idCol).as("id_b"), blockCol.as("__blk"),
+      struct(fields.map(f => col(f.field)): _*).as("__fb"))
+    val score = fields.map { f =>
+      val x = col("__fa").getField(f.field)
+      val y = col("__fb").getField(f.field)
+      when(x === y, lit(f.wFull))
+        .when(round(jaroWinkler(x, y), 6) >= f.jwThreshold, lit(f.wPart))
+        .otherwise(lit(f.wDis))
+    }.reduce(_ + _)
+    a.join(b, Seq("__blk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(score, 6).as("score"))
+  }
+
+  /** Unsupervised m/u/λ estimation for the Fellegi–Sunter model by EM
+    * over agreement PATTERNS (Winkler 1988; the algorithm inside
+    * Splink): blocked pairs collapse to ≤ 2^k pattern counts, then EM
+    * alternates pattern match-posteriors w_γ = λP(γ|M)/(λP(γ|M)+(1−λ)P(γ|U))
+    * with λ/m/u re-estimates. The parameters q348 assumes as literals,
+    * LEARNED from the data.
+    *
+    * Determinism: the E/M arithmetic runs on the driver over the
+    * pattern table (model-sized by construction) with products and sums
+    * folded in FIXED field/pattern order — the oracle replays the same
+    * folds with ordered list_reduce, bit-for-bit.
+    *
+    * Scale shape: ONE blocked self-join collapsed immediately to the
+    * (≤ 2^k)-row pattern aggregate — the EM never touches pairs again.
+    * Output per field: (field, m, u, lambda, n_pairs) — lambda repeated. */
+  def fellegiSunterEm(df: DataFrame, idCol: String, blockCol: Column,
+      fields: Seq[String], iters: Int = 5, lambda0: Double = 0.1,
+      m0: Double = 0.8, u0: Double = 0.2): DataFrame = {
+    require(fields.nonEmpty && fields.size <= 8, "1..8 fields")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val a = df.select(col(idCol).as("id_a"), blockCol.as("__blk"),
+      struct(fields.map(col): _*).as("__fa"))
+    val b = df.select(col(idCol).as("id_b"), blockCol.as("__blk"),
+      struct(fields.map(col): _*).as("__fb"))
+    val gammaCols = fields.map(f =>
+      (col("__fa").getField(f) === col("__fb").getField(f)).cast("int")
+        .as(s"__g_$f"))
+    val pat = a.join(b, Seq("__blk")).where(col("id_a") < col("id_b"))
+      .select(gammaCols: _*)
+      .groupBy(fields.map(f => col(s"__g_$f")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .collect() // ≤ 2^k rows by construction
+      .map(r => (fields.indices.map(i => r.getInt(i) == 1).toArray,
+        r.getLong(fields.size)))
+      .sortBy { case (g, _) =>
+        g.zipWithIndex.map { case (v, i) => if (v) 1 << i else 0 }.sum }
+    val nPairs = pat.map(_._2).sum
+    val nD = nPairs.toDouble
+    val k = fields.size
+    var lam = lambda0
+    var m = Array.fill(k)(m0)
+    var u = Array.fill(k)(u0)
+    (1 to iters).foreach { _ =>
+      val w = pat.map { case (g, _) =>
+        val pm = (0 until k).foldLeft(lam)((acc, f) =>
+          acc * (if (g(f)) m(f) else 1.0 - m(f)))
+        val pu = (0 until k).foldLeft(1.0 - lam)((acc, f) =>
+          acc * (if (g(f)) u(f) else 1.0 - u(f)))
+        pm / (pm + pu)
+      }
+      def fold(term: (Int, Double) => Double): Double =
+        pat.indices.foldLeft(0.0)((acc, i) => acc + term(i, w(i)))
+      val sumW = fold((i, wi) => pat(i)._2.toDouble * wi)
+      val sumU = fold((i, wi) => pat(i)._2.toDouble * (1.0 - wi))
+      val m2 = Array.tabulate(k)(f => fold((i, wi) =>
+        if (pat(i)._1(f)) pat(i)._2.toDouble * wi else 0.0) / sumW)
+      val u2 = Array.tabulate(k)(f => fold((i, wi) =>
+        if (pat(i)._1(f)) pat(i)._2.toDouble * (1.0 - wi) else 0.0) / sumU)
+      lam = sumW / nD
+      m = m2; u = u2
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    fields.zipWithIndex.map { case (f, i) =>
+      (f, r6(m(i)), r6(u(i)), r6(lam), nPairs) }
+      .toDF("field", "m", "u", "lambda", "n_pairs")
+  }
+
   /** Score-band triage of the scored pairs: band = floor(score),
     * decision by the (reviewLo, matchHi] thresholds. Output per
     * (band, decision): pair count — the linkage-quality histogram a

@@ -24,6 +24,73 @@ object OpsQueries {
     * is built over). */
   private val shapleyChannels = Seq("click", "error", "signup", "view")
 
+  /** q372's graded comparison model — shared so the oracle inlines
+    * IDENTICAL level-weight literals. */
+  private val fsGraded: Seq[Linkage.GradedField] = Seq(
+    Linkage.GradedField("p_brand", 0.85, 0.03, 0.05, 0.05, 0.92),
+    Linkage.GradedField("p_type", 0.8, 0.02, 0.1, 0.08, 0.88),
+    Linkage.GradedField("p_name", 0.7, 0.01, 0.2, 0.09, 0.85))
+
+  /** q373 oracle: the EM replay — pattern table from the blocked pairs,
+    * then `iters` E/M steps with every product/sum an ORDERED fold
+    * (pattern id = g0 + 2·g1 + 4·g2 ascending; fields in declaration
+    * order), matching the driver's foldLeft bit-for-bit. */
+  private def fsEmSql(iters: Int): String = {
+    val w = "(pm / (pm + pu))"
+    def lr(expr: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |      list($expr ORDER BY g0 + 2 * g1 + 4 * g2)), (a, c) -> a + c)"""
+        .stripMargin
+    val sumW = lr(s"CAST(n AS DOUBLE) * $w")
+    val sumU = lr(s"CAST(n AS DOUBLE) * (1.0 - $w)")
+    def sumG(f: Int) = lr(
+      s"CASE WHEN g$f = 1 THEN CAST(n AS DOUBLE) * $w ELSE 0.0 END")
+    def sumGU(f: Int) = lr(
+      s"CASE WHEN g$f = 1 THEN CAST(n AS DOUBLE) * (1.0 - $w) ELSE 0.0 END")
+    val steps = (1 to iters).map { t =>
+      val q = s"p${t - 1}"
+      s"""w$t AS MATERIALIZED (SELECT pat.g0, pat.g1, pat.g2, pat.n,
+         |    (((q.lam * (CASE WHEN pat.g0 = 1 THEN q.m0 ELSE 1.0 - q.m0 END))
+         |      * (CASE WHEN pat.g1 = 1 THEN q.m1 ELSE 1.0 - q.m1 END))
+         |      * (CASE WHEN pat.g2 = 1 THEN q.m2 ELSE 1.0 - q.m2 END)) AS pm,
+         |    ((((1.0 - q.lam) * (CASE WHEN pat.g0 = 1 THEN q.u0 ELSE 1.0 - q.u0 END))
+         |      * (CASE WHEN pat.g1 = 1 THEN q.u1 ELSE 1.0 - q.u1 END))
+         |      * (CASE WHEN pat.g2 = 1 THEN q.u2 ELSE 1.0 - q.u2 END)) AS pu
+         |  FROM pat CROSS JOIN $q q),
+         |p$t AS MATERIALIZED (SELECT
+         |    $sumW / (SELECT nd FROM tot) AS lam,
+         |    ${sumG(0)} / $sumW AS m0,
+         |    ${sumG(1)} / $sumW AS m1,
+         |    ${sumG(2)} / $sumW AS m2,
+         |    ${sumGU(0)} / $sumU AS u0,
+         |    ${sumGU(1)} / $sumU AS u1,
+         |    ${sumGU(2)} / $sumU AS u2
+         |  FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT p_partkey, p_size, p_brand, p_type,
+       |        string_split(p_name, ' ')[1] AS tok0 FROM part),
+       |pat AS (SELECT CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS g0,
+       |        CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS g1,
+       |        CASE WHEN a.tok0 = b.tok0 THEN 1 ELSE 0 END AS g2,
+       |        count(*) AS n
+       |      FROM p a JOIN p b
+       |        ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+       |      GROUP BY 1, 2, 3),
+       |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nd,
+       |        CAST(sum(n) AS BIGINT) AS np FROM pat),
+       |p0 AS (SELECT 0.1::DOUBLE AS lam,
+       |        0.8::DOUBLE AS m0, 0.8::DOUBLE AS m1, 0.8::DOUBLE AS m2,
+       |        0.2::DOUBLE AS u0, 0.2::DOUBLE AS u1, 0.2::DOUBLE AS u2),
+       |$steps
+       |SELECT f.field, round(f.m, 6) AS m, round(f.u, 6) AS u,
+       |  round(p$iters.lam, 6) AS lambda, (SELECT np FROM tot) AS n_pairs
+       |FROM p$iters, LATERAL (
+       |  SELECT 'p_brand' AS field, m0 AS m, u0 AS u
+       |  UNION ALL SELECT 'p_type', m1, u1
+       |  UNION ALL SELECT 'tok0', m2, u2) f
+       |ORDER BY f.field""".stripMargin
+  }
+
   /** q363 oracle: the SAME signed lattice `Cohort.shapleyLattice`
     * computes, emitted as VALUES rows so both engines share identical
     * factorial-weight literals. */
@@ -10700,7 +10767,55 @@ object OpsQueries {
           .withColumnRenamed("key", "priority")
           .orderBy($"priority")
       },
-      Some(holtWintersSql)))
+      Some(holtWintersSql)),
+
+    // ─── Fellegi–Sunter with graded Jaro–Winkler agreement levels ───────
+    // 1-in-2 part sample: 3 graded comparisons (one on the long p_name)
+    // per candidate pair make this the costliest comparator in the
+    // registry — the sample is the documented audit contract (the q27/
+    // q82 baseline discipline), the OPERATOR itself is unsampled.
+    "q372_fs_graded" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val parts = Tables.part(s, dir)
+          .where(pmod($"p_partkey", lit(2)) === 0)
+          .select($"p_partkey", $"p_brand", $"p_type", $"p_name", $"p_size")
+        val pairs = Linkage.fellegiSunterGradedPairs(parts, "p_partkey",
+          $"p_size", fsGraded)
+        Linkage.fellegiSunterBands(pairs, reviewLo = 0.0, matchHi = 8.0)
+          .orderBy($"band", $"decision")
+      },
+      Some {
+        def arm(f: graft.ops.Linkage.GradedField) =
+          s"""(CASE WHEN a.${f.field} = b.${f.field} THEN ${f.wFull}::DOUBLE
+             |      WHEN round(jaro_winkler_similarity(a.${f.field}, b.${f.field}), 6)
+             |        >= ${f.jwThreshold} THEN ${f.wPart}::DOUBLE
+             |      ELSE ${f.wDis}::DOUBLE END)""".stripMargin
+        s"""WITH ps AS (SELECT * FROM part WHERE p_partkey % 2 = 0),
+           |sc AS (SELECT round(
+           |    ${fsGraded.map(arm).mkString(" +\n    ")}, 6) AS score
+           |  FROM ps a JOIN ps b
+           |    ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey)
+           |SELECT CAST(floor(score) AS BIGINT) AS band,
+           |  CASE WHEN score > 8.0 THEN 'match'
+           |       WHEN score <= 0.0 THEN 'nonmatch'
+           |       ELSE 'review' END AS decision,
+           |  count(*) AS n_pairs
+           |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // ─── EM-estimated Fellegi–Sunter parameters (Winkler 1988) ──────────
+    "q373_fs_em" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val parts = Tables.part(s, dir).select($"p_partkey", $"p_brand",
+          $"p_type", $"p_size",
+          element_at(split($"p_name", " "), 1).as("tok0"))
+        Linkage.fellegiSunterEm(parts, "p_partkey", $"p_size",
+            Seq("p_brand", "p_type", "tok0"), iters = 5)
+          .orderBy($"field")
+      },
+      Some(fsEmSql(iters = 5))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -37,6 +37,47 @@ class LinkageSpec extends SparkSpec {
       (-4L, "nonmatch", 1L)))
   }
 
+  test("fellegiSunterGradedPairs: level selection (full / JW partial / dis)") {
+    val fields = Seq(
+      Linkage.GradedField("name", 0.8, 0.02, 0.1, 0.08, 0.9))
+    val df = Seq(
+      (1L, "b", "martha"), (2L, "b", "martha"),  // full agreement
+      (3L, "b", "marhta"),                        // JW 0.961 → partial vs 1,2
+      (4L, "b", "zzzz"))                          // disagree
+      .toDF("id", "blk", "name")
+    val out = Linkage.fellegiSunterGradedPairs(df, "id", col("blk"), fields)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val f = fields.head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, 2L)) == r6(f.wFull))
+    assert(out((1L, 3L)) == r6(f.wPart))
+    assert(out((1L, 4L)) == r6(f.wDis))
+  }
+
+  test("fellegiSunterEm: m/u separate on a corpus with planted duplicates") {
+    // 10 entities × 3 copies: within-entity pairs agree on both fields;
+    // cross-entity pairs agree on (almost) nothing
+    val rows = for (e <- 0L until 10L; c <- 0 until 3)
+      yield (e * 3 + c, "blk", s"brand$e", s"type${e % 4}")
+    val df = rows.toDF("id", "blk", "brand", "ty")
+    val out = Linkage.fellegiSunterEm(df, "id", col("blk"),
+        Seq("brand", "ty"), iters = 10)
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("brand", "ty"))
+    // EM must find brand agreement far likelier under M than U
+    assert(out("brand")._2 > 0.7 && out("brand")._2 > out("brand")._3 + 0.5)
+    assert(out("brand")._4 > 0.0 && out("brand")._4 < 1.0) // λ sane
+    assert(out("brand")._5 == 435L) // C(30,2) blocked pairs
+    // deterministic across layouts
+    val again = Linkage.fellegiSunterEm(df.repartition(7), "id", col("blk"),
+        Seq("brand", "ty"), iters = 10)
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
   test("blockingQuality: RR and PC from hand-counted pair sets") {
     val df = Seq(
       (1L, "A", "t1"), (2L, "A", "t1"), (3L, "B", "t1"), (4L, "B", "t2"))
