@@ -427,6 +427,58 @@ object Market {
         round(col("__wb") * (col("__mb") - col("__ma")), 6).as("within_contrib"))
   }
 
+  /** T-learner uplift deciles (Künzel et al. 2019's two-model scheme
+    * with a categorical base learner; the heterogeneous-treatment-
+    * effect step after the average effects of stratifiedEffect /
+    * diffInDiff): per-stratum treated/control outcome rates fit on the
+    * TRAIN split score every TEST row with û = r̂_t(s) − r̂_c(s); test
+    * rows rank into `nBuckets` û-buckets (ties on id), and each bucket
+    * reports its OBSERVED uplift — the honest-split check that high-û
+    * buckets really do respond more.
+    *
+    * Scale shape: ONE (stratum × treated) train aggregate (model-sized),
+    * test rows join it back (AQE broadcast), one ntile shuffle of test
+    * rows, one bucket aggregate. Output: (bucket, n_treat, n_ctrl,
+    * rate_treat, rate_ctrl, uplift_obs, mean_score) — rounded 6. */
+  def upliftDeciles(df: DataFrame, idCol: String, stratumCol: String,
+      treatPred: Column, outcomePred: Column, trainPred: Column,
+      nBuckets: Int = 5): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(stratumCol).as("__s"),
+        treatPred.as("__t"), outcomePred.as("__y"), trainPred.as("__tr"))
+      .localCheckpoint(false) // consumers: train rates + test scoring
+    val rates = base.filter(col("__tr"))
+      .groupBy(col("__s"), col("__t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__k"))
+      .select(col("__s"), col("__t"),
+        (col("__k").cast("double") / col("__n").cast("double")).as("__r"))
+    val rt = rates.filter(col("__t")).select(col("__s"), col("__r").as("__rt"))
+    val rc = rates.filter(!col("__t")).select(col("__s"), col("__r").as("__rc"))
+    val scored = base.filter(!col("__tr"))
+      .join(rt, Seq("__s")).join(rc, Seq("__s"))
+      .withColumn("__u", col("__rt") - col("__rc"))
+    val bucketed = scored.withColumn("bucket",
+      ntile(nBuckets).over(Window.orderBy(col("__u").desc, col("__id")))
+        .cast("long"))
+    bucketed.groupBy(col("bucket"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("__t") && col("__y"), 1L).otherwise(0L)).as("__kt"),
+        sum(when(!col("__t") && col("__y"), 1L).otherwise(0L)).as("__kc"),
+        sum(round(col("__u"), 9).cast("decimal(18,9)")).as("__su"),
+        count(lit(1)).as("__n"))
+      .select(col("bucket"), col("n_treat"), col("n_ctrl"),
+        round(col("__kt").cast("double") / col("n_treat").cast("double"), 6)
+          .as("rate_treat"),
+        round(col("__kc").cast("double") / col("n_ctrl").cast("double"), 6)
+          .as("rate_ctrl"),
+        round(col("__kt").cast("double") / col("n_treat").cast("double") -
+          col("__kc").cast("double") / col("n_ctrl").cast("double"), 6)
+          .as("uplift_obs"),
+        round(col("__su").cast("double") / col("__n").cast("double"), 6)
+          .as("mean_score"))
+  }
+
   /** Theil T inequality index with exact within/between-group
     * decomposition (Theil 1967) — the additive counterpart of [[gini]]:
     * T = Σᵢ (xᵢ/S)·ln(xᵢ/μ) splits as

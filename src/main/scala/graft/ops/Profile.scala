@@ -868,6 +868,107 @@ object Profile {
     *
     * Scale shape: ONE key-keyed count, then map-only noise arithmetic
     * on the key-sized table. */
+  /** A/B power analysis at the standard (α = 0.05 two-sided, 80 %
+    * power) operating point: from the two arms' sizes and pooled rate,
+    * the MINIMUM DETECTABLE EFFECT mde = (z_{α/2}+z_β)·√(2p̄(1−p̄)/n̄)
+    * and the required per-arm n to detect a given relative lift —
+    * the "is this experiment even big enough" gate that runs BEFORE
+    * the q232 z-test runs after. z quantiles are shared literals (no
+    * Φ⁻¹ in either engine).
+    *
+    * Scale shape: ONE arm-keyed aggregate; everything after is 2-row
+    * arithmetic. Output: 1 row (n_a, n_b, p_pool, mde_abs, mde_rel,
+    * n_req_per_arm). */
+  def abPowerMde(df: DataFrame, armCol: String, successPred: Column,
+      relLift: Double = 0.05): DataFrame = {
+    val zA = 1.959963984540054 // Φ⁻¹(0.975)
+    val zB = 0.8416212335729143 // Φ⁻¹(0.8)
+    val arms = df.select(col(armCol).as("__arm"),
+        successPred.as("__s"))
+      .groupBy(col("__arm"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("__k"))
+    def d(c: Column) = c.cast("double")
+    // arm sizes enter symmetrically (n̄) — min/max is just the display
+    val wide = arms.agg(min(col("__n")).as("__na2"),
+      max(col("__n")).as("__nb2"),
+      sum(col("__n")).as("__nt"), sum(col("__k")).as("__kt"))
+    wide.select(
+        col("__na2").as("n_a"), col("__nb2").as("n_b"),
+        round(d(col("__kt")) / d(col("__nt")), 6).as("p_pool"), {
+          val p = d(col("__kt")) / d(col("__nt"))
+          val nbar = d(col("__nt")) / 2.0
+          val mde = lit(zA + zB) * sqrt(lit(2.0) * p * (lit(1.0) - p) / nbar)
+          round(mde, 6).as("mde_abs")
+        }, {
+          val p = d(col("__kt")) / d(col("__nt"))
+          val nbar = d(col("__nt")) / 2.0
+          val mde = lit(zA + zB) * sqrt(lit(2.0) * p * (lit(1.0) - p) / nbar)
+          round(mde / p, 6).as("mde_rel")
+        }, {
+          val p = d(col("__kt")) / d(col("__nt"))
+          val delta = p * lit(relLift)
+          round(ceil(lit(2.0) * p * (lit(1.0) - p) *
+            lit((zA + zB) * (zA + zB)) / (delta * delta)), 0).cast("long")
+            .as("n_req_per_arm")
+        })
+  }
+
+  /** Deterministic permutation test for a difference in group means
+    * (Fisher 1935 randomization inference — exact-by-construction,
+    * no normality assumption, the q232 z-test's nonparametric check):
+    * the observed |meanA − meanB| is compared against `perms`
+    * re-randomized assignments drawn from seeded md5 bits, and
+    * p = (1 + #{|diff_k| ≥ |obs|}) / (perms + 1) — reproducible
+    * anywhere, like every seeded draw in the engine.
+    *
+    * Scale shape: ONE (perm, arm) aggregate over a ×perms explode
+    * (perms is the documented cost knob — shuffle volume is
+    * perms × 2 partial rows per partition, NOT perms × data), plus the
+    * 1-row observed aggregate. Output: 1 row
+    * (n, obs_diff, n_perms, n_extreme, p_value). */
+  def permutationTest(df: DataFrame, idCol: String, valueCol: String,
+      armPred: Column, perms: Int = 64, seed: Int = 23): DataFrame = {
+    require(perms >= 1, "perms >= 1")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("decimal(18,6)").as("__v"), armPred.as("__a"))
+      .localCheckpoint(false) // consumers: observed + permuted passes
+    def d(c: Column) = c.cast("double")
+    def diff(g: DataFrame, flag: String) = g
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(flag), col("__v"))).as("__sa"),
+        sum(when(col(flag), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col(flag), col("__v"))).as("__sb"),
+        sum(when(!col(flag), 1L).otherwise(0L)).as("__nb"))
+      .select(col("n"),
+        (d(col("__sa")) / d(col("__na")) - d(col("__sb")) / d(col("__nb")))
+          .as("diff"))
+    val obs = diff(base, "__a")
+    val permed = base.select(col("__v"),
+        explode(sequence(lit(0), lit(perms - 1))).as("__k"),
+        col("__id"))
+      .withColumn("__pa", pmod(Dedup.seededHash(seed,
+        concat(col("__k").cast("string"), lit("|"), col("__id"))),
+        lit(2L)) === 0L)
+      .groupBy(col("__k"))
+      .agg(sum(when(col("__pa"), col("__v"))).as("__sa"),
+        sum(when(col("__pa"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__pa"), col("__v"))).as("__sb"),
+        sum(when(!col("__pa"), 1L).otherwise(0L)).as("__nb"))
+      .select(col("__k"),
+        (d(col("__sa")) / d(col("__na")) - d(col("__sb")) / d(col("__nb")))
+          .as("__pd"))
+    permed.crossJoin(obs)
+      .agg(max(col("n")).as("n"),
+        round(max(col("diff")), 6).as("obs_diff"),
+        count(lit(1)).as("n_perms"),
+        sum(when(abs(col("__pd")) >= abs(col("diff")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select(col("n"), col("obs_diff"), col("n_perms"), col("n_extreme"),
+        round((col("n_extreme") + 1).cast("double") /
+          (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+  }
+
   /** Randomized response (Warner 1965 — the LOCAL-DP mechanism the
     * central-DP Laplace histogram pairs with): each row reports its
     * true boolean with probability `p`, otherwise a fair coin; the

@@ -10815,7 +10815,125 @@ object OpsQueries {
             Seq("p_brand", "p_type", "tok0"), iters = 5)
           .orderBy($"field")
       },
-      Some(fsEmSql(iters = 5))))
+      Some(fsEmSql(iters = 5))),
+
+    // ─── T-learner uplift deciles with honest-split evaluation ──────────
+    "q374_uplift_deciles" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Market.upliftDeciles(Tables.documents(s, dir), "doc_id", "lang",
+            treatPred = $"source".isin("src0", "src1", "src2", "src3", "src4"),
+            outcomePred = $"n_chars" >= 300,
+            trainPred = $"doc_id" % 2 === 0, nBuckets = 5)
+          .orderBy($"bucket")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang AS s,
+             |        source IN ('src0','src1','src2','src3','src4') AS t,
+             |        n_chars >= 300 AS y, doc_id % 2 = 0 AS tr
+             |      FROM documents),
+             |rates AS (SELECT s, t,
+             |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) /
+             |          CAST(count(*) AS DOUBLE) AS r
+             |      FROM b WHERE tr GROUP BY 1, 2),
+             |rt AS (SELECT s, r AS rt FROM rates WHERE t),
+             |rc AS (SELECT s, r AS rc FROM rates WHERE NOT t),
+             |sc AS (SELECT b.doc_id, b.t, b.y, rt.rt - rc.rc AS u
+             |       FROM b JOIN rt USING (s) JOIN rc USING (s) WHERE NOT tr),
+             |bk AS (SELECT CAST(ntile(5) OVER (ORDER BY u DESC, doc_id)
+             |          AS BIGINT) AS bucket, t, y, u FROM sc)
+             |SELECT bucket,
+             |  CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+             |  CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+             |  round(CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             |    AS rate_treat,
+             |  round(CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             |    AS rate_ctrl,
+             |  round(CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS DOUBLE) -
+             |    CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             |    AS uplift_obs,
+             |  round(CAST(sum(CAST(round(u, 9) AS DECIMAL(18,9))) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 6) AS mean_score
+             |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── A/B power analysis: minimum detectable effect + required n ─────
+    "q375_power_mde" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.abPowerMde(
+          Tables.events(s, dir).withColumn("arm",
+            when(pmod($"user_id", lit(2L)) === 0L, "A").otherwise("B")),
+          "arm", $"event_type" === "purchase", relLift = 0.05)
+      },
+      Some {
+        val zSum = 1.959963984540054 + 0.8416212335729143
+        val zSum2 = zSum * zSum
+        s"""WITH a AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+           |        AS arm, count(*) AS n,
+           |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |          AS BIGINT) AS k
+           |      FROM events GROUP BY 1),
+           |w AS (SELECT min(n) AS na, max(n) AS nb,
+           |        CAST(sum(n) AS BIGINT) AS nt, CAST(sum(k) AS BIGINT) AS kt
+           |      FROM a)
+           |SELECT na AS n_a, nb AS n_b,
+           |  round(CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS p_pool,
+           |  round($zSum * sqrt(2.0 * (CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) *
+           |    (1.0 - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) /
+           |    (CAST(nt AS DOUBLE) / 2.0)), 6) AS mde_abs,
+           |  round($zSum * sqrt(2.0 * (CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) *
+           |    (1.0 - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) /
+           |    (CAST(nt AS DOUBLE) / 2.0)) /
+           |    (CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS mde_rel,
+           |  CAST(ceil(2.0 * (CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) *
+           |    (1.0 - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) * $zSum2 /
+           |    ((CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE) * 0.05) *
+           |     (CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE) * 0.05)))
+           |    AS BIGINT) AS n_req_per_arm
+           |FROM w""".stripMargin
+      }),
+
+    // ─── deterministic permutation test for a mean difference ───────────
+    "q376_permutation_test" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.permutationTest(Tables.orders(s, dir), "o_orderkey",
+          "o_totalprice", armPred = pmod($"o_orderkey", lit(2)) === 0,
+          perms = 64, seed = 23)
+      },
+      Some("""WITH b AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             |        CAST(o_totalprice AS DECIMAL(18,6)) AS v,
+             |        o_orderkey % 2 = 0 AS a
+             |      FROM orders),
+             |obs AS (SELECT count(*) AS n,
+             |        CAST(sum(CASE WHEN a THEN v END) AS DOUBLE) /
+             |          CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) -
+             |        CAST(sum(CASE WHEN NOT a THEN v END) AS DOUBLE) /
+             |          CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS DOUBLE)
+             |          AS diff
+             |      FROM b),
+             |pm AS (SELECT k,
+             |        CAST(sum(CASE WHEN pa THEN v END) AS DOUBLE) /
+             |          CAST(sum(CASE WHEN pa THEN 1 ELSE 0 END) AS DOUBLE) -
+             |        CAST(sum(CASE WHEN NOT pa THEN v END) AS DOUBLE) /
+             |          CAST(sum(CASE WHEN NOT pa THEN 1 ELSE 0 END) AS DOUBLE)
+             |          AS pd
+             |      FROM (SELECT b.v, t.k,
+             |              ('0x'||substr(md5('23|'||CAST(t.k AS VARCHAR)||'|'||b.id),1,15))::BIGINT
+             |                % 2 = 0 AS pa
+             |            FROM b CROSS JOIN generate_series(0, 63) t(k))
+             |      GROUP BY k)
+             |SELECT obs.n, round(obs.diff, 6) AS obs_diff,
+             |  count(*) AS n_perms,
+             |  CAST(sum(CASE WHEN abs(pm.pd) >= abs(obs.diff) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_extreme,
+             |  round(CAST(sum(CASE WHEN abs(pm.pd) >= abs(obs.diff)
+             |      THEN 1 ELSE 0 END) + 1 AS DOUBLE) /
+             |    CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+             |FROM pm CROSS JOIN obs GROUP BY obs.n, obs.diff""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

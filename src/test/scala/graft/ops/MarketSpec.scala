@@ -193,6 +193,26 @@ class MarketSpec extends SparkSpec {
     assert(math.abs(total - (70.0 / 3 - 15.0)) < 1e-5)
   }
 
+  test("upliftDeciles: honest-split scoring puts the responsive stratum on top") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      // train (even ids): s1 uplift 1.0, s2 uplift 0.0
+      (0L, "s1", true, true), (2L, "s1", true, true),
+      (4L, "s1", false, false), (6L, "s1", false, false),
+      (8L, "s2", true, false), (10L, "s2", true, false),
+      (12L, "s2", false, false), (14L, "s2", false, false),
+      // test (odd ids)
+      (1L, "s1", true, true), (3L, "s1", false, false),
+      (5L, "s2", true, false), (7L, "s2", false, false))
+      .toDF("id", "s", "t", "y")
+    val out = Market.upliftDeciles(rows, "id", "s", col("t"), col("y"),
+        col("id") % 2 === 0, nBuckets = 2)
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1.0, 0.0, 1.0, 1.0))) // s1 rows
+    assert(out(2L) == ((2L, 1L, 1L, 0.0, 0.0, 0.0, 0.0))) // s2 rows
+  }
+
   test("theilDecompose: equal within-group values ⇒ within 0, total = between") {
     val df = Seq(("G1", 1.0), ("G1", 1.0), ("G2", 2.0), ("G2", 2.0))
       .toDF("g", "x")

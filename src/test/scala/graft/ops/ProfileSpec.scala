@@ -340,6 +340,40 @@ class ProfileSpec extends SparkSpec {
     assert(r2 == ((4L, 3L, 0.0)))
   }
 
+  test("abPowerMde: closed-form MDE arithmetic on a hand case") {
+    import org.apache.spark.sql.functions._
+    val df = (Seq.fill(50)(("A", true)) ++ Seq.fill(50)(("A", false)) ++
+      Seq.fill(40)(("B", true)) ++ Seq.fill(60)(("B", false)))
+      .toDF("arm", "s")
+    val out = Profile.abPowerMde(df, "arm", col("s"))
+      .as[(Long, Long, Double, Double, Double, Long)].head()
+    assert(out._1 == 100L && out._2 == 100L && out._3 == 0.45)
+    val z = 1.959963984540054 + 0.8416212335729143
+    val mde = z * math.sqrt(2.0 * 0.45 * 0.55 / 100.0)
+    assert(math.abs(out._4 - mde) < 1e-6)
+    assert(math.abs(out._5 - mde / 0.45) < 1e-6)
+    val nReq = math.ceil(2.0 * 0.45 * 0.55 * z * z /
+      ((0.45 * 0.05) * (0.45 * 0.05))).toLong
+    assert(out._6 == nReq)
+  }
+
+  test("permutationTest: obvious effect → minimal p, layout-invariant") {
+    import org.apache.spark.sql.functions._
+    val df = ((0L until 50L).map(i => (i, 100.0)) ++
+      (50L until 100L).map(i => (i, 1.0))).toDF("id", "v")
+    val a = Profile.permutationTest(df, "id", "v", col("id") < 50,
+        perms = 32, seed = 23)
+      .as[(Long, Double, Long, Long, Double)].head()
+    assert(a._1 == 100L && a._2 == 99.0 && a._3 == 32L)
+    assert(a._4 == 0L) // no permutation matches a perfectly separated arm
+    assert(a._5 == BigDecimal(1.0 / 33)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val b = Profile.permutationTest(df.repartition(7), "id", "v",
+        col("id") < 50, perms = 32, seed = 23)
+      .as[(Long, Double, Long, Long, Double)].head()
+    assert(a == b)
+  }
+
   test("randomizedResponse: layout-invariant draws, debias arithmetic") {
     import org.apache.spark.sql.functions._
     val df = (0L until 100L).map(i => (i, "g", i < 60)).toDF("id", "g", "y")
