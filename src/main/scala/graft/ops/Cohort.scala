@@ -262,6 +262,93 @@ object Cohort {
       .agg(round(sum(col("__t")).cast("double"), 6).as("phi"))
   }
 
+  /** Markov-chain removal-effect attribution (Anderl et al. 2016 — the
+    * data-driven attribution standard next to Shapley q363): user paths
+    * START → events → first conversion (CONV) or exhaustion (NULL)
+    * define a transition chain; each channel's credit is its REMOVAL
+    * EFFECT — how much the START→CONV absorption probability drops when
+    * every transition INTO the channel is redirected to NULL.
+    *
+    * Arithmetic contract: transition probabilities and absorption
+    * iterations run in INTEGER fixed-point (scale 10^12, fixed `iters`
+    * sweeps from p = 0 with p(CONV) = scale, p(NULL) = 0) — integer
+    * sums are order-free and engine-exact, the markovStationary
+    * discipline. Only the final effect ratios are doubles.
+    *
+    * Scale shape: ONE user-keyed sort window builds path transitions;
+    * ONE (src,dst) count collapses them to the states²-bounded matrix;
+    * every chain (full + one per channel) iterates on the DRIVER over
+    * that model-sized matrix. Output per channel:
+    * (channel, removal_effect, attribution_share, p_conv_full). */
+  def markovRemovalAttribution(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, tieCol: String, convType: String,
+      channels: Seq[String], iters: Int = 12,
+      scale: Long = 1000000000000L): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    val seq0 = events
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), col(typeCol).as("__ty"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cv", min(when(col("__ty") === convType, col("__rn")))
+        .over(Window.partitionBy(col("__u"))))
+      .where(col("__cv").isNull || col("__rn") <= col("__cv"))
+    val trans = seq0
+      .withColumn("__prev", lag(col("__ty"), 1).over(
+        Window.partitionBy(col("__u")).orderBy(col("__rn"))))
+      .withColumn("__src", coalesce(col("__prev"), lit("START")))
+      .withColumn("__isLast", col("__rn") === max(col("__rn")).over(
+        Window.partitionBy(col("__u"))))
+      .localCheckpoint(false) // consumers: edge rows + terminal rows
+    val edges = trans.select(col("__src"), col("__ty").as("__dst"))
+      .unionByName(trans
+        .where(col("__isLast") && col("__ty") =!= convType)
+        .select(col("__ty").as("__src"), lit("NULL").as("__dst")))
+    val counts = edges.groupBy(col("__src"), col("__dst"))
+      .agg(count(lit(1)).as("__n"))
+      .collect() // states²-bounded by contract
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tot = counts.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    // integer fixed-point transition weights
+    def tfp(redirect: Option[String]) = counts.map { case (s, d0, n) =>
+      val d = if (redirect.contains(d0)) "NULL" else d0
+      ((s, d), BigInt(n) * scale / BigInt(tot(s)))
+    }.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sum }
+    val transient = (counts.map(_._1) ++ counts.map(_._2)).distinct
+      .filterNot(s => s == convType || s == "NULL").sorted
+    def absorb(redirect: Option[String]): BigInt = {
+      val t = tfp(redirect)
+      var p: Map[String, BigInt] = transient.map(_ -> BigInt(0)).toMap
+      (1 to iters).foreach { _ =>
+        p = transient.map { s =>
+          val mass = t.toSeq.filter(_._1._1 == s).sortBy(_._1._2)
+            .foldLeft(BigInt(0)) { case (acc, ((_, d), w0)) =>
+              val pd = if (d == convType) BigInt(scale)
+                else if (d == "NULL") BigInt(0)
+                else p.getOrElse(d, BigInt(0))
+              acc + w0 * pd
+            }
+          s -> mass / scale
+        }.toMap
+      }
+      p.getOrElse("START", BigInt(0))
+    }
+    val pFull = absorb(None)
+    val effects = channels.sorted.map { c =>
+      val pW = absorb(Some(c))
+      val re = 1.0 - pW.toDouble / pFull.toDouble
+      (c, re)
+    }
+    val reSum = effects.foldLeft(0.0)(_ + _._2)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    effects.map { case (c, re) =>
+      (c, r6(re), r6(re / reSum), r6(pFull.toDouble / scale.toDouble)) }
+      .toDF("channel", "removal_effect", "attribution_share", "p_conv_full")
+  }
+
   def markovStationary(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String, iters: Int = 25,
       scale: Long = 1000000000000L): DataFrame = {

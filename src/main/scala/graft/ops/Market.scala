@@ -427,6 +427,39 @@ object Market {
         round(col("__wb") * (col("__mb") - col("__ma")), 6).as("within_contrib"))
   }
 
+  /** Wald / two-stage-least-squares instrumental-variable estimate with
+    * a single instrument (Angrist & Pischke, public literature):
+    *   β_IV = cov(z, y) / cov(z, x)
+    * plus the first-stage (cov(z,x)/var(z)) and reduced-form
+    * (cov(z,y)/var(z)) slopes the estimate decomposes into. All three
+    * moments come from exact DECIMAL sums of z, x, y, zx, zy, z² in ONE
+    * aggregate — doubles only in the final ratios.
+    *
+    * Scale shape: one map-only moment projection + a 1-row aggregate.
+    * Output: (n, first_stage, reduced_form, beta_iv) — rounded 6. */
+  def ivEstimate(df: DataFrame, instrumentCol: Column, exposureCol: Column,
+      outcomeCol: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(18,6)")
+    val m = df.select(dec(instrumentCol).as("__z"), dec(exposureCol).as("__x"),
+        dec(outcomeCol).as("__y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__z")).as("__sz"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum((col("__z") * col("__x")).cast("decimal(38,12)")).as("__szx"),
+        sum((col("__z") * col("__y")).cast("decimal(38,12)")).as("__szy"),
+        sum((col("__z") * col("__z")).cast("decimal(38,12)")).as("__szz"))
+    def d(c: Column) = c.cast("double")
+    m.select({
+      val nD = d(col("n"))
+      val czx = d(col("__szx")) / nD - (d(col("__sz")) / nD) * (d(col("__sx")) / nD)
+      val czy = d(col("__szy")) / nD - (d(col("__sz")) / nD) * (d(col("__sy")) / nD)
+      val vz = d(col("__szz")) / nD - (d(col("__sz")) / nD) * (d(col("__sz")) / nD)
+      Seq(col("n"), round(czx / vz, 6).as("first_stage"),
+        round(czy / vz, 6).as("reduced_form"),
+        round(czy / czx, 6).as("beta_iv"))
+    }: _*)
+  }
+
   /** T-learner uplift deciles (Künzel et al. 2019's two-model scheme
     * with a categorical base learner; the heterogeneous-treatment-
     * effect step after the average effects of stratifiedEffect /

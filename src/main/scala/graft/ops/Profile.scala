@@ -868,6 +868,58 @@ object Profile {
     *
     * Scale shape: ONE key-keyed count, then map-only noise arithmetic
     * on the key-sized table. */
+  /** Best single split per numeric feature (a CART decision stump,
+    * Breiman et al. 1984 — the automatic-segmentation primitive): for
+    * every candidate threshold v in the feature's VALUE DOMAIN, the
+    * Gini impurity reduction of the split x ≤ v, maximised per feature
+    * (ties → smaller threshold). The "which feature separates the
+    * outcome best, and where" answer a segment-discovery pass needs.
+    *
+    * Scale shape: per feature, ONE value-domain aggregate (value,
+    * n, n_pos) + a cumulative window over DISTINCT values (value-
+    * domain-sized, the exact-median discipline) — never a row sort.
+    * Gains are doubles from exact counts; the per-feature argmax is a
+    * (gain desc, threshold asc) row_number. Output per feature:
+    * (feature, threshold, gain, p_left, p_right, n_left). */
+  def bestSplit(df: DataFrame, features: Seq[String],
+      outcomePred: Column): DataFrame = {
+    require(features.nonEmpty, "at least one feature")
+    def d(c: Column) = c.cast("double")
+    features.map { f =>
+      val vc = df.select(col(f).cast("double").as("__v"),
+          outcomePred.as("__y"))
+        .groupBy(col("__v"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__y"), 1L).otherwise(0L)).as("__k"))
+      val w = Window.orderBy(col("__v"))
+      val cum = vc
+        .withColumn("__cn", sum(col("__n")).over(w))
+        .withColumn("__ck", sum(col("__k")).over(w))
+        .withColumn("__tn", sum(col("__n")).over(Window.partitionBy()))
+        .withColumn("__tk", sum(col("__k")).over(Window.partitionBy()))
+        .where(col("__cn") < col("__tn")) // right side must be non-empty
+      def gini(k: Column, n: Column) = {
+        val p = d(k) / d(n)
+        lit(2.0) * p * (lit(1.0) - p)
+      }
+      val gain = gini(col("__tk"), col("__tn")) -
+        (d(col("__cn")) / d(col("__tn"))) * gini(col("__ck"), col("__cn")) -
+        ((d(col("__tn")) - d(col("__cn"))) / d(col("__tn"))) *
+          gini(col("__tk") - col("__ck"), col("__tn") - col("__cn"))
+      val ranked = cum.select(col("__v"), col("__cn"), col("__ck"),
+          col("__tn"), col("__tk"), gain.as("__g"))
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(col("__g").desc, col("__v"))))
+        .where(col("__rk") === 1)
+      ranked.select(lit(f).as("feature"), col("__v").as("threshold"),
+        round(col("__g"), 6).as("gain"),
+        round(d(col("__ck")) / d(col("__cn")), 6).as("p_left"),
+        round((d(col("__tk")) - d(col("__ck"))) /
+          (d(col("__tn")) - d(col("__cn"))), 6).as("p_right"),
+        col("__cn").as("n_left"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** A/B power analysis at the standard (α = 0.05 two-sided, 80 %
     * power) operating point: from the two arms' sizes and pooled rate,
     * the MINIMUM DETECTABLE EFFECT mde = (z_{α/2}+z_β)·√(2p̄(1−p̄)/n̄)

@@ -24,6 +24,74 @@ object OpsQueries {
     * is built over). */
   private val shapleyChannels = Seq("click", "error", "signup", "view")
 
+  /** q377 oracle: the Markov removal-effect replay — path transitions,
+    * integer fixed-point absorption sweeps per chain (full + one per
+    * removed channel), HUGEINT arithmetic == the driver's BigInt. */
+  private def markovAttributionSql(channels: Seq[String], iters: Int,
+      scale: Long): String = {
+    val chains = "FULL" +: channels.sorted
+    def tf(c: String) = {
+      val redirect = if (c == "FULL") "dst"
+        else s"CASE WHEN dst = '$c' THEN 'NULL' ELSE dst END"
+      s"""tf_$c AS MATERIALIZED (SELECT src, dst2 AS dst, sum(w) AS w FROM
+         |  (SELECT src, $redirect AS dst2,
+         |     CAST(n AS HUGEINT) * $scale // tot AS w
+         |   FROM cnt JOIN tt USING (src)) GROUP BY 1, 2)""".stripMargin
+    }
+    def steps(c: String) = (1 to iters).map { t =>
+      s"""p_${c}_$t AS MATERIALIZED (SELECT st.s,
+         |    CAST(coalesce(sum(t.w * CASE WHEN t.dst = 'purchase'
+         |        THEN CAST($scale AS HUGEINT)
+         |      WHEN t.dst = 'NULL' THEN CAST(0 AS HUGEINT)
+         |      ELSE coalesce(pp.p, CAST(0 AS HUGEINT)) END), 0) // $scale
+         |      AS HUGEINT) AS p
+         |  FROM st LEFT JOIN tf_$c t ON t.src = st.s
+         |  LEFT JOIN p_${c}_${t - 1} pp ON pp.s = t.dst
+         |  GROUP BY st.s)""".stripMargin
+    }.mkString(",\n")
+    val p0s = chains.map(c =>
+      s"p_${c}_0 AS (SELECT s, CAST(0 AS HUGEINT) AS p FROM st)")
+      .mkString(",\n")
+    val finCols = chains.map(c =>
+      s"""(SELECT CAST(p AS DOUBLE) FROM p_${c}_$iters WHERE s = 'START')
+         |    AS p_$c""".stripMargin).mkString(",\n  ")
+    val reSum = channels.sorted
+      .map(c => s"(1.0 - p_$c / p_FULL)").mkString(" + ")
+    val rows = channels.sorted.map(c =>
+      s"""SELECT '$c' AS channel,
+         |  round(1.0 - p_$c / p_FULL, 6) AS removal_effect,
+         |  round((1.0 - p_$c / p_FULL) / ($reSum), 6) AS attribution_share,
+         |  round(p_FULL / CAST($scale AS DOUBLE), 6) AS p_conv_full
+         |FROM fin""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (SELECT user_id, event_type AS ty,
+       |        row_number() OVER (PARTITION BY user_id
+       |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+       |      FROM events),
+       |cv AS (SELECT user_id, min(CASE WHEN ty = 'purchase' THEN rn END)
+       |        AS cvn FROM e0 GROUP BY 1),
+       |kept AS (SELECT e0.user_id, e0.ty, e0.rn FROM e0 JOIN cv USING (user_id)
+       |         WHERE cv.cvn IS NULL OR e0.rn <= cv.cvn),
+       |mx AS (SELECT user_id, max(rn) AS mr FROM kept GROUP BY 1),
+       |tr AS (SELECT coalesce(lag(ty) OVER (PARTITION BY user_id ORDER BY rn),
+       |          'START') AS src, ty AS dst FROM kept
+       |       UNION ALL
+       |       SELECT k.ty, 'NULL' FROM kept k
+       |       JOIN mx ON k.user_id = mx.user_id AND k.rn = mx.mr
+       |       WHERE k.ty <> 'purchase'),
+       |cnt AS (SELECT src, dst, count(*) AS n FROM tr GROUP BY 1, 2),
+       |tt AS (SELECT src, CAST(sum(n) AS HUGEINT) AS tot FROM cnt GROUP BY 1),
+       |st AS (SELECT DISTINCT s FROM
+       |        (SELECT src AS s FROM cnt UNION SELECT dst FROM cnt)
+       |       WHERE s NOT IN ('purchase', 'NULL')),
+       |${chains.map(tf).mkString(",\n")},
+       |$p0s,
+       |${chains.map(steps).mkString(",\n")},
+       |fin AS (SELECT
+       |  $finCols)
+       |$rows
+       |ORDER BY channel""".stripMargin
+  }
+
   /** q372's graded comparison model — shared so the oracle inlines
     * IDENTICAL level-weight literals. */
   private val fsGraded: Seq[Linkage.GradedField] = Seq(
@@ -10933,7 +11001,110 @@ object OpsQueries {
              |  round(CAST(sum(CASE WHEN abs(pm.pd) >= abs(obs.diff)
              |      THEN 1 ELSE 0 END) + 1 AS DOUBLE) /
              |    CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
-             |FROM pm CROSS JOIN obs GROUP BY obs.n, obs.diff""".stripMargin)))
+             |FROM pm CROSS JOIN obs GROUP BY obs.n, obs.diff""".stripMargin)),
+
+    // ─── Markov removal-effect attribution (integer fixed-point) ────────
+    "q377_markov_attribution" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Cohort.markovRemovalAttribution(Tables.events(s, dir), "user_id",
+            "ts", "event_type", "event_id", convType = "purchase",
+            channels = shapleyChannels, iters = 12)
+          .orderBy($"channel")
+      },
+      Some(markovAttributionSql(shapleyChannels, iters = 12,
+        scale = 1000000000000L))),
+
+    // ─── CART decision stump: best Gini split per numeric feature ───────
+    "q378_best_split" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.bestSplit(Tables.lineitem(s, dir),
+            Seq("l_quantity", "l_discount", "l_extendedprice"),
+            outcomePred = $"l_returnflag" === "R")
+          .orderBy($"feature")
+      },
+      Some {
+        def feat(f: String, a: String) =
+          s"""vc_$a AS (SELECT CAST($f AS DOUBLE) AS v, count(*) AS n,
+             |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS k
+             |  FROM lineitem GROUP BY 1),
+             |cm_$a AS (SELECT v,
+             |    CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cn,
+             |    CAST(sum(k) OVER (ORDER BY v) AS BIGINT) AS ck,
+             |    CAST(sum(n) OVER () AS BIGINT) AS tn,
+             |    CAST(sum(k) OVER () AS BIGINT) AS tk
+             |  FROM vc_$a),
+             |g_$a AS (SELECT v, cn, ck, tn, tk,
+             |    ((2.0 * (CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))) *
+             |      (1.0 - CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))) -
+             |    (CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE)) *
+             |      ((2.0 * (CAST(ck AS DOUBLE) / CAST(cn AS DOUBLE))) *
+             |        (1.0 - CAST(ck AS DOUBLE) / CAST(cn AS DOUBLE))) -
+             |    ((CAST(tn AS DOUBLE) - CAST(cn AS DOUBLE)) /
+             |        CAST(tn AS DOUBLE)) *
+             |      ((2.0 * (CAST(tk - ck AS DOUBLE) / CAST(tn - cn AS DOUBLE))) *
+             |        (1.0 - CAST(tk - ck AS DOUBLE) / CAST(tn - cn AS DOUBLE)))
+             |      AS g
+             |  FROM cm_$a WHERE cn < tn),
+             |b_$a AS (SELECT '$f' AS feature, v AS threshold,
+             |    round(g, 6) AS gain,
+             |    round(CAST(ck AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS p_left,
+             |    round((CAST(tk AS DOUBLE) - CAST(ck AS DOUBLE)) /
+             |      (CAST(tn AS DOUBLE) - CAST(cn AS DOUBLE)), 6) AS p_right,
+             |    cn AS n_left
+             |  FROM (SELECT *, row_number() OVER (ORDER BY g DESC, v) AS rk
+             |        FROM g_$a) WHERE rk = 1)""".stripMargin
+        s"""WITH ${feat("l_quantity", "q")},
+           |${feat("l_discount", "d")},
+           |${feat("l_extendedprice", "p")}
+           |SELECT * FROM b_q UNION ALL SELECT * FROM b_d
+           |UNION ALL SELECT * FROM b_p
+           |ORDER BY feature""".stripMargin
+      }),
+
+    // ─── instrumental-variable (Wald / 2SLS) estimate ───────────────────
+    "q379_iv_estimate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Market.ivEstimate(Tables.lineitem(s, dir),
+          instrumentCol = pmod($"l_orderkey", lit(2)).cast("double"),
+          exposureCol = $"l_discount", outcomeCol = $"l_extendedprice")
+      },
+      Some("""WITH m AS (SELECT count(*) AS n,
+             |    sum(CAST(l_orderkey % 2 AS DECIMAL(18,6))) AS sz,
+             |    sum(CAST(l_discount AS DECIMAL(18,6))) AS sx,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+             |    sum(CAST(CAST(l_orderkey % 2 AS DECIMAL(19,6)) *
+             |      CAST(l_discount AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS szx,
+             |    sum(CAST(CAST(l_orderkey % 2 AS DECIMAL(19,6)) *
+             |      CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+             |      AS szy,
+             |    sum(CAST(CAST(l_orderkey % 2 AS DECIMAL(19,6)) *
+             |      CAST(l_orderkey % 2 AS DECIMAL(19,6)) AS DECIMAL(38,12)))
+             |      AS szz
+             |  FROM lineitem)
+             |SELECT n,
+             |  round((CAST(szx AS DOUBLE) / CAST(n AS DOUBLE) -
+             |    (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) /
+             |   (CAST(szz AS DOUBLE) / CAST(n AS DOUBLE) -
+             |    (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |    (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS first_stage,
+             |  round((CAST(szy AS DOUBLE) / CAST(n AS DOUBLE) -
+             |    (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |    (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) /
+             |   (CAST(szz AS DOUBLE) / CAST(n AS DOUBLE) -
+             |    (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |    (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS reduced_form,
+             |  round((CAST(szy AS DOUBLE) / CAST(n AS DOUBLE) -
+             |    (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |    (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) /
+             |   (CAST(szx AS DOUBLE) / CAST(n AS DOUBLE) -
+             |    (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS beta_iv
+             |FROM m""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -152,6 +152,22 @@ class CohortSpec extends SparkSpec {
     assert(p2 == Map("a" -> 1.0))
   }
 
+  test("markovRemovalAttribution: hand-solvable 2-channel chain") {
+    // u1: view → purchase; u2: click → (exhausts). Full chain converts
+    // with p = 0.5 entirely through view → RE(view)=1, RE(click)=0.
+    val df = Seq(
+      (1L, "2024-01-01 00:00:01", "view", 1L),
+      (1L, "2024-01-01 00:00:02", "purchase", 2L),
+      (2L, "2024-01-01 00:00:01", "click", 3L))
+      .toDF("u", "ts", "ty", "id")
+    val out = Cohort.markovRemovalAttribution(df, "u", "ts", "ty", "id",
+        convType = "purchase", channels = Seq("view", "click"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("view") == (("view", 1.0, 1.0, 0.5)))
+    assert(out("click") == (("click", 0.0, 0.0, 0.5)))
+  }
+
   test("shapleyLattice: factorial weights, signed-pair structure") {
     val lat = Cohort.shapleyLattice(Seq("x", "y"))
     // k=2 → w(1) = w(2) = 0.5; each channel: 2 subsets × 2 signed rows

@@ -193,6 +193,16 @@ class MarketSpec extends SparkSpec {
     assert(math.abs(total - (70.0 / 3 - 15.0)) < 1e-5)
   }
 
+  test("ivEstimate: Wald ratio on an exactly-linear system") {
+    import org.apache.spark.sql.functions.col
+    // x = 2z, y = 6z → first stage 2, reduced form 6, β_IV = 3
+    val df = Seq((0.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+      (1.0, 2.0, 6.0), (1.0, 2.0, 6.0)).toDF("z", "x", "y")
+    val out = Market.ivEstimate(df, col("z"), col("x"), col("y"))
+      .as[(Long, Double, Double, Double)].head()
+    assert(out == ((4L, 2.0, 6.0, 3.0)))
+  }
+
   test("upliftDeciles: honest-split scoring puts the responsive stratum on top") {
     import org.apache.spark.sql.functions._
     val rows = Seq(

@@ -340,6 +340,16 @@ class ProfileSpec extends SparkSpec {
     assert(r2 == ((4L, 3L, 0.0)))
   }
 
+  test("bestSplit: perfect separation found at the right threshold") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1.0, false), (1.0, false), (2.0, true), (2.0, true))
+      .toDF("x", "y")
+    val out = Profile.bestSplit(df, Seq("x"), col("y"))
+      .as[(String, Double, Double, Double, Double, Long)].head()
+    // parent gini 0.5 fully removed by the x ≤ 1 split
+    assert(out == (("x", 1.0, 0.5, 0.0, 1.0, 2L)))
+  }
+
   test("abPowerMde: closed-form MDE arithmetic on a hand case") {
     import org.apache.spark.sql.functions._
     val df = (Seq.fill(50)(("A", true)) ++ Seq.fill(50)(("A", false)) ++
