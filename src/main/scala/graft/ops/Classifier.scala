@@ -182,6 +182,73 @@ object Classifier {
     test
   }
 
+  /** Mondrian (group-conditional) split-conformal intervals (Vovk's
+    * taxonomy-conformal): [[conformalInterval]] with q̂ computed PER
+    * GROUP from that group's own calibration residuals — the guarantee
+    * upgrades from marginal to per-group coverage, which is what a
+    * fairness-aware deployment actually needs (the global q̂ of q361
+    * can under-cover a high-variance group).
+    *
+    * Scale shape: the q361 shapes with every window PARTITIONED BY
+    * group — value-domain residual counts, per-group rank cut, one
+    * group-keyed coverage aggregate. Output per group:
+    * (group, n_cal, n_test, qhat, coverage). */
+  def mondrianConformal(df: DataFrame, groupCol: String, valueCol: String,
+      splitCol: Column, alpha: Double = 0.1): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("decimal(18,6)").as("__y"), splitCol.as("__s"))
+      .localCheckpoint(false) // consumers: train agg + cal + test passes
+    val mu = base.filter(col("__s") === 0).groupBy(col("__g"))
+      .agg((sum(col("__y")).cast("double") / count(lit(1)).cast("double"))
+        .as("__mu"))
+    def resid = abs(col("__y").cast("double") - col("__mu"))
+    val cal = base.filter(col("__s") === 1).join(mu, "__g")
+      .select(col("__g"), resid.as("__r"))
+    val vc = cal.groupBy(col("__g"), col("__r")).agg(count(lit(1)).as("__c"))
+    val cum = vc.withColumn("__cum", sum(col("__c")).over(
+      Window.partitionBy(col("__g")).orderBy(col("__r"))))
+    val nCal = cal.groupBy(col("__g")).agg(count(lit(1)).as("n_cal"))
+    val qhat = cum.join(nCal, "__g")
+      .groupBy(col("__g"))
+      .agg(max(col("n_cal")).as("n_cal"),
+        min(when(col("__cum") >=
+          least(ceil((col("n_cal") + 1).cast("double") * lit(1.0 - alpha))
+            .cast("long"), col("n_cal")), col("__r"))).as("__q"))
+    base.filter(col("__s") === 2).join(mu, "__g").join(qhat, "__g")
+      .groupBy(col("__g").as("group"))
+      .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        round(max(col("__q")), 6).as("qhat"),
+        round(sum(when(resid <= col("__q"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("coverage"))
+  }
+
+  /** Expected Calibration Error (Guo et al. 2017 — the scalar the
+    * reliability diagram (q216) rolls up to): over ten fixed-width
+    * probability bins, ECE = Σ_b (n_b/n)·|acc_b − conf_b|, with conf_b
+    * the bin's exact-DECIMAL mean 9-dp probability and acc_b its
+    * observed positive rate. Per-bin terms round to 9 dp and sum as
+    * DECIMAL. Output: 1 row (n, n_bins, ece). */
+  def expectedCalibrationError(scored: DataFrame, pCol: String,
+      truthCol: Column): DataFrame = {
+    val bins = scored.select(
+        least(floor(col(pCol) * 10).cast("int"), lit(9)).as("__b"),
+        col(pCol).cast("decimal(10,9)").as("__p"),
+        truthCol.as("__y"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__p")).as("__sp"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__k"))
+    def d(c: Column) = c.cast("double")
+    val tot = bins.agg(sum(col("__n")).as("__nt"))
+    bins.crossJoin(tot)
+      .select(col("__nt"),
+        round((d(col("__n")) / d(col("__nt"))) *
+          abs(d(col("__k")) / d(col("__n")) - d(col("__sp")) / d(col("__n"))),
+          9).cast("decimal(18,9)").as("__t"))
+      .groupBy(col("__nt").as("n"))
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum(col("__t")).cast("double"), 6).as("ece"))
+  }
+
   /** Inverse-propensity-weighted (Hájek-normalized) average treatment
     * effect (Horvitz–Thompson/Hájek estimators; Rosenbaum & Rubin 1983
     * propensity framework): over a frame carrying a 9-dp propensity

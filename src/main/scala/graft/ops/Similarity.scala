@@ -568,6 +568,48 @@ object Similarity {
       .drop("__means", "__stds")
   }
 
+  /** Diagonal-covariance Mahalanobis outlier scores — the multivariate
+    * upgrade of the per-dimension z-score (q140): score(x) =
+    * Σ_d ((x_d − μ_d)/σ_d)², the squared Mahalanobis distance under an
+    * independence (diagonal Σ) assumption — the cheap first-pass
+    * embedding-space anomaly flag before anything quadratic (LOF,
+    * full-Σ) runs. Zero-variance dimensions contribute 0.
+    *
+    * Float discipline: per-dim stats use the q140 2^40 fixed-point
+    * sums; per-vector scores sum 9-dp-rounded per-dim terms exploded to
+    * (id, pos) rows and re-aggregated as DECIMAL — partition-order-free
+    * and oracle-portable. Output: top-`topK` (vec_id, score) by
+    * (score desc, id).
+    *
+    * Scale shape: ONE (pos)-keyed stats aggregate, one map-only explode
+    * joined back to the dim-sized stats table (un-hinted), ONE id-keyed
+    * partial-combining sum, TakeOrdered top-k. */
+  def mahalanobisDiag(emb: DataFrame, idCol: String, vecCol: String,
+      topK: Int = 20): DataFrame = {
+    val fix = (1L << 40).toDouble
+    val v = col("__v").cast("double")
+    val perDim = emb.select(posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("__pos"))
+      .agg(
+        (sum(round(v * fix).cast("decimal(20,0)")).cast("double") / fix
+          / count(lit(1))).as("__mean"),
+        (sum(round(v * v * fix).cast("decimal(20,0)")).cast("double") / fix
+          / count(lit(1))).as("__m2"))
+      .withColumn("__std", sqrt(col("__m2") - col("__mean") * col("__mean")))
+    val terms = emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .join(perDim, Seq("__pos"))
+      .select(col("vec_id"),
+        round(when(col("__std") > 0, {
+          val z = (col("__v").cast("double") - col("__mean")) / col("__std")
+          z * z
+        }).otherwise(lit(0.0)), 9).cast("decimal(18,9)").as("__t"))
+    terms.groupBy(col("vec_id"))
+      .agg(round(sum(col("__t")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** IVF-PQ retrieval — the FAISS IVFPQ composition, built from this
     * library's two gated halves: the query probes its `nprobe` nearest
     * IVF cells (`ivfCellsTop`, the q71 recall lever), and within those

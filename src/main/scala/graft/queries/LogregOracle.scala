@@ -144,6 +144,35 @@ object LogregOracle {
        |  round(mx - mn, 6) AS dp_gap
        |FROM dec CROSS JOIN mm ORDER BY lang""".stripMargin
 
+  /** Expected-calibration-error oracle: the calibration bins rolled up
+    * to Σ (n_b/n)·|acc_b − conf_b| with 9-dp decimal term sums. */
+  def eceSql(label: String, buckets: Int, iters: Int,
+      rate: String): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+       |sp AS (SELECT ltk.doc_id,
+       |         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) AS p,
+       |         ltk.y = 1.0::DOUBLE AS is_target
+       |       FROM fm JOIN ltk USING (doc_id)),
+       |bk AS (SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS b,
+       |         count(*) AS n, sum(CAST(p AS DECIMAL(10,9))) AS spp,
+       |         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS k
+       |       FROM sp GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM bk),
+       |tm AS (SELECT t.nt,
+       |         CAST(round((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) *
+       |           abs(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) -
+       |               CAST(spp AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+       |           AS DECIMAL(18,9)) AS term
+       |       FROM bk CROSS JOIN t)
+       |SELECT nt AS n, count(*) AS n_bins,
+       |  round(CAST(sum(term) AS DOUBLE), 6) AS ece
+       |FROM tm GROUP BY 1""".stripMargin
+
   /** IPW ATE oracle (`Classifier.ipwEffect` over the replayed
     * propensity): label doubles as the TREATMENT indicator; `outcome`
     * is a SQL boolean over `documents` columns. Weight terms round to

@@ -11104,7 +11104,87 @@ object OpsQueries {
              |   (CAST(szx AS DOUBLE) / CAST(n AS DOUBLE) -
              |    (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) *
              |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS beta_iv
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    // ─── Mondrian (per-group) conformal intervals ───────────────────────
+    "q380_mondrian_conformal" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Classifier.mondrianConformal(Tables.orders(s, dir),
+          "o_orderpriority", "o_totalprice",
+          when(pmod($"o_orderkey", lit(4)) < 2, 0)
+            .when(pmod($"o_orderkey", lit(4)) === 2, 1).otherwise(2),
+          alpha = 0.1)
+          .withColumnRenamed("group", "priority")
+          .orderBy($"priority")
+      },
+      Some("""WITH b AS (SELECT o_orderpriority AS g,
+             |        CAST(o_totalprice AS DECIMAL(18,6)) AS y,
+             |        CASE WHEN o_orderkey % 4 < 2 THEN 0
+             |             WHEN o_orderkey % 4 = 2 THEN 1 ELSE 2 END AS s
+             |      FROM orders),
+             |mu AS (SELECT g, CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |        AS mu FROM b WHERE s = 0 GROUP BY 1),
+             |cal AS (SELECT g, abs(CAST(y AS DOUBLE) - mu) AS r
+             |        FROM b JOIN mu USING (g) WHERE s = 1),
+             |nc AS (SELECT g, count(*) AS n_cal FROM cal GROUP BY 1),
+             |vc AS (SELECT g, r, count(*) AS c FROM cal GROUP BY 1, 2),
+             |cum AS (SELECT g, r, sum(c) OVER
+             |        (PARTITION BY g ORDER BY r) AS cm FROM vc),
+             |q AS (SELECT cum.g, max(n_cal) AS n_cal,
+             |        min(CASE WHEN cm >= least(
+             |          CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * 0.9) AS BIGINT),
+             |          n_cal) THEN r END) AS qh
+             |      FROM cum JOIN nc ON nc.g = cum.g GROUP BY cum.g),
+             |tst AS (SELECT b.g, abs(CAST(y AS DOUBLE) - mu) AS r,
+             |          q.n_cal, q.qh
+             |        FROM b JOIN mu USING (g) JOIN q ON q.g = b.g
+             |        WHERE s = 2)
+             |SELECT g AS priority, max(n_cal) AS n_cal, count(*) AS n_test,
+             |  round(max(qh), 6) AS qhat,
+             |  round(CAST(sum(CASE WHEN r <= qh THEN 1 ELSE 0 END) AS DOUBLE) /
+             |        CAST(count(*) AS DOUBLE), 6) AS coverage
+             |FROM tst GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── diagonal-Mahalanobis embedding outlier scores ──────────────────
+    "q381_mahalanobis_diag" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.mahalanobisDiag(Tables.embeddings(s, dir), "vec_id",
+          "embedding", topK = 20)
+      },
+      Some("""WITH x AS (SELECT vec_id, CAST(i AS INTEGER) AS pos,
+             |        embedding[i+1]::DOUBLE AS v
+             |      FROM embeddings CROSS JOIN range(64) t(i)),
+             |st AS (SELECT pos,
+             |        CAST(sum(CAST(round(v * (1099511627776::DOUBLE)) AS BIGINT)) AS DOUBLE)
+             |          / (1099511627776::DOUBLE) / count(*) AS mean,
+             |        CAST(sum(CAST(round(v * v * (1099511627776::DOUBLE)) AS BIGINT)) AS DOUBLE)
+             |          / (1099511627776::DOUBLE) / count(*) AS m2
+             |      FROM x GROUP BY 1),
+             |s2 AS (SELECT pos, mean, sqrt(m2 - mean * mean) AS sd FROM st),
+             |tm AS (SELECT x.vec_id,
+             |        CAST(round(CASE WHEN s2.sd > 0
+             |          THEN ((x.v - s2.mean) / s2.sd) * ((x.v - s2.mean) / s2.sd)
+             |          ELSE 0.0 END, 9) AS DECIMAL(18,9)) AS t
+             |      FROM x JOIN s2 USING (pos))
+             |SELECT vec_id, round(CAST(sum(t) AS DOUBLE), 6) AS score
+             |FROM tm GROUP BY 1 ORDER BY score DESC, vec_id LIMIT 20"""
+        .stripMargin)),
+
+    // ─── expected calibration error of the replayed classifier ──────────
+    "q382_ece" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val w = Classifier.logregFit(docs, "doc_id", "text",
+          $"lang" === "en", buckets = 64, iters = 3, rate = 0.02)
+        val scored = Classifier.logregScore(docs, "doc_id", "text",
+          $"lang" === "en", w)
+        Classifier.expectedCalibrationError(scored, "p", $"is_target")
+      },
+      Some(LogregOracle.eceSql("lang = 'en'", buckets = 64, iters = 3,
+        rate = "0.02::DOUBLE"))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

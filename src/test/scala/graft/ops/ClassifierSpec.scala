@@ -131,6 +131,34 @@ class ClassifierSpec extends SparkSpec {
     assert(f.forall(r => r._4 == r._5))
   }
 
+  test("mondrianConformal: per-group q̂ differs from a global one") {
+    // group g: residuals {2,3,9} → q̂=9; group h: residuals {1,1,1} → q̂=1
+    val df = Seq(
+      ("g", 10.0, 0), ("g", 10.0, 0),
+      ("g", 12.0, 1), ("g", 13.0, 1), ("g", 19.0, 1),
+      ("g", 15.0, 2), ("g", 25.0, 2),
+      ("h", 20.0, 0), ("h", 20.0, 0),
+      ("h", 21.0, 1), ("h", 21.0, 1), ("h", 19.0, 1),
+      ("h", 20.5, 2), ("h", 30.0, 2))
+      .toDF("g", "y", "s")
+    val out = Classifier.mondrianConformal(df, "g", "y", col("s"),
+        alpha = 0.1)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("g") == (("g", 3L, 2L, 9.0, 0.5)))
+    assert(out("h") == (("h", 3L, 2L, 1.0, 0.5)))
+  }
+
+  test("expectedCalibrationError: two-bin hand case") {
+    // bin 2 (p=0.25, n=2, acc 0.5): term (2/4)·|0.5−0.25| = 0.125
+    // bin 9 (p=0.95, n=2, acc 1.0): term (2/4)·|1.0−0.95| = 0.025
+    val df = Seq((0.25, true), (0.25, false), (0.95, true), (0.95, true))
+      .toDF("p", "y")
+    val out = Classifier.expectedCalibrationError(df, "p", col("y"))
+      .as[(Long, Long, Double)].head()
+    assert(out == ((4L, 2L, 0.15)))
+  }
+
   test("ipwEffect: hand-checkable Hájek quotients") {
     val df = Seq(
       (true, 0.8, 1.0), (true, 0.4, 0.0),

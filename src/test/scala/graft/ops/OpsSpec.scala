@@ -433,4 +433,18 @@ class VectorOpsSpec extends graft.SparkSpec {
     assert(top.head == ((0L, 0)))
     assert(top.map(_._2).sorted.sameElements(top.map(_._2)), "ascending distances")
   }
+
+  test("mahalanobisDiag: the planted outlier tops the score list") {
+    // dim0 constant (zero variance → 0 contribution); dim1 has one
+    // far-out value that must dominate
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(1.0f, -0.1f)), (3L, Array(1.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mahalanobisDiag(emb, "vec_id", "embedding", topK = 4)
+      .as[(Long, Double)].collect()
+    assert(out.head._1 == 3L)                  // planted outlier first
+    assert(out.head._2 > out(1)._2 * 2)        // by a wide margin
+    assert(out.map(_._2).forall(_ >= 0.0))
+  }
 }
