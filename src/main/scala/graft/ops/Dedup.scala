@@ -1104,4 +1104,40 @@ object Dedup {
         round(col("__wmin").cast("double") / col("__wmax").cast("double"), 6)
           .as("w_jaccard"))
   }
+
+  /** Dedup aggressiveness sweep: ONE MinHash candidate pass, then the
+    * connected-components clustering replayed at each Jaccard
+    * threshold — the "how much does the corpus shrink at 0.3 vs 0.5 vs
+    * 0.7" table a curation owner reads before picking the q81 pipeline
+    * knob. Output per threshold: (threshold, n_edges, n_clusters,
+    * n_docs_clustered, max_cluster) — clusters = components of size ≥ 2.
+    *
+    * Scale shape: the candidate pairs (with exact verified Jaccard)
+    * materialize ONCE at the loosest threshold; each sweep point is a
+    * pair-table filter + the gated CC loop (iterates on touched
+    * vertices only) + cluster-sized aggregates. */
+  def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Double], numHashes: Int = 16, bands: Int = 8,
+      shingleK: Int = 3): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands,
+        shingleK, threshold = thresholds.min)
+      .localCheckpoint(false) // re-filtered once per sweep point
+    val verts = df.select(col(idCol))
+    thresholds.sorted.map { t =>
+      val e = pairs.where(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(false) // consumers: edge count + CC
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      val sizes = connectedComponents(verts, idCol, e)
+        .groupBy(col("label")).agg(count(lit(1)).as("__sz"))
+        .where(col("__sz") >= 2)
+      val agg = sizes.agg(
+        count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("__sz")), lit(0L)).as("n_docs_clustered"),
+        coalesce(max(col("__sz")), lit(0L)).as("max_cluster"))
+      ne.crossJoin(agg).select(lit(t).as("threshold"), col("n_edges"),
+        col("n_clusters"), col("n_docs_clustered"), col("max_cluster"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -427,6 +427,54 @@ object Market {
         round(col("__wb") * (col("__mb") - col("__ma")), 6).as("within_contrib"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013 — the pre-experiment-
+    * covariate adjustment every mature A/B platform applies): with
+    * θ = cov(x, y)/var(x) over pre-period covariate x, the adjusted
+    * metric y′ = y − θ(x − x̄) keeps the same expectation but sheds
+    * cov²/var(x) of variance. Reports θ, the raw and adjusted metric
+    * variances, the realized reduction, and the raw vs adjusted
+    * arm-mean differences — all from ONE pass of exact DECIMAL moment
+    * sums (overall + per-arm conditionals); doubles only in the final
+    * ratios. Output: 1 row (n, theta, var_y, var_y_adj, var_reduction,
+    * diff_raw, diff_adj). */
+  def cuped(df: DataFrame, metricCol: Column, covariateCol: Column,
+      armPred: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(18,6)")
+    def dec2(c: Column) = c.cast("decimal(38,12)")
+    val m = df.select(dec(metricCol).as("__y"), dec(covariateCol).as("__x"),
+        armPred.as("__a"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("__sy"), sum(col("__x")).as("__sx"),
+        sum(dec2(col("__x") * col("__y"))).as("__sxy"),
+        sum(dec2(col("__x") * col("__x"))).as("__sxx"),
+        sum(dec2(col("__y") * col("__y"))).as("__syy"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__a"), col("__y"))).as("__sya"),
+        sum(when(col("__a"), col("__x"))).as("__sxa"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"),
+        sum(when(!col("__a"), col("__y"))).as("__syb"),
+        sum(when(!col("__a"), col("__x"))).as("__sxb"))
+    def d(c: Column) = c.cast("double")
+    m.select({
+      val nD = d(col("n"))
+      val my = d(col("__sy")) / nD; val mx = d(col("__sx")) / nD
+      val varY = d(col("__syy")) / nD - my * my
+      val varX = d(col("__sxx")) / nD - mx * mx
+      val covXY = d(col("__sxy")) / nD - mx * my
+      val theta = covXY / varX
+      val varAdj = varY - lit(2.0) * theta * covXY + theta * theta * varX
+      val mya = d(col("__sya")) / d(col("__na"))
+      val mxa = d(col("__sxa")) / d(col("__na"))
+      val myb = d(col("__syb")) / d(col("__nb"))
+      val mxb = d(col("__sxb")) / d(col("__nb"))
+      Seq(col("n"), round(theta, 6).as("theta"),
+        round(varY, 6).as("var_y"), round(varAdj, 6).as("var_y_adj"),
+        round(lit(1.0) - varAdj / varY, 6).as("var_reduction"),
+        round(mya - myb, 6).as("diff_raw"),
+        round((mya - theta * mxa) - (myb - theta * mxb), 6).as("diff_adj"))
+    }: _*)
+  }
+
   /** Wald / two-stage-least-squares instrumental-variable estimate with
     * a single instrument (Angrist & Pischke, public literature):
     *   β_IV = cov(z, y) / cov(z, x)

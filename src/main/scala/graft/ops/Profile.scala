@@ -966,6 +966,38 @@ object Profile {
         })
   }
 
+  /** Sample-ratio-mismatch guard (the first thing a trustworthy A/B
+    * system checks — Fabijan et al. 2019): χ² of the observed arm
+    * counts against the intended allocation, flagged against the
+    * df=1 critical value 3.841 (α = 0.05, a shared literal — no χ²
+    * CDF in either engine). A triggered SRM invalidates the experiment
+    * before any metric is read.
+    *
+    * Scale shape: ONE arm count + 2-row arithmetic. Output: 1 row
+    * (n_a, n_b, expected_share_a, chi2, srm_flag). */
+  def srmCheck(df: DataFrame, armCol: String,
+      expectedShareA: Double = 0.5): DataFrame = {
+    val arms = df.groupBy(col(armCol).as("__arm"))
+      .agg(count(lit(1)).as("__n"))
+    def d(c: Column) = c.cast("double")
+    val two = arms.agg(
+      min(struct(col("__arm"), col("__n"))).as("__m"),
+      sum(col("__n")).as("__nt"))
+      .select(col("__m.__n").as("__na"), col("__nt"))
+    two.select({
+      val na = d(col("__na")); val nt = d(col("__nt"))
+      val nb = nt - na
+      val ea = nt * lit(expectedShareA)
+      val eb = nt * lit(1.0 - expectedShareA)
+      val chi2 = (na - ea) * (na - ea) / ea + (nb - eb) * (nb - eb) / eb
+      Seq(col("__na").cast("long").as("n_a"),
+        (col("__nt") - col("__na")).cast("long").as("n_b"),
+        lit(expectedShareA).as("expected_share_a"),
+        round(chi2, 6).as("chi2"),
+        (chi2 > lit(3.841)).as("srm_flag"))
+    }: _*)
+  }
+
   /** Deterministic permutation test for a difference in group means
     * (Fisher 1935 randomization inference — exact-by-construction,
     * no normality assumption, the q232 z-test's nonparametric check):

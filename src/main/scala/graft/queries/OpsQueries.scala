@@ -335,6 +335,36 @@ object OpsQueries {
     s"""WITH RECURSIVE $clusterCtes
        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
 
+  /** q385 oracle: the shared minhash pair chain, then one CC walk +
+    * cluster-size rollup per sweep threshold. */
+  private def thresholdSweepSql(ts: Seq[Double]): String = {
+    val sorted = ts.sorted
+    val blocks = sorted.zipWithIndex.map { case (t, i) =>
+      s"""ed$i AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= $t),
+         |sym$i AS (SELECT id_a AS src, id_b AS dst FROM ed$i
+         |          UNION ALL SELECT id_b, id_a FROM ed$i),
+         |reach$i(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach$i r JOIN sym$i s ON r.b = s.src),
+         |cl$i AS (SELECT a AS doc_id, min(b) AS label FROM reach$i GROUP BY a),
+         |sz$i AS (SELECT label, count(*) AS sz FROM cl$i GROUP BY 1
+         |         HAVING count(*) >= 2),
+         |row$i AS (SELECT $t::DOUBLE AS threshold,
+         |    (SELECT count(*) FROM ed$i) AS n_edges,
+         |    count(*) AS n_clusters,
+         |    CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_docs_clustered,
+         |    CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster
+         |  FROM sz$i)""".stripMargin
+    }.mkString(",\n")
+    val union = sorted.indices.map(i => s"SELECT * FROM row$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $minhashCtes,
+       |$blocks
+       |$union
+       |ORDER BY threshold""".stripMargin
+  }
+
   /** q93: the shared cluster CTEs + the q83 split draw, keyed on the
     * CLUSTER label so near-duplicates can never straddle train/test. */
   private val clusterSplitSql: String =
@@ -11184,7 +11214,112 @@ object OpsQueries {
         Classifier.expectedCalibrationError(scored, "p", $"is_target")
       },
       Some(LogregOracle.eceSql("lang = 'en'", buckets = 64, iters = 3,
-        rate = "0.02::DOUBLE"))))
+        rate = "0.02::DOUBLE"))),
+
+    // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
+    "q383_ab_srm" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.srmCheck(Tables.events(s, dir).withColumn("arm",
+          when(pmod($"user_id", lit(2L)) === 0L, "A").otherwise("B")), "arm")
+      },
+      Some("""WITH a AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+             |        AS arm, count(*) AS n FROM events GROUP BY 1),
+             |w AS (SELECT (SELECT n FROM a ORDER BY arm LIMIT 1) AS na,
+             |        (SELECT CAST(sum(n) AS BIGINT) FROM a) AS nt)
+             |SELECT na AS n_a, nt - na AS n_b, 0.5::DOUBLE AS expected_share_a,
+             |  round((CAST(na AS DOUBLE) - CAST(nt AS DOUBLE) * 0.5) *
+             |        (CAST(na AS DOUBLE) - CAST(nt AS DOUBLE) * 0.5) /
+             |        (CAST(nt AS DOUBLE) * 0.5) +
+             |        ((CAST(nt AS DOUBLE) - CAST(na AS DOUBLE)) -
+             |         CAST(nt AS DOUBLE) * 0.5) *
+             |        ((CAST(nt AS DOUBLE) - CAST(na AS DOUBLE)) -
+             |         CAST(nt AS DOUBLE) * 0.5) /
+             |        (CAST(nt AS DOUBLE) * 0.5), 6) AS chi2,
+             |  ((CAST(na AS DOUBLE) - CAST(nt AS DOUBLE) * 0.5) *
+             |   (CAST(na AS DOUBLE) - CAST(nt AS DOUBLE) * 0.5) /
+             |   (CAST(nt AS DOUBLE) * 0.5) +
+             |   ((CAST(nt AS DOUBLE) - CAST(na AS DOUBLE)) -
+             |    CAST(nt AS DOUBLE) * 0.5) *
+             |   ((CAST(nt AS DOUBLE) - CAST(na AS DOUBLE)) -
+             |    CAST(nt AS DOUBLE) * 0.5) /
+             |   (CAST(nt AS DOUBLE) * 0.5)) > 3.841 AS srm_flag
+             |FROM w""".stripMargin)),
+
+    // ─── CUPED variance reduction over pre-period spend ─────────────────
+    "q384_cuped" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.orders(s, dir).groupBy($"o_custkey")
+          .agg(
+            sum(when(year($"o_orderdate") >= 1998,
+              $"o_totalprice".cast("decimal(18,6)"))).as("__post"),
+            sum(when(year($"o_orderdate") < 1998,
+              $"o_totalprice".cast("decimal(18,6)"))).as("__pre"))
+          .select($"o_custkey",
+            coalesce($"__post", lit(0).cast("decimal(18,6)")).as("y"),
+            coalesce($"__pre", lit(0).cast("decimal(18,6)")).as("x"))
+        Market.cuped(cust, $"y", $"x", pmod($"o_custkey", lit(2)) === 0)
+      },
+      Some("""WITH cust AS (SELECT o_custkey,
+             |    CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1998
+             |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 0)
+             |      AS DECIMAL(18,6)) AS y,
+             |    CAST(coalesce(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) < 1998
+             |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 0)
+             |      AS DECIMAL(18,6)) AS x
+             |  FROM orders GROUP BY 1),
+             |m AS (SELECT count(*) AS n,
+             |    sum(y) AS sy, sum(x) AS sx,
+             |    sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+             |      AS DECIMAL(38,12))) AS sxy,
+             |    sum(CAST(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))
+             |      AS DECIMAL(38,12))) AS sxx,
+             |    sum(CAST(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))
+             |      AS DECIMAL(38,12))) AS syy,
+             |    CAST(sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS na,
+             |    sum(CASE WHEN o_custkey % 2 = 0 THEN y END) AS sya,
+             |    sum(CASE WHEN o_custkey % 2 = 0 THEN x END) AS sxa,
+             |    CAST(sum(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nb,
+             |    sum(CASE WHEN o_custkey % 2 <> 0 THEN y END) AS syb,
+             |    sum(CASE WHEN o_custkey % 2 <> 0 THEN x END) AS sxb
+             |  FROM cust),
+             |f AS (SELECT n,
+             |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             |    CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) AS eyy,
+             |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS exx,
+             |    CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) AS exy,
+             |    CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mya,
+             |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mxa,
+             |    CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) AS myb,
+             |    CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mxb
+             |  FROM m),
+             |g AS (SELECT n, my, mx, mya, mxa, myb, mxb,
+             |    eyy - my * my AS vy, exx - mx * mx AS vx,
+             |    exy - mx * my AS cxy
+             |  FROM f),
+             |h AS (SELECT *, cxy / vx AS theta FROM g)
+             |SELECT n, round(theta, 6) AS theta, round(vy, 6) AS var_y,
+             |  round(vy - 2.0 * theta * cxy + theta * theta * vx, 6)
+             |    AS var_y_adj,
+             |  round(1.0 - (vy - 2.0 * theta * cxy + theta * theta * vx) / vy, 6)
+             |    AS var_reduction,
+             |  round(mya - myb, 6) AS diff_raw,
+             |  round((mya - theta * mxa) - (myb - theta * mxb), 6) AS diff_adj
+             |FROM h""".stripMargin)),
+
+    // ─── dedup aggressiveness sweep over Jaccard thresholds ─────────────
+    "q385_dedup_threshold_sweep" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.thresholdSweep(Tables.documents(s, dir), "doc_id", "text",
+            thresholds = Seq(0.3, 0.5, 0.7))
+          .orderBy($"threshold")
+      },
+      Some(thresholdSweepSql(Seq(0.3, 0.5, 0.7)))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

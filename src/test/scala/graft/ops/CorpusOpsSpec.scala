@@ -1030,4 +1030,17 @@ class CcPropertySpec extends SparkSpec {
     assert(out(1L)._2 == 0L)
     assert(out(2L) == ((5L, 5L, "d41d8cd98f00b204e9800998ecf8427e")))
   }
+
+  test("thresholdSweep: edges and clustered docs shrink as the bar rises") {
+    val docs = Tables.documents(spark, sfTiny)
+    val out = Dedup.thresholdSweep(docs, "doc_id", "text",
+        thresholds = Seq(0.3, 0.5, 0.7))
+      .as[(Double, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0.3, 0.5, 0.7))
+    // monotone: a higher threshold can only REMOVE edges/clustered docs
+    assert(out.map(_._2).sliding(2).forall(p => p(1) <= p(0)))
+    assert(out.map(_._4).sliding(2).forall(p => p(1) <= p(0)))
+    // every cluster has ≥ 2 members and max ≤ total clustered
+    assert(out.forall(r => r._5 <= r._4 && (r._3 == 0 || r._5 >= 2)))
+  }
 }

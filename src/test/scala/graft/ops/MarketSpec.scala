@@ -193,6 +193,17 @@ class MarketSpec extends SparkSpec {
     assert(math.abs(total - (70.0 / 3 - 15.0)) < 1e-5)
   }
 
+  test("cuped: y == x ⇒ θ = 1, full variance removal, zero adjusted diff") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1.0, 1.0, true), (2.0, 2.0, true),
+      (3.0, 3.0, false), (4.0, 4.0, false)).toDF("y", "x", "a")
+    val out = Market.cuped(df, col("y"), col("x"), col("a"))
+      .as[(Long, Double, Double, Double, Double, Double, Double)].head()
+    assert(out._1 == 4L && out._2 == 1.0)  // θ = 1
+    assert(out._4 == 0.0 && out._5 == 1.0) // var_y_adj 0, reduction 1
+    assert(out._6 == -2.0 && out._7 == 0.0) // raw gap vanishes adjusted
+  }
+
   test("ivEstimate: Wald ratio on an exactly-linear system") {
     import org.apache.spark.sql.functions.col
     // x = 2z, y = 6z → first stage 2, reduced form 6, β_IV = 3

@@ -340,6 +340,18 @@ class ProfileSpec extends SparkSpec {
     assert(r2 == ((4L, 3L, 0.0)))
   }
 
+  test("srmCheck: 60/40 of 100 trips the χ² guard, 50/50 does not") {
+    import org.apache.spark.sql.functions._
+    val skew = (Seq.fill(60)("A") ++ Seq.fill(40)("B")).toDF("arm")
+    val a = Profile.srmCheck(skew, "arm")
+      .as[(Long, Long, Double, Double, Boolean)].head()
+    assert(a == ((60L, 40L, 0.5, 4.0, true))) // (10²/50)·2 = 4 > 3.841
+    val fair = (Seq.fill(50)("A") ++ Seq.fill(50)("B")).toDF("arm")
+    val b = Profile.srmCheck(fair, "arm")
+      .as[(Long, Long, Double, Double, Boolean)].head()
+    assert(b == ((50L, 50L, 0.5, 0.0, false)))
+  }
+
   test("bestSplit: perfect separation found at the right threshold") {
     import org.apache.spark.sql.functions._
     val df = Seq((1.0, false), (1.0, false), (2.0, true), (2.0, true))
