@@ -658,4 +658,36 @@ object Streams {
           out.iterator
       }
   }
+
+  final case class ZoneState(mn: Double, mx: Double, n: Long)
+
+  /** Streaming twin of the zone-map statistics `Profile.zonemapAudit`
+    * consumes: per storage-zone (min, max, count) envelopes maintained
+    * INCREMENTALLY on ingest — how file/row-group stats actually come
+    * to exist in a lakehouse (computed at write time, not by rescanning
+    * 100 TB). Emits the updated envelope for every zone touched by the
+    * micro-batch; the latest emission per zone equals the batch
+    * aggregate exactly (min/max/count are order-free), which
+    * `StreamsSpec` pins.
+    *
+    * State bound: ONE (double, double, long) triple per zone — a
+    * flooding zone updates in place, never grows. */
+  def zoneStatsStream(rows: Dataset[(Long, Double)])
+      : Dataset[(Long, Double, Double, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[ZoneState, (Long, Double, Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (zone: Long, evs: Iterator[(Long, Double)],
+            state: GroupState[ZoneState]) =>
+          var mn = state.getOption.map(_.mn).getOrElse(Double.MaxValue)
+          var mx = state.getOption.map(_.mx).getOrElse(Double.MinValue)
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          evs.foreach { case (_, v) =>
+            mn = math.min(mn, v); mx = math.max(mx, v); n += 1
+          }
+          state.update(ZoneState(mn, mx, n))
+          Iterator.single((zone, mn, mx, n))
+      }
+  }
 }

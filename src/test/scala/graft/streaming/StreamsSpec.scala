@@ -688,4 +688,34 @@ class StreamsSpec extends SparkSpec {
       assert(last == ((9L, 500L, expect)))
     } finally q.stop()
   }
+
+  test("zone-stats stream: final envelopes equal the batch aggregate") {
+    implicit val sq = spark.sqlContext
+    // lineitem-shaped (zone, value) rows — the write-time file-stats feed
+    val rows = Tables.lineitem(spark, sfTiny)
+      .select((col("l_orderkey") / lit(64)).cast("long").as("z"),
+        col("l_quantity").cast("double").as("v"))
+      .as[(Long, Double)].collect()
+    val batch = rows.groupBy(_._1).map { case (z, xs) =>
+      z -> ((xs.map(_._2).min, xs.map(_._2).max, xs.length.toLong)) }
+    val stream = MemoryStream[(Long, Double)]
+    val q = Streams.zoneStatsStream(stream.toDS())
+      .toDF("zone", "mn", "mx", "n")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("zone_stats").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      // state stays one row per zone even across batches
+      assert(maxStateRows(q) <= batch.size.toLong)
+      // latest emission per zone == the batch envelope
+      val fin = spark.table("zone_stats")
+        .groupBy($"zone").agg(max(struct($"n", $"mn", $"mx")).as("s"))
+        .select($"zone", $"s.mn", $"s.mx", $"s.n")
+        .as[(Long, Double, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(fin == batch)
+    } finally q.stop()
+  }
 }
