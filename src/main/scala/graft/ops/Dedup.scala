@@ -1105,6 +1105,55 @@ object Dedup {
           .as("w_jaccard"))
   }
 
+  /** LSH parameter planner over the MEASURED candidate-pair similarity
+    * spectrum: for each (bands b, rows r) config, the S-curve capture
+    * probability 1 − (1 − s^r)^b integrates against the observed
+    * Jaccard histogram of the current corpus's candidate pairs —
+    * "which banding would a re-index actually want" answered from data
+    * rather than the textbook curve alone. The spectrum covers the
+    * CANDIDATE pairs of the loosest probe (the measurable population;
+    * the never-candidates the planner can't see are exactly what a
+    * looser config would add — documented bias).
+    *
+    * Scale shape: the pair pass is the gated minhash chain; the
+    * histogram is ONE 10-bin aggregate; per-config capture probs are
+    * driver literals folded against bin counts as 9-dp decimal terms.
+    * Output per config: (bands, rows, n_pairs, expected_captured,
+    * expected_recall). */
+  /** Capture probability of an (s ≈ bin midpoint) pair under (b, r)
+    * banding — shared with the oracle so both engines inline identical
+    * literals. */
+  def lshCaptureProb(b: Int, r: Int, bin: Int): Double = {
+    val m = (bin + 0.5) / 10.0
+    1.0 - math.pow(1.0 - math.pow(m, r), b)
+  }
+
+  def lshPlanner(df: DataFrame, idCol: String, textCol: String,
+      configs: Seq[(Int, Int)], probeThreshold: Double = 0.3): DataFrame = {
+    require(configs.nonEmpty, "at least one config")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = minhashPairs(df, idCol, textCol, threshold = probeThreshold)
+    val hist = pairs.select(
+        least(floor(col("jaccard") * 10).cast("int"), lit(9)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false) // one fold per config
+    configs.map { case (b, r) =>
+      val probs = (0 to 9).map(bin => bin -> lshCaptureProb(b, r, bin)).toMap
+      val pCol = element_at(
+        array((0 to 9).map(bin => lit(probs(bin))): _*), col("__b") + 1)
+      hist.select(col("__n"),
+          round(col("__n").cast("double") * pCol, 9)
+            .cast("decimal(28,9)").as("__t"))
+        .agg(sum(col("__n")).as("n_pairs"), sum(col("__t")).as("__cap"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_pairs"),
+          round(col("__cap").cast("double"), 6).as("expected_captured"),
+          round(col("__cap").cast("double") /
+            col("n_pairs").cast("double"), 6).as("expected_recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Dedup aggressiveness sweep: ONE MinHash candidate pass, then the
     * connected-components clustering replayed at each Jaccard
     * threshold — the "how much does the corpus shrink at 0.3 vs 0.5 vs

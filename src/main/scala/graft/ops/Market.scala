@@ -427,6 +427,71 @@ object Market {
         round(col("__wb") * (col("__mb") - col("__ma")), 6).as("within_contrib"))
   }
 
+  /** Elbow / knee point of the cumulative-share curve (the Kneedle
+    * heuristic's exact discrete form: max vertical distance between the
+    * normalized concentration curve and its chord): items rank by value
+    * desc (ties on item), and the elbow is the rank maximizing
+    * cum_share(i) − i/n — where returns start diminishing, i.e. THE
+    * data-driven "how many top items matter" cut the fixed 80 % of
+    * paretoAbc assumes. Output: 1 row
+    * (n_items, elbow_rank, elbow_item, cum_share, max_gap).
+    *
+    * Scale shape: ONE fact aggregate to items, windows on the
+    * item-sized table (the q11 cumulative-share shape); shares divide
+    * exact DECIMAL sums. */
+  def elbowPoint(df: DataFrame, itemCol: String, valueCol: String): DataFrame = {
+    val item = df.groupBy(col(itemCol).as("item"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__v"))
+    val w = Window.orderBy(col("__v").desc, col("item"))
+    val dec = item
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__cum", sum(col("__v")).over(w))
+      .withColumn("__tot", sum(col("__v")).over(Window.partitionBy()))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+    def d(c: Column) = c.cast("double")
+    val gap = d(col("__cum")) / d(col("__tot")) -
+      d(col("__rk")) / d(col("__n"))
+    dec.select(col("item"), col("__rk"), col("__n"),
+        (d(col("__cum")) / d(col("__tot"))).as("__cs"), gap.as("__g"))
+      .withColumn("__best", row_number().over(
+        Window.orderBy(col("__g").desc, col("__rk"))))
+      .where(col("__best") === 1)
+      .select(col("__n").as("n_items"),
+        col("__rk").cast("long").as("elbow_rank"),
+        col("item").as("elbow_item"), round(col("__cs"), 6).as("cum_share"),
+        round(col("__g"), 6).as("max_gap"))
+  }
+
+  /** E-value sensitivity analysis (VanderWeele & Ding 2017): the
+    * minimum strength of unmeasured confounding (on the risk-ratio
+    * scale, with both confounder–treatment and confounder–outcome
+    * associations) that could explain away an observed risk ratio:
+    * E = RR* + √(RR*·(RR*−1)), RR* = max(RR, 1/RR). The one-line
+    * robustness answer to "could a lurking variable have produced this
+    * q374 effect". Output: 1 row
+    * (n_treat, n_ctrl, rate_treat, rate_ctrl, rr, e_value).
+    *
+    * Scale shape: ONE 1-row conditional-count aggregate. */
+  def eValue(df: DataFrame, treatPred: Column,
+      outcomePred: Column): DataFrame = {
+    val m = df.select(treatPred.as("__t"), outcomePred.as("__y"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(col("__t") && col("__y"), 1L).otherwise(0L)).as("__kt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(!col("__t") && col("__y"), 1L).otherwise(0L)).as("__kc"))
+    def d(c: Column) = c.cast("double")
+    m.select({
+      val rt = d(col("__kt")) / d(col("__nt"))
+      val rc = d(col("__kc")) / d(col("__nc"))
+      val rr = rt / rc
+      val rrs = greatest(rr, lit(1.0) / rr)
+      Seq(col("__nt").as("n_treat"), col("__nc").as("n_ctrl"),
+        round(rt, 6).as("rate_treat"), round(rc, 6).as("rate_ctrl"),
+        round(rr, 6).as("rr"),
+        round(rrs + sqrt(rrs * (rrs - lit(1.0))), 6).as("e_value"))
+    }: _*)
+  }
+
   /** CUPED variance reduction (Deng et al. 2013 — the pre-experiment-
     * covariate adjustment every mature A/B platform applies): with
     * θ = cov(x, y)/var(x) over pre-period covariate x, the adjusted

@@ -11319,7 +11319,97 @@ object OpsQueries {
             thresholds = Seq(0.3, 0.5, 0.7))
           .orderBy($"threshold")
       },
-      Some(thresholdSweepSql(Seq(0.3, 0.5, 0.7)))))
+      Some(thresholdSweepSql(Seq(0.3, 0.5, 0.7)))),
+
+    // ─── elbow point of the supplier revenue-concentration curve ────────
+    "q386_elbow_point" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Market.elbowPoint(Tables.lineitem(s, dir), "l_suppkey",
+          "l_extendedprice")
+      },
+      Some("""WITH it AS (SELECT l_suppkey AS item,
+             |        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+             |      FROM lineitem GROUP BY 1),
+             |dec AS (SELECT item,
+             |        row_number() OVER (ORDER BY v DESC, item) AS rk,
+             |        sum(v) OVER (ORDER BY v DESC, item) AS cum,
+             |        sum(v) OVER () AS tot, count(*) OVER () AS n
+             |      FROM it),
+             |g AS (SELECT item, rk, n,
+             |        CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cs,
+             |        CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) -
+             |          CAST(rk AS DOUBLE) / CAST(n AS DOUBLE) AS gap
+             |      FROM dec)
+             |SELECT CAST(n AS BIGINT) AS n_items, rk AS elbow_rank,
+             |  item AS elbow_item, round(cs, 6) AS cum_share,
+             |  round(gap, 6) AS max_gap
+             |FROM (SELECT *, row_number() OVER (ORDER BY gap DESC, rk) AS b
+             |      FROM g) WHERE b = 1""".stripMargin)),
+
+    // ─── E-value sensitivity to unmeasured confounding ──────────────────
+    "q387_evalue" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Market.eValue(Tables.documents(s, dir),
+          treatPred = $"source".isin("src0", "src1", "src2", "src3", "src4"),
+          outcomePred = $"n_chars" >= 300)
+      },
+      Some("""WITH m AS (SELECT
+             |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             |    CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+             |      AND n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS kt,
+             |    CAST(sum(CASE WHEN source NOT IN ('src0','src1','src2','src3','src4')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             |    CAST(sum(CASE WHEN source NOT IN ('src0','src1','src2','src3','src4')
+             |      AND n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS kc
+             |  FROM documents),
+             |f AS (SELECT nt, nc,
+             |    CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE) AS rt,
+             |    CAST(kc AS DOUBLE) / CAST(nc AS DOUBLE) AS rc
+             |  FROM m),
+             |g AS (SELECT nt, nc, rt, rc, rt / rc AS rr,
+             |    greatest(rt / rc, 1.0 / (rt / rc)) AS rrs FROM f)
+             |SELECT nt AS n_treat, nc AS n_ctrl, round(rt, 6) AS rate_treat,
+             |  round(rc, 6) AS rate_ctrl, round(rr, 6) AS rr,
+             |  round(rrs + sqrt(rrs * (rrs - 1.0)), 6) AS e_value
+             |FROM g""".stripMargin)),
+
+    // ─── LSH banding planner over the measured similarity spectrum ──────
+    "q388_lsh_planner" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.lshPlanner(Tables.documents(s, dir), "doc_id", "text",
+            configs = Seq((4, 4), (8, 2), (16, 1)))
+          .orderBy($"bands", $"rows_per_band")
+      },
+      Some {
+        def cfg(b: Int, r: Int) = {
+          val pc = (0 to 9).map(bin =>
+            s"WHEN $bin THEN ${Dedup.lshCaptureProb(b, r, bin)}::DOUBLE")
+            .mkString(" ")
+          s"""SELECT $b AS bands, $r AS rows_per_band,
+             |  CAST(sum(n) AS BIGINT) AS n_pairs,
+             |  round(CAST(sum(CAST(round(CAST(n AS DOUBLE) *
+             |    (CASE b $pc END), 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+             |    AS expected_captured,
+             |  round(CAST(sum(CAST(round(CAST(n AS DOUBLE) *
+             |    (CASE b $pc END), 9) AS DECIMAL(28,9))) AS DOUBLE) /
+             |    CAST(sum(n) AS DOUBLE), 6) AS expected_recall
+             |FROM h""".stripMargin
+        }
+        s"""WITH $minhashCtes,
+           |h AS (SELECT least(CAST(floor(jaccard * 10) AS INTEGER), 9) AS b,
+           |        count(*) AS n
+           |      FROM pairs WHERE jaccard >= 0.3 GROUP BY 1)
+           |${cfg(4, 4)}
+           |UNION ALL
+           |${cfg(8, 2)}
+           |UNION ALL
+           |${cfg(16, 1)}
+           |ORDER BY bands, rows_per_band""".stripMargin
+      }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

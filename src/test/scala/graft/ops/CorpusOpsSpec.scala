@@ -1031,6 +1031,20 @@ class CcPropertySpec extends SparkSpec {
     assert(out(2L) == ((5L, 5L, "d41d8cd98f00b204e9800998ecf8427e")))
   }
 
+  test("lshPlanner: finer banding lifts expected recall, probs sane") {
+    val docs = Tables.documents(spark, sfTiny)
+    val out = Dedup.lshPlanner(docs, "doc_id", "text",
+        configs = Seq((4, 4), (8, 2), (16, 1)))
+      .as[(Int, Int, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // same candidate population for every config
+    assert(out.values.map(_._3).toSet.size == 1)
+    // with r=1 every band is a 1-row signature → highest capture
+    assert(out((16, 1))._5 > out((8, 2))._5)
+    assert(out((8, 2))._5 > out((4, 4))._5)
+    assert(out.values.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+  }
+
   test("thresholdSweep: edges and clustered docs shrink as the bar rises") {
     val docs = Tables.documents(spark, sfTiny)
     val out = Dedup.thresholdSweep(docs, "doc_id", "text",

@@ -193,6 +193,27 @@ class MarketSpec extends SparkSpec {
     assert(math.abs(total - (70.0 / 3 - 15.0)) < 1e-5)
   }
 
+  test("elbowPoint: max chord gap on a hand-built concentration curve") {
+    val df = Seq(("a", 50.0), ("b", 30.0), ("c", 10.0), ("d", 10.0))
+      .toDF("item", "v")
+    val out = Market.elbowPoint(df, "item", "v")
+      .as[(Long, Long, String, Double, Double)].head()
+    // cum shares .5/.8/.9/1 vs diagonal .25/.5/.75/1 → gap peaks at rank 2
+    assert(out == ((4L, 2L, "b", 0.8, 0.3)))
+  }
+
+  test("eValue: closed-form on a hand case (RR = 4)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((true, true), (true, true),
+      (false, true), (false, false), (false, false), (false, false))
+      .toDF("t", "y")
+    val out = Market.eValue(df, col("t"), col("y"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    val e = BigDecimal(4.0 + math.sqrt(12.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == ((2L, 4L, 1.0, 0.25, 4.0, e)))
+  }
+
   test("cuped: y == x ⇒ θ = 1, full variance removal, zero adjusted diff") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1.0, 1.0, true), (2.0, 2.0, true),
