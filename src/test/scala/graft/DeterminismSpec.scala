@@ -59,4 +59,42 @@ class DeterminismSpec extends SparkSpec {
         .collect().map(_.toString).toSet
     }
   }
+
+  test("theilDecompose is partition-invariant (9-dp decimal ln terms)") {
+    val orders = Tables.orders(spark, sfTiny)
+      .join(Tables.customer(spark, sfTiny), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(spark, sfTiny), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"o_totalprice")
+    bothWays { np =>
+      Market.theilDecompose(orders.repartition(np), "n_name", "o_totalprice")
+        .collect().map(_.toString).toSet
+    }
+  }
+
+  test("excessLossDeciles is partition-invariant (q84 fixed-point means)") {
+    val docs = Tables.documents(spark, sfTiny)
+    bothWays { np =>
+      graft.ops.TextStats.excessLossDeciles(docs.repartition(np), "doc_id",
+          "text", $"doc_id" % 3 === 0, $"doc_id" % 3 === 1)
+        .collect().map(_.toString).toSet
+    }
+  }
+
+  test("rakeKeyphrases is partition-invariant (9-dp member sums)") {
+    val docs = Tables.documents(spark, sfTiny)
+    bothWays { np =>
+      graft.ops.TextStats.rakeKeyphrases(docs.repartition(np), "doc_id",
+          "text", Seq("the", "a", "der", "und", "el", "y", "le", "et"), 20)
+        .collect().map(_.toString).toSet
+    }
+  }
+
+  test("permutationTest is partition-invariant (seeded draws + decimal sums)") {
+    val orders = Tables.orders(spark, sfTiny)
+    bothWays { np =>
+      Profile.permutationTest(orders.repartition(np), "o_orderkey",
+          "o_totalprice", pmod($"o_orderkey", lit(2)) === 0, perms = 16)
+        .collect().map(_.toString).toSet
+    }
+  }
 }

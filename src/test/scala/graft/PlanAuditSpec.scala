@@ -380,4 +380,40 @@ class PlanAuditSpec extends SparkSpec {
       assert(scans <= 2, s"$q re-scans $fact $scans times:\n" + p.take(1200))
     }
   }
+
+  test("Jaro-Winkler similarity join stays inside whole-stage codegen") {
+    val p = plan("q369_jw_linkage")
+    // the blocked self-join must be a hash equi-join with the JW kernel
+    // evaluated in a codegen'd projection — no product join, no fallback
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q369 planned a product join:\n" + p.take(1200))
+    assert(p.contains("jaro_winkler"), "JW expression missing from plan")
+    assert(p.contains("BroadcastHashJoin"), "block join lost broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k lost TakeOrdered")
+    // the kernel expression has doGenCode (no CodegenFallback marker) —
+    // the projection stays codegen-eligible; AQE hides the span string
+    // pre-execution, so assert the expression form, not the wrapper
+  }
+
+  test("linkage pattern aggregates collapse BEFORE any pair materialization") {
+    // blockingQuality must contain no join at all (three aggregates over
+    // group sizes — a pair join would be quadratic at scale)
+    val p = plan("q360_blocking_quality")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "q360 materialized pairs:\n" + p.take(1200))
+  }
+
+  test("zone-map audit is one partial-combining aggregate over the scan") {
+    val p = plan("q350_zonemap_audit")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "q350 plans a join:\n" + p.take(1200))
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      "zone stats lack a map-side partial phase:\n" + p.take(1200))
+  }
+
+  test("Mahalanobis scoring ranks with TakeOrdered, never a global sort") {
+    val p = plan("q381_mahalanobis_diag")
+    assert(p.contains("TakeOrderedAndProject"),
+      "q381 lost the top-k plan:\n" + p.take(1200))
+  }
 }
