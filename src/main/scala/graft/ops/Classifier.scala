@@ -182,6 +182,26 @@ object Classifier {
     test
   }
 
+  /** Positivity / overlap audit of a propensity model (Crump et al.
+    * 2009's trimming diagnostic): per treatment arm, the propensity
+    * range and the share of units inside the [lo, hi] overlap region —
+    * the check that decides whether the q356 IPW weights are usable at
+    * all (an arm living outside the overlap band has units no
+    * reweighting can represent). Output per arm:
+    * (treated, n, p_min, p_max, overlap_share).
+    *
+    * Scale shape: ONE arm-keyed aggregate over the scored frame. */
+  def propensityOverlap(scored: DataFrame, pCol: String, treatCol: Column,
+      lo: Double = 0.1, hi: Double = 0.9): DataFrame =
+    scored.select(treatCol.as("treated"), col(pCol).as("__p"))
+      .groupBy(col("treated"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("__p")), 6).as("p_min"),
+        round(max(col("__p")), 6).as("p_max"),
+        round(sum(when(col("__p") >= lo && col("__p") <= hi, 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("overlap_share"))
+
   /** Mondrian (group-conditional) split-conformal intervals (Vovk's
     * taxonomy-conformal): [[conformalInterval]] with q̂ computed PER
     * GROUP from that group's own calibration residuals — the guarantee

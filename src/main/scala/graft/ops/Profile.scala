@@ -966,6 +966,59 @@ object Profile {
         })
   }
 
+  /** Delete-one-bucket jackknife for a RATIO metric (Quenouille/Tukey;
+    * the standard error every ratio metric in an A/B readout needs —
+    * the naive per-row variance is WRONG for sum(num)/sum(den)):
+    * buckets partition the rows; replicate i recomputes the ratio with
+    * bucket i removed, and SE² = (B−1)/B · Σ(R_i − R̄)². Deterministic,
+    * closed-form, no resampling randomness.
+    *
+    * Float discipline: bucket sums are exact DECIMAL; replicate ratios
+    * divide exact decimal differences; the R̄ and Σ(R_i−R̄)² folds sum
+    * 9-dp decimal terms over the BUCKET table. Output: 1 row
+    * (n_buckets, ratio, se_jack, ci_lo, ci_hi) at ±1.96·SE.
+    *
+    * Scale shape: ONE bucket-keyed aggregate over the fact; the
+    * replicas are bucket-table arithmetic (B rows by contract). */
+  def jackknifeRatio(df: DataFrame, bucketCol: Column, numCol: String,
+      denCol: String): DataFrame = {
+    val b = df.select(bucketCol.as("__b"),
+        col(numCol).cast("decimal(18,6)").as("__n"),
+        col(denCol).cast("decimal(18,6)").as("__d"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__n")).as("__sn"), sum(col("__d")).as("__sd"))
+    val w = Window.partitionBy()
+    val dec = b
+      .withColumn("__tn", sum(col("__sn")).over(w))
+      .withColumn("__td", sum(col("__sd")).over(w))
+      .withColumn("__nb", count(lit(1)).over(w))
+    def d(c: Column) = c.cast("double")
+    val ri = (d(col("__tn")) - d(col("__sn"))) /
+      (d(col("__td")) - d(col("__sd")))
+    val terms = dec.select(col("__nb"), col("__tn"), col("__td"),
+        ri.as("__ri"),
+        round(ri, 9).cast("decimal(18,9)").as("__rt"))
+    val m = terms.groupBy(col("__nb"), col("__tn"), col("__td"))
+      .agg(sum(col("__rt")).as("__sr"))
+    val withMean = terms.join(m, Seq("__nb", "__tn", "__td"))
+      .withColumn("__rbar",
+        col("__sr").cast("double") / col("__nb").cast("double"))
+      .select(col("__nb"), col("__tn"), col("__td"),
+        round((col("__ri") - col("__rbar")) * (col("__ri") - col("__rbar")), 9)
+          .cast("decimal(18,9)").as("__sq"))
+    withMean.groupBy(col("__nb").as("n_buckets"), col("__tn"), col("__td"))
+      .agg(sum(col("__sq")).as("__ssq"))
+      .select({
+        val r = d(col("__tn")) / d(col("__td"))
+        val bD = col("n_buckets").cast("double")
+        val se = sqrt((bD - lit(1.0)) / bD * col("__ssq").cast("double"))
+        Seq(col("n_buckets"), round(r, 6).as("ratio"),
+          round(se, 6).as("se_jack"),
+          round(r - lit(1.959963984540054) * se, 6).as("ci_lo"),
+          round(r + lit(1.959963984540054) * se, 6).as("ci_hi"))
+      }: _*)
+  }
+
   /** Sample-ratio-mismatch guard (the first thing a trustworthy A/B
     * system checks — Fabijan et al. 2019): χ² of the observed arm
     * counts against the intended allocation, flagged against the

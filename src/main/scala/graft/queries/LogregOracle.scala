@@ -144,6 +144,25 @@ object LogregOracle {
        |  round(mx - mn, 6) AS dp_gap
        |FROM dec CROSS JOIN mm ORDER BY lang""".stripMargin
 
+  /** Positivity/overlap oracle (`Classifier.propensityOverlap`): per
+    * arm, propensity range + share inside the [0.1, 0.9] band. */
+  def overlapSql(label: String, buckets: Int, iters: Int,
+      rate: String): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+       |sp AS (SELECT ltk.doc_id,
+       |         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) AS p,
+       |         ltk.y = 1.0::DOUBLE AS t
+       |       FROM fm JOIN ltk USING (doc_id))
+       |SELECT t AS treated, count(*) AS n,
+       |  round(min(p), 6) AS p_min, round(max(p), 6) AS p_max,
+       |  round(CAST(sum(CASE WHEN p >= 0.1 AND p <= 0.9 THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS overlap_share
+       |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Expected-calibration-error oracle: the calibration bins rolled up
     * to Σ (n_b/n)·|acc_b − conf_b| with 9-dp decimal term sums. */
   def eceSql(label: String, buckets: Int, iters: Int,

@@ -11409,7 +11409,59 @@ object OpsQueries {
            |UNION ALL
            |${cfg(16, 1)}
            |ORDER BY bands, rows_per_band""".stripMargin
-      }))
+      }),
+
+    // ─── positivity / propensity-overlap audit per arm ──────────────────
+    "q389_propensity_overlap" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val treat = $"source".isin("src0", "src1", "src2", "src3", "src4")
+        val w = Classifier.logregFit(docs, "doc_id", "text", treat,
+          buckets = 64, iters = 3, rate = 0.02)
+        val scored = Classifier.logregScore(docs, "doc_id", "text", treat, w)
+        Classifier.propensityOverlap(scored, "p", $"is_target")
+          .orderBy($"treated")
+      },
+      Some(LogregOracle.overlapSql(
+        "source IN ('src0','src1','src2','src3','src4')",
+        buckets = 64, iters = 3, rate = "0.02::DOUBLE"))),
+
+    // ─── delete-one-bucket jackknife SE for a ratio metric ──────────────
+    "q390_jackknife_ratio" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.jackknifeRatio(Tables.lineitem(s, dir),
+          pmod($"l_orderkey", lit(20)), "l_extendedprice", "l_quantity")
+      },
+      Some("""WITH b AS (SELECT l_orderkey % 20 AS bk,
+             |        sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sn,
+             |        sum(CAST(l_quantity AS DECIMAL(18,6))) AS sd
+             |      FROM lineitem GROUP BY 1),
+             |t AS (SELECT count(*) AS nb, sum(sn) AS tn, sum(sd) AS td FROM b),
+             |ri AS (SELECT t.nb, t.tn, t.td,
+             |        (CAST(tn AS DOUBLE) - CAST(sn AS DOUBLE)) /
+             |        (CAST(td AS DOUBLE) - CAST(sd AS DOUBLE)) AS r
+             |      FROM b CROSS JOIN t),
+             |m AS (SELECT nb, sum(CAST(round(r, 9) AS DECIMAL(18,9))) AS sr
+             |      FROM ri GROUP BY 1),
+             |sq AS (SELECT ri.nb, ri.tn, ri.td,
+             |        CAST(round((ri.r - CAST(m.sr AS DOUBLE) / CAST(m.nb AS DOUBLE)) *
+             |          (ri.r - CAST(m.sr AS DOUBLE) / CAST(m.nb AS DOUBLE)), 9)
+             |          AS DECIMAL(18,9)) AS s
+             |      FROM ri JOIN m ON ri.nb = m.nb),
+             |agg AS (SELECT nb, tn, td, sum(s) AS ssq FROM sq GROUP BY 1, 2, 3)
+             |SELECT CAST(nb AS BIGINT) AS n_buckets,
+             |  round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE), 6) AS ratio,
+             |  round(sqrt((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE) *
+             |    CAST(ssq AS DOUBLE)), 6) AS se_jack,
+             |  round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) -
+             |    1.959963984540054 * sqrt((CAST(nb AS DOUBLE) - 1.0) /
+             |    CAST(nb AS DOUBLE) * CAST(ssq AS DOUBLE)), 6) AS ci_lo,
+             |  round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) +
+             |    1.959963984540054 * sqrt((CAST(nb AS DOUBLE) - 1.0) /
+             |    CAST(nb AS DOUBLE) * CAST(ssq AS DOUBLE)), 6) AS ci_hi
+             |FROM agg""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -131,6 +131,16 @@ class ClassifierSpec extends SparkSpec {
     assert(f.forall(r => r._4 == r._5))
   }
 
+  test("propensityOverlap: range and band share per arm") {
+    val df = Seq((true, 0.95), (true, 0.5), (false, 0.05), (false, 0.4))
+      .toDF("t", "p")
+    val out = Classifier.propensityOverlap(df, "p", col("t"))
+      .as[(Boolean, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(true) == ((true, 2L, 0.5, 0.95, 0.5)))   // 0.95 outside
+    assert(out(false) == ((false, 2L, 0.05, 0.4, 0.5))) // 0.05 outside
+  }
+
   test("mondrianConformal: per-group q̂ differs from a global one") {
     // group g: residuals {2,3,9} → q̂=9; group h: residuals {1,1,1} → q̂=1
     val df = Seq(

@@ -340,6 +340,20 @@ class ProfileSpec extends SparkSpec {
     assert(r2 == ((4L, 3L, 0.0)))
   }
 
+  test("jackknifeRatio: two-bucket hand case — SE from the replicas") {
+    import org.apache.spark.sql.functions._
+    // bucket 0: num 10, den 5; bucket 1: num 20, den 5
+    // ratio 3; replicas 4 and 2 → R̄ = 3, SE = √((1/2)·(1+1)) = 1
+    val df = Seq((0L, 10.0, 5.0), (1L, 20.0, 5.0)).toDF("b", "n", "d")
+    val out = Profile.jackknifeRatio(df, col("b"), "n", "d")
+      .as[(Long, Double, Double, Double, Double)].head()
+    val lo = BigDecimal(3.0 - 1.959963984540054)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hi = BigDecimal(3.0 + 1.959963984540054)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == ((2L, 3.0, 1.0, lo, hi)))
+  }
+
   test("srmCheck: 60/40 of 100 trips the χ² guard, 50/50 does not") {
     import org.apache.spark.sql.functions._
     val skew = (Seq.fill(60)("A") ++ Seq.fill(40)("B")).toDF("arm")
