@@ -182,6 +182,40 @@ object Classifier {
     test
   }
 
+  /** Doubly-robust (AIPW) average treatment effect (Robins et al. 1994;
+    * the estimator that is consistent if EITHER the propensity OR the
+    * outcome model is right — the modern default over plain IPW):
+    *   ψ_i = (m̂₁(i) − m̂₀(i)) + T(y − m̂₁)/p̂ − (1−T)(y − m̂₀)/(1−p̂)
+    * averaged over all units, with p̂ clipped to the overlap band.
+    * `m1Col`/`m0Col` carry the outcome-model predictions (per-stratum
+    * rates in the gate — any model plugs in).
+    *
+    * Float discipline: per-unit ψ rounds to 9 dp and sums as DECIMAL;
+    * output also reports the outcome-model-only (g-formula) estimate
+    * for the robustness comparison. Output: 1 row
+    * (n, ate_outcome_model, ate_aipw).
+    *
+    * Scale shape: map-only ψ arithmetic + ONE 1-row aggregate. */
+  def aipwEffect(df: DataFrame, pCol: String, treatCol: Column,
+      outcomeCol: Column, m1Col: Column, m0Col: Column,
+      clipLo: Double = 0.05, clipHi: Double = 0.95): DataFrame = {
+    val pc = least(greatest(col(pCol), lit(clipLo)), lit(clipHi))
+    val t = treatCol.cast("double")
+    val y = outcomeCol.cast("double")
+    val psi = (m1Col - m0Col) +
+      t * (y - m1Col) / pc -
+      (lit(1.0) - t) * (y - m0Col) / (lit(1.0) - pc)
+    def dec(c: Column) = round(c, 9).cast("decimal(28,9)")
+    df.select(dec(psi).as("__psi"), dec(m1Col - m0Col).as("__dm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__dm")).as("__sdm"), sum(col("__psi")).as("__sp"))
+      .select(col("n"),
+        round(col("__sdm").cast("double") / col("n").cast("double"), 6)
+          .as("ate_outcome_model"),
+        round(col("__sp").cast("double") / col("n").cast("double"), 6)
+          .as("ate_aipw"))
+  }
+
   /** Positivity / overlap audit of a propensity model (Crump et al.
     * 2009's trimming diagnostic): per treatment arm, the propensity
     * range and the share of units inside the [lo, hi] overlap region —

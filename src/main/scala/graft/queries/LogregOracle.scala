@@ -144,6 +144,50 @@ object LogregOracle {
        |  round(mx - mn, 6) AS dp_gap
        |FROM dec CROSS JOIN mm ORDER BY lang""".stripMargin
 
+  /** AIPW oracle (`Classifier.aipwEffect` with per-`documents.lang`
+    * stratum outcome rates as m̂₁/m̂₀ and the replayed propensity):
+    * per-unit ψ terms 9-dp-decimal summed, exactly as the op. */
+  def aipwSql(label: String, buckets: Int, iters: Int, rate: String,
+      outcome: String, clipLo: String = "0.05::DOUBLE",
+      clipHi: String = "0.95::DOUBLE"): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+       |sp AS (SELECT ltk.doc_id,
+       |         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) AS p,
+       |         ltk.y AS t
+       |       FROM fm JOIN ltk USING (doc_id)),
+       |om AS (SELECT d.lang,
+       |        CAST(sum(CASE WHEN sp.t = 1.0::DOUBLE AND ($outcome)
+       |          THEN 1 ELSE 0 END) AS DOUBLE) /
+       |          CAST(sum(CASE WHEN sp.t = 1.0::DOUBLE THEN 1 ELSE 0 END)
+       |          AS DOUBLE) AS m1,
+       |        CAST(sum(CASE WHEN sp.t = 0.0::DOUBLE AND ($outcome)
+       |          THEN 1 ELSE 0 END) AS DOUBLE) /
+       |          CAST(sum(CASE WHEN sp.t = 0.0::DOUBLE THEN 1 ELSE 0 END)
+       |          AS DOUBLE) AS m0
+       |      FROM sp JOIN documents d USING (doc_id) GROUP BY 1),
+       |u AS (SELECT sp.t,
+       |        least(greatest(sp.p, $clipLo), $clipHi) AS pc,
+       |        CASE WHEN $outcome THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS yv,
+       |        om.m1, om.m0
+       |      FROM sp JOIN documents d USING (doc_id)
+       |      JOIN om ON om.lang = d.lang),
+       |ps AS (SELECT
+       |        CAST(round((m1 - m0) + t * (yv - m1) / pc -
+       |          (1.0::DOUBLE - t) * (yv - m0) / (1.0::DOUBLE - pc), 9)
+       |          AS DECIMAL(28,9)) AS psi,
+       |        CAST(round(m1 - m0, 9) AS DECIMAL(28,9)) AS dm
+       |      FROM u)
+       |SELECT count(*) AS n,
+       |  round(CAST(sum(dm) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS ate_outcome_model,
+       |  round(CAST(sum(psi) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS ate_aipw
+       |FROM ps""".stripMargin
+
   /** Positivity/overlap oracle (`Classifier.propensityOverlap`): per
     * arm, propensity range + share inside the [0.1, 0.9] band. */
   def overlapSql(label: String, buckets: Int, iters: Int,

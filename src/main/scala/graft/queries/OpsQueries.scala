@@ -11461,7 +11461,33 @@ object OpsQueries {
              |  round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE) +
              |    1.959963984540054 * sqrt((CAST(nb AS DOUBLE) - 1.0) /
              |    CAST(nb AS DOUBLE) * CAST(ssq AS DOUBLE)), 6) AS ci_hi
-             |FROM agg""".stripMargin)))
+             |FROM agg""".stripMargin)),
+
+    // ─── doubly-robust (AIPW) treatment effect ──────────────────────────
+    "q391_aipw_ate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val treat = $"source".isin("src0", "src1", "src2", "src3", "src4")
+        val w = Classifier.logregFit(docs, "doc_id", "text", treat,
+          buckets = 64, iters = 3, rate = 0.02)
+        val scored = Classifier.logregScore(docs, "doc_id", "text", treat, w)
+          .join(docs.select($"doc_id", $"lang", $"n_chars"), "doc_id")
+        val y = $"n_chars" >= 300
+        val rates = scored.groupBy($"lang").agg(
+          (sum(when($"is_target" && y, 1L).otherwise(0L)).cast("double") /
+            sum(when($"is_target", 1L).otherwise(0L)).cast("double"))
+            .as("m1"),
+          (sum(when(!$"is_target" && y, 1L).otherwise(0L)).cast("double") /
+            sum(when(!$"is_target", 1L).otherwise(0L)).cast("double"))
+            .as("m0"))
+        Classifier.aipwEffect(scored.join(rates, "lang"), "p",
+          $"is_target", y, $"m1", $"m0")
+      },
+      Some(LogregOracle.aipwSql(
+        "source IN ('src0','src1','src2','src3','src4')",
+        buckets = 64, iters = 3, rate = "0.02::DOUBLE",
+        outcome = "d.n_chars >= 300"))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -131,6 +131,32 @@ class ClassifierSpec extends SparkSpec {
     assert(f.forall(r => r._4 == r._5))
   }
 
+  test("aipwEffect: reduces to the outcome model under perfect models") {
+    // when m1/m0 are exactly the arm means and p is the true propensity,
+    // the correction terms cancel within arms of homogeneous y
+    val df = Seq(
+      (true, 0.5, 1.0, 1.0, 0.0), (true, 0.5, 1.0, 1.0, 0.0),
+      (false, 0.5, 0.0, 1.0, 0.0), (false, 0.5, 0.0, 1.0, 0.0))
+      .toDF("t", "p", "y", "m1", "m0")
+    val out = Classifier.aipwEffect(df, "p", col("t"), col("y"),
+        col("m1"), col("m0"))
+      .as[(Long, Double, Double)].head()
+    // y − m̂ = 0 everywhere → ψ = m1 − m0 = 1 exactly
+    assert(out == ((4L, 1.0, 1.0)))
+  }
+
+  test("aipwEffect: IPW correction moves the estimate off a wrong model") {
+    val df = Seq(
+      (true, 0.5, 1.0, 0.0, 0.0),  // model says 0, data says 1
+      (false, 0.5, 0.0, 0.0, 0.0))
+      .toDF("t", "p", "y", "m1", "m0")
+    val out = Classifier.aipwEffect(df, "p", col("t"), col("y"),
+        col("m1"), col("m0"))
+      .as[(Long, Double, Double)].head()
+    assert(out._2 == 0.0)  // the outcome model alone sees nothing
+    assert(out._3 == 1.0)  // ψ = 0 + 1·(1−0)/0.5 /2 units = 1
+  }
+
   test("propensityOverlap: range and band share per arm") {
     val df = Seq((true, 0.95), (true, 0.5), (false, 0.05), (false, 0.4))
       .toDF("t", "p")
