@@ -966,6 +966,78 @@ object Profile {
         })
   }
 
+  /** Multiple-testing control: per-group seeded randomization tests +
+    * Benjamini–Hochberg FDR (Benjamini & Hochberg 1995) — the "which of
+    * these m segment effects survive multiplicity" answer. Each group's
+    * null distribution re-draws membership as a seeded binomial at the
+    * group's observed share (the q376 mechanism, one chain per group);
+    * BH then converts the m p-values to q-values via the reverse
+    * running minimum of p·m/rank. Fully deterministic.
+    *
+    * Scale shape: obs diffs come from ONE group aggregate; the null
+    * draws are ONE (group, perm) partial-combining aggregate over a
+    * ×(m·perms) explode (the cost knob — shuffle carries partials,
+    * never the exploded rows); BH runs on the m-row table. Output per
+    * group: (group, obs_diff, p_value, rank, q_value, reject). */
+  def multiTestFdr(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, perms: Int = 32, seed: Int = 29,
+      alpha: Double = 0.1): DataFrame = {
+    require(perms >= 1, "perms >= 1")
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        col(groupCol).as("__g"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .localCheckpoint(false) // consumers: group stats + null draws
+    def d(c: Column) = c.cast("double")
+    val gs = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__v")).as("__sg"))
+    val tot = gs.agg(sum(col("__ng")).as("__n"), sum(col("__sg")).as("__s"))
+    val obs = gs.crossJoin(tot)
+      .select(col("__g"), col("__ng"), col("__n"),
+        (d(col("__sg")) / d(col("__ng")) -
+          (d(col("__s")) - d(col("__sg"))) /
+          (d(col("__n")) - d(col("__ng")))).as("__obs"),
+        (d(col("__ng")) / d(col("__n"))).as("__share"))
+      .localCheckpoint(false) // joined by the draws AND the p rollup
+    val m = obs.count().toInt // group cardinality — model-sized
+    val drawn = base
+      .join(obs.select(col("__g"), col("__share")), Seq("__g"))
+      .select(col("__g"), col("__v"), col("__share"),
+        explode(sequence(lit(0), lit(perms - 1))).as("__k"),
+        col("__id"))
+      .withColumn("__t",
+        Dedup.seededHash(seed, concat(col("__g").cast("string"), lit("|"),
+          col("__k").cast("string"), lit("|"), col("__id"))).cast("double") /
+          lit((1L << 60).toDouble) < col("__share"))
+      .groupBy(col("__g"), col("__k"))
+      .agg(sum(when(col("__t"), col("__v"))).as("__st"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(!col("__t"), col("__v"))).as("__su"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nu"))
+      .select(col("__g"),
+        (d(col("__st")) / d(col("__nt")) - d(col("__su")) / d(col("__nu")))
+          .as("__pd"))
+    val pv = drawn.join(obs.select(col("__g"), col("__obs")), Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(max(col("__obs")).as("__obs"),
+        count(lit(1)).as("__np"),
+        sum(when(abs(col("__pd")) >= abs(col("__obs")), 1L).otherwise(0L))
+          .as("__ne"))
+      .select(col("__g"),
+        round(col("__obs"), 6).as("obs_diff"),
+        ((col("__ne") + 1).cast("double") / (col("__np") + 1).cast("double"))
+          .as("__p"))
+    val ranked = pv.withColumn("p_rank",
+      row_number().over(Window.orderBy(col("__p"), col("__g"))).cast("long"))
+    val qv = ranked.withColumn("__q",
+      min(col("__p") * lit(m.toDouble) / col("p_rank").cast("double")).over(
+        Window.orderBy(col("p_rank").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    qv.select(col("__g").as("group"), col("obs_diff"),
+      round(col("__p"), 6).as("p_value"), col("p_rank"),
+      round(col("__q"), 6).as("q_value"),
+      (col("__q") <= lit(alpha)).as("reject"))
+  }
+
   /** Delete-one-bucket jackknife for a RATIO metric (Quenouille/Tukey;
     * the standard error every ratio metric in an A/B readout needs —
     * the naive per-row variance is WRONG for sum(num)/sum(den)):

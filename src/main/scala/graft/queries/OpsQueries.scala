@@ -11487,7 +11487,64 @@ object OpsQueries {
       Some(LogregOracle.aipwSql(
         "source IN ('src0','src1','src2','src3','src4')",
         buckets = 64, iters = 3, rate = "0.02::DOUBLE",
-        outcome = "d.n_chars >= 300"))))
+        outcome = "d.n_chars >= 300"))),
+
+    // ─── per-segment randomization tests + Benjamini–Hochberg FDR ───────
+    "q392_bh_fdr" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.multiTestFdr(
+          Tables.orders(s, dir)
+            .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+            .select($"o_orderkey", $"c_mktsegment", $"o_totalprice"),
+          "o_orderkey", "c_mktsegment", "o_totalprice",
+          perms = 32, seed = 29, alpha = 0.1)
+          .withColumnRenamed("group", "segment")
+          .orderBy($"segment")
+      },
+      Some("""WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             |        c_mktsegment AS g, CAST(o_totalprice AS DECIMAL(18,6)) AS v
+             |      FROM orders JOIN customer ON o_custkey = c_custkey),
+             |gs AS (SELECT g, count(*) AS ng, sum(v) AS sg FROM base GROUP BY 1),
+             |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS s FROM gs),
+             |obs AS (SELECT g, ng,
+             |        CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) -
+             |          (CAST(s AS DOUBLE) - CAST(sg AS DOUBLE)) /
+             |          (CAST(n AS DOUBLE) - CAST(ng AS DOUBLE)) AS ob,
+             |        CAST(ng AS DOUBLE) / CAST(n AS DOUBLE) AS share
+             |      FROM gs CROSS JOIN tot),
+             |dr AS (SELECT b.g, t.k,
+             |        CAST(('0x'||substr(md5('29|'||b.g||'|'||CAST(t.k AS VARCHAR)||'|'||b.id),1,15))::BIGINT
+             |          AS DOUBLE) / 1152921504606846976::DOUBLE < o.share AS tr,
+             |        b.v
+             |      FROM base b JOIN obs o ON o.g = b.g
+             |      CROSS JOIN generate_series(0, 31) t(k)),
+             |pd AS (SELECT g, k,
+             |        CAST(sum(CASE WHEN tr THEN v END) AS DOUBLE) /
+             |          CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS DOUBLE) -
+             |        CAST(sum(CASE WHEN NOT tr THEN v END) AS DOUBLE) /
+             |          CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS DOUBLE)
+             |          AS pd
+             |      FROM dr GROUP BY 1, 2),
+             |pv AS (SELECT pd.g, max(o.ob) AS ob, count(*) AS np,
+             |        CAST(sum(CASE WHEN abs(pd.pd) >= abs(o.ob)
+             |          THEN 1 ELSE 0 END) AS BIGINT) AS ne
+             |      FROM pd JOIN obs o ON o.g = pd.g GROUP BY 1),
+             |rk AS (SELECT g, ob,
+             |        CAST(ne + 1 AS DOUBLE) / CAST(np + 1 AS DOUBLE) AS p,
+             |        row_number() OVER (ORDER BY
+             |          CAST(ne + 1 AS DOUBLE) / CAST(np + 1 AS DOUBLE), g)
+             |          AS p_rank
+             |      FROM pv),
+             |qv AS (SELECT g, ob, p, p_rank,
+             |        min(p * 5.0 / CAST(p_rank AS DOUBLE)) OVER
+             |          (ORDER BY p_rank DESC
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q
+             |      FROM rk)
+             |SELECT g AS segment, round(ob, 6) AS obs_diff,
+             |  round(p, 6) AS p_value, p_rank, round(q, 6) AS q_value,
+             |  q <= 0.1 AS reject
+             |FROM qv ORDER BY segment""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

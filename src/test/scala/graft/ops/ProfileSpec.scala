@@ -340,6 +340,29 @@ class ProfileSpec extends SparkSpec {
     assert(r2 == ((4L, 3L, 0.0)))
   }
 
+  test("multiTestFdr: planted effect gets rank 1, BH q-values monotone") {
+    import org.apache.spark.sql.functions._
+    // group A sits far above B/C; null draws can't reproduce that
+    val df = ((0L until 40L).map(i => (i, "A", 100.0)) ++
+      (40L until 80L).map(i => (i, "B", 1.0 + (i % 3))) ++
+      (80L until 120L).map(i => (i, "C", 2.0 + (i % 3))))
+      .toDF("id", "g", "v")
+    val out = Profile.multiTestFdr(df, "id", "g", "v", perms = 32)
+      .as[(String, Double, Double, Long, Double, Boolean)].collect()
+      .sortBy(_._4)
+    assert(out.head._1 == "A" && out.head._4 == 1L)
+    assert(out.head._3 == out.map(_._3).min) // smallest p leads
+    // BH q is non-decreasing in rank, and q >= its own p
+    assert(out.map(_._5).sliding(2).forall(p => p(1) >= p(0) - 1e-12))
+    assert(out.forall(r => r._5 >= r._3 - 1e-12))
+    // layout invariance
+    val again = Profile.multiTestFdr(df.repartition(7), "id", "g", "v",
+        perms = 32)
+      .as[(String, Double, Double, Long, Double, Boolean)].collect()
+      .sortBy(_._4)
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("jackknifeRatio: two-bucket hand case — SE from the replicas") {
     import org.apache.spark.sql.functions._
     // bucket 0: num 10, den 5; bucket 1: num 20, den 5
