@@ -1154,6 +1154,47 @@ object Dedup {
     }.reduce(_.unionByName(_))
   }
 
+  /** Cluster-coherence audit: after transitive closure, how similar are
+    * cluster members REALLY? Transitive chaining (a~b~c) can glue pairs
+    * far below the edge threshold into one cluster — this audit
+    * measures the dilution by bucketing clusters by size and reporting
+    * the mean/min verified Jaccard over intra-cluster candidate pairs.
+    * A low min in the 5+ bucket is the "chain collapse" smell that
+    * argues for the star-CC variant or a higher threshold.
+    *
+    * Scale shape: the gated pair + CC passes; label decoration is two
+    * id-keyed joins; the rollup runs on candidate pairs (LSH-bounded).
+    * Output per size bucket: (size_bucket, n_clusters, n_pairs,
+    * mean_jaccard, min_jaccard). */
+  def clusterCoherence(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    // UN-thresholded candidates: the dilution signal lives in the
+    // sub-threshold pairs transitivity glued into one cluster
+    val pairs = minhashPairs(df, idCol, textCol, threshold = 0.0)
+      .localCheckpoint(false) // consumers: edges (via CC) + coherence join
+    val cl = connectedComponents(df.select(col(idCol)), idCol,
+        pairs.where(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b")))
+      .localCheckpoint(false) // consumers: sizes + both pair sides
+    val sizes = cl.groupBy(col("label")).agg(count(lit(1)).as("__sz"))
+      .where(col("__sz") >= 2)
+    val bucket = when(col("__sz") === 2, "2")
+      .when(col("__sz") <= 4, "3-4").otherwise("5+")
+    val intra = pairs
+      .join(cl.select(col("id").as("id_a"), col("label")), Seq("id_a"))
+      .join(cl.select(col("id").as("id_b"), col("label").as("__lb")),
+        Seq("id_b"))
+      .where(col("label") === col("__lb"))
+      .join(sizes, Seq("label"))
+    intra.groupBy(bucket.as("size_bucket"))
+      .agg(countDistinct(col("label")).as("n_clusters"),
+        count(lit(1)).as("n_pairs"),
+        round(sum(round(col("jaccard"), 9).cast("decimal(18,9)"))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_jaccard"),
+        round(min(col("jaccard")), 6).as("min_jaccard"))
+  }
+
   /** Dedup aggressiveness sweep: ONE MinHash candidate pass, then the
     * connected-components clustering replayed at each Jaccard
     * threshold — the "how much does the corpus shrink at 0.3 vs 0.5 vs

@@ -966,6 +966,30 @@ object Profile {
         })
   }
 
+  /** DKW sample-size bounds (Dvoretzky–Kiefer–Wolfowitz; the
+    * distribution-free guarantee behind "how many docs until the
+    * empirical CDF is trustworthy"): per group, the implied uniform
+    * CDF error ε = √(ln(2/δ)/(2n)) at confidence 1−δ, and whether the
+    * group already meets a target ε. The sizing answer a per-language
+    * quality-threshold calibration (q119/q144) needs before trusting
+    * its quantiles. Output per group:
+    * (group, n, eps_at_delta, n_required, sufficient).
+    *
+    * Scale shape: ONE group count + group-table arithmetic. */
+  def dkwBounds(df: DataFrame, groupCol: String, delta: Double = 0.05,
+      targetEps: Double = 0.01): DataFrame = {
+    require(delta > 0 && delta < 1 && targetEps > 0, "bad delta/eps")
+    val c = math.log(2.0 / delta)
+    val nReq = math.ceil(c / (2.0 * targetEps * targetEps)).toLong
+    df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("group"), col("n"),
+        round(sqrt(lit(c) / (lit(2.0) * col("n").cast("double"))), 6)
+          .as("eps_at_delta"),
+        lit(nReq).as("n_required"),
+        (col("n") >= nReq).as("sufficient"))
+  }
+
   /** Multiple-testing control: per-group seeded randomization tests +
     * Benjamini–Hochberg FDR (Benjamini & Hochberg 1995) — the "which of
     * these m segment effects survive multiplicity" answer. Each group's

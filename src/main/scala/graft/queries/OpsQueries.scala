@@ -11544,7 +11544,53 @@ object OpsQueries {
              |SELECT g AS segment, round(ob, 6) AS obs_diff,
              |  round(p, 6) AS p_value, p_rank, round(q, 6) AS q_value,
              |  q <= 0.1 AS reject
-             |FROM qv ORDER BY segment""".stripMargin)))
+             |FROM qv ORDER BY segment""".stripMargin)),
+
+    // ─── transitive-closure cluster-coherence audit ─────────────────────
+    "q393_cluster_coherence" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Dedup.clusterCoherence(Tables.documents(s, dir), "doc_id", "text",
+            threshold = 0.5)
+          .orderBy($"size_bucket")
+      },
+      Some(s"""WITH RECURSIVE $clusterCtes,
+              |sz AS (SELECT cluster_id, count(*) AS s FROM cl GROUP BY 1
+              |       HAVING count(*) >= 2),
+              |intra AS (SELECT p.jaccard, ca.cluster_id, sz.s
+              |      FROM pairs p
+              |      JOIN cl ca ON p.id_a = ca.doc_id
+              |      JOIN cl cb ON p.id_b = cb.doc_id
+              |      JOIN sz ON sz.cluster_id = ca.cluster_id
+              |      WHERE ca.cluster_id = cb.cluster_id)
+              |SELECT CASE WHEN s = 2 THEN '2' WHEN s <= 4 THEN '3-4'
+              |         ELSE '5+' END AS size_bucket,
+              |  count(DISTINCT cluster_id) AS n_clusters,
+              |  count(*) AS n_pairs,
+              |  round(CAST(sum(CAST(round(jaccard, 9) AS DECIMAL(18,9)))
+              |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard,
+              |  round(min(jaccard), 6) AS min_jaccard
+              |FROM intra GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── DKW sample-size bounds per language ────────────────────────────
+    "q394_dkw_bounds" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.dkwBounds(Tables.documents(s, dir), "lang",
+            delta = 0.05, targetEps = 0.01)
+          .withColumnRenamed("group", "lang")
+          .orderBy($"lang")
+      },
+      Some {
+        val c = math.log(2.0 / 0.05)
+        val nReq = math.ceil(c / (2.0 * 0.01 * 0.01)).toLong
+        s"""SELECT lang, count(*) AS n,
+           |  round(sqrt($c / (2.0 * CAST(count(*) AS DOUBLE))), 6)
+           |    AS eps_at_delta,
+           |  CAST($nReq AS BIGINT) AS n_required,
+           |  count(*) >= $nReq AS sufficient
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+      }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -1045,6 +1045,17 @@ class CcPropertySpec extends SparkSpec {
     assert(out.values.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
   }
 
+  test("clusterCoherence: chain collapse shows sub-threshold intra pairs") {
+    val docs = Tables.documents(spark, sfTiny)
+    val out = Dedup.clusterCoherence(docs, "doc_id", "text", threshold = 0.5)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    // buckets carry positive pair counts and jaccard in [0, 1]
+    assert(out.forall(r => r._2 >= 1 && r._3 >= 1))
+    assert(out.forall(r => r._4 >= 0.0 && r._4 <= 1.0 &&
+      r._5 <= r._4 + 1e-12))
+  }
+
   test("thresholdSweep: edges and clustered docs shrink as the bar rises") {
     val docs = Tables.documents(spark, sfTiny)
     val out = Dedup.thresholdSweep(docs, "doc_id", "text",

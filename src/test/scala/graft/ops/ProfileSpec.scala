@@ -340,6 +340,21 @@ class ProfileSpec extends SparkSpec {
     assert(r2 == ((4L, 3L, 0.0)))
   }
 
+  test("dkwBounds: ε shrinks as √n, threshold arithmetic exact") {
+    val df = (Seq.fill(100)("a") ++ Seq.fill(400)("b")).toDF("g")
+    val out = Profile.dkwBounds(df, "g", delta = 0.05, targetEps = 0.01)
+      .as[(String, Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val c = math.log(2.0 / 0.05)
+    def eps(n: Int) = BigDecimal(math.sqrt(c / (2.0 * n)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a") == (("a", 100L, eps(100),
+      math.ceil(c / 0.0002).toLong, false)))
+    // 4× the sample → half the ε
+    assert(math.abs(out("b")._3 - eps(400)) < 1e-9)
+    assert(out("b")._3 < out("a")._3 / 1.9)
+  }
+
   test("multiTestFdr: planted effect gets rank 1, BH q-values monotone") {
     import org.apache.spark.sql.functions._
     // group A sits far above B/C; null draws can't reproduce that
