@@ -1497,6 +1497,107 @@ object TextStats {
       round(slope, 6).as("loglog_slope"))
   }
 
+  /** Burrows' Delta stylometric distance between sources (Burrows 2002;
+    * the authorship-attribution standard): over the corpus's `topK`
+    * most frequent words, each source's relative frequencies become
+    * z-scores against the across-source mean/std per word, and
+    * Δ(a, b) = mean |z_a − z_b|. Two sources with tiny Δ share a
+    * "stylistic fingerprint" — the source-level near-duplication signal
+    * document-level MinHash can't see (template farms, mirrors with
+    * rewording). Output: the `topPairs` closest source pairs
+    * (source_a, source_b, delta).
+    *
+    * Float discipline: frequencies divide exact counts; per-word stats
+    * and z-scores are source-table-sized; the Δ fold sums 9-dp decimal
+    * |z−z| terms per pair.
+    *
+    * Scale shape: ONE (source, word) count; the word panel is a
+    * corpus-wide top-K (model-sized by contract); everything after runs
+    * on sources × K rows — the pair join is source²-bounded, never
+    * document-scaled. */
+  def burrowsDelta(df: DataFrame, sourceCol: String, textCol: String,
+      topK: Int = 20, topPairs: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(sourceCol).as("__s"),
+        explode(split(lower(col(textCol)), " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .localCheckpoint(false) // consumers: panel + per-source counts
+    val panel = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__c").desc, col("__w"))))
+      .where(col("__rk") <= topK).select(col("__w"))
+    val srcTot = toks.groupBy(col("__s")).agg(count(lit(1)).as("__nt"))
+    val freq = toks.join(panel, Seq("__w"))
+      .groupBy(col("__s"), col("__w")).agg(count(lit(1)).as("__c"))
+      .join(srcTot, Seq("__s"))
+      .select(col("__s"), col("__w"),
+        (col("__c").cast("double") / col("__nt").cast("double")).as("__f"))
+    // a source missing a panel word has f = 0 — densify via cross
+    val dense = srcTot.select(col("__s")).crossJoin(panel)
+      .join(freq, Seq("__s", "__w"), "left")
+      .withColumn("__f", coalesce(col("__f"), lit(0.0)))
+    val fix = (1L << 40).toDouble
+    val stats = dense.groupBy(col("__w"))
+      .agg((sum(round(col("__f") * fix).cast("decimal(20,0)")).cast("double")
+          / fix / count(lit(1))).as("__mu"),
+        (sum(round(col("__f") * col("__f") * fix).cast("decimal(20,0)"))
+          .cast("double") / fix / count(lit(1))).as("__m2"))
+      .withColumn("__sd", sqrt(col("__m2") - col("__mu") * col("__mu")))
+    val z = dense.join(stats, Seq("__w"))
+      .select(col("__s"), col("__w"),
+        when(col("__sd") > 0, (col("__f") - col("__mu")) / col("__sd"))
+          .otherwise(lit(0.0)).as("__z"))
+      .localCheckpoint(false) // both pair sides
+    z.join(z.select(col("__s").as("__s2"), col("__w"),
+        col("__z").as("__z2")), Seq("__w"))
+      .where(col("__s") < col("__s2"))
+      .select(col("__s"), col("__s2"),
+        round(abs(col("__z") - col("__z2")), 9).cast("decimal(18,9)")
+          .as("__t"))
+      .groupBy(col("__s").as("source_a"), col("__s2").as("source_b"))
+      .agg(round(sum(col("__t")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("delta"))
+      .orderBy(col("delta"), col("source_a"), col("source_b"))
+      .limit(topPairs)
+  }
+
+  /** Divergence attribution: WHICH tokens drive the Jensen–Shannon
+    * divergence between two corpus halves — the per-token JS
+    * contributions the scalar drift gate (q294) rolls up, ranked so a
+    * drift alarm comes with its explanation. m = (p+q)/2;
+    * contrib(t) = (p·log2(p/m) + q·log2(q/m))/2, zero-count sides
+    * contribute only their partner term. Output: top-`topK` tokens by
+    * contribution: (token, p_ref, p_cur, js_contrib).
+    *
+    * Scale shape: ONE (side, token) count; contributions and the
+    * ranking run on the vocab-sized table (TakeOrdered). */
+  def divergenceTokens(ref: DataFrame, cur: DataFrame, tokCol: String,
+      topK: Int = 15): DataFrame = {
+    val both = ref.select(col(tokCol).as("__t"), lit(true).as("__r"))
+      .unionByName(cur.select(col(tokCol).as("__t"), lit(false).as("__r")))
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__r"), 1L).otherwise(0L)).as("__cr"),
+        sum(when(!col("__r"), 1L).otherwise(0L)).as("__cc"))
+      .localCheckpoint(false) // totals + term pass
+    val tot = both.agg(sum(col("__cr")).as("__nr"), sum(col("__cc")).as("__nc"))
+    def d(c: Column) = c.cast("double")
+    val dec = both.crossJoin(tot)
+      .select(col("__t"),
+        (d(col("__cr")) / d(col("__nr"))).as("__p"),
+        (d(col("__cc")) / d(col("__nc"))).as("__q"))
+      .withColumn("__m", (col("__p") + col("__q")) / lit(2.0))
+      .withColumn("__contrib",
+        (when(col("__p") > 0, col("__p") * log2(col("__p") / col("__m")))
+          .otherwise(lit(0.0)) +
+          when(col("__q") > 0, col("__q") * log2(col("__q") / col("__m")))
+            .otherwise(lit(0.0))) / lit(2.0))
+    dec.select(col("__t").as("token"),
+        round(col("__p"), 6).as("p_ref"), round(col("__q"), 6).as("p_cur"),
+        round(col("__contrib"), 6).as("js_contrib"))
+      .orderBy(col("js_contrib").desc, col("token"))
+      .limit(topK)
+  }
+
   /** Chao1 species-richness estimate of the vocabulary (Chao 1984,
     * public literature) with Good–Turing coverage: per group,
     *   chao1 = D + f1·(f1−1) / (2·(f2+1))   (bias-corrected form)
