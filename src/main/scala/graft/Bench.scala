@@ -3,6 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Small fixed subset printed inline in the stdout JSON line so the
+    * driver's `queries` schema stays populated without the line growing
+    * with the registry (393 queries x ~12 bytes blew past the driver's
+    * ~2 KB stdout tail window in round 7 -> parsed:null). One per major
+    * family; the full per-query map lives in bench_detail.json. */
+  private val headline = Seq(
+    "q01", "q25", "q28", "q30", "q36", "q40", "q68", "q103", "q124",
+    "q153", "q156", "q360", "q369", "q382")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,17 +44,19 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // Two kill-robustness measures (round 5's driver capture had NO JSON
-    // line — consistent with a timeout kill mid-run):
-    //  - a wall-clock budget on the timed passes: pass 1 always runs to
-    //    completion; later passes start only while under budget, so the
-    //    artifact degrades from 3-run medians to fewer runs instead of
-    //    dying wholesale when a query regresses;
+    // Kill-robustness measures (round 5's driver capture had NO JSON line —
+    // consistent with a timeout kill mid-run; round 7's 420s budget fell
+    // below ONE 393-query pass (~480s) and silently degraded 3-pass medians
+    // to a single contended pass):
+    //  - a wall-clock budget on the timed passes, sized for 3 full passes
+    //    of the current registry (~480s/pass at sf0.1 => 1500s): pass 1
+    //    always runs to completion; later passes start only while under
+    //    budget, so the artifact degrades to fewer runs instead of dying;
     //  - an interim JSON line (medians over completed passes) printed
     //    after EVERY pass — if the driver kills the process anyway, the
     //    tail still holds a complete, parseable line.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
-      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(420.0)
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(1500.0)
     val t0 = System.nanoTime()
     val samples = scala.collection.mutable.ListBuffer.empty[Map[String, Double]]
     var pass = 0
@@ -60,7 +71,7 @@ object Bench {
       pass += 1
       if (pass < runs) {
         val sofar = names.map { case (n, _) => n -> median(samples.toSeq.map(_(n))) }
-        println(jsonLine(sofar, sfDir))
+        println(jsonLine(sofar, sfDir, samples.size))
         System.out.flush()
       }
     }
@@ -70,13 +81,13 @@ object Bench {
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       val w = new java.io.PrintWriter("bench_detail.json", "UTF-8")
-      try w.println(s"""{"total":${fmt(total)},"n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}""")
+      try w.println(s"""{"total":${fmt(total)},"n_queries":${results.size},"n_runs":${samples.size},"queries":$detail,"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () } // detail file is best-effort
     spark.stop()
     // Print the JSON line LAST, after spark.stop(), so no executor/shutdown
     // log noise can interleave after it — the driver parses this line.
-    println(jsonLine(results, sfDir))
+    println(jsonLine(results, sfDir, samples.size))
     System.out.flush()
   }
 
@@ -85,20 +96,21 @@ object Bench {
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
   /** The driver-parsed one-line artifact. The driver stores only the TAIL
-    * of stdout and its capture window is ~2 KB: round 3 (73 queries, full
-    * double precision) AND round 4 (87 queries, 3-decimal, full names)
-    * both overflowed it → parsed:null. So the line uses the qNN prefix as
-    * the key (uniqueness enforced here and in RegistrySmokeSpec, ~12
-    * bytes/query) with the summary keys FIRST; full names live in
+    * of stdout and its capture window is ~2 KB: rounds 3/4 overflowed it
+    * with full names, and round 7 overflowed it AGAIN at 393 queries even
+    * with 3-byte qNN keys (393 x ~12 bytes = 4.7 KB) — summary-first key
+    * order doesn't help because the driver keeps the TAIL, so the summary
+    * got truncated and the artifact read parsed:null. Fix: the stdout line
+    * is SUMMARY-ONLY (~350 bytes — immune to the tail window at any
+    * registry size) plus a fixed 14-query headline subset so the `queries`
+    * field stays schema-compatible; the full per-query map lives in
     * bench_detail.json. */
-  private def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
-    val prefixes = results.map(_._1.takeWhile(_ != '_'))
-    require(prefixes.distinct.size == results.size,
-      s"duplicate qNN prefixes would collide as JSON keys: " +
-        prefixes.groupBy(identity).collect { case (p, g) if g.size > 1 => p }.mkString(","))
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+  private def jsonLine(results: Seq[(String, Double)], sfDir: String,
+      nRuns: Int): String = {
+    val byPrefix = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }.toMap
+    val qs = headline.flatMap(p => byPrefix.get(p).map(v => "\"" + p + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_runs":$nRuns,"queries":$qs,"sf":"$sfDir"}"""
   }
 }

@@ -336,12 +336,17 @@ object Cohort {
       p.getOrElse("START", BigInt(0))
     }
     val pFull = absorb(None)
+    // fail fast instead of NaN removal effects when the corpus has no
+    // conversion path at all (pFull = 0 -> 0/0 below)
+    require(pFull > 0, "markovRemovalAttribution: no conversion paths")
     val effects = channels.sorted.map { c =>
       val pW = absorb(Some(c))
       val re = 1.0 - pW.toDouble / pFull.toDouble
       (c, re)
     }
     val reSum = effects.foldLeft(0.0)(_ + _._2)
+    require(reSum != 0.0,
+      "markovRemovalAttribution: zero total removal effect")
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     effects.map { case (c, re) =>

@@ -355,17 +355,21 @@ object Dedup {
     val width = bits / blocks
     val mask = (1L << width) - 1
     // Signature via the one-pass kernels (seeded md5 array + SimhashKernel
-    // — same values as the declarative `simhash`, spec-pinned), PERSISTED
-    // (16 bytes/doc) before the explode/join: without the cut, Catalyst
-    // inlines the signature expression into every block-key reference and
-    // both join sides — 10× recomputation of the md5 pass (the
-    // minhashPairs discipline, Dedup.scala:114).
+    // — same values as the declarative `simhash`, spec-pinned), cut with
+    // an EAGER localCheckpoint (16 bytes/doc) before the explode/join:
+    // without the cut, Catalyst inlines the signature expression into
+    // every block-key reference and both join sides — 10× recomputation
+    // of the md5 pass (the minhashPairs discipline, Dedup.scala:114).
+    // Checkpoint, not persist: the checkpoint is RELEASED below once the
+    // (output-sized) pair list is materialised, so the call holds no
+    // signature storage for the session lifetime (`checkpoint` on a
+    // cluster — the connectedComponents discipline, Dedup.scala:163).
     val sig = docs.select(col(idCol).as("__id"),
         coalesce(graft.functions.HashOps.simhashFast(
           graft.functions.HashOps.md5Prefix60Array(
             split(lower(col(textCol)), " "), seed = 777), bits),
           lit(0L)).as("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val keyed = sig.select(col("__id"), col("__sig"),
       explode(array((0 until blocks).map { blk =>
         struct(lit(blk).as("blk"),
@@ -377,11 +381,14 @@ object Dedup {
       col("__id").as("id_a"), col("__sig").as("__sa"))
     val r = keyed.select(col("__blk"), col("__key"),
       col("__id").as("id_b"), col("__sig").as("__sb"))
-    l.join(r, Seq("__blk", "__key")).filter(col("id_a") < col("id_b"))
+    val out = l.join(r, Seq("__blk", "__key")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+      .localCheckpoint(eager = true) // output-sized (near-dup pairs only)
+    unpersistCheckpoint(sig)
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates from a sign-LSH

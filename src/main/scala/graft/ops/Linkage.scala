@@ -62,11 +62,20 @@ object Linkage {
     * truth-group sizes, (truth, block) cell sizes) — NO pair
     * materialisation anywhere; all C(·,2) sums run as exact DECIMAL on
     * the aggregated tables. Output: 1 row (n, n_blocks, cand_pairs,
-    * truth_pairs, captured_pairs, reduction_ratio, pairs_completeness). */
+    * truth_pairs, captured_pairs, reduction_ratio, pairs_completeness).
+    *
+    * Truth-key construction: NULL-PROPAGATING concat with a \\u0001
+    * separator, exactly matching the oracle's `a || chr(1) || b` — the
+    * separator prevents conflating distinct groups whose concatenations
+    * collide (('ab','c') vs ('a','bc')), and NULL propagation (concat,
+    * not concat_ws which silently SKIPS nulls) puts every row with any
+    * NULL truth field into the single NULL group in both engines. */
   def blockingQuality(df: DataFrame, idCol: String, blockCol: Column,
       truthCols: Seq[String]): DataFrame = {
+    val truthKey = truthCols.map(c => col(c).cast("string"))
+      .reduce((a, b) => concat(a, lit(""), b))
     val base = df.select(col(idCol).as("__id"), blockCol.as("__blk"),
-      concat_ws("", truthCols.map(col): _*).as("__truth"))
+      truthKey.as("__truth"))
       .localCheckpoint(false) // consumers: 3 independent aggregates
     def pairs2(c: Column) = (c.cast("decimal(19,0)") *
       (c - 1).cast("decimal(19,0)")).cast("decimal(38,0)")

@@ -856,18 +856,6 @@ object Profile {
       })
   }
 
-  /** Seeded-Laplace differentially-private histogram (the Laplace
-    * mechanism, Dwork et al. 2006; sensitivity 1 for disjoint count
-    * queries → noise b = 1/ε): per key, true count + count ⊕
-    * Laplace(1/ε) noise drawn from the key's seeded md5 uniform via the
-    * inverse CDF — REPRODUCIBLE across engines, runs and cluster
-    * layouts, exactly like the sampling/split operators' md5 draws
-    * (a fresh-random mechanism would not be oracle-checkable; the ε
-    * ledger and mechanism shape are what this op pins). Output:
-    * (key, n_true, n_noisy, epsilon).
-    *
-    * Scale shape: ONE key-keyed count, then map-only noise arithmetic
-    * on the key-sized table. */
   /** Best single split per numeric feature (a CART decision stump,
     * Breiman et al. 1984 — the automatic-segmentation primitive): for
     * every candidate threshold v in the feature's VALUE DOMAIN, the
@@ -1052,8 +1040,11 @@ object Profile {
           .as("__p"))
     val ranked = pv.withColumn("p_rank",
       row_number().over(Window.orderBy(col("__p"), col("__g"))).cast("long"))
+    // standard BH q-value clamps each step at 1 BEFORE the reverse
+    // running min — without it q_value > 1 leaks out for high ranks
     val qv = ranked.withColumn("__q",
-      min(col("__p") * lit(m.toDouble) / col("p_rank").cast("double")).over(
+      min(least(lit(1.0),
+        col("__p") * lit(m.toDouble) / col("p_rank").cast("double"))).over(
         Window.orderBy(col("p_rank").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     qv.select(col("__g").as("group"), col("obs_diff"),
@@ -1235,6 +1226,18 @@ object Profile {
           count(lit(1)).cast("double"), 6).as("true_rate"))
   }
 
+  /** Seeded-Laplace differentially-private histogram (the Laplace
+    * mechanism, Dwork et al. 2006; sensitivity 1 for disjoint count
+    * queries → noise b = 1/ε): per key, true count + count ⊕
+    * Laplace(1/ε) noise drawn from the key's seeded md5 uniform via the
+    * inverse CDF — REPRODUCIBLE across engines, runs and cluster
+    * layouts, exactly like the sampling/split operators' md5 draws
+    * (a fresh-random mechanism would not be oracle-checkable; the ε
+    * ledger and mechanism shape are what this op pins). Output:
+    * (key, n_true, n_noisy, epsilon).
+    *
+    * Scale shape: ONE key-keyed count, then map-only noise arithmetic
+    * on the key-sized table. */
   def laplaceNoisyCounts(df: DataFrame, keyCol: String, eps: Double,
       seed: Int = 7): DataFrame = {
     require(eps > 0, "epsilon must be positive")

@@ -38,6 +38,9 @@ object Transport {
       .agg(count(lit(1)).as("__n"))
       .collect() // category-sized by contract
       .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    // fail fast instead of 0/0 -> all-NaN marginals when a side is empty
+    require(counts.exists(_._2) && counts.exists(!_._2),
+      "sinkhornPlan needs rows on BOTH sides of isA")
     val cats = counts.map(_._1).distinct.sorted
     val k = cats.length
     val idx = cats.zipWithIndex.toMap

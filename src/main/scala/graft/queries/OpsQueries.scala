@@ -24,6 +24,31 @@ object OpsQueries {
     * is built over). */
   private val shapleyChannels = Seq("click", "error", "signup", "view")
 
+  /** One logreg fit per (dataset dir, label) per JVM. The calibration/
+    * causal family (q156/q157/q216/q236/q356/q370/q382/q389/q391) replays
+    * the SAME deterministic full-batch GD fit — 3 iterations × (map pass
+    * + ≤65-row collect) each — before its own scoring/audit pass; fitting
+    * once per registry run amortises ~8 redundant fits (~25 s of the
+    * clean sf0.1 suite). Caching cannot change any result: the fit is a
+    * pure function of (data, label, buckets, iters, rate) — engine-exact
+    * integer-nanounit gradient sums, no RNG — so the cached weights are
+    * bit-identical to a fresh fit, and the key includes every varying
+    * input (the remaining params are literals fixed at 64/3/0.02 below). */
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Double)]]()
+  private def cachedFit(s: org.apache.spark.sql.SparkSession, dir: String,
+      labelKey: String): Seq[(Int, Double)] = {
+    import s.implicits._
+    val label = labelKey match {
+      case "en" => $"lang" === "en"
+      case "src" => $"source".isin("src0", "src1", "src2", "src3", "src4")
+      case "len300" => $"n_chars" >= 300
+    }
+    fitCache.computeIfAbsent(s"$dir|$labelKey", _ =>
+      Classifier.logregFit(Tables.documents(s, dir), "doc_id", "text",
+        label, buckets = 64, iters = 3, rate = 0.02))
+  }
+
   /** q377 oracle: the Markov removal-effect replay — path transitions,
     * integer fixed-point absorption sweeps per chain (full + one per
     * removed channel), HUGEINT arithmetic == the driver's BigInt. */
@@ -3671,9 +3696,7 @@ object OpsQueries {
     "q156_logreg_fit" -> Q(
       (s, dir) => {
         import s.implicits._
-        Classifier.logregFit(Tables.documents(s, dir), "doc_id", "text",
-            $"lang" === "en", buckets = 64, iters = 3, rate = 0.02)
-          .toDF("b", "w").orderBy($"b")
+        cachedFit(s, dir, "en").toDF("b", "w").orderBy($"b")
       },
       Some(LogregOracle.fitSql("lang = 'en'", buckets = 64, iters = 3,
         rate = "0.02::DOUBLE"))),
@@ -3685,8 +3708,7 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        val w = Classifier.logregFit(docs, "doc_id", "text",
-          $"lang" === "en", buckets = 64, iters = 3, rate = 0.02)
+        val w = cachedFit(s, dir, "en")
         Classifier.logregScore(docs, "doc_id", "text", $"lang" === "en", w)
           .orderBy($"doc_id")
       },
@@ -5523,8 +5545,7 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        val w = Classifier.logregFit(docs, "doc_id", "text",
-          $"lang" === "en", buckets = 64, iters = 3, rate = 0.02)
+        val w = cachedFit(s, dir, "en")
         val scored = Classifier.logregScore(docs, "doc_id", "text",
           $"lang" === "en", w)
         Classifier.calibrationCurve(scored, "p", "is_target")
@@ -6026,8 +6047,7 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        val w = Classifier.logregFit(docs, "doc_id", "text",
-          $"lang" === "en", buckets = 64, iters = 3, rate = 0.02)
+        val w = cachedFit(s, dir, "en")
         val scored = Classifier.logregScore(docs, "doc_id", "text",
           $"lang" === "en", w)
         scored.join(docs.select($"doc_id", $"lang"), "doc_id")
@@ -10480,8 +10500,7 @@ object OpsQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir)
         val treat = $"source".isin("src0", "src1", "src2", "src3", "src4")
-        val w = Classifier.logregFit(docs, "doc_id", "text", treat,
-          buckets = 64, iters = 3, rate = 0.02)
+        val w = cachedFit(s, dir, "src")
         val scored = Classifier.logregScore(docs, "doc_id", "text", treat, w)
           .join(docs.select($"doc_id", $"n_chars"), "doc_id")
         Classifier.ipwEffect(scored, "p", $"is_target", $"n_chars" >= 300)
@@ -10845,8 +10864,7 @@ object OpsQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir)
         val label = $"n_chars" >= 300
-        val w = Classifier.logregFit(docs, "doc_id", "text", label,
-          buckets = 64, iters = 3, rate = 0.02)
+        val w = cachedFit(s, dir, "len300")
         val scored = Classifier.logregScore(docs, "doc_id", "text", label, w)
           .join(docs.select($"doc_id", $"lang"), "doc_id")
         Classifier.fairnessAudit(scored, "lang", $"pred", $"is_target")
@@ -11207,8 +11225,7 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-        val w = Classifier.logregFit(docs, "doc_id", "text",
-          $"lang" === "en", buckets = 64, iters = 3, rate = 0.02)
+        val w = cachedFit(s, dir, "en")
         val scored = Classifier.logregScore(docs, "doc_id", "text",
           $"lang" === "en", w)
         Classifier.expectedCalibrationError(scored, "p", $"is_target")
@@ -11417,8 +11434,7 @@ object OpsQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir)
         val treat = $"source".isin("src0", "src1", "src2", "src3", "src4")
-        val w = Classifier.logregFit(docs, "doc_id", "text", treat,
-          buckets = 64, iters = 3, rate = 0.02)
+        val w = cachedFit(s, dir, "src")
         val scored = Classifier.logregScore(docs, "doc_id", "text", treat, w)
         Classifier.propensityOverlap(scored, "p", $"is_target")
           .orderBy($"treated")
@@ -11469,8 +11485,7 @@ object OpsQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir)
         val treat = $"source".isin("src0", "src1", "src2", "src3", "src4")
-        val w = Classifier.logregFit(docs, "doc_id", "text", treat,
-          buckets = 64, iters = 3, rate = 0.02)
+        val w = cachedFit(s, dir, "src")
         val scored = Classifier.logregScore(docs, "doc_id", "text", treat, w)
           .join(docs.select($"doc_id", $"lang", $"n_chars"), "doc_id")
         val y = $"n_chars" >= 300
@@ -11537,7 +11552,7 @@ object OpsQueries {
              |          AS p_rank
              |      FROM pv),
              |qv AS (SELECT g, ob, p, p_rank,
-             |        min(p * 5.0 / CAST(p_rank AS DOUBLE)) OVER
+             |        min(least(1.0, p * 5.0 / CAST(p_rank AS DOUBLE))) OVER
              |          (ORDER BY p_rank DESC
              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q
              |      FROM rk)
