@@ -7,11 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, batch-decoded per partition.
   *
-  * The decode itself is STUBBED (no image/audio libraries in this
-  * container) behind `FakeDecoder` — a deterministic byte-derived fake —
-  * but the Spark-side shape is real: binary column + metadata struct,
-  * `mapPartitions` batching (one decoder instance per partition, the same
-  * shape a JNI/FFmpeg/JPEG decoder needs), and an explicit output schema.
+  * The decoders are REAL pure-JVM parsers of uncompressed containers —
+  * PPM P6 (Netpbm: ASCII header + raw RGB bytes; the spec permits
+  * multiple images concatenated in one stream, which is this library's
+  * multi-frame container) and WAV (RIFF chunk walk + PCM samples). No
+  * codec library is needed for either, so the decode path carries no
+  * stub: header validation, comment handling, chunk skipping, and pixel/
+  * sample arithmetic all execute on the actual bytes. Compressed formats
+  * (JPEG/MP3) would swap the per-partition decode function only — the
+  * Spark-side shape (binary column + metadata struct, `mapPartitions`
+  * batching so one decoder instance amortises across a partition, an
+  * explicit output schema) is the same.
   */
 object Multimodal {
 
@@ -38,40 +44,277 @@ object Multimodal {
     StructField("n_frames", IntegerType),
     StructField("checksum", LongType)))
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation decodes here (libjpeg/ffmpeg per partition);
-    * the partition-batched shape, schema, and driver code don't change.
-    * The fake outputs are md5-derived (60-bit prefix), so even the stub
-    * path is DuckDB-oracle-checkable — a Java-overflow polynomial hash
-    * would not port. */
-  object FakeDecoder {
-    def decode(bytes: Array[Byte]): (Int, Int, Int, Long) = {
-      val md = graft.functions.HashOps.mdLocal.get()
-      md.reset()
-      val checksum = graft.functions.HashOps.prefix60(md.digest(bytes))
-      val width = 16 + (checksum % 64).toInt
-      val height = 16 + ((checksum >> 8) % 64).toInt
-      val frames = 1 + (bytes.length % 4)
-      (width, height, frames, checksum)
+  /** PPM P6 codec (Netpbm, https://netpbm.sourceforge.net/doc/ppm.html):
+    * per frame, the ASCII header `P6 <w> <h> <maxval>` (tokens separated
+    * by whitespace, `#`-to-newline comments legal anywhere in the header)
+    * followed by ONE whitespace byte and then 3·w·h raw sample bytes
+    * (maxval ≤ 255 ⇒ 1 byte/sample). The format permits several images
+    * back-to-back in one stream — the multi-frame container here. */
+  object Ppm {
+    /** Deterministic synthetic payload for doc `id`: nf = 1 + id%4 frames
+      * of w = 4 + id%13 by h = 4 + (7·id)%11 RGB pixels, frame f's sample
+      * i = (31·id + 97·f + i) mod 256. The closed form is what the DuckDB
+      * oracle recomputes, so a green gate proves the DECODER inverted the
+      * actual bytes (parse bug ⇒ stats mismatch). */
+    def encodeFrames(id: Long): Array[Byte] = {
+      val w = (4 + id % 13).toInt
+      val h = (4 + (7 * id) % 11).toInt
+      val nf = (1 + id % 4).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < nf) {
+        out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+        var i = 0
+        val n = 3 * w * h
+        while (i < n) {
+          out.write(((31 * id + 97 * f + i) % 256).toInt)
+          i += 1
+        }
+        f += 1
+      }
+      out.toByteArray
+    }
+
+    /** One decoded frame: dims + per-channel unsigned byte sums. */
+    final case class Frame(width: Int, height: Int,
+        sumR: Long, sumG: Long, sumB: Long) {
+      def sumAll: Long = sumR + sumG + sumB
+    }
+
+    /** Parse every concatenated frame; throws IllegalArgumentException on
+      * a malformed stream (bad magic, missing token, maxval > 255,
+      * truncated raster) — decoder behavior, not stub behavior. */
+    def decode(bytes: Array[Byte]): Seq[Frame] = {
+      var pos = 0
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"PPM parse error at byte $pos: $msg")
+      def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      // whitespace + `#` comments between header tokens
+      def skipWs(): Unit = {
+        var go = true
+        while (go && pos < bytes.length) {
+          if (isWs(bytes(pos))) pos += 1
+          else if (bytes(pos) == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+          else go = false
+        }
+      }
+      def asciiInt(): Int = {
+        skipWs()
+        val start = pos
+        var v = 0
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1
+        }
+        if (pos == start) fail("expected ASCII integer")
+        v
+      }
+      val frames = Seq.newBuilder[Frame]
+      while (pos < bytes.length) {
+        if (pos + 2 > bytes.length || bytes(pos) != 'P' || bytes(pos + 1) != '6')
+          fail("bad magic (want P6)")
+        pos += 2
+        val w = asciiInt(); val h = asciiInt(); val maxval = asciiInt()
+        if (w <= 0 || h <= 0) fail(s"bad dims ${w}x$h")
+        if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+        if (pos >= bytes.length || !isWs(bytes(pos))) fail("missing raster separator")
+        pos += 1 // exactly ONE whitespace byte before the raster (spec)
+        val n = 3 * w * h
+        if (pos + n > bytes.length) fail(s"truncated raster (need $n bytes)")
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < n) {
+          val v = (bytes(pos + i) & 0xff).toLong
+          (i % 3: @annotation.switch) match {
+            case 0 => sr += v
+            case 1 => sg += v
+            case _ => sb += v
+          }
+          i += 1
+        }
+        pos += n
+        frames += Frame(w, h, sr, sg, sb)
+      }
+      val out = frames.result()
+      if (out.isEmpty) fail("empty stream")
+      if (out.exists(f => f.width != out.head.width || f.height != out.head.height))
+        fail("frames disagree on dimensions")
+      out
     }
   }
 
-  /** Partition-batched decode: one decoder per partition, rows streamed
-    * through it. `mapPartitions` (not a per-row UDF) so a real decoder can
-    * amortize init (model load / codec ctx) across the partition — the
-    * standard Spark shape for heavy native decode at scale. */
+  /** Synthesize the deterministic PPM payload column for each row —
+    * the "fetch blob bytes" stage of a real pipeline, partition-batched
+    * like the decode. Output: (id, content, meta). */
+  def synthesizeMedia(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r => val id = r.getLong(0); Row(id, Ppm.encodeFrames(id)) }
+      }(enc)
+      .withColumn("meta", struct(
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_md5"),
+        lit("image/x-portable-pixmap").as("media_type")))
+  }
+
+  /** Partition-batched REAL decode: one decoder per partition, rows
+    * streamed through it. `mapPartitions` (not a per-row UDF) so decoder
+    * state amortizes across the partition — the standard Spark shape for
+    * heavy native decode at scale. `checksum` = Σ unsigned sample bytes
+    * over all frames (exact integer — engine-portable). */
   def decodeBatch(df: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
     val input = df.select(col(idCol).cast("long"), col("content"))
     input.mapPartitions { rows =>
-      // decoder init happens HERE once per partition in the real version
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, f, c) = FakeDecoder.decode(bytes)
-        Row(id, w, h, f, c)
+        val frames = Ppm.decode(r.getAs[Array[Byte]](1))
+        Row(id, frames.head.width, frames.head.height, frames.size,
+          frames.iterator.map(_.sumAll).sum)
       }
     }(enc)
+  }
+
+  /** Per-channel pixel statistics across all frames — the feature-extract
+    * stage (exact integer sums + round-6 means). */
+  def decodeImageStats(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_pixels", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val frames = Ppm.decode(r.getAs[Array[Byte]](1))
+          val px = frames.iterator.map(f => f.width.toLong * f.height).sum
+          Row(r.getLong(0), px, frames.iterator.map(_.sumR).sum,
+            frames.iterator.map(_.sumG).sum, frames.iterator.map(_.sumB).sum)
+        }
+      }(enc)
+      .withColumn("mean_r", round(col("sum_r").cast("double") / col("n_pixels"), 6))
+      .withColumn("mean_g", round(col("sum_g").cast("double") / col("n_pixels"), 6))
+      .withColumn("mean_b", round(col("sum_b").cast("double") / col("n_pixels"), 6))
+  }
+
+  /** WAV (RIFF) codec: canonical PCM little-endian layout — `RIFF <size>
+    * WAVE`, then chunks; `fmt ` carries (audioFormat=1, channels, rate,
+    * bits), `data` carries the samples. The decoder WALKS chunks (skipping
+    * unknown ones, e.g. LIST/INFO) rather than assuming the canonical
+    * 44-byte offset — real-world WAV files interleave metadata chunks. */
+  object Wav {
+    /** Deterministic mono 16-bit 8 kHz payload for doc `id`:
+      * n = 8 + id%32 samples, sample k = ((13·id + 7·k) mod 65536) −
+      * 32768 — the closed form the oracle recomputes. */
+    def encode(id: Long): Array[Byte] = {
+      val n = (8 + id % 32).toInt
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var k = 0
+      while (k < n) {
+        bb.putShort((((13 * id + 7 * k) % 65536) - 32768).toShort)
+        k += 1
+      }
+      bb.array()
+    }
+
+    final case class Decoded(sampleRate: Int, channels: Int, bits: Int,
+        nSamples: Long, sumAbs: Long, peak: Int)
+
+    def decode(bytes: Array[Byte]): Decoded = {
+      def fail(msg: String) = throw new IllegalArgumentException(s"WAV parse error: $msg")
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
+      if (bytes.length < 12 || tag() != "RIFF") fail("missing RIFF")
+      bb.getInt() // riff size — trust the chunk walk, not this field
+      if (tag() != "WAVE") fail("missing WAVE")
+      var rate = -1; var ch = -1; var bits = -1
+      var nSamples = 0L; var sumAbs = 0L; var peak = 0
+      var sawData = false
+      while (bb.remaining() >= 8) {
+        val id = tag(); val len = bb.getInt()
+        if (len < 0 || len > bb.remaining()) fail(s"chunk $id overruns payload")
+        id match {
+          case "fmt " =>
+            if (len < 16) fail("fmt chunk too short")
+            val start = bb.position()
+            val audioFormat = bb.getShort()
+            if (audioFormat != 1) fail(s"not PCM (format $audioFormat)")
+            ch = bb.getShort(); rate = bb.getInt()
+            bb.getInt(); bb.getShort() // byte rate, block align
+            bits = bb.getShort()
+            if (bits != 16) fail(s"only 16-bit PCM supported, got $bits")
+            bb.position(start + len + (len & 1)) // chunks are word-aligned
+          case "data" =>
+            if (rate < 0) fail("data chunk before fmt")
+            if (len % 2 != 0) fail("odd data length for 16-bit PCM")
+            var i = 0
+            while (i < len / 2) {
+              val v = bb.getShort().toInt
+              val a = math.abs(v)
+              sumAbs += a
+              if (a > peak) peak = a
+              i += 1
+            }
+            nSamples = len / 2
+            sawData = true
+            if ((len & 1) == 1) bb.get()
+          case _ => // skip unknown chunk (LIST, INFO, fact, ...)
+            bb.position(bb.position() + len + (len & 1))
+        }
+      }
+      if (!sawData) fail("no data chunk")
+      Decoded(rate, ch, bits, nSamples, sumAbs, peak)
+    }
+  }
+
+  /** Synthesize the deterministic WAV payload column. */
+  def synthesizeWav(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r => val id = r.getLong(0); Row(id, Wav.encode(id)) }
+      }(enc)
+      .withColumn("meta", struct(
+        octet_length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_md5"),
+        lit("audio/wav").as("media_type")))
+  }
+
+  /** Partition-batched WAV decode → per-doc audio stats. */
+  def decodeWavBatch(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_channels", IntegerType),
+      StructField("bits_per_sample", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sum_abs", LongType),
+      StructField("peak", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = Wav.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), d.sampleRate, d.channels, d.bits, d.nSamples,
+            d.sumAbs, d.peak)
+        }
+      }(enc)
   }
 
   /** Frame sampling as a lateral explode (the UDTF shape): every decoded

@@ -1909,26 +1909,34 @@ object OpsQueries {
              |  md5(text) AS content_md5, 'text/plain' AS media_type
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ─── multimodal decode (partition-batched stub decoder) ─────────────
-    // The mapPartitions decode itself is JVM-side, but the stub's outputs
-    // are md5-derived, so the oracle recomputes them in SQL — every query
-    // in the registry is hash-gated.
+    // ─── multimodal decode (partition-batched REAL PPM parser) ──────────
+    // synthesizeMedia builds actual multi-frame PPM P6 byte streams from a
+    // closed-form pixel formula; decodeBatch PARSES those bytes (header,
+    // comments, raster). The oracle recomputes the closed form, so a green
+    // row proves the decoder inverted the real bytes — a parse bug (wrong
+    // header skip, signed-byte read, frame boundary) breaks the hash.
     "q35_multimodal_decode" -> Q(
       (s, dir) => {
         import s.implicits._
         Multimodal.decodeBatch(
-            Multimodal.ingestAsBinary(Tables.documents(s, dir), "text", "text/plain"),
+            Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"),
             "doc_id")
           .orderBy($"doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS checksum,
-             |               octet_length(encode(text)) AS n FROM documents)
-             |SELECT doc_id,
-             |  CAST(16 + checksum % 64 AS INTEGER) AS width,
-             |  CAST(16 + (checksum >> 8) % 64 AS INTEGER) AS height,
-             |  CAST(1 + n % 4 AS INTEGER) AS n_frames,
-             |  checksum
-             |FROM d ORDER BY doc_id""".stripMargin)),
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+             |        4 + (7*doc_id) % 11 AS h, 1 + doc_id % 4 AS nf
+             |      FROM documents),
+             |e AS (SELECT doc_id, w, h, nf,
+             |        unnest(generate_series(0, nf - 1)) AS f FROM d),
+             |px AS (SELECT doc_id, w, h, nf, f,
+             |        unnest(generate_series(0, 3*w*h - 1)) AS i FROM e),
+             |s AS (SELECT doc_id, w, h, nf,
+             |        sum((31*doc_id + 97*f + i) % 256) AS cks
+             |      FROM px GROUP BY 1, 2, 3, 4)
+             |SELECT doc_id, CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height, CAST(nf AS INTEGER) AS n_frames,
+             |  CAST(cks AS BIGINT) AS checksum
+             |FROM s ORDER BY doc_id""".stripMargin)),
 
     // ─── distinct counting (exact; the HLL sketch path is spec-bounded
     //     in SketchesSpec since HLL++ internals are engine-private) ──────
@@ -11605,7 +11613,64 @@ object OpsQueries {
            |  CAST($nReq AS BIGINT) AS n_required,
            |  count(*) >= $nReq AS sufficient
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
-      }))
+      }),
+
+    // ─── per-channel pixel stats from the REAL PPM decode ───────────────
+    // The feature-extract stage over decoded pixels: exact per-channel
+    // unsigned-byte sums across all frames + round-6 means. Oracle
+    // recomputes the generator's closed form per channel (i ≡ c mod 3).
+    "q395_ppm_channel_stats" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.decodeImageStats(
+            Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"),
+            "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+             |        4 + (7*doc_id) % 11 AS h, 1 + doc_id % 4 AS nf
+             |      FROM documents),
+             |e AS (SELECT doc_id, w, h, nf,
+             |        unnest(generate_series(0, nf - 1)) AS f FROM d),
+             |px AS (SELECT doc_id, w, h, nf, f,
+             |        unnest(generate_series(0, 3*w*h - 1)) AS i FROM e),
+             |s AS (SELECT doc_id, CAST(nf*w*h AS BIGINT) AS n_pixels,
+             |        CAST(sum(CASE WHEN i % 3 = 0
+             |          THEN (31*doc_id + 97*f + i) % 256 END) AS BIGINT) AS sum_r,
+             |        CAST(sum(CASE WHEN i % 3 = 1
+             |          THEN (31*doc_id + 97*f + i) % 256 END) AS BIGINT) AS sum_g,
+             |        CAST(sum(CASE WHEN i % 3 = 2
+             |          THEN (31*doc_id + 97*f + i) % 256 END) AS BIGINT) AS sum_b
+             |      FROM px GROUP BY 1, 2)
+             |SELECT doc_id, n_pixels, sum_r, sum_g, sum_b,
+             |  round(CAST(sum_r AS DOUBLE) / CAST(n_pixels AS DOUBLE), 6) AS mean_r,
+             |  round(CAST(sum_g AS DOUBLE) / CAST(n_pixels AS DOUBLE), 6) AS mean_g,
+             |  round(CAST(sum_b AS DOUBLE) / CAST(n_pixels AS DOUBLE), 6) AS mean_b
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ─── WAV decode: RIFF chunk walk + PCM sample stats ─────────────────
+    // synthesizeWav writes real RIFF/WAVE/fmt/data bytes; decodeWavBatch
+    // walks the chunks and folds the 16-bit LE samples. The oracle
+    // recomputes the sample formula — a green row proves the byte-level
+    // parse (chunk offsets, endianness, signedness) is right.
+    "q396_wav_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.decodeWavBatch(
+            Multimodal.synthesizeWav(Tables.documents(s, dir), "doc_id"),
+            "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 32 AS n FROM documents),
+             |e AS (SELECT doc_id, n,
+             |        (13*doc_id + 7*unnest(generate_series(0, n - 1))) % 65536
+             |          - 32768 AS v
+             |      FROM d)
+             |SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+             |  16 AS bits_per_sample, CAST(max(n) AS BIGINT) AS n_samples,
+             |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+             |  CAST(max(abs(v)) AS INTEGER) AS peak
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

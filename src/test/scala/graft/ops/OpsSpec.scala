@@ -274,17 +274,62 @@ class TextStatsSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("ingest + partition-batched decode round-trips deterministically") {
-    val docs = Seq((1L, "some payload"), (2L, "other bytes")).toDF("doc_id", "text")
+  test("synthesize + partition-batched decode round-trips deterministically") {
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
     val decoded = Multimodal.decodeBatch(
-      Multimodal.ingestAsBinary(docs, "text", "image/fake"), "doc_id")
+      Multimodal.synthesizeMedia(docs, "doc_id"), "doc_id")
     val rows = decoded.orderBy("doc_id").collect()
     assert(decoded.schema == Multimodal.decodedSchema)
     assert(rows.length == 2)
+    // id=1: w = 4+1 = 5, h = 4+7%11 = 11, nf = 1+1 = 2
+    assert(rows(0).getInt(1) == 5 && rows(0).getInt(2) == 11 && rows(0).getInt(3) == 2)
     val again = Multimodal.decodeBatch(
-      Multimodal.ingestAsBinary(docs, "text", "image/fake"), "doc_id")
+      Multimodal.synthesizeMedia(docs, "doc_id"), "doc_id")
       .orderBy("doc_id").collect()
     assert(rows.sameElements(again))
+  }
+
+  test("PPM decoder parses hand-built frames, comments, and rejects malformed streams") {
+    // hand-built single frame, NOT from the encoder: 2x1, pixels
+    // (1,2,3) (250,251,252), with a header comment
+    val hand = ("P6\n# a comment\n2 1\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 250.toByte, 251.toByte, 252.toByte)
+    val f = Multimodal.Ppm.decode(hand)
+    assert(f == Seq(Multimodal.Ppm.Frame(2, 1, 251, 253, 255)))
+    // unsigned read: 250-252 must not come back negative
+    assert(f.head.sumAll == 759)
+    // two concatenated frames parse as a 2-frame container
+    assert(Multimodal.Ppm.decode(hand ++ hand).size == 2)
+    // malformed: bad magic, truncated raster, maxval > 255
+    intercept[IllegalArgumentException](Multimodal.Ppm.decode("P5\n1 1\n255\n".getBytes ++ Array[Byte](0, 0, 0)))
+    intercept[IllegalArgumentException](Multimodal.Ppm.decode("P6\n2 2\n255\n".getBytes ++ Array[Byte](9)))
+    intercept[IllegalArgumentException](Multimodal.Ppm.decode("P6\n1 1\n65535\n".getBytes ++ Array[Byte](0, 0, 0)))
+    // encoder output is decoder-consistent for a spread of ids
+    for (id <- Seq(0L, 3L, 17L, 255L, 1000003L)) {
+      val fs = Multimodal.Ppm.decode(Multimodal.Ppm.encodeFrames(id))
+      assert(fs.size == (1 + id % 4).toInt)
+      assert(fs.head.width == (4 + id % 13).toInt && fs.head.height == (4 + 7 * id % 11).toInt)
+    }
+  }
+
+  test("WAV decoder walks chunks, handles endianness/signedness, rejects malformed") {
+    val enc = Multimodal.Wav.encode(5L) // n = 13 samples
+    val d = Multimodal.Wav.decode(enc)
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.bits == 16 && d.nSamples == 13)
+    // closed form: sample k = ((65 + 7k) % 65536) - 32768 => all near -32768
+    val expSamples = (0 until 13).map(k => ((13 * 5 + 7 * k) % 65536) - 32768)
+    assert(d.sumAbs == expSamples.map(math.abs(_).toLong).sum)
+    assert(d.peak == expSamples.map(math.abs).max)
+    // a LIST chunk between fmt and data must be skipped, not choke the parse
+    val head = java.util.Arrays.copyOfRange(enc, 0, 36)   // RIFF..fmt chunk end
+    val data = java.util.Arrays.copyOfRange(enc, 36, enc.length)
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withList = head ++ list ++ data
+    assert(Multimodal.Wav.decode(withList) == d)
+    // malformed: not RIFF; float PCM rejected
+    intercept[IllegalArgumentException](Multimodal.Wav.decode("JUNK".getBytes ++ enc.drop(4)))
+    val floatFmt = enc.clone(); floatFmt(20) = 3 // audioFormat = IEEE float
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(floatFmt))
   }
 
   test("metadata matches payload bytes") {
@@ -297,7 +342,7 @@ class MultimodalSpec extends SparkSpec {
   test("frame sampling fans out per stride; resize plan preserves aspect") {
     val docs = Seq((1L, "some payload"), (2L, "other bytes")).toDF("doc_id", "text")
     val decoded = Multimodal.decodeBatch(
-      Multimodal.ingestAsBinary(docs, "text", "image/fake"), "doc_id")
+      Multimodal.synthesizeMedia(docs, "doc_id"), "doc_id")
     val frames = Multimodal.sampleFrames(decoded, stride = 1)
     val perDoc = frames.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     val nFrames = decoded.select($"doc_id", $"n_frames").as[(Long, Int)].collect().toMap
