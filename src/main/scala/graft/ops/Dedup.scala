@@ -436,10 +436,20 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over ALL pairs of a (bounded) document set —
-    * the correctness baseline the LSH path approximates. Quadratic: callers
-    * must bound the input (e.g. one LSH bucket, or a sampled audit set). */
+    * the correctness baseline the LSH path approximates. Quadratic, so the
+    * input bound is ENFORCED, not just documented: the call counts the
+    * input and refuses more than `maxRows` rows (default 10k ⇒ ≤ 50M
+    * comparisons) — a caller auditing a bigger set must either sample it
+    * or opt in explicitly by raising `maxRows`; the scalable exact twin
+    * is `prefixJaccardPairs`. The extra count is one pass over an input
+    * that is small by contract. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.5,
+      maxRows: Long = 10000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"jaccardPairs is a quadratic audit baseline: input has $n rows > maxRows=$maxRows" +
+        " — sample the input, raise maxRows explicitly, or use prefixJaccardPairs")
     val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
     val a = withSh.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
     val b = withSh.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
@@ -724,10 +734,16 @@ object Dedup {
     * inside a long one has high containment but LOW Jaccard (the union is
     * dominated by the long side), so Jaccard-threshold dedup never sees
     * it; containment is how quote-inclusion and boilerplate-wrapping get
-    * caught. Quadratic like `jaccardPairs` and under the same contract:
-    * callers bound the input (an LSH bucket, an audit sample). */
+    * caught. Quadratic like `jaccardPairs` and under the same ENFORCED
+    * bound: refuses inputs over `maxRows` (scalable exact twin:
+    * `prefixContainmentPairs`). */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.8,
+      maxRows: Long = 10000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"containmentPairs is a quadratic audit baseline: input has $n rows > maxRows=$maxRows" +
+        " — sample the input, raise maxRows explicitly, or use prefixContainmentPairs")
     val withSh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleK).as("__sh"))
     val a = withSh.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
     val b = withSh.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))

@@ -19,6 +19,20 @@ class DedupSpec extends SparkSpec {
     assert(truth.subsetOf(lsh), s"missed: ${truth -- lsh}")
   }
 
+  test("quadratic audit baselines refuse inputs over their enforced row bound") {
+    val big = spark.range(0, 50).selectExpr("id AS doc_id",
+      "concat('alpha beta gamma delta epsilon ', id) AS text")
+    val eJ = intercept[IllegalArgumentException](
+      Dedup.jaccardPairs(big, "doc_id", "text", maxRows = 10L))
+    assert(eJ.getMessage.contains("prefixJaccardPairs"))
+    val eC = intercept[IllegalArgumentException](
+      Dedup.containmentPairs(big, "doc_id", "text", maxRows = 10L))
+    assert(eC.getMessage.contains("prefixContainmentPairs"))
+    // and an explicit opt-in raise still works
+    assert(Dedup.jaccardPairs(big, "doc_id", "text", threshold = 0.0,
+      maxRows = 100L).count() > 0)
+  }
+
   test("minhash pairs report exact jaccard (verified, not estimated)") {
     val viaLsh = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
       .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
