@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generation-eval metrics over candidate/reference text pairs — the
+  * measurement side of a training pipeline (benchmark scoring, distilled-
+  * output QA, decode-diversity audits): ROUGE-n (Lin 2004), corpus-level
+  * BLEU with brevity penalty (Papineni et al. 2002), and distinct-n
+  * diversity (Li et al. 2016). All three are n-gram multiset arithmetic,
+  * so they run as relational aggregates — no per-pair UDF loops.
+  *
+  * Scale shape: each metric reduces pairs to (pair, gram-hash, count)
+  * rows via the ngramCoverage gram kernel (60-bit md5 hashes shuffle,
+  * gram strings never do), then one equi-join on (pair, hash) for the
+  * clipped overlap and partial-combining aggregates for the totals.
+  * Corpus BLEU aggregates the clipped counts BEFORE the ratio (the
+  * corpus-level definition — NOT a mean of sentence BLEUs), so the
+  * output is a handful of scalar rows regardless of corpus size. */
+object EvalMetrics {
+
+  /** (pair key, gram hash, multiplicity) for word n-grams of `textCol`
+    * — multiset counts, unlike ngramCoverage's distinct sets. */
+  private def gramCounts(df: DataFrame, keyCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val grams = when(size(toks) >= n, transform(
+      sequence(lit(0), size(toks) - n),
+      i => Dedup.baseHash(concat_ws(" ",
+        (0 until n).map(j => get(toks, i + j)): _*))))
+      .otherwise(array().cast("array<long>"))
+    df.select(col(keyCol).as("__pid"), explode(grams).as("__gh"))
+      .groupBy(col("__pid"), col("__gh")).agg(count(lit(1)).as("__c"))
+  }
+
+  /** ROUGE-n per pair: clipped n-gram overlap Σ min(count_cand,
+    * count_ref) with precision = overlap/|cand grams|, recall =
+    * overlap/|ref grams|, F1. Pairs where a side has fewer than n tokens
+    * carry zero grams: the affected ratio is NULL (0/0 is undefined, not
+    * zero) and f1 is 0. Output: (pair, n_cand, n_ref, n_overlap,
+    * precision, recall, f1 ← round 6). */
+  def rougeN(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val cg = gramCounts(pairs, pairCol, candCol, n)
+    val rg = gramCounts(pairs, pairCol, refCol, n)
+    val ov = cg.join(rg.withColumnRenamed("__c", "__cr"), Seq("__pid", "__gh"))
+      .groupBy(col("__pid"))
+      .agg(sum(least(col("__c"), col("__cr"))).as("__ov"))
+    val ct = cg.groupBy(col("__pid")).agg(sum(col("__c")).as("__nc"))
+    val rt = rg.groupBy(col("__pid")).agg(sum(col("__c")).as("__nr"))
+    def d(c: Column) = c.cast("double")
+    pairs.select(col(pairCol).as("__pid"))
+      .join(ct, Seq("__pid"), "left").join(rt, Seq("__pid"), "left")
+      .join(ov, Seq("__pid"), "left")
+      .select(col("__pid").as("pair"),
+        coalesce(col("__nc"), lit(0L)).as("n_cand"),
+        coalesce(col("__nr"), lit(0L)).as("n_ref"),
+        coalesce(col("__ov"), lit(0L)).as("n_overlap"))
+      .withColumn("precision",
+        when(col("n_cand") > 0, round(d(col("n_overlap")) / d(col("n_cand")), 6)))
+      .withColumn("recall",
+        when(col("n_ref") > 0, round(d(col("n_overlap")) / d(col("n_ref")), 6)))
+      .withColumn("f1",
+        // parenthesization matches the oracle exactly — (2·(ov/nc))·(ov/nr)
+        // — so both engines run the identical double-op sequence
+        when(col("n_overlap") > 0, round(
+          lit(2.0) * (d(col("n_overlap")) / d(col("n_cand"))) * (d(col("n_overlap")) / d(col("n_ref"))) /
+            (d(col("n_overlap")) / d(col("n_cand")) + d(col("n_overlap")) / d(col("n_ref"))), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Corpus-level BLEU-`maxN`: modified n-gram precisions p_n =
+    * Σ_pairs clip_n / Σ_pairs cand_n (clipped counts SUMMED over the
+    * corpus before the ratio), brevity penalty BP = min(1, e^(1−r/c))
+    * over total lengths, BLEU = BP · exp(Σ_n ln p_n / maxN) — zero when
+    * any p_n is zero (the standard convention; smoothing is a caller-side
+    * variant). Ratios are round-9 before the ln/exp composition and the
+    * headline is round-6 — the library's ln/exp determinism discipline.
+    * Output: ONE row (bleu, bp, cand_len, ref_len, p_1..p_maxN). */
+  def corpusBleu(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN in [1, 8]")
+    def d(c: Column) = c.cast("double")
+    val perN = (1 to maxN).map { n =>
+      val cg = gramCounts(pairs, pairCol, candCol, n)
+      val rg = gramCounts(pairs, pairCol, refCol, n)
+      val clip = cg.join(rg.withColumnRenamed("__c", "__cr"), Seq("__pid", "__gh"))
+        .agg(coalesce(sum(least(col("__c"), col("__cr"))), lit(0L)).as(s"__clip"))
+      val tot = cg.agg(coalesce(sum(col("__c")), lit(0L)).as(s"__tot"))
+      clip.crossJoin(tot)
+        .select(round(d(col("__clip")) / d(col("__tot")), 9).as(s"p_$n"))
+    }.reduce(_.crossJoin(_))
+    val lens = pairs.select(
+        size(split(lower(col(candCol)), " ")).cast("long").as("__cl"),
+        size(split(lower(col(refCol)), " ")).cast("long").as("__rl"))
+      .agg(sum(col("__cl")).as("cand_len"), sum(col("__rl")).as("ref_len"))
+    val bp = least(lit(1.0), round(
+      exp(lit(1.0) - d(col("ref_len")) / d(col("cand_len"))), 9))
+    val logSum = (1 to maxN).map(n => log(col(s"p_$n"))).reduce(_ + _)
+    val anyZero = (1 to maxN).map(n => col(s"p_$n") === 0.0).reduce(_ || _)
+    lens.crossJoin(perN)
+      .withColumn("bp", bp)
+      .withColumn("bleu", when(anyZero, lit(0.0))
+        .otherwise(round(col("bp") * exp(logSum / maxN), 6)))
+      .select(Seq(col("bleu"), col("bp"), col("cand_len"), col("ref_len")) ++
+        (1 to maxN).map(n => col(s"p_$n")): _*)
+  }
+
+  /** Distinct-n decode-diversity per group: distinct word n-grams over
+    * total n-gram instances (Li et al. 2016's distinct-1/2). Output:
+    * (group, n_grams, n_distinct, distinct_ratio ← round 6).
+    *
+    * Scale shape: ONE (group, gram-hash) partial-combining aggregate;
+    * count + count-distinct come from the same grouped table. */
+  def distinctN(df: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    gramCounts(df.select(col(groupCol), col(textCol)), groupCol, textCol, n)
+      .groupBy(col("__pid").as("group"))
+      .agg(sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_grams").cast("double"), 6))
+  }
+}

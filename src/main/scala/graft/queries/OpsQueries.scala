@@ -11670,7 +11670,123 @@ object OpsQueries {
              |  16 AS bits_per_sample, CAST(max(n) AS BIGINT) AS n_samples,
              |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
              |  CAST(max(abs(v)) AS INTEGER) AS peak
-             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── ROUGE-2 per candidate/reference pair ───────────────────────────
+    // Eval plumbing: clipped bigram overlap between each doc and its
+    // successor (deterministic pairing — the METRIC is the operator).
+    "q397_rouge2" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = docs.select($"doc_id", $"text".as("cand"))
+          .join(docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("ref")),
+            "doc_id")
+        EvalMetrics.rougeN(pairs, "doc_id", "cand", "ref", n = 2)
+          .withColumnRenamed("pair", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (SELECT a.doc_id, lower(a.text) AS cand,
+             |        lower(b.text) AS ref
+             |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+             |cg AS (SELECT doc_id, g, count(*) AS c FROM (
+             |        SELECT doc_id, unnest(list_transform(
+             |          range(1, len(string_split(cand, ' '))),
+             |          i -> string_split(cand, ' ')[i] || ' ' ||
+             |               string_split(cand, ' ')[i+1])) AS g
+             |        FROM p) GROUP BY 1, 2),
+             |rg AS (SELECT doc_id, g, count(*) AS c FROM (
+             |        SELECT doc_id, unnest(list_transform(
+             |          range(1, len(string_split(ref, ' '))),
+             |          i -> string_split(ref, ' ')[i] || ' ' ||
+             |               string_split(ref, ' ')[i+1])) AS g
+             |        FROM p) GROUP BY 1, 2),
+             |ov AS (SELECT cg.doc_id, CAST(sum(least(cg.c, rg.c)) AS BIGINT) AS ov
+             |      FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.g = rg.g
+             |      GROUP BY 1),
+             |ct AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nc FROM cg GROUP BY 1),
+             |rt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nr FROM rg GROUP BY 1),
+             |j AS (SELECT p.doc_id, coalesce(nc, 0) AS n_cand,
+             |        coalesce(nr, 0) AS n_ref, coalesce(ov, 0) AS n_overlap
+             |      FROM p LEFT JOIN ct USING (doc_id)
+             |        LEFT JOIN rt USING (doc_id) LEFT JOIN ov USING (doc_id))
+             |SELECT doc_id, n_cand, n_ref, n_overlap,
+             |  CASE WHEN n_cand > 0 THEN round(CAST(n_overlap AS DOUBLE) /
+             |    CAST(n_cand AS DOUBLE), 6) END AS precision,
+             |  CASE WHEN n_ref > 0 THEN round(CAST(n_overlap AS DOUBLE) /
+             |    CAST(n_ref AS DOUBLE), 6) END AS recall,
+             |  CASE WHEN n_overlap > 0 THEN round(
+             |    2.0 * (CAST(n_overlap AS DOUBLE) / CAST(n_cand AS DOUBLE)) *
+             |      (CAST(n_overlap AS DOUBLE) / CAST(n_ref AS DOUBLE)) /
+             |      (CAST(n_overlap AS DOUBLE) / CAST(n_cand AS DOUBLE) +
+             |       CAST(n_overlap AS DOUBLE) / CAST(n_ref AS DOUBLE)), 6)
+             |  ELSE 0.0::DOUBLE END AS f1
+             |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // ─── corpus-level BLEU-4 with brevity penalty ───────────────────────
+    // Clipped counts are SUMMED over the corpus before each ratio (the
+    // Papineni corpus definition, not a mean of sentence BLEUs); the
+    // ln/exp composition runs on round-9 ratios (the LM discipline).
+    "q398_corpus_bleu" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = docs.select($"doc_id", $"text".as("cand"))
+          .join(docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("ref")),
+            "doc_id")
+        EvalMetrics.corpusBleu(pairs, "doc_id", "cand", "ref", maxN = 4)
+      },
+      Some {
+        def grams(src: String, n: Int): String =
+          if (n == 1) s"SELECT doc_id, unnest(string_split($src, ' ')) AS g FROM p"
+          else {
+            val parts = (0 until n).map(j =>
+              if (j == 0) s"string_split($src, ' ')[i]"
+              else s"string_split($src, ' ')[i+$j]").mkString(" || ' ' || ")
+            s"SELECT doc_id, unnest(list_transform(range(1, len(string_split($src, ' ')) - ${n - 2}), i -> $parts)) AS g FROM p"
+          }
+        val perN = (1 to 4).map { n =>
+          s"""cg$n AS (SELECT doc_id, g, count(*) AS c FROM (${grams("cand", n)}) GROUP BY 1, 2),
+             |rg$n AS (SELECT doc_id, g, count(*) AS c FROM (${grams("ref", n)}) GROUP BY 1, 2),
+             |pn$n AS (SELECT round(
+             |    CAST((SELECT coalesce(sum(least(cg$n.c, rg$n.c)), 0) FROM cg$n
+             |          JOIN rg$n ON cg$n.doc_id = rg$n.doc_id AND cg$n.g = rg$n.g) AS DOUBLE) /
+             |    CAST((SELECT coalesce(sum(c), 0) FROM cg$n) AS DOUBLE), 9) AS p_$n)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH p AS (SELECT a.doc_id, lower(a.text) AS cand, lower(b.text) AS ref
+           |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+           |$perN,
+           |lens AS (SELECT CAST(sum(len(string_split(cand, ' '))) AS BIGINT) AS cand_len,
+           |        CAST(sum(len(string_split(ref, ' '))) AS BIGINT) AS ref_len FROM p),
+           |j AS (SELECT * FROM lens CROSS JOIN pn1 CROSS JOIN pn2 CROSS JOIN pn3 CROSS JOIN pn4),
+           |b AS (SELECT *, least(1.0::DOUBLE, round(exp(1.0 -
+           |        CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE)), 9)) AS bp
+           |      FROM j)
+           |SELECT CASE WHEN p_1 = 0.0 OR p_2 = 0.0 OR p_3 = 0.0 OR p_4 = 0.0
+           |    THEN 0.0::DOUBLE
+           |    ELSE round(bp * exp((ln(p_1) + ln(p_2) + ln(p_3) + ln(p_4)) / 4), 6)
+           |  END AS bleu, bp, cand_len, ref_len, p_1, p_2, p_3, p_4
+           |FROM b""".stripMargin
+      }),
+
+    // ─── distinct-n decode diversity per language ───────────────────────
+    "q399_distinct_n" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        EvalMetrics.distinctN(Tables.documents(s, dir), "lang", "text", n = 2)
+          .withColumnRenamed("group", "lang")
+          .orderBy($"lang")
+      },
+      Some("""WITH g AS (SELECT lang, unnest(list_transform(
+             |        range(1, len(string_split(lower(text), ' '))),
+             |        i -> string_split(lower(text), ' ')[i] || ' ' ||
+             |             string_split(lower(text), ' ')[i+1])) AS g
+             |      FROM documents)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+             |  round(CAST(count(DISTINCT g) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class EvalMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // cand "a b a b c" bigrams: {ab:2, ba:1, bc:1} (4 total)
+  // ref  "a b c a"   bigrams: {ab:1, bc:1, ca:1} (3 total)
+  // clipped overlap: min(2,1)[ab] + min(1,1)[bc] = 2
+  val pair = Seq((1L, "a b a b c", "a b c a")).toDF("pid", "cand", "ref")
+
+  test("ROUGE-2 clipped overlap, precision/recall/F1 on a hand-computed pair") {
+    val r = EvalMetrics.rougeN(pair, "pid", "cand", "ref", n = 2)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double], Double)].head()
+    assert(r == ((1L, 4L, 3L, 2L, Some(0.5), Some(0.666667),
+      // f1 = 2·(2/4)·(2/3) / (2/4 + 2/3) = (2/3)/(7/6) = 4/7
+      BigDecimal(4.0 / 7.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("ROUGE-n handles a side shorter than n: null ratio, zero f1") {
+    val short = Seq((1L, "only", "a b c")).toDF("pid", "cand", "ref")
+    val r = EvalMetrics.rougeN(short, "pid", "cand", "ref", n = 2)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double], Double)].head()
+    assert(r._2 == 0L && r._4 == 0L && r._5.isEmpty && r._6.contains(0.0) && r._7 == 0.0)
+  }
+
+  test("corpus BLEU: perfect match scores 1, any empty n-gram level scores 0") {
+    val same = Seq((1L, "a b c d e f", "a b c d e f")).toDF("pid", "cand", "ref")
+    val b = EvalMetrics.corpusBleu(same, "pid", "cand", "ref", maxN = 4)
+      .select("bleu", "bp").as[(Double, Double)].head()
+    assert(b == ((1.0, 1.0)))
+    // cand has no 4-gram overlap with ref => p_4 = 0 => bleu = 0
+    val none = Seq((1L, "a b c d", "w x y z")).toDF("pid", "cand", "ref")
+    val z = EvalMetrics.corpusBleu(none, "pid", "cand", "ref", maxN = 4)
+      .select("bleu").as[Double].head()
+    assert(z == 0.0)
+  }
+
+  test("corpus BLEU brevity penalty fires only when candidate is shorter") {
+    // cand 4 tokens, ref 6 tokens: bp = exp(1 - 6/4) = exp(-0.5)
+    val shortCand = Seq((1L, "a b c d", "a b c d e f")).toDF("pid", "cand", "ref")
+    val bp = EvalMetrics.corpusBleu(shortCand, "pid", "cand", "ref", maxN = 2)
+      .select("bp").as[Double].head()
+    assert(bp == BigDecimal(math.exp(-0.5)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // longer candidate: bp clamps to 1
+    val longCand = Seq((1L, "a b c d e f g", "a b c")).toDF("pid", "cand", "ref")
+    val bp2 = EvalMetrics.corpusBleu(longCand, "pid", "cand", "ref", maxN = 2)
+      .select("bp").as[Double].head()
+    assert(bp2 == 1.0)
+  }
+
+  test("corpus BLEU aggregates clipped counts before the ratio (not mean of pairs)") {
+    // pair 1: cand "a b" vs ref "a b" -> bigram clip 1/1
+    // pair 2: cand "x y x y x" vs ref "x y" -> bigrams cand {xy:2, yx:2}, clip 1, total 4
+    // corpus p_2 = (1 + 1) / (1 + 4) = 0.4 — a mean of per-pair ratios would give (1 + 0.25)/2
+    val two = Seq((1L, "a b", "a b"), (2L, "x y x y x", "x y")).toDF("pid", "cand", "ref")
+    val p2 = EvalMetrics.corpusBleu(two, "pid", "cand", "ref", maxN = 2)
+      .select("p_2").as[Double].head()
+    assert(p2 == 0.4)
+  }
+
+  test("distinct-n diversity counts distinct grams over instances per group") {
+    val docs = Seq(("en", "a b a b"), ("en", "a b c"), ("de", "x y")).toDF("lang", "text")
+    // en grams: [ab, ba, ab] + [ab, bc] = 5 instances, distinct {ab, ba, bc} = 3
+    val en = EvalMetrics.distinctN(docs, "lang", "text", n = 2)
+      .where($"group" === "en").as[(String, Long, Long, Double)].head()
+    assert(en == (("en", 5L, 3L, 0.6)))
+    val de = EvalMetrics.distinctN(docs, "lang", "text", n = 2)
+      .where($"group" === "de").as[(String, Long, Long, Double)].head()
+    assert(de == (("de", 1L, 1L, 1.0)))
+  }
+}
