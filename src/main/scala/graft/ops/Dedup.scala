@@ -284,7 +284,7 @@ object Dedup {
   /** Release the block-manager storage behind a localCheckpoint'ed frame
     * (Dataset.unpersist only covers cache-manager entries). No-op when the
     * plan isn't a checkpoint scan. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[ops] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()

@@ -20,16 +20,20 @@ import org.apache.spark.sql.functions._
 object EvalMetrics {
 
   /** (pair key, gram hash, multiplicity) for word n-grams of `textCol`
-    * — multiset counts, unlike ngramCoverage's distinct sets. */
+    * — multiset counts, unlike ngramCoverage's distinct sets. Hashing
+    * runs through the one-pass `md5Prefix60Array` kernel over the gram
+    * STRING array (== `Dedup.baseHash` element-wise, the spec-pinned
+    * library contract) instead of the hex-substring-conv expression per
+    * gram — one digest per gram, no hex-string allocation. */
   private def gramCounts(df: DataFrame, keyCol: String, textCol: String,
       n: Int): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
     val grams = when(size(toks) >= n, transform(
       sequence(lit(0), size(toks) - n),
-      i => Dedup.baseHash(concat_ws(" ",
-        (0 until n).map(j => get(toks, i + j)): _*))))
-      .otherwise(array().cast("array<long>"))
-    df.select(col(keyCol).as("__pid"), explode(grams).as("__gh"))
+      i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(keyCol).as("__pid"),
+        explode(graft.functions.HashOps.md5Prefix60Array(grams)).as("__gh"))
       .groupBy(col("__pid"), col("__gh")).agg(count(lit(1)).as("__c"))
   }
 
@@ -78,10 +82,18 @@ object EvalMetrics {
     * variant). Ratios are round-9 before the ln/exp composition and the
     * headline is round-6 — the library's ln/exp determinism discipline.
     * Output: ONE row (bleu, bp, cand_len, ref_len, p_1..p_maxN). */
-  def corpusBleu(pairs: DataFrame, pairCol: String, candCol: String,
+  def corpusBleu(pairsIn: DataFrame, pairCol: String, candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, "maxN in [1, 8]")
     def d(c: Column) = c.cast("double")
+    // The caller's pair frame often embeds a join (e.g. doc-successor
+    // pairing); 2·maxN gram scans + the length scan would re-run it
+    // 2·maxN+1 times. Cut it ONCE (eager, pair-count-sized: two text
+    // payloads per row), release after the scalar result materialises —
+    // the simhashDupPairs checkpoint discipline (Dedup.scala:350).
+    val pairs = pairsIn
+      .select(col(pairCol), col(candCol), col(refCol))
+      .localCheckpoint(eager = true)
     val perN = (1 to maxN).map { n =>
       val cg = gramCounts(pairs, pairCol, candCol, n)
       val rg = gramCounts(pairs, pairCol, refCol, n)
@@ -99,12 +111,15 @@ object EvalMetrics {
       exp(lit(1.0) - d(col("ref_len")) / d(col("cand_len"))), 9))
     val logSum = (1 to maxN).map(n => log(col(s"p_$n"))).reduce(_ + _)
     val anyZero = (1 to maxN).map(n => col(s"p_$n") === 0.0).reduce(_ || _)
-    lens.crossJoin(perN)
+    val out = lens.crossJoin(perN)
       .withColumn("bp", bp)
       .withColumn("bleu", when(anyZero, lit(0.0))
         .otherwise(round(col("bp") * exp(logSum / maxN), 6)))
       .select(Seq(col("bleu"), col("bp"), col("cand_len"), col("ref_len")) ++
         (1 to maxN).map(n => col(s"p_$n")): _*)
+      .localCheckpoint(eager = true) // ONE scalar row
+    Dedup.unpersistCheckpoint(pairs)
+    out
   }
 
   /** Distinct-n decode-diversity per group: distinct word n-grams over
