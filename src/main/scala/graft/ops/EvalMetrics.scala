@@ -122,6 +122,67 @@ object EvalMetrics {
     out
   }
 
+  /** Corpus-level chrF (Popović 2015): character n-gram F-β score.
+    * Whitespace is removed, char n-grams for n = 1..maxN are counted as
+    * multisets per pair, clipped overlaps/totals are SUMMED over the
+    * corpus per level, chrP/chrR are the MEANS of the per-level
+    * precision/recall (levels with an empty candidate or reference side
+    * contribute 0 — the sacreBLEU convention), and
+    * chrF = (1+β²)·chrP·chrR / (β²·chrP + chrR) (0 when the denominator
+    * is 0). β = 2 weights recall twice. Output: ONE row
+    * (chrf, chr_p, chr_r ← round 6).
+    *
+    * Scale shape: identical to corpusBleu — per-level (pair, gram-hash)
+    * counts, one clip join per level, scalar output; the pair frame is
+    * lineage-cut once and released. */
+  def chrF(pairsIn: DataFrame, pairCol: String, candCol: String,
+      refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8 && beta > 0, "maxN in [1, 8], beta > 0")
+    def d(c: Column) = c.cast("double")
+    val pairs = pairsIn
+      .select(col(pairCol), col(candCol), col(refCol))
+      .localCheckpoint(eager = true)
+    def charGramCounts(textCol: String, n: Int): DataFrame = {
+      val ch = regexp_replace(lower(col(textCol)), "\\s+", "")
+      pairs.select(col(pairCol).as("__pid"),
+          explode(graft.functions.HashOps.md5Prefix60Array(
+            when(length(ch) >= n, transform(
+              sequence(lit(1), length(ch) - n + 1),
+              i => ch.substr(i, lit(n))))
+              .otherwise(array().cast("array<string>")))).as("__gh"))
+        .groupBy(col("__pid"), col("__gh")).agg(count(lit(1)).as("__c"))
+    }
+    val perLevel = (1 to maxN).map { n =>
+      val cg = charGramCounts(candCol, n)
+      val rg = charGramCounts(refCol, n)
+      val clip = cg.join(rg.withColumnRenamed("__c", "__cr"), Seq("__pid", "__gh"))
+        .agg(coalesce(sum(least(col("__c"), col("__cr"))), lit(0L)).as("__clip"))
+      val cTot = cg.agg(coalesce(sum(col("__c")), lit(0L)).as("__ct"))
+      val rTot = rg.agg(coalesce(sum(col("__c")), lit(0L)).as("__rt"))
+      clip.crossJoin(cTot).crossJoin(rTot)
+        .select(
+          when(col("__ct") > 0, round(d(col("__clip")) / d(col("__ct")), 9))
+            .otherwise(lit(0.0)).as(s"__p_$n"),
+          when(col("__rt") > 0, round(d(col("__clip")) / d(col("__rt")), 9))
+            .otherwise(lit(0.0)).as(s"__r_$n"))
+    }.reduce(_.crossJoin(_))
+    val chrP = (1 to maxN).map(n => col(s"__p_$n")).reduce(_ + _) / maxN
+    val chrR = (1 to maxN).map(n => col(s"__r_$n")).reduce(_ + _) / maxN
+    val b2 = beta * beta
+    val out = perLevel
+      .withColumn("chr_p", round(chrP, 6))
+      .withColumn("chr_r", round(chrR, 6))
+      .withColumn("chrf",
+        when(col("chr_p") + col("chr_r") > 0, round(
+          lit(1.0 + b2) * col("chr_p") * col("chr_r") /
+            (lit(b2) * col("chr_p") + col("chr_r")), 6))
+          .otherwise(lit(0.0)))
+      .select(col("chrf"), col("chr_p"), col("chr_r"))
+      .localCheckpoint(eager = true) // ONE scalar row
+    Dedup.unpersistCheckpoint(pairs)
+    out
+  }
+
   /** Distinct-n decode-diversity per group: distinct word n-grams over
     * total n-gram instances (Li et al. 2016's distinct-1/2). Output:
     * (group, n_grams, n_distinct, distinct_ratio ← round 6).

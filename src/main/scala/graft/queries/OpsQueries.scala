@@ -11786,7 +11786,56 @@ object OpsQueries {
              |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
              |  round(CAST(count(DISTINCT g) AS DOUBLE) /
              |    CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
-             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── corpus-level chrF over character n-grams ───────────────────────
+    // Popović 2015 with β = 2 (recall-weighted); per-level corpus
+    // precision/recall means, whitespace stripped. n = 1..3 at the gate.
+    "q400_chrf" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = docs.select($"doc_id", $"text".as("cand"))
+          .join(docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("ref")),
+            "doc_id")
+        EvalMetrics.chrF(pairs, "doc_id", "cand", "ref", maxN = 3, beta = 2.0)
+      },
+      Some {
+        def lvl(n: Int): String =
+          s"""cg$n AS (SELECT doc_id, g, count(*) AS c FROM (
+             |        SELECT doc_id, substr(cs, i, $n) AS g FROM p,
+             |          unnest(range(1, len(cs) - ${n - 2})) t(i)
+             |        WHERE len(cs) >= $n) GROUP BY 1, 2),
+             |rg$n AS (SELECT doc_id, g, count(*) AS c FROM (
+             |        SELECT doc_id, substr(rs, i, $n) AS g FROM p,
+             |          unnest(range(1, len(rs) - ${n - 2})) t(i)
+             |        WHERE len(rs) >= $n) GROUP BY 1, 2),
+             |pr$n AS (SELECT
+             |    CASE WHEN (SELECT coalesce(sum(c), 0) FROM cg$n) > 0
+             |      THEN round(CAST((SELECT coalesce(sum(least(cg$n.c, rg$n.c)), 0)
+             |          FROM cg$n JOIN rg$n
+             |          ON cg$n.doc_id = rg$n.doc_id AND cg$n.g = rg$n.g) AS DOUBLE) /
+             |        CAST((SELECT coalesce(sum(c), 0) FROM cg$n) AS DOUBLE), 9)
+             |      ELSE 0.0::DOUBLE END AS p_$n,
+             |    CASE WHEN (SELECT coalesce(sum(c), 0) FROM rg$n) > 0
+             |      THEN round(CAST((SELECT coalesce(sum(least(cg$n.c, rg$n.c)), 0)
+             |          FROM cg$n JOIN rg$n
+             |          ON cg$n.doc_id = rg$n.doc_id AND cg$n.g = rg$n.g) AS DOUBLE) /
+             |        CAST((SELECT coalesce(sum(c), 0) FROM rg$n) AS DOUBLE), 9)
+             |      ELSE 0.0::DOUBLE END AS r_$n)""".stripMargin
+        s"""WITH p AS (SELECT a.doc_id,
+           |        regexp_replace(lower(a.text), '\\s+', '', 'g') AS cs,
+           |        regexp_replace(lower(b.text), '\\s+', '', 'g') AS rs
+           |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+           |${(1 to 3).map(lvl).mkString(",\n")},
+           |j AS (SELECT round((p_1 + p_2 + p_3) / 3, 6) AS chr_p,
+           |        round((r_1 + r_2 + r_3) / 3, 6) AS chr_r
+           |      FROM pr1 CROSS JOIN pr2 CROSS JOIN pr3)
+           |SELECT CASE WHEN chr_p + chr_r > 0
+           |    THEN round(5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r), 6)
+           |    ELSE 0.0::DOUBLE END AS chrf, chr_p, chr_r
+           |FROM j""".stripMargin
+      }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

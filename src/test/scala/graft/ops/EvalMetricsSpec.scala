@@ -60,6 +60,25 @@ class EvalMetricsSpec extends SparkSpec {
     assert(p2 == 0.4)
   }
 
+  test("chrF: identical pair scores 1, disjoint alphabets 0, beta=2 weights recall") {
+    val same = Seq((1L, "hello world", "hello world")).toDF("pid", "cand", "ref")
+    val s1 = EvalMetrics.chrF(same, "pid", "cand", "ref", maxN = 3)
+      .as[(Double, Double, Double)].head()
+    assert(s1 == ((1.0, 1.0, 1.0)))
+    val disj = Seq((1L, "aaa", "zzz")).toDF("pid", "cand", "ref")
+    assert(EvalMetrics.chrF(disj, "pid", "cand", "ref", maxN = 3)
+      .select("chrf").as[Double].head() == 0.0)
+    // cand "ab", ref "abab" at n=1: clip {a:1,b:1}=2, P=2/2=1, R=2/4=0.5;
+    // n=2: cand {ab:1}, ref {ab:2,ba:1}: clip 1, P=1, R=1/3. chrP=1,
+    // chrR=round((.5+1/3)/2)=0.416667; F2=5*1*chrR/(4+chrR)
+    val part = Seq((1L, "ab", "abab")).toDF("pid", "cand", "ref")
+    val (f, cp, cr) = EvalMetrics.chrF(part, "pid", "cand", "ref", maxN = 2)
+      .as[(Double, Double, Double)].head()
+    assert(cp == 1.0 && cr == 0.416667)
+    assert(f == BigDecimal(5.0 * 1.0 * 0.416667 / (4.0 * 1.0 + 0.416667))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("distinct-n diversity counts distinct grams over instances per group") {
     val docs = Seq(("en", "a b a b"), ("en", "a b c"), ("de", "x y")).toDF("lang", "text")
     // en grams: [ab, ba, ab] + [ab, bc] = 5 instances, distinct {ab, ba, bc} = 3
