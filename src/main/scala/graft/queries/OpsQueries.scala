@@ -11791,10 +11791,13 @@ object OpsQueries {
     // ─── corpus-level chrF over character n-grams ───────────────────────
     // Popović 2015 with β = 2 (recall-weighted); per-level corpus
     // precision/recall means, whitespace stripped. n = 1..3 at the gate.
+    // The gate scores an EVAL-SET slice (doc_id < 2000) — chrF is an
+    // eval-set metric by usage, and char grams are ~5× denser than word
+    // grams (the full-corpus heavy representative stays q398).
     "q400_chrf" -> Q(
       (s, dir) => {
         import s.implicits._
-        val docs = Tables.documents(s, dir)
+        val docs = Tables.documents(s, dir).filter($"doc_id" < 2000)
         val pairs = docs.select($"doc_id", $"text".as("cand"))
           .join(docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("ref")),
             "doc_id")
@@ -11826,7 +11829,8 @@ object OpsQueries {
         s"""WITH p AS (SELECT a.doc_id,
            |        regexp_replace(lower(a.text), '\\s+', '', 'g') AS cs,
            |        regexp_replace(lower(b.text), '\\s+', '', 'g') AS rs
-           |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+           |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           |      WHERE a.doc_id < 2000 AND b.doc_id < 2000),
            |${(1 to 3).map(lvl).mkString(",\n")},
            |j AS (SELECT round((p_1 + p_2 + p_3) / 3, 6) AS chr_p,
            |        round((r_1 + r_2 + r_3) / 3, 6) AS chr_r
