@@ -10244,6 +10244,46 @@ object OpsQueries {
            |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
 
+    // ─── FS linkage via sorted-neighborhood blocking (the scale shape) ──
+    // q348 blocks on p_size — a FIXED 50-value domain whose candidate
+    // set is inherently quadratic in N (measured 6.7× for 3× rows in
+    // the sf0.3 sweep), and EVERY equality key in TPC-H part has a
+    // fixed domain (a composite (tok0, p_size) key measured ~N² too).
+    // The production escape is sorted-neighborhood blocking (Hernández
+    // & Stolfo 1998): sort by name, pair each record with the next
+    // w = 10 — candidates are EXACTLY N·w − w(w+1)/2, linear in N by
+    // construction (asserted in CandidateGrowthSpec). Same FS field
+    // model and banding as q348.
+    "q401_fs_snm" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val parts = Tables.part(s, dir).select($"p_partkey", $"p_brand",
+          $"p_type", $"p_name",
+          element_at(split($"p_name", " "), 1).as("tok0"))
+        val pairs = Linkage.sortedNeighborhoodPairs(parts, "p_partkey",
+          $"p_name", fsFields, window = 10)
+        Linkage.fellegiSunterBands(pairs, reviewLo = 0.0, matchHi = 6.0)
+          .orderBy($"band", $"decision")
+      },
+      Some {
+        val (fB, fT, fK) = (fsFields(0), fsFields(1), fsFields(2))
+        s"""WITH p AS (SELECT p_partkey, p_brand, p_type, p_name,
+           |        string_split(p_name, ' ')[1] AS tok0 FROM part),
+           |r AS (SELECT *, row_number() OVER (ORDER BY p_name, p_partkey)
+           |        AS rn FROM p),
+           |sc AS (SELECT round(
+           |    (CASE WHEN a.p_brand = b.p_brand THEN ${fB.agreeW} ELSE ${fB.disagreeW} END) +
+           |    (CASE WHEN a.p_type = b.p_type THEN ${fT.agreeW} ELSE ${fT.disagreeW} END) +
+           |    (CASE WHEN a.tok0 = b.tok0 THEN ${fK.agreeW} ELSE ${fK.disagreeW} END), 6) AS score
+           |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 10)
+           |SELECT CAST(floor(score) AS BIGINT) AS band,
+           |  CASE WHEN score > 6.0 THEN 'match'
+           |       WHEN score <= 0.0 THEN 'nonmatch'
+           |       ELSE 'review' END AS decision,
+           |  count(*) AS n_pairs
+           |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
     // ─── Neyman-optimal stratified allocation (survey sampling) ─────────
     "q349_neyman_allocation" -> Q(
       (s, dir) => {

@@ -110,4 +110,27 @@ class CandidateGrowthSpec extends SparkSpec {
     assert(big <= n * (n - 1) / 2 / 20.0,
       "p_size blocking no longer reduces the cross product meaningfully")
   }
+
+  test("sorted-neighborhood FS candidates hit the exact linear closed form") {
+    // The q401 production shape: EVERY equality key in TPC-H part has a
+    // fixed domain (a composite (tok0, p_size) key measured 99.5× for a
+    // 10× N increase — quadratic), so the scale escape is positional:
+    // candidates of a w-window sorted neighborhood are EXACTLY
+    // N·w − w(w+1)/2 — linear by construction, asserted as an equality,
+    // not a bound.
+    val w = 10
+    def cand(dir: String): (Long, Long) = {
+      val parts = Tables.part(spark, dir).select($"p_partkey", $"p_brand",
+        $"p_type", $"p_name", element_at(split($"p_name", " "), 1).as("tok0"))
+      val n = parts.count()
+      val pairs = Linkage.sortedNeighborhoodPairs(parts, "p_partkey",
+        $"p_name", Seq(Linkage.FieldSpec("p_brand", 0.9, 0.04)), w).count()
+      (n, pairs)
+    }
+    for (dir <- Seq(sfSmall, sfBig)) {
+      val (n, pairs) = cand(dir)
+      assert(pairs == n * w - w.toLong * (w + 1) / 2,
+        s"$dir: SNM candidate count $pairs != closed form for n=$n, w=$w")
+    }
+  }
 }
