@@ -416,4 +416,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "q381 lost the top-k plan:\n" + p.take(1200))
   }
+
+  test("sorted-neighborhood linkage joins on rank buckets, never a rank theta-join") {
+    // the |Δrank| ≤ w predicate must ride an EQUI-join on the bucket key;
+    // a theta-only join plans BroadcastNestedLoopJoin/CartesianProduct
+    val p = plan("q401_fs_snm")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q401 degraded to an all-pairs rank join:\n" + p.take(1200))
+  }
+
+  test("ROUGE clip join is an equi-join on (pair, gram hash)") {
+    val p = plan("q397_rouge2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q397 planned a product join:\n" + p.take(1200))
+  }
 }
