@@ -201,4 +201,38 @@ object EvalMetrics {
       .withColumn("distinct_ratio",
         round(col("n_distinct").cast("double") / col("n_grams").cast("double"), 6))
   }
+
+  /** SQuAD-style extractive-QA eval (Rajpurkar et al. 2016): exact-match
+    * rate over normalized strings (lower, trim, whitespace collapse —
+    * the engine-portable core of the official normalizer; punctuation /
+    * article stripping is a caller-side variant) and mean token-level F1
+    * (clipped unigram multiset overlap == [[rougeN]] n=1 F1, the SQuAD
+    * F1 definition).
+    *
+    * Determinism: per-pair F1 is the rougeN round-6 double, summed as
+    * DECIMAL(18,6); the two headline ratios divide exact sums once and
+    * round 6.
+    *
+    * Scale shape: the rougeN token pass (two (pair, gram) partial-
+    * combining counts + one clip equi-join) plus ONE map-side EM
+    * comparison — no extra shuffle beyond the rouge chain; output is a
+    * single row (n_pairs, n_exact, em_rate, mean_f1). */
+  def squadEval(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    def norm(c: String) =
+      regexp_replace(trim(lower(col(c))), "\\s+", " ")
+    val em = pairs.select(col(pairCol).as("pair"),
+      when(norm(candCol) === norm(refCol), 1L).otherwise(0L).as("__em"))
+    val f1 = rougeN(pairs, pairCol, candCol, refCol, n = 1)
+      .select(col("pair"), col("f1"))
+    em.join(f1, Seq("pair"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__em")).as("n_exact"),
+        sum(col("f1").cast("decimal(18,6)")).as("__sf1"))
+      .select(col("n_pairs"), col("n_exact"),
+        round(col("n_exact").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("em_rate"),
+        round(col("__sf1").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("mean_f1"))
+  }
 }

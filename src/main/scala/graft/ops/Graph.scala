@@ -255,6 +255,161 @@ object Graph {
         round(cov / (sqrt(vx) * sqrt(vy)), 6)).as("assortativity"))
   }
 
+  /** Newman modularity of a GIVEN partition of an undirected graph —
+    * the one-number "are these communities real" score read over the
+    * output of connected components or [[labelPropagation]]:
+    *   Q = Σ_c [ L_c/m − (d_c/(2m))² ]
+    * with m total edges, L_c intra-community edges, d_c the summed
+    * degree of community c. Q ≈ 0: no better than random wiring;
+    * Q ≥ ~0.3: substantive structure worth sharding by.
+    *
+    * `edges` is one row per unordered pair (no self-loops); `assign`
+    * maps idCol → commCol.
+    *
+    * Determinism: per-community terms are exact-integer ratios pushed
+    * through ONE double expression each, rounded to 9 dp, summed as
+    * DECIMAL (the lmEntropyRate discipline), headline round-6.
+    *
+    * Scale shape: two id-keyed equi-joins decorate the edge list with
+    * endpoint communities (both data-scaled but hash-partitioned on
+    * uniform ids); degrees are one endpoint-explode count; everything
+    * after is community-table-sized. Output: one row
+    * (n_edges, n_communities, modularity). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      assign: DataFrame, idCol: String, commCol: String): DataFrame = {
+    val ed = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint(false) // consumers: m count, intra join, degree count
+    val as = assign.select(col(idCol).as("v"), col(commCol).as("c"))
+    val m = ed.count()
+    require(m > 0, "modularity needs a non-empty edge set")
+    val intra = ed
+      .join(as.select(col("v").as("a"), col("c").as("__ca")), "a")
+      .join(as.select(col("v").as("b"), col("c").as("__cb")), "b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("c")).agg(count(lit(1)).as("__lc"))
+    val degC = ed.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("__d"))
+      .join(as, "v")
+      .groupBy(col("c")).agg(sum(col("__d")).as("__dc"))
+    val mD = lit(m.toDouble); val m2D = lit(2.0 * m)
+    val term = col("__lc").cast("double") / mD -
+      (col("__dc").cast("double") / m2D) * (col("__dc").cast("double") / m2D)
+    val out = degC.join(intra, Seq("c"), "left")
+      .na.fill(0L, Seq("__lc"))
+      .select(round(term, 9).cast("decimal(18,9)").as("__t"))
+      .agg(count(lit(1)).as("n_communities"),
+        round(sum(col("__t")).cast("double"), 6).as("modularity"))
+    out.select(lit(m).as("n_edges"), col("n_communities"), col("modularity"))
+    // n_communities counts communities that own ≥ 1 edge endpoint —
+    // singletons with no edges contribute 0 to Q and are excluded,
+    // matching the standard edge-graph formulation
+  }
+
+  /** HITS hubs/authorities (Kleinberg 1999) over a DIRECTED edge list —
+    * on the customer→part purchase graph, hub(c) scores breadth-buyers
+    * and auth(p) scores parts bought by good hubs; the classic bipartite
+    * ranking next to [[pageRank]]'s global centrality.
+    *
+    * Arithmetic contract — INTEGER fixed-point, L1-normalized (the
+    * pageRank discipline; L2 would need a sqrt and break engine
+    * exactness): per iteration, authorities update FIRST from the
+    * previous hubs, then hubs from the NEW authorities (the standard
+    * sequencing):
+    *   a_raw(p) = Σ_{c→p} h(c);  a(p) = a_raw(p)·scale DIV Σa_raw
+    *   h_raw(c) = Σ_{c→p} a(p);  h(c) = h_raw(c)·scale DIV Σh_raw
+    * Each normalized score ≤ scale, so with the default scale 2^20:
+    * raw ≤ indeg·2^20, raw·scale ≤ indeg·2^40 — Long-safe up to ~8M
+    * in-degree; the Σraw totals are Long-safe to ~8·10¹² edges. Raise
+    * the envelope by LOWERING scale (resolution trades against range).
+    *
+    * Scale shape: edges persist once; per iteration ONE rank⋈edge join
+    * + ONE partial-combining aggregate per side, plus a 1-row total
+    * (driver scalar, the dangling-mass pattern). Snapshots
+    * localCheckpoint'ed, previous iteration released. Output:
+    * (kind 'hub'|'auth', id, score_fp), Σscore_fp per kind ≈ scale. */
+  def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      iters: Int = 3, scale: Long = 1L << 20): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcs = e.select(col("src").as("id")).distinct()
+      .localCheckpoint(eager = true)
+    val dsts = e.select(col("dst").as("id")).distinct()
+      .localCheckpoint(eager = true)
+    val nS = srcs.count(); val nD = dsts.count()
+    require(nS > 0 && nD > 0, "hits needs a non-empty edge set")
+    var hubs = srcs.select(col("id"), lit(scale / nS).as("h"))
+      .localCheckpoint(eager = true)
+    var auths: DataFrame = null
+    for (_ <- 0 until iters) {
+      val aRaw = e.join(hubs.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar"))
+      val aTot = aRaw.agg(sum(col("ar"))).first().getLong(0)
+      val aNext = dsts.join(aRaw, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(coalesce(ar, 0L) * ${scale}L) DIV ${aTot}L").as("a"))
+        .localCheckpoint(eager = true)
+      if (auths != null) unpersistCheckpoint(auths)
+      auths = aNext
+      val hRaw = e.join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr"))
+      val hTot = hRaw.agg(sum(col("hr"))).first().getLong(0)
+      val hNext = srcs.join(hRaw, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(coalesce(hr, 0L) * ${scale}L) DIV ${hTot}L").as("h"))
+        .localCheckpoint(eager = true)
+      unpersistCheckpoint(hubs)
+      hubs = hNext
+    }
+    e.unpersist()
+    hubs.select(lit("hub").as("kind"), col("id"), col("h").as("score_fp"))
+      .unionByName(auths.select(lit("auth").as("kind"), col("id"),
+        col("a").as("score_fp")))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected SYMMETRIZED edge list — community detection one rung
+    * cheaper than connected components when the graph is dense: labels
+    * start as vertex ids and each round every vertex adopts its
+    * neighborhood's plurality label. DETERMINISTIC variant: ties break
+    * by (count desc, label asc) and updates are synchronous over a
+    * FIXED `iters` (async/random-order LPA is run-dependent and
+    * unreplayable — the same reasoning that fixed the k-means and
+    * pageRank iteration counts). Isolated vertices keep their label.
+    *
+    * Scale shape: per iteration ONE label⋈edge join + ONE
+    * (dst, label) partial-combining count + a neighborhood-bounded
+    * window (partitioned by vertex — never global); frontiers
+    * localCheckpoint'ed with the previous round released. Output:
+    * (idCol, label). */
+  def labelPropagation(vertices: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val counts = e.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("__n").desc, col("label").asc)
+      val pick = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("label").as("__new"))
+      val next = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint(eager = true)
+      unpersistCheckpoint(labels)
+      labels = next
+    }
+    e.unpersist()
+    labels.select(col("id").as(idCol), col("label"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)

@@ -292,6 +292,84 @@ object Profile {
       min(col("__n")).as("min_group_size"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the companion to
+    * [[kAnonymity]]: k-anonymity bounds GROUP SIZE, but a size-k group
+    * whose sensitive attribute is constant still leaks it (the homogeneity
+    * attack). Per QI group: the distinct sensitive-value count (distinct
+    * l-diversity) and exp of the sensitive-distribution entropy (entropy
+    * l-diversity); the release gate reads the corpus minima.
+    *
+    * Determinism: each group×value entropy term −p·ln p is rounded to
+    * 9 dp and summed as DECIMAL (the lmEntropyRate discipline), so the
+    * group entropies are combine-order-stable; exp(min H) = min exp(H)
+    * by monotonicity, so ONE exp call on the exact decimal minimum.
+    *
+    * Scale shape: one (QI, sensitive) partial-combining count shuffle —
+    * rows after it are n_groups × |S|, never data-scaled — then a
+    * window over the QI partition (bounded by |S|) and one group-sized
+    * rollup. No join touches the fact table twice.
+    * Output: one row (n_groups, distinct_l, n_groups_below_l,
+    * entropy_l ← round 6). */
+  def lDiversity(df: DataFrame, quasiIds: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    val qi = quasiIds.map(col)
+    val gs = df.groupBy((quasiIds :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(qi: _*)
+    val withN = gs.withColumn("__n", sum(col("__c")).over(w))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    val per = withN
+      .withColumn("__term",
+        round((lit(0.0) - p) * log(p), 9).cast("decimal(18,9)"))
+      .groupBy(qi: _*)
+      .agg(count(lit(1)).as("__d"), sum(col("__term")).as("__h"))
+    per.agg(count(lit(1)).as("n_groups"),
+      min(col("__d")).as("distinct_l"),
+      sum(when(col("__d") < l, 1L).otherwise(0L)).as("n_groups_below_l"),
+      round(exp(min(col("__h")).cast("double")), 6).as("entropy_l"))
+  }
+
+  /** t-closeness audit (Li et al. 2007) — the third rung of the release
+    * ladder: even an l-diverse group leaks when its sensitive
+    * DISTRIBUTION skews far from the corpus-wide one. For a nominal
+    * sensitive attribute the distance is total variation:
+    *   tvd(g) = ½ Σ_s |c_gs/n_g − c_s/N|
+    * summed over the FULL sensitive domain (values absent from the
+    * group contribute their global mass — hence the group×domain grid
+    * below, not a raw left join of observed pairs only).
+    *
+    * Determinism: per-(group, value) |Δp| is rounded to 9 dp and summed
+    * as DECIMAL; the ½ and the headline round-6 happen after the exact
+    * sum.
+    *
+    * Scale shape: one (QI, sensitive) count shuffle + one sensitive-only
+    * count (both partial-combining); the grid is n_groups × |S| rows —
+    * |S| is bounded by contract (a nominal sensitive attribute), so the
+    * grid cross join is group-table-sized, never fact-scaled, and the
+    * global distribution broadcasts as |S| rows.
+    * Output: one row (n_groups, max_tvd ← round 6, n_groups_above_t). */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String], sensitiveCol: String,
+      t: Double): DataFrame = {
+    val qi = quasiIds.map(col)
+    val gs = df.groupBy((quasiIds :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val gTot = gs.groupBy(qi: _*).agg(sum(col("__c")).as("__n"))
+    val glob = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__cs"))
+    val nTot = df.count()
+    val grid = gTot.crossJoin(broadcast(glob))
+      .join(gs, quasiIds :+ sensitiveCol, "left")
+      .na.fill(0L, Seq("__c"))
+    val dp = abs(col("__c").cast("double") / col("__n").cast("double") -
+      col("__cs").cast("double") / lit(nTot.toDouble))
+    val per = grid
+      .withColumn("__term", round(dp, 9).cast("decimal(18,9)"))
+      .groupBy(qi: _*).agg(sum(col("__term")).as("__s"))
+      .withColumn("__tvd", col("__s").cast("double") / lit(2.0))
+    per.agg(count(lit(1)).as("n_groups"),
+      round(max(col("__tvd")), 6).as("max_tvd"),
+      sum(when(col("__tvd") > t, 1L).otherwise(0L)).as("n_groups_above_t"))
+  }
+
   /** Wilson score lower bound per group: the ranking-safe success rate
     * for (successes k of n trials) at confidence z —
     *   (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).

@@ -905,4 +905,94 @@ object Similarity {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(topN)
   }
+
+  /** Simplified silhouette per cluster (Hruschka et al. 2004's
+    * centroid form of Rousseeuw '87): for each vector, a = cosine
+    * distance to its OWN centroid, b = distance to the nearest OTHER
+    * centroid, s = (b − a) / max(a, b) — the clustering-quality audit
+    * that closes the k-means family (fit q89 → assignment → quality).
+    * The centroid form is the 100 TB formulation: the classic pairwise
+    * silhouette is O(n²) per cluster; against k literal centroids it is
+    * a map-only pass (the `ivfCell` expression, extended to keep the
+    * runner-up) plus ONE k-row aggregation.
+    *
+    * Determinism: per-cell sims are the same literal-centroid cosine
+    * `ivfCell`/q89's oracle replays; the per-cell mean folds s through
+    * 2^40 fixed-point sums (the q80 construction) so partitioning
+    * can't reorder double adds. max(a,b) = 0 (vector identical to two
+    * centroids) scores s = 0.
+    * Output: (cell, n, mean_silhouette) per non-empty cell. */
+  def silhouette(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    require(centroids.sizeIs >= 2, "silhouette needs k >= 2 centroids")
+    val fix = (1L << 40).toDouble
+    val sorted = reverse(array_sort(array(cellStructs(col(vecCol), centroids): _*)))
+    val top = element_at(sorted, 1)
+    val second = element_at(sorted, 2)
+    val a = lit(1.0) - top.getField("sim")
+    val b = lit(1.0) - second.getField("sim")
+    val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b))
+      .otherwise(lit(0.0))
+    emb.select((lit(0) - top.getField("negcid")).as("cell"), s.as("__s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("__s") * fix).cast("decimal(20,0)"))
+          .cast("double") / fix / count(lit(1)), 6).as("mean_silhouette"))
+      .orderBy(col("cell"))
+  }
+
+  /** Davies–Bouldin index per cluster (Davies & Bouldin '79, cosine-
+    * distance form): S_i = mean distance of cell members to their
+    * centroid, M_ij = distance between centroids, R_i = max_{j≠i}
+    * (S_i + S_j) / M_ij — low R_i = compact and well-separated. The
+    * companion audit to [[silhouette]] that reads separation from the
+    * CENTROID geometry (k² driver-small pairs) instead of the runner-up
+    * assignment.
+    *
+    * Scale shape: one map-only assignment pass + one k-row aggregation;
+    * the M matrix is computed on the DRIVER from the k literal centroids
+    * (k² doubles — model-sized by construction, the mmrRerank driver-
+    * fold discipline: ascending-index double ops replay exactly in any
+    * engine) and folds back in as a literal k²-row frame. Coincident
+    * centroids (M_ij = 0) are excluded from the max — documented, both
+    * engines alike; cells left empty by the fit don't appear (no S).
+    * Output: (cell, n, s_intra, r_db) per non-empty cell. */
+  def daviesBouldin(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    require(centroids.sizeIs >= 2, "daviesBouldin needs k >= 2 centroids")
+    val fix = (1L << 40).toDouble
+    val sorted = reverse(array_sort(array(cellStructs(col(vecCol), centroids): _*)))
+    val top = element_at(sorted, 1)
+    val sIntra = emb
+      .select((lit(0) - top.getField("negcid")).as("cell"),
+        (lit(1.0) - top.getField("sim")).as("__d"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("__d") * fix).cast("decimal(20,0)"))
+          .cast("double") / fix / count(lit(1))).as("__s"))
+      .localCheckpoint(false) // read by the pair join twice
+    def cosD(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      1.0 - dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val m = for {
+      (i, ci) <- centroids; (j, cj) <- centroids if i != j
+    } yield (i, j, cosD(ci, cj))
+    val mDf = broadcast(emb.sparkSession.createDataFrame(m)
+      .toDF("cell", "__j", "__m").filter(col("__m") > 0))
+    val r = sIntra.join(mDf, Seq("cell"))
+      .join(sIntra.select(col("cell").as("__j"), col("__s").as("__sj")), Seq("__j"))
+      .groupBy(col("cell"))
+      .agg(max((col("__s") + col("__sj")) / col("__m")).as("__r"))
+    sIntra.join(r, Seq("cell"))
+      .select(col("cell"), col("n"), round(col("__s"), 6).as("s_intra"),
+        round(col("__r"), 6).as("r_db"))
+      .orderBy(col("cell"))
+  }
 }

@@ -1707,4 +1707,43 @@ object TextStats {
         round(min(col("__rho")), 6).as("min_rho"),
         round(max(col("__rho")), 6).as("max_rho"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): build the
+    * word co-occurrence graph — an undirected edge between candidate
+    * words appearing within `window` positions of each other in a
+    * document — and rank vertices with [[Graph.pageRank]]'s integer
+    * fixed-point recursion. Candidates are words of length ≥ `minLen`
+    * (the length heuristic standing in for the paper's POS filter —
+    * deterministic and language-agnostic); edges are DISTINCT pairs
+    * (unweighted, the paper's base formulation) canonicalized
+    * (least, greatest) then symmetrized.
+    *
+    * Scale shape: each window offset d ∈ [1, window] is an EQUI-join of
+    * the position-indexed token table with itself on (doc, pos + d) —
+    * no theta join, no per-doc explosion; the distinct is one shuffle
+    * on the edge key; PageRank's per-iteration cost is the documented
+    * one-join-one-agg shape. Top-`topK` by (rank desc, word asc).
+    * Output: (word, rank_fp). */
+  def textRankKeywords(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 4, window: Int = 2, iters: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(window >= 1 && topK >= 1, "window >= 1, topK >= 1")
+    val t = df.select(col(idCol).as("__doc"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("__pos", "__w")))
+      .filter(length(col("__w")) >= minLen)
+      .localCheckpoint(eager = true) // read by window self-joins + vertices
+    val edges = (1 to window).map { d =>
+        t.select(col("__doc"), col("__pos"), col("__w").as("__wa"))
+          .join(t.select(col("__doc"), (col("__pos") - d).as("__pos"),
+            col("__w").as("__wb")), Seq("__doc", "__pos"))
+          .filter(col("__wa") =!= col("__wb"))
+          .select(least(col("__wa"), col("__wb")).as("src"),
+            greatest(col("__wa"), col("__wb")).as("dst"))
+      }.reduce(_ unionByName _).distinct()
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val verts = t.select(col("__w").as("word")).distinct()
+    Graph.pageRank(verts, "word", sym, iters = iters)
+      .orderBy(col("rank_fp").desc, col("word")).limit(topK)
+  }
 }

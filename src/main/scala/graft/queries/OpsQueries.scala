@@ -552,6 +552,107 @@ object OpsQueries {
        |SELECT id AS doc_id, rank AS rank_fp FROM r$iters ORDER BY doc_id"""
       .stripMargin
 
+  /** q411 oracle: `TextStats.textRankKeywords` replayed — candidate
+    * tokens (length ≥ minLen) keeping ORIGINAL positions, DISTINCT
+    * canonical co-occurrence edges at offsets 1..window, then the
+    * pageRankStepCtes recursion re-based on the word vertex set. */
+  private def textRankSql(iters: Int, minLen: Int, window: Int,
+      topK: Int, scale: Long = 1L << 40): String = {
+    val offs = (1 to window).map(d =>
+        s"""SELECT a.w AS wa, b.w AS wb FROM wpos a JOIN wpos b
+           |          ON a.doc_id = b.doc_id AND b.pos = a.pos + $d""".stripMargin)
+      .mkString("\n        UNION ALL ")
+    val head =
+      s"""tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+         |px AS (SELECT doc_id, tk, CAST(unnest(range(len(tk))) AS INTEGER) AS pos FROM tk),
+         |wpos AS (SELECT doc_id, pos, tk[pos + 1] AS w FROM px
+         |         WHERE length(tk[pos + 1]) >= $minLen),
+         |cand AS ($offs),
+         |ed AS (SELECT DISTINCT least(wa, wb) AS src, greatest(wa, wb) AS dst
+         |       FROM cand WHERE wa <> wb),
+         |sym AS (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed),
+         |wv AS (SELECT DISTINCT w AS id FROM wpos),
+         |od AS (SELECT src, count(*) AS odeg FROM sym GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM wv),
+         |r0 AS (SELECT id, CAST($scale // n AS BIGINT) AS rank FROM wv CROSS JOIN nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r$p r
+         |        LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL),
+         |c$i AS (SELECT r.id AS src, r.rank // od.odeg AS c
+         |        FROM r$p r JOIN od ON r.id = od.src),
+         |m$i AS (SELECT s.dst AS id, sum(c.c) AS im
+         |        FROM sym s JOIN c$i c USING (src) GROUP BY s.dst),
+         |r$i AS (SELECT v.id,
+         |          CAST((15 * ($scale // nn.n)) // 100 +
+         |               (85 * (coalesce(m.im, 0) + ((SELECT dm FROM d$i) // nn.n))) // 100
+         |            AS BIGINT) AS rank
+         |        FROM r0 v LEFT JOIN m$i m USING (id) CROSS JOIN nn)""".stripMargin
+    }
+    s"""WITH ${(head +: steps).mkString(",\n")}
+       |SELECT id AS word, rank AS rank_fp FROM r$iters
+       |ORDER BY rank_fp DESC, word LIMIT $topK""".stripMargin
+  }
+
+  /** q405 oracle: `Graph.hits` replayed — the pageRank unrolling pattern
+    * with BOTH half-steps per iteration (authorities from previous hubs,
+    * then hubs from the NEW authorities) and the L1 renormalization's
+    * 1-row total as a scalar subquery. All-BIGINT floor division on
+    * positive operands == Spark's `DIV`. */
+  private def hitsSql(iters: Int, scale: Long): String = {
+    val head =
+      s"""e AS (SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+         |      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |ss AS (SELECT DISTINCT src AS id FROM e),
+         |dd AS (SELECT DISTINCT dst AS id FROM e),
+         |h0 AS (SELECT id, CAST($scale // (SELECT count(*) FROM ss) AS BIGINT) AS h
+         |       FROM ss)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""ar$i AS (SELECT e.dst AS id, sum(h.h) AS ar
+         |        FROM e JOIN h$p h ON e.src = h.id GROUP BY 1),
+         |a$i AS (SELECT d.id,
+         |        CAST((coalesce(ar, 0) * $scale) // (SELECT sum(ar) FROM ar$i)
+         |          AS BIGINT) AS a
+         |        FROM dd d LEFT JOIN ar$i USING (id)),
+         |hr$i AS (SELECT e.src AS id, sum(a.a) AS hr
+         |        FROM e JOIN a$i a ON e.dst = a.id GROUP BY 1),
+         |h$i AS (SELECT s.id,
+         |        CAST((coalesce(hr, 0) * $scale) // (SELECT sum(hr) FROM hr$i)
+         |          AS BIGINT) AS h
+         |        FROM ss s LEFT JOIN hr$i USING (id))""".stripMargin
+    }
+    s"""WITH ${(head +: steps).mkString(",\n")}
+       |SELECT 'hub' AS kind, id, h AS score_fp FROM h$iters
+       |UNION ALL
+       |SELECT 'auth' AS kind, id, a AS score_fp FROM a$iters
+       |ORDER BY kind, id""".stripMargin
+  }
+
+  /** q406 oracle: `Graph.labelPropagation` replayed — per round a
+    * neighbor-label count and a (count desc, label asc) plurality pick
+    * via row_number, isolated vertices carried by the left join. */
+  private def lpaSql(iters: Int): String = {
+    val head =
+      s"""$minhashCtes,
+         |ed AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM ed
+         |        UNION ALL SELECT id_b, id_a FROM ed),
+         |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""c$i AS (SELECT s.dst AS id, l.label, count(*) AS n
+         |        FROM sym s JOIN l$p l ON s.src = l.id GROUP BY 1, 2),
+         |p$i AS (SELECT id, label FROM (SELECT id, label, row_number() OVER
+         |          (PARTITION BY id ORDER BY n DESC, label ASC) AS rn FROM c$i)
+         |        WHERE rn = 1),
+         |l$i AS (SELECT l.id, coalesce(p.label, l.label) AS label
+         |        FROM l$p l LEFT JOIN p$i p USING (id))""".stripMargin
+    }
+    s"""WITH ${(head +: steps).mkString(",\n")}
+       |SELECT id AS doc_id, label FROM l$iters ORDER BY doc_id""".stripMargin
+  }
+
   /** q365's stopword list (all four marker languages), shared by the
     * Spark query and its oracle. */
   private val rakeStops =
@@ -11879,7 +11980,319 @@ object OpsQueries {
            |    THEN round(5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r), 6)
            |    ELSE 0.0::DOUBLE END AS chrf, chr_p, chr_r
            |FROM j""".stripMargin
-      }))
+      }),
+
+    // ─── l-diversity audit (homogeneity-attack screen next to q248) ─────
+    // Same QI tuple as the k-anonymity gate; sensitive attribute =
+    // source (|S| = 20, nominal). Entropy terms are 9-dp fixed point
+    // summed as DECIMAL; exp(min H) = min exp(H) by monotonicity.
+    "q402_l_diversity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val qi = Tables.documents(s, dir)
+          .withColumn("len_decile",
+            ntile(10).over(Window.orderBy($"n_chars", $"doc_id")))
+        Profile.lDiversity(qi, Seq("lang", "len_decile"), "source", l = 5L)
+      },
+      Some("""WITH qi AS (SELECT lang,
+             |        CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS len_decile,
+             |        source FROM documents),
+             |gs AS (SELECT lang, len_decile, source, count(*) AS c
+             |      FROM qi GROUP BY 1, 2, 3),
+             |wn AS (SELECT *, sum(c) OVER (PARTITION BY lang, len_decile) AS n
+             |      FROM gs),
+             |per AS (SELECT lang, len_decile, count(*) AS d,
+             |        sum(CAST(round((0.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+             |            ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             |          AS DECIMAL(18,9))) AS h
+             |      FROM wn GROUP BY 1, 2)
+             |SELECT count(*) AS n_groups, min(d) AS distinct_l,
+             |  sum(CASE WHEN d < 5 THEN 1 ELSE 0 END)::BIGINT AS n_groups_below_l,
+             |  round(exp(CAST(min(h) AS DOUBLE)), 6) AS entropy_l
+             |FROM per""".stripMargin)),
+
+    // ─── t-closeness audit (distribution-skew screen, third rung) ───────
+    // Nominal sensitive attribute ⇒ total-variation distance over the
+    // FULL source domain per QI group (absent values contribute their
+    // global mass via the group×domain grid).
+    "q403_t_closeness" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val qi = Tables.documents(s, dir)
+          .withColumn("len_decile",
+            ntile(10).over(Window.orderBy($"n_chars", $"doc_id")))
+        Profile.tCloseness(qi, Seq("lang", "len_decile"), "source", t = 0.5)
+      },
+      Some("""WITH qi AS (SELECT lang,
+             |        CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS len_decile,
+             |        source FROM documents),
+             |gs AS (SELECT lang, len_decile, source, count(*) AS c
+             |      FROM qi GROUP BY 1, 2, 3),
+             |gt AS (SELECT lang, len_decile, sum(c) AS n FROM gs GROUP BY 1, 2),
+             |gl AS (SELECT source, count(*) AS cs FROM documents GROUP BY 1),
+             |nt AS (SELECT count(*) AS nn FROM documents),
+             |grid AS (SELECT gt.lang, gt.len_decile, gt.n, gl.source, gl.cs,
+             |        coalesce(gs.c, 0) AS c
+             |      FROM gt CROSS JOIN gl LEFT JOIN gs
+             |        ON gs.lang = gt.lang AND gs.len_decile = gt.len_decile
+             |       AND gs.source = gl.source),
+             |per AS (SELECT lang, len_decile,
+             |        CAST(sum(CAST(round(abs(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) -
+             |            CAST(cs AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+             |          AS DECIMAL(18,9))) AS DOUBLE) / 2.0 AS tvd
+             |      FROM grid CROSS JOIN nt GROUP BY 1, 2)
+             |SELECT count(*) AS n_groups, round(max(tvd), 6) AS max_tvd,
+             |  sum(CASE WHEN tvd > 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_groups_above_t
+             |FROM per""".stripMargin)),
+
+    // ─── Newman modularity of the CC partition of the near-dup graph ────
+    // Composes the gated q25 pair chain and q70 clustering, then scores
+    // the partition: is the dup structure real or random wiring?
+    "q404_modularity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+          .localCheckpoint(false) // consumed by CC AND as the edge list
+        val cc = Dedup.connectedComponents(docs.select($"doc_id"), "doc_id",
+          pairs.select($"id_a", $"id_b"))
+        Graph.modularity(pairs, "id_a", "id_b", cc, "id", "label")
+      },
+      Some(s"""WITH RECURSIVE $clusterCtes,
+             |ed AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+             |mm AS (SELECT count(*) AS m FROM ed),
+             |intra AS (SELECT ca.cluster_id AS c, count(*) AS lc
+             |      FROM ed JOIN cl ca ON ed.id_a = ca.doc_id
+             |              JOIN cl cb ON ed.id_b = cb.doc_id
+             |      WHERE ca.cluster_id = cb.cluster_id GROUP BY 1),
+             |dg AS (SELECT v, count(*) AS d FROM (
+             |        SELECT id_a AS v FROM ed
+             |        UNION ALL SELECT id_b FROM ed) GROUP BY 1),
+             |degc AS (SELECT cl.cluster_id AS c, sum(dg.d) AS dc
+             |      FROM dg JOIN cl ON dg.v = cl.doc_id GROUP BY 1),
+             |per AS (SELECT CAST(round(
+             |          CAST(coalesce(lc, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE) -
+             |          (CAST(dc AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE))) *
+             |          (CAST(dc AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE))), 9)
+             |        AS DECIMAL(18,9)) AS t
+             |      FROM degc LEFT JOIN intra ON degc.c = intra.c CROSS JOIN mm)
+             |SELECT (SELECT m FROM mm)::BIGINT AS n_edges,
+             |  count(*) AS n_communities,
+             |  round(CAST(sum(t) AS DOUBLE), 6) AS modularity
+             |FROM per""".stripMargin)),
+
+    // ─── HITS hubs/authorities on the customer→part purchase graph ──────
+    // Bipartite mutual reinforcement (breadth-buyers ↔ widely-bought
+    // parts) — integer fixed-point, L1-normalized; oracle unrolls both
+    // half-steps per iteration.
+    "q405_hits" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+          .join(Tables.lineitem(s, dir)
+            .select($"l_orderkey".as("o_orderkey"), $"l_partkey"),
+            "o_orderkey")
+          .select($"o_custkey".as("src"), $"l_partkey".as("dst"))
+          .distinct()
+        Graph.hits(e, iters = 3, scale = 1L << 20)
+          .orderBy($"kind", $"id")
+      },
+      Some(hitsSql(iters = 3, scale = 1L << 20))),
+
+    // ─── deterministic synchronous label propagation communities ────────
+    // The cheap community pass next to q70's exact CC: plurality labels,
+    // (count desc, label asc) tie-break, 3 synchronous rounds.
+    "q406_label_propagation" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.5)
+        val sym = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+          .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+        Graph.labelPropagation(docs.select($"doc_id"), "doc_id", sym,
+            iters = 3)
+          .orderBy($"doc_id")
+      },
+      Some(lpaSql(iters = 3))),
+
+    // ─── SQuAD-style eval: exact-match rate + mean token F1 ─────────────
+    // Same adjacent-doc eval pairing as q397/q400; F1 is the q397 n=1
+    // per-pair value, EM compares whitespace-normalized strings.
+    "q407_squad_eval" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = docs.select($"doc_id", $"text".as("cand"))
+          .join(docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("ref")),
+            "doc_id")
+        EvalMetrics.squadEval(pairs, "doc_id", "cand", "ref")
+      },
+      Some("""WITH p AS (SELECT a.doc_id, lower(a.text) AS cand,
+             |        lower(b.text) AS ref
+             |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+             |cg AS (SELECT doc_id, g, count(*) AS c FROM (
+             |        SELECT doc_id, unnest(string_split(cand, ' ')) AS g
+             |        FROM p) GROUP BY 1, 2),
+             |rg AS (SELECT doc_id, g, count(*) AS c FROM (
+             |        SELECT doc_id, unnest(string_split(ref, ' ')) AS g
+             |        FROM p) GROUP BY 1, 2),
+             |ov AS (SELECT cg.doc_id, CAST(sum(least(cg.c, rg.c)) AS BIGINT) AS ov
+             |      FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.g = rg.g
+             |      GROUP BY 1),
+             |ct AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nc FROM cg GROUP BY 1),
+             |rt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nr FROM rg GROUP BY 1),
+             |f AS (SELECT p.doc_id,
+             |        CASE WHEN coalesce(ov, 0) > 0 THEN round(
+             |          2.0 * (CAST(ov AS DOUBLE) / CAST(nc AS DOUBLE)) *
+             |            (CAST(ov AS DOUBLE) / CAST(nr AS DOUBLE)) /
+             |            (CAST(ov AS DOUBLE) / CAST(nc AS DOUBLE) +
+             |             CAST(ov AS DOUBLE) / CAST(nr AS DOUBLE)), 6)
+             |        ELSE 0.0::DOUBLE END AS f1,
+             |        CASE WHEN regexp_replace(trim(cand), '\s+', ' ', 'g') =
+             |          regexp_replace(trim(ref), '\s+', ' ', 'g')
+             |          THEN 1 ELSE 0 END AS em
+             |      FROM p LEFT JOIN ct USING (doc_id)
+             |        LEFT JOIN rt USING (doc_id) LEFT JOIN ov USING (doc_id))
+             |SELECT count(*) AS n_pairs, sum(em)::BIGINT AS n_exact,
+             |  round(CAST(sum(em) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             |    AS em_rate,
+             |  round(CAST(sum(CAST(f1 AS DECIMAL(18,6))) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 6) AS mean_f1
+             |FROM f""".stripMargin)),
+
+    // ─── WordPiece fertility per language (BERT-style greedy tokenizer) ─
+    // Frequency-first vocab (all singles + top-20 multis, len ≤ 4), then
+    // greedy longest-match over DISTINCT words; oracle replays the greedy
+    // loop as a recursive CTE with the 4 match lengths unrolled.
+    "q408_wordpiece_fertility" -> Q(
+      (s, dir) =>
+        Wordpiece.fertility(Tables.documents(s, dir), "lang", "text",
+          maxLen = 4, topMulti = 20),
+      Some {
+        def unit(l: Int) =
+          s"(CASE WHEN pos = 1 THEN substr(word, pos, $l) " +
+            s"ELSE '##' || substr(word, pos, $l) END)"
+        val best = (4 to 2 by -1).map { l =>
+          s"WHEN pos + ${l - 1} <= len AND ${unit(l)} IN " +
+            s"(SELECT unit FROM vocab) THEN $l"
+        }.mkString("\n             |          ")
+        s"""WITH RECURSIVE
+           |wc AS (SELECT lang, word, count(*)::BIGINT AS freq FROM (
+           |        SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+           |        FROM documents) WHERE length(word) > 0 GROUP BY 1, 2),
+           |wf AS (SELECT word, sum(freq)::BIGINT AS freq FROM wc GROUP BY 1),
+           |idx AS (SELECT unnest(range(1,
+           |          (SELECT max(length(word)) FROM wf) + 1))::INTEGER AS i),
+           |lens AS (SELECT unnest([1, 2, 3, 4]) AS l),
+           |units AS (SELECT CASE WHEN i = 1 THEN substr(word, i, l)
+           |          ELSE '##' || substr(word, i, l) END AS unit,
+           |        l, sum(freq) AS cnt
+           |      FROM wf JOIN idx ON i <= length(word)
+           |        JOIN lens ON i + l - 1 <= length(word)
+           |      GROUP BY 1, 2),
+           |vocab AS (SELECT DISTINCT unit FROM (
+           |        SELECT unit FROM units WHERE l = 1
+           |        UNION ALL
+           |        SELECT unit FROM (SELECT unit FROM units WHERE l >= 2
+           |          ORDER BY cnt DESC, unit ASC LIMIT 20))),
+           |seg AS (SELECT word, length(word) AS len, 1 AS pos,
+           |          0::BIGINT AS ntok FROM wf
+           |      UNION ALL
+           |      SELECT word, len,
+           |        pos + CASE
+           |          $best
+           |          ELSE 1 END,
+           |        ntok + 1
+           |      FROM seg WHERE pos <= len),
+           |done AS (SELECT word, ntok AS n_tokens FROM seg WHERE pos > len)
+           |SELECT lang, sum(freq)::BIGINT AS n_words,
+           |  sum(freq * n_tokens)::BIGINT AS n_tokens,
+           |  round(CAST(sum(freq * n_tokens) AS DOUBLE) /
+           |    CAST(sum(freq) AS DOUBLE), 6) AS fertility,
+           |  round(CAST(sum(CASE WHEN n_tokens = 1 THEN freq ELSE 0 END)
+           |      AS DOUBLE) / CAST(sum(freq) AS DOUBLE), 6)
+           |    AS single_token_share
+           |FROM wc JOIN done USING (word) GROUP BY lang""".stripMargin
+      }),
+
+    // ─── simplified silhouette over the gated k-means fit ───────────────
+    // Clustering-quality audit closing the q89 family: per-vector own-
+    // centroid vs runner-up-centroid cosine distance, centroid O(nk)
+    // form (the pairwise O(n²) silhouette's 100 TB substitute). The
+    // oracle replays the fit via KmeansOracle.ctes, ranks sfin per
+    // vector, and folds s through the same 2^40 fixed-point mean.
+    "q409_silhouette" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          k = 8, iters = 2)
+        Similarity.silhouette(emb, "vec_id", "embedding", cents)
+      },
+      Some(s"""WITH ${KmeansOracle.ctes(k = 8, iters = 2, dim = 64)},
+              |srt AS (SELECT vec_id, cell, csim, row_number() OVER
+              |          (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+              |        FROM sfin),
+              |ab AS (SELECT x1.vec_id, x1.cell,
+              |         1.0::DOUBLE - x1.csim AS a, 1.0::DOUBLE - x2.csim AS b
+              |       FROM srt x1 JOIN srt x2
+              |         ON x1.vec_id = x2.vec_id AND x1.rn = 1 AND x2.rn = 2),
+              |sv AS (SELECT cell, CASE WHEN greatest(a, b) > 0
+              |         THEN (b - a) / greatest(a, b) ELSE 0.0::DOUBLE END AS s
+              |       FROM ab)
+              |SELECT cell, count(*)::BIGINT AS n,
+              |  round(CAST(sum(CAST(round(s * 1099511627776::DOUBLE) AS BIGINT)) AS DOUBLE)
+              |    / 1099511627776::DOUBLE / count(*), 6) AS mean_silhouette
+              |FROM sv GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    // ─── Davies–Bouldin index over the same fit ─────────────────────────
+    // Separation read from centroid geometry: S_i = fixed-point mean
+    // member distance, M_ij = driver-literal centroid distance matrix,
+    // R_i = max_{j≠i} (S_i+S_j)/M_ij. Oracle recomputes M from c2's
+    // double-widened centroid lists with the identical ascending fold.
+    "q410_davies_bouldin" -> Q(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          k = 8, iters = 2)
+        Similarity.daviesBouldin(emb, "vec_id", "embedding", cents)
+      },
+      Some {
+        val cosCc =
+          """list_reduce(list_transform(list_zip(a.cvec, b.cvec), x -> x[1]::DOUBLE * x[2]::DOUBLE), (p,q) -> p+q) /
+            |  (sqrt(list_reduce(list_transform(a.cvec, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)) *
+            |   sqrt(list_reduce(list_transform(b.cvec, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)))""".stripMargin
+        s"""WITH ${KmeansOracle.ctes(k = 8, iters = 2, dim = 64)},
+           |ad AS (SELECT a.vec_id, a.cell, 1.0::DOUBLE - s.csim AS d
+           |       FROM afin a JOIN sfin s
+           |         ON s.vec_id = a.vec_id AND s.cell = a.cell),
+           |si AS (SELECT cell, count(*)::BIGINT AS n,
+           |         CAST(sum(CAST(round(d * 1099511627776::DOUBLE) AS BIGINT)) AS DOUBLE)
+           |           / 1099511627776::DOUBLE / count(*) AS s
+           |       FROM ad GROUP BY cell),
+           |mm AS (SELECT a.cell AS cell, b.cell AS cj,
+           |         1.0::DOUBLE - ($cosCc) AS m
+           |       FROM c2 a JOIN c2 b ON a.cell <> b.cell),
+           |rr AS (SELECT si.cell, max((si.s + sj.s) / mm.m) AS r
+           |       FROM si JOIN mm ON mm.cell = si.cell AND mm.m > 0
+           |         JOIN si sj ON sj.cell = mm.cj
+           |       GROUP BY si.cell)
+           |SELECT si.cell, si.n, round(si.s, 6) AS s_intra, round(rr.r, 6) AS r_db
+           |FROM si JOIN rr USING (cell) ORDER BY cell""".stripMargin
+      }),
+
+    // ─── TextRank keywords (co-occurrence graph + gated PageRank) ───────
+    // Mihalcea & Tarau '04 over the documents table: length-≥4 candidate
+    // words, distinct canonical window-2 co-occurrence edges, 3 integer
+    // fixed-point PageRank rounds, top-20 (rank desc, word asc).
+    "q411_textrank" -> Q(
+      (s, dir) =>
+        TextStats.textRankKeywords(Tables.documents(s, dir), "doc_id", "text",
+          minLen = 4, window = 2, iters = 3, topK = 20),
+      Some(textRankSql(iters = 3, minLen = 4, window = 2, topK = 20))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

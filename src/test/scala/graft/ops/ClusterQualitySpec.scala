@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** `Similarity.silhouette` / `Similarity.daviesBouldin` unit contracts:
+  * hand-computed values on orthogonal-centroid fixtures (where cosine
+  * distances are exact decimals), tie-break-to-lower-cell assignment,
+  * and partition invariance of the fixed-point means. */
+class ClusterQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // two orthogonal unit centroids: cos to each is the matching coordinate
+  private val cents: Seq[(Int, Array[Float])] =
+    Seq(0 -> Array(1f, 0f), 1 -> Array(0f, 1f))
+
+  private def emb(vs: (Long, Array[Float])*) =
+    vs.toDF("vec_id", "embedding")
+
+  test("silhouette: exact members score 1, an equidistant tie scores 0") {
+    // v1=(1,0): a=0, b=1 → s=1 in cell 0; v2=(0,1): s=1 in cell 1;
+    // v3=(1,1)/√2: cos = √2/2 to BOTH → tie → cell 0, a=b → s=0
+    val df = emb(1L -> Array(1f, 0f), 2L -> Array(0f, 1f),
+      3L -> Array(1f, 1f))
+    val got = Similarity.silhouette(df, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((0, 2L, 0.5), (1, 1L, 1.0)))
+  }
+
+  test("silhouette is invariant under repartitioning") {
+    val df = emb((1L to 12L).map(i =>
+      i -> Array((i % 3).toFloat + 0.25f, (i % 4).toFloat + 0.5f)): _*)
+    val a = Similarity.silhouette(df, "vec_id", "embedding", cents).collect().toSeq
+    val b = Similarity.silhouette(df.repartition(7), "vec_id", "embedding", cents)
+      .collect().toSeq
+    assert(a === b)
+  }
+
+  test("daviesBouldin: hand-computed S and R on orthogonal centroids") {
+    // M01 = 1 - 0 = 1. v1=(1,0): d=0; v2=(0.8,0.6): cos to c0 = 0.8 → cell
+    // 0, d=0.2; v3=(0,1): d=0. S0 = 0.1, S1 = 0, R0 = R1 = (0.1+0)/1
+    val df = emb(1L -> Array(1f, 0f), 2L -> Array(0.8f, 0.6f),
+      3L -> Array(0f, 1f))
+    val got = Similarity.daviesBouldin(df, "vec_id", "embedding", cents)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got === Seq((0, 2L, 0.1, 0.1), (1, 1L, 0.0, 0.1)))
+  }
+
+  test("daviesBouldin excludes coincident centroids from the max") {
+    // duplicate centroid 2 == centroid 0: M02 = 0 must not divide; the
+    // max for cell 0 comes from centroid 1 only
+    val dup = cents :+ (2 -> Array(1f, 0f))
+    val df = emb(1L -> Array(1f, 0f), 2L -> Array(0f, 1f))
+    // tie cos(v1)=1 to cells 0 AND 2 → lower cell 0 wins; cell 2 empty
+    val got = Similarity.daviesBouldin(df, "vec_id", "embedding", dup)
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(got.keySet === Set(0, 1))
+    assert(got(0) === 0.0 && got(1) === 0.0) // S both 0, M01 = 1
+  }
+}
+
+/** `TextStats.textRankKeywords` contract: hub word outranks spokes,
+  * short words are filtered but HOLD their original positions (a
+  * filtered word does not shrink the window), determinism. */
+class TextRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hub word outranks the spokes") {
+    val docs = Seq((1L, "hubx aaaa hubx bbbb hubx cccc hubx dddd"))
+      .toDF("doc_id", "text")
+    val got = TextStats.textRankKeywords(docs, "doc_id", "text",
+      minLen = 4, window = 2, iters = 3, topK = 5).collect()
+    assert(got.head.getString(0) === "hubx")
+    assert(got.length === 5)
+    // ranks descend, ties broken by word
+    val ranks = got.map(_.getLong(1)).toSeq
+    assert(ranks === ranks.sorted.reverse)
+  }
+
+  test("filtered short words keep original positions (no window shrink)") {
+    // 'bb' is filtered; aaaa(0) and cccc(2) are 2 apart → edge exists;
+    // in the 4-token doc they are 3 apart → no edge, both isolated
+    def ranks(text: String) =
+      TextStats.textRankKeywords(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 4, window = 2, iters = 1, topK = 5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val linked = ranks("aaaa bb cccc")
+    val isolated = ranks("aaaa bb bb cccc")
+    assert(linked.keySet === Set("aaaa", "cccc"))
+    // linked: each passes its mass to the other (no dangling loss beyond
+    // integer floors); isolated: ALL mass is dangling, redistributed
+    // uniformly — both end equal, but the linked pair keeps more than
+    // the 15% restart floor alone
+    assert(linked("aaaa") === linked("cccc"))
+    assert(isolated("aaaa") === isolated("cccc"))
+  }
+
+  test("deterministic under repartitioning") {
+    val docs = graft.Tables.documents(spark, sfTiny)
+    val a = TextStats.textRankKeywords(docs, "doc_id", "text").collect().toSeq
+    val b = TextStats.textRankKeywords(docs.repartition(9), "doc_id", "text")
+      .collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+}

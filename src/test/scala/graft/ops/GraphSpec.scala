@@ -73,6 +73,57 @@ class GraphSpec extends SparkSpec {
     assert(r(Seq((1L, 2L), (1L, 3L), (2L, 3L))) == ((3L, None)))
   }
 
+  test("modularity: two clean cliques ≈ 0.5, merged-as-one ≈ 0") {
+    // two triangles, no cross edges; m = 6
+    val ed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val twoComm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "label")
+    val q2 = Graph.modularity(ed, "id_a", "id_b", twoComm, "id", "label")
+      .as[(Long, Long, Double)].head()
+    // per clique: 3/6 − (6/12)² = 0.25 ⇒ Q = 0.5
+    assert(q2 == ((6L, 2L, 0.5)))
+    val oneComm = (1L to 6L).map(i => (i, 1L)).toDF("id", "label")
+    val q1 = Graph.modularity(ed, "id_a", "id_b", oneComm, "id", "label")
+      .as[(Long, Long, Double)].head()
+    assert(q1._2 == 1L && q1._3 == 0.0) // 6/6 − (12/12)² = 0
+  }
+
+  test("hits: star hub dominates, leaves split authority evenly") {
+    // 1→{2,3,4}: one hub, three equal authorities
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(e, iters = 2, scale = 12000L)
+      .as[(String, Long, Long)].collect()
+    val hubs = out.filter(_._1 == "hub").map(r => r._2 -> r._3).toMap
+    val auths = out.filter(_._1 == "auth").map(r => r._2 -> r._3).toMap
+    assert(hubs == Map(1L -> 12000L)) // sole hub takes all L1 mass
+    assert(auths == Map(2L -> 4000L, 3L -> 4000L, 4L -> 4000L))
+  }
+
+  test("hits: bipartite 2-hub graph ranks the breadth-buyer first") {
+    // hub 1 buys parts {10,11,12}; hub 2 buys {10}
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val out = Graph.hits(e, iters = 3, scale = 1L << 20)
+      .as[(String, Long, Long)].collect()
+    val hubs = out.filter(_._1 == "hub").map(r => r._2 -> r._3).toMap
+    val auths = out.filter(_._1 == "auth").map(r => r._2 -> r._3).toMap
+    assert(hubs(1L) > hubs(2L))
+    assert(auths(10L) > auths(11L)) // shared part outranks exclusive ones
+    assert(auths(11L) == auths(12L))
+  }
+
+  test("labelPropagation: triangle converges to min label, isolated keeps own") {
+    val verts = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val ed = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val sym = ed.union(ed.select($"id_b", $"id_a")).toDF("src", "dst")
+    val out = Graph.labelPropagation(verts, "id", sym, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // round 1: each vertex sees two distinct labels once each → min wins:
+    // 1←{2,3}→2, 2←{1,3}→1, 3←{1,2}→1; round 2: all see plurality 1
+    assert(out(9L) == 9L)
+    assert(out(2L) == 1L && out(3L) == 1L)
+  }
+
   test("personalizedPageRank: mass stays near the seed, unreachable = 0") {
     import org.apache.spark.sql.functions.col
     val verts = Seq((1L, true), (2L, false), (3L, false))

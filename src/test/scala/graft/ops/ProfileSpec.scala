@@ -153,6 +153,41 @@ class ProfileSpec extends SparkSpec {
     assert(out == ((3L, 2L, 4L, 1L))) // 3 groups; de(3)+fr(1) below k
   }
 
+  test("lDiversity: homogeneous group drives distinct_l and entropy_l to 1") {
+    // g1: two sensitive values 3/1 split; g2: homogeneous (the leak)
+    val df = (Seq.fill(3)(("g1", "s1")) ++ Seq(("g1", "s2")) ++
+      Seq.fill(4)(("g2", "s1"))).toDF("qi", "sens")
+    val out = Profile.lDiversity(df, Seq("qi"), "sens", l = 2L)
+      .as[(Long, Long, Long, Double)].head()
+    assert(out._1 == 2L && out._2 == 1L && out._3 == 1L)
+    // min entropy is g2's 0 ⇒ entropy_l = exp(0) = 1
+    assert(out._4 == 1.0)
+  }
+
+  test("lDiversity: uniform 2-value groups give entropy_l = 2") {
+    val df = (Seq.fill(2)(("g1", "a")) ++ Seq.fill(2)(("g1", "b")) ++
+      Seq.fill(3)(("g2", "a")) ++ Seq.fill(3)(("g2", "b"))).toDF("qi", "sens")
+    val out = Profile.lDiversity(df, Seq("qi"), "sens", l = 2L)
+      .as[(Long, Long, Long, Double)].head()
+    assert(out._2 == 2L && out._3 == 0L)
+    assert(math.abs(out._4 - 2.0) < 1e-6) // exp(ln 2) per group
+  }
+
+  test("tCloseness: mirrored skew gives tvd = |Δp|, matched group gives 0") {
+    // global: a 50%, b 50%. g1 all-a, g2 all-b ⇒ tvd = ½(0.5+0.5) = 0.5
+    val df = (Seq.fill(4)(("g1", "a")) ++ Seq.fill(4)(("g2", "b")))
+      .toDF("qi", "sens")
+    val out = Profile.tCloseness(df, Seq("qi"), "sens", t = 0.4)
+      .as[(Long, Double, Long)].head()
+    assert(out._1 == 2L && out._2 == 0.5 && out._3 == 2L)
+    // a group that mirrors the global distribution sits at distance 0
+    val bal = (Seq.fill(2)(("g1", "a")) ++ Seq.fill(2)(("g1", "b")))
+      .toDF("qi", "sens")
+    val out2 = Profile.tCloseness(bal, Seq("qi"), "sens", t = 0.1)
+      .as[(Long, Double, Long)].head()
+    assert(out2._2 == 0.0 && out2._3 == 0L)
+  }
+
   test("wilsonLowerBound: hand-checked 50/100 at z=1.96, bounds in (0, p)") {
     import org.apache.spark.sql.functions._
     val df = (1 to 100).map(i => ("g", i <= 50)).toDF("g", "s")
