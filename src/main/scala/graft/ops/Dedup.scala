@@ -633,6 +633,37 @@ object Dedup {
       .agg(countDistinct(col("__hs")).as("n_shared"))
   }
 
+  /** Rare-shingle co-occurrence edges: canonical (id_a < id_b) document
+    * pairs sharing at least one shingle whose document frequency lies in
+    * [dfMin, dfMax] — the richer "weak textual kinship" graph the
+    * wedge-based audits (Adamic–Adar, local clustering, degree power
+    * law) read, where the thresholded near-dup graph is too sparse to
+    * have hubs.
+    *
+    * Scale shape: the df filter bounds every shingle group to ≤ dfMax
+    * docs, so each shingle emits ≤ C(dfMax, 2) pairs — the PPJoin
+    * rare-token discipline: frequent shingles (the skew) are dropped
+    * BEFORE the self-join, which is then an equi-join on the md5-uniform
+    * 60-bit hash. Never doc×doc. */
+  def rareShingleEdges(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, dfMin: Int = 2, dfMax: Int = 4): DataFrame = {
+    require(dfMin >= 2 && dfMax >= dfMin,
+      s"need 2 <= dfMin <= dfMax, got [$dfMin, $dfMax]")
+    val g = df.select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), shingleK)).as("__s"))
+      .withColumn("__hs", baseHash(col("__s")))
+      .select(col("__id"), col("__hs"))
+      .localCheckpoint(eager = false) // df count + both join sides
+    val rare = g.groupBy(col("__hs")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= dfMin && col("__df") <= dfMax)
+      .select(col("__hs"))
+    val gr = g.join(rare, Seq("__hs"))
+    gr.select(col("__hs"), col("__id").as("id_a"))
+      .join(gr.select(col("__hs"), col("__id").as("id_b")), Seq("__hs"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Contamination MATRIX: `contaminatedDocs` generalized to many eval
     * suites at once — for each (train group, eval set), how many train
     * docs share a shingle with that set and how many distinct shingles

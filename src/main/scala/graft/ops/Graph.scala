@@ -410,6 +410,136 @@ object Graph {
     labels.select(col("id").as(idCol), col("label"))
   }
 
+  /** Multi-source BFS shortest hop-distance, capped at `maxHops`
+    * (parallel breadth-first relaxation — the bounded-depth form of
+    * Bellman-Ford over unit weights): dist(v) = 0 on the seed set,
+    * min hops to a seed otherwise, -1 if unreached within the cap.
+    * The cap is the 100 TB contract: each round is ONE edges⋈frontier
+    * equi-join + ONE min-aggregate, so cost is maxHops bounded scans,
+    * never a transitive closure. A labeled vertex never relabels
+    * (BFS layers are monotone), so the frontier join filters to the
+    * PREVIOUS layer only — frontier size tracks the BFS wavefront,
+    * not the labeled set. Integer hop counts — engine-exact.
+    * Output: (idCol, dist). */
+  def bfsDistances(vertices: DataFrame, idCol: String, seedPred: Column,
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = vertices.select(col(idCol).as("id"),
+        when(seedPred, lit(0)).otherwise(lit(null).cast("int")).as("dist"))
+      .localCheckpoint(eager = true)
+    for (i <- 1 to maxHops) {
+      val reached = e.join(dist.filter(col("dist") === i - 1),
+          e("src") === dist("id"))
+        .select(col("dst")).distinct()
+        .withColumn("__nd", lit(i))
+      val next = dist.join(reached, dist("id") === reached("dst"), "left")
+        .select(col("id"), coalesce(col("dist"), col("__nd")).as("dist"))
+        .localCheckpoint(eager = true)
+      unpersistCheckpoint(dist)
+      dist = next
+    }
+    e.unpersist()
+    dist.select(col("id").as(idCol),
+      coalesce(col("dist"), lit(-1)).as("dist"))
+  }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) over canonical
+    * undirected edges (id_a < id_b): for each NON-adjacent pair (u, w)
+    * sharing ≥ 1 neighbor, common-neighbor count and
+    * score = Σ_{z ∈ N(u)∩N(w)} 1/ln(deg z) — wedge centers always have
+    * deg ≥ 2, so ln > 0. The per-z terms fold through 2^40 fixed-point
+    * BEFORE the sum (the q80 construction), so shuffle order can't
+    * reorder double adds; candidate pairs come from the WEDGE join
+    * (adjacency ⋈ adjacency on the shared center, nbr_a < nbr_b) —
+    * O(Σ deg²) like triangle counting, never all-pairs — minus an
+    * anti-join against the edge set. Top-`topK` by (score desc, pair).
+    * Output: (id_a, id_b, common_neighbors, adamic_adar). */
+  def adamicAdar(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", topK: Int = 20): DataFrame = {
+    val fix = (1L << 40).toDouble
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
+      .localCheckpoint(eager = true) // read by adj, wedge AND the anti-join
+    val adj = e.select(col("a").as("v"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("__deg"))
+    // wedge centers need deg >= 2; filtering BEFORE the 1/ln(deg) term
+    // also keeps ANSI mode off the ln(1) = 0 division
+    val adjd = adj.join(deg, Seq("v")).filter(col("__deg") >= 2)
+      .withColumn("__term", round(lit(fix) / log(col("__deg").cast("double")))
+        .cast("long"))
+    val wedges = adjd.select(col("v"), col("nbr").as("u"), col("__term"))
+      .join(adjd.select(col("v"), col("nbr").as("w")), Seq("v"))
+      .filter(col("u") < col("w"))
+    val cand = wedges
+      .join(e, wedges("u") === e("a") && wedges("w") === e("b"), "left_anti")
+      .groupBy(col("u").as(srcCol), col("w").as(dstCol))
+      .agg(count(lit(1)).as("common_neighbors"),
+        round(sum(col("__term")).cast("double") / fix, 6).as("adamic_adar"))
+    cand.orderBy(col("adamic_adar").desc, col(srcCol), col(dstCol))
+      .limit(topK)
+  }
+
+  /** Local clustering coefficient (Watts & Strogatz '98) per vertex of
+    * degree ≥ 2 over canonical undirected edges (id_a < id_b):
+    * cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), with T(v) = closed wedges at
+    * v — "how clique-like is each document's near-dup neighborhood"
+    * (cc ≈ 1 = true duplicate cluster; cc ≈ 0 = a hub stitching
+    * unrelated docs, the chain-collapse smell q393 audits globally).
+    * Same wedge join as [[triangleCount]]/[[adamicAdar]] — O(Σ deg²),
+    * never all-pairs — closed by ONE semi-join against the edge set;
+    * integer counts make the division engine-exact.
+    * Output: (id, deg, triangles, clustering). */
+  def localClustering(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b"): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
+      .localCheckpoint(eager = true) // read by adj AND the wedge-close probe
+    val adj = e.select(col("a").as("v"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("v"), col("nbr").as("u"))
+      .join(adj.select(col("v"), col("nbr").as("w")), Seq("v"))
+      .filter(col("u") < col("w"))
+    val tri = wedges
+      .join(e, wedges("u") === e("a") && wedges("w") === e("b"), "left_semi")
+      .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("v"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .select(col("v").as("id"), col("deg"), col("triangles"),
+        round(lit(2.0) * col("triangles").cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"), 6).as("clustering"))
+      .orderBy(col("id"))
+  }
+
+  /** Power-law degree exponent MLE (Clauset, Shalizi & Newman 2009,
+    * eq. 3.7 continuous approximation): α = 1 + n / Σ ln(d_i/(dmin−½))
+    * over vertices with degree ≥ dmin — the "is this near-dup graph
+    * scale-free or mirror-farm" diagnostic (α ≈ 2–3 is organic,
+    * α → 1 means a few mega-hubs dominate). Per-vertex ln terms fold
+    * through 2^40 fixed-point before the sum (the q80 construction);
+    * everything else is the one degree aggregate.
+    * Output: one row (n_vertices, dmin, alpha). */
+  def powerLawAlpha(edges: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", dmin: Int = 1): DataFrame = {
+    require(dmin >= 1, s"dmin must be >= 1, got $dmin")
+    val fix = (1L << 40).toDouble
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
+    val adj = e.select(col("a").as("v"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("nbr")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= dmin)
+      .select(round(log(col("deg").cast("double") / lit(dmin - 0.5)) * fix)
+        .cast("long").as("__t"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("__t")).as("__s"))
+      .select(col("n_vertices"), lit(dmin).as("dmin"),
+        round(lit(1.0) +
+          col("n_vertices").cast("double") / (col("__s").cast("double") / fix), 6)
+          .as("alpha"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)

@@ -84,7 +84,54 @@ object Multimodal {
     /** Parse every concatenated frame; throws IllegalArgumentException on
       * a malformed stream (bad magic, missing token, maxval > 255,
       * truncated raster) — decoder behavior, not stub behavior. */
-    def decode(bytes: Array[Byte]): Seq[Frame] = {
+    def decode(bytes: Array[Byte]): Seq[Frame] =
+      parseFrames(bytes) { (w, h, raster, at) =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val n = 3 * w * h
+        var i = 0
+        while (i < n) {
+          val v = at(raster + i)
+          (i % 3: @annotation.switch) match {
+            case 0 => sr += v
+            case 1 => sg += v
+            case _ => sb += v
+          }
+          i += 1
+        }
+        Frame(w, h, sr, sg, sb)
+      }
+
+    /** Nearest-neighbor downsample fused into the parse: out pixel
+      * (x, y) = source pixel (factor·x, factor·y), out dims =
+      * ⌈w/factor⌉ × ⌈h/factor⌉ — the raster is STRIDED, never
+      * materialized, so the decode stays one pass over the bytes.
+      * Returns the downsampled frames' dims + channel sums. */
+    def decodeSampled(bytes: Array[Byte], factor: Int): Seq[Frame] = {
+      require(factor >= 1, s"factor must be >= 1, got $factor")
+      parseFrames(bytes) { (w, h, raster, at) =>
+        val ow = (w + factor - 1) / factor
+        val oh = (h + factor - 1) / factor
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val base = raster + 3 * (factor * y * w + factor * x)
+            sr += at(base); sg += at(base + 1); sb += at(base + 2)
+            x += 1
+          }
+          y += 1
+        }
+        Frame(ow, oh, sr, sg, sb)
+      }
+    }
+
+    /** The shared header/raster walk: validates each frame, hands
+      * (w, h, rasterOffset, unsigned-byte reader) to `fold`, advances
+      * past the raster, and enforces cross-frame dimension agreement
+      * on the ORIGINAL dims. */
+    private def parseFrames(bytes: Array[Byte])
+        (fold: (Int, Int, Int, Int => Long) => Frame): Seq[Frame] = {
       var pos = 0
       def fail(msg: String) =
         throw new IllegalArgumentException(s"PPM parse error at byte $pos: $msg")
@@ -109,6 +156,7 @@ object Multimodal {
         v
       }
       val frames = Seq.newBuilder[Frame]
+      val dims = Seq.newBuilder[(Int, Int)]
       while (pos < bytes.length) {
         if (pos + 2 > bytes.length || bytes(pos) != 'P' || bytes(pos + 1) != '6')
           fail("bad magic (want P6)")
@@ -120,24 +168,14 @@ object Multimodal {
         pos += 1 // exactly ONE whitespace byte before the raster (spec)
         val n = 3 * w * h
         if (pos + n > bytes.length) fail(s"truncated raster (need $n bytes)")
-        var sr = 0L; var sg = 0L; var sb = 0L
-        var i = 0
-        while (i < n) {
-          val v = (bytes(pos + i) & 0xff).toLong
-          (i % 3: @annotation.switch) match {
-            case 0 => sr += v
-            case 1 => sg += v
-            case _ => sb += v
-          }
-          i += 1
-        }
+        dims += ((w, h))
+        frames += fold(w, h, pos, idx => (bytes(idx) & 0xffL))
         pos += n
-        frames += Frame(w, h, sr, sg, sb)
       }
       val out = frames.result()
       if (out.isEmpty) fail("empty stream")
-      if (out.exists(f => f.width != out.head.width || f.height != out.head.height))
-        fail("frames disagree on dimensions")
+      val ds = dims.result()
+      if (ds.exists(_ != ds.head)) fail("frames disagree on dimensions")
       out
     }
   }
@@ -192,6 +230,36 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val frames = Ppm.decode(r.getAs[Array[Byte]](1))
+          val px = frames.iterator.map(f => f.width.toLong * f.height).sum
+          Row(r.getLong(0), px, frames.iterator.map(_.sumR).sum,
+            frames.iterator.map(_.sumG).sum, frames.iterator.map(_.sumB).sum)
+        }
+      }(enc)
+      .withColumn("mean_r", round(col("sum_r").cast("double") / col("n_pixels"), 6))
+      .withColumn("mean_g", round(col("sum_g").cast("double") / col("n_pixels"), 6))
+      .withColumn("mean_b", round(col("sum_b").cast("double") / col("n_pixels"), 6))
+  }
+
+  /** REAL downsample pass: nearest-neighbor ÷`factor` resize fused into
+    * the PPM parse (`Ppm.decodeSampled` — strided reads, no raster
+    * materialization), then the same per-channel stats as
+    * [[decodeImageStats]]. The thumbnail/preview stage of an image
+    * pipeline with the identical partition-batched map-only shape: at
+    * 100 TB this is the op that cuts pixel volume ~factor² before any
+    * feature extraction. Output: (idCol, n_pixels, sum_r, sum_g, sum_b,
+    * mean_r, mean_g, mean_b) over the RESIZED rasters. */
+  def downsampleStats(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_pixels", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val frames = Ppm.decodeSampled(r.getAs[Array[Byte]](1), factor)
           val px = frames.iterator.map(f => f.width.toLong * f.height).sum
           Row(r.getLong(0), px, frames.iterator.map(_.sumR).sum,
             frames.iterator.map(_.sumG).sum, frames.iterator.map(_.sumB).sum)

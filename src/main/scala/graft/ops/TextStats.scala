@@ -1708,6 +1708,70 @@ object TextStats {
         round(max(col("__rho")), 6).as("max_rho"))
   }
 
+  /** Flesch reading ease per document (Flesch '48): 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words). Sentences are
+    * non-blank `[.!?]+` splits (min 1); syllables use the vowel-group
+    * heuristic (runs of `[aeiouy]` in the lowercased text, with
+    * vowel-less words contributing 1 — "rhythm-less" tokens still get
+    * one beat). Pure per-row Column arithmetic — map-only, codegen'd,
+    * no shuffle; integer counts make the double formula engine-exact.
+    * Output: (idCol, n_sentences, n_words, n_syllables, flesch). */
+  def fleschStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"),
+      w => length(w) > 0)
+    val nWords = size(toks).cast("long")
+    val nSent = greatest(lit(1L),
+      size(filter(split(col(textCol), "[.!?]+"),
+        x => length(trim(x)) > 0)).cast("long"))
+    val vowelGroups =
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+        .cast("long")
+    val voweless =
+      size(filter(toks, w => !w.rlike("[aeiouy]"))).cast("long")
+    val nSyll = vowelGroups + voweless
+    df.select(col(idCol), nSent.as("n_sentences"), nWords.as("n_words"),
+        nSyll.as("n_syllables"),
+        when(nWords > 0, round(
+            lit(206.835) -
+              lit(1.015) * (nWords.cast("double") / nSent.cast("double")) -
+              lit(84.6) * (nSyll.cast("double") / nWords.cast("double")), 6))
+          .otherwise(lit(0.0)).as("flesch"))
+      .orderBy(col(idCol))
+  }
+
+  /** Term burstiness for the `topK` most frequent terms (Church &
+    * Gale '95's variance-based dispersion): over ALL N documents
+    * (absent = 0), VMR = Var/Mean of the per-doc count — VMR ≈ 1 is
+    * Poisson scatter, ≫ 1 means the term clumps into few documents.
+    * Population variance from INTEGER power sums (S1 = Σc, S2 = Σc²),
+    * so the doubles divide identically in any engine:
+    * mean = S1/N, var = S2/N − mean². One token-count shuffle + one
+    * per-term aggregate; the N scalar is a driver count.
+    * Output: (term, freq, n_docs, vmr). */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val n = df.count()
+    require(n > 0, "termBurstiness needs a non-empty corpus")
+    val counts = df.select(col(idCol).as("__id"),
+        explode(split(lower(col(textCol)), " ")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy(col("__t"), col("__id")).agg(count(lit(1)).as("__c"))
+    val stats = counts.groupBy(col("__t").as("term"))
+      .agg(sum(col("__c")).as("freq"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__c") * col("__c")).as("__s2"))
+    val nD = n.toDouble
+    stats
+      .withColumn("__mean", col("freq").cast("double") / lit(nD))
+      .withColumn("vmr", round(
+        (col("__s2").cast("double") / lit(nD) - col("__mean") * col("__mean")) /
+          col("__mean"), 6))
+      .select(col("term"), col("freq"), col("n_docs"), col("vmr"))
+      .orderBy(col("freq").desc, col("term"))
+      .limit(topK)
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): build the
     * word co-occurrence graph — an undirected edge between candidate
     * words appearing within `window` positions of each other in a

@@ -594,6 +594,61 @@ object OpsQueries {
        |ORDER BY rank_fp DESC, word LIMIT $topK""".stripMargin
   }
 
+  /** q412 oracle: `Graph.bfsDistances` replayed — per hop a DISTINCT
+    * frontier-neighbor set and a keep-earlier coalesce; unreached → -1. */
+  private def bfsSql(maxHops: Int): String = {
+    val head =
+      s"""$minhashCtes,
+         |ed AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.3),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM ed
+         |        UNION ALL SELECT id_b, id_a FROM ed),
+         |d0 AS (SELECT doc_id AS id,
+         |         CASE WHEN doc_id % 50 = 0 THEN 0 END AS dist FROM documents)""".stripMargin
+    val steps = (1 to maxHops).map { i =>
+      val p = i - 1
+      s"""f$i AS (SELECT DISTINCT s.dst AS id FROM sym s
+         |        JOIN d$p d ON s.src = d.id AND d.dist = $p),
+         |d$i AS (SELECT d.id,
+         |          coalesce(d.dist, CASE WHEN f.id IS NOT NULL THEN $i END) AS dist
+         |        FROM d$p d LEFT JOIN f$i f USING (id))""".stripMargin
+    }
+    s"""WITH ${(head +: steps).mkString(",\n")}
+       |SELECT id AS doc_id, CAST(coalesce(dist, -1) AS INTEGER) AS dist
+       |FROM d$maxHops ORDER BY doc_id""".stripMargin
+  }
+
+  /** `Dedup.rareShingleEdges` replayed (df ∈ [2,4] shared-shingle pairs)
+    * — the edge CTE `e(a, b)` consumed by the q413/q417/q418 wedge-audit
+    * oracles; sharing it keeps the three gates on the SAME graph. */
+  private val rareShingleCtes: String =
+    s"""$sqlShingles,
+       |rsg AS (SELECT doc_id, unnest(list_transform(sh,
+       |          s -> ('0x'||substr(md5(s),1,15))::BIGINT)) AS hs FROM sh),
+       |rdf AS (SELECT hs FROM (SELECT hs, count(*) AS df FROM rsg GROUP BY hs)
+       |        WHERE df BETWEEN 2 AND 4),
+       |e AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |      FROM rsg x JOIN rdf USING (hs) JOIN rsg y USING (hs)
+       |      WHERE x.doc_id < y.doc_id)""".stripMargin
+
+  /** q413 oracle: `Graph.adamicAdar` replayed — wedge join on the shared
+    * center, ANTI JOIN against the edge set, 2^40 fixed-point 1/ln(deg)
+    * terms summed per pair. */
+  private def adamicAdarSql(topK: Int): String =
+    s"""WITH $rareShingleCtes,
+       |adj AS (SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+       |dg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+       |at AS (SELECT adj.v, adj.nbr,
+       |         CAST(round(1099511627776::DOUBLE / ln(deg)) AS BIGINT) AS term
+       |       FROM adj JOIN dg USING (v) WHERE deg >= 2),
+       |wg AS (SELECT x.v, x.nbr AS u, y.nbr AS w, x.term
+       |       FROM at x JOIN at y ON x.v = y.v AND x.nbr < y.nbr),
+       |aap AS (SELECT u, w, count(*)::BIGINT AS cn, sum(term) AS aa
+       |         FROM wg ANTI JOIN e ON wg.u = e.a AND wg.w = e.b
+       |         GROUP BY u, w)
+       |SELECT u AS id_a, w AS id_b, cn AS common_neighbors,
+       |  round(CAST(aa AS DOUBLE) / 1099511627776::DOUBLE, 6) AS adamic_adar
+       |FROM aap ORDER BY adamic_adar DESC, id_a, id_b LIMIT $topK""".stripMargin
+
   /** q405 oracle: `Graph.hits` replayed — the pageRank unrolling pattern
     * with BOTH half-steps per iteration (authorities from previous hubs,
     * then hubs from the NEW authorities) and the L1 renormalization's
@@ -12292,7 +12347,161 @@ object OpsQueries {
       (s, dir) =>
         TextStats.textRankKeywords(Tables.documents(s, dir), "doc_id", "text",
           minLen = 4, window = 2, iters = 3, topK = 20),
-      Some(textRankSql(iters = 3, minLen = 4, window = 2, topK = 20))))
+      Some(textRankSql(iters = 3, minLen = 4, window = 2, topK = 20))),
+
+    // ─── multi-source BFS hop distance over the near-dup graph ──────────
+    // Distance from the doc_id % 50 == 0 seed set through the q103/q406
+    // minhash pair graph, capped at 3 hops (-1 = unreached) — "how close
+    // is every document to a known-bad seed" in dedup forensics.
+    "q412_bfs_distance" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 8, shingleK = 3, threshold = 0.3)
+        val sym = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+          .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+        Graph.bfsDistances(docs.select($"doc_id"), "doc_id",
+            $"doc_id" % 50 === 0, sym, maxHops = 3)
+          .orderBy($"doc_id")
+      },
+      Some(bfsSql(maxHops = 3))),
+
+    // ─── Adamic–Adar link prediction over the near-dup graph ────────────
+    // Non-adjacent doc pairs ranked by shared-neighbor evidence — the
+    // "these two SHOULD have matched" audit for LSH band misses.
+    "q413_adamic_adar" -> Q(
+      (s, dir) => {
+        Graph.adamicAdar(
+          Dedup.rareShingleEdges(Tables.documents(s, dir), "doc_id", "text"),
+          "id_a", "id_b", topK = 20)
+      },
+      Some(adamicAdarSql(topK = 20))),
+
+    // ─── Flesch reading ease per document ───────────────────────────────
+    "q414_flesch" -> Q(
+      (s, dir) =>
+        TextStats.fleschStats(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH t AS (SELECT doc_id, text, lower(text) AS lt FROM documents),
+             |c AS (SELECT doc_id,
+             |    len(list_filter(regexp_split_to_array(lt, '\s+'),
+             |        w -> length(w) > 0)) AS nw,
+             |    greatest(1, len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+             |        x -> length(trim(x)) > 0))) AS ns,
+             |    len(regexp_extract_all(lt, '[aeiouy]+')) +
+             |      len(list_filter(list_filter(regexp_split_to_array(lt, '\s+'),
+             |          w -> length(w) > 0),
+             |        w -> NOT regexp_matches(w, '[aeiouy]'))) AS sy
+             |  FROM t)
+             |SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences,
+             |  CAST(nw AS BIGINT) AS n_words, CAST(sy AS BIGINT) AS n_syllables,
+             |  CASE WHEN nw > 0 THEN round(206.835::DOUBLE
+             |      - 1.015::DOUBLE * (nw::DOUBLE / ns::DOUBLE)
+             |      - 84.6::DOUBLE * (sy::DOUBLE / nw::DOUBLE), 6)
+             |    ELSE 0.0::DOUBLE END AS flesch
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ─── term burstiness (VMR of per-doc counts, top-20 terms) ──────────
+    "q415_burstiness" -> Q(
+      (s, dir) =>
+        TextStats.termBurstiness(Tables.documents(s, dir), "doc_id", "text",
+          topK = 20),
+      Some("""WITH n AS (SELECT count(*) AS nd FROM documents),
+             |c AS (SELECT term, doc_id, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |    FROM documents)
+             |  WHERE length(term) > 0 GROUP BY 1, 2),
+             |st AS (SELECT term, CAST(sum(c) AS BIGINT) AS freq,
+             |    count(*)::BIGINT AS n_docs, CAST(sum(c * c) AS BIGINT) AS s2
+             |  FROM c GROUP BY term)
+             |SELECT term, freq, n_docs,
+             |  round((s2::DOUBLE / nd::DOUBLE
+             |      - (freq::DOUBLE / nd::DOUBLE) * (freq::DOUBLE / nd::DOUBLE))
+             |    / (freq::DOUBLE / nd::DOUBLE), 6) AS vmr
+             |FROM st CROSS JOIN n ORDER BY freq DESC, term LIMIT 20""".stripMargin)),
+
+    // ─── REAL nearest-neighbor ÷2 downsample over decoded PPM frames ────
+    // decodeSampled strides the raster during the parse (no raster
+    // materialization); the oracle recomputes the pixel formula at the
+    // STRIDED indexes — a green row proves the resize indexing, not just
+    // the parse. Out dims per frame: ⌈w/2⌉ × ⌈h/2⌉.
+    "q416_ppm_downsample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.downsampleStats(
+            Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"),
+            "doc_id", factor = 2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+             |        4 + (7*doc_id) % 11 AS h, 1 + doc_id % 4 AS nf
+             |      FROM documents),
+             |e AS (SELECT doc_id, w, h, nf,
+             |        unnest(generate_series(0, nf - 1)) AS f FROM d),
+             |ox AS (SELECT doc_id, w, h, f,
+             |        unnest(generate_series(0, (w + 1) // 2 - 1)) AS x FROM e),
+             |oxy AS (SELECT doc_id, w, f, x,
+             |        unnest(generate_series(0, (h + 1) // 2 - 1)) AS y FROM ox),
+             |px AS (SELECT doc_id, 31*doc_id + 97*f + 3*(2*y*w + 2*x) AS base
+             |      FROM oxy),
+             |s AS (SELECT doc_id,
+             |        CAST(sum(base % 256) AS BIGINT) AS sum_r,
+             |        CAST(sum((base + 1) % 256) AS BIGINT) AS sum_g,
+             |        CAST(sum((base + 2) % 256) AS BIGINT) AS sum_b
+             |      FROM px GROUP BY 1),
+             |np AS (SELECT doc_id,
+             |        CAST(nf * ((w + 1) // 2) * ((h + 1) // 2) AS BIGINT) AS n_pixels
+             |      FROM d)
+             |SELECT s.doc_id, np.n_pixels, s.sum_r, s.sum_g, s.sum_b,
+             |  round(CAST(sum_r AS DOUBLE) / CAST(n_pixels AS DOUBLE), 6) AS mean_r,
+             |  round(CAST(sum_g AS DOUBLE) / CAST(n_pixels AS DOUBLE), 6) AS mean_g,
+             |  round(CAST(sum_b AS DOUBLE) / CAST(n_pixels AS DOUBLE), 6) AS mean_b
+             |FROM s JOIN np USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ─── local clustering coefficient over the near-dup graph ───────────
+    // Per-vertex Watts–Strogatz cc: ≈1 = clique-like duplicate cluster,
+    // ≈0 = hub stitching unrelated docs (the per-vertex view of q393's
+    // chain-collapse audit).
+    "q417_local_clustering" -> Q(
+      (s, dir) => {
+        Graph.localClustering(
+            Dedup.rareShingleEdges(Tables.documents(s, dir), "doc_id", "text"),
+            "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""WITH $rareShingleCtes,
+              |adj AS (SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+              |dg AS (SELECT v, count(*)::BIGINT AS deg FROM adj GROUP BY v),
+              |wg AS (SELECT x.v, x.nbr AS u, y.nbr AS w
+              |       FROM adj x JOIN adj y ON x.v = y.v AND x.nbr < y.nbr),
+              |tr AS (SELECT v, count(*)::BIGINT AS triangles FROM wg
+              |       SEMI JOIN e ON wg.u = e.a AND wg.w = e.b GROUP BY v)
+              |SELECT dg.v AS doc_id, dg.deg,
+              |  coalesce(tr.triangles, 0)::BIGINT AS triangles,
+              |  round(2.0::DOUBLE * coalesce(tr.triangles, 0)
+              |    / CAST(deg * (deg - 1) AS DOUBLE), 6) AS clustering
+              |FROM dg LEFT JOIN tr USING (v)
+              |WHERE deg >= 2 ORDER BY doc_id""".stripMargin)),
+
+    // ─── power-law degree exponent of the near-dup graph ────────────────
+    // Clauset–Shalizi–Newman α over degrees ≥ 1: the scale-free vs
+    // mirror-farm diagnostic for the duplication topology.
+    "q418_powerlaw_alpha" -> Q(
+      (s, dir) => {
+        Graph.powerLawAlpha(
+          Dedup.rareShingleEdges(Tables.documents(s, dir), "doc_id", "text"),
+          "id_a", "id_b", dmin = 1)
+      },
+      Some(s"""WITH $rareShingleCtes,
+              |adj AS (SELECT a AS v, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+              |dg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+              |t AS (SELECT CAST(round(ln(deg::DOUBLE / 0.5::DOUBLE)
+              |          * 1099511627776::DOUBLE) AS BIGINT) AS t
+              |      FROM dg WHERE deg >= 1)
+              |SELECT count(*)::BIGINT AS n_vertices, CAST(1 AS INTEGER) AS dmin,
+              |  round(1.0::DOUBLE + count(*)::DOUBLE
+              |    / (CAST(sum(t) AS DOUBLE) / 1099511627776::DOUBLE), 6) AS alpha
+              |FROM t""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

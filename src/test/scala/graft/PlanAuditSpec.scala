@@ -430,4 +430,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "q397 planned a product join:\n" + p.take(1200))
   }
+
+  test("TextRank window build is equi-joins on (doc, pos+d) — no theta join") {
+    val p = plan("q411_textrank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q411 co-occurrence build planned a product join:\n" + p.take(1200))
+  }
+
+  test("wedge joins (Adamic-Adar, local clustering) stay equi-joins on the center") {
+    Seq("q413_adamic_adar", "q417_local_clustering").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q wedge join degraded to a product join:\n" + p.take(1200))
+    }
+  }
+
+  test("multimodal downsample is map-only: no exchange before the stats") {
+    val p = plan("q416_ppm_downsample")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "q416 planned a join:\n" + p.take(800))
+  }
 }

@@ -140,4 +140,65 @@ class GraphSpec extends SparkSpec {
     val total = out.values.sum.toDouble / scale
     assert(total > 0.9 && total <= 1.01)        // mass ≈ conserved
   }
+
+  test("bfsDistances: layered path graph, cap honored, unreached = -1") {
+    import org.apache.spark.sql.functions.col
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // path 1-2-3-4-5, symmetrized; 9 isolated
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (es ++ es.map(_.swap)).toDF("src", "dst")
+    val got = Graph.bfsDistances(verts, "id", col("id") === 1L, sym,
+      maxHops = 3).as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> -1, 9L -> -1))
+    // two seeds: distances are min over sources
+    val got2 = Graph.bfsDistances(verts, "id",
+        col("id") === 1L || col("id") === 5L, sym, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got2 === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0, 9L -> -1))
+  }
+
+  test("localClustering: triangle = 1, star hub = 0, pendant excluded") {
+    // triangle {1,2,3} + pendant 3-4: vertex 3 has deg 3, one closed
+    // wedge of three → cc = 2·1/(3·2) = 1/3; vertex 4 (deg 1) excluded
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Graph.localClustering(es).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((2L, 1L, 1.0)) && got(2L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 1L, BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // star 1-{2,3,4}: hub has deg 3, zero closed wedges → cc = 0
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val hub = Graph.localClustering(star).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(hub === Map(1L -> 0.0))
+  }
+
+  test("powerLawAlpha: hand-computed MLE on a star graph") {
+    // star 1-{2,3,4}: degrees 3,1,1,1; dmin=1 → terms ln(6), ln(2)×3
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = Graph.powerLawAlpha(es).collect().head
+    val fix = (1L << 40).toDouble
+    val s = (math.round(math.log(6.0) * fix) +
+      3L * math.round(math.log(2.0) * fix)).toDouble / fix
+    val want = BigDecimal(1.0 + 4.0 / s)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) === 4L && got.getInt(1) === 1)
+    assert(got.getDouble(2) === want)
+  }
+
+  test("adamicAdar: square's diagonals score 1/ln(2) twice, edges excluded") {
+    // 4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) each share
+    // TWO degree-2 neighbors → aa = 2/ln 2; existing edges must not appear
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = Graph.adamicAdar(es, "id_a", "id_b", topK = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val twoOverLn2 = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L)) === ((2L, twoOverLn2)))
+    assert(got((2L, 4L)) === ((2L, twoOverLn2)))
+  }
 }

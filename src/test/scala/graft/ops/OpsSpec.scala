@@ -326,6 +326,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PPM decodeSampled: strided sums match a reference resize, factor 1 = decode") {
+    // hand-built 3x2 frame with distinct per-pixel values: factor-2 keeps
+    // pixels (x,y) ∈ {0,2}×{0} → source bytes at raster offsets 0-2, 6-8
+    val raster = (0 until 18).map(v => (v * 7 % 256).toByte).toArray
+    val hand = "P6\n3 2\n255\n".getBytes("US-ASCII") ++ raster
+    val got = Multimodal.Ppm.decodeSampled(hand, 2)
+    def u(i: Int) = raster(i) & 0xff
+    assert(got == Seq(Multimodal.Ppm.Frame(2, 1,
+      u(0) + u(6), u(1) + u(7), u(2) + u(8))))
+    // factor 1 degenerates to the full decode on every encoder payload
+    for (id <- Seq(0L, 3L, 17L, 255L)) {
+      val bytes = Multimodal.Ppm.encodeFrames(id)
+      assert(Multimodal.Ppm.decodeSampled(bytes, 1) == Multimodal.Ppm.decode(bytes))
+    }
+    // out dims are ceilings: 5x5 at factor 2 → 3x3
+    val five = "P6\n5 5\n255\n".getBytes("US-ASCII") ++ Array.fill(75)(1.toByte)
+    val s5 = Multimodal.Ppm.decodeSampled(five, 2).head
+    assert(s5.width == 3 && s5.height == 3 && s5.sumAll == 27L)
+    // malformed streams still fail through the shared walk
+    intercept[IllegalArgumentException](
+      Multimodal.Ppm.decodeSampled("P6\n2 2\n255\n".getBytes ++ Array[Byte](9), 2))
+  }
+
   test("WAV decoder walks chunks, handles endianness/signedness, rejects malformed") {
     val enc = Multimodal.Wav.encode(5L) // n = 13 samples
     val d = Multimodal.Wav.decode(enc)

@@ -263,4 +263,43 @@ class TextQualitySpec extends SparkSpec {
     assert(out(1L)._2 == 1L && out(2L)._2 == 1L) // one pool doc per bucket
     assert(out(1L)._3 > 0 && out(2L)._3 < 0)     // ref-likely doc on top
   }
+
+  // ─── fleschStats ──────────────────────────────────────────────────────
+
+  test("fleschStats: hand-counted sentences, words, vowel-group syllables") {
+    val df = Seq(
+      // 2 sentences, 6 words; syllables: the(1) cat(1) sat(1) it(1)
+      // was(1) happy(2) = 7
+      (1L, "The cat sat. It was happy!"),
+      // no sentence punctuation → min 1; "xxxx" has no vowel → 1 beat;
+      // "rhythm" has the y group → 1
+      (2L, "xxxx rhythm"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextStats.fleschStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 6L, 7L,
+      BigDecimal(206.835 - 1.015 * 3.0 - 84.6 * 7.0 / 6.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2L) === ((2L, 1L, 2L, 2L,
+      BigDecimal(206.835 - 1.015 * 2.0 - 84.6 * 1.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(3L)._3 === 0L && got(3L)._5 === 0.0) // empty text guard
+  }
+
+  // ─── termBurstiness ───────────────────────────────────────────────────
+
+  test("termBurstiness: uniform term ≈ 0 VMR, clumped term ≫ 1") {
+    // 'even' once in each of 4 docs (variance 0); 'bursty' 4 times in ONE
+    // doc: mean 1, S2 = 16 → var = 16/4 - 1 = 3 → vmr = 3
+    val df = Seq(
+      (1L, "even bursty bursty bursty bursty"),
+      (2L, "even pad"), (3L, "even pad"), (4L, "even pad"))
+      .toDF("doc_id", "text")
+    val got = TextStats.termBurstiness(df, "doc_id", "text", topK = 10)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("even") === (("even", 4L, 4L, 0.0)))
+    assert(got("bursty") === (("bursty", 4L, 1L, 3.0)))
+    assert(got("pad")._4 === BigDecimal((3.0 / 4 - 0.75 * 0.75) / 0.75)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
