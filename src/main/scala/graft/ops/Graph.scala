@@ -342,22 +342,29 @@ object Graph {
       .localCheckpoint(eager = true)
     var auths: DataFrame = null
     for (_ <- 0 until iters) {
+      // raw sums are snapshotted once: the Σraw scalar and the renorm
+      // join read the SAME materialization instead of re-running the
+      // rank⋈edge join twice per half-step
       val aRaw = e.join(hubs.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar"))
+        .localCheckpoint(eager = true)
       val aTot = aRaw.agg(sum(col("ar"))).first().getLong(0)
       val aNext = dsts.join(aRaw, Seq("id"), "left")
         .select(col("id"),
           expr(s"(coalesce(ar, 0L) * ${scale}L) DIV ${aTot}L").as("a"))
         .localCheckpoint(eager = true)
+      unpersistCheckpoint(aRaw)
       if (auths != null) unpersistCheckpoint(auths)
       auths = aNext
       val hRaw = e.join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr"))
+        .localCheckpoint(eager = true)
       val hTot = hRaw.agg(sum(col("hr"))).first().getLong(0)
       val hNext = srcs.join(hRaw, Seq("id"), "left")
         .select(col("id"),
           expr(s"(coalesce(hr, 0L) * ${scale}L) DIV ${hTot}L").as("h"))
         .localCheckpoint(eager = true)
+      unpersistCheckpoint(hRaw)
       unpersistCheckpoint(hubs)
       hubs = hNext
     }
