@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val name = args(0)
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val iters = if (args.length > 1) args(1).toInt else 3
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -20,10 +20,12 @@ object PerfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    (1 to iters).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    names.foreach { name =>
+      (1 to iters).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"$name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
     }
     spark.stop()
   }
