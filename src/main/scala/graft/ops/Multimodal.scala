@@ -302,6 +302,36 @@ object Multimodal {
         nSamples: Long, sumAbs: Long, peak: Int)
 
     def decode(bytes: Array[Byte]): Decoded = {
+      var sumAbs = 0L; var peak = 0
+      val (rate, ch, bits, n) = walkPcm(bytes) { v =>
+        val a = math.abs(v)
+        sumAbs += a
+        if (a > peak) peak = a
+      }
+      Decoded(rate, ch, bits, n, sumAbs, peak)
+    }
+
+    /** Audio features from one fused sample pass: strict-sign zero
+      * crossings between CONSECUTIVE samples (v_{k-1}·v_k < 0, the
+      * product rule — a zero sample never crosses) and integer energy
+      * Σv² (Long-safe: ≤ 2³⁰ per sample). */
+    final case class Features(nSamples: Long, zeroCross: Long, energy: Long)
+
+    def features(bytes: Array[Byte]): Features = {
+      var zc = 0L; var energy = 0L; var prev = 0
+      val (_, _, _, n) = walkPcm(bytes) { v =>
+        if (prev.toLong * v < 0) zc += 1
+        prev = v
+        energy += v.toLong * v
+      }
+      Features(n, zc, energy)
+    }
+
+    /** The shared RIFF chunk walk: validates RIFF/WAVE/fmt/data, feeds
+      * every 16-bit sample to `onSample`, returns
+      * (rate, channels, bits, nSamples). */
+    private def walkPcm(bytes: Array[Byte])
+        (onSample: Int => Unit): (Int, Int, Int, Long) = {
       def fail(msg: String) = throw new IllegalArgumentException(s"WAV parse error: $msg")
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def tag(): String = { val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII") }
@@ -309,7 +339,7 @@ object Multimodal {
       bb.getInt() // riff size — trust the chunk walk, not this field
       if (tag() != "WAVE") fail("missing WAVE")
       var rate = -1; var ch = -1; var bits = -1
-      var nSamples = 0L; var sumAbs = 0L; var peak = 0
+      var nSamples = 0L
       var sawData = false
       while (bb.remaining() >= 8) {
         val id = tag(); val len = bb.getInt()
@@ -330,10 +360,7 @@ object Multimodal {
             if (len % 2 != 0) fail("odd data length for 16-bit PCM")
             var i = 0
             while (i < len / 2) {
-              val v = bb.getShort().toInt
-              val a = math.abs(v)
-              sumAbs += a
-              if (a > peak) peak = a
+              onSample(bb.getShort().toInt)
               i += 1
             }
             nSamples = len / 2
@@ -344,7 +371,7 @@ object Multimodal {
         }
       }
       if (!sawData) fail("no data chunk")
-      Decoded(rate, ch, bits, nSamples, sumAbs, peak)
+      (rate, ch, bits, nSamples)
     }
   }
 
@@ -383,6 +410,34 @@ object Multimodal {
             d.sumAbs, d.peak)
         }
       }(enc)
+  }
+
+  /** REAL audio feature extraction over the WAV decode path: strict
+    * zero-crossing count and integer energy from ONE fused sample pass
+    * (`Wav.features`), then ZCR = zc/(n−1) and RMS = √(energy/n) —
+    * the two classic cheap speech/music discriminators. Same
+    * partition-batched map-only shape as the decoders; integer counts
+    * make the doubles engine-exact (sqrt is IEEE correctly-rounded).
+    * Output: (idCol, n_samples, zero_cross, energy, zcr, rms). */
+  def audioFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("zero_cross", LongType),
+      StructField("energy", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val f = Wav.features(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), f.nSamples, f.zeroCross, f.energy)
+        }
+      }(enc)
+      .withColumn("zcr", when(col("n_samples") > 1,
+        round(col("zero_cross").cast("double") /
+          (col("n_samples") - 1).cast("double"), 6)).otherwise(lit(0.0)))
+      .withColumn("rms", round(sqrt(col("energy").cast("double") /
+        col("n_samples").cast("double")), 6))
   }
 
   /** Frame sampling as a lateral explode (the UDTF shape): every decoded

@@ -1772,6 +1772,56 @@ object TextStats {
       .limit(topK)
   }
 
+  /** χ² token–label association (the feature-selection audit behind
+    * "which tokens give the language/domain away" — Yang & Pedersen '97
+    * ranked χ² top among selection criteria): per (label, term), the
+    * 2×2 document-presence contingency {in-label, out-label} ×
+    * {contains, doesn't}, χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), top-K
+    * terms per label. Terms present in < `minDf` or ALL documents are
+    * excluded (the latter also keeps the (c+d) factor > 0).
+    *
+    * Scale shape: one (label, term) presence-count shuffle + a
+    * term-keyed df rollup; label counts are a label-cardinality
+    * aggregate; the final window ranks per label. All counts integer —
+    * the double χ² divides identically in any engine.
+    * Output: (label, term, df_in, df_out, chi2). */
+  def chi2Keywords(df: DataFrame, idCol: String, labelCol: String,
+      textCol: String, minDf: Int = 5, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minDf >= 1 && topK >= 1, "minDf >= 1, topK >= 1")
+    val n = df.count()
+    require(n > 0, "chi2Keywords needs a non-empty corpus")
+    val pres = df.select(col(labelCol).as("label"),
+      explode(array_distinct(filter(split(lower(col(textCol)), " "),
+        t => length(t) > 0))).as("term"))
+    val tf = pres.groupBy(col("label"), col("term")).agg(count(lit(1)).as("a"))
+    val nl = df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("__nl"))
+    val tdf = tf.groupBy(col("term")).agg(sum(col("a")).as("__dft"))
+    // tdf is vocab-sized — term-keyed equi-join, no broadcast hint (AQE
+    // may still pick one at small SFs); nl is label-cardinality, hinted
+    val x = tf.join(tdf.filter(col("__dft") >= minDf && col("__dft") < n),
+        Seq("term"))
+      .join(broadcast(nl), Seq("label"))
+      .select(col("label"), col("term"), col("a"),
+        (col("__dft") - col("a")).as("b"),
+        (col("__nl") - col("a")).as("c"),
+        (lit(n) - col("__nl") - (col("__dft") - col("a"))).as("d"))
+    val diff = col("a").cast("double") * col("d").cast("double") -
+      col("b").cast("double") * col("c").cast("double")
+    val chi = x.select(col("label"), col("term"),
+      col("a").as("df_in"), col("b").as("df_out"),
+      round(lit(n.toDouble) * diff * diff /
+        ((col("a") + col("b")).cast("double") *
+          (col("c") + col("d")).cast("double") *
+          (col("a") + col("c")).cast("double") *
+          (col("b") + col("d")).cast("double")), 6).as("chi2"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("chi2").desc, col("term").asc)
+    chi.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK).drop("__rn")
+      .orderBy(col("label"), col("chi2").desc, col("term"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): build the
     * word co-occurrence graph — an undirected edge between candidate
     * words appearing within `window` positions of each other in a

@@ -12501,7 +12501,70 @@ object OpsQueries {
               |SELECT count(*)::BIGINT AS n_vertices, CAST(1 AS INTEGER) AS dmin,
               |  round(1.0::DOUBLE + count(*)::DOUBLE
               |    / (CAST(sum(t) AS DOUBLE) / 1099511627776::DOUBLE), 6) AS alpha
-              |FROM t""".stripMargin)))
+              |FROM t""".stripMargin)),
+
+    // ─── χ² token–language association (feature audit, top-5 per lang) ──
+    // Which tokens give the language away: the Yang & Pedersen '97
+    // feature-selection χ² on document presence; terms in < 5 or ALL
+    // docs excluded.
+    "q419_chi2_keywords" -> Q(
+      (s, dir) =>
+        TextStats.chi2Keywords(Tables.documents(s, dir), "doc_id", "lang",
+          "text", minDf = 5, topK = 5),
+      Some("""WITH n AS (SELECT count(*) AS nd FROM documents),
+             |nl AS (SELECT lang, count(*) AS nlang FROM documents GROUP BY lang),
+             |pres AS (SELECT DISTINCT lang, doc_id, term FROM (
+             |    SELECT lang, doc_id, unnest(string_split(lower(text), ' ')) AS term
+             |    FROM documents) WHERE length(term) > 0),
+             |tf AS (SELECT lang, term, count(*) AS a FROM pres GROUP BY 1, 2),
+             |tdf AS (SELECT term, sum(a) AS dft FROM tf GROUP BY term),
+             |x AS (SELECT tf.lang, tf.term, a, dft - a AS b, nlang - a AS c,
+             |        nd - nlang - (dft - a) AS d, nd
+             |      FROM tf JOIN tdf USING (term) JOIN nl USING (lang) CROSS JOIN n
+             |      WHERE dft >= 5 AND dft < nd),
+             |chi AS (SELECT lang AS label, term, CAST(a AS BIGINT) AS df_in,
+             |        CAST(b AS BIGINT) AS df_out,
+             |        round(nd::DOUBLE
+             |          * (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE)
+             |          * (a::DOUBLE * d::DOUBLE - b::DOUBLE * c::DOUBLE)
+             |          / ((a + b)::DOUBLE * (c + d)::DOUBLE
+             |             * (a + c)::DOUBLE * (b + d)::DOUBLE), 6) AS chi2
+             |      FROM x)
+             |SELECT label, term, df_in, df_out, chi2 FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY label
+             |    ORDER BY chi2 DESC, term ASC) AS rn FROM chi)
+             |WHERE rn <= 5 ORDER BY label, chi2 DESC, term""".stripMargin)),
+
+    // ─── REAL audio features: zero-crossing rate + RMS energy ───────────
+    // One fused sample pass inside the RIFF chunk walk (Wav.features);
+    // the oracle replays the synthesized sample formula with a lag
+    // window — a green row proves the per-sample feature arithmetic
+    // against independently generated samples.
+    "q420_audio_features" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.audioFeatures(
+            Multimodal.synthesizeWav(Tables.documents(s, dir), "doc_id"),
+            "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 32 AS n FROM documents),
+             |sm AS (SELECT doc_id, n, k,
+             |        (13*doc_id + 7*k) % 65536 - 32768 AS v
+             |      FROM (SELECT doc_id, n,
+             |              unnest(generate_series(0, n - 1)) AS k FROM d)),
+             |z AS (SELECT doc_id, n,
+             |        CAST(sum(CASE WHEN prev * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+             |        CAST(sum(v * v) AS BIGINT) AS energy
+             |      FROM (SELECT doc_id, n, v,
+             |              lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+             |            FROM sm)
+             |      GROUP BY 1, 2)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, zc AS zero_cross,
+             |  energy,
+             |  round(zc::DOUBLE / (n - 1)::DOUBLE, 6) AS zcr,
+             |  round(sqrt(energy::DOUBLE / n::DOUBLE), 6) AS rms
+             |FROM z ORDER BY doc_id""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

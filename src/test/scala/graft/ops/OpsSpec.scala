@@ -369,6 +369,28 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.Wav.decode(floatFmt))
   }
 
+  test("WAV features: consecutive-sign zero crossings and integer energy") {
+    val enc = Multimodal.Wav.encode(5L)
+    val exp = (0 until 13).map(k => ((13 * 5 + 7 * k) % 65536) - 32768)
+    val f = Multimodal.Wav.features(enc)
+    assert(f.nSamples == 13L)
+    assert(f.energy == exp.map(v => v.toLong * v).sum)
+    assert(f.zeroCross ==
+      exp.sliding(2).count(p => p(0).toLong * p(1) < 0))
+    // hand case through the shared walk: +1 -1 +1 0 -1 → crossings at
+    // (+1,-1), (-1,+1); the zero breaks the (+1 → -1) run (strict rule)
+    val samples = Seq[Short](1, -1, 1, 0, -1)
+    val bb = java.nio.ByteBuffer.allocate(44 + 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 10).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(10)
+    samples.foreach(bb.putShort)
+    val hand = Multimodal.Wav.features(bb.array())
+    assert(hand == Multimodal.Wav.Features(5L, 2L, 4L))
+  }
+
   test("metadata matches payload bytes") {
     val m = Multimodal.ingestAsBinary(Seq((1L, "abc")).toDF("doc_id", "text"), "text", "t")
       .select($"meta.n_bytes", $"meta.content_md5").as[(Long, String)].head()

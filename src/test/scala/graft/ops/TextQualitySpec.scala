@@ -264,6 +264,26 @@ class TextQualitySpec extends SparkSpec {
     assert(out(1L)._3 > 0 && out(2L)._3 < 0)     // ref-likely doc on top
   }
 
+  // ─── chi2Keywords ─────────────────────────────────────────────────────
+
+  test("chi2Keywords: hand-computed 2x2 contingencies, presence-based") {
+    // N=4, two labels of 2 docs each; contingencies by hand:
+    //   (a,xx): a=2 b=0 c=0 d=2 → χ² = 4·16/16 = 4
+    //   (a,zz): a=1 b=2 c=1 d=0 → χ² = 4·4/12  = 4/3
+    //   (b,zz): a=2 b=1 c=0 d=1 → 4/3; (·,yy): balanced → 0
+    // 'zz zz' also checks presence (array_distinct), not token counts
+    val df = Seq((1L, "a", "xx yy"), (2L, "a", "xx zz"),
+      (3L, "b", "yy zz"), (4L, "b", "zz zz")).toDF("doc_id", "lang", "text")
+    val got = TextStats.chi2Keywords(df, "doc_id", "lang", "text",
+        minDf = 1, topK = 2)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    val third = BigDecimal(4.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      ("a", "xx", 2L, 0L, 4.0), ("a", "zz", 1L, 2L, third),
+      ("b", "zz", 2L, 1L, third), ("b", "yy", 1L, 1L, 0.0)))
+  }
+
   // ─── fleschStats ──────────────────────────────────────────────────────
 
   test("fleschStats: hand-counted sentences, words, vowel-group syllables") {
