@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `GraftFunctions.register(spark)` on a live session (tests, REPL).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPrune)
+  }
 }
 
 object GraftFunctions {

@@ -126,6 +126,35 @@ object Multimodal {
       }
     }
 
+    /** Sobel edge extraction fused into the parse: per frame, grayscale
+      * g(x,y) = r+g+b (integer, no division), 3×3 Sobel over INTERIOR
+      * pixels, per-frame Σ|gx| / Σ|gy| / Σ(|gx|+|gy|) — returned in the
+      * Frame's channel slots with width/height = the interior dims.
+      * Integer convolution end to end: engine-exact. */
+    def decodeEdges(bytes: Array[Byte]): Seq[Frame] =
+      parseFrames(bytes) { (w, h, raster, at) =>
+        def g(x: Int, y: Int): Long = {
+          val base = raster + 3 * (y * w + x)
+          at(base) + at(base + 1) + at(base + 2)
+        }
+        var sgx = 0L; var sgy = 0L; var se = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val gx = (g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1)) -
+              (g(x - 1, y - 1) + 2 * g(x - 1, y) + g(x - 1, y + 1))
+            val gy = (g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)) -
+              (g(x - 1, y - 1) + 2 * g(x, y - 1) + g(x + 1, y - 1))
+            sgx += math.abs(gx); sgy += math.abs(gy)
+            se += math.abs(gx) + math.abs(gy)
+            x += 1
+          }
+          y += 1
+        }
+        Frame(math.max(w - 2, 0), math.max(h - 2, 0), sgx, sgy, se)
+      }
+
     /** The shared header/raster walk: validates each frame, hands
       * (w, h, rasterOffset, unsigned-byte reader) to `fold`, advances
       * past the raster, and enforces cross-frame dimension agreement
@@ -410,6 +439,35 @@ object Multimodal {
             d.sumAbs, d.peak)
         }
       }(enc)
+  }
+
+  /** REAL image feature extraction over the PPM decode path: Sobel
+    * edge density per document — Σ|gx|, Σ|gy|, and the mean edge
+    * magnitude over every interior pixel of every frame (the cheap
+    * blur/richness discriminator an image-quality filter thresholds
+    * on). Same partition-batched map-only shape as the decoders;
+    * integer convolution makes the one division engine-exact.
+    * Output: (idCol, n_interior, sum_gx, sum_gy, edge_sum, mean_edge). */
+  def edgeStats(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_interior", LongType),
+      StructField("sum_gx", LongType),
+      StructField("sum_gy", LongType),
+      StructField("edge_sum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val frames = Ppm.decodeEdges(r.getAs[Array[Byte]](1))
+          val n = frames.iterator.map(f => f.width.toLong * f.height).sum
+          Row(r.getLong(0), n, frames.iterator.map(_.sumR).sum,
+            frames.iterator.map(_.sumG).sum, frames.iterator.map(_.sumB).sum)
+        }
+      }(enc)
+      .withColumn("mean_edge", when(col("n_interior") > 0,
+        round(col("edge_sum").cast("double") /
+          col("n_interior").cast("double"), 6)).otherwise(lit(0.0)))
   }
 
   /** REAL audio feature extraction over the WAV decode path: strict

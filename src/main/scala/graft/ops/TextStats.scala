@@ -1772,6 +1772,43 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Zipf rank–frequency slope over the top-`topR` terms: OLS of ln f
+    * on ln r — the corpus-health scaling audit next to the Heaps curve
+    * (q183): natural text sits near −1; a synthetic or boilerplate-
+    * heavy corpus drifts shallow. Per-term ln's and their products fold
+    * through 2^40 fixed-point BEFORE the sums (the q80 construction);
+    * the closing OLS divides identical doubles in any engine.
+    *
+    * Scale shape: one term-count shuffle; ranking happens on the
+    * topR-bounded frame (topR is a contract constant — the one global
+    * window runs on ≤ topR rows). Output: one row (n_terms, slope). */
+  def zipfSlope(df: DataFrame, textCol: String, topR: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topR >= 3, s"topR must be >= 3, got $topR")
+    val fix = (1L << 40).toDouble
+    val tf = df.select(explode(split(lower(col(textCol)), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("t")).limit(topR)
+    val ranked = tf.withColumn("r",
+      row_number().over(Window.orderBy(col("f").desc, col("t"))))
+    val terms = ranked.select(
+        round(log(col("r").cast("double")) * fix).cast("long").as("__xf"),
+        round(log(col("f").cast("double")) * fix).cast("long").as("__yf"))
+      .withColumn("__x", col("__xf").cast("double") / fix)
+      .withColumn("__y", col("__yf").cast("double") / fix)
+      .withColumn("__xy", round(col("__x") * col("__y") * fix).cast("long"))
+      .withColumn("__xx", round(col("__x") * col("__x") * fix).cast("long"))
+    val n = col("n_terms").cast("double")
+    def s(c: String) = col(c).cast("double") / fix
+    terms.agg(count(lit(1)).as("n_terms"), sum(col("__xf")).as("__sx"),
+        sum(col("__yf")).as("__sy"), sum(col("__xy")).as("__sxy"),
+        sum(col("__xx")).as("__sxx"))
+      .select(col("n_terms"),
+        round((n * s("__sxy") - s("__sx") * s("__sy")) /
+          (n * s("__sxx") - s("__sx") * s("__sx")), 6).as("slope"))
+  }
+
   /** χ² token–label association (the feature-selection audit behind
     * "which tokens give the language/domain away" — Yang & Pedersen '97
     * ranked χ² top among selection criteria): per (label, term), the

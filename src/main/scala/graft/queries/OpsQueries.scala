@@ -12564,7 +12564,100 @@ object OpsQueries {
              |  energy,
              |  round(zc::DOUBLE / (n - 1)::DOUBLE, 6) AS zcr,
              |  round(sqrt(energy::DOUBLE / n::DOUBLE), 6) AS rms
-             |FROM z ORDER BY doc_id""".stripMargin)))
+             |FROM z ORDER BY doc_id""".stripMargin)),
+
+    // ─── REAL image features: Sobel edge density over decoded frames ────
+    // Integer grayscale (r+g+b) + 3x3 Sobel over interior pixels, fused
+    // into the PPM parse; the oracle replays the convolution via index
+    // arithmetic on the synthesized pixel formula.
+    "q421_edge_density" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.edgeStats(
+            Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"),
+            "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some {
+        def g(dx: Int, dy: Int) = {
+          val idx = s"(31*doc_id + 97*f + 3*((y + ($dy))*w + x + ($dx)))"
+          s"($idx % 256 + ($idx + 1) % 256 + ($idx + 2) % 256)"
+        }
+        val gxE = s"((${g(1, -1)} + 2*${g(1, 0)} + ${g(1, 1)})" +
+          s" - (${g(-1, -1)} + 2*${g(-1, 0)} + ${g(-1, 1)}))"
+        val gyE = s"((${g(-1, 1)} + 2*${g(0, 1)} + ${g(1, 1)})" +
+          s" - (${g(-1, -1)} + 2*${g(0, -1)} + ${g(1, -1)}))"
+        s"""WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+           |        4 + (7*doc_id) % 11 AS h, 1 + doc_id % 4 AS nf
+           |      FROM documents),
+           |e AS (SELECT doc_id, w, h,
+           |        unnest(generate_series(0, nf - 1)) AS f FROM d),
+           |xx AS (SELECT doc_id, w, h, f,
+           |        unnest(generate_series(1, w - 2)) AS x FROM e),
+           |xy AS (SELECT doc_id, w, h, f, x,
+           |        unnest(generate_series(1, h - 2)) AS y FROM xx),
+           |px AS (SELECT doc_id, abs($gxE) AS agx, abs($gyE) AS agy FROM xy),
+           |sm AS (SELECT doc_id, CAST(sum(agx) AS BIGINT) AS sum_gx,
+           |        CAST(sum(agy) AS BIGINT) AS sum_gy,
+           |        CAST(sum(agx + agy) AS BIGINT) AS edge_sum
+           |      FROM px GROUP BY 1),
+           |np AS (SELECT doc_id,
+           |        CAST(nf * (w - 2) * (h - 2) AS BIGINT) AS n_interior
+           |      FROM d)
+           |SELECT np.doc_id, np.n_interior, sm.sum_gx, sm.sum_gy, sm.edge_sum,
+           |  round(CAST(edge_sum AS DOUBLE) / CAST(n_interior AS DOUBLE), 6)
+           |    AS mean_edge
+           |FROM np JOIN sm USING (doc_id) ORDER BY doc_id""".stripMargin
+      }),
+
+    // ─── Zipf rank–frequency slope (corpus scaling-law audit) ───────────
+    "q422_zipf_slope" -> Q(
+      (s, dir) =>
+        TextStats.zipfSlope(Tables.documents(s, dir), "text", topR = 100),
+      Some("""WITH tf AS (SELECT t, count(*) AS f FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+             |  WHERE length(t) > 0 GROUP BY t),
+             |top AS (SELECT f, r FROM (SELECT f, row_number() OVER
+             |    (ORDER BY f DESC, t ASC) AS r FROM tf) WHERE r <= 100),
+             |fp AS (SELECT
+             |    CAST(round(ln(r::DOUBLE) * 1099511627776::DOUBLE) AS BIGINT) AS xf,
+             |    CAST(round(ln(f::DOUBLE) * 1099511627776::DOUBLE) AS BIGINT) AS yf
+             |  FROM top),
+             |t2 AS (SELECT xf, yf,
+             |    xf::DOUBLE / 1099511627776::DOUBLE AS x,
+             |    yf::DOUBLE / 1099511627776::DOUBLE AS y FROM fp),
+             |t3 AS (SELECT xf, yf,
+             |    CAST(round(x * y * 1099511627776::DOUBLE) AS BIGINT) AS xy,
+             |    CAST(round(x * x * 1099511627776::DOUBLE) AS BIGINT) AS xx
+             |  FROM t2),
+             |ag AS (SELECT count(*)::BIGINT AS n_terms,
+             |    CAST(sum(xf) AS BIGINT) AS sx, CAST(sum(yf) AS BIGINT) AS sy,
+             |    CAST(sum(xy) AS BIGINT) AS sxy, CAST(sum(xx) AS BIGINT) AS sxx
+             |  FROM t3)
+             |SELECT n_terms,
+             |  round((n_terms::DOUBLE * (sxy::DOUBLE / 1099511627776::DOUBLE)
+             |      - (sx::DOUBLE / 1099511627776::DOUBLE)
+             |        * (sy::DOUBLE / 1099511627776::DOUBLE))
+             |    / (n_terms::DOUBLE * (sxx::DOUBLE / 1099511627776::DOUBLE)
+             |      - (sx::DOUBLE / 1099511627776::DOUBLE)
+             |        * (sx::DOUBLE / 1099511627776::DOUBLE)), 6) AS slope
+             |FROM ag""".stripMargin)),
+
+    // ─── language-ID confusion matrix (heuristic eval vs true label) ────
+    "q423_langid_confusion" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val markers = Map(
+          "de" -> Seq("der", "und"), "en" -> Seq("the", "a"),
+          "es" -> Seq("el", "y"), "fr" -> Seq("le", "et"))
+        Tables.documents(s, dir)
+          .select($"lang", TextStats.langGuess($"text", markers).as("lang_guess"))
+          .groupBy($"lang", $"lang_guess").agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"lang_guess")
+      },
+      Some(s"""WITH $langIdOracleCtes
+              |SELECT lang, lang_guess, count(*)::BIGINT AS n
+              |FROM g GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin)))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -133,4 +133,15 @@ class CandidateGrowthSpec extends SparkSpec {
         s"$dir: SNM candidate count $pairs != closed form for n=$n, w=$w")
     }
   }
+
+  test("rare-shingle kinship edges grow ~linearly (df-bounded self-join)") {
+    // The q413/q417/q418 wedge-audit graph: every shingle group is
+    // capped at dfMax docs BEFORE the self-join, so edges per shingle
+    // are ≤ C(4,2) and total edges track the number of df ∈ [2,4]
+    // shingles — which grows with the corpus, not its square.
+    def edges(dir: String): Double =
+      Dedup.rareShingleEdges(Tables.documents(spark, dir), "doc_id", "text")
+        .count().toDouble
+    assertSubQuadratic("rareShingleEdges", edges(sfSmall), edges(sfBig))
+  }
 }

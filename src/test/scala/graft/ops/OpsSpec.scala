@@ -369,6 +369,20 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.Wav.decode(floatFmt))
   }
 
+  test("PPM decodeEdges: hand-computed Sobel on a 3x3 gradient frame") {
+    // raster bytes 0..26 → gray(x,y) = 9·(3y+x) + 3; the single interior
+    // pixel: gx = (21+2·48+75) − (3+2·30+57) = 72, gy = (57+2·66+75) −
+    // (3+2·12+21) = 216
+    val hand = "P6\n3 3\n255\n".getBytes("US-ASCII") ++
+      (0 until 27).map(_.toByte).toArray
+    assert(Multimodal.Ppm.decodeEdges(hand) ==
+      Seq(Multimodal.Ppm.Frame(1, 1, 72, 216, 288)))
+    // flat frame: zero gradients everywhere
+    val flat = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ Array.fill(48)(7.toByte)
+    val f = Multimodal.Ppm.decodeEdges(flat).head
+    assert(f == Multimodal.Ppm.Frame(2, 2, 0, 0, 0))
+  }
+
   test("WAV features: consecutive-sign zero crossings and integer energy") {
     val enc = Multimodal.Wav.encode(5L)
     val exp = (0 until 13).map(k => ((13 * 5 + 7 * k) % 65536) - 32768)
