@@ -126,6 +126,60 @@ object Multimodal {
       }
     }
 
+    /** Per-channel 16-bin color histogram (bin = value ÷ 16) summed
+      * over every frame — the palette-profile feature an image-quality
+      * filter reads (a near-flat histogram = noise; a one-bin spike =
+      * a blank/solid image). Integer counts, one parse pass.
+      * Returns counts[channel 0..2][bin 0..15]. */
+    def colorHistogram(bytes: Array[Byte]): Array[Array[Long]] = {
+      val bins = Array.ofDim[Long](3, 16)
+      parseFrames(bytes) { (w, h, raster, at) =>
+        val n = 3 * w * h
+        var i = 0
+        while (i < n) {
+          bins(i % 3)((at(raster + i) / 16).toInt) += 1
+          i += 1
+        }
+        Frame(w, h, 0L, 0L, 0L)
+      }
+      bins
+    }
+
+    /** dHash perceptual hash (difference hash — the classic cheap
+      * near-duplicate image fingerprint): the FIRST frame is sampled on
+      * a 9×8 nearest-floor grid (sx = gx·w ÷ 9, sy = gy·h ÷ 8),
+      * grayscale g = r+g+b, bit (gy·8 + gx) set iff g(gx+1,·) >
+      * g(gx,·). Returned as (hi, lo) 32-bit halves so neither engine
+      * touches the sign bit. Integer end to end. */
+    def dHash(bytes: Array[Byte]): (Long, Long) = {
+      val frames = parseFrames(bytes) { (w, h, raster, at) =>
+        Frame(w, h, raster.toLong, 0L, 0L) // carry the offset out
+      }
+      val f0 = frames.head
+      val (w, h, raster) = (f0.width, f0.height, f0.sumR.toInt)
+      // re-read bytes via the same offset (parseFrames validated them)
+      def g(gx: Int, gy: Int): Long = {
+        val sx = gx * w / 9; val sy = gy * h / 8
+        val base = raster + 3 * (sy * w + sx)
+        (bytes(base) & 0xffL) + (bytes(base + 1) & 0xffL) +
+          (bytes(base + 2) & 0xffL)
+      }
+      var hi = 0L; var lo = 0L
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (g(gx + 1, gy) > g(gx, gy)) {
+            val b = gy * 8 + gx
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      (hi, lo)
+    }
+
     /** Sobel edge extraction fused into the parse: per frame, grayscale
       * g(x,y) = r+g+b (integer, no division), 3×3 Sobel over INTERIOR
       * pixels, per-frame Σ|gx| / Σ|gy| / Σ(|gx|+|gy|) — returned in the
@@ -356,6 +410,27 @@ object Multimodal {
       Features(n, zc, energy)
     }
 
+    /** Frame-wise silence detection in the same fused pass: samples
+      * group into complete `frame`-sized windows (the ragged tail is
+      * dropped, the standard STE convention); a frame is silent when
+      * its energy < `thresholdMeanSq`·frame — an integer compare, no
+      * division. Returns (nFrames, nSilent). */
+    def silence(bytes: Array[Byte], frame: Int,
+        thresholdMeanSq: Long): (Long, Long) = {
+      require(frame >= 1, s"frame must be >= 1, got $frame")
+      var nf = 0L; var silent = 0L; var acc = 0L; var k = 0
+      walkPcm(bytes) { v =>
+        acc += v.toLong * v
+        k += 1
+        if (k == frame) {
+          nf += 1
+          if (acc < thresholdMeanSq * frame) silent += 1
+          acc = 0L; k = 0
+        }
+      }
+      (nf, silent)
+    }
+
     /** The shared RIFF chunk walk: validates RIFF/WAVE/fmt/data, feeds
       * every 16-bit sample to `onSample`, returns
       * (rate, channels, bits, nSamples). */
@@ -468,6 +543,71 @@ object Multimodal {
       .withColumn("mean_edge", when(col("n_interior") > 0,
         round(col("edge_sum").cast("double") /
           col("n_interior").cast("double"), 6)).otherwise(lit(0.0)))
+  }
+
+  /** Frame-wise silence profile per document (short-time-energy gate):
+    * complete `frame`-sample windows, silent when mean-square <
+    * `thresholdMeanSq` (integer compare inside the fused pass).
+    * Output: (idCol, n_frames, n_silent, silence_ratio). */
+  def silenceStats(df: DataFrame, idCol: String, frame: Int = 8,
+      thresholdMeanSq: Long = 100000000L): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_silent", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (nf, ns) = Wav.silence(r.getAs[Array[Byte]](1), frame,
+            thresholdMeanSq)
+          Row(r.getLong(0), nf, ns)
+        }
+      }(enc)
+      .withColumn("silence_ratio", when(col("n_frames") > 0,
+        round(col("n_silent").cast("double") /
+          col("n_frames").cast("double"), 6)).otherwise(lit(0.0)))
+  }
+
+  /** Per-channel 16-bin color histogram per document, exploded to
+    * (idCol, channel, bin, n) rows — the palette profile as a narrow
+    * fact the rest of the engine can aggregate. Map-only decode pass;
+    * 48 rows per document. */
+  def colorHistogramStats(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("channel", IntegerType),
+      StructField("bin", IntegerType),
+      StructField("n", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bins = Ppm.colorHistogram(r.getAs[Array[Byte]](1))
+          for (c <- 0 until 3; b <- 0 until 16 if bins(c)(b) > 0L)
+            yield Row(r.getLong(0), c, b, bins(c)(b))
+        }
+      }(enc)
+  }
+
+  /** dHash perceptual fingerprint per document (first frame, 9×8
+    * nearest-floor grid): the constant-size key an image near-dup pass
+    * bands on (exact-match or Hamming-bucket join downstream — the
+    * SimHash discipline applied to pixels).
+    * Output: (idCol, dhash_hi, dhash_lo). */
+  def dhashes(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dhash_hi", LongType),
+      StructField("dhash_lo", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (hi, lo) = Ppm.dHash(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), hi, lo)
+        }
+      }(enc)
   }
 
   /** REAL audio feature extraction over the WAV decode path: strict

@@ -12657,7 +12657,85 @@ object OpsQueries {
       },
       Some(s"""WITH $langIdOracleCtes
               |SELECT lang, lang_guess, count(*)::BIGINT AS n
-              |FROM g GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin)))
+              |FROM g GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin)),
+
+    // ─── frame-wise silence ratio (short-time-energy gate) ──────────────
+    "q424_silence_ratio" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.silenceStats(
+            Multimodal.synthesizeWav(Tables.documents(s, dir), "doc_id"),
+            "doc_id", frame = 8, thresholdMeanSq = 100000000L)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 32 AS n FROM documents),
+             |sm AS (SELECT doc_id, k // 8 AS j,
+             |        (13*doc_id + 7*k) % 65536 - 32768 AS v
+             |      FROM (SELECT doc_id, n,
+             |              unnest(generate_series(0, (n // 8) * 8 - 1)) AS k
+             |            FROM d)),
+             |fe AS (SELECT doc_id, j, sum(v * v) AS e FROM sm GROUP BY 1, 2),
+             |z AS (SELECT doc_id, count(*)::BIGINT AS n_frames,
+             |        CAST(sum(CASE WHEN e < 800000000 THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS n_silent
+             |      FROM fe GROUP BY 1)
+             |SELECT doc_id, n_frames, n_silent,
+             |  round(n_silent::DOUBLE / n_frames::DOUBLE, 6) AS silence_ratio
+             |FROM z ORDER BY doc_id""".stripMargin)),
+
+    // ─── per-channel 16-bin color histogram (palette profile) ───────────
+    "q425_color_histogram" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.colorHistogramStats(
+            Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"),
+            "doc_id")
+          .orderBy($"doc_id", $"channel", $"bin")
+      },
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+             |        4 + (7*doc_id) % 11 AS h, 1 + doc_id % 4 AS nf
+             |      FROM documents),
+             |e AS (SELECT doc_id, w, h,
+             |        unnest(generate_series(0, nf - 1)) AS f FROM d),
+             |px AS (SELECT doc_id, CAST(i % 3 AS INTEGER) AS channel,
+             |        CAST(((31*doc_id + 97*f + i) % 256) // 16 AS INTEGER) AS bin
+             |      FROM (SELECT doc_id, f,
+             |              unnest(generate_series(0, 3*w*h - 1)) AS i FROM e))
+             |SELECT doc_id, channel, bin, count(*)::BIGINT AS n
+             |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id, channel, bin""".stripMargin)),
+
+    // ─── dHash perceptual image fingerprint (9×8 grid, first frame) ─────
+    "q426_dhash" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.dhashes(
+            Multimodal.synthesizeMedia(Tables.documents(s, dir), "doc_id"),
+            "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some {
+        def g(xe: String) = {
+          val idx = s"(31*doc_id + 3*(((y*h) // 8)*w + (($xe)*w) // 9))"
+          s"($idx % 256 + ($idx + 1) % 256 + ($idx + 2) % 256)"
+        }
+        s"""WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+           |        4 + (7*doc_id) % 11 AS h FROM documents),
+           |gx AS (SELECT doc_id, w, h,
+           |        unnest(generate_series(0, 7)) AS x FROM d),
+           |gxy AS (SELECT doc_id, w, h, x,
+           |        unnest(generate_series(0, 7)) AS y FROM gx),
+           |bits AS (SELECT doc_id, y * 8 + x AS b FROM gxy
+           |        WHERE ${g("x + 1")} > ${g("x")}),
+           |agg AS (SELECT doc_id,
+           |        CAST(sum(CASE WHEN b >= 32 THEN (1::BIGINT << (b - 32))
+           |          ELSE 0 END) AS BIGINT) AS dhash_hi,
+           |        CAST(sum(CASE WHEN b < 32 THEN (1::BIGINT << b)
+           |          ELSE 0 END) AS BIGINT) AS dhash_lo
+           |      FROM bits GROUP BY 1)
+           |SELECT d.doc_id, coalesce(agg.dhash_hi, 0) AS dhash_hi,
+           |  coalesce(agg.dhash_lo, 0) AS dhash_lo
+           |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+      }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

@@ -383,6 +383,38 @@ class MultimodalSpec extends SparkSpec {
     assert(f == Multimodal.Ppm.Frame(2, 2, 0, 0, 0))
   }
 
+  test("PPM colorHistogram and dHash: hand-checkable invariants") {
+    // flat gray frame: every byte 40 → all three channels bin 2 only
+    val flat = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ Array.fill(48)(40.toByte)
+    val bins = Multimodal.Ppm.colorHistogram(flat)
+    for (c <- 0 until 3; b <- 0 until 16)
+      assert(bins(c)(b) == (if (b == 2) 16L else 0L), s"channel $c bin $b")
+    // flat frame: no g(x+1) > g(x) anywhere → dHash all-zero
+    assert(Multimodal.Ppm.dHash(flat) == ((0L, 0L)))
+    // horizontal ramp: every right neighbor with a strictly larger sx
+    // is brighter; on a 9-wide frame sx = gx (w/9 = 1 floor) — all
+    // 64 bits set except columns where sx ties... w=9: sx = gx*9/9 = gx,
+    // strictly increasing → every bit set
+    val ramp = "P6\n9 8\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(3 * 9 * 8)(i => ((i / 3) % 9 * 20).toByte)
+    val (hi, lo) = Multimodal.Ppm.dHash(ramp)
+    assert(hi == 0xffffffffL && lo == 0xffffffffL)
+    // silence: a frame of zeros is silent, a full-scale frame is not
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * samples.size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 2 * samples.size).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(2 * samples.size)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val quietLoud = wav(Seq.fill[Short](8)(0) ++ Seq.fill[Short](8)(20000) ++
+      Seq.fill[Short](3)(1))  // ragged tail of 3 dropped
+    assert(Multimodal.Wav.silence(quietLoud, 8, 100000000L) == ((2L, 1L)))
+  }
+
   test("WAV features: consecutive-sign zero crossings and integer energy") {
     val enc = Multimodal.Wav.encode(5L)
     val exp = (0 until 13).map(k => ((13 * 5 + 7 * k) % 65536) - 32768)
