@@ -235,4 +235,44 @@ object EvalMetrics {
         round(col("__sf1").cast("double") / col("n_pairs").cast("double"), 6)
           .as("mean_f1"))
   }
+
+  /** Truncated Rank-Biased Overlap (Webber et al. 2010) between two
+    * top-k rankings per key: RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·A_d with
+    * A_d = |top_d(a) ∩ top_d(b)| / d — the retrieval-eval comparator
+    * that weights agreement toward the TOP of the lists (Kendall/
+    * Spearman treat rank 1 and rank 1000 alike). Inputs carry
+    * (keyCol, itemCol, rankCol) with rank 1-based and deterministic.
+    *
+    * Float discipline: the p^{d−1} weights are DRIVER literals (both
+    * engines read the same decimal text, not their own `pow`), and each
+    * depth's contribution folds through 2^40 fixed-point before the
+    * per-key sum. Scale shape: lists are top-k-bounded retrieval
+    * outputs, so the intersection join and the k-way depth explode are
+    * list-sized, never corpus-sized. Output: (keyCol, rbo). */
+  def rboTruncated(a: DataFrame, b: DataFrame, keyCol: String,
+      itemCol: String, rankCol: String, k: Int = 10,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1 && p > 0 && p < 1, "need k >= 1 and p in (0,1)")
+    val fix = (1L << 40).toDouble
+    def side(df: DataFrame, r: String) =
+      df.select(col(keyCol).as("__k"), col(itemCol).as("__i"),
+        col(rankCol).as(r)).filter(col(r) <= k)
+    val ov = side(a, "__ra").join(side(b, "__rb"), Seq("__k", "__i"))
+      .select(col("__k"), greatest(col("__ra"), col("__rb")).as("__m"))
+      .withColumn("__d", explode(array((1 to k).map(lit): _*)))
+      .filter(col("__m") <= col("__d"))
+      .groupBy(col("__k"), col("__d")).agg(count(lit(1)).as("__ov"))
+    val weights = array((1 to k).map(d =>
+      lit((1.0 - p) * math.pow(p, d - 1))): _*)
+    val grid = a.select(col(keyCol).as("__k")).distinct()
+      .withColumn("__d", explode(array((1 to k).map(lit): _*)))
+    grid.join(ov, Seq("__k", "__d"), "left")
+      .na.fill(0L, Seq("__ov"))
+      .withColumn("__t", round(element_at(weights, col("__d")) *
+        (col("__ov").cast("double") / col("__d").cast("double")) * fix)
+        .cast("long"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(round(sum(col("__t")).cast("double") / fix, 6).as("rbo"))
+      .orderBy(col(keyCol))
+  }
 }

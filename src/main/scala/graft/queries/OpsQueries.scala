@@ -594,6 +594,42 @@ object OpsQueries {
        |ORDER BY rank_fp DESC, word LIMIT $topK""".stripMargin
   }
 
+  /** q427 oracle: `EvalMetrics.rboTruncated` replayed — the p^{d−1}
+    * weights are the SAME Scala-computed doubles the op folds in as
+    * literals (Double.toString round-trips through DuckDB's parser),
+    * depth contributions 2^40 fixed-point before the per-key sum. */
+  private def rboSql(k: Int, p: Double): String = {
+    val ws = (1 to k).map(d =>
+        s"WHEN $d THEN ${java.lang.Double.toString((1.0 - p) * math.pow(p, d - 1))}::DOUBLE")
+      .mkString(" ")
+    s"""WITH toks AS (SELECT lang, doc_id,
+       |        unnest(string_split(lower(text), ' ')) AS term FROM documents),
+       |tok2 AS (SELECT * FROM toks WHERE length(term) > 0),
+       |tf AS (SELECT lang, term, count(*) AS c FROM tok2 GROUP BY 1, 2),
+       |dfq AS (SELECT lang, term, count(DISTINCT doc_id) AS c
+       |        FROM tok2 GROUP BY 1, 2),
+       |ra AS (SELECT lang, term, row_number() OVER
+       |        (PARTITION BY lang ORDER BY c DESC, term) AS r FROM tf),
+       |rb AS (SELECT lang, term, row_number() OVER
+       |        (PARTITION BY lang ORDER BY c DESC, term) AS r FROM dfq),
+       |ds AS (SELECT unnest(range(1, ${k + 1}))::INTEGER AS d),
+       |ov AS (SELECT ra.lang, ds.d, count(*) AS ov
+       |       FROM ra JOIN rb ON ra.lang = rb.lang AND ra.term = rb.term
+       |         AND ra.r <= $k AND rb.r <= $k
+       |       JOIN ds ON greatest(ra.r, rb.r) <= ds.d
+       |       GROUP BY 1, 2),
+       |grid AS (SELECT lang, d FROM (SELECT DISTINCT lang FROM documents)
+       |         CROSS JOIN ds),
+       |t AS (SELECT grid.lang, grid.d, coalesce(ov.ov, 0) AS ov,
+       |        CASE grid.d $ws ELSE 0.0::DOUBLE END AS w
+       |      FROM grid LEFT JOIN ov ON grid.lang = ov.lang AND grid.d = ov.d),
+       |fp AS (SELECT lang, CAST(round(w * (ov::DOUBLE / d::DOUBLE)
+       |          * 1099511627776::DOUBLE) AS BIGINT) AS tfp FROM t)
+       |SELECT lang, round(CAST(sum(tfp) AS DOUBLE) / 1099511627776::DOUBLE, 6)
+       |  AS rbo
+       |FROM fp GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** q412 oracle: `Graph.bfsDistances` replayed — per hop a DISTINCT
     * frontier-neighbor set and a keep-earlier coalesce; unreached → -1. */
   private def bfsSql(maxHops: Int): String = {
@@ -12735,7 +12771,29 @@ object OpsQueries {
            |SELECT d.doc_id, coalesce(agg.dhash_hi, 0) AS dhash_hi,
            |  coalesce(agg.dhash_lo, 0) AS dhash_lo
            |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // ─── Rank-Biased Overlap between two term rankings per language ─────
+    // RBO@10 (p=0.9) between "top terms by frequency" and "top terms by
+    // document frequency" — the top-weighted ranking comparator a
+    // retrieval eval uses where Spearman treats all ranks alike.
+    "q427_rbo" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, dir).select($"lang", $"doc_id",
+            explode(split(lower($"text"), " ")).as("term"))
+          .filter(length($"term") > 0)
+        val tf = toks.groupBy($"lang", $"term").agg(count(lit(1)).as("c"))
+        val dfq = toks.groupBy($"lang", $"term")
+          .agg(countDistinct($"doc_id").as("c"))
+        val w = Window.partitionBy($"lang").orderBy($"c".desc, $"term")
+        EvalMetrics.rboTruncated(
+          tf.withColumn("r", row_number().over(w)),
+          dfq.withColumn("r", row_number().over(w)),
+          "lang", "term", "r", k = 10, p = 0.9)
+      },
+      Some(rboSql(k = 10, p = 0.9))))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup

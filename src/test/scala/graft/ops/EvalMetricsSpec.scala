@@ -89,4 +89,35 @@ class EvalMetricsSpec extends SparkSpec {
       .where($"group" === "de").as[(String, Long, Long, Double)].head()
     assert(de == (("de", 1L, 1L, 1.0)))
   }
+
+  test("RBO: identical lists hit the truncation mass, disjoint score 0") {
+    val k = 10; val p = 0.9
+    def ranks(items: Seq[String]) = items.zipWithIndex
+      .map { case (it, i) => ("q", it, i + 1) }.toDF("key", "item", "r")
+    val a = ranks((1 to 10).map("x" + _))
+    val same = EvalMetrics.rboTruncated(a, a, "key", "item", "r", k, p)
+      .as[(String, Double)].head()
+    // A_d = 1 at every depth → RBO = (1−p)·Σ p^{d−1} = 1 − p^k, via the
+    // op's own fixed-point fold
+    val fix = (1L << 40).toDouble
+    val want = BigDecimal((1 to k).map(d =>
+        math.round((1.0 - p) * math.pow(p, d - 1) * 1.0 * fix)).sum / fix)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(same._2 === want)
+    assert(math.abs(same._2 - (1 - math.pow(p, k))) < 1e-6)
+    val b = ranks((1 to 10).map("y" + _))
+    val disj = EvalMetrics.rboTruncated(a, b, "key", "item", "r", k, p)
+      .as[(String, Double)].head()
+    assert(disj._2 === 0.0)
+    // swap of the top two: overlap 1 at d=1? no — top-1 sets differ, so
+    // A_1 = 0, A_d = 1 for d ≥ 2
+    val swapped = ranks(Seq("x2", "x1") ++ (3 to 10).map("x" + _))
+    val sw = EvalMetrics.rboTruncated(a, swapped, "key", "item", "r", k, p)
+      .as[(String, Double)].head()
+    val wantSw = BigDecimal(((2 to k).map(d =>
+        math.round((1.0 - p) * math.pow(p, d - 1) * 1.0 * fix)) :+
+        math.round((1.0 - p) * 0.0 * fix)).sum / fix)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sw._2 === wantSw)
+  }
 }
