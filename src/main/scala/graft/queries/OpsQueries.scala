@@ -630,6 +630,14 @@ object OpsQueries {
        |FROM fp GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Morton interleave of the low `bits` bits of two SQL integer
+    * expressions — shared by the q428/q429 oracles so the key can't
+    * drift between them. */
+  private def zbitsSql(xe: String, ye: String, bits: Int): String =
+    (0 until bits).map(b =>
+        s"(((($xe) >> $b) & 1) << ${2 * b}) + (((($ye) >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+
   /** q412 oracle: `Graph.bfsDistances` replayed — per hop a DISTINCT
     * frontier-neighbor set and a keep-earlier coalesce; unreached → -1. */
   private def bfsSql(maxHops: Int): String = {
@@ -12793,7 +12801,66 @@ object OpsQueries {
           dfq.withColumn("r", row_number().over(w)),
           "lang", "term", "r", k = 10, p = 0.9)
       },
-      Some(rboSql(k = 10, p = 0.9))))
+      Some(rboSql(k = 10, p = 0.9))),
+
+    // ─── Z-order (Morton) clustering keys over (custkey, order date) ────
+    // The write-time layout key that gives BOTH filter columns partial
+    // file locality; pure shift/mask integer expressions.
+    "q428_zorder_key" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir).select($"o_orderkey",
+            Layout.zOrderKey($"o_custkey" % 65536,
+              datediff($"o_orderdate", to_date(lit("1970-01-01"))) % 65536,
+              bits = 16).as("zkey"))
+          .orderBy($"o_orderkey")
+      },
+      Some(s"""WITH b AS (SELECT o_orderkey,
+              |        CAST(o_custkey % 65536 AS BIGINT) AS x,
+              |        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS y
+              |      FROM orders)
+              |SELECT o_orderkey,
+              |  CAST(${zbitsSql("x", "y", 16)} AS BIGINT) AS zkey
+              |FROM b ORDER BY o_orderkey""".stripMargin)),
+
+    // ─── zone-map pruning audit: date-sort layout vs Z-order layout ─────
+    // Buckets the orders table into 32 equal "files" under each sort
+    // key and counts the files a custkey point-filter must read — the
+    // measured justification for Z-ordering at 100 TB.
+    "q429_zonemap_layout" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val days = datediff($"o_orderdate", to_date(lit("1970-01-01")))
+        Layout.zoneMapAudit(Tables.orders(s, dir), "o_orderkey",
+            Seq("date_sort" -> days.cast("long"),
+              "zorder" -> Layout.zOrderKey($"o_custkey" % 65536,
+                days % 65536, bits = 16)),
+            "o_custkey", probeValue = 577L, nBuckets = 32)
+          .orderBy($"strategy")
+      },
+      Some {
+        def strat(name: String, keyExpr: String) =
+          s"""s_$name AS (SELECT ntile(32) OVER (ORDER BY $keyExpr, p, id) AS b, p
+             |      FROM base),
+             |f_$name AS (SELECT b, min(p) AS lo, max(p) AS hi
+             |      FROM s_$name GROUP BY b),
+             |a_$name AS (SELECT '$name' AS strategy, count(*)::BIGINT AS n_files,
+             |        CAST(sum(CASE WHEN 577 BETWEEN lo AND hi THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS files_overlapping,
+             |        round(CAST(sum(hi - lo) AS DOUBLE)
+             |          / CAST(count(*) AS DOUBLE), 6) AS mean_span
+             |      FROM f_$name)""".stripMargin
+        s"""WITH base AS (SELECT o_orderkey AS id,
+           |        CAST(o_custkey AS BIGINT) AS p,
+           |        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS kd,
+           |        CAST(o_custkey % 65536 AS BIGINT) AS x,
+           |        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS y
+           |      FROM orders),
+           |${strat("date_sort", "kd")},
+           |${strat("zorder", s"CAST(${zbitsSql("x", "y", 16)} AS BIGINT)")}
+           |SELECT * FROM a_date_sort UNION ALL SELECT * FROM a_zorder
+           |ORDER BY strategy""".stripMargin
+      }))
 
   /** The document-level stage CTEs shared by the q81 pipeline oracle and
     * the q129 attrition oracle: quality rules (q75) → min-id exact dedup
