@@ -12803,6 +12803,20 @@ object OpsQueries {
       },
       Some(rboSql(k = 10, p = 0.9))),
 
+    // ─── spark.sql TEXT surface: one query string, both engines ─────────
+    // Registers temp views and runs the SAME SQL text through
+    // spark.sql(...) that the oracle runs through DuckDB — CTE + joins +
+    // window + DECIMAL money discipline, zero dialect forks. Proves the
+    // library's SQL surface (not just the Column API) end to end.
+    "q430_sql_surface" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        s.sql(SqlSurface.topRevenuePerSegment)
+      },
+      Some(SqlSurface.topRevenuePerSegment)),
+
     // ─── Z-order (Morton) clustering keys over (custkey, order date) ────
     // The write-time layout key that gives BOTH filter columns partial
     // file locality; pure shift/mask integer expressions.
