@@ -153,6 +153,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** INCREMENTAL near-dup: MinHash-LSH pairs between a new `batch` and
+    * the existing `corpus` ONLY — the daily-ingest shape where
+    * [[minhashPairs]]'s all-pairs-within-one-set contract would redo
+    * corpus×corpus work that is already deduplicated. Same signatures,
+    * banding, and verify kernel as the batch op (the q25 constructions),
+    * but the band join is STRICTLY cross-set.
+    *
+    * At 100 TB the corpus side is a materialized band index (bucketed by
+    * the md5-uniform key, appended per ingest); the batch explodes its
+    * own bands and probes — cost tracks the BATCH, not the corpus.
+    * Output: (corpus_id, batch_id, jaccard ≥ threshold). */
+  def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 16, bands: Int = 8,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("__id"),
+        array_sort(graft.functions.HashOps.md5Prefix60Array(
+          shingles(col(textCol), shingleK))).as("__hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandsOf(withSh: DataFrame, out: String) = withSh
+      .withColumn("__sig",
+        graft.functions.HashOps.minhashSigFast(col("__hs"), numHashes))
+      .select(col("__id").as(out),
+        explode(bandKeys(col("__sig"), numHashes, bands)).as("__b"))
+      .select(col(out), col("__b.band").as("__band"), col("__b.key").as("__key"))
+    val shC = prep(corpus); val shB = prep(batch)
+    val cand = bandsOf(shC, "corpus_id")
+      .join(bandsOf(shB, "batch_id"), Seq("__band", "__key"))
+      .select("corpus_id", "batch_id").distinct()
+    val out = cand
+      .join(shC.select(col("__id").as("corpus_id"), col("__hs").as("__hs_a")), "corpus_id")
+      .join(shB.select(col("__id").as("batch_id"), col("__hs").as("__hs_b")), "batch_id")
+      .withColumn("__inter", graft.functions.HashOps.sortedIntersectCount(
+        col("__hs_a"), col("__hs_b")))
+      .withColumn("jaccard", col("__inter") /
+        (size(col("__hs_a")) + size(col("__hs_b")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("batch_id"), col("jaccard"))
+    out
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components by
     * iterative min-label propagation — each vertex repeatedly takes the
     * smallest label among itself and its neighbors until fixpoint, so

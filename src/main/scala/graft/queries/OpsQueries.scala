@@ -12803,6 +12803,31 @@ object OpsQueries {
       },
       Some(rboSql(k = 10, p = 0.9))),
 
+    // ─── incremental near-dup: new batch probed against the corpus ──────
+    // Cross-set LSH only (corpus = doc_id % 10 ≠ 3, batch = ≡ 3): the
+    // daily-ingest shape where corpus×corpus pairs are already settled.
+    "q431_incremental_neardup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        Dedup.minhashPairsIncremental(
+            docs.filter($"doc_id" % 10 =!= 3), docs.filter($"doc_id" % 10 === 3),
+            "doc_id", "text", numHashes = 16, bands = 8, shingleK = 3,
+            threshold = 0.5)
+          .orderBy($"corpus_id", $"batch_id")
+      },
+      Some(s"""WITH $minhashCtes,
+              |cx AS (SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+              |       FROM bands a JOIN bands b ON a.j = b.j AND a.key = b.key
+              |       WHERE a.doc_id % 10 <> 3 AND b.doc_id % 10 = 3),
+              |pj AS (SELECT corpus_id, batch_id,
+              |         len(list_intersect(sa.sh, sb.sh))
+              |           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+              |       FROM cx JOIN sh sa ON cx.corpus_id = sa.doc_id
+              |         JOIN sh sb ON cx.batch_id = sb.doc_id)
+              |SELECT corpus_id, batch_id, jaccard FROM pj
+              |WHERE jaccard >= 0.5 ORDER BY corpus_id, batch_id""".stripMargin)),
+
     // ─── spark.sql TEXT surface: one query string, both engines ─────────
     // Registers temp views and runs the SAME SQL text through
     // spark.sql(...) that the oracle runs through DuckDB — CTE + joins +

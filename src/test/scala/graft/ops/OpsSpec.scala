@@ -19,6 +19,25 @@ class DedupSpec extends SparkSpec {
     assert(truth.subsetOf(lsh), s"missed: ${truth -- lsh}")
   }
 
+  test("incremental near-dup equals the batch op's cross-set subset") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 3)
+    val batch = docs.filter($"doc_id" % 10 === 3)
+    val inc = Dedup.minhashPairsIncremental(corpus, batch, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // the batch op over the union, restricted to pairs straddling the
+    // split (either orientation — the batch op canonicalizes a < b)
+    val full = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, j) =>
+        if (a % 10 != 3 && b % 10 == 3) Some((a, b, j))
+        else if (a % 10 == 3 && b % 10 != 3) Some((b, a, j))
+        else None
+      }.toSet
+    assert(inc === full)
+    assert(inc.forall { case (c, b, _) => c % 10 != 3 && b % 10 == 3 })
+  }
+
   test("quadratic audit baselines refuse inputs over their enforced row bound") {
     val big = spark.range(0, 50).selectExpr("id AS doc_id",
       "concat('alpha beta gamma delta epsilon ', id) AS text")
