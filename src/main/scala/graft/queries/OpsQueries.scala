@@ -12803,6 +12803,34 @@ object OpsQueries {
       },
       Some(rboSql(k = 10, p = 0.9))),
 
+    // ─── TFRecord container round-trip (CRC32C-verified read side) ──────
+    // Real length-prefixed masked-CRC32C records (the TensorFlow
+    // training-data container): synthesize → encode → decode+verify →
+    // per-record stats; the oracle replays the payload formula, so a
+    // green row proves the container framing AND the CRC walk.
+    "q432_tfrecord_roundtrip" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.sources.TfRecord.decodeStats(
+            graft.sources.TfRecord.synthesizeTfRecords(
+              Tables.documents(s, dir), "doc_id"),
+            "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 5 AS nf FROM documents),
+             |r AS (SELECT doc_id, k, 8 + (doc_id + k) % 16 AS n
+             |      FROM (SELECT doc_id,
+             |              unnest(generate_series(0, nf - 1)) AS k FROM d)),
+             |b AS (SELECT doc_id, (31*doc_id + 97*k + i) % 256 AS v
+             |      FROM (SELECT doc_id, k, n,
+             |              unnest(generate_series(0, n - 1)) AS i FROM r)),
+             |agg AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS byte_sum
+             |      FROM b GROUP BY 1),
+             |rt AS (SELECT doc_id, count(*)::BIGINT AS n_records,
+             |        CAST(sum(n) AS BIGINT) AS total_bytes FROM r GROUP BY 1)
+             |SELECT rt.doc_id, rt.n_records, rt.total_bytes, agg.byte_sum
+             |FROM rt JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // ─── incremental near-dup: new batch probed against the corpus ──────
     // Cross-set LSH only (corpus = doc_id % 10 ≠ 3, batch = ≡ 3): the
     // daily-ingest shape where corpus×corpus pairs are already settled.

@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** TFRecord codec contract: known CRC32C vector, masking math checked
+  * against an independent BigInt reimplementation, round-trip identity,
+  * and loud failure on corruption/truncation. */
+class TfRecordSpec extends SparkSpec {
+
+  test("CRC32C known vector and masking math") {
+    // the public CRC32C check value: crc32c("123456789") = 0xE3069283
+    val nine = "123456789".getBytes("US-ASCII")
+    val c = new java.util.zip.CRC32C(); c.update(nine, 0, nine.length)
+    assert(c.getValue === 0xe3069283L)
+    // masked form vs an independent BigInt rotate-and-add
+    def maskRef(crc: Long): Long = {
+      val rot = (crc >>> 15) | ((crc << 17) & 0xffffffffL)
+      (rot + 0xa282ead8L) & 0xffffffffL
+    }
+    assert(TfRecord.maskedCrc(nine, 0, nine.length) === maskRef(0xe3069283L))
+  }
+
+  test("round trip, corruption detection, truncation detection") {
+    val recs = Seq(Array[Byte](1, 2, 3), Array[Byte](), "hello".getBytes("US-ASCII"))
+    val enc = TfRecord.encode(recs.iterator)
+    val back = TfRecord.decode(enc)
+    assert(back.size === 3)
+    recs.zip(back).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // flip one payload byte → data CRC mismatch
+    val corrupt = enc.clone()
+    corrupt(12) = (corrupt(12) ^ 0x7f).toByte // first record's first byte
+    val e1 = intercept[IllegalArgumentException](TfRecord.decode(corrupt))
+    assert(e1.getMessage.contains("CRC"))
+    // drop the tail → truncated
+    val e2 = intercept[IllegalArgumentException](
+      TfRecord.decode(java.util.Arrays.copyOfRange(enc, 0, enc.length - 2)))
+    assert(e2.getMessage.toLowerCase.contains("trunc") ||
+      e2.getMessage.contains("length"))
+    // corrupt a length header → length CRC mismatch
+    val badLen = enc.clone(); badLen(0) = (badLen(0) ^ 1).toByte
+    intercept[IllegalArgumentException](TfRecord.decode(badLen))
+    assert(TfRecord.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("synthesize/decodeStats agree with the closed form on a doc sample") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfTiny).limit(20)
+    val got = TfRecord.decodeStats(
+        TfRecord.synthesizeTfRecords(docs, "doc_id"), "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, nRec, total, sum) =>
+      val nf = 1 + id % 5
+      assert(nRec === nf)
+      val ns = (0 until nf.toInt).map(k => 8 + (id + k) % 16)
+      assert(total === ns.sum)
+      val want = (0 until nf.toInt).flatMap(k =>
+        (0 until (8 + (id + k) % 16).toInt).map(i => (31 * id + 97 * k + i) % 256)).sum
+      assert(sum === want)
+    }
+  }
+}
