@@ -12831,6 +12831,32 @@ object OpsQueries {
              |SELECT rt.doc_id, rt.n_records, rt.total_bytes, agg.byte_sum
              |FROM rt JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ─── packed zigzag-varint payload decode (token-id list bytes) ──────
+    // The protobuf wire primitive inside training shards; the oracle
+    // derives payload_bytes from the closed-form 7-bit group count, so
+    // the gate proves the encoder's packing too.
+    "q433_varint_roundtrip" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.sources.TfRecord.varintStats(
+            graft.sources.TfRecord.synthesizeVarints(
+              Tables.documents(s, dir), "doc_id"),
+            "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS n FROM documents),
+             |v AS (SELECT doc_id, (17*doc_id + 29*k) % 2001 - 1000 AS v
+             |      FROM (SELECT doc_id,
+             |              unnest(generate_series(0, n - 1)) AS k FROM d)),
+             |z AS (SELECT doc_id, v,
+             |        CASE WHEN v >= 0 THEN 2*v ELSE -2*v - 1 END AS zz FROM v)
+             |SELECT doc_id, count(*)::BIGINT AS n_values,
+             |  CAST(sum(v) AS BIGINT) AS value_sum,
+             |  CAST(sum(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+             |  CAST(sum(CASE WHEN zz < 128 THEN 1 ELSE 2 END) AS BIGINT)
+             |    AS payload_bytes
+             |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ─── incremental near-dup: new batch probed against the corpus ──────
     // Cross-set LSH only (corpus = doc_id % 10 ≠ 3, batch = ≡ 3): the
     // daily-ingest shape where corpus×corpus pairs are already settled.

@@ -71,6 +71,54 @@ object TfRecord {
       }(enc)
   }
 
+  /** Deterministic packed-zigzag-varint payload per doc: n = 16 + id%16
+    * signed values v_k = ((17·id + 29·k) mod 2001) − 1000 — the token-id
+    * list shape (with negatives so zigzag is actually exercised). */
+  def synthesizeVarints(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (16 + id % 16).toInt
+          val out = new java.io.ByteArrayOutputStream()
+          var k = 0
+          while (k < n) {
+            Varint.write(out, Varint.zigzag((17 * id + 29 * k) % 2001 - 1000))
+            k += 1
+          }
+          Row(id, out.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** Decode each doc's packed zigzag varints and fold stats. The oracle
+    * recomputes `payload_bytes` from the CLOSED-FORM group count (1 byte
+    * below zigzag 128, else 2 here), so a green row proves the encoder's
+    * 7-bit packing, not just the value round-trip.
+    * Output: (idCol, n_values, value_sum, n_negative, payload_bytes). */
+  def varintStats(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_values", LongType),
+      StructField("value_sum", LongType),
+      StructField("n_negative", LongType),
+      StructField("payload_bytes", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val raw = r.getAs[Array[Byte]](1)
+          val vs = Varint.readAll(raw).map(Varint.unzigzag)
+          Row(r.getLong(0), vs.size.toLong, vs.sum,
+            vs.count(_ < 0).toLong, raw.length.toLong)
+        }
+      }(enc)
+  }
+
   /** Walk + CRC-verify each doc's TFRecord stream and fold per-record
     * stats — the REAL read side of the container a packing stage ships.
     * Output: (idCol, n_records, total_bytes, byte_sum). */
@@ -94,6 +142,47 @@ object TfRecord {
           Row(r.getLong(0), recs.size.toLong, total, sum)
         }
       }(enc)
+  }
+
+  /** Protobuf-style varint/zigzag primitives (public wire format,
+    * developers.google.com/protocol-buffers/docs/encoding): base-128
+    * little-endian groups with a continuation bit; zigzag folds signed
+    * values to unsigned so small negatives stay short. These are the
+    * bytes inside every training shard's token-id lists. */
+  object Varint {
+    def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+    def unzigzag(u: Long): Long = (u >>> 1) ^ -(u & 1)
+
+    def write(out: java.io.ByteArrayOutputStream, value: Long): Unit = {
+      var v = value
+      while ((v & ~0x7fL) != 0) {
+        out.write(((v & 0x7f) | 0x80).toInt)
+        v >>>= 7
+      }
+      out.write(v.toInt)
+    }
+
+    /** Decode a packed varint stream; throws on a truncated tail or an
+      * over-long (> 10 byte) group. */
+    def readAll(bytes: Array[Byte]): Seq[Long] = {
+      val out = Seq.newBuilder[Long]
+      var pos = 0
+      while (pos < bytes.length) {
+        var shift = 0; var v = 0L; var done = false
+        while (!done) {
+          if (pos >= bytes.length)
+            throw new IllegalArgumentException("varint: truncated group")
+          if (shift >= 64)
+            throw new IllegalArgumentException("varint: group too long")
+          val b = bytes(pos); pos += 1
+          v |= (b & 0x7fL) << shift
+          shift += 7
+          done = (b & 0x80) == 0
+        }
+        out += v
+      }
+      out.result()
+    }
   }
 
   /** Parse and CRC-verify every record; throws IllegalArgumentException

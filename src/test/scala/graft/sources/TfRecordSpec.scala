@@ -42,6 +42,28 @@ class TfRecordSpec extends SparkSpec {
     assert(TfRecord.decode(Array.emptyByteArray).isEmpty)
   }
 
+  test("varint/zigzag: canonical vectors, round trip, malformed streams") {
+    import TfRecord.Varint
+    // canonical protobuf examples: 1 → 0x01, 300 → 0xAC 0x02
+    val out = new java.io.ByteArrayOutputStream()
+    Varint.write(out, 1L); Varint.write(out, 300L)
+    assert(out.toByteArray.map(_ & 0xff).toSeq === Seq(0x01, 0xac, 0x02))
+    assert(Varint.readAll(out.toByteArray) === Seq(1L, 300L))
+    // zigzag canonical: 0→0, -1→1, 1→2, -2→3, Long.MinValue round-trips
+    assert(Seq(0L, -1L, 1L, -2L).map(Varint.zigzag) === Seq(0L, 1L, 2L, 3L))
+    for (v <- Seq(0L, -1L, 1L, Long.MaxValue, Long.MinValue, -123456789L))
+      assert(Varint.unzigzag(Varint.zigzag(v)) === v)
+    // max-length group (Long.MinValue zigzagged = all ones) round-trips
+    val big = new java.io.ByteArrayOutputStream()
+    Varint.write(big, Varint.zigzag(Long.MinValue))
+    assert(big.size === 10)
+    assert(Varint.readAll(big.toByteArray).map(Varint.unzigzag) ===
+      Seq(Long.MinValue))
+    // truncated group fails loudly
+    intercept[IllegalArgumentException](
+      Varint.readAll(Array[Byte](0x80.toByte)))
+  }
+
   test("synthesize/decodeStats agree with the closed form on a doc sample") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfTiny).limit(20)
