@@ -12857,6 +12857,34 @@ object OpsQueries {
              |    AS payload_bytes
              |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ─── END-TO-END training-shard read: TFRecord + tf.Example + varints ─
+    // The full stack a trainer's dataloader walks: CRC-verified
+    // container records, each a tf.Example proto whose "tokens"
+    // Int64List holds packed varints. One green row proves container
+    // framing, proto field walking, and varint decode together.
+    "q434_tfexample_shard" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.sources.TfExample.shardStats(
+            graft.sources.TfExample.synthesizeShards(
+              Tables.documents(s, dir), "doc_id"),
+            "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS ne FROM documents),
+             |r AS (SELECT doc_id, j, 8 + (doc_id + j) % 8 AS n
+             |      FROM (SELECT doc_id,
+             |              unnest(generate_series(0, ne - 1)) AS j FROM d)),
+             |t AS (SELECT doc_id, (17*doc_id + 29*j + 13*i) % 4096 AS v
+             |      FROM (SELECT doc_id, j, n,
+             |              unnest(generate_series(0, n - 1)) AS i FROM r)),
+             |ex AS (SELECT doc_id, count(*)::BIGINT AS n_examples,
+             |        CAST(sum(n) AS BIGINT) AS n_tokens FROM r GROUP BY 1),
+             |tk AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS token_sum
+             |      FROM t GROUP BY 1)
+             |SELECT ex.doc_id, ex.n_examples, ex.n_tokens, tk.token_sum
+             |FROM ex JOIN tk USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // ─── incremental near-dup: new batch probed against the corpus ──────
     // Cross-set LSH only (corpus = doc_id % 10 ≠ 3, batch = ≡ 3): the
     // daily-ingest shape where corpus×corpus pairs are already settled.

@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Minimal tf.train.Example reader/writer over the public protobuf wire
+  * format (developers.google.com/protocol-buffers/docs/encoding;
+  * tensorflow/core/example/example.proto & feature.proto):
+  * `Example{1: Features{1: repeated map entry{1: key, 2: Feature{3:
+  * Int64List{1: packed int64}}}}}` — the schema of every LLM
+  * token-shard. The walker skips unknown fields BY WIRE TYPE (varint /
+  * 64-bit / LEN / 32-bit) like a real proto parser, so foreign features
+  * pass through instead of breaking the read. Composed with
+  * [[TfRecord]]'s CRC-verified container, this is an end-to-end
+  * training-shard read path in pure JVM. */
+object TfExample {
+
+  private def writeTag(out: java.io.ByteArrayOutputStream, field: Int,
+      wire: Int): Unit = TfRecord.Varint.write(out, (field << 3) | wire)
+
+  private def writeLenDelim(out: java.io.ByteArrayOutputStream, field: Int,
+      body: Array[Byte]): Unit = {
+    writeTag(out, field, 2)
+    TfRecord.Varint.write(out, body.length.toLong)
+    out.write(body)
+  }
+
+  /** Serialize one Example holding a single int64 feature list. */
+  def encode(key: String, tokens: Seq[Long]): Array[Byte] = {
+    val packed = new java.io.ByteArrayOutputStream()
+    tokens.foreach(TfRecord.Varint.write(packed, _))
+    val int64List = new java.io.ByteArrayOutputStream()
+    writeLenDelim(int64List, 1, packed.toByteArray) // Int64List.value (packed)
+    val feature = new java.io.ByteArrayOutputStream()
+    writeLenDelim(feature, 3, int64List.toByteArray) // Feature.int64_list
+    val entry = new java.io.ByteArrayOutputStream()
+    writeLenDelim(entry, 1, key.getBytes("UTF-8")) // map key
+    writeLenDelim(entry, 2, feature.toByteArray)   // map value
+    val features = new java.io.ByteArrayOutputStream()
+    writeLenDelim(features, 1, entry.toByteArray)  // Features.feature entry
+    val example = new java.io.ByteArrayOutputStream()
+    writeLenDelim(example, 1, features.toByteArray) // Example.features
+    example.toByteArray
+  }
+
+  private final class Reader(bytes: Array[Byte], var pos: Int, end: Int) {
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"tf.Example parse error at $pos: $msg")
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L; var done = false
+      while (!done) {
+        if (pos >= end) fail("truncated varint")
+        if (shift >= 64) fail("varint too long")
+        val b = bytes(pos); pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+        done = (b & 0x80) == 0
+      }
+      v
+    }
+    def lenDelim(): (Int, Int) = { // (start, end)
+      val n = varint()
+      if (n < 0 || n > end - pos) fail(s"bad length $n")
+      val s = pos; pos += n.toInt; (s, pos)
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => if (end - pos < 8) fail("truncated fixed64") else pos += 8
+      case 2 => lenDelim()
+      case 5 => if (end - pos < 4) fail("truncated fixed32") else pos += 4
+      case w => fail(s"unsupported wire type $w")
+    }
+  }
+
+  /** Extract the int64 values of feature `key` from one Example's
+    * bytes; unknown fields at every level are skipped by wire type. */
+  def tokensOf(bytes: Array[Byte], key: String): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    val keyBytes = key.getBytes("UTF-8")
+    // span-based walker: every LEN field's (start, end) is handed to the
+    // visitor; non-LEN fields are skipped by wire type
+    def fields(start: Int, end: Int)(f: (Int, Int, Int) => Unit): Unit = {
+      val r = new Reader(bytes, start, end)
+      while (r.hasMore) {
+        val tag = r.varint()
+        val field = (tag >>> 3).toInt; val wire = (tag & 7).toInt
+        if (wire == 2) { val (s, e) = r.lenDelim(); f(field, s, e) }
+        else r.skip(wire)
+      }
+    }
+    fields(0, bytes.length) { (f1, s1, e1) =>
+      if (f1 == 1) fields(s1, e1) { (f2, s2, e2) => // Features
+        if (f2 == 1) { // one map entry
+          var matches = false
+          fields(s2, e2) { (fk, sk, ek) =>
+            if (fk == 1) matches = ek - sk == keyBytes.length &&
+              (sk until ek).forall(i => bytes(i) == keyBytes(i - sk))
+            else ()
+          }
+          if (matches) fields(s2, e2) { (fv, sv, ev) =>
+            if (fv == 2) fields(sv, ev) { (ff, sf, ef) => // Feature
+              if (ff == 3) fields(sf, ef) { (fl, sl, el) => // Int64List
+                if (fl == 1) { // packed values
+                  val r = new Reader(bytes, sl, el)
+                  while (r.hasMore) out += r.varint()
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Deterministic full training shard per doc: ne = 1 + id%3 Examples,
+    * example j carrying 8 + (id+j)%8 tokens t_i = (17·id + 29·j + 13·i)
+    * mod 4096 under key "tokens", wrapped in the CRC-verified TFRecord
+    * container. */
+  def synthesizeShards(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ne = (1 + id % 3).toInt
+          val recs = (0 until ne).iterator.map { j =>
+            val n = (8 + (id + j) % 8).toInt
+            encode("tokens",
+              (0 until n).map(i => (17 * id + 29 * j + 13 * i) % 4096))
+          }
+          Row(id, TfRecord.encode(recs))
+        }
+      }(enc)
+  }
+
+  /** End-to-end shard read: CRC-verified container walk → per-record
+    * tf.Example parse → token stats.
+    * Output: (idCol, n_examples, n_tokens, token_sum). */
+  def shardStats(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_examples", LongType),
+      StructField("n_tokens", LongType),
+      StructField("token_sum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val recs = TfRecord.decode(r.getAs[Array[Byte]](1))
+          var nTok = 0L; var sum = 0L
+          recs.foreach { rec =>
+            val ts = tokensOf(rec, "tokens")
+            nTok += ts.size; sum += ts.sum
+          }
+          Row(r.getLong(0), recs.size.toLong, nTok, sum)
+        }
+      }(enc)
+  }
+}

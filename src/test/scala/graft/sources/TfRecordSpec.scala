@@ -64,6 +64,28 @@ class TfRecordSpec extends SparkSpec {
       Varint.readAll(Array[Byte](0x80.toByte)))
   }
 
+  test("tf.Example: round trip, foreign-field skipping, key selection") {
+    val tokens = Seq(0L, 1L, 300L, 4095L)
+    val ex = TfExample.encode("tokens", tokens)
+    assert(TfExample.tokensOf(ex, "tokens") === tokens)
+    assert(TfExample.tokensOf(ex, "other") === Seq.empty)
+    assert(TfExample.tokensOf(TfExample.encode("tokens", Seq.empty), "tokens")
+      === Seq.empty)
+    // a real parser must SKIP unknown fields by wire type: prepend a
+    // varint field 7 and a fixed32 field 5 at the top level
+    val noise = new java.io.ByteArrayOutputStream()
+    TfRecord.Varint.write(noise, (7 << 3) | 0) // field 7, varint
+    TfRecord.Varint.write(noise, 12345L)
+    TfRecord.Varint.write(noise, (5 << 3) | 5) // field 5, fixed32
+    noise.write(Array[Byte](1, 2, 3, 4))
+    noise.write(ex)
+    assert(TfExample.tokensOf(noise.toByteArray, "tokens") === tokens)
+    // truncated LEN field fails loudly
+    intercept[IllegalArgumentException](
+      TfExample.tokensOf(java.util.Arrays.copyOfRange(ex, 0, ex.length - 3),
+        "tokens"))
+  }
+
   test("synthesize/decodeStats agree with the closed form on a doc sample") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfTiny).limit(20)
