@@ -12885,6 +12885,36 @@ object OpsQueries {
              |SELECT ex.doc_id, ex.n_examples, ex.n_tokens, tk.token_sum
              |FROM ex JOIN tk USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ─── shard SINK round trip: write TFRecord files, read them back ────
+    // Tokenize (md5-id vocab), write one CRC-framed tf.Example file per
+    // shard to the filesystem, re-read through the binaryFile source,
+    // and hash-gate the manifest — the one sink the oracle CAN check,
+    // because the token ids replay in SQL.
+    "q435_shard_sink" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.sources.TfExample.writeAndManifest(Tables.documents(s, dir),
+            "doc_id", "text", dir = "/tmp/graft_q435_shards", nShards = 4,
+            vocab = 50000)
+          .orderBy($"shard")
+      },
+      Some("""WITH toks AS (SELECT doc_id % 4 AS shard,
+             |        ('0x'||substr(md5(term),1,15))::BIGINT % 50000 AS tok
+             |      FROM (SELECT doc_id,
+             |              unnest(string_split(lower(text), ' ')) AS term
+             |            FROM documents)
+             |      WHERE length(term) > 0),
+             |ex AS (SELECT CAST(doc_id % 4 AS INTEGER) AS shard,
+             |        count(*)::BIGINT AS n_examples FROM documents GROUP BY 1),
+             |tk AS (SELECT CAST(shard AS INTEGER) AS shard,
+             |        count(*)::BIGINT AS n_tokens,
+             |        CAST(sum(tok) AS BIGINT) AS token_sum
+             |      FROM toks GROUP BY 1)
+             |SELECT ex.shard, ex.n_examples,
+             |  coalesce(tk.n_tokens, 0)::BIGINT AS n_tokens,
+             |  coalesce(tk.token_sum, 0)::BIGINT AS token_sum
+             |FROM ex LEFT JOIN tk USING (shard) ORDER BY shard""".stripMargin)),
+
     // ─── incremental near-dup: new batch probed against the corpus ──────
     // Cross-set LSH only (corpus = doc_id % 10 ≠ 3, batch = ≡ 3): the
     // daily-ingest shape where corpus×corpus pairs are already settled.

@@ -138,6 +138,71 @@ object TfExample {
       }(enc)
   }
 
+  /** REAL shard SINK + read-back: tokenize each document (whitespace,
+    * md5-hash ids mod `vocab` — deterministic, oracle-replayable), write
+    * one CRC-framed TFRecord file of tf.Examples per shard
+    * (shard = id mod nShards, documents in id order), then read the
+    * FILES back through the binaryFile source and return the per-shard
+    * manifest — a write→filesystem→read round trip, not an in-memory
+    * echo. Each shard is owned by one task (repartition on the shard
+    * key + sortWithinPartitions), the dataloader-friendly layout.
+    * Output: (shard, n_examples, n_tokens, token_sum). */
+  def writeAndManifest(df: DataFrame, idCol: String, textCol: String,
+      dir: String, nShards: Int = 4, vocab: Int = 50000): DataFrame = {
+    require(nShards >= 1 && vocab >= 2, "need nShards >= 1, vocab >= 2")
+    val spark = df.sparkSession
+    val path = new java.io.File(dir)
+    if (path.exists()) path.listFiles().foreach(_.delete()) else path.mkdirs()
+    val toks = df.select((col(idCol) % nShards).cast("int").as("__shard"),
+        col(idCol).cast("long").as("__id"),
+        transform(filter(split(lower(col(textCol)), " "), t => length(t) > 0),
+          w => pmod(graft.ops.Dedup.baseHash(w), lit(vocab.toLong))).as("__toks"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__id"))
+    val written = toks.mapPartitions { rows =>
+      // a partition may own several shards (hash collisions); groups are
+      // contiguous after the sort, so stream each to its own file
+      var cur = -1
+      var recs: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
+      val out = Seq.newBuilder[Int]
+      def flush(): Unit = if (cur >= 0) {
+        val f = new java.io.FileOutputStream(s"$dir/shard-$cur.tfrecord")
+        try f.write(TfRecord.encode(recs.iterator)) finally f.close()
+        out += cur
+      }
+      rows.foreach { r =>
+        val sh = r.getInt(0)
+        if (sh != cur) { flush(); cur = sh
+          recs = scala.collection.mutable.ArrayBuffer.empty }
+        recs += encode("tokens", r.getSeq[Long](2))
+      }
+      flush()
+      out.result().iterator
+    }(org.apache.spark.sql.Encoders.scalaInt)
+    val n = written.count() // force the write before the read-back plan
+    require(n >= 1, "no shards written")
+    val files = spark.read.format("binaryFile").load(s"$dir/shard-*.tfrecord")
+      .select(regexp_extract(col("path"), "shard-(\\d+)\\.tfrecord", 1)
+        .cast("int").as("shard"), col("content"))
+    val schema = StructType(Seq(
+      StructField("shard", IntegerType),
+      StructField("n_examples", LongType),
+      StructField("n_tokens", LongType),
+      StructField("token_sum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    files.mapPartitions { rows =>
+      rows.map { r =>
+        val recs = TfRecord.decode(r.getAs[Array[Byte]](1))
+        var nTok = 0L; var sum = 0L
+        recs.foreach { rec =>
+          val ts = tokensOf(rec, "tokens")
+          nTok += ts.size; sum += ts.sum
+        }
+        Row(r.getInt(0), recs.size.toLong, nTok, sum)
+      }
+    }(enc)
+  }
+
   /** End-to-end shard read: CRC-verified container walk → per-record
     * tf.Example parse → token stats.
     * Output: (idCol, n_examples, n_tokens, token_sum). */
