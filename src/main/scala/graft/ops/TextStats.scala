@@ -1772,6 +1772,53 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Commutative per-group dataset digest — the version id a release
+    * manifest records: per doc, a 60-bit md5 of the normalized text;
+    * per group, the SUM mod 2^60 plus the count. Order-independent by
+    * construction (integer sums commute), so it map-side combines and
+    * never needs the single-reducer sorted concatenation a naive
+    * "md5 of concatenated md5s" digest would force at 100 TB. Any
+    * added/removed/edited doc moves the digest (collisions need
+    * engineered 60-bit cancellation). Output: (group, n_docs, digest). */
+  def datasetDigest(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val h = graft.ops.Dedup.baseHash(
+      regexp_replace(trim(lower(col(textCol))), "\\s+", " "))
+    df.select(col(groupCol).as("group"), h.as("__h"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        // sum through DECIMAL — 60-bit terms overflow a Long sum at
+        // just 8 rows; operands are non-negative so % == mod
+        (sum(col("__h").cast("decimal(38,0)")) % lit(1L << 60))
+          .cast("long").as("digest"))
+      .orderBy(col("group"))
+  }
+
+  /** Deterministic MLM masking plan (the BERT 15 % discipline, made
+    * replayable): token (doc, pos) is masked iff
+    * md5("doc:pos") mod 100 < pct. Selection is a pure hash — no RNG
+    * state, identical on any partitioning/retry, and the oracle can
+    * recompute it. Output per doc: (idCol, n_tokens, n_masked,
+    * masked_sum ← Σ masked positions, mask_rate). */
+  def mlmMaskPlan(df: DataFrame, idCol: String, textCol: String,
+      pct: Int = 15): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    val toks = df.select(col(idCol).as("__id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("__pos", "__w")))
+      .filter(length(col("__w")) > 0)
+    val masked = pmod(graft.ops.Dedup.baseHash(
+      concat(col("__id").cast("string"), lit(":"), col("__pos").cast("string"))),
+      lit(100L)) < pct
+    toks.groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(masked, 1L).otherwise(0L)).as("n_masked"),
+        sum(when(masked, col("__pos").cast("long")).otherwise(0L))
+          .as("masked_sum"))
+      .withColumn("mask_rate", round(col("n_masked").cast("double") /
+        col("n_tokens").cast("double"), 6))
+      .orderBy(col(idCol))
+  }
+
   /** Zipf rank–frequency slope over the top-`topR` terms: OLS of ln f
     * on ln r — the corpus-health scaling audit next to the Heaps curve
     * (q183): natural text sits near −1; a synthetic or boilerplate-

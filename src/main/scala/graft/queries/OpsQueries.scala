@@ -12915,6 +12915,37 @@ object OpsQueries {
              |  coalesce(tk.token_sum, 0)::BIGINT AS token_sum
              |FROM ex LEFT JOIN tk USING (shard) ORDER BY shard""".stripMargin)),
 
+    // ─── commutative dataset digest per source (release version id) ─────
+    "q436_dataset_digest" -> Q(
+      (s, dir) =>
+        TextStats.datasetDigest(Tables.documents(s, dir), "source", "text"),
+      Some("""SELECT source AS "group", count(*)::BIGINT AS n_docs,
+             |  CAST(sum(('0x'||substr(md5(regexp_replace(trim(lower(text)),
+             |      '\s+', ' ', 'g')),1,15))::BIGINT)
+             |    % 1152921504606846976 AS BIGINT) AS digest
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ─── deterministic MLM masking plan (hash-selected 15%) ─────────────
+    "q437_mlm_mask_plan" -> Q(
+      (s, dir) =>
+        TextStats.mlmMaskPlan(Tables.documents(s, dir), "doc_id", "text",
+          pct = 15),
+      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+             |      FROM documents),
+             |px AS (SELECT doc_id, CAST(unnest(range(len(tk))) AS INTEGER) AS pos,
+             |        tk FROM tk),
+             |t AS (SELECT doc_id, pos FROM px WHERE length(tk[pos + 1]) > 0),
+             |m AS (SELECT doc_id, pos,
+             |        ('0x'||substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR),
+             |          1, 15))::BIGINT % 100 < 15 AS msk FROM t)
+             |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             |  CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             |  CAST(sum(CASE WHEN msk THEN pos ELSE 0 END) AS BIGINT)
+             |    AS masked_sum,
+             |  round(CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) AS mask_rate
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ─── incremental near-dup: new batch probed against the corpus ──────
     // Cross-set LSH only (corpus = doc_id % 10 ≠ 3, batch = ≡ 3): the
     // daily-ingest shape where corpus×corpus pairs are already settled.

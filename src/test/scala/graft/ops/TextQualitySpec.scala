@@ -264,6 +264,48 @@ class TextQualitySpec extends SparkSpec {
     assert(out(1L)._3 > 0 && out(2L)._3 < 0)     // ref-likely doc on top
   }
 
+  // ─── datasetDigest / mlmMaskPlan ──────────────────────────────────────
+
+  test("datasetDigest: edit-sensitive, whitespace-insensitive, order-free") {
+    val a = Seq((1L, "s", "alpha beta"), (2L, "s", "gamma delta"))
+      .toDF("doc_id", "source", "text")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      TextStats.datasetDigest(df, "source", "text")
+        .as[(String, Long, Long)].head()
+    val base = digest(a)
+    assert(base._2 === 2L)
+    // row order / partitioning can't move the digest (commutative sum)
+    assert(digest(a.repartition(5)) === base)
+    assert(digest(Seq((2L, "s", "gamma delta"), (1L, "s", "alpha beta"))
+      .toDF("doc_id", "source", "text")) === base)
+    // normalization: case/whitespace noise is identity
+    assert(digest(Seq((1L, "s", "  ALPHA   beta "), (2L, "s", "gamma delta"))
+      .toDF("doc_id", "source", "text")) === base)
+    // a one-character edit moves it
+    assert(digest(Seq((1L, "s", "alpha betA x"), (2L, "s", "gamma delta"))
+      .toDF("doc_id", "source", "text")) !== base)
+  }
+
+  test("mlmMaskPlan: deterministic hash selection near the target rate") {
+    import org.apache.spark.sql.functions.sum
+    val docs = graft.Tables.documents(spark, sfTiny)
+    val plan = TextStats.mlmMaskPlan(docs, "doc_id", "text", pct = 15)
+    val agg = plan.agg(sum($"n_tokens"), sum($"n_masked"))
+      .as[(Long, Long)].head()
+    val rate = agg._2.toDouble / agg._1
+    assert(rate > 0.12 && rate < 0.18, s"corpus mask rate $rate far from 15%")
+    // identical under repartitioning (hash selection, no RNG state)
+    val again = TextStats.mlmMaskPlan(docs.repartition(7), "doc_id", "text",
+      pct = 15).collect().toSeq
+    assert(again === plan.collect().toSeq)
+    // pct = 0 and 100 are exact
+    assert(TextStats.mlmMaskPlan(docs, "doc_id", "text", pct = 0)
+      .agg(sum($"n_masked")).as[Long].head() === 0L)
+    val all = TextStats.mlmMaskPlan(docs, "doc_id", "text", pct = 100)
+      .agg(sum($"n_masked") - sum($"n_tokens")).as[Long].head()
+    assert(all === 0L)
+  }
+
   // ─── chi2Keywords ─────────────────────────────────────────────────────
 
   test("chi2Keywords: hand-computed 2x2 contingencies, presence-based") {
