@@ -661,6 +661,33 @@ object Streams {
 
   final case class ZoneState(mn: Double, mx: Double, n: Long)
 
+  final case class DigestState(sumMod: Long, n: Long)
+
+  /** Streaming twin of `TextStats.datasetDigest`: the running release
+    * version id per group, updated as documents arrive. State is ONE
+    * (sum mod 2^60, count) row per group; the digest is a commutative
+    * modular sum, so arrival order and batch boundaries can't move it —
+    * at any prefix the emission equals the batch digest of the rows seen
+    * so far (StreamsSpec cross-checks the final one against the gated
+    * batch op). Input: (group, hash60) rows — hashes < 2^60, so the
+    * running sum never overflows a Long between mod steps. */
+  def digestStream(rows: Dataset[(String, Long)])
+      : Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    val m = 1L << 60
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[DigestState, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, evs: Iterator[(String, Long)],
+            state: GroupState[DigestState]) =>
+          var s = state.getOption.map(_.sumMod).getOrElse(0L)
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          evs.foreach { case (_, h) => s = (s + (h % m)) % m; n += 1 }
+          state.update(DigestState(s, n))
+          Iterator.single((g, n, s))
+      }
+  }
+
   /** Streaming twin of the zone-map statistics `Profile.zonemapAudit`
     * consumes: per storage-zone (min, max, count) envelopes maintained
     * INCREMENTALLY on ingest — how file/row-group stats actually come

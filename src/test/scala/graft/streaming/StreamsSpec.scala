@@ -689,6 +689,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("digest stream: running release digest equals the gated batch op") {
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sfTiny)
+    val batch = graft.ops.TextStats.datasetDigest(docs, "source", "text")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // same normalized-text hash feed the batch op folds
+    val rows = docs.select(col("source"),
+        graft.ops.Dedup.baseHash(regexp_replace(
+          trim(lower(col("text"))), "\\s+", " ")).as("h"))
+      .as[(String, Long)].collect()
+    val stream = MemoryStream[(String, Long)]
+    val q = Streams.digestStream(stream.toDS())
+      .toDF("group", "n_docs", "digest")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("digest_stream").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      assert(maxStateRows(q) <= batch.size.toLong)
+      val fin = spark.table("digest_stream")
+        .groupBy($"group").agg(max(struct($"n_docs", $"digest")).as("s"))
+        .select($"group", $"s.n_docs", $"s.digest")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(fin == batch)
+    } finally q.stop()
+  }
+
   test("zone-stats stream: final envelopes equal the batch aggregate") {
     implicit val sq = spark.sqlContext
     // lineitem-shaped (zone, value) rows — the write-time file-stats feed
