@@ -630,6 +630,27 @@ object OpsQueries {
        |FROM fp GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q438/q439 oracle helper: `HilbertKernel.xy2d` unrolled as chained
+    * CTEs — per bit (s = 2^(order−1−i)) one projection computing the
+    * quadrant digit and the rotate, exactly the kernel's loop body.
+    * `carry` columns ride through every stage; expects a CTE `b0` with
+    * (carry…, x, y, d=0). The final stage is `h<order>`. */
+  private def hilbertStages(order: Int, carry: String): String =
+    (0 until order).map { i =>
+      val s = 1L << (order - 1 - i)
+      val prev = if (i == 0) "b0" else s"h$i"
+      s"""h${i + 1} AS (SELECT $carry,
+         |    d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         |      (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      (CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END)
+         |      ELSE x END AS x,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      (CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END)
+         |      ELSE y END AS y
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+
   /** Morton interleave of the low `bits` bits of two SQL integer
     * expressions — shared by the q428/q429 oracles so the key can't
     * drift between them. */
@@ -12914,6 +12935,77 @@ object OpsQueries {
              |  coalesce(tk.n_tokens, 0)::BIGINT AS n_tokens,
              |  coalesce(tk.token_sum, 0)::BIGINT AS token_sum
              |FROM ex LEFT JOIN tk USING (shard) ORDER BY shard""".stripMargin)),
+
+    // ─── Hilbert curve clustering keys (native codegen'd expression) ────
+    // Better locality than q428's Morton interleave: one curve step =
+    // one grid step, so Hilbert-sorted file ranges stay contiguous. The
+    // sequential per-bit rotate ships as a kernel + BinaryExpression;
+    // the oracle unrolls the identical walk as 16 chained CTE stages.
+    "q438_hilbert_key" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir).select($"o_orderkey",
+            graft.functions.Hilbert.hilbertKey($"o_custkey" % 65536,
+              datediff($"o_orderdate", to_date(lit("1970-01-01"))) % 65536,
+              order = 16).as("hkey"))
+          .orderBy($"o_orderkey")
+      },
+      Some(s"""WITH b0 AS (SELECT o_orderkey,
+              |        CAST(o_custkey % 65536 AS BIGINT) AS x,
+              |        CAST(date_diff('day', DATE '1970-01-01',
+              |          CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS y,
+              |        0::BIGINT AS d
+              |      FROM orders),
+              |${hilbertStages(16, "o_orderkey")}
+              |SELECT o_orderkey, CAST(d AS BIGINT) AS hkey
+              |FROM h16 ORDER BY o_orderkey""".stripMargin)),
+
+    // ─── three-way layout audit: date sort vs Z-order vs Hilbert ────────
+    "q439_layout_compare" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val days = datediff($"o_orderdate", to_date(lit("1970-01-01")))
+        Layout.zoneMapAudit(Tables.orders(s, dir), "o_orderkey",
+            Seq("date_sort" -> days.cast("long"),
+              "zorder" -> Layout.zOrderKey($"o_custkey" % 65536,
+                days % 65536, bits = 16),
+              "hilbert" -> graft.functions.Hilbert.hilbertKey(
+                $"o_custkey" % 65536, days % 65536, order = 16)),
+            "o_custkey", probeValue = 577L, nBuckets = 32)
+          .orderBy($"strategy")
+      },
+      Some {
+        def strat(name: String, keyExpr: String) =
+          s"""s_$name AS (SELECT ntile(32) OVER (ORDER BY $keyExpr, p, id) AS b, p
+             |      FROM base2),
+             |f_$name AS (SELECT b, min(p) AS lo, max(p) AS hi
+             |      FROM s_$name GROUP BY b),
+             |a_$name AS (SELECT '$name' AS strategy, count(*)::BIGINT AS n_files,
+             |        CAST(sum(CASE WHEN 577 BETWEEN lo AND hi THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS files_overlapping,
+             |        round(CAST(sum(hi - lo) AS DOUBLE)
+             |          / CAST(count(*) AS DOUBLE), 6) AS mean_span
+             |      FROM f_$name)""".stripMargin
+        s"""WITH base AS (SELECT o_orderkey AS id,
+           |        CAST(o_custkey AS BIGINT) AS p,
+           |        CAST(date_diff('day', DATE '1970-01-01',
+           |          CAST(o_orderdate AS DATE)) AS BIGINT) AS kd,
+           |        CAST(o_custkey % 65536 AS BIGINT) AS x,
+           |        CAST(date_diff('day', DATE '1970-01-01',
+           |          CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS y
+           |      FROM orders),
+           |b0 AS (SELECT id, x, y, 0::BIGINT AS d FROM base),
+           |${hilbertStages(16, "id")},
+           |base2 AS (SELECT base.*, h16.d AS kh FROM base
+           |          JOIN h16 ON base.id = h16.id),
+           |${strat("date_sort", "kd")},
+           |${strat("zorder", s"CAST(${zbitsSql("x", "y", 16)} AS BIGINT)")},
+           |${strat("hilbert", "kh")}
+           |SELECT * FROM a_date_sort
+           |UNION ALL SELECT * FROM a_zorder
+           |UNION ALL SELECT * FROM a_hilbert
+           |ORDER BY strategy""".stripMargin
+      }),
 
     // ─── commutative dataset digest per source (release version id) ─────
     "q436_dataset_digest" -> Q(
