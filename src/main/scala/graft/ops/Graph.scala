@@ -330,6 +330,7 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       iters: Int = 3, scale: Long = 1L << 20): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcs = e.select(col("src").as("id")).distinct()
@@ -338,6 +339,12 @@ object Graph {
       .localCheckpoint(eager = true)
     val nS = srcs.count(); val nD = dsts.count()
     require(nS > 0 && nD > 0, "hits needs a non-empty edge set")
+    // integer renorm needs ≥ 1 unit of resolution per vertex: with more
+    // vertices than `scale` the init floors to 0 and every total
+    // degenerates — fail loudly instead (the scaladoc's range/resolution
+    // trade: RAISE scale, at the cost of the degree envelope)
+    require(nS <= scale && nD <= scale,
+      s"hits: scale=$scale gives zero resolution for $nS sources / $nD sinks — raise scale")
     var hubs = srcs.select(col("id"), lit(scale / nS).as("h"))
       .localCheckpoint(eager = true)
     var auths: DataFrame = null
@@ -369,9 +376,15 @@ object Graph {
       hubs = hNext
     }
     e.unpersist()
-    hubs.select(lit("hub").as("kind"), col("id"), col("h").as("score_fp"))
+    // hubs/auths are themselves eager snapshots, so the vertex frames
+    // they were built from can release their blocks now
+    val out = hubs
+      .select(lit("hub").as("kind"), col("id"), col("h").as("score_fp"))
       .unionByName(auths.select(lit("auth").as("kind"), col("id"),
         col("a").as("score_fp")))
+    unpersistCheckpoint(srcs)
+    unpersistCheckpoint(dsts)
+    out
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) over an
@@ -548,8 +561,5 @@ object Graph {
   }
 
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    Dedup.unpersistCheckpoint(df) // ONE shared release implementation
 }

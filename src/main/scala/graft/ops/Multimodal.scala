@@ -231,12 +231,13 @@ object Multimodal {
       def asciiInt(): Int = {
         skipWs()
         val start = pos
-        var v = 0
+        var v = 0L
         while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
           v = v * 10 + (bytes(pos) - '0'); pos += 1
+          if (v > 1000000000L) fail("header integer out of range")
         }
         if (pos == start) fail("expected ASCII integer")
-        v
+        v.toInt
       }
       val frames = Seq.newBuilder[Frame]
       val dims = Seq.newBuilder[(Int, Int)]
@@ -249,11 +250,13 @@ object Multimodal {
         if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
         if (pos >= bytes.length || !isWs(bytes(pos))) fail("missing raster separator")
         pos += 1 // exactly ONE whitespace byte before the raster (spec)
-        val n = 3 * w * h
-        if (pos + n > bytes.length) fail(s"truncated raster (need $n bytes)")
+        // Long arithmetic: 3*w*h can wrap Int for hostile headers, which
+        // would slide past the truncation check instead of failing loudly
+        val n = 3L * w * h
+        if (n > bytes.length - pos) fail(s"truncated raster (need $n bytes)")
         dims += ((w, h))
         frames += fold(w, h, pos, idx => (bytes(idx) & 0xffL))
-        pos += n
+        pos += n.toInt
       }
       val out = frames.result()
       if (out.isEmpty) fail("empty stream")
@@ -467,9 +470,8 @@ object Multimodal {
               onSample(bb.getShort().toInt)
               i += 1
             }
-            nSamples = len / 2
+            nSamples += len / 2 // += : multi-data-chunk files accumulate
             sawData = true
-            if ((len & 1) == 1) bb.get()
           case _ => // skip unknown chunk (LIST, INFO, fact, ...)
             bb.position(bb.position() + len + (len & 1))
         }

@@ -1941,7 +1941,10 @@ object TextStats {
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
     val verts = t.select(col("__w").as("word")).distinct()
-    Graph.pageRank(verts, "word", sym, iters = iters)
+    val ranked = Graph.pageRank(verts, "word", sym, iters = iters)
       .orderBy(col("rank_fp").desc, col("word")).limit(topK)
+      .localCheckpoint(eager = true) // topK rows; lets t's blocks go
+    graft.ops.Dedup.unpersistCheckpoint(t)
+    ranked
   }
 }

@@ -111,7 +111,9 @@ object Wordpiece {
       activeCount = active.count()
     }
     unpersistCheckpoint(active)
-    results
+    if (results == null) // empty word set: loop never ran
+      words.select(col("word"), lit(0L).as("n_tokens")).limit(0)
+    else results
   }
 
   /** Corpus fertility rollup: learn the vocab, segment the distinct
@@ -140,8 +142,5 @@ object Wordpiece {
   }
 
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    Dedup.unpersistCheckpoint(df) // ONE shared release implementation
 }

@@ -345,6 +345,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("hostile headers fail loudly: PPM dims overflow, WAV multi-chunk counts") {
+    // 3*w*h would wrap Int: must be IllegalArgumentException, never a
+    // silent accept or an ArrayIndexOutOfBounds
+    val hostile = "P6\n26755 26755\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)
+    val e = intercept[IllegalArgumentException](Multimodal.Ppm.decode(hostile))
+    assert(e.getMessage.contains("truncated raster"))
+    intercept[IllegalArgumentException](
+      Multimodal.Ppm.decode("P6\n999999999999 2\n255\n".getBytes))
+    // two data chunks: samples AND nSamples must both accumulate
+    def chunk(samples: Seq[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 2 * samples.size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("data".getBytes).putInt(2 * samples.size)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val head = java.nio.ByteBuffer.allocate(36)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    head.put("RIFF".getBytes).putInt(28 + 10 + 8).put("WAVE".getBytes)
+    head.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    val two = head.array() ++ chunk(Seq[Short](1, 2, 3)) ++ chunk(Seq[Short](4))
+    val d = Multimodal.Wav.decode(two)
+    assert(d.nSamples == 4L && d.sumAbs == 10L && d.peak == 4)
+  }
+
   test("PPM decodeSampled: strided sums match a reference resize, factor 1 = decode") {
     // hand-built 3x2 frame with distinct per-pixel values: factor-2 keeps
     // pixels (x,y) ∈ {0,2}×{0} → source bytes at raster offsets 0-2, 6-8
