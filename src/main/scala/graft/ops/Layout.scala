@@ -40,13 +40,17 @@ object Layout {
   def zoneMapAudit(df: DataFrame, idCol: String,
       strategies: Seq[(String, Column)], probeCol: String, probeValue: Long,
       nBuckets: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(strategies.nonEmpty && nBuckets >= 1, "need strategies and buckets")
+    // ntile over a RANGE-PARTITIONED exact rank (Ranks) — identical
+    // bucket assignment to `ntile(n) OVER (ORDER BY …)` but with no
+    // single-partition window on the fact-sized frame
+    val nRows = df.count()
     strategies.map { case (name, key) =>
-      val bucketed = df.select(col(idCol).as("__id"),
-          col(probeCol).cast("long").as("__p"), key.as("__k"))
-        .withColumn("__b", ntile(nBuckets)
-          .over(Window.orderBy(col("__k"), col("__p"), col("__id"))))
+      val bucketed = Ranks.withRowNumber(
+          df.select(col(idCol).as("__id"),
+            col(probeCol).cast("long").as("__p"), key.as("__k")),
+          "__rn", col("__k"), col("__p"), col("__id"))
+        .withColumn("__b", Ranks.ntileFromRank(col("__rn"), nRows, nBuckets))
       val files = bucketed.groupBy(col("__b"))
         .agg(min(col("__p")).as("__lo"), max(col("__p")).as("__hi"))
       files.agg(count(lit(1)).as("n_files"),

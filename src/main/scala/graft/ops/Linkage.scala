@@ -48,46 +48,53 @@ object Linkage {
       .select(col("id_a"), col("id_b"), round(score, 6).as("score"))
   }
 
-  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1998 —
+  /** Sorted-neighborhood CANDIDATE pairs (Hernández & Stolfo 1998 —
     * THE scalable blocking when every equality key has a fixed domain):
     * records sort by `sortKey` (ties broken by id), and each record
-    * pairs with the `window` records after it in sort order, scored by
-    * the same Fellegi–Sunter log-odds sum as [[fellegiSunterPairs]].
-    * The candidate count is EXACTLY N·w − w(w+1)/2 — linear in N by
+    * pairs with the `window` records after it in sort order. The
+    * candidate count is EXACTLY N·w − w(w+1)/2 — linear in N by
     * construction, regardless of key-domain cardinality (the sf0.3
     * sweep measured equality blocking on TPC-H's fixed-domain columns
-    * at ~N²; this is the shipped escape). Output: (id_a, id_b, score)
-    * with id_a the sort-order predecessor.
+    * at ~N²; this is the shipped escape). Output:
+    * (id_a, id_b, __fa, __fb) with id_a the sort-order predecessor and
+    * __fa/__fb the `payload` column structs for any downstream
+    * comparator (FS log-odds here, Jaro–Winkler in q369).
     *
-    * Scale shape: ONE global sort (Spark range-partitions it; the
-    * row_number rank is the exact-rank hatch documented at
-    * `Mixing.scala` — replace with a range-partitioned zip rank if the
-    * single-pass window ever dominates), then each row emits TWO
+    * Scale shape: one RANGE-PARTITIONED exact rank ([[Ranks]] — no
+    * single-partition window anywhere), then each row emits TWO
     * rank-bucket keys (its own and the next), ONE equi-join on the
     * bucket, and a |Δrank| ≤ w filter — never a rank theta-join. */
-  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, sortKey: Column,
-      fields: Seq[FieldSpec], window: Int): DataFrame = {
+  def sortedNeighborhoodCandidates(df: DataFrame, idCol: String,
+      sortKey: Column, payload: Seq[String], window: Int): DataFrame = {
     require(window >= 1, "window >= 1")
-    val ranked = df.select(col(idCol).as("__id"),
-        struct(fields.map(f => col(f.field)): _*).as("__f"),
-        sortKey.as("__sk"))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__sk"), col("__id"))))
-      .drop("__sk")
-      .localCheckpoint(false) // consumed by both join sides
+    val ranked = Ranks.withRowNumber(
+      df.select(col(idCol).as("__id"),
+        struct(payload.map(col): _*).as("__f"), sortKey.as("__sk")),
+      "__rn", col("__sk"), col("__id"))
+      .drop("__sk") // Ranks localCheckpoints: both join sides reuse blocks
     val blk = floor((col("__rn") - 1) / window).cast("long")
     val a = ranked.select(col("__id").as("id_a"), col("__f").as("__fa"),
       col("__rn").as("__ra"),
       explode(array(blk, blk + 1)).as("__blk"))
     val b = ranked.select(col("__id").as("id_b"), col("__f").as("__fb"),
       col("__rn").as("__rb"), blk.as("__blk"))
+    a.join(b, Seq("__blk"))
+      .where(col("__rb") > col("__ra") && col("__rb") <= col("__ra") + window)
+      .select(col("id_a"), col("id_b"), col("__fa"), col("__fb"))
+  }
+
+  /** [[sortedNeighborhoodCandidates]] scored by the same Fellegi–Sunter
+    * log-odds sum as [[fellegiSunterPairs]] — the scale-safe FS shape.
+    * Output: (id_a, id_b, score rounded 6). */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, sortKey: Column,
+      fields: Seq[FieldSpec], window: Int): DataFrame = {
+    val cand = sortedNeighborhoodCandidates(df, idCol, sortKey,
+      fields.map(_.field), window)
     val score = fields.map { f =>
       when(col("__fa").getField(f.field) === col("__fb").getField(f.field),
         lit(f.agreeW)).otherwise(lit(f.disagreeW))
     }.reduce(_ + _)
-    a.join(b, Seq("__blk"))
-      .where(col("__rb") > col("__ra") && col("__rb") <= col("__ra") + window)
-      .select(col("id_a"), col("id_b"), round(score, 6).as("score"))
+    cand.select(col("id_a"), col("id_b"), round(score, 6).as("score"))
   }
 
   /** Blocking-quality audit (the standard record-linkage evaluation
