@@ -25,6 +25,7 @@ object Bench {
     // exactly what pushed round-5's artifact out of the driver's ~2 KB
     // stdout tail window
     spark.sparkContext.setLogLevel("ERROR")
+    LogHygiene.suppressAccumulatorReleaseNoise()
     // Optional shard "i/n" (e.g. "0/4"): time only every n-th query by
     // sorted index — lets ad-hoc sweeps at bigger SFs run in bounded
     // chunks. The driver never sets it, so the official artifact always
@@ -33,6 +34,12 @@ object Bench {
       val p = v.split("/")
       scala.util.Try((p(0).trim.toInt, p(1).trim.toInt)).toOption
     }
+    // a renamed headline query must fail LOUDLY here, not silently thin
+    // the driver-visible `queries` field (jsonLine flatMaps over prefixes)
+    val prefixes = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
+    require(headline.forall(prefixes.contains),
+      s"headline queries missing from registry: " +
+        headline.filterNot(prefixes.contains).mkString(", "))
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val names = shard match {
       case Some((i, n)) => all.zipWithIndex.collect { case (q, j) if j % n == i => q }

@@ -20,6 +20,7 @@ object PerfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    LogHygiene.suppressAccumulatorReleaseNoise()
     names.foreach { name =>
       (1 to iters).foreach { i =>
         val t0 = System.nanoTime()

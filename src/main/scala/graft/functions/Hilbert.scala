@@ -56,11 +56,17 @@ object Hilbert {
   }
 
   /** Hilbert key of two non-negative integer columns over `order` bits
-    * per dimension (order ≤ 31 keeps d = x·y ranges in a Long). */
+    * per dimension (order ≤ 31 keeps d = x·y ranges in a Long).
+    * Inputs are MASKED to their low `order` bits inside the expression:
+    * the curve is only defined on [0, 2^order)², so an out-of-domain
+    * coordinate (a caller forgetting the `% 2^order` reduction) would
+    * otherwise silently produce a non-curve key and degrade the layout;
+    * the mask makes the domain reduction part of the operator. */
   def hilbertKey(x: Column, y: Column, order: Int): Column = {
     require(order >= 1 && order <= 31, s"order must be in [1, 31], got $order")
+    val mask = (1L << order) - 1
     GraftBridge.column(HilbertExpr(
-      GraftBridge.expression(x.cast("long")),
-      GraftBridge.expression(y.cast("long")), order))
+      GraftBridge.expression(x.cast("long").bitwiseAND(mask)),
+      GraftBridge.expression(y.cast("long").bitwiseAND(mask)), order))
   }
 }

@@ -167,10 +167,14 @@ object Dedup {
   def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 16, bands: Int = 8,
       shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Eager checkpoint, not persist: both shingle caches are RELEASED
+    // below once the (output-sized) pair list is materialised, so the
+    // call holds no signature storage for the session lifetime — the
+    // simhashDupPairs discipline (`checkpoint` on a cluster).
     def prep(df: DataFrame) = df.select(col(idCol).as("__id"),
         array_sort(graft.functions.HashOps.md5Prefix60Array(
           shingles(col(textCol), shingleK))).as("__hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     def bandsOf(withSh: DataFrame, out: String) = withSh
       .withColumn("__sig",
         graft.functions.HashOps.minhashSigFast(col("__hs"), numHashes))
@@ -190,6 +194,9 @@ object Dedup {
         (size(col("__hs_a")) + size(col("__hs_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("corpus_id"), col("batch_id"), col("jaccard"))
+      .localCheckpoint(eager = true) // output-sized (cross-set dups only)
+    unpersistCheckpoint(shC)
+    unpersistCheckpoint(shB)
     out
   }
 

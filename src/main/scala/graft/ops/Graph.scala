@@ -317,10 +317,13 @@ object Graph {
     * sequencing):
     *   a_raw(p) = Σ_{c→p} h(c);  a(p) = a_raw(p)·scale DIV Σa_raw
     *   h_raw(c) = Σ_{c→p} a(p);  h(c) = h_raw(c)·scale DIV Σh_raw
-    * Each normalized score ≤ scale, so with the default scale 2^20:
-    * raw ≤ indeg·2^20, raw·scale ≤ indeg·2^40 — Long-safe up to ~8M
-    * in-degree; the Σraw totals are Long-safe to ~8·10¹² edges. Raise
-    * the envelope by LOWERING scale (resolution trades against range).
+    * Resolution: the integer renorm needs ≥ 1 unit per vertex, so when
+    * either side exceeds `scale` the EFFECTIVE scale auto-widens to the
+    * next power of two ≥ the larger side (graceful degradation, not a
+    * throw). Overflow: the Σraw sums and the raw·scale products run in
+    * DECIMAL(38,0) — exact integer arithmetic with no Long envelope to
+    * manage at any vertex count or degree; only the final normalized
+    * scores (≤ effective scale) land back in Long.
     *
     * Scale shape: edges persist once; per iteration ONE rank⋈edge join
     * + ONE partial-combining aggregate per side, plus a 1-row total
@@ -340,12 +343,13 @@ object Graph {
     val nS = srcs.count(); val nD = dsts.count()
     require(nS > 0 && nD > 0, "hits needs a non-empty edge set")
     // integer renorm needs ≥ 1 unit of resolution per vertex: with more
-    // vertices than `scale` the init floors to 0 and every total
-    // degenerates — fail loudly instead (the scaladoc's range/resolution
-    // trade: RAISE scale, at the cost of the degree envelope)
-    require(nS <= scale && nD <= scale,
-      s"hits: scale=$scale gives zero resolution for $nS sources / $nD sinks — raise scale")
-    var hubs = srcs.select(col("id"), lit(scale / nS).as("h"))
+    // vertices than `scale` the init would floor every score to 0, so
+    // the effective scale auto-widens to the next power of two ≥ the
+    // larger side (the DECIMAL renorm below makes the wider products
+    // overflow-free — no envelope to trade away)
+    var effScale = scale
+    while (effScale < math.max(nS, nD)) effScale <<= 1
+    var hubs = srcs.select(col("id"), lit(effScale / nS).as("h"))
       .localCheckpoint(eager = true)
     var auths: DataFrame = null
     for (_ <- 0 until iters) {
@@ -353,23 +357,29 @@ object Graph {
       // join read the SAME materialization instead of re-running the
       // rank⋈edge join twice per half-step
       val aRaw = e.join(hubs.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("ar"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("h").cast("decimal(38,0)")).as("ar"))
         .localCheckpoint(eager = true)
-      val aTot = aRaw.agg(sum(col("ar"))).first().getLong(0)
+      val aTot = aRaw.agg(sum(col("ar"))).first().getDecimal(0)
+        .toBigInteger
       val aNext = dsts.join(aRaw, Seq("id"), "left")
         .select(col("id"),
-          expr(s"(coalesce(ar, 0L) * ${scale}L) DIV ${aTot}L").as("a"))
+          expr(s"(coalesce(ar, CAST(0 AS DECIMAL(38,0))) * ${effScale}L)" +
+            s" DIV CAST($aTot AS DECIMAL(38,0))").as("a"))
         .localCheckpoint(eager = true)
       unpersistCheckpoint(aRaw)
       if (auths != null) unpersistCheckpoint(auths)
       auths = aNext
       val hRaw = e.join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(sum(col("a")).as("hr"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("a").cast("decimal(38,0)")).as("hr"))
         .localCheckpoint(eager = true)
-      val hTot = hRaw.agg(sum(col("hr"))).first().getLong(0)
+      val hTot = hRaw.agg(sum(col("hr"))).first().getDecimal(0)
+        .toBigInteger
       val hNext = srcs.join(hRaw, Seq("id"), "left")
         .select(col("id"),
-          expr(s"(coalesce(hr, 0L) * ${scale}L) DIV ${hTot}L").as("h"))
+          expr(s"(coalesce(hr, CAST(0 AS DECIMAL(38,0))) * ${effScale}L)" +
+            s" DIV CAST($hTot AS DECIMAL(38,0))").as("h"))
         .localCheckpoint(eager = true)
       unpersistCheckpoint(hRaw)
       unpersistCheckpoint(hubs)
@@ -440,7 +450,12 @@ object Graph {
     * (BFS layers are monotone), so the frontier join filters to the
     * PREVIOUS layer only — frontier size tracks the BFS wavefront,
     * not the labeled set. Integer hop counts — engine-exact.
-    * Output: (idCol, dist). */
+    *
+    * Edge contract (the [[labelPropagation]] convention): edges relax
+    * src→dst ONLY — for undirected distance the CALLER symmetrizes
+    * (union both directions). Canonical id_a < id_b pair lists (the
+    * shape every Dedup pair op emits) passed raw give one-directional
+    * distances. Output: (idCol, dist). */
   def bfsDistances(vertices: DataFrame, idCol: String, seedPred: Column,
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       maxHops: Int): DataFrame = {

@@ -160,14 +160,17 @@ object OpsQueries {
          |    ${sumGU(2)} / $sumU AS u2
          |  FROM w$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS (SELECT p_partkey, p_size, p_brand, p_type,
-       |        string_split(p_name, ' ')[1] AS tok0 FROM part),
+    s"""WITH p AS (SELECT p_partkey, p_brand, p_type,
+       |        string_split(p_name, ' ')[1] AS tok0,
+       |        (row_number() OVER (ORDER BY p_name, p_partkey) - 1) // 64
+       |          AS blk
+       |      FROM part),
        |pat AS (SELECT CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS g0,
        |        CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS g1,
        |        CASE WHEN a.tok0 = b.tok0 THEN 1 ELSE 0 END AS g2,
        |        count(*) AS n
        |      FROM p a JOIN p b
-       |        ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+       |        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
        |      GROUP BY 1, 2, 3),
        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nd,
        |        CAST(sum(n) AS BIGINT) AS np FROM pat),
@@ -10436,27 +10439,39 @@ object OpsQueries {
              |ORDER BY share DESC, n_name LIMIT 15""".stripMargin)),
 
     // ─── Fellegi–Sunter record-linkage scoring over blocked pairs ───────
+    // Blocking key: SORT-RANK BUCKETS of 64 over (p_name, p_partkey) —
+    // block count GROWS with N, so candidates are exactly
+    // (N/64)·C(64,2) ≈ 31.5·N, linear by construction. The gate's
+    // previous p_size blocking (a FIXED 50-value domain) measured
+    // 5.4–7.4× candidate growth on 3× data in the sf0.3 sweep — fixed-
+    // domain equality keys are the documented anti-pattern ("pick
+    // blocking columns with bounded fan-out", Linkage scaladoc), so the
+    // registry's own linkage template now models the scale-safe shape.
     "q348_fs_linkage" -> Q(
       (s, dir) => {
         import s.implicits._
         val parts = Tables.part(s, dir).select($"p_partkey", $"p_brand",
-          $"p_type", $"p_size",
+          $"p_type", $"p_name",
           element_at(split($"p_name", " "), 1).as("tok0"))
-        val pairs = Linkage.fellegiSunterPairs(parts, "p_partkey",
-          $"p_size", fsFields)
+        val ranked = Ranks.withRowNumber(parts, "__rn", $"p_name", $"p_partkey")
+        val pairs = Linkage.fellegiSunterPairs(ranked, "p_partkey",
+          floor(($"__rn" - 1) / 64).cast("long"), fsFields)
         Linkage.fellegiSunterBands(pairs, reviewLo = 0.0, matchHi = 6.0)
           .orderBy($"band", $"decision")
       },
       Some {
         val (fB, fT, fK) = (fsFields(0), fsFields(1), fsFields(2))
-        s"""WITH p AS (SELECT p_partkey, p_brand, p_type, p_size,
-           |        string_split(p_name, ' ')[1] AS tok0 FROM part),
+        s"""WITH p AS (SELECT p_partkey, p_brand, p_type,
+           |        string_split(p_name, ' ')[1] AS tok0,
+           |        (row_number() OVER (ORDER BY p_name, p_partkey) - 1) // 64
+           |          AS blk
+           |      FROM part),
            |sc AS (SELECT round(
            |    (CASE WHEN a.p_brand = b.p_brand THEN ${fB.agreeW} ELSE ${fB.disagreeW} END) +
            |    (CASE WHEN a.p_type = b.p_type THEN ${fT.agreeW} ELSE ${fT.disagreeW} END) +
            |    (CASE WHEN a.tok0 = b.tok0 THEN ${fK.agreeW} ELSE ${fK.disagreeW} END), 6) AS score
            |  FROM p a JOIN p b
-           |    ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey)
+           |    ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
            |SELECT CAST(floor(score) AS BIGINT) AS band,
            |  CASE WHEN score > 6.0 THEN 'match'
            |       WHEN score <= 0.0 THEN 'nonmatch'
@@ -10466,15 +10481,15 @@ object OpsQueries {
       }),
 
     // ─── FS linkage via sorted-neighborhood blocking (the scale shape) ──
-    // q348 blocks on p_size — a FIXED 50-value domain whose candidate
-    // set is inherently quadratic in N (measured 6.7× for 3× rows in
-    // the sf0.3 sweep), and EVERY equality key in TPC-H part has a
-    // fixed domain (a composite (tok0, p_size) key measured ~N² too).
-    // The production escape is sorted-neighborhood blocking (Hernández
-    // & Stolfo 1998): sort by name, pair each record with the next
-    // w = 10 — candidates are EXACTLY N·w − w(w+1)/2, linear in N by
-    // construction (asserted in CandidateGrowthSpec). Same FS field
-    // model and banding as q348.
+    // EVERY equality key in TPC-H part has a fixed domain (p_size is 50
+    // values; a composite (tok0, p_size) key measured ~N² too), so the
+    // production escape is positional: sorted-neighborhood blocking
+    // (Hernández & Stolfo 1998) sorts by name and pairs each record
+    // with the next w = 10 — candidates are EXACTLY N·w − w(w+1)/2,
+    // linear in N by construction (asserted in CandidateGrowthSpec).
+    // q348 uses the disjoint-bucket variant of the same idea; this gate
+    // is the SLIDING window (no pair lost at a bucket boundary). Same
+    // FS field model and banding as q348.
     "q401_fs_snm" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -11107,24 +11122,29 @@ object OpsQueries {
       Some(pprSql(iters = 3))),
 
     // ─── Jaro–Winkler similarity join (codegen'd native expression) ─────
+    // Candidates come from a w = 16 SORTED NEIGHBORHOOD on p_name (the
+    // q401 linear shape: exactly N·w − w(w+1)/2 pairs) instead of the
+    // previous fixed-domain p_size equality block whose candidate set
+    // grew 6.6× on 3× data in the sf0.3 sweep — and name-sorted
+    // neighbors are exactly where the high-JW pairs live.
     "q369_jw_linkage" -> Q(
       (s, dir) => {
         import s.implicits._
         import graft.functions.JaroWinkler.jaroWinkler
-        val p = Tables.part(s, dir)
-        val a = p.select($"p_partkey".as("id_a"), $"p_size".as("__sz"),
-          $"p_name".as("__na"))
-        val b = p.select($"p_partkey".as("id_b"), $"p_size".as("__sz"),
-          $"p_name".as("__nb"))
-        a.join(b, Seq("__sz")).where($"id_a" < $"id_b")
-          .select($"id_a", $"id_b",
-            round(jaroWinkler($"__na", $"__nb"), 6).as("jw"))
+        val p = Tables.part(s, dir).select($"p_partkey", $"p_name")
+        val cand = Linkage.sortedNeighborhoodCandidates(p, "p_partkey",
+          $"p_name", Seq("p_name"), window = 16)
+        cand.select($"id_a", $"id_b",
+            round(jaroWinkler($"__fa".getField("p_name"),
+              $"__fb".getField("p_name")), 6).as("jw"))
           .orderBy($"jw".desc, $"id_a", $"id_b").limit(50)
       },
-      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      Some("""WITH r AS (SELECT p_partkey, p_name,
+             |        row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+             |      FROM part)
+             |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
              |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
-             |FROM part a JOIN part b
-             |  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+             |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 16
              |ORDER BY jw DESC, id_a, id_b LIMIT 50""".stripMargin)),
 
     // ─── group-fairness audit over the replayed quality classifier ──────
@@ -11159,14 +11179,18 @@ object OpsQueries {
     // per candidate pair make this the costliest comparator in the
     // registry — the sample is the documented audit contract (the q27/
     // q82 baseline discipline), the OPERATOR itself is unsampled.
+    // Blocking: rank-buckets of 32 over (p_name, p_partkey) — linear
+    // candidates (the q348 re-key rationale; the old p_size block grew
+    // 5.4× on 3× data).
     "q372_fs_graded" -> Q(
       (s, dir) => {
         import s.implicits._
         val parts = Tables.part(s, dir)
           .where(pmod($"p_partkey", lit(2)) === 0)
-          .select($"p_partkey", $"p_brand", $"p_type", $"p_name", $"p_size")
-        val pairs = Linkage.fellegiSunterGradedPairs(parts, "p_partkey",
-          $"p_size", fsGraded)
+          .select($"p_partkey", $"p_brand", $"p_type", $"p_name")
+        val ranked = Ranks.withRowNumber(parts, "__rn", $"p_name", $"p_partkey")
+        val pairs = Linkage.fellegiSunterGradedPairs(ranked, "p_partkey",
+          floor(($"__rn" - 1) / 32).cast("long"), fsGraded)
         Linkage.fellegiSunterBands(pairs, reviewLo = 0.0, matchHi = 8.0)
           .orderBy($"band", $"decision")
       },
@@ -11176,11 +11200,14 @@ object OpsQueries {
              |      WHEN round(jaro_winkler_similarity(a.${f.field}, b.${f.field}), 6)
              |        >= ${f.jwThreshold} THEN ${f.wPart}::DOUBLE
              |      ELSE ${f.wDis}::DOUBLE END)""".stripMargin
-        s"""WITH ps AS (SELECT * FROM part WHERE p_partkey % 2 = 0),
+        s"""WITH ps AS (SELECT p_partkey, p_brand, p_type, p_name,
+           |        (row_number() OVER (ORDER BY p_name, p_partkey) - 1) // 32
+           |          AS blk
+           |      FROM part WHERE p_partkey % 2 = 0),
            |sc AS (SELECT round(
            |    ${fsGraded.map(arm).mkString(" +\n    ")}, 6) AS score
            |  FROM ps a JOIN ps b
-           |    ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey)
+           |    ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
            |SELECT CAST(floor(score) AS BIGINT) AS band,
            |  CASE WHEN score > 8.0 THEN 'match'
            |       WHEN score <= 0.0 THEN 'nonmatch'
@@ -11190,13 +11217,18 @@ object OpsQueries {
       }),
 
     // ─── EM-estimated Fellegi–Sunter parameters (Winkler 1988) ──────────
+    // Blocking: rank-buckets of 64 over (p_name, p_partkey) — the EM
+    // pattern table is one aggregate over linear candidates (the q348
+    // re-key rationale; the old p_size block grew 7.4× on 3× data).
     "q373_fs_em" -> Q(
       (s, dir) => {
         import s.implicits._
         val parts = Tables.part(s, dir).select($"p_partkey", $"p_brand",
-          $"p_type", $"p_size",
+          $"p_type", $"p_name",
           element_at(split($"p_name", " "), 1).as("tok0"))
-        Linkage.fellegiSunterEm(parts, "p_partkey", $"p_size",
+        val ranked = Ranks.withRowNumber(parts, "__rn", $"p_name", $"p_partkey")
+        Linkage.fellegiSunterEm(ranked, "p_partkey",
+            floor(($"__rn" - 1) / 64).cast("long"),
             Seq("p_brand", "p_type", "tok0"), iters = 5)
           .orderBy($"field")
       },

@@ -151,8 +151,19 @@ object TfExample {
       dir: String, nShards: Int = 4, vocab: Int = 50000): DataFrame = {
     require(nShards >= 1 && vocab >= 2, "need nShards >= 1, vocab >= 2")
     val spark = df.sparkSession
-    val path = new java.io.File(dir)
-    if (path.exists()) path.listFiles().foreach(_.delete()) else path.mkdirs()
+    // All filesystem traffic goes through the Hadoop FileSystem API
+    // resolved from `dir`'s scheme, so the round trip is CLUSTER-VALID:
+    // with an hdfs://, s3a:// or file://-on-shared-storage dir, executor
+    // tasks write shards the driver-side binaryFile read-back can see.
+    // (Plain executor-local java.io would only work under a local
+    // master.) The Hadoop conf ships to tasks via its own writable
+    // serialization (Configuration is not java-serializable).
+    val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dfs = dirPath.getFileSystem(hconf.conf)
+    if (dfs.exists(dirPath))
+      dfs.listStatus(dirPath).foreach(s => dfs.delete(s.getPath, false))
+    else dfs.mkdirs(dirPath)
     val toks = df.select((col(idCol) % nShards).cast("int").as("__shard"),
         col(idCol).cast("long").as("__id"),
         transform(filter(split(lower(col(textCol)), " "), t => length(t) > 0),
@@ -166,7 +177,8 @@ object TfExample {
       var recs: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
       val out = Seq.newBuilder[Int]
       def flush(): Unit = if (cur >= 0) {
-        val f = new java.io.FileOutputStream(s"$dir/shard-$cur.tfrecord")
+        val p = new org.apache.hadoop.fs.Path(s"$dir/shard-$cur.tfrecord")
+        val f = p.getFileSystem(hconf.conf).create(p, true)
         try f.write(TfRecord.encode(recs.iterator)) finally f.close()
         out += cur
       }

@@ -17,6 +17,9 @@ object TestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // drop the benign checkpoint-release accumulator traces (~2,000
+    // lines/run) so real errors stay visible in the test log
+    LogHygiene.suppressAccumulatorReleaseNoise()
     s
   }
 }

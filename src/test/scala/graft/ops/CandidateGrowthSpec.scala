@@ -84,31 +84,45 @@ class CandidateGrowthSpec extends SparkSpec {
   }
 
   test("Fellegi-Sunter blocked candidate pairs grow ~linearly") {
-    // blockingQuality's cand_pairs column is exactly Σ_blocks C(n_b, 2)
-    // for the q348 blocking key (p_size) — the FS join's candidate count.
-    def cand(dir: String): Double = {
+    // blockingQuality's cand_pairs column is exactly Σ_blocks C(n_b, 2).
+    // The q348/q372/q373 gates block on RANK BUCKETS of B over
+    // (p_name, p_partkey): block COUNT grows with N, per-block size is
+    // a constant B, so candidates are exactly ⌊N/B⌋·C(B,2) + C(N mod B, 2)
+    // — asserted as an equality, then as the measured linear exponent.
+    def cand(dir: String): (Long, Double) = {
+      val parts = Tables.part(spark, dir).select($"p_partkey", $"p_brand",
+        $"p_type", $"p_name", element_at(split($"p_name", " "), 1).as("tok0"))
+      val ranked = Ranks.withRowNumber(parts, "__rn", $"p_name", $"p_partkey")
+      val got = Linkage.blockingQuality(ranked, "p_partkey",
+        floor(($"__rn" - 1) / 64).cast("long"),
+        Seq("p_brand", "p_type", "tok0"))
+        .select($"cand_pairs").as[Double].head()
+      (parts.count(), got)
+    }
+    def closedForm(n: Long, b: Long): Double =
+      (n / b).toDouble * (b * (b - 1) / 2) + {
+        val r = n % b; (r * (r - 1) / 2).toDouble }
+    val (nS, small) = cand(sfSmall)
+    val (nB, big) = cand(sfBig)
+    assert(small == closedForm(nS, 64) && big == closedForm(nB, 64),
+      s"rank-bucket candidates ($small, $big) off the closed form " +
+        s"(${closedForm(nS, 64)}, ${closedForm(nB, 64)})")
+    assertSubQuadratic("fellegiSunterPairs(rank-bucket)", small, big)
+    // The REJECTED alternative, kept as the measured anti-pattern: a
+    // fixed-domain equality key (p_size, 50 values) makes Σ C(n_b,2)
+    // quadratic in N — the documented FS trade-off (Linkage.scala:
+    // "pick blocking columns with bounded fan-out").
+    def fixedDomain(dir: String): Double = {
       val parts = Tables.part(spark, dir).select($"p_partkey", $"p_brand",
         $"p_type", $"p_size", element_at(split($"p_name", " "), 1).as("tok0"))
       Linkage.blockingQuality(parts, "p_partkey", $"p_size",
         Seq("p_brand", "p_type", "tok0"))
         .select($"cand_pairs").as[Double].head()
     }
-    // p_size has a FIXED domain (1..50), so Σ C(n_b,2) for a blocking key
-    // with constant cardinality is inherently quadratic in N — that is
-    // the documented FS trade-off (Linkage.scala scaladoc: "pick blocking
-    // columns with bounded fan-out"). The measured exponent documents it:
-    // the bound here is the QUADRATIC envelope, asserting the candidate
-    // count tracks Σ C(n_b,2) exactly (no hidden extra blow-up) and
-    // stays ~1/|domain| of the full cross product.
-    val (small, big) = (cand(sfSmall), cand(sfBig))
-    val ratio = big / small
-    info(f"fellegiSunterPairs: cand(sf0.01)=$small%.0f cand(sf0.1)=$big%.0f growth=$ratio%.1f× (fixed-domain key ⇒ quadratic envelope ${nRatio * nRatio}×)")
-    assert(ratio <= nRatio * nRatio * 1.2,
-      s"FS blocked candidates grew ${ratio}× — exceeds even the fixed-domain quadratic envelope")
-    // and the blocking still beats the cross product by ~the domain size
-    val n = Tables.part(spark, sfBig).count().toDouble
-    assert(big <= n * (n - 1) / 2 / 20.0,
-      "p_size blocking no longer reduces the cross product meaningfully")
+    val fdRatio = fixedDomain(sfBig) / fixedDomain(sfSmall)
+    info(f"p_size fixed-domain blocking (rejected by the gates): growth $fdRatio%.1f× — the quadratic envelope the rank-bucket re-key escapes")
+    assert(fdRatio >= nRatio * 2,
+      "fixed-domain blocking no longer measures super-linear — the anti-pattern documentation is stale")
   }
 
   test("sorted-neighborhood FS candidates hit the exact linear closed form") {
