@@ -155,9 +155,12 @@ object Classifier {
   def conformalInterval(df: DataFrame, groupCol: String, valueCol: String,
       splitCol: Column, alpha: Double = 0.1): DataFrame = {
     // splitCol: 0 = train, 1 = calibration, 2 = test
+    // three consumers (train agg, cal, test), but each is one narrow
+    // column-pruned scan with its split filter — re-scanning is cheaper
+    // than writing a checkpoint of the full projection (the r8
+    // checkpoint was the measured q361 bench regression)
     val base = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("decimal(18,6)").as("__y"), splitCol.as("__s"))
-      .localCheckpoint(false) // consumers: train agg + cal + test passes
     val mu = base.filter(col("__s") === 0).groupBy(col("__g"))
       .agg((sum(col("__y")).cast("double") / count(lit(1)).cast("double"))
         .as("__mu"))
@@ -165,14 +168,17 @@ object Classifier {
     val cal = base.filter(col("__s") === 1).join(mu, "__g")
       .select(resid.as("__r"))
     val vc = cal.groupBy(col("__r")).agg(count(lit(1)).as("__c"))
-    val cum = vc.withColumn("__cum",
-      sum(col("__c")).over(Window.orderBy(col("__r"))))
-    val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    val qhat = cum.crossJoin(nCal)
-      .agg(max(col("n_cal")).as("n_cal"),
+    // n_cal folds into the same value-domain window pass (Σ counts over
+    // the unbounded frame) — the previous separate count(cal) aggregate
+    // recomputed the calibration join a second time per run
+    val cum = vc.select(col("__r"),
+      sum(col("__c")).over(Window.orderBy(col("__r"))).as("__cum"),
+      sum(col("__c")).over(Window.partitionBy()).as("__tot"))
+    val qhat = cum
+      .agg(max(col("__tot")).as("n_cal"),
         min(when(col("__cum") >=
-          least(ceil((col("n_cal") + 1).cast("double") * lit(1.0 - alpha))
-            .cast("long"), col("n_cal")), col("__r"))).as("__q"))
+          least(ceil((col("__tot") + 1).cast("double") * lit(1.0 - alpha))
+            .cast("long"), col("__tot")), col("__r"))).as("__q"))
     val test = base.filter(col("__s") === 2).join(mu, "__g")
       .crossJoin(qhat.select(col("n_cal"), col("__q")))
       .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
