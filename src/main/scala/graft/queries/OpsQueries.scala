@@ -12968,6 +12968,63 @@ object OpsQueries {
              |  coalesce(tk.token_sum, 0)::BIGINT AS token_sum
              |FROM ex LEFT JOIN tk USING (shard) ORDER BY shard""".stripMargin)),
 
+    // ─── mixed-feature tf.Example + single-feature PROJECTION ───────────
+    // Each Example carries THREE features (int64 "tokens" + bytes_list
+    // "text" and "lang" — the multimodal-shard shape); the read projects
+    // ONLY "tokens", so the walker must skip the much larger bytes
+    // payloads by wire type. q434 proved the walker on features it
+    // reads; this gates it on features it must NOT read.
+    "q440_tfexample_projection" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.sources.TfExample.shardStats(
+            graft.sources.TfExample.synthesizeMixedShards(
+              Tables.documents(s, dir), "doc_id", "text", "lang",
+              vocab = 4096),
+            "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |        ('0x'||substr(md5(term),1,15))::BIGINT % 4096 AS tok
+             |      FROM (SELECT doc_id,
+             |              unnest(string_split(lower(text), ' ')) AS term
+             |            FROM documents)
+             |      WHERE length(term) > 0),
+             |tk AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             |        CAST(sum(tok) AS BIGINT) AS token_sum
+             |      FROM toks GROUP BY 1)
+             |SELECT d.doc_id, 1::BIGINT AS n_examples,
+             |  coalesce(tk.n_tokens, 0)::BIGINT AS n_tokens,
+             |  coalesce(tk.token_sum, 0)::BIGINT AS token_sum
+             |FROM documents d LEFT JOIN tk USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ─── xlsx SINK round trip: write a report, read it back (S2) ────────
+    // The q435 gated-sink pattern ported to the xlsx writer: a real
+    // priority summary is WRITTEN to an .xlsx file on disk, re-read
+    // through the graft-xlsx DSv2 source, and the round-tripped values
+    // hash-gate against the oracle computing the same summary directly —
+    // the write half of S2 is no longer spec-only.
+    "q441_xlsx_sink" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val agg = Tables.orders(s, dir)
+          .groupBy($"o_orderpriority".as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast("decimal(18,6)")).as("total"))
+          .orderBy($"priority")
+        val path = "/tmp/graft_q441_report.xlsx"
+        graft.sources.Xlsx.write(agg, path)
+        s.read.format("graft-xlsx").load(path)
+          .select($"priority", $"n_orders".cast("bigint").as("n_orders"),
+            round($"total".cast("double"), 6).as("total"))
+          .orderBy($"priority")
+      },
+      Some("""SELECT o_orderpriority AS priority, count(*)::BIGINT AS n_orders,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+             |    AS DOUBLE), 6) AS total
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ─── Hilbert curve clustering keys (native codegen'd expression) ────
     // Better locality than q428's Morton interleave: one curve step =
     // one grid step, so Hilbert-sorted file ranges stay contiguous. The

@@ -44,6 +44,43 @@ object TfExample {
     example.toByteArray
   }
 
+  /** Serialize one Example holding SEVERAL features — int64 lists and
+    * bytes lists side by side (Feature.int64_list = field 3,
+    * Feature.bytes_list = field 1, per the public feature.proto): the
+    * shape of a real multimodal training shard, token ids next to raw
+    * payloads. Entries are emitted in argument order (deterministic
+    * bytes). */
+  def encodeMixed(intFeats: Seq[(String, Seq[Long])],
+      bytesFeats: Seq[(String, Seq[Array[Byte]])]): Array[Byte] = {
+    def entry(features: java.io.ByteArrayOutputStream, key: String,
+        feature: Array[Byte]): Unit = {
+      val e = new java.io.ByteArrayOutputStream()
+      writeLenDelim(e, 1, key.getBytes("UTF-8")) // map key
+      writeLenDelim(e, 2, feature)               // map value (Feature)
+      writeLenDelim(features, 1, e.toByteArray)  // Features.feature entry
+    }
+    val features = new java.io.ByteArrayOutputStream()
+    intFeats.foreach { case (k, vs) =>
+      val packed = new java.io.ByteArrayOutputStream()
+      vs.foreach(TfRecord.Varint.write(packed, _))
+      val int64List = new java.io.ByteArrayOutputStream()
+      writeLenDelim(int64List, 1, packed.toByteArray) // Int64List.value
+      val feature = new java.io.ByteArrayOutputStream()
+      writeLenDelim(feature, 3, int64List.toByteArray) // Feature.int64_list
+      entry(features, k, feature.toByteArray)
+    }
+    bytesFeats.foreach { case (k, vs) =>
+      val bytesList = new java.io.ByteArrayOutputStream()
+      vs.foreach(writeLenDelim(bytesList, 1, _)) // BytesList.value
+      val feature = new java.io.ByteArrayOutputStream()
+      writeLenDelim(feature, 1, bytesList.toByteArray) // Feature.bytes_list
+      entry(features, k, feature.toByteArray)
+    }
+    val example = new java.io.ByteArrayOutputStream()
+    writeLenDelim(example, 1, features.toByteArray) // Example.features
+    example.toByteArray
+  }
+
   private final class Reader(bytes: Array[Byte], var pos: Int, end: Int) {
     def fail(msg: String) =
       throw new IllegalArgumentException(s"tf.Example parse error at $pos: $msg")
@@ -73,41 +110,68 @@ object TfExample {
     }
   }
 
-  /** Extract the int64 values of feature `key` from one Example's
-    * bytes; unknown fields at every level are skipped by wire type. */
-  def tokensOf(bytes: Array[Byte], key: String): Seq[Long] = {
-    val out = Seq.newBuilder[Long]
-    val keyBytes = key.getBytes("UTF-8")
-    // span-based walker: every LEN field's (start, end) is handed to the
-    // visitor; non-LEN fields are skipped by wire type
-    def fields(start: Int, end: Int)(f: (Int, Int, Int) => Unit): Unit = {
-      val r = new Reader(bytes, start, end)
-      while (r.hasMore) {
-        val tag = r.varint()
-        val field = (tag >>> 3).toInt; val wire = (tag & 7).toInt
-        if (wire == 2) { val (s, e) = r.lenDelim(); f(field, s, e) }
-        else r.skip(wire)
-      }
+  /** Span-based proto walker: every LEN field's (field, start, end) is
+    * handed to the visitor; non-LEN fields are skipped by wire type —
+    * the property that makes feature PROJECTION free (unread features,
+    * whatever their kind, cost one length-skip each). */
+  private def lenFields(bytes: Array[Byte], start: Int, end: Int)(
+      f: (Int, Int, Int) => Unit): Unit = {
+    val r = new Reader(bytes, start, end)
+    while (r.hasMore) {
+      val tag = r.varint()
+      val field = (tag >>> 3).toInt; val wire = (tag & 7).toInt
+      if (wire == 2) { val (s, e) = r.lenDelim(); f(field, s, e) }
+      else r.skip(wire)
     }
-    fields(0, bytes.length) { (f1, s1, e1) =>
-      if (f1 == 1) fields(s1, e1) { (f2, s2, e2) => // Features
+  }
+
+  /** Visit the Feature span of every map entry whose key == `key`. */
+  private def featureSpansOf(bytes: Array[Byte], key: String)(
+      visit: (Int, Int) => Unit): Unit = {
+    val keyBytes = key.getBytes("UTF-8")
+    lenFields(bytes, 0, bytes.length) { (f1, s1, e1) =>
+      if (f1 == 1) lenFields(bytes, s1, e1) { (f2, s2, e2) => // Features
         if (f2 == 1) { // one map entry
           var matches = false
-          fields(s2, e2) { (fk, sk, ek) =>
+          lenFields(bytes, s2, e2) { (fk, sk, ek) =>
             if (fk == 1) matches = ek - sk == keyBytes.length &&
               (sk until ek).forall(i => bytes(i) == keyBytes(i - sk))
             else ()
           }
-          if (matches) fields(s2, e2) { (fv, sv, ev) =>
-            if (fv == 2) fields(sv, ev) { (ff, sf, ef) => // Feature
-              if (ff == 3) fields(sf, ef) { (fl, sl, el) => // Int64List
-                if (fl == 1) { // packed values
-                  val r = new Reader(bytes, sl, el)
-                  while (r.hasMore) out += r.varint()
-                }
-              }
-            }
+          if (matches) lenFields(bytes, s2, e2) { (fv, sv, ev) =>
+            if (fv == 2) visit(sv, ev) // the Feature message
           }
+        }
+      }
+    }
+  }
+
+  /** Extract the int64 values of feature `key` from one Example's
+    * bytes; unknown fields at every level — including sibling
+    * bytes_list/float_list features — are skipped by wire type. */
+  def tokensOf(bytes: Array[Byte], key: String): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    featureSpansOf(bytes, key) { (sv, ev) =>
+      lenFields(bytes, sv, ev) { (ff, sf, ef) => // Feature
+        if (ff == 3) lenFields(bytes, sf, ef) { (fl, sl, el) => // Int64List
+          if (fl == 1) { // packed values
+            val r = new Reader(bytes, sl, el)
+            while (r.hasMore) out += r.varint()
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Extract the bytes_list values of feature `key`
+    * (Feature.bytes_list = field 1, BytesList.value = repeated bytes). */
+  def bytesValuesOf(bytes: Array[Byte], key: String): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    featureSpansOf(bytes, key) { (sv, ev) =>
+      lenFields(bytes, sv, ev) { (ff, sf, ef) => // Feature
+        if (ff == 1) lenFields(bytes, sf, ef) { (fl, sl, el) => // BytesList
+          if (fl == 1) out += java.util.Arrays.copyOfRange(bytes, sl, el)
         }
       }
     }
@@ -213,6 +277,37 @@ object TfExample {
         Row(r.getInt(0), recs.size.toLong, nTok, sum)
       }
     }(enc)
+  }
+
+  /** Deterministic MIXED training shard per doc: ONE Example holding
+    * THREE features — "tokens" int64_list (md5-hash whitespace-word ids
+    * mod `vocab`, the oracle-replayable q435 vocabulary), "text"
+    * bytes_list (the raw UTF-8 document), "lang" bytes_list — wrapped
+    * in the CRC-verified TFRecord container. Paired with [[shardStats]]
+    * this gates the PROJECTION contract: reading one feature out of
+    * three skips the (much larger) bytes payloads by wire type.
+    * Output: (doc_id, content). */
+  def synthesizeMixedShards(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, vocab: Int = 4096): DataFrame = {
+    require(vocab >= 2, "vocab >= 2")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"),
+        transform(filter(split(lower(col(textCol)), " "), t => length(t) > 0),
+          w => pmod(graft.ops.Dedup.baseHash(w), lit(vocab.toLong))).as("__toks"),
+        col(textCol).cast("string").as("__text"),
+        col(langCol).cast("string").as("__lang"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ex = encodeMixed(
+            Seq("tokens" -> r.getSeq[Long](1)),
+            Seq("text" -> Seq(r.getString(2).getBytes("UTF-8")),
+              "lang" -> Seq(r.getString(3).getBytes("UTF-8"))))
+          Row(r.getLong(0), TfRecord.encode(Iterator(ex)))
+        }
+      }(enc)
   }
 
   /** End-to-end shard read: CRC-verified container walk → per-record

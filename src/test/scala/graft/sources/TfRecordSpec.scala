@@ -86,6 +86,58 @@ class TfRecordSpec extends SparkSpec {
         "tokens"))
   }
 
+  test("mixed Example: projection skips bytes features, bytes read back") {
+    val tokens = Seq(7L, 300L, 4095L)
+    val text = "the quick brown fox".getBytes("UTF-8")
+    val lang = "en".getBytes("UTF-8")
+    val ex = TfExample.encodeMixed(
+      Seq("tokens" -> tokens),
+      Seq("text" -> Seq(text), "lang" -> Seq(lang)))
+    // projecting ONE feature out of three: identical to an Example that
+    // never carried the bytes payloads
+    assert(TfExample.tokensOf(ex, "tokens") === tokens)
+    assert(TfExample.tokensOf(ex, "tokens") ===
+      TfExample.tokensOf(TfExample.encode("tokens", tokens), "tokens"))
+    // asking an int64 reader for a bytes feature yields nothing (kind
+    // mismatch is a skip, not a crash) and vice versa
+    assert(TfExample.tokensOf(ex, "text") === Seq.empty)
+    assert(TfExample.bytesValuesOf(ex, "tokens") === Seq.empty)
+    // the bytes features themselves read back exactly
+    assert(TfExample.bytesValuesOf(ex, "text").map(_.toSeq) === Seq(text.toSeq))
+    assert(TfExample.bytesValuesOf(ex, "lang").map(_.toSeq) === Seq(lang.toSeq))
+    // multi-value bytes list keeps order
+    val multi = TfExample.encodeMixed(Seq.empty,
+      Seq("chunks" -> Seq(Array[Byte](1), Array[Byte](2, 3), Array.emptyByteArray)))
+    assert(TfExample.bytesValuesOf(multi, "chunks").map(_.toSeq) ===
+      Seq(Seq[Byte](1), Seq[Byte](2, 3), Seq.empty[Byte]))
+  }
+
+  test("synthesizeMixedShards: projected stats match the plain-token shards") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfTiny).limit(25)
+    val mixed = TfExample.shardStats(
+      TfExample.synthesizeMixedShards(docs, "doc_id", "text", "lang",
+        vocab = 4096), "doc_id")
+    // reference: same tokens, no bytes payloads — projection must not
+    // see a difference
+    val plainRows = mixed.as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(plainRows.nonEmpty && plainRows.forall(_._2 == 1L))
+    val wantToks = docs.select($"doc_id",
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.filter(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.lower($"text"), " "),
+            t => org.apache.spark.sql.functions.length(t) > 0),
+          w => org.apache.spark.sql.functions.pmod(
+            graft.ops.Dedup.baseHash(w),
+            org.apache.spark.sql.functions.lit(4096L))).as("t"))
+      .as[(Long, Seq[Long])].collect().toMap
+    plainRows.foreach { case (id, _, n, sum) =>
+      assert(n === wantToks(id).size.toLong, s"doc $id token count")
+      assert(sum === wantToks(id).sum, s"doc $id token sum")
+    }
+  }
+
   test("synthesize/decodeStats agree with the closed form on a doc sample") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfTiny).limit(20)
