@@ -112,6 +112,30 @@ class GraphSpec extends SparkSpec {
     assert(auths(11L) == auths(12L))
   }
 
+  test("hits: effective scale auto-widens when vertices outnumber scale") {
+    // 3 sources / 3 sinks with scale = 2: the old contract threw; now
+    // the effective scale widens to the next power of two >= 3 (= 4)
+    // and the run degrades gracefully instead of failing
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L), (6L, 2L))
+      .toDF("src", "dst")
+    val out = Graph.hits(e, iters = 2, scale = 2L)
+      .as[(String, Long, Long)].collect()
+    val hubs = out.filter(_._1 == "hub")
+    val auths = out.filter(_._1 == "auth")
+    assert(hubs.length == 3 && auths.length == 3)
+    // L1 mass ≈ effScale (4) per side, integer-floor slack ≤ n
+    assert(hubs.map(_._3).sum <= 4 && auths.map(_._3).sum <= 4)
+    assert(hubs.map(_._3).max > 0 && auths.map(_._3).max > 0)
+    // the shared part still tops authority even at 2-bit resolution
+    // (hub ranks tie at this resolution — the documented trade: widening
+    // restores RUNNABILITY; fine ranking still wants a caller scale)
+    assert(auths.maxBy(_._3)._2 == 2L)
+    // the widened arithmetic matches an explicitly-raised scale run
+    val wide = Graph.hits(e, iters = 2, scale = 4L)
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.sortBy(r => (r._1, r._2)).toSeq == wide.toSeq)
+  }
+
   test("labelPropagation: triangle converges to min label, isolated keeps own") {
     val verts = Seq(1L, 2L, 3L, 9L).toDF("id")
     val ed = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
