@@ -44,13 +44,11 @@ object Layout {
     // ntile over a RANGE-PARTITIONED exact rank (Ranks) — identical
     // bucket assignment to `ntile(n) OVER (ORDER BY …)` but with no
     // single-partition window on the fact-sized frame
-    val nRows = df.count()
     strategies.map { case (name, key) =>
-      val bucketed = Ranks.withRowNumber(
-          df.select(col(idCol).as("__id"),
-            col(probeCol).cast("long").as("__p"), key.as("__k")),
-          "__rn", col("__k"), col("__p"), col("__id"))
-        .withColumn("__b", Ranks.ntileFromRank(col("__rn"), nRows, nBuckets))
+      val bucketed = Ranks.withNtile(
+        df.select(col(idCol).as("__id"),
+          col(probeCol).cast("long").as("__p"), key.as("__k")),
+        "__b", nBuckets, col("__k"), col("__p"), col("__id"))
       val files = bucketed.groupBy(col("__b"))
         .agg(min(col("__p")).as("__lo"), max(col("__p")).as("__hi"))
       files.agg(count(lit(1)).as("n_files"),

@@ -603,9 +603,10 @@ object Market {
     val scored = base.filter(!col("__tr"))
       .join(rt, Seq("__s")).join(rc, Seq("__s"))
       .withColumn("__u", col("__rt") - col("__rc"))
-    val bucketed = scored.withColumn("bucket",
-      ntile(nBuckets).over(Window.orderBy(col("__u").desc, col("__id")))
-        .cast("long"))
+    // fact-sized ntile via the range-partitioned exact-rank hatch —
+    // never a single-partition window over the scored test rows
+    val bucketed = Ranks.withNtile(scored, "bucket", nBuckets,
+      col("__u").desc, col("__id"))
     bucketed.groupBy(col("bucket"))
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n_treat"),
         sum(when(!col("__t"), 1L).otherwise(0L)).as("n_ctrl"),

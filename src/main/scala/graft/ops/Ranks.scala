@@ -35,7 +35,22 @@ object Ranks {
   /** Returns `df` plus a 1-based LongType global row number `rnCol`
     * under the total order `sortCols`. */
   def withRowNumber(df: DataFrame, rnCol: String,
+      sortCols: Column*): DataFrame =
+    rankedWithTotal(df, rnCol, sortCols)._1
+
+  /** `ntile(nBuckets) OVER (ORDER BY sortCols)` without the
+    * single-partition window: the bucket derives from the exact rank
+    * and the TOTAL row count the rank pass already collected — no extra
+    * action, no extra pass. */
+  def withNtile(df: DataFrame, bucketCol: String, nBuckets: Int,
       sortCols: Column*): DataFrame = {
+    val (r, total) = rankedWithTotal(df, "__rnk", sortCols)
+    r.withColumn(bucketCol, ntileFromRank(col("__rnk"), total, nBuckets))
+      .drop("__rnk")
+  }
+
+  private def rankedWithTotal(df: DataFrame, rnCol: String,
+      sortCols: Seq[Column]): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "need at least one sort column")
     val spark = df.sparkSession
     import spark.implicits._
@@ -56,10 +71,11 @@ object Ranks {
       acc + counts.getOrElse(p, 0L))
     val offsetDf = (0L to maxPid).map(p => (p, offsets(p.toInt)))
       .toDF("__pid", "__off")
-    parted.withColumn("__pid", pid).withColumn("__loc", local)
+    val out = parted.withColumn("__pid", pid).withColumn("__loc", local)
       .join(broadcast(offsetDf), Seq("__pid"))
       .withColumn(rnCol, col("__off") + col("__loc") + lit(1L))
       .drop("__pid", "__loc", "__off", "__mid")
+    (out, counts.valuesIterator.sum)
   }
 
   /** `ntile(n)` bucket (1-based) derived from an exact global rank over

@@ -1697,9 +1697,10 @@ object TextStats {
       .select(col("__id"),
         ((col("__sR").cast("double") - col("__sT").cast("double")) / lit(fix) /
           col("__nb").cast("double")).as("__rho"))
-    val bucketed = perDoc.withColumn("bucket",
-      ntile(nBuckets).over(Window.orderBy(col("__rho").desc, col("__id")))
-        .cast("long"))
+    // fact-sized ntile via the range-partitioned exact-rank hatch —
+    // never a single-partition window over the per-doc scores
+    val bucketed = Ranks.withNtile(perDoc, "bucket", nBuckets,
+      col("__rho").desc, col("__id"))
     bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         round(sum(round(col("__rho"), 9).cast("decimal(18,9)")).cast("double") /

@@ -52,6 +52,17 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("withNtile == ntile() window, including DESC sort orders") {
+    val df = spark.range(157).select($"id",
+      pmod($"id" * 37, lit(91)).as("v"))
+    val got = Ranks.withNtile(df, "t", 8, $"v".desc, $"id")
+      .select($"id", $"t")
+    val want = df.select($"id",
+      ntile(8).over(Window.orderBy($"v".desc, $"id")).cast("long").as("t"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "desc-ordered withNtile diverged from the window ntile")
+  }
+
   test("sortedNeighborhoodCandidates payload structs carry both sides") {
     val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
       .toDF("id", "name", "v")
