@@ -23,7 +23,7 @@ package graft
 object LogHygiene {
   def suppressAccumulatorReleaseNoise(): Unit =
     try {
-      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.LogManager
       import org.apache.logging.log4j.core.LoggerContext
       import org.apache.logging.log4j.core.Filter
       import org.apache.logging.log4j.core.config.LoggerConfig
@@ -33,8 +33,10 @@ object LogHygiene {
       val name = "org.apache.spark.scheduler.DAGScheduler"
       val lc = cfg.getLoggerConfig(name) match {
         case own if own.getName == name => own
-        case _ => // nearest ancestor came back: scope a new config
-          val own = new LoggerConfig(name, Level.ERROR, true)
+        case ancestor => // nearest ancestor came back: scope a new config
+          // inherit the ancestor's level — this config exists ONLY to
+          // host the regex filter, not to change what severity logs
+          val own = new LoggerConfig(name, ancestor.getLevel, true)
           cfg.addLogger(name, own)
           own
       }

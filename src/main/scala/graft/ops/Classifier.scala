@@ -154,11 +154,14 @@ object Classifier {
     * 1-row aggregate. Output: (n_cal, n_test, qhat, coverage). */
   def conformalInterval(df: DataFrame, groupCol: String, valueCol: String,
       splitCol: Column, alpha: Double = 0.1): DataFrame = {
-    // splitCol: 0 = train, 1 = calibration, 2 = test
-    // three consumers (train agg, cal, test), but each is one narrow
-    // column-pruned scan with its split filter — re-scanning is cheaper
-    // than writing a checkpoint of the full projection (the r8
-    // checkpoint was the measured q361 bench regression)
+    // splitCol: 0 = train, 1 = calibration, 2 = test. MUST be a
+    // DETERMINISTIC expression (hash/modulo of an id, as every caller
+    // in this library is — the engine-wide no-RNG contract): the three
+    // split filters re-evaluate it on three independent scans, so a
+    // rand()-based split would leak rows across train/cal/test. The
+    // re-scan is deliberate — each is one narrow column-pruned pass,
+    // cheaper than checkpointing the full projection (the r8 checkpoint
+    // was the measured q361 bench regression).
     val base = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("decimal(18,6)").as("__y"), splitCol.as("__s"))
     val mu = base.filter(col("__s") === 0).groupBy(col("__g"))

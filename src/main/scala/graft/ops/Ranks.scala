@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * id column as the final tie-break — ties split across a range boundary
   * would otherwise rank nondeterministically).
   *
+  * Storage: the sorted frame is lazily localCheckpoint'ed (the count job
+  * and the caller share one materialization); the blocks release via the
+  * ContextCleaner when the frame is GC'd — one-shot query use. A caller
+  * invoking this in a LOOP should release eagerly after its consuming
+  * action: the returned plan contains the checkpoint scan, so
+  * `Dedup.unpersistCheckpoint(returnedFrame)` drops the blocks.
+  *
   * Scale shape: one range exchange + partition-local sorts + a
   * #partitions-row collect + a broadcast equi-join — no single-partition
   * stage anywhere. The frame is localCheckpoint'ed (consumed by the

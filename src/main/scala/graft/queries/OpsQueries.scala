@@ -12947,8 +12947,9 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         graft.sources.TfExample.writeAndManifest(Tables.documents(s, dir),
-            "doc_id", "text", dir = "/tmp/graft_q435_shards", nShards = 4,
-            vocab = 50000)
+            "doc_id", "text", // shard dir keyed by SF dir — no cross-run race
+            dir = s"/tmp/graft_q435_shards_${dir.replaceAll("[^A-Za-z0-9]", "_")}",
+            nShards = 4, vocab = 50000)
           .orderBy($"shard")
       },
       Some("""WITH toks AS (SELECT doc_id % 4 AS shard,
@@ -13013,7 +13014,9 @@ object OpsQueries {
           .agg(count(lit(1)).as("n_orders"),
             sum($"o_totalprice".cast("decimal(18,6)")).as("total"))
           .orderBy($"priority")
-        val path = "/tmp/graft_q441_report.xlsx"
+        // path keyed by SF dir: concurrent runs on different SFs (e.g. a
+        // sharded sweep next to a Verify) must not race one file
+        val path = s"/tmp/graft_q441_report_${dir.replaceAll("[^A-Za-z0-9]", "_")}.xlsx"
         graft.sources.Xlsx.write(agg, path)
         s.read.format("graft-xlsx").load(path)
           .select($"priority", $"n_orders".cast("bigint").as("n_orders"),

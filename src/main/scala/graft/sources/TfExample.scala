@@ -225,8 +225,8 @@ object TfExample {
     val hconf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val dfs = dirPath.getFileSystem(hconf.conf)
-    if (dfs.exists(dirPath))
-      dfs.listStatus(dirPath).foreach(s => dfs.delete(s.getPath, false))
+    if (dfs.exists(dirPath)) // recursive: stale _temporary/checkpoint
+      dfs.listStatus(dirPath).foreach(s => dfs.delete(s.getPath, true))
     else dfs.mkdirs(dirPath)
     val toks = df.select((col(idCol) % nShards).cast("int").as("__shard"),
         col(idCol).cast("long").as("__id"),
