@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Sequence packing for LLM training: assign variable-length documents to
   * fixed-capacity context windows ("bins") with the deterministic NEXT-FIT
@@ -14,11 +15,14 @@ import org.apache.spark.sql.functions._
   * cluster layout, so a resumed training run reads identical sequences.
   *
   * Scale shape: packing is sequential WITHIN a stratum but embarrassingly
-  * parallel ACROSS strata — one shuffle on the stratum key, then a
-  * per-group fold. Strata must be bounded (a language, a source, a
-  * hash-salted sub-stratum at 100 TB: `stratum || hash(id) % B` keeps
-  * every group at a few thousand docs); the fold is a collect_list +
-  * `aggregate` over that bounded group, never over the whole corpus.
+  * parallel ACROSS strata — one shuffle on the stratum key, a
+  * partition-local sort on (stratum, id), then ONE STREAMING walk of each
+  * partition with O(1) state (current fill + bin, reset at each stratum
+  * boundary). No per-group materialization: stratum size bounds only the
+  * parallelism of the sequential recurrence, not memory or work. (An
+  * earlier Catalyst-fold formulation built the per-group output array by
+  * per-element concat — O(n²) copy work per stratum, measured 5.8–6.8×
+  * on 3× data in the round-15 sweep; the streaming walk is linear.)
   */
 object Packing {
 
@@ -27,31 +31,34 @@ object Packing {
   def packNextFit(df: DataFrame, idCol: String, stratumCol: String,
       sizeCol: String, capacity: Long): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
-    // state: (fill of current bin, current bin, packed items so far);
-    // sort_array orders the collected structs by id (first field), which
-    // makes the fold order — and therefore every bin id — deterministic.
-    val items = sort_array(collect_list(struct(
-      col(idCol).cast("long").as("id"), col(sizeCol).cast("long").as("sz"))))
-    val zero = struct(lit(0L).as("fill"), lit(0L).as("bin"),
-      array().cast("array<struct<id:bigint,sz:bigint,bin:bigint>>").as("out"))
-    val packed = aggregate(items, zero,
-      (st, x) => {
-        val fits = st.getField("fill") + x.getField("sz") <= capacity &&
-          st.getField("bin") >= 1L
-        val bin = when(fits, st.getField("bin")).otherwise(st.getField("bin") + 1L)
-        val fill = when(fits, st.getField("fill") + x.getField("sz"))
-          .otherwise(x.getField("sz"))
-        struct(fill.as("fill"), bin.as("bin"),
-          concat(st.getField("out"), array(struct(
-            x.getField("id").as("id"), x.getField("sz").as("sz"),
-            bin.as("bin")))).as("out"))
-      },
-      st => st.getField("out"))
-    df.groupBy(col(stratumCol))
-      .agg(packed.as("__packed"))
-      .select(col(stratumCol), explode(col("__packed")).as("__p"))
-      .select(col(stratumCol), col("__p.id").as(idCol),
-        col("__p.sz").as(sizeCol), col("__p.bin").as("bin"))
+    // hash-partition on the stratum (every stratum lands whole in one
+    // partition), sort locally by (stratum, id) — the walk below is then
+    // the exact sequential next-fit recurrence per stratum
+    val in = df.select(col(stratumCol).as("__st"),
+        col(idCol).cast("long").as("__id"),
+        col(sizeCol).cast("long").as("__sz"))
+      .repartition(col("__st"))
+      .sortWithinPartitions(col("__st"), col("__id"))
+    val outSchema = StructType(in.schema.fields :+
+      StructField("bin", LongType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      var first = true
+      var cur: Any = null
+      var fill = 0L
+      var bin = 0L
+      rows.map { r =>
+        val st = r.get(0)
+        if (first || st != cur) { first = false; cur = st; fill = 0L; bin = 0L }
+        val sz = r.getLong(2)
+        if (bin >= 1L && fill + sz <= capacity) fill += sz
+        else { bin += 1L; fill = sz }
+        Row(st, r.getLong(1), sz, bin)
+      }
+    }(enc)
+      .select(col("__st").as(stratumCol), col("__id").as(idCol),
+        col("__sz").as(sizeCol), col("bin"))
   }
 
   /** `packNextFit` + the token offsets a dataloader actually consumes:

@@ -868,9 +868,14 @@ object Similarity {
     * (n_vectors, mean_pair_cos). */
   def isotropyAudit(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val fix = (1L << 40).toDouble
-    val unit = emb.select(col(idCol),
-      transform(col(vecCol), v => v.cast("double") / sqrt(norm2(col(vecCol))))
-        .as("__u"))
+    // norm hoisted OUT of the element lambda: lambda bodies are exempt
+    // from Catalyst CSE (the q25 shingler lesson), so an inline
+    // sqrt(norm2(vec)) would recompute the full-vector norm per ELEMENT
+    // — O(d²)/row instead of O(d)
+    val unit = emb.select(col(idCol), col(vecCol).as("__vec"))
+      .withColumn("__nrm", sqrt(norm2(col("__vec"))))
+      .select(col(idCol),
+        transform(col("__vec"), v => v.cast("double") / col("__nrm")).as("__u"))
     val perDim = unit.select(posexplode(col("__u")).as(Seq("__pos", "__v")))
       .groupBy(col("__pos"))
       .agg((sum(round(col("__v") * fix).cast("decimal(20,0)")).cast("double") / fix)
