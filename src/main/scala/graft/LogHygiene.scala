@@ -14,14 +14,23 @@ package graft
   * sit one log-routing change away from polluting the bench artifact's
   * stdout tail window.
   *
-  * Scope: ONLY the `DAGScheduler` logger, ONLY messages mentioning
-  * "accumulator" — genuine DAGScheduler errors (job failures, stage
-  * aborts) still log, and job failures additionally surface as driver
-  * exceptions, which Bench/Verify/tests already propagate. Best-effort:
-  * any log4j-core API drift degrades to a no-op rather than failing the
-  * run. */
+  * Scope: ONLY the `DAGScheduler` logger, ONLY the TWO known release
+  * messages (`Failed to update accumulator` / `non-existent
+  * accumulator`) — a genuine accumulator-update failure in a LIVE job
+  * logs under a different message and still surfaces, as do job
+  * failures / stage aborts (which additionally raise driver
+  * exceptions, propagated by Bench/Verify/tests). Idempotent: repeated
+  * calls in one JVM (TestSession then Bench) install the filter once
+  * instead of stacking duplicates. Best-effort: any log4j-core API
+  * drift degrades to a no-op rather than failing the run. */
 object LogHygiene {
-  def suppressAccumulatorReleaseNoise(): Unit =
+  // anchored to the two benign post-release messages, nothing broader
+  private val ReleasePattern =
+    ".*(Failed to update accumulator|non-existent accumulator).*"
+  @volatile private var installed = false
+
+  def suppressAccumulatorReleaseNoise(): Unit = synchronized {
+    if (installed) return
     try {
       import org.apache.logging.log4j.LogManager
       import org.apache.logging.log4j.core.LoggerContext
@@ -41,8 +50,10 @@ object LogHygiene {
           own
       }
       lc.addFilter(RegexFilter.createFilter(
-        ".*[Aa]ccumulator.*", null, java.lang.Boolean.FALSE,
+        ReleasePattern, null, java.lang.Boolean.FALSE,
         Filter.Result.DENY, Filter.Result.NEUTRAL))
       ctx.updateLoggers()
+      installed = true
     } catch { case _: Throwable => () }
+  }
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions.{concat, lit, raise_error, when}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -57,16 +58,25 @@ object Hilbert {
 
   /** Hilbert key of two non-negative integer columns over `order` bits
     * per dimension (order ≤ 31 keeps d = x·y ranges in a Long).
-    * Inputs are MASKED to their low `order` bits inside the expression:
-    * the curve is only defined on [0, 2^order)², so an out-of-domain
-    * coordinate (a caller forgetting the `% 2^order` reduction) would
-    * otherwise silently produce a non-curve key and degrade the layout;
-    * the mask makes the domain reduction part of the operator. */
+    * Domain-reduction contract (shared verbatim with
+    * `Layout.zOrderKey` so the two clustering keys never diverge on
+    * identical input): a NEGATIVE coordinate raises — that is a sign
+    * bug at the caller, and silently wrapping it to 2^order−1 would
+    * plant the row at the far end of the curve; a non-negative
+    * coordinate is MASKED to its low `order` bits (the curve is only
+    * defined on [0, 2^order)², so a caller forgetting the `% 2^order`
+    * reduction gets the reduction, not a non-curve key). */
   def hilbertKey(x: Column, y: Column, order: Int): Column = {
     require(order >= 1 && order <= 31, s"order must be in [1, 31], got $order")
     val mask = (1L << order) - 1
+    def nonNeg(c: Column) = {
+      val l = c.cast("long")
+      when(l < 0, raise_error(concat(
+        lit("hilbertKey requires non-negative coordinates, got "),
+        l.cast("string")))).otherwise(l)
+    }
     GraftBridge.column(HilbertExpr(
-      GraftBridge.expression(x.cast("long").bitwiseAND(mask)),
-      GraftBridge.expression(y.cast("long").bitwiseAND(mask)), order))
+      GraftBridge.expression(nonNeg(x).bitwiseAND(mask)),
+      GraftBridge.expression(nonNeg(y).bitwiseAND(mask)), order))
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,14 +154,17 @@ object Classifier {
     * 1-row aggregate. Output: (n_cal, n_test, qhat, coverage). */
   def conformalInterval(df: DataFrame, groupCol: String, valueCol: String,
       splitCol: Column, alpha: Double = 0.1): DataFrame = {
-    // splitCol: 0 = train, 1 = calibration, 2 = test. MUST be a
-    // DETERMINISTIC expression (hash/modulo of an id, as every caller
-    // in this library is — the engine-wide no-RNG contract): the three
-    // split filters re-evaluate it on three independent scans, so a
-    // rand()-based split would leak rows across train/cal/test. The
-    // re-scan is deliberate — each is one narrow column-pruned pass,
-    // cheaper than checkpointing the full projection (the r8 checkpoint
-    // was the measured q361 bench regression).
+    // splitCol: 0 = train, 1 = calibration, 2 = test. The three split
+    // filters re-evaluate splitCol on three independent scans, so a
+    // rand()-based split would silently leak rows across train/cal/test
+    // — enforced below, not just documented. The re-scan is deliberate:
+    // each is one narrow column-pruned pass, cheaper than checkpointing
+    // the full projection (the r8 checkpoint was the measured q361
+    // bench regression).
+    require(GraftBridge.expression(splitCol).deterministic,
+      "splitCol must be deterministic (hash/modulo of an id) — it is " +
+        "re-evaluated per split scan; a rand()-based split would leak " +
+        "rows across train/cal/test")
     val base = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("decimal(18,6)").as("__y"), splitCol.as("__s"))
     val mu = base.filter(col("__s") === 0).groupBy(col("__g"))

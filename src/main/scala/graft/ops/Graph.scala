@@ -320,10 +320,16 @@ object Graph {
     * Resolution: the integer renorm needs ≥ 1 unit per vertex, so when
     * either side exceeds `scale` the EFFECTIVE scale auto-widens to the
     * next power of two ≥ the larger side (graceful degradation, not a
-    * throw). Overflow: the Σraw sums and the raw·scale products run in
-    * DECIMAL(38,0) — exact integer arithmetic with no Long envelope to
-    * manage at any vertex count or degree; only the final normalized
-    * scores (≤ effective scale) land back in Long.
+    * throw) — callers sizing downstream arithmetic must use the
+    * RETURNED score magnitudes, which can exceed the requested `scale`
+    * when auto-widening engages. Overflow: the Σraw sums and the
+    * raw·scale products run in DECIMAL(38,0) — exact integer
+    * arithmetic whose envelope is the decimal precision cap, not Long:
+    * the renorm product raw·effScale is bounded by ≈
+    * effScale²·maxdeg and must stay under 10^38 (at the default 2^20
+    * scale that allows maxdeg·effScale ≲ 10^32 — far beyond any real
+    * graph; a product past the cap would null the score under
+    * non-ANSI decimal overflow rather than corrupt it silently).
     *
     * Scale shape: edges persist once; per iteration ONE rank⋈edge join
     * + ONE partial-combining aggregate per side, plus a 1-row total
@@ -364,8 +370,14 @@ object Graph {
         .toBigInteger
       val aNext = dsts.join(aRaw, Seq("id"), "left")
         .select(col("id"),
-          expr(s"(coalesce(ar, CAST(0 AS DECIMAL(38,0))) * ${effScale}L)" +
-            s" DIV CAST($aTot AS DECIMAL(38,0))").as("a"))
+          // the multiply is precision-capped at DECIMAL(38): an
+          // overflow nulls it under non-ANSI mode — fail loudly
+          // instead of silently nulling the score
+          expr(s"CASE WHEN ar IS NOT NULL AND (ar * ${effScale}L) IS NULL" +
+            " THEN raise_error('hits: renorm product overflowed" +
+            " DECIMAL(38,0) — lower scale or prune degree')" +
+            s" ELSE (coalesce(ar, CAST(0 AS DECIMAL(38,0))) * ${effScale}L)" +
+            s" DIV CAST($aTot AS DECIMAL(38,0)) END").as("a"))
         .localCheckpoint(eager = true)
       unpersistCheckpoint(aRaw)
       if (auths != null) unpersistCheckpoint(auths)
@@ -378,8 +390,11 @@ object Graph {
         .toBigInteger
       val hNext = srcs.join(hRaw, Seq("id"), "left")
         .select(col("id"),
-          expr(s"(coalesce(hr, CAST(0 AS DECIMAL(38,0))) * ${effScale}L)" +
-            s" DIV CAST($hTot AS DECIMAL(38,0))").as("h"))
+          expr(s"CASE WHEN hr IS NOT NULL AND (hr * ${effScale}L) IS NULL" +
+            " THEN raise_error('hits: renorm product overflowed" +
+            " DECIMAL(38,0) — lower scale or prune degree')" +
+            s" ELSE (coalesce(hr, CAST(0 AS DECIMAL(38,0))) * ${effScale}L)" +
+            s" DIV CAST($hTot AS DECIMAL(38,0)) END").as("h"))
         .localCheckpoint(eager = true)
       unpersistCheckpoint(hRaw)
       unpersistCheckpoint(hubs)

@@ -17,10 +17,21 @@ object Layout {
   /** Morton/Z-order interleave of the low `bits` bits of two
     * non-negative integer columns: bit b of x lands at position 2b, bit
     * b of y at 2b+1. Pure shift/mask expression tree (codegen'd,
-    * map-only); `bits` ≤ 31 keeps the result in a positive Long. */
+    * map-only); `bits` ≤ 31 keeps the result in a positive Long.
+    * Domain-reduction contract (shared verbatim with
+    * `functions.Hilbert.hilbertKey`): a NEGATIVE coordinate raises (a
+    * sign bug — its low bits are all-ones under two's complement and
+    * would silently interleave to the far corner); a non-negative one
+    * is reduced to its low `bits` bits. */
   def zOrderKey(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val xl = x.cast("long"); val yl = y.cast("long")
+    def nonNeg(c: Column) = {
+      val l = c.cast("long")
+      when(l < 0, raise_error(concat(
+        lit("zOrderKey requires non-negative coordinates, got "),
+        l.cast("string")))).otherwise(l)
+    }
+    val xl = nonNeg(x); val yl = nonNeg(y)
     (0 until bits).map { b =>
       shiftleft(shiftright(xl, b).bitwiseAND(lit(1L)), 2 * b) +
         shiftleft(shiftright(yl, b).bitwiseAND(lit(1L)), 2 * b + 1)

@@ -1,42 +1,48 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** Exact global ranks WITHOUT a single-partition sort — the implemented
-  * version of the range-partitioned exact-rank hatch the ops-layer
-  * scaladocs reference (`Mixing.scala` mega-stratum note). A
-  * `row_number() OVER (ORDER BY …)` window forces every row through ONE
-  * partition — fine for audit-sized frames, a straggler at fact scale.
-  * This helper keeps the sort distributed:
+/** Exact global ranks AND running sums WITHOUT a single-partition sort
+  * — the implemented version of the range-partitioned hatch the
+  * ops-layer scaladocs reference (`Mixing.scala` mega-stratum note). A
+  * `row_number()/sum() OVER (ORDER BY …)` window forces every row
+  * through ONE partition — fine for audit-sized frames, a straggler at
+  * fact scale (and for CONTINUOUS value domains the "value table" of a
+  * cumulative window is itself fact-sized). These helpers keep the sort
+  * distributed:
   *
   *   1. `repartitionByRange` on the sort key (Spark's sampled range
   *      exchange — each partition holds a contiguous key range),
   *   2. `sortWithinPartitions` (partition-local sort, no global merge),
-  *   3. `monotonically_increasing_id()` = (partitionId << 33 | local
-  *      row index) taken IN THAT ORDER, so the low 33 bits are the exact
-  *      partition-local rank,
-  *   4. one bounded collect of per-partition row counts (≤ one row per
-  *      shuffle partition) → cumulative offsets, broadcast-joined back.
+  *   3. one bounded collect of per-partition partials (≤ one row per
+  *      shuffle partition: row counts for ranks, column partial sums
+  *      for running sums) → cumulative offsets, applied back either as
+  *      a broadcast equi-join (ranks) or inside one streaming partition
+  *      walk (running sums — a prefix sum is a sequential recurrence
+  *      with O(1) state, the packing-walk shape; no window, no second
+  *      exchange, no re-sort).
   *
-  * rank = offset(partition) + local_index + 1 is EXACT (not approximate)
-  * for any partitioning, because range partitions are key-contiguous and
-  * ordered; determinism needs `sortCols` to be a TOTAL order (append the
-  * id column as the final tie-break — ties split across a range boundary
-  * would otherwise rank nondeterministically).
+  * rank = offset(partition) + local_index + 1 and
+  * cum(c) = sumOffset(partition, c) + local running sum are EXACT (not
+  * approximate) for any partitioning, because range partitions are
+  * key-contiguous and ordered; determinism needs `sortCols` to be a
+  * TOTAL order (append the id column as the final tie-break — ties
+  * split across a range boundary would otherwise rank
+  * nondeterministically; the cumulative-window call sites feed
+  * DISTINCT value tables, where the value itself is total).
   *
-  * Storage: the sorted frame is lazily localCheckpoint'ed (the count job
-  * and the caller share one materialization); the blocks release via the
-  * ContextCleaner when the frame is GC'd — one-shot query use. A caller
-  * invoking this in a LOOP should release eagerly after its consuming
-  * action: the returned plan contains the checkpoint scan, so
+  * Storage: the sorted frame is lazily localCheckpoint'ed (the partials
+  * job and the caller share one materialization); the blocks release
+  * via the ContextCleaner when the frame is GC'd — one-shot query use.
+  * A caller invoking this in a LOOP should release eagerly after its
+  * consuming action: the returned plan contains the checkpoint scan, so
   * `Dedup.unpersistCheckpoint(returnedFrame)` drops the blocks.
   *
   * Scale shape: one range exchange + partition-local sorts + a
-  * #partitions-row collect + a broadcast equi-join — no single-partition
-  * stage anywhere. The frame is localCheckpoint'ed (consumed by the
-  * count job and by the caller; callers that fan out further reuse the
-  * same blocks). */
+  * #partitions-row collect + (broadcast equi-join | streaming partition
+  * walk) — no single-partition stage anywhere. */
 object Ranks {
 
   /** Returns `df` plus a 1-based LongType global row number `rnCol`
@@ -69,20 +75,34 @@ object Ranks {
     val pid = shiftright(col("__mid"), 33)
     val local = col("__mid").bitwiseAND(lit((1L << 33) - 1))
     val counts = parted.groupBy(pid.as("__pid"))
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .agg(count(lit(1)).as("__c"), max(local).as("__ml"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // the rank derives from monotonically_increasing_id's documented
+    // (pid << 33 | local index) layout; a partition past 2^33 rows (or
+    // a layout drift) would mis-attribute rows ACROSS pid groups, which
+    // this equality catches (an overflowed partition's spillover lands
+    // in the next pid with colliding local indices, so some group's
+    // count can no longer equal its max local index + 1) — fail loudly
+    // instead of silently misranking
+    counts.foreach { case (p, (c, ml)) =>
+      require(ml == c - 1,
+        s"rankedWithTotal: partition $p has count=$c but max local " +
+          s"index=$ml — monotonically_increasing_id bit-layout invariant " +
+          "violated (partition exceeded 2^33 rows?)")
+    }
     val maxPid = if (counts.isEmpty) -1L else counts.keys.max
     // cumulative offsets in partition order; range partitions are
     // key-ordered, so offset(p) = Σ counts(p' < p)
     val offsets = (0L to maxPid).scanLeft(0L)((acc, p) =>
-      acc + counts.getOrElse(p, 0L))
+      acc + counts.get(p).map(_._1).getOrElse(0L))
     val offsetDf = (0L to maxPid).map(p => (p, offsets(p.toInt)))
       .toDF("__pid", "__off")
     val out = parted.withColumn("__pid", pid).withColumn("__loc", local)
       .join(broadcast(offsetDf), Seq("__pid"))
       .withColumn(rnCol, col("__off") + col("__loc") + lit(1L))
       .drop("__pid", "__loc", "__off", "__mid")
-    (out, counts.valuesIterator.sum)
+    (out, counts.valuesIterator.map(_._1).sum)
   }
 
   /** `ntile(n)` bucket (1-based) derived from an exact global rank over
@@ -97,5 +117,140 @@ object Ranks {
     if (q == 0) rn.cast("long") // fewer rows than buckets: bucket = rank
     else when(rn <= cut, floor((rn - 1) / (q + 1)).cast("long") + 1L)
       .otherwise(lit(r) + floor((rn - cut - 1) / q).cast("long") + 1L)
+  }
+
+  /** Result of [[runningSums]]: the decorated frame plus the grand
+    * totals and row count the per-partition partials job already
+    * computed — a caller that would otherwise run a global aggregate +
+    * crossJoin just to decorate rows with Σ reads them as literals
+    * instead (one fewer pass over the value table). */
+  final case class Running(df: DataFrame, totals: Map[String, Long],
+      rows: Long)
+
+  /** Distributed INCLUSIVE prefix sums under the total order
+    * `sortCols`: for each `(in, out)` in `sums`, adds LongType `out` =
+    * `sum(in) OVER (ORDER BY sortCols ROWS UNBOUNDED PRECEDING)` — but
+    * with no single-partition window: range exchange, local sort, one
+    * ≤#partitions-row partials collect, then ONE streaming partition
+    * walk that seeds each partition with its exclusive offset. `lead`
+    * optionally emits the NEXT row's value of a column under the same
+    * order (`(src, out)`), with partition boundaries patched from the
+    * collected per-partition first values — the globally last row gets
+    * NULL, as `lead()` would.
+    *
+    * Contract: `sums` inputs must be LongType (nulls count as 0, as in
+    * SQL `sum`); `sortCols` must be a total order over `df`'s rows —
+    * the cumulative-window call sites (ROC, ECDF/KS, FD histogram,
+    * conformal) all feed DISTINCT value tables, where the value column
+    * itself is total. */
+  def runningSums(df: DataFrame, sums: Seq[(String, String)],
+      lead: Option[(String, String)], sortCols: Column*): Running = {
+    require(sortCols.nonEmpty, "need at least one sort column")
+    require(sums.nonEmpty, "need at least one sum column")
+    sums.foreach { case (in, _) =>
+      require(df.schema(in).dataType == LongType,
+        s"runningSums sums LongType columns; '$in' is " +
+          df.schema(in).dataType.simpleString)
+    }
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    // the partition id rides IN THE DATA as monotonically_increasing_id
+    // >> 33 (frozen by the checkpoint), never TaskContext.getPartitionId:
+    // the stage partition id only equals the RDD partition index when
+    // the stage STARTS at this scan — under a union/except the walk's
+    // stage renumbers partitions and a TaskContext-keyed offset lookup
+    // silently seeds every partition with its neighbor's sums (found by
+    // RunningSumsSpec's exceptAll, which plans a union)
+    val parted = df.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(false) // consumers: the partials job + the walk
+    val schema = parted.schema
+    val midIdx = schema.fieldIndex("__mid")
+    val sumIdx = sums.map { case (in, _) => schema.fieldIndex(in) }.toArray
+    val leadIdx = lead.map { case (src, _) => schema.fieldIndex(src) }
+    val nSums = sumIdx.length
+    val pidOf = shiftright(col("__mid"), 33)
+    val localOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+
+    // partials: ONE partial-combining aggregate, ≤ 1 row per partition —
+    // row count (+ the rankedWithTotal bit-layout invariant), per-column
+    // partial sums, and (when lead is requested) the partition's FIRST
+    // value of the lead source in sorted order (min __mid = local row 0)
+    val aggCols =
+      Seq(count(lit(1)).as("__c"), max(localOf).as("__ml")) ++
+        sums.zipWithIndex.map { case ((in, _), k) =>
+          sum(col(in)).as(s"__s$k") } ++
+        lead.map { case (src, _) =>
+          min_by(col(src), col("__mid")).as("__fv") }
+    val partials = parted.groupBy(pidOf.as("__pid"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    val byPid = partials.map { r =>
+      val c = r.getLong(1)
+      require(r.getLong(2) == c - 1,
+        s"runningSums: partition ${r.getLong(0)} has count=$c but max " +
+          s"local index=${r.getLong(2)} — monotonically_increasing_id " +
+          "bit-layout invariant violated (partition exceeded 2^33 rows?)")
+      val ss = Array.tabulate(nSums)(k =>
+        if (r.isNullAt(3 + k)) 0L else r.getLong(3 + k))
+      r.getLong(0) -> (c, ss, if (leadIdx.isDefined) r.get(3 + nSums) else null)
+    }.sortBy(_._1)
+    val totals = sums.indices.map(k =>
+      sums(k)._1 -> byPid.map(_._2._2(k)).sum).toMap
+    val rows = byPid.map(_._2._1).sum
+    // exclusive offsets per partition (range partitions are key-ordered)
+    val offsetMap = scala.collection.mutable.Map.empty[Long, Array[Long]]
+    val runAcc = new Array[Long](nSums)
+    byPid.foreach { case (p, (_, ss, _)) =>
+      offsetMap(p) = runAcc.clone()
+      var k = 0; while (k < nSums) { runAcc(k) += ss(k); k += 1 }
+    }
+    // first value of the NEXT non-empty partition, for lead boundaries
+    val nextFirst: Map[Long, Any] =
+      if (leadIdx.isEmpty) Map.empty
+      else byPid.indices.dropRight(1)
+        .map(i => byPid(i)._1 -> byPid(i + 1)._2._3).toMap
+    val bOff = spark.sparkContext.broadcast(offsetMap.toMap)
+    val bNext = spark.sparkContext.broadcast(nextFirst)
+
+    // __mid (the last field) stays internal — dropped from the output
+    val outSchema = StructType(schema.fields.patch(midIdx, Nil, 1) ++
+      sums.map { case (_, o) => StructField(o, LongType, nullable = false) } ++
+      lead.map { case (src, o) =>
+        StructField(o, schema(src).dataType, nullable = true) })
+    val si = sumIdx // local vals: avoid closing over `this`
+    val li = leadIdx.getOrElse(-1)
+    val mi = midIdx
+    val hasLead = li >= 0
+    val out = parted.mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        val pid = buf.head.getLong(mi) >>> 33
+        val acc = bOff.value.getOrElse(pid, new Array[Long](si.length)).clone()
+        val boundary = bNext.value.getOrElse(pid, null)
+        new Iterator[Row] {
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): Row = {
+            val r = buf.next()
+            var k = 0
+            while (k < si.length) {
+              if (!r.isNullAt(si(k))) acc(k) += r.getLong(si(k)); k += 1
+            }
+            // snapshot — acc mutates on the NEXT next(); a live array
+            // view would corrupt already-emitted rows under a consumer
+            // that defers reading
+            val snap = java.util.Arrays.copyOf(acc, acc.length).toSeq
+            val tail: Seq[Any] =
+              if (hasLead)
+                snap :+ (if (buf.hasNext) buf.head.get(li) else boundary)
+              else snap
+            Row.fromSeq(r.toSeq.patch(mi, Nil, 1) ++ tail)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+    Running(out, totals, rows)
   }
 }
