@@ -150,8 +150,10 @@ object Classifier {
     *
     * Scale shape: ONE group aggregate (train), residual passes join the
     * GROUP table back (AQE broadcast); q̂ comes from a value-domain
-    * count + one ordered window over distinct residuals; coverage is a
-    * 1-row aggregate. Output: (n_cal, n_test, qhat, coverage). */
+    * count + `Ranks.runningSums` over distinct residuals (no
+    * single-partition stage — continuous residuals make the value table
+    * fact-sized); coverage is a 1-row aggregate. Output:
+    * (n_cal, n_test, qhat, coverage). */
   def conformalInterval(df: DataFrame, groupCol: String, valueCol: String,
       splitCol: Column, alpha: Double = 0.1): DataFrame = {
     // splitCol: 0 = train, 1 = calibration, 2 = test. The three split
@@ -177,9 +179,13 @@ object Classifier {
     // n_cal folds into the same value-domain window pass (Σ counts over
     // the unbounded frame) — the previous separate count(cal) aggregate
     // recomputed the calibration join a second time per run
-    val cum = vc.select(col("__r"),
-      sum(col("__c")).over(Window.orderBy(col("__r"))).as("__cum"),
-      sum(col("__c")).over(Window.partitionBy()).as("__tot"))
+    // distributed prefix sum over the residual-value table (continuous
+    // residuals make it fact-sized); n_cal rides along from the same
+    // partials job as a literal — the old form ran BOTH a
+    // single-partition cumulative window AND a whole-frame total window
+    val run = Ranks.runningSums(vc, Seq("__c" -> "__cum"), None,
+      col("__r"))
+    val cum = run.df.withColumn("__tot", lit(run.totals("__c")))
     val qhat = cum
       .agg(max(col("__tot")).as("n_cal"),
         min(when(col("__cum") >=
@@ -455,16 +461,19 @@ object Classifier {
     * bit-identical on any engine, no per-row rank join.
     *
     * Scale shape: ONE (score) partial-combining aggregate over the
-    * fact, a cumulative window over the SCORE-VALUE table (value-domain
-    * sized — bounded for discrete scores; bucket continuous scores
-    * first), one 1-row aggregate. Output: (n_pos, n_neg, auc — NULL if
-    * a class is empty). */
+    * fact, then `Ranks.runningSums` over the SCORE-VALUE table (no
+    * single-partition stage even when continuous scores make the value
+    * table fact-sized), one 1-row aggregate. Output: (n_pos, n_neg,
+    * auc — NULL if a class is empty). */
   def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
     val sv = df.select(scoreCol.as("__s"), labelCol.cast("int").as("__y"))
       .groupBy(col("__s"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
-    val cum = sv.withColumn("__cle", sum(col("__n")).over(w))
+    // distributed prefix sum over the score-value table (continuous
+    // scores make the value table fact-sized — no single-partition
+    // Window.orderBy here, the q209-class hatch instead)
+    val cum = Ranks.runningSums(sv, Seq("__n" -> "__cle"), None,
+      col("__s")).df
     val s2term = col("__np") *
       (lit(2L) * (col("__cle") - col("__n")) + col("__n") + lit(1L))
     val agg = cum.agg(

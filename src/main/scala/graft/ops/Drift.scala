@@ -191,10 +191,10 @@ object Drift {
     * DECIMAL; the max of doubles is order-independent.
     *
     * Scale shape: ONE (value) partial-combining aggregate with
-    * conditional counts, a cumulative + lead window over the
-    * VALUE-DOMAIN table (for continuous values this is the q209
-    * global-sort hatch class — range-partitioned sort at scale, or
-    * bucket first), two 1-row aggregates fused. Output:
+    * conditional counts, then `Ranks.runningSums` over the VALUE-DOMAIN
+    * table (range exchange + local sort + broadcast offsets — no
+    * single-partition stage even when continuous values make the value
+    * table fact-sized), one 1-row aggregate. Output:
     * (n_a, n_b, ks_d, emd). */
   def twoSampleDist(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
     val v = df.select(col(valueCol).cast("decimal(18,6)").as("__v"),
@@ -202,14 +202,15 @@ object Drift {
       .groupBy(col("__v"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("__nb"))
-    val w = Window.orderBy(col("__v"))
-    val cum = v
-      .withColumn("__ca", sum(col("__na")).over(w))
-      .withColumn("__cb", sum(col("__nb")).over(w))
-      .withColumn("__vn", lead(col("__v"), 1).over(w))
-      .localCheckpoint(false) // totals + the decorated pass share the sort
-    val tot = cum.agg(max(col("__ca")).as("__ta"), max(col("__cb")).as("__tb"))
-    val dec = cum.crossJoin(tot)
+    // distributed prefix sums + lead over the value-domain table
+    // (continuous values make it fact-sized — the q209-class hatch, not
+    // a single-partition Window.orderBy); the slice totals ride along
+    // from the same partials job as literals, dropping the old
+    // checkpoint + totals aggregate + crossJoin entirely
+    val run = Ranks.runningSums(v, Seq("__na" -> "__ca", "__nb" -> "__cb"),
+      Some("__v" -> "__vn"), col("__v"))
+    val dec = run.df.withColumn("__ta", lit(run.totals("__na")))
+      .withColumn("__tb", lit(run.totals("__nb")))
     val diff = abs(col("__ca").cast("double") / col("__ta").cast("double") -
       col("__cb").cast("double") / col("__tb").cast("double"))
     dec.agg(
@@ -266,26 +267,29 @@ object Drift {
     * bin count capped at `maxBins`. Degenerate spread (IQR = 0) falls
     * back to a single bin.
     *
-    * Scale shape: ONE (value) partial-combining count + a cumulative
-    * window over the VALUE-DOMAIN table (q209 hatch class for
-    * continuous values) + one map pass binning against the broadcast
-    * 1-row parameter row. Output: (bin, lo, hi, n). */
+    * Scale shape: ONE (value) partial-combining count +
+    * `Ranks.runningSums` over the VALUE-DOMAIN table (no
+    * single-partition stage for continuous values) + ONE fused
+    * min/max/quartile aggregate + one map pass binning against the
+    * broadcast 1-row parameter row. Output: (bin, lo, hi, n). */
   def fdHistogram(df: DataFrame, valueCol: String, maxBins: Int = 50): DataFrame = {
     require(maxBins >= 1, "maxBins >= 1")
     val v = df.select(col(valueCol).cast("decimal(18,6)").as("__v"))
     val vc = v.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy(col("__v"))
-    val cum = vc.withColumn("__cum", sum(col("__c")).over(w))
-      .localCheckpoint(false) // stats + quartile scans share the sort
-    val stats = cum.agg(max(col("__cum")).as("__n"),
-      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
-    val dec = cum.crossJoin(stats)
+    // distributed prefix sum over the value-domain table (q209-class
+    // hatch); n comes back from the partials job as a literal, so the
+    // min/max/quartile reads FUSE into one aggregate over the decorated
+    // table — the old form ran a single-partition window plus two
+    // checkpoint-shared aggregate passes
+    val run = Ranks.runningSums(vc, Seq("__c" -> "__cum"), None,
+      col("__v"))
     def rank(q: Double) =
-      floor((col("__n") - 1).cast("double") * lit(q)).cast("long") + 1
-    val qs = dec.agg(
-      min(when(col("__cum") >= rank(0.25), col("__v"))).as("__q1"),
-      min(when(col("__cum") >= rank(0.75), col("__v"))).as("__q3"))
-    val par = stats.crossJoin(qs)
+      lit(math.floor((run.totals("__c") - 1).toDouble * q).toLong + 1)
+    val par = run.df.agg(
+        min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        min(when(col("__cum") >= rank(0.25), col("__v"))).as("__q1"),
+        min(when(col("__cum") >= rank(0.75), col("__v"))).as("__q3"))
+      .withColumn("__n", lit(run.totals("__c")))
       .withColumn("__h", lit(2.0) *
         (col("__q3") - col("__q1")).cast("double") /
         cbrt(col("__n").cast("double")))

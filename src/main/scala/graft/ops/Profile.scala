@@ -749,16 +749,18 @@ object Profile {
     * data-scaled, so a long×long product could overflow where a degree
     * product cannot). The constant factor 2 cancels in Pearson.
     *
-    * Scale shape: two (value) partial-combining aggregates + cumulative
-    * windows over VALUE-DOMAIN tables, two value-keyed decorating
-    * joins, ONE 1-row aggregate. Output: (n, spearman — NULL when a
-    * column is constant). */
+    * Scale shape: two (value) partial-combining aggregates +
+    * `Ranks.runningSums` over the VALUE-DOMAIN tables (no
+    * single-partition stage for data-scaled integer domains), two
+    * value-keyed decorating joins, ONE 1-row aggregate. Output:
+    * (n, spearman — NULL when a column is constant). */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     def ranks2(c: String) = {
       val v = df.select(col(c).cast("long").as("__v"))
         .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
-      val w = Window.orderBy(col("__v"))
-      v.withColumn("__cle", sum(col("__n")).over(w))
+      // distributed prefix sum over the value table (data-scaled for
+      // arbitrary integer domains — no single-partition Window.orderBy)
+      Ranks.runningSums(v, Seq("__n" -> "__cle"), None, col("__v")).df
         .select(col("__v"),
           (lit(2L) * (col("__cle") - col("__n")) + col("__n") + lit(1L))
             .as("__r2"))
@@ -942,10 +944,11 @@ object Profile {
     * outcome best, and where" answer a segment-discovery pass needs.
     *
     * Scale shape: per feature, ONE value-domain aggregate (value,
-    * n, n_pos) + a cumulative window over DISTINCT values (value-
-    * domain-sized, the exact-median discipline) — never a row sort.
-    * Gains are doubles from exact counts; the per-feature argmax is a
-    * (gain desc, threshold asc) row_number. Output per feature:
+    * n, n_pos) + `Ranks.runningSums` over DISTINCT values (no
+    * single-partition stage — double features make the value table
+    * fact-sized) — never a row sort. Gains are doubles from exact
+    * counts; the per-feature argmax is a TakeOrdered top-1 on
+    * (gain desc, threshold asc). Output per feature:
     * (feature, threshold, gain, p_left, p_right, n_left). */
   def bestSplit(df: DataFrame, features: Seq[String],
       outcomePred: Column): DataFrame = {
@@ -957,12 +960,14 @@ object Profile {
         .groupBy(col("__v"))
         .agg(count(lit(1)).as("__n"),
           sum(when(col("__y"), 1L).otherwise(0L)).as("__k"))
-      val w = Window.orderBy(col("__v"))
-      val cum = vc
-        .withColumn("__cn", sum(col("__n")).over(w))
-        .withColumn("__ck", sum(col("__k")).over(w))
-        .withColumn("__tn", sum(col("__n")).over(Window.partitionBy()))
-        .withColumn("__tk", sum(col("__k")).over(Window.partitionBy()))
+      // distributed prefix sums over the DISTINCT-value table (double
+      // features make it fact-sized — the q265-class hatch); the totals
+      // ride along from the same partials job as literals
+      val run = Ranks.runningSums(vc, Seq("__n" -> "__cn", "__k" -> "__ck"),
+        None, col("__v"))
+      val cum = run.df
+        .withColumn("__tn", lit(run.totals("__n")))
+        .withColumn("__tk", lit(run.totals("__k")))
         .where(col("__cn") < col("__tn")) // right side must be non-empty
       def gini(k: Column, n: Column) = {
         val p = d(k) / d(n)
@@ -972,11 +977,12 @@ object Profile {
         (d(col("__cn")) / d(col("__tn"))) * gini(col("__ck"), col("__cn")) -
         ((d(col("__tn")) - d(col("__cn"))) / d(col("__tn"))) *
           gini(col("__tk") - col("__ck"), col("__tn") - col("__cn"))
+      // argmax as a TakeOrdered top-1 (distributed), not a
+      // single-partition row_number over the value table
       val ranked = cum.select(col("__v"), col("__cn"), col("__ck"),
           col("__tn"), col("__tk"), gain.as("__g"))
-        .withColumn("__rk", row_number().over(
-          Window.orderBy(col("__g").desc, col("__v"))))
-        .where(col("__rk") === 1)
+        .orderBy(col("__g").desc, col("__v"))
+        .limit(1)
       ranked.select(lit(f).as("feature"), col("__v").as("threshold"),
         round(col("__g"), 6).as("gain"),
         round(d(col("__ck")) / d(col("__cn")), 6).as("p_left"),
