@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Let
+
 /** Int8 scalar quantization of an embedding column — the compression
   * step a vector store applies before ANN at scale (4× smaller than
   * float32, SIMD-friendly dot products). Per-vector symmetric scheme:
@@ -26,15 +28,18 @@ object Quantize {
   def maxAbs(vec: Column): Column =
     array_max(transform(vec, v => abs(v.cast("double"))))
 
-  /** array<int> of clamped round(vᵢ·scale); all zeros for a zero vector. */
-  def int8(vec: Column): Column = {
-    val m = maxAbs(vec)
-    val scale = lit(127.0) / m
-    transform(vec, v =>
-      when(m === 0.0, lit(0))
-        .otherwise(greatest(lit(-127),
-          least(lit(127), round(v.cast("double") * scale).cast("int")))))
-  }
+  /** array<int> of clamped round(vᵢ·scale); all zeros for a zero vector.
+    * The max-abs is LET-BOUND: referenced directly inside the transform
+    * lambda it would re-scan the vector per element (lambda bodies are
+    * CSE-exempt) — O(d²)/row, the LambdaAuditSpec class. */
+  def int8(vec: Column): Column =
+    Let.bindOnce(maxAbs(vec)) { m =>
+      val scale = lit(127.0) / m
+      transform(vec, v =>
+        when(m === 0.0, lit(0))
+          .otherwise(greatest(lit(-127),
+            least(lit(127), round(v.cast("double") * scale).cast("int")))))
+    }
 
   /** (qmin, qmax, qsum, mse): quantized range, exact integer sum, and
     * fixed-point mean squared reconstruction error. The 2^40 fixed-point
@@ -43,18 +48,20 @@ object Quantize {
     * orders of magnitude inside the bound). */
   def quantizeStats(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val vec = col(vecCol)
-    val m = maxAbs(vec)
-    val scale = lit(127.0) / m
-    val q = int8(vec)
-    val errFix = zip_with(vec, q, (v, qi) =>
-      when(m === 0.0, lit(0L)).otherwise {
-        val e = v.cast("double") - qi.cast("double") / scale
-        round(e * e * Fix).cast("long")
-      })
-    emb.select(col(idCol),
-      array_min(q).as("qmin"),
-      array_max(q).as("qmax"),
-      aggregate(q, lit(0L), (acc, x) => acc + x).as("qsum"),
+    // max-abs let-bound for the same reason as in int8; the quantized
+    // array is a per-row COLUMN (computed once), so only m needs the let
+    val errFix = Let.bindOnce(maxAbs(vec)) { m =>
+      val scale = lit(127.0) / m
+      zip_with(vec, col("__q"), (v, qi) =>
+        when(m === 0.0, lit(0L)).otherwise {
+          val e = v.cast("double") - qi.cast("double") / scale
+          round(e * e * Fix).cast("long")
+        })
+    }
+    emb.withColumn("__q", int8(vec)).select(col(idCol),
+      array_min(col("__q")).as("qmin"),
+      array_max(col("__q")).as("qmax"),
+      aggregate(col("__q"), lit(0L), (acc, x) => acc + x).as("qsum"),
       (aggregate(errFix, lit(0L), (acc, x) => acc + x).cast("double") / Fix /
         size(vec)).as("mse"))
   }

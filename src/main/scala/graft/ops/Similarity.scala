@@ -133,11 +133,15 @@ object Similarity {
   def matryoshka(vec: Column, dims: Int): Column = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     val t = slice(vec, 1, dims)
-    val n = sqrt(norm2(t))
+    // the prefix norm is LET-BOUND: referenced directly inside the
+    // transform lambda it would re-fold the prefix per element (lambda
+    // bodies are CSE-exempt) — O(d²)/row, the LambdaAuditSpec class
+    val scaled = graft.functions.Let.bindOnce(sqrt(norm2(t))) { n =>
+      transform(t, v => (v.cast("double") / n).cast("float"))
+    }
     // a vector SHORTER than dims would silently pass through un-truncated
     // (slice clamps) and poison a fixed-width index — fail the row loudly
-    when(size(vec) >= dims,
-        transform(t, v => (v.cast("double") / n).cast("float")))
+    when(size(vec) >= dims, scaled)
       .otherwise(raise_error(concat(
         lit(s"matryoshka: vector shorter than dims=$dims: len="),
         size(vec).cast("string"))))
