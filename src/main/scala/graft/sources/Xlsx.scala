@@ -228,12 +228,18 @@ object Xlsx {
     * which round-trips as null through `read`. Driver-side collect,
     * symmetric with the reader's driver-side parse: xlsx is a DRIVER-SMALL
     * format for golden exports and KB sheets — big data belongs in the
-    * parquet/CSV sinks. */
+    * parquet/CSV sinks. The byte stream goes through the Hadoop
+    * FileSystem API (the q435 TFRecord-sink pattern), so the one small
+    * file can land on hdfs://-/s3a://-style URIs, not only the local
+    * disk — the collect stays driver-side by design. */
   def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
     val header = df.columns
     val rows = df.collect()
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     val out = new ZipOutputStream(new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(path)))
+      fs.create(hPath, true)))
     def entry(name: String, content: String): Unit = {
       out.putNextEntry(new ZipEntry(name))
       out.write(content.getBytes("UTF-8"))
