@@ -220,21 +220,20 @@ object Profile {
     * scales to integer `xScale`-ths (exact RANGE offsets), and two
     * running maxima over the x-ordered rows — max y among strictly
     * smaller x (RANGE … −1) and among ≤ x (RANGE … 0) — decide
-    * dominance in one sorted pass. ONE global sort of the (already
-    * aggregated/dimension) input; the classic skyline needs no
-    * quadratic pass in 2-D. Output: the frontier rows. */
+    * dominance in one sorted pass — via `Ranks.runningMaxByValue`, so
+    * the sort is range-partitioned and the operator takes FACT-sized
+    * input without a single-partition window; the classic skyline
+    * needs no quadratic pass in 2-D. Output: the frontier rows. */
   def skyline2d(df: DataFrame, idCol: String, xCol: Column, yCol: Column,
       xScale: Long): DataFrame = {
     val base = df.select(col(idCol),
       round(xCol * xScale).cast("long").as("__x"),
       yCol.cast("long").as("__y"))
-    val lt = Window.orderBy(col("__x"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val le = Window.orderBy(col("__x"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    base
-      .withColumn("__mlt", max(col("__y")).over(lt))
-      .withColumn("__mle", max(col("__y")).over(le))
+    // distributed RANGE-frame running maxima (tie groups included on
+    // the LE side, excluded on the LT side — exact window semantics)
+    // via the Ranks hatch: the input is the FACT table here, so a
+    // Window.orderBy would single-partition the whole frame
+    Ranks.runningMaxByValue(base, "__y", "__mlt", "__mle", col("__x"))
       .where(!(coalesce(col("__mlt"), lit(Long.MinValue)) >= col("__y")) &&
         !(col("__mle") > col("__y")))
       .drop("__mlt", "__mle")

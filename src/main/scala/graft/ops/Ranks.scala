@@ -253,4 +253,96 @@ object Ranks {
     }(Encoders.row(outSchema))
     Running(out, totals, rows)
   }
+
+  /** Distributed RANGE-frame running maxima by VALUE: adds
+    * `outLt` = `max(in) OVER (ORDER BY valueCol RANGE BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` (max over rows with a strictly smaller
+    * value) and `outLe` = the same frame ending AT CURRENT ROW (the
+    * whole tie group included, as RANGE semantics demand) — with no
+    * single-partition window. Same machinery as [[runningSums]]: range
+    * exchange (equal values always land in ONE partition — the range
+    * partitioner splits BETWEEN key values), local sort, a
+    * ≤#partitions-row partials collect (per-partition max), one
+    * streaming partition walk seeded with the running max of all
+    * preceding partitions. The walk buffers ONE value group (tie run)
+    * at a time — the same working set any RANGE-frame engine needs,
+    * and orders of magnitude under the single-partition sort it
+    * replaces. `in` must be LongType; SQL max semantics (nulls skipped,
+    * NULL result for an empty/all-null frame). `valueCol` must be
+    * integer-valued for the `1 PRECEDING` reading of "strictly
+    * smaller". */
+  def runningMaxByValue(df: DataFrame, in: String, outLt: String,
+      outLe: String, valueCol: Column): DataFrame = {
+    require(df.schema(in).dataType == LongType,
+      s"runningMaxByValue needs a LongType input; '$in' is " +
+        df.schema(in).dataType.simpleString)
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(nPart, valueCol)
+      .sortWithinPartitions(valueCol)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__val", valueCol.cast("long"))
+      .localCheckpoint(false) // consumers: the partials job + the walk
+    val schema = parted.schema
+    val midIdx = schema.fieldIndex("__mid")
+    val valIdx = schema.fieldIndex("__val")
+    val inIdx = schema.fieldIndex(in)
+    val partials = parted.groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(max(col(in)).as("__m"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    // exclusive prefix max per partition (range partitions are ordered)
+    val offsets = scala.collection.mutable.Map.empty[Long, Option[Long]]
+    var run: Option[Long] = None
+    partials.foreach { case (p, m) =>
+      offsets(p) = run
+      run = (run, m) match {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        case (a, b) => a.orElse(b)
+      }
+    }
+    val bOff = spark.sparkContext.broadcast(offsets.toMap)
+    val outSchema = StructType(
+      schema.fields.patch(valIdx, Nil, 1).patch(midIdx, Nil, 1) ++ Seq(
+        StructField(outLt, LongType, nullable = true),
+        StructField(outLe, LongType, nullable = true)))
+    val mi = midIdx; val vi = valIdx; val ii = inIdx
+    val out = parted.mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        val pid = buf.head.getLong(mi) >>> 33
+        var before: Option[Long] = bOff.value.getOrElse(pid, None)
+        // emit one TIE GROUP at a time: every row of the group shares
+        // maxLt (= max before the group) and maxLe (= before + group max)
+        new Iterator[Seq[Row]] {
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): Seq[Row] = {
+            val v = buf.head.getLong(vi)
+            val group = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var gMax: Option[Long] = None
+            while (buf.hasNext && buf.head.getLong(vi) == v) {
+              val r = buf.next()
+              if (!r.isNullAt(ii))
+                gMax = Some(gMax.fold(r.getLong(ii))(math.max(_, r.getLong(ii))))
+              group += r
+            }
+            val le = (before, gMax) match {
+              case (Some(a), Some(b)) => Some(math.max(a, b))
+              case (a, b) => a.orElse(b)
+            }
+            val lt = before
+            before = le
+            group.map { r =>
+              val base = r.toSeq.patch(math.max(mi, vi), Nil, 1)
+                .patch(math.min(mi, vi), Nil, 1)
+              Row.fromSeq(base ++ Seq(lt.orNull, le.orNull))
+            }.toSeq
+          }
+        }.flatten
+      }
+    }(Encoders.row(outSchema))
+    out
+  }
 }

@@ -76,4 +76,35 @@ class RunningSumsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("LongType"))
   }
+
+  test("runningMaxByValue == RANGE-frame window maxima, ties included/excluded") {
+    // only 7 distinct values over 400 rows: every range boundary falls
+    // inside a tie group, which must share maxLe and exclude itself
+    // from maxLt
+    val df = spark.range(400).select($"id",
+      ($"id" % 7 * 10).as("v"),
+      when($"id" % 13 === 0, lit(null).cast("long"))
+        .otherwise(($"id" * 31) % 97).as("y"))
+    val got = Ranks.runningMaxByValue(df, "y", "mlt", "mle", $"v")
+    val lt = Window.orderBy($"v").rangeBetween(Window.unboundedPreceding, -1)
+    val le = Window.orderBy($"v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("mlt", max($"y").over(lt))
+      .withColumn("mle", max($"y").over(le))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "distributed RANGE running max diverged from the window form")
+    val nPart = got.select(spark_partition_id()).distinct().count()
+    assert(nPart > 1, s"running max ran in $nPart partition(s)")
+  }
+
+  test("runningMaxByValue: all-null prefix yields NULL, as SQL max does") {
+    val df = Seq((1L, 10L, None: Option[Long]), (2L, 20L, None),
+      (3L, 30L, Some(5L))).toDF("id", "v", "y")
+    val got = Ranks.runningMaxByValue(df, "y", "mlt", "mle", $"v")
+      .select($"id", $"mlt", $"mle")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, None, None), (2L, None, None),
+      (3L, None, Some(5L))))
+  }
 }
