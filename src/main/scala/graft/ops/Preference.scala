@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup.unpersistCheckpoint
+
+/** Bradley–Terry preference-strength estimation (Bradley & Terry 1952)
+  * via Hunter (2004)'s MM update — the standard fit for PAIRWISE
+  * preference data, which is what an RLHF/eval pipeline curates by the
+  * billions (chosen/rejected pairs, A/B rater verdicts, tournament
+  * results):
+  *
+  *   w_i ← W_i / Σ_{j≠i} n_ij / (w_i + w_j),   then rescale Σw = N
+  *
+  * with W_i = i's total wins and n_ij = comparisons between i and j.
+  * Each MM step provably increases the likelihood (no learning rate,
+  * no RNG — fits the engine-wide determinism contract).
+  *
+  * Float discipline: per-opponent terms are double-divided then 9-dp
+  * fixed point summed as DECIMAL (order-independent); the rescale
+  * divides by the 9-dp decimal sum of raws; strengths carry
+  * DECIMAL(28,9) between iterations so an oracle replays bit-equal.
+  *
+  * Scale shape: comparisons aggregate ONCE (one partial-combining
+  * pass over the fact) to the DIRECTED pair-count table
+  * (entity²-bounded and sparse — the pairs actually compared, NOT the
+  * raw comparison volume); wins and the unordered comps table both
+  * derive from that bounded table. Each of
+  * the `iters` MM steps is comps ⋈ strengths twice (strengths are
+  * entity-sized — AQE broadcasts them) + one partial-combining
+  * per-entity sum + a 1-row rescale aggregate. Strengths checkpoint
+  * eagerly per iteration and release the previous step (the PageRank
+  * loop discipline). Output: (id, wins, strength). */
+object Preference {
+
+  def bradleyTerry(pairs: DataFrame, winnerCol: Column, loserCol: Column,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters in [1, 8], got $iters")
+    // ONE partial-combining pass over the raw comparisons -> DIRECTED
+    // pair counts (entity²-bounded, sparse); wins and the unordered
+    // comps table both derive from it, so the fact-sized comparison
+    // frame is scanned once and never materialized
+    val pc = pairs
+      .select(winnerCol.cast("long").as("__w"), loserCol.cast("long").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+      .groupBy(col("__w"), col("__l")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = true) // consumers: wins + comps
+    val wins = pc.groupBy(col("__w").as("id")).agg(sum(col("__n")).as("wins"))
+    val comps = pc
+      .select(least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"), col("__n"))
+      .groupBy(col("__a"), col("__b")).agg(sum(col("__n")).as("__n"))
+      .localCheckpoint(eager = true) // reused every iteration
+    val base = comps.select(col("__a").as("id"))
+      .unionByName(comps.select(col("__b").as("id")))
+      .distinct()
+      .join(wins, Seq("id"), "left")
+      .na.fill(0L, Seq("wins"))
+      .localCheckpoint(eager = true) // reused every iteration + the output
+    // pc's blocks release only after BOTH consumers (comps above, wins
+    // inside base) have materialized — a localCheckpoint scan cannot
+    // replay once dropped
+    unpersistCheckpoint(pc)
+    def d(c: Column) = c.cast("double")
+    def dec9(c: Column) = round(c, 9).cast("decimal(28,9)")
+
+    var w = base.select(col("id"),
+      lit(1.0).cast("decimal(28,9)").as("__s"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val sa = w.select(col("id").as("__a"), col("__s").as("__sa"))
+      val sb = w.select(col("id").as("__b"), col("__s").as("__sb"))
+      val t = comps.join(sa, "__a").join(sb, "__b")
+      // both directions of every unordered pair share one denominator
+      val terms = t.select(col("__a").as("id"),
+          dec9(d(col("__n")) / d(col("__sa") + col("__sb"))).as("__t"))
+        .unionByName(t.select(col("__b").as("id"),
+          dec9(d(col("__n")) / d(col("__sa") + col("__sb"))).as("__t")))
+      val raw = base
+        .join(terms.groupBy(col("id")).agg(sum(col("__t")).as("__d")), "id")
+        .select(col("id"), (d(col("wins")) / d(col("__d"))).as("__raw"))
+      // rescale Σw = N (BT is scale-invariant; pinning the sum makes
+      // the fixture comparable across iterations and engines)
+      val tot = raw.agg(sum(dec9(col("__raw"))).as("__S"),
+        count(lit(1)).as("__N"))
+      val next = raw.crossJoin(tot)
+        .select(col("id"),
+          dec9(d(col("__raw")) * d(col("__N")) / d(col("__S"))).as("__s"))
+        .localCheckpoint(eager = true)
+      if (prev != null) unpersistCheckpoint(prev)
+      prev = next
+      w = next
+    }
+    val out = base.join(w, "id")
+      .select(col("id"), col("wins"), round(d(col("__s")), 6).as("strength"))
+    out
+  }
+}

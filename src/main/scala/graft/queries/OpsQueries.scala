@@ -13006,6 +13006,115 @@ object OpsQueries {
     // through the graft-xlsx DSv2 source, and the round-tripped values
     // hash-gate against the oracle computing the same summary directly —
     // the write half of S2 is no longer spec-only.
+    // ─── Bradley–Terry preference strengths (MM fit, 3 iterations) ──────
+    // The RLHF preference-data staple: pairwise "winner beats loser"
+    // comparisons -> per-entity strengths via Hunter (2004)'s MM update,
+    // replayed by the oracle as 3 chained CTE stages with the identical
+    // 9-dp fixed-point discipline. Comparisons: within every order, the
+    // CHEAPER lineitem's supplier beats the other (ties -> smaller
+    // suppkey); the pair fan-out is <= C(7,2) per order, so pair
+    // construction is linear in the fact.
+    "q442_bradley_terry" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        // one ship-year keeps the gate inside the bench budget; the op's
+        // scale story is the sweep (growth ~1.1x on 3x data — comps is
+        // entity²-bounded)
+        val li = Tables.lineitem(s, dir)
+          .filter(year($"l_shipdate") === 1995)
+          .select($"l_orderkey",
+            $"l_linenumber", $"l_suppkey", $"l_extendedprice")
+        val j = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_linenumber") < col("y.l_linenumber"))
+          .filter(col("x.l_suppkey") =!= col("y.l_suppkey"))
+        val xw = col("x.l_extendedprice") < col("y.l_extendedprice")
+        val yw = col("y.l_extendedprice") < col("x.l_extendedprice")
+        val pairs = j.select(
+          when(xw, col("x.l_suppkey")).when(yw, col("y.l_suppkey"))
+            .otherwise(least(col("x.l_suppkey"), col("y.l_suppkey"))).as("w"),
+          when(xw, col("y.l_suppkey")).when(yw, col("x.l_suppkey"))
+            .otherwise(greatest(col("x.l_suppkey"), col("y.l_suppkey"))).as("l"))
+        Preference.bradleyTerry(pairs, $"w", $"l", iters = 3)
+          .orderBy($"id")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+             |        l_extendedprice FROM lineitem
+             |      WHERE year(CAST(l_shipdate AS DATE)) = 1995),
+             |pr AS (SELECT
+             |    CASE WHEN x.l_extendedprice < y.l_extendedprice THEN x.l_suppkey
+             |         WHEN y.l_extendedprice < x.l_extendedprice THEN y.l_suppkey
+             |         ELSE least(x.l_suppkey, y.l_suppkey) END AS w,
+             |    CASE WHEN x.l_extendedprice < y.l_extendedprice THEN y.l_suppkey
+             |         WHEN y.l_extendedprice < x.l_extendedprice THEN x.l_suppkey
+             |         ELSE greatest(x.l_suppkey, y.l_suppkey) END AS l
+             |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+             |    AND x.l_linenumber < y.l_linenumber
+             |  WHERE x.l_suppkey <> y.l_suppkey),
+             |wn AS (SELECT w AS id, count(*) AS wins FROM pr GROUP BY 1),
+             |comps AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+             |    count(*) AS n FROM pr GROUP BY 1, 2),
+             |base AS (SELECT id, COALESCE(wins, 0) AS wins
+             |  FROM (SELECT DISTINCT id FROM
+             |        (SELECT a AS id FROM comps
+             |         UNION ALL SELECT b AS id FROM comps))
+             |  LEFT JOIN wn USING (id)),
+             |w0 AS (SELECT id, 1.000000000::DECIMAL(28,9) AS s FROM base),
+             |t1 AS (SELECT a AS id,
+             |    round(n::DOUBLE / (sa.s + sb.s)::DOUBLE, 9)::DECIMAL(28,9) AS t
+             |  FROM comps JOIN w0 sa ON comps.a = sa.id
+             |  JOIN w0 sb ON comps.b = sb.id
+             |  UNION ALL
+             |  SELECT b AS id,
+             |    round(n::DOUBLE / (sa.s + sb.s)::DOUBLE, 9)::DECIMAL(28,9) AS t
+             |  FROM comps JOIN w0 sa ON comps.a = sa.id
+             |  JOIN w0 sb ON comps.b = sb.id),
+             |d1 AS (SELECT id, sum(t) AS d FROM t1 GROUP BY 1),
+             |r1 AS (SELECT base.id, wins::DOUBLE / d::DOUBLE AS raw
+             |  FROM base JOIN d1 USING (id)),
+             |n1 AS (SELECT sum(round(raw, 9)::DECIMAL(28,9)) AS S,
+             |    count(*) AS N FROM r1),
+             |w1 AS (SELECT id,
+             |    round(raw * N::DOUBLE / S::DOUBLE, 9)::DECIMAL(28,9) AS s
+             |  FROM r1 CROSS JOIN n1),
+             |t2 AS (SELECT a AS id,
+             |    round(n::DOUBLE / (sa.s + sb.s)::DOUBLE, 9)::DECIMAL(28,9) AS t
+             |  FROM comps JOIN w1 sa ON comps.a = sa.id
+             |  JOIN w1 sb ON comps.b = sb.id
+             |  UNION ALL
+             |  SELECT b AS id,
+             |    round(n::DOUBLE / (sa.s + sb.s)::DOUBLE, 9)::DECIMAL(28,9) AS t
+             |  FROM comps JOIN w1 sa ON comps.a = sa.id
+             |  JOIN w1 sb ON comps.b = sb.id),
+             |d2 AS (SELECT id, sum(t) AS d FROM t2 GROUP BY 1),
+             |r2 AS (SELECT base.id, wins::DOUBLE / d::DOUBLE AS raw
+             |  FROM base JOIN d2 USING (id)),
+             |n2 AS (SELECT sum(round(raw, 9)::DECIMAL(28,9)) AS S,
+             |    count(*) AS N FROM r2),
+             |w2 AS (SELECT id,
+             |    round(raw * N::DOUBLE / S::DOUBLE, 9)::DECIMAL(28,9) AS s
+             |  FROM r2 CROSS JOIN n2),
+             |t3 AS (SELECT a AS id,
+             |    round(n::DOUBLE / (sa.s + sb.s)::DOUBLE, 9)::DECIMAL(28,9) AS t
+             |  FROM comps JOIN w2 sa ON comps.a = sa.id
+             |  JOIN w2 sb ON comps.b = sb.id
+             |  UNION ALL
+             |  SELECT b AS id,
+             |    round(n::DOUBLE / (sa.s + sb.s)::DOUBLE, 9)::DECIMAL(28,9) AS t
+             |  FROM comps JOIN w2 sa ON comps.a = sa.id
+             |  JOIN w2 sb ON comps.b = sb.id),
+             |d3 AS (SELECT id, sum(t) AS d FROM t3 GROUP BY 1),
+             |r3 AS (SELECT base.id, wins::DOUBLE / d::DOUBLE AS raw
+             |  FROM base JOIN d3 USING (id)),
+             |n3 AS (SELECT sum(round(raw, 9)::DECIMAL(28,9)) AS S,
+             |    count(*) AS N FROM r3),
+             |w3 AS (SELECT id,
+             |    round(raw * N::DOUBLE / S::DOUBLE, 9)::DECIMAL(28,9) AS s
+             |  FROM r3 CROSS JOIN n3)
+             |SELECT base.id AS id, CAST(wins AS BIGINT) AS wins,
+             |  round(s::DOUBLE, 6) AS strength
+             |FROM base JOIN w3 USING (id) ORDER BY id""".stripMargin)),
+
     "q441_xlsx_sink" -> Q(
       (s, dir) => {
         import s.implicits._

@@ -182,6 +182,22 @@ class PlanAuditSpec extends SparkSpec {
       "q128 degraded to a global sort:\n" + p.take(1200))
   }
 
+  test("Bradley-Terry pair construction and MM joins stay equi — no nested loop") {
+    // the pair self-join is equi on l_orderkey (<= C(7,2) fan-out per
+    // order); each MM step joins the entity-sized strengths back — a
+    // CartesianProduct/BNLJ here would be the entity^2 blowup the
+    // comps aggregation exists to avoid (the only BNLJ allowed is the
+    // 1-row rescale crossJoin, which plans as BroadcastNestedLoopJoin
+    // over a single-row aggregate)
+    val p = plan("q442_bradley_terry")
+    assert(!p.contains("CartesianProduct"),
+      "q442 degraded to a cartesian product:\n" + p.take(1200))
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 3, // one 1-row rescale crossJoin per MM iteration
+      s"q442 has $bnlj nested-loop joins — more than the 1-row rescales:\n" +
+        p.take(1200))
+  }
+
   test("bucketed range join plans a hash equi-join, never a nested loop") {
     val p = plan("q133_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -1,0 +1,69 @@
+package graft.ops
+
+import scala.math.BigDecimal.RoundingMode.HALF_UP
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bradley–Terry MM must match a driver-side reference that replays the
+  * identical arithmetic (double divisions, 9-dp HALF_UP fixed-point
+  * sums, Σw = N rescale) — exactly, not approximately. */
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** reference MM with the op's exact float discipline */
+  private def refBt(comparisons: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Long, Double)] = {
+    val valid = comparisons.filter { case (w, l) => w != l }
+    val wins = valid.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val comps = valid.map { case (w, l) => (math.min(w, l), math.max(w, l)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ids = comps.keys.flatMap(p => Seq(p._1, p._2)).toSeq.distinct.sorted
+    def dec9(x: Double) = BigDecimal(x).setScale(9, HALF_UP)
+    var s = ids.map(_ -> BigDecimal(1).setScale(9)).toMap
+    for (_ <- 1 to iters) {
+      val d = ids.map { i =>
+        val terms = comps.toSeq.collect {
+          case ((a, b), n) if a == i || b == i =>
+            dec9(n.toDouble / (s(a) + s(b)).toDouble)
+        }
+        i -> terms.sum
+      }.toMap
+      val raw = ids.map(i =>
+        i -> wins.getOrElse(i, 0L).toDouble / d(i).toDouble).toMap
+      val tot = ids.map(i => dec9(raw(i))).sum
+      s = ids.map(i =>
+        i -> dec9(raw(i) * ids.size.toDouble / tot.toDouble)).toMap
+    }
+    ids.map(i => i -> (wins.getOrElse(i, 0L),
+      BigDecimal(s(i).toDouble).setScale(6, HALF_UP).toDouble)).toMap
+  }
+
+  test("bradleyTerry == the reference MM replay, exactly") {
+    // deterministic tournament with skew, ties in win counts, and one
+    // entity that never wins
+    val cmp = (1 to 300).map { i =>
+      val a = (i * 7 % 5).toLong; val b = ((i * 11 + 1) % 5).toLong
+      if (a == b) (a, (b + 1) % 5)
+      else if ((a * 3 + b + i) % 4 != 0) (math.min(a, b), math.max(a, b))
+      else (math.max(a, b), math.min(a, b))
+    }
+    val got = Preference.bradleyTerry(cmp.toDF("w", "l"), $"w", $"l", iters = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = refBt(cmp, iters = 3)
+    assert(got == want, s"got $got\nwant $want")
+    // rescale pins the strength sum near N
+    assert(math.abs(got.values.map(_._2).sum - got.size) < 1e-4)
+  }
+
+  test("a dominant entity ranks above a winless one; self-pairs drop") {
+    val cmp = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 3L))
+    val got = Preference.bradleyTerry(cmp.toDF("w", "l"), $"w", $"l", iters = 4)
+      .orderBy($"id").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got.map(_._2) == Seq(3L, 1L, 0L), "win counts (self-pair must drop)")
+    assert(got(0)._3 > got(1)._3 && got(1)._3 > got(2)._3,
+      s"strengths not ordered by dominance: $got")
+    assert(got(2)._3 == 0.0, "winless entity must pin to strength 0")
+  }
+}
