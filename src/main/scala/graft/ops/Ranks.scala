@@ -278,6 +278,14 @@ object Ranks {
         df.schema(in).dataType.simpleString)
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
+    // the '1 PRECEDING' reading of "strictly smaller" needs an
+    // INTEGRAL value axis — a fractional value would silently truncate
+    // into the wrong tie group
+    val vType = df.select(valueCol.as("__v")).schema.head.dataType
+    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+        .contains(vType.simpleString),
+      s"runningMaxByValue needs an integral value column, got " +
+        vType.simpleString)
     val parted = df.repartitionByRange(nPart, valueCol)
       .sortWithinPartitions(valueCol)
       .withColumn("__mid", monotonically_increasing_id())
