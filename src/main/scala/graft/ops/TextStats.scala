@@ -1069,9 +1069,13 @@ object TextStats {
     val counts = df.select(explode(split(lower(col(textCol)), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // top-N via TakeOrdered (per-partition top-N, candidates-sized
+    // merge), THEN rank the N-bounded result — the vocab table grows
+    // with the corpus, so a whole-vocab row_number window would be a
+    // single-partition sort of a fact-scaled frame
     val ranked = counts
+      .orderBy(col("cnt").desc, col("w")).limit(topN)
       .withColumn("__r", row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
-      .where(col("__r") <= topN)
       .select(round(log(col("__r").cast("double")), 9).cast("decimal(12,9)").as("x"),
         round(log(col("cnt").cast("double")), 9).cast("decimal(12,9)").as("y"))
     val agg = ranked.agg(count(lit(1)).as("n_terms"),
@@ -1100,12 +1104,12 @@ object TextStats {
         explode(split(lower(col(textCol)), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("__id"), col("w")).agg(count(lit(1)).as("c"))
+    // top-N terms via TakeOrdered — no whole-vocab window (the rank
+    // value itself is unused downstream)
     val term = dt.groupBy(col("w").as("term"))
       .agg(sum(col("c")).as("total"),
         sum((col("c") * col("c")).cast("decimal(38,0)")).as("__ss"))
-      .withColumn("__r", row_number().over(
-        Window.orderBy(col("total").desc, col("term"))))
-      .where(col("__r") <= topN)
+      .orderBy(col("total").desc, col("term")).limit(topN)
     val nD = lit(nDocs.toDouble)
     val mean = col("total").cast("double") / nD
     val ex2 = col("__ss").cast("double") / nD
@@ -1522,10 +1526,10 @@ object TextStats {
         explode(split(lower(col(textCol)), " ")).as("__w"))
       .where(col("__w") =!= "")
       .localCheckpoint(false) // consumers: panel + per-source counts
+    // panel = top-K corpus words via TakeOrdered — no whole-vocab window
     val panel = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(col("__c").desc, col("__w"))))
-      .where(col("__rk") <= topK).select(col("__w"))
+      .orderBy(col("__c").desc, col("__w")).limit(topK)
+      .select(col("__w"))
     val srcTot = toks.groupBy(col("__s")).agg(count(lit(1)).as("__nt"))
     val freq = toks.join(panel, Seq("__w"))
       .groupBy(col("__s"), col("__w")).agg(count(lit(1)).as("__c"))

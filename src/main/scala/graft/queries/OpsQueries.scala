@@ -13115,6 +13115,47 @@ object OpsQueries {
              |  round(s::DOUBLE, 6) AS strength
              |FROM base JOIN w3 USING (id) ORDER BY id""".stripMargin)),
 
+    // ─── Burrows' Delta stylometric source distance (top-10 pairs) ──────
+    // The authorship/template-farm signal document-level MinHash can't
+    // see: z-scored relative frequencies of the corpus's top-20 words,
+    // Δ(a,b) = mean |z_a − z_b| over the panel, closest pairs first.
+    "q443_burrows_delta" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        TextStats.burrowsDelta(Tables.documents(s, dir), "source", "text",
+          topK = 20, topPairs = 10)
+      },
+      Some("""WITH tk AS (SELECT source AS s,
+             |        unnest(string_split(lower(text), ' ')) AS w
+             |      FROM documents),
+             |t AS (SELECT s, w FROM tk WHERE w <> ''),
+             |panel AS (SELECT w FROM (SELECT w, count(*) AS c FROM t
+             |          GROUP BY 1 ORDER BY c DESC, w LIMIT 20)),
+             |srct AS (SELECT s, count(*) AS nt FROM t GROUP BY 1),
+             |freq AS (SELECT s, w, count(*) AS c FROM t JOIN panel USING (w)
+             |         GROUP BY 1, 2),
+             |dense AS (SELECT srct.s, panel.w,
+             |    COALESCE(freq.c, 0)::DOUBLE / srct.nt::DOUBLE AS f
+             |  FROM srct CROSS JOIN panel
+             |  LEFT JOIN freq ON freq.s = srct.s AND freq.w = panel.w),
+             |st AS (SELECT w,
+             |    sum(CAST(round(f * 1099511627776::DOUBLE) AS DECIMAL(20,0)))::DOUBLE
+             |      / 1099511627776::DOUBLE / count(*) AS mu,
+             |    sum(CAST(round(f * f * 1099511627776::DOUBLE) AS DECIMAL(20,0)))::DOUBLE
+             |      / 1099511627776::DOUBLE / count(*) AS m2
+             |  FROM dense GROUP BY 1),
+             |z AS (SELECT dense.s, dense.w,
+             |    CASE WHEN sqrt(m2 - mu * mu) > 0
+             |         THEN (f - mu) / sqrt(m2 - mu * mu) ELSE 0.0 END AS z
+             |  FROM dense JOIN st USING (w)),
+             |d AS (SELECT a.s AS source_a, b.s AS source_b,
+             |    round(sum(round(abs(a.z - b.z), 9)::DECIMAL(18,9))::DOUBLE
+             |      / count(*)::DOUBLE, 6) AS delta
+             |  FROM z a JOIN z b ON a.w = b.w AND a.s < b.s
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, delta FROM d
+             |ORDER BY delta, source_a, source_b LIMIT 10""".stripMargin)),
+
     "q441_xlsx_sink" -> Q(
       (s, dir) => {
         import s.implicits._

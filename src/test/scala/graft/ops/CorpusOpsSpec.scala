@@ -1069,3 +1069,25 @@ class CcPropertySpec extends SparkSpec {
     assert(out.forall(r => r._5 <= r._4 && (r._3 == 0 || r._5 >= 2)))
   }
 }
+
+class BurrowsDeltaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stylistic twins pair closest; the odd-one-out pairs farthest") {
+    // sources a and b share one word distribution; c is disjoint
+    val docs = Seq(
+      ("a", "the cat sat on the mat"), ("a", "the cat on the mat"),
+      ("b", "the cat sat on the mat"), ("b", "the cat on a mat"),
+      ("c", "zebra quokka axolotl wombat zebra quokka axolotl wombat")
+    ).toDF("source", "text")
+    val got = TextStats.burrowsDelta(docs, "source", "text",
+        topK = 8, topPairs = 3)
+      .as[(String, String, Double)].collect().toSeq
+    assert(got.size == 3)
+    assert((got.head._1, got.head._2) == ("a", "b"),
+      s"twins should pair first, got $got")
+    assert(got.head._3 < got.last._3, s"no separation: $got")
+    // symmetric-by-construction: every pair appears once, a < b order
+    assert(got.forall(p => p._1 < p._2))
+  }
+}
