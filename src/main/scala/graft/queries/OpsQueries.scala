@@ -13156,6 +13156,40 @@ object OpsQueries {
              |SELECT source_a, source_b, delta FROM d
              |ORDER BY delta, source_a, source_b LIMIT 10""".stripMargin)),
 
+    // ─── JS-divergence attribution: WHICH tokens drive q294's drift ─────
+    "q444_divergence_tokens" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        def tok(f: org.apache.spark.sql.Column) = docs.filter(f)
+          .select(explode(split(lower($"text"), " ")).as("t"))
+          .where($"t" =!= "")
+        TextStats.divergenceTokens(tok($"lang" === "en"),
+          tok($"lang" =!= "en"), "t", topK = 15)
+      },
+      Some("""WITH rt AS (SELECT unnest(string_split(lower(text), ' ')) AS t
+             |      FROM documents WHERE lang = 'en'),
+             |ct AS (SELECT unnest(string_split(lower(text), ' ')) AS t
+             |      FROM documents WHERE lang <> 'en'),
+             |b AS (SELECT t, sum(r) AS cr, sum(c) AS cc FROM (
+             |        SELECT t, 1 AS r, 0 AS c FROM rt WHERE t <> ''
+             |        UNION ALL SELECT t, 0, 1 FROM ct WHERE t <> '')
+             |      GROUP BY 1),
+             |tt AS (SELECT sum(cr)::BIGINT AS nr, sum(cc)::BIGINT AS nc FROM b),
+             |d AS (SELECT t,
+             |        cr::DOUBLE / nr::DOUBLE AS p,
+             |        cc::DOUBLE / nc::DOUBLE AS q,
+             |        (cr::DOUBLE / nr::DOUBLE + cc::DOUBLE / nc::DOUBLE) / 2.0 AS m
+             |      FROM b CROSS JOIN tt),
+             |e AS (SELECT t, p, q,
+             |        (CASE WHEN p > 0 THEN p * log2(p / m) ELSE 0.0 END +
+             |         CASE WHEN q > 0 THEN q * log2(q / m) ELSE 0.0 END) / 2.0
+             |          AS contrib
+             |      FROM d)
+             |SELECT t AS token, round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+             |  round(contrib, 6) AS js_contrib
+             |FROM e ORDER BY contrib DESC, t LIMIT 15""".stripMargin)),
+
     "q441_xlsx_sink" -> Q(
       (s, dir) => {
         import s.implicits._

@@ -1091,3 +1091,18 @@ class BurrowsDeltaSpec extends SparkSpec {
     assert(got.forall(p => p._1 < p._2))
   }
 }
+
+class DivergenceTokensSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the planted drift token tops the attribution; shared tokens sink") {
+    val ref = Seq.fill(50)("common").toDF("t")
+    val cur = (Seq.fill(40)("common") ++ Seq.fill(10)("drifted")).toDF("t")
+    val got = TextStats.divergenceTokens(ref, cur, "t", topK = 5)
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(got.head._1 == "drifted", s"got $got")
+    assert(got.head._2 == 0.0 && got.head._3 == 0.2,
+      "one-sided token carries p_ref=0, p_cur=0.2")
+    assert(got.head._4 > got.last._4, s"no separation: $got")
+  }
+}
