@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 /** Exact global ranks AND running sums WITHOUT a single-partition sort
   * — the implemented version of the range-partitioned hatch the
@@ -62,9 +62,19 @@ object Ranks {
       .drop("__rnk")
   }
 
+  /** The helpers below stage internal columns with `withColumn`, which
+    * silently REPLACES a same-named caller column — the schema patch
+    * and the row patch would then disagree and the output would shift.
+    * Fail loudly instead. */
+  private def requireFreeNames(df: DataFrame, names: String*): Unit =
+    names.foreach(n => require(!df.columns.contains(n),
+      s"Ranks: input already has a column named '$n' (reserved for " +
+        "internal staging) — rename it before calling"))
+
   private def rankedWithTotal(df: DataFrame, rnCol: String,
       sortCols: Seq[Column]): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "need at least one sort column")
+    requireFreeNames(df, "__mid", "__pid", "__loc", "__off")
     val spark = df.sparkSession
     import spark.implicits._
     val nPart = spark.sessionState.conf.numShufflePartitions
@@ -147,6 +157,7 @@ object Ranks {
       lead: Option[(String, String)], sortCols: Column*): Running = {
     require(sortCols.nonEmpty, "need at least one sort column")
     require(sums.nonEmpty, "need at least one sum column")
+    requireFreeNames(df, "__mid")
     sums.foreach { case (in, _) =>
       require(df.schema(in).dataType == LongType,
         s"runningSums sums LongType columns; '$in' is " +
@@ -273,6 +284,7 @@ object Ranks {
     * smaller". */
   def runningMaxByValue(df: DataFrame, in: String, outLt: String,
       outLe: String, valueCol: Column): DataFrame = {
+    requireFreeNames(df, "__mid", "__val")
     require(df.schema(in).dataType == LongType,
       s"runningMaxByValue needs a LongType input; '$in' is " +
         df.schema(in).dataType.simpleString)
@@ -349,6 +361,240 @@ object Ranks {
             }.toSeq
           }
         }.flatten
+      }
+    }(Encoders.row(outSchema))
+    out
+  }
+
+  /** Result of [[runningDecimalSums]]: the decorated frame plus the
+    * exact grand totals and row count from the partials job. */
+  final case class RunningDec(df: DataFrame,
+      totals: Map[String, java.math.BigDecimal], rows: Long)
+
+  /** [[runningSums]] for EXACT DecimalType columns (revenue-style
+    * cumulative shares: ABC/Pareto/elbow curves over entity tables):
+    * for each `(in, out)` in `sums`, adds `out` =
+    * `sum(in) OVER (ORDER BY sortCols ROWS UNBOUNDED PRECEDING)` with
+    * the same machinery — range exchange, local sort, ≤#partitions-row
+    * partials collect, ONE streaming partition walk — and unbounded
+    * java.math.BigDecimal accumulators, so the running values are exact
+    * for any data size (only the OUTPUT column caps at Spark's
+    * decimal(38) — the same cap the window form has). The output type is
+    * exactly the window-sum result type, decimal(min(38, p+10), s), so
+    * downstream decimal arithmetic is bit-identical to the plan it
+    * replaces. `rnCol`, when set, ALSO emits the 1-based LongType global
+    * row number under the same order — the per-partition row counts are
+    * already in the partials, so rank + cumulative + totals + count all
+    * come out of one exchange (the elbow/Pareto shape needs all four).
+    * Same null contract as [[runningSums]]: nulls add 0. */
+  def runningDecimalSums(df: DataFrame, sums: Seq[(String, String)],
+      rnCol: Option[String], sortCols: Column*): RunningDec = {
+    require(sortCols.nonEmpty, "need at least one sort column")
+    require(sums.nonEmpty, "need at least one sum column")
+    requireFreeNames(df, "__mid")
+    val inTypes = sums.map { case (in, _) =>
+      df.schema(in).dataType match {
+        case d: DecimalType => in -> d
+        case other => throw new IllegalArgumentException(
+          s"runningDecimalSums sums DecimalType columns; '$in' is " +
+            other.simpleString)
+      }
+    }
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(false) // consumers: the partials job + the walk
+    val schema = parted.schema
+    val midIdx = schema.fieldIndex("__mid")
+    val sumIdx = sums.map { case (in, _) => schema.fieldIndex(in) }.toArray
+    val nSums = sumIdx.length
+    val pidOf = shiftright(col("__mid"), 33)
+    val localOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val aggCols =
+      Seq(count(lit(1)).as("__c"), max(localOf).as("__ml")) ++
+        sums.zipWithIndex.map { case ((in, _), k) =>
+          sum(col(in)).as(s"__s$k") }
+    val partials = parted.groupBy(pidOf.as("__pid"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    val byPid = partials.map { r =>
+      val c = r.getLong(1)
+      require(r.getLong(2) == c - 1,
+        s"runningDecimalSums: partition ${r.getLong(0)} has count=$c but " +
+          s"max local index=${r.getLong(2)} — monotonically_increasing_id " +
+          "bit-layout invariant violated (partition exceeded 2^33 rows?)")
+      val ss = Array.tabulate(nSums)(k =>
+        if (r.isNullAt(3 + k)) java.math.BigDecimal.ZERO
+        else r.getDecimal(3 + k))
+      r.getLong(0) -> (c, ss)
+    }.sortBy(_._1)
+    val totals = sums.indices.map(k => sums(k)._1 ->
+      byPid.map(_._2._2(k)).foldLeft(java.math.BigDecimal.ZERO)(_.add(_)))
+      .toMap
+    val rows = byPid.map(_._2._1).sum
+    // exclusive offsets per partition: decimal sums + row counts
+    val decOff = scala.collection.mutable.Map.empty[Long, Array[java.math.BigDecimal]]
+    val rnOff = scala.collection.mutable.Map.empty[Long, Long]
+    val decAcc = Array.fill(nSums)(java.math.BigDecimal.ZERO)
+    var rowAcc = 0L
+    byPid.foreach { case (p, (c, ss)) =>
+      decOff(p) = decAcc.clone()
+      rnOff(p) = rowAcc
+      var k = 0; while (k < nSums) { decAcc(k) = decAcc(k).add(ss(k)); k += 1 }
+      rowAcc += c
+    }
+    val bDec = spark.sparkContext.broadcast(decOff.toMap)
+    val bRn = spark.sparkContext.broadcast(rnOff.toMap)
+    // output decimal type = Spark's window/agg sum result type
+    val outTypes = inTypes.map { case (_, d) =>
+      DecimalType(math.min(38, d.precision + 10), d.scale) }
+    val outSchema = StructType(schema.fields.patch(midIdx, Nil, 1) ++
+      sums.zip(outTypes).map { case ((_, o), t) =>
+        StructField(o, t, nullable = false) } ++
+      rnCol.map(n => StructField(n, LongType, nullable = false)))
+    val si = sumIdx
+    val mi = midIdx
+    val scales = outTypes.map(_.scale).toArray
+    val wantRn = rnCol.isDefined
+    val out = parted.mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        val pid = buf.head.getLong(mi) >>> 33
+        val acc = bDec.value.getOrElse(pid,
+          Array.fill(si.length)(java.math.BigDecimal.ZERO)).clone()
+        var rn = bRn.value.getOrElse(pid, 0L)
+        new Iterator[Row] {
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): Row = {
+            val r = buf.next()
+            var k = 0
+            while (k < si.length) {
+              if (!r.isNullAt(si(k))) acc(k) = acc(k).add(r.getDecimal(si(k)))
+              k += 1
+            }
+            rn += 1
+            val snap: Seq[Any] = Array.tabulate[Any](si.length)(k =>
+              acc(k).setScale(scales(k))).toSeq
+            val tail = if (wantRn) snap :+ rn else snap
+            Row.fromSeq(r.toSeq.patch(mi, Nil, 1) ++ tail)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+    RunningDec(out, totals, rows)
+  }
+
+  /** PER-GROUP inclusive prefix sums — `sum(in) OVER (PARTITION BY
+    * groupCols ORDER BY sortCols ROWS UNBOUNDED PRECEDING)` — for the
+    * FEW-HUGE-GROUPS regime where `Window.partitionBy` itself is the
+    * straggler (one mega-stratum lands on one task: the documented
+    * `Mixing` escape-hatch class). Range-partitions on (groupCols ++
+    * sortCols), so every group is CONTIGUOUS across the ordered
+    * partitions and each partition holds a contiguous run of groups;
+    * the partials collect is therefore ≤ #groups + #partitions − 1
+    * rows. That bound is the contract: use this for mega-strata
+    * (≲ thousands of groups), and plain `Window.partitionBy` for
+    * many-small-groups, where Spark already distributes fine and this
+    * hatch's driver collect would be group-scaled.
+    * Same column contract as [[runningSums]]: LongType sums, nulls
+    * add 0, (groupCols ++ sortCols) must totally order rows. */
+  def runningSumsBy(df: DataFrame, groupCols: Seq[String],
+      sums: Seq[(String, String)], sortCols: Column*): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column " +
+      "(use runningSums for the global form)")
+    require(sortCols.nonEmpty, "need at least one sort column")
+    require(sums.nonEmpty, "need at least one sum column")
+    requireFreeNames(df, "__mid")
+    sums.foreach { case (in, _) =>
+      require(df.schema(in).dataType == LongType,
+        s"runningSumsBy sums LongType columns; '$in' is " +
+          df.schema(in).dataType.simpleString)
+    }
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val keyCols = groupCols.map(col) ++ sortCols
+    val parted = df.repartitionByRange(nPart, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(false) // consumers: the partials job + the walk
+    val schema = parted.schema
+    val midIdx = schema.fieldIndex("__mid")
+    val grpIdx = groupCols.map(schema.fieldIndex).toArray
+    val sumIdx = sums.map { case (in, _) => schema.fieldIndex(in) }.toArray
+    val nSums = sumIdx.length
+    val pidOf = shiftright(col("__mid"), 33)
+    val localOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    // partials per (partition, group): ≤ #groups + #partitions − 1 rows
+    // by group contiguity; the per-PARTITION count/max-local pair still
+    // checks the id bit-layout invariant
+    val aggCols =
+      Seq(count(lit(1)).as("__c"), max(localOf).as("__ml")) ++
+        sums.zipWithIndex.map { case ((in, _), k) =>
+          sum(col(in)).as(s"__s$k") }
+    val partials = parted
+      .groupBy((pidOf.as("__pid") +: groupCols.map(col)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    partials.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val c = rs.map(_.getLong(1 + groupCols.length)).sum
+      val ml = rs.map(_.getLong(2 + groupCols.length)).max
+      require(ml == c - 1,
+        s"runningSumsBy: partition $p has count=$c but max local " +
+          s"index=$ml — monotonically_increasing_id bit-layout invariant " +
+          "violated (partition exceeded 2^33 rows?)")
+    }
+    // exclusive offsets per (group, partition): scan each group's
+    // partitions in range order
+    val nGrp = groupCols.length
+    def keyOf(r: Row): List[Any] = List.tabulate(nGrp)(i => r.get(1 + i))
+    val offsets = scala.collection.mutable.Map.empty[(Long, List[Any]), Array[Long]]
+    partials.groupBy(keyOf).foreach { case (g, rs) =>
+      val acc = new Array[Long](nSums)
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        offsets((r.getLong(0), g)) = acc.clone()
+        var k = 0
+        while (k < nSums) {
+          // partial row layout: (__pid, group…, __c, __ml, __s0, __s1…)
+          if (!r.isNullAt(3 + nGrp + k)) acc(k) += r.getLong(3 + nGrp + k)
+          k += 1
+        }
+      }
+    }
+    val bOff = spark.sparkContext.broadcast(offsets.toMap)
+    val outSchema = StructType(schema.fields.patch(midIdx, Nil, 1) ++
+      sums.map { case (_, o) => StructField(o, LongType, nullable = false) })
+    val si = sumIdx; val gi = grpIdx; val mi = midIdx
+    val out = parted.mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        val pid = buf.head.getLong(mi) >>> 33
+        val off = bOff.value
+        // rows arrive group-contiguous (partition-local sort leads with
+        // the group key): one live accumulator, reseeded per group run
+        var curKey: List[Any] = null
+        var acc: Array[Long] = null
+        new Iterator[Row] {
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): Row = {
+            val r = buf.next()
+            val k0 = List.tabulate(gi.length)(i => r.get(gi(i)))
+            if (curKey == null || k0 != curKey) {
+              curKey = k0
+              acc = off.getOrElse((pid, k0),
+                new Array[Long](si.length)).clone()
+            }
+            var k = 0
+            while (k < si.length) {
+              if (!r.isNullAt(si(k))) acc(k) += r.getLong(si(k)); k += 1
+            }
+            val snap = java.util.Arrays.copyOf(acc, acc.length).toSeq
+            Row.fromSeq(r.toSeq.patch(mi, Nil, 1) ++ snap)
+          }
+        }
       }
     }(Encoders.row(outSchema))
     out

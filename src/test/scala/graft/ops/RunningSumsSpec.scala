@@ -77,6 +77,88 @@ class RunningSumsSpec extends SparkSpec {
     assert(e.getMessage.contains("LongType"))
   }
 
+  test("runningDecimalSums == decimal window sum, exact, with rank and totals") {
+    // revenue-shaped decimals over enough rows to span range partitions
+    val df = spark.range(800).select($"id",
+      (($"id" * 37 % 1013).cast("decimal(18,6)") / 7).cast("decimal(18,6)")
+        .as("rev"))
+    val r = Ranks.runningDecimalSums(df, Seq("rev" -> "cum"),
+      Some("rk"), $"rev".desc, $"id")
+    val w = Window.orderBy($"rev".desc, $"id")
+    val want = df
+      .withColumn("cum", sum($"rev").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+    assert(r.df.schema("cum").dataType ===
+      org.apache.spark.sql.types.DecimalType(28, 6),
+      "output type must equal the window-sum result type")
+    assert(r.df.exceptAll(want).isEmpty && want.exceptAll(r.df).isEmpty,
+      "distributed decimal prefix sum diverged from the window form")
+    val tot = df.agg(sum($"rev")).collect().head.getDecimal(0)
+    assert(r.totals("rev").compareTo(tot) == 0 && r.rows == 800L)
+    val nPart = r.df.select(spark_partition_id()).distinct().count()
+    assert(nPart > 1, s"decimal prefix sum ran in $nPart partition(s)")
+  }
+
+  test("runningDecimalSums: null inputs add 0; non-decimal input rejected") {
+    val df = Seq((1L, Some(BigDecimal("1.50"))), (2L, None),
+      (3L, Some(BigDecimal("2.25")))).toDF("v", "c")
+      .select($"v", $"c".cast("decimal(10,2)").as("c"))
+    val r = Ranks.runningDecimalSums(df, Seq("c" -> "cum"), None, $"v")
+    val got = r.df.select($"v", $"cum".cast("string")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "1.50"), (2L, "1.50"), (3L, "3.75")))
+    val e = intercept[IllegalArgumentException] {
+      Ranks.runningDecimalSums(Seq((1L, 2L)).toDF("v", "c"),
+        Seq("c" -> "cum"), None, $"v")
+    }
+    assert(e.getMessage.contains("DecimalType"))
+  }
+
+  test("runningSumsBy == sum() OVER (PARTITION BY g ORDER BY v), groups straddling partitions") {
+    // 3 mega-groups × hundreds of rows over 4 shuffle partitions: every
+    // group straddles at least one range boundary
+    val df = spark.range(900).select($"id",
+      ($"id" % 3).cast("string").as("g"), ($"id" % 11).as("a"),
+      when($"id" % 17 === 0, lit(null).cast("long"))
+        .otherwise($"id" % 5).as("b"))
+    val got = Ranks.runningSumsBy(df, Seq("g"),
+      Seq("a" -> "ca", "b" -> "cb"), $"id")
+    val w = Window.partitionBy($"g").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("ca", sum($"a").over(w))
+      .withColumn("cb", coalesce(sum($"b").over(w), lit(0L)))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "grouped prefix sum diverged from the partitioned window form")
+    val nPart = got.select(spark_partition_id()).distinct().count()
+    assert(nPart > 1, s"grouped prefix sum ran in $nPart partition(s)")
+  }
+
+  test("runningSumsBy: single-row groups and a group inside one partition") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 1L, 5L),
+      ("c", 1L, 7L), ("c", 2L, 8L), ("c", 3L, 9L)).toDF("g", "v", "x")
+    val got = Ranks.runningSumsBy(df, Seq("g"), Seq("x" -> "cx"), $"v")
+      .select($"g", $"v", $"cx").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(("a", 1L, 10L), ("a", 2L, 30L), ("b", 1L, 5L),
+      ("c", 1L, 7L), ("c", 2L, 15L), ("c", 3L, 24L)))
+  }
+
+  test("reserved internal names are rejected loudly") {
+    val df = Seq((1L, 2L)).toDF("v", "__mid")
+    val e = intercept[IllegalArgumentException] {
+      Ranks.runningSums(df.withColumnRenamed("__mid", "c")
+        .withColumn("__mid", lit(0L)), Seq("c" -> "cum"), None, $"v")
+    }
+    assert(e.getMessage.contains("__mid"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ranks.runningMaxByValue(Seq((1L, 2L, 3L)).toDF("v", "y", "__val"),
+        "y", "lt", "le", $"v")
+    }
+    assert(e2.getMessage.contains("__val"))
+  }
+
   test("runningMaxByValue == RANGE-frame window maxima, ties included/excluded") {
     // only 7 distinct values over 400 rows: every range boundary falls
     // inside a tie group, which must share maxLe and exclude itself
