@@ -51,25 +51,26 @@ object Market {
     * so the class cut is engine-exact. Output per class: item count and
     * revenue share (round 6).
     *
-    * Scale shape: ONE fact aggregate to items, one revenue-ordered
-    * window over the ITEM table (the q11/q36 cumulative-share shape),
-    * class-sized output. */
+    * Scale shape: ONE fact aggregate to items, then
+    * `Ranks.runningDecimalSums` over the ITEM table — items scale with
+    * the catalog (`l_partkey`-class keys), so the revenue-ordered
+    * cumulative runs as a range exchange + partition walk, never a
+    * single-partition window; the grand total rides out of the same
+    * partials collect as an exact decimal literal. Class-sized output. */
   def paretoAbc(df: DataFrame, itemCol: String, valueCol: String): DataFrame = {
     val item = df.groupBy(col(itemCol).as("item"))
       .agg(sum(col(valueCol).cast("decimal(18,6)")).as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("item"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = sum(col("rev")).over(w).cast("decimal(28,6)")
-    val tot = sum(col("rev")).over(Window.partitionBy()).cast("decimal(28,6)")
-    item
+    val run = Ranks.runningDecimalSums(item, Seq("rev" -> "__cum"), None,
+      col("rev").desc, col("item"))
+    val tot = lit(run.totals("rev")).cast("decimal(28,6)")
+    run.df
       .withColumn("clazz",
-        when(cum * 5 <= tot * 4, "A")
-          .when(cum * 20 <= tot * 19, "B")
+        when(col("__cum") * 5 <= tot * 4, "A")
+          .when(col("__cum") * 20 <= tot * 19, "B")
           .otherwise("C"))
-      .withColumn("__tot", tot)
       .groupBy(col("clazz"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("rev")).cast("double") / max(col("__tot")).cast("double"), 6)
+        round(sum(col("rev")).cast("double") / tot.cast("double"), 6)
           .as("rev_share"))
   }
 
@@ -436,28 +437,24 @@ object Market {
     * paretoAbc assumes. Output: 1 row
     * (n_items, elbow_rank, elbow_item, cum_share, max_gap).
     *
-    * Scale shape: ONE fact aggregate to items, windows on the
-    * item-sized table (the q11 cumulative-share shape); shares divide
-    * exact DECIMAL sums. */
+    * Scale shape: ONE fact aggregate to items, then ONE
+    * `Ranks.runningDecimalSums` pass over the ITEM table emitting rank +
+    * cumulative + total + count together (items scale with the catalog —
+    * no single-partition window), and a TakeOrdered top-1 for the
+    * arg-max; shares divide exact DECIMAL sums. */
   def elbowPoint(df: DataFrame, itemCol: String, valueCol: String): DataFrame = {
     val item = df.groupBy(col(itemCol).as("item"))
       .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__v"))
-    val w = Window.orderBy(col("__v").desc, col("item"))
-    val dec = item
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__cum", sum(col("__v")).over(w))
-      .withColumn("__tot", sum(col("__v")).over(Window.partitionBy()))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+    val run = Ranks.runningDecimalSums(item, Seq("__v" -> "__cum"),
+      Some("__rk"), col("__v").desc, col("item"))
     def d(c: Column) = c.cast("double")
-    val gap = d(col("__cum")) / d(col("__tot")) -
-      d(col("__rk")) / d(col("__n"))
-    dec.select(col("item"), col("__rk"), col("__n"),
-        (d(col("__cum")) / d(col("__tot"))).as("__cs"), gap.as("__g"))
-      .withColumn("__best", row_number().over(
-        Window.orderBy(col("__g").desc, col("__rk"))))
-      .where(col("__best") === 1)
-      .select(col("__n").as("n_items"),
-        col("__rk").cast("long").as("elbow_rank"),
+    val tot = lit(run.totals("__v")).cast("decimal(28,6)")
+    val n = lit(run.rows)
+    val gap = d(col("__cum")) / d(tot) - d(col("__rk")) / d(n)
+    run.df.select(col("item"), col("__rk"),
+        (d(col("__cum")) / d(tot)).as("__cs"), gap.as("__g"))
+      .orderBy(col("__g").desc, col("__rk")).limit(1)
+      .select(n.as("n_items"), col("__rk").as("elbow_rank"),
         col("item").as("elbow_item"), round(col("__cs"), 6).as("cum_share"),
         round(col("__g"), 6).as("max_gap"))
   }
