@@ -5526,10 +5526,9 @@ object OpsQueries {
     "q209_perplexity_buckets" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val sc = TextStats.lmScore(Tables.documents(s, dir), "doc_id", "text")
-        sc.withColumn("bucket",
-            ntile(10).over(Window.orderBy($"mean_p", $"doc_id")))
+        // doc-level deciling scales with the corpus: distributed ntile
+        Ranks.withNtile(sc, "bucket", 10, $"mean_p", $"doc_id")
           .groupBy($"bucket")
           .agg(count(lit(1)).as("n_docs"),
             round(min($"mean_p"), 6).as("min_p"),
@@ -5538,7 +5537,7 @@ object OpsQueries {
       },
       Some(s"""WITH $lmScoreOracleCtes,
               |b AS (SELECT doc_id, mean_p,
-              |        CAST(ntile(10) OVER (ORDER BY mean_p, doc_id) AS INTEGER) AS bucket
+              |        CAST(ntile(10) OVER (ORDER BY mean_p, doc_id) AS BIGINT) AS bucket
               |      FROM lmd)
               |SELECT bucket, count(*) AS n_docs,
               |  round(min(mean_p), 6) AS min_p, round(max(mean_p), 6) AS max_p
@@ -6069,11 +6068,16 @@ object OpsQueries {
             count(lit(1)).as("__freq"),
             sum($"o_totalprice".cast("decimal(18,6)")).as("__mon"))
         val mx = cust.agg(max($"__last").as("__gmax"))
-        val scored = cust.crossJoin(broadcast(mx))
-          .withColumn("__rec", datediff($"__gmax", $"__last"))
-          .withColumn("__r", ntile(5).over(Window.orderBy($"__rec".desc, $"o_custkey")))
-          .withColumn("__f", ntile(5).over(Window.orderBy($"__freq".asc, $"o_custkey")))
-          .withColumn("__m", ntile(5).over(Window.orderBy($"__mon".asc, $"o_custkey")))
+        // customers scale with the data: each RFM quintile runs as a
+        // distributed ntile (range exchange + rank arithmetic), not a
+        // single-partition window
+        val rec = Ranks.withNtile(
+          cust.crossJoin(broadcast(mx))
+            .withColumn("__rec", datediff($"__gmax", $"__last")),
+          "__r", 5, $"__rec".desc, $"o_custkey")
+        val scored = Ranks.withNtile(
+          Ranks.withNtile(rec, "__f", 5, $"__freq".asc, $"o_custkey"),
+          "__m", 5, $"__mon".asc, $"o_custkey")
         scored
           .withColumn("segment", $"__r" * 100 + $"__f" * 10 + $"__m")
           .groupBy($"segment")
@@ -6088,9 +6092,9 @@ object OpsQueries {
              |      FROM orders GROUP BY 1),
              |mx AS (SELECT max(last_d) AS gmax FROM cust),
              |sc AS (SELECT o_custkey, mon,
-             |         CAST(ntile(5) OVER (ORDER BY date_diff('day', last_d, mx.gmax) DESC, o_custkey) AS INTEGER) AS r,
-             |         CAST(ntile(5) OVER (ORDER BY freq ASC, o_custkey) AS INTEGER) AS f,
-             |         CAST(ntile(5) OVER (ORDER BY mon ASC, o_custkey) AS INTEGER) AS m
+             |         CAST(ntile(5) OVER (ORDER BY date_diff('day', last_d, mx.gmax) DESC, o_custkey) AS BIGINT) AS r,
+             |         CAST(ntile(5) OVER (ORDER BY freq ASC, o_custkey) AS BIGINT) AS f,
+             |         CAST(ntile(5) OVER (ORDER BY mon ASC, o_custkey) AS BIGINT) AS m
              |       FROM cust CROSS JOIN mx)
              |SELECT r * 100 + f * 10 + m AS segment, count(*) AS n_customers,
              |  round(CAST(sum(mon) AS DOUBLE) / count(*), 6) AS avg_monetary
@@ -6538,14 +6542,13 @@ object OpsQueries {
     "q245_hist2d" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        Tables.documents(s, dir)
+        // doc-level deciling scales with the corpus: distributed ntiles
+        val m = Tables.documents(s, dir)
           .select($"doc_id", $"n_chars",
             TextStats.meanTokenLen($"text").as("__mtl"))
-          .withColumn("len_decile",
-            ntile(10).over(Window.orderBy($"n_chars", $"doc_id")))
-          .withColumn("mtl_decile",
-            ntile(10).over(Window.orderBy($"__mtl", $"doc_id")))
+        Ranks.withNtile(
+            Ranks.withNtile(m, "len_decile", 10, $"n_chars", $"doc_id"),
+            "mtl_decile", 10, $"__mtl", $"doc_id")
           .groupBy($"len_decile", $"mtl_decile")
           .agg(count(lit(1)).as("n_docs"))
           .orderBy($"len_decile", $"mtl_decile")
@@ -6554,8 +6557,8 @@ object OpsQueries {
              |        list_sum(list_transform(regexp_split_to_array(text, '\s+'), t -> length(t)))::DOUBLE
              |          / len(regexp_split_to_array(text, '\s+')) AS mtl
              |      FROM documents),
-             |d AS (SELECT CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS len_decile,
-             |        CAST(ntile(10) OVER (ORDER BY mtl, doc_id) AS INTEGER) AS mtl_decile
+             |d AS (SELECT CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS len_decile,
+             |        CAST(ntile(10) OVER (ORDER BY mtl, doc_id) AS BIGINT) AS mtl_decile
              |      FROM m)
              |SELECT len_decile, mtl_decile, count(*) AS n_docs
              |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
@@ -6625,10 +6628,9 @@ object OpsQueries {
     "q248_kanonymity" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val qi = Tables.documents(s, dir)
-          .withColumn("len_decile",
-            ntile(10).over(Window.orderBy($"n_chars", $"doc_id")))
+        // doc-level decile QI: distributed ntile over the corpus
+        val qi = Ranks.withNtile(Tables.documents(s, dir),
+          "len_decile", 10, $"n_chars", $"doc_id")
         Profile.kAnonymity(qi, Seq("lang", "len_decile"), k = 5L)
       },
       Some("""WITH qi AS (SELECT lang,
@@ -7301,10 +7303,22 @@ object OpsQueries {
       (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        Tables.documents(s, dir)
+        val docs = Tables.documents(s, dir)
           .select($"doc_id", $"source", $"n_chars")
+        // the global percent_rank runs over the corpus — its tie-sharing
+        // rank comes from the value-domain ECDF (rank(v) = cum(≤v) −
+        // c(v) + 1) via the distributed prefix-sum hatch, never a
+        // single-partition window; the per-source window stays (Spark
+        // distributes by source)
+        val vc = docs.groupBy($"n_chars").agg(count(lit(1)).as("__c"))
+        val run = Ranks.runningSums(vc, Seq("__c" -> "__cum"), None,
+          $"n_chars")
+        val ranks = run.df.select($"n_chars",
+          ($"__cum" - $"__c" + 1L).as("__rk"))
+        docs.join(ranks, "n_chars")
           .withColumn("pct_global",
-            round(percent_rank().over(Window.orderBy($"n_chars")), 6))
+            round(($"__rk" - 1L).cast("double") /
+              lit((run.totals("__c") - 1).toDouble), 6))
           .withColumn("pct_source",
             round(percent_rank().over(
               Window.partitionBy($"source").orderBy($"n_chars")), 6))
@@ -7878,9 +7892,10 @@ object OpsQueries {
         import org.apache.spark.sql.expressions.Window
         val cr = Tables.orders(s, dir).groupBy($"o_custkey")
           .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("__rev"))
-        val dec = cr
-          .withColumn("decile",
-            ntile(10).over(Window.orderBy($"__rev", $"o_custkey")))
+        // customer-level deciling scales with the data: distributed
+        // ntile; the cumulative/total windows below run over 10 decile
+        // rows — bounded, fine as windows
+        val dec = Ranks.withNtile(cr, "decile", 10, $"__rev", $"o_custkey")
           .groupBy($"decile")
           .agg(count(lit(1)).as("n_customers"), sum($"__rev").as("__s"))
         dec
@@ -7911,11 +7926,11 @@ object OpsQueries {
     "q289_stratified_effect" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val ev = Tables.events(s, dir)
-        val strat = ev.groupBy($"user_id").agg(count(lit(1)).as("__na"))
-          .withColumn("stratum",
-            ntile(5).over(Window.orderBy($"__na", $"user_id")).cast("long"))
+        // user-level strata scale with the data: distributed ntile
+        val strat = Ranks.withNtile(
+            ev.groupBy($"user_id").agg(count(lit(1)).as("__na")),
+            "stratum", 5, $"__na", $"user_id")
           .select($"user_id", $"stratum")
         // user-PARITY arms (see q285): signup covers ~every user
         val df = ev.filter($"event_type" === "purchase")
@@ -8178,11 +8193,11 @@ object OpsQueries {
     "q295_simpson_check" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val ev = Tables.events(s, dir)
-        val strat = ev.groupBy($"user_id").agg(count(lit(1)).as("__na"))
-          .withColumn("stratum",
-            ntile(5).over(Window.orderBy($"__na", $"user_id")).cast("long"))
+        // user-level strata scale with the data: distributed ntile
+        val strat = Ranks.withNtile(
+            ev.groupBy($"user_id").agg(count(lit(1)).as("__na")),
+            "stratum", 5, $"__na", $"user_id")
           .select($"user_id", $"stratum")
         // user-PARITY arms (see q285): signup covers ~every user
         val df = ev.filter($"event_type" === "purchase")
@@ -8431,14 +8446,16 @@ object OpsQueries {
         val li = Tables.lineitem(s, dir)
         val rev = li.groupBy($"l_partkey")
           .agg(sum($"l_extendedprice".cast("decimal(18,6)")).as("__rev"))
-        val abc = rev
-          .withColumn("__cum", sum($"__rev").over(
-            Window.orderBy($"__rev".desc, $"l_partkey")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("__tot", sum($"__rev").over(Window.partitionBy()))
+        // parts scale with the catalog: the revenue-ordered cumulative
+        // runs through the distributed decimal prefix-sum hatch, and the
+        // grand total rides out of its partials collect
+        val runAbc = Ranks.runningDecimalSums(rev, Seq("__rev" -> "__cum"),
+          None, $"__rev".desc, $"l_partkey")
+        val totAbc = lit(runAbc.totals("__rev")).cast("double")
+        val abc = runAbc.df
           .withColumn("abc",
-            when($"__cum".cast("double") / $"__tot".cast("double") <= 0.8, "A")
-              .when($"__cum".cast("double") / $"__tot".cast("double") <= 0.95, "B")
+            when($"__cum".cast("double") / totAbc <= 0.8, "A")
+              .when($"__cum".cast("double") / totAbc <= 0.95, "B")
               .otherwise("C"))
           .select($"l_partkey", $"abc")
         val pm = li.groupBy($"l_partkey",
@@ -8501,9 +8518,10 @@ object OpsQueries {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
           .select($"doc_id", $"n_chars", ($"lang" === "en").cast("int").as("__y"))
-        val dec = docs.withColumn("decile",
-          ntile(10).over(Window.orderBy($"n_chars".desc, $"doc_id"))
-            .cast("long"))
+        // doc-level deciling scales with the corpus: distributed ntile;
+        // the windows below run over 10 decile rows — bounded
+        val dec = Ranks.withNtile(docs, "decile", 10,
+          $"n_chars".desc, $"doc_id")
         val g = dec.groupBy($"decile")
           .agg(count(lit(1)).as("n"), sum($"__y").as("n_pos"))
         g.withColumn("__cum", sum($"n_pos").over(Window.orderBy($"decile")
@@ -8650,13 +8668,13 @@ object OpsQueries {
     "q307_rank_mobility" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        def decile(yr: Int, alias: String) = Tables.orders(s, dir)
-          .filter(year($"o_orderdate") === yr)
-          .groupBy($"o_custkey")
-          .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("__r"))
-          .withColumn(alias,
-            ntile(10).over(Window.orderBy($"__r", $"o_custkey")).cast("long"))
+        // customer-level deciles scale with the data: distributed ntile
+        def decile(yr: Int, alias: String) = Ranks.withNtile(
+            Tables.orders(s, dir)
+              .filter(year($"o_orderdate") === yr)
+              .groupBy($"o_custkey")
+              .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("__r")),
+            alias, 10, $"__r", $"o_custkey")
           .select($"o_custkey", col(alias))
         decile(1995, "d_from").join(decile(2000, "d_to"), "o_custkey")
           .groupBy($"d_from", $"d_to").agg(count(lit(1)).as("n_customers"))
@@ -8731,14 +8749,13 @@ object OpsQueries {
     "q309_length_bucketing" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val lens = Tables.documents(s, dir)
           .select($"doc_id",
             size(split(lower($"text"), " ")).cast("long").as("len"))
           .localCheckpoint(false) // three bucketing passes share it
         Seq(1, 4, 8).map { nb =>
-          val b = lens.withColumn("__b",
-            ntile(nb).over(Window.orderBy($"len", $"doc_id")))
+          // doc-level bucketing scales with the corpus: distributed ntile
+          val b = Ranks.withNtile(lens, "__b", nb, $"len", $"doc_id")
           val per = b.groupBy($"__b")
             .agg(max($"len").as("__mx"), count(lit(1)).as("__n"),
               sum($"len").as("__sl"))
@@ -9207,13 +9224,14 @@ object OpsQueries {
     "q320_range_split_audit" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         def audit(name: String, c: org.apache.spark.sql.Column) = {
           val v = Tables.orders(s, dir).select(c.cast("double").as("__v"))
           val vc = v.groupBy($"__v").agg(count(lit(1)).as("__c"))
-          val cum = vc.withColumn("__cum",
-              sum($"__c").over(Window.orderBy($"__v")))
-            .localCheckpoint(false) // stats + both deviation passes
+          // the value table scales with the data for continuous columns
+          // (o_totalprice-class): cumulative counts via the distributed
+          // prefix-sum hatch, not a value-ordered window
+          val cum = Ranks.runningSums(vc, Seq("__c" -> "__cum"), None, $"__v")
+            .df.localCheckpoint(false) // stats + both deviation passes
           val st = cum.agg(max($"__cum").as("__n"), min($"__v").as("__mn"),
             max($"__v").as("__mx"))
           val dec = cum.crossJoin(st)
@@ -9939,7 +9957,6 @@ object OpsQueries {
     "q335_heaps_fit" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
         val perDoc = docs.select($"doc_id",
           size(split(lower($"text"), " ")).cast("long").as("__nt"))
@@ -9949,12 +9966,13 @@ object OpsQueries {
           .where($"__w" =!= "")
           .groupBy($"__w").agg(min($"doc_id").as("__d0"))
           .groupBy($"__d0".as("doc_id")).agg(count(lit(1)).as("__new"))
-        val w = Window.orderBy($"doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val pts = perDoc.join(firstOcc, Seq("doc_id"), "left")
-          .na.fill(0L, Seq("__new"))
-          .withColumn("__N", sum($"__nt").over(w))
-          .withColumn("__V", sum($"__new").over(w))
+        // the (N, V) growth curve is doc-id-ordered and corpus-sized:
+        // both running sums come from ONE distributed prefix-sum pass
+        val pts = Ranks.runningSums(
+            perDoc.join(firstOcc, Seq("doc_id"), "left")
+              .na.fill(0L, Seq("__new")),
+            Seq("__nt" -> "__N", "__new" -> "__V"), None, $"doc_id")
+          .df
           .where($"__N" > 0 && $"__V" > 0)
           .select(round(log($"__N".cast("double")), 9)
             .cast("decimal(12,9)").as("__x"),
@@ -10106,15 +10124,13 @@ object OpsQueries {
     "q338_mean_reversion" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         def yearRev(yr: Int) = Tables.orders(s, dir)
           .filter(year($"o_orderdate") === yr)
           .groupBy($"o_custkey")
           .agg(sum($"o_totalprice".cast("decimal(18,6)")).as(s"__r$yr"))
-        val d95 = yearRev(1995)
-          .withColumn("d_from",
-            ntile(10).over(Window.orderBy($"__r1995", $"o_custkey"))
-              .cast("long"))
+        // customer-level deciles scale with the data: distributed ntile
+        val d95 = Ranks.withNtile(yearRev(1995), "d_from", 10,
+          $"__r1995", $"o_custkey")
         d95.join(yearRev(2000), "o_custkey")
           .groupBy($"d_from")
           .agg(count(lit(1)).as("n_customers"),
@@ -10299,11 +10315,10 @@ object OpsQueries {
     "q344_keep_by_length" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars",
           TextStats.qualityKeep($"text", Seq("the", "a")).as("__keep"))
-        docs.withColumn("decile",
-            ntile(10).over(Window.orderBy($"n_chars", $"doc_id")).cast("long"))
+        // doc-level deciling scales with the corpus: distributed ntile
+        Ranks.withNtile(docs, "decile", 10, $"n_chars", $"doc_id")
           .groupBy($"decile")
           .agg(count(lit(1)).as("n_docs"),
             sum(when($"__keep", 1L).otherwise(0L)).as("n_keep"))
@@ -11021,14 +11036,16 @@ object OpsQueries {
     "q366_layout_compare" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val li = Tables.lineitem(s, dir)
         val preds = Seq(
           Profile.ZonePred("disc_ge_009", "l_discount", Some(0.09), None),
           Profile.ZonePred("qty_20_25", "l_quantity", Some(20.0), Some(25.0)))
-        val sorted = li.withColumn("__zone",
-          floor((row_number().over(Window.orderBy($"l_shipdate",
-            $"l_orderkey", $"l_linenumber")) - 1) / lit(4096)).cast("long"))
+        // the re-clustered zone id comes from the DISTRIBUTED row number
+        // (range exchange + partition-local sort — what a real re-cluster
+        // pays), never a row_number() window over the fact table itself
+        val sorted = Ranks.withRowNumber(li, "__rn",
+            $"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .withColumn("__zone", floor(($"__rn" - 1) / lit(4096)).cast("long"))
         Seq(
           ("natural_orderkey", Profile.zonemapAudit(li,
             floor($"l_orderkey" / lit(4096)).cast("long"), preds)),
@@ -12141,10 +12158,9 @@ object OpsQueries {
     "q402_l_diversity" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val qi = Tables.documents(s, dir)
-          .withColumn("len_decile",
-            ntile(10).over(Window.orderBy($"n_chars", $"doc_id")))
+        // doc-level decile QI: distributed ntile over the corpus
+        val qi = Ranks.withNtile(Tables.documents(s, dir),
+          "len_decile", 10, $"n_chars", $"doc_id")
         Profile.lDiversity(qi, Seq("lang", "len_decile"), "source", l = 5L)
       },
       Some("""WITH qi AS (SELECT lang,
@@ -12171,10 +12187,9 @@ object OpsQueries {
     "q403_t_closeness" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val qi = Tables.documents(s, dir)
-          .withColumn("len_decile",
-            ntile(10).over(Window.orderBy($"n_chars", $"doc_id")))
+        // doc-level decile QI: distributed ntile over the corpus
+        val qi = Ranks.withNtile(Tables.documents(s, dir),
+          "len_decile", 10, $"n_chars", $"doc_id")
         Profile.tCloseness(qi, Seq("lang", "len_decile"), "source", t = 0.5)
       },
       Some("""WITH qi AS (SELECT lang,
