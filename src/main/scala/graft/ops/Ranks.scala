@@ -154,7 +154,21 @@ object Ranks {
     * conformal) all feed DISTINCT value tables, where the value column
     * itself is total. */
   def runningSums(df: DataFrame, sums: Seq[(String, String)],
-      lead: Option[(String, String)], sortCols: Column*): Running = {
+      lead: Option[(String, String)], sortCols: Column*): Running =
+    runningSumsImpl(df, sums, lead, None, sortCols)
+
+  /** [[runningSums]] that ALSO emits the 1-based LongType global row
+    * number `rnCol` under the same order — the per-partition row counts
+    * are already in the partials collect, so rank + cumulative + totals
+    * all come out of ONE exchange (the rank/cumsum-over-vocab shape). */
+  def runningSumsRanked(df: DataFrame, sums: Seq[(String, String)],
+      lead: Option[(String, String)], rnCol: String,
+      sortCols: Column*): Running =
+    runningSumsImpl(df, sums, lead, Some(rnCol), sortCols)
+
+  private def runningSumsImpl(df: DataFrame, sums: Seq[(String, String)],
+      lead: Option[(String, String)], rnCol: Option[String],
+      sortCols: Seq[Column]): Running = {
     require(sortCols.nonEmpty, "need at least one sort column")
     require(sums.nonEmpty, "need at least one sum column")
     requireFreeNames(df, "__mid")
@@ -212,10 +226,14 @@ object Ranks {
     val rows = byPid.map(_._2._1).sum
     // exclusive offsets per partition (range partitions are key-ordered)
     val offsetMap = scala.collection.mutable.Map.empty[Long, Array[Long]]
+    val rnOffMap = scala.collection.mutable.Map.empty[Long, Long]
     val runAcc = new Array[Long](nSums)
-    byPid.foreach { case (p, (_, ss, _)) =>
+    var rowAcc = 0L
+    byPid.foreach { case (p, (c, ss, _)) =>
       offsetMap(p) = runAcc.clone()
+      rnOffMap(p) = rowAcc
       var k = 0; while (k < nSums) { runAcc(k) += ss(k); k += 1 }
+      rowAcc += c
     }
     // first value of the NEXT non-empty partition, for lead boundaries
     val nextFirst: Map[Long, Any] =
@@ -224,16 +242,19 @@ object Ranks {
         .map(i => byPid(i)._1 -> byPid(i + 1)._2._3).toMap
     val bOff = spark.sparkContext.broadcast(offsetMap.toMap)
     val bNext = spark.sparkContext.broadcast(nextFirst)
+    val bRn = spark.sparkContext.broadcast(rnOffMap.toMap)
 
     // __mid (the last field) stays internal — dropped from the output
     val outSchema = StructType(schema.fields.patch(midIdx, Nil, 1) ++
       sums.map { case (_, o) => StructField(o, LongType, nullable = false) } ++
       lead.map { case (src, o) =>
-        StructField(o, schema(src).dataType, nullable = true) })
+        StructField(o, schema(src).dataType, nullable = true) } ++
+      rnCol.map(n => StructField(n, LongType, nullable = false)))
     val si = sumIdx // local vals: avoid closing over `this`
     val li = leadIdx.getOrElse(-1)
     val mi = midIdx
     val hasLead = li >= 0
+    val wantRn = rnCol.isDefined
     val out = parted.mapPartitions { it =>
       val buf = it.buffered
       if (!buf.hasNext) Iterator.empty
@@ -241,6 +262,7 @@ object Ranks {
         val pid = buf.head.getLong(mi) >>> 33
         val acc = bOff.value.getOrElse(pid, new Array[Long](si.length)).clone()
         val boundary = bNext.value.getOrElse(pid, null)
+        var rn = bRn.value.getOrElse(pid, 0L)
         new Iterator[Row] {
           override def hasNext: Boolean = buf.hasNext
           override def next(): Row = {
@@ -249,14 +271,16 @@ object Ranks {
             while (k < si.length) {
               if (!r.isNullAt(si(k))) acc(k) += r.getLong(si(k)); k += 1
             }
+            rn += 1
             // snapshot — acc mutates on the NEXT next(); a live array
             // view would corrupt already-emitted rows under a consumer
             // that defers reading
             val snap = java.util.Arrays.copyOf(acc, acc.length).toSeq
-            val tail: Seq[Any] =
+            var tail: Seq[Any] =
               if (hasLead)
                 snap :+ (if (buf.hasNext) buf.head.get(li) else boundary)
               else snap
+            if (wantRn) tail = tail :+ rn
             Row.fromSeq(r.toSeq.patch(mi, Nil, 1) ++ tail)
           }
         }

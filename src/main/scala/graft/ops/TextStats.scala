@@ -719,9 +719,12 @@ object TextStats {
     * total·covNum) — no float share ever compared. Returns
     * (rank, token, cnt, keep).
     *
-    * Scale shape: one token-count aggregation; the rank/cumsum windows
-    * run over the AGGREGATED vocab table (tiny vs the corpus — the q11
-    * share-table discipline). */
+    * Scale shape: one token-count aggregation, then ONE
+    * `Ranks.runningSumsRanked` pass over the vocab table — the vocab
+    * GROWS with the corpus (Heaps' law), so rank + cumulative + total
+    * come from the distributed prefix-sum hatch (range exchange +
+    * partition walk + its own partials collect), never a whole-vocab
+    * single-partition window. */
   def nucleusVocab(df: org.apache.spark.sql.DataFrame, textCol: String,
       covNum: Int = 95, covDen: Int = 100): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{count => fcount}
@@ -729,16 +732,13 @@ object TextStats {
       s"coverage must be a rational in (0, 1]: $covNum/$covDen")
     val counts = df.select(explode(split(lower(col(textCol)), " ")).as("__w"))
       .groupBy(col("__w")).agg(fcount(lit(1)).as("cnt"))
-    val order = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("__w").asc)
-    val before = order.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    counts
-      .withColumn("rank", row_number().over(order).cast("long"))
-      .withColumn("__cumb", coalesce(sum(col("cnt")).over(before), lit(0L)))
-      .withColumn("__tot", sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .withColumn("keep", col("__cumb") * covDen < col("__tot") * covNum)
+    val run = Ranks.runningSumsRanked(counts, Seq("cnt" -> "__cum"), None,
+      "rank", col("cnt").desc, col("__w").asc)
+    run.df
+      // exclusive cumulative = inclusive − own count; total rides out
+      // of the partials collect as a literal
+      .withColumn("keep",
+        (col("__cum") - col("cnt")) * covDen < lit(run.totals("cnt")) * covNum)
       .select(col("rank"), col("__w").as("token"), col("cnt"), col("keep"))
   }
 
