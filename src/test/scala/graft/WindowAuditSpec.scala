@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Automated guard for the single-partition-window trap: a window with
+  * an EMPTY partition spec (`OVER (ORDER BY …)` / `OVER ()`) forces
+  * every input row through ONE task — fine for provably bounded frames
+  * (a ≤45-brand share table, a top-k-limited list, a day/month spine,
+  * B bootstrap replicates), a straggler at 100 TB for anything that
+  * scales with the data (documents, customers, parts, the value domain
+  * of a continuous column, the vocab). The distributed hatches
+  * (`Ranks.withRowNumber`/`withNtile`/`runningSums`/
+  * `runningDecimalSums`/`runningMaxByValue`) exist for exactly those —
+  * this spec fails any registry query that grows a NEW global window,
+  * unless it is allowlisted here WITH the boundedness argument.
+  *
+  * (Global `Sort`s — `orderBy` for oracle determinism — are fine: Spark
+  * plans them as a range exchange, distributed; only `Window` collapses
+  * to SinglePartition.) */
+class WindowAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** query name -> why its remaining global window(s) are bounded.
+    * Every entry must argue a row bound that does NOT grow with the
+    * data; "it's fast at sf0.1" is not an argument. */
+  private val allowlist: Map[String, String] = Map(
+    "q11_cumshare_others" -> "brand share table, ≤~45 rows (A5 frame)",
+    "q36_key_players" -> "brand share table, ≤~45 rows (A5 frame)",
+    "q53_interval_share" -> "brand/interval share table, ≤~45 rows",
+    "q94_lang_balance" -> "per-language rows — bounded label domain",
+    "q197_temperature_mix" -> "per-source weight rows — bounded source domain",
+    "q199_freshness_decay" -> "per-age-bucket rows — fixed bucket count",
+    "q201_rrf_fusion" -> "rank windows over top-20-limited retrieval lists",
+    "q206_seasonal_ma" -> "monthly spine, ~84 rows",
+    "q215_share_trend" -> "monthly period spine, ~84 rows",
+    "q223_zipf_fit" -> "rank over the topN-LIMITED vocab head (TakeOrdered upstream)",
+    "q233_cusum_changepoint" -> "monthly spine, ~84 rows",
+    "q269_theil_sen" -> "median over month-PAIR slopes, ≤ months² ≈ 3.5k rows",
+    "q274_bootstrap_ci" -> "B bootstrap replicate means, B fixed",
+    "q284_kaplan_meier" -> "day-level survival spine — bounded by the horizon",
+    "q288_lorenz_curve" -> "10 decile rows (the deciling itself is hatched)",
+    "q303_gains_chart" -> "10 decile rows (the deciling itself is hatched)",
+    "q319_session_depth" -> "≤10 depth buckets",
+    "q339_order_size_dist" -> "distinct lines-per-order values, ≤7 in TPC-H",
+    "q343_discount_bands" -> "≤6 discount bands",
+    "q346_hourly_profile" -> "24 hour-of-day rows",
+    "q347_supplier_nations" -> "25 nation rows",
+    "q349_neyman_allocation" -> "per-stratum rows — bounded stratum domain",
+    "q362_scaling_curve" -> "3 scaling points",
+    "q370_fairness_audit" -> "per-group fairness rows — bounded group domain",
+    "q390_jackknife_ratio" -> "leave-one-bucket-out rows — fixed bucket count",
+    "q392_bh_fdr" -> "per-hypothesis rows — bounded group domain",
+    "q422_zipf_slope" -> "rank over the topR-LIMITED vocab head")
+
+  private def globalWindows(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case w: LWindow if w.partitionSpec.isEmpty =>
+        w.windowExpressions.map(_.sql.take(90)).mkString("; ")
+    }
+
+  test("the rule flags the pre-fix q366 shape (row_number window over a fact)") {
+    val li = Tables.lineitem(spark, sfTiny)
+    val bad = li.withColumn("__zone",
+      floor((row_number().over(Window.orderBy($"l_shipdate", $"l_orderkey",
+        $"l_linenumber")) - 1) / lit(4096)).cast("long"))
+    assert(globalWindows(bad).nonEmpty, "pre-fix q366 shape not flagged")
+  }
+
+  test("the rule flags the pre-fix q320 shape (value-domain cumulative window)") {
+    val vc = Tables.orders(spark, sfTiny)
+      .select($"o_totalprice".cast("double").as("__v"))
+      .groupBy($"__v").agg(count(lit(1)).as("__c"))
+    val bad = vc.withColumn("__cum", sum($"__c").over(Window.orderBy($"__v")))
+    assert(globalWindows(bad).nonEmpty, "pre-fix q320 shape not flagged")
+  }
+
+  test("the rule accepts the hatch forms (no Window node at all)") {
+    val li = Tables.lineitem(spark, sfTiny).limit(200)
+    val ranked = ops.Ranks.withRowNumber(li, "__rn",
+      $"l_shipdate", $"l_orderkey", $"l_linenumber")
+    assert(globalWindows(ranked).isEmpty)
+    val vc = li.groupBy($"l_quantity".as("__v")).agg(count(lit(1)).as("__c"))
+    val run = ops.Ranks.runningSums(vc, Seq("__c" -> "__cum"), None, $"__v")
+    assert(globalWindows(run.df).isEmpty)
+  }
+
+  test("no unbounded global window anywhere in the registry") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowlist.contains(name)) Nil
+      else {
+        try globalWindows(fn(spark, sfTiny)).map(w => s"$name — $w")
+        catch { case e: Throwable => Seq(s"$name failed to plan: ${e.getMessage}") }
+      }
+    }
+    assert(bad.isEmpty,
+      "global (single-partition) windows outside the allowlist:\n" +
+        bad.mkString("\n"))
+  }
+
+  test("the allowlist names only live queries") {
+    val dead = allowlist.keySet -- SparkEntry.queries.keySet
+    assert(dead.isEmpty, s"allowlisted queries no longer exist: $dead")
+  }
+}
