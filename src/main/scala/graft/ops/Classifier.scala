@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,7 +163,12 @@ object Classifier {
     // each is one narrow column-pruned pass, cheaper than checkpointing
     // the full projection (the r8 checkpoint was the measured q361
     // bench regression).
-    require(GraftBridge.expression(splitCol).deterministic,
+    // check determinism on the ANALYZED expression, not the unresolved
+    // one: expr("rand() < 0.5") parses to an UnresolvedFunction whose
+    // default deterministic=true, so the unresolved check would wave a
+    // SQL-string random split straight through
+    require(df.select(splitCol).queryExecution.analyzed.expressions
+        .forall(_.deterministic),
       "splitCol must be deterministic (hash/modulo of an id) — it is " +
         "re-evaluated per split scan; a rand()-based split would leak " +
         "rows across train/cal/test")

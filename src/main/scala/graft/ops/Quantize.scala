@@ -47,6 +47,11 @@ object Quantize {
     * that, err²·2^40 would overflow int64 — unit-norm-ish embeddings are
     * orders of magnitude inside the bound). */
   def quantizeStats(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // "__q" stages the quantized array per row; withColumn would
+    // silently REPLACE a caller's same-named column
+    require(!emb.columns.contains("__q"),
+      "quantizeStats: input already has a column named '__q' (reserved " +
+        "for internal staging) — rename it before calling")
     val vec = col(vecCol)
     // max-abs let-bound for the same reason as in int8; the quantized
     // array is a per-row COLUMN (computed once), so only m needs the let

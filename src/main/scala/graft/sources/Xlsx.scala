@@ -238,6 +238,11 @@ object Xlsx {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // local paths route through the checksummed LocalFileSystem, which
+    // would drop a `.name.xlsx.crc` sidecar next to every export —
+    // golden-export dirs must hold exactly the file asked for (no-op on
+    // filesystems without client-side checksums)
+    fs.setWriteChecksum(false)
     val out = new ZipOutputStream(new java.io.BufferedOutputStream(
       fs.create(hPath, true)))
     def entry(name: String, content: String): Unit = {

@@ -237,6 +237,24 @@ class ClassifierSpec extends SparkSpec {
     assert(out == ((3L, 2L, 9.0, 0.5)))
   }
 
+  test("conformalInterval rejects a random split — even as a SQL string") {
+    val df = Seq(("g", 10.0, 0)).toDF("g", "y", "s")
+    // column-API randomness
+    val e1 = intercept[IllegalArgumentException] {
+      Classifier.conformalInterval(df, "g", "y",
+        when(rand() < 0.5, 0).otherwise(1))
+    }
+    assert(e1.getMessage.contains("deterministic"))
+    // SQL-string randomness parses to an UnresolvedFunction whose
+    // default deterministic=true — the guard must check the ANALYZED
+    // expression or this leaks rows across train/cal/test
+    val e2 = intercept[IllegalArgumentException] {
+      Classifier.conformalInterval(df, "g", "y",
+        expr("CASE WHEN rand() < 0.5 THEN 0 ELSE 1 END"))
+    }
+    assert(e2.getMessage.contains("deterministic"))
+  }
+
   test("ipwEffect: propensities clip to the overlap band") {
     val df = Seq((true, 0.001, 1.0), (false, 0.999, 1.0)).toDF("t", "p", "y")
     val out = Classifier.ipwEffect(df, "p", col("t"), col("y"))

@@ -48,6 +48,11 @@ class XlsxSourceSpec extends SparkSpec {
     val got = back.as[(String, String, Option[String])].collect().toSeq
     val want = df.as[(String, String, Option[String])].collect().toSeq
     assert(got.sortBy(_._1) == want.sortBy(_._1))
+    // golden-export dirs must hold exactly the file asked for — the
+    // checksummed LocalFileSystem would otherwise drop a .crc sidecar
+    val sidecars = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".crc"))
+    assert(sidecars.isEmpty, s"checksum sidecar(s) written: ${sidecars.toSeq}")
   }
 
   test("xlsx sink writes numeric cells plain-decimal and strips illegal control chars") {
