@@ -172,4 +172,55 @@ class PhysicalLayoutSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/physical_layout_rowgroups.json"), j)
   }
+
+  test("intra-file pruning tightens toward the file-level ratio as groups shrink (production proxy)") {
+    // At production scale a 128 MB row group holds a FIXED row count
+    // while the table grows ~unbounded, so rows-per-group / table-rows
+    // → 0 and each group spans an ever narrower key range. The test-SF
+    // proxy for that limit is the same one-file layout at SHRINKING
+    // block sizes: the overlap RATIO (groups read / groups total) must
+    // fall monotonically toward the file-level ratio the first test
+    // measures (strong pruning), for both space-filling curves.
+    val days = datediff($"o_orderdate", to_date(lit("1970-01-01")))
+    val strategies: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "zorder" -> Layout.zOrderKey($"o_custkey" % 65536, days % 65536, bits = 16),
+      "hilbert" -> graft.functions.Hilbert.hilbertKey(
+        $"o_custkey" % 65536, days % 65536, order = 16))
+    val base = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout_prod").toString
+    val sizes = Seq(64 * 1024, 16 * 1024) // coarse → fine groups
+    val ratios = strategies.map { case (name, key) =>
+      name -> sizes.map { bs =>
+        val dir = s"$tmp/$name-$bs"
+        base.withColumn("__k", key)
+          .repartition(1)
+          .sortWithinPartitions($"__k")
+          .drop("__k")
+          .write
+          .option("parquet.block.size", bs.toString)
+          .parquet(dir)
+        val (total, overlapping) = footerOverlaps(dir, "o_custkey", probe)
+        assert(total >= 3, s"$name@$bs: only $total row groups — too coarse")
+        (bs, total, overlapping, overlapping.toDouble / total)
+      }
+    }.toMap
+    ratios.foreach { case (name, ms) =>
+      info(s"$name: " + ms.map { case (bs, t, o, r) =>
+        f"${bs / 1024}KB $o/$t (${r * 100}%.0f%%)" }.mkString(", "))
+      ms.sliding(2).foreach { case Seq((_, _, _, coarse), (_, _, _, fine)) =>
+        assert(fine <= coarse + 1e-9,
+          s"$name: pruning ratio did not tighten with finer groups " +
+            s"($coarse → $fine) — the 128 MB-at-100 TB extrapolation " +
+            "would be unsupported")
+      }
+    }
+    val j = ratios.map { case (name, ms) =>
+      s""""$name":[""" + ms.map { case (bs, t, o, _) =>
+        s"""{"block_kb":${bs / 1024},"overlapping":$o,"row_groups":$t}"""
+      }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/physical_layout_prod_proxy.json"), j)
+  }
 }
