@@ -213,10 +213,15 @@ object Mixing {
     *
     * Scale shape: one rank shuffle per stratum (the exactSplit
     * contract) + the per-stratum total as a partition-only window over
-    * the same sort. A mega-stratum bounds its own sort; same escape
-    * hatch as q86/q94 (pre-shard by hash, then phase within shards).
-    * Use an INTEGER score: a float score that differs by 1 ulp across
-    * engines would reorder the cumsum. */
+    * the same sort. A mega-stratum bounds its own sort; two escape
+    * hatches exist: pre-shard by hash then phase within shards (the
+    * q86/q94 route, when phase boundaries may be approximate), or
+    * `Ranks.runningSumsBy(df, Seq(stratum), Seq(token -> cumb),
+    * scoreCol.desc, idCol)` for the EXACT per-stratum running token
+    * mass with no per-stratum single-task sort (few-huge-groups
+    * regime; equality proven in RunningSumsSpec incl. groups straddling
+    * range partitions). Use an INTEGER score: a float score that
+    * differs by 1 ulp across engines would reorder the cumsum. */
   def curriculumPhases(df: DataFrame, idCol: String, stratumCol: String,
       scoreCol: String, tokenCol: String, phases: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
