@@ -131,7 +131,9 @@ object Mixing {
     * window. Like `balancePerStratum`, a stratum too big to sort is the
     * one being cut hardest — pre-filter with a score threshold from a
     * small sample (or `stratifiedKeep`) to shed the obvious tail map-side
-    * before ranking when a single stratum approaches executor-sort size. */
+    * before ranking when a single stratum approaches executor-sort size,
+    * or switch to [[tokenBudgetSelectBy]], the same cut through the
+    * distributed per-group prefix-sum hatch (few-huge-strata regime). */
   def tokenBudgetSelect(df: DataFrame, idCol: String, stratumCol: String,
       tokensCol: String, scoreCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
@@ -139,6 +141,22 @@ object Mixing {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** [[tokenBudgetSelect]] for the FEW-HUGE-STRATA regime: the same
+    * quality-ordered running token total and budget cut, but through
+    * `Ranks.runningSumsBy` (range exchange on (stratum, score desc, id)
+    * + partition walk) instead of a per-stratum window — a mega-stratum
+    * never lands on one task. Identical output (equality pinned in
+    * MixingSpec); the window form stays the right tool when strata are
+    * many and small. */
+  def tokenBudgetSelectBy(df: DataFrame, idCol: String, stratumCol: String,
+      tokensCol: String, scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    Ranks.runningSumsBy(df, Seq(stratumCol),
+        Seq(tokensCol -> "cum_tokens"),
+        col(scoreCol).desc, col(idCol).asc)
       .filter(col("cum_tokens") <= budget)
   }
 
@@ -294,6 +312,83 @@ object Mixing {
         round(col("n").cast("double") / col("__tn").cast("double"), 6).as("share_orig"),
         round(col("__w").cast("double") / col("__tw").cast("double"), 6).as("share_temp"))
       .withColumn("boost", round(col("share_temp") / col("share_orig"), 6))
+  }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv
+    * 2305.10429 — the public Group-DRO mixture recipe): ONE
+    * exponentiated-gradient step over per-domain EXCESS loss, with a
+    * self-contained, engine-exact excess: for every distinct (domain,
+    * word), ln of the ratio between the domain's OWN unigram
+    * probability and the corpus unigram probability (9-dp fixed point);
+    * per doc the count-weighted mean over its tokens, per domain the
+    * mean over its docs — the nats/token that domain-specific modeling
+    * buys, i.e. the "learnability headroom" DoReMi's trained
+    * proxy-vs-reference pair estimates. From uniform starting weights:
+    * w_d ∝ exp(η · max(0, excess_d)), normalized, then uniform-smoothed
+    * w ← (1−s)·w + s/k (the paper's step). Output per domain:
+    * (domain, n_docs, excess_nats, weight), weights summing to 1.
+    *
+    * Determinism: all probabilities are ratios of exact counts; every
+    * float enters a round-9 DECIMAL before any sum (the LM fixed-point
+    * discipline), and exp() sees the round-6 domain excess, so the
+    * weights are bit-identical in any engine.
+    *
+    * Scale shape: one (doc, word) count aggregation; the (domain, word)
+    * model DERIVES from it by re-aggregation (never a second corpus
+    * pass); the model joins back on the uniform word key UNHINTED (at
+    * 100 TB the distinct-word table is vocab-scaled — AQE broadcasts it
+    * only when it is actually small); the weight arithmetic runs on the
+    * k-domain table (bounded — the q197 share-table discipline). */
+  def doremiWeights(df: DataFrame, idCol: String, domainCol: String,
+      textCol: String, eta: Double = 1.0,
+      smoothing: Double = 0.2): DataFrame = {
+    require(eta > 0, s"eta must be > 0, got $eta")
+    require(smoothing >= 0 && smoothing < 1,
+      s"smoothing must be in [0, 1), got $smoothing")
+    val dw = df.select(col(idCol).as("__id"), col(domainCol).as("__dm"),
+        explode(split(lower(col(textCol)), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__id"), col("__dm"), col("__w"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false) // model aggregation + the score join
+    val cd = dw.groupBy(col("__dm"), col("__w")).agg(sum(col("__n")).as("__cd"))
+      .localCheckpoint(false) // corpus model + domain totals + score join
+    val cw = cd.groupBy(col("__w")).agg(sum(col("__cd")).as("__c"))
+    val td = cd.groupBy(col("__dm")).agg(sum(col("__cd")).as("__td"))
+    val tt = cw.agg(sum(col("__c")).as("__tt"))
+    def d(c: Column) = c.cast("double")
+    // nats(d, w) = ln( (cd/td) / (c/tt) ), 9-dp fixed point; per-doc
+    // sum weights each distinct word by its in-doc count (exact decimal
+    // × integer — no re-rounding)
+    val term = round(log((d(col("__cd")) / d(col("__td"))) /
+      (d(col("__c")) / d(col("__tt")))), 9).cast("decimal(28,9)")
+    val perDoc = dw
+      .join(cd, Seq("__dm", "__w"))
+      .join(cw, Seq("__w"))
+      .join(td, Seq("__dm"))
+      .crossJoin(tt)
+      .select(col("__id"), col("__dm"),
+        (term * col("__n")).as("__t"), col("__n"))
+      .groupBy(col("__id"), col("__dm"))
+      .agg((sum(col("__t")).cast("double") / sum(col("__n")).cast("double"))
+        .as("__ex"))
+    val dom = perDoc.groupBy(col("__dm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(col("__ex"), 9).cast("decimal(28,9)")).as("__sx"))
+      .withColumn("excess_nats",
+        round(col("__sx").cast("double") / col("n_docs").cast("double"), 6))
+    // EG step on the k-domain table (bounded): uniform w0 cancels in
+    // the normalization
+    val u = round(exp(lit(eta) * greatest(col("excess_nats"), lit(0.0))), 9)
+      .cast("decimal(28,9)")
+    val all = Window.partitionBy()
+    dom.withColumn("__u", u)
+      .withColumn("__tu", sum(col("__u")).over(all))
+      .withColumn("__k", count(lit(1)).over(all))
+      .select(col("__dm").as(domainCol), col("n_docs"), col("excess_nats"),
+        round(lit(1.0 - smoothing) *
+          (col("__u").cast("double") / col("__tu").cast("double")) +
+          lit(smoothing) / col("__k").cast("double"), 6).as("weight"))
   }
 
   /** Exponential freshness decay per source: each row contributes

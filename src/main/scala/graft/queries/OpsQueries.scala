@@ -13205,6 +13205,51 @@ object OpsQueries {
              |  round(contrib, 6) AS js_contrib
              |FROM e ORDER BY contrib DESC, t LIMIT 15""".stripMargin)),
 
+    // ─── DoReMi-style domain reweighting (one EG step of Group DRO) ─────
+    // Per-domain excess = nats/token gained by domain-specific unigram
+    // modeling over the corpus model (exact-count ratios, 9-dp fixed
+    // point); weights = smoothed softmax-like EG update. The mixture
+    // recipe every large pretraining run tunes — here as one oracle-
+    // exact distributed pass.
+    "q445_doremi_weights" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Mixing.doremiWeights(Tables.documents(s, dir), "doc_id", "source",
+            "text", eta = 1.0, smoothing = 0.2)
+          .orderBy($"source")
+      },
+      Some("""WITH dw AS (SELECT doc_id, source AS dm, w, count(*) AS n FROM
+             |        (SELECT doc_id, source,
+             |           unnest(string_split(lower(text), ' ')) AS w
+             |         FROM documents)
+             |      WHERE w <> '' GROUP BY 1, 2, 3),
+             |cd AS (SELECT dm, w, sum(n)::BIGINT AS cd FROM dw GROUP BY 1, 2),
+             |cw AS (SELECT w, sum(cd)::BIGINT AS c FROM cd GROUP BY 1),
+             |td AS (SELECT dm, sum(cd)::BIGINT AS td FROM cd GROUP BY 1),
+             |tt AS (SELECT sum(c)::BIGINT AS tt FROM cw),
+             |pd AS (SELECT dw.doc_id, dw.dm,
+             |        CAST(sum(CAST(round(ln(
+             |            (CAST(cd.cd AS DOUBLE) / CAST(td.td AS DOUBLE)) /
+             |            (CAST(cw.c AS DOUBLE) / CAST(tt.tt AS DOUBLE))), 9)
+             |          AS DECIMAL(28,9)) * dw.n) AS DOUBLE) /
+             |          CAST(sum(dw.n) AS DOUBLE) AS ex
+             |      FROM dw JOIN cd ON dw.dm = cd.dm AND dw.w = cd.w
+             |        JOIN cw ON dw.w = cw.w
+             |        JOIN td ON dw.dm = td.dm CROSS JOIN tt
+             |      GROUP BY 1, 2),
+             |dom AS (SELECT dm, count(*) AS n_docs,
+             |        round(CAST(sum(CAST(round(ex, 9) AS DECIMAL(28,9)))
+             |            AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS excess_nats
+             |      FROM pd GROUP BY 1),
+             |wt AS (SELECT dm, n_docs, excess_nats,
+             |        CAST(round(exp(1.0 * greatest(excess_nats, 0.0)), 9)
+             |          AS DECIMAL(28,9)) AS u
+             |      FROM dom)
+             |SELECT dm AS source, n_docs, excess_nats,
+             |  round(0.8 * (CAST(u AS DOUBLE) / CAST(sum(u) OVER () AS DOUBLE)) +
+             |        0.2 / CAST(count(*) OVER () AS DOUBLE), 6) AS weight
+             |FROM wt ORDER BY source""".stripMargin)),
+
     "q441_xlsx_sink" -> Q(
       (s, dir) => {
         import s.implicits._

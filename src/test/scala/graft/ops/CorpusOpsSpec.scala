@@ -853,6 +853,19 @@ class TokenBudgetSpec extends SparkSpec {
     val d = Seq((1L, "s", 1L, 1.0)).toDF("doc_id", "source", "n_tokens", "score")
     assert(Mixing.tokenBudgetSelect(d, "doc_id", "source", "n_tokens", "score", 0L).isEmpty)
   }
+
+  test("tokenBudgetSelectBy (mega-stratum hatch) == the window form") {
+    // two strata big enough to straddle range partitions
+    val d = spark.range(600).select($"id",
+      when($"id" % 3 === 0, "a").otherwise("b").as("source"),
+      ($"id" % 7 + 1).as("n_tokens"),
+      ($"id" % 13).cast("double").as("score"))
+    val a = Mixing.tokenBudgetSelect(d, "id", "source", "n_tokens", "score", 300L)
+    val b = Mixing.tokenBudgetSelectBy(d, "id", "source", "n_tokens", "score", 300L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "hatch form diverged from the window form")
+    assert(b.count() > 0)
+  }
 }
 
 class StarCcSpec extends SparkSpec {

@@ -63,6 +63,50 @@ class RerankMixSpec extends SparkSpec {
     assert(math.abs(flat.values.map(_._4).sum - 1.0) < 1e-5)
   }
 
+  test("doremiWeights: identical domains stay uniform; a distinctive domain gains weight") {
+    // two domains with the SAME text → zero excess everywhere → weights
+    // exactly uniform at any eta/smoothing
+    val same = Seq((1L, "a", "x y z"), (2L, "b", "x y z"))
+      .toDF("doc_id", "dom", "text")
+    val u = Mixing.doremiWeights(same, "doc_id", "dom", "text",
+        eta = 2.0, smoothing = 0.2)
+      .select($"dom", $"excess_nats", $"weight")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(u("a") == u("b") && u("a")._2 == 0.5)
+    assert(u("a")._1 == 0.0, "identical domains must have zero excess")
+    // a domain whose vocabulary is all its own has high excess and must
+    // out-weigh a domain that speaks pure corpus-average language
+    val mixed = Seq(
+      (1L, "plain", "the of and the of and"),
+      (2L, "plain", "the of and the of and"),
+      (3L, "plain", "the of and the of and"),
+      (4L, "jargon", "quark gluon hadron quark gluon"))
+      .toDF("doc_id", "dom", "text")
+    val w = Mixing.doremiWeights(mixed, "doc_id", "dom", "text")
+      .select($"dom", $"excess_nats", $"weight")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w("jargon")._1 > w("plain")._1, "distinctive domain must have higher excess")
+    assert(w("jargon")._2 > w("plain")._2, "distinctive domain must gain weight")
+    assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-5, "weights must sum to 1")
+  }
+
+  test("doremiWeights: parameters validated; smoothing pulls toward uniform") {
+    val df = Seq((1L, "a", "p q"), (2L, "b", "r s")).toDF("doc_id", "dom", "text")
+    intercept[IllegalArgumentException] {
+      Mixing.doremiWeights(df, "doc_id", "dom", "text", eta = 0.0) }
+    intercept[IllegalArgumentException] {
+      Mixing.doremiWeights(df, "doc_id", "dom", "text", smoothing = 1.0) }
+    def wOf(s: Double) = Mixing.doremiWeights(df, "doc_id", "dom", "text",
+        eta = 1.0, smoothing = s)
+      .select($"dom", $"weight").as[(String, Double)].collect().toMap
+    val sharp = wOf(0.0); val soft = wOf(0.8)
+    val spread = (m: Map[String, Double]) => (m.values.max - m.values.min)
+    assert(spread(soft) <= spread(sharp) + 1e-9,
+      "higher smoothing must not widen the weight spread")
+  }
+
   test("ngramCoverage: full overlap = 1, disjoint = 0, short docs drop out") {
     val df = Seq(
       (0L, "en", "a b c d"),   // train (even)
