@@ -74,6 +74,45 @@ object EvalMetrics {
           .otherwise(lit(0.0)))
   }
 
+  /** ROUGE-L per pair (Lin 2004): LCS-based overlap — credit for tokens
+    * appearing IN ORDER even when not contiguous, the sequence-aware
+    * complement of [[rougeN]]'s fixed grams. precision = LCS/|cand|,
+    * recall = LCS/|ref|, F1; a side capped to zero tokens yields a NULL
+    * ratio (0/0 undefined, not zero) and f1 = 0, mirroring rougeN.
+    * Output: (pair, n_cand, n_ref, lcs, precision, recall, f1 ← rnd 6).
+    *
+    * `maxTokens` caps BOTH sides (`slice`) and is part of the metric's
+    * contract: LCS is inherently O(m·n) per pair, so the cap is what
+    * bounds per-pair cost at corpus scale (and what any cross-engine
+    * oracle must apply identically).
+    *
+    * Scale shape: map-only per pair — the DP runs inside the codegen'd
+    * `lcs_length` expression (one O(cap²) loop per row, O(cap) state);
+    * no join, no shuffle beyond what the caller's pair frame carries. */
+  def rougeL(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String, maxTokens: Int = 24): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 256,
+      s"maxTokens in [1, 256], got $maxTokens")
+    def capped(c: String) =
+      slice(split(lower(col(c)), " "), 1, maxTokens)
+    def d(c: Column) = c.cast("double")
+    pairs.select(col(pairCol).as("pair"),
+        capped(candCol).as("__c"), capped(refCol).as("__r"))
+      .select(col("pair"),
+        size(col("__c")).cast("long").as("n_cand"),
+        size(col("__r")).cast("long").as("n_ref"),
+        graft.functions.Lcs.lcsLength(col("__c"), col("__r")).as("lcs"))
+      .withColumn("precision",
+        when(col("n_cand") > 0, round(d(col("lcs")) / d(col("n_cand")), 6)))
+      .withColumn("recall",
+        when(col("n_ref") > 0, round(d(col("lcs")) / d(col("n_ref")), 6)))
+      .withColumn("f1",
+        when(col("lcs") > 0, round(
+          lit(2.0) * (d(col("lcs")) / d(col("n_cand"))) * (d(col("lcs")) / d(col("n_ref"))) /
+            (d(col("lcs")) / d(col("n_cand")) + d(col("lcs")) / d(col("n_ref"))), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Corpus-level BLEU-`maxN`: modified n-gram precisions p_n =
     * Σ_pairs clip_n / Σ_pairs cand_n (clipped counts SUMMED over the
     * corpus before the ratio), brevity penalty BP = min(1, e^(1−r/c))

@@ -654,6 +654,28 @@ object OpsQueries {
          |  FROM $prev)""".stripMargin
     }.mkString(",\n")
 
+  /** q446 oracle: the ROUGE-L LCS dynamic program unrolled — one CTE
+    * stage per candidate token. Each stage advances the whole DP row in
+    * one `list_transform`, using the prefix-max identity
+    * new[j] = max(old[j], max_{k≤j, cand_i=ref_k}(old[k−1]+1)) — valid
+    * because DP rows are nondecreasing in j, so the sequential
+    * new[j−1] dependency of the textbook recurrence folds into the
+    * prefix max and no intra-row recursion is needed. `r` is the row as
+    * a (n+1)-element list with r[1] = DP[0] = 0. */
+  private def rougeLStages(maxTokens: Int): String =
+    (1 to maxTokens).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""l$i AS (SELECT pair, cand, ref, n,
+         |    CASE WHEN len(cand) >= $i THEN
+         |      list_prepend(0, list_transform(range(1, n + 1), j ->
+         |        greatest(r[j + 1], coalesce(list_max(
+         |          list_transform(range(1, j + 1), k ->
+         |            CASE WHEN cand[$i] = ref[k] THEN r[k] + 1
+         |                 ELSE 0 END)), 0))))
+         |    ELSE r END AS r
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+
   /** Morton interleave of the low `bits` bits of two SQL integer
     * expressions — shared by the q428/q429 oracles so the key can't
     * drift between them. */
@@ -13249,6 +13271,47 @@ object OpsQueries {
              |  round(0.8 * (CAST(u AS DOUBLE) / CAST(sum(u) OVER () AS DOUBLE)) +
              |        0.2 / CAST(count(*) OVER () AS DOUBLE), 6) AS weight
              |FROM wt ORDER BY source""".stripMargin)),
+
+    // ─── ROUGE-L: LCS-based eval metric (codegen'd DP kernel) ───────────
+    // The sequence-aware complement of q397's fixed bigrams: in-order
+    // but non-contiguous overlap. Both sides cap at 24 tokens (part of
+    // the metric contract — LCS is O(m·n)/pair); the oracle unrolls the
+    // identical DP as 24 chained CTE stages via the prefix-max identity.
+    "q446_rouge_l" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = docs.select($"doc_id", $"text".as("cand"))
+          .join(docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("ref")),
+            "doc_id")
+        EvalMetrics.rougeL(pairs, "doc_id", "cand", "ref", maxTokens = 24)
+          .withColumnRenamed("pair", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH p AS (SELECT a.doc_id AS pair,
+              |        list_slice(string_split(lower(a.text), ' '), 1, 24) AS cand,
+              |        list_slice(string_split(lower(b.text), ' '), 1, 24) AS ref
+              |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+              |l0 AS (SELECT pair, cand, ref, len(ref) AS n,
+              |        list_transform(range(0, len(ref) + 1), x -> 0) AS r
+              |      FROM p),
+              |${rougeLStages(24)},
+              |fin AS (SELECT pair, len(cand)::BIGINT AS n_cand, n::BIGINT AS n_ref,
+              |        r[n + 1]::BIGINT AS lcs FROM l24)
+              |SELECT pair AS doc_id, n_cand, n_ref, lcs,
+              |  CASE WHEN n_cand > 0 THEN
+              |    round(CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+              |  END AS precision,
+              |  CASE WHEN n_ref > 0 THEN
+              |    round(CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE), 6)
+              |  END AS recall,
+              |  CASE WHEN lcs > 0 THEN round(
+              |    2.0 * (CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE)) *
+              |      (CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE)) /
+              |      (CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE) +
+              |       CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE)), 6)
+              |  ELSE 0.0::DOUBLE END AS f1
+              |FROM fin ORDER BY doc_id""".stripMargin)),
 
     "q441_xlsx_sink" -> Q(
       (s, dir) => {

@@ -25,6 +25,52 @@ class EvalMetricsSpec extends SparkSpec {
     assert(r._2 == 0L && r._4 == 0L && r._5.isEmpty && r._6.contains(0.0) && r._7 == 0.0)
   }
 
+  test("ROUGE-L: LCS kernel equals the textbook recursive definition") {
+    // brute reference: exponential recursion, fine at these sizes
+    def brute(a: List[String], b: List[String]): Int = (a, b) match {
+      case (x :: xs, y :: ys) if x == y => 1 + brute(xs, ys)
+      case (x :: xs, y :: ys) =>
+        math.max(brute(xs, b), brute(a, ys))
+      case _ => 0
+    }
+    // deterministic pseudo-random token streams over a small alphabet
+    // (ties and repeats everywhere — the DP's hard case)
+    def toks(seed: Int, n: Int): List[String] =
+      List.tabulate(n)(i => ((seed * 31 + i * 17) % 5 + 'a').toChar.toString)
+    val cases = for (s <- 1 to 6; t <- 1 to 6)
+      yield (toks(s, 8), toks(t * 7, 9))
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a.mkString(" "), b.mkString(" ")) }
+      .toDF("pid", "cand", "ref")
+    val got = EvalMetrics.rougeL(df, "pid", "cand", "ref", maxTokens = 16)
+      .select($"pair", $"lcs").as[(Long, Long)].collect().toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i.toLong) == brute(a, b).toLong,
+        s"case $i: kernel ${got(i.toLong)} != brute ${brute(a, b)} for $a vs $b")
+    }
+  }
+
+  test("ROUGE-L: hand case, cap, and degenerate sides") {
+    // cand "a b c d", ref "a c b d" → LCS 3 ("a b d" or "a c d")
+    val df = Seq((1L, "a b c d", "a c b d")).toDF("pid", "cand", "ref")
+    val r = EvalMetrics.rougeL(df, "pid", "cand", "ref")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double], Double)].head()
+    assert(r._2 == 4L && r._3 == 4L && r._4 == 3L)
+    assert(r._5.contains(0.75) && r._6.contains(0.75) && r._7 == 0.75)
+    // the cap truncates BOTH sides before matching
+    val capped = EvalMetrics.rougeL(
+        Seq((1L, "a b c d", "c d a b")).toDF("pid", "cand", "ref"),
+        "pid", "cand", "ref", maxTokens = 2)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double], Double)].head()
+    // cand→[a b], ref→[c d]: no overlap
+    assert(capped._2 == 2L && capped._3 == 2L && capped._4 == 0L && capped._7 == 0.0)
+    // disjoint sequences: zero LCS, zero f1, ratios defined
+    val dis = EvalMetrics.rougeL(
+        Seq((1L, "x y", "p q")).toDF("pid", "cand", "ref"), "pid", "cand", "ref")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double], Double)].head()
+    assert(dis._4 == 0L && dis._5.contains(0.0) && dis._7 == 0.0)
+  }
+
   test("corpus BLEU: perfect match scores 1, any empty n-gram level scores 0") {
     val same = Seq((1L, "a b c d e f", "a b c d e f")).toDF("pid", "cand", "ref")
     val b = EvalMetrics.corpusBleu(same, "pid", "cand", "ref", maxN = 4)
