@@ -7324,26 +7324,36 @@ object OpsQueries {
     "q268_percentile_norm" -> Q(
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
           .select($"doc_id", $"source", $"n_chars")
-        // the global percent_rank runs over the corpus — its tie-sharing
-        // rank comes from the value-domain ECDF (rank(v) = cum(≤v) −
-        // c(v) + 1) via the distributed prefix-sum hatch, never a
-        // single-partition window; the per-source window stays (Spark
-        // distributes by source)
+        // BOTH percent_ranks run over corpus-scaled frames: the global
+        // one via the value-domain ECDF (tie-sharing rank(v) = cum(≤v) −
+        // c(v) + 1) on the distributed prefix-sum hatch; the per-source
+        // one the same way PER GROUP via runningSumsBy — a
+        // Window.partitionBy(source) would put each source (≈ corpus/20
+        // rows at 100 TB) on ONE task
         val vc = docs.groupBy($"n_chars").agg(count(lit(1)).as("__c"))
         val run = Ranks.runningSums(vc, Seq("__c" -> "__cum"), None,
           $"n_chars")
         val ranks = run.df.select($"n_chars",
           ($"__cum" - $"__c" + 1L).as("__rk"))
+        val svc = docs.groupBy($"source", $"n_chars")
+          .agg(count(lit(1)).as("__sc"))
+        val sranks = Ranks.runningSumsBy(svc, Seq("source"),
+            Seq("__sc" -> "__scum"), $"n_chars")
+          .withColumn("__srk", $"__scum" - $"__sc" + 1L)
+        val stot = svc.groupBy($"source").agg(sum($"__sc").as("__sn"))
         docs.join(ranks, "n_chars")
+          .join(sranks.select($"source", $"n_chars", $"__srk"),
+            Seq("source", "n_chars"))
+          .join(stot, "source")
           .withColumn("pct_global",
             round(($"__rk" - 1L).cast("double") /
               lit((run.totals("__c") - 1).toDouble), 6))
           .withColumn("pct_source",
-            round(percent_rank().over(
-              Window.partitionBy($"source").orderBy($"n_chars")), 6))
+            // singleton source: SQL percent_rank is 0, not 0/0
+            when($"__sn" > 1, round(($"__srk" - 1L).cast("double") /
+              ($"__sn" - 1L).cast("double"), 6)).otherwise(lit(0.0)))
           .select($"doc_id", $"pct_global", $"pct_source")
           .orderBy($"doc_id").limit(25)
       },
