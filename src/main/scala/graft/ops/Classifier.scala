@@ -266,10 +266,13 @@ object Classifier {
     * fairness-aware deployment actually needs (the global q̂ of q361
     * can under-cover a high-variance group).
     *
-    * Scale shape: the q361 shapes with every window PARTITIONED BY
-    * group — value-domain residual counts, per-group rank cut, one
-    * group-keyed coverage aggregate. Output per group:
-    * (group, n_cal, n_test, qhat, coverage). */
+    * Scale shape: the q361 shapes PER GROUP — value-domain residual
+    * counts, then `Ranks.runningSumsBy` for the per-group cumulative
+    * (continuous residuals make the (group, value) table fact-sized,
+    * and the group domain is SMALL — a `Window.partitionBy(group)`
+    * would put each group's whole residual domain on one task), a
+    * per-group rank cut, one group-keyed coverage aggregate. Output per
+    * group: (group, n_cal, n_test, qhat, coverage). */
   def mondrianConformal(df: DataFrame, groupCol: String, valueCol: String,
       splitCol: Column, alpha: Double = 0.1): DataFrame = {
     val base = df.select(col(groupCol).as("__g"),
@@ -282,8 +285,8 @@ object Classifier {
     val cal = base.filter(col("__s") === 1).join(mu, "__g")
       .select(col("__g"), resid.as("__r"))
     val vc = cal.groupBy(col("__g"), col("__r")).agg(count(lit(1)).as("__c"))
-    val cum = vc.withColumn("__cum", sum(col("__c")).over(
-      Window.partitionBy(col("__g")).orderBy(col("__r"))))
+    val cum = Ranks.runningSumsBy(vc, Seq("__g"),
+      Seq("__c" -> "__cum"), col("__r"))
     val nCal = cal.groupBy(col("__g")).agg(count(lit(1)).as("n_cal"))
     val qhat = cum.join(nCal, "__g")
       .groupBy(col("__g"))

@@ -426,21 +426,30 @@ object Profile {
     * Output: (group, total_weight, w_median). */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: Column,
       weightCol: Column, tiebreak: Column): DataFrame = {
+    // The median is a VALUE-DOMAIN statistic: the crossing value of the
+    // cumulative weight is the same whether the running sum walks raw
+    // rows (the old per-group window — one task per group over
+    // fact-scaled rows) or per-DISTINCT-value weight sums (a group
+    // aggregate + the distributed grouped decimal prefix sum) — if the
+    // threshold crosses mid-tie-group, that group's value is the
+    // answer either way. `tiebreak` is retained in the signature for
+    // contract compatibility; it only ever disambiguated the
+    // within-value walk order, never the result.
     val base = df.select(col(groupCol).as("grp"),
       round(valueCol, 9).cast("decimal(15,9)").as("__v"),
-      weightCol.cast("decimal(18,6)").as("__w"),
-      tiebreak.as("__tb"))
-    val w = Window.partitionBy(col("grp")).orderBy(col("__v"), col("__tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("grp"))
-    base
+      weightCol.cast("decimal(18,6)").as("__w"))
+    val wc = base.groupBy(col("grp"), col("__v"))
+      .agg(sum(col("__w")).cast("decimal(28,6)").as("__ws"))
+    val cum = Ranks.runningDecimalSumsBy(wc, Seq("grp"),
+      Seq("__ws" -> "__cum"), col("__v"))
+    val tots = wc.groupBy(col("grp"))
       // DECIMAL(28,6): the ×2 comparison must stay inside precision 38
-      .withColumn("__cum", sum(col("__w")).over(w).cast("decimal(28,6)"))
-      .withColumn("__tot", sum(col("__w")).over(tot).cast("decimal(28,6)"))
+      .agg(sum(col("__ws")).cast("decimal(28,6)").as("__tot"))
+    cum.join(tots, "grp")
       .groupBy(col("grp"))
       .agg(max(col("__tot")).cast("double").as("total_weight"),
-        min(when(col("__cum") * 2 >= col("__tot"), col("__v")))
-          .cast("double").as("w_median"))
+        min(when(col("__cum").cast("decimal(28,6)") * 2 >= col("__tot"),
+          col("__v"))).cast("double").as("w_median"))
   }
 
   /** Hill tail-index estimator over the top-(k+1) order statistics of a
@@ -795,21 +804,31 @@ object Profile {
   def trimmedMean(df: DataFrame, keyCol: String, valueCol: String,
       trimFrac: Double): DataFrame = {
     require(trimFrac >= 0.0 && trimFrac < 0.5, "trimFrac in [0, 0.5)")
+    // Rank-window-free form: the kept mass of a per-key rank window
+    // `trim < rn ≤ cnt − trim` is computable per DISTINCT value from
+    // the grouped cumulative count — a tie group occupying ranks
+    // (lo, hi] contributes max(0, min(hi, cnt−trim) − max(lo, trim))
+    // copies of its value. Exact integer arithmetic, and the per-key
+    // row_number window (one task per key over fact-scaled rows — keys
+    // like l_returnflag have THREE values) is gone.
     val base = df.select(col(keyCol).as("key"),
       col(valueCol).cast("decimal(18,6)").as("__v"))
-    val w = Window.partitionBy(col("key")).orderBy(col("__v"))
-    val wn = Window.partitionBy(col("key"))
-    val t = base
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__cnt", count(lit(1)).over(wn))
-      .withColumn("__trim",
-        floor(col("__cnt").cast("double") * lit(trimFrac)).cast("long"))
-    t.where(col("__rn") > col("__trim") &&
-        col("__rn") <= col("__cnt") - col("__trim"))
+    val vc = base.groupBy(col("key"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = Ranks.runningSumsBy(vc, Seq("key"),
+      Seq("__c" -> "__hi"), col("__v"))
+    val cnts = vc.groupBy(col("key")).agg(sum(col("__c")).as("__cnt"))
+    val trim = floor(col("__cnt").cast("double") * lit(trimFrac)).cast("long")
+    val lo = col("__hi") - col("__c")
+    val take = greatest(lit(0L),
+      least(col("__hi"), col("__cnt") - trim) - greatest(lo, trim))
+    cum.join(cnts, "key")
+      .select(col("key"), col("__cnt"), col("__v"), take.as("__take"))
+      .where(col("__take") > 0)
       .groupBy(col("key"))
-      .agg(max(col("__cnt")).as("n"), count(lit(1)).as("n_kept"),
-        round(sum(col("__v")).cast("double") / count(lit(1)).cast("double"), 6)
-          .as("trimmed_mean"))
+      .agg(max(col("__cnt")).as("n"), sum(col("__take")).as("n_kept"),
+        round(sum(col("__v") * col("__take")).cast("double") /
+          sum(col("__take")).cast("double"), 6).as("trimmed_mean"))
   }
 
   /** Mutual information (nats) between two categorical columns — the

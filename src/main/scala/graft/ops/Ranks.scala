@@ -623,4 +623,199 @@ object Ranks {
     }(Encoders.row(outSchema))
     out
   }
+
+  /** [[runningSumsBy]] for EXACT DecimalType columns — the grouped twin
+    * of [[runningDecimalSums]] (revenue/weight cumulatives per stratum:
+    * the weighted-median class). Same contiguity machinery and the
+    * same ≤ #groups + #partitions − 1 partials bound; unbounded
+    * BigDecimal accumulators in the walk; output type =
+    * decimal(min(38, p+10), s), the window-sum result type. */
+  def runningDecimalSumsBy(df: DataFrame, groupCols: Seq[String],
+      sums: Seq[(String, String)], sortCols: Column*): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column " +
+      "(use runningDecimalSums for the global form)")
+    require(sortCols.nonEmpty, "need at least one sort column")
+    require(sums.nonEmpty, "need at least one sum column")
+    requireFreeNames(df, "__mid")
+    val inTypes = sums.map { case (in, _) =>
+      df.schema(in).dataType match {
+        case d: DecimalType => in -> d
+        case other => throw new IllegalArgumentException(
+          s"runningDecimalSumsBy sums DecimalType columns; '$in' is " +
+            other.simpleString)
+      }
+    }
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val keyCols = groupCols.map(col) ++ sortCols
+    val parted = df.repartitionByRange(nPart, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(false) // consumers: the partials job + the walk
+    val schema = parted.schema
+    val midIdx = schema.fieldIndex("__mid")
+    val grpIdx = groupCols.map(schema.fieldIndex).toArray
+    val sumIdx = sums.map { case (in, _) => schema.fieldIndex(in) }.toArray
+    val nSums = sumIdx.length
+    val nGrp = groupCols.length
+    val pidOf = shiftright(col("__mid"), 33)
+    val localOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val aggCols =
+      Seq(count(lit(1)).as("__c"), max(localOf).as("__ml")) ++
+        sums.zipWithIndex.map { case ((in, _), k) =>
+          sum(col(in)).as(s"__s$k") }
+    val partials = parted
+      .groupBy((pidOf.as("__pid") +: groupCols.map(col)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+    partials.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val c = rs.map(_.getLong(1 + nGrp)).sum
+      val ml = rs.map(_.getLong(2 + nGrp)).max
+      require(ml == c - 1,
+        s"runningDecimalSumsBy: partition $p has count=$c but max local " +
+          s"index=$ml — monotonically_increasing_id bit-layout invariant " +
+          "violated (partition exceeded 2^33 rows?)")
+    }
+    def keyOf(r: Row): List[Any] = List.tabulate(nGrp)(i => r.get(1 + i))
+    val offsets =
+      scala.collection.mutable.Map.empty[(Long, List[Any]), Array[java.math.BigDecimal]]
+    partials.groupBy(keyOf).foreach { case (g, rs) =>
+      val acc = Array.fill(nSums)(java.math.BigDecimal.ZERO)
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        offsets((r.getLong(0), g)) = acc.clone()
+        var k = 0
+        while (k < nSums) {
+          // partial row layout: (__pid, group…, __c, __ml, __s0, __s1…)
+          if (!r.isNullAt(3 + nGrp + k))
+            acc(k) = acc(k).add(r.getDecimal(3 + nGrp + k))
+          k += 1
+        }
+      }
+    }
+    val bOff = spark.sparkContext.broadcast(offsets.toMap)
+    val outTypes = inTypes.map { case (_, d) =>
+      DecimalType(math.min(38, d.precision + 10), d.scale) }
+    val outSchema = StructType(schema.fields.patch(midIdx, Nil, 1) ++
+      sums.zip(outTypes).map { case ((_, o), t) =>
+        StructField(o, t, nullable = false) })
+    val si = sumIdx; val gi = grpIdx; val mi = midIdx
+    val scales = outTypes.map(_.scale).toArray
+    val out = parted.mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        val pid = buf.head.getLong(mi) >>> 33
+        val off = bOff.value
+        var curKey: List[Any] = null
+        var acc: Array[java.math.BigDecimal] = null
+        new Iterator[Row] {
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): Row = {
+            val r = buf.next()
+            val k0 = List.tabulate(gi.length)(i => r.get(gi(i)))
+            if (curKey == null || k0 != curKey) {
+              curKey = k0
+              acc = off.getOrElse((pid, k0),
+                Array.fill(si.length)(java.math.BigDecimal.ZERO)).clone()
+            }
+            var k = 0
+            while (k < si.length) {
+              if (!r.isNullAt(si(k))) acc(k) = acc(k).add(r.getDecimal(si(k)))
+              k += 1
+            }
+            val snap: Seq[Any] = Array.tabulate[Any](si.length)(k =>
+              acc(k).setScale(scales(k))).toSeq
+            Row.fromSeq(r.toSeq.patch(mi, Nil, 1) ++ snap)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+    out
+  }
+
+  /** PER-GROUP lead — `lead(src) OVER (PARTITION BY groupCols ORDER BY
+    * sortCols)` for the few-huge-groups regime: adds `out` = the NEXT
+    * row's value of `src` under the group-local order, NULL on each
+    * group's last row. Same contiguity machinery as [[runningSumsBy]]:
+    * range exchange on (groupCols ++ sortCols) keeps every group
+    * contiguous across ordered partitions, so a partition-boundary row's
+    * lead patches from the collected FIRST `src` value of the next
+    * partition that still holds its group (a group ending mid-partition
+    * is globally finished — contiguity — so its last row gets NULL with
+    * no lookup). The partials collect stays ≤ #groups + #partitions − 1
+    * rows; same many-small-groups caveat: `Window.partitionBy` is the
+    * right tool there. */
+  def runningLeadBy(df: DataFrame, groupCols: Seq[String],
+      lead: (String, String), sortCols: Column*): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column " +
+      "(use runningSums' lead for the global form)")
+    require(sortCols.nonEmpty, "need at least one sort column")
+    requireFreeNames(df, "__mid")
+    val (src, outName) = lead
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val keyCols = groupCols.map(col) ++ sortCols
+    val parted = df.repartitionByRange(nPart, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(false) // consumers: the partials job + the walk
+    val schema = parted.schema
+    val midIdx = schema.fieldIndex("__mid")
+    val grpIdx = groupCols.map(schema.fieldIndex).toArray
+    val srcIdx = schema.fieldIndex(src)
+    val nGrp = groupCols.length
+    val pidOf = shiftright(col("__mid"), 33)
+    val localOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val partials = parted
+      .groupBy((pidOf.as("__pid") +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("__c"), max(localOf).as("__ml"),
+        min_by(col(src), col("__mid")).as("__fv"))
+      .collect()
+    partials.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val c = rs.map(_.getLong(1 + nGrp)).sum
+      val ml = rs.map(_.getLong(2 + nGrp)).max
+      require(ml == c - 1,
+        s"runningLeadBy: partition $p has count=$c but max local " +
+          s"index=$ml — monotonically_increasing_id bit-layout invariant " +
+          "violated (partition exceeded 2^33 rows?)")
+    }
+    def keyOf(r: Row): List[Any] = List.tabulate(nGrp)(i => r.get(1 + i))
+    // boundary for (p, g) = first src value of the NEXT partition that
+    // holds g (group pid-runs are consecutive up to empty partitions)
+    val boundary = scala.collection.mutable.Map.empty[(Long, List[Any]), Any]
+    partials.groupBy(keyOf).foreach { case (g, rs) =>
+      rs.sortBy(_.getLong(0)).sliding(2).foreach {
+        case Array(a, b) =>
+          boundary((a.getLong(0), g)) = b.get(3 + nGrp)
+        case _ => ()
+      }
+    }
+    val bNext = spark.sparkContext.broadcast(boundary.toMap)
+    val outSchema = StructType(schema.fields.patch(midIdx, Nil, 1) :+
+      StructField(outName, schema(src).dataType, nullable = true))
+    val gi = grpIdx; val mi = midIdx; val siL = srcIdx
+    val out = parted.mapPartitions { it =>
+      val buf = it.buffered
+      if (!buf.hasNext) Iterator.empty
+      else {
+        val pid = buf.head.getLong(mi) >>> 33
+        val bnd = bNext.value
+        new Iterator[Row] {
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): Row = {
+            val r = buf.next()
+            val k0 = List.tabulate(gi.length)(i => r.get(gi(i)))
+            val lead: Any =
+              if (buf.hasNext) {
+                val nx = buf.head
+                val k1 = List.tabulate(gi.length)(i => nx.get(gi(i)))
+                if (k1 == k0) nx.get(siL) else null
+              } else bnd.getOrElse((pid, k0), null)
+            Row.fromSeq(r.toSeq.patch(mi, Nil, 1) :+ lead)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+    out
+  }
 }

@@ -393,24 +393,28 @@ object TimeSeries {
     * integer microseconds, λ derives from exact integer sums, and the
     * final max of doubles is order-independent.
     *
-    * Scale shape: ONE type-keyed sort window for gaps (the q57
-    * sessionize class), ONE (type, gap) partial-combining count, a
-    * type-partitioned cumulative window over the AGGREGATED gap table,
-    * one max per type. Output: (event_type, n_gaps, lambda_per_hour,
-    * ks_d). */
+    * Scale shape: BOTH per-type passes ride the grouped hatches — the
+    * event-type domain is a HANDFUL of values over an event-scaled
+    * table, so `Window.partitionBy(type)` would put each type's whole
+    * history (and, for the ECDF, its µs-distinct gap domain) on one
+    * task. Gaps come from `Ranks.runningLeadBy` (range exchange on
+    * (type, ts) + partition walk; the sorted multiset of consecutive
+    * differences is tie-order-free), the ECDF from `Ranks.runningSumsBy`
+    * over the (type, gap) counts; one max per type. Output:
+    * (event_type, n_gaps, lambda_per_hour, ks_d). */
   def interArrivalKs(df: DataFrame, typeCol: String, tsCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__ty")).orderBy(col("__us"))
-    val gaps = df
-      .select(col(typeCol).as("__ty"),
-        unix_micros(col(tsCol).cast("timestamp")).as("__us"))
-      .withColumn("__g", col("__us") - lag(col("__us"), 1).over(w))
+    val ev = df.select(col(typeCol).as("__ty"),
+      unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+    val gaps = Ranks.runningLeadBy(ev, Seq("__ty"),
+        "__us" -> "__nx", col("__us"))
+      .select(col("__ty"), (col("__nx") - col("__us")).as("__g"))
       .filter(col("__g").isNotNull)
     val stats = gaps.groupBy(col("__ty"))
       .agg(count(lit(1)).as("n_gaps"),
         sum(col("__g").cast("decimal(38,0)")).as("__sum"))
     val gc = gaps.groupBy(col("__ty"), col("__g")).agg(count(lit(1)).as("__c"))
-    val wc = Window.partitionBy(col("__ty")).orderBy(col("__g"))
-    val ec = gc.withColumn("__cle", sum(col("__c")).over(wc))
+    val ec = Ranks.runningSumsBy(gc, Seq("__ty"),
+      Seq("__c" -> "__cle"), col("__g"))
     val nD = col("n_gaps").cast("double")
     val lam = nD / (col("__sum").cast("double") / lit(1e6)) // per second
     val fexp = lit(1.0) - exp(-lam * (col("__g").cast("double") / lit(1e6)))

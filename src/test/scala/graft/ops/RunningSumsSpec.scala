@@ -145,6 +145,41 @@ class RunningSumsSpec extends SparkSpec {
       ("c", 1L, 7L), ("c", 2L, 15L), ("c", 3L, 24L)))
   }
 
+  test("runningDecimalSumsBy == decimal sum OVER (PARTITION BY g ORDER BY v)") {
+    val df = spark.range(700).select($"id",
+      ($"id" % 3).cast("string").as("g"),
+      (($"id" * 13 % 97).cast("decimal(18,6)") / 7).cast("decimal(18,6)")
+        .as("w"))
+    val got = Ranks.runningDecimalSumsBy(df, Seq("g"),
+      Seq("w" -> "cw"), $"id")
+    val w = Window.partitionBy($"g").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("cw", sum($"w").over(w))
+    assert(got.schema("cw").dataType ===
+      org.apache.spark.sql.types.DecimalType(28, 6))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "grouped decimal prefix sum diverged from the partitioned window")
+    val nPart = got.select(spark_partition_id()).distinct().count()
+    assert(nPart > 1, s"grouped decimal prefix sum ran in $nPart partition(s)")
+  }
+
+  test("runningLeadBy == lead() OVER (PARTITION BY g ORDER BY v), group-boundary NULLs") {
+    // 3 mega-groups straddling range partitions; a singleton group too
+    val df = spark.range(600).select($"id",
+        when($"id" === 599, "z").otherwise(($"id" % 3).cast("string")).as("g"),
+        ($"id" * 7 % 1000).as("x"))
+    val got = Ranks.runningLeadBy(df, Seq("g"), "x" -> "nx", $"id")
+    val w = Window.partitionBy($"g").orderBy($"id")
+    val want = df.withColumn("nx", lead($"x", 1).over(w))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "grouped lead diverged from the partitioned window lead")
+    // one NULL per group (each group's last row)
+    assert(got.filter($"nx".isNull).count() ==
+      df.select($"g").distinct().count())
+    val nPart = got.select(spark_partition_id()).distinct().count()
+    assert(nPart > 1, s"grouped lead ran in $nPart partition(s)")
+  }
+
   test("reserved internal names are rejected loudly") {
     val df = Seq((1L, 2L)).toDF("v", "__mid")
     val e = intercept[IllegalArgumentException] {
