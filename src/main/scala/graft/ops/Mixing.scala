@@ -55,9 +55,12 @@ object Mixing {
     val target = in.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__target", min(col("__n")).over(Window.partitionBy()))
       .select(col(stratumCol), col("__target"))
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(TextStats.hashUniform(col(idCol)).asc, col(idCol).asc)
-    in.withColumn("__rk", row_number().over(w))
+    // per-stratum rank through the grouped hatch: strata are
+    // handful-sized label domains (lang/source) over a corpus-scaled
+    // frame — a Window.partitionBy(stratum) puts each label's whole
+    // slice on one task
+    Ranks.withRowNumberBy(in, Seq(stratumCol), "__rk",
+        TextStats.hashUniform(col(idCol)).asc, col(idCol).asc)
       .join(target, Seq(stratumCol))
       .filter(col("__rk") <= col("__target"))
       .select(df.columns.map(col): _*) // the using-join moved the key first
@@ -79,9 +82,6 @@ object Mixing {
       splits: Seq[(String, Int)], den: Int): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == den,
       s"split numerators must sum to den=$den: $splits")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(TextStats.hashUniform(col(idCol)).asc, col(idCol).asc)
     val cums = splits.scanLeft(0) { case (acc, (_, num)) => acc + num }.tail
     val assign = splits.zip(cums).dropRight(1)
       .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cum)) =>
@@ -89,10 +89,15 @@ object Mixing {
         Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
       }
       .fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1)))
-    df.withColumn("__rk", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+    // per-stratum rank through the grouped hatch (handful-sized label
+    // domains over a corpus-scaled frame); stratum sizes join back from
+    // a plain aggregate instead of a second keyed window
+    val ns = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    Ranks.withRowNumberBy(df, Seq(stratumCol), "__rk",
+        TextStats.hashUniform(col(idCol)).asc, col(idCol).asc)
+      .join(ns, Seq(stratumCol))
       .withColumn("split", assign)
-      .drop("__rk", "__n")
+      .select((df.columns :+ "split").map(col): _*)
   }
 
   /** Per-stratum QUANTILE CALIBRATION of a quality score: map each row's
@@ -109,15 +114,17 @@ object Mixing {
     * its sort). */
   def quantileCalibrate(df: DataFrame, idCol: String, stratumCol: String,
       scoreCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(col(scoreCol).asc, col(idCol).asc)
-    df.withColumn("__rk", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+    // per-stratum rank through the grouped hatch (handful-sized label
+    // domains over a corpus-scaled frame); stratum sizes join back from
+    // a plain aggregate
+    val ns = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    Ranks.withRowNumberBy(df, Seq(stratumCol), "__rk",
+        col(scoreCol).asc, col(idCol).asc)
+      .join(ns, Seq(stratumCol))
       .withColumn("calibrated",
         when(col("__n") === 1, lit(0.0))
           .otherwise((col("__rk") - 1).cast("double") / (col("__n") - 1).cast("double")))
-      .drop("__rk", "__n")
+      .select((df.columns :+ "calibrated").map(col): _*)
   }
 
   /** Token-budget selection: per stratum (source, language), keep
@@ -229,32 +236,31 @@ object Mixing {
     * hard by TOKEN budget, not doc count — a phase of few long docs and
     * a phase of many short ones cost the same training compute).
     *
-    * Scale shape: one rank shuffle per stratum (the exactSplit
-    * contract) + the per-stratum total as a partition-only window over
-    * the same sort. A mega-stratum bounds its own sort; two escape
-    * hatches exist: pre-shard by hash then phase within shards (the
-    * q86/q94 route, when phase boundaries may be approximate), or
-    * `Ranks.runningSumsBy(df, Seq(stratum), Seq(token -> cumb),
-    * scoreCol.desc, idCol)` for the EXACT per-stratum running token
-    * mass with no per-stratum single-task sort (few-huge-groups
-    * regime; equality proven in RunningSumsSpec incl. groups straddling
-    * range partitions). Use an INTEGER score: a float score that
-    * differs by 1 ulp across engines would reorder the cumsum. */
+    * Scale shape: the per-stratum running token mass runs through
+    * `Ranks.runningSumsBy` (range exchange on (stratum, score desc, id)
+    * + partition walk — strata are handful-sized label domains over a
+    * corpus-scaled frame, so a per-stratum window would put each
+    * stratum on ONE task); totals join back from a plain aggregate.
+    * Use an INTEGER score: a float score that differs by 1 ulp across
+    * engines would reorder the cumsum. */
   def curriculumPhases(df: DataFrame, idCol: String, stratumCol: String,
       scoreCol: String, tokenCol: String, phases: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(phases >= 1, s"phases must be >= 1, got $phases")
-    val order = Window.partitionBy(col(stratumCol))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-    val before = order.rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__cumb",
-        coalesce(sum(col(tokenCol)).over(before), lit(0L)).cast("long"))
-      .withColumn("__tot",
-        sum(col(tokenCol)).over(Window.partitionBy(col(stratumCol))).cast("long"))
+    // the per-stratum running token mass rides the grouped prefix-sum
+    // hatch (the mega-stratum note below is now the DEFAULT path);
+    // exclusive-before = inclusive − own, totals join back from a plain
+    // aggregate
+    val tots = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+    Ranks.runningSumsBy(df.withColumn("__tk", col(tokenCol).cast("long")),
+        Seq(stratumCol), Seq("__tk" -> "__cumi"),
+        col(scoreCol).desc, col(idCol).asc)
+      .withColumn("__cumb", col("__cumi") - col("__tk"))
+      .join(tots, Seq(stratumCol))
       .withColumn("phase",
         least(lit(phases - 1),
           expr(s"(__cumb * $phases) DIV __tot")).cast("int"))
-      .drop("__cumb", "__tot")
+      .select((df.columns :+ "phase").map(col): _*)
   }
 
   /** Deterministic training-shard assignment + the per-shard RELEASE

@@ -624,6 +624,19 @@ object Ranks {
     out
   }
 
+  /** PER-GROUP 1-based LongType row number — the grouped twin of
+    * [[withRowNumber]] for the few-huge-groups regime (per-stratum
+    * rank/quota cuts): an inclusive prefix count of ones through
+    * [[runningSumsBy]], so no group ever lands on one task. Same
+    * contract: (groupCols ++ sortCols) must totally order rows;
+    * many-small-groups stay on `Window.partitionBy`. */
+  def withRowNumberBy(df: DataFrame, groupCols: Seq[String],
+      rnCol: String, sortCols: Column*): DataFrame = {
+    requireFreeNames(df, "__one")
+    runningSumsBy(df.withColumn("__one", lit(1L)), groupCols,
+      Seq("__one" -> rnCol), sortCols: _*).drop("__one")
+  }
+
   /** [[runningSumsBy]] for EXACT DecimalType columns — the grouped twin
     * of [[runningDecimalSums]] (revenue/weight cumulatives per stratum:
     * the weighted-median class). Same contiguity machinery and the

@@ -689,8 +689,10 @@ object TextStats {
     *
     * Scale shape: one (stratum, token) aggregation taking min-id (the
     * first-occurrence table, partial-combining), one doc-keyed count,
-    * and one stratum-keyed window cumsum — never a global window; a
-    * mega-stratum bounds its own sort. */
+    * and the per-stratum cumsum through `Ranks.runningSumsBy` — strata
+    * are handful-sized label domains over a corpus-scaled frame, so a
+    * stratum-keyed window would put each stratum's whole doc spine on
+    * one task. */
   def vocabGrowth(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, stratumCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{count => fcount}
@@ -700,13 +702,12 @@ object TextStats {
       .agg(min(col(idCol)).as("__d0"))
     val perDoc = firstSeen.groupBy(col(stratumCol), col("__d0").as(idCol))
       .agg(fcount(lit(1)).as("__n_new"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(col(idCol))
-    df.select(col(stratumCol), col(idCol))
+    val base = df.select(col(stratumCol), col(idCol))
       .join(perDoc, Seq(stratumCol.replace("`", ""), idCol.replace("`", "")), "left")
       .withColumn("n_new", coalesce(col("__n_new"), lit(0L)))
-      .withColumn("vocab_so_far", sum(col("n_new")).over(w))
       .drop("__n_new")
+    graft.ops.Ranks.runningSumsBy(base, Seq(stratumCol.replace("`", "")),
+      Seq("n_new" -> "vocab_so_far"), col(idCol))
   }
 
   /** NUCLEUS (top-p) vocabulary cutoff: rank tokens by corpus frequency

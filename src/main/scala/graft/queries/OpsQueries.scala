@@ -1634,7 +1634,9 @@ object OpsQueries {
         val d = Tables.documents(s, dir).select($"doc_id", $"source",
           size(split($"text", " ")).cast("long").as("n_tokens"),
           TextStats.meanTokenLen($"text").as("score"))
-        Mixing.tokenBudgetSelect(d, "doc_id", "source", "n_tokens", "score",
+        // the grouped-hatch form: sources are a handful of labels over
+        // the corpus — the window form would sort each source on 1 task
+        Mixing.tokenBudgetSelectBy(d, "doc_id", "source", "n_tokens", "score",
             budget = 1000L)
           .orderBy($"doc_id")
       },

@@ -105,4 +105,73 @@ class WindowAuditSpec extends SparkSpec {
     val dead = allowlist.keySet -- SparkEntry.queries.keySet
     assert(dead.isEmpty, s"allowlisted queries no longer exist: $dead")
   }
+
+  // ── the LOW-CARDINALITY partitionBy rule ─────────────────────────────
+  // Window.partitionBy(k) is only distributed when k has enough
+  // distinct values: keyed on a handful-sized domain (return flags,
+  // priorities, event types, languages, sources) over a fact-scaled
+  // frame, each key's whole slice lands on ONE task at 100 TB — the
+  // q234/q260/q267/q380 class this round retired onto the grouped
+  // hatches (runningSumsBy / runningDecimalSumsBy / runningLeadBy).
+  // Cardinality is not statically knowable, so the rule is NAME-based:
+  // a window partitioned ONLY by known bounded-domain columns (or
+  // simple derivations of them) must be allowlisted with the reason its
+  // input frame is bounded too.
+
+  /** column names with handful-sized domains in this schema */
+  private val lowCardCols = Set("event_type", "l_returnflag",
+    "l_linestatus", "o_orderpriority", "o_orderstatus", "lang", "source",
+    "split", "priority", "c_mktsegment", "p_brand")
+
+  /** query -> why its low-card-keyed window's INPUT frame is bounded */
+  private val lowCardAllowlist: Map[String, String] = Map(
+    "q76_heavy_hitters" -> "rank ≤ 5 filter plans WindowGroupLimit — per-partition top-k pushdown bounds each key's window input to k × #map-partitions (plan-asserted below)",
+    "q427_rbo" -> "rank ≤ k filter plans WindowGroupLimit — same bound (plan-asserted below)",
+    "q430_sql_surface" -> "rank ≤ 3 filter plans WindowGroupLimit (plan-asserted below); the gate's purpose is VERBATIM-portable SQL, so the text stays standard",
+    "q317_lead_time_sla" -> "cumulative over the (priority, lead-DAYS) value table — integer day domain, bounded by the order horizon")
+
+  test("the WindowGroupLimit claims in the low-card allowlist hold in the physical plans") {
+    Seq("q76_heavy_hitters", "q427_rbo", "q430_sql_surface").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sfTiny)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost the top-k window pushdown its allowlist entry claims:\n" +
+          p.take(1000))
+    }
+  }
+
+  private def lowCardWindows(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty &&
+          w.partitionSpec.forall { e =>
+            val refs = e.references.map(_.name).toSet
+            refs.nonEmpty && refs.subsetOf(lowCardCols)
+          } =>
+        w.partitionSpec.map(_.sql).mkString(", ") + " ← " +
+          w.windowExpressions.map(_.sql.take(70)).mkString("; ")
+    }
+
+  test("the low-card rule flags the pre-fix q267 shape (rank window keyed on l_returnflag)") {
+    val li = Tables.lineitem(spark, sfTiny)
+    val bad = li.withColumn("__rn", row_number().over(
+      Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")))
+    assert(lowCardWindows(bad).nonEmpty, "pre-fix q267 shape not flagged")
+    // high-cardinality keys (user/order/doc ids) do NOT trip the rule
+    val ok = li.withColumn("__rn", row_number().over(
+      Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")))
+    assert(lowCardWindows(ok).isEmpty)
+  }
+
+  test("no low-cardinality-keyed window over an unbounded frame in the registry") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (lowCardAllowlist.contains(name)) Nil
+      else {
+        try lowCardWindows(fn(spark, sfTiny)).map(w => s"$name — $w")
+        catch { case e: Throwable => Seq(s"$name failed to plan: ${e.getMessage}") }
+      }
+    }
+    assert(bad.isEmpty,
+      "low-cardinality-keyed windows outside the allowlist:\n" +
+        bad.mkString("\n"))
+  }
 }
