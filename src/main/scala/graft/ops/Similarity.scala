@@ -1004,4 +1004,83 @@ object Similarity {
         round(col("__r"), 6).as("r_db"))
       .orderBy(col("cell"))
   }
+
+  /** MAUVE (Pillutla et al. 2021, arXiv 2102.01454) in its exact
+    * discrete quantized form — THE open-ended-generation distribution
+    * metric: both embedding sets quantize to the SAME fixed centroid
+    * cells (the `ivfCell` literal cosine argmax, ties to the smaller
+    * cell id — identical to the q39 assignment its oracle replays),
+    * giving two k-cell histograms P (rows where `refPred`) and Q (the
+    * rest). The divergence frontier is traced over mixtures
+    * R_λ = λ·P + (1−λ)·Q at λ = i/(lGrid+1), i = 1..lGrid, PLUS the two
+    * exact mixture endpoints λ=0 and λ=1 (a support mismatch makes the
+    * endpoint KL infinite → that coordinate is exactly 0); each point is
+    *   ( exp(−c·KL(Q ‖ R_λ)), exp(−c·KL(P ‖ R_λ)) ).
+    * MAUVE = trapezoid area under the x-sorted polyline, extended
+    * horizontally from the leftmost point to the y-axis — which makes
+    * the convention exact at both extremes: MAUVE(P, P) = 1 (every
+    * point is (1,1); the extension closes the unit square) and
+    * disjoint supports → the (1−λ)^c vs λ^c bow → → 0 as c grows.
+    *
+    * Determinism: P, Q, R are exact count ratios; each per-cell KL term
+    * is 9-dp fixed point summed as exact decimal; exp sees the
+    * double-cast sum; coordinates and per-trapezoid areas re-round to
+    * 9 before the exact final sum — every float op has one fixed order,
+    * mirrored literally by the oracle SQL.
+    *
+    * Scale shape: ONE partial-combining (cell × set) count over the
+    * embeddings (the assignment is a zero-shuffle literal expression);
+    * the collected state is the ≤|centroids|-row histogram (the k-means
+    * driver-state contract), on which the λ-grid arithmetic is
+    * driver-side closed form. Output: 1 row
+    * (n_ref, n_cur, n_cells, mauve ← round 6). */
+  def mauve(emb: DataFrame, idCol: String, vecCol: String, refPred: Column,
+      centroids: Seq[(Int, Array[Float])], lGrid: Int = 9,
+      c: Double = 5.0): DataFrame = {
+    require(lGrid >= 1 && c > 0, s"need lGrid >= 1 and c > 0")
+    val h = emb
+      .select(refPred.as("__ref"), ivfCell(col(vecCol), centroids).as("__cell"))
+      .groupBy(col("__cell"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__pc"),
+        sum(when(!col("__ref"), 1L).otherwise(0L)).as("__qc"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val np = h.map(_._1).sum
+    val nq = h.map(_._2).sum
+    require(np > 0 && nq > 0,
+      s"mauve needs rows on both sides of refPred: ref=$np, cur=$nq")
+    def r9(v: Double): Double =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // KL(A‖M_λ) with A's histogram `a` over total `na`, M_λ = λP+(1−λ)Q;
+    // exact-decimal sum of round-9 per-cell terms, as the oracle does
+    def kl(aOf: ((Long, Long)) => Long, na: Long, l: Double): Double =
+      h.filter(aOf(_) > 0).map { cell =>
+        val a = aOf(cell).toDouble / na.toDouble
+        val p = cell._1.toDouble / np.toDouble
+        val q = cell._2.toDouble / nq.toDouble
+        BigDecimal(r9(a * math.log(a / (l * p + (1.0 - l) * q))))
+      }.sum.toDouble
+    val mismatchPQ = h.exists(cell => cell._1 > 0 && cell._2 == 0) // KL(P‖Q)=∞
+    val mismatchQP = h.exists(cell => cell._2 > 0 && cell._1 == 0) // KL(Q‖P)=∞
+    val grid = (1 to lGrid).map(i => i.toDouble / (lGrid + 1).toDouble)
+    val pts =
+      grid.map { l =>
+        (r9(math.exp(-c * kl(_._2, nq, l))), r9(math.exp(-c * kl(_._1, np, l))))
+      } ++ Seq(
+        // λ=0: R=Q → x=1 exactly; y = exp(−c·KL(P‖Q)), 0 on mismatch
+        (1.0, if (mismatchPQ) 0.0 else r9(math.exp(-c * kl(_._1, np, 0.0)))),
+        // λ=1: R=P → y=1 exactly; x = exp(−c·KL(Q‖P)), 0 on mismatch
+        (if (mismatchQP) 0.0 else r9(math.exp(-c * kl(_._2, nq, 1.0))), 1.0))
+    val sorted = pts.sortBy(identity)
+    val closed = (0.0, sorted.head._2) +: sorted
+    val auc = closed.sliding(2).map {
+      case Seq((x1, y1), (x2, y2)) => BigDecimal(r9((x2 - x1) * (y1 + y2) / 2.0))
+      case _ => BigDecimal(0)
+    }.sum.toDouble
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((np, nq, h.length.toLong,
+        BigDecimal(auc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_ref", "n_cur", "n_cells", "mauve")
+  }
 }

@@ -13325,6 +13325,82 @@ object OpsQueries {
               |  ELSE 0.0::DOUBLE END AS f1
               |FROM fin ORDER BY doc_id""".stripMargin)),
 
+    // ─── MAUVE: divergence-frontier AUC between two embedding sets ──────
+    // The open-ended-generation distribution metric (Pillutla 2021) in
+    // its exact discrete quantized form: q39's fixed-centroid cells →
+    // two histograms → KL frontier over a λ grid + exact mixture
+    // endpoints → trapezoid AUC. Even/odd vec_id halves as ref/cur.
+    "q447_mauve" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter($"vec_id" < 16)
+          .select($"vec_id", $"embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        Similarity.mauve(emb, "vec_id", "embedding",
+          $"vec_id" % 2 === 0, centroids, lGrid = 9, c = 5.0)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (p,q) -> p+q) /
+             |  (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)) *
+             |   sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)))""".stripMargin
+        val pD = "(CAST(pc AS DOUBLE) / CAST(np AS DOUBLE))"
+        val qD = "(CAST(qc AS DOUBLE) / CAST(nq AS DOUBLE))"
+        def term(aD: String, l: String) =
+          s"""CAST(round($aD * ln($aD /
+             |      ($l * $pD + (1.0 - $l) * $qD)), 9) AS DECIMAL(28,9))""".stripMargin
+        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+           |      FROM embeddings WHERE vec_id < 16),
+           |scored AS (SELECT e.vec_id, c.cid, ${cos("e.embedding", "c.cv")} AS csim
+           |      FROM embeddings e CROSS JOIN cents c),
+           |assign AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY csim DESC, cid ASC) AS rn FROM scored),
+           |cl AS (SELECT vec_id, cid, (vec_id % 2 = 0) AS ref FROM assign WHERE rn = 1),
+           |h AS (SELECT cid, sum(CASE WHEN ref THEN 1 ELSE 0 END)::BIGINT AS pc,
+           |        sum(CASE WHEN NOT ref THEN 1 ELSE 0 END)::BIGINT AS qc
+           |      FROM cl GROUP BY 1),
+           |t AS (SELECT sum(pc)::BIGINT AS np, sum(qc)::BIGINT AS nq,
+           |        max(CASE WHEN pc > 0 AND qc = 0 THEN 1 ELSE 0 END) AS mm_pq,
+           |        max(CASE WHEN qc > 0 AND pc = 0 THEN 1 ELSE 0 END) AS mm_qp
+           |      FROM h),
+           |lam AS (SELECT CAST(i AS DOUBLE) / 10.0 AS l FROM range(1, 10) g(i)),
+           |gterms AS (SELECT l,
+           |    CASE WHEN pc > 0 THEN ${term(pD, "l")}
+           |         ELSE CAST(0 AS DECIMAL(28,9)) END AS tp,
+           |    CASE WHEN qc > 0 THEN ${term(qD, "l")}
+           |         ELSE CAST(0 AS DECIMAL(28,9)) END AS tq
+           |  FROM h CROSS JOIN t CROSS JOIN lam),
+           |gkl AS (SELECT l, CAST(sum(tp) AS DOUBLE) AS klp,
+           |        CAST(sum(tq) AS DOUBLE) AS klq FROM gterms GROUP BY 1),
+           |ekl AS (SELECT
+           |    CAST(sum(CASE WHEN pc > 0 AND qc > 0 THEN ${term(pD, "0.0")}
+           |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS kl_pq,
+           |    CAST(sum(CASE WHEN qc > 0 AND pc > 0 THEN ${term(qD, "1.0")}
+           |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS kl_qp
+           |  FROM h CROSS JOIN t),
+           |pts AS (
+           |  SELECT round(exp(-5.0 * klq), 9) AS x, round(exp(-5.0 * klp), 9) AS y
+           |  FROM gkl
+           |  UNION ALL SELECT 1.0,
+           |    CASE WHEN t.mm_pq = 1 THEN 0.0 ELSE round(exp(-5.0 * e.kl_pq), 9) END
+           |  FROM ekl e CROSS JOIN t
+           |  UNION ALL SELECT
+           |    CASE WHEN t.mm_qp = 1 THEN 0.0 ELSE round(exp(-5.0 * e.kl_qp), 9) END,
+           |    1.0
+           |  FROM ekl e CROSS JOIN t),
+           |closed AS (SELECT x, y FROM pts
+           |  UNION ALL SELECT 0.0, (SELECT y FROM pts ORDER BY x, y LIMIT 1)),
+           |tr AS (SELECT x, y, lead(x) OVER (ORDER BY x, y) AS x2,
+           |        lead(y) OVER (ORDER BY x, y) AS y2 FROM closed)
+           |SELECT (SELECT np FROM t) AS n_ref, (SELECT nq FROM t) AS n_cur,
+           |  (SELECT count(*) FROM h)::BIGINT AS n_cells,
+           |  round(CAST(sum(CAST(round((x2 - x) * (y + y2) / 2.0, 9)
+           |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS mauve
+           |FROM tr WHERE x2 IS NOT NULL""".stripMargin
+      }),
+
     "q441_xlsx_sink" -> Q(
       (s, dir) => {
         import s.implicits._

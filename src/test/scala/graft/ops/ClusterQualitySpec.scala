@@ -60,6 +60,48 @@ class ClusterQualitySpec extends SparkSpec {
     assert(got.keySet === Set(0, 1))
     assert(got(0) === 0.0 && got(1) === 0.0) // S both 0, M01 = 1
   }
+
+  test("mauve: identical distributions score exactly 1") {
+    // even/odd halves land in the same cells with the same proportions
+    val e = emb(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(0f, 1f)))
+    val m = Similarity.mauve(e, "vec_id", "embedding",
+        col("vec_id") % 2 === 0, cents)
+      .as[(Long, Long, Long, Double)].head()
+    assert(m == ((2L, 2L, 2L, 1.0)))
+  }
+
+  test("mauve: disjoint cell supports score near 0; mild drift lands between") {
+    // ref all in cell 0, cur all in cell 1 → support mismatch both ways
+    val dis = emb(
+      (0L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (1L, Array(0f, 1f)), (3L, Array(0f, 1f)))
+    val md = Similarity.mauve(dis, "vec_id", "embedding",
+        col("vec_id") % 2 === 0, cents)
+      .as[(Long, Long, Long, Double)].head()._4
+    // at c = 5 the (1−λ)^c vs λ^c bow hugs the axes
+    assert(md < 0.05, s"disjoint mauve should be tiny, got $md")
+    // 50/50 ref vs 75/25 cur: same support, different shape → strictly
+    // between the extremes
+    val drift = emb(
+      (0L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (1L, Array(1f, 0f)), (3L, Array(1f, 0f)),
+      (5L, Array(1f, 0f)), (7L, Array(0f, 1f)))
+    val mm = Similarity.mauve(drift, "vec_id", "embedding",
+        col("vec_id") % 2 === 0, cents)
+      .as[(Long, Long, Long, Double)].head()._4
+    assert(mm > md && mm < 1.0, s"drifted mauve should sit between: $mm")
+  }
+
+  test("mauve: rejects an empty side") {
+    val e = emb((0L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mauve(e, "vec_id", "embedding",
+        col("vec_id") % 2 === 0, cents)
+    }
+    assert(ex.getMessage.contains("both sides"))
+  }
 }
 
 /** `TextStats.textRankKeywords` contract: hub word outranks spokes,
