@@ -329,6 +329,56 @@ object Classifier {
         round(sum(col("__t")).cast("double"), 6).as("ece"))
   }
 
+  /** Murphy decomposition of the (binned) Brier score (Murphy 1973 —
+    * the standard forecast-quality breakdown every calibration audit
+    * pairs with ECE): over 10 fixed-width probability bins,
+    *   reliability = Σ n_b·(p̄_b − ȳ_b)² / N   (miscalibration — bad),
+    *   resolution  = Σ n_b·(ȳ_b − ȳ)² / N     (discrimination — good),
+    *   uncertainty = ȳ·(1 − ȳ)                (irreducible base rate),
+    * and the binned Brier identity REL − RES + UNC. Distinguishes a
+    * model that is miscalibrated-but-discriminating from one that is
+    * calibrated-but-uninformative — ECE alone cannot.
+    *
+    * Float discipline: p is 9-dp fixed (logregScore), bin means divide
+    * exact decimal sums, per-bin squared terms round to 9 dp and sum as
+    * DECIMAL. Output: 1 row (n, n_bins, reliability, resolution,
+    * uncertainty, brier_binned ← round 6).
+    *
+    * Scale shape: ONE partial-combining 10-bin aggregate over the
+    * scored frame; everything after runs on ≤10 rows. */
+  def brierDecomposition(scored: DataFrame, pCol: String,
+      truthCol: Column): DataFrame = {
+    val bins = scored.select(
+        least(floor(col(pCol) * 10).cast("int"), lit(9)).as("__b"),
+        col(pCol).cast("decimal(10,9)").as("__p"),
+        truthCol.as("__y"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__p")).as("__sp"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__k"))
+    def d(c: Column) = c.cast("double")
+    val tot = bins.agg(sum(col("__n")).as("__nt"), sum(col("__k")).as("__kt"))
+    val pbar = d(col("__sp")) / d(col("__n"))
+    val ybarB = d(col("__k")) / d(col("__n"))
+    val ybar = d(col("__kt")) / d(col("__nt"))
+    val raw = bins.crossJoin(tot)
+      .select(col("__nt"), col("__kt"),
+        round(d(col("__n")) * (pbar - ybarB) * (pbar - ybarB), 9)
+          .cast("decimal(28,9)").as("__rel"),
+        round(d(col("__n")) * (ybarB - ybar) * (ybarB - ybar), 9)
+          .cast("decimal(28,9)").as("__res"))
+      .groupBy(col("__nt"), col("__kt"))
+      .agg(count(lit(1)).as("n_bins"),
+        (sum(col("__rel")).cast("double") / d(col("__nt"))).as("__relR"),
+        (sum(col("__res")).cast("double") / d(col("__nt"))).as("__resR"))
+      .withColumn("__uncR", ybar * (lit(1.0) - ybar))
+    raw.select(col("__nt").as("n"), col("n_bins"),
+      round(col("__relR"), 6).as("reliability"),
+      round(col("__resR"), 6).as("resolution"),
+      round(col("__uncR"), 6).as("uncertainty"),
+      round(col("__relR") - col("__resR") + col("__uncR"), 6)
+        .as("brier_binned"))
+  }
+
   /** Inverse-propensity-weighted (Hájek-normalized) average treatment
     * effect (Horvitz–Thompson/Hájek estimators; Rosenbaum & Rubin 1983
     * propensity framework): over a frame carrying a 9-dp propensity

@@ -109,6 +109,49 @@ object LogregOracle {
        |  round(sum(CASE WHEN is_target THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
        |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Murphy-decomposition oracle (`Classifier.brierDecomposition` over
+    * the replayed classifier): ten fixed-width probability bins →
+    * reliability / resolution / uncertainty and the binned-Brier
+    * identity, every float op in the same order as the Spark side. */
+  def brierDecompSql(label: String, buckets: Int, iters: Int, rate: String): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+       |sp AS (SELECT ltk.doc_id,
+       |         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) AS p,
+       |         ltk.y = 1.0::DOUBLE AS is_target
+       |       FROM fm JOIN ltk USING (doc_id)),
+       |bk AS (SELECT CAST(least(CAST(floor(p * 10) AS INTEGER), 9) AS INTEGER) AS b,
+       |         CAST(p AS DECIMAL(10,9)) AS p, is_target FROM sp),
+       |g AS (SELECT b, count(*) AS n, sum(p) AS sp2,
+       |        sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS k
+       |      FROM bk GROUP BY 1),
+       |t AS (SELECT sum(n)::BIGINT AS nt, sum(k)::BIGINT AS kt FROM g),
+       |terms AS (SELECT nt, kt,
+       |    CAST(round(CAST(n AS DOUBLE) *
+       |      (CAST(sp2 AS DOUBLE) / CAST(n AS DOUBLE) -
+       |       CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      (CAST(sp2 AS DOUBLE) / CAST(n AS DOUBLE) -
+       |       CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9)) AS rel,
+       |    CAST(round(CAST(n AS DOUBLE) *
+       |      (CAST(k AS DOUBLE) / CAST(n AS DOUBLE) -
+       |       CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) *
+       |      (CAST(k AS DOUBLE) / CAST(n AS DOUBLE) -
+       |       CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)), 9) AS DECIMAL(28,9)) AS res
+       |  FROM g CROSS JOIN t),
+       |agg AS (SELECT nt, kt, count(*) AS n_bins,
+       |    CAST(sum(rel) AS DOUBLE) / CAST(nt AS DOUBLE) AS relr,
+       |    CAST(sum(res) AS DOUBLE) / CAST(nt AS DOUBLE) AS resr,
+       |    (CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) *
+       |      (1.0 - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) AS uncr
+       |  FROM terms GROUP BY 1, 2)
+       |SELECT nt AS n, n_bins, round(relr, 6) AS reliability,
+       |  round(resr, 6) AS resolution, round(uncr, 6) AS uncertainty,
+       |  round(relr - resr + uncr, 6) AS brier_binned
+       |FROM agg""".stripMargin
+
   /** Group-fairness oracle (`Classifier.fairnessAudit` over the
     * replayed classifier): per `documents.lang`, selection rate, TPR,
     * FPR (NULL on empty denominators) and the max−min selection gap. */

@@ -11585,6 +11585,24 @@ object OpsQueries {
       Some(LogregOracle.eceSql("lang = 'en'", buckets = 64, iters = 3,
         rate = "0.02::DOUBLE"))),
 
+    // ─── Murphy decomposition of the binned Brier score ─────────────────
+    // reliability (miscalibration) / resolution (discrimination) /
+    // uncertainty (base rate) + the REL − RES + UNC identity — the
+    // breakdown that separates miscalibrated-but-discriminating from
+    // calibrated-but-uninformative, which q382's single ECE number
+    // cannot. Same replayed classifier and bin layout as q382/q216.
+    "q448_brier_decomposition" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val w = cachedFit(s, dir, "en")
+        val scored = Classifier.logregScore(docs, "doc_id", "text",
+          $"lang" === "en", w)
+        Classifier.brierDecomposition(scored, "p", $"is_target")
+      },
+      Some(LogregOracle.brierDecompSql("lang = 'en'", buckets = 64,
+        iters = 3, rate = "0.02::DOUBLE"))),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

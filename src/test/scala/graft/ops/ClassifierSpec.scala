@@ -237,6 +237,26 @@ class ClassifierSpec extends SparkSpec {
     assert(out == ((3L, 2L, 9.0, 0.5)))
   }
 
+  test("brierDecomposition: hand-computed Murphy terms and the REL−RES+UNC identity") {
+    // two occupied bins: bin 2 (p = .25, .25 → p̄ = .25, 1 of 2 positive,
+    // ȳ_b = .5) and bin 7 (p = .75, .75 → p̄ = .75, 1 of 2 positive,
+    // ȳ_b = .5); ȳ = .5.
+    // REL = [2·(.25−.5)² + 2·(.75−.5)²]/4 = .0625; RES = 0; UNC = .25
+    val df = Seq((0.25, true), (0.25, false), (0.75, true), (0.75, false))
+      .toDF("p", "y")
+    val r = Classifier.brierDecomposition(df, "p", col("y"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(r == ((4L, 2L, 0.0625, 0.0, 0.25, 0.3125)))
+    // a perfectly calibrated, discriminating forecaster: REL = 0 and
+    // RES > 0; identity still holds at round-6
+    val good = Seq((0.05, false), (0.05, false), (0.95, true), (0.95, true))
+      .toDF("p", "y")
+    val g = Classifier.brierDecomposition(good, "p", col("y"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(g._3 == 0.0025 && g._4 == 0.25 && g._5 == 0.25)
+    assert(math.abs(g._6 - (g._3 - g._4 + g._5)) < 1e-9)
+  }
+
   test("conformalInterval rejects a random split — even as a SQL string") {
     val df = Seq(("g", 10.0, 0)).toDF("g", "y", "s")
     // column-API randomness
