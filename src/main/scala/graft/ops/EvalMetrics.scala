@@ -113,6 +113,37 @@ object EvalMetrics {
           .otherwise(lit(0.0)))
   }
 
+  /** WER — word error rate (the ASR/seq2seq transcription metric):
+    * token-level Levenshtein distance candidate→reference over the
+    * first `maxTokens` lowercased whitespace tokens, per pair, with
+    * `wer = edits / n_ref` (NULL when the capped reference is empty —
+    * the conventional undefined case; WER > 1 is legal when the
+    * candidate over-generates). Corpus WER is Σedits/Σn_ref — derivable
+    * from these rows by the caller; the per-pair rows are the useful
+    * artifact (error triage sorts by them).
+    *
+    * Scale shape: ONE codegen'd [[graft.functions.WordLev]] DP per
+    * pair inside the scan projection — no join, no shuffle, no
+    * per-pair driver work. The token cap bounds the quadratic DP
+    * (same contract as [[rougeL]]). */
+  def wer(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String, maxTokens: Int = 24): DataFrame = {
+    require(maxTokens >= 1 && maxTokens <= 256,
+      s"maxTokens in [1, 256], got $maxTokens")
+    def capped(c: String) =
+      slice(split(lower(col(c)), " "), 1, maxTokens)
+    def d(c: Column) = c.cast("double")
+    pairs.select(col(pairCol).as("pair"),
+        capped(candCol).as("__c"), capped(refCol).as("__r"))
+      .select(col("pair"),
+        size(col("__c")).cast("long").as("n_cand"),
+        size(col("__r")).cast("long").as("n_ref"),
+        graft.functions.WordLev.wordLevenshtein(col("__c"), col("__r"))
+          .as("edits"))
+      .withColumn("wer",
+        when(col("n_ref") > 0, round(d(col("edits")) / d(col("n_ref")), 6)))
+  }
+
   /** Corpus-level BLEU-`maxN`: modified n-gram precisions p_n =
     * Σ_pairs clip_n / Σ_pairs cand_n (clipped counts SUMMED over the
     * corpus before the ratio), brevity penalty BP = min(1, e^(1−r/c))

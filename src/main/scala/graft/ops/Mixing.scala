@@ -532,4 +532,59 @@ object Mixing {
       (col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
         .as("n_alloc"))
   }
+
+  /** UniMax language-budget allocation (Chung et al. 2023): split a
+    * total token budget across languages so every language gets an
+    * EQUAL share — except that no language repeats more than
+    * `maxEpochs` times (small languages hit their epoch cap; the
+    * leftover redistributes equally among the rest). The closed-form
+    * waterfill: sort caps ascending, find the capped prefix, level the
+    * remainder —
+    *
+    *   alloc_c = min(cap_c, θ),  cap_c = tokens_c · maxEpochs,
+    *   θ = (B − Σ_{capped} cap)/|uncapped|  (∞ when B ≥ Σcap)
+    *
+    * A row at sorted position i is capped iff cap_i·(n−i+1) ≤ B−S_{i−1}
+    * (ascending caps make the capped set a prefix — proof: if row i
+    * satisfies it, substituting cap_{i−1} ≤ cap_i shows row i−1 does).
+    *
+    * Scale shape: ONE partial-combining per-language token sum over the
+    * corpus; the waterfill itself runs in windows over the BOUNDED
+    * language table (label domain, not data-scaled). Output per
+    * language: (lang, tokens, cap, alloc, epochs), epochs = alloc /
+    * tokens ≤ maxEpochs. */
+  def unimaxAllocation(df: DataFrame, langCol: String, tokensCol: Column,
+      budgetTokens: Long, maxEpochs: Double): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    def d(c: Column) = c.cast("double")
+    val lt = df.groupBy(col(langCol).as("lang"))
+      .agg(sum(tokensCol.cast("long")).as("tokens"))
+      .filter(col("tokens") > 0)
+      .withColumn("__cap", round(d(col("tokens")) * lit(maxEpochs), 9)
+        .cast("decimal(28,9)"))
+    // bounded-domain windows: |langs| rows — never data-scaled
+    val w = Window.orderBy(col("__cap"), col("lang"))
+    val all = Window.partitionBy()
+    val ranked = lt
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__s", sum(col("__cap")).over(w)) // inclusive prefix
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__capped",
+        d(col("__cap")) * d(col("__n") - col("__i") + 1) <=
+          lit(budgetTokens.toDouble) - d(col("__s") - col("__cap")))
+      .withColumn("__k", sum(when(col("__capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("__sk",
+        coalesce(max(when(col("__capped"), col("__s"))).over(all),
+          lit(0).cast("decimal(38,9)")))
+    val theta = when(col("__k") === col("__n"), lit(Double.MaxValue))
+      .otherwise((lit(budgetTokens.toDouble) - d(col("__sk"))) /
+        d(col("__n") - col("__k")))
+    ranked
+      .withColumn("__alloc", least(d(col("__cap")), theta))
+      .select(col("lang"), col("tokens"),
+        round(d(col("__cap")), 6).as("cap"),
+        round(col("__alloc"), 6).as("alloc"),
+        round(col("__alloc") / d(col("tokens")), 6).as("epochs"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Dedup.unpersistCheckpoint
@@ -96,5 +97,90 @@ object Preference {
     val out = base.join(w, "id")
       .select(col("id"), col("wins"), round(d(col("__s")), 6).as("strength"))
     out
+  }
+
+  /** Plackett–Luce strength estimation over FULL RANKINGS (Plackett
+    * 1975; Luce 1959) via Hunter (2004)'s MM update — the listwise
+    * extension of [[bradleyTerry]] for data that arrives as ordered
+    * lists (best-of-n decode rankings, rater-ordered response sets)
+    * rather than pairs. A ranking of m items is m−1 sequential choices;
+    * the MM step is
+    *
+    *   w_i ← W_i / Σ_{(g,j): i ∈ choice set of stage j} 1/S_gj,
+    *   S_gj = Σ_{rank ≥ j in g} w,   then rescale Σw = N
+    *
+    * with W_i = i's total choice count (# stages where i was picked =
+    * # rankings where i is not last). Each step provably increases the
+    * likelihood — no learning rate, no RNG.
+    *
+    * Float discipline: stage reciprocals are double-divided then 9-dp
+    * fixed-point (DECIMAL(28,9)); suffix/prefix sums over stages stay
+    * decimal-exact (window sums of decimals), so per-item denominators
+    * are order-independent and an oracle replays bit-equal. Strengths
+    * carry DECIMAL(28,9) between iterations, Σw = N rescale as in BT.
+    *
+    * Scale shape: positions densify ONCE (row_number + count windows
+    * keyed by the HIGH-CARDINALITY group column — distributed) and the
+    * ranked table checkpoints for reuse across iterations. Each of the
+    * `iters` MM steps is one item-keyed join against the entity-sized
+    * strengths (AQE broadcasts it), two group-keyed window sums (the
+    * suffix S_gj and the prefix of reciprocals — both bounded by the
+    * ranking length per group), and one partial-combining per-item sum.
+    * Groups of size 1 drop (no stages — rankings carry no signal).
+    * Output: (id, wins, strength); strength 0 for never-chosen items
+    * (the MLE boundary, same convention as BT's winless entities). */
+  def plackettLuce(rankings: DataFrame, groupCol: Column, itemCol: Column,
+      posCol: Column, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters in [1, 8], got $iters")
+    val byG = Window.partitionBy(col("__g"))
+    val rk = rankings
+      .select(groupCol.as("__g"), itemCol.cast("long").as("__it"),
+        posCol.as("__p"))
+      .filter(col("__g").isNotNull && col("__it").isNotNull &&
+        col("__p").isNotNull)
+      .withColumn("__r", row_number()
+        .over(byG.orderBy(col("__p"), col("__it"))).cast("long"))
+      .withColumn("__m", count(lit(1)).over(byG).cast("long"))
+      .filter(col("__m") >= 2)
+      .select(col("__g"), col("__it"), col("__r"), col("__m"))
+      .localCheckpoint(eager = true) // reused every iteration + wins/base
+    val wins = rk.filter(col("__r") < col("__m"))
+      .groupBy(col("__it").as("id")).agg(count(lit(1)).as("wins"))
+    val base = rk.select(col("__it").as("id")).distinct()
+      .join(wins, Seq("id"), "left")
+      .na.fill(0L, Seq("wins"))
+      .localCheckpoint(eager = true) // reused every iteration + the output
+    def d(c: Column) = c.cast("double")
+    def dec9(c: Column) = round(c, 9).cast("decimal(28,9)")
+
+    var w = base.select(col("id"), lit(1.0).cast("decimal(28,9)").as("__s"))
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val j = rk.join(w.withColumnRenamed("id", "__it"), "__it")
+      // S_gj: inclusive suffix sum of strengths in rank order (exact
+      // decimal); stage reciprocal only for the m−1 true stages, then
+      // an inclusive prefix accumulates each item's stage memberships
+      // (the last item's prefix equals P_{m−1} since c_m = 0)
+      val p = j
+        .withColumn("__sw", sum(col("__s")).over(byG.orderBy(col("__r").desc)))
+        .withColumn("__c", when(col("__r") < col("__m"),
+          dec9(lit(1.0) / d(col("__sw"))))
+          .otherwise(lit(0).cast("decimal(28,9)")))
+        .withColumn("__cp", sum(col("__c")).over(byG.orderBy(col("__r"))))
+      val denom = p.groupBy(col("__it").as("id")).agg(sum(col("__cp")).as("__d"))
+      val raw = base.join(denom, "id")
+        .select(col("id"), (d(col("wins")) / d(col("__d"))).as("__raw"))
+      val tot = raw.agg(sum(dec9(col("__raw"))).as("__S"),
+        count(lit(1)).as("__N"))
+      val next = raw.crossJoin(tot)
+        .select(col("id"),
+          dec9(d(col("__raw")) * d(col("__N")) / d(col("__S"))).as("__s"))
+        .localCheckpoint(eager = true)
+      if (prev != null) unpersistCheckpoint(prev)
+      prev = next
+      w = next
+    }
+    base.join(w, "id")
+      .select(col("id"), col("wins"), round(d(col("__s")), 6).as("strength"))
   }
 }

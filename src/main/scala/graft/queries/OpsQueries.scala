@@ -11603,6 +11603,295 @@ object OpsQueries {
       Some(LogregOracle.brierDecompSql("lang = 'en'", buckets = 64,
         iters = 3, rate = "0.02::DOUBLE"))),
 
+    // ─── inter-annotator agreement: Krippendorff's alpha (ragged) ───────
+    // Three deterministic raters label corpus quality (length-threshold
+    // heuristics that CORRELATE but disagree on the threshold bands);
+    // rater 3 skips every third document — the missing-data case that
+    // is alpha's whole reason to exist over kappa.
+    "q449_krippendorff_alpha" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val words = size(split($"text", " "))
+        val r1 = docs.select($"doc_id".as("item"),
+          when($"n_chars" < 200, "low").when($"n_chars" < 400, "mid")
+            .otherwise("high").as("label"))
+        val r2 = docs.select($"doc_id".as("item"),
+          when(words < 40, "low").when(words < 80, "mid")
+            .otherwise("high").as("label"))
+        val r3 = docs.filter($"doc_id" % 3 =!= 0)
+          .select($"doc_id".as("item"),
+            when($"n_chars" < 250, "low").when($"n_chars" < 450, "mid")
+              .otherwise("high").as("label"))
+        Agreement.krippendorffAlpha(r1.unionByName(r2).unionByName(r3),
+          "item", "label")
+      },
+      Some("""WITH rt AS (
+             |  SELECT doc_id AS i, CASE WHEN n_chars < 200 THEN 'low'
+             |      WHEN n_chars < 400 THEN 'mid' ELSE 'high' END AS l
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CASE WHEN len(string_split(text, ' ')) < 40 THEN 'low'
+             |      WHEN len(string_split(text, ' ')) < 80 THEN 'mid' ELSE 'high' END
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CASE WHEN n_chars < 250 THEN 'low'
+             |      WHEN n_chars < 450 THEN 'mid' ELSE 'high' END
+             |  FROM documents WHERE doc_id % 3 <> 0),
+             |cnt AS (SELECT i, l, count(*)::BIGINT AS n FROM rt GROUP BY 1, 2),
+             |pi AS (SELECT i, sum(n)::BIGINT AS m, sum(n * n)::BIGINT AS s2
+             |  FROM cnt GROUP BY 1),
+             |inc AS (SELECT i, m, s2 FROM pi WHERE m >= 2),
+             |od AS (SELECT count(*)::BIGINT AS n_items, sum(m)::BIGINT AS n,
+             |    sum(CAST(round(CAST(m * m - s2 AS DOUBLE) /
+             |      CAST(m - 1 AS DOUBLE), 9) AS DECIMAL(28,9))) AS sd
+             |  FROM inc),
+             |mg AS (SELECT l, sum(n)::BIGINT AS nc
+             |  FROM cnt JOIN inc USING (i) GROUP BY 1),
+             |ed AS (SELECT count(*)::BIGINT AS n_labels,
+             |    sum(CAST(nc AS DECIMAL(19,0)) * CAST(nc AS DECIMAL(19,0))) AS s2l
+             |  FROM mg),
+             |f AS (SELECT n_items, n AS n_ratings, n_labels,
+             |    CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS dobs,
+             |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s2l AS DOUBLE)) /
+             |      (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS dexp
+             |  FROM od CROSS JOIN ed)
+             |SELECT n_items, n_ratings, n_labels, round(dobs, 6) AS d_o,
+             |  round(dexp, 6) AS d_e, round(1.0 - dobs / dexp, 6) AS alpha
+             |FROM f""".stripMargin)),
+
+    // ─── inter-annotator agreement: Fleiss' kappa (fixed panel of 3) ────
+    "q450_fleiss_kappa" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val words = size(split($"text", " "))
+        val r1 = docs.select($"doc_id".as("item"),
+          when($"n_chars" < 200, "low").when($"n_chars" < 400, "mid")
+            .otherwise("high").as("label"))
+        val r2 = docs.select($"doc_id".as("item"),
+          when(words < 40, "low").when(words < 80, "mid")
+            .otherwise("high").as("label"))
+        val r3 = docs.select($"doc_id".as("item"),
+          when($"n_chars" < 250, "low").when($"n_chars" < 450, "mid")
+            .otherwise("high").as("label"))
+        Agreement.fleissKappa(r1.unionByName(r2).unionByName(r3),
+          "item", "label")
+      },
+      Some("""WITH rt AS (
+             |  SELECT doc_id AS i, CASE WHEN n_chars < 200 THEN 'low'
+             |      WHEN n_chars < 400 THEN 'mid' ELSE 'high' END AS l
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CASE WHEN len(string_split(text, ' ')) < 40 THEN 'low'
+             |      WHEN len(string_split(text, ' ')) < 80 THEN 'mid' ELSE 'high' END
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CASE WHEN n_chars < 250 THEN 'low'
+             |      WHEN n_chars < 450 THEN 'mid' ELSE 'high' END
+             |  FROM documents),
+             |cnt AS (SELECT i, l, count(*)::BIGINT AS n FROM rt GROUP BY 1, 2),
+             |pi AS (SELECT i, sum(n)::BIGINT AS m, sum(n * n)::BIGINT AS s2
+             |  FROM cnt GROUP BY 1),
+             |od AS (SELECT count(*)::BIGINT AS n_items, max(m)::BIGINT AS n_raters,
+             |    sum(CAST(round(CAST(s2 - m AS DOUBLE) /
+             |      CAST(m * (m - 1) AS DOUBLE), 9) AS DECIMAL(28,9))) AS sp
+             |  FROM pi),
+             |mg AS (SELECT l, sum(n)::BIGINT AS nc FROM cnt GROUP BY 1),
+             |ed AS (SELECT count(*)::BIGINT AS n_labels,
+             |    sum(CAST(round((CAST(nc AS DOUBLE) / nn) *
+             |      (CAST(nc AS DOUBLE) / nn), 9) AS DECIMAL(28,9))) AS pe
+             |  FROM mg CROSS JOIN (SELECT CAST(n_items AS DOUBLE) *
+             |      CAST(n_raters AS DOUBLE) AS nn FROM od)),
+             |f AS (SELECT n_items, n_raters, n_labels,
+             |    CAST(sp AS DOUBLE) / CAST(n_items AS DOUBLE) AS pbar,
+             |    CAST(pe AS DOUBLE) AS pexp
+             |  FROM od CROSS JOIN ed)
+             |SELECT n_items, n_raters, n_labels, round(pbar, 6) AS p_bar,
+             |  round(pexp, 6) AS p_e,
+             |  round((pbar - pexp) / (1.0 - pexp), 6) AS kappa
+             |FROM f""".stripMargin)),
+
+    // ─── WER: word error rate per pair (codegen'd token-Levenshtein) ────
+    // The oracle re-encodes each pair's ≤48-token joint vocab as single
+    // ASCII bytes so DuckDB's BYTE-level levenshtein computes the exact
+    // WORD-level distance (one token ↔ one byte).
+    "q451_wer" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val pairs = docs.select($"doc_id", $"text".as("cand"))
+          .join(docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("ref")),
+            "doc_id")
+        EvalMetrics.wer(pairs, "doc_id", "cand", "ref", maxTokens = 24)
+          .withColumnRenamed("pair", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH p AS (SELECT a.doc_id AS pair,
+             |    list_slice(string_split(lower(a.text), ' '), 1, 24) AS cand,
+             |    list_slice(string_split(lower(b.text), ' '), 1, 24) AS ref
+             |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+             |v AS (SELECT pair, cand, ref,
+             |    list_distinct(list_concat(cand, ref)) AS vocab FROM p),
+             |e AS (SELECT pair, len(cand)::BIGINT AS n_cand,
+             |    len(ref)::BIGINT AS n_ref,
+             |    levenshtein(
+             |      list_aggregate(list_transform(cand,
+             |        t -> chr(48 + list_position(vocab, t))), 'string_agg', ''),
+             |      list_aggregate(list_transform(ref,
+             |        t -> chr(48 + list_position(vocab, t))), 'string_agg', ''))
+             |      ::BIGINT AS edits
+             |  FROM v)
+             |SELECT pair AS doc_id, n_cand, n_ref, edits,
+             |  CASE WHEN n_ref > 0 THEN
+             |    round(CAST(edits AS DOUBLE) / CAST(n_ref AS DOUBLE), 6)
+             |  END AS wer
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // ─── UniMax capped language-budget allocation (waterfill) ───────────
+    // Budget = ⌊0.8 × corpus tokens⌋, cap 2 epochs: small languages hit
+    // the cap, the head levels at θ — the q445 DoReMi counterpart for
+    // when fairness (not loss excess) sets the mixture.
+    "q452_unimax_allocation" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val words = size(split($"text", " ")).cast("long")
+        val total = docs.agg(sum(words)).collect()(0).getLong(0)
+        Mixing.unimaxAllocation(docs, "lang", words,
+          budgetTokens = total * 4L / 5L, maxEpochs = 2.0)
+          .orderBy($"lang")
+      },
+      Some("""WITH lt AS (SELECT lang,
+             |    sum(len(string_split(text, ' ')))::BIGINT AS tokens
+             |  FROM documents GROUP BY 1
+             |  HAVING sum(len(string_split(text, ' '))) > 0),
+             |b AS (SELECT (sum(tokens) * 4) // 5 AS budget FROM lt),
+             |cp AS (SELECT lang, tokens,
+             |    CAST(round(CAST(tokens AS DOUBLE) * 2.0, 9) AS DECIMAL(28,9)) AS cap
+             |  FROM lt),
+             |rk AS (SELECT lang, tokens, cap,
+             |    row_number() OVER (ORDER BY cap, lang) AS i,
+             |    sum(cap) OVER (ORDER BY cap, lang) AS s,
+             |    count(*) OVER () AS nl
+             |  FROM cp),
+             |fl AS (SELECT lang, tokens, cap, i, s, nl,
+             |    (CAST(cap AS DOUBLE) * CAST(nl - i + 1 AS DOUBLE) <=
+             |     CAST(budget AS DOUBLE) - CAST(s - cap AS DOUBLE)) AS capped
+             |  FROM rk CROSS JOIN b),
+             |kk AS (SELECT sum(CASE WHEN capped THEN 1 ELSE 0 END)::BIGINT AS k,
+             |    coalesce(max(CASE WHEN capped THEN s END),
+             |      0::DECIMAL(38,9)) AS sk,
+             |    max(nl)::BIGINT AS nl2
+             |  FROM fl),
+             |th AS (SELECT CASE WHEN k = nl2 THEN 1e308 ELSE
+             |    (CAST((SELECT budget FROM b) AS DOUBLE) - CAST(sk AS DOUBLE)) /
+             |      CAST(nl2 - k AS DOUBLE) END AS theta FROM kk)
+             |SELECT lang, tokens, round(CAST(cap AS DOUBLE), 6) AS cap,
+             |  round(least(CAST(cap AS DOUBLE), theta), 6) AS alloc,
+             |  round(least(CAST(cap AS DOUBLE), theta) /
+             |    CAST(tokens AS DOUBLE), 6) AS epochs
+             |FROM fl CROSS JOIN th ORDER BY lang""".stripMargin)),
+
+    // ─── Plackett–Luce listwise preference strengths (MM fit) ───────────
+    // Rankings: each 1995 order ranks its suppliers by line price
+    // descending (dedup to best line per (order, supplier)); the
+    // listwise cousin of q442's pairwise Bradley–Terry.
+    "q453_plackett_luce" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .filter(year($"l_shipdate") === 1995)
+          .groupBy($"l_orderkey", $"l_suppkey")
+          .agg(max($"l_extendedprice").as("pr"))
+        Preference.plackettLuce(li, $"l_orderkey", $"l_suppkey", -$"pr",
+            iters = 2)
+          .orderBy($"id")
+      },
+      Some {
+        def iter(i: Int, prev: String) =
+          s"""j$i AS (SELECT rk.g, rk.it, rk.r, rk.m, $prev.s
+             |  FROM rk JOIN $prev ON rk.it = $prev.id),
+             |sw$i AS (SELECT g, it, r, m,
+             |    sum(s) OVER (PARTITION BY g ORDER BY r DESC) AS sw FROM j$i),
+             |c$i AS (SELECT g, it, r, CASE WHEN r < m THEN
+             |      CAST(round(1.0::DOUBLE / CAST(sw AS DOUBLE), 9) AS DECIMAL(28,9))
+             |    ELSE 0::DECIMAL(28,9) END AS c FROM sw$i),
+             |p$i AS (SELECT it, sum(c) OVER (PARTITION BY g ORDER BY r) AS cp
+             |  FROM c$i),
+             |d$i AS (SELECT it AS id, sum(cp) AS dd FROM p$i GROUP BY 1),
+             |r$i AS (SELECT base.id, wins::DOUBLE / CAST(dd AS DOUBLE) AS raw
+             |  FROM base JOIN d$i USING (id)),
+             |n$i AS (SELECT sum(round(raw, 9)::DECIMAL(28,9)) AS S,
+             |    count(*) AS N FROM r$i),
+             |w$i AS (SELECT id,
+             |    round(raw * N::DOUBLE / CAST(S AS DOUBLE), 9)::DECIMAL(28,9) AS s
+             |  FROM r$i CROSS JOIN n$i)""".stripMargin
+        s"""WITH ded AS (SELECT l_orderkey AS g, l_suppkey AS it,
+           |    max(l_extendedprice) AS pr
+           |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1995
+           |  GROUP BY 1, 2),
+           |rk0 AS (SELECT g, it,
+           |    row_number() OVER (PARTITION BY g ORDER BY pr DESC, it) AS r,
+           |    count(*) OVER (PARTITION BY g) AS m
+           |  FROM ded),
+           |rk AS (SELECT g, it, r, m FROM rk0 WHERE m >= 2),
+           |wn AS (SELECT it AS id, count(*)::BIGINT AS wins
+           |  FROM rk WHERE r < m GROUP BY 1),
+           |base AS (SELECT id, coalesce(wins, 0)::BIGINT AS wins
+           |  FROM (SELECT DISTINCT it AS id FROM rk) LEFT JOIN wn USING (id)),
+           |w0 AS (SELECT id, 1.000000000::DECIMAL(28,9) AS s FROM base),
+           |${iter(1, "w0")},
+           |${iter(2, "w1")}
+           |SELECT base.id AS id, wins, round(CAST(s AS DOUBLE), 6) AS strength
+           |FROM base JOIN w2 USING (id) ORDER BY id""".stripMargin
+      }),
+
+    // ─── Kendall's τ-b: exact distributed concordance (Knight 1966) ─────
+    // Account-balance band vs spend band per customer — integral
+    // bucketing creates the real tie mass τ-b exists to normalize. The
+    // Spark side is the O(n log n) distributed inversion count; the
+    // oracle is the O(n²) pair definition (oracle-SF-sized only).
+    "q454_kendall_tau" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val spend = Tables.orders(s, dir).groupBy($"o_custkey")
+          .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("__sp"))
+        val c = Tables.customer(s, dir)
+          .join(spend, $"c_custkey" === $"o_custkey", "left")
+          .select(floor($"c_acctbal" / lit(100.0)).as("x"),
+            floor(coalesce($"__sp", lit(0).cast("decimal(18,6)"))
+              .cast("double") / lit(1000.0)).as("y"))
+        RankCorr.kendallTauB(c, $"x", $"y")
+      },
+      Some("""WITH sp AS (SELECT o_custkey,
+             |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS s
+             |  FROM orders GROUP BY 1),
+             |c AS (SELECT c_custkey AS id, floor(c_acctbal / 100.0::DOUBLE) AS x,
+             |    floor(CAST(coalesce(s, 0::DECIMAL(18,6)) AS DOUBLE)
+             |      / 1000.0::DOUBLE) AS y
+             |  FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+             |p AS (SELECT
+             |    CASE WHEN (a.x < b.x AND a.y < b.y) OR
+             |      (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS conc,
+             |    CASE WHEN (a.x < b.x AND a.y > b.y) OR
+             |      (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS disc,
+             |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty,
+             |    CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END AS txy
+             |  FROM c a JOIN c b ON a.id < b.id),
+             |m AS (SELECT count(*)::BIGINT AS pairs, sum(conc)::BIGINT AS cc,
+             |    sum(disc)::BIGINT AS dd, sum(tx)::BIGINT AS t1,
+             |    sum(ty)::BIGINT AS t2, sum(txy)::BIGINT AS t3 FROM p),
+             |nn AS (SELECT count(*)::BIGINT AS n FROM c)
+             |SELECT n, pairs, t1 AS tied_x, t2 AS tied_y, t3 AS tied_xy,
+             |  cc AS concordant, dd AS discordant,
+             |  CASE WHEN (pairs - t1) > 0 AND (pairs - t2) > 0 THEN
+             |    round(CAST(cc - dd AS DOUBLE) /
+             |      sqrt(CAST(pairs - t1 AS DOUBLE) * CAST(pairs - t2 AS DOUBLE)), 6)
+             |  END AS tau_b
+             |FROM m CROSS JOIN nn""".stripMargin)),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

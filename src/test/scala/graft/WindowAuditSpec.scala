@@ -54,7 +54,8 @@ class WindowAuditSpec extends SparkSpec {
     "q390_jackknife_ratio" -> "leave-one-bucket-out rows — fixed bucket count",
     "q392_bh_fdr" -> "per-hypothesis rows — bounded group domain",
     "q422_zipf_slope" -> "rank over the topR-LIMITED vocab head",
-    "q445_doremi_weights" -> "EG weight normalization over per-domain rows — bounded domain count")
+    "q445_doremi_weights" -> "EG weight normalization over per-domain rows — bounded domain count",
+    "q452_unimax_allocation" -> "waterfill over per-language rows — bounded label domain")
 
   private def globalWindows(df: DataFrame): Seq[String] =
     df.queryExecution.analyzed.collect {

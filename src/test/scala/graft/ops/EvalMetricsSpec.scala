@@ -166,4 +166,52 @@ class EvalMetricsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(sw._2 === wantSw)
   }
+
+  test("WER: hand-worked token-Levenshtein fixtures") {
+    val pairs = Seq(
+      (1L, "a b c", "a x c d"),     // sub + ins = 2 edits over 4 ref tokens
+      (2L, "same same", "same same"), // identical
+      (3L, "a b c d e", "a"),       // over-generation: 4 dels, WER 4.0
+      (4L, "A b", "a B")            // case folds before comparison
+    ).toDF("pid", "cand", "ref")
+    val got = EvalMetrics.wer(pairs, "pid", "cand", "ref")
+      .orderBy("pair")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 4L, 2L, Some(0.5)),
+      (2L, 2L, 2L, 0L, Some(0.0)),
+      (3L, 5L, 1L, 4L, Some(4.0)),
+      (4L, 2L, 2L, 0L, Some(0.0))), got.toString)
+  }
+
+  test("WER: the token cap bounds the DP (differences beyond it are invisible)") {
+    val pairs = Seq((1L, "a b THESE DIFFER", "a b ENTIRELY OTHER")).toDF("pid", "cand", "ref")
+    val got = EvalMetrics.wer(pairs, "pid", "cand", "ref", maxTokens = 2)
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(got == ((1L, 2L, 2L, 0L, Some(0.0))), got.toString)
+  }
+
+  test("WordLevKernel matches a reference DP on adversarial shapes") {
+    def ref(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length).toLong
+    }
+    val vocab = Vector("x", "y", "z", "w")
+    val cases = for (i <- 0 until 40) yield {
+      val a = Seq.tabulate((i * 3) % 7)(k => vocab((i + k * 5) % 4))
+      val b = Seq.tabulate((i * 5 + 1) % 8)(k => vocab((i * 2 + k) % 4))
+      (i.toLong, a.mkString(" "), b.mkString(" "))
+    }
+    val got = EvalMetrics.wer(cases.toDF("pid", "cand", "ref"), "pid", "cand", "ref")
+      .orderBy("pair").select("edits").as[Long].collect().toSeq
+    // split(" ") of "" yields one empty token — mirror that in the reference
+    val want = cases.map { case (_, a, b) =>
+      ref(a.split(" ", -1).toSeq, b.split(" ", -1).toSeq) }
+    assert(got == want, s"got $got\nwant $want")
+  }
 }

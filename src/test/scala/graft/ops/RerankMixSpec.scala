@@ -300,4 +300,30 @@ class RerankMixSpec extends SparkSpec {
     assert(out("C") == (("C", 2L, 10.0, 7L)))
     assert(out.values.map(_._4).sum == 10L)
   }
+
+  test("unimaxAllocation: hand-worked waterfill — caps bind, the head levels") {
+    // tokens: en 1000, de 300, fr 50, zh 10; maxEpochs 2 -> caps 2000/600/100/20
+    // budget 1200: zh+fr capped (S=120), theta = (1200-120)/2 = 540
+    val rows = Seq(("en", 600L), ("en", 400L), ("de", 300L),
+      ("fr", 50L), ("zh", 10L)).toDF("lang", "w")
+    val got = Mixing.unimaxAllocation(rows, "lang", col("w"), 1200L, 2.0)
+      .orderBy($"lang")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("de", 300L, 600.0, 540.0, 1.8),
+      ("en", 1000L, 2000.0, 540.0, 0.54),
+      ("fr", 50L, 100.0, 100.0, 2.0),
+      ("zh", 10L, 20.0, 20.0, 2.0)), got.toString)
+    // the budget is exactly exhausted when any language is uncapped
+    assert(got.map(_._4).sum == 1200.0)
+  }
+
+  test("unimaxAllocation: budget above the cap sum caps every language") {
+    val rows = Seq(("en", 100L), ("de", 10L)).toDF("lang", "w")
+    val got = Mixing.unimaxAllocation(rows, "lang", col("w"), 100000L, 3.0)
+      .orderBy($"lang")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("de", 10L, 30.0, 30.0, 3.0),
+      ("en", 100L, 300.0, 300.0, 3.0)), got.toString)
+  }
 }
