@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rank-based (distribution-free) hypothesis tests — the A/B and
+  * cohort-comparison tools for metrics too skewed/ordinal for the
+  * normal-theory tests (q232 z-test, q247 ANOVA F): Mann–Whitney U
+  * (Mann & Whitney 1947), Kruskal–Wallis H (1952), and Kendall's W
+  * coefficient of concordance (Kendall & Babington Smith 1939) for
+  * multi-judge ranking agreement (the ORDINAL cousin of
+  * [[Agreement]]'s nominal coefficients).
+  *
+  * All three need tie-averaged ranks over a data-scaled frame — the
+  * textbook single-partition `rank() OVER (ORDER BY v)` trap. Here
+  * ranks come from the value-domain ECDF instead: ONE partial-
+  * combining (value, count) aggregate, the distributed prefix-sum
+  * hatch ([[Ranks.runningSums]] — or [[Ranks.runningSumsBy]] per
+  * judge for W), and the identity
+  *
+  *   2·avgrank(v) = 2·(cum(≤v) − c(v)) + c(v) + 1
+  *
+  * kept in INTEGER "doubled-rank" space so every rank sum is an exact
+  * decimal — no float enters until the final statistic. Tie terms
+  * Σ(t³ − t) accumulate as exact DECIMAL(38,0) (t³ overflows a long
+  * once a value repeats ~2e6 times). The single divisions at the end
+  * are double, round-6, in one fixed order an oracle replays.
+  *
+  * Scale shape per test: one shuffle over the fact to (value[, group])
+  * counts, the prefix-sum hatch over the value domain, one
+  * value-keyed join of the (group, value) count table against the
+  * rank table, and partial-combining per-group sums. No unbounded
+  * windows, no driver loops. */
+object RankTests {
+
+  private def d(c: Column) = c.cast("double")
+  private def dec9(c: Column) = round(c, 9).cast("decimal(28,9)")
+
+  /** (value table (__v, __c, __ar2), 1-row totals (__n, __tie)) where
+    * __ar2 = 2·tie-averaged-rank of __v and __tie = Σ(c³ − c). */
+  private def valueRanks(pts: DataFrame): (DataFrame, DataFrame) = {
+    val vc = pts.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // consumers: the prefix-sum chain + totals
+    val run = Ranks.runningSums(vc, Seq("__c" -> "__cum"), None, col("__v"))
+    val ar2 = run.df.select(col("__v"), col("__c"),
+      ((col("__cum") - col("__c")) * 2 + col("__c") + 1).as("__ar2"))
+    val cd = col("__c").cast("decimal(12,0)")
+    val tot = vc.agg(sum(col("__c")).as("__n"),
+      sum((cd * cd * cd - cd).cast("decimal(38,0)")).as("__tie"))
+    (ar2, tot)
+  }
+
+  /** exact decimal rank sum Σ gc·ar2 (doubled-rank space) */
+  private def r2Sum =
+    sum((col("__gc").cast("decimal(12,0)") *
+      col("__ar2").cast("decimal(19,0)")).cast("decimal(38,1)")).as("__r2")
+
+  /** Mann–Whitney U (Wilcoxon rank-sum), tie-corrected normal
+    * approximation. `groupA` is a boolean column splitting the rows;
+    * output, 1 row: (n_a, n_b, rank_sum_a, u_a, u_b, z) with
+    *
+    *   U_a = R_a − n_a(n_a+1)/2,
+    *   z = (U_a − n_a n_b/2) / √(n_a n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))))
+    *
+    * z is NULL when the variance degenerates (everything tied). No
+    * continuity correction (callers comparing to scipy: use
+    * `use_continuity=False`). */
+  def mannWhitneyU(df: DataFrame, valueCol: Column,
+      groupA: Column): DataFrame = {
+    val pts = df.select(valueCol.cast("double").as("__v"),
+        groupA.as("__a"))
+      .filter(col("__v").isNotNull && col("__a").isNotNull)
+      .localCheckpoint(false) // consumers: value ranks + group counts
+    val (ar2, tot) = valueRanks(pts)
+    val gc = pts.groupBy(col("__v"), col("__a"))
+      .agg(count(lit(1)).as("__gc"))
+    val rg = gc.join(ar2, "__v").groupBy(col("__a"))
+      .agg(sum(col("__gc")).as("__ng"), r2Sum)
+    val ra = rg.filter(col("__a"))
+      .select(col("__ng").as("__na"), col("__r2").as("__r2a"))
+    val rb = rg.filter(!col("__a"))
+      .select(col("__ng").as("__nb"))
+    // 2U_a = R2_a − 2·n_a(n_a+1)/2 stays integral; halve once, in double
+    ra.crossJoin(rb).crossJoin(tot)
+      .withColumn("__ua",
+        (d(col("__r2a")) - d(col("__na")) * (d(col("__na")) + 1)) / 2.0)
+      .withColumn("__var",
+        d(col("__na")) * d(col("__nb")) / 12.0 *
+          ((d(col("__n")) + 1) -
+            d(col("__tie")) / (d(col("__n")) * (d(col("__n")) - 1))))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(d(col("__r2a")) / 2.0, 6).as("rank_sum_a"),
+        round(col("__ua"), 6).as("u_a"),
+        round(d(col("__na")) * d(col("__nb")) - col("__ua"), 6).as("u_b"),
+        when(col("__var") > 0, round(
+          (col("__ua") - d(col("__na")) * d(col("__nb")) / 2.0) /
+            sqrt(col("__var")), 6)).as("z"))
+  }
+
+  /** Kruskal–Wallis H across the groups of `groupCol`, with the tie
+    * correction C = 1 − Σ(t³−t)/(N³−N); output, 1 row:
+    * (k, n, h, tie_correction, h_corrected). h_corrected NULL when C
+    * degenerates to 0 (every value identical). */
+  def kruskalWallis(df: DataFrame, valueCol: Column,
+      groupCol: Column): DataFrame = {
+    val pts = df.select(valueCol.cast("double").as("__v"),
+        groupCol.as("__g"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+      .localCheckpoint(false) // consumers: value ranks + group counts
+    val (ar2, tot) = valueRanks(pts)
+    val gc = pts.groupBy(col("__v"), col("__g"))
+      .agg(count(lit(1)).as("__gc"))
+    val rg = gc.join(ar2, "__v").groupBy(col("__g"))
+      .agg(sum(col("__gc")).as("__ng"), r2Sum)
+    // per-group term (R_g²/n_g), 9-dp fixed point so the cross-group
+    // sum is order-independent
+    val term = dec9((d(col("__r2")) / 2.0) * (d(col("__r2")) / 2.0) /
+      d(col("__ng")))
+    val ag = rg.agg(count(lit(1)).as("k"), sum(term).as("__st"))
+    ag.crossJoin(tot)
+      .withColumn("__h",
+        lit(12.0) / (d(col("__n")) * (d(col("__n")) + 1)) * d(col("__st")) -
+          lit(3.0) * (d(col("__n")) + 1))
+      .withColumn("__c",
+        lit(1.0) - d(col("__tie")) /
+          (d(col("__n")) * d(col("__n")) * d(col("__n")) - d(col("__n"))))
+      .select(col("k"), col("__n").as("n"), round(col("__h"), 6).as("h"),
+        round(col("__c"), 6).as("tie_correction"),
+        when(col("__c") > 0, round(col("__h") / col("__c"), 6))
+          .as("h_corrected"))
+  }
+
+  /** Kendall's W — concordance of m judges each ranking the SAME n
+    * items (one row per (judge, item); completeness is `require`d,
+    * m·n rows exactly). Ranks are tie-averaged WITHIN each judge via
+    * the grouped prefix-sum hatch, so a judge's item set never
+    * collapses to one task. Output, 1 row: (m, n, s, w) with
+    *
+    *   S = Σ_i (R_i − m(n+1)/2)²,
+    *   W = 12S / (m²(n³−n) − m·Σ_j Σ(t³−t))
+    *
+    * (the tie-corrected form; W NULL when the denominator is 0 —
+    * fewer than 2 items or all ranks tied for every judge). */
+  def kendallW(df: DataFrame, judgeCol: Column, itemCol: Column,
+      valueCol: Column): DataFrame = {
+    val cell = df.select(judgeCol.as("__j"), itemCol.as("__it"),
+        valueCol.cast("double").as("__v"))
+      .filter(col("__j").isNotNull && col("__it").isNotNull &&
+        col("__v").isNotNull)
+      .localCheckpoint(eager = true) // consumers: shape check, ranks, join
+    val shape = cell.agg(countDistinct(col("__j")).as("m"),
+      countDistinct(col("__it")).as("n"), count(lit(1)).as("c")).collect()(0)
+    val (m, n, cnt) = (shape.getLong(0), shape.getLong(1), shape.getLong(2))
+    require(m >= 2, s"kendallW needs >= 2 judges, got $m")
+    require(cnt == m * n,
+      s"kendallW needs COMPLETE rankings: $m judges x $n items = " +
+        s"${m * n} cells, got $cnt rows (missing or duplicate " +
+        "(judge, item) cells)")
+    val jvc = cell.groupBy(col("__j"), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // consumers: grouped prefix sums + tie totals
+    val ar2 = Ranks.runningSumsBy(jvc, Seq("__j"), Seq("__c" -> "__cum"),
+        col("__v"))
+      .select(col("__j"), col("__v"),
+        ((col("__cum") - col("__c")) * 2 + col("__c") + 1).as("__ar2"))
+    val cd = col("__c").cast("decimal(12,0)")
+    val tie = jvc.agg(sum((cd * cd * cd - cd).cast("decimal(38,0)")).as("__tie"))
+    // R2_i = Σ_j ar2 ≤ m(2n+1) — a long; dev2 = 2R_i − m(n+1) integral
+    val ri = cell.join(ar2, Seq("__j", "__v"))
+      .groupBy(col("__it")).agg(sum(col("__ar2")).as("__r2"))
+    val dev2 = (col("__r2") - lit(m) * lit(n + 1)).cast("decimal(19,0)")
+    val s4 = ri.agg(sum((dev2 * dev2).cast("decimal(38,0)")).as("__s4"))
+    val nD = n.toDouble
+    val denom = lit(m.toDouble) * m * (nD * nD * nD - nD) -
+      lit(m.toDouble) * d(col("__tie"))
+    s4.crossJoin(tie)
+      .select(lit(m).as("m"), lit(n).as("n"),
+        round(d(col("__s4")) / 4.0, 6).as("s"),
+        when(denom > 0, round(lit(3.0) * d(col("__s4")) / denom, 6)).as("w"))
+  }
+}

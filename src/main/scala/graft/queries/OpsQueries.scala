@@ -11892,6 +11892,133 @@ object OpsQueries {
              |  END AS tau_b
              |FROM m CROSS JOIN nn""".stripMargin)),
 
+    // ─── Mann–Whitney U: rank-sum A/B test over skewed order values ─────
+    "q455_mann_whitney_u" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        RankTests.mannWhitneyU(Tables.orders(s, dir),
+          floor($"o_totalprice" / lit(1000.0)),
+          $"o_orderpriority" === "1-URGENT")
+      },
+      Some("""WITH pts AS (SELECT floor(o_totalprice / 1000.0::DOUBLE) AS v,
+             |    (o_orderpriority = '1-URGENT') AS a FROM orders),
+             |vc AS (SELECT v, count(*)::BIGINT AS c FROM pts GROUP BY 1),
+             |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v)::BIGINT AS cm FROM vc),
+             |ar AS (SELECT v, (cm - c) * 2 + c + 1 AS ar2 FROM cum),
+             |tot AS (SELECT sum(c)::BIGINT AS n,
+             |    sum(CAST(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0)) *
+             |      CAST(c AS DECIMAL(12,0)) - CAST(c AS DECIMAL(12,0))
+             |      AS DECIMAL(38,0))) AS tie
+             |  FROM vc),
+             |gc AS (SELECT v, a, count(*)::BIGINT AS gc FROM pts GROUP BY 1, 2),
+             |rg AS (SELECT a, sum(gc)::BIGINT AS ng,
+             |    sum(CAST(CAST(gc AS DECIMAL(12,0)) * CAST(ar2 AS DECIMAL(19,0))
+             |      AS DECIMAL(38,1))) AS r2
+             |  FROM gc JOIN ar USING (v) GROUP BY 1),
+             |f AS (SELECT (SELECT ng FROM rg WHERE a) AS na,
+             |    (SELECT r2 FROM rg WHERE a) AS r2a,
+             |    (SELECT ng FROM rg WHERE NOT a) AS nb, n, tie FROM tot),
+             |g AS (SELECT na, nb,
+             |    (CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) *
+             |      (CAST(na AS DOUBLE) + 1)) / 2.0 AS ua,
+             |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+             |      ((CAST(n AS DOUBLE) + 1) - CAST(tie AS DOUBLE) /
+             |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS var,
+             |    CAST(r2a AS DOUBLE) / 2.0 AS rsa
+             |  FROM f)
+             |SELECT na AS n_a, nb AS n_b, round(rsa, 6) AS rank_sum_a,
+             |  round(ua, 6) AS u_a,
+             |  round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) - ua, 6) AS u_b,
+             |  CASE WHEN var > 0 THEN round((ua - CAST(na AS DOUBLE) *
+             |    CAST(nb AS DOUBLE) / 2.0) / sqrt(var), 6) END AS z
+             |FROM g""".stripMargin)),
+
+    // ─── Kruskal–Wallis H: k-group rank test over integer quantities ────
+    "q456_kruskal_wallis" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        RankTests.kruskalWallis(Tables.lineitem(s, dir),
+          $"l_quantity", $"l_returnflag")
+      },
+      Some("""WITH pts AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+             |    l_returnflag AS g FROM lineitem),
+             |vc AS (SELECT v, count(*)::BIGINT AS c FROM pts GROUP BY 1),
+             |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v)::BIGINT AS cm FROM vc),
+             |ar AS (SELECT v, (cm - c) * 2 + c + 1 AS ar2 FROM cum),
+             |tot AS (SELECT sum(c)::BIGINT AS n,
+             |    sum(CAST(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0)) *
+             |      CAST(c AS DECIMAL(12,0)) - CAST(c AS DECIMAL(12,0))
+             |      AS DECIMAL(38,0))) AS tie
+             |  FROM vc),
+             |gc AS (SELECT v, g, count(*)::BIGINT AS gc FROM pts GROUP BY 1, 2),
+             |rg AS (SELECT g, sum(gc)::BIGINT AS ng,
+             |    sum(CAST(CAST(gc AS DECIMAL(12,0)) * CAST(ar2 AS DECIMAL(19,0))
+             |      AS DECIMAL(38,1))) AS r2
+             |  FROM gc JOIN ar USING (v) GROUP BY 1),
+             |ag AS (SELECT count(*)::BIGINT AS k,
+             |    sum(CAST(round((CAST(r2 AS DOUBLE) / 2.0) *
+             |      (CAST(r2 AS DOUBLE) / 2.0) / CAST(ng AS DOUBLE), 9)
+             |      AS DECIMAL(28,9))) AS st
+             |  FROM rg),
+             |h AS (SELECT k, n,
+             |    12.0::DOUBLE / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) *
+             |      CAST(st AS DOUBLE) - 3.0::DOUBLE * (CAST(n AS DOUBLE) + 1) AS h,
+             |    1.0::DOUBLE - CAST(tie AS DOUBLE) /
+             |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+             |       CAST(n AS DOUBLE)) AS c
+             |  FROM ag CROSS JOIN tot)
+             |SELECT k, n, round(h, 6) AS h, round(c, 6) AS tie_correction,
+             |  CASE WHEN c > 0 THEN round(h / c, 6) END AS h_corrected
+             |FROM h""".stripMargin)),
+
+    // ─── Kendall's W: 3 ship-years rank suppliers by revenue band ───────
+    "q457_kendall_w" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sp = Tables.lineitem(s, dir)
+          .filter(year($"l_shipdate").isin(1995, 1996, 1997))
+          .groupBy($"l_suppkey", year($"l_shipdate").as("j"))
+          .agg(floor(sum($"l_extendedprice".cast("decimal(18,6)"))
+            .cast("double") / lit(10000.0)).as("v"))
+        val ok = sp.groupBy($"l_suppkey").agg(count(lit(1)).as("__k"))
+          .filter($"__k" === 3).select($"l_suppkey")
+        RankTests.kendallW(sp.join(ok, "l_suppkey"), $"j", $"l_suppkey", $"v")
+      },
+      Some("""WITH sp AS (SELECT l_suppkey AS it,
+             |    year(CAST(l_shipdate AS DATE)) AS j,
+             |    floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+             |      AS DOUBLE) / 10000.0::DOUBLE) AS v
+             |  FROM lineitem
+             |  WHERE year(CAST(l_shipdate AS DATE)) IN (1995, 1996, 1997)
+             |  GROUP BY 1, 2),
+             |ok AS (SELECT it FROM sp GROUP BY it HAVING count(*) = 3),
+             |f AS (SELECT sp.it, sp.j, sp.v FROM sp JOIN ok USING (it)),
+             |m0 AS (SELECT count(DISTINCT j)::BIGINT AS m,
+             |    count(DISTINCT it)::BIGINT AS n FROM f),
+             |jvc AS (SELECT j, v, count(*)::BIGINT AS c FROM f GROUP BY 1, 2),
+             |cum AS (SELECT j, v, c,
+             |    sum(c) OVER (PARTITION BY j ORDER BY v)::BIGINT AS cm FROM jvc),
+             |ar AS (SELECT j, v, (cm - c) * 2 + c + 1 AS ar2 FROM cum),
+             |tie AS (SELECT sum(CAST(CAST(c AS DECIMAL(12,0)) *
+             |    CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0)) -
+             |    CAST(c AS DECIMAL(12,0)) AS DECIMAL(38,0))) AS t FROM jvc),
+             |ri AS (SELECT f.it, sum(ar2)::BIGINT AS r2
+             |  FROM f JOIN ar USING (j, v) GROUP BY 1),
+             |s4 AS (SELECT sum(CAST(
+             |    CAST(r2 - (SELECT m * (n + 1) FROM m0) AS DECIMAL(19,0)) *
+             |    CAST(r2 - (SELECT m * (n + 1) FROM m0) AS DECIMAL(19,0))
+             |    AS DECIMAL(38,0))) AS s4 FROM ri),
+             |fin AS (SELECT m, n, s4, t,
+             |    (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) *
+             |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+             |       CAST(n AS DOUBLE)) -
+             |      CAST(m AS DOUBLE) * CAST(t AS DOUBLE) AS den
+             |  FROM s4 CROSS JOIN tie CROSS JOIN m0)
+             |SELECT m, n, round(CAST(s4 AS DOUBLE) / 4.0, 6) AS s,
+             |  CASE WHEN den > 0 THEN
+             |    round(3.0::DOUBLE * CAST(s4 AS DOUBLE) / den, 6) END AS w
+             |FROM fin""".stripMargin)),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

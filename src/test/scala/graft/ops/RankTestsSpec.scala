@@ -1,0 +1,96 @@
+package graft.ops
+
+import scala.math.BigDecimal.RoundingMode.HALF_UP
+
+import graft.SparkSpec
+
+/** Rank tests against naive O(n²)-rank references that replay the ops'
+  * float discipline, plus hand-worked Kendall-W fixtures. */
+class RankTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r6(x: Double) = BigDecimal(x).setScale(6, HALF_UP).toDouble
+
+  /** tie-averaged ranks by brute force */
+  private def ranks(vs: Seq[Double]): Seq[Double] = {
+    val sorted = vs.sorted
+    vs.map(v => sorted.count(_ < v) + (sorted.count(_ == v) + 1) / 2.0)
+  }
+  private def tieTerm(vs: Seq[Double]): Double =
+    vs.groupBy(identity).values.map(_.size.toDouble).map(t => t * t * t - t).sum
+
+  test("mannWhitneyU == a naive tie-averaged-rank reference") {
+    val data = (1 to 300).map(i =>
+      (((i * 7) % 13).toDouble + (if (i % 3 == 0) 5 else 0), i % 4 == 0))
+    val got = RankTests.mannWhitneyU(data.toDF("v", "a"), $"v", $"a")
+      .as[(Long, Long, Double, Double, Double, Option[Double])].head()
+    val rk = ranks(data.map(_._1))
+    val na = data.count(_._2).toLong
+    val nb = data.size - na
+    val ra = data.zip(rk).filter(_._1._2).map(_._2).sum
+    val ua = ra - na * (na + 1) / 2.0
+    val n = data.size.toDouble
+    val varU = na.toDouble * nb / 12.0 *
+      ((n + 1) - tieTerm(data.map(_._1)) / (n * (n - 1)))
+    val z = (ua - na.toDouble * nb / 2.0) / math.sqrt(varU)
+    assert(got == ((na, nb, r6(ra), r6(ua),
+      r6(na.toDouble * nb - ua), Some(r6(z)))), got.toString)
+  }
+
+  test("mannWhitneyU: everything tied degenerates to NULL z") {
+    val data = (1 to 40).map(i => (7.0, i % 2 == 0))
+    val got = RankTests.mannWhitneyU(data.toDF("v", "a"), $"v", $"a")
+      .as[(Long, Long, Double, Double, Double, Option[Double])].head()
+    assert(got._6.isEmpty, got.toString)
+  }
+
+  test("kruskalWallis == a naive reference (incl. the dec9 group-term sum)") {
+    val data = (1 to 300).map(i =>
+      (((i * 11) % 9).toDouble, s"g${i % 3}"))
+    val got = RankTests.kruskalWallis(data.toDF("v", "g"), $"v", $"g")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    val rk = ranks(data.map(_._1))
+    val byG = data.zip(rk).groupBy(_._1._2)
+    def dec9(x: Double) = BigDecimal(x).setScale(9, HALF_UP)
+    val st = byG.values.map { rows =>
+      val r = rows.map(_._2).sum; dec9(r * r / rows.size.toDouble)
+    }.sum
+    val n = data.size.toDouble
+    val h = 12.0 / (n * (n + 1)) * st.toDouble - 3.0 * (n + 1)
+    val c = 1.0 - tieTerm(data.map(_._1)) / (n * n * n - n)
+    assert(got == ((3L, 300L, r6(h), r6(c), Some(r6(h / c)))), got.toString)
+  }
+
+  test("kendallW: hand-worked 3x4 fixtures — plain, tied, perfect") {
+    // J1: 1,2,3,4  J2: 1,3,2,4  J3: 2,1,3,4 -> R = 4,6,8,12, S = 35,
+    // W = 12*35/(9*60) = 0.777778
+    def df(j3: Seq[Double]) = (Seq(
+      (1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0), (1, 4, 4.0),
+      (2, 1, 1.0), (2, 2, 3.0), (2, 3, 2.0), (2, 4, 4.0)) ++
+      j3.zipWithIndex.map { case (v, i) => (3, i + 1, v) })
+      .toDF("j", "it", "v")
+    val plain = RankTests.kendallW(df(Seq(2.0, 1.0, 3.0, 4.0)),
+      $"j", $"it", $"v").as[(Long, Long, Double, Option[Double])].head()
+    assert(plain == ((3L, 4L, 35.0, Some(0.777778))), plain.toString)
+    // J3 ties items 2,3 at rank 1.5: R = 5, 6.5, 6.5, 12 -> S = 28.5,
+    // T = 6, W = 342/522 = 0.655172
+    val tied = RankTests.kendallW(df(Seq(2.0, 1.0, 1.0, 4.0)),
+      $"j", $"it", $"v").as[(Long, Long, Double, Option[Double])].head()
+    assert(tied == ((3L, 4L, 28.5, Some(0.655172))), tied.toString)
+    // all three judges agree -> S = 45 = m²(n³−n)/12, W = 1
+    val perfect = RankTests.kendallW(df(Seq(1.0, 2.0, 3.0, 4.0))
+        .filter($"j" =!= 2).unionByName(
+          Seq((2, 1, 1.0), (2, 2, 2.0), (2, 3, 3.0), (2, 4, 4.0))
+            .toDF("j", "it", "v")),
+      $"j", $"it", $"v").as[(Long, Long, Double, Option[Double])].head()
+    assert(perfect == ((3L, 4L, 45.0, Some(1.0))), perfect.toString)
+  }
+
+  test("kendallW rejects incomplete rankings loudly") {
+    val rows = Seq((1, 1, 1.0), (1, 2, 2.0), (2, 1, 1.0)).toDF("j", "it", "v")
+    val e = intercept[IllegalArgumentException] {
+      RankTests.kendallW(rows, $"j", $"it", $"v")
+    }
+    assert(e.getMessage.contains("COMPLETE"), e.getMessage)
+  }
+}
