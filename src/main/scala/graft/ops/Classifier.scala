@@ -437,6 +437,69 @@ object Classifier {
         round(col("n_pos").cast("double") / col("n").cast("double"), 6))
   }
 
+  /** Isotonic calibration by pool-adjacent-violators over the binned
+    * reliability table (Zadrozny & Elkan 2002; Robertson's PAV): fixed-
+    * width probability bins, then the least-squares monotone
+    * (non-decreasing) fit of the per-bin positive rate — the
+    * non-parametric alternative to q216/q382's diagnostic curves when
+    * the scores must actually be REMAPPED.
+    *
+    * PAV runs on the ≤`bins`-row binned table on the driver (bounded —
+    * the same contract as the logreg fit's per-iteration collect), with
+    * EXACT integer cross-multiplied violation tests (k₁n₂ > k₂n₁ — no
+    * float enters the pooling decisions); pooled rates divide exact
+    * integer sums once, round-6. A SQL oracle replays the fit through
+    * the min-max identity ŷᵢ = max_{j≤i} min_{k≥i} avg(j..k) over the
+    * same integer prefix sums — pool bounds select identical sums, so
+    * the doubles agree bit-for-bit.
+    *
+    * Scale shape: ONE partial-combining bin aggregate over the scored
+    * frame; everything after is ≤`bins` rows. Output per non-empty
+    * bin: (bin, n, rate_raw, rate_iso). */
+  def isotonicCalibrate(scored: DataFrame, pCol: String, truthCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 4096, s"bins in [2, 4096], got $bins")
+    val spark = scored.sparkSession
+    val g = scored.select(
+        least(floor(col(pCol) * bins).cast("int"), lit(bins - 1)).as("bin"),
+        truthCol.as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__k"))
+      .orderBy(col("bin"))
+      .collect() // ≤ bins rows — bounded by the bin-count literal
+    // PAV: pools carry exact (Σk, Σn, span); merge while the previous
+    // pool's rate exceeds the current's (integer cross-multiply)
+    val pools = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    g.foreach { r =>
+      var cur = (r.getLong(2), r.getLong(1), 1)
+      while (pools.nonEmpty &&
+        pools.last._1 * cur._2 > cur._1 * pools.last._2) {
+        val p = pools.remove(pools.length - 1)
+        cur = (p._1 + cur._1, p._2 + cur._2, p._3 + cur._3)
+      }
+      pools += cur
+    }
+    val iso = pools.flatMap { case (k, n, span) =>
+      Seq.fill(span)(k.toDouble / n.toDouble)
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("bin", IntegerType, false),
+      StructField("n", LongType, false),
+      StructField("rate_raw", DoubleType, false),
+      StructField("rate_iso", DoubleType, false)))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    g.zip(iso).foreach { case (r, y) =>
+      rows.add(Row(r.getInt(0), r.getLong(1),
+        BigDecimal(r.getLong(2).toDouble / r.getLong(1).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(y).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Confusion-matrix counts for a (truth, prediction) pair of label
     * columns: one partial-combining aggregate. */
   def confusion(df: DataFrame, truthCol: String, predCol: String): DataFrame =

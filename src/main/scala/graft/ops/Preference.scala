@@ -183,4 +183,73 @@ object Preference {
     base.join(w, "id")
       .select(col("id"), col("wins"), round(d(col("__s")), 6).as("strength"))
   }
+
+  /** Positional rank aggregation — the closed-form (no-iteration)
+    * companions to the MM fits above, the standard way to merge ranked
+    * lists from many judges/retrievers when a model fit is overkill:
+    *
+    *  - BORDA (de Borda 1781): an item at tie-averaged position r̄ in a
+    *    ranking of m earns m − r̄ points; score = the sum over rankings.
+    *  - COPELAND (1951): from the pairwise-majority table (i over j in
+    *    more rankings than j over i), 1 point per opponent beaten, ½
+    *    per tied opponent — over OBSERVED pairs only (the incomplete-
+    *    tournament convention: never-compared pairs contribute 0).
+    *
+    * Ties in `posCol` within a ranking average positionally for Borda
+    * and count for NEITHER side in Copeland (strict position order).
+    *
+    * Float discipline: positions stay in integer doubled-rank space
+    * (2r̄ = 2·rank + tiecount − 1), so Borda totals and Copeland's
+    * doubled scores are exact longs; the single halving is the only
+    * float op (round-6).
+    *
+    * Scale shape: rank/count windows keyed by the HIGH-CARDINALITY
+    * group column; the pair expansion is per-ranking (list-length-
+    * bounded fanout, the q442 shape) aggregated straight to the sparse
+    * entity²-bounded majority table. Output: (id, n_rankings, borda,
+    * copeland). */
+  def rankAggregation(rankings: DataFrame, groupCol: Column,
+      itemCol: Column, posCol: Column): DataFrame = {
+    val byG = Window.partitionBy(col("__g"))
+    val rk = rankings
+      .select(groupCol.as("__g"), itemCol.cast("long").as("__it"),
+        posCol.as("__p"))
+      .filter(col("__g").isNotNull && col("__it").isNotNull &&
+        col("__p").isNotNull)
+      .withColumn("__rmin", rank().over(byG.orderBy(col("__p"))).cast("long"))
+      .withColumn("__tc",
+        count(lit(1)).over(Window.partitionBy(col("__g"), col("__p")))
+          .cast("long"))
+      .withColumn("__m", count(lit(1)).over(byG).cast("long"))
+      .localCheckpoint(eager = true) // consumers: borda agg + pair join
+    val borda = rk.groupBy(col("__it").as("id"))
+      .agg(count(lit(1)).as("n_rankings"),
+        sum(lit(2) * col("__m") - (lit(2) * col("__rmin") + col("__tc") - 1))
+          .as("__b2"))
+    // directed above-counts -> unordered majority table (sparse)
+    val x = rk.select(col("__g"), col("__it").as("__wi"), col("__p").as("__wp"))
+    val y = rk.select(col("__g"), col("__it").as("__li"), col("__p").as("__lp"))
+    val nij = x.join(y, Seq("__g"))
+      .filter(col("__wp") < col("__lp"))
+      .groupBy(col("__wi"), col("__li")).agg(count(lit(1)).as("__n"))
+    val und = nij
+      .select(least(col("__wi"), col("__li")).as("__a"),
+        greatest(col("__wi"), col("__li")).as("__b"),
+        when(col("__wi") < col("__li"), col("__n")).otherwise(0L).as("__na"),
+        when(col("__wi") > col("__li"), col("__n")).otherwise(0L).as("__nb"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(sum(col("__na")).as("__wa"), sum(col("__nb")).as("__wb"))
+    val c2 = und.select(col("__a").as("id"),
+        when(col("__wa") > col("__wb"), 2L)
+          .when(col("__wa") === col("__wb"), 1L).otherwise(0L).as("__c2"))
+      .unionByName(und.select(col("__b").as("id"),
+        when(col("__wb") > col("__wa"), 2L)
+          .when(col("__wa") === col("__wb"), 1L).otherwise(0L).as("__c2")))
+      .groupBy(col("id")).agg(sum(col("__c2")).as("__c2"))
+    borda.join(c2, Seq("id"), "left")
+      .na.fill(0L, Seq("__c2"))
+      .select(col("id"), col("n_rankings"),
+        round(col("__b2").cast("double") / 2.0, 6).as("borda"),
+        round(col("__c2").cast("double") / 2.0, 6).as("copeland"))
+  }
 }

@@ -1953,4 +1953,69 @@ object TextStats {
     graft.ops.Dedup.unpersistCheckpoint(t)
     ranked
   }
+
+  /** Simple Good–Turing unseen-mass estimate (Gale & Sampson 1995, the
+    * LGT log-linear variant): from the frequency-of-frequencies table
+    * N_r, the probability mass of UNSEEN vocabulary is p₀ = N₁/N, and
+    * the smoothing line log Z_r = a + b·log r (Z_r = N_r averaged over
+    * its empty neighborhood, Z_r = 2N_r/(r₊ − r₋)) gives adjusted
+    * counts r* = (r+1)(1+1/r)^b. The vocabulary-side complement to
+    * q335's Heaps fit and q355's Chao1: those extrapolate vocab SIZE,
+    * this prices the unseen TAIL for an LM (b < −1 is the Gale–Sampson
+    * validity condition, emitted as `valid_smoothing`).
+    *
+    * Float discipline: N, V, N₁ are exact longs; per-row regression
+    * terms (ln r, ln Z and their products) are 9-dp fixed point summed
+    * as decimals, so the least-squares line is order-independent; the
+    * final divisions/exps are double, round-6, with ln 2 / ln 1.5 as
+    * explicit double literals (no cross-engine libm constant drift).
+    *
+    * Scale shape: one token-count shuffle, one (count → N_r) aggregate
+    * over the vocab, then ONE [[Ranks.runningSumsRanked]] pass over
+    * the COUNT DOMAIN (it grows with the corpus — no single-partition
+    * lead/lag window); the r₋ neighbor is a rank self-join on the same
+    * small table. Everything after runs on 1-row aggregates. Output,
+    * 1 row: (n_tokens, vocab, n1, p0, intercept, slope, rstar_1,
+    * rstar_2, valid_smoothing). */
+  def goodTuring(df: DataFrame, textCol: String): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def dec9(c: Column) = round(c, 9).cast("decimal(28,9)")
+    val wc = df.select(explode(split(lower(col(textCol)), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__r"))
+    val ff = wc.groupBy(col("__r")).agg(count(lit(1)).as("__nr"))
+      .localCheckpoint(false) // consumers: the ranked walk + totals
+    val run = Ranks.runningSumsRanked(ff, Seq("__nr" -> "__cum"),
+      Some("__r" -> "__rnext"), "__rn", col("__r"))
+    val prev = run.df.select((col("__rn") + 1).as("__rn"),
+      col("__r").as("__rprev"))
+    val z = run.df.join(prev, Seq("__rn"), "left")
+      .withColumn("__lo", coalesce(col("__rprev"), lit(0L)))
+      .withColumn("__hi",
+        coalesce(col("__rnext"), lit(2) * col("__r") - col("__lo")))
+      .withColumn("__z", d(col("__nr")) * 2.0 / d(col("__hi") - col("__lo")))
+    val lx = log(d(col("__r")))
+    val ly = log(col("__z"))
+    val reg = z.agg(count(lit(1)).as("__k"),
+      sum(dec9(lx)).as("__sx"), sum(dec9(ly)).as("__sy"),
+      sum(dec9(lx * lx)).as("__sxx"), sum(dec9(lx * ly)).as("__sxy"))
+    val tot = ff.agg(sum(col("__r") * col("__nr")).as("n_tokens"),
+      sum(col("__nr")).as("vocab"),
+      sum(when(col("__r") === 1, col("__nr")).otherwise(0L)).as("n1"))
+    val ln2 = 0.6931471805599453
+    val ln15 = 0.4054651081081644
+    val slope = (d(col("__sxy")) - d(col("__sx")) * d(col("__sy")) / d(col("__k"))) /
+      (d(col("__sxx")) - d(col("__sx")) * d(col("__sx")) / d(col("__k")))
+    tot.crossJoin(reg)
+      .withColumn("__b", slope)
+      .withColumn("__a",
+        d(col("__sy")) / d(col("__k")) - col("__b") * d(col("__sx")) / d(col("__k")))
+      .select(col("n_tokens"), col("vocab"), col("n1"),
+        round(d(col("n1")) / d(col("n_tokens")), 6).as("p0"),
+        round(col("__a"), 6).as("intercept"),
+        round(col("__b"), 6).as("slope"),
+        round(lit(2.0) * exp(col("__b") * lit(ln2)), 6).as("rstar_1"),
+        round(lit(3.0) * exp(col("__b") * lit(ln15)), 6).as("rstar_2"),
+        (col("__b") < -1.0).as("valid_smoothing"))
+  }
 }

@@ -152,6 +152,45 @@ object LogregOracle {
        |  round(relr - resr + uncr, 6) AS brier_binned
        |FROM agg""".stripMargin
 
+  /** Isotonic-calibration oracle (`Classifier.isotonicCalibrate` over
+    * the replayed classifier): the PAV fit expressed through its
+    * min-max identity ŷᵢ = max_{j≤i} min_{k≥i} avg(j..k) over integer
+    * bin prefix sums — pool bounds select the same sums the Spark-side
+    * PAV divides, so the doubles agree exactly. */
+  def isotonicSql(label: String, buckets: Int, iters: Int, rate: String,
+      bins: Int): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+       |sp AS (SELECT ltk.doc_id,
+       |         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) AS p,
+       |         ltk.y = 1.0::DOUBLE AS is_target
+       |       FROM fm JOIN ltk USING (doc_id)),
+       |ibg AS (SELECT CAST(least(CAST(floor(p * $bins) AS INTEGER),
+       |          ${bins - 1}) AS INTEGER) AS bin,
+       |        count(*)::BIGINT AS n,
+       |        sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS k
+       |      FROM sp GROUP BY 1),
+       |ibr AS (SELECT bin, n, k, row_number() OVER (ORDER BY bin) AS rn
+       |      FROM ibg),
+       |ibp AS (SELECT rn, sum(n) OVER (ORDER BY rn)::BIGINT AS pn,
+       |        sum(k) OVER (ORDER BY rn)::BIGINT AS pk FROM ibr),
+       |ib0 AS (SELECT rn, pn, pk FROM ibp
+       |       UNION ALL SELECT 0, 0::BIGINT, 0::BIGINT),
+       |iba AS (SELECT lo.rn + 1 AS j, hi.rn AS k2,
+       |        CAST(hi.pk - lo.pk AS DOUBLE) / CAST(hi.pn - lo.pn AS DOUBLE) AS av
+       |      FROM ib0 lo JOIN ibp hi ON hi.rn > lo.rn),
+       |ibm AS (SELECT iba.j, i.rn AS rn, min(av) AS mv
+       |      FROM iba JOIN ibr i ON iba.j <= i.rn AND iba.k2 >= i.rn
+       |      GROUP BY 1, 2),
+       |ibi AS (SELECT rn, max(mv) AS iso FROM ibm GROUP BY 1)
+       |SELECT ibr.bin AS bin, ibr.n AS n,
+       |  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_raw,
+       |  round(iso, 6) AS rate_iso
+       |FROM ibr JOIN ibi USING (rn) ORDER BY bin""".stripMargin
+
   /** Group-fairness oracle (`Classifier.fairnessAudit` over the
     * replayed classifier): per `documents.lang`, selection rate, TPR,
     * FPR (NULL on empty denominators) and the max−min selection gap. */

@@ -12019,6 +12019,109 @@ object OpsQueries {
              |    round(3.0::DOUBLE * CAST(s4 AS DOUBLE) / den, 6) END AS w
              |FROM fin""".stripMargin)),
 
+    // ─── Borda + Copeland rank aggregation (closed-form list merge) ─────
+    "q458_rank_aggregation" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .filter(year($"l_shipdate") === 1995)
+          .groupBy($"l_orderkey", $"l_suppkey")
+          .agg(max($"l_extendedprice").as("pr"))
+        Preference.rankAggregation(li, $"l_orderkey", $"l_suppkey", -$"pr")
+          .orderBy($"id")
+      },
+      Some("""WITH ded AS (SELECT l_orderkey AS g, l_suppkey AS it,
+             |    max(l_extendedprice) AS pr
+             |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1995
+             |  GROUP BY 1, 2),
+             |t AS (SELECT g, it, pr,
+             |    rank() OVER (PARTITION BY g ORDER BY pr DESC) AS rmin,
+             |    count(*) OVER (PARTITION BY g, pr) AS tc,
+             |    count(*) OVER (PARTITION BY g) AS m
+             |  FROM ded),
+             |borda AS (SELECT it AS id, count(*)::BIGINT AS n_rankings,
+             |    sum(2 * m - (2 * rmin + tc - 1))::BIGINT AS b2
+             |  FROM t GROUP BY 1),
+             |pr2 AS (SELECT x.it AS w, y.it AS l
+             |  FROM t x JOIN t y ON x.g = y.g AND x.pr > y.pr),
+             |nij AS (SELECT w, l, count(*)::BIGINT AS n FROM pr2 GROUP BY 1, 2),
+             |und AS (SELECT least(w, l) AS a, greatest(w, l) AS b,
+             |    sum(CASE WHEN w < l THEN n ELSE 0 END)::BIGINT AS wa,
+             |    sum(CASE WHEN w > l THEN n ELSE 0 END)::BIGINT AS wb
+             |  FROM nij GROUP BY 1, 2),
+             |c2 AS (SELECT id, sum(c)::BIGINT AS c2 FROM (
+             |    SELECT a AS id, CASE WHEN wa > wb THEN 2
+             |      WHEN wa = wb THEN 1 ELSE 0 END AS c FROM und
+             |    UNION ALL
+             |    SELECT b, CASE WHEN wb > wa THEN 2
+             |      WHEN wa = wb THEN 1 ELSE 0 END FROM und) GROUP BY 1)
+             |SELECT borda.id AS id, n_rankings,
+             |  round(CAST(b2 AS DOUBLE) / 2.0, 6) AS borda,
+             |  round(CAST(coalesce(c2, 0) AS DOUBLE) / 2.0, 6) AS copeland
+             |FROM borda LEFT JOIN c2 USING (id) ORDER BY id""".stripMargin)),
+
+    // ─── Simple Good–Turing unseen-mass estimate (LGT variant) ──────────
+    "q459_good_turing" -> Q(
+      (s, dir) => TextStats.goodTuring(Tables.documents(s, dir), "text"),
+      Some("""WITH wc AS (SELECT w, count(*)::BIGINT AS r FROM (
+             |    SELECT unnest(string_split(lower(text), ' ')) AS w
+             |    FROM documents)
+             |  WHERE w <> '' GROUP BY 1),
+             |ff AS (SELECT r, count(*)::BIGINT AS nr FROM wc GROUP BY 1),
+             |nb AS (SELECT r, nr, lag(r) OVER (ORDER BY r) AS rprev,
+             |    lead(r) OVER (ORDER BY r) AS rnext FROM ff),
+             |zz AS (SELECT r, nr,
+             |    CAST(nr AS DOUBLE) * 2.0 /
+             |      CAST(coalesce(rnext, 2 * r - coalesce(rprev, 0)) -
+             |        coalesce(rprev, 0) AS DOUBLE) AS z
+             |  FROM nb),
+             |reg AS (SELECT count(*)::BIGINT AS k,
+             |    sum(CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sx,
+             |    sum(CAST(round(ln(z), 9) AS DECIMAL(28,9))) AS sy,
+             |    sum(CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 9)
+             |      AS DECIMAL(28,9))) AS sxx,
+             |    sum(CAST(round(ln(CAST(r AS DOUBLE)) * ln(z), 9)
+             |      AS DECIMAL(28,9))) AS sxy
+             |  FROM zz),
+             |tot AS (SELECT sum(r * nr)::BIGINT AS n_tokens,
+             |    sum(nr)::BIGINT AS vocab,
+             |    sum(CASE WHEN r = 1 THEN nr ELSE 0 END)::BIGINT AS n1 FROM ff),
+             |fin AS (SELECT n_tokens, vocab, n1, k, sx, sy,
+             |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) /
+             |      CAST(k AS DOUBLE)) /
+             |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+             |      CAST(k AS DOUBLE)) AS b
+             |  FROM tot CROSS JOIN reg),
+             |f2 AS (SELECT n_tokens, vocab, n1, b,
+             |    CAST(sy AS DOUBLE) / CAST(k AS DOUBLE) -
+             |      b * CAST(sx AS DOUBLE) / CAST(k AS DOUBLE) AS a
+             |  FROM fin)
+             |SELECT n_tokens, vocab, n1,
+             |  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS p0,
+             |  round(a, 6) AS intercept, round(b, 6) AS slope,
+             |  round(2.0::DOUBLE * exp(b * 0.6931471805599453), 6) AS rstar_1,
+             |  round(3.0::DOUBLE * exp(b * 0.4054651081081644), 6) AS rstar_2,
+             |  b < -1.0 AS valid_smoothing
+             |FROM f2""".stripMargin)),
+
+    // ─── isotonic calibration: PAV over the logreg reliability bins ─────
+    "q460_isotonic_calibration" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val w = cachedFit(s, dir, "en")
+        val scored = Classifier.logregScore(docs, "doc_id", "text",
+          $"lang" === "en", w)
+        // 256 bins: the 3-iter fit's probabilities cluster inside one
+        // tenth-width bin (q216 shows the same), so a 10-bin PAV would
+        // have nothing to pool — finer bins expose the real
+        // non-monotonicity
+        Classifier.isotonicCalibrate(scored, "p", $"is_target", bins = 256)
+          .orderBy($"bin")
+      },
+      Some(LogregOracle.isotonicSql("lang = 'en'", buckets = 64, iters = 3,
+        rate = "0.02::DOUBLE", bins = 256))),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

@@ -282,4 +282,31 @@ class ClassifierSpec extends SparkSpec {
     // p clips to 0.05 / 0.95 → both weights 20, both means 1.0, ate 0
     assert(out == ((2L, 1L, 1.0, 1.0, 0.0)))
   }
+
+  test("isotonicCalibrate: PAV merges the violating bins, weighted") {
+    // bin rates 0.5, 0.25, 0.75 -> bins 0+1 pool to 3/8 = 0.375
+    def rows(p: Double, pos: Int, neg: Int) =
+      Seq.fill(pos)((p, true)) ++ Seq.fill(neg)((p, false))
+    val scored = (rows(0.01, 2, 2) ++ rows(0.11, 1, 3) ++ rows(0.21, 3, 1))
+      .toDF("p", "y")
+    val got = Classifier.isotonicCalibrate(scored, "p", $"y", bins = 10)
+      .orderBy($"bin").as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0, 4L, 0.5, 0.375), (1, 4L, 0.25, 0.375),
+      (2, 4L, 0.75, 0.75)), got.toString)
+  }
+
+  test("isotonicCalibrate: already-monotone rates pass through; full collapse pools all") {
+    def rows(p: Double, pos: Int, neg: Int) =
+      Seq.fill(pos)((p, true)) ++ Seq.fill(neg)((p, false))
+    val mono = (rows(0.05, 1, 4) ++ rows(0.55, 3, 2) ++ rows(0.95, 5, 0))
+      .toDF("p", "y")
+    val g1 = Classifier.isotonicCalibrate(mono, "p", $"y", bins = 10)
+      .orderBy($"bin").as[(Int, Long, Double, Double)].collect().toSeq
+    assert(g1.forall(r => r._3 == r._4), s"monotone input must be identity: $g1")
+    val anti = (rows(0.05, 4, 1) ++ rows(0.55, 2, 3) ++ rows(0.95, 0, 5))
+      .toDF("p", "y")
+    val g2 = Classifier.isotonicCalibrate(anti, "p", $"y", bins = 10)
+      .orderBy($"bin").as[(Int, Long, Double, Double)].collect().toSeq
+    assert(g2.forall(_._4 == 0.4), s"anti-monotone input must pool to 6/15: $g2")
+  }
 }

@@ -124,6 +124,33 @@ class PreferenceSpec extends SparkSpec {
     assert(got(2)._3 == 0.0, "never-chosen item must pin to strength 0")
   }
 
+  test("rankAggregation: hand-worked Borda + Copeland with positional ties") {
+    // g10: 1>2>3   g11: 1>3   g12: 2>1   g13: {1,2} tied > 3
+    // Borda: it1 = 2+1+0+1.5 = 4.5, it2 = 1+1+1.5 = 3.5, it3 = 0
+    // Copeland: 1v2 majority tied (1-1) -> ½ each; 1 beats 3 (3-0),
+    // 2 beats 3 (2-0) -> it1 = it2 = 1.5, it3 = 0
+    val rows = Seq(
+      (10L, 1L, 1.0), (10L, 2L, 2.0), (10L, 3L, 3.0),
+      (11L, 1L, 1.0), (11L, 3L, 2.0),
+      (12L, 2L, 1.0), (12L, 1L, 2.0),
+      (13L, 1L, 1.0), (13L, 2L, 1.0), (13L, 3L, 2.0))
+    val got = Preference.rankAggregation(rows.toDF("g", "it", "p"),
+        $"g", $"it", $"p")
+      .orderBy($"id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 4.5, 1.5),
+      (2L, 3L, 3.5, 1.5),
+      (3L, 3L, 0.0, 0.0)), got.toString)
+  }
+
+  test("rankAggregation: singleton rankings score 0 and pair with no one") {
+    val rows = Seq((1L, 7L, 1.0), (2L, 7L, 1.0), (3L, 8L, 1.0))
+    val got = Preference.rankAggregation(rows.toDF("g", "it", "p"),
+        $"g", $"it", $"p")
+      .orderBy($"id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((7L, 2L, 0.0, 0.0), (8L, 1L, 0.0, 0.0)), got.toString)
+  }
+
   test("a dominant entity ranks above a winless one; self-pairs drop") {
     val cmp = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 3L))
     val got = Preference.bradleyTerry(cmp.toDF("w", "l"), $"w", $"l", iters = 4)

@@ -364,4 +364,36 @@ class TextQualitySpec extends SparkSpec {
     assert(got("pad")._4 === BigDecimal((3.0 / 4 - 0.75 * 0.75) / 0.75)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  // ─── goodTuring ───────────────────────────────────────────────────────
+
+  test("goodTuring == a reference LGT replay on a hand-sized corpus") {
+    // counts: a:3 b:2 c/d/e:1 -> ff = {1:3, 2:1, 3:1}, N=8, V=5, N1=3
+    val docs = Seq((1L, "a a a b"), (2L, "b c d e")).toDF("id", "text")
+    val got = TextStats.goodTuring(docs, "text")
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double, Boolean)]
+      .head()
+    // reference with the op's dec9 discipline
+    def dec9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ff = Seq((1L, 3L), (2L, 1L), (3L, 1L)) // (r, Nr), sorted
+    val z = ff.zipWithIndex.map { case ((r, nr), i) =>
+      val lo = if (i == 0) 0L else ff(i - 1)._1
+      val hi = if (i == ff.length - 1) 2 * r - lo else ff(i + 1)._1
+      (r, nr.toDouble * 2.0 / (hi - lo).toDouble)
+    }
+    val k = z.length.toDouble
+    val sx = z.map(p => dec9(math.log(p._1.toDouble))).sum.toDouble
+    val sy = z.map(p => dec9(math.log(p._2))).sum.toDouble
+    val sxx = z.map(p => dec9(math.log(p._1.toDouble) * math.log(p._1.toDouble))).sum.toDouble
+    val sxy = z.map(p => dec9(math.log(p._1.toDouble) * math.log(p._2))).sum.toDouble
+    val b = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    val a = sy / k - b * sx / k
+    assert(got._1 == 8L && got._2 == 5L && got._3 == 3L)
+    assert(got._4 == 0.375, "p0 = N1/N")
+    assert(got._5 == r6(a) && got._6 == r6(b), got.toString)
+    assert(got._7 == r6(2.0 * math.exp(b * 0.6931471805599453)))
+    assert(got._8 == r6(3.0 * math.exp(b * 0.4054651081081644)))
+    assert(got._9 == (b < -1.0))
+  }
 }
