@@ -500,6 +500,68 @@ object Classifier {
     spark.createDataFrame(rows, schema)
   }
 
+  /** McNemar's test (1947) for PAIRED classifier comparison — the
+    * right test when two classifiers score the SAME items (accuracy
+    * deltas ignore the pairing and waste power): only the discordant
+    * cells matter,
+    *
+    *   χ² = (|b − c| − 1)² / (b + c)   (continuity-corrected)
+    *
+    * with b = items only A got right, c = only B. NULL χ² when the
+    * classifiers never disagree (b + c = 0). ONE partial-combining
+    * aggregate over the scored frame. Output, 1 row: (n, both_right,
+    * both_wrong, only_a, only_b, chi2). */
+  def mcnemar(df: DataFrame, truthCol: Column, predA: Column,
+      predB: Column): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    val t = df.select((predA === truthCol).as("__a"),
+      (predB === truthCol).as("__b"))
+    val agg = t.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("both_right"),
+      sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("both_wrong"),
+      sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("only_a"),
+      sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("only_b"))
+    agg.withColumn("chi2",
+      when(col("only_a") + col("only_b") > 0, round(
+        (abs(d(col("only_a")) - d(col("only_b"))) - 1.0) *
+          (abs(d(col("only_a")) - d(col("only_b"))) - 1.0) /
+          (d(col("only_a")) + d(col("only_b"))), 6)))
+  }
+
+  /** Cochran's Q (1950) — the k-classifier generalization of McNemar:
+    * do k paired classifiers have the same accuracy? With C_j = per-
+    * classifier correct counts, R_i = per-ITEM correct counts, N = ΣC,
+    *
+    *   Q = (k−1)(k·ΣC_j² − N²) / (k·N − ΣR_i²)  ~ χ²(k−1)
+    *
+    * Because each row IS one item, R_i is a map-side row expression —
+    * the whole statistic is ONE partial-combining aggregate over the
+    * scored frame, no shuffle beyond it. NULL when the denominator
+    * degenerates (all items all-right or all-wrong). Output, 1 row:
+    * (k, n_items, q, df). */
+  def cochranQ(df: DataFrame, truthCol: Column,
+      preds: Seq[Column]): DataFrame = {
+    require(preds.size >= 2, s"cochranQ needs >= 2 classifiers, got ${preds.size}")
+    val k = preds.size
+    def d(c: Column) = c.cast("double")
+    val corr = preds.zipWithIndex.map { case (p, i) =>
+      when(p === truthCol, 1L).otherwise(0L).as(s"__c$i") }
+    val t = df.select(corr: _*)
+      .withColumn("__r", preds.indices.map(i => col(s"__c$i")).reduce(_ + _))
+    val aggs = Seq(count(lit(1)).as("n_items"),
+      sum(col("__r")).as("__N"), sum(col("__r") * col("__r")).as("__R2")) ++
+      preds.indices.map(i => sum(col(s"__c$i")).as(s"__C$i"))
+    val a = t.agg(aggs.head, aggs.tail: _*)
+    val sumC2 = preds.indices.map(i => d(col(s"__C$i")) * d(col(s"__C$i")))
+      .reduce(_ + _)
+    val den = lit(k.toDouble) * d(col("__N")) - d(col("__R2"))
+    a.select(lit(k).as("k"), col("n_items"),
+      when(den > 0, round(lit((k - 1).toDouble) *
+        (lit(k.toDouble) * sumC2 - d(col("__N")) * d(col("__N"))) / den, 6))
+        .as("q"),
+      lit(k - 1).as("df"))
+  }
+
   /** Confusion-matrix counts for a (truth, prediction) pair of label
     * columns: one partial-combining aggregate. */
   def confusion(df: DataFrame, truthCol: String, predCol: String): DataFrame =

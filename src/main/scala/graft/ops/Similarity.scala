@@ -1083,4 +1083,58 @@ object Similarity {
         BigDecimal(auc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .toDF("n_ref", "n_cur", "n_cells", "mauve")
   }
+
+  /** Alignment & uniformity of an embedding space (Wang & Isola 2020)
+    * — the two-number health check for contrastive/retrieval
+    * embeddings: positives should be CLOSE (alignment, lower better)
+    * while the whole cloud should spread over the sphere (uniformity,
+    * more negative better; collapse → 0). On unit vectors
+    * ‖x̂−ŷ̂‖² = 2(1−cos), so both reduce to the codegen'd cosine
+    * kernel:
+    *
+    *   alignment  = E_{pos pairs} 2(1−cos)
+    *   uniformity = ln E_{pairs} exp(−2·2(1−cos))
+    *
+    * Positive pairs are (2k, 2k+1) id pairs (the q447 even/odd
+    * convention). The uniformity expectation is over a DETERMINISTIC
+    * md5-bucket pair sample: ids hash into `buckets` groups and only
+    * within-bucket pairs materialize — n²/B pairs, the knob that keeps
+    * the estimator feasible at corpus scale (B=1 is the exact
+    * statistic). Per-pair terms are 9-dp fixed point so both
+    * expectations are order-independent.
+    *
+    * Scale shape: one id-keyed self-join per statistic (the positive
+    * join keyed by pair id; the uniformity join keyed by bucket with
+    * bounded per-bucket fanout by construction) + partial-combining
+    * sums. Output, 1 row: (n_pos, alignment, n_pairs, uniformity). */
+  def alignmentUniformity(emb: DataFrame, idCol: String, vecCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"buckets in [1, 2^20], got $buckets")
+    def d(c: Column) = c.cast("double")
+    def dec9(c: Column) = round(c, 9).cast("decimal(28,9)")
+    val e = emb.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"))
+      .localCheckpoint(false) // consumers: positive pairs + bucket pairs
+    val x = e.filter(col("__id") % 2 === 0)
+      .select((col("__id") / 2).as("__p"), col("__v").as("__x"))
+    val y = e.filter(col("__id") % 2 === 1)
+      .select(((col("__id") - 1) / 2).as("__p"), col("__v").as("__y"))
+    val al = x.join(y, "__p")
+      .select(dec9(lit(2.0) * (lit(1.0) -
+        cosine(col("__x"), col("__y")))).as("__d2"))
+      .agg(count(lit(1)).as("n_pos"), sum(col("__d2")).as("__sa"))
+    val bkt = e.withColumn("__b",
+      pmod(Dedup.baseHash(col("__id").cast("string")), lit(buckets.toLong)))
+    val l = bkt.select(col("__b"), col("__id").as("__i"), col("__v").as("__x"))
+    val r = bkt.select(col("__b"), col("__id").as("__j"), col("__v").as("__y"))
+    val un = l.join(r, Seq("__b")).filter(col("__i") < col("__j"))
+      .select(dec9(exp(lit(-4.0) * (lit(1.0) -
+        cosine(col("__x"), col("__y"))))).as("__e"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__e")).as("__su"))
+    al.crossJoin(un).select(col("n_pos"),
+      round(d(col("__sa")) / d(col("n_pos")), 6).as("alignment"),
+      col("n_pairs"),
+      round(log(d(col("__su")) / d(col("n_pairs"))), 6).as("uniformity"))
+  }
 }

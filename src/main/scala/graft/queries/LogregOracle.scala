@@ -191,6 +191,71 @@ object LogregOracle {
        |  round(iso, 6) AS rate_iso
        |FROM ibr JOIN ibi USING (rn) ORDER BY bin""".stripMargin
 
+  /** McNemar oracle (`Classifier.mcnemar`): classifier A = replayed
+    * logreg thresholded at `thr`, classifier B = the SQL predicate
+    * `predB` over the joined documents row. */
+  def mcnemarSql(label: String, buckets: Int, iters: Int, rate: String,
+      thr: String, predB: String): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+       |sp AS (SELECT ltk.doc_id,
+       |         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) AS p,
+       |         ltk.y = 1.0::DOUBLE AS is_target
+       |       FROM fm JOIN ltk USING (doc_id)),
+       |jj AS (SELECT (sp.p >= $thr) = sp.is_target AS a,
+       |         ($predB) = sp.is_target AS b
+       |       FROM sp JOIN documents d ON sp.doc_id = d.doc_id),
+       |ag AS (SELECT count(*)::BIGINT AS n,
+       |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS both_right,
+       |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS both_wrong,
+       |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS only_a,
+       |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS only_b
+       |  FROM jj)
+       |SELECT n, both_right, both_wrong, only_a, only_b,
+       |  CASE WHEN only_a + only_b > 0 THEN round(
+       |    (abs(CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE)) - 1.0) *
+       |    (abs(CAST(only_a AS DOUBLE) - CAST(only_b AS DOUBLE)) - 1.0) /
+       |    (CAST(only_a AS DOUBLE) + CAST(only_b AS DOUBLE)), 6) END AS chi2
+       |FROM ag""".stripMargin
+
+  /** Cochran's Q oracle (`Classifier.cochranQ`) for the 3-classifier
+    * gate: replayed-logreg threshold + two SQL heuristics. */
+  def cochranQSql(label: String, buckets: Int, iters: Int, rate: String,
+      thr: String, pred2: String, pred3: String): String =
+    s"""WITH ${ctes(label, buckets, iters, rate)},
+       |fm AS (SELECT f.doc_id,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY w.b)),
+       |           (a, c) -> a + c) AS margin
+       |       FROM lf f JOIN w$iters w USING (b) GROUP BY f.doc_id),
+       |sp AS (SELECT ltk.doc_id,
+       |         round(1.0::DOUBLE / (1.0::DOUBLE + exp(-fm.margin)), 9) AS p,
+       |         ltk.y = 1.0::DOUBLE AS is_target
+       |       FROM fm JOIN ltk USING (doc_id)),
+       |jj AS (SELECT
+       |    CASE WHEN (sp.p >= $thr) = sp.is_target THEN 1 ELSE 0 END AS c0,
+       |    CASE WHEN ($pred2) = sp.is_target THEN 1 ELSE 0 END AS c1,
+       |    CASE WHEN ($pred3) = sp.is_target THEN 1 ELSE 0 END AS c2
+       |  FROM sp JOIN documents d ON sp.doc_id = d.doc_id),
+       |ag AS (SELECT count(*)::BIGINT AS n_items,
+       |    sum(c0 + c1 + c2)::BIGINT AS nn,
+       |    sum((c0 + c1 + c2) * (c0 + c1 + c2))::BIGINT AS r2,
+       |    sum(c0)::BIGINT AS cc0, sum(c1)::BIGINT AS cc1,
+       |    sum(c2)::BIGINT AS cc2
+       |  FROM jj)
+       |SELECT 3 AS k, n_items,
+       |  CASE WHEN 3.0::DOUBLE * CAST(nn AS DOUBLE) - CAST(r2 AS DOUBLE) > 0
+       |    THEN round(2.0::DOUBLE * (3.0::DOUBLE *
+       |      (CAST(cc0 AS DOUBLE) * CAST(cc0 AS DOUBLE) +
+       |       CAST(cc1 AS DOUBLE) * CAST(cc1 AS DOUBLE) +
+       |       CAST(cc2 AS DOUBLE) * CAST(cc2 AS DOUBLE)) -
+       |      CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) /
+       |      (3.0::DOUBLE * CAST(nn AS DOUBLE) - CAST(r2 AS DOUBLE)), 6)
+       |  END AS q, 2 AS df
+       |FROM ag""".stripMargin
+
   /** Group-fairness oracle (`Classifier.fairnessAudit` over the
     * replayed classifier): per `documents.lang`, selection rate, TPR,
     * FPR (NULL on empty denominators) and the max−min selection gap. */

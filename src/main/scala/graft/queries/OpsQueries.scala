@@ -12122,6 +12122,72 @@ object OpsQueries {
       Some(LogregOracle.isotonicSql("lang = 'en'", buckets = 64, iters = 3,
         rate = "0.02::DOUBLE", bins = 256))),
 
+    // ─── embedding alignment & uniformity (Wang & Isola 2020) ───────────
+    "q461_alignment_uniformity" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.alignmentUniformity(Tables.embeddings(s, dir),
+          "vec_id", "embedding", buckets = 32)
+      },
+      Some {
+        def cos(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (p,q) -> p+q) /
+             |  (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)) *
+             |   sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)))""".stripMargin
+        s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |px AS (SELECT id // 2 AS p, v AS x FROM e WHERE id % 2 = 0),
+           |py AS (SELECT (id - 1) // 2 AS p, v AS y FROM e WHERE id % 2 = 1),
+           |al AS (SELECT count(*)::BIGINT AS n_pos,
+           |    sum(CAST(round(2.0 * (1.0 - ${cos("x", "y")}), 9)
+           |      AS DECIMAL(28,9))) AS sa
+           |  FROM px JOIN py USING (p)),
+           |bb AS (SELECT ('0x'||substr(md5(CAST(id AS VARCHAR)),1,15))::BIGINT
+           |    % 32 AS bk, id, v FROM e),
+           |un AS (SELECT count(*)::BIGINT AS n_pairs,
+           |    sum(CAST(round(exp(-4.0 * (1.0 - ${cos("a.v", "b.v")})), 9)
+           |      AS DECIMAL(28,9))) AS su
+           |  FROM bb a JOIN bb b ON a.bk = b.bk AND a.id < b.id)
+           |SELECT n_pos,
+           |  round(CAST(sa AS DOUBLE) / CAST(n_pos AS DOUBLE), 6) AS alignment,
+           |  n_pairs,
+           |  round(ln(CAST(su AS DOUBLE) / CAST(n_pairs AS DOUBLE)), 6)
+           |    AS uniformity
+           |FROM al CROSS JOIN un""".stripMargin
+      }),
+
+    // ─── McNemar: paired comparison of the logreg vs a length rule ──────
+    "q462_mcnemar" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val w = cachedFit(s, dir, "en")
+        val scored = Classifier.logregScore(docs, "doc_id", "text",
+          $"lang" === "en", w)
+        val j = scored.join(docs.select($"doc_id", $"n_chars"), "doc_id")
+        Classifier.mcnemar(j, $"is_target", $"p" >= 0.48, $"n_chars" >= 300)
+      },
+      Some(LogregOracle.mcnemarSql("lang = 'en'", buckets = 64, iters = 3,
+        rate = "0.02::DOUBLE", thr = "0.48::DOUBLE",
+        predB = "d.n_chars >= 300"))),
+
+    // ─── Cochran's Q: do 3 paired classifiers share one accuracy? ───────
+    "q463_cochran_q" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val w = cachedFit(s, dir, "en")
+        val scored = Classifier.logregScore(docs, "doc_id", "text",
+          $"lang" === "en", w)
+        val j = scored.join(docs.select($"doc_id", $"n_chars", $"text"),
+          "doc_id")
+        Classifier.cochranQ(j, $"is_target", Seq($"p" >= 0.48,
+          $"n_chars" >= 300, size(split($"text", " ")) >= 60))
+      },
+      Some(LogregOracle.cochranQSql("lang = 'en'", buckets = 64, iters = 3,
+        rate = "0.02::DOUBLE", thr = "0.48::DOUBLE",
+        pred2 = "d.n_chars >= 300",
+        pred3 = "len(string_split(d.text, ' ')) >= 60"))),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

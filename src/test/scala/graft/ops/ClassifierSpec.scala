@@ -283,6 +283,36 @@ class ClassifierSpec extends SparkSpec {
     assert(out == ((2L, 1L, 1.0, 1.0, 0.0)))
   }
 
+  test("mcnemar: hand-worked discordant cells") {
+    // 3 both-right, 2 both-wrong, 4 only-A, 1 only-B
+    // chi2 = (|4-1|-1)²/5 = 0.8
+    val rows =
+      Seq.fill(3)((true, true, true)) ++ Seq.fill(2)((true, false, false)) ++
+      Seq.fill(4)((true, true, false)) ++ Seq.fill(1)((true, false, true))
+    val got = Classifier.mcnemar(rows.toDF("t", "a", "b"), $"t", $"a", $"b")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(got == ((10L, 3L, 2L, 4L, 1L, Some(0.8))), got.toString)
+    // no disagreement -> NULL chi2
+    val same = Seq((true, true, true), (true, false, false))
+    val g2 = Classifier.mcnemar(same.toDF("t", "a", "b"), $"t", $"a", $"b")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(g2._6.isEmpty)
+  }
+
+  test("cochranQ: hand-worked 3-classifier fixture") {
+    // correctness matrix rows: 111, 100, 110, 000
+    // C = (3,2,1), N = 6, ΣR² = 14 -> Q = 2(3·14 − 36)/(18 − 14) = 3.0
+    val rows = Seq(
+      (true, true, true, true),
+      (true, true, false, false),
+      (true, true, true, false),
+      (true, false, false, false))
+    val got = Classifier.cochranQ(rows.toDF("t", "a", "b", "c"), $"t",
+        Seq($"a", $"b", $"c"))
+      .as[(Int, Long, Option[Double], Int)].head()
+    assert(got == ((3, 4L, Some(3.0), 2)), got.toString)
+  }
+
   test("isotonicCalibrate: PAV merges the violating bins, weighted") {
     // bin rates 0.5, 0.25, 0.75 -> bins 0+1 pool to 3/8 = 0.375
     def rows(p: Double, pos: Int, neg: Int) =
