@@ -105,4 +105,47 @@ object Linalg {
   // Similarity.standardizeDims (hash-gated by q140) — the former
   // `standardize` twin here was retired in round 7 to keep a single
   // code path for the kernel.
+
+  /** Linear CKA between two representation spaces on the SAME rows
+    * (Kornblith et al. 2019, feature-space form):
+    *
+    *   CKA(X, Y) = ‖C_XY‖²_F / (‖C_XX‖_F · ‖C_YY‖_F)
+    *
+    * over column-centered covariance blocks — invariant to orthogonal
+    * transforms and isotropic scaling, the standard "did the structure
+    * survive?" score for quantization, distillation, or a re-trained
+    * encoder. 1 = same geometry, → 0 = unrelated.
+    *
+    * Both vectors concatenate into ONE `gramFix` pass, so all three
+    * blocks (XX, YY, XY) come out of a single (dimX+dimY)²-bounded
+    * [[covariance]] aggregate — the corpus is scanned once. Frobenius
+    * sums re-fold the upper triangle (diagonal once, off-diagonal
+    * twice; the XY block appears exactly once since i < dimX ≤ j) as
+    * 9-dp fixed point, order-independent. Output, 1 row: (dim_x,
+    * dim_y, fro2_xx, fro2_yy, fro2_xy, cka) — cka NULL when a block
+    * degenerates to 0 (a constant representation). */
+  def cka(emb: DataFrame, xCol: Column, yCol: Column, dimX: Int,
+      dimY: Int): DataFrame = {
+    require(dimX >= 1 && dimY >= 1 && dimX + dimY <= 512,
+      s"dims in [1, 512] combined, got $dimX + $dimY")
+    def d(c: Column) = c.cast("double")
+    def dec9(c: Column) = round(c, 9).cast("decimal(28,9)")
+    val z = emb.select(concat(xCol, yCol).as("__z"))
+    val cov = covariance(z, "__z", dimX + dimY)
+    val c2 = d(col("cov")) * d(col("cov"))
+    val tri = when(col("i") === col("j"), c2).otherwise(c2 * 2.0)
+    val zero = lit(0).cast("decimal(28,9)")
+    val agg = cov.agg(
+      sum(when(col("j") < dimX, dec9(tri)).otherwise(zero)).as("__fxx"),
+      sum(when(col("i") >= dimX, dec9(tri)).otherwise(zero)).as("__fyy"),
+      sum(when(col("i") < dimX && col("j") >= dimX, dec9(c2))
+        .otherwise(zero)).as("__fxy"))
+    agg.select(lit(dimX).as("dim_x"), lit(dimY).as("dim_y"),
+      round(d(col("__fxx")), 6).as("fro2_xx"),
+      round(d(col("__fyy")), 6).as("fro2_yy"),
+      round(d(col("__fxy")), 6).as("fro2_xy"),
+      when(col("__fxx") > 0 && col("__fyy") > 0,
+        round(d(col("__fxy")) /
+          (sqrt(d(col("__fxx"))) * sqrt(d(col("__fyy")))), 6)).as("cka"))
+  }
 }

@@ -41,6 +41,16 @@ object Quantize {
             least(lit(127), round(v.cast("double") * scale).cast("int")))))
     }
 
+  /** int8 round trip: the dequantized array<float> q·(m/127) — the
+    * lossy reconstruction that space-similarity audits (CKA) score
+    * against the original. Zero vectors reconstruct to zeros (m/127 is
+    * 0, no special case). */
+  def dequant8(vec: Column): Column =
+    Let.bindOnce(maxAbs(vec)) { m =>
+      transform(int8(vec), q =>
+        (q.cast("double") * (m / lit(127.0))).cast("float"))
+    }
+
   /** (qmin, qmax, qsum, mse): quantized range, exact integer sum, and
     * fixed-point mean squared reconstruction error. The 2^40 fixed-point
     * error sum assumes embedding magnitudes ≲ 10⁵ per element (beyond

@@ -12188,6 +12188,58 @@ object OpsQueries {
         pred2 = "d.n_chars >= 300",
         pred3 = "len(string_split(d.text, ' ')) >= 60"))),
 
+    // ─── linear CKA: does the embedding geometry survive int8? ──────────
+    "q464_cka_quantization" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Linalg.cka(Tables.embeddings(s, dir), $"embedding",
+          Quantize.dequant8($"embedding"), dimX = 64, dimY = 64)
+      },
+      Some("""WITH b AS (SELECT vec_id, embedding,
+             |    list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS m
+             |  FROM embeddings),
+             |qz AS (SELECT vec_id, embedding, m,
+             |    list_transform(embedding, v -> CASE WHEN m = 0 THEN 0
+             |      ELSE greatest(-127, least(127,
+             |        CAST(round(v::DOUBLE * (127.0::DOUBLE / m)) AS INTEGER))) END) AS q
+             |  FROM b),
+             |zz AS (SELECT vec_id, list_concat(embedding,
+             |    list_transform(q, qv -> CAST(qv * (m / 127.0::DOUBLE) AS FLOAT))) AS z
+             |  FROM qz),
+             |e AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i, z[t.i+1]::DOUBLE AS xi
+             |  FROM zz CROSS JOIN range(128) t(i)),
+             |p AS (SELECT a.i, b2.i AS j,
+             |    CAST(round(a.xi * b2.xi * 1099511627776::DOUBLE) AS BIGINT) AS pfp
+             |  FROM e a JOIN e b2 ON a.vec_id = b2.vec_id AND b2.i >= a.i),
+             |m2 AS (SELECT i, j, CAST(sum(pfp) AS DOUBLE) AS m2fx,
+             |    count(*) AS n FROM p GROUP BY i, j),
+             |m1 AS (SELECT i, CAST(sum(CAST(round(xi * 1099511627776::DOUBLE)
+             |    AS BIGINT)) AS DOUBLE) AS m1fx FROM e GROUP BY i),
+             |cv AS (SELECT m2.i AS i, m2.j AS j,
+             |    m2.m2fx / 1099511627776::DOUBLE / n -
+             |      (a.m1fx / 1099511627776::DOUBLE / n) *
+             |      (b2.m1fx / 1099511627776::DOUBLE / n) AS cov
+             |  FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b2 ON m2.j = b2.i),
+             |f AS (SELECT
+             |    sum(CASE WHEN j < 64 THEN CAST(round(CASE WHEN i = j
+             |        THEN cov * cov ELSE cov * cov * 2.0 END, 9)
+             |        AS DECIMAL(28,9)) ELSE 0::DECIMAL(28,9) END) AS fxx,
+             |    sum(CASE WHEN i >= 64 THEN CAST(round(CASE WHEN i = j
+             |        THEN cov * cov ELSE cov * cov * 2.0 END, 9)
+             |        AS DECIMAL(28,9)) ELSE 0::DECIMAL(28,9) END) AS fyy,
+             |    sum(CASE WHEN i < 64 AND j >= 64 THEN
+             |        CAST(round(cov * cov, 9) AS DECIMAL(28,9))
+             |      ELSE 0::DECIMAL(28,9) END) AS fxy
+             |  FROM cv)
+             |SELECT 64 AS dim_x, 64 AS dim_y,
+             |  round(CAST(fxx AS DOUBLE), 6) AS fro2_xx,
+             |  round(CAST(fyy AS DOUBLE), 6) AS fro2_yy,
+             |  round(CAST(fxy AS DOUBLE), 6) AS fro2_xy,
+             |  CASE WHEN fxx > 0 AND fyy > 0 THEN
+             |    round(CAST(fxy AS DOUBLE) / (sqrt(CAST(fxx AS DOUBLE)) *
+             |      sqrt(CAST(fyy AS DOUBLE))), 6) END AS cka
+             |FROM f""".stripMargin)),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {
