@@ -1107,6 +1107,66 @@ object Similarity {
     * join keyed by pair id; the uniformity join keyed by bucket with
     * bounded per-bucket fanout by construction) + partial-combining
     * sums. Output, 1 row: (n_pos, alignment, n_pairs, uniformity). */
+  /** MMD² — maximum mean discrepancy (Gretton et al. 2012) with an RBF
+    * kernel between two embedding sets on one frame: the kernel
+    * two-sample test for "did the embedding distribution drift?" that
+    * sees what per-dimension KS tests (q271) and cell histograms
+    * (q447 MAUVE) can miss — full-joint, smooth sensitivity.
+    *
+    *   MMD² = E k(x,x′) + E k(y,y′) − 2·E k(x,y),
+    *   k(a,b) = exp(−γ‖a−b‖²)
+    *
+    * Pair expectations run over the SAME deterministic md5-bucket pair
+    * sample as [[alignmentUniformity]] (n²/B pairs; B=1 exact), every
+    * squared distance recovered from the codegen'd cosine/norm kernels
+    * in one fixed float order, per-pair kernel values 9-dp fixed point
+    * — order-independent and oracle-replayable. Can be (slightly)
+    * negative — it's the biased-less U-ish estimator over sampled
+    * pairs; NULL when any pair class is empty. Output, 1 row: (n_ref,
+    * n_cur, pairs_xx, pairs_yy, pairs_xy, mmd2). */
+  def mmd(emb: DataFrame, idCol: String, vecCol: String, isRef: Column,
+      buckets: Int, gamma: Double): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"buckets in [1, 2^20], got $buckets")
+    require(gamma > 0, s"gamma must be > 0, got $gamma")
+    def d(c: Column) = c.cast("double")
+    def dec9(c: Column) = round(c, 9).cast("decimal(28,9)")
+    val e = emb.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"), isRef.as("__x"))
+      .filter(col("__id").isNotNull && col("__x").isNotNull)
+      .withColumn("__b",
+        pmod(Dedup.baseHash(col("__id").cast("string")), lit(buckets.toLong)))
+      .localCheckpoint(false) // consumers: side counts + the pair join
+    val sides = e.agg(
+      sum(when(col("__x"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(!col("__x"), 1L).otherwise(0L)).as("n_cur"))
+    val l = e.select(col("__b"), col("__id").as("__i"),
+      col("__v").as("__va"), col("__x").as("__xa"))
+    val r = e.select(col("__b"), col("__id").as("__j"),
+      col("__v").as("__vb"), col("__x").as("__xb"))
+    val na = graft.functions.VectorOps.norm2Fast(col("__va"))
+    val nb = graft.functions.VectorOps.norm2Fast(col("__vb"))
+    val d2 = na + nb - lit(2.0) *
+      (cosine(col("__va"), col("__vb")) * sqrt(na) * sqrt(nb))
+    val pr = l.join(r, Seq("__b")).filter(col("__i") < col("__j"))
+      .select(col("__xa"), col("__xb"),
+        dec9(exp(lit(-gamma) * d2)).as("__k"))
+    val zero = lit(0).cast("decimal(28,9)")
+    val agg = pr.agg(
+      sum(when(col("__xa") && col("__xb"), 1L).otherwise(0L)).as("pairs_xx"),
+      sum(when(!col("__xa") && !col("__xb"), 1L).otherwise(0L)).as("pairs_yy"),
+      sum(when(col("__xa") =!= col("__xb"), 1L).otherwise(0L)).as("pairs_xy"),
+      sum(when(col("__xa") && col("__xb"), col("__k")).otherwise(zero)).as("__sxx"),
+      sum(when(!col("__xa") && !col("__xb"), col("__k")).otherwise(zero)).as("__syy"),
+      sum(when(col("__xa") =!= col("__xb"), col("__k")).otherwise(zero)).as("__sxy"))
+    sides.crossJoin(agg).select(col("n_ref"), col("n_cur"),
+      col("pairs_xx"), col("pairs_yy"), col("pairs_xy"),
+      when(col("pairs_xx") > 0 && col("pairs_yy") > 0 && col("pairs_xy") > 0,
+        round(d(col("__sxx")) / d(col("pairs_xx")) +
+          d(col("__syy")) / d(col("pairs_yy")) -
+          lit(2.0) * (d(col("__sxy")) / d(col("pairs_xy"))), 6)).as("mmd2"))
+  }
+
   def alignmentUniformity(emb: DataFrame, idCol: String, vecCol: String,
       buckets: Int): DataFrame = {
     require(buckets >= 1 && buckets <= (1 << 20),

@@ -12240,6 +12240,50 @@ object OpsQueries {
              |      sqrt(CAST(fyy AS DOUBLE))), 6) END AS cka
              |FROM f""".stripMargin)),
 
+    // ─── MMD²: kernel two-sample drift test between embedding halves ────
+    "q465_mmd_drift" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Similarity.mmd(Tables.embeddings(s, dir), "vec_id", "embedding",
+          $"vec_id" % 2 === 0, buckets = 32, gamma = 0.5)
+      },
+      Some {
+        def n2(a: String) =
+          s"list_reduce(list_transform($a, w -> w::DOUBLE * w::DOUBLE), (p,q) -> p+q)"
+        def cos(a: String, b: String) =
+          s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (p,q) -> p+q) /
+             |  (sqrt(${n2(a)}) * sqrt(${n2(b)}))""".stripMargin
+        s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
+           |    (vec_id % 2 = 0) AS x,
+           |    ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT
+           |      % 32 AS bk
+           |  FROM embeddings),
+           |sides AS (SELECT sum(CASE WHEN x THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+           |    sum(CASE WHEN NOT x THEN 1 ELSE 0 END)::BIGINT AS n_cur FROM e),
+           |p AS (SELECT a.x AS xa, b.x AS xb,
+           |    CAST(round(exp(-0.5::DOUBLE *
+           |      ((${n2("a.v")} + ${n2("b.v")}) -
+           |       2.0::DOUBLE * ((${cos("a.v", "b.v")} * sqrt(${n2("a.v")})) *
+           |         sqrt(${n2("b.v")})))), 9) AS DECIMAL(28,9)) AS kk
+           |  FROM e a JOIN e b ON a.bk = b.bk AND a.id < b.id),
+           |ag AS (SELECT
+           |    sum(CASE WHEN xa AND xb THEN 1 ELSE 0 END)::BIGINT AS pairs_xx,
+           |    sum(CASE WHEN NOT xa AND NOT xb THEN 1 ELSE 0 END)::BIGINT AS pairs_yy,
+           |    sum(CASE WHEN xa <> xb THEN 1 ELSE 0 END)::BIGINT AS pairs_xy,
+           |    sum(CASE WHEN xa AND xb THEN kk ELSE 0::DECIMAL(28,9) END) AS sxx,
+           |    sum(CASE WHEN NOT xa AND NOT xb THEN kk
+           |      ELSE 0::DECIMAL(28,9) END) AS syy,
+           |    sum(CASE WHEN xa <> xb THEN kk ELSE 0::DECIMAL(28,9) END) AS sxy
+           |  FROM p)
+           |SELECT n_ref, n_cur, pairs_xx, pairs_yy, pairs_xy,
+           |  CASE WHEN pairs_xx > 0 AND pairs_yy > 0 AND pairs_xy > 0 THEN
+           |    round(CAST(sxx AS DOUBLE) / CAST(pairs_xx AS DOUBLE) +
+           |      CAST(syy AS DOUBLE) / CAST(pairs_yy AS DOUBLE) -
+           |      2.0::DOUBLE * (CAST(sxy AS DOUBLE) / CAST(pairs_xy AS DOUBLE)), 6)
+           |  END AS mmd2
+           |FROM sides CROSS JOIN ag""".stripMargin
+      }),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

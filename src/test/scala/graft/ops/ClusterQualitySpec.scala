@@ -102,6 +102,59 @@ class ClusterQualitySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("both sides"))
   }
+
+  test("alignmentUniformity: hand-worked 4-vector fixture at B=1 (exact)") {
+    import spark.implicits._
+    // pos pairs: (0,1) identical -> d² = 0; (2,3) antipodal -> d² = 4
+    val e = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(0f, -1f))).toDF("vec_id", "embedding")
+    val got = Similarity.alignmentUniformity(e, "vec_id", "embedding",
+      buckets = 1).as[(Long, Double, Long, Double)].head()
+    def dec9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 == 2L && got._3 == 6L)
+    assert(got._2 == 2.0, s"alignment (0+4)/2: $got")
+    // all 6 pairs: cos = 1 once, 0 four times, −1 once
+    val su = (dec9(math.exp(0.0)) + dec9(math.exp(-4.0)) * 4 +
+      dec9(math.exp(-8.0))).toDouble
+    assert(got._4 == r6(math.log(su / 6.0)), got.toString)
+  }
+
+  test("mmd: hand-worked two-cluster fixture at B=1 (exact)") {
+    import spark.implicits._
+    // ref = copies of (1,0), cur = copies of (0,1): k_xx = k_yy = 1,
+    // k_xy = dec9(e^{-0.5·2}) -> mmd² = 2 − 2·0.367879441 = 1.264241118
+    val e = (0L until 8L).map(i =>
+      (i, if (i % 2 == 0) Seq(1f, 0f) else Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmd(e, "vec_id", "embedding",
+        col("vec_id") % 2 === 0, buckets = 1, gamma = 0.5)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(got == ((4L, 4L, 6L, 6L, 16L, Some(1.264241))), got.toString)
+    // identical distributions -> exactly 0
+    val same = (0L until 8L).map(i => (i, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.mmd(same, "vec_id", "embedding",
+        col("vec_id") % 2 === 0, buckets = 1, gamma = 0.5)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(z._6.contains(0.0), z.toString)
+  }
+
+  test("alignmentUniformity: bucketing only thins the pair sample") {
+    import spark.implicits._
+    val e = (0L until 40L).map(i =>
+      (i, Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.alignmentUniformity(e, "vec_id", "embedding", 1)
+      .as[(Long, Double, Long, Double)].head()
+    val thin = Similarity.alignmentUniformity(e, "vec_id", "embedding", 4)
+      .as[(Long, Double, Long, Double)].head()
+    assert(exact._3 == 40L * 39 / 2)
+    assert(thin._3 < exact._3 && thin._3 > 0)
+    assert(thin._1 == exact._1 && thin._2 == exact._2,
+      "alignment is never sampled")
+  }
 }
 
 /** `TextStats.textRankKeywords` contract: hub word outranks spokes,
@@ -149,36 +202,4 @@ class TextRankSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
-  test("alignmentUniformity: hand-worked 4-vector fixture at B=1 (exact)") {
-    import spark.implicits._
-    // pos pairs: (0,1) identical -> d² = 0; (2,3) antipodal -> d² = 4
-    val e = Seq(
-      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
-      (2L, Seq(0f, 1f)), (3L, Seq(0f, -1f))).toDF("vec_id", "embedding")
-    val got = Similarity.alignmentUniformity(e, "vec_id", "embedding",
-      buckets = 1).as[(Long, Double, Long, Double)].head()
-    def dec9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got._1 == 2L && got._3 == 6L)
-    assert(got._2 == 2.0, s"alignment (0+4)/2: $got")
-    // all 6 pairs: cos = 1 once, 0 four times, −1 once
-    val su = (dec9(math.exp(0.0)) + dec9(math.exp(-4.0)) * 4 +
-      dec9(math.exp(-8.0))).toDouble
-    assert(got._4 == r6(math.log(su / 6.0)), got.toString)
-  }
-
-  test("alignmentUniformity: bucketing only thins the pair sample") {
-    import spark.implicits._
-    val e = (0L until 40L).map(i =>
-      (i, Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat)))
-      .toDF("vec_id", "embedding")
-    val exact = Similarity.alignmentUniformity(e, "vec_id", "embedding", 1)
-      .as[(Long, Double, Long, Double)].head()
-    val thin = Similarity.alignmentUniformity(e, "vec_id", "embedding", 4)
-      .as[(Long, Double, Long, Double)].head()
-    assert(exact._3 == 40L * 39 / 2)
-    assert(thin._3 < exact._3 && thin._3 > 0)
-    assert(thin._1 == exact._1 && thin._2 == exact._2,
-      "alignment is never sampled")
-  }
 }
