@@ -45,8 +45,12 @@ object RankTests {
     val ar2 = run.df.select(col("__v"), col("__c"),
       ((col("__cum") - col("__c")) * 2 + col("__c") + 1).as("__ar2"))
     val cd = col("__c").cast("decimal(12,0)")
-    val tot = vc.agg(sum(col("__c")).as("__n"),
-      sum((cd * cd * cd - cd).cast("decimal(38,0)")).as("__tie"))
+    // coalesced so an EMPTY value domain (e.g. all-zero signed-rank
+    // diffs) yields (0, 0) rather than nulls
+    val tot = vc.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__n"),
+      coalesce(sum((cd * cd * cd - cd).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("__tie"))
     (ar2, tot)
   }
 
@@ -95,6 +99,50 @@ object RankTests {
         when(col("__var") > 0, round(
           (col("__ua") - d(col("__na")) * d(col("__nb")) / 2.0) /
             sqrt(col("__var")), 6)).as("z"))
+  }
+
+  /** Wilcoxon signed-rank test over PAIRED differences (Wilcoxon
+    * 1945): the matched-samples cousin of [[mannWhitneyU]] — zeros
+    * drop (the standard convention), |d| ranks tie-average via the
+    * same value-domain ECDF hatch, and
+    *
+    *   W⁺ = Σ ranks of d > 0,  μ = n(n+1)/4,
+    *   σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48
+    *
+    * give the tie-corrected normal approximation. NULL z when σ²
+    * degenerates. Output, 1 row: (n, n_zero, w_plus, w_minus, z). */
+  def wilcoxonSignedRank(df: DataFrame, diffCol: Column): DataFrame = {
+    val pts0 = df.select(diffCol.cast("double").as("__d"))
+      .filter(col("__d").isNotNull)
+      .localCheckpoint(false) // consumers: zero count + the rank chain
+    val zeros = pts0.agg(coalesce(
+      sum(when(col("__d") === 0.0, 1L).otherwise(0L)), lit(0L)).as("n_zero"))
+    val pts = pts0.filter(col("__d") =!= 0.0)
+      .select(abs(col("__d")).as("__v"), (col("__d") > 0).as("__pos"))
+      .localCheckpoint(false) // consumers: value ranks + signed sums
+    val (ar2, tot) = valueRanks(pts)
+    val gc = pts.groupBy(col("__v"), col("__pos"))
+      .agg(count(lit(1)).as("__gc"))
+    // either sign class may be empty — one conditional aggregate over
+    // the ≤2-row signed table, null-coalesced to 0
+    val zeroDec = lit(0).cast("decimal(38,1)")
+    val sg = gc.join(ar2, "__v").groupBy(col("__pos")).agg(r2Sum)
+      .agg(coalesce(sum(when(col("__pos"), col("__r2"))), zeroDec)
+          .as("__r2p"),
+        coalesce(sum(when(!col("__pos"), col("__r2"))), zeroDec)
+          .as("__r2m"))
+    val nD = d(col("__n"))
+    sg.crossJoin(tot).crossJoin(zeros)
+      .withColumn("__wp", d(col("__r2p")) / 2.0)
+      .withColumn("__mu", nD * (nD + 1) / 4.0)
+      .withColumn("__var",
+        nD * (nD + 1) * (lit(2.0) * nD + 1) / 24.0 -
+          d(col("__tie")) / 48.0)
+      .select(col("__n").as("n"), col("n_zero"),
+        round(col("__wp"), 6).as("w_plus"),
+        round(d(col("__r2m")) / 2.0, 6).as("w_minus"),
+        when(col("__var") > 0,
+          round((col("__wp") - col("__mu")) / sqrt(col("__var")), 6)).as("z"))
   }
 
   /** Kruskal–Wallis H across the groups of `groupCol`, with the tie

@@ -12284,6 +12284,65 @@ object OpsQueries {
            |FROM sides CROSS JOIN ag""".stripMargin
       }),
 
+    // ─── Wilcoxon signed-rank: paired per-customer spend shift ──────────
+    "q466_wilcoxon_signed_rank" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val z = lit(0).cast("decimal(18,6)")
+        val sp = Tables.orders(s, dir)
+          .filter(year($"o_orderdate").isin(1996, 1997))
+          .groupBy($"o_custkey")
+          .agg(sum(when(year($"o_orderdate") === 1997,
+            $"o_totalprice".cast("decimal(18,6)"))).as("__s97"),
+            sum(when(year($"o_orderdate") === 1996,
+              $"o_totalprice".cast("decimal(18,6)"))).as("__s96"))
+          .select(floor((coalesce($"__s97", z) - coalesce($"__s96", z))
+            .cast("double") / lit(500.0)).as("d"))
+        RankTests.wilcoxonSignedRank(sp, $"d")
+      },
+      Some("""WITH sp AS (SELECT o_custkey,
+             |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+             |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s97,
+             |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+             |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s96
+             |  FROM orders
+             |  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+             |  GROUP BY 1),
+             |dd AS (SELECT floor(CAST(coalesce(s97, 0::DECIMAL(18,6)) -
+             |    coalesce(s96, 0::DECIMAL(18,6)) AS DOUBLE) / 500.0::DOUBLE) AS d
+             |  FROM sp),
+             |z0 AS (SELECT sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_zero FROM dd),
+             |pts AS (SELECT abs(d) AS v, d > 0 AS pos FROM dd WHERE d <> 0),
+             |vc AS (SELECT v, count(*)::BIGINT AS c FROM pts GROUP BY 1),
+             |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v)::BIGINT AS cm FROM vc),
+             |ar AS (SELECT v, (cm - c) * 2 + c + 1 AS ar2 FROM cum),
+             |tot AS (SELECT sum(c)::BIGINT AS n,
+             |    sum(CAST(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0)) *
+             |      CAST(c AS DECIMAL(12,0)) - CAST(c AS DECIMAL(12,0))
+             |      AS DECIMAL(38,0))) AS tie
+             |  FROM vc),
+             |gc AS (SELECT v, pos, count(*)::BIGINT AS gc FROM pts GROUP BY 1, 2),
+             |sg AS (SELECT
+             |    coalesce(sum(CASE WHEN pos THEN r2 END),
+             |      0::DECIMAL(38,1)) AS r2p,
+             |    coalesce(sum(CASE WHEN NOT pos THEN r2 END),
+             |      0::DECIMAL(38,1)) AS r2m
+             |  FROM (SELECT pos, sum(CAST(CAST(gc AS DECIMAL(12,0)) *
+             |      CAST(ar2 AS DECIMAL(19,0)) AS DECIMAL(38,1))) AS r2
+             |    FROM gc JOIN ar USING (v) GROUP BY 1)),
+             |f AS (SELECT n, tie, n_zero, r2m,
+             |    CAST(r2p AS DOUBLE) / 2.0 AS wp,
+             |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 4.0 AS mu,
+             |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) *
+             |      (2.0::DOUBLE * CAST(n AS DOUBLE) + 1) / 24.0 -
+             |      CAST(tie AS DOUBLE) / 48.0 AS var
+             |  FROM sg CROSS JOIN tot CROSS JOIN z0)
+             |SELECT n, n_zero, round(wp, 6) AS w_plus,
+             |  round(CAST(r2m AS DOUBLE) / 2.0, 6) AS w_minus,
+             |  CASE WHEN var > 0 THEN round((wp - mu) / sqrt(var), 6) END AS z
+             |FROM f""".stripMargin)),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

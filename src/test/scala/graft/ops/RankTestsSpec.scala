@@ -44,6 +44,29 @@ class RankTestsSpec extends SparkSpec {
     assert(got._6.isEmpty, got.toString)
   }
 
+  test("wilcoxonSignedRank: hand-worked fixture with a tie pair and a zero") {
+    // diffs 3, -1, 2, 2, -4, 0: zero drops; |d| ranks 4, 1, 2.5, 2.5, 5
+    // W+ = 4 + 2.5 + 2.5 = 9, W- = 6, n = 5, mu = 7.5,
+    // var = 5·6·11/24 - 6/48 = 13.625
+    val got = RankTests.wilcoxonSignedRank(
+        Seq(3.0, -1.0, 2.0, 2.0, -4.0, 0.0).toDF("d"), $"d")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(got._1 == 5L && got._2 == 1L)
+    assert(got._3 == 9.0 && got._4 == 6.0, got.toString)
+    assert(got._5.contains(r6(1.5 / math.sqrt(13.625))), got.toString)
+  }
+
+  test("wilcoxonSignedRank: all-positive diffs (empty negative class) and all-zero NULL") {
+    val got = RankTests.wilcoxonSignedRank(
+        Seq(1.0, 2.0, 3.0).toDF("d"), $"d")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(got == ((3L, 0L, 6.0, 0.0, Some(r6(3.0 / math.sqrt(3.0 * 4 * 7 / 24))))),
+      got.toString)
+    val z = RankTests.wilcoxonSignedRank(Seq(0.0, 0.0).toDF("d"), $"d")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(z._1 == 0L && z._2 == 2L && z._5.isEmpty, z.toString)
+  }
+
   test("kruskalWallis == a naive reference (incl. the dec9 group-term sum)") {
     val data = (1 to 300).map(i =>
       (((i * 11) % 9).toDouble, s"g${i % 3}"))
