@@ -11613,18 +11613,19 @@ object OpsQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir)
         val words = size(split($"text", " "))
-        val r1 = docs.select($"doc_id".as("item"),
-          when($"n_chars" < 200, "low").when($"n_chars" < 400, "mid")
-            .otherwise("high").as("label"))
-        val r2 = docs.select($"doc_id".as("item"),
-          when(words < 40, "low").when(words < 80, "mid")
-            .otherwise("high").as("label"))
-        val r3 = docs.filter($"doc_id" % 3 =!= 0)
-          .select($"doc_id".as("item"),
-            when($"n_chars" < 250, "low").when($"n_chars" < 450, "mid")
-              .otherwise("high").as("label"))
-        Agreement.krippendorffAlpha(r1.unionByName(r2).unionByName(r3),
-          "item", "label")
+        val r1 = when($"n_chars" < 200, "low").when($"n_chars" < 400, "mid")
+          .otherwise("high")
+        val r2 = when(words < 40, "low").when(words < 80, "mid")
+          .otherwise("high")
+        val r3 = when($"n_chars" < 250, "low").when($"n_chars" < 450, "mid")
+          .otherwise("high")
+        // all three raters come out of ONE documents scan (a 3-way
+        // union would read the corpus three times at 100 TB); rater 3
+        // skips every third doc — the ragged case alpha exists for
+        val ratings = docs.select($"doc_id".as("item"),
+            explode(when($"doc_id" % 3 =!= 0, array(r1, r2, r3))
+              .otherwise(array(r1, r2))).as("label"))
+        Agreement.krippendorffAlpha(ratings, "item", "label")
       },
       Some("""WITH rt AS (
              |  SELECT doc_id AS i, CASE WHEN n_chars < 200 THEN 'low'
@@ -11666,17 +11667,16 @@ object OpsQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir)
         val words = size(split($"text", " "))
-        val r1 = docs.select($"doc_id".as("item"),
-          when($"n_chars" < 200, "low").when($"n_chars" < 400, "mid")
-            .otherwise("high").as("label"))
-        val r2 = docs.select($"doc_id".as("item"),
-          when(words < 40, "low").when(words < 80, "mid")
-            .otherwise("high").as("label"))
-        val r3 = docs.select($"doc_id".as("item"),
-          when($"n_chars" < 250, "low").when($"n_chars" < 450, "mid")
-            .otherwise("high").as("label"))
-        Agreement.fleissKappa(r1.unionByName(r2).unionByName(r3),
-          "item", "label")
+        val r1 = when($"n_chars" < 200, "low").when($"n_chars" < 400, "mid")
+          .otherwise("high")
+        val r2 = when(words < 40, "low").when(words < 80, "mid")
+          .otherwise("high")
+        val r3 = when($"n_chars" < 250, "low").when($"n_chars" < 450, "mid")
+          .otherwise("high")
+        // one scan, all three raters (q449's plan shape)
+        val ratings = docs.select($"doc_id".as("item"),
+          explode(array(r1, r2, r3)).as("label"))
+        Agreement.fleissKappa(ratings, "item", "label")
       },
       Some("""WITH rt AS (
              |  SELECT doc_id AS i, CASE WHEN n_chars < 200 THEN 'low'
