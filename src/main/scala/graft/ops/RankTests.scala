@@ -68,7 +68,9 @@ object RankTests {
     *
     * z is NULL when the variance degenerates (everything tied). No
     * continuity correction (callers comparing to scipy: use
-    * `use_continuity=False`). */
+    * `use_continuity=False`). Also emits the rank-biserial effect size
+    * (≡ Cliff's δ under ties-split-evenly): r = 2U_a/(n_a n_b) − 1 —
+    * the magnitude the z-score's sample-size dependence hides. */
   def mannWhitneyU(df: DataFrame, valueCol: Column,
       groupA: Column): DataFrame = {
     val pts = df.select(valueCol.cast("double").as("__v"),
@@ -96,6 +98,8 @@ object RankTests {
         round(d(col("__r2a")) / 2.0, 6).as("rank_sum_a"),
         round(col("__ua"), 6).as("u_a"),
         round(d(col("__na")) * d(col("__nb")) - col("__ua"), 6).as("u_b"),
+        round(lit(2.0) * col("__ua") / (d(col("__na")) * d(col("__nb"))) -
+          1.0, 6).as("rank_biserial"),
         when(col("__var") > 0, round(
           (col("__ua") - d(col("__na")) * d(col("__nb")) / 2.0) /
             sqrt(col("__var")), 6)).as("z"))

@@ -11929,6 +11929,8 @@ object OpsQueries {
              |SELECT na AS n_a, nb AS n_b, round(rsa, 6) AS rank_sum_a,
              |  round(ua, 6) AS u_a,
              |  round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) - ua, 6) AS u_b,
+             |  round(2.0::DOUBLE * ua / (CAST(na AS DOUBLE) *
+             |    CAST(nb AS DOUBLE)) - 1.0, 6) AS rank_biserial,
              |  CASE WHEN var > 0 THEN round((ua - CAST(na AS DOUBLE) *
              |    CAST(nb AS DOUBLE) / 2.0) / sqrt(var), 6) END AS z
              |FROM g""".stripMargin)),

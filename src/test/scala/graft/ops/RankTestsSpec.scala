@@ -23,7 +23,7 @@ class RankTestsSpec extends SparkSpec {
     val data = (1 to 300).map(i =>
       (((i * 7) % 13).toDouble + (if (i % 3 == 0) 5 else 0), i % 4 == 0))
     val got = RankTests.mannWhitneyU(data.toDF("v", "a"), $"v", $"a")
-      .as[(Long, Long, Double, Double, Double, Option[Double])].head()
+      .as[(Long, Long, Double, Double, Double, Double, Option[Double])].head()
     val rk = ranks(data.map(_._1))
     val na = data.count(_._2).toLong
     val nb = data.size - na
@@ -34,14 +34,16 @@ class RankTestsSpec extends SparkSpec {
       ((n + 1) - tieTerm(data.map(_._1)) / (n * (n - 1)))
     val z = (ua - na.toDouble * nb / 2.0) / math.sqrt(varU)
     assert(got == ((na, nb, r6(ra), r6(ua),
-      r6(na.toDouble * nb - ua), Some(r6(z)))), got.toString)
+      r6(na.toDouble * nb - ua),
+      r6(2.0 * ua / (na.toDouble * nb) - 1.0), Some(r6(z)))), got.toString)
   }
 
-  test("mannWhitneyU: everything tied degenerates to NULL z") {
+  test("mannWhitneyU: everything tied degenerates to NULL z, effect size 0") {
     val data = (1 to 40).map(i => (7.0, i % 2 == 0))
     val got = RankTests.mannWhitneyU(data.toDF("v", "a"), $"v", $"a")
-      .as[(Long, Long, Double, Double, Double, Option[Double])].head()
-    assert(got._6.isEmpty, got.toString)
+      .as[(Long, Long, Double, Double, Double, Double, Option[Double])].head()
+    assert(got._7.isEmpty, got.toString)
+    assert(got._6 == 0.0, s"all-tied rank-biserial must be 0: $got")
   }
 
   test("wilcoxonSignedRank: hand-worked fixture with a tie pair and a zero") {
