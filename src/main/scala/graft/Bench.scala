@@ -13,6 +13,7 @@ object Bench {
     "q153", "q156", "q360", "q369", "q382")
 
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -66,31 +67,47 @@ object Bench {
     // Kill-robustness measures (round 5's driver capture had NO JSON line —
     // consistent with a timeout kill mid-run; round 7's 420s budget fell
     // below ONE 393-query pass (~480s) and silently degraded 3-pass medians
-    // to a single contended pass):
-    //  - a wall-clock budget on the timed passes, sized for 3 full passes
-    //    of the current registry (~480s/pass at sf0.1 => 1500s): pass 1
-    //    always runs to completion; later passes start only while under
-    //    budget, so the artifact degrades to fewer runs instead of dying;
-    //  - an interim JSON line (medians over completed passes) printed
-    //    after EVERY pass — if the driver kills the process anyway, the
-    //    tail still holds a complete, parseable line.
+    // to a single contended pass; round 11's contended host stretched pass 1
+    // to 1090s — under the 1500s budget, so pass 2 STARTED and the driver's
+    // wall-clock timeout killed it mid-pass, rc=124):
+    //  - a wall-clock budget measured from JVM start (warm pass included,
+    //    since the driver's timeout clock sees it too);
+    //  - PREDICTIVE pass scheduling: pass k+1 starts only if the budget has
+    //    room for another pass at the last pass's observed cost (+10%), so a
+    //    degraded host degrades the artifact to fewer runs instead of dying;
+    //  - an interim JSON line (medians over completed passes) printed after
+    //    EVERY pass, plus rolling PARTIAL lines during pass 1 (n_queries
+    //    marks the partial coverage) — whenever the driver kills the
+    //    process anyway, the stdout tail still holds a parseable line.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(1500.0)
-    val t0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - tStart) / 1e9
     val samples = scala.collection.mutable.ListBuffer.empty[Map[String, Double]]
     var pass = 0
+    var lastPassSec = 0.0
     while (pass < runs &&
-        (pass == 0 || (System.nanoTime() - t0) / 1e9 < budgetSec)) {
+        (pass == 0 || elapsed() + lastPassSec * 1.1 < budgetSec)) {
       spark.catalog.clearCache()
-      samples += names.map { case (name, fn) =>
+      val tp = System.nanoTime()
+      val sofar = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+      samples += names.zipWithIndex.map { case ((name, fn), j) =>
         val tq = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - tq) / 1e9
+        val sec = (System.nanoTime() - tq) / 1e9
+        if (pass == 0) {
+          sofar += (name -> sec)
+          if ((j + 1) % 60 == 0 && j + 1 < names.size) {
+            println(jsonLine(sofar.toSeq, sfDir, 1))
+            System.out.flush()
+          }
+        }
+        name -> sec
       }.toMap
+      lastPassSec = (System.nanoTime() - tp) / 1e9
       pass += 1
       if (pass < runs) {
-        val sofar = names.map { case (n, _) => n -> median(samples.toSeq.map(_(n))) }
-        println(jsonLine(sofar, sfDir, samples.size))
+        val meds = names.map { case (n, _) => n -> median(samples.toSeq.map(_(n))) }
+        println(jsonLine(meds, sfDir, samples.size))
         System.out.flush()
       }
     }

@@ -460,7 +460,12 @@ object Classifier {
       bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 4096, s"bins in [2, 4096], got $bins")
     val spark = scored.sparkSession
-    val g = scored.select(
+    // null p/truth rows drop (the sibling ops' null discipline): a null
+    // p would otherwise produce a null bin group — getInt NPEs on the
+    // driver — and a null truth would silently count as a negative
+    val g = scored
+      .filter(col(pCol).isNotNull && truthCol.isNotNull)
+      .select(
         least(floor(col(pCol) * bins).cast("int"), lit(bins - 1)).as("bin"),
         truthCol.as("__y"))
       .groupBy(col("bin"))
@@ -668,6 +673,99 @@ object Classifier {
       when(col("__P") > 0 && nNeg > 0,
         round((d("__S2") - d("__P") * (d("__P") + lit(1.0))) /
           (lit(2.0) * d("__P") * nNeg.cast("double")), 6)).as("auc"))
+  }
+
+  /** Average precision (step-wise PR-AUC, the scikit
+    * `average_precision_score` convention): AP = Σ_t (R_t − R_{t−1})·P_t
+    * over distinct score thresholds in DESCENDING order, ties grouped
+    * at their threshold. The whole sum reduces to score-domain algebra
+    * on the DESCENDING cumulative table — at threshold s,
+    * TP(s) = cum_pos(≥s) and predicted-positives PP(s) = cum(≥s), and
+    * ΔR(s) = np(s)/P — so AP = (Σ_s np(s)·TP(s)/PP(s)) / P with no lag
+    * column and no totals join: ONE partial-combining (score) count,
+    * the [[Ranks.runningSums]] prefix hatch ordered by −score, one
+    * scalar aggregate (the [[rocAuc]] shape — continuous scores make
+    * the value table fact-sized, so no single-partition window).
+    *
+    * Terms are round-9 fixed point summed as DECIMAL(28,9); the single
+    * division by P runs once, round-6. Output, 1 row:
+    * (n_pos, n_neg, pr_auc); NULL pr_auc when no positives. */
+  def prAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val sv = df.select(scoreCol.as("__s"), labelCol.cast("int").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y").cast("long")).as("__np"))
+    // descending-threshold cumulatives: order the hatch by −score
+    val cum = Ranks.runningSums(sv,
+      Seq("__n" -> "__ppge", "__np" -> "__tpge"), None,
+      negate(col("__s"))).df
+    def d(c: String) = col(c).cast("double")
+    val term = d("__np") * (d("__tpge") / d("__ppge"))
+    val agg = cum.agg(
+      sum(col("__np")).as("__P"), sum(col("__n")).as("__T"),
+      sum(round(term, 9).cast("decimal(28,9)")).as("__S"))
+    val nNeg = col("__T") - col("__P")
+    agg.select(col("__P").as("n_pos"), nNeg.as("n_neg"),
+      when(col("__P") > 0,
+        round(col("__S").cast("double") / d("__P"), 6)).as("pr_auc"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio + Cochran–Mantel–Haenszel χ²
+    * (Mantel & Haenszel 1959) over per-stratum 2×2 tables — "is the
+    * exposure↔outcome association real once the stratifier is held
+    * fixed?", the confounding-aware cousin of [[mcnemar]] and the
+    * engine's Simpson's-paradox guard (q322 shows the paradox; this
+    * pools it away):
+    *
+    *   OR_MH = Σ_i(a_i·d_i/n_i) / Σ_i(b_i·c_i/n_i),
+    *   χ²_CMH = (Σa_i − ΣE[a_i])² / ΣVar[a_i]   (no continuity corr.),
+    *   E[a] = (a+b)(a+c)/n,  Var[a] = (a+b)(c+d)(a+c)(b+d)/(n²(n−1)).
+    *
+    * Null exposure/outcome/stratum rows drop; single-row strata
+    * contribute 0 variance (n−1 = 0 — the standard convention). All
+    * per-stratum rationals are round-9 fixed point summed as DECIMAL;
+    * the two final divisions run once, round-6.
+    *
+    * Scale shape: ONE partial-combining stratum aggregate over the
+    * fact (each 2×2 cell is a conditional sum), then strata-sized
+    * arithmetic. Output, 1 row: (n_strata, n_rows, or_mh, cmh_chi2);
+    * NULLs on degenerate denominators. */
+  def mantelHaenszel(df: DataFrame, exposure: Column, outcome: Column,
+      strataCol: Column): DataFrame = {
+    val cells = df
+      .select(strataCol.as("__st"), exposure.as("__e"), outcome.as("__o"))
+      .filter(col("__st").isNotNull && col("__e").isNotNull &&
+        col("__o").isNotNull)
+      .groupBy(col("__st"))
+      .agg(sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("__b"),
+        sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("__c"),
+        sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("__d"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("__a") + d("__b") + d("__c") + d("__d")
+    def dec9(c: Column) = round(c, 9).cast("decimal(28,9)")
+    val terms = cells.select(
+      (col("__a") + col("__b") + col("__c") + col("__d")).as("__nr"),
+      col("__a"),
+      dec9(d("__a") * d("__d") / n).as("__rr"),
+      dec9(d("__b") * d("__c") / n).as("__ss"),
+      dec9((d("__a") + d("__b")) * (d("__a") + d("__c")) / n).as("__ea"),
+      dec9(when(n > 1,
+        (d("__a") + d("__b")) * (d("__c") + d("__d")) *
+          (d("__a") + d("__c")) * (d("__b") + d("__d")) /
+          (n * n * (n - 1))).otherwise(lit(0.0))).as("__va"))
+    val agg = terms.agg(count(lit(1)).as("n_strata"),
+      sum(col("__nr")).cast("long").as("n_rows"),
+      sum(col("__a")).as("__sa"),
+      sum(col("__rr")).as("__srr"), sum(col("__ss")).as("__sss"),
+      sum(col("__ea")).as("__sea"), sum(col("__va")).as("__sva"))
+    def dd(c: String) = col(c).cast("double")
+    val dev = dd("__sa") - dd("__sea")
+    agg.select(col("n_strata"), col("n_rows"),
+      when(col("__sss").cast("double") > 0,
+        round(dd("__srr") / dd("__sss"), 6)).as("or_mh"),
+      when(col("__sva").cast("double") > 0,
+        round(dev * dev / dd("__sva"), 6)).as("cmh_chi2"))
   }
 
   def ebShrinkRates(df: DataFrame, keyCol: String, successCol: Column): DataFrame = {

@@ -926,12 +926,18 @@ object Dedup {
   private[graft] def segmentRows(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
-    val toks = split(col(textCol), " ")
-    val nSegs = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
-    df.select(col(idCol), nSegs.as("n_segs"),
-        posexplode(transform(sequence(lit(0), nSegs - 1),
-          i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
-          .as(Seq("seg_idx", "seg")))
+    // Let-bound: `slice(toks, …)` in the per-segment lambda would
+    // otherwise re-run the split per segment (lambda bodies are
+    // CSE-exempt) — O(segments·len) per row
+    val segsCol = graft.functions.Let.bindOnce(split(col(textCol), " ")) {
+      toks =>
+        val nSegs = ceil(size(toks) / lit(segTokens.toDouble)).cast("int")
+        struct(nSegs.as("n"), transform(sequence(lit(0), nSegs - 1),
+          i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+          .as("segs"))
+    }
+    df.select(col(idCol), segsCol.getField("n").as("n_segs"),
+        posexplode(segsCol.getField("segs")).as(Seq("seg_idx", "seg")))
       .withColumn("__h", md5(col("seg")))
   }
 

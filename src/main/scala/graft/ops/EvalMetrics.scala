@@ -27,14 +27,45 @@ object EvalMetrics {
     * gram — one digest per gram, no hex-string allocation. */
   private def gramCounts(df: DataFrame, keyCol: String, textCol: String,
       n: Int): DataFrame = {
-    val toks = split(lower(col(textCol)), " ")
-    val grams = when(size(toks) >= n, transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(keyCol).as("__pid"),
-        explode(graft.functions.HashOps.md5Prefix60Array(grams)).as("__gh"))
+    // Let-bound: the token array must be a lambda VARIABLE before the
+    // per-gram lambda reads it — otherwise `get(toks, i + j)` re-runs
+    // the whole split per token slot (lambda bodies are CSE-exempt:
+    // n re-splits per gram made q398/q399 top-of-bench)
+    val ghs = graft.functions.Let.bindOnce(
+        split(lower(col(textCol)), " ")) { toks =>
+      val grams = when(size(toks) >= n, transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+      graft.functions.HashOps.md5Prefix60Array(grams)
+    }
+    df.select(col(keyCol).as("__pid"), explode(ghs).as("__gh"))
       .groupBy(col("__pid"), col("__gh")).agg(count(lit(1)).as("__c"))
+  }
+
+  /** (__pid, __n, __gh, __c) for every level n = 1..maxN in ONE
+    * scan+shuffle: per row, all levels' gram hashes flatten into one
+    * tagged array before the explode. The per-level corpus metrics
+    * (BLEU) read all levels from this single count table instead of
+    * re-scanning the corpus per level. */
+  private def gramCountsAllN(df: DataFrame, keyCol: String, textCol: String,
+      maxN: Int): DataFrame = {
+    val tagged = graft.functions.Let.bindOnce(
+        split(lower(col(textCol)), " ")) { toks =>
+      flatten(array((1 to maxN).map { n =>
+        val grams = when(size(toks) >= n, transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
+          .otherwise(array().cast("array<string>"))
+        transform(graft.functions.HashOps.md5Prefix60Array(grams),
+          h => struct(lit(n).as("n"), h.as("h")))
+      }: _*))
+    }
+    df.select(col(keyCol).as("__pid"), explode(tagged).as("__g"))
+      .select(col("__pid"), col("__g").getField("n").as("__n"),
+        col("__g").getField("h").as("__gh"))
+      .groupBy(col("__pid"), col("__n"), col("__gh"))
+      .agg(count(lit(1)).as("__c"))
   }
 
   /** ROUGE-n per pair: clipped n-gram overlap Σ min(count_cand,
@@ -130,8 +161,13 @@ object EvalMetrics {
       refCol: String, maxTokens: Int = 24): DataFrame = {
     require(maxTokens >= 1 && maxTokens <= 256,
       s"maxTokens in [1, 256], got $maxTokens")
+    // empty tokens drop after the split (the goodTuring convention):
+    // without this an empty or multi-space reference yields phantom
+    // tokens — an empty ref would get n_ref = 1 and a defined WER
+    // instead of the documented NULL undefined case
     def capped(c: String) =
-      slice(split(lower(col(c)), " "), 1, maxTokens)
+      slice(filter(split(lower(col(c)), " "), t => length(t) > 0),
+        1, maxTokens)
     def d(c: Column) = c.cast("double")
     pairs.select(col(pairCol).as("pair"),
         capped(candCol).as("__c"), capped(refCol).as("__r"))
@@ -157,31 +193,47 @@ object EvalMetrics {
     require(maxN >= 1 && maxN <= 8, "maxN in [1, 8]")
     def d(c: Column) = c.cast("double")
     // The caller's pair frame often embeds a join (e.g. doc-successor
-    // pairing); 2·maxN gram scans + the length scan would re-run it
-    // 2·maxN+1 times. Cut it ONCE (eager, pair-count-sized: two text
-    // payloads per row), release after the scalar result materialises —
-    // the simhashDupPairs checkpoint discipline (Dedup.scala:350).
+    // pairing); the four count-table evaluations below (clip join +
+    // totals, per side) would re-run it each time. Cut it ONCE (eager,
+    // pair-count-sized: two text payloads per row), release after the
+    // scalar result materialises — the simhashDupPairs checkpoint
+    // discipline (Dedup.scala:350).
     val pairs = pairsIn
       .select(col(pairCol), col(candCol), col(refCol))
       .localCheckpoint(eager = true)
-    val perN = (1 to maxN).map { n =>
-      val cg = gramCounts(pairs, pairCol, candCol, n)
-      val rg = gramCounts(pairs, pairCol, refCol, n)
-      val clip = cg.join(rg.withColumnRenamed("__c", "__cr"), Seq("__pid", "__gh"))
-        .agg(coalesce(sum(least(col("__c"), col("__cr"))), lit(0L)).as(s"__clip"))
-      val tot = cg.agg(coalesce(sum(col("__c")), lit(0L)).as(s"__tot"))
-      clip.crossJoin(tot)
-        .select(round(d(col("__clip")) / d(col("__tot")), 9).as(s"p_$n"))
-    }.reduce(_.crossJoin(_))
-    val lens = pairs.select(
-        size(split(lower(col(candCol)), " ")).cast("long").as("__cl"),
-        size(split(lower(col(refCol)), " ")).cast("long").as("__rl"))
-      .agg(sum(col("__cl")).as("cand_len"), sum(col("__rl")).as("ref_len"))
+    // ALL n levels in one scan+shuffle per side (was one gram pass per
+    // side per level: 2·maxN scans + maxN clip joins — 8 scans and 4
+    // joins at maxN=4; scan count is what survives a 100× scale-up).
+    // The (pid, n, gh) grouping keys both sides identically, so the
+    // clip join reuses the aggregate's partitioning — one shuffle.
+    val cg = gramCountsAllN(pairs, pairCol, candCol, maxN)
+    val rg = gramCountsAllN(pairs, pairCol, refCol, maxN)
+    def perLevel(src: DataFrame, value: Column, prefix: String) =
+      src.agg(
+        coalesce(sum(when(col("__n") === 1, value)), lit(0L))
+          .as(s"${prefix}_1"),
+        (2 to maxN).map(n =>
+          coalesce(sum(when(col("__n") === n, value)), lit(0L))
+            .as(s"${prefix}_$n")): _*)
+    val clips = perLevel(
+      cg.join(rg.withColumnRenamed("__c", "__cr"), Seq("__pid", "__n", "__gh")),
+      least(col("__c"), col("__cr")), "__clip")
+    // each side's gram pass evaluates exactly twice (clip join + totals
+    // — the count tables stay lazy: at corpus scale a second pass beats
+    // materializing a gram-scale table); the level-1 totals double as
+    // the corpus lengths (a 1-gram per token), saving the old third
+    // corpus scan
+    val tots = perLevel(cg, col("__c"), "__tot")
+    val rtots = perLevel(rg, col("__c"), "__rt")
+    val perN = clips.crossJoin(tots).crossJoin(rtots).select(
+      (1 to maxN).map(n =>
+        round(d(col(s"__clip_$n")) / d(col(s"__tot_$n")), 9).as(s"p_$n")) ++
+      Seq(col("__tot_1").as("cand_len"), col("__rt_1").as("ref_len")): _*)
     val bp = least(lit(1.0), round(
       exp(lit(1.0) - d(col("ref_len")) / d(col("cand_len"))), 9))
     val logSum = (1 to maxN).map(n => log(col(s"p_$n"))).reduce(_ + _)
     val anyZero = (1 to maxN).map(n => col(s"p_$n") === 0.0).reduce(_ || _)
-    val out = lens.crossJoin(perN)
+    val out = perN
       .withColumn("bp", bp)
       .withColumn("bleu", when(anyZero, lit(0.0))
         .otherwise(round(col("bp") * exp(logSum / maxN), 6)))
@@ -202,9 +254,9 @@ object EvalMetrics {
     * is 0). β = 2 weights recall twice. Output: ONE row
     * (chrf, chr_p, chr_r ← round 6).
     *
-    * Scale shape: identical to corpusBleu — per-level (pair, gram-hash)
-    * counts, one clip join per level, scalar output; the pair frame is
-    * lineage-cut once and released. */
+    * Scale shape: identical to corpusBleu — ONE (pair, level, gram)
+    * count pass per side covering every level, one clip join, scalar
+    * output; the pair frame is lineage-cut once and released. */
   def chrF(pairsIn: DataFrame, pairCol: String, candCol: String,
       refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1 && maxN <= 8 && beta > 0, "maxN in [1, 8], beta > 0")
@@ -216,29 +268,51 @@ object EvalMetrics {
     // the word-gram kernel saves on long shingles — so they group by the
     // STRING itself (measured: the 60-bit hash pass made q400 2.5x
     // slower at sf0.1 for zero shuffle savings).
-    def charGramCounts(textCol: String, n: Int): DataFrame = {
-      val ch = regexp_replace(lower(col(textCol)), "\\s+", "")
-      pairs.select(col(pairCol).as("__pid"),
-          explode(when(length(ch) >= n, transform(
+    // ALL char-gram levels in one scan+shuffle per side (was one pass
+    // per side per level — 24 lazy gram-pass evaluations at maxN=6;
+    // q400's cost was this scheduling, not the grams). Let-bound:
+    // `ch.substr(i, n)` inside the lambda would otherwise re-run the
+    // regexp_replace+lower per character position — O(len²) regex work
+    // per row (the q240 trap).
+    def charGramCountsAll(textCol: String): DataFrame = {
+      val tagged = graft.functions.Let.bindOnce(
+          regexp_replace(lower(col(textCol)), "\\s+", "")) { ch =>
+        flatten(array((1 to maxN).map { n =>
+          val grams = when(length(ch) >= n, transform(
             sequence(lit(1), length(ch) - n + 1),
             i => ch.substr(i, lit(n))))
-            .otherwise(array().cast("array<string>"))).as("__gh"))
-        .groupBy(col("__pid"), col("__gh")).agg(count(lit(1)).as("__c"))
+            .otherwise(array().cast("array<string>"))
+          transform(grams, g => struct(lit(n).as("n"), g.as("g")))
+        }: _*))
+      }
+      pairs.select(col(pairCol).as("__pid"), explode(tagged).as("__g"))
+        .select(col("__pid"), col("__g").getField("n").as("__n"),
+          col("__g").getField("g").as("__gh"))
+        .groupBy(col("__pid"), col("__n"), col("__gh"))
+        .agg(count(lit(1)).as("__c"))
     }
-    val perLevel = (1 to maxN).map { n =>
-      val cg = charGramCounts(candCol, n)
-      val rg = charGramCounts(refCol, n)
-      val clip = cg.join(rg.withColumnRenamed("__c", "__cr"), Seq("__pid", "__gh"))
-        .agg(coalesce(sum(least(col("__c"), col("__cr"))), lit(0L)).as("__clip"))
-      val cTot = cg.agg(coalesce(sum(col("__c")), lit(0L)).as("__ct"))
-      val rTot = rg.agg(coalesce(sum(col("__c")), lit(0L)).as("__rt"))
-      clip.crossJoin(cTot).crossJoin(rTot)
-        .select(
-          when(col("__ct") > 0, round(d(col("__clip")) / d(col("__ct")), 9))
-            .otherwise(lit(0.0)).as(s"__p_$n"),
-          when(col("__rt") > 0, round(d(col("__clip")) / d(col("__rt")), 9))
-            .otherwise(lit(0.0)).as(s"__r_$n"))
-    }.reduce(_.crossJoin(_))
+    val cg = charGramCountsAll(candCol)
+    val rg = charGramCountsAll(refCol)
+    def levelAgg(src: DataFrame, value: Column, prefix: String) =
+      src.agg(
+        coalesce(sum(when(col("__n") === 1, value)), lit(0L))
+          .as(s"${prefix}_1"),
+        (2 to maxN).map(n =>
+          coalesce(sum(when(col("__n") === n, value)), lit(0L))
+            .as(s"${prefix}_$n")): _*)
+    val clips = levelAgg(
+      cg.join(rg.withColumnRenamed("__c", "__cr"), Seq("__pid", "__n", "__gh")),
+      least(col("__c"), col("__cr")), "__clip")
+    val cTots = levelAgg(cg, col("__c"), "__ct")
+    val rTots = levelAgg(rg, col("__c"), "__rt")
+    val perLevel = clips.crossJoin(cTots).crossJoin(rTots)
+      .select((1 to maxN).flatMap(n => Seq(
+        when(col(s"__ct_$n") > 0,
+          round(d(col(s"__clip_$n")) / d(col(s"__ct_$n")), 9))
+          .otherwise(lit(0.0)).as(s"__p_$n"),
+        when(col(s"__rt_$n") > 0,
+          round(d(col(s"__clip_$n")) / d(col(s"__rt_$n")), 9))
+          .otherwise(lit(0.0)).as(s"__r_$n"))): _*)
     val chrP = (1 to maxN).map(n => col(s"__p_$n")).reduce(_ + _) / maxN
     val chrR = (1 to maxN).map(n => col(s"__r_$n")).reduce(_ + _) / maxN
     val b2 = beta * beta
@@ -344,5 +418,48 @@ object EvalMetrics {
       .groupBy(col("__k").as(keyCol))
       .agg(round(sum(col("__t")).cast("double") / fix, 6).as("rbo"))
       .orderBy(col(keyCol))
+  }
+
+  /** Unbiased pass@k (Chen et al. 2021, the Codex estimator) over
+    * per-task sampled attempts: for a task with n attempts of which c
+    * pass, pass@k = 1 − C(n−c, k)/C(n, k), computed as the
+    * numerically-safe telescoped product 1 − ∏_{i<k} (n−c−i)/(n−i)
+    * (exactly 0-factored when n−c < k, so the probability saturates at
+    * 1 without a special case). Tasks with n < k are NOT estimable at
+    * that k — they go NULL and drop from that k's mean (documented:
+    * n_tasks is per-k).
+    *
+    * Float discipline: the ≤k-term product folds left in ascending i —
+    * one fixed order the oracle replays literally — rounds 9, sums as
+    * DECIMAL(18,9), divides once, rounds 6.
+    *
+    * Scale shape: ONE task-keyed partial-combining count, a |ks|-way
+    * map-side explode of the k estimates, one tiny per-k aggregate. No
+    * window, no join. Output: (k, n_tasks, pass_at_k), one row per k. */
+  def passAtK(df: DataFrame, taskCol: String, passCol: Column,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks &&
+      ks.forall(k => k >= 1 && k <= 64), "ks: sorted distinct ints in [1, 64]")
+    def d(c: Column) = c.cast("double")
+    val per = df.select(col(taskCol).as("__t"), passCol.as("__p"))
+      .filter(col("__p").isNotNull)
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__p"), 1L).otherwise(0L)).as("__c"))
+    val entries = ks.map { k =>
+      val prod = (0 until k).map(i =>
+        (d(col("__n")) - d(col("__c")) - i) / (d(col("__n")) - i))
+        .reduce(_ * _)
+      struct(lit(k).as("k"),
+        when(col("__n") >= k, lit(1.0) - round(prod, 9)).as("est"))
+    }
+    per.select(explode(array(entries: _*)).as("__e"))
+      .select(col("__e").getField("k").as("k"),
+        col("__e").getField("est").as("__est"))
+      .groupBy(col("k"))
+      .agg(count(col("__est")).as("n_tasks"),
+        when(count(col("__est")) > 0, round(
+          sum(col("__est").cast("decimal(18,9)")).cast("double") /
+            count(col("__est")).cast("double"), 6)).as("pass_at_k"))
   }
 }

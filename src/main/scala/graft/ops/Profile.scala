@@ -277,6 +277,35 @@ object Profile {
         round((ssb / (kD - lit(1.0))) / (ssw / (nD - kD)), 6)).as("f_stat"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe 1974):
+    * the robust Levene variant — [[anovaF]]'s equal-variance assumption
+    * checked by running the SAME one-way F on the absolute deviations
+    * from each group's MEDIAN, z = |x − med_g|. Large F ⇒ the spreads
+    * differ and q247's pooled-variance F is suspect.
+    *
+    * Group medians come from [[weightedMedian]]'s value-domain crossing
+    * (unit weights) — the first value whose doubled cumulative count
+    * reaches the group total, an integer-valued median for integer
+    * metrics, so z stays integral and [[anovaF]]'s exact decimal sums
+    * apply unchanged (the oracle replays the same crossing convention).
+    *
+    * Scale shape: the median hatch (one group aggregate + the grouped
+    * prefix sum), a broadcast join of the group-sized median table back
+    * onto the fact, then anovaF's single partial-combining aggregate.
+    * Output: (k_groups, n_total, f_stat ← round 6). */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      xCol: String): DataFrame = {
+    val in = df.select(col(groupCol), col(xCol))
+      .filter(col(groupCol).isNotNull && col(xCol).isNotNull)
+    val med = weightedMedian(in, groupCol, col(xCol).cast("double"),
+        lit(1.0), col(xCol))
+      .select(col("grp"), col("w_median").cast("long").as("__med"))
+    val z = in.select(col(groupCol).as("grp"), col(xCol).cast("long").as("__x"))
+      .join(broadcast(med), "grp")
+      .select(col("grp"), abs(col("__x") - col("__med")).as("__z"))
+    anovaF(z, "grp", "__z")
+  }
+
   /** k-anonymity audit over a quasi-identifier tuple: group sizes of
     * the QI projection, how many groups (and rows) fall below `k` —
     * the re-identification risk table a release gate reads. ONE

@@ -82,12 +82,17 @@ object RankTests {
       .agg(count(lit(1)).as("__gc"))
     val rg = gc.join(ar2, "__v").groupBy(col("__a"))
       .agg(sum(col("__gc")).as("__ng"), r2Sum)
-    val ra = rg.filter(col("__a"))
-      .select(col("__ng").as("__na"), col("__r2").as("__r2a"))
-    val rb = rg.filter(!col("__a"))
-      .select(col("__ng").as("__nb"))
+    // one conditional aggregate over the ≤2-row group table (the
+    // wilcoxon sign-class shape): an EMPTY group yields NULL n/rank
+    // sums — and so NULL u/z downstream — instead of zero output rows,
+    // matching the all-tied degenerate convention and the oracle's
+    // scalar subqueries
+    val ra = rg.agg(
+      sum(when(col("__a"), col("__ng"))).as("__na"),
+      sum(when(!col("__a"), col("__ng"))).as("__nb"),
+      sum(when(col("__a"), col("__r2"))).as("__r2a"))
     // 2U_a = R2_a − 2·n_a(n_a+1)/2 stays integral; halve once, in double
-    ra.crossJoin(rb).crossJoin(tot)
+    ra.crossJoin(tot)
       .withColumn("__ua",
         (d(col("__r2a")) - d(col("__na")) * (d(col("__na")) + 1)) / 2.0)
       .withColumn("__var",
@@ -228,5 +233,55 @@ object RankTests {
       .select(lit(m).as("m"), lit(n).as("n"),
         round(d(col("__s4")) / 4.0, 6).as("s"),
         when(denom > 0, round(lit(3.0) * d(col("__s4")) / denom, 6)).as("w"))
+  }
+
+  /** Hodges–Lehmann location-shift estimator (Hodges & Lehmann 1963)
+    * between two groups: the median of ALL pairwise differences
+    * a − b (a ∈ A, b ∈ B) — the robust "how big is the shift?" effect
+    * size in original units that [[mannWhitneyU]]'s z/rank-biserial
+    * can't give. Median convention: the W = n_a·n_b differences sorted;
+    * odd W takes the middle, even W averages the two middles.
+    *
+    * The n_a·n_b pair blow-up never materializes: both groups reduce to
+    * VALUE-DOMAIN count tables, their |dom_A|·|dom_B| cross join (the
+    * contract bound — integer/banded metrics keep domains far below the
+    * fact; same envelope class as q461's pair sample) carries
+    * count-product weights, and the two middle elements fall out of
+    * conditional mins over the [[Ranks.runningSums]] prefix of the
+    * difference domain. All arithmetic is integral until the final
+    * halving. Output, 1 row: (n_a, n_b, n_pairs, hl_shift); NULLs when
+    * either group is empty (the [[mannWhitneyU]] degenerate
+    * convention). */
+  def hodgesLehmann(df: DataFrame, valueCol: Column,
+      groupA: Column): DataFrame = {
+    val pts = df.select(valueCol.cast("long").as("__v"), groupA.as("__a"))
+      .filter(col("__v").isNotNull && col("__a").isNotNull)
+      .localCheckpoint(false) // consumers: the two domain tables + counts
+    val da = pts.filter(col("__a")).groupBy(col("__v"))
+      .agg(count(lit(1)).as("__ca"))
+    val db = pts.filter(!col("__a")).groupBy(col("__v"))
+      .agg(count(lit(1)).as("__cb"))
+    val dw = da.crossJoin(db.withColumnRenamed("__v", "__vb"))
+      .select((col("__v") - col("__vb")).as("__d"),
+        (col("__ca") * col("__cb")).as("__w"))
+      .groupBy(col("__d")).agg(sum(col("__w")).cast("long").as("__w"))
+    val cum = Ranks.runningSums(dw, Seq("__w" -> "__cum"), None,
+      col("__d")).df
+    // total pair count from the 1-row group-count aggregate (always one
+    // row, NULL-armed for an empty side)
+    val nn = pts.agg(
+      sum(when(col("__a"), 1L)).as("__na"),
+      sum(when(!col("__a"), 1L)).as("__nb"))
+    val w = col("__na") * col("__nb")
+    // middle positions in PURE long arithmetic (Spark's `/` on longs is
+    // double division — a 2^53+ pair count would lose exactness):
+    // lo = ⌈W/2⌉ = (W+1)>>1, hi = ⌊W/2⌋+1
+    val mids = cum.crossJoin(nn).agg(
+      min(when(col("__cum") >= shiftright(w + 1, 1), col("__d"))).as("__lo"),
+      min(when(col("__cum") >= shiftright(w, 1) + 1, col("__d"))).as("__hi"))
+    nn.crossJoin(mids).select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      w.as("n_pairs"),
+      ((col("__lo") + col("__hi")).cast("double") / 2.0).as("hl_shift"))
   }
 }

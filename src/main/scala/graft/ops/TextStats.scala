@@ -71,13 +71,18 @@ object TextStats {
     * expression: chunking 100 TB is a map-only stage, no shuffle. */
   def chunkTokens(text: Column, chunk: Int, stride: Int): Column = {
     require(chunk >= 1 && stride >= 1 && stride <= chunk)
-    val toks = split(text, " ")
-    val n = size(toks)
-    val nChunks = when(n <= chunk, lit(1))
-      .otherwise(ceil((n - chunk).cast("double") / stride).cast("int") + 1)
-    transform(sequence(lit(0), nChunks - 1), w =>
-      struct(w.as("chunk_idx"),
-        array_join(slice(toks, w * stride + 1, lit(chunk)), " ").as("chunk_text")))
+    // Let-bound: `slice(toks, …)` in the per-window lambda would
+    // otherwise re-run the split per window (lambda bodies are
+    // CSE-exempt) — O(windows·len) per row
+    graft.functions.Let.bindOnce(split(text, " ")) { toks =>
+      val n = size(toks)
+      val nChunks = when(n <= chunk, lit(1))
+        .otherwise(ceil((n - chunk).cast("double") / stride).cast("int") + 1)
+      transform(sequence(lit(0), nChunks - 1), w =>
+        struct(w.as("chunk_idx"),
+          array_join(slice(toks, w * stride + 1, lit(chunk)), " ")
+            .as("chunk_text")))
+    }
   }
 
   /** CONTENT-DEFINED chunking: chunk boundaries fall after token p
@@ -956,13 +961,18 @@ object TextStats {
   def ngramCoverage(df: DataFrame, textCol: String, groupCol: String,
       isTrain: Column, n: Int): DataFrame = {
     require(n >= 1, "n >= 1")
-    val toks = split(lower(col(textCol)), " ")
-    // sequence(0, k) DESCENDS for k < 0 — short docs need the empty guard
-    val grams = when(size(toks) >= n, transform(
-      sequence(lit(0), size(toks) - n),
-      i => Dedup.baseHash(concat_ws(" ",
-        (0 until n).map(j => get(toks, i + j)): _*))))
-      .otherwise(array().cast("array<long>"))
+    // Let-bound: `get(toks, i + j)` in the per-gram lambda would
+    // otherwise re-run the split n times per gram (lambda bodies are
+    // CSE-exempt)
+    val grams = graft.functions.Let.bindOnce(
+        split(lower(col(textCol)), " ")) { toks =>
+      // sequence(0, k) DESCENDS for k < 0 — short docs need the empty guard
+      when(size(toks) >= n, transform(
+        sequence(lit(0), size(toks) - n),
+        i => Dedup.baseHash(concat_ws(" ",
+          (0 until n).map(j => get(toks, i + j)): _*))))
+        .otherwise(array().cast("array<long>"))
+    }
     val side = df.select(col(groupCol).as("grp"), isTrain.as("__train"),
         explode(grams).as("__gh"))
     val train = side.where(col("__train")).select(col("grp"), col("__gh")).distinct()

@@ -11728,8 +11728,10 @@ object OpsQueries {
           .orderBy($"doc_id")
       },
       Some("""WITH p AS (SELECT a.doc_id AS pair,
-             |    list_slice(string_split(lower(a.text), ' '), 1, 24) AS cand,
-             |    list_slice(string_split(lower(b.text), ' '), 1, 24) AS ref
+             |    list_slice(list_filter(string_split(lower(a.text), ' '),
+             |      t -> len(t) > 0), 1, 24) AS cand,
+             |    list_slice(list_filter(string_split(lower(b.text), ' '),
+             |      t -> len(t) > 0), 1, 24) AS ref
              |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
              |v AS (SELECT pair, cand, ref,
              |    list_distinct(list_concat(cand, ref)) AS vocab FROM p),

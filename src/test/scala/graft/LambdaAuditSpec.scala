@@ -6,8 +6,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{
   ArrayAggregate, ArrayDistinct, ArrayExcept, ArrayIntersect, ArrayJoin,
   ArrayMax, ArrayMin, ArrayPosition, ArraysOverlap, ArrayUnion, CreateArray,
-  Expression, HigherOrderFunction, LambdaFunction, NamedLambdaVariable,
-  SortArray}
+  Expression, HigherOrderFunction, LambdaFunction, Levenshtein, Lower, Md5,
+  NamedLambdaVariable, RegExpExtract, RegExpExtractAll, RegExpReplace, RLike,
+  Sha1, Sha2, SortArray, StringSplit, Upper}
 import org.apache.spark.sql.functions._
 
 /** Automated detector for the CSE-exemption lambda trap that plan-level
@@ -46,6 +47,19 @@ class LambdaAuditSpec extends SparkSpec {
     case _ => false
   }
 
+  /** O(string-length) compute nodes — the STRING variant of the same
+    * trap: a `split`/`regexp`/`digest` over a lambda-invariant input
+    * re-runs per element, O(len·elements) per row (the r12-found
+    * gramCounts/chrF shape: `get(split(lower(text)), i+j)` re-split the
+    * text once per token slot; chrF's `substr` re-ran the whitespace
+    * regexp per character position). */
+  private def costlyStringScan(e: Expression): Boolean = e match {
+    case _: StringSplit | _: RegExpReplace | _: RegExpExtract |
+         _: RegExpExtractAll | _: RLike | _: Lower | _: Upper |
+         _: Md5 | _: Sha1 | _: Sha2 | _: Levenshtein => true
+    case _ => false
+  }
+
   private def referencesLambdaVar(e: Expression): Boolean =
     e.exists(_.isInstanceOf[NamedLambdaVariable])
 
@@ -77,6 +91,13 @@ class LambdaAuditSpec extends SparkSpec {
             s"`${e.sql.take(120)}` — hoist it out of the lambda or " +
             "Let.bindOnce it (lambda bodies are CSE-exempt: this " +
             "re-evaluates per element)"
+      }
+      if (inLoop && costlyStringScan(e) &&
+          !referencesLambdaVar(e) && !e.foldable) {
+        hits += s"lambda-invariant string work " +
+          s"`${e.sql.take(120)}` — hoist it out of the lambda or " +
+          "Let.bindOnce it (lambda bodies are CSE-exempt: this " +
+          "re-evaluates per element)"
       }
       e match {
         case h: HigherOrderFunction =>

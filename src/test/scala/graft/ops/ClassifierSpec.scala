@@ -339,4 +339,16 @@ class ClassifierSpec extends SparkSpec {
       .orderBy($"bin").as[(Int, Long, Double, Double)].collect().toSeq
     assert(g2.forall(_._4 == 0.4), s"anti-monotone input must pool to 6/15: $g2")
   }
+
+  test("isotonicCalibrate: null p / null truth rows drop (no NPE, no silent negative)") {
+    val scored = Seq(
+      (Some(0.05), Some(false)), (Some(0.05), Some(true)),
+      (None, Some(true)),          // null p: would bin to NULL and NPE
+      (Some(0.15), None),          // null truth: would count as negative
+      (Some(0.15), Some(true))
+    ).toDF("p", "y")
+    val got = Classifier.isotonicCalibrate(scored, "p", $"y", bins = 10)
+      .orderBy($"bin").as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((0, 2L, 0.5, 0.5), (1, 1L, 1.0, 1.0)), got.toString)
+  }
 }

@@ -209,9 +209,28 @@ class EvalMetricsSpec extends SparkSpec {
     }
     val got = EvalMetrics.wer(cases.toDF("pid", "cand", "ref"), "pid", "cand", "ref")
       .orderBy("pair").select("edits").as[Long].collect().toSeq
-    // split(" ") of "" yields one empty token — mirror that in the reference
+    // empty tokens drop after the split (the goodTuring convention) —
+    // mirror that in the reference
     val want = cases.map { case (_, a, b) =>
-      ref(a.split(" ", -1).toSeq, b.split(" ", -1).toSeq) }
+      ref(a.split(" ").toSeq.filter(_.nonEmpty),
+        b.split(" ").toSeq.filter(_.nonEmpty)) }
     assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("WER: empty / multi-space references are undefined (NULL), not phantom tokens") {
+    val pairs = Seq(
+      (1L, "a b", ""),        // empty ref: n_ref 0, wer NULL
+      (2L, "a  b", "a b"),    // double space in cand: still 2 tokens, 0 edits
+      (3L, "", " "),          // both empty after filtering
+      (4L, " a ", "a")        // leading/trailing spaces: exact match
+    ).toDF("pid", "cand", "ref")
+    val got = EvalMetrics.wer(pairs, "pid", "cand", "ref")
+      .orderBy("pair")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, 2L, None),
+      (2L, 2L, 2L, 0L, Some(0.0)),
+      (3L, 0L, 0L, 0L, None),
+      (4L, 1L, 1L, 0L, Some(0.0))), got.toString)
   }
 }

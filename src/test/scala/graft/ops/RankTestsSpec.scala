@@ -46,6 +46,22 @@ class RankTestsSpec extends SparkSpec {
     assert(got._6 == 0.0, s"all-tied rank-biserial must be 0: $got")
   }
 
+  test("mannWhitneyU: an empty group yields ONE row with NULLs, not zero rows") {
+    // all rows in group A: n_a is real, n_b/u/z NULL (the all-tied-z
+    // degenerate convention, and what the oracle's scalar subqueries do)
+    val rows = RankTests.mannWhitneyU(
+        (1 to 5).map(i => (i.toDouble, true)).toDF("v", "a"), $"v", $"a")
+      .collect()
+    assert(rows.length == 1, s"expected 1 row, got ${rows.length}")
+    val r = rows.head
+    assert(r.getLong(0) == 5L, r.toString)
+    assert(r.isNullAt(1) && r.isNullAt(6), r.toString)
+    // fully empty input: every column NULL, still one row
+    val e = RankTests.mannWhitneyU(
+        Seq.empty[(Double, Boolean)].toDF("v", "a"), $"v", $"a").collect()
+    assert(e.length == 1 && (0 to 6).forall(e.head.isNullAt), e.head.toString)
+  }
+
   test("wilcoxonSignedRank: hand-worked fixture with a tie pair and a zero") {
     // diffs 3, -1, 2, 2, -4, 0: zero drops; |d| ranks 4, 1, 2.5, 2.5, 5
     // W+ = 4 + 2.5 + 2.5 = 9, W- = 6, n = 5, mu = 7.5,
