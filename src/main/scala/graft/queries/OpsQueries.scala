@@ -12347,6 +12347,191 @@ object OpsQueries {
              |  CASE WHEN var > 0 THEN round((wp - mu) / sqrt(var), 6) END AS z
              |FROM f""".stripMargin)),
 
+    // ─── pass@k: the unbiased Codex estimator over per-task attempts ────
+    // Tasks = orders, attempts = their lineitems, "pass" = returned line;
+    // ks span the n ∈ [1,7] attempt counts so both the saturation (n−c<k)
+    // and the not-estimable (n<k) paths exercise at sf.
+    "q467_pass_at_k" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        EvalMetrics.passAtK(Tables.lineitem(s, dir), "l_orderkey",
+            $"l_returnflag" === "R", Seq(1, 2, 4))
+          .orderBy($"k")
+      },
+      Some {
+        def prodSql(k: Int) = (0 until k).map(i =>
+          s"(CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+          .mkString(" * ")
+        def arm(k: Int) =
+          s"""SELECT $k AS k, CASE WHEN n >= $k
+             |    THEN 1.0::DOUBLE - round(${prodSql(k)}, 9) END AS est
+             |  FROM per""".stripMargin
+        s"""WITH per AS (SELECT l_orderkey, count(*)::BIGINT AS n,
+           |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS c
+           |  FROM lineitem GROUP BY 1),
+           |e AS (${Seq(1, 2, 4).map(arm).mkString("\n  UNION ALL\n")})
+           |SELECT k, count(est)::BIGINT AS n_tasks,
+           |  CASE WHEN count(est) > 0 THEN
+           |    round(CAST(sum(CAST(est AS DECIMAL(18,9))) AS DOUBLE) /
+           |      CAST(count(est) AS DOUBLE), 6) END AS pass_at_k
+           |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // ─── average precision (step PR-AUC) on the score-domain hatch ──────
+    // Score = n_chars predicting lang='en' — the length-rule baseline the
+    // calibration gates (q216/q460) diagnose, now PR-summarised; the
+    // descending-cum identity needs no lag and no totals join.
+    "q468_pr_auc" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Classifier.prAuc(Tables.documents(s, dir), $"n_chars",
+          $"lang" === "en")
+      },
+      Some("""WITH sv AS (SELECT n_chars AS s, count(*)::BIGINT AS n,
+             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS np
+             |  FROM documents GROUP BY 1),
+             |cum AS (SELECT s, n, np,
+             |    sum(n) OVER (ORDER BY s DESC)::BIGINT AS ppge,
+             |    sum(np) OVER (ORDER BY s DESC)::BIGINT AS tpge FROM sv),
+             |a AS (SELECT sum(np)::BIGINT AS p, sum(n)::BIGINT AS t,
+             |    sum(CAST(round(CAST(np AS DOUBLE) *
+             |      (CAST(tpge AS DOUBLE) / CAST(ppge AS DOUBLE)), 9)
+             |      AS DECIMAL(28,9))) AS sm
+             |  FROM cum)
+             |SELECT p AS n_pos, (t - p)::BIGINT AS n_neg,
+             |  CASE WHEN p > 0 THEN
+             |    round(CAST(sm AS DOUBLE) / CAST(p AS DOUBLE), 6)
+             |  END AS pr_auc
+             |FROM a""".stripMargin)),
+
+    // ─── Mantel–Haenszel: length↔English association, source-stratified ─
+    // The Simpson's-paradox guard next to q322: pools the per-source 2×2
+    // tables into one confounding-adjusted odds ratio + CMH chi2.
+    "q469_mantel_haenszel" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Classifier.mantelHaenszel(Tables.documents(s, dir),
+          $"n_chars" >= 300, $"lang" === "en", $"source")
+      },
+      Some("""WITH cells AS (SELECT source,
+             |    sum(CASE WHEN n_chars >= 300 AND lang = 'en'
+             |      THEN 1 ELSE 0 END)::BIGINT AS a,
+             |    sum(CASE WHEN n_chars >= 300 AND lang <> 'en'
+             |      THEN 1 ELSE 0 END)::BIGINT AS b,
+             |    sum(CASE WHEN n_chars < 300 AND lang = 'en'
+             |      THEN 1 ELSE 0 END)::BIGINT AS c,
+             |    sum(CASE WHEN n_chars < 300 AND lang <> 'en'
+             |      THEN 1 ELSE 0 END)::BIGINT AS d
+             |  FROM documents GROUP BY 1),
+             |tm AS (SELECT a, b, c, d, (a + b + c + d)::BIGINT AS nr,
+             |    CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+             |      + CAST(d AS DOUBLE) AS nn
+             |  FROM cells),
+             |t AS (SELECT count(*)::BIGINT AS n_strata,
+             |    sum(nr)::BIGINT AS n_rows, sum(a)::BIGINT AS sa,
+             |    sum(CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / nn, 9)
+             |      AS DECIMAL(28,9))) AS srr,
+             |    sum(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / nn, 9)
+             |      AS DECIMAL(28,9))) AS sss,
+             |    sum(CAST(round((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) *
+             |      (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) / nn, 9)
+             |      AS DECIMAL(28,9))) AS sea,
+             |    sum(CAST(round(CASE WHEN nn > 1 THEN
+             |      (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) *
+             |      (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) *
+             |      (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) *
+             |      (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)) /
+             |      (nn * nn * (nn - 1)) ELSE 0.0::DOUBLE END, 9)
+             |      AS DECIMAL(28,9))) AS sva
+             |  FROM tm)
+             |SELECT n_strata, n_rows,
+             |  CASE WHEN CAST(sss AS DOUBLE) > 0 THEN
+             |    round(CAST(srr AS DOUBLE) / CAST(sss AS DOUBLE), 6)
+             |  END AS or_mh,
+             |  CASE WHEN CAST(sva AS DOUBLE) > 0 THEN
+             |    round((CAST(sa AS DOUBLE) - CAST(sea AS DOUBLE)) *
+             |      (CAST(sa AS DOUBLE) - CAST(sea AS DOUBLE)) /
+             |      CAST(sva AS DOUBLE), 6)
+             |  END AS cmh_chi2
+             |FROM t""".stripMargin)),
+
+    // ─── Brown–Forsythe: is q247's equal-variance assumption safe? ──────
+    // The same one-way F run on |x − group-median| — median from the
+    // doubled-cum crossing (the weightedMedian convention), then the
+    // q247 anova tail verbatim on the deviations.
+    "q470_brown_forsythe" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.brownForsythe(Tables.documents(s, dir), "source", "n_chars")
+      },
+      Some("""WITH f AS (SELECT source AS g, n_chars AS x FROM documents
+             |    WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+             |wc AS (SELECT g, x, count(*)::BIGINT AS w FROM f GROUP BY 1, 2),
+             |cw AS (SELECT g, x, w,
+             |    sum(w) OVER (PARTITION BY g ORDER BY x)::BIGINT AS cum FROM wc),
+             |tw AS (SELECT g, sum(w)::BIGINT AS tot FROM wc GROUP BY 1),
+             |med AS (SELECT g, min(CASE WHEN cum * 2 >= tot THEN x END) AS md
+             |  FROM cw JOIN tw USING (g) GROUP BY 1),
+             |zz AS (SELECT f.g, abs(f.x - med.md)::BIGINT AS zx
+             |  FROM f JOIN med USING (g)),
+             |gg AS (SELECT g, count(*) AS n,
+             |    sum(CAST(zx AS DECIMAL(38,0))) AS sx,
+             |    sum(CAST(zx * zx AS DECIMAL(38,0))) AS sxx
+             |  FROM zz GROUP BY 1),
+             |t AS (SELECT sum(n)::BIGINT AS nt, sum(sx) AS tsx,
+             |    sum(sxx) AS tsxx FROM gg),
+             |a AS (SELECT count(*) AS k_groups, max(t.nt) AS n_total,
+             |    max(CAST(t.tsx AS DOUBLE)) AS tsxd,
+             |    max(CAST(t.tsxx AS DOUBLE)) AS tsxxd,
+             |    sum(CAST(round(
+             |      (CAST(gg.sx AS DOUBLE) / (CAST(t.tsx AS DOUBLE) / CAST(t.nt AS DOUBLE)))
+             |      * (CAST(gg.sx AS DOUBLE) / (CAST(t.tsx AS DOUBLE) / CAST(t.nt AS DOUBLE)))
+             |      / CAST(gg.n AS DOUBLE), 9) AS DECIMAL(28,9))) AS ssq
+             |  FROM gg CROSS JOIN t)
+             |SELECT k_groups, n_total,
+             |  CASE WHEN k_groups >= 2 AND n_total > k_groups
+             |      AND (tsxxd / ((tsxd / CAST(n_total AS DOUBLE)) * (tsxd / CAST(n_total AS DOUBLE)))
+             |           - CAST(ssq AS DOUBLE)) > 0.0
+             |    THEN round(
+             |      ((CAST(ssq AS DOUBLE)
+             |          - (tsxd / (tsxd / CAST(n_total AS DOUBLE)))
+             |            * (tsxd / (tsxd / CAST(n_total AS DOUBLE))) / CAST(n_total AS DOUBLE))
+             |        / (CAST(k_groups AS DOUBLE) - 1.0))
+             |      / ((tsxxd / ((tsxd / CAST(n_total AS DOUBLE)) * (tsxd / CAST(n_total AS DOUBLE)))
+             |          - CAST(ssq AS DOUBLE))
+             |        / (CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6)
+             |  END AS f_stat
+             |FROM a""".stripMargin)),
+
+    // ─── Hodges–Lehmann shift: the effect size q455's U test lacks ──────
+    // Same banded-spend split as q455; the pair median materializes only
+    // the |dom_A|·|dom_B| difference domain, never the n_a·n_b pairs.
+    "q471_hodges_lehmann" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        RankTests.hodgesLehmann(Tables.orders(s, dir),
+          floor($"o_totalprice" / lit(1000.0)),
+          $"o_orderpriority" === "1-URGENT")
+      },
+      Some("""WITH pts AS (SELECT
+             |    CAST(floor(o_totalprice / 1000.0::DOUBLE) AS BIGINT) AS v,
+             |    (o_orderpriority = '1-URGENT') AS a FROM orders),
+             |da AS (SELECT v, count(*)::BIGINT AS ca FROM pts WHERE a GROUP BY 1),
+             |db AS (SELECT v AS vb, count(*)::BIGINT AS cb
+             |  FROM pts WHERE NOT a GROUP BY 1),
+             |dw AS (SELECT da.v - db.vb AS dd, sum(ca * cb)::BIGINT AS w
+             |  FROM da CROSS JOIN db GROUP BY 1),
+             |cum AS (SELECT dd, sum(w) OVER (ORDER BY dd)::BIGINT AS cw FROM dw),
+             |nn AS (SELECT sum(CASE WHEN a THEN 1 END)::BIGINT AS na,
+             |    sum(CASE WHEN NOT a THEN 1 END)::BIGINT AS nb FROM pts),
+             |m AS (SELECT
+             |    min(CASE WHEN cw >= (na * nb + 1) // 2 THEN dd END) AS lo,
+             |    min(CASE WHEN cw >= na * nb // 2 + 1 THEN dd END) AS hi
+             |  FROM cum CROSS JOIN nn)
+             |SELECT na AS n_a, nb AS n_b, (na * nb)::BIGINT AS n_pairs,
+             |  CAST(lo + hi AS DOUBLE) / 2.0::DOUBLE AS hl_shift
+             |FROM nn CROSS JOIN m""".stripMargin)),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

@@ -340,6 +340,54 @@ class ClassifierSpec extends SparkSpec {
     assert(g2.forall(_._4 == 0.4), s"anti-monotone input must pool to 6/15: $g2")
   }
 
+  test("prAuc: the scikit hand case, tie blocks, degenerate label sets") {
+    // y=[0,0,1,1], s=[.1,.4,.35,.8] → AP = 1·(1/2) + (2/3)·(1/2) = 5/6
+    val got = Classifier.prAuc(
+        Seq((0.1, 0), (0.4, 0), (0.35, 1), (0.8, 1)).toDF("s", "y"),
+        $"s", $"y")
+      .as[(Long, Long, Option[Double])].head()
+    assert(got._1 == 2L && got._2 == 2L, got.toString)
+    assert(got._3.contains(0.833333), got.toString)
+    // tied scores form ONE threshold block: TP=1, PP=2 → AP = 0.5
+    val tied = Classifier.prAuc(
+        Seq((0.5, 1), (0.5, 0)).toDF("s", "y"), $"s", $"y")
+      .as[(Long, Long, Option[Double])].head()
+    assert(tied._3.contains(0.5), tied.toString)
+    // all negative: undefined (NULL), not zero
+    val neg = Classifier.prAuc(
+        Seq((0.2, 0), (0.7, 0)).toDF("s", "y"), $"s", $"y")
+      .as[(Long, Long, Option[Double])].head()
+    assert(neg == ((0L, 2L, None)), neg.toString)
+    // all positive: every threshold has precision 1 → AP = 1
+    val pos = Classifier.prAuc(
+        Seq((0.2, 1), (0.7, 1)).toDF("s", "y"), $"s", $"y")
+      .as[(Long, Long, Option[Double])].head()
+    assert(pos._3.contains(1.0), pos.toString)
+  }
+
+  test("mantelHaenszel: hand-worked two-stratum pooling and CMH chi2") {
+    // S1: a=4 b=1 c=2 d=3; S2: a=2 b=3 c=1 d=4 (n=10 each)
+    // OR_MH = (1.2+0.8)/(0.2+0.3) = 4; E[a]=3+1.5, Var=0.6667+0.5833
+    // CMH = (6−4.5)²/1.25 = 1.8
+    def cell(s: String, e: Boolean, o: Boolean, k: Int) =
+      Seq.fill(k)((s, e, o))
+    val df = (cell("s1", true, true, 4) ++ cell("s1", true, false, 1) ++
+      cell("s1", false, true, 2) ++ cell("s1", false, false, 3) ++
+      cell("s2", true, true, 2) ++ cell("s2", true, false, 3) ++
+      cell("s2", false, true, 1) ++ cell("s2", false, false, 4))
+      .toDF("st", "e", "o")
+    val got = Classifier.mantelHaenszel(df, $"e", $"o", $"st")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(got == ((2L, 20L, Some(4.0), Some(1.8))), got.toString)
+    // a single-row stratum adds 0 variance and no crash (n−1 = 0)
+    val df2 = df.union(Seq(("s3", true, true)).toDF("st", "e", "o"))
+    val got2 = Classifier.mantelHaenszel(df2, $"e", $"o", $"st")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(got2._1 == 3L && got2._2 == 21L, got2.toString)
+    // Σa grows by 1, E[a] by 1 (the 1×1 table is deterministic): CMH unchanged
+    assert(got2._4.contains(1.8), got2.toString)
+  }
+
   test("isotonicCalibrate: null p / null truth rows drop (no NPE, no silent negative)") {
     val scored = Seq(
       (Some(0.05), Some(false)), (Some(0.05), Some(true)),

@@ -5,6 +5,9 @@ import graft.SparkSpec
 class EvalMetricsSpec extends SparkSpec {
   import spark.implicits._
 
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   // cand "a b a b c" bigrams: {ab:2, ba:1, bc:1} (4 total)
   // ref  "a b c a"   bigrams: {ab:1, bc:1, ca:1} (3 total)
   // clipped overlap: min(2,1)[ab] + min(1,1)[bc] = 2
@@ -215,6 +218,24 @@ class EvalMetricsSpec extends SparkSpec {
       ref(a.split(" ").toSeq.filter(_.nonEmpty),
         b.split(" ").toSeq.filter(_.nonEmpty)) }
     assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("pass@k: hand combinatorics, saturation at n−c < k, NULL below n < k") {
+    // t1: n=5, c=2 → p@1 = 1−3/5 = .4; p@2 = 1−(3/5)(2/4) = .7;
+    //     p@4 = 1 (zero factor at i = n−c = 3)
+    // t2: n=3, c=0 → 0 at k=1,2; NOT estimable at k=4
+    // t3: n=4, c=4 → 1 everywhere
+    val rows =
+      (1 to 5).map(i => ("t1", i <= 2)) ++
+      (1 to 3).map(_ => ("t2", false)) ++
+      (1 to 4).map(_ => ("t3", true))
+    val got = EvalMetrics.passAtK(rows.toDF("task", "ok"), "task", $"ok",
+        Seq(1, 2, 4))
+      .orderBy("k").as[(Int, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1, 3L, Some(r6((0.4 + 0.0 + 1.0) / 3))),
+      (2, 3L, Some(r6((0.7 + 0.0 + 1.0) / 3))),
+      (4, 2L, Some(1.0))), got.toString)
   }
 
   test("WER: empty / multi-space references are undefined (NULL), not phantom tokens") {

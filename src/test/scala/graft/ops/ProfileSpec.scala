@@ -145,6 +145,36 @@ class ProfileSpec extends SparkSpec {
     assert(f2._3.exists(_ < 1.0), s"identical-distribution F=${f2._3}")
   }
 
+  test("brownForsythe == anovaF on hand-derived |x − group-median| deviations") {
+    // medians under the doubled-cum crossing convention: a → 2 (lower
+    // middle of 1,2,3,4), b → 10 (of 10,10,20)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 10L), ("b", 10L), ("b", 20L)).toDF("g", "x")
+    val got = Profile.brownForsythe(df, "g", "x")
+      .as[(Long, Long, Option[Double])].head()
+    val z = Seq(("a", 1L), ("a", 0L), ("a", 1L), ("a", 2L),
+      ("b", 0L), ("b", 0L), ("b", 10L)).toDF("g", "z")
+    val want = Profile.anovaF(z, "g", "z")
+      .as[(Long, Long, Option[Double])].head()
+    assert(got == want, s"got $got want $want")
+    assert(got._1 == 2L && got._2 == 7L)
+  }
+
+  test("brownForsythe: equal spreads score small, unequal spreads large") {
+    val eq = ((1 to 40).map(i => ("a", (i % 7).toLong)) ++
+      (1 to 40).map(i => ("b", 100L + i % 7))).toDF("g", "x")
+    val f1 = Profile.brownForsythe(eq, "g", "x")
+      .as[(Long, Long, Option[Double])].head()
+    // same spread around different centers: the median-deviation F must
+    // NOT fire (this is exactly where raw anovaF fires hard)
+    assert(f1._3.exists(_ < 1.5), s"equal-spread BF F=${f1._3}")
+    val uneq = ((1 to 40).map(i => ("a", (i % 3).toLong)) ++
+      (1 to 40).map(i => ("b", (i % 40) * 50L))).toDF("g", "x")
+    val f2 = Profile.brownForsythe(uneq, "g", "x")
+      .as[(Long, Long, Option[Double])].head()
+    assert(f2._3.exists(_ > 20.0), s"unequal-spread BF F=${f2._3}")
+  }
+
   test("kAnonymity counts small quasi-identifier groups") {
     val df = (Seq.fill(10)(("en", 1)) ++ Seq.fill(3)(("de", 1)) ++
       Seq(("fr", 1))).toDF("lang", "d")

@@ -62,6 +62,31 @@ class RankTestsSpec extends SparkSpec {
     assert(e.length == 1 && (0 to 6).forall(e.head.isNullAt), e.head.toString)
   }
 
+  test("hodgesLehmann: pairwise-difference median by hand, ties, empty group") {
+    // A=[1,5,7], B=[2,4]: diffs sorted −3,−1,1,3,3,5 (W=6 even) →
+    // middles 1 and 3 → HL = 2.0
+    val df = Seq((1L, true), (5L, true), (7L, true), (2L, false),
+      (4L, false)).toDF("v", "a")
+    val got = RankTests.hodgesLehmann(df, $"v", $"a")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(got == ((3L, 2L, 6L, Some(2.0))), got.toString)
+    // duplicated values weight the difference domain: A=[2,2], B=[1]
+    val dup = RankTests.hodgesLehmann(
+        Seq((2L, true), (2L, true), (1L, false)).toDF("v", "a"), $"v", $"a")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(dup == ((2L, 1L, 2L, Some(1.0))), dup.toString)
+    // odd W: A=[10], B=[1,2,4] → diffs 6,8,9 → middle 8
+    val odd = RankTests.hodgesLehmann(
+        Seq((10L, true), (1L, false), (2L, false), (4L, false))
+          .toDF("v", "a"), $"v", $"a")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(odd == ((1L, 3L, 3L, Some(8.0))), odd.toString)
+    // one empty group: ONE row, NULL shift (the U-test convention)
+    val e = RankTests.hodgesLehmann(
+        Seq((3L, true)).toDF("v", "a"), $"v", $"a").collect()
+    assert(e.length == 1 && e.head.isNullAt(3), e.head.toString)
+  }
+
   test("wilcoxonSignedRank: hand-worked fixture with a tie pair and a zero") {
     // diffs 3, -1, 2, 2, -4, 0: zero drops; |d| ranks 4, 1, 2.5, 2.5, 5
     // W+ = 4 + 2.5 + 2.5 = 9, W- = 6, n = 5, mu = 7.5,
