@@ -462,4 +462,70 @@ object EvalMetrics {
           sum(col("__est").cast("decimal(18,9)")).cast("double") /
             count(col("__est")).cast("double"), 6)).as("pass_at_k"))
   }
+
+  /** Unbiased best-of-k expected MAXIMUM score — the continuous sibling
+    * of [[passAtK]] (the BoN/rerank-eval headline: "what reward does
+    * picking the best of k samples buy?"). For a task with n scored
+    * attempts, E[max of k] estimates without bias from the order
+    * statistics: Σ_i C(i−1, k−1)/C(n, k) · s₍ᵢ₎ over the ASCENDING
+    * sort (only i ≥ k weigh in). Tasks with n < k are not estimable →
+    * NULL, excluded from that k's mean (the passAtK convention).
+    *
+    * The combinatorial weights are a PLAN-TIME literal array-of-arrays
+    * (exact BigInt ratios narrowed to double once), so the whole
+    * per-task estimate is one codegen-friendly zip_with+aggregate fold
+    * in ascending-sort order — a fixed float order the oracle replays
+    * with the same literals. Per-task attempt counts are bounded by
+    * the `maxN` contract (loud raise_error beyond it — the weight
+    * table is maxN² literals).
+    *
+    * Scale shape: ONE task-keyed collect_list (attempts-per-task
+    * bounded by contract), map-side sort/fold, a |ks|-explode, one
+    * tiny per-k aggregate. Output: (k, n_tasks, mean_best_of_k). */
+  def bestOfK(df: DataFrame, taskCol: String, scoreCol: Column,
+      ks: Seq[Int], maxN: Int = 16): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks &&
+      ks.forall(k => k >= 1 && k <= maxN), "ks: sorted distinct in [1, maxN]")
+    require(maxN >= 1 && maxN <= 64, s"maxN in [1, 64], got $maxN")
+    def choose(n: Int, r: Int): BigInt =
+      if (r < 0 || r > n) BigInt(0)
+      else (0 until r).foldLeft(BigInt(1))((a, i) => a * (n - i) / (i + 1))
+    // weights[n](i) = C(i−1, k−1)/C(n, k), exact rationals → one double
+    def wLit(k: Int) = array((1 to maxN).map { n =>
+      array((1 to n).map { i =>
+        lit(if (n < k) 0.0
+        else (BigDecimal(choose(i - 1, k - 1)) /
+          BigDecimal(choose(n, k))).toDouble)
+      }: _*)
+    }: _*)
+    val per = df.select(col(taskCol).as("__t"), scoreCol.cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__t"))
+      .agg(array_sort(collect_list(col("__s"))).as("__ss"))
+      .withColumn("__n", size(col("__ss")))
+    val entries = ks.map { k =>
+      // the contract check lives INSIDE the live expression (a separate
+      // pruned-away column would be dead-code-eliminated with the
+      // raise_error in it); CASE branches are lazy, so the element_at
+      // below never sees an out-of-contract n
+      val est = when(col("__n") > maxN, raise_error(concat(
+          lit(s"bestOfK: a task has more than maxN=$maxN attempts ("),
+          col("__n").cast("string"),
+          lit(") — raise maxN or pre-sample"))).cast("double"))
+        .when(col("__n") >= k, round(
+          aggregate(
+            zip_with(col("__ss"), element_at(wLit(k), col("__n")),
+              (s, w) => s * w),
+            lit(0.0), (acc, x) => acc + x), 9))
+      struct(lit(k).as("k"), est.as("est"))
+    }
+    per.select(explode(array(entries: _*)).as("__e"))
+      .select(col("__e").getField("k").as("k"),
+        col("__e").getField("est").as("__est"))
+      .groupBy(col("k"))
+      .agg(count(col("__est")).as("n_tasks"),
+        when(count(col("__est")) > 0, round(
+          sum(col("__est").cast("decimal(28,9)")).cast("double") /
+            count(col("__est")).cast("double"), 6)).as("mean_best_of_k"))
+  }
 }

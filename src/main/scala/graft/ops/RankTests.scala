@@ -284,4 +284,108 @@ object RankTests {
       w.as("n_pairs"),
       ((col("__lo") + col("__hi")).cast("double") / 2.0).as("hl_shift"))
   }
+
+  /** Jonckheere–Terpstra ordered-alternative trend test (Terpstra 1952;
+    * Jonckheere 1954): does the metric INCREASE across ORDERED groups
+    * g₁ < … < g_k (dose classes, priority tiers, quality buckets)? —
+    * strictly sharper than [[kruskalWallis]] when the alternative is
+    * monotone. J = Σ_{i<j} #(x∈gᵢ < y∈gⱼ) + ½·#(x = y), with the
+    * tie-corrected null moments (Hollander & Wolfe):
+    *
+    *   μ = (N² − Σnᵢ²)/4,
+    *   σ² = T₁/72 + T₂/(36·N(N−1)(N−2)) + T₃/(8·N(N−1)),
+    *   T₁ = N(N−1)(2N+5) − Σnᵢ(nᵢ−1)(2nᵢ+5) − Σt_v(t_v−1)(2t_v+5),
+    *   T₂ = Σnᵢ(nᵢ−1)(nᵢ−2) · Σt_v(t_v−1)(t_v−2),
+    *   T₃ = Σnᵢ(nᵢ−1) · Σt_v(t_v−1).
+    *
+    * The Σ_{i<j} pair walk never runs: with per-(group, value) counts,
+    * 2J = Σ_{(j,v)} c_j(v)·(2·A_j(v) + B_j(v)) where B_j(v) = Σ_{i<j}
+    * cᵢ(v) (lower-group mass AT v) and A_j(v) = Σ_{u<v} B_j(u) (lower-
+    * group mass BELOW v) — a 2-D prefix built as (1) one broadcast
+    * inequality join of the count table against the ≤`maxGroups`-row
+    * group list, (2) a DENSIFIED k×|domain| grid (so A exists at every
+    * value the j-group occupies), (3) [[Ranks.runningSumsBy]] per
+    * group over the value domain. Everything stays integral in doubled
+    * space; moment sums are exact DECIMAL(38,0); z divides once,
+    * round-6. Output, 1 row: (k_groups, n, j_stat, mu, z); NULL z when
+    * σ² degenerates. */
+  def jonckheereTerpstra(df: DataFrame, valueCol: Column,
+      groupOrdCol: Column, maxGroups: Int = 64): DataFrame = {
+    require(maxGroups >= 2 && maxGroups <= 1024,
+      s"maxGroups in [2, 1024], got $maxGroups")
+    val pts = df.select(valueCol.cast("double").as("__v"),
+        groupOrdCol.cast("long").as("__g"))
+      .filter(col("__v").isNotNull && col("__g").isNotNull)
+    val gvc = pts.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // consumers: group list, grid, J join, moments
+    val gd = gvc.select(col("__g")).distinct()
+      .localCheckpoint(false) // consumers: the bound check + two joins
+    val k = gd.count()
+    require(k <= maxGroups, s"jonckheereTerpstra: $k ordered groups " +
+      s"exceed the maxGroups=$maxGroups contract (the dense grid is " +
+      "k×|value domain|) — bucket the group column first")
+    val dv = gvc.select(col("__v")).distinct()
+    // lower-group mass AT each value, per receiving group j
+    val b = gvc.join(broadcast(gd.withColumnRenamed("__g", "__gj")),
+        col("__g") < col("__gj"))
+      .groupBy(col("__gj").as("__g"), col("__v"))
+      .agg(sum(col("__c")).as("__bb"))
+    // densify to the full k×domain grid so the prefix is defined at
+    // every value the j-group occupies, then one grouped prefix sum
+    val grid = dv.crossJoin(broadcast(gd))
+      .join(b, Seq("__g", "__v"), "left")
+      .select(col("__g"), col("__v"),
+        coalesce(col("__bb"), lit(0L)).as("__b0"))
+    val a = Ranks.runningSumsBy(grid, Seq("__g"),
+        Seq("__b0" -> "__cle"), col("__v"))
+      .select(col("__g"), col("__v"), col("__b0"),
+        (col("__cle") - col("__b0")).as("__alt"))
+    val j2 = gvc.join(a, Seq("__g", "__v"))
+      .agg(coalesce(sum((col("__c") * (col("__alt") * 2 + col("__b0")))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("__j2"))
+    // exact integer moment ingredients over the group and value margins
+    def m3(n: Column) = {
+      val nd = n.cast("decimal(38,0)")
+      (nd * (nd - 1) * (nd * 2 + 5),
+        nd * (nd - 1) * (nd - 2),
+        nd * (nd - 1))
+    }
+    val gn = gvc.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val gm = {
+      val (a1, a2, a3) = m3(col("__n"))
+      gn.agg(count(lit(1)).as("k_groups"),
+        coalesce(sum(col("__n")), lit(0L)).as("__N"),
+        coalesce(sum((col("__n").cast("decimal(38,0)") *
+          col("__n")).cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+          .as("__sn2"),
+        coalesce(sum(a1.cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("__g1"),
+        coalesce(sum(a2.cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("__g2"),
+        coalesce(sum(a3.cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("__g3"))
+    }
+    val tvc = gvc.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val tm = {
+      val (b1, b2, b3) = m3(col("__t"))
+      tvc.agg(
+        coalesce(sum(b1.cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("__t1"),
+        coalesce(sum(b2.cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("__t2"),
+        coalesce(sum(b3.cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("__t3"))
+    }
+    def dd(c: String) = col(c).cast("double")
+    val nD = dd("__N")
+    val jStat = dd("__j2") / 2.0
+    val mu = (nD * nD - dd("__sn2")) / 4.0
+    val t1 = (nD * (nD - 1) * (nD * 2 + 5) - dd("__g1") - dd("__t1")) / 72.0
+    val t2 = when(col("__N") > 2,
+      dd("__g2") * dd("__t2") / (lit(36.0) * nD * (nD - 1) * (nD - 2)))
+      .otherwise(lit(0.0))
+    val t3 = when(col("__N") > 1,
+      dd("__g3") * dd("__t3") / (lit(8.0) * nD * (nD - 1)))
+      .otherwise(lit(0.0))
+    val v2 = t1 + t2 + t3
+    j2.crossJoin(gm).crossJoin(tm)
+      .select(col("k_groups"), col("__N").as("n"),
+        round(jStat, 6).as("j_stat"), round(mu, 6).as("mu"),
+        when(v2 > 0, round((jStat - mu) / sqrt(v2), 6)).as("z"))
+  }
 }

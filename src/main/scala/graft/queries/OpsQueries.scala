@@ -12532,6 +12532,109 @@ object OpsQueries {
              |  CAST(lo + hi AS DOUBLE) / 2.0::DOUBLE AS hl_shift
              |FROM nn CROSS JOIN m""".stripMargin)),
 
+    // ─── Jonckheere–Terpstra: does spend rise across priority tiers? ────
+    // Ordered groups = the priority class digit (1-URGENT … 5-LOW); the
+    // 2-D pair prefix builds as bounded-k densified grid + the grouped
+    // value-domain prefix hatch — no Σ_{i<j} pair walk, no global window.
+    "q472_jonckheere_terpstra" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        RankTests.jonckheereTerpstra(Tables.orders(s, dir),
+          $"o_totalprice",
+          substring($"o_orderpriority", 1, 1).cast("long"))
+      },
+      Some("""WITH pts AS (SELECT CAST(o_totalprice AS DOUBLE) AS v,
+             |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g FROM orders),
+             |gvc AS (SELECT g, v, count(*)::BIGINT AS c FROM pts GROUP BY 1, 2),
+             |gd AS (SELECT DISTINCT g FROM gvc),
+             |dv AS (SELECT DISTINCT v FROM gvc),
+             |b AS (SELECT j.g AS g, i.v AS v, sum(i.c)::BIGINT AS bb
+             |  FROM gvc i JOIN gd j ON i.g < j.g GROUP BY 1, 2),
+             |grid AS (SELECT gd.g, dv.v, coalesce(b.bb, 0)::BIGINT AS b0
+             |  FROM gd CROSS JOIN dv
+             |  LEFT JOIN b ON b.g = gd.g AND b.v = dv.v),
+             |a AS (SELECT g, v, b0,
+             |    (sum(b0) OVER (PARTITION BY g ORDER BY v))::BIGINT - b0 AS alt
+             |  FROM grid),
+             |jj AS (SELECT sum(CAST(gvc.c * (2 * a.alt + a.b0)
+             |    AS DECIMAL(38,0))) AS j2
+             |  FROM gvc JOIN a ON gvc.g = a.g AND gvc.v = a.v),
+             |gn AS (SELECT g, sum(c)::BIGINT AS n FROM gvc GROUP BY 1),
+             |gm AS (SELECT count(*)::BIGINT AS k_groups, sum(n)::BIGINT AS nn,
+             |    sum(CAST(n AS HUGEINT) * n) AS sn2,
+             |    sum(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)) AS g1,
+             |    sum(CAST(n AS HUGEINT) * (n - 1) * (n - 2)) AS g2,
+             |    sum(CAST(n AS HUGEINT) * (n - 1)) AS g3
+             |  FROM gn),
+             |tvx AS (SELECT v, sum(c)::BIGINT AS t FROM gvc GROUP BY 1),
+             |tm AS (SELECT
+             |    sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS t1,
+             |    sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS t2,
+             |    sum(CAST(t AS HUGEINT) * (t - 1)) AS t3
+             |  FROM tvx),
+             |f AS (SELECT k_groups, nn,
+             |    CAST(j2 AS DOUBLE) / 2.0::DOUBLE AS js,
+             |    (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+             |      - CAST(sn2 AS DOUBLE)) / 4.0::DOUBLE AS mu,
+             |    (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1)
+             |        * (CAST(nn AS DOUBLE) * 2 + 5)
+             |      - CAST(g1 AS DOUBLE) - CAST(t1 AS DOUBLE)) / 72.0::DOUBLE
+             |    + CASE WHEN nn > 2 THEN
+             |        CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE) /
+             |        (36.0::DOUBLE * CAST(nn AS DOUBLE)
+             |          * (CAST(nn AS DOUBLE) - 1) * (CAST(nn AS DOUBLE) - 2))
+             |      ELSE 0.0::DOUBLE END
+             |    + CASE WHEN nn > 1 THEN
+             |        CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE) /
+             |        (8.0::DOUBLE * CAST(nn AS DOUBLE)
+             |          * (CAST(nn AS DOUBLE) - 1))
+             |      ELSE 0.0::DOUBLE END AS v2
+             |  FROM jj CROSS JOIN gm CROSS JOIN tm)
+             |SELECT k_groups, nn AS n, round(js, 6) AS j_stat,
+             |  round(mu, 6) AS mu,
+             |  CASE WHEN v2 > 0 THEN round((js - mu) / sqrt(v2), 6) END AS z
+             |FROM f""".stripMargin)),
+
+    // ─── best-of-k expected max price — the continuous pass@k sibling ───
+    // Plan-time order-statistic weight literals (exact BigInt ratios →
+    // double once), replayed verbatim by the oracle's CASE arrays.
+    "q473_best_of_k" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        EvalMetrics.bestOfK(Tables.lineitem(s, dir), "l_orderkey",
+            $"l_extendedprice", Seq(1, 2, 4), maxN = 16)
+          .orderBy($"k")
+      },
+      Some {
+        val maxN = 16
+        def choose(n: Int, r: Int): BigInt =
+          if (r < 0 || r > n) BigInt(0)
+          else (0 until r).foldLeft(BigInt(1))((a, i) => a * (n - i) / (i + 1))
+        def wSql(k: Int) = (1 to maxN).map { n =>
+          val arr = (1 to n).map { i =>
+            val w = if (n < k) 0.0
+            else (BigDecimal(choose(i - 1, k - 1)) /
+              BigDecimal(choose(n, k))).toDouble
+            s"$w::DOUBLE"
+          }.mkString("[", ", ", "]")
+          s"WHEN $n THEN $arr"
+        }.mkString("CASE len(l) ", " ", " END")
+        def arm(k: Int) =
+          s"""SELECT $k AS k, CASE WHEN len(l) >= $k THEN
+             |    round(list_reduce(list_transform(range(1, len(l) + 1),
+             |      i -> l[i] * (${wSql(k)})[i]), (p, q) -> p + q), 9)
+             |  END AS est FROM per""".stripMargin
+        s"""WITH per AS (SELECT l_orderkey AS t,
+           |    list_sort(list(CAST(l_extendedprice AS DOUBLE))) AS l
+           |  FROM lineitem GROUP BY 1),
+           |e AS (${Seq(1, 2, 4).map(arm).mkString("\n  UNION ALL\n")})
+           |SELECT k, count(est)::BIGINT AS n_tasks,
+           |  CASE WHEN count(est) > 0 THEN
+           |    round(CAST(sum(CAST(est AS DECIMAL(28,9))) AS DOUBLE) /
+           |      CAST(count(est) AS DOUBLE), 6) END AS mean_best_of_k
+           |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

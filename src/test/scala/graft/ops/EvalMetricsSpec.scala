@@ -238,6 +238,32 @@ class EvalMetricsSpec extends SparkSpec {
       (4, 2L, Some(1.0))), got.toString)
   }
 
+  test("bestOfK: order-statistic weights equal the brute-force subset mean") {
+    // t1 scores [1,2,6], k=2: E[max of 2] = (2+6+6)/3 = 14/3 exactly
+    // (weights (i−1)/3 over the ascending sort); k=1 = plain mean = 3
+    // t2 scores [5]: k=1 → 5; k=2 → not estimable (NULL, excluded)
+    val rows = Seq(("t1", 1.0), ("t1", 2.0), ("t1", 6.0), ("t2", 5.0))
+    val got = EvalMetrics.bestOfK(rows.toDF("task", "s"), "task", $"s",
+        Seq(1, 2), maxN = 8)
+      .orderBy("k").as[(Int, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1, 2L, Some(r6((3.0 + 5.0) / 2))),
+      (2, 1L, Some(r6(14.0 / 3.0)))), got.toString)
+    // k = n picks the max exactly
+    val mx = EvalMetrics.bestOfK(
+        Seq(("a", 4.0), ("a", 9.0), ("a", 2.0)).toDF("task", "s"),
+        "task", $"s", Seq(3), maxN = 8)
+      .as[(Int, Long, Option[Double])].head()
+    assert(mx == ((3, 1L, Some(9.0))), mx.toString)
+    // a task beyond the maxN contract fails loudly, not silently
+    val big = (1 to 5).map(i => ("t", i.toDouble)).toDF("task", "s")
+    val ex = intercept[Exception] {
+      EvalMetrics.bestOfK(big, "task", $"s", Seq(1), maxN = 4).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("maxN"),
+      String.valueOf(ex.getMessage))
+  }
+
   test("WER: empty / multi-space references are undefined (NULL), not phantom tokens") {
     val pairs = Seq(
       (1L, "a b", ""),        // empty ref: n_ref 0, wer NULL

@@ -87,6 +87,45 @@ class RankTestsSpec extends SparkSpec {
     assert(e.length == 1 && e.head.isNullAt(3), e.head.toString)
   }
 
+  test("jonckheereTerpstra: hand-worked ordered trend, ties, contract bound") {
+    // g1=[1,3] g2=[2,5] g3=[4,6]: J = 3+4+3 = 10; μ = (36−12)/4 = 6;
+    // no ties: σ² = (6·5·17 − 3·(2·1·9))/72 = 456/72
+    val df = Seq((1.0, 1L), (3.0, 1L), (2.0, 2L), (5.0, 2L),
+      (4.0, 3L), (6.0, 3L)).toDF("v", "g")
+    val got = RankTests.jonckheereTerpstra(df, $"v", $"g")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(got._1 == 3L && got._2 == 6L, got.toString)
+    assert(got._3 == 10.0 && got._4 == 6.0, got.toString)
+    assert(got._5.contains(r6((10.0 - 6.0) /
+      math.sqrt((510.0 - 54.0 - 0.0) / 72.0))), got.toString)
+    // cross-group tie at 3 counts ½: g1=[1,3] g2=[3] → J = 1.5, μ = 1,
+    // σ² = (66−18−18)/72 + (2·2)/(8·3·2) = 0.5
+    val tied = RankTests.jonckheereTerpstra(
+        Seq((1.0, 1L), (3.0, 1L), (3.0, 2L)).toDF("v", "g"), $"v", $"g")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(tied._3 == 1.5 && tied._4 == 1.0, tied.toString)
+    assert(tied._5.contains(r6(0.5 / math.sqrt(
+      (66.0 - 18.0 - 18.0) / 72.0 + 2.0 * 2.0 / (8.0 * 3.0 * 2.0)))),
+      tied.toString)
+    // reversed trend goes negative-z; constant values degenerate to NULL
+    val rev = RankTests.jonckheereTerpstra(
+        df.select($"v",
+          (org.apache.spark.sql.functions.lit(4L) - $"g").as("g")),
+        $"v", $"g")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(rev._5.exists(_ < 0), rev.toString)
+    val const = RankTests.jonckheereTerpstra(
+        Seq((7.0, 1L), (7.0, 2L)).toDF("v", "g"), $"v", $"g")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(const._5.isEmpty, const.toString)
+    // the maxGroups contract fails loudly
+    val many = (1 to 9).map(i => (i.toDouble, i.toLong)).toDF("v", "g")
+    val ex = intercept[IllegalArgumentException] {
+      RankTests.jonckheereTerpstra(many, $"v", $"g", maxGroups = 8)
+    }
+    assert(ex.getMessage.contains("maxGroups"), ex.getMessage)
+  }
+
   test("wilcoxonSignedRank: hand-worked fixture with a tie pair and a zero") {
     // diffs 3, -1, 2, 2, -4, 0: zero drops; |d| ranks 4, 1, 2.5, 2.5, 5
     // W+ = 4 + 2.5 + 2.5 = 9, W- = 6, n = 5, mu = 7.5,
