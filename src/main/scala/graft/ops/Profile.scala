@@ -306,6 +306,72 @@ object Profile {
     anovaF(z, "grp", "__z")
   }
 
+  /** Welch's unequal-variance t-test (Welch 1947) between two groups of
+    * an integer metric — the parametric mean-comparison workhorse next
+    * to [[RankTests.mannWhitneyU]]'s rank twin (use this when the mean
+    * IS the business quantity; use the rank test when outliers own the
+    * tail). From exact per-group (n, Σx, Σx²) DECIMAL(38,0) sums:
+    *
+    *   t = (m̄_a − m̄_b)/√(s²_a/n_a + s²_b/n_b),
+    *   df = (v_a + v_b)² / (v_a²/(n_a−1) + v_b²/(n_b−1)),  v = s²/n
+    *
+    * (Welch–Satterthwaite). ONE conditional aggregate over the fact —
+    * 1 row always, NULL-armed for an empty/size-1 group (the
+    * mannWhitneyU degenerate convention); t NULL when both spreads
+    * are zero. Output: (n_a, n_b, mean_a, mean_b, t, df ← round 6). */
+  def welchT(df: DataFrame, valueCol: Column, groupA: Column): DataFrame = {
+    val pts = df.select(valueCol.cast("long").as("__x"), groupA.as("__a"))
+      .filter(col("__x").isNotNull && col("__a").isNotNull)
+    val xd = col("__x").cast("decimal(38,0)")
+    def side(flag: Column, suffix: String) = Seq(
+      sum(when(flag, 1L)).as(s"__n$suffix"),
+      sum(when(flag, xd)).as(s"__s$suffix"),
+      sum(when(flag, (xd * xd).cast("decimal(38,0)"))).as(s"__q$suffix"))
+    val agg = pts.agg(side(col("__a"), "a").head,
+      (side(col("__a"), "a").tail ++ side(!col("__a"), "b")): _*)
+    def d(c: String) = col(c).cast("double")
+    def stats(sfx: String) = {
+      val (n, s, q) = (d(s"__n$sfx"), d(s"__s$sfx"), d(s"__q$sfx"))
+      val m = s / n
+      val v2 = when(col(s"__n$sfx") >= 2, (q - s * m) / (n - 1))
+      (n, m, v2)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val (ua, ub) = (va / na, vb / nb)
+    val denom = ua + ub
+    agg.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      when(denom > 0, round((ma - mb) / sqrt(denom), 6)).as("t"),
+      // denom > 0 already implies n ≥ 2 on both sides (v NULL below 2)
+      // and at least one positive variance term in the df denominator
+      when(denom > 0, round(denom * denom /
+        (ua * ua / (na - 1) + ub * ub / (nb - 1)), 6)).as("df"))
+  }
+
+  /** Paired (one-sample) t-test on per-pair differences — the
+    * parametric twin of [[RankTests.wilcoxonSignedRank]] (zeros KEPT
+    * here: the t statistic uses the raw mean, unlike the signed-rank
+    * zero-drop convention). t = d̄/(s_d/√n), df = n − 1, from the same
+    * exact (n, Σd, Σd²) sums. Output, 1 row: (n, mean_d, t, df);
+    * NULL t on n < 2 or zero spread. */
+  def pairedT(df: DataFrame, diffCol: Column): DataFrame = {
+    val pts = df.select(diffCol.cast("long").as("__d"))
+      .filter(col("__d").isNotNull)
+    val dd = col("__d").cast("decimal(38,0)")
+    val agg = pts.agg(count(lit(1)).as("__n"), sum(dd).as("__s"),
+      sum((dd * dd).cast("decimal(38,0)")).as("__q"))
+    def d(c: String) = col(c).cast("double")
+    val (n, s, q) = (d("__n"), d("__s"), d("__q"))
+    val m = s / n
+    val v2 = (q - s * m) / (n - 1)
+    agg.select(col("__n").as("n"),
+      when(col("__n") > 0, round(m, 6)).as("mean_d"),
+      when(col("__n") >= 2 && v2 > 0,
+        round(m / sqrt(v2 / n), 6)).as("t"),
+      when(col("__n") >= 2, (col("__n") - 1).cast("long")).as("df"))
+  }
+
   /** k-anonymity audit over a quasi-identifier tuple: group sizes of
     * the QI projection, how many groups (and rows) fall below `k` —
     * the re-identification risk table a release gate reads. ONE

@@ -12635,6 +12635,85 @@ object OpsQueries {
            |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // ─── Welch's t: the parametric twin of q455's rank test ─────────────
+    "q474_welch_t" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.welchT(Tables.documents(s, dir), $"n_chars", $"lang" === "en")
+      },
+      Some("""WITH pts AS (SELECT n_chars AS x, (lang = 'en') AS a
+             |  FROM documents),
+             |ag AS (SELECT sum(CASE WHEN a THEN 1 END)::BIGINT AS na,
+             |    sum(CASE WHEN NOT a THEN 1 END)::BIGINT AS nb,
+             |    sum(CASE WHEN a THEN CAST(x AS HUGEINT) END) AS sa,
+             |    sum(CASE WHEN NOT a THEN CAST(x AS HUGEINT) END) AS sb,
+             |    sum(CASE WHEN a THEN CAST(x AS HUGEINT) * x END) AS qa,
+             |    sum(CASE WHEN NOT a THEN CAST(x AS HUGEINT) * x END) AS qb
+             |  FROM pts),
+             |f AS (SELECT na, nb,
+             |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+             |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+             |    (CASE WHEN na >= 2 THEN (CAST(qa AS DOUBLE)
+             |        - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+             |      / (CAST(na AS DOUBLE) - 1) END) / CAST(na AS DOUBLE) AS ua,
+             |    (CASE WHEN nb >= 2 THEN (CAST(qb AS DOUBLE)
+             |        - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+             |      / (CAST(nb AS DOUBLE) - 1) END) / CAST(nb AS DOUBLE) AS ub
+             |  FROM ag)
+             |SELECT na AS n_a, nb AS n_b,
+             |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+             |  CASE WHEN ua + ub > 0 THEN
+             |    round((ma - mb) / sqrt(ua + ub), 6) END AS t,
+             |  CASE WHEN ua + ub > 0 THEN
+             |    round((ua + ub) * (ua + ub) /
+             |      (ua * ua / (CAST(na AS DOUBLE) - 1)
+             |        + ub * ub / (CAST(nb AS DOUBLE) - 1)), 6) END AS df
+             |FROM f""".stripMargin)),
+
+    // ─── paired t on the 1997-vs-1996 spend diffs — q466's twin ─────────
+    // Same per-customer banded diff frame as the Wilcoxon signed-rank
+    // gate; zeros KEPT here (the t uses the raw mean).
+    "q475_paired_t" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val z = lit(0).cast("decimal(18,6)")
+        val sp = Tables.orders(s, dir)
+          .filter(year($"o_orderdate").isin(1996, 1997))
+          .groupBy($"o_custkey")
+          .agg(sum(when(year($"o_orderdate") === 1997,
+            $"o_totalprice".cast("decimal(18,6)"))).as("__s97"),
+            sum(when(year($"o_orderdate") === 1996,
+              $"o_totalprice".cast("decimal(18,6)"))).as("__s96"))
+          .select(floor((coalesce($"__s97", z) - coalesce($"__s96", z))
+            .cast("double") / lit(500.0)).as("d"))
+        Profile.pairedT(sp, $"d")
+      },
+      Some("""WITH sp AS (SELECT o_custkey,
+             |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+             |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s97,
+             |    sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+             |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS s96
+             |  FROM orders
+             |  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+             |  GROUP BY 1),
+             |dl AS (SELECT CAST(floor(CAST(coalesce(s97, 0::DECIMAL(18,6)) -
+             |    coalesce(s96, 0::DECIMAL(18,6)) AS DOUBLE) / 500.0::DOUBLE)
+             |    AS BIGINT) AS d FROM sp),
+             |ag AS (SELECT count(*)::BIGINT AS n,
+             |    sum(CAST(d AS HUGEINT)) AS s,
+             |    sum(CAST(d AS HUGEINT) * d) AS q FROM dl),
+             |f AS (SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) *
+             |      (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      / (CAST(n AS DOUBLE) - 1) AS v2
+             |  FROM ag)
+             |SELECT n,
+             |  CASE WHEN n > 0 THEN round(m, 6) END AS mean_d,
+             |  CASE WHEN n >= 2 AND v2 > 0 THEN
+             |    round(m / sqrt(v2 / CAST(n AS DOUBLE)), 6) END AS t,
+             |  CASE WHEN n >= 2 THEN (n - 1)::BIGINT END AS df
+             |FROM f""".stripMargin)),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

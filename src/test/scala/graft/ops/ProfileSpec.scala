@@ -175,6 +175,49 @@ class ProfileSpec extends SparkSpec {
     assert(f2._3.exists(_ > 20.0), s"unequal-spread BF F=${f2._3}")
   }
 
+  test("welchT: hand-computed unequal-variance t and Satterthwaite df") {
+    // A=[1,2,3,4]: m=2.5, s²=5/3; B=[10,20,30]: m=20, s²=100
+    val df = Seq((1L, true), (2L, true), (3L, true), (4L, true),
+      (10L, false), (20L, false), (30L, false)).toDF("x", "a")
+    val got = Profile.welchT(df, $"x", $"a")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .head()
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (sa, sb) = ((30.0 - 10.0 * (10.0 / 4.0)) / 3.0,
+      (1400.0 - 60.0 * (60.0 / 3.0)) / 2.0)
+    val (ua, ub) = (sa / 4.0, sb / 3.0)
+    assert(got._1 == 4L && got._2 == 3L)
+    assert(got._3 == 2.5 && got._4 == 20.0, got.toString)
+    assert(got._5.contains(r6((2.5 - 20.0) / math.sqrt(ua + ub))), got.toString)
+    assert(got._6.contains(r6((ua + ub) * (ua + ub) /
+      (ua * ua / 3.0 + ub * ub / 2.0))), got.toString)
+    // a size-1 group cannot carry a variance: NULL t/df, real counts
+    val tiny = Profile.welchT(
+        Seq((5L, true), (1L, false), (2L, false)).toDF("x", "a"), $"x", $"a")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .head()
+    assert(tiny._1 == 1L && tiny._5.isEmpty && tiny._6.isEmpty, tiny.toString)
+  }
+
+  test("pairedT: hand case keeps zeros (unlike the signed-rank twin)") {
+    val got = Profile.pairedT(
+        Seq(3L, -1L, 2L, 2L, -4L, 0L).toDF("d"), $"d")
+      .as[(Long, Option[Double], Option[Double], Option[Long])].head()
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // n=6, Σd=2, Σd²=34: m=1/3, s²=(34−2·(2/6))/5
+    val m = 2.0 / 6.0
+    val v2 = (34.0 - 2.0 * m) / 5.0
+    assert(got._1 == 6L && got._2.contains(r6(m)), got.toString)
+    assert(got._3.contains(r6(m / math.sqrt(v2 / 6.0))), got.toString)
+    assert(got._4.contains(5L), got.toString)
+    // constant diffs: zero spread, NULL t
+    val const = Profile.pairedT(Seq(4L, 4L, 4L).toDF("d"), $"d")
+      .as[(Long, Option[Double], Option[Double], Option[Long])].head()
+    assert(const._2.contains(4.0) && const._3.isEmpty, const.toString)
+  }
+
   test("kAnonymity counts small quasi-identifier groups") {
     val df = (Seq.fill(10)(("en", 1)) ++ Seq.fill(3)(("de", 1)) ++
       Seq(("fr", 1))).toDF("lang", "d")
