@@ -1084,6 +1084,23 @@ object Similarity {
       .toDF("n_ref", "n_cur", "n_cells", "mauve")
   }
 
+  /** Pair-sample budget contract for [[alignmentUniformity]] and
+    * [[mmd]]: the bucket count is DERIVED from the input size as
+    * B = max(1, ⌈n²/pairBudget⌉), so the materialized within-bucket
+    * pair count stays ≈ pairBudget/2 in expectation (and ≤ pairBudget
+    * with overwhelming margin under the md5-uniform hash) at ANY n —
+    * the estimator cost is flat from a 500-row fixture (B=1, exact
+    * statistic) to a 10¹⁰-row corpus (B≈10¹⁴, still ~budget/2 pairs).
+    * A fixed B would instead carry an n²/B quadratic term to scale.
+    * The oracle SQL derives the same B from the same count, so the
+    * sample (and hence the hash gate) is replayable. */
+  val PairSampleBudget = 1000000L
+
+  private def derivedBuckets(n: Long, pairBudget: Long): Long = {
+    require(pairBudget >= 1, s"pairBudget must be >= 1, got $pairBudget")
+    math.max(1L, math.ceil(n.toDouble * n.toDouble / pairBudget).toLong)
+  }
+
   /** Alignment & uniformity of an embedding space (Wang & Isola 2020)
     * — the two-number health check for contrastive/retrieval
     * embeddings: positives should be CLOSE (alignment, lower better)
@@ -1097,15 +1114,16 @@ object Similarity {
     *
     * Positive pairs are (2k, 2k+1) id pairs (the q447 even/odd
     * convention). The uniformity expectation is over a DETERMINISTIC
-    * md5-bucket pair sample: ids hash into `buckets` groups and only
-    * within-bucket pairs materialize — n²/B pairs, the knob that keeps
-    * the estimator feasible at corpus scale (B=1 is the exact
-    * statistic). Per-pair terms are 9-dp fixed point so both
-    * expectations are order-independent.
+    * md5-bucket pair sample: ids hash into B groups and only
+    * within-bucket pairs materialize, with B derived from the frame's
+    * count under the [[PairSampleBudget]] contract (B=1 ⇒ the exact
+    * statistic, which is what gate-scale inputs get). Per-pair terms
+    * are 9-dp fixed point so both expectations are order-independent.
     *
-    * Scale shape: one id-keyed self-join per statistic (the positive
-    * join keyed by pair id; the uniformity join keyed by bucket with
-    * bounded per-bucket fanout by construction) + partial-combining
+    * Scale shape: one count on the checkpointed projection (prices B),
+    * then one id-keyed self-join per statistic (the positive join
+    * keyed by pair id; the uniformity join keyed by bucket with
+    * ~budget/2 total fanout by construction) + partial-combining
     * sums. Output, 1 row: (n_pos, alignment, n_pairs, uniformity). */
   /** MMD² — maximum mean discrepancy (Gretton et al. 2012) with an RBF
     * kernel between two embedding sets on one frame: the kernel
@@ -1117,26 +1135,26 @@ object Similarity {
     *   k(a,b) = exp(−γ‖a−b‖²)
     *
     * Pair expectations run over the SAME deterministic md5-bucket pair
-    * sample as [[alignmentUniformity]] (n²/B pairs; B=1 exact), every
-    * squared distance recovered from the codegen'd cosine/norm kernels
+    * sample as [[alignmentUniformity]] (budget-derived B per the
+    * [[PairSampleBudget]] contract; B=1 ⇒ exact), every squared
+    * distance recovered from the codegen'd cosine/norm kernels
     * in one fixed float order, per-pair kernel values 9-dp fixed point
     * — order-independent and oracle-replayable. Can be (slightly)
     * negative — it's the biased-less U-ish estimator over sampled
     * pairs; NULL when any pair class is empty. Output, 1 row: (n_ref,
     * n_cur, pairs_xx, pairs_yy, pairs_xy, mmd2). */
   def mmd(emb: DataFrame, idCol: String, vecCol: String, isRef: Column,
-      buckets: Int, gamma: Double): DataFrame = {
-    require(buckets >= 1 && buckets <= (1 << 20),
-      s"buckets in [1, 2^20], got $buckets")
+      gamma: Double, pairBudget: Long = PairSampleBudget): DataFrame = {
     require(gamma > 0, s"gamma must be > 0, got $gamma")
     def d(c: Column) = c.cast("double")
     def dec9(c: Column) = round(c, 9).cast("decimal(28,9)")
-    val e = emb.select(col(idCol).cast("long").as("__id"),
+    val e0 = emb.select(col(idCol).cast("long").as("__id"),
         col(vecCol).as("__v"), isRef.as("__x"))
       .filter(col("__id").isNotNull && col("__x").isNotNull)
-      .withColumn("__b",
-        pmod(Dedup.baseHash(col("__id").cast("string")), lit(buckets.toLong)))
-      .localCheckpoint(false) // consumers: side counts + the pair join
+      .localCheckpoint(false) // consumers: count + side counts + pair join
+    val e = e0.withColumn("__b",
+      pmod(Dedup.baseHash(col("__id").cast("string")),
+        lit(derivedBuckets(e0.count(), pairBudget))))
     val sides = e.agg(
       sum(when(col("__x"), 1L).otherwise(0L)).as("n_ref"),
       sum(when(!col("__x"), 1L).otherwise(0L)).as("n_cur"))
@@ -1168,14 +1186,12 @@ object Similarity {
   }
 
   def alignmentUniformity(emb: DataFrame, idCol: String, vecCol: String,
-      buckets: Int): DataFrame = {
-    require(buckets >= 1 && buckets <= (1 << 20),
-      s"buckets in [1, 2^20], got $buckets")
+      pairBudget: Long = PairSampleBudget): DataFrame = {
     def d(c: Column) = c.cast("double")
     def dec9(c: Column) = round(c, 9).cast("decimal(28,9)")
     val e = emb.select(col(idCol).cast("long").as("__id"),
         col(vecCol).as("__v"))
-      .localCheckpoint(false) // consumers: positive pairs + bucket pairs
+      .localCheckpoint(false) // consumers: count + positive + bucket pairs
     val x = e.filter(col("__id") % 2 === 0)
       .select((col("__id") / 2).as("__p"), col("__v").as("__x"))
     val y = e.filter(col("__id") % 2 === 1)
@@ -1185,7 +1201,8 @@ object Similarity {
         cosine(col("__x"), col("__y")))).as("__d2"))
       .agg(count(lit(1)).as("n_pos"), sum(col("__d2")).as("__sa"))
     val bkt = e.withColumn("__b",
-      pmod(Dedup.baseHash(col("__id").cast("string")), lit(buckets.toLong)))
+      pmod(Dedup.baseHash(col("__id").cast("string")),
+        lit(derivedBuckets(e.count(), pairBudget))))
     val l = bkt.select(col("__b"), col("__id").as("__i"), col("__v").as("__x"))
     val r = bkt.select(col("__b"), col("__id").as("__j"), col("__v").as("__y"))
     val un = l.join(r, Seq("__b")).filter(col("__i") < col("__j"))

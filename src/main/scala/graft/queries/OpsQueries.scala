@@ -12127,11 +12127,15 @@ object OpsQueries {
         rate = "0.02::DOUBLE", bins = 256))),
 
     // ─── embedding alignment & uniformity (Wang & Isola 2020) ───────────
+    // Uniformity pair sample: bucket count derived from the frame's
+    // count under Similarity.PairSampleBudget (B = ⌈n²/10⁶⌉) — B=1
+    // (exact) at gate scale, ~budget/2 pairs at any corpus size. The
+    // oracle derives the same B from the same count.
     "q461_alignment_uniformity" -> Q(
       (s, dir) => {
         import s.implicits._
         Similarity.alignmentUniformity(Tables.embeddings(s, dir),
-          "vec_id", "embedding", buckets = 32)
+          "vec_id", "embedding")
       },
       Some {
         def cos(a: String, b: String) =
@@ -12139,6 +12143,9 @@ object OpsQueries {
              |  (sqrt(list_reduce(list_transform($a, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)) *
              |   sqrt(list_reduce(list_transform($b, v -> v::DOUBLE * v::DOUBLE), (p,q) -> p+q)))""".stripMargin
         s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |bsel AS (SELECT greatest(1, CAST(ceil(
+           |    count(*)::DOUBLE * count(*)::DOUBLE / 1000000.0) AS BIGINT)) AS b
+           |  FROM e),
            |px AS (SELECT id // 2 AS p, v AS x FROM e WHERE id % 2 = 0),
            |py AS (SELECT (id - 1) // 2 AS p, v AS y FROM e WHERE id % 2 = 1),
            |al AS (SELECT count(*)::BIGINT AS n_pos,
@@ -12146,7 +12153,7 @@ object OpsQueries {
            |      AS DECIMAL(28,9))) AS sa
            |  FROM px JOIN py USING (p)),
            |bb AS (SELECT ('0x'||substr(md5(CAST(id AS VARCHAR)),1,15))::BIGINT
-           |    % 32 AS bk, id, v FROM e),
+           |    % (SELECT b FROM bsel) AS bk, id, v FROM e),
            |un AS (SELECT count(*)::BIGINT AS n_pairs,
            |    sum(CAST(round(exp(-4.0 * (1.0 - ${cos("a.v", "b.v")})), 9)
            |      AS DECIMAL(28,9))) AS su
@@ -12245,11 +12252,13 @@ object OpsQueries {
              |FROM f""".stripMargin)),
 
     // ─── MMD²: kernel two-sample drift test between embedding halves ────
+    // Pair sample: budget-derived bucket count (see q461) — B=1 exact
+    // at gate scale, bounded pairs at any n; oracle derives the same B.
     "q465_mmd_drift" -> Q(
       (s, dir) => {
         import s.implicits._
         Similarity.mmd(Tables.embeddings(s, dir), "vec_id", "embedding",
-          $"vec_id" % 2 === 0, buckets = 32, gamma = 0.5)
+          $"vec_id" % 2 === 0, gamma = 0.5)
       },
       Some {
         def n2(a: String) =
@@ -12257,11 +12266,16 @@ object OpsQueries {
         def cos(a: String, b: String) =
           s"""list_reduce(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE), (p,q) -> p+q) /
              |  (sqrt(${n2(a)}) * sqrt(${n2(b)}))""".stripMargin
-        s"""WITH e AS (SELECT vec_id AS id, embedding AS v,
-           |    (vec_id % 2 = 0) AS x,
-           |    ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT
-           |      % 32 AS bk
-           |  FROM embeddings),
+        s"""WITH e0 AS (SELECT vec_id AS id, embedding AS v,
+           |    (vec_id % 2 = 0) AS x
+           |  FROM embeddings WHERE vec_id IS NOT NULL),
+           |bsel AS (SELECT greatest(1, CAST(ceil(
+           |    count(*)::DOUBLE * count(*)::DOUBLE / 1000000.0) AS BIGINT)) AS b
+           |  FROM e0),
+           |e AS (SELECT id, v, x,
+           |    ('0x'||substr(md5(CAST(id AS VARCHAR)),1,15))::BIGINT
+           |      % (SELECT b FROM bsel) AS bk
+           |  FROM e0),
            |sides AS (SELECT sum(CASE WHEN x THEN 1 ELSE 0 END)::BIGINT AS n_ref,
            |    sum(CASE WHEN NOT x THEN 1 ELSE 0 END)::BIGINT AS n_cur FROM e),
            |p AS (SELECT a.x AS xa, b.x AS xb,

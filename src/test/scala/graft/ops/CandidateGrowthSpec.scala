@@ -148,6 +148,33 @@ class CandidateGrowthSpec extends SparkSpec {
     }
   }
 
+  test("budget-derived pair sampling keeps embedding-pair statistics ≤ PairSampleBudget") {
+    // q461/q465 contract: B = ⌈n²/budget⌉ buckets, so the materialized
+    // pair count is ≈ budget/2 regardless of n — the statistic's cost
+    // is FLAT across the SF decade (a fixed B would grow pairs 16×
+    // here, n² at corpus scale). Also pins gate-scale exactness: at
+    // n=500 the derived B is 1 and n_pairs is exactly C(500,2).
+    val budget = Similarity.PairSampleBudget
+    val pairCounts = for (dir <- Seq(sfSmall, sfBig)) yield {
+      val n = Tables.embeddings(spark, dir).count()
+      val au = Similarity.alignmentUniformity(
+        Tables.embeddings(spark, dir), "vec_id", "embedding")
+        .select($"n_pairs").as[Long].head()
+      val md = Similarity.mmd(Tables.embeddings(spark, dir), "vec_id",
+          "embedding", $"vec_id" % 2 === 0, gamma = 0.5)
+        .select($"pairs_xx" + $"pairs_yy" + $"pairs_xy").as[Long].head()
+      info(f"$dir: n=$n uniformity_pairs=$au mmd_pairs=$md (budget $budget)")
+      assert(au <= budget, s"$dir: uniformity pair sample $au > budget $budget")
+      assert(md <= budget, s"$dir: mmd pair sample $md > budget $budget")
+      if (n.toDouble * n <= budget)
+        assert(au == n * (n - 1) / 2, s"$dir: B=1 regime must be exact")
+      au
+    }
+    // growth line: pairs at sf0.1 stay bounded even though n grew 4×
+    // (n² would be 16×) — budget-derived B absorbs the square.
+    info(f"uniformity pair growth across the decade: ${pairCounts(1).toDouble / pairCounts(0)}%.2f× (n² would be 16×)")
+  }
+
   test("rare-shingle kinship edges grow ~linearly (df-bounded self-join)") {
     // The q413/q417/q418 wedge-audit graph: every shingle group is
     // capped at dfMax docs BEFORE the self-join, so edges per shingle

@@ -109,8 +109,9 @@ class ClusterQualitySpec extends SparkSpec {
     val e = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
       (2L, Seq(0f, 1f)), (3L, Seq(0f, -1f))).toDF("vec_id", "embedding")
-    val got = Similarity.alignmentUniformity(e, "vec_id", "embedding",
-      buckets = 1).as[(Long, Double, Long, Double)].head()
+    // n=4 ≤ √budget at the default → B=1, the exact statistic
+    val got = Similarity.alignmentUniformity(e, "vec_id", "embedding")
+      .as[(Long, Double, Long, Double)].head()
     def dec9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got._1 == 2L && got._3 == 6L)
@@ -129,27 +130,28 @@ class ClusterQualitySpec extends SparkSpec {
       (i, if (i % 2 == 0) Seq(1f, 0f) else Seq(0f, 1f)))
       .toDF("vec_id", "embedding")
     val got = Similarity.mmd(e, "vec_id", "embedding",
-        col("vec_id") % 2 === 0, buckets = 1, gamma = 0.5)
+        col("vec_id") % 2 === 0, gamma = 0.5)
       .as[(Long, Long, Long, Long, Long, Option[Double])].head()
     assert(got == ((4L, 4L, 6L, 6L, 16L, Some(1.264241))), got.toString)
     // identical distributions -> exactly 0
     val same = (0L until 8L).map(i => (i, Seq(1f, 0f)))
       .toDF("vec_id", "embedding")
     val z = Similarity.mmd(same, "vec_id", "embedding",
-        col("vec_id") % 2 === 0, buckets = 1, gamma = 0.5)
+        col("vec_id") % 2 === 0, gamma = 0.5)
       .as[(Long, Long, Long, Long, Long, Option[Double])].head()
     assert(z._6.contains(0.0), z.toString)
   }
 
-  test("alignmentUniformity: bucketing only thins the pair sample") {
+  test("alignmentUniformity: tighter pair budgets only thin the pair sample") {
     import spark.implicits._
     val e = (0L until 40L).map(i =>
       (i, Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat)))
       .toDF("vec_id", "embedding")
-    val exact = Similarity.alignmentUniformity(e, "vec_id", "embedding", 1)
-      .as[(Long, Double, Long, Double)].head()
-    val thin = Similarity.alignmentUniformity(e, "vec_id", "embedding", 4)
-      .as[(Long, Double, Long, Double)].head()
+    // budget ≥ n² → B=1 (exact); budget = n²/4 → B=4 (thinned sample)
+    val exact = Similarity.alignmentUniformity(e, "vec_id", "embedding",
+      pairBudget = 1600L).as[(Long, Double, Long, Double)].head()
+    val thin = Similarity.alignmentUniformity(e, "vec_id", "embedding",
+      pairBudget = 400L).as[(Long, Double, Long, Double)].head()
     assert(exact._3 == 40L * 39 / 2)
     assert(thin._3 < exact._3 && thin._3 > 0)
     assert(thin._1 == exact._1 && thin._2 == exact._2,
