@@ -97,7 +97,7 @@ object Bench {
         if (pass == 0) {
           sofar += (name -> sec)
           if ((j + 1) % 60 == 0 && j + 1 < names.size) {
-            println(jsonLine(sofar.toSeq, sfDir, 1))
+            println(jsonLine(sofar.toSeq, sfDir, 1, partial = true))
             System.out.flush()
           }
         }
@@ -142,11 +142,15 @@ object Bench {
     * field stays schema-compatible; the full per-query map lives in
     * bench_detail.json. */
   private def jsonLine(results: Seq[(String, Double)], sfDir: String,
-      nRuns: Int): String = {
+      nRuns: Int, partial: Boolean = false): String = {
     val byPrefix = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }.toMap
     val qs = headline.flatMap(p => byPrefix.get(p).map(v => "\"" + p + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_runs":$nRuns,"queries":$qs,"sf":"$sfDir"}"""
+    // "partial":true marks an incomplete-coverage rolling line — a
+    // consumer parsing the stdout tail can detect a mid-pass total
+    // without knowing the registry size (full-coverage lines omit it)
+    val p = if (partial) """"partial":true,""" else ""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$p"n_queries":${results.size},"n_runs":$nRuns,"queries":$qs,"sf":"$sfDir"}"""
   }
 }

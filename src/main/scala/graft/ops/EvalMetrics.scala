@@ -25,6 +25,15 @@ object EvalMetrics {
     * STRING array (== `Dedup.baseHash` element-wise, the spec-pinned
     * library contract) instead of the hex-substring-conv expression per
     * gram — one digest per gram, no hex-string allocation. */
+  /** The ONE word tokenizer every n-gram metric shares: lowercase,
+    * split on single spaces, DROP empty tokens. Without the drop,
+    * `split("")` yields `[""]` — an empty candidate would contribute
+    * cand_len = 1 to BLEU's brevity penalty and a phantom 1-gram to
+    * every overlap (the wer/goodTuring convention, now uniform across
+    * the eval tier; each gate's oracle applies the same list_filter). */
+  private def wordTokens(textCol: String): Column =
+    filter(split(lower(col(textCol)), " "), t => length(t) > 0)
+
   private def gramCounts(df: DataFrame, keyCol: String, textCol: String,
       n: Int): DataFrame = {
     // Let-bound: the token array must be a lambda VARIABLE before the
@@ -32,7 +41,7 @@ object EvalMetrics {
     // the whole split per token slot (lambda bodies are CSE-exempt:
     // n re-splits per gram made q398/q399 top-of-bench)
     val ghs = graft.functions.Let.bindOnce(
-        split(lower(col(textCol)), " ")) { toks =>
+        wordTokens(textCol)) { toks =>
       val grams = when(size(toks) >= n, transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
@@ -51,7 +60,7 @@ object EvalMetrics {
   private def gramCountsAllN(df: DataFrame, keyCol: String, textCol: String,
       maxN: Int): DataFrame = {
     val tagged = graft.functions.Let.bindOnce(
-        split(lower(col(textCol)), " ")) { toks =>
+        wordTokens(textCol)) { toks =>
       flatten(array((1 to maxN).map { n =>
         val grams = when(size(toks) >= n, transform(
           sequence(lit(0), size(toks) - n),
@@ -124,8 +133,7 @@ object EvalMetrics {
       refCol: String, maxTokens: Int = 24): DataFrame = {
     require(maxTokens >= 1 && maxTokens <= 256,
       s"maxTokens in [1, 256], got $maxTokens")
-    def capped(c: String) =
-      slice(split(lower(col(c)), " "), 1, maxTokens)
+    def capped(c: String) = slice(wordTokens(c), 1, maxTokens)
     def d(c: Column) = c.cast("double")
     pairs.select(col(pairCol).as("pair"),
         capped(candCol).as("__c"), capped(refCol).as("__r"))
@@ -161,13 +169,11 @@ object EvalMetrics {
       refCol: String, maxTokens: Int = 24): DataFrame = {
     require(maxTokens >= 1 && maxTokens <= 256,
       s"maxTokens in [1, 256], got $maxTokens")
-    // empty tokens drop after the split (the goodTuring convention):
-    // without this an empty or multi-space reference yields phantom
-    // tokens — an empty ref would get n_ref = 1 and a defined WER
-    // instead of the documented NULL undefined case
-    def capped(c: String) =
-      slice(filter(split(lower(col(c)), " "), t => length(t) > 0),
-        1, maxTokens)
+    // empty tokens drop after the split (see [[wordTokens]]): without
+    // this an empty or multi-space reference yields phantom tokens —
+    // an empty ref would get n_ref = 1 and a defined WER instead of
+    // the documented NULL undefined case
+    def capped(c: String) = slice(wordTokens(c), 1, maxTokens)
     def d(c: Column) = c.cast("double")
     pairs.select(col(pairCol).as("pair"),
         capped(candCol).as("__c"), capped(refCol).as("__r"))
@@ -453,14 +459,27 @@ object EvalMetrics {
       struct(lit(k).as("k"),
         when(col("__n") >= k, lit(1.0) - round(prod, 9)).as("est"))
     }
-    per.select(explode(array(entries: _*)).as("__e"))
+    val perK = per.select(explode(array(entries: _*)).as("__e"))
       .select(col("__e").getField("k").as("k"),
         col("__e").getField("est").as("__est"))
       .groupBy(col("k"))
-      .agg(count(col("__est")).as("n_tasks"),
+      .agg(count(col("__est")).as("__nt"),
         when(count(col("__est")) > 0, round(
           sum(col("__est").cast("decimal(18,9)")).cast("double") /
             count(col("__est")).cast("double"), 6)).as("pass_at_k"))
+    // 'one row per k' holds even for an EMPTY input (zero estimable
+    // tasks everywhere → the explode+groupBy alone would emit zero
+    // rows): anchor the aggregate on a |ks| literal frame
+    ksFrame(df, ks).join(perK, Seq("k"), "left")
+      .select(col("k"), coalesce(col("__nt"), lit(0L)).as("n_tasks"),
+        col("pass_at_k"))
+  }
+
+  /** |ks| literal rows (k) — the per-k anchor both estimator outputs
+    * left-join onto so an empty input still yields one row per k. */
+  private def ksFrame(df: DataFrame, ks: Seq[Int]): DataFrame = {
+    import df.sparkSession.implicits._
+    ks.toDF("k")
   }
 
   /** Unbiased best-of-k expected MAXIMUM score — the continuous sibling
@@ -519,13 +538,17 @@ object EvalMetrics {
             lit(0.0), (acc, x) => acc + x), 9))
       struct(lit(k).as("k"), est.as("est"))
     }
-    per.select(explode(array(entries: _*)).as("__e"))
+    val perK = per.select(explode(array(entries: _*)).as("__e"))
       .select(col("__e").getField("k").as("k"),
         col("__e").getField("est").as("__est"))
       .groupBy(col("k"))
-      .agg(count(col("__est")).as("n_tasks"),
+      .agg(count(col("__est")).as("__nt"),
         when(count(col("__est")) > 0, round(
           sum(col("__est").cast("decimal(28,9)")).cast("double") /
             count(col("__est")).cast("double"), 6)).as("mean_best_of_k"))
+    // one row per k even on empty input — the passAtK anchor convention
+    ksFrame(df, ks).join(perK, Seq("k"), "left")
+      .select(col("k"), coalesce(col("__nt"), lit(0L)).as("n_tasks"),
+        col("mean_best_of_k"))
   }
 }

@@ -37,6 +37,21 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  /** `c` as long under a LOUD lossless contract: a fractional value
+    * raises instead of silently truncating toward zero (the bestOfK
+    * raise_error convention). The integer-metric tests (welchT /
+    * pairedT / brownForsythe / hodgesLehmann) document exact integral
+    * sums as their determinism discipline — a caller passing a double
+    * metric must hear about it, not get a quietly wrong statistic
+    * (pre-bucket with floor/round if truncation is intended). NULL
+    * passes through: every caller filters nulls after this cast. */
+  private[ops] def integralLong(c: Column, opName: String): Column =
+    when(c.isNull || c.cast("double") === c.cast("long").cast("double"),
+      c.cast("long"))
+    .otherwise(raise_error(concat(
+      lit(s"$opName: value column must be integral, got "),
+      c.cast("string"))).cast("long"))
+
   /** One row per profiled column: (column, n, n_null, n_distinct,
     * min_num, max_num, min_str, max_str, avg_len). Numeric and timestamp
     * columns report min/max as DOUBLE (timestamps as epoch millis —
@@ -300,7 +315,8 @@ object Profile {
     val med = weightedMedian(in, groupCol, col(xCol).cast("double"),
         lit(1.0), col(xCol))
       .select(col("grp"), col("w_median").cast("long").as("__med"))
-    val z = in.select(col(groupCol).as("grp"), col(xCol).cast("long").as("__x"))
+    val z = in.select(col(groupCol).as("grp"),
+        integralLong(col(xCol), "brownForsythe").as("__x"))
       .join(broadcast(med), "grp")
       .select(col("grp"), abs(col("__x") - col("__med")).as("__z"))
     anovaF(z, "grp", "__z")
@@ -320,7 +336,8 @@ object Profile {
     * mannWhitneyU degenerate convention); t NULL when both spreads
     * are zero. Output: (n_a, n_b, mean_a, mean_b, t, df ← round 6). */
   def welchT(df: DataFrame, valueCol: Column, groupA: Column): DataFrame = {
-    val pts = df.select(valueCol.cast("long").as("__x"), groupA.as("__a"))
+    val pts = df.select(integralLong(valueCol, "welchT").as("__x"),
+        groupA.as("__a"))
       .filter(col("__x").isNotNull && col("__a").isNotNull)
     val xd = col("__x").cast("decimal(38,0)")
     def side(flag: Column, suffix: String) = Seq(
@@ -356,7 +373,7 @@ object Profile {
     * exact (n, Σd, Σd²) sums. Output, 1 row: (n, mean_d, t, df);
     * NULL t on n < 2 or zero spread. */
   def pairedT(df: DataFrame, diffCol: Column): DataFrame = {
-    val pts = df.select(diffCol.cast("long").as("__d"))
+    val pts = df.select(integralLong(diffCol, "pairedT").as("__d"))
       .filter(col("__d").isNotNull)
     val dd = col("__d").cast("decimal(38,0)")
     val agg = pts.agg(count(lit(1)).as("__n"), sum(dd).as("__s"),

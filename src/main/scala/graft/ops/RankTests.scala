@@ -254,7 +254,9 @@ object RankTests {
     * convention). */
   def hodgesLehmann(df: DataFrame, valueCol: Column,
       groupA: Column): DataFrame = {
-    val pts = df.select(valueCol.cast("long").as("__v"), groupA.as("__a"))
+    val pts = df.select(
+        Profile.integralLong(valueCol, "hodgesLehmann").as("__v"),
+        groupA.as("__a"))
       .filter(col("__v").isNotNull && col("__a").isNotNull)
       .localCheckpoint(false) // consumers: the two domain tables + counts
     val da = pts.filter(col("__a")).groupBy(col("__v"))

@@ -12383,12 +12383,13 @@ object OpsQueries {
         s"""WITH per AS (SELECT l_orderkey, count(*)::BIGINT AS n,
            |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS c
            |  FROM lineitem GROUP BY 1),
-           |e AS (${Seq(1, 2, 4).map(arm).mkString("\n  UNION ALL\n")})
-           |SELECT k, count(est)::BIGINT AS n_tasks,
+           |e AS (${Seq(1, 2, 4).map(arm).mkString("\n  UNION ALL\n")}),
+           |ks(k) AS (VALUES (1), (2), (4))
+           |SELECT ks.k, count(est)::BIGINT AS n_tasks,
            |  CASE WHEN count(est) > 0 THEN
            |    round(CAST(sum(CAST(est AS DECIMAL(18,9))) AS DOUBLE) /
            |      CAST(count(est) AS DOUBLE), 6) END AS pass_at_k
-           |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+           |FROM ks LEFT JOIN e ON e.k = ks.k GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
     // ─── average precision (step PR-AUC) on the score-domain hatch ──────
@@ -12641,12 +12642,13 @@ object OpsQueries {
         s"""WITH per AS (SELECT l_orderkey AS t,
            |    list_sort(list(CAST(l_extendedprice AS DOUBLE))) AS l
            |  FROM lineitem GROUP BY 1),
-           |e AS (${Seq(1, 2, 4).map(arm).mkString("\n  UNION ALL\n")})
-           |SELECT k, count(est)::BIGINT AS n_tasks,
+           |e AS (${Seq(1, 2, 4).map(arm).mkString("\n  UNION ALL\n")}),
+           |ks(k) AS (VALUES (1), (2), (4))
+           |SELECT ks.k, count(est)::BIGINT AS n_tasks,
            |  CASE WHEN count(est) > 0 THEN
            |    round(CAST(sum(CAST(est AS DECIMAL(28,9))) AS DOUBLE) /
            |      CAST(count(est) AS DOUBLE), 6) END AS mean_best_of_k
-           |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+           |FROM ks LEFT JOIN e ON e.k = ks.k GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
     // ─── Welch's t: the parametric twin of q455's rank test ─────────────
@@ -13173,20 +13175,19 @@ object OpsQueries {
           .withColumnRenamed("pair", "doc_id")
           .orderBy($"doc_id")
       },
-      Some("""WITH p AS (SELECT a.doc_id, lower(a.text) AS cand,
-             |        lower(b.text) AS ref
+      Some("""WITH p AS (SELECT a.doc_id,
+             |        list_filter(string_split(lower(a.text), ' '),
+             |          t -> len(t) > 0) AS ct,
+             |        list_filter(string_split(lower(b.text), ' '),
+             |          t -> len(t) > 0) AS rt
              |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
              |cg AS (SELECT doc_id, g, count(*) AS c FROM (
-             |        SELECT doc_id, unnest(list_transform(
-             |          range(1, len(string_split(cand, ' '))),
-             |          i -> string_split(cand, ' ')[i] || ' ' ||
-             |               string_split(cand, ' ')[i+1])) AS g
+             |        SELECT doc_id, unnest(list_transform(range(1, len(ct)),
+             |          i -> ct[i] || ' ' || ct[i+1])) AS g
              |        FROM p) GROUP BY 1, 2),
              |rg AS (SELECT doc_id, g, count(*) AS c FROM (
-             |        SELECT doc_id, unnest(list_transform(
-             |          range(1, len(string_split(ref, ' '))),
-             |          i -> string_split(ref, ' ')[i] || ' ' ||
-             |               string_split(ref, ' ')[i+1])) AS g
+             |        SELECT doc_id, unnest(list_transform(range(1, len(rt)),
+             |          i -> rt[i] || ' ' || rt[i+1])) AS g
              |        FROM p) GROUP BY 1, 2),
              |ov AS (SELECT cg.doc_id, CAST(sum(least(cg.c, rg.c)) AS BIGINT) AS ov
              |      FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.g = rg.g
@@ -13225,26 +13226,29 @@ object OpsQueries {
       },
       Some {
         def grams(src: String, n: Int): String =
-          if (n == 1) s"SELECT doc_id, unnest(string_split($src, ' ')) AS g FROM p"
+          if (n == 1) s"SELECT doc_id, unnest($src) AS g FROM p"
           else {
             val parts = (0 until n).map(j =>
-              if (j == 0) s"string_split($src, ' ')[i]"
-              else s"string_split($src, ' ')[i+$j]").mkString(" || ' ' || ")
-            s"SELECT doc_id, unnest(list_transform(range(1, len(string_split($src, ' ')) - ${n - 2}), i -> $parts)) AS g FROM p"
+              if (j == 0) s"$src[i]" else s"$src[i+$j]").mkString(" || ' ' || ")
+            s"SELECT doc_id, unnest(list_transform(range(1, len($src) - ${n - 2}), i -> $parts)) AS g FROM p"
           }
         val perN = (1 to 4).map { n =>
-          s"""cg$n AS (SELECT doc_id, g, count(*) AS c FROM (${grams("cand", n)}) GROUP BY 1, 2),
-             |rg$n AS (SELECT doc_id, g, count(*) AS c FROM (${grams("ref", n)}) GROUP BY 1, 2),
+          s"""cg$n AS (SELECT doc_id, g, count(*) AS c FROM (${grams("ct", n)}) GROUP BY 1, 2),
+             |rg$n AS (SELECT doc_id, g, count(*) AS c FROM (${grams("rt", n)}) GROUP BY 1, 2),
              |pn$n AS (SELECT round(
              |    CAST((SELECT coalesce(sum(least(cg$n.c, rg$n.c)), 0) FROM cg$n
              |          JOIN rg$n ON cg$n.doc_id = rg$n.doc_id AND cg$n.g = rg$n.g) AS DOUBLE) /
              |    CAST((SELECT coalesce(sum(c), 0) FROM cg$n) AS DOUBLE), 9) AS p_$n)""".stripMargin
         }.mkString(",\n")
-        s"""WITH p AS (SELECT a.doc_id, lower(a.text) AS cand, lower(b.text) AS ref
+        s"""WITH p AS (SELECT a.doc_id,
+           |        list_filter(string_split(lower(a.text), ' '),
+           |          t -> len(t) > 0) AS ct,
+           |        list_filter(string_split(lower(b.text), ' '),
+           |          t -> len(t) > 0) AS rt
            |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
            |$perN,
-           |lens AS (SELECT CAST(sum(len(string_split(cand, ' '))) AS BIGINT) AS cand_len,
-           |        CAST(sum(len(string_split(ref, ' '))) AS BIGINT) AS ref_len FROM p),
+           |lens AS (SELECT CAST(sum(len(ct)) AS BIGINT) AS cand_len,
+           |        CAST(sum(len(rt)) AS BIGINT) AS ref_len FROM p),
            |j AS (SELECT * FROM lens CROSS JOIN pn1 CROSS JOIN pn2 CROSS JOIN pn3 CROSS JOIN pn4),
            |b AS (SELECT *, least(1.0::DOUBLE, round(exp(1.0 -
            |        CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE)), 9)) AS bp
@@ -13264,11 +13268,12 @@ object OpsQueries {
           .withColumnRenamed("group", "lang")
           .orderBy($"lang")
       },
-      Some("""WITH g AS (SELECT lang, unnest(list_transform(
-             |        range(1, len(string_split(lower(text), ' '))),
-             |        i -> string_split(lower(text), ' ')[i] || ' ' ||
-             |             string_split(lower(text), ' ')[i+1])) AS g
-             |      FROM documents)
+      Some("""WITH d AS (SELECT lang, list_filter(
+             |        string_split(lower(text), ' '), t -> len(t) > 0) AS tk
+             |      FROM documents),
+             |g AS (SELECT lang, unnest(list_transform(range(1, len(tk)),
+             |        i -> tk[i] || ' ' || tk[i+1])) AS g
+             |      FROM d)
              |SELECT lang, CAST(count(*) AS BIGINT) AS n_grams,
              |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
              |  round(CAST(count(DISTINCT g) AS DOUBLE) /
@@ -13476,13 +13481,17 @@ object OpsQueries {
         EvalMetrics.squadEval(pairs, "doc_id", "cand", "ref")
       },
       Some("""WITH p AS (SELECT a.doc_id, lower(a.text) AS cand,
-             |        lower(b.text) AS ref
+             |        lower(b.text) AS ref,
+             |        list_filter(string_split(lower(a.text), ' '),
+             |          t -> len(t) > 0) AS ctk,
+             |        list_filter(string_split(lower(b.text), ' '),
+             |          t -> len(t) > 0) AS rtk
              |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
              |cg AS (SELECT doc_id, g, count(*) AS c FROM (
-             |        SELECT doc_id, unnest(string_split(cand, ' ')) AS g
+             |        SELECT doc_id, unnest(ctk) AS g
              |        FROM p) GROUP BY 1, 2),
              |rg AS (SELECT doc_id, g, count(*) AS c FROM (
-             |        SELECT doc_id, unnest(string_split(ref, ' ')) AS g
+             |        SELECT doc_id, unnest(rtk) AS g
              |        FROM p) GROUP BY 1, 2),
              |ov AS (SELECT cg.doc_id, CAST(sum(least(cg.c, rg.c)) AS BIGINT) AS ov
              |      FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.g = rg.g
@@ -14444,8 +14453,10 @@ object OpsQueries {
           .orderBy($"doc_id")
       },
       Some(s"""WITH p AS (SELECT a.doc_id AS pair,
-              |        list_slice(string_split(lower(a.text), ' '), 1, 24) AS cand,
-              |        list_slice(string_split(lower(b.text), ' '), 1, 24) AS ref
+              |        list_slice(list_filter(string_split(lower(a.text), ' '),
+              |          t -> len(t) > 0), 1, 24) AS cand,
+              |        list_slice(list_filter(string_split(lower(b.text), ' '),
+              |          t -> len(t) > 0), 1, 24) AS ref
               |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
               |l0 AS (SELECT pair, cand, ref, len(ref) AS n,
               |        list_transform(range(0, len(ref) + 1), x -> 0) AS r

@@ -280,4 +280,33 @@ class EvalMetricsSpec extends SparkSpec {
       (3L, 0L, 0L, 0L, None),
       (4L, 1L, 1L, 0L, Some(0.0))), got.toString)
   }
+
+  test("n-gram metrics share the empty-token drop (no phantom grams)") {
+    // "a  b" must count as 2 tokens / 1 bigram on every metric, and an
+    // empty candidate as 0 tokens (cand_len 0, not a phantom 1-gram)
+    val pairs = Seq((1L, "a  b", "a b"), (2L, "", "a"))
+      .toDF("pid", "cand", "ref")
+    val r2 = EvalMetrics.rougeN(pairs, "pid", "cand", "ref", n = 1)
+      .orderBy("pair").select("n_cand", "n_ref", "n_overlap")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r2 == Seq((2L, 2L, 2L), (0L, 1L, 0L)), r2.toString)
+    val bleu = EvalMetrics.corpusBleu(pairs, "pid", "cand", "ref", maxN = 2)
+      .select("cand_len", "ref_len").as[(Long, Long)].head()
+    assert(bleu == ((2L, 3L)), bleu.toString) // not (3, 3): "" is 0 tokens
+    val rl = EvalMetrics.rougeL(pairs, "pid", "cand", "ref")
+      .orderBy("pair").select("n_cand", "n_ref", "lcs")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rl == Seq((2L, 2L, 2L), (0L, 1L, 0L)), rl.toString)
+  }
+
+  test("pass@k / bestOfK emit one row per k even on an EMPTY input") {
+    val empty = Seq.empty[(String, Boolean)].toDF("task", "ok")
+    val p = EvalMetrics.passAtK(empty, "task", $"ok", Seq(1, 2, 4))
+      .orderBy("k").as[(Int, Long, Option[Double])].collect().toSeq
+    assert(p == Seq((1, 0L, None), (2, 0L, None), (4, 0L, None)), p.toString)
+    val emptyS = Seq.empty[(String, Double)].toDF("task", "s")
+    val b = EvalMetrics.bestOfK(emptyS, "task", $"s", Seq(1, 3), maxN = 8)
+      .orderBy("k").as[(Int, Long, Option[Double])].collect().toSeq
+    assert(b == Seq((1, 0L, None), (3, 0L, None)), b.toString)
+  }
 }

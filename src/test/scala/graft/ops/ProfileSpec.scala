@@ -587,4 +587,27 @@ class ProfileSpec extends SparkSpec {
     assert(c.map(_._2).toSeq == Seq(8L, 3L))
     assert(a.map(_._3).toSeq != c.map(_._3).toSeq)
   }
+
+  test("integer-metric tests raise loudly on fractional input, not truncate") {
+    // a double metric silently floored toward zero would yield wrong
+    // statistics — the cast is a LOUD lossless contract instead
+    val frac = Seq((1.5, true), (2.0, false), (3.0, true)).toDF("x", "a")
+    val e1 = intercept[Exception] { Profile.welchT(frac, $"x", $"a").collect() }
+    assert(e1.getMessage.contains("integral"), String.valueOf(e1.getMessage))
+    val e2 = intercept[Exception] {
+      Profile.pairedT(Seq(0.5, 1.0).toDF("d"), $"d").collect()
+    }
+    assert(e2.getMessage.contains("integral"), String.valueOf(e2.getMessage))
+    val e3 = intercept[Exception] {
+      Profile.brownForsythe(
+        Seq(("g1", 1.25), ("g1", 2.0), ("g2", 3.0)).toDF("g", "x"),
+        "g", "x").collect()
+    }
+    assert(e3.getMessage.contains("integral"), String.valueOf(e3.getMessage))
+    // integral doubles still pass (lossless cast, same stats as longs)
+    val ok = Profile.welchT(
+      Seq((1.0, true), (2.0, true), (5.0, false), (9.0, false)).toDF("x", "a"),
+      $"x", $"a")
+    assert(ok.count() == 1L)
+  }
 }

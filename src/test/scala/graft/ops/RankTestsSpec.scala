@@ -198,4 +198,12 @@ class RankTestsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("COMPLETE"), e.getMessage)
   }
+
+  test("hodgesLehmann raises loudly on a fractional metric (no truncation)") {
+    val frac = Seq((1.5, true), (2.0, false)).toDF("v", "a")
+    val e = intercept[Exception] {
+      RankTests.hodgesLehmann(frac, $"v", $"a").collect()
+    }
+    assert(e.getMessage.contains("integral"), String.valueOf(e.getMessage))
+  }
 }
