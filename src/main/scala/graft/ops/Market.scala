@@ -29,14 +29,21 @@ object Market {
       valueCol: String, k: Int): DataFrame = {
     val firm = df.groupBy(col(marketCol).as("market"), col(firmCol).as("firm"))
       .agg(sum(col(valueCol).cast("decimal(18,6)")).as("rev"))
-    val ranked = firm.withColumn("rk",
-      row_number().over(Window.partitionBy(col("market"))
-        .orderBy(col("rev").desc, col("firm"))))
-    ranked.groupBy(col("market"))
+    // the rank is only ever compared to k, so FILTER on it instead of
+    // decorating: the rank-≤-k filter plans as WindowGroupLimit (per-
+    // map-partition top-k pushdown), which bounds each market's window
+    // input to k × #partitions — a full per-market rank would put every
+    // firm of a segment on one task (markets are a handful-sized domain)
+    val topk = firm.withColumn("rk",
+        row_number().over(Window.partitionBy(col("market"))
+          .orderBy(col("rev").desc, col("firm"))))
+      .filter(col("rk") <= k)
+      .groupBy(col("market")).agg(sum(col("rev")).as("topk"))
+    firm.groupBy(col("market"))
       .agg(count(lit(1)).as("n_firms"),
         sum(col("rev") * col("rev")).as("ss"),
-        sum(col("rev")).as("tot"),
-        sum(when(col("rk") <= k, col("rev")).otherwise(lit(0).cast("decimal(18,6)"))).as("topk"))
+        sum(col("rev")).as("tot"))
+      .join(topk, Seq("market")) // market-sized join, both sides tiny
       .select(col("market"), col("n_firms"),
         // divisions happen on doubles cast from EXACT decimals — decimal
         // division itself rounds differently per engine, IEEE doesn't
@@ -162,9 +169,12 @@ object Market {
       valueCol: String): DataFrame = {
     val firm = df.groupBy(col(marketCol).as("market"), col(firmCol).as("firm"))
       .agg(sum(col(valueCol).cast("decimal(18,6)")).as("rev"))
-    val i = row_number().over(Window.partitionBy(col("market"))
-      .orderBy(col("rev").asc, col("firm"))).cast("long")
-    firm.withColumn("__i", i)
+    // Gini needs the FULL ascending rank per market (not a top-k), and
+    // markets are a handful-sized domain over customer-scaled firm rows
+    // — the grouped row-number hatch keeps the rank distributed instead
+    // of one task per market
+    Ranks.withRowNumberBy(firm, Seq("market"), "__i",
+        col("rev").asc, col("firm"))
       .groupBy(col("market"))
       .agg(count(lit(1)).as("n_firms"),
         sum(col("rev")).as("__s"),

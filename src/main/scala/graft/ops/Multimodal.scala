@@ -708,11 +708,15 @@ object Multimodal {
       struct(abs(col(wCol) * rh - col(hCol) * rw).as("d"), lit(i).as("i"))
     }
     val names = array(ladder.map { case (rw, rh) => lit(s"$rw:$rh") }: _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col(idCol))
-    df.withColumn("bucket", least(cands: _*).getField("i"))
+    val withBucket = df.withColumn("bucket", least(cands: _*).getField("i"))
       .withColumn("bucket_ratio", get(names, col("bucket")))
+    // per-bucket position via the GROUPED row-number hatch: the ladder
+    // has a handful of buckets over a corpus-scaled image table, so a
+    // Window.partitionBy(bucket) would land each bucket's whole slice
+    // on one task — the q267 straggler class
+    Ranks.withRowNumberBy(withBucket, Seq("bucket"), "__rn", col(idCol))
       .withColumn("batch_idx",
-        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+        floor((col("__rn") - 1) / batchSize).cast("long"))
+      .drop("__rn")
   }
 }

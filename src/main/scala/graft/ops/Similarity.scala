@@ -829,8 +829,15 @@ object Similarity {
     * DECIMAL, and the ideal DCG normalizer folds the same literal way.
     *
     * Scale shape: ONE scored pass of (nQueries × N) rows (nQueries a
-    * contract bound), one query-keyed window for the ranks, query-sized
-    * output. Output: (query_id, first_rel_rank, rr, ndcg). */
+    * contract bound). The ranks never fully materialize: the top-k leg
+    * FILTERS rank ≤ k, which plans as WindowGroupLimit (per-map-
+    * partition top-k pushdown, so no query's whole score list lands on
+    * one task), and the first-relevant rank falls out of counting the
+    * rows scored strictly above each query's best relevant hit —
+    * rank = 1 + |{rows with a greater (sim, −id) key}| — instead of a
+    * full per-query rank decoration. All joins after the scored pass
+    * are query-sized broadcasts. Output: (query_id, first_rel_rank,
+    * rr, ndcg). */
   def labelRetrievalEval(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, nQueries: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -840,21 +847,42 @@ object Similarity {
     val scored = emb.as("e").join(broadcast(q), col(idCol) =!= col("__qid"))
       .select(col("__qid"), col("__ql"), col(idCol).as("__id"),
         col(labelCol).as("__l"), cosine(col(vecCol), col("__qv")).as("__sim"))
-    val w = Window.partitionBy(col("__qid")).orderBy(col("__sim").desc, col("__id"))
-    val ranked = scored
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__rel", (col("__l") === col("__ql")).cast("int"))
-    val idealDen = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
-    ranked.groupBy(col("__qid").as("query_id"))
+      // consumers below: the all-rows aggregate, the top-k leg, the
+      // best-relevant probe and its count — cut the cosine pass once
+      .localCheckpoint(eager = false)
+    val rel = (col("__l") === col("__ql")).cast("int")
+    // all-rows leg: relevant count per query (no rank needed)
+    val allAgg = scored.groupBy(col("__qid"))
+      .agg(sum(rel).cast("long").as("n_rel"))
+    // top-k leg: the rank-≤-k FILTER plans WindowGroupLimit
+    val wq = Window.partitionBy(col("__qid"))
+      .orderBy(col("__sim").desc, col("__id"))
+    val topAgg = scored.withColumn("__rk", row_number().over(wq))
+      .filter(col("__rk") <= k)
+      .groupBy(col("__qid"))
       .agg(
-        min(when(col("__rel") === 1, col("__rk"))).as("first_rel_rank"),
-        sum(col("__rel")).cast("long").as("n_rel"),
-        sum(when(col("__rk") <= k, col("__rel")).otherwise(lit(0)))
-          .cast("long").as("n_rel_topk"),
-        sum(when(col("__rk") <= k && col("__rel") === 1,
+        sum(rel).cast("long").as("n_rel_topk"),
+        sum(when(rel === 1,
           round(lit(1.0) / (log(col("__rk") + 1.0) / lit(math.log(2.0))), 9))
           .otherwise(lit(0.0)).cast("decimal(12,9)")).as("__dcg"))
-      .select(col("query_id"), col("first_rel_rank"), col("n_rel"), col("n_rel_topk"),
+    // first-relevant rank: the best relevant hit per query (max on the
+    // (sim, −id) rank key), then 1 + the count of rows strictly above
+    // it — identical to the row_number the old full decoration produced
+    val best = scored.filter(col("__l") === col("__ql"))
+      .groupBy(col("__qid"))
+      .agg(max(struct(col("__sim"), (-col("__id")).as("__nid"))).as("__b"))
+      .select(col("__qid"), col("__b").getField("__sim").as("__bs"),
+        (-col("__b").getField("__nid")).as("__bid"))
+    val frr = scored.join(broadcast(best), Seq("__qid"))
+      .groupBy(col("__qid"))
+      .agg((sum(when(col("__sim") > col("__bs") ||
+          (col("__sim") === col("__bs") && col("__id") < col("__bid")), 1L)
+        .otherwise(0L)) + 1L).cast("int").as("first_rel_rank"))
+    val idealDen = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    allAgg.join(topAgg, Seq("__qid"))
+      .join(frr, Seq("__qid"), "left") // no-relevant queries: NULL rank
+      .select(col("__qid").as("query_id"), col("first_rel_rank"),
+        col("n_rel"), col("n_rel_topk"),
         round(lit(1.0) / col("first_rel_rank"), 6).as("rr"),
         round(col("__dcg").cast("double") / lit(idealDen), 6).as("ndcg"),
         when(col("n_rel") > 0, round(col("n_rel_topk").cast("double") /

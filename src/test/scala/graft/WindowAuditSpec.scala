@@ -112,27 +112,39 @@ class WindowAuditSpec extends SparkSpec {
   // distinct values: keyed on a handful-sized domain (return flags,
   // priorities, event types, languages, sources) over a fact-scaled
   // frame, each key's whole slice lands on ONE task at 100 TB — the
-  // q234/q260/q267/q380 class this round retired onto the grouped
-  // hatches (runningSumsBy / runningDecimalSumsBy / runningLeadBy).
-  // Cardinality is not statically knowable, so the rule is NAME-based:
-  // a window partitioned ONLY by known bounded-domain columns (or
-  // simple derivations of them) must be allowlisted with the reason its
-  // input frame is bounded too.
+  // q234/q260/q267/q380 class retired onto the grouped hatches
+  // (runningSumsBy / runningDecimalSumsBy / runningLeadBy).
+  // The rule is MEASURED, not name-based: for every keyed window in
+  // the registry, project the window's OWN input onto its partition
+  // keys and count the distinct tuples at sfTiny. NDV below the
+  // threshold ⇒ a handful-sized key domain ⇒ flagged unless the query
+  // argues (in the allowlist) that the window's input frame is itself
+  // bounded. A name list can't see a NEW low-card key (or a literal
+  // key, which has no column name at all); a measurement can.
 
-  /** column names with handful-sized domains in this schema */
-  private val lowCardCols = Set("event_type", "l_returnflag",
-    "l_linestatus", "o_orderpriority", "o_orderstatus", "lang", "source",
-    "split", "priority", "c_mktsegment", "p_brand")
+  /** a key domain this small is a straggler at scale: each key's whole
+    * slice is one task. sfTiny NDVs are small to begin with (~6k
+    * lineitems), so a data-scaled key (order/doc/customer ids) clears
+    * this by 1–2 orders of magnitude while label-sized domains
+    * (flags 3, langs 5, sources 4, priorities 5) sit well under it. */
+  private val ndvThreshold = 8L
 
   /** query -> why its low-card-keyed window's INPUT frame is bounded */
   private val lowCardAllowlist: Map[String, String] = Map(
     "q76_heavy_hitters" -> "rank ≤ 5 filter plans WindowGroupLimit — per-partition top-k pushdown bounds each key's window input to k × #map-partitions (plan-asserted below)",
     "q427_rbo" -> "rank ≤ k filter plans WindowGroupLimit — same bound (plan-asserted below)",
     "q430_sql_surface" -> "rank ≤ 3 filter plans WindowGroupLimit (plan-asserted below); the gate's purpose is VERBATIM-portable SQL, so the text stays standard",
-    "q317_lead_time_sla" -> "cumulative over the (priority, lead-DAYS) value table — integer day domain, bounded by the order horizon")
+    "q317_lead_time_sla" -> "cumulative over the (priority, lead-DAYS) value table — integer day domain, bounded by the order horizon",
+    "q193_hhi" -> "rank ≤ k filter plans WindowGroupLimit — top-k revenue pushdown per market (plan-asserted below); HHI/total legs are windowless aggregates",
+    "q238_retrieval_eval" -> "rank ≤ k filter plans WindowGroupLimit (plan-asserted below); first-rel rank counts rows above the best hit instead of ranking",
+    "q239_recall_at_k" -> "same WindowGroupLimit-bounded top-k leg as q238 (plan-asserted below)",
+    "q340_region_rollup" -> "window over the per-(region, nation) aggregate — ≤ 25 nation rows",
+    "q345_repurchase_cycle" -> "cumulative over the (segment, gap-DAYS) value table — integer day domain bounded by the order horizon (the q317 class)",
+    "q419_chi2_keywords" -> "rank ≤ topK filter plans WindowGroupLimit (plan-asserted below)")
 
   test("the WindowGroupLimit claims in the low-card allowlist hold in the physical plans") {
-    Seq("q76_heavy_hitters", "q427_rbo", "q430_sql_surface").foreach { q =>
+    Seq("q76_heavy_hitters", "q427_rbo", "q430_sql_surface", "q193_hhi",
+        "q238_retrieval_eval", "q239_recall_at_k", "q419_chi2_keywords").foreach { q =>
       val p = SparkEntry.queries(q)(spark, sfTiny)
         .queryExecution.executedPlan.toString
       assert(p.contains("WindowGroupLimit"),
@@ -141,15 +153,29 @@ class WindowAuditSpec extends SparkSpec {
     }
   }
 
+  /** measured distinct partition-key tuples over the window's own
+    * input; memoized on the canonicalized projection so the hundreds
+    * of shared shapes across the registry evaluate once */
+  private val ndvCache = scala.collection.mutable.HashMap.empty[String, Long]
+  private def keyNdv(w: LWindow): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val proj = Project(w.partitionSpec.zipWithIndex.map { case (e, i) =>
+      Alias(e, s"__k$i")() }, w.child)
+    ndvCache.getOrElseUpdate(proj.canonicalized.toString,
+      org.apache.spark.sql.GraftBridge.ofRows(spark, proj)
+        .distinct().count())
+  }
+
   private def lowCardWindows(df: DataFrame): Seq[String] =
     df.queryExecution.analyzed.collect {
-      case w: LWindow if w.partitionSpec.nonEmpty &&
-          w.partitionSpec.forall { e =>
-            val refs = e.references.map(_.name).toSet
-            refs.nonEmpty && refs.subsetOf(lowCardCols)
-          } =>
-        w.partitionSpec.map(_.sql).mkString(", ") + " ← " +
-          w.windowExpressions.map(_.sql.take(70)).mkString("; ")
+      case w: LWindow if w.partitionSpec.nonEmpty => w
+    }.flatMap { w =>
+      val ndv = keyNdv(w)
+      if (ndv >= ndvThreshold) Nil
+      else Seq(w.partitionSpec.map(_.sql).mkString(", ") +
+        s" (ndv=$ndv) ← " +
+        w.windowExpressions.map(_.sql.take(70)).mkString("; "))
     }
 
   test("the low-card rule flags the pre-fix q267 shape (rank window keyed on l_returnflag)") {
@@ -161,6 +187,20 @@ class WindowAuditSpec extends SparkSpec {
     val ok = li.withColumn("__rn", row_number().over(
       Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")))
     assert(lowCardWindows(ok).isEmpty)
+  }
+
+  test("the low-card rule flags keys NO name list could catch") {
+    val li = Tables.lineitem(spark, sfTiny)
+    // a literal key — ndv 1, no column name at all (the global-window
+    // trap wearing a partitionBy costume)
+    val lit1 = li.withColumn("__rn", row_number().over(
+      Window.partitionBy(lit("x")).orderBy($"l_extendedprice")))
+    assert(lowCardWindows(lit1).nonEmpty, "partitionBy(lit) not flagged")
+    // a NEW derived low-card key (year has ~7 values in TPC-H) — a
+    // static column-name set would let this straggler ship unnamed
+    val derived = li.withColumn("__rn", row_number().over(
+      Window.partitionBy(year($"l_shipdate")).orderBy($"l_extendedprice")))
+    assert(lowCardWindows(derived).nonEmpty, "derived low-card key not flagged")
   }
 
   test("no low-cardinality-keyed window over an unbounded frame in the registry") {
