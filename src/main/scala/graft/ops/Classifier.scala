@@ -625,6 +625,44 @@ object Classifier {
         round((poRaw - peRaw) / (lit(1.0) - peRaw), 6).as("kappa"))
   }
 
+  /** Matthews correlation coefficient + balanced accuracy of a binary
+    * prediction against a binary truth — the chance-robust 1-number
+    * classifier summaries next to [[cohenKappa]] (MCC is Pearson's φ
+    * on the 2×2 table, symmetric in classes; balanced accuracy
+    * averages the two class recalls, so a majority-class predictor
+    * scores 0.5, not the base rate — the imbalanced-gate headline).
+    *
+    * Float discipline: the four cells are exact longs from ONE
+    * conditional aggregate; the 1-row final expression multiplies the
+    * cross-products and the four marginal sqrts in one FIXED order the
+    * oracle replays literally (a DECIMAL product of four 10⁹-scale
+    * marginals would overflow 38 digits — the sqrt composition is
+    * inherently double, and it runs once). NULL mcc when any marginal
+    * is zero (undefined φ); NULL balanced_acc when a truth class is
+    * empty. Scale shape: ONE partial-combining aggregate, nothing else
+    * moves. Output, 1 row: (tp, fp, fn, tn, mcc, balanced_acc ← r6). */
+  def mcc(df: DataFrame, predCol: Column, truthCol: Column): DataFrame = {
+    val pts = df.select(predCol.as("__p"), truthCol.as("__t"))
+      .filter(col("__p").isNotNull && col("__t").isNotNull)
+    val agg = pts.agg(
+      coalesce(sum(when(col("__p") && col("__t"), 1L).otherwise(0L)), lit(0L)).as("tp"),
+      coalesce(sum(when(col("__p") && !col("__t"), 1L).otherwise(0L)), lit(0L)).as("fp"),
+      coalesce(sum(when(!col("__p") && col("__t"), 1L).otherwise(0L)), lit(0L)).as("fn"),
+      coalesce(sum(when(!col("__p") && !col("__t"), 1L).otherwise(0L)), lit(0L)).as("tn"))
+    def d(c: String) = col(c).cast("double")
+    val denom = sqrt((col("tp") + col("fp")).cast("double")) *
+      sqrt((col("tp") + col("fn")).cast("double")) *
+      sqrt((col("tn") + col("fp")).cast("double")) *
+      sqrt((col("tn") + col("fn")).cast("double"))
+    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0 &&
+          col("tn") + col("fp") > 0 && col("tn") + col("fn") > 0,
+        round((d("tp") * d("tn") - d("fp") * d("fn")) / denom, 6)).as("mcc"),
+      when(col("tp") + col("fn") > 0 && col("tn") + col("fp") > 0,
+        round((d("tp") / (d("tp") + d("fn")) +
+          d("tn") / (d("tn") + d("fp"))) / lit(2.0), 6)).as("balanced_acc"))
+  }
+
   /** Empirical-Bayes shrinkage of per-key success rates toward a
     * beta-binomial prior fit by method of moments on the observed
     * per-key rates (m = mean, v = population variance):

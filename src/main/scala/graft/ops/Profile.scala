@@ -261,6 +261,20 @@ object Profile {
     * Output: (k_groups, n_total, f_stat ← round 6; NULL on degenerate
     * denominators). */
   def anovaF(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val (agg, ssb, ssw) = anovaCore(df, groupCol, xCol)
+    val nD = col("n_total").cast("double")
+    val kD = col("k_groups").cast("double")
+    agg.select(col("k_groups"), col("n_total"),
+      when(col("k_groups") >= 2 && col("n_total") > col("k_groups") && ssw > 0.0,
+        round((ssb / (kD - lit(1.0))) / (ssw / (nD - kD)), 6)).as("f_stat"))
+  }
+
+  /** the shared one-way-ANOVA sum-of-squares aggregate behind
+    * [[anovaF]] and [[anovaEffects]]: the 1-row frame plus the
+    * between/within SS expressions over it (in grand-mean-normalized
+    * units — every consumer is a ratio, so the units cancel) */
+  private def anovaCore(df: DataFrame, groupCol: String,
+      xCol: String): (DataFrame, Column, Column) = {
     val x = col(xCol).cast("long")
     val g = df.groupBy(col(groupCol)).agg(
         count(lit(1)).as("n"),
@@ -269,9 +283,10 @@ object Profile {
       .localCheckpoint(false)
     val tot = g.agg(sum(col("n")).as("__tN"),
       sum(col("sx")).as("__ttsx"), sum(col("sxx")).as("__ttsxx"))
-    // F is scale-invariant: normalize by the grand mean so the one
-    // fixed-point-rounded per-group term is O(n_g) — never a raw-scale
-    // square (whose 9-dp round overflows DuckDB's ×10^d double trick)
+    // F/η²/ω² are scale-invariant: normalize by the grand mean so the
+    // one fixed-point-rounded per-group term is O(n_g) — never a
+    // raw-scale square (whose 9-dp round overflows DuckDB's ×10^d
+    // double trick)
     val cross = g.crossJoin(broadcast(tot))
     val m = col("__ttsx").cast("double") / col("__tN").cast("double")
     val agg = cross.agg(
@@ -282,14 +297,37 @@ object Profile {
       sum(round((col("sx").cast("double") / m) * (col("sx").cast("double") / m) /
         col("n").cast("double"), 9).cast("decimal(28,9)")).as("__ssq"))
     val nD = col("n_total").cast("double")
-    val kD = col("k_groups").cast("double")
     val m2 = col("__tsxD") / nD
     val su = col("__tsxD") / m2
     val ssb = col("__ssq").cast("double") - su * su / nD
     val ssw = col("__tsxxD") / (m2 * m2) - col("__ssq").cast("double")
+    (agg, ssb, ssw)
+  }
+
+  /** One-way ANOVA EFFECT SIZES — [[anovaF]]'s "how much, not whether"
+    * companion (the F grows with n; these don't):
+    *
+    *   η² = SSB/SST   (variance share explained by the grouping),
+    *   ω² = (SSB − (k−1)·MSW)/(SST + MSW)   (the less-biased estimate)
+    *
+    * from the same grand-mean-normalized exact sums as [[anovaF]]
+    * (units cancel in both ratios). ω² can go negative when F < 1 —
+    * reported as computed, not clamped (the caller's call). NULL both
+    * when the within-variance degenerates (a constant metric). Scale
+    * shape: identical to anovaF — ONE group aggregate + 1-row algebra.
+    * Output, 1 row: (k_groups, n_total, eta_sq, omega_sq ← round 6). */
+  def anovaEffects(df: DataFrame, groupCol: String,
+      xCol: String): DataFrame = {
+    val (agg, ssb, ssw) = anovaCore(df, groupCol, xCol)
+    val nD = col("n_total").cast("double")
+    val kD = col("k_groups").cast("double")
+    val msw = ssw / (nD - kD)
+    val ok = col("k_groups") >= 2 && col("n_total") > col("k_groups") &&
+      ssw > 0.0
     agg.select(col("k_groups"), col("n_total"),
-      when(col("k_groups") >= 2 && col("n_total") > col("k_groups") && ssw > 0.0,
-        round((ssb / (kD - lit(1.0))) / (ssw / (nD - kD)), 6)).as("f_stat"))
+      when(ok, round(ssb / (ssb + ssw), 6)).as("eta_sq"),
+      when(ok, round((ssb - (kD - 1) * msw) / (ssb + ssw + msw), 6))
+        .as("omega_sq"))
   }
 
   /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe 1974):
@@ -364,6 +402,50 @@ object Profile {
       // and at least one positive variance term in the df denominator
       when(denom > 0, round(denom * denom /
         (ua * ua / (na - 1) + ub * ub / (nb - 1)), 6)).as("df"))
+  }
+
+  /** Cohen's d + Hedges' g standardized mean difference between two
+    * groups of an integer metric — the EFFECT SIZE companion to
+    * [[welchT]]'s significance (a billion-row t is always "significant";
+    * d says whether the shift is a hair or a head). Pooled-SD form:
+    *
+    *   s²_p = ((n_a−1)s²_a + (n_b−1)s²_b)/(n_a+n_b−2),
+    *   d = (m̄_a − m̄_b)/s_p,   g = d·(1 − 3/(4(n_a+n_b) − 9))
+    *
+    * (Hedges' small-sample bias correction). Same exact per-group
+    * (n, Σx, Σx²) DECIMAL(38,0) conditional sums as welchT — ONE
+    * partial-combining aggregate, 1 row always; NULL d/g when either
+    * group has n < 2 or the pooled variance degenerates to 0. The
+    * variance composition ((q − s·m)/(n−1), then the pooled blend)
+    * runs in one fixed double order the oracle replays. Output:
+    * (n_a, n_b, mean_a, mean_b, cohens_d, hedges_g ← round 6). */
+  def cohensD(df: DataFrame, valueCol: Column, groupA: Column): DataFrame = {
+    val pts = df.select(integralLong(valueCol, "cohensD").as("__x"),
+        groupA.as("__a"))
+      .filter(col("__x").isNotNull && col("__a").isNotNull)
+    val xd = col("__x").cast("decimal(38,0)")
+    def side(flag: Column, suffix: String) = Seq(
+      sum(when(flag, 1L)).as(s"__n$suffix"),
+      sum(when(flag, xd)).as(s"__s$suffix"),
+      sum(when(flag, (xd * xd).cast("decimal(38,0)"))).as(s"__q$suffix"))
+    val agg = pts.agg(side(col("__a"), "a").head,
+      (side(col("__a"), "a").tail ++ side(!col("__a"), "b")): _*)
+    def d(c: String) = col(c).cast("double")
+    def stats(sfx: String) = {
+      val (n, s, q) = (d(s"__n$sfx"), d(s"__s$sfx"), d(s"__q$sfx"))
+      val m = s / n
+      val v2 = when(col(s"__n$sfx") >= 2, (q - s * m) / (n - 1))
+      (n, m, v2)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    val dEff = (ma - mb) / sqrt(sp2)
+    val corr = lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9)
+    agg.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      when(sp2 > 0, round(dEff, 6)).as("cohens_d"),
+      when(sp2 > 0, round(dEff * corr, 6)).as("hedges_g"))
   }
 
   /** Paired (one-sample) t-test on per-pair differences — the
@@ -972,6 +1054,42 @@ object Profile {
       .agg(count(lit(1)).as("n_cells"),
         round(sum(col("__t")).cast("double"), 6).as("mi_nats"))
       .select(col("n"), col("n_cells"), col("mi_nats"))
+  }
+
+  /** G-test (log-likelihood-ratio independence test) between two
+    * categorical columns — [[mutualInformation]]'s significance twin:
+    * G = 2·Σ_cells O·ln(O·n/(r_a·c_b)) ~ χ² with (r−1)(c−1) df
+    * (equivalently G = 2n·MI in nats; the additive form is what makes
+    * it preferable to Pearson's χ² for sparse cells). Zero cells
+    * contribute nothing (the 0·ln 0 = 0 convention — absent from the
+    * observed table anyway).
+    *
+    * Determinism: per-cell terms are 9-dp fixed point summed as
+    * DECIMAL(28,9) (the [[mutualInformation]] discipline — the cell
+    * order can't move the sum), doubled once. Scale shape: ONE
+    * (a, b)-keyed partial-combining count, two marginal aggregates of
+    * the CELL table, a cell-sized join. Output, 1 row:
+    * (n, a_levels, b_levels, df, g_stat ← round 6); empty input →
+    * empty output (no contingency to test). */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__cab"))
+      .localCheckpoint(false) // consumers: marginals ×2, total, terms
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__cab")).as("__ca"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__cab")).as("__cb"))
+    val tot = cells.agg(sum(col("__cab")).as("__n"),
+      countDistinct(col("__a")).as("__ra"),
+      countDistinct(col("__b")).as("__rb"))
+    def d(c: String) = col(c).cast("double")
+    val terms = cells.join(ma, "__a").join(mb, "__b").crossJoin(tot)
+      .select(col("__n"), col("__ra"), col("__rb"),
+        round(d("__cab") *
+            log(d("__cab") * d("__n") / (d("__ca") * d("__cb"))), 9)
+          .cast("decimal(28,9)").as("__t"))
+    terms.groupBy(col("__n").as("n"), col("__ra"), col("__rb"))
+      .agg(round(lit(2.0) * sum(col("__t")).cast("double"), 6).as("g_stat"))
+      .select(col("n"), col("__ra").as("a_levels"), col("__rb").as("b_levels"),
+        ((col("__ra") - 1) * (col("__rb") - 1)).as("df"), col("g_stat"))
   }
 
   /** Range predicate spec for [[zonemapAudit]]: keep rows where

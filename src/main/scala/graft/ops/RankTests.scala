@@ -235,6 +235,29 @@ object RankTests {
         when(denom > 0, round(lit(3.0) * d(col("__s4")) / denom, 6)).as("w"))
   }
 
+  /** Friedman test (Friedman 1937) — "do the k treatments differ?"
+    * over complete blocks, the repeated-measures cousin of
+    * [[kruskalWallis]] (which assumes independent groups): each judge/
+    * block ranks the same n items, and the tie-corrected statistic
+    * falls out of [[kendallW]]'s concordance by the standard identity
+    *
+    *   χ²_F = m·(n − 1)·W,   df = n − 1
+    *
+    * (m blocks, n treatments), so this reuses kendallW's whole
+    * value-domain rank hatch, tie correction, and COMPLETE-rankings
+    * contract verbatim — one code path, two published statistics. χ²
+    * composes from the round-6 W (one multiply, re-rounded 6 — the
+    * fixed order the oracle replays). NULL χ²/df when W degenerates
+    * (all-tied rows). Output, 1 row: (m, n, w, chi2_f, df). */
+  def friedman(df: DataFrame, judgeCol: Column, itemCol: Column,
+      valueCol: Column): DataFrame = {
+    kendallW(df, judgeCol, itemCol, valueCol)
+      .select(col("m"), col("n"), col("w"),
+        round(col("m").cast("double") * (col("n") - 1).cast("double") *
+          col("w"), 6).as("chi2_f"),
+        when(col("w").isNotNull, (col("n") - 1).cast("long")).as("df"))
+  }
+
   /** Hodges–Lehmann location-shift estimator (Hodges & Lehmann 1963)
     * between two groups: the median of ALL pairwise differences
     * a − b (a ∈ A, b ∈ B) — the robust "how big is the shift?" effect

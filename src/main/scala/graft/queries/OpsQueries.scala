@@ -12730,6 +12730,200 @@ object OpsQueries {
              |  CASE WHEN n >= 2 THEN (n - 1)::BIGINT END AS df
              |FROM f""".stripMargin)),
 
+    // ─── MCC + balanced accuracy: the imbalanced-gate headline pair ─────
+    // Same 2×2 cells as q469's strata, unstratified: the length rule
+    // predicting lang='en'. MCC is Pearson's phi on the table.
+    "q476_mcc" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Classifier.mcc(Tables.documents(s, dir),
+          $"n_chars" >= 300, $"lang" === "en")
+      },
+      Some("""WITH c AS (SELECT
+             |    coalesce(sum(CASE WHEN n_chars >= 300 AND lang = 'en'
+             |      THEN 1 ELSE 0 END), 0)::BIGINT AS tp,
+             |    coalesce(sum(CASE WHEN n_chars >= 300 AND lang <> 'en'
+             |      THEN 1 ELSE 0 END), 0)::BIGINT AS fp,
+             |    coalesce(sum(CASE WHEN n_chars < 300 AND lang = 'en'
+             |      THEN 1 ELSE 0 END), 0)::BIGINT AS fn,
+             |    coalesce(sum(CASE WHEN n_chars < 300 AND lang <> 'en'
+             |      THEN 1 ELSE 0 END), 0)::BIGINT AS tn
+             |  FROM documents)
+             |SELECT tp, fp, fn, tn,
+             |  CASE WHEN tp + fp > 0 AND tp + fn > 0
+             |      AND tn + fp > 0 AND tn + fn > 0 THEN
+             |    round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+             |        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) /
+             |      (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE)) *
+             |       sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE))), 6)
+             |  END AS mcc,
+             |  CASE WHEN tp + fn > 0 AND tn + fp > 0 THEN
+             |    round((CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+             |         + CAST(tn AS DOUBLE) / (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)))
+             |      / 2.0::DOUBLE, 6)
+             |  END AS balanced_acc
+             |FROM c""".stripMargin)),
+
+    // ─── Cohen's d + Hedges' g: q474's effect-size companion ────────────
+    // Same doc-length-by-language frame as the Welch gate, so the two
+    // rows read together: t says "real", d says "how big".
+    "q477_cohens_d" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.cohensD(Tables.documents(s, dir), $"n_chars", $"lang" === "en")
+      },
+      Some("""WITH pts AS (SELECT n_chars AS x, (lang = 'en') AS a
+             |  FROM documents),
+             |ag AS (SELECT sum(CASE WHEN a THEN 1 END)::BIGINT AS na,
+             |    sum(CASE WHEN NOT a THEN 1 END)::BIGINT AS nb,
+             |    sum(CASE WHEN a THEN CAST(x AS HUGEINT) END) AS sa,
+             |    sum(CASE WHEN NOT a THEN CAST(x AS HUGEINT) END) AS sb,
+             |    sum(CASE WHEN a THEN CAST(x AS HUGEINT) * x END) AS qa,
+             |    sum(CASE WHEN NOT a THEN CAST(x AS HUGEINT) * x END) AS qb
+             |  FROM pts),
+             |f AS (SELECT na, nb,
+             |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+             |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+             |    CASE WHEN na >= 2 THEN (CAST(qa AS DOUBLE)
+             |        - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)))
+             |      / (CAST(na AS DOUBLE) - 1) END AS va,
+             |    CASE WHEN nb >= 2 THEN (CAST(qb AS DOUBLE)
+             |        - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+             |      / (CAST(nb AS DOUBLE) - 1) END AS vb
+             |  FROM ag),
+             |p AS (SELECT na, nb, ma, mb,
+             |    ((CAST(na AS DOUBLE) - 1) * va + (CAST(nb AS DOUBLE) - 1) * vb)
+             |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2) AS sp2
+             |  FROM f)
+             |SELECT na AS n_a, nb AS n_b,
+             |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+             |  CASE WHEN sp2 > 0 THEN round((ma - mb) / sqrt(sp2), 6)
+             |  END AS cohens_d,
+             |  CASE WHEN sp2 > 0 THEN round(((ma - mb) / sqrt(sp2)) *
+             |    (1.0::DOUBLE - 3.0::DOUBLE /
+             |      (4.0::DOUBLE * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) - 9)), 6)
+             |  END AS hedges_g
+             |FROM p""".stripMargin)),
+
+    // ─── Friedman test: q457's W recast as the repeated-measures χ² ─────
+    // Same complete supplier×year ranking frame; χ²_F = m(n−1)W by the
+    // standard identity, so one rank hatch serves both statistics.
+    "q478_friedman" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sp = Tables.lineitem(s, dir)
+          .filter(year($"l_shipdate").isin(1995, 1996, 1997))
+          .groupBy($"l_suppkey", year($"l_shipdate").as("j"))
+          .agg(floor(sum($"l_extendedprice".cast("decimal(18,6)"))
+            .cast("double") / lit(10000.0)).as("v"))
+        val ok = sp.groupBy($"l_suppkey").agg(count(lit(1)).as("__k"))
+          .filter($"__k" === 3).select($"l_suppkey")
+        RankTests.friedman(sp.join(ok, "l_suppkey"), $"j", $"l_suppkey", $"v")
+      },
+      Some("""WITH sp AS (SELECT l_suppkey AS it,
+             |    year(CAST(l_shipdate AS DATE)) AS j,
+             |    floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+             |      AS DOUBLE) / 10000.0::DOUBLE) AS v
+             |  FROM lineitem
+             |  WHERE year(CAST(l_shipdate AS DATE)) IN (1995, 1996, 1997)
+             |  GROUP BY 1, 2),
+             |ok AS (SELECT it FROM sp GROUP BY it HAVING count(*) = 3),
+             |f AS (SELECT sp.it, sp.j, sp.v FROM sp JOIN ok USING (it)),
+             |m0 AS (SELECT count(DISTINCT j)::BIGINT AS m,
+             |    count(DISTINCT it)::BIGINT AS n FROM f),
+             |jvc AS (SELECT j, v, count(*)::BIGINT AS c FROM f GROUP BY 1, 2),
+             |cum AS (SELECT j, v, c,
+             |    sum(c) OVER (PARTITION BY j ORDER BY v)::BIGINT AS cm FROM jvc),
+             |ar AS (SELECT j, v, (cm - c) * 2 + c + 1 AS ar2 FROM cum),
+             |tie AS (SELECT sum(CAST(CAST(c AS DECIMAL(12,0)) *
+             |    CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0)) -
+             |    CAST(c AS DECIMAL(12,0)) AS DECIMAL(38,0))) AS t FROM jvc),
+             |ri AS (SELECT f.it, sum(ar2)::BIGINT AS r2
+             |  FROM f JOIN ar USING (j, v) GROUP BY 1),
+             |s4 AS (SELECT sum(CAST(
+             |    CAST(r2 - (SELECT m * (n + 1) FROM m0) AS DECIMAL(19,0)) *
+             |    CAST(r2 - (SELECT m * (n + 1) FROM m0) AS DECIMAL(19,0))
+             |    AS DECIMAL(38,0))) AS s4 FROM ri),
+             |fin AS (SELECT m, n, s4, t,
+             |    (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) *
+             |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+             |       CAST(n AS DOUBLE)) -
+             |      CAST(m AS DOUBLE) * CAST(t AS DOUBLE) AS den
+             |  FROM s4 CROSS JOIN tie CROSS JOIN m0),
+             |ww AS (SELECT m, n,
+             |    CASE WHEN den > 0 THEN
+             |      round(3.0::DOUBLE * CAST(s4 AS DOUBLE) / den, 6) END AS w
+             |  FROM fin)
+             |SELECT m, n, w,
+             |  CASE WHEN w IS NOT NULL THEN
+             |    round(CAST(m AS DOUBLE) * CAST(n - 1 AS DOUBLE) * w, 6)
+             |  END AS chi2_f,
+             |  CASE WHEN w IS NOT NULL THEN (n - 1)::BIGINT END AS df
+             |FROM ww""".stripMargin)),
+
+    // ─── G-test: q254's mutual information recast as a significance χ² ──
+    // Same (lang, source) contingency; G = 2n·MI by identity, computed
+    // from its own additive fixed-point cell terms.
+    "q479_g_test" -> Q(
+      (s, dir) => Profile.gTest(Tables.documents(s, dir), "lang", "source"),
+      Some("""WITH cells AS (SELECT lang AS a, source AS b, count(*) AS cab
+             |      FROM documents GROUP BY 1, 2),
+             |ma AS (SELECT a, sum(cab) AS ca FROM cells GROUP BY 1),
+             |mb AS (SELECT b, sum(cab) AS cb FROM cells GROUP BY 1),
+             |tot AS (SELECT sum(cab) AS n, count(DISTINCT a)::BIGINT AS ra,
+             |      count(DISTINCT b)::BIGINT AS rb FROM cells),
+             |t AS (SELECT n, ra, rb, CAST(round(
+             |        CAST(cab AS DOUBLE) *
+             |        ln(CAST(cab AS DOUBLE) * CAST(n AS DOUBLE) /
+             |           (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 9)
+             |        AS DECIMAL(28,9)) AS term
+             |      FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot)
+             |SELECT CAST(n AS BIGINT) AS n, ra AS a_levels, rb AS b_levels,
+             |  (ra - 1) * (rb - 1) AS df,
+             |  round(2.0::DOUBLE * CAST(sum(term) AS DOUBLE), 6) AS g_stat
+             |FROM t GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ─── η² / ω²: q247's ANOVA F recast as effect sizes ─────────────────
+    // Same lang×length frame and the same grand-mean-normalized exact
+    // sums; the F says "differs", these say "by how much of the variance".
+    "q480_anova_effects" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.anovaEffects(Tables.documents(s, dir), "lang", "n_chars")
+      },
+      Some("""WITH g AS (SELECT lang, count(*) AS n,
+             |        sum(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+             |        sum(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS sxx
+             |      FROM documents GROUP BY 1),
+             |t AS (SELECT sum(n)::BIGINT AS N, sum(sx) AS tsx, sum(sxx) AS tsxx FROM g),
+             |a AS (SELECT count(*) AS k_groups, max(t.N) AS n_total,
+             |        max(CAST(t.tsx AS DOUBLE)) AS tsxD,
+             |        max(CAST(t.tsxx AS DOUBLE)) AS tsxxD,
+             |        sum(CAST(round(
+             |          (CAST(g.sx AS DOUBLE) / (CAST(t.tsx AS DOUBLE) / CAST(t.N AS DOUBLE)))
+             |          * (CAST(g.sx AS DOUBLE) / (CAST(t.tsx AS DOUBLE) / CAST(t.N AS DOUBLE)))
+             |          / CAST(g.n AS DOUBLE), 9) AS DECIMAL(28,9))) AS ssq
+             |      FROM g CROSS JOIN t),
+             |b AS (SELECT k_groups, n_total,
+             |        CAST(ssq AS DOUBLE)
+             |          - (tsxD / (tsxD / CAST(n_total AS DOUBLE)))
+             |            * (tsxD / (tsxD / CAST(n_total AS DOUBLE)))
+             |            / CAST(n_total AS DOUBLE) AS ssb,
+             |        tsxxD / ((tsxD / CAST(n_total AS DOUBLE))
+             |            * (tsxD / CAST(n_total AS DOUBLE)))
+             |          - CAST(ssq AS DOUBLE) AS ssw
+             |      FROM a)
+             |SELECT k_groups, n_total,
+             |  CASE WHEN k_groups >= 2 AND n_total > k_groups AND ssw > 0.0 THEN
+             |    round(ssb / (ssb + ssw), 6) END AS eta_sq,
+             |  CASE WHEN k_groups >= 2 AND n_total > k_groups AND ssw > 0.0 THEN
+             |    round((ssb - (CAST(k_groups AS DOUBLE) - 1)
+             |        * (ssw / (CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE))))
+             |      / (ssb + ssw
+             |         + ssw / (CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6)
+             |  END AS omega_sq
+             |FROM b""".stripMargin)),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

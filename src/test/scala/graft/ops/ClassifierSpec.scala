@@ -399,4 +399,31 @@ class ClassifierSpec extends SparkSpec {
       .orderBy($"bin").as[(Int, Long, Double, Double)].collect().toSeq
     assert(got == Seq((0, 2L, 0.5, 0.5), (1, 1L, 1.0, 1.0)), got.toString)
   }
+
+  test("mcc: hand-worked 2x2, degenerate marginals NULL, balanced accuracy") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // tp=3 fp=1 fn=2 tn=4: mcc = (12−2)/√(4·5·5·6) = 10/√600
+    val rows =
+      Seq.fill(3)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(4)((false, false))
+    val got = Classifier.mcc(rows.toDF("p", "t"), $"p", $"t")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(got == ((3L, 1L, 2L, 4L,
+      Some(r6(10.0 / math.sqrt(600.0))),
+      // tpr = 3/(3+2), tnr = 4/(4+1)
+      Some(r6((3.0 / 5 + 4.0 / 5) / 2)))), got.toString)
+    // all-positive predictions: tn+fn marginal is 0 → mcc undefined,
+    // balanced accuracy still defined (both truth classes present)
+    val onePred = Seq((true, true), (true, false)).toDF("p", "t")
+    val g2 = Classifier.mcc(onePred, $"p", $"t")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    // bacc = (1/1 + 0/1)/2: recall 1 on positives, 0 on negatives
+    assert(g2 == ((1L, 1L, 0L, 0L, None, Some(0.5))), g2.toString)
+    // empty input: one all-zero row, both metrics NULL
+    val g3 = Classifier.mcc(Seq.empty[(Boolean, Boolean)].toDF("p", "t"),
+        $"p", $"t")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(g3 == ((0L, 0L, 0L, 0L, None, None)), g3.toString)
+  }
 }

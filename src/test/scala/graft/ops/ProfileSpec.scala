@@ -610,4 +610,71 @@ class ProfileSpec extends SparkSpec {
       $"x", $"a")
     assert(ok.count() == 1L)
   }
+
+  test("cohensD: hand-worked pooled-SD d and Hedges' g, degenerates NULL") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A = [2,4,6]: m 4, s² 4; B = [1,3]: m 2, s² 2
+    // sp² = (2·4 + 1·2)/3 = 10/3; d = 2/√(10/3); g = d·(1 − 3/11)
+    val rows = Seq((2L, true), (4L, true), (6L, true), (1L, false), (3L, false))
+    val got = Profile.cohensD(rows.toDF("x", "a"), $"x", $"a")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])].head()
+    val d = 2.0 / math.sqrt(10.0 / 3.0)
+    assert(got == ((3L, 2L, 4.0, 2.0,
+      Some(r6(d)), Some(r6(d * (1.0 - 3.0 / 11.0))))), got.toString)
+    // a size-1 group has no variance → pooled s² NULL → d/g NULL
+    val g2 = Profile.cohensD(
+        Seq((5L, true), (1L, false), (3L, false)).toDF("x", "a"), $"x", $"a")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])].head()
+    assert(g2._5.isEmpty && g2._6.isEmpty, g2.toString)
+    // both groups constant → sp² = 0 → NULL, not a division blow-up
+    val g3 = Profile.cohensD(
+        Seq((5L, true), (5L, true), (3L, false), (3L, false)).toDF("x", "a"),
+        $"x", $"a")
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])].head()
+    assert(g3._5.isEmpty && g3._6.isEmpty, g3.toString)
+  }
+
+  test("gTest: hand-worked 2x2 G and df; equals 2n·MI on the same table") {
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // cells: (A,X) 10, (A,Y) 10, (B,X) 5, (B,Y) 15; n 40, rows 20/20,
+    // cols 15/25 — replay the op's own 9-dp per-cell term discipline
+    val rows =
+      Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
+      Seq.fill(5)(("B", "X")) ++ Seq.fill(15)(("B", "Y"))
+    val cells = Seq((10.0, 20.0, 15.0), (10.0, 20.0, 25.0),
+      (5.0, 20.0, 15.0), (15.0, 20.0, 25.0))
+    val g = 2.0 * cells.map { case (o, r, c) =>
+      r9(o * math.log(o * 40.0 / (r * c))) }.sum.toDouble
+    val got = Profile.gTest(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((40L, 2L, 2L, 1L, r6(g))), got.toString)
+    // identity check: G = 2n·MI in nats (both 9-dp-term fixed point,
+    // so they agree to the rounding grain, not bit-exactly)
+    val mi = Profile.mutualInformation(rows.toDF("a", "b"), "a", "b")
+      .select($"mi_nats").as[Double].head()
+    assert(math.abs(got._5 - 2.0 * 40.0 * mi) < 1e-4,
+      s"G ${got._5} vs 2nMI ${2.0 * 40.0 * mi}")
+  }
+
+  test("anovaEffects: hand-worked eta²/omega², constant metric NULL") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A=[1,2,3], B=[5,6,7]: SSB 24, SSW 4, MSW 1
+    // eta² = 24/28; omega² = (24 − 1·1)/(28 + 1)
+    val rows = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 5L), ("B", 6L), ("B", 7L))
+    val got = Profile.anovaEffects(rows.toDF("g", "x"), "g", "x")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(got == ((2L, 6L, Some(r6(24.0 / 28.0)),
+      Some(r6(23.0 / 29.0)))), got.toString)
+    // constant metric: zero within-variance → NULL effects
+    val g2 = Profile.anovaEffects(
+        Seq(("A", 4L), ("A", 4L), ("B", 4L)).toDF("g", "x"), "g", "x")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(g2._3.isEmpty && g2._4.isEmpty, g2.toString)
+  }
 }

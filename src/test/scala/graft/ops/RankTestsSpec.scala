@@ -199,6 +199,34 @@ class RankTestsSpec extends SparkSpec {
     assert(e.getMessage.contains("COMPLETE"), e.getMessage)
   }
 
+  test("friedman: chi2 = m(n−1)W on the kendallW fixtures, ties included") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def df(j3: Seq[Double]) = (Seq(
+      (1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0), (1, 4, 4.0),
+      (2, 1, 1.0), (2, 2, 3.0), (2, 3, 2.0), (2, 4, 4.0)) ++
+      j3.zipWithIndex.map { case (v, i) => (3, i + 1, v) })
+      .toDF("j", "it", "v")
+    // plain fixture: W = 0.777778 → chi2 = 3·3·W = 7.000002, df = 3
+    val plain = RankTests.friedman(df(Seq(2.0, 1.0, 3.0, 4.0)),
+      $"j", $"it", $"v")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Long])].head()
+    assert(plain == ((3L, 4L, Some(0.777778),
+      Some(r6(3.0 * 3.0 * 0.777778)), Some(3L))), plain.toString)
+    // tied fixture: chi2 composes from the tie-corrected W
+    val tied = RankTests.friedman(df(Seq(2.0, 1.0, 1.0, 4.0)),
+      $"j", $"it", $"v")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Long])].head()
+    assert(tied == ((3L, 4L, Some(0.655172),
+      Some(r6(3.0 * 3.0 * 0.655172)), Some(3L))), tied.toString)
+    // all-tied rows: W degenerates (NULL) → chi2/df NULL, not 0
+    val flat = Seq((1, 1, 1.0), (1, 2, 1.0), (2, 1, 1.0), (2, 2, 1.0))
+      .toDF("j", "it", "v")
+    val g = RankTests.friedman(flat, $"j", $"it", $"v")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Long])].head()
+    assert(g._3.isEmpty && g._4.isEmpty && g._5.isEmpty, g.toString)
+  }
+
   test("hodgesLehmann raises loudly on a fractional metric (no truncation)") {
     val frac = Seq((1.5, true), (2.0, false)).toDF("v", "a")
     val e = intercept[Exception] {
