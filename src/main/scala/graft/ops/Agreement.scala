@@ -135,4 +135,122 @@ object Agreement {
           (lit(1.0) - d(col("__pe"))), 6).as("kappa"))
     out
   }
+
+  /** Gwet's AC1 (Gwet 2008): the paradox-resistant twin of
+    * [[fleissKappa]] — kappa collapses toward 0 when one label
+    * dominates (the "high agreement, low kappa" trap every skewed
+    * moderation corpus hits), because its chance term REWARDS marginal
+    * imbalance; AC1's chance term penalizes it instead:
+    *
+    *   P_e^γ = (1/(K−1)) Σ_c π_c(1 − π_c),  π_c = n_c/(N·n)
+    *   AC1 = (P̄ − P_e^γ)/(1 − P_e^γ)
+    *
+    * with P̄ the same observed agreement as Fleiss. Same fixed-panel
+    * contract (constant raters per item, loud require) and the same
+    * integer-until-the-ratio float discipline: π-terms are 9-dp fixed
+    * point summed as DECIMAL, divided by (K−1) once. Scale shape:
+    * identical to fleissKappa. Output, 1 row:
+    * (n_items, n_raters, n_labels, p_bar, p_e_gamma, ac1). */
+  def gwetAC1(ratings: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val (cnt, perItem) = counted(ratings, itemCol, labelCol)
+    val pi = perItem.localCheckpoint(eager = true) // consumers: require + agg
+    val mm = pi.agg(min(col("__m")).as("lo"), max(col("__m")).as("hi"))
+      .collect()(0)
+    require(!mm.isNullAt(0) && mm.getLong(0) == mm.getLong(1) &&
+      mm.getLong(0) >= 2,
+      s"gwetAC1 needs a CONSTANT rater count >= 2 per item; saw " +
+        s"[${mm.get(0)}, ${mm.get(1)}] — use krippendorffAlpha for " +
+        "ragged coverage")
+    val od = pi.agg(
+      count(lit(1)).as("n_items"),
+      max(col("__m")).as("n_raters"),
+      sum(dec9(d(col("__s2") - col("__m")) /
+        d(col("__m") * (col("__m") - 1)))).as("__sp"))
+    val mg = cnt.groupBy(col("__l")).agg(sum(col("__n")).as("__nc"))
+    val ed = mg.crossJoin(od.select(
+        (d(col("n_items")) * d(col("n_raters"))).as("__nn")))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(dec9((d(col("__nc")) / col("__nn")) *
+          (lit(1.0) - d(col("__nc")) / col("__nn")))).as("__spi"))
+    od.crossJoin(ed)
+      .withColumn("__pbar", d(col("__sp")) / d(col("n_items")))
+      .withColumn("__peg",
+        d(col("__spi")) / (d(col("n_labels")) - 1.0))
+      .select(col("n_items"), col("n_raters"), col("n_labels"),
+        round(col("__pbar"), 6).as("p_bar"),
+        round(col("__peg"), 6).as("p_e_gamma"),
+        when(col("n_labels") >= 2,
+          round((col("__pbar") - col("__peg")) /
+            (lit(1.0) - col("__peg")), 6)).as("ac1"))
+  }
+
+  /** Cronbach's alpha internal-consistency coefficient over COMPLETE
+    * (subject × component) numeric scores — "do the k components
+    * measure the same thing?", the multi-metric quality-panel gate
+    * (e.g. k rubric dimensions scored per document: a low α says the
+    * rubric rows disagree with their own total):
+    *
+    *   α = k/(k−1) · (1 − Σ_j s²_j / s²_total)
+    *
+    * with s²_j the sample variance of component j across subjects and
+    * s²_total the sample variance of per-subject TOTAL scores. Scores
+    * carry the integer-metric contract ([[Profile.integralLong]] —
+    * loud on fractional input); every sum is exact DECIMAL(38,0), the
+    * per-component variances are one mirrored double expression each,
+    * 9-dp fixed-point summed across the k component rows. Completeness
+    * (every subject scores every component exactly once) is enforced
+    * with a loud require — the [[RankTests.kendallW]] contract.
+    *
+    * Scale shape: ONE (component)-keyed partial-combining aggregate +
+    * ONE subject-keyed aggregate feeding a 1-row variance — subjects
+    * scale with the corpus, components are the bounded panel. Output,
+    * 1 row: (n_subjects, k_components, sum_var_components, var_total,
+    * alpha ← round 6; NULL alpha when k < 2 or the total variance
+    * degenerates). */
+  def cronbachAlpha(ratings: DataFrame,
+      subjectCol: org.apache.spark.sql.Column,
+      componentCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column): DataFrame = {
+    val cell = ratings.select(subjectCol.as("__s"), componentCol.as("__c"),
+        Profile.integralLong(valueCol, "cronbachAlpha").as("__x"))
+      .filter(col("__s").isNotNull && col("__c").isNotNull &&
+        col("__x").isNotNull)
+      .localCheckpoint(eager = true) // consumers: shape, comps, totals
+    val shape = cell.agg(countDistinct(col("__s")).as("n"),
+      countDistinct(col("__c")).as("k"), count(lit(1)).as("cells"))
+      .collect()(0)
+    val (n, k, cells) = (shape.getLong(0), shape.getLong(1), shape.getLong(2))
+    require(n >= 2, s"cronbachAlpha needs >= 2 subjects, got $n")
+    require(cells == n * k,
+      s"cronbachAlpha needs COMPLETE scores: $n subjects x $k " +
+        s"components = ${n * k} cells, got $cells (missing or duplicate)")
+    val xd = col("__x").cast("decimal(38,0)")
+    // per-component sample variance from exact sums, one 9-dp term each
+    val perComp = cell.groupBy(col("__c"))
+      .agg(sum(xd).as("__sx"), sum((xd * xd).cast("decimal(38,0)")).as("__qx"))
+    def varOf(s: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column,
+        cnt: Double) =
+      (q.cast("double") - s.cast("double") * (s.cast("double") / cnt)) /
+        (cnt - 1.0)
+    val sumVar = perComp.agg(
+      sum(round(varOf(col("__sx"), col("__qx"), n.toDouble), 9)
+        .cast("decimal(28,9)")).as("__sv"))
+    // per-subject totals, then the 1-row total-score variance
+    val perSubj = cell.groupBy(col("__s"))
+      .agg(sum(xd).cast("decimal(38,0)").as("__t"))
+    val totVar = perSubj.agg(
+      sum(col("__t")).as("__st"),
+      sum((col("__t") * col("__t")).cast("decimal(38,0)")).as("__qt"))
+    val vt = varOf(col("__st"), col("__qt"), n.toDouble)
+    sumVar.crossJoin(totVar)
+      .select(lit(n).as("n_subjects"), lit(k).as("k_components"),
+        round(col("__sv").cast("double"), 6).as("sum_var_components"),
+        round(vt, 6).as("var_total"),
+        // the ratio composes from the UNROUNDED variance expressions
+        // (the display columns are rounded separately)
+        when(lit(k) >= 2 && vt > 0.0,
+          round((lit(k.toDouble) / (k - 1.0)) *
+            (lit(1.0) - col("__sv").cast("double") / vt), 6)).as("alpha"))
+  }
 }

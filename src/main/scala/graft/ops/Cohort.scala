@@ -167,6 +167,59 @@ object Cohort {
           .as("survival"))
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator — [[kaplanMeier]]'s
+    * additive sibling on the SAME lifetime frame (first→last activity
+    * per user, right-censored near the horizon): Ĥ(t) = Σ_{s≤t} d_s/n_s
+    * with its standard variance Σ d_s/n_s². Where KM's survival curve
+    * answers "what fraction is still alive", the hazard's SLOPE answers
+    * "is churn accelerating" — flat increments = constant risk, a bend
+    * = a regime change (the retention-diagnosis read).
+    *
+    * Float discipline: per-day hazard increments d/n and d/n² are
+    * round-9 fixed point summed as DECIMAL over the day spine (the
+    * kaplanMeier ln-term convention), headline rounds 6. Scale shape:
+    * identical to kaplanMeier — one user-keyed lifetime aggregate, a
+    * day-spine table (bounded by the horizon; its cumulative windows
+    * are allowlisted exactly like q284's), event-day output:
+    * (t_days, n_risk, n_deaths, cum_hazard, se). */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String,
+      censorDays: Int = 3): DataFrame = {
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val per = events.groupBy(col(userCol).as("__u"))
+      .agg(min(us).as("__f"), max(us).as("__l"))
+    val horizon = events.agg(max(us).as("__h"))
+    val day = 86400000000L
+    val lab = per.crossJoin(horizon)
+      .select(((col("__l") - col("__f")) / lit(day)).cast("long").as("__t"),
+        (col("__l") > col("__h") - lit(censorDays.toLong * day)).as("__cens"))
+      .localCheckpoint(false) // by-time table + the total
+    val byT = lab.groupBy(col("__t")).agg(count(lit(1)).as("__n_at"),
+      sum(when(!col("__cens"), 1L).otherwise(0L)).as("__d"))
+    val wLt = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLe = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d9(c: org.apache.spark.sql.Column) =
+      round(c, 9).cast("decimal(18,9)")
+    byT
+      .withColumn("__cum_lt",
+        coalesce(sum(col("__n_at")).over(wLt), lit(0L)))
+      .crossJoin(lab.agg(count(lit(1)).as("__N")))
+      .withColumn("n_risk", col("__N") - col("__cum_lt"))
+      .where(col("__d") > 0)
+      .withColumn("__hterm",
+        d9(col("__d").cast("double") / col("n_risk").cast("double")))
+      .withColumn("__vterm",
+        d9(col("__d").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk").cast("double"))))
+      .withColumn("__ch", sum(col("__hterm")).over(wLe))
+      .withColumn("__cv", sum(col("__vterm")).over(wLe))
+      .select(col("__t").as("t_days"), col("n_risk"),
+        col("__d").as("n_deaths"),
+        round(col("__ch").cast("double"), 6).as("cum_hazard"),
+        round(sqrt(col("__cv").cast("double")), 6).as("se"))
+  }
+
   /** First-touch vs last-touch revenue attribution: every `convType`
     * event's value is credited (a) to the user's FIRST event type ever
     * (first-touch) and (b) to the LAST non-conversion event type

@@ -1056,6 +1056,106 @@ object Profile {
       .select(col("n"), col("n_cells"), col("mi_nats"))
   }
 
+  /** Shuffle-skew audit of a prospective partition/join key — the
+    * pre-flight read BEFORE shuffling 100 TB on it: per-key row counts
+    * reduced to (top-1 share, a Gini concentration coefficient over
+    * the key distribution, and a salt-factor recommendation). A top-1
+    * share near 1/P (P = target shuffle partitions) means one reducer
+    * owns that key's whole slice; `recommended_salt` =
+    * ⌈top1_count·P/n_rows⌉ is the split factor that levels it (1 = no
+    * salting needed — the AQE-skew-join threshold intuition as a
+    * number you can read BEFORE running the join).
+    *
+    * All arithmetic is integer until the two output ratios: the Gini
+    * runs over the COUNT-DOMAIN table (count value → #keys with that
+    * count) via [[Ranks.runningSums]], with each tie block's rank sum
+    * in closed form ((hi(hi+1) − lo(lo+1))/2 — no per-key rank
+    * decoration). Scale shape: ONE key-keyed partial-combining count,
+    * ONE count-domain aggregate + the prefix hatch, 1-row output:
+    * (n_rows, n_keys, top1_count, top1_share, gini_keys,
+    * recommended_salt). */
+  def skewAudit(df: DataFrame, keyCol: Column,
+      shufflePartitions: Int): DataFrame = {
+    require(shufflePartitions >= 1, "shufflePartitions >= 1")
+    val kc = df.select(keyCol.as("__k")).filter(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+    // count-of-counts: value v = a per-key row count, __m keys carry it
+    val vc = kc.groupBy(col("__c").as("__v")).agg(count(lit(1)).as("__m"))
+      .localCheckpoint(false) // consumers: prefix walk + totals
+    val run = Ranks.runningSums(vc, Seq("__m" -> "__hi"), None, col("__v")).df
+    // ascending-rank sum over each tie block in closed form; S = Σ i·c_i
+    val lo = (col("__hi") - col("__m")).cast("decimal(38,0)")
+    val hi = col("__hi").cast("decimal(38,0)")
+    val rankSum = (hi * (hi + 1) - lo * (lo + 1)) / 2
+    val agg = run.agg(
+      sum((col("__v") * col("__m")).cast("decimal(38,0)")).as("__T"),
+      sum(col("__m")).as("n_keys"),
+      max(col("__v")).as("top1_count"),
+      sum((col("__v").cast("decimal(38,0)") * rankSum).cast("decimal(38,0)"))
+        .as("__S"))
+    def d(c: String) = col(c).cast("double")
+    // ⌈top1·P/rows⌉ via the repo's positive-integer-div idiom (long `/`
+    // is double division; truncation == integer div below the 2^53
+    // exactness envelope — top1·P at 100 TB row counts sits far under)
+    val tLong = col("__T").cast("long")
+    val salt = ((col("top1_count") * shufflePartitions + tLong - 1) / tLong)
+      .cast("long")
+    agg.select(col("__T").cast("long").as("n_rows"), col("n_keys"),
+      col("top1_count"),
+      round(d("top1_count") / d("__T"), 6).as("top1_share"),
+      when(col("n_keys") >= 2 && col("__T") > 0, round(
+        (lit(2.0) * d("__S") - (d("n_keys") + 1) * d("__T")) /
+          (d("n_keys") * d("__T")), 6)).as("gini_keys"),
+      salt.as("recommended_salt"))
+  }
+
+  /** EXACT join-cardinality audit — "will this equi-join explode?"
+    * answered BEFORE running it: |A ⋈_k B| = Σ_k c_A(k)·c_B(k) computed
+    * from the two key-count tables (each a partial-combining aggregate;
+    * the count-table join moves |keys| rows, never the facts). Reports
+    * the exact output rows, the single worst key's contribution (the
+    * straggler that would own one task), and the output/input
+    * amplification factor. Products accumulate as DECIMAL(38,0) — two
+    * 10⁹-row hot keys already overflow int64.
+    *
+    * Output, 1 row: (rows_a, rows_b, n_keys_a, n_keys_b,
+    * n_common_keys, join_rows, max_key_join_rows,
+    * amplification = join_rows / max(rows_a, rows_b) ← round 6). */
+  def joinCardinalityAudit(a: DataFrame, b: DataFrame, keyA: Column,
+      keyB: Column): DataFrame = {
+    def kc(df: DataFrame, k: Column) =
+      df.select(k.as("__k")).filter(col("__k").isNotNull)
+        .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+        .localCheckpoint(false) // consumers: totals + the count join
+    val ca = kc(a, keyA)
+    val cb = kc(b, keyB)
+    def tot(c: DataFrame, rn: String, kn: String) =
+      c.agg(coalesce(sum(col("__c")), lit(0L)).as(rn),
+        count(lit(1)).as(kn))
+    val j = ca.join(cb.withColumnRenamed("__c", "__cb"), "__k")
+      .select((col("__c").cast("decimal(38,0)") * col("__cb"))
+        .cast("decimal(38,0)").as("__p"))
+      .agg(count(lit(1)).as("n_common_keys"),
+        coalesce(sum(col("__p")), lit(0).cast("decimal(38,0)"))
+          .as("__jr"),
+        max(col("__p")).as("__mx"))
+    def d(c: String) = col(c).cast("double")
+    tot(ca, "rows_a", "n_keys_a").crossJoin(tot(cb, "rows_b", "n_keys_b"))
+      .crossJoin(j)
+      .select(col("rows_a"), col("rows_b"), col("n_keys_a"),
+        col("n_keys_b"), col("n_common_keys"),
+        // reported as BIGINT: the ANSI decimal→long cast RAISES when
+        // the prediction overflows int64 — which is itself the audit's
+        // loudest possible "this join explodes" answer
+        col("__jr").cast("long").as("join_rows"),
+        coalesce(col("__mx"), lit(0).cast("decimal(38,0)"))
+          .cast("long").as("max_key_join_rows"),
+        when(greatest(col("rows_a"), col("rows_b")) > 0,
+          round(d("__jr") /
+            greatest(col("rows_a"), col("rows_b")).cast("double"), 6))
+          .as("amplification"))
+  }
+
   /** G-test (log-likelihood-ratio independence test) between two
     * categorical columns — [[mutualInformation]]'s significance twin:
     * G = 2·Σ_cells O·ln(O·n/(r_a·c_b)) ~ χ² with (r−1)(c−1) df

@@ -391,6 +391,34 @@ object TextStats {
     * charset-bounded, so the collected array is O(alphabet) however
     * large the document — no join, and the fact table never shuffles a
     * third time. */
+  /** Unicode-normalization audit per group: how much of the corpus is
+    * NOT in NFC canonical-composed form — the pre-dedup hygiene gate
+    * (decomposed é vs composed é hash as DIFFERENT docs until the
+    * corpus normalizes to one form; see [[graft.functions.Nfc]]). Per
+    * group: doc count, docs whose text changes under NFC, and the
+    * total code-point shrink (canonical composition only ever merges
+    * combining sequences, so the delta is the combining-mark count a
+    * normalizing rewrite would fold).
+    *
+    * Scale shape: map-only probe (the codegen'd NFC kernel runs once
+    * per row — Let-bound so the changed-flag and the length delta read
+    * ONE normalization, not two) + one group aggregate. NULL text rows
+    * count as unchanged. Output per group:
+    * (group, n_docs, n_denormalized, chars_composed). */
+  def nfcAudit(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val probe = graft.functions.Let.bindOnce(
+        graft.functions.Nfc.nfc(col(textCol))) { t =>
+      struct(when(t =!= col(textCol), 1L).otherwise(0L).as("chg"),
+        coalesce(length(col(textCol)) - length(t), lit(0))
+          .cast("long").as("delta"))
+    }
+    df.select(col(groupCol).as("group"), probe.as("__p"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__p").getField("chg")).as("n_denormalized"),
+        sum(col("__p").getField("delta")).as("chars_composed"))
+  }
+
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cc = df.filter(length(col(textCol)) > 0)
       .select(col(idCol).as("__id"),

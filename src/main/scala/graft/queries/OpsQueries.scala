@@ -12924,6 +12924,243 @@ object OpsQueries {
              |  END AS omega_sq
              |FROM b""".stripMargin)),
 
+    // ─── Unicode NFC audit: pre-dedup normalization hygiene ─────────────
+    // Decomposed combining sequences are injected deterministically
+    // (doc_id % 3) so the codegen'd NFC kernel does real composition
+    // work; both engines implement the same UAX #15 algorithm.
+    "q481_nfc_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .withColumn("text2", when($"doc_id" % 3 === 0,
+            concat($"text", lit(" café"))).otherwise($"text"))
+        TextStats.nfcAudit(docs, "source", "text2")
+          .withColumnRenamed("group", "source")
+          .orderBy($"source")
+      },
+      Some("""WITH d AS (SELECT source, CASE WHEN doc_id % 3 = 0
+             |      THEN text || ' cafe' || chr(769) ELSE text END AS t2
+             |    FROM documents),
+             |p AS (SELECT source, t2, nfc_normalize(t2) AS nt FROM d)
+             |SELECT source, count(*)::BIGINT AS n_docs,
+             |  sum(CASE WHEN nt <> t2 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_denormalized,
+             |  sum(length(t2) - length(nt))::BIGINT AS chars_composed
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ─── Nelson–Aalen cumulative hazard: q284's additive sibling ────────
+    // Same lifetime frame; the hazard's slope is the churn-regime read
+    // the KM survival curve hides.
+    "q482_nelson_aalen" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Cohort.nelsonAalen(Tables.orders(s, dir), "o_custkey", "o_orderdate",
+            censorDays = 365)
+          .orderBy($"t_days")
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+             |        min(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS f,
+             |        max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS l
+             |      FROM orders GROUP BY 1),
+             |hz AS (SELECT max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS h
+             |       FROM orders),
+             |lab AS (SELECT (l - f) // 86400000000 AS t,
+             |        l > h - 31536000000000 AS cens FROM per CROSS JOIN hz),
+             |byt AS (SELECT t, count(*) AS n_at,
+             |        sum(CASE WHEN NOT cens THEN 1 ELSE 0 END)::BIGINT AS d
+             |      FROM lab GROUP BY 1),
+             |tt AS (SELECT count(*) AS nn FROM lab),
+             |c AS (SELECT t, n_at, d,
+             |        COALESCE(sum(n_at) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+             |      FROM byt),
+             |r AS (SELECT t, d, nn - cum_lt AS n_risk FROM c CROSS JOIN tt
+             |      WHERE d > 0),
+             |h AS (SELECT t, n_risk, d,
+             |        CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 9)
+             |          AS DECIMAL(18,9)) AS ht,
+             |        CAST(round(CAST(d AS DOUBLE) /
+             |          (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)), 9)
+             |          AS DECIMAL(18,9)) AS vt
+             |      FROM r),
+             |s2 AS (SELECT t, n_risk, d,
+             |        sum(ht) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch,
+             |        sum(vt) OVER (ORDER BY t
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+             |      FROM h)
+             |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+             |  d AS n_deaths,
+             |  round(CAST(ch AS DOUBLE), 6) AS cum_hazard,
+             |  round(sqrt(CAST(cv AS DOUBLE)), 6) AS se
+             |FROM s2 ORDER BY t_days""".stripMargin)),
+
+    // ─── Cronbach's alpha: q457's panel read as internal consistency ────
+    // Same complete supplier×year score frame; "do the three yearly
+    // scores measure one underlying supplier quantity?"
+    "q483_cronbach_alpha" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sp = Tables.lineitem(s, dir)
+          .filter(year($"l_shipdate").isin(1995, 1996, 1997))
+          .groupBy($"l_suppkey", year($"l_shipdate").as("j"))
+          .agg(floor(sum($"l_extendedprice".cast("decimal(18,6)"))
+            .cast("double") / lit(10000.0)).as("v"))
+        val ok = sp.groupBy($"l_suppkey").agg(count(lit(1)).as("__k"))
+          .filter($"__k" === 3).select($"l_suppkey")
+        Agreement.cronbachAlpha(sp.join(ok, "l_suppkey"),
+          $"l_suppkey", $"j", $"v")
+      },
+      Some("""WITH sp AS (SELECT l_suppkey AS it,
+             |    year(CAST(l_shipdate AS DATE)) AS j,
+             |    CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+             |      AS DOUBLE) / 10000.0::DOUBLE) AS BIGINT) AS v
+             |  FROM lineitem
+             |  WHERE year(CAST(l_shipdate AS DATE)) IN (1995, 1996, 1997)
+             |  GROUP BY 1, 2),
+             |ok AS (SELECT it FROM sp GROUP BY it HAVING count(*) = 3),
+             |f AS (SELECT sp.it, sp.j, sp.v FROM sp JOIN ok USING (it)),
+             |shape AS (SELECT count(DISTINCT it)::BIGINT AS n,
+             |    count(DISTINCT j)::BIGINT AS k FROM f),
+             |pc AS (SELECT j, sum(CAST(v AS HUGEINT)) AS sx,
+             |    sum(CAST(v AS HUGEINT) * v) AS qx FROM f GROUP BY 1),
+             |sv AS (SELECT sum(CAST(round(
+             |      (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      / (CAST(n AS DOUBLE) - 1.0), 9) AS DECIMAL(28,9))) AS svv
+             |  FROM pc CROSS JOIN shape),
+             |ps AS (SELECT it, sum(CAST(v AS HUGEINT)) AS t FROM f GROUP BY 1),
+             |tv AS (SELECT sum(t) AS st, sum(t * t) AS qt FROM ps),
+             |fin AS (SELECT n, k, CAST(svv AS DOUBLE) AS sv,
+             |    (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE)
+             |      * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))
+             |      / (CAST(n AS DOUBLE) - 1.0) AS vt
+             |  FROM sv CROSS JOIN tv CROSS JOIN shape)
+             |SELECT n AS n_subjects, k AS k_components,
+             |  round(sv, 6) AS sum_var_components,
+             |  round(vt, 6) AS var_total,
+             |  CASE WHEN k >= 2 AND vt > 0.0 THEN
+             |    round((CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+             |      * (1.0::DOUBLE - sv / vt), 6) END AS alpha
+             |FROM fin""".stripMargin)),
+
+    // ─── Gwet's AC1: q450's kappa made skew-robust ──────────────────────
+    // Same three-rater panel; AC1's chance term penalizes marginal
+    // imbalance instead of rewarding it (the kappa paradox).
+    "q484_gwet_ac1" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val words = size(split($"text", " "))
+        val r1 = when($"n_chars" < 200, "low").when($"n_chars" < 400, "mid")
+          .otherwise("high")
+        val r2 = when(words < 40, "low").when(words < 80, "mid")
+          .otherwise("high")
+        val r3 = when($"n_chars" < 250, "low").when($"n_chars" < 450, "mid")
+          .otherwise("high")
+        val ratings = docs.select($"doc_id".as("item"),
+          explode(array(r1, r2, r3)).as("label"))
+        Agreement.gwetAC1(ratings, "item", "label")
+      },
+      Some("""WITH rt AS (
+             |  SELECT doc_id AS i, CASE WHEN n_chars < 200 THEN 'low'
+             |      WHEN n_chars < 400 THEN 'mid' ELSE 'high' END AS l
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CASE WHEN len(string_split(text, ' ')) < 40 THEN 'low'
+             |      WHEN len(string_split(text, ' ')) < 80 THEN 'mid' ELSE 'high' END
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, CASE WHEN n_chars < 250 THEN 'low'
+             |      WHEN n_chars < 450 THEN 'mid' ELSE 'high' END
+             |  FROM documents),
+             |cnt AS (SELECT i, l, count(*)::BIGINT AS n FROM rt GROUP BY 1, 2),
+             |pi AS (SELECT i, sum(n)::BIGINT AS m, sum(n * n)::BIGINT AS s2
+             |  FROM cnt GROUP BY 1),
+             |od AS (SELECT count(*)::BIGINT AS n_items, max(m)::BIGINT AS n_raters,
+             |    sum(CAST(round(CAST(s2 - m AS DOUBLE) /
+             |      CAST(m * (m - 1) AS DOUBLE), 9) AS DECIMAL(28,9))) AS sp
+             |  FROM pi),
+             |mg AS (SELECT l, sum(n)::BIGINT AS nc FROM cnt GROUP BY 1),
+             |ed AS (SELECT count(*)::BIGINT AS n_labels,
+             |    sum(CAST(round((CAST(nc AS DOUBLE) / nn)
+             |      * (1.0::DOUBLE - CAST(nc AS DOUBLE) / nn), 9)
+             |      AS DECIMAL(28,9))) AS spi
+             |  FROM mg CROSS JOIN (SELECT CAST(n_items AS DOUBLE)
+             |      * CAST(n_raters AS DOUBLE) AS nn FROM od))
+             |SELECT n_items, n_raters, n_labels,
+             |  round(CAST(sp AS DOUBLE) / CAST(n_items AS DOUBLE), 6) AS p_bar,
+             |  round(CAST(spi AS DOUBLE) / (CAST(n_labels AS DOUBLE) - 1.0), 6)
+             |    AS p_e_gamma,
+             |  CASE WHEN n_labels >= 2 THEN
+             |    round((CAST(sp AS DOUBLE) / CAST(n_items AS DOUBLE)
+             |         - CAST(spi AS DOUBLE) / (CAST(n_labels AS DOUBLE) - 1.0))
+             |      / (1.0::DOUBLE - CAST(spi AS DOUBLE)
+             |         / (CAST(n_labels AS DOUBLE) - 1.0)), 6) END AS ac1
+             |FROM od CROSS JOIN ed""".stripMargin)),
+
+    // ─── shuffle-skew audit: read the key BEFORE shuffling 100 TB on it ─
+    // event_type is the classic handful-domain trap key; the audit's
+    // salt recommendation is the split factor that levels the top key
+    // across 32 target partitions.
+    "q485_skew_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Profile.skewAudit(Tables.events(s, dir), $"event_type",
+          shufflePartitions = 32)
+      },
+      Some("""WITH kc AS (SELECT event_type AS k, count(*)::BIGINT AS c
+             |      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+             |vc AS (SELECT c AS v, count(*)::BIGINT AS m FROM kc GROUP BY 1),
+             |run AS (SELECT v, m,
+             |    sum(m) OVER (ORDER BY v)::BIGINT AS hi FROM vc),
+             |agg AS (SELECT sum(CAST(v AS HUGEINT) * m) AS T,
+             |    sum(m)::BIGINT AS n_keys, max(v)::BIGINT AS top1,
+             |    sum(CAST(v AS HUGEINT) *
+             |      ((CAST(hi AS HUGEINT) * (hi + 1)
+             |        - CAST(hi - m AS HUGEINT) * (hi - m + 1)) // 2)) AS S
+             |  FROM run)
+             |SELECT CAST(T AS BIGINT) AS n_rows, n_keys,
+             |  top1 AS top1_count,
+             |  round(CAST(top1 AS DOUBLE) / CAST(T AS DOUBLE), 6)
+             |    AS top1_share,
+             |  CASE WHEN n_keys >= 2 AND T > 0 THEN round(
+             |    (2.0::DOUBLE * CAST(S AS DOUBLE)
+             |      - (CAST(n_keys AS DOUBLE) + 1) * CAST(T AS DOUBLE))
+             |    / (CAST(n_keys AS DOUBLE) * CAST(T AS DOUBLE)), 6)
+             |  END AS gini_keys,
+             |  CAST(trunc((CAST(top1 AS DOUBLE) * 32 + CAST(T AS DOUBLE) - 1)
+             |    / CAST(T AS DOUBLE)) AS BIGINT) AS recommended_salt
+             |FROM agg""".stripMargin)),
+
+    // ─── exact join-cardinality audit: "will this equi-join explode?" ───
+    // The self-join-on-a-label shape is the blowup the audit exists to
+    // catch: join_rows = Σ c² while the inputs stay events-sized.
+    "q486_join_cardinality" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        Profile.joinCardinalityAudit(ev, ev, $"event_type", $"event_type")
+      },
+      Some("""WITH ca AS (SELECT event_type AS k, count(*)::BIGINT AS c
+             |      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+             |j AS (SELECT count(*)::BIGINT AS n_common_keys,
+             |    coalesce(sum(CAST(a.c AS HUGEINT) * b.c),
+             |      0::HUGEINT) AS jr,
+             |    max(CAST(a.c AS HUGEINT) * b.c) AS mx
+             |  FROM ca a JOIN ca b ON a.k = b.k),
+             |t AS (SELECT coalesce(sum(c), 0)::BIGINT AS rows_a,
+             |    count(*)::BIGINT AS n_keys_a FROM ca)
+             |SELECT rows_a, rows_a AS rows_b, n_keys_a,
+             |  n_keys_a AS n_keys_b, n_common_keys,
+             |  CAST(jr AS BIGINT) AS join_rows,
+             |  CAST(coalesce(mx, 0::HUGEINT) AS BIGINT)
+             |    AS max_key_join_rows,
+             |  CASE WHEN rows_a > 0 THEN
+             |    round(CAST(jr AS DOUBLE) / CAST(rows_a AS DOUBLE), 6)
+             |  END AS amplification
+             |FROM t CROSS JOIN j""".stripMargin)),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

@@ -41,6 +41,7 @@ class WindowAuditSpec extends SparkSpec {
     "q269_theil_sen" -> "median over month-PAIR slopes, ≤ months² ≈ 3.5k rows",
     "q274_bootstrap_ci" -> "B bootstrap replicate means, B fixed",
     "q284_kaplan_meier" -> "day-level survival spine — bounded by the horizon",
+    "q482_nelson_aalen" -> "day-level survival spine — bounded by the horizon (q284's frame)",
     "q288_lorenz_curve" -> "10 decile rows (the deciling itself is hatched)",
     "q303_gains_chart" -> "10 decile rows (the deciling itself is hatched)",
     "q319_session_depth" -> "≤10 depth buckets",

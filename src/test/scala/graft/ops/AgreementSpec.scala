@@ -63,4 +63,63 @@ class AgreementSpec extends SparkSpec {
     assert(e.getMessage.contains("krippendorffAlpha"),
       "the error must route the caller to the ragged-coverage op")
   }
+
+  test("gwetAC1: hand-worked fixture on the fleiss panel, skew robustness") {
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Seq(("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "x"), ("B", "y"),
+      ("C", "y"), ("C", "y"), ("C", "y"),
+      ("D", "x"), ("D", "y"), ("D", "z"))
+    // replay the op's own 9-dp term discipline for the expectation
+    val pbar = (r9(1.0) + r9(1.0 / 3) + r9(1.0) + r9(0.0)).toDouble / 4
+    val spi = r9((6.0 / 12) * (1 - 6.0 / 12)) +
+      r9((5.0 / 12) * (1 - 5.0 / 12)) + r9((1.0 / 12) * (1 - 1.0 / 12))
+    val peg = spi.toDouble / 2
+    val got = Agreement.gwetAC1(r.toDF("item", "label"), "item", "label")
+      .collect()(0)
+    assert(got.getLong(0) == 4L && got.getLong(1) == 3L && got.getLong(2) == 3L)
+    assert(got.getDouble(3) == r6(BigDecimal(pbar)), "p_bar")
+    assert(got.getDouble(4) == r6(BigDecimal(peg)), "p_e_gamma")
+    assert(got.getDouble(5) == r6(BigDecimal((pbar - peg) / (1 - peg))), "ac1")
+    // the kappa paradox: one dominant label, two raters always agreeing
+    // on it -> kappa collapses toward 0, AC1 stays high
+    val skew = (1 to 49).flatMap(i => Seq((s"i$i", "ok"), (s"i$i", "ok"))) ++
+      Seq(("iBad", "ok"), ("iBad", "bad"))
+    val k = Agreement.fleissKappa(skew.toDF("item", "label"), "item", "label")
+      .collect()(0).getDouble(5)
+    val a = Agreement.gwetAC1(skew.toDF("item", "label"), "item", "label")
+      .collect()(0).getDouble(5)
+    assert(a > 0.9 && k < 0.5, s"AC1 $a should resist the skew kappa $k hits")
+  }
+
+  test("cronbachAlpha: hand-worked two-component panel; contracts are loud") {
+    // comp a: [1,2,3,4] var 5/3; comp b: [2,3,5,6] var 10/3;
+    // totals [3,5,8,10] var 29/3 -> alpha = 2*(1 - 15/29) = 28/29
+    val r = Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "a", 2L), (2L, "b", 3L),
+      (3L, "a", 3L), (3L, "b", 5L), (4L, "a", 4L), (4L, "b", 6L))
+    val got = Agreement.cronbachAlpha(r.toDF("s", "c", "x"),
+        $"s", $"c", $"x")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((4L, 2L, 5.0, r6(29.0 / 3), Some(r6(28.0 / 29)))),
+      got.toString)
+    // incomplete panel raises
+    val e = intercept[IllegalArgumentException] {
+      Agreement.cronbachAlpha(
+        Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "a", 2L)).toDF("s", "c", "x"),
+        $"s", $"c", $"x")
+    }
+    assert(e.getMessage.contains("COMPLETE"), e.getMessage)
+    // fractional scores raise (the integralLong contract)
+    val e2 = intercept[Exception] {
+      Agreement.cronbachAlpha(
+        Seq((1L, "a", 1.5), (1L, "b", 2.0), (2L, "a", 2.0), (2L, "b", 3.0))
+          .toDF("s", "c", "x"), $"s", $"c", $"x").collect()
+    }
+    assert(e2.getMessage.contains("integral"), String.valueOf(e2.getMessage))
+  }
 }

@@ -112,6 +112,27 @@ class CohortSpec extends SparkSpec {
     assert(!c.contains(3L) && c(1L) == ((1L, 4L, 2L, 0.5)))
   }
 
+  test("nelsonAalen: additive hazard + se on the kaplanMeier fixture") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // lifetimes 1,1,2,3, no censoring: increments 2/4, 1/2, 1/1 →
+    // H = 0.5, 1.0, 2.0; Var increments 2/16, 1/4, 1/1
+    def e(u: Long, day: Int) = (u, ts(f"2024-01-${day + 1}%02d 00:00:00"))
+    val ev = Seq(e(1, 0), e(1, 1), e(2, 0), e(2, 1), e(3, 0), e(3, 2),
+      e(4, 0), e(4, 3)).toDF("u", "ts")
+    val out = Cohort.nelsonAalen(ev, "u", "ts", censorDays = 0)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 2L, 0.5, r6(math.sqrt(0.125)))))
+    assert(out(2L) == ((2L, 2L, 1L, 1.0, r6(math.sqrt(0.375)))))
+    assert(out(3L) == ((3L, 1L, 1L, 2.0, r6(math.sqrt(1.375)))))
+    // censored last user: at-risk in the denominators, no death row
+    val c = Cohort.nelsonAalen(ev, "u", "ts", censorDays = 1)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!c.contains(3L) && c(1L)._4 == 0.5)
+  }
+
   test("touchAttribution: first vs last-touch credit, 'none' fallback") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:01"), "view", 0.0, 1L),

@@ -660,6 +660,41 @@ class ProfileSpec extends SparkSpec {
       s"G ${got._5} vs 2nMI ${2.0 * 40.0 * mi}")
   }
 
+  test("skewAudit: hand-worked concentration, ties, and salt recommendation") {
+    // counts a:6 b:3 c:1 → ascending S = 1·1 + 2·3 + 3·6 = 25,
+    // gini = (2·25 − 4·10)/(3·10) = 1/3; salt = ⌈6·4/10⌉ = 3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val got = Profile.skewAudit(df, $"k", shufflePartitions = 4)
+      .as[(Long, Long, Long, Double, Option[Double], Long)].head()
+    assert(got == ((10L, 3L, 6L, 0.6, Some(0.333333), 3L)), got.toString)
+    // perfectly level keys: gini 0, salt 1 (2 keys × 2 rows, P = 2)
+    val even = Seq("a", "a", "b", "b").toDF("k")
+    val g2 = Profile.skewAudit(even, $"k", shufflePartitions = 2)
+      .as[(Long, Long, Long, Double, Option[Double], Long)].head()
+    assert(g2 == ((4L, 2L, 2L, 0.5, Some(0.0), 1L)), g2.toString)
+    // null keys drop; a single key → gini NULL (undefined), salt = P
+    val one = Seq(Some("a"), Some("a"), None).toDF("k")
+    val g3 = Profile.skewAudit(one, $"k", shufflePartitions = 8)
+      .as[(Long, Long, Long, Double, Option[Double], Long)].head()
+    assert(g3 == ((2L, 1L, 2L, 1.0, None, 8L)), g3.toString)
+  }
+
+  test("joinCardinalityAudit: exact blowup prediction, disjoint keys zero") {
+    // A: a×2 b×1 c×1; B: a×3 b×2 d×5 → join = 2·3 + 1·2 = 8, worst key 6
+    val a = (Seq.fill(2)("a") ++ Seq("b", "c")).toDF("k")
+    val b = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq.fill(5)("d")).toDF("k")
+    val got = Profile.joinCardinalityAudit(a, b, $"k", $"k")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(got == ((4L, 10L, 3L, 3L, 2L, 8L, 6L, Some(0.8))), got.toString)
+    // the audit's number IS the join: predicted == actual row count
+    assert(a.join(b, "k").count() == got._6)
+    // disjoint key sets: zero everywhere, no NULL surprises
+    val d2 = Profile.joinCardinalityAudit(a,
+        Seq("z").toDF("k"), $"k", $"k")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(d2 == ((4L, 1L, 3L, 1L, 0L, 0L, 0L, Some(0.0))), d2.toString)
+  }
+
   test("anovaEffects: hand-worked eta²/omega², constant metric NULL") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -93,7 +93,14 @@ def main(sf_dir, out_dir):
 
     def evaluate(sql, fresh):
         if fresh:
-            return make_con(sf_dir).sql(sql).df()
+            # keep a live reference until .df() materializes: the inline
+            # form make_con(...).sql(sql).df() lets Python GC the
+            # connection mid-query ("Connection has already been closed")
+            c2 = make_con(sf_dir)
+            try:
+                return c2.sql(sql).df()
+            finally:
+                c2.close()
         return con.sql(sql).df()
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -55,9 +55,39 @@ def test_clean_pass_single_attempt():
     assert calls == [False]
 
 
+def test_fresh_evaluator_survives_gc():
+    # regression: main()'s fresh path once built the connection inline
+    # (make_con(...).sql(sql).df()), letting Python GC close it before
+    # .df() materialized — the retry then errored with "Connection has
+    # already been closed" instead of re-evaluating. Drive main()'s REAL
+    # duckdb evaluate on both paths.
+    import tempfile, os, duckdb, check
+    with tempfile.TemporaryDirectory() as d:
+        con0 = duckdb.connect()
+        for t in check.TABLES:
+            con0.sql(f"COPY (SELECT 1 AS x) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+        con0.close()
+        con = check.make_con(d)
+        def evaluate(sql, fresh):
+            if fresh:
+                c2 = check.make_con(d)
+                try:
+                    return c2.sql(sql).df()
+                finally:
+                    c2.close()
+            return con.sql(sql).df()
+        import gc
+        for fresh in (False, True):
+            got = evaluate("SELECT count(*) AS n FROM region", fresh)
+            gc.collect()
+            assert got["n"].iloc[0] == 1, (fresh, got)
+
+
 if __name__ == "__main__":
-    for t in (test_flake_killed_by_retry, test_real_mismatch_still_fails,
-              test_sql_error_not_retried, test_clean_pass_single_attempt):
+    tests = (test_flake_killed_by_retry, test_real_mismatch_still_fails,
+             test_sql_error_not_retried, test_clean_pass_single_attempt,
+             test_fresh_evaluator_survives_gc)
+    for t in tests:
         t()
         print(f"ok   {t.__name__}")
-    print("\n4 ok, 0 fail")
+    print(f"\n{len(tests)} ok, 0 fail")
