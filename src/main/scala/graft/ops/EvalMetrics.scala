@@ -250,6 +250,89 @@ object EvalMetrics {
     out
   }
 
+  /** CIDEr-D (Vedantam et al. 2015, the COCO caption metric) per pair,
+    * single-reference form — consensus as tf-idf-weighted n-gram cosine,
+    * the missing sibling of [[corpusBleu]]/[[rougeN]]/[[chrF]]:
+    *
+    *   w_s(g) = tf_s(g)·(ln N − ln(max(1, df(g))))   (df over the
+    *     REFERENCE corpus; candidate grams absent from every reference
+    *     carry the FULL ln N weight — the coco-caption convention),
+    *   score_n = Σ_g min(w_c, w_r)·w_r / (‖w_c‖·‖w_r‖)   (the -D
+    *     candidate clipping, so gram stuffing can't inflate it),
+    *   CIDEr-D = (10/maxN)·e^(−(l_c−l_r)²/(2σ²))·Σ_n score_n.
+    *
+    * Float discipline: idf weights are one mirrored double expression;
+    * every per-gram product (numerator terms, squared norms) rounds to
+    * 9 dp and sums as DECIMAL so per-pair reductions are gram-order
+    * independent; the penalty exponential rounds 9; headline rounds 6.
+    *
+    * Scale shape: the [[corpusBleu]] kernel plan — ONE all-levels gram
+    * count pass per side, a (n, gram)-keyed reference-df aggregate
+    * (reference corpus vocab-sized), (pid, n, gram)-keyed weight joins
+    * that reuse the count tables' partitioning, pair-sized output. The
+    * only driver scalar is the pair count N for ln N. Output per pair:
+    * (pair, n_cand, n_ref, cider_d). */
+  def ciderD(pairsIn: DataFrame, pairCol: String, candCol: String,
+      refCol: String, maxN: Int = 4, sigma: Double = 6.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8 && sigma > 0, "maxN in [1, 8], sigma > 0")
+    def d(c: Column) = c.cast("double")
+    def dec9(c: Column) = round(c, 9).cast("decimal(28,9)")
+    val pairs = pairsIn
+      .select(col(pairCol), col(candCol), col(refCol))
+      .localCheckpoint(eager = true)
+    val lnN = math.log(math.max(1L, pairs.count()).toDouble)
+    val cg = gramCountsAllN(pairs, pairCol, candCol, maxN)
+      .localCheckpoint(false) // consumers: weights, numerator, lengths
+    val rg = gramCountsAllN(pairs, pairCol, refCol, maxN)
+      .localCheckpoint(false) // consumers: df, weights, numerator, lengths
+    val dfTab = rg.groupBy(col("__n"), col("__gh"))
+      .agg(count(lit(1)).as("__df")) // one row per pid by construction
+    def w(dfCol: Column) =
+      lit(lnN) - log(greatest(dfCol.cast("double"), lit(1.0)))
+    val vc = cg.join(dfTab, Seq("__n", "__gh"), "left")
+      .select(col("__pid"), col("__n"), col("__gh"),
+        (d(col("__c")) * w(coalesce(col("__df"), lit(0L)))).as("__wc"))
+    val vr = rg.join(dfTab, Seq("__n", "__gh"))
+      .select(col("__pid"), col("__n"), col("__gh"),
+        (d(col("__c")) * w(col("__df"))).as("__wr"))
+    val normC = vc.groupBy(col("__pid"), col("__n"))
+      .agg(sum(dec9(col("__wc") * col("__wc"))).as("__nc"))
+    val normR = vr.groupBy(col("__pid"), col("__n"))
+      .agg(sum(dec9(col("__wr") * col("__wr"))).as("__nr"))
+    val num = vc.join(vr, Seq("__pid", "__n", "__gh"))
+      .groupBy(col("__pid"), col("__n"))
+      .agg(sum(dec9(least(col("__wc"), col("__wr")) * col("__wr")))
+        .as("__num"))
+    val perLevel = normC.join(normR, Seq("__pid", "__n"))
+      .join(num, Seq("__pid", "__n"), "left")
+      .select(col("__pid"),
+        when(col("__nc") > 0 && col("__nr") > 0,
+          coalesce(d(col("__num")), lit(0.0)) /
+            (sqrt(d(col("__nc"))) * sqrt(d(col("__nr")))))
+          .otherwise(lit(0.0)).as("__s"))
+    val perPair = perLevel.groupBy(col("__pid"))
+      .agg(sum(dec9(col("__s"))).as("__ss"))
+    def len(src: DataFrame, out: String) =
+      src.filter(col("__n") === 1).groupBy(col("__pid"))
+        .agg(sum(col("__c")).as(out))
+    pairs.select(col(pairCol).as("__pid"))
+      .join(len(cg, "__lc"), Seq("__pid"), "left")
+      .join(len(rg, "__lr"), Seq("__pid"), "left")
+      .join(perPair, Seq("__pid"), "left")
+      .select(col("__pid").as("pair"),
+        coalesce(col("__lc"), lit(0L)).as("n_cand"),
+        coalesce(col("__lr"), lit(0L)).as("n_ref"),
+        col("__ss"))
+      .withColumn("__pen", round(exp(
+        (lit(0.0) - (d(col("n_cand")) - d(col("n_ref"))) *
+          (d(col("n_cand")) - d(col("n_ref")))) /
+          lit(2.0 * sigma * sigma)), 9))
+      .withColumn("cider_d", round(
+        col("__pen") * lit(10.0 / maxN) *
+          coalesce(d(col("__ss")), lit(0.0)), 6))
+      .drop("__pen", "__ss")
+  }
+
   /** Corpus-level chrF (Popović 2015): character n-gram F-β score.
     * Whitespace is removed, char n-grams for n = 1..maxN are counted as
     * multisets per pair, clipped overlaps/totals are SUMMED over the

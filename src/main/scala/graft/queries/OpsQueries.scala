@@ -13161,6 +13161,85 @@ object OpsQueries {
              |  END AS amplification
              |FROM t CROSS JOIN j""".stripMargin)),
 
+    // ─── CIDEr-D: the COCO consensus caption metric, single-ref form ────
+    // tf-idf-weighted n-gram cosine with candidate clipping + length
+    // gaussian; same eval-set slice + adjacent-doc pairing as q400.
+    "q487_cider_d" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).filter($"doc_id" < 2000)
+        val pairs = docs.select($"doc_id", $"text".as("cand"))
+          .join(docs.select(($"doc_id" - 1).as("doc_id"), $"text".as("ref")),
+            "doc_id")
+        EvalMetrics.ciderD(pairs, "doc_id", "cand", "ref", maxN = 4,
+            sigma = 6.0)
+          .withColumnRenamed("pair", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some {
+        def grams(src: String, n: Int): String =
+          if (n == 1) s"SELECT doc_id, unnest($src) AS g FROM p"
+          else {
+            val parts = (0 until n).map(j =>
+              if (j == 0) s"$src[i]" else s"$src[i+$j]").mkString(" || ' ' || ")
+            s"SELECT doc_id, unnest(list_transform(range(1, len($src) - ${n - 2}), i -> $parts)) AS g FROM p"
+          }
+        val perN = (1 to 4).map { n =>
+          s"""cg$n AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM (${grams("ct", n)}) GROUP BY 1, 2),
+             |rg$n AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM (${grams("rt", n)}) GROUP BY 1, 2),
+             |df$n AS (SELECT g, count(*)::BIGINT AS df FROM rg$n GROUP BY 1),
+             |vc$n AS (SELECT doc_id, cg.g, CAST(c AS DOUBLE)
+             |      * (ln(CAST(N AS DOUBLE)) - ln(greatest(
+             |          CAST(coalesce(df, 0) AS DOUBLE), 1.0::DOUBLE))) AS w
+             |    FROM cg$n cg LEFT JOIN df$n USING (g) CROSS JOIN np),
+             |vr$n AS (SELECT doc_id, rg.g, CAST(c AS DOUBLE)
+             |      * (ln(CAST(N AS DOUBLE)) - ln(greatest(
+             |          CAST(df AS DOUBLE), 1.0::DOUBLE))) AS w
+             |    FROM rg$n rg JOIN df$n USING (g) CROSS JOIN np),
+             |nc$n AS (SELECT doc_id, sum(CAST(round(w * w, 9)
+             |      AS DECIMAL(28,9))) AS nc FROM vc$n GROUP BY 1),
+             |nr$n AS (SELECT doc_id, sum(CAST(round(w * w, 9)
+             |      AS DECIMAL(28,9))) AS nr FROM vr$n GROUP BY 1),
+             |nm$n AS (SELECT vc.doc_id, sum(CAST(round(
+             |        least(vc.w, vr.w) * vr.w, 9) AS DECIMAL(28,9))) AS nm
+             |    FROM vc$n vc JOIN vr$n vr
+             |      ON vc.doc_id = vr.doc_id AND vc.g = vr.g GROUP BY 1),
+             |s$n AS (SELECT nc.doc_id, CASE WHEN nc > 0 AND nr > 0 THEN
+             |      coalesce(CAST(nm AS DOUBLE), 0.0::DOUBLE)
+             |        / (sqrt(CAST(nc AS DOUBLE)) * sqrt(CAST(nr AS DOUBLE)))
+             |    ELSE 0.0::DOUBLE END AS s
+             |    FROM nc$n nc JOIN nr$n nr USING (doc_id)
+             |      LEFT JOIN nm$n USING (doc_id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH p AS (SELECT a.doc_id,
+           |        list_filter(string_split(lower(a.text), ' '),
+           |          t -> len(t) > 0) AS ct,
+           |        list_filter(string_split(lower(b.text), ' '),
+           |          t -> len(t) > 0) AS rt
+           |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           |      WHERE a.doc_id < 2000 AND b.doc_id < 2000),
+           |np AS (SELECT count(*)::BIGINT AS N FROM p),
+           |$perN,
+           |sall AS (${(1 to 4).map(n => s"SELECT doc_id, s FROM s$n")
+            .mkString("\n  UNION ALL\n")}),
+           |ss AS (SELECT doc_id, sum(CAST(round(s, 9) AS DECIMAL(28,9)))
+           |      AS ss FROM sall GROUP BY 1),
+           |lc AS (SELECT doc_id, sum(c)::BIGINT AS lc FROM cg1 GROUP BY 1),
+           |lr AS (SELECT doc_id, sum(c)::BIGINT AS lr FROM rg1 GROUP BY 1),
+           |fin AS (SELECT p.doc_id, coalesce(lc, 0) AS n_cand,
+           |      coalesce(lr, 0) AS n_ref, ss
+           |    FROM p LEFT JOIN lc USING (doc_id) LEFT JOIN lr USING (doc_id)
+           |      LEFT JOIN ss USING (doc_id))
+           |SELECT doc_id, n_cand, n_ref,
+           |  round(round(exp((0.0::DOUBLE
+           |      - (CAST(n_cand AS DOUBLE) - CAST(n_ref AS DOUBLE))
+           |      * (CAST(n_cand AS DOUBLE) - CAST(n_ref AS DOUBLE)))
+           |      / 72.0::DOUBLE), 9)
+           |    * (10.0::DOUBLE / 4) * coalesce(CAST(ss AS DOUBLE),
+           |      0.0::DOUBLE), 6) AS cider_d
+           |FROM fin ORDER BY doc_id""".stripMargin
+      }),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

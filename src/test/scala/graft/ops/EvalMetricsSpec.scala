@@ -299,6 +299,44 @@ class EvalMetricsSpec extends SparkSpec {
     assert(rl == Seq((2L, 2L, 2L), (0L, 1L, 0L)), rl.toString)
   }
 
+  test("ciderD: hand-worked tf-idf cosine, zero-idf consensus, length penalty") {
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N = 2. Ref df at n=1: a→1, c→2 ⇒ idf(a) = ln2, idf(c) = 0,
+    // unseen cand gram b ⇒ FULL ln2 (the coco convention).
+    val pairs = Seq((1L, "a b", "a c"), (2L, "c", "c"))
+      .toDF("pid", "cand", "ref")
+    val got = EvalMetrics.ciderD(pairs, "pid", "cand", "ref", maxN = 4)
+      .orderBy("pair").as[(Long, Long, Long, Double)].collect().toSeq
+    // pair 1 level 1: replay the op's own 9-dp term discipline
+    val w = math.log(2.0)
+    val nc = (r9(w * w) + r9(w * w)).toDouble  // cand a, b
+    val nr = r9(w * w).toDouble                // ref a (c weighs 0)
+    val num = r9(w * w).toDouble               // shared gram a
+    val s1 = num / (math.sqrt(nc) * math.sqrt(nr))
+    // level 2: both sides have one bigram, none shared → 0 term;
+    // levels 3–4: no grams → no contribution; penalty exp(0) = 1
+    val ss = (r9(s1) + r9(0.0)).toDouble
+    assert(got == Seq(
+      (1L, 2L, 2L, r6(1.0 * (10.0 / 4) * ss)),
+      // pair 2: the gram appears in EVERY reference → idf 0 → zero
+      // norms → zero consensus (the anti-stopword property)
+      (2L, 1L, 1L, 0.0)), got.toString)
+    // length mismatch is gaussian-penalized AND gram stuffing is
+    // clipped: 7 copies of the right token score far below a clean hit
+    val padded = Seq((1L, "x x x x x x x", "x"), (2L, "y", "z"))
+      .toDF("pid", "cand", "ref")
+    val p = EvalMetrics.ciderD(padded, "pid", "cand", "ref", maxN = 1)
+      .orderBy("pair").as[(Long, Long, Long, Double)].collect().toSeq
+    val ncP = r9(7 * w * 7 * w).toDouble
+    val sP = r9(w * w).toDouble / (math.sqrt(ncP) * math.sqrt(r9(w * w).toDouble))
+    val penP = r9(math.exp(-36.0 / 72.0)).toDouble
+    assert(p.head == ((1L, 7L, 1L,
+      r6(penP * 10.0 * r9(sP).toDouble))), p.toString)
+    assert(p.head._4 < 1.0 && p.head._4 > 0.0, p.toString)
+  }
+
   test("pass@k / bestOfK emit one row per k even on an EMPTY input") {
     val empty = Seq.empty[(String, Boolean)].toDF("task", "ok")
     val p = EvalMetrics.passAtK(empty, "task", $"ok", Seq(1, 2, 4))
