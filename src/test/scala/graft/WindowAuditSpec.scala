@@ -64,6 +64,16 @@ class WindowAuditSpec extends SparkSpec {
         w.windowExpressions.map(_.sql.take(90)).mkString("; ")
     }
 
+  /** every registry query planned ONCE at sfTiny — both registry-wide
+    * rules (global windows, measured low-card keys) read this shared
+    * pass instead of re-planning 486 queries each (planning, not the
+    * NDV counts, dominated the suite's wall time) */
+  private lazy val plannedRegistry: Seq[(String, Either[String, DataFrame])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try Right(fn(spark, sfTiny))
+        catch { case e: Throwable => Left(s"failed to plan: ${e.getMessage}") })
+    }
+
   test("the rule flags the pre-fix q366 shape (row_number window over a fact)") {
     val li = Tables.lineitem(spark, sfTiny)
     val bad = li.withColumn("__zone",
@@ -91,12 +101,10 @@ class WindowAuditSpec extends SparkSpec {
   }
 
   test("no unbounded global window anywhere in the registry") {
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (allowlist.contains(name)) Nil
-      else {
-        try globalWindows(fn(spark, sfTiny)).map(w => s"$name — $w")
-        catch { case e: Throwable => Seq(s"$name failed to plan: ${e.getMessage}") }
-      }
+    val bad = plannedRegistry.flatMap {
+      case (name, _) if allowlist.contains(name) => Nil
+      case (name, Left(err)) => Seq(s"$name $err")
+      case (name, Right(df)) => globalWindows(df).map(w => s"$name — $w")
     }
     assert(bad.isEmpty,
       "global (single-partition) windows outside the allowlist:\n" +
@@ -205,12 +213,13 @@ class WindowAuditSpec extends SparkSpec {
   }
 
   test("no low-cardinality-keyed window over an unbounded frame in the registry") {
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      if (lowCardAllowlist.contains(name)) Nil
-      else {
-        try lowCardWindows(fn(spark, sfTiny)).map(w => s"$name — $w")
-        catch { case e: Throwable => Seq(s"$name failed to plan: ${e.getMessage}") }
-      }
+    val bad = plannedRegistry.flatMap {
+      case (name, _) if lowCardAllowlist.contains(name) => Nil
+      case (name, Left(err)) => Seq(s"$name $err")
+      case (name, Right(df)) =>
+        try lowCardWindows(df).map(w => s"$name — $w")
+        catch { case e: Throwable =>
+          Seq(s"$name failed to measure: ${e.getMessage}") }
     }
     assert(bad.isEmpty,
       "low-cardinality-keyed windows outside the allowlist:\n" +
