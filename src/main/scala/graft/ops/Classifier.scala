@@ -828,4 +828,39 @@ object Classifier {
             (col("x").cast("double") + m * s) / (col("n").cast("double") + s))
           .otherwise(r), 6).as("shrunk"))
   }
+
+  /** Wilson score interval per group (Wilson 1927): the proportion CI
+    * that behaves at the edges the Wald interval breaks on — x = 0 or
+    * x = n gives a non-degenerate interval inside [0, 1], and small-n
+    * groups get honestly wide bounds (the release-dashboard companion
+    * to [[ebShrinkRates]]'s point shrinkage):
+    *
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    *
+    * `z` is a plan-time double literal (default 1.959964 ≈ 97.5 %
+    * two-sided) that the oracle replays as the same decimal text —
+    * no engine-side quantile function. ONE group-keyed conditional
+    * aggregate; the interval algebra runs once per GROUP row in a
+    * fixed composition order. Output per group:
+    * (group, n, x, rate, ci_lo, ci_hi ← round 6). */
+  def wilsonCi(df: DataFrame, groupCol: String, successCol: Column,
+      z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"z must be > 0, got $z")
+    val g = df.select(col(groupCol).as("group"), successCol.as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("x"))
+    def d(c: String) = col(c).cast("double")
+    val p = d("x") / d("n")
+    val z2 = z * z
+    val denom = lit(1.0) + lit(z2) / d("n")
+    val center = p + lit(z2) / (lit(2.0) * d("n"))
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / d("n") +
+      lit(z2) / (lit(4.0) * d("n") * d("n")))
+    g.select(col("group"), col("n"), col("x"),
+      round(p, 6).as("rate"),
+      round((center - half) / denom, 6).as("ci_lo"),
+      round((center + half) / denom, 6).as("ci_hi"))
+  }
 }

@@ -13240,6 +13240,40 @@ object OpsQueries {
            |FROM fin ORDER BY doc_id""".stripMargin
       }),
 
+    // ─── Wilson score CI per source: the edge-safe rate interval ────────
+    // English-share per source with honest small-n bounds; z is a
+    // plan-time literal both engines read as the same decimal text.
+    "q488_wilson_ci" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Classifier.wilsonCi(Tables.documents(s, dir), "source",
+            $"lang" === "en")
+          .withColumnRenamed("group", "source")
+          .orderBy($"source")
+      },
+      Some("""WITH g AS (SELECT source, count(*)::BIGINT AS n,
+             |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS x
+             |  FROM documents GROUP BY 1),
+             |f AS (SELECT source, n, x,
+             |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             |    1.0::DOUBLE + (1.959964::DOUBLE * 1.959964::DOUBLE)
+             |      / CAST(n AS DOUBLE) AS den,
+             |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+             |      + (1.959964::DOUBLE * 1.959964::DOUBLE)
+             |        / (2.0::DOUBLE * CAST(n AS DOUBLE)) AS ctr,
+             |    1.959964::DOUBLE * sqrt(
+             |      (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+             |        * (1.0::DOUBLE - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / CAST(n AS DOUBLE)
+             |      + (1.959964::DOUBLE * 1.959964::DOUBLE)
+             |        / (4.0::DOUBLE * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             |      AS hf
+             |  FROM g)
+             |SELECT source, n, x, round(p, 6) AS rate,
+             |  round((ctr - hf) / den, 6) AS ci_lo,
+             |  round((ctr + hf) / den, 6) AS ci_hi
+             |FROM f ORDER BY source""".stripMargin)),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

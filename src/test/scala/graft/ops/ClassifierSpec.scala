@@ -400,6 +400,34 @@ class ClassifierSpec extends SparkSpec {
     assert(got == Seq((0, 2L, 0.5, 0.5), (1, 1L, 1.0, 1.0)), got.toString)
   }
 
+  test("wilsonCi: hand formula; edge rates stay non-degenerate inside [0,1]") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = 1.959964
+    def wilson(n: Int, x: Int): (Double, Double) = {
+      val p = x.toDouble / n
+      val den = 1.0 + z * z / n
+      val ctr = p + z * z / (2.0 * n)
+      val hf = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+      (r6((ctr - hf) / den), r6((ctr + hf) / den))
+    }
+    val rows = (1 to 7).map(_ => ("a", true)) ++ (1 to 3).map(_ => ("a", false)) ++
+      (1 to 5).map(_ => ("zero", false)) ++ (1 to 4).map(_ => ("full", true))
+    val got = Classifier.wilsonCi(rows.toDF("g", "s"), "g", $"s")
+      .orderBy("group").as[(String, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    val (aLo, aHi) = wilson(10, 7)
+    val (zLo, zHi) = wilson(5, 0)
+    val (fLo, fHi) = wilson(4, 4)
+    assert(got == Seq(
+      ("a", 10L, 7L, 0.7, aLo, aHi),
+      ("full", 4L, 4L, 1.0, fLo, fHi),
+      ("zero", 5L, 0L, 0.0, zLo, zHi)), got.toString)
+    // the Wald-breaking edges: zero-rate lo pins to 0 but hi is OPEN,
+    // full-rate hi pins to 1 but lo is open — never a ±0 interval
+    assert(zLo == 0.0 && zHi > 0.0 && fHi == 1.0 && fLo < 1.0)
+  }
+
   test("mcc: hand-worked 2x2, degenerate marginals NULL, balanced accuracy") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
