@@ -863,4 +863,48 @@ object Classifier {
       round((center - half) / denom, 6).as("ci_lo"),
       round((center + half) / denom, 6).as("ci_hi"))
   }
+
+  /** The unstratified 2×2 risk readout — [[mantelHaenszel]]'s
+    * single-table sibling for when there is no confounder to adjust:
+    * exposure × outcome cells (a, b, c, d), the two risks, the risk
+    * ratio, the odds ratio with its log-normal Woolf CI
+    * (exp(ln OR ± z·√(1/a+1/b+1/c+1/d))), and Cohen's h effect size
+    * (2·asin√p₁ − 2·asin√p₂ — the arcsine-stabilized difference power
+    * analyses for proportions are computed in).
+    *
+    * Conventions: the ratio family is NULL when its denominators
+    * degenerate (a zero cell kills the OR CI; a zero unexposed risk
+    * kills the RR) — reported as NULL, not ±inf; h is defined whenever
+    * both rows are non-empty. `z` is a plan-time decimal literal (the
+    * [[wilsonCi]] convention). ONE conditional aggregate, 1-row
+    * algebra. Output: (a, b, c, d, risk_exposed, risk_unexposed,
+    * risk_ratio, odds_ratio, or_ci_lo, or_ci_hi, cohens_h ← r6). */
+  def riskTable(df: DataFrame, exposure: Column, outcome: Column,
+      z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"z must be > 0, got $z")
+    val pts = df.select(exposure.as("__e"), outcome.as("__o"))
+      .filter(col("__e").isNotNull && col("__o").isNotNull)
+    val agg = pts.agg(
+      coalesce(sum(when(col("__e") && col("__o"), 1L).otherwise(0L)), lit(0L)).as("a"),
+      coalesce(sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)), lit(0L)).as("b"),
+      coalesce(sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)), lit(0L)).as("c"),
+      coalesce(sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)), lit(0L)).as("d"))
+    def dd(c: String) = col(c).cast("double")
+    val r1 = dd("a") / (dd("a") + dd("b"))
+    val r2 = dd("c") / (dd("c") + dd("d"))
+    val orv = (dd("a") * dd("d")) / (dd("b") * dd("c"))
+    val se = sqrt(lit(1.0) / dd("a") + lit(1.0) / dd("b") +
+      lit(1.0) / dd("c") + lit(1.0) / dd("d"))
+    val allPos = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val rowsOk = col("a") + col("b") > 0 && col("c") + col("d") > 0
+    agg.select(col("a"), col("b"), col("c"), col("d"),
+      when(col("a") + col("b") > 0, round(r1, 6)).as("risk_exposed"),
+      when(col("c") + col("d") > 0, round(r2, 6)).as("risk_unexposed"),
+      when(rowsOk && r2 > 0, round(r1 / r2, 6)).as("risk_ratio"),
+      when(allPos, round(orv, 6)).as("odds_ratio"),
+      when(allPos, round(exp(log(orv) - lit(z) * se), 6)).as("or_ci_lo"),
+      when(allPos, round(exp(log(orv) + lit(z) * se), 6)).as("or_ci_hi"),
+      when(rowsOk, round(lit(2.0) * asin(sqrt(r1)) -
+        lit(2.0) * asin(sqrt(r2)), 6)).as("cohens_h"))
+  }
 }

@@ -13274,6 +13274,49 @@ object OpsQueries {
              |  round((ctr + hf) / den, 6) AS ci_hi
              |FROM f ORDER BY source""".stripMargin)),
 
+    // ─── 2×2 risk readout: RR, Woolf-CI odds ratio, Cohen's h ───────────
+    // The unstratified sibling of q469's Mantel–Haenszel on the same
+    // length-exposure → English-outcome cells.
+    "q489_risk_table" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Classifier.riskTable(Tables.documents(s, dir),
+          $"n_chars" >= 300, $"lang" === "en")
+      },
+      Some("""WITH t AS (SELECT
+             |    coalesce(sum(CASE WHEN n_chars >= 300 AND lang = 'en'
+             |      THEN 1 ELSE 0 END), 0)::BIGINT AS a,
+             |    coalesce(sum(CASE WHEN n_chars >= 300 AND lang <> 'en'
+             |      THEN 1 ELSE 0 END), 0)::BIGINT AS b,
+             |    coalesce(sum(CASE WHEN n_chars < 300 AND lang = 'en'
+             |      THEN 1 ELSE 0 END), 0)::BIGINT AS c,
+             |    coalesce(sum(CASE WHEN n_chars < 300 AND lang <> 'en'
+             |      THEN 1 ELSE 0 END), 0)::BIGINT AS d
+             |  FROM documents),
+             |f AS (SELECT a, b, c, d,
+             |    CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) AS r1,
+             |    CAST(c AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) AS r2,
+             |    (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+             |      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) AS orv,
+             |    sqrt(1.0::DOUBLE / CAST(a AS DOUBLE) + 1.0::DOUBLE / CAST(b AS DOUBLE)
+             |       + 1.0::DOUBLE / CAST(c AS DOUBLE) + 1.0::DOUBLE / CAST(d AS DOUBLE)) AS se
+             |  FROM t)
+             |SELECT a, b, c, d,
+             |  CASE WHEN a + b > 0 THEN round(r1, 6) END AS risk_exposed,
+             |  CASE WHEN c + d > 0 THEN round(r2, 6) END AS risk_unexposed,
+             |  CASE WHEN a + b > 0 AND c + d > 0 AND r2 > 0
+             |    THEN round(r1 / r2, 6) END AS risk_ratio,
+             |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             |    THEN round(orv, 6) END AS odds_ratio,
+             |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             |    THEN round(exp(ln(orv) - 1.959964::DOUBLE * se), 6) END AS or_ci_lo,
+             |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             |    THEN round(exp(ln(orv) + 1.959964::DOUBLE * se), 6) END AS or_ci_hi,
+             |  CASE WHEN a + b > 0 AND c + d > 0 THEN
+             |    round(2.0::DOUBLE * asin(sqrt(r1))
+             |        - 2.0::DOUBLE * asin(sqrt(r2)), 6) END AS cohens_h
+             |FROM f""".stripMargin)),
+
     // ─── sample-ratio-mismatch guard (experiment validity gate) ─────────
     "q383_ab_srm" -> Q(
       (s, dir) => {

@@ -428,6 +428,37 @@ class ClassifierSpec extends SparkSpec {
     assert(zLo == 0.0 && zHi > 0.0 && fHi == 1.0 && fLo < 1.0)
   }
 
+  test("riskTable: hand-worked 2x2 RR/OR/CI/h; zero cells go NULL, not inf") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a=8 b=2 c=3 d=7: r1 0.8, r2 0.3, RR 8/3, OR 56/6,
+    // se = sqrt(1/8+1/2+1/3+1/7), h = 2asin(sqrt .8) − 2asin(sqrt .3)
+    val rows =
+      Seq.fill(8)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(3)((false, true)) ++ Seq.fill(7)((false, false))
+    val got = Classifier.riskTable(rows.toDF("e", "o"), $"e", $"o")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double], Option[Double],
+        Option[Double])].head()
+    val orv = 8.0 * 7.0 / (2.0 * 3.0)
+    val se = math.sqrt(1.0 / 8 + 1.0 / 2 + 1.0 / 3 + 1.0 / 7)
+    val z = 1.959964
+    assert(got == ((8L, 2L, 3L, 7L, Some(0.8), Some(0.3),
+      Some(r6(0.8 / 0.3)), Some(r6(orv)),
+      Some(r6(math.exp(math.log(orv) - z * se))),
+      Some(r6(math.exp(math.log(orv) + z * se))),
+      Some(r6(2 * math.asin(math.sqrt(0.8)) -
+        2 * math.asin(math.sqrt(0.3)))))), got.toString)
+    // a zero cell: OR family NULL (not inf), risks and h still defined
+    val zc = Seq((true, true), (true, true), (false, true), (false, false))
+    val g2 = Classifier.riskTable(zc.toDF("e", "o"), $"e", $"o")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double], Option[Double],
+        Option[Double])].head()
+    assert(g2._1 == 2L && g2._2 == 0L && g2._8.isEmpty && g2._9.isEmpty &&
+      g2._5.contains(1.0) && g2._11.isDefined, g2.toString)
+  }
+
   test("mcc: hand-worked 2x2, degenerate marginals NULL, balanced accuracy") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
