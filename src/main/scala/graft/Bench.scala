@@ -21,6 +21,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Whole-stage-codegen compilation cache: Spark's default (100
+      // entries) is sized for a handful of repeated queries; a 488-query
+      // registry generates thousands of distinct codegen units, so every
+      // pass evicts and Janino-recompiles the lot. Scale-neutral (the
+      // cache is per-JVM source-keyed compilation, identical benefit on
+      // any cluster executor); env-overridable for A/B.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     // ERROR, not WARN: cache/checkpoint WARN spam after the JSON line is
     // exactly what pushed round-5's artifact out of the driver's ~2 KB

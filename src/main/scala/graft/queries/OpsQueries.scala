@@ -9524,8 +9524,16 @@ object OpsQueries {
           .groupBy($"l_partkey",
             date_format(date_trunc("month", $"l_shipdate"), "yyyy-MM").as("__m"))
           .agg(sum($"l_quantity".cast("decimal(18,6)")).as("__q"))
-          .localCheckpoint(false) // per-part stats + the global month count
-        val months = pm.select($"__m").distinct().agg(count(lit(1)).as("__P"))
+        // Global month count straight off the month-projected scan: the
+        // month set of pm == the month set of lineitem (pm only groups),
+        // so this is the same __P without pm needing a localCheckpoint to
+        // serve two consumers — the checkpoint's O(parts×months) row
+        // materialization was this query's whole cold cost (bench median
+        // 8.4 s vs 1.9–2.6 s warm probe, r12 ledger).
+        val months = Tables.lineitem(s, dir)
+          .select(date_format(date_trunc("month", $"l_shipdate"), "yyyy-MM")
+            .as("__m"))
+          .distinct().agg(count(lit(1)).as("__P"))
         val pp = pm.groupBy($"l_partkey")
           .agg(count(lit(1)).as("__nd"), sum($"__q").as("__s"),
             sum($"__q" * $"__q").as("__s2"))
