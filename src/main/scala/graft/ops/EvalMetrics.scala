@@ -34,6 +34,35 @@ object EvalMetrics {
   private def wordTokens(textCol: String): Column =
     filter(split(lower(col(textCol)), " "), t => length(t) > 0)
 
+  /** BOTH sides' n-gram counts in ONE explode+shuffle: every gram is
+    * tagged with its side (0 = cand, 1 = ref) before the flatten, and
+    * the (key, gram) group carries one conditional count per side. A
+    * (pid, gh) group missing from a side reads 0 — `least(c, 0) = 0`
+    * reproduces the old clip inner-join semantics exactly, so the
+    * overlap/clip consumers drop their join AND the second scan of the
+    * pair frame (guide §2.4: two operations keyed the same way share
+    * one exchange — here they share the scan too). */
+  private def gramCountsBoth(df: DataFrame, keyCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    val tagged = graft.functions.Let.bindOnce(wordTokens(candCol)) { ct =>
+      graft.functions.Let.bindOnce(wordTokens(refCol)) { rt =>
+        def side(toks: Column, s: Int) = {
+          val grams = when(size(toks) >= n, transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", (0 until n).map(j => get(toks, i + j)): _*)))
+            .otherwise(array().cast("array<string>"))
+          transform(graft.functions.HashOps.md5Prefix60Array(grams),
+            h => struct(h.as("h"), lit(s).as("s")))
+        }
+        concat(side(ct, 0), side(rt, 1))
+      }
+    }
+    df.select(col(keyCol).as("__pid"), explode(tagged).as("__g"))
+      .groupBy(col("__pid"), col("__g").getField("h").as("__gh"))
+      .agg(sum(when(col("__g").getField("s") === 0, 1L).otherwise(0L)).as("__c"),
+        sum(when(col("__g").getField("s") === 1, 1L).otherwise(0L)).as("__cr"))
+  }
+
   private def gramCounts(df: DataFrame, keyCol: String, textCol: String,
       n: Int): DataFrame = {
     // Let-bound: the token array must be a lambda VARIABLE before the
@@ -86,13 +115,24 @@ object EvalMetrics {
   def rougeN(pairs: DataFrame, pairCol: String, candCol: String,
       refCol: String, n: Int): DataFrame = {
     require(n >= 1, "n >= 1")
-    val cg = gramCounts(pairs, pairCol, candCol, n)
-    val rg = gramCounts(pairs, pairCol, refCol, n)
-    val ov = cg.join(rg.withColumnRenamed("__c", "__cr"), Seq("__pid", "__gh"))
+    // one fused explode+shuffle for both sides — least(c, 0) = 0 keeps
+    // the old clip inner-join semantics for one-sided grams
+    val ov = gramCountsBoth(pairs, pairCol, candCol, refCol, n)
       .groupBy(col("__pid"))
       .agg(sum(least(col("__c"), col("__cr"))).as("__ov"))
-    val ct = cg.groupBy(col("__pid")).agg(sum(col("__c")).as("__nc"))
-    val rt = rg.groupBy(col("__pid")).agg(sum(col("__c")).as("__nr"))
+    // Per-pair gram TOTALS are a pure function of token count — a row
+    // with L tokens carries exactly max(0, L−n+1) n-gram instances — so
+    // they come from one shuffle-free length aggregate instead of a
+    // second evaluation of the lazy gram explode+count per side (guide
+    // §2.3 "aggregate before you shuffle": the totals never needed the
+    // grams, only their number).
+    def lenTotals(src: String, out: String) = pairs
+      .select(col(pairCol).as("__pid"),
+        greatest(lit(0L), size(wordTokens(src)).cast("long") - lit(n - 1L))
+          .as("__l"))
+      .groupBy(col("__pid")).agg(sum(col("__l")).as(out))
+    val ct = lenTotals(candCol, "__nc")
+    val rt = lenTotals(refCol, "__nr")
     def d(c: Column) = c.cast("double")
     pairs.select(col(pairCol).as("__pid"))
       .join(ct, Seq("__pid"), "left").join(rt, Seq("__pid"), "left")
@@ -212,6 +252,10 @@ object EvalMetrics {
     // joins at maxN=4; scan count is what survives a 100× scale-up).
     // The (pid, n, gh) grouping keys both sides identically, so the
     // clip join reuses the aggregate's partitioning — one shuffle.
+    // (A single fused both-sides pass was MEASURED SLOWER here — 4.4 s
+    // vs 3.2 s at sf0.1: the pair frame is already checkpointed, so the
+    // saved scan was cheap, and the doubled per-row gram array costs
+    // more than the partition-aligned clip join it removed.)
     val cg = gramCountsAllN(pairs, pairCol, candCol, maxN)
     val rg = gramCountsAllN(pairs, pairCol, refCol, maxN)
     def perLevel(src: DataFrame, value: Column, prefix: String) =
@@ -224,13 +268,24 @@ object EvalMetrics {
     val clips = perLevel(
       cg.join(rg.withColumnRenamed("__c", "__cr"), Seq("__pid", "__n", "__gh")),
       least(col("__c"), col("__cr")), "__clip")
-    // each side's gram pass evaluates exactly twice (clip join + totals
-    // — the count tables stay lazy: at corpus scale a second pass beats
-    // materializing a gram-scale table); the level-1 totals double as
-    // the corpus lengths (a 1-gram per token), saving the old third
-    // corpus scan
-    val tots = perLevel(cg, col("__c"), "__tot")
-    val rtots = perLevel(rg, col("__c"), "__rt")
+    // Corpus gram TOTALS per level are a pure function of token counts —
+    // a row with L tokens carries exactly max(0, L−n+1) n-gram instances
+    // — so each side's totals come from ONE shuffle-free length aggregate
+    // over the checkpointed pairs instead of a second evaluation of the
+    // whole gram explode+shuffle (guide §2.3: the totals never needed
+    // the grams, only their number). Each gram pass now evaluates
+    // exactly once (the clip join); the level-1 totals still double as
+    // the corpus lengths.
+    def lenTotals(src: String, prefix: String) = pairs
+      .select(size(wordTokens(src)).cast("long").as("__l"))
+      .agg(
+        coalesce(sum(greatest(lit(0L), col("__l"))), lit(0L))
+          .as(s"${prefix}_1"),
+        (2 to maxN).map(n =>
+          coalesce(sum(greatest(lit(0L), col("__l") - lit(n - 1L))), lit(0L))
+            .as(s"${prefix}_$n")): _*)
+    val tots = lenTotals(candCol, "__tot")
+    val rtots = lenTotals(refCol, "__rt")
     val perN = clips.crossJoin(tots).crossJoin(rtots).select(
       (1 to maxN).map(n =>
         round(d(col(s"__clip_$n")) / d(col(s"__tot_$n")), 9).as(s"p_$n")) ++
@@ -359,10 +414,11 @@ object EvalMetrics {
     // slower at sf0.1 for zero shuffle savings).
     // ALL char-gram levels in one scan+shuffle per side (was one pass
     // per side per level — 24 lazy gram-pass evaluations at maxN=6;
-    // q400's cost was this scheduling, not the grams). Let-bound:
-    // `ch.substr(i, n)` inside the lambda would otherwise re-run the
-    // regexp_replace+lower per character position — O(len²) regex work
-    // per row (the q240 trap).
+    // q400's cost was this scheduling, not the grams). A single fused
+    // both-sides pass was MEASURED SLOWER (6.0 s vs 3.5 s at sf0.1) —
+    // same finding as corpusBleu. Let-bound: `ch.substr(i, n)` inside
+    // the lambda would otherwise re-run the regexp_replace+lower per
+    // character position — O(len²) regex work per row (the q240 trap).
     def charGramCountsAll(textCol: String): DataFrame = {
       val tagged = graft.functions.Let.bindOnce(
           regexp_replace(lower(col(textCol)), "\\s+", "")) { ch =>
@@ -392,8 +448,22 @@ object EvalMetrics {
     val clips = levelAgg(
       cg.join(rg.withColumnRenamed("__c", "__cr"), Seq("__pid", "__n", "__gh")),
       least(col("__c"), col("__cr")), "__clip")
-    val cTots = levelAgg(cg, col("__c"), "__ct")
-    val rTots = levelAgg(rg, col("__c"), "__rt")
+    // Same length identity as corpusBleu: a whitespace-stripped string of
+    // C chars carries exactly max(0, C−n+1) char n-grams per level, so
+    // the per-level totals are one shuffle-free length aggregate per
+    // side instead of a second evaluation of the char-gram
+    // explode+shuffle (guide §2.3).
+    def lenTotals(src: String, prefix: String) = pairs
+      .select(length(regexp_replace(lower(col(src)), "\\s+", ""))
+        .cast("long").as("__l"))
+      .agg(
+        coalesce(sum(greatest(lit(0L), col("__l"))), lit(0L))
+          .as(s"${prefix}_1"),
+        (2 to maxN).map(n =>
+          coalesce(sum(greatest(lit(0L), col("__l") - lit(n - 1L))), lit(0L))
+            .as(s"${prefix}_$n")): _*)
+    val cTots = lenTotals(candCol, "__ct")
+    val rTots = lenTotals(refCol, "__rt")
     val perLevel = clips.crossJoin(cTots).crossJoin(rTots)
       .select((1 to maxN).flatMap(n => Seq(
         when(col(s"__ct_$n") > 0,
