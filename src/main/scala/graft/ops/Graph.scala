@@ -344,9 +344,8 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val srcs = e.select(col("src").as("id")).distinct()
       .localCheckpoint(eager = true)
-    val dsts = e.select(col("dst").as("id")).distinct()
-      .localCheckpoint(eager = true)
-    val nS = srcs.count(); val nD = dsts.count()
+    val nS = srcs.count()
+    val nD = e.select(col("dst")).distinct().count()
     require(nS > 0 && nD > 0, "hits needs a non-empty edge set")
     // integer renorm needs ≥ 1 unit of resolution per vertex: with more
     // vertices than `scale` the init would floor every score to 0, so
@@ -355,60 +354,64 @@ object Graph {
     // overflow-free — no envelope to trade away)
     var effScale = scale
     while (effScale < math.max(nS, nD)) effScale <<= 1
+    // the multiply is precision-capped at DECIMAL(38): an overflow
+    // nulls it under non-ANSI mode — fail loudly instead of silently
+    // nulling the score
+    def renorm(raw: String, tot: java.math.BigInteger) =
+      expr(s"CASE WHEN $raw IS NOT NULL AND ($raw * ${effScale}L) IS NULL" +
+        " THEN raise_error('hits: renorm product overflowed" +
+        " DECIMAL(38,0) — lower scale or prune degree')" +
+        s" ELSE (coalesce($raw, CAST(0 AS DECIMAL(38,0))) * ${effScale}L)" +
+        s" DIV CAST($tot AS DECIMAL(38,0)) END")
     var hubs = srcs.select(col("id"), lit(effScale / nS).as("h"))
       .localCheckpoint(eager = true)
+    // the checkpointed frame whose blocks currently back `hubs`/`auths`
+    // (the renormed views below stay LAZY over the raw-sum snapshots)
+    var hubsBacking: DataFrame = hubs
     var auths: DataFrame = null
+    var authsBacking: DataFrame = null
     for (_ <- 0 until iters) {
-      // raw sums are snapshotted once: the Σraw scalar and the renorm
-      // join read the SAME materialization instead of re-running the
-      // rank⋈edge join twice per half-step
+      // raw sums are snapshotted once per half-step: the Σraw scalar,
+      // the next half-step's join, and the final output all read the
+      // SAME materialization. The renorm is a lazy projection of it —
+      // the old dsts/srcs renorm left-joins were provably no-ops
+      // (every dst of e appears in aRaw because hubs always covers
+      // every src, and vice versa: the join never fired its
+      // null-filling branch), so each half-step is now ONE join + ONE
+      // aggregate + one scalar, with no renorm materialization job.
       val aRaw = e.join(hubs.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("ar"))
         .localCheckpoint(eager = true)
       val aTot = aRaw.agg(sum(col("ar"))).first().getDecimal(0)
         .toBigInteger
-      val aNext = dsts.join(aRaw, Seq("id"), "left")
-        .select(col("id"),
-          // the multiply is precision-capped at DECIMAL(38): an
-          // overflow nulls it under non-ANSI mode — fail loudly
-          // instead of silently nulling the score
-          expr(s"CASE WHEN ar IS NOT NULL AND (ar * ${effScale}L) IS NULL" +
-            " THEN raise_error('hits: renorm product overflowed" +
-            " DECIMAL(38,0) — lower scale or prune degree')" +
-            s" ELSE (coalesce(ar, CAST(0 AS DECIMAL(38,0))) * ${effScale}L)" +
-            s" DIV CAST($aTot AS DECIMAL(38,0)) END").as("a"))
-        .localCheckpoint(eager = true)
-      unpersistCheckpoint(aRaw)
-      if (auths != null) unpersistCheckpoint(auths)
-      auths = aNext
+      // the previous auths' backing blocks are dead once the new aRaw
+      // has materialized (its only mid-loop consumer was last
+      // iteration's hRaw)
+      if (authsBacking != null) unpersistCheckpoint(authsBacking)
+      auths = aRaw.select(col("id"), renorm("ar", aTot).as("a"))
+      authsBacking = aRaw
       val hRaw = e.join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(sum(col("a").cast("decimal(38,0)")).as("hr"))
         .localCheckpoint(eager = true)
       val hTot = hRaw.agg(sum(col("hr"))).first().getDecimal(0)
         .toBigInteger
-      val hNext = srcs.join(hRaw, Seq("id"), "left")
-        .select(col("id"),
-          expr(s"CASE WHEN hr IS NOT NULL AND (hr * ${effScale}L) IS NULL" +
-            " THEN raise_error('hits: renorm product overflowed" +
-            " DECIMAL(38,0) — lower scale or prune degree')" +
-            s" ELSE (coalesce(hr, CAST(0 AS DECIMAL(38,0))) * ${effScale}L)" +
-            s" DIV CAST($hTot AS DECIMAL(38,0)) END").as("h"))
-        .localCheckpoint(eager = true)
-      unpersistCheckpoint(hRaw)
-      unpersistCheckpoint(hubs)
-      hubs = hNext
+      unpersistCheckpoint(hubsBacking)
+      hubs = hRaw.select(col("id"), renorm("hr", hTot).as("h"))
+      hubsBacking = hRaw
     }
     e.unpersist()
-    // hubs/auths are themselves eager snapshots, so the vertex frames
-    // they were built from can release their blocks now
+    // the final hubs/auths stay lazy over their raw-sum snapshots;
+    // those blocks release via the ContextCleaner once the caller's
+    // action has consumed the returned frame (the eager-checkpoint
+    // output contract of the old shape, minus two materializations
+    // per iteration)
     val out = hubs
       .select(lit("hub").as("kind"), col("id"), col("h").as("score_fp"))
       .unionByName(auths.select(lit("auth").as("kind"), col("id"),
         col("a").as("score_fp")))
     unpersistCheckpoint(srcs)
-    unpersistCheckpoint(dsts)
     out
   }
 
