@@ -5,8 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet corpus (TESTDATA.md). */
 object Tables {
+  /** Relation memo: `spark.read.parquet` re-lists the path and re-reads
+    * the footer schema on EVERY call — ~0.1 s of driver-side metadata
+    * work per table per query, ~50 s across a 488-query registry pass.
+    * Keyed by (session, dir, name) so each session/dataset pair lists
+    * once; the entry is the ANALYZED RELATION (file list + schema — the
+    * job a catalog/metastore does at scale), never data or results:
+    * every action still computes from the parquet files. */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relCache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")

@@ -420,23 +420,36 @@ object TextStats {
   }
 
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val cc = df.filter(length(col(textCol)) > 0)
-      .select(col(idCol).as("__id"),
-        explode(transform(sequence(lit(1), length(col(textCol))),
-          i => col(textCol).substr(i, lit(1)))).as("c"))
-      .groupBy(col("__id"), col("c")).agg(count(lit(1)).as("n"))
-    val perDoc = cc.groupBy(col("__id"))
-      .agg(collect_list(struct(col("c"), col("n"))).as("__cn"))
-    val total = aggregate(col("__cn"), lit(0L), (a, x) => a + x.getField("n"))
-    perDoc
-      .withColumn("n_chars", total)
-      .select(col("__id").as(idCol),
-        col("n_chars"),
-        size(col("__cn")).cast("long").as("distinct_chars"),
-        aggregate(array_sort(col("__cn")), lit(0.0), (acc, x) => {
-          val p = x.getField("n").cast("double") / col("n_chars").cast("double")
-          acc + round((lit(0.0) - p) * log2(p), 9)
-        }).as("entropy"))
+    // MAP-ONLY: the per-doc char histogram never needs a shuffle — the
+    // distinct chars come from one sorted char array and each char's
+    // count is length(text) − length(replace(text, c)) (one native
+    // string scan per distinct char, O(distinct·len) per row — beats
+    // exploding len rows per doc through a (doc, char) aggregate plus a
+    // collect_list re-aggregate, the old 2-exchange shape). Ascending
+    // char order == the old array_sort(struct(c, n)) order (chars are
+    // distinct), and counts are the same integers, so every double op
+    // runs in the identical sequence — hash-identical output.
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol),
+        graft.functions.Let.bindOnce(col(textCol)) { t =>
+          graft.functions.Let.bindOnce(length(t).cast("long")) { len =>
+            graft.functions.Let.bindOnce(array_sort(array_distinct(
+                transform(sequence(lit(1), length(t)),
+                  i => t.substr(i, lit(1)))))) { dis =>
+              struct(
+                len.as("n_chars"),
+                size(dis).cast("long").as("distinct_chars"),
+                aggregate(dis, lit(0.0), (acc, c) => {
+                  val n = len - length(replace(t, c))
+                  val p = n.cast("double") / len.cast("double")
+                  acc + round((lit(0.0) - p) * log2(p), 9)
+                }).as("entropy"))
+            }
+          }
+        }.as("__e"))
+      .select(col(idCol), col("__e.n_chars").as("n_chars"),
+        col("__e.distinct_chars").as("distinct_chars"),
+        col("__e.entropy").as("entropy"))
   }
 
   /** Shingle novelty: per document, the fraction of its distinct k-gram
