@@ -34,6 +34,16 @@ object OpsQueries {
     * integer-nanounit gradient sums, no RNG — so the cached weights are
     * bit-identical to a fresh fit, and the key includes every varying
     * input (the remaining params are literals fixed at 64/3/0.02 below). */
+  /** q336's Poisson(1) draw k for resample j from the row's seeded base
+    * hash — the former post-explode expression, applied per draw inside
+    * one aggregate instead. */
+  private def resampleK(h0: org.apache.spark.sql.Column, j: Int) = {
+    val u = graft.ops.Dedup.mixHash(h0, j).cast("double") /
+      lit(1152921504606846976.0)
+    when(u < 0.367879441171, 0).when(u < 0.735758882343, 1)
+      .when(u < 0.919698602929, 2).otherwise(3)
+  }
+
   private val fitCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Double)]]()
   private def cachedFit(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -10078,16 +10088,18 @@ object OpsQueries {
             $"l_extendedprice".cast("decimal(18,6)").as("__v"),
             Dedup.seededHash(55, concat($"l_orderkey".cast("string"),
               lit("_"), $"l_linenumber".cast("string"))).as("__h0"))
-        val drawn = li.select($"p_brand", $"__v",
-            posexplode(array((0 until 8).map(j =>
-              Dedup.mixHash($"__h0", j)): _*)).as(Seq("__b", "__h")))
-          .withColumn("__u",
-            $"__h".cast("double") / lit(1152921504606846976.0))
-          .withColumn("__k",
-            when($"__u" < 0.367879441171, 0).when($"__u" < 0.735758882343, 1)
-              .when($"__u" < 0.919698602929, 2).otherwise(3))
-        val ranked = drawn.groupBy($"__b", $"p_brand")
-          .agg(sum($"__v" * $"__k").as("__rev"))
+        // 8 resample draws as 8 conditional sums in ONE brand aggregate
+        // (map-side partials over the 600k-row fact) instead of a
+        // posexplode that shuffles the fact 8× — the per-(draw, brand)
+        // DECIMAL sums are identical (order-independent), and the
+        // 8-way unpivot runs on the ~25-row aggregated table.
+        val sums = li.groupBy($"p_brand").agg(
+          sum($"__v" * resampleK($"__h0", 0)).as("__rev0"),
+          (1 until 8).map(j =>
+            sum($"__v" * resampleK($"__h0", j)).as(s"__rev$j")): _*)
+        val ranked = sums.select($"p_brand",
+            posexplode(array((0 until 8).map(j => col(s"__rev$j")): _*))
+              .as(Seq("__b", "__rev")))
           .withColumn("__rk", row_number().over(
             Window.partitionBy($"__b").orderBy($"__rev".desc, $"p_brand")))
         ranked.where($"__rk" <= 5)
